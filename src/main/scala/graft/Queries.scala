@@ -1,0 +1,588 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The engine's query surface: every §2 capability as a
+  * (name, Spark impl, DuckDB oracle) triple.
+  *
+  * Correctness discipline (see SURVEY §5):
+  *  - measures are cast to DECIMAL before SUM (exact, order
+  *    independent), results cast to DOUBLE (identical bits on both
+  *    engines);
+  *  - integer-ish outputs are BIGINT on both sides;
+  *  - every query has a deterministic total ORDER BY;
+  *  - both sides share identical expression structure wherever a
+  *    result is not exactly representable.
+  */
+object Queries {
+
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val d12 = DecimalType(12, 2)
+  private val d4 = DecimalType(4, 2)
+  private val d18 = DecimalType(18, 2)
+
+  private def dec12(c: Column): Column = c.cast(d12)
+
+  // ---------------------------------------------------------------
+  // POS core (reference surface)
+  // ---------------------------------------------------------------
+
+  val dimLoad = QueryDef(
+    "q_dim_load",
+    (s, d) => {
+      val nation = Tables.nation(s, d)
+      val region = Tables.region(s, d)
+      nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey"""))
+
+  val jsonExtract = QueryDef(
+    "q_json_extract",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec12(col("value"))).cast("double").as("sum_value"))
+        .select(col("k").cast("bigint").as("k"), col("n"), col("sum_value"))
+        .orderBy("k")
+    },
+    Some("""SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT) AS k,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1 ORDER BY k"""))
+
+  val latestSnapshot = QueryDef(
+    "q_latest_snapshot",
+    (s, d) => Cdc.latestByKey(Tables.events(s, d),
+        keys = Seq("user_id", "event_type"),
+        seqCols = Seq("ts", "event_id"),
+        payload = Seq("value"))
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, ts, event_id, value FROM (
+              SELECT user_id, event_type, ts, event_id, value,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+            ORDER BY user_id, event_type"""))
+
+  val currentInventory = QueryDef(
+    "q_current_inventory",
+    (s, d) => Inventory.currentInventoryOverEvents(s, Tables.events(s, d)),
+    Some("""WITH snap AS (
+              SELECT user_id, ts, value FROM (
+                SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_type = 'signup') WHERE rn = 1
+            ), chg AS (
+              SELECT e.user_id, e.ts, e.value
+              FROM events e
+              JOIN (VALUES ('purchase'), ('click'), ('view')) ct(event_type)
+                ON e.event_type = ct.event_type
+            )
+            SELECT a.user_id,
+              CAST(MIN(CAST(a.value AS DECIMAL(12,2))) AS DOUBLE) AS snapshot_quantity,
+              CAST(CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS change_quantity,
+              CAST(MIN(CAST(a.value AS DECIMAL(12,2)))
+                   + CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS current_inventory,
+              GREATEST(MIN(a.ts), MAX(b.ts)) AS date_time
+            FROM snap a LEFT OUTER JOIN chg b
+              ON a.user_id = b.user_id AND a.ts <= b.ts
+            GROUP BY a.user_id ORDER BY a.user_id"""))
+
+  val transactionalize = QueryDef(
+    "q_transactionalize",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("tag",
+          concat_ws(":", col("event_id").cast("string"), col("event_type")))
+      ev.groupBy(col("user_id"), col("day"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          array_join(sort_array(collect_list(col("tag"))), ",").as("items"),
+          sum(dec12(col("value"))).cast("double").as("sum_value"))
+        .orderBy("user_id", "day")
+    },
+    Some("""SELECT user_id, CAST(ts AS DATE) AS day,
+              COUNT(*) AS n_items,
+              string_agg(CAST(event_id AS VARCHAR) || ':' || event_type, ','
+                ORDER BY CAST(event_id AS VARCHAR) || ':' || event_type) AS items,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+            ORDER BY user_id, day"""))
+
+  val expectations = QueryDef(
+    "q_expectations",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rules: Seq[(String, Column)] = Seq(
+        "discount_range" -> col("l_discount").between(0.0, 1.0),
+        "price_positive" -> (col("l_extendedprice") > 0.0),
+        "qty_positive" -> (col("l_quantity") > 0.0),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull)
+      val aggs = rules.flatMap { case (n, c) =>
+        Seq(sum(when(c, 1L).otherwise(0L)).as(s"p_$n"),
+          sum(when(c, 0L).otherwise(1L)).as(s"f_$n"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = rules.map { case (n, _) =>
+        one.select(lit(n).as("rule"), col(s"p_$n").as("n_pass"), col(s"f_$n").as("n_fail"))
+      }.reduce(_.unionByName(_))
+      stacked.orderBy("rule")
+    },
+    Some("""SELECT 'discount_range' AS rule,
+              CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+            FROM lineitem
+            UNION ALL SELECT 'price_positive',
+              CAST(SUM(CASE WHEN l_extendedprice > 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL SELECT 'qty_positive',
+              CAST(SUM(CASE WHEN l_quantity > 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN l_quantity > 0.0 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL SELECT 'shipdate_not_null',
+              CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+            FROM lineitem
+            ORDER BY rule"""))
+
+  // ---------------------------------------------------------------
+  // Analytics core
+  // ---------------------------------------------------------------
+
+  val pricingSummary = QueryDef(
+    "q1_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val price = dec12(col("l_extendedprice"))
+      val qty = dec12(col("l_quantity"))
+      val omd = lit(1).cast(d4) - col("l_discount").cast(d4)
+      val opt = lit(1).cast(d4) + col("l_tax").cast(d4)
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * omd).cast("double").as("sum_disc_price"),
+          sum(price * omd * opt).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val revenueByRegion = QueryDef(
+    "q_revenue_by_region",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec12(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  val topOrders = QueryDef(
+    "q_top_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val omd = lit(1).cast(d4) - col("l_discount").cast(d4)
+      val revenueDec = sum(dec12(col("l_extendedprice")) * omd)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(revenueDec.as("__rev"))
+        .orderBy(col("__rev").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("__rev").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+    },
+    Some("""SELECT o_orderkey, o_orderdate, CAST(rev AS DOUBLE) AS revenue FROM (
+              SELECT o_orderkey, o_orderdate,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY rev DESC, o_orderkey ASC LIMIT 10)
+            ORDER BY revenue DESC, o_orderkey ASC"""))
+
+  val supplierRank = QueryDef(
+    "q_supplier_rank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val omd = lit(1).cast(d4) - col("l_discount").cast(d4)
+      val perSupp = li
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec12(col("l_extendedprice")) * omd).as("__rev"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("__rev").desc, col("s_suppkey").asc)
+      perSupp.join(broadcast(sup), perSupp("l_suppkey") === sup("s_suppkey"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("s_nationkey").cast("bigint").as("s_nationkey"),
+          col("s_suppkey"), col("s_name"),
+          col("__rev").cast("double").as("revenue"), col("rn"))
+        .orderBy("s_nationkey", "rn")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_name,
+              CAST(rev AS DOUBLE) AS revenue, CAST(rn AS BIGINT) AS rn FROM (
+              SELECT s_nationkey, s_suppkey, s_name, rev,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY rev DESC, s_suppkey ASC) AS rn
+              FROM (
+                SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+                FROM lineitem GROUP BY l_suppkey) r
+              JOIN supplier ON l_suppkey = s_suppkey)
+            WHERE rn <= 3
+            ORDER BY s_nationkey, rn"""))
+
+  val usersNoPurchase = QueryDef(
+    "q_users_no_purchase",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey"""))
+
+  val sessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => Sessionize.sessionSummary(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", gap = "30 minutes",
+        tieBreak = Some("event_id"))
+      .withColumn("session_id", col("session_id").cast("bigint"))
+      .orderBy("user_id", "session_id"),
+    Some("""WITH t AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                     WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                     ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM t
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""))
+
+  // ---------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------
+
+  val tokenCount = QueryDef(
+    "q_token_count",
+    (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.bpeTokenEstimate(col("text")).as("est_bpe"),
+        length(col("text")).cast("bigint").as("len_chars"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+              CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe,
+              CAST(length(text) AS BIGINT) AS len_chars
+            FROM documents ORDER BY doc_id"""))
+
+  private val qualityOracle = {
+    val stop = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+          SELECT doc_id, text,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END AS digit_ratio
+          FROM documents
+        ), sw AS (
+          SELECT doc_id, text, n_tokens, punct_ratio, digit_ratio,
+            CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                        t -> list_contains($stop, t))) AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stopword_ratio
+          FROM base
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio, punct_ratio,
+          (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+            + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+            + GREATEST(0.0, 1.0 - (punct_ratio + digit_ratio) * 2.0) * 0.3 AS score,
+          ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+            + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+            + GREATEST(0.0, 1.0 - (punct_ratio + digit_ratio) * 2.0) * 0.3) >= 0.5 AS keep
+        FROM sw ORDER BY doc_id"""
+  }
+
+  val qualityScore = QueryDef(
+    "q_quality_score",
+    (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5).as("keep"))
+      .orderBy("doc_id"),
+    Some(qualityOracle))
+
+  private val langOracle = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextFunctions.markers.map { case (lang, ws) =>
+      s"""CAST(len(list_filter(toks, t -> list_contains(${lst(ws)}, t))) AS BIGINT) AS s_$lang"""
+    }.mkString(",\n            ")
+    val langs = TextFunctions.markers.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString("\n            ")
+    s"""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+        ), scored AS (
+          SELECT doc_id,
+            $scores
+          FROM toks
+        )
+        SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+          CASE WHEN $m = 0 THEN 'und'
+            $cases
+            ELSE 'und' END AS lang_pred
+        FROM scored ORDER BY doc_id"""
+  }
+
+  val langId = QueryDef(
+    "q_lang_id",
+    (s, d) => Tables.documents(s, d).select(
+        (col("doc_id") +:
+          TextFunctions.markers.map { case (lang, ws) =>
+            TextFunctions.wordListHits(col("text"), ws).cast("bigint").as(s"s_$lang")
+          }) :+ TextFunctions.langId(col("text")).as("lang_pred"): _*)
+      .orderBy("doc_id"),
+    Some(langOracle))
+
+  val fingerprint = QueryDef(
+    "q_fingerprint",
+    (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(TextFunctions.fingerprint(col("text"))).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                   ELSE list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''), x -> CAST(ord(x) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) END AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+  // Dedup
+  // ---------------------------------------------------------------
+
+  val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("rep_id"),
+    Some("""SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+            FROM documents
+            GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY rep_id"""))
+
+  val ngramJaccardPairs = QueryDef(
+    "q_ngram_jaccard_pairs",
+    (s, d) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH grams AS (
+              SELECT doc_id AS id, unnest(list_distinct(ngrams)) AS g FROM (
+                SELECT doc_id,
+                  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], ' ')) END AS ngrams
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents WHERE doc_id < 300))
+            ), counts AS (
+              SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+              FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, shared, ca.n_grams AS n_a, cb.n_grams AS n_b
+            FROM shared
+            JOIN counts ca ON ca.id = id_a
+            JOIN counts cb ON cb.id = id_b
+            WHERE CAST(shared AS DOUBLE) / CAST(ca.n_grams + cb.n_grams - shared AS DOUBLE) >= 0.5
+            ORDER BY id_a, id_b"""))
+
+  val minhashPairs = QueryDef(
+    "q_minhash_pairs",
+    (s, d) => Dedup.minHashLsh(
+        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b"),
+    None) // xxhash64-based; not reproducible in SQL -> rows-only check
+
+  val simhash = QueryDef(
+    "q_simhash",
+    (s, d) => Dedup.simHash(
+        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text")
+      .orderBy("doc_id"),
+    None) // xxhash64-based; rows-only check
+
+  val embeddingNearDup = QueryDef(
+    "q_embedding_neardup",
+    (s, d) => Dedup.embeddingNearDup(
+        Tables.embeddings(s, d).filter(col("vec_id") < 1000),
+        "vec_id", "embedding", threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM embeddings WHERE vec_id < 1000)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.8
+            ORDER BY id_a, id_b"""))
+
+  // ---------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------
+
+  val embeddingTopK = QueryDef(
+    "q_embedding_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id < 10),
+            pairs AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS cosine
+              FROM e, q WHERE e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM pairs)
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  val annLsh = QueryDef(
+    "q_ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, numPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None) // xxhash64-derived hyperplanes; rows-only check
+
+  // ---------------------------------------------------------------
+  // Multimodal
+  // ---------------------------------------------------------------
+
+  val multimodalMeta = QueryDef(
+    "q_multimodal_meta",
+    (s, d) => Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_bytes").cast("bigint").as("n_bytes"),
+        col("fmt"), col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+              CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+              CAST(64 + (octet_length(encode(text)) // 2) % 512 AS BIGINT) AS height
+            FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------
+
+  val all: Seq[QueryDef] = Seq(
+    dimLoad, jsonExtract, latestSnapshot, currentInventory,
+    transactionalize, expectations,
+    pricingSummary, revenueByRegion, topOrders, supplierRank,
+    usersNoPurchase, sessionize,
+    tokenCount, qualityScore, langId, fingerprint,
+    dedupExact, ngramJaccardPairs, minhashPairs, simhash,
+    embeddingNearDup, embeddingTopK, annLsh, multimodalMeta)
+}

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines. All are pure Catalyst expression compositions
+  * (`functions._` only — no Scala UDFs), so they run inside
+  * whole-stage codegen and scale linearly with no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Cheap BPE-style subword-count estimate (~4 chars/token, the
+    * published GPT-family rule of thumb), as a codegen'd expression.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / lit(4.0)).cast("bigint")
+
+  /** Word n-grams (default 3) of the whitespace tokens, each n-gram a
+    * space-joined string. Documents shorter than n yield an empty
+    * array.
+    */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ts) - lit(n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Count of tokens that appear in `words`. */
+  def wordListHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
+
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  /** Stopword ratio: stopword tokens / all tokens (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(wordListHits(text, enStopwords).cast("double") / n.cast("double"))
+  }
+
+  /** Ratio of chars in `charsRegex` (a character class body). */
+  def charClassRatio(text: Column, charsRegex: String): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, s"[$charsRegex]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  def punctRatio(text: Column): Column = charClassRatio(text, """.,!?;:'"()-""")
+  def digitRatio(text: Column): Column = charClassRatio(text, "0-9")
+  def upperRatio(text: Column): Column = charClassRatio(text, "A-Z")
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / n.cast("double"))
+  }
+
+  /** Composite document quality score in [0,1]: rewards stopword
+    * presence and healthy token length; penalizes punctuation/digit
+    * noise. Weights follow the C4/Gopher-style published heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(10, 100000), lit(1.0)).otherwise(lit(0.0))
+    val sw = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val noise = greatest(lit(0.0), lit(1.0) - (punctRatio(text) + digitRatio(text)) * lit(2.0))
+    (lenOk * lit(0.4) + sw * lit(0.3) + noise * lit(0.3))
+  }
+
+  /** Marker-stopword language scores. Returns the best language by
+    * hit count with deterministic preference order (earlier in
+    * `markers` wins ties); "und" when nothing matches.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "como", "pero"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  def langScores(text: Column): Column =
+    struct(markers.map { case (lang, ws) => wordListHits(text, ws).as(s"s_$lang") }: _*)
+
+  def langId(text: Column): Column = {
+    // array_max over (score, -priority, lang) structs: highest score
+    // wins, ties broken toward earlier (higher-priority) languages.
+    val scored = array(markers.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(
+        wordListHits(text, ws).as("score"),
+        lit(-i).as("prio"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic rolling polynomial fingerprint over the document's
+    * characters: h = (h*31 + code(c)) mod 1e9+7. Reproducible in any
+    * engine (incl. the DuckDB oracle) — unlike murmur/xxhash.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * Scale design notes per operator are on each method. The unifying
+  * rule: NEVER compare all pairs. Pair generation is always keyed
+  * (normalized hash, LSH band bucket, shared n-gram, hyperplane
+  * bucket) so the shuffle fans out only within buckets.
+  */
+object Dedup {
+
+  /** Canonical text normalization: lowercase, trim, collapse runs of
+    * whitespace.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup on normalized text: one representative row (min id)
+    * per distinct normalized text + duplicate count.
+    *
+    * Scale: hash-aggregate on the normalized text (map-side partial
+    * agg). For 100 TB, group on xxhash64(normalized) instead of the
+    * full string to shrink shuffle width — provided here as
+    * `exactByHash`.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(normalize(col(textCol)).as("__norm"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+      .select(col("rep_id"), col("n_dups"))
+
+  /** Exact dedup shuffling only a 64-bit key (collision probability
+    * ~n^2/2^64 — negligible below ~10^9 groups; use two seeds at
+    * larger scales).
+    */
+  def exactByHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(normalize(col(textCol))).as("__h"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+      .select(col("rep_id"), col("n_dups"))
+
+  /** MinHash signatures: for seeds 0..k-1,
+    * sig[i] = min over distinct word-ngrams g of xxhash64(i, g).
+    *
+    * Implemented as an explode + single hash-aggregate with k `min`
+    * columns — map-side partial aggregation collapses each task to
+    * |docs-per-task| rows before the shuffle.
+    */
+  def minHashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, ngram: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordNgrams(col(textCol), ngram))).as("__g"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__g"))).as(s"__mh_$i"))
+    grams.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__mh_$i")): _*).as("signature"))
+  }
+
+  /** MinHash + LSH candidate pairs: signatures are cut into
+    * `bands` bands of `numHashes/bands` rows; docs sharing any
+    * band-hash are candidates; candidates are confirmed by estimated
+    * Jaccard (fraction of matching minhash positions) >= threshold.
+    *
+    * Scale: candidate generation is an equi-join on (band_idx,
+    * band_hash) — pair fan-out only within buckets. With b bands of r
+    * rows the match curve is the standard (1-(1-s^r)^b).
+    */
+  def minHashLsh(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6,
+      ngram: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minHashSignatures(docs, idCol, textCol, numHashes, ngram)
+    val banded = sig.select(
+      col(idCol), col("signature"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("signature"), b * rows + 1, rows)).as("bh"))): _*)).as("__band"))
+    val a = banded.select(col(idCol).as("id_a"), col("signature").as("sig_a"),
+      col("__band").as("band_a"))
+    val b = banded.select(col(idCol).as("id_b"), col("signature").as("sig_b"),
+      col("__band").as("band_b"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes.toDouble)
+    a.join(b, col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the output is
+    * the sign of sum over tokens of (+1 if bit j of xxhash64(token)
+    * else -1).
+    *
+    * Scale: explode + one hash-aggregate (partial-agg friendly); the
+    * 64 per-bit sums are a single wide codegen'd aggregate.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"__b_$j")
+    }
+    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j =>
+          when(col(s"__b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similar pairs, generated via the shared-
+    * n-gram inverted index (explode distinct n-grams -> self-equi-join
+    * on the n-gram -> per-pair intersection counts). Only documents
+    * sharing at least one n-gram are ever paired.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("g"))
+    val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val shared = grams.select(col("id").as("id_a"), col("g"))
+      .join(grams.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("id").as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Delegates
+    * pair generation to Similarity (brute force here; LSH-bucketed
+    * variant for scale).
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = Similarity.withNorm(embeddings, idCol, vecCol)
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosineFromParts(
+        col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
