@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Schema'd accessors for the driver-generated test tables.
   *
@@ -24,7 +25,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which the
+    * Spark 4 parquet reader rejects outright. Read it as a raw long
+    * (`nanosAsLong`) and truncate to a micros timestamp with integer
+    * division (`div`, not `/` — a double division would lose precision
+    * above 2^53 ns and round instead of truncating). Truncation
+    * matches DuckDB, which surfaces the same column as a micros
+    * TIMESTAMP; the generated data is micro-aligned at every sf, so
+    * the two engines agree bit-for-bit.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
