@@ -496,9 +496,15 @@ object Queries {
     "q_embedding_neardup",
     (s, d) => Dedup.embeddingNearDup(
         Tables.embeddings(s, d).filter(col("vec_id") < 1000),
-        "vec_id", "embedding", threshold = 0.8)
+        "vec_id", "embedding", threshold = 0.4)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b"),
+    // Threshold 0.4 yields a non-empty result at sf0.01 (59 pairs;
+    // the corpus max cosine is ~0.51), so the hash compare actually
+    // exercises the operator. The oracle is all-pairs exact; the
+    // Spark side is LSH-banded with parameters whose per-pair miss
+    // probability is ~3e-4 — verified to produce the identical pair
+    // set on this data.
     Some("""WITH e AS (
               SELECT vec_id, embedding,
                 sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -509,7 +515,7 @@ object Queries {
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.8
+                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
             ORDER BY id_a, id_b"""))
 
   // ---------------------------------------------------------------
@@ -551,7 +557,7 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
           emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-          k = 5, numPlanes = 4)
+          k = 5, numPlanes = 4, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
         .orderBy("query_id", "rank")
     },

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,40 +9,68 @@ import org.apache.spark.sql.functions._
   *
   * Two paths:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness
-  *    baseline. Queries are broadcast against the corpus, so the
-  *    corpus (the 100 TB side) is never shuffled; per-partition
-  *    top-k candidates are cut down before the final shuffle.
+  *    baseline. Queries are broadcast against the corpus (the 100 TB
+  *    side is never shuffled for the join), and ranking is TWO-PHASE:
+  *    a per-partition partial top-k collapses each map task to at
+  *    most k candidates per query before the only shuffle, then a
+  *    final rank merges the k x numPartitions survivors. No window
+  *    ever sees the whole corpus in one partition.
   *  - `lshTopK`: random-hyperplane LSH bucketing — the scale path.
   *    Vectors only compare within their signature bucket.
   *
-  * All arithmetic is `functions._` expression work (zip_with +
-  * aggregate) in double precision with a fixed left-to-right
-  * summation order, so results are deterministic and reproducible by
-  * the oracle.
+  * Dot products run through [[graft.plans.VectorExpressions]] — a
+  * codegen'd Catalyst expression with sequential left-to-right double
+  * summation, bit-identical to the DuckDB oracle's `list_reduce`.
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float vectors, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd sequential-order dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** id/vec/norm projection reused by every similarity operator. */
-  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** id/vec/norm projection reused by every similarity operator.
+    * Registers the vector expressions in the owning session.
+    */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("norm"))
+  }
 
   def cosineFromParts(vecA: Column, vecB: Column, normA: Column, normB: Column): Column =
     dot(vecA, vecB) / (normA * normB)
 
+  /** Final ranking over a scored candidate set with partial top-k
+    * pushed below the shuffle: phase 1 keeps at most k candidates per
+    * (query, input partition) via a map-side aggregate; phase 2 ranks
+    * the k x numPartitions survivors per query. The negated-cosine
+    * struct sort gives (cosine DESC, neighbor ASC) order; negation is
+    * a sign-bit flip, so the round-trip is bit-exact.
+    *
+    * Input must have columns query_id, neighbor_id, cosine.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val partial = scored
+      .groupBy(col("query_id"), spark_partition_id().as("__part"))
+      .agg(slice(array_sort(collect_list(struct(
+        (col("cosine") * lit(-1.0)).as("negcos"),
+        col("neighbor_id").as("nid")))), 1, k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__c.negcos").asc, col("__c.nid").asc)
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__c.nid").as("neighbor_id"),
+        col("rank"), (col("__c.negcos") * lit(-1.0)).as("cosine"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries  small set of query vectors (broadcast side)
-    * @param corpus   the full corpus (never broadcast, never sorted
-    *                 globally: rank is a per-query window over the
-    *                 candidate set)
+    * @param corpus   the full corpus (never broadcast, never globally
+    *                 sorted; see [[topKPerQuery]])
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -51,59 +80,55 @@ object Similarity {
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val c = withNorm(corpus, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
-    val joined = c.join(broadcast(q),
+    val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cosine",
         cosineFromParts(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane p,
-    * dimension d: a value in [-1, 1) derived from xxhash64 (no RNG
-    * state — reproducible across executors and runs).
+  /** Deterministic Gaussian hyperplanes (java.util.Random is
+    * spec-fixed, so signatures are identical on every executor, JVM
+    * and run).
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
+    Array.tabulate(numPlanes) { p =>
+      val rng = new java.util.Random(seed + p)
+      Array.fill(dim)(rng.nextGaussian().toFloat)
+    }
 
-  /** Random-hyperplane signature: bit p = sign(v . plane_p). */
-  def lshSignature(vec: Column, numPlanes: Int): Column =
-    (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        transform(vec, (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Random-hyperplane signature: bit p = sign(v . plane_p), as a
+    * chain of codegen'd dot products against literal plane vectors.
+    */
+  def lshSignature(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(vec, lit(plane)) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** Approximate top-k: exact cosine ranking but only within each
-    * hyperplane-signature bucket. At 100 TB the bucket join replaces
-    * the full cross product; recall is tuned with `numPlanes`
-    * (fewer planes -> bigger buckets -> higher recall).
+    * hyperplane-signature bucket. At scale the bucket join replaces
+    * the full cross product; recall is tuned with `numPlanes` (fewer
+    * planes -> bigger buckets -> higher recall).
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 8): DataFrame = {
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
     val q = withNorm(queries, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("vec"), numPlanes))
+      .withColumn("sig", lshSignature(col("vec"), planes))
       .select(col("id").as("query_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"), col("sig"))
     val c = withNorm(corpus, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("vec"), numPlanes))
+      .withColumn("sig", lshSignature(col("vec"), planes))
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
         col("norm").as("cnorm"), col("sig"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("sig"))
+    val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         cosineFromParts(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 }
