@@ -128,23 +128,12 @@ object Queries {
 
   val expectations = QueryDef(
     "q_expectations",
-    (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val rules: Seq[(String, Column)] = Seq(
-        "discount_range" -> col("l_discount").between(0.0, 1.0),
-        "price_positive" -> (col("l_extendedprice") > 0.0),
-        "qty_positive" -> (col("l_quantity") > 0.0),
-        "shipdate_not_null" -> col("l_shipdate").isNotNull)
-      val aggs = rules.flatMap { case (n, c) =>
-        Seq(sum(when(c, 1L).otherwise(0L)).as(s"p_$n"),
-          sum(when(c, 0L).otherwise(1L)).as(s"f_$n"))
-      }
-      val one = li.agg(aggs.head, aggs.tail: _*)
-      val stacked = rules.map { case (n, _) =>
-        one.select(lit(n).as("rule"), col(s"p_$n").as("n_pass"), col(s"f_$n").as("n_fail"))
-      }.reduce(_.unionByName(_))
-      stacked.orderBy("rule")
-    },
+    (s, d) => Expectations.metrics(Tables.lineitem(s, d), Seq(
+        Expectations.rule("discount_range", col("l_discount").between(0.0, 1.0)),
+        Expectations.rule("price_positive", col("l_extendedprice") > 0.0),
+        Expectations.rule("qty_positive", col("l_quantity") > 0.0),
+        Expectations.rule("shipdate_not_null", col("l_shipdate").isNotNull)))
+      .orderBy("rule"),
     Some("""SELECT 'discount_range' AS rule,
               CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
               CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
@@ -288,17 +277,22 @@ object Queries {
             WHERE rn <= 3
             ORDER BY s_nationkey, rn"""))
 
+  // Anti join with a filtered right side: every customer has SOME
+  // order in this data, so the unfiltered variant passed vacuously
+  // (0 rows). "No order above 400k" yields 20/202 rows at
+  // sf0.001/sf0.01 — the comparison now exercises the join.
   val usersNoPurchase = QueryDef(
     "q_users_no_purchase",
     (s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
             ORDER BY c_custkey"""))
 
   val sessionize = QueryDef(
@@ -438,9 +432,14 @@ object Queries {
   // Dedup
   // ---------------------------------------------------------------
 
+  // Registered through the hash path: groups shuffle a 64-bit key
+  // instead of the full normalized text (the 100 TB-safe shape);
+  // rep_id/n_dups are identical to full-text grouping absent xxhash64
+  // collisions, so the full-text oracle still applies. DedupSpec
+  // asserts exact == exactByHash on the test corpus.
   val dedupExact = QueryDef(
     "q_dedup_exact",
-    (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    (s, d) => Dedup.exactByHash(Tables.documents(s, d), "doc_id", "text")
       .orderBy("rep_id"),
     Some("""SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
             FROM documents
@@ -451,7 +450,7 @@ object Queries {
     "q_ngram_jaccard_pairs",
     (s, d) => Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxDf = Some(100))
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
       .orderBy("id_a", "id_b"),
     Some("""WITH grams AS (
@@ -557,7 +556,7 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
           emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-          k = 5, numPlanes = 4, dim = 64)
+          k = 5, numPlanes = 16, bands = 8, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
         .orderBy("query_id", "rank")
     },

@@ -120,17 +120,45 @@ object Dedup {
     * n-gram inverted index (explode distinct n-grams -> self-equi-join
     * on the n-gram -> per-pair intersection counts). Only documents
     * sharing at least one n-gram are ever paired.
+    *
+    * `maxDf` caps the document frequency of grams used for CANDIDATE
+    * generation: a stop-n-gram shared by every document would make
+    * the self-join quadratic in that bucket, so grams with df >
+    * maxDf are excluded from pairing, and the intersection is then
+    * recomputed EXACTLY over all grams for just the candidate pairs
+    * (bounded by |pairs| x |grams per doc|). The result is identical
+    * to the uncapped join whenever every qualifying pair shares at
+    * least one sub-cap gram — with threshold >= 0.5 and a cap well
+    * above duplicate-cluster size that always holds.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Int] = None): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("g"))
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val shared = grams.select(col("id").as("id_a"), col("g"))
-      .join(grams.select(col("id").as("id_b"), col("g")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    val shared = maxDf match {
+      case None =>
+        grams.select(col("id").as("id_a"), col("g"))
+          .join(grams.select(col("id").as("id_b"), col("g")), Seq("g"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      case Some(cap) =>
+        val rare = grams.join(
+          grams.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= cap).select(col("g")), Seq("g"))
+        val candidates = rare.select(col("id").as("id_a"), col("g"))
+          .join(rare.select(col("id").as("id_b"), col("g")), Seq("g"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+        // exact intersection over ALL grams, restricted to candidates
+        candidates
+          .join(grams.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+          .join(grams.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    }
     shared
       .join(counts.select(col("id").as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
       .join(counts.select(col("id").as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
@@ -164,19 +192,11 @@ object Dedup {
       threshold: Double, numPlanes: Int = 32, bands: Int = 16,
       dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
-    val rows = numPlanes / bands
     val planes = Similarity.hyperplanes(numPlanes, dim)
     val withNorm = Similarity.withNorm(embeddings, idCol, vecCol)
 
     val banded = withNorm.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        val bits = (0 until rows).map { r =>
-          val plane = planes(b * rows + r)
-          when(Similarity.dot(col("vec"), lit(plane)) >= 0,
-            shiftleft(lit(1L), r)).otherwise(lit(0L))
-        }.reduce(_.bitwiseOR(_))
-        struct(lit(b).as("band"), bits.as("bits"))
-      }: _*)).as("__bk"))
+      explode(Similarity.bandKeys(col("vec"), planes, bands)).as("__bk"))
       .select(col("id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
 
     val candidates = banded.as("a")

@@ -106,26 +106,54 @@ object Similarity {
       when(dot(vec, lit(plane)) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Approximate top-k: exact cosine ranking but only within each
-    * hyperplane-signature bucket. At scale the bucket join replaces
-    * the full cross product; recall is tuned with `numPlanes` (fewer
-    * planes -> bigger buckets -> higher recall).
+  /** Banded (band, bits) bucket keys for a vector — one struct per
+    * band, bits = the signs of that band's hyperplane projections.
+    */
+  def bandKeys(vec: Column, planes: Array[Array[Float]], bands: Int): Column = {
+    require(planes.length % bands == 0, "bands must divide numPlanes")
+    val rows = planes.length / bands
+    array((0 until bands).map { b =>
+      val bits = (0 until rows).map { r =>
+        when(dot(vec, lit(planes(b * rows + r))) >= 0,
+          shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(b).as("band"), bits.as("bits"))
+    }: _*)
+  }
+
+  /** Approximate top-k: exact cosine ranking, but only over
+    * candidates that share at least one signature BAND with the
+    * query (recall 1-(1-p^r)^b, tuned with bands/rows — banded OR
+    * rather than full-signature equality, which would need p^planes
+    * luck). Candidate ids are deduplicated across bands before any
+    * vector is re-joined, so no row carries a vector through the
+    * distinct shuffle, and nothing is quadratic in the corpus.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val q = withNorm(queries, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("vec"), planes))
-      .select(col("id").as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"), col("sig"))
-    val c = withNorm(corpus, idCol, vecCol)
-      .withColumn("sig", lshSignature(col("vec"), planes))
-      .select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-        col("norm").as("cnorm"), col("sig"))
-    val scored = c.join(broadcast(q), Seq("sig"))
+    val qNorm = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val cNorm = withNorm(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+
+    val qBanded = qNorm
+      .select(col("query_id"), explode(bandKeys(col("qvec"), planes, bands)).as("__bk"))
+      .select(col("query_id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
+    val cBanded = cNorm
+      .select(col("neighbor_id"), explode(bandKeys(col("cvec"), planes, bands)).as("__bk"))
+      .select(col("neighbor_id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
+
+    val candidates = cBanded.join(broadcast(qBanded), Seq("band", "bits"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+
+    val scored = candidates
+      .join(cNorm, Seq("neighbor_id"))
+      .join(broadcast(qNorm), Seq("query_id"))
       .withColumn("cosine",
         cosineFromParts(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))

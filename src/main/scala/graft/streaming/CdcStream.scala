@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.operators.Cdc
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Streaming CDC upsert — the `apply_changes` analog.
+  *
+  * Re-expresses the reference's silver CDC flow
+  * (pos-dlt `03_Bronze-to-Silver ETL.py:375-384`: `apply_changes`
+  * keeping the latest row per (store_id, item_id) sequenced by
+  * date_time) as `foreachBatch` + [[graft.operators.Cdc.upsert]]
+  * over a versioned parquet state store (the plain-Spark stand-in
+  * for a Delta MERGE target).
+  *
+  * Scale: each micro-batch does ONE shuffle — `Cdc.upsert` is a
+  * partial-aggregated `max_by(struct)` over state ∪ batch, so state
+  * size is bounded by key cardinality (stores x items), never by
+  * stream length.
+  */
+final class ParquetStateStore(
+    spark: SparkSession,
+    path: String,
+    keys: Seq[String],
+    seqCols: Seq[String],
+    payload: Seq[String]) {
+
+  private val latestPtr = Paths.get(path, "LATEST")
+
+  private def versionDir(v: Long) = s"$path/v$v"
+
+  private def latestVersion: Option[Long] =
+    if (Files.exists(latestPtr))
+      Some(new String(Files.readAllBytes(latestPtr), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  /** Current materialized state (None before the first batch). */
+  def current: Option[DataFrame] =
+    latestVersion.map(v => spark.read.parquet(versionDir(v)))
+
+  /** Merge a batch of updates: state ∪ batch -> latest row per key,
+    * written as a new immutable version, then the LATEST pointer is
+    * swapped (write-temp + atomic move).
+    */
+  def upsertBatch(batch: DataFrame): Unit = synchronized {
+    val merged = current match {
+      case Some(state) => Cdc.upsert(state, batch, keys, seqCols, payload)
+      case None => Cdc.latestByKey(batch, keys, seqCols, payload)
+    }
+    val next = latestVersion.getOrElse(-1L) + 1
+    merged.write.mode("overwrite").parquet(versionDir(next))
+    val tmp = Paths.get(path, s".LATEST.tmp$next")
+    Files.createDirectories(Paths.get(path))
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object CdcStream {
+
+  /** Start the streaming upsert: every micro-batch of `updates` is
+    * merged into `store` (latest row per key wins, ordered by
+    * `seqCols`).
+    */
+  def run(
+      updates: DataFrame,
+      store: ParquetStateStore,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsertBatch(batch)
+      }
+      .start()
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Seeded corpus with known overlap structure: doc 1/2 share most
+    * n-grams, doc 3 is unrelated, doc 4 duplicates doc 1 exactly.
+    */
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark catalyst expressions and codegen output"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+  }
+
+  private def exactJaccard(a: String, b: String, n: Int = 3): Double = {
+    def grams(t: String) = t.toLowerCase.split("\\s+").sliding(n).map(_.mkString(" ")).toSet
+    val (ga, gb) = (grams(a), grams(b))
+    ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard") {
+    val sig = Dedup.minHashSignatures(corpus, "doc_id", "text", numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / sig(a).size
+
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical docs -> estimate exactly 1
+    assert(est(1L, 4L) === 1.0)
+    // near-dup pair: estimate within 3 sigma (sqrt(j(1-j)/64) ~ 0.06)
+    val j12 = exactJaccard(texts(1L), texts(2L))
+    assert(math.abs(est(1L, 2L) - j12) <= 0.2, s"est=${est(1L, 2L)} exact=$j12")
+    // unrelated pair: exact jaccard 0, estimate must stay near 0
+    assert(est(1L, 3L) <= 0.1)
+  }
+
+  test("simhash hamming distance is monotone in similarity") {
+    val sh = Dedup.simHash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(4L)) === 0) // identical text
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)),
+      s"near-dup ${hamming(sh(1L), sh(2L))} !< unrelated ${hamming(sh(1L), sh(3L))}")
+  }
+
+  test("minHashLsh surfaces the duplicate/near-dup pairs and not the unrelated one") {
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("exactByHash matches full-text exact dedup on the test corpus") {
+    val docs = Tables.documents(spark, sf)
+    val byText = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHash = Dedup.exactByHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byText === byHash)
+  }
+
+  test("DF-capped ngram join equals the uncapped join on the test corpus") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+    def run(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = cap)
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+        .collect().map(_.toString).toSet
+    assert(run(Some(100)) === run(None))
+  }
+}

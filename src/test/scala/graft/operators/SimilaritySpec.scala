@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("codegen dot product matches a hand computation") {
+    val s = spark
+    import s.implicits._
+    VectorExpressions.register(s)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+    val d = df.select(VectorExpressions.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(d === (4.0 - 10.0 + 18.0))
+  }
+
+  test("two-phase topK matches a driver-side exact computation") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = Seq(0L, 1L, 2L)
+    val expected = queries.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .zipWithIndex.map { case ((id, _), i) => (q, id, i + 1) }
+    }.toSet
+
+    val got = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("lshTopK recall >= 0.9 vs brute force on the test embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 5, numPlanes = 16, bands = 8, dim = 64))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}
