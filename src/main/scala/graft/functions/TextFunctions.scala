@@ -4,19 +4,35 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale training-data
-  * pipelines. All are pure Catalyst expression compositions
-  * (`functions._` only — no Scala UDFs), so they run inside
-  * whole-stage codegen and scale linearly with no shuffle.
+  * pipelines. Everything is Catalyst expression work (no Scala
+  * UDFs): array/structural helpers compose `functions._`, while the
+  * per-document counting surface (token/stopword/punct/digit) runs
+  * through [[graft.plans.TextStats]] — a single-pass codegen'd
+  * expression that whole-stage CSE evaluates once per row no matter
+  * how many derived columns reference it. No shuffle anywhere.
   */
 object TextFunctions {
+
+  /** All counting stats for a document in one pass: struct with
+    * n_chars, n_tokens, n_hits (tokens in `words`), n_punct,
+    * n_digit. The session must have graft's functions registered
+    * (automatic for frames read via [[graft.Tables]]).
+    */
+  def textStats(text: Column, words: Seq[String] = Nil): Column =
+    call_function("graft_text_stats", text, lit(words.toArray))
 
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Whitespace token count. */
+  /** Whitespace token count. (Computed from the stopword-list stats
+    * struct — the word list doesn't affect this field, and using the
+    * SAME expression everywhere lets codegen CSE run the text scan
+    * once per row across tokenCount/stopwordRatio/punctRatio/
+    * qualityScore.)
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    textStats(text, enStopwords).getField("n_tokens")
 
   /** Cheap BPE-style subword-count estimate (~4 chars/token, the
     * published GPT-family rule of thumb), as a codegen'd expression.
@@ -37,7 +53,7 @@ object TextFunctions {
 
   /** Count of tokens that appear in `words`. */
   def wordListHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => array_contains(lit(words.toArray), t)))
+    textStats(text, words).getField("n_hits")
 
   val enStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -45,19 +61,29 @@ object TextFunctions {
 
   /** Stopword ratio: stopword tokens / all tokens (0 for empty docs). */
   def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
+    val st = textStats(text, enStopwords)
+    val n = st.getField("n_tokens")
     when(n === 0, lit(0.0))
-      .otherwise(wordListHits(text, enStopwords).cast("double") / n.cast("double"))
+      .otherwise(st.getField("n_hits").cast("double") / n.cast("double"))
   }
 
-  /** Ratio of chars in `charsRegex` (a character class body). */
+  private def statRatio(text: Column, field: String): Column = {
+    val st = textStats(text, enStopwords)
+    when(st.getField("n_chars") === 0, lit(0.0)).otherwise(
+      st.getField(field).cast("double") / st.getField("n_chars").cast("double"))
+  }
+
+  def punctRatio(text: Column): Column = statRatio(text, "n_punct")
+  def digitRatio(text: Column): Column = statRatio(text, "n_digit")
+
+  /** Ratio of chars in `charsRegex` (a character class body) — the
+    * generic regexp fallback for classes TextStats doesn't count.
+    */
   def charClassRatio(text: Column, charsRegex: String): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
       (length(text) - length(regexp_replace(text, s"[$charsRegex]", "")))
         .cast("double") / length(text).cast("double"))
 
-  def punctRatio(text: Column): Column = charClassRatio(text, """.,!?;:'"()-""")
-  def digitRatio(text: Column): Column = charClassRatio(text, "0-9")
   def upperRatio(text: Column): Column = charClassRatio(text, "A-Z")
 
   /** Mean token length in characters (0 for empty docs). */

@@ -69,24 +69,37 @@ case class DotProductFloat(left: Expression, right: Expression)
 
 object VectorExpressions {
 
-  /** Idempotently register graft's vector functions in the session's
-    * function registry. Works on any classic (JVM) SparkSession,
-    * including one the caller created without extensions.
-    */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    val id = FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProductFloat(children(0), children(1)))
-    }
-  }
+  def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
 
   /** Codegen'd float-vector dot product (double result). The session
     * owning the calling DataFrame must have called [[register]].
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}
+
+/** Idempotently registers every graft custom expression in a
+  * session's function registry. Works on any classic (JVM)
+  * SparkSession, including one the caller created without
+  * extensions; [[graft.Tables.load]] calls this, so every query
+  * built on the test tables has the functions available.
+  */
+object GraftFunctions {
+  private def registerOne(
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
+      name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression): Unit = {
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) {
+      registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
+    }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registerOne(registry, "graft_dot", classOf[DotProductFloat],
+      children => DotProductFloat(children(0), children(1)))
+    registerOne(registry, "graft_text_stats", classOf[TextStats],
+      children => TextStats(children(0), children(1)))
+  }
 }
