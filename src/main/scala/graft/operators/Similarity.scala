@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.plans.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -41,30 +40,22 @@ object Similarity {
   def cosineFromParts(vecA: Column, vecB: Column, normA: Column, normB: Column): Column =
     dot(vecA, vecB) / (normA * normB)
 
-  /** Final ranking over a scored candidate set with partial top-k
-    * pushed below the shuffle: phase 1 keeps at most k candidates per
-    * (query, input partition) via a map-side aggregate; phase 2 ranks
-    * the k x numPartitions survivors per query. The negated-cosine
-    * struct sort gives (cosine DESC, neighbor ASC) order; negation is
-    * a sign-bit flip, so the round-trip is bit-exact.
+  /** Final ranking over a scored candidate set, as ONE bounded
+    * aggregate: [[graft.plans.TopKPairs]] keeps an O(k) heap, Spark
+    * runs it partially on every map task and merges k-sized states
+    * after the only shuffle — no window, no per-partition candidate
+    * lists in memory. Ordering is (cosine DESC, neighbor ASC).
     *
     * Input must have columns query_id, neighbor_id, cosine.
     */
-  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val partial = scored
-      .groupBy(col("query_id"), spark_partition_id().as("__part"))
-      .agg(slice(array_sort(collect_list(struct(
-        (col("cosine") * lit(-1.0)).as("negcos"),
-        col("neighbor_id").as("nid")))), 1, k).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__c"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__c.negcos").asc, col("__c.nid").asc)
-    partial
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("__c.nid").as("neighbor_id"),
-        col("rank"), (col("__c.negcos") * lit(-1.0)).as("cosine"))
-  }
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        col("cosine"), col("neighbor_id"), lit(k)).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__c")))
+      .select(col("query_id"), col("__c.neighbor_id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"), col("__c.cosine").as("cosine"))
 
   /** Exact top-k cosine neighbors for each query vector.
     *

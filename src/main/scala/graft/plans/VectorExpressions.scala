@@ -101,5 +101,7 @@ object GraftFunctions {
       children => DotProductFloat(children(0), children(1)))
     registerOne(registry, "graft_text_stats", classOf[TextStats],
       children => TextStats(children(0), children(1)))
+    registerOne(registry, "graft_topk", classOf[TopKPairs],
+      children => TopKPairs(children(0), children(1), children(2)))
   }
 }
