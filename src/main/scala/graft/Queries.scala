@@ -320,6 +320,39 @@ object Queries {
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id"""))
 
+  // Spark's native session_window operator (batch form), checked
+  // against a lag/cumsum emulation in the oracle. Note the boundary
+  // semantics: session_window starts a NEW session when the gap is
+  // >= the window gap (Sessionize's lag/cumsum uses strict >).
+  val sessionWindowAgg = QueryDef(
+    "q_session_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH t AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                     WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                     ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM t
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
   // ---------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------
@@ -586,7 +619,7 @@ object Queries {
     dimLoad, jsonExtract, latestSnapshot, currentInventory,
     transactionalize, expectations,
     pricingSummary, revenueByRegion, topOrders, supplierRank,
-    usersNoPurchase, sessionize,
+    usersNoPurchase, sessionize, sessionWindowAgg,
     tokenCount, qualityScore, langId, fingerprint,
     dedupExact, ngramJaccardPairs, minhashPairs, simhash,
     embeddingNearDup, embeddingTopK, annLsh, multimodalMeta)
