@@ -613,6 +613,23 @@ object Queries {
               CAST(64 + (octet_length(encode(text)) // 2) % 512 AS BIGINT) AS height
             FROM documents ORDER BY doc_id"""))
 
+  // The mapPartitions decode path, oracle-checked end-to-end: the
+  // stub codec is deterministic byte arithmetic, so DuckDB can
+  // replay it and verify the partition-batched plumbing itself.
+  val multimodalDecode = QueryDef(
+    "q_multimodal_decode",
+    (s, d) => Multimodal.decodePartitioned(s,
+        Multimodal.withPayloadMeta(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+      .select(col("id"), col("fmt"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"))
+      .orderBy("id"),
+    Some("""SELECT doc_id AS id,
+              CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+              CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+              CAST(64 + (octet_length(encode(text)) // 2) % 512 AS BIGINT) AS height
+            FROM documents ORDER BY id"""))
+
   // ---------------------------------------------------------------
 
   val all: Seq[QueryDef] = Seq(
@@ -622,5 +639,6 @@ object Queries {
     usersNoPurchase, sessionize, sessionWindowAgg,
     tokenCount, qualityScore, langId, fingerprint,
     dedupExact, ngramJaccardPairs, minhashPairs, simhash,
-    embeddingNearDup, embeddingTopK, annLsh, multimodalMeta)
+    embeddingNearDup, embeddingTopK, annLsh, multimodalMeta,
+    multimodalDecode)
 }
