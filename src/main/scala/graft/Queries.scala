@@ -595,6 +595,19 @@ object Queries {
     },
     None) // xxhash64-derived hyperplanes; rows-only check
 
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, nCenters = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    None) // probe-limited approximate search; rows-only check
+          // (SimilaritySpec proves nProbe=nCenters == brute force)
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -639,6 +652,6 @@ object Queries {
     usersNoPurchase, sessionize, sessionWindowAgg,
     tokenCount, qualityScore, langId, fingerprint,
     dedupExact, ngramJaccardPairs, minhashPairs, simhash,
-    embeddingNearDup, embeddingTopK, annLsh, multimodalMeta,
+    embeddingNearDup, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode)
 }

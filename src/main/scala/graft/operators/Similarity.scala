@@ -150,4 +150,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     topKPerQuery(scored, k)
   }
+
+  /** IVF (inverted-file) ANN: the corpus is partitioned into
+    * `nCenters` Voronoi cells around seed centroids; a query scores
+    * exactly only the cells of its `nProbe` nearest centroids.
+    *
+    * Centroids are `nCenters` corpus vectors chosen by xxhash64(id)
+    * order — deterministic across runs/executors and uniform over
+    * the data. (Production systems refine them with a few offline
+    * Lloyd rounds; cell-assignment mechanics — the part that must
+    * scale — are identical.) With nProbe = nCenters every cell is
+    * probed and the result equals `bruteForceTopK` exactly, which is
+    * the machinery check in SimilaritySpec.
+    *
+    * Scale: one broadcast of nCenters x dim floats; corpus assigned
+    * cell-locally (no shuffle until the candidate join); candidate
+    * volume ~ (nProbe / nCenters) of the corpus per query.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCenters: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCenters, "1 <= nProbe <= nCenters")
+    val cNorm = withNorm(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    val qNorm = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+
+    val centroids: Array[Array[Float]] = withNorm(corpus, idCol, vecCol)
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCenters)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    // cosine to each centroid as codegen'd dots against literals
+    def centroidScores(vecC: Column, normC: Column): Seq[Column] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        struct((dot(vecC, lit(c)) / (normC * lit(cn))).as("cos"),
+          lit(i).as("cid"))
+      }
+
+    val assigned = cNorm.withColumn("cid",
+      array_max(array(centroidScores(col("cvec"), col("cnorm")): _*)).getField("cid"))
+
+    // nProbe nearest centroids per query: sort the (cos, cid) structs
+    // descending and keep the first nProbe cids
+    val probes = qNorm.withColumn("__probe",
+        explode(slice(reverse(array_sort(
+          array(centroidScores(col("qvec"), col("qnorm")): _*))), 1, nProbe)))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("__probe.cid").as("cid"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        cosineFromParts(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
+  }
 }

@@ -46,6 +46,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ivfTopK with nProbe == nCenters reproduces brute force exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5))
+    val full = rows(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCenters = 16, nProbe = 16))
+    assert(full === exact)
+  }
+
+  test("ivfTopK recall grows with nProbe") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5))
+    def recall(nProbe: Int) = {
+      val got = pairs(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nCenters = 16, nProbe = nProbe))
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r4 = recall(4)
+    val r12 = recall(12)
+    assert(r12 >= r4, s"recall(12)=$r12 < recall(4)=$r4")
+    assert(r4 > 0.2, s"recall(4)=$r4 implausibly low")
+  }
+
   test("lshTopK recall >= 0.9 vs brute force on the test embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
