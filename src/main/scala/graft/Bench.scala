@@ -39,16 +39,22 @@ object Bench {
       materialize(Queries.dimLoad.fn(spark, sfDir))
     } catch { case _: Throwable => () }
 
+    // Repeats take the per-query minimum — run-to-run noise at sf0.1
+    // is ±1-2s/query, so min-of-N is the stable plan-cost signal.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = Queries.all.map { q =>
-      val t0 = System.nanoTime()
-      try materialize(q.fn(spark, sfDir))
-      catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(q.fn(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
 
     def jstr(s: String): String =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * uses, so results stay bit-identical.
   */
 case class DotProductFloat(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   // AbstractDataType is private[sql]; the inferred Seq[ArrayType]
   // conforms to the expected Seq[AbstractDataType].
@@ -77,6 +77,17 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
 
+/** The `spark.sql.extensions` injection path: add
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `builder.withExtensions(new GraftExtensions)`) and every
+  * graft expression is available in SQL and `call_function` from
+  * session construction — no runtime registration call needed.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
+
 /** Idempotently registers every graft custom expression in a
   * session's function registry. Works on any classic (JVM)
   * SparkSession, including one the caller created without
@@ -84,24 +95,27 @@ object VectorExpressions {
   * built on the test tables has the functions available.
   */
 object GraftFunctions {
-  private def registerOne(
-      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
-      name: String, clazz: Class[_],
-      builder: Seq[Expression] => Expression): Unit = {
-    val id = FunctionIdentifier(name)
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id, new ExpressionInfo(clazz.getName, name), builder)
-    }
-  }
 
+  /** (identifier, info, builder) triple per function — shared by the
+    * runtime registrar and the extensions injector.
+    */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      children => DotProductFloat(children(0), children(1))),
+    (FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      children => TextStats(children(0), children(1))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      children => TopKPairs(children(0), children(1), children(2))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    registerOne(registry, "graft_dot", classOf[DotProductFloat],
-      children => DotProductFloat(children(0), children(1)))
-    registerOne(registry, "graft_text_stats", classOf[TextStats],
-      children => TextStats(children(0), children(1)))
-    registerOne(registry, "graft_topk", classOf[TopKPairs],
-      children => TopKPairs(children(0), children(1), children(2)))
+    descriptions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
+    }
   }
 }
