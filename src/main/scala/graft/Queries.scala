@@ -461,6 +461,55 @@ object Queries {
                      (a, b) -> (a * 31 + b) % 1000000007) END AS fp
             FROM documents ORDER BY doc_id"""))
 
+  // Corpus-level term statistics (the TF-IDF integer core). The
+  // oracle compares tf/df exactly; the ln-based tfidf value itself
+  // is checked in TextOpsSpec (libm rounding isn't bit-stable across
+  // engines, integers are).
+  val termStats = QueryDef(
+    "q_term_stats",
+    (s, d) => TextOps.termStats(
+        Tables.documents(s, d).filter(col("doc_id") < 200), "doc_id", "text")
+      .orderBy("doc_id", "term"),
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents WHERE doc_id < 200
+            ), t AS (
+              SELECT doc_id, term FROM toks WHERE length(term) > 0
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+            ), dfc AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id, tf.term, tf.tf, dfc.df
+            FROM tf JOIN dfc USING (term)
+            ORDER BY doc_id, term"""))
+
+  // PII redaction. The synthetic corpus contains no PII-shaped
+  // strings (a plain redact(text) hash-matched vacuously as the
+  // identity), so both sides append deterministic per-doc PII —
+  // email, phone, card — before redacting: the operator provably
+  // fires on EVERY row, and prose must survive untouched.
+  val redactDocs = QueryDef(
+    "q_redact",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.redact(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 123-4567 card 4111111111111111 ok")))
+        .as("clean"))
+      .orderBy("doc_id"),
+    // NOTE: DuckDB string literals do NOT process backslash escapes,
+    // so the Scala regex strings embed verbatim (single backslashes).
+    Some(s"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 (555) 123-4567 card 4111111111111111 ok',
+                     '${TextOps.emailRe}', '<EMAIL>', 'g'),
+                   '${TextOps.cardRe}', '<NUMBER>', 'g'),
+                 '${TextOps.phoneRe}', '<PHONE>', 'g') AS clean
+             FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------
   // Dedup
   // ---------------------------------------------------------------
@@ -650,7 +699,7 @@ object Queries {
     transactionalize, expectations,
     pricingSummary, revenueByRegion, topOrders, supplierRank,
     usersNoPurchase, sessionize, sessionWindowAgg,
-    tokenCount, qualityScore, langId, fingerprint,
+    tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, ngramJaccardPairs, minhashPairs, simhash,
     embeddingNearDup, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode)
