@@ -112,36 +112,82 @@ object Similarity {
     }: _*)
   }
 
+  /** Multi-probe keys from a MATERIALIZED band-bits value: for
+    * `radius = 1`, array(bits, bits^1, bits^2, ..., bits^2^(r-1)) —
+    * two vectors then collide in a band when their bit patterns are
+    * within Hamming distance 1. Must be applied AFTER exploding
+    * [[bandKeys]], so the r dot products per band are computed once
+    * and each probe is one XOR of the result; inlining the flips
+    * into [[bandKeys]]' structs instead would duplicate the whole
+    * dot-product subtree per probe (at r = 16 that is 4,352 dot
+    * products per row — a plan-size and codegen blowup). Probing one
+    * side of a join suffices: a flip of A's key lands on B's exact
+    * key whenever they differ by one bit.
+    */
+  def probeKeys(bits: Column, rows: Int, radius: Int): Column = {
+    require(radius == 0 || radius == 1, "multi-probe radius must be 0 or 1")
+    if (radius == 0) array(bits)
+    else array(bits +: (0 until rows).map(j =>
+      bits.bitwiseXOR(lit(1L << j))): _*)
+  }
+
+  /** LSH candidate pairs for [[lshTopK]]: (query_id, neighbor_id)
+    * sharing at least one band bucket (query side multi-probed).
+    * Exposed so tests can assert the PRUNE RATE — candidates must be
+    * a small fraction of |queries| x |corpus|, not just recall.
+    */
+  def lshCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      numPlanes: Int, bands: Int, dim: Int, multiProbe: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val qBanded = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("query_id"),
+        explode(bandKeys(col("vec"), planes, bands)).as("__bk"))
+      .select(col("query_id"), col("__bk.band").as("band"),
+        explode(probeKeys(col("__bk.bits"), numPlanes / bands, multiProbe)).as("bits"))
+    val cBanded = withNorm(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"),
+        explode(bandKeys(col("vec"), planes, bands)).as("__bk"))
+      .select(col("neighbor_id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
+    cBanded.join(broadcast(qBanded), Seq("band", "bits"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+  }
+
   /** Approximate top-k: exact cosine ranking, but only over
-    * candidates that share at least one signature BAND with the
-    * query (recall 1-(1-p^r)^b, tuned with bands/rows — banded OR
-    * rather than full-signature equality, which would need p^planes
-    * luck). Candidate ids are deduplicated across bands before any
-    * vector is re-joined, so no row carries a vector through the
-    * distinct shuffle, and nothing is quadratic in the corpus.
+    * candidates that share at least one signature BAND with the query
+    * (band-OR: recall 1-(1-p^r)^b with p = 1 - angle/pi, r =
+    * numPlanes/bands bits per band; multi-probe radius 1 lifts the
+    * per-band term from p^r to P(Hamming <= 1)). Candidate ids are
+    * deduplicated across bands before any vector is re-joined, so no
+    * row carries a vector through the distinct shuffle, and nothing
+    * is quadratic in the corpus.
+    *
+    * PRUNING vs RECALL — read before tuning (round-3 verdict): with
+    * r bits per band an unrelated isotropic pair collides per band
+    * with probability ~(1/2)^r (x(r+1) with multi-probe 1), so r
+    * must be large enough that b x (r+1) / 2^r << 1 or candidate
+    * generation degenerates to all-pairs. The defaults (r = 16,
+    * b = 16, probe 1) prune unrelated pairs to ~0.4% while catching
+    * genuine near-duplicates (cosine >= ~0.9, p >= 0.86) with
+    * per-pair miss < 1e-3. LSH is the wrong tool for LOW thresholds
+    * on isotropic data — at cosine 0.4 the hyperplane agreement rate
+    * (0.63) barely exceeds the background (0.5) and no (r, b) both
+    * prunes and recalls; use [[bruteForceTopK]] or [[ivfTopK]] there.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+      numPlanes: Int = 256, bands: Int = 16, dim: Int = 64,
+      multiProbe: Int = 1): DataFrame = {
     val qNorm = withNorm(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val cNorm = withNorm(corpus, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
-
-    val qBanded = qNorm
-      .select(col("query_id"), explode(bandKeys(col("qvec"), planes, bands)).as("__bk"))
-      .select(col("query_id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
-    val cBanded = cNorm
-      .select(col("neighbor_id"), explode(bandKeys(col("cvec"), planes, bands)).as("__bk"))
-      .select(col("neighbor_id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
-
-    val candidates = cBanded.join(broadcast(qBanded), Seq("band", "bits"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
-
+    val candidates = lshCandidates(queries, corpus, idCol, vecCol,
+      numPlanes, bands, dim, multiProbe)
     val scored = candidates
       .join(cNorm, Seq("neighbor_id"))
       .join(broadcast(qNorm), Seq("query_id"))
@@ -149,6 +195,31 @@ object Similarity {
         cosineFromParts(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  /** Append deterministically perturbed near-duplicates of the rows
+    * matching `sourceFilter`: copy c (1-based) gets id + c*idOffset
+    * and embedding[i] + (c*scaleStep) * ((i mod 5) - 2), computed in
+    * double and cast back to float — byte-reproducible in any engine
+    * (the DuckDB oracle replays it with list_transform), so
+    * approximate-search queries can be verified against an exact
+    * oracle on a corpus that actually CONTAINS near-duplicates.
+    * Per source vector the cosine to copy c is strictly decreasing in
+    * c (perturbation norm grows), giving a deterministic true top-k.
+    */
+  def plantNearDuplicates(
+      emb: DataFrame, idCol: String, vecCol: String,
+      sourceFilter: Column, copies: Int,
+      idOffset: Long = 100000L, scaleStep: Double = 0.01): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol))
+    (1 to copies).map { c =>
+      val scale = scaleStep * c
+      base.filter(sourceFilter).select(
+        (col(idCol) + lit(idOffset * c)).as(idCol),
+        transform(col(vecCol), (x, i) =>
+          (x + lit(scale) * (pmod(i, lit(5)) - lit(2)).cast("double"))
+            .cast("float")).as(vecCol))
+    }.foldLeft(base)(_ union _)
   }
 
   /** IVF (inverted-file) ANN: the corpus is partitioned into

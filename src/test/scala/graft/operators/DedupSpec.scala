@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     assert(byText === byHash)
   }
 
+  test("embeddingNearDup finds exactly the planted pairs and prunes candidates") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // 200 planted near-duplicates (cosine ~0.994) over an isotropic
+    // background whose max natural cosine is ~0.6
+    val planted = Similarity.plantNearDuplicates(emb, "vec_id", "embedding",
+      col("vec_id") < 200, copies = 1, idOffset = 100000L, scaleStep = 0.01)
+    val pairs = Dedup.embeddingNearDup(planted, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 200L).map(i => (i, i + 100000L)).toSet)
+
+    // prune-rate: candidate pairs must be far below all-pairs
+    // (round-3 verdict: r=2 banding was all-pairs in disguise)
+    val n = planted.count()
+    val nCand = Dedup.embeddingNearDupCandidates(planted, "vec_id", "embedding").count()
+    val allPairs = n * (n - 1) / 2
+    assert(nCand.toDouble / allPairs <= 0.10,
+      s"candidates $nCand is ${nCand.toDouble / allPairs} of all-pairs $allPairs — not pruning")
+  }
+
   test("DF-capped ngram join equals the uncapped join on the test corpus") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
     def run(cap: Option[Int]) =

@@ -76,16 +76,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 > 0.2, s"recall(4)=$r4 implausibly low")
   }
 
-  test("lshTopK recall >= 0.9 vs brute force on the test embeddings") {
+  // The raw test embeddings are isotropic (max pairwise cosine
+  // ~0.6): they contain no near-duplicates, so an LSH recall test on
+  // them can only pass by not pruning (round-3 verdict). The honest
+  // regime: plant real near-duplicates, then demand BOTH recall of
+  // the planted neighbors AND a candidate set far below all-pairs.
+  test("lshTopK finds planted near-duplicates while actually pruning") {
     val emb = Tables.embeddings(spark, sf)
+    val corpus = Similarity.plantNearDuplicates(emb, "vec_id", "embedding",
+      col("vec_id") < 10, copies = 5, idOffset = 100000L, scaleStep = 0.005)
     val queries = emb.filter(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5))
-    val approx = pairs(Similarity.lshTopK(queries, emb, "vec_id", "embedding",
-      k = 5, numPlanes = 16, bands = 8, dim = 64))
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5))
+    // sanity: the true top-5 of query q are exactly its planted copies
+    assert(exact === (0L until 10L).flatMap(q =>
+      (1 to 5).map(c => (q, q + 100000L * c))).toSet)
+    val approx = pairs(Similarity.lshTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, numPlanes = 256, bands = 16, dim = 64, multiProbe = 1))
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
+
+    val nCand = Similarity.lshCandidates(queries, corpus, "vec_id", "embedding",
+      numPlanes = 256, bands = 16, dim = 64, multiProbe = 1).count()
+    val allPairs = queries.count() * (corpus.count() - 1)
+    assert(nCand.toDouble / allPairs <= 0.10,
+      s"candidate set $nCand is ${nCand.toDouble / allPairs} of all $allPairs query-corpus pairs — not pruning")
   }
 }
