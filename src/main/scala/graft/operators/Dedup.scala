@@ -210,8 +210,7 @@ object Dedup {
     // small key rows are exploded per vector — never a second vector
     // copy, and the r dot products per band are computed once.
     val banded = withNorm.select(col("id"),
-      explode(Similarity.bandKeys(col("vec"), planes, bands)).as("__bk"))
-      .select(col("id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
+      posexplode(Similarity.bandKeys(col("vec"), planes, bands)).as(Seq("band", "bits")))
     val probed = banded.select(col("id"), col("band"),
       explode(Similarity.probeKeys(col("bits"), numPlanes / bands, multiProbe)).as("bits"))
     val exact = banded

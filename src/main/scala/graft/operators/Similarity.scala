@@ -89,27 +89,25 @@ object Similarity {
       Array.fill(dim)(rng.nextGaussian().toFloat)
     }
 
-  /** Random-hyperplane signature: bit p = sign(v . plane_p), as a
-    * chain of codegen'd dot products against literal plane vectors.
+  /** Random-hyperplane signature: bit p = sign(v . plane_p)
+    * (<= 64 planes), via the single-expression band computation.
     */
-  def lshSignature(vec: Column, planes: Array[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      when(dot(vec, lit(plane)) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  def lshSignature(vec: Column, planes: Array[Array[Float]]): Column = {
+    require(planes.length <= 64, "a packed signature holds at most 64 planes")
+    bandKeys(vec, planes, 1).getItem(0)
+  }
 
-  /** Banded (band, bits) bucket keys for a vector — one struct per
-    * band, bits = the signs of that band's hyperplane projections.
+  /** Per-band bucket bits for a vector: element b = the packed signs
+    * of band b's hyperplane projections, as ONE codegen'd expression
+    * over a plan-constant plane matrix ([[graft.plans.LshBandBits]] —
+    * building this from per-plane dot-product columns instead puts
+    * numPlanes literal-carrying subtrees in the plan, and analysis +
+    * codegen of that tree dominates latency). Pair with `posexplode`
+    * to get (band, bits) rows.
     */
   def bandKeys(vec: Column, planes: Array[Array[Float]], bands: Int): Column = {
     require(planes.length % bands == 0, "bands must divide numPlanes")
-    val rows = planes.length / bands
-    array((0 until bands).map { b =>
-      val bits = (0 until rows).map { r =>
-        when(dot(vec, lit(planes(b * rows + r))) >= 0,
-          shiftleft(lit(1L), r)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-      struct(lit(b).as("band"), bits.as("bits"))
-    }: _*)
+    VectorExpressions.lshBandBits(vec, planes, bands)
   }
 
   /** Multi-probe keys from a MATERIALIZED band-bits value: for
@@ -143,13 +141,12 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     val qBanded = withNorm(queries, idCol, vecCol)
       .select(col("id").as("query_id"),
-        explode(bandKeys(col("vec"), planes, bands)).as("__bk"))
-      .select(col("query_id"), col("__bk.band").as("band"),
-        explode(probeKeys(col("__bk.bits"), numPlanes / bands, multiProbe)).as("bits"))
+        posexplode(bandKeys(col("vec"), planes, bands)).as(Seq("band", "__bits0")))
+      .select(col("query_id"), col("band"),
+        explode(probeKeys(col("__bits0"), numPlanes / bands, multiProbe)).as("bits"))
     val cBanded = withNorm(corpus, idCol, vecCol)
       .select(col("id").as("neighbor_id"),
-        explode(bandKeys(col("vec"), planes, bands)).as("__bk"))
-      .select(col("neighbor_id"), col("__bk.band").as("band"), col("__bk.bits").as("bits"))
+        posexplode(bandKeys(col("vec"), planes, bands)).as(Seq("band", "bits")))
     cBanded.join(broadcast(qBanded), Seq("band", "bits"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))

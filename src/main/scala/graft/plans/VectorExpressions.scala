@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the similarity hot path.
   *
@@ -67,6 +67,98 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH band bits of a vector in ONE compact expression:
+  * element b of the result is the r-bit hyperplane signature of band
+  * b (bit j = sign(vec . plane[b*r+j])), r = numPlanes / bands.
+  *
+  * Why an expression and not a composition: building the signature
+  * from per-plane `graft_dot` calls puts numPlanes (256 by default)
+  * separate dot-product subtrees — each with its own 64-float
+  * literal — into the plan. Analysis and codegen of that ~10k-node
+  * tree dominate end-to-end latency and the generated method blows
+  * past JIT-friendly sizes. Here the plane matrix is ONE reference
+  * object and the whole signature is a 3-deep primitive loop
+  * (numPlanes x dim multiply-adds) inside whole-stage codegen.
+  *
+  * `planes` (array<array<float>>, row-major) and `bands` (int) must
+  * be foldable — they are captured once, not per row.
+  */
+case class LshBandBits(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), IntegerType)
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def prettyName: String = "graft_lsh_band_bits"
+
+  @transient private lazy val planesMatrix: Array[Array[Float]] = {
+    require(second.foldable, "planes must be a literal")
+    val ad = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+  }
+
+  @transient private lazy val nBands: Int = {
+    require(third.foldable, "bands must be a literal")
+    val b = third.eval().asInstanceOf[Int]
+    require(b > 0 && planesMatrix.length % b == 0, "bands must divide numPlanes")
+    b
+  }
+
+  override def nullSafeEval(v: Any, p: Any, b: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val out = LshBandBits.compute(vec, planesMatrix, nBands)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesMatrix, "float[][]")
+    val bandsVal = nBands
+    nullSafeCodeGen(ctx, ev, (vecExpr, _, _) => {
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = graft.plans.LshBandBits.compute($vecExpr, $planesRef, $bandsVal);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LshBandBits {
+  /** Shared by interpreted eval and generated code: one tight loop,
+    * no per-plane allocation.
+    */
+  def compute(vec: ArrayData, planes: Array[Array[Float]], bands: Int): Array[Long] = {
+    val rows = planes.length / bands
+    val dim = vec.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bits = 0L
+      var j = 0
+      while (j < rows) {
+        val plane = planes(b * rows + j)
+        val n = math.min(dim, plane.length)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          s += vec.getFloat(d).toDouble * plane(d).toDouble
+          d += 1
+        }
+        if (s >= 0) bits |= (1L << j)
+        j += 1
+      }
+      out(b) = bits
+      b += 1
+    }
+    out
+  }
+}
+
 object VectorExpressions {
 
   def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
@@ -75,6 +167,13 @@ object VectorExpressions {
     * owning the calling DataFrame must have called [[register]].
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Per-band LSH signature bits (array<long>, one element per
+    * band). `planes` is captured as a plan constant.
+    */
+  def lshBandBits(vec: Column, planes: Array[Array[Float]], bands: Int): Column =
+    call_function("graft_lsh_band_bits", vec,
+      org.apache.spark.sql.functions.typedLit(planes), lit(bands))
 }
 
 /** The `spark.sql.extensions` injection path: add
@@ -108,7 +207,10 @@ object GraftFunctions {
       children => TextStats(children(0), children(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
-      children => TopKPairs(children(0), children(1), children(2))))
+      children => TopKPairs(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_lsh_band_bits"),
+      new ExpressionInfo(classOf[LshBandBits].getName, "graft_lsh_band_bits"),
+      children => LshBandBits(children(0), children(1), children(2))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
