@@ -43,18 +43,23 @@ object Bench {
     // is ±1-2s/query, so min-of-N is the stable plan-cost signal.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = Queries.all.map { q =>
-      val times = (1 to repeats).map { _ =>
+    // Failed attempts contribute NO timing: a fast-failing query must
+    // not publish its abort latency as times.min. A query with zero
+    // successful repeats reports null (and shows up in failures).
+    val results: Seq[(String, Option[Double])] = Queries.all.map { q =>
+      val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try materialize(q.fn(spark, sfDir))
-        catch {
+        try {
+          materialize(q.fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(200)
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      q.name -> times.minOption
     }
 
     def jstr(s: String): String =
@@ -64,9 +69,11 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"${jstr(k)}:${v.map(_.toString).getOrElse("null")}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

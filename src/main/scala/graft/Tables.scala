@@ -35,6 +35,16 @@ object Tables {
     * matches DuckDB, which surfaces the same column as a micros
     * TIMESTAMP; the generated data is micro-aligned at every sf, so
     * the two engines agree bit-for-bit.
+    *
+    * KNOWN SESSION-WIDE SIDE EFFECT: the flag must be set on the
+    * session, not scoped to this read — a per-read
+    * `.option("spark.sql.legacy.parquet.nanosAsLong", "true")` is
+    * honored during schema inference but overwritten from the
+    * session conf when the execution-side reader is built (verified
+    * against Spark 4.1: tasks then fail with PARQUET_TYPE_ILLEGAL),
+    * and a set/restore pair breaks the returned lazy frame the same
+    * way. Net effect on other reads: nano-timestamp columns
+    * elsewhere surface as long instead of erroring.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -15,11 +15,21 @@ object TextFunctions {
 
   /** All counting stats for a document in one pass: struct with
     * n_chars, n_tokens, n_hits (tokens in `words`), n_punct,
-    * n_digit. The session must have graft's functions registered
-    * (automatic for frames read via [[graft.Tables]]).
+    * n_digit.
+    *
+    * Registers graft's functions on the ACTIVE session (idempotent)
+    * so compositions work on any DataFrame whose session is current
+    * at call time — not only frames read via [[graft.Tables]] or
+    * sessions built with GraftExtensions. Columns don't carry a
+    * session, so a frame from a session that is neither active nor
+    * otherwise registered still needs
+    * [[graft.plans.GraftFunctions.register]] first.
     */
-  def textStats(text: Column, words: Seq[String] = Nil): Column =
+  def textStats(text: Column, words: Seq[String] = Nil): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
     call_function("graft_text_stats", text, lit(words.toArray))
+  }
 
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column =

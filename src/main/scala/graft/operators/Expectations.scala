@@ -55,14 +55,43 @@ object Expectations {
   /** Apply the rules: retained/dropped split (Drop + Fail rules
     * filter; Warn rules don't) plus the metrics frame. Lazy — no
     * job runs until a returned frame is acted on.
+    *
+    * The split is NULL-SAFE: a predicate evaluating to null (e.g.
+    * `col("x") >= 0` with null x) counts as a violation, so the row
+    * lands in `dropped` — matching `metrics`, which counts non-true
+    * as fail, and guaranteeing retained + dropped == input. A plain
+    * `filter(keep)` / `filter(!keep)` pair would silently lose
+    * null-violation rows from BOTH frames.
     */
   def apply(df: DataFrame, rules: Seq[Rule]): Result = {
     val filtering = rules.filter(r => r.action != Warn).map(_.predicate)
-    val keep = filtering.reduceOption(_ && _).getOrElse(lit(true))
+    val keep = coalesce(filtering.reduceOption(_ && _).getOrElse(lit(true)), lit(false))
     Result(
       retained = df.filter(keep),
       dropped = df.filter(!keep),
       metrics = metrics(df, rules))
+  }
+
+  /** Eager single-scan variant for pipeline runners: runs the
+    * metrics aggregate ONCE, enforces Fail rules from its
+    * (rules-sized) collected result, and returns the metrics as a
+    * LOCAL relation the caller can reuse freely — unlike chaining
+    * [[enforce]] + [[apply]] + a metrics callback, which scans the
+    * input up to three times. `retained`/`dropped` stay lazy views
+    * that re-scan `df` when acted on (cache `df` upstream if both
+    * are consumed).
+    */
+  def run(df: DataFrame, rules: Seq[Rule]): Result = {
+    val lazyRes = apply(df, rules)
+    val rows = lazyRes.metrics.collect()
+    val failNames = rules.filter(_.action == Fail).map(_.name).toSet
+    val bad = rows.filter(r => failNames.contains(r.getString(0)) && r.getLong(2) > 0)
+      .map(r => s"${r.getString(0)} (${r.getLong(2)} rows)")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(s"expectation(s) failed: ${bad.mkString(", ")}")
+    val localMetrics = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), lazyRes.metrics.schema)
+    lazyRes.copy(metrics = localMetrics)
   }
 
   /** Enforce Fail rules: runs the metrics scan and throws if any

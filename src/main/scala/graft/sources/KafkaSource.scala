@@ -45,11 +45,14 @@ object KafkaSource {
   }
 
   /** A JAAS config line for SASL PLAIN (the shape the reference
-    * builds from its connection string).
+    * builds from its connection string). Defaults to the OSS kafka
+    * client's login module — the class that exists on a plain Spark
+    * + spark-sql-kafka classpath; platforms that ship a shaded kafka
+    * client pass their relocated class name via `moduleClass`.
     */
-  def plainJaas(username: String, password: String): String =
-    "kafkashaded.org.apache.kafka.common.security.plain.PlainLoginModule required " +
-      s"""username="$username" password="$password";"""
+  def plainJaas(username: String, password: String,
+      moduleClass: String = "org.apache.kafka.common.security.plain.PlainLoginModule"): String =
+    s"""$moduleClass required username="$username" password="$password";"""
 
   def reader(spark: SparkSession, cfg: Config): DataFrame =
     spark.readStream.format("kafka").options(options(cfg)).load()

@@ -25,7 +25,10 @@ final class ParquetStateStore(
     path: String,
     keys: Seq[String],
     seqCols: Seq[String],
-    payload: Seq[String]) {
+    payload: Seq[String],
+    retainVersions: Int = 2) {
+
+  require(retainVersions >= 1, "must retain at least the latest version")
 
   private val latestPtr = Paths.get(path, "LATEST")
 
@@ -56,6 +59,31 @@ final class ParquetStateStore(
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    gcOldVersions(next)
+  }
+
+  /** Retention: after the pointer swap, delete version dirs older
+    * than the last `retainVersions` — without this a continuous
+    * stream (one full state copy per micro-batch) leaks storage
+    * without bound. Runs AFTER the swap so a crash mid-GC never
+    * touches the referenced version; keeping >= 2 versions also
+    * shields a concurrent reader that resolved the previous pointer
+    * just before the swap.
+    */
+  private def gcOldVersions(latest: Long): Unit = {
+    val cutoff = latest - retainVersions + 1
+    val dir = Paths.get(path)
+    if (cutoff > 0 && Files.isDirectory(dir)) {
+      val versioned = "^v(\\d+)$".r
+      Files.list(dir).iterator().forEachRemaining { p =>
+        p.getFileName.toString match {
+          case versioned(v) if v.toLong < cutoff =>
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().forEachRemaining(Files.deleteIfExists(_))
+          case _ => ()
+        }
+      }
+    }
   }
 }
 

@@ -68,6 +68,13 @@ final class Pipeline {
     * rules filter the published frame, Fail rules are enforced
     * (throw on violation), Warn rules only shape the metrics
     * callback.
+    *
+    * Cost: ONE metrics aggregate per expectation-bearing table per
+    * run ([[Expectations.run]] — the Fail gate and the callback
+    * share its collected result). The published (retained) frame is
+    * a lazy view that re-scans its inputs when downstream tables
+    * consume it — callers chaining heavy tables can `.cache()`
+    * inside `build`.
     */
   def run(onMetrics: (String, DataFrame) => Unit = (_, _) => ()): Map[String, DataFrame] = {
     val built = mutable.LinkedHashMap[String, DataFrame]()
@@ -77,8 +84,7 @@ final class Pipeline {
       val published =
         if (d.expectations.isEmpty) raw
         else {
-          Expectations.enforce(raw, d.expectations)
-          val res = Expectations(raw, d.expectations)
+          val res = Expectations.run(raw, d.expectations)
           onMetrics(name, res.metrics)
           res.retained
         }

@@ -28,6 +28,37 @@ class ExpectationsSpec extends SparkSpec {
     assert(res.dropped.select("id").collect().map(_.getInt(0)).toSeq === Seq(2))
   }
 
+  test("null predicate results count as violations: retained + dropped == input") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Some(0.5)), (2, None), (3, Some(-0.1)))
+      .toDF("id", "x") // row 2: x is null -> predicate is null
+    val res = Expectations(df, Seq(
+      Expectations.ruleOrDrop("x_nonneg", col("x") >= 0)))
+    assert(res.retained.select("id").collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(res.dropped.select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+    val m = res.metrics.collect().head
+    assert((m.getLong(1), m.getLong(2)) === ((1L, 2L)))
+  }
+
+  test("run enforces Fail from the single metrics scan and returns local metrics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 0.5), (2, -0.1)).toDF("id", "x")
+    val ok = Expectations.run(df, Seq(
+      Expectations.rule("warn_neg", col("x") >= 0),
+      Expectations.ruleOrFail("id_pos", col("id") > 0)))
+    // metrics came back collected: a local relation, no scan on use
+    assert(ok.metrics.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val m = ok.metrics.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("warn_neg") === ((1L, 1L)) && m("id_pos") === ((2L, 0L)))
+    val e = intercept[IllegalStateException] {
+      Expectations.run(df, Seq(Expectations.ruleOrFail("x_nonneg", col("x") >= 0)))
+    }
+    assert(e.getMessage.contains("x_nonneg"))
+  }
+
   test("enforce throws on Fail violations and is silent otherwise") {
     val s = spark
     import s.implicits._

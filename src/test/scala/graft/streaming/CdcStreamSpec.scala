@@ -43,4 +43,28 @@ class CdcStreamSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(3)).toMap
     assert(v2 === Map((1, 100) -> 40, (2, 200) -> 5))
   }
+
+  test("retention deletes versions beyond the last k and state still reads back") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val stateDir = tmpDir("cdc_state_gc")
+    val ckpt = tmpDir("cdc_ckpt_gc")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 2)
+
+    val input = MemoryStream[(Int, Int, Int)]
+    // 4 rounds -> versions v0..v3; only v2, v3 may survive
+    (1 to 4).foreach { round =>
+      input.addData((1, round, round * 10))
+      CdcStream.run(input.toDS.toDF("k", "seq", "v"), store, ckpt).awaitTermination()
+    }
+    val dirs = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(dirs === Seq("v2", "v3"), s"version dirs after GC: $dirs")
+    // latest state must still be fully readable after the deletes
+    val state = store.current.get.collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(state.toSeq === Seq((1, 40)))
+  }
 }
