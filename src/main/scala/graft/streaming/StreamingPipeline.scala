@@ -1,0 +1,286 @@
+package graft.streaming
+
+import graft.operators.Expectations
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** Declarative STREAMING pipeline — the `dlt.read_stream` side of the
+  * DLT engine that [[Pipeline]] (batch DAG) doesn't cover, and the
+  * formalization of what [[PipelineDemo]] chains by hand.
+  *
+  * The reference declares continuous tables with
+  * `@dlt.table` + `dlt.read_stream(dep)` and lets the DLT runtime
+  * own each flow's checkpoint and query lifecycle
+  * (pos-dlt `03_Bronze-to-Silver ETL.py:249-324`,
+  * `05_DLT Job Scheduling.py` Continuous mode). Here:
+  *
+  *  - `source(name)` declares a root streaming frame (file ingest,
+  *    Kafka, MemoryStream...).
+  *  - `table(name, deps*)` declares a stream-backed table: its build
+  *    receives the deps AS STREAMS and its result is materialized to
+  *    `storageRoot/name/data` (parquet, append) by a dedicated
+  *    StreamingQuery with a per-table checkpoint at
+  *    `storageRoot/name/ckpt` — so each table is independently
+  *    restartable and downstream tables re-read its storage as a
+  *    stream, exactly the DLT storage model.
+  *  - `sink(name, dep)` declares a terminal flow with a custom
+  *    writer (e.g. [[CdcStream.run]] into a [[ParquetStateStore]]).
+  *
+  * Lifecycle:
+  *  - [[runOnce]] — triggered mode: one `Trigger.AvailableNow`
+  *    cascade in dependency order, each table awaited before its
+  *    dependents start, processing exactly the data available at
+  *    trigger time. Checkpoints persist, so the next `runOnce` only
+  *    processes NEW data.
+  *  - [[start]] — continuous mode: every table's query starts
+  *    concurrently and keeps running; the returned [[StreamingRun]]
+  *    drains ([[StreamingRun.processAllAvailable]]), stops and
+  *    inspects the fleet.
+  *
+  * Expectations on streaming tables: violation counts ride the
+  * stream as `observe` metrics (one CollectMetrics node before any
+  * filtering — no extra scan, visible in every progress event);
+  * Drop/Fail rules filter null-safely exactly like the batch DAG.
+  * Fail rules are enforced post-batch in [[runOnce]] (the cascade
+  * aborts before dependents run) — unlike DLT on Delta there is no
+  * transaction to roll back, so the failing micro-batch's own writes
+  * remain in storage; the gate protects downstream tables.
+  *
+  * Scale: per-table parquet materialization is append-only file I/O
+  * partitioned by the stream's natural partitioning; nothing
+  * collects to the driver; state (dedup, session, CDC) lives in the
+  * per-query checkpoint/state stores, bounded by watermarks.
+  */
+final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
+
+  private sealed trait Node {
+    def name: String
+    def deps: Seq[String]
+    def expectations: Seq[Expectations.Rule]
+  }
+  private final case class SourceDef(
+      name: String, build: () => DataFrame) extends Node {
+    def deps: Seq[String] = Nil
+    def expectations: Seq[Expectations.Rule] = Nil
+  }
+  private final case class TableDef(
+      name: String, deps: Seq[String],
+      build: Map[String, DataFrame] => DataFrame,
+      expectations: Seq[Expectations.Rule]) extends Node
+  private final case class SinkDef(
+      name: String, dep: String,
+      start: (DataFrame, String) => StreamingQuery,
+      expectations: Seq[Expectations.Rule]) extends Node {
+    def deps: Seq[String] = Seq(dep)
+  }
+
+  private val defs = mutable.LinkedHashMap[String, Node]()
+  private val schemas = mutable.Map[String, StructType]()
+
+  private def add(n: Node): this.type = {
+    require(!defs.contains(n.name), s"duplicate table ${n.name}")
+    defs(n.name) = n
+    this
+  }
+
+  /** Root streaming source (no dependencies). */
+  def source(name: String)(build: => DataFrame): this.type =
+    add(SourceDef(name, () => build))
+
+  /** Stream-backed table: deps arrive as streams, the result is
+    * materialized with a dedicated query + checkpoint.
+    */
+  def table(name: String, deps: String*)(
+      build: Map[String, DataFrame] => DataFrame): this.type =
+    add(TableDef(name, deps, build, Nil))
+
+  def tableWithExpectations(
+      name: String, deps: Seq[String],
+      expectations: Seq[Expectations.Rule])(
+      build: Map[String, DataFrame] => DataFrame): this.type =
+    add(TableDef(name, deps, build, expectations))
+
+  /** Terminal flow with a custom writer; `start` receives the
+    * upstream stream and this sink's checkpoint dir. The writer owns
+    * the trigger (e.g. [[CdcStream.run]] defaults to AvailableNow).
+    */
+  def sink(name: String, dep: String,
+      expectations: Seq[Expectations.Rule] = Nil)(
+      start: (DataFrame, String) => StreamingQuery): this.type =
+    add(SinkDef(name, dep, start, expectations))
+
+  def dataDir(name: String): String = s"$storageRoot/$name/data"
+  def checkpointDir(name: String): String = s"$storageRoot/$name/ckpt"
+
+  /** Dependency-ordered node names (cycle / unknown dep -> error). */
+  def order: Seq[String] = {
+    val visiting = mutable.Set[String]()
+    val done = mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit =
+      if (!done.contains(n)) {
+        require(!visiting.contains(n), s"dependency cycle through $n")
+        val d = defs.getOrElse(n,
+          throw new IllegalArgumentException(s"unknown table $n"))
+        visiting += n
+        d.deps.foreach(visit)
+        visiting -= n
+        done += n
+      }
+    defs.keys.foreach(visit)
+    done.toSeq
+  }
+
+  /** Read a materialized table's storage as a NEW stream (what
+    * `dlt.read_stream("name")` hands a dependent table).
+    */
+  def readStream(name: String): DataFrame = {
+    val dir = dataDir(name)
+    Files.createDirectories(Paths.get(dir))
+    spark.readStream.schema(schemas(name)).parquet(dir)
+  }
+
+  /** Batch view of a materialized table's current storage. */
+  def readTable(name: String): DataFrame = {
+    val dir = dataDir(name)
+    require(schemas.contains(name) || Files.isDirectory(Paths.get(dir)),
+      s"table $name has not been materialized")
+    schemas.get(name).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
+  }
+
+  private def observeName(table: String) = s"graft_expect_$table"
+
+  /** Attach expectations to a streaming frame: one `observe` node
+    * counting violations per rule (before any filtering), then the
+    * null-safe Drop/Fail filter.
+    */
+  private def instrument(df: DataFrame, rules: Seq[Expectations.Rule],
+      table: String): DataFrame = {
+    if (rules.isEmpty) df
+    else {
+      val counts = rules.map(r =>
+        sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L))
+          .as(s"fail_${r.name}"))
+      val observed = df.observe(observeName(table), counts.head, counts.tail: _*)
+      val filtering = rules.filter(_.action != Expectations.Warn)
+        .map(r => coalesce(r.predicate, lit(false)))
+      filtering.reduceOption(_ && _).map(observed.filter).getOrElse(observed)
+    }
+  }
+
+  /** Violation counts per rule observed by a query's finished
+    * batches: ruleName -> total failed rows.
+    */
+  private def observedFailures(q: StreamingQuery, table: String,
+      rules: Seq[Expectations.Rule]): Map[String, Long] = {
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(observeName(table))))
+    rules.map { r =>
+      r.name -> perBatch.map { row =>
+        row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))
+      }.sum
+    }.toMap
+  }
+
+  private def enforceFail(q: StreamingQuery, table: String,
+      rules: Seq[Expectations.Rule]): Unit = {
+    val failRules = rules.filter(_.action == Expectations.Fail)
+    if (failRules.nonEmpty) {
+      val bad = observedFailures(q, table, failRules).filter(_._2 > 0)
+      if (bad.nonEmpty)
+        throw new IllegalStateException("expectation(s) failed on streaming table " +
+          s"$table: ${bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ")}")
+    }
+  }
+
+  /** Build node `name`'s output stream from its deps' storage. */
+  private def buildFlow(name: String): DataFrame = defs(name) match {
+    case SourceDef(_, build) => build()
+    case TableDef(_, deps, build, rules) =>
+      instrument(build(deps.map(d => d -> readStream(d)).toMap), rules, name)
+    case SinkDef(_, dep, _, rules) =>
+      instrument(readStream(dep), rules, name)
+  }
+
+  /** Triggered mode: one AvailableNow cascade in dependency order —
+    * each table processes exactly the data available when its turn
+    * comes and is awaited before dependents start. Returns batch
+    * views of every materialized (non-sink) table. Re-invoking
+    * processes only data that arrived since (per-table checkpoints).
+    */
+  def runOnce(onMetrics: (String, Map[String, Long]) => Unit = (_, _) => ())
+      : Map[String, DataFrame] = {
+    order.foreach { name =>
+      val flow = buildFlow(name)
+      val q = defs(name) match {
+        case SinkDef(_, _, start, _) =>
+          start(flow, checkpointDir(name))
+        case _ =>
+          schemas(name) = flow.schema
+          Files.createDirectories(Paths.get(dataDir(name)))
+          flow.writeStream
+            .format("parquet")
+            .option("path", dataDir(name))
+            .option("checkpointLocation", checkpointDir(name))
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+      }
+      q.awaitTermination()
+      val rules = defs(name).expectations
+      if (rules.nonEmpty) onMetrics(name, observedFailures(q, name, rules))
+      enforceFail(q, name, rules)
+    }
+    defs.collect { case (n, _: SourceDef) => n -> readTable(n)
+                   case (n, _: TableDef) => n -> readTable(n) }.toMap
+  }
+
+  /** Continuous mode: start every table's query concurrently (default
+    * micro-batch trigger) and hand back the running fleet.
+    */
+  def start(): StreamingRun = {
+    val queries = order.map { name =>
+      val flow = buildFlow(name)
+      val q = defs(name) match {
+        case SinkDef(_, _, startFn, _) =>
+          startFn(flow, checkpointDir(name))
+        case _ =>
+          schemas(name) = flow.schema
+          Files.createDirectories(Paths.get(dataDir(name)))
+          flow.writeStream
+            .format("parquet")
+            .option("path", dataDir(name))
+            .option("checkpointLocation", checkpointDir(name))
+            .outputMode("append")
+            .start()
+      }
+      name -> q
+    }
+    new StreamingRun(queries)
+  }
+}
+
+/** Handle on a running continuous pipeline: the per-table queries in
+  * dependency order.
+  */
+final class StreamingRun(val queries: Seq[(String, StreamingQuery)]) {
+
+  def query(name: String): StreamingQuery =
+    queries.collectFirst { case (n, q) if n == name => q }
+      .getOrElse(throw new NoSuchElementException(s"no query for table $name"))
+
+  /** Drain the whole DAG: process all currently-available data in
+    * dependency order (deterministic — upstream drains before
+    * dependents, so a file dropped at the root flows to every leaf).
+    */
+  def processAllAvailable(): Unit =
+    queries.foreach { case (_, q) => q.processAllAvailable() }
+
+  def stopAll(): Unit = queries.reverseIterator.foreach { case (_, q) => q.stop() }
+
+  def awaitAnyTermination(): Unit =
+    queries.headOption.foreach(_._2.sparkSession.streams.awaitAnyTermination())
+}

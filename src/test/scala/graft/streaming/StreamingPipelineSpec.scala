@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Expectations
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import java.nio.file.{Files, Paths}
+
+class StreamingPipelineSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("x", DoubleType)))
+
+  private def dropCsv(dir: String, name: String, rows: String*): Unit =
+    Files.write(Paths.get(dir, name),
+      ("id,x" +: rows).mkString("\n").getBytes)
+
+  test("streaming expectations: observe metrics, null-safe drop, warn passthrough") {
+    val s = spark
+    val dropDir = tmpDir("se_drop")
+    // id 2 has NULL x -> predicate null -> must count + drop
+    dropCsv(dropDir, "b1.csv", "1,0.5", "2,", "3,-0.1")
+
+    val p = new StreamingPipeline(s, tmpDir("se_root"))
+    p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+      format = "csv", options = Map("header" -> "true")))
+    p.tableWithExpectations("silver", Seq("bronze"), Seq(
+      Expectations.ruleOrDrop("x_nonneg", col("x") >= 0),
+      Expectations.rule("id_small", col("id") <= 2))) { d => d("bronze") }
+
+    var observed = Map.empty[String, Long]
+    val built = p.runOnce((n, m) => if (n == "silver") observed = m)
+    assert(built("silver").select("id").collect().map(_.getInt(0)).toSeq === Seq(1))
+    // violation counts are measured BEFORE the drop filter
+    assert(observed === Map("x_nonneg" -> 2L, "id_small" -> 1L))
+  }
+
+  test("streaming fail rule aborts the cascade before dependents run") {
+    val s = spark
+    val dropDir = tmpDir("sf_drop")
+    dropCsv(dropDir, "b1.csv", "1,0.5", "3,-0.1")
+
+    val p = new StreamingPipeline(s, tmpDir("sf_root"))
+    p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+      format = "csv", options = Map("header" -> "true")))
+    p.tableWithExpectations("silver", Seq("bronze"),
+      Seq(Expectations.ruleOrFail("x_nonneg", col("x") >= 0))) { d => d("bronze") }
+    var goldRan = false
+    p.table("gold", "silver") { d => goldRan = true; d("silver") }
+
+    val e = intercept[IllegalStateException] { p.runOnce() }
+    assert(e.getMessage.contains("x_nonneg"))
+    assert(!goldRan, "dependent table must not start after a Fail violation")
+  }
+}
