@@ -7,21 +7,41 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata alongside.
   *
   * The Spark-side mechanics (schema, batched per-partition
-  * processing, partitioning of large blobs) are real; the actual
-  * media codecs are STUBBED with deterministic fakes (this container
-  * has no image/audio libraries). Swap the `FakeCodec` methods for a
-  * real decoder (javax.imageio / ffmpeg via the same mapPartitions
-  * shells) without touching the pipeline shape: one codec context
-  * per partition, rows streamed through, never collected.
+  * processing, partitioning of large blobs) are real, and every
+  * partitioned shell takes a pluggable [[Multimodal.MediaCodec]]:
+  *  - [[Multimodal.ImageIoCodec]] — REAL image decode/resize/
+  *    feature-extraction over the JDK's built-in `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP; no external dependency).
+  *  - [[Multimodal.FakeCodec]] — a deterministic byte-level fake,
+  *    the default for the registered driver queries because the
+  *    DuckDB oracle can replay it; also the stand-in for codecs the
+  *    JDK genuinely lacks (audio features, video containers).
+  * Either way the pipeline shape is identical: one codec context per
+  * partition, rows streamed through, never collected.
   */
 object Multimodal {
 
-  /** Deterministic fake media codec — STUB standing in for real
-    * image/audio/video libraries. Every method derives its output
-    * purely from payload bytes, so pipelines are testable end-to-end
-    * and oracle-checkable.
+  /** Per-partition media codec contract. Implementations must be
+    * serializable (they ship inside task closures) and stateless or
+    * cheaply re-initializable per partition.
     */
-  object FakeCodec {
+  trait MediaCodec extends Serializable {
+    /** (format, width, height) of a payload. */
+    def decode(bytes: Array[Byte]): (String, Int, Int)
+    /** Fixed-dimension feature vector of a payload. */
+    def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Re-encode into a bounding box; returns (bytes, width, height). */
+    def resize(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int)
+    /** Cut a container-ish payload into frames, keeping every `every`-th. */
+    def frameSample(bytes: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake media codec. Every method derives its output
+    * purely from payload bytes, so pipelines are testable end-to-end
+    * and oracle-checkable (DuckDB can replay the arithmetic — a real
+    * codec's output it could not).
+    */
+  object FakeCodec extends MediaCodec {
     /** "Decode" format + dimensions from a payload. */
     def decode(bytes: Array[Byte]): (String, Int, Int) = {
       val n = if (bytes == null) 0 else bytes.length
@@ -68,6 +88,111 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over the JDK's `javax.imageio` — PNG, JPEG,
+    * GIF, BMP with zero external dependencies.
+    *
+    * Scale notes: [[decode]] reads only the image HEADER (an
+    * `ImageReader` reports width/height without decoding pixels), so
+    * metadata extraction over binary columns costs header bytes per
+    * row, not a full decode. [[extractFeatures]] and [[resize]] do
+    * decode pixels — they run inside the same partition-local shells
+    * (one codec context per partition, no driver collect).
+    * Undecodable/null payloads surface as ("unknown", -1, -1) /
+    * empty outputs rather than failing the task: at corpus scale a
+    * corrupt blob is data, not an exception.
+    */
+  object ImageIoCodec extends MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def normalizeFmt(f: String): String =
+      f.toLowerCase match { case "jpg" => "jpeg"; case x => x }
+
+    /** Header-only decode: (format, width, height); no pixel work. */
+    def decode(bytes: Array[Byte]): (String, Int, Int) = {
+      if (bytes == null || bytes.isEmpty) return ("unknown", -1, -1)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) ("unknown", -1, -1)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            (normalizeFmt(r.getFormatName), r.getWidth(0), r.getHeight(0))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    private def read(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+
+    /** Mean-luminance grid features: the image is cut into a
+      * ceil(sqrt(dim))-square cell grid, cells averaged in scan
+      * order, first `dim` kept, L1-normalized — a deterministic,
+      * resolution-independent signature (the classic tiny-image
+      * baseline), ANN-ready like any learned embedding.
+      */
+    def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      read(bytes) match {
+        case None => new Array[Float](dim)
+        case Some(img) =>
+          val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+          val sums = new Array[Double](g * g)
+          val counts = new Array[Long](g * g)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              val cell = math.min(g - 1, y * g / img.getHeight) * g +
+                math.min(g - 1, x * g / img.getWidth)
+              sums(cell) += lum
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(dim)(i =>
+            if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+          val total = math.max(1e-9, means.sum)
+          means.map(m => (m / total).toFloat)
+      }
+    }
+
+    /** Real bounding-box resize (aspect preserved, never upscaled),
+      * re-encoded as PNG.
+      */
+    def resize(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+      read(bytes) match {
+        case None => (Array.emptyByteArray, -1, -1)
+        case Some(img) =>
+          val scale = math.max(1.0,
+            math.max(img.getWidth.toDouble / maxW, img.getHeight.toDouble / maxH))
+          val tw = math.max(1, (img.getWidth / scale).toInt)
+          val th = math.max(1, (img.getHeight / scale).toInt)
+          val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          try g2.drawImage(img, 0, 0, tw, th, null) finally g2.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          (bos.toByteArray, tw, th)
+      }
+    }
+
+    /** The JDK has no video-container parser; frame sampling keeps
+      * the byte-chunking semantics (each chunk would be a frame
+      * payload for a real demuxer plugged into the same shell).
+      */
+    def frameSample(bytes: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] =
+      FakeCodec.frameSample(bytes, frameSize, every)
+  }
+
   /** Attach a binary payload column (here: utf-8 bytes of the text —
     * the deterministic stand-in for reading a real media file) plus
     * extracted metadata, all as codegen'd expressions.
@@ -87,14 +212,15 @@ object Multimodal {
     * partition; rows stream through). Uses the stub codec.
     */
   def decodePartitioned(spark: SparkSession,
-      withPayload: DataFrame, idCol: String): DataFrame = {
+      withPayload: DataFrame, idCol: String,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     val out = withPayload.select(col(idCol).cast("bigint"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codecs would init native context here, once per partition
+        // codecs needing native context init it here, once per partition
         it.map { case (id, bytes) =>
-          val (fmt, w, h) = FakeCodec.decode(bytes)
+          val (fmt, w, h) = codec.decode(bytes)
           (id, fmt, w, h)
         }
       }
@@ -105,12 +231,13 @@ object Multimodal {
     * partition-batched shell; output is ANN-ready `array<float>`.
     */
   def extractFeaturesPartitioned(spark: SparkSession,
-      withPayload: DataFrame, idCol: String, dim: Int = 64): DataFrame = {
+      withPayload: DataFrame, idCol: String, dim: Int = 64,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     withPayload.select(col(idCol).cast("bigint"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) => (id, FakeCodec.extractFeatures(bytes, dim)) }
+        it.map { case (id, bytes) => (id, codec.extractFeatures(bytes, dim)) }
       }
       .toDF("id", "features")
   }
@@ -120,13 +247,14 @@ object Multimodal {
     */
   def resizePartitioned(spark: SparkSession,
       withPayload: DataFrame, idCol: String,
-      maxW: Int, maxH: Int): DataFrame = {
+      maxW: Int, maxH: Int,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     withPayload.select(col(idCol).cast("bigint"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (out, w, h) = FakeCodec.resize(bytes, maxW, maxH)
+          val (out, w, h) = codec.resize(bytes, maxW, maxH)
           (id, out, w, h)
         }
       }
@@ -139,13 +267,14 @@ object Multimodal {
     */
   def frameSamplePartitioned(spark: SparkSession,
       withPayload: DataFrame, idCol: String,
-      frameSize: Int, every: Int): DataFrame = {
+      frameSize: Int, every: Int,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     withPayload.select(col(idCol).cast("bigint"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          FakeCodec.frameSample(bytes, frameSize, every).zipWithIndex
+          codec.frameSample(bytes, frameSize, every).zipWithIndex
             .map { case (frame, i) => (id, i, frame) }
         }
       }
