@@ -225,39 +225,79 @@ object Similarity {
     *
     * Centroids are `nCenters` corpus vectors chosen by xxhash64(id)
     * order — deterministic across runs/executors and uniform over
-    * the data. (Production systems refine them with a few offline
-    * Lloyd rounds; cell-assignment mechanics — the part that must
-    * scale — are identical.) With nProbe = nCenters every cell is
-    * probed and the result equals `bruteForceTopK` exactly, which is
-    * the machinery check in SimilaritySpec.
+    * the data — optionally refined with `lloydRounds` bounded
+    * k-means passes ([[ivfCentroids]]). With nProbe = nCenters every
+    * cell is probed and the result equals `bruteForceTopK` exactly
+    * regardless of centroid quality, which is the machinery check in
+    * SimilaritySpec.
     *
     * Scale: one broadcast of nCenters x dim floats; corpus assigned
     * cell-locally (no shuffle until the candidate join); candidate
     * volume ~ (nProbe / nCenters) of the corpus per query.
     */
+  /** Seed centroids (deterministic xxhash64-order sample) refined by
+    * `lloydRounds` bounded k-means passes: each round assigns the
+    * corpus to its nearest centroid (one distributed pass — the same
+    * codegen'd assignment the search uses) and recomputes centroids
+    * as per-cell means via ONE partial-aggregated groupBy collected
+    * at nCenters x dim scale (a few KB). Empty cells keep their old
+    * centroid. Deterministic: seed order, assignment ties and mean
+    * aggregation are all order-independent.
+    */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int, lloydRounds: Int = 0): Array[Array[Float]] = {
+    val cNorm = withNorm(corpus, idCol, vecCol)
+    var centroids: Array[Array[Float]] = cNorm
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nCenters)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    (1 to lloydRounds).foreach { _ =>
+      val cents = centroids
+      val assigned = cNorm.withColumn("cid",
+        array_max(array(centroidStructs(cents, col("vec"), col("norm")): _*))
+          .getField("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)).toMap
+      centroids = centroids.indices.map(i =>
+        means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** (cosine-to-centroid, centroid-id) structs for nearest-centroid
+    * selection via array_max / array_sort.
+    */
+  private def centroidStructs(centroids: Array[Array[Float]],
+      vecC: Column, normC: Column): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      struct((dot(vecC, lit(c)) / (normC * lit(cn))).as("cos"),
+        lit(i).as("cid"))
+    }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCenters: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCenters: Int = 16, nProbe: Int = 4,
+      lloydRounds: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCenters, "1 <= nProbe <= nCenters")
     val cNorm = withNorm(corpus, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
     val qNorm = withNorm(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
 
-    val centroids: Array[Array[Float]] = withNorm(corpus, idCol, vecCol)
-      .orderBy(xxhash64(col("id")), col("id"))
-      .limit(nCenters)
-      .select(col("vec")).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCenters, lloydRounds)
 
     // cosine to each centroid as codegen'd dots against literals
     def centroidScores(vecC: Column, normC: Column): Seq[Column] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-        struct((dot(vecC, lit(c)) / (normC * lit(cn))).as("cos"),
-          lit(i).as("cid"))
-      }
+      centroidStructs(centroids, vecC, normC)
 
     val assigned = cNorm.withColumn("cid",
       array_max(array(centroidScores(col("cvec"), col("cnorm")): _*)).getField("cid"))

@@ -16,9 +16,19 @@ object Skew {
 
   /** Equi-join `big ⋈ small` on `keys`, salted. The salt on the big
     * side is derived from xxhash64 of the whole row's partition
-    * position (deterministic within a run, uniform across buckets);
-    * the small side is exploded `saltBuckets` times. Result equals
-    * the plain inner join row-for-row.
+    * position (uniform across buckets); the small side is exploded
+    * `saltBuckets` times. Result equals the plain inner join
+    * row-for-row.
+    *
+    * CAVEAT — salt is NOT deterministic across task retries:
+    * `monotonically_increasing_id` depends on partition layout and
+    * row order, so a retried task may salt the same row differently.
+    * Harmless HERE (every salt value matches the replicated small
+    * side, so the join result is identical either way), but do not
+    * reuse this salting pattern anywhere the salt value itself is
+    * persisted, joined on across stages, or must be stable under
+    * speculative execution — derive the salt from key/payload
+    * columns there instead.
     */
   def saltedJoin(
       big: DataFrame,

@@ -58,6 +58,34 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("Lloyd refinement keeps exactness at full probe and helps on clustered data") {
+    // Lloyd has nothing to find on an ISOTROPIC corpus (no cluster
+    // structure; refinement just drifts the cells) — the regime it
+    // exists for is clustered data: 12 well-separated clusters of 21
+    // vectors each (a base + 20 perturbed copies).
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 12)
+    val corpus = Similarity.plantNearDuplicates(base, "vec_id", "embedding",
+      col("vec_id") < 12, copies = 20, idOffset = 1000L, scaleStep = 0.01)
+    val queries = base
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5))
+    // full probe == brute force must hold for ANY centroids
+    val full = pairs(Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, nCenters = 8, nProbe = 8, lloydRounds = 2))
+    assert(full === exact)
+    def recall(rounds: Int) = {
+      val got = pairs(Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nCenters = 8, nProbe = 1, lloydRounds = rounds))
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val (r0, r2) = (recall(0), recall(2))
+    info(s"clustered recall nProbe=1: seed=$r0 lloyd2=$r2")
+    assert(r2 >= r0, s"Lloyd refinement degraded recall: $r0 -> $r2")
+    assert(r2 >= 0.85, s"refined single-probe recall $r2 implausibly low on clustered data")
+  }
+
   test("ivfTopK recall grows with nProbe") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
