@@ -320,6 +320,29 @@ object Queries {
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id"""))
 
+  // Tumbling event-time window aggregate via streaming.WindowedAgg
+  // (window() groups identically in batch, which is what makes the
+  // streaming operator's window arithmetic oracle-checkable here;
+  // the watermarked streaming path is WindowedAggSpec's job).
+  // Decimal-cast before SUM for order-independent exactness.
+  val windowedAgg = QueryDef(
+    "q_windowed_agg",
+    (s, d) => graft.streaming.WindowedAgg.windowed(
+        Tables.events(s, d), tsCol = "ts", windowDur = "1 hour",
+        keys = Seq("event_type"),
+        aggs = Seq(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value")))
+      .orderBy("window_start", "event_type"),
+    Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+              CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+              event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
+            ORDER BY window_start, event_type"""))
+
   // Spark's native session_window operator (batch form), checked
   // against a lag/cumsum emulation in the oracle. Note the boundary
   // semantics: session_window starts a NEW session when the gap is
@@ -840,7 +863,7 @@ object Queries {
     dimLoad, jsonExtract, latestSnapshot, currentInventory,
     transactionalize, expectations,
     pricingSummary, revenueByRegion, topOrders, supplierRank,
-    usersNoPurchase, sessionize, sessionWindowAgg,
+    usersNoPurchase, sessionize, sessionWindowAgg, windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, ngramJaccardPairs, minhashPairs, simhash,
     embeddingNearDup, embeddingTopK, annLsh, annIvf, multimodalMeta,

@@ -49,4 +49,38 @@ object Cdc {
       seqCols: Seq[String],
       payload: Seq[String]): DataFrame =
     latestByKey(current.unionByName(updates), keys, seqCols, payload)
+
+  /** Full `apply_changes` semantics including deletes — the
+    * `APPLY AS DELETE WHEN <cond>` clause of the DLT API the plain
+    * [[upsert]] lacks: among all rows per key the LATEST by `seqCols`
+    * wins, and if that winner is a delete marker the key disappears
+    * from the state entirely. Sequencing rules match DLT: a delete
+    * older than the current row is ignored; a row newer than a
+    * delete re-inserts the key.
+    *
+    * `deleteWhen` is evaluated on `updates` (rows already in `current`
+    * are never markers — deleted keys left the state on a previous
+    * merge). Null condition results count as not-delete.
+    *
+    * Scale: identical shape to [[upsert]] — ONE partial-aggregated
+    * shuffle; the marker is one boolean riding the max(struct), and
+    * tombstones are dropped by a post-aggregate filter at
+    * |distinct keys| volume, so deleted keys cost nothing after the
+    * merge that removes them.
+    */
+  def applyChanges(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      seqCols: Seq[String],
+      payload: Seq[String],
+      deleteWhen: Column): DataFrame = {
+    val cols = keys ++ seqCols ++ payload
+    val cur = current.select(cols.map(col): _*).withColumn("__del", lit(false))
+    val upd = updates.select(cols.map(col) :+
+      coalesce(deleteWhen, lit(false)).as("__del"): _*)
+    latestByKey(cur.unionByName(upd), keys, seqCols, payload :+ "__del")
+      .filter(!col("__del"))
+      .drop("__del")
+  }
 }

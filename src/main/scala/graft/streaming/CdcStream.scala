@@ -26,11 +26,14 @@ final class ParquetStateStore(
     keys: Seq[String],
     seqCols: Seq[String],
     payload: Seq[String],
-    retainVersions: Int = 2) {
+    retainVersions: Int = 2,
+    deleteWhen: Option[org.apache.spark.sql.Column] = None) {
 
   require(retainVersions >= 1, "must retain at least the latest version")
 
   private val latestPtr = Paths.get(path, "LATEST")
+
+  private val payloadColumns: Seq[String] = keys ++ seqCols ++ payload
 
   private def versionDir(v: Long) = s"$path/v$v"
 
@@ -43,14 +46,19 @@ final class ParquetStateStore(
   def current: Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(versionDir(v)))
 
-  /** Merge a batch of updates: state ∪ batch -> latest row per key,
-    * written as a new immutable version, then the LATEST pointer is
-    * swapped (write-temp + atomic move).
+  /** Merge a batch of updates: state ∪ batch -> latest row per key
+    * (honoring `deleteWhen` markers — `APPLY AS DELETE WHEN` — if
+    * configured), written as a new immutable version, then the
+    * LATEST pointer is swapped (write-temp + atomic move).
     */
   def upsertBatch(batch: DataFrame): Unit = synchronized {
-    val merged = current match {
-      case Some(state) => Cdc.upsert(state, batch, keys, seqCols, payload)
-      case None => Cdc.latestByKey(batch, keys, seqCols, payload)
+    import org.apache.spark.sql.functions.lit
+    val state = current.getOrElse(
+      batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
+        .filter(lit(false)))
+    val merged = deleteWhen match {
+      case Some(cond) => Cdc.applyChanges(state, batch, keys, seqCols, payload, cond)
+      case None => Cdc.upsert(state, batch, keys, seqCols, payload)
     }
     val next = latestVersion.getOrElse(-1L) + 1
     merged.write.mode("overwrite").parquet(versionDir(next))

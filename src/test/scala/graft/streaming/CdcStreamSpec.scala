@@ -44,6 +44,29 @@ class CdcStreamSpec extends SparkSpec {
     assert(v2 === Map((1, 100) -> 40, (2, 200) -> 5))
   }
 
+  test("delete markers (APPLY AS DELETE WHEN) remove keys across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val store = new ParquetStateStore(s, tmpDir("cdc_state_del"),
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      deleteWhen = Some(org.apache.spark.sql.functions.col("op") === "D"))
+
+    val input = MemoryStream[(Int, Int, Int, String)]
+    val updates = input.toDS.toDF("k", "seq", "v", "op")
+    val ckpt = tmpDir("cdc_ckpt_del")
+
+    input.addData((1, 1, 10, "U"), (2, 1, 20, "U"))
+    CdcStream.run(updates, store, ckpt).awaitTermination()
+    input.addData((1, 2, 0, "D"), (2, 0, 0, "D"), (3, 1, 30, "U"))
+    CdcStream.run(updates, store, ckpt).awaitTermination()
+
+    val state = store.current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    // k=1 deleted (newest op), k=2's stale delete ignored, k=3 inserted
+    assert(state === Map(2 -> 20, 3 -> 30))
+  }
+
   test("retention deletes versions beyond the last k and state still reads back") {
     val s = spark
     import s.implicits._
