@@ -320,6 +320,62 @@ object Queries {
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id"""))
 
+  // ROLLUP grouping sets: per-(region, nation) revenue with nation
+  // and grand-total subtotals — the multi-level-aggregate surface
+  // (Spark `rollup` == SQL GROUP BY ROLLUP). grouping_id
+  // disambiguates a rolled-up level from a (hypothetical) null key.
+  // One shuffle: Spark expands the grouping sets map-side.
+  val revenueRollup = QueryDef(
+    "q_revenue_rollup",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec12(col("o_totalprice"))).cast("double").as("revenue"),
+          grouping_id(col("r_name"), col("n_name")).cast("bigint").as("lvl"))
+        .orderBy(col("lvl"), col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+              CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS lvl
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY lvl, r_name, n_name"""))
+
+  // Exact interpolated percentiles (Spark `percentile` == DuckDB
+  // `quantile_cont`, both linear interpolation over sorted values).
+  // The approximate path (approx_percentile / t-digest) is the
+  // 100 TB default; the exact form is what an oracle can replay —
+  // both run through one partial-aggregated shuffle.
+  val orderPercentiles = QueryDef(
+    "q_order_percentiles",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice").cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("__q"))
+      .select(col("o_orderpriority"),
+        col("__q").getItem(0).as("p25"),
+        col("__q").getItem(1).as("p50"),
+        col("__q").getItem(2).as("p75"),
+        col("__q").getItem(3).as("p95"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+              quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50) AS p50,
+              quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75,
+              quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   // Tumbling event-time window aggregate via streaming.WindowedAgg
   // (window() groups identically in batch, which is what makes the
   // streaming operator's window arithmetic oracle-checkable here;
@@ -862,7 +918,8 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory,
     transactionalize, expectations,
-    pricingSummary, revenueByRegion, topOrders, supplierRank,
+    pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
+    topOrders, supplierRank,
     usersNoPurchase, sessionize, sessionWindowAgg, windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, ngramJaccardPairs, minhashPairs, simhash,
