@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the 100 TB design claims in
+  * SURVEY §4, enforced as assertions on the physical plan so a
+  * refactor can't silently reintroduce a shuffle, drop a partial
+  * aggregate, or fall back to a nested-loop join while every
+  * correctness test stays green.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only — BroadcastExchange is intentional. */
+  private def shuffles(df: DataFrame): Int =
+    "(?<!Broadcast)Exchange (hash|range|Single)".r
+      .findAllIn(plan(df)).length
+
+  test("latestByKey is ONE shuffle with a map-side partial aggregate, no window") {
+    val df = Cdc.latestByKey(Tables.events(spark, sf),
+      keys = Seq("user_id"), seqCols = Seq("ts", "event_id"), payload = Seq("value"))
+    val p = plan(df)
+    assert(shuffles(df) === 1, p)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).length >= 2, "partial + final aggregate expected\n" + p)
+    assert(!p.contains("Window"), "latest-per-key must not use a window\n" + p)
+  }
+
+  test("exact dedup by hash shuffles 8-byte keys once, never the text") {
+    val df = Dedup.exactByHash(Tables.documents(spark, sf), "doc_id", "text")
+    assert(shuffles(df) === 1, plan(df))
+  }
+
+  test("redaction and text stats are shuffle-free") {
+    val docs = Tables.documents(spark, sf)
+    assert(shuffles(docs.select(TextOps.redact(col("text")))) === 0)
+    assert(shuffles(docs.select(TextFunctions.qualityScore(col("text")))) === 0)
+  }
+
+  test("bruteForceTopK: corpus shuffles once through the bounded graft_topk agg; queries broadcast") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", k = 5)
+    val p = plan(df)
+    assert(shuffles(df) === 1, p)
+    assert(p.contains("BroadcastExchange"), "queries must broadcast\n" + p)
+    assert(p.contains("partial_graft_topk"), "map-side partial top-k expected\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("windowed aggregation: one shuffle, partial+final aggregate") {
+    val df = graft.streaming.WindowedAgg.windowed(
+      Tables.events(spark, sf), tsCol = "ts", windowDur = "1 hour",
+      keys = Seq("event_type"), aggs = Seq(count(lit(1)).as("n")))
+    val p = plan(df)
+    assert(shuffles(df) === 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("no plan anywhere falls back to a cartesian/nested-loop join") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val candidates = Seq(
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9),
+      Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb,
+        "vec_id", "embedding", k = 5),
+      Inventory.currentInventoryOverEvents(spark, Tables.events(spark, sf)))
+    candidates.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+}

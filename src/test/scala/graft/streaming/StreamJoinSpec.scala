@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream-stream inner join matches clicks within the window only") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val impressions = MemoryStream[(Int, Timestamp)]
+    val clicks = MemoryStream[(Int, Timestamp)]
+    val joined = StreamJoin.within(
+      impressions.toDS.toDF("ad_id", "imp_ts"),
+      clicks.toDS.toDF("ad_id", "click_ts"),
+      keys = Seq("ad_id"), leftTs = "imp_ts", rightTs = "click_ts",
+      within = "10 minutes", watermark = "10 minutes")
+
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      impressions.addData(
+        (1, ts("2024-01-01 08:00:00")),
+        (2, ts("2024-01-01 08:00:00")),
+        (3, ts("2024-01-01 08:00:00")))
+      clicks.addData(
+        (1, ts("2024-01-01 08:05:00")), // within window -> joins
+        (2, ts("2024-01-01 08:20:00")), // outside 10 min -> no join
+        (3, ts("2024-01-01 07:59:00"))) // BEFORE the impression -> no join
+      q.processAllAvailable()
+      // advance both watermarks so matched pairs are emitted (append
+      // mode holds results until no earlier match can arrive)
+      impressions.addData((99, ts("2024-01-01 10:00:00")))
+      clicks.addData((99, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+
+      val rows = s.table("ss_join")
+        .select("ad_id", "imp_ts", "click_ts")
+        .collect().map(r => (r.getInt(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString))
+        .toSet
+      assert(rows.contains((1, "2024-01-01 08:00:00.0", "2024-01-01 08:05:00.0")))
+      assert(!rows.exists(_._1 == 2), "click 15 min after impression must not join")
+      assert(!rows.exists(_._1 == 3), "click before impression must not join")
+    } finally q.stop()
+  }
+
+  test("batch frames run through the same join (parity path)") {
+    val s = spark
+    import s.implicits._
+    val imp = Seq((1, ts("2024-01-01 08:00:00")), (2, ts("2024-01-01 09:00:00")))
+      .toDF("ad_id", "imp_ts")
+    val clk = Seq((1, ts("2024-01-01 08:09:00")), (2, ts("2024-01-01 09:30:00")))
+      .toDF("ad_id", "click_ts")
+    val out = StreamJoin.within(imp, clk, Seq("ad_id"), "imp_ts", "click_ts",
+      within = "10 minutes", watermark = "1 hour")
+      .select("ad_id").collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(1))
+  }
+}
