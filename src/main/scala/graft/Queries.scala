@@ -636,6 +636,39 @@ object Queries {
             WHERE CAST(shared AS DOUBLE) / CAST(ca.n_grams + cb.n_grams - shared AS DOUBLE) >= 0.5
             ORDER BY id_a, id_b"""))
 
+  // Canonical-form exact dedup: normalization (lowercase, strip
+  // punctuation, collapse whitespace) merges documents that differ
+  // only in case/punct/spacing. Non-vacuous by construction: 50
+  // uppercased+punctuated variants are planted and MUST collapse
+  // onto their sources (n_dups=2), byte-verified against DuckDB's
+  // replay of the same regexp chain.
+  val normalizeDedup = QueryDef(
+    "q_normalize_dedup",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val variants = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !!! ")).as("text"))
+      base.union(variants)
+        .groupBy(TextFunctions.normalizeForDedup(col("text")).as("norm_text"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_dups"))
+        .select(col("rep_id"), col("n_dups"))
+        .orderBy("rep_id")
+    },
+    Some("""WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, '  ' || upper(text) || ' !!! '
+              FROM documents WHERE doc_id < 50
+            ), n AS (
+              SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+              FROM aug
+            )
+            SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+            FROM n GROUP BY nt ORDER BY rep_id"""))
+
   // --- Oracle-replayable polynomial hash (SQL side) ---------------
   // h = (h*31 + code) mod 1e9+7 folded over the characters, seeded —
   // the DuckDB replay of graft.functions.Hashing.poly. `cs` is a
@@ -922,7 +955,7 @@ object Queries {
     topOrders, supplierRank,
     usersNoPurchase, sessionize, sessionWindowAgg, windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    dedupExact, ngramJaccardPairs, minhashPairs, simhash,
+    dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs, simhash,
     embeddingNearDup, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode)
 }

@@ -104,6 +104,20 @@ object TextFunctions {
         / n.cast("double"))
   }
 
+  /** Canonical form for exact/near dedup — the C4/FineWeb-style
+    * normalization pass: lowercase, strip punctuation (keep letters,
+    * digits and whitespace, unicode-aware), collapse whitespace
+    * runs, trim. Two documents differing only in case, punctuation
+    * or spacing normalize identically; pair with
+    * [[graft.operators.Dedup.exactByHash]] (hash the normalized
+    * column) for canonical exact dedup. Pure codegen'd regexp work —
+    * shuffle-free, linear.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]+", " "),
+      "\\s+", " "))
+
   /** Composite document quality score in [0,1]: rewards stopword
     * presence and healthy token length; penalizes punctuation/digit
     * noise. Weights follow the C4/Gopher-style published heuristics.
