@@ -911,6 +911,46 @@ object Queries {
                      // SimilaritySpec separately proves
                      // nProbe=nCenters == brute force exactly
 
+  // Duplicate-cluster components over the near-dup pair graph: with
+  // TWO planted copies per source, pairs chain (source~copy1,
+  // source~copy2, copy1~copy2) and the representative of each
+  // cluster is only decidable transitively — exactly what
+  // duplicateComponents resolves. Oracle: recursive-CTE reachability
+  // closure + min label over the identical exact pair set.
+  val dedupComponents = QueryDef(
+    "q_dedup_components",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val corpus = Similarity.plantNearDuplicates(base, "vec_id", "embedding",
+        col("vec_id") < 100, copies = 2, idOffset = 100000L, scaleStep = 0.01)
+      val pairs = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", threshold = 0.9)
+      Dedup.duplicateComponents(pairs).orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE aug AS (
+              ${plantedSql("WHERE vec_id < 300", "WHERE vec_id < 100", 2, 100000L, 0.01)}
+            ), e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM aug
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.9
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT s AS a, d AS b FROM edges
+              UNION
+              SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s
+            )
+            SELECT a AS id, least(a, min(b)) AS component
+            FROM reach GROUP BY a ORDER BY id"""))
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -956,6 +996,6 @@ object Queries {
     usersNoPurchase, sessionize, sessionWindowAgg, windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs, simhash,
-    embeddingNearDup, embeddingTopK, annLsh, annIvf, multimodalMeta,
+    embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode)
 }

@@ -268,6 +268,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Connected components over duplicate pairs: every id is labeled
+    * with the MINIMUM id reachable through the pair graph — the
+    * canonical representative of its duplicate cluster. This is the
+    * stage between pair detection (minhash/simhash/ngram/embedding)
+    * and "keep one copy": pairs alone can't pick survivors when
+    * duplicates chain (a~b, b~c but a,c were never compared).
+    *
+    * Algorithm: iterative min-label propagation. Each round every
+    * node takes the min of its label and its neighbors' labels —
+    * ONE join + one partial-aggregated groupBy per round, converging
+    * in O(graph diameter) rounds (duplicate clusters are small and
+    * dense, so diameter is tiny in practice; the round count is also
+    * hard-capped). Labels are cached per round and the previous
+    * round unpersisted; convergence is detected with a count of
+    * changed labels (the only driver-side value — never the data).
+    * For adversarial long-chain graphs swap in large-star/small-star
+    * (Kiveris et al.) — same per-round join shape.
+    *
+    * Output: (id, component) — component = min id of the cluster;
+    * singleton nodes absent from `pairs` are absent here (they are
+    * their own representative by definition).
+    */
+  def duplicateComponents(
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("__chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("__chg")).count()
+      labels.unpersist()
+      labels = next.select(col("id"), col("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize the new labels BEFORE dropping next's cache —
+      // otherwise each round recomputes its full ancestry
+      labels.count()
+      next.unpersist()
+      round += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** All-pairs exact variant: the oracle/recall baseline for
     * [[embeddingNearDup]] in tests. Quadratic — never the scale
     * path.

@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
       s"candidates $nCand is ${nCand.toDouble / allPairs} of all-pairs $allPairs — not pruning")
   }
 
+  test("duplicateComponents resolves chained duplicates transitively") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (never compared end-to-end), disjoint pair 10-11,
+    // and a triangle 20-21-22
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.duplicateComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("DF-capped ngram join equals the uncapped join on the test corpus") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
     def run(cap: Option[Int]) =
