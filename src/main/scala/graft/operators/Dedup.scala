@@ -311,14 +311,12 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("__chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // this count MATERIALIZES next's cache, so the old labels can
+      // be dropped and next reused as-is — one action per round, and
+      // no round ever recomputes its ancestry
       changed = next.filter(col("__chg")).count()
       labels.unpersist()
-      labels = next.select(col("id"), col("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize the new labels BEFORE dropping next's cache —
-      // otherwise each round recomputes its full ancestry
-      labels.count()
-      next.unpersist()
+      labels = next
       round += 1
     }
     sym.unpersist()
