@@ -682,11 +682,21 @@ object Queries {
   // so the driver gate gets full row/schema/hash verification instead
   // of a rows-only check (round-3 verdict #2). DedupSpec covers the
   // xxhash64 family; the sketch math is shared.
+  // 20 planted textual near-duplicates (source text + a short
+  // appended tail: 3-gram jaccard ~0.95+) keep the pair set
+  // NON-VACUOUS at every scale factor — at sf0.1 the natural corpus
+  // has no pairs above threshold, and a 0-row hash match would
+  // verify nothing.
   private val minhashOracle = {
     val mins = (0 until 32).map(i => s"MIN(${phSql(i.toString)})").mkString(",\n              ")
-    s"""WITH toks AS (
+    s"""WITH aug AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zq zr zs'
+          FROM documents WHERE doc_id < 20
+        ), toks AS (
           SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-          FROM documents WHERE doc_id < 300
+          FROM aug
         ), grams AS (
           SELECT id, unnest(list_distinct(
             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
@@ -715,12 +725,18 @@ object Queries {
 
   val minhashPairs = QueryDef(
     "q_minhash_pairs",
-    (s, d) => Dedup.minHashLsh(
-        Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 0.5,
-        hashFn = Hashing.poly, bandHashFn = Hashing.polyLongs)
-      .select(col("id_a"), col("id_b"))
-      .orderBy("id_a", "id_b"),
+    (s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text"))
+      Dedup.minHashLsh(base.union(planted), "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5,
+          hashFn = Hashing.poly, bandHashFn = Hashing.polyLongs)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
     Some(minhashOracle))
 
   private val simhashOracle = {
