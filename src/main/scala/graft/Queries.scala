@@ -376,6 +376,43 @@ object Queries {
             FROM orders GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  // As-of join: latest signup at or before each purchase, per user.
+  // The operator is one equi-shuffle join + one partial-aggregated
+  // max(struct); the oracle is a windowed row_number replay with the
+  // identical (ts, event_id) tie-break.
+  val asofJoin = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"),
+          col("event_id").as("s_event_id"), col("value").as("s_value"))
+      AsOfJoin.latestAtOrBefore(purchases, signups,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "s_ts",
+          payload = Seq("s_event_id", "s_value"),
+          tieBreak = Some("s_event_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), s AS (
+              SELECT user_id, ts AS s_ts, event_id AS s_event_id,
+                value AS s_value
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, p.ts, s.s_ts AS asof_ts,
+              s.s_event_id, s.s_value
+            FROM p LEFT JOIN s
+              ON p.user_id = s.user_id AND s.s_ts <= p.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY p.event_id
+              ORDER BY s.s_ts DESC NULLS LAST,
+                       s.s_event_id DESC NULLS LAST) = 1
+            ORDER BY p.event_id"""))
+
   // Tumbling event-time window aggregate via streaming.WindowedAgg
   // (window() groups identically in batch, which is what makes the
   // streaming operator's window arithmetic oracle-checkable here;
@@ -1009,7 +1046,7 @@ object Queries {
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
     topOrders, supplierRank,
-    usersNoPurchase, sessionize, sessionWindowAgg, windowedAgg,
+    usersNoPurchase, asofJoin, sessionize, sessionWindowAgg, windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs, simhash,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
