@@ -724,9 +724,12 @@ object Queries {
   // NON-VACUOUS at every scale factor — at sf0.1 the natural corpus
   // has no pairs above threshold, and a 0-row hash match would
   // verify nothing.
-  private val minhashOracle = {
+  // CTE chain shared by q_minhash_pairs and q_deduplicate: planted
+  // corpus -> tokenize -> 3-grams -> polynomial minhash signatures ->
+  // banding -> surviving pairs (est jaccard >= 0.5) as `sel`.
+  private val minhashCtes = {
     val mins = (0 until 32).map(i => s"MIN(${phSql(i.toString)})").mkString(",\n              ")
-    s"""WITH aug AS (
+    s"""aug AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 300
           UNION ALL
           SELECT doc_id + 100000, text || ' zq zr zs'
@@ -754,11 +757,14 @@ object Queries {
         ), pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
           FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh AND a.id < b.id
-        )
-        SELECT id_a, id_b FROM pairs
-        WHERE CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32.0 >= 0.5
-        ORDER BY id_a, id_b"""
+        ), sel AS (
+          SELECT id_a, id_b FROM pairs
+          WHERE CAST(len(list_filter(range(1, 33), i -> sa[i] = sb[i])) AS DOUBLE) / 32.0 >= 0.5
+        )"""
   }
+
+  private val minhashOracle =
+    s"WITH $minhashCtes SELECT id_a, id_b FROM sel ORDER BY id_a, id_b"
 
   val minhashPairs = QueryDef(
     "q_minhash_pairs",
@@ -775,6 +781,41 @@ object Queries {
         .orderBy("id_a", "id_b")
     },
     Some(minhashOracle))
+
+  // End-to-end near-dedup: the pair CTEs above + transitive closure
+  // + drop every non-representative. The Spark side is ONE call
+  // (Dedup.deduplicate) composing minHashLsh -> duplicateComponents
+  // -> anti-join.
+  private val dedupOracle =
+    s"""WITH RECURSIVE $minhashCtes, edges AS (
+          SELECT id_a AS s, id_b AS d FROM sel
+          UNION SELECT id_b, id_a FROM sel
+        ), reach AS (
+          SELECT s AS a, d AS b FROM edges
+          UNION
+          SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s
+        ), losers AS (
+          SELECT a AS id FROM reach GROUP BY a HAVING min(b) < a
+        )
+        SELECT doc_id FROM aug
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id"""
+
+  val dedupEndToEnd = QueryDef(
+    "q_deduplicate",
+    (s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text"))
+      Dedup.deduplicate(base.union(planted), "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5,
+          hashFn = Hashing.poly, bandHashFn = Hashing.polyLongs)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(dedupOracle))
 
   private val simhashOracle = {
     // poly60 = poly(7)*2^30 + poly(13): bits 0..59 populated, 60..63
@@ -1048,7 +1089,8 @@ object Queries {
     topOrders, supplierRank,
     usersNoPurchase, asofJoin, sessionize, sessionWindowAgg, windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs, simhash,
+    dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
+    dedupEndToEnd, simhash,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode)
 }

@@ -323,6 +323,41 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** The end-to-end near-dedup story in one call: detect pairs,
+    * resolve clusters transitively, keep ONE representative (min id)
+    * per cluster and every unpaired document. This is what a
+    * training-data pipeline actually runs — pair detection
+    * ([[minHashLsh]] here; any (id_a, id_b) frame plugs in via
+    * [[keepRepresentatives]]) is only useful once the corpus shrinks.
+    *
+    * Scale: pair generation is banded (never all-pairs), component
+    * resolution is O(diameter) keyed rounds, and the final filter is
+    * one broadcast-or-shuffle anti-join of (non-representative ids)
+    * against the corpus — survivors stream through untouched.
+    */
+  def deduplicate(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6,
+      ngram: Int = 3,
+      hashFn: (Int, Column) => Column = Hashing.xx,
+      bandHashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val pairs = minHashLsh(docs, idCol, textCol, numHashes, bands, threshold,
+      ngram, hashFn, bandHashFn)
+    keepRepresentatives(docs, idCol, pairs)
+  }
+
+  /** Filter `docs` down to cluster representatives given any
+    * duplicate-pair frame (id_a, id_b): drop every id whose
+    * component label is a different (smaller) id.
+    */
+  def keepRepresentatives(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = duplicateComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** All-pairs exact variant: the oracle/recall baseline for
     * [[embeddingNearDup]] in tests. Quadratic — never the scale
     * path.

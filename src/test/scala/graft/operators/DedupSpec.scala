@@ -106,6 +106,16 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("deduplicate keeps one representative per cluster and all unpaired docs") {
+    val s = spark
+    import s.implicits._
+    // corpus: docs 1,2,4 are a duplicate cluster; 3 unrelated
+    val out = Dedup.deduplicate(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1L, 3L)) // 1 represents {1,2,4}; 3 survives alone
+  }
+
   test("DF-capped ngram join equals the uncapped join on the test corpus") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
     def run(cap: Option[Int]) =

@@ -65,13 +65,31 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("as-of join is an equi join with range residual, one aggregate shuffle after") {
+    val ev = Tables.events(spark, sf)
+    val df = AsOfJoin.latestAtOrBefore(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"), col("value").as("s_value")),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "s_ts",
+      payload = Seq("s_value"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must ride an equi join as a residual\n" + p)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).length >= 2, "partial + final max(struct) expected\n" + p)
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val orders = Tables.orders(spark, sf)
     val candidates = Seq(
       Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9),
       Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb,
         "vec_id", "embedding", k = 5),
-      Inventory.currentInventoryOverEvents(spark, Tables.events(spark, sf)))
+      Inventory.currentInventoryOverEvents(spark, Tables.events(spark, sf)),
+      orders.rollup(col("o_orderpriority")).agg(count(lit(1))))
     candidates.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)

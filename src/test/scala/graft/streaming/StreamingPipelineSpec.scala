@@ -35,6 +35,32 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(observed === Map("x_nonneg" -> 2L, "id_small" -> 1L))
   }
 
+  test("a NEW pipeline instance on the same storageRoot resumes from the checkpoints") {
+    val s = spark
+    val dropDir = tmpDir("sr_drop")
+    val root = tmpDir("sr_root")
+    def build(): StreamingPipeline = {
+      val p = new StreamingPipeline(s, root)
+      p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+        format = "csv", options = Map("header" -> "true")))
+      p.table("silver", "bronze") { d => d("bronze") }
+      p
+    }
+    dropCsv(dropDir, "b1.csv", "1,0.5", "2,1.5")
+    build().runOnce()
+
+    // process restart: a fresh instance, same storage — must pick up
+    // ONLY the new file, not reprocess b1
+    dropCsv(dropDir, "b2.csv", "3,2.5")
+    val p2 = build()
+    val built = p2.runOnce()
+    assert(built("silver").select("id").collect().map(_.getInt(0)).sorted.toSeq
+      === Seq(1, 2, 3))
+    // a third cascade with nothing new appends nothing
+    build().runOnce()
+    assert(p2.readTable("silver").count() === 3)
+  }
+
   test("streaming fail rule aborts the cascade before dependents run") {
     val s = spark
     val dropDir = tmpDir("sf_drop")
