@@ -376,6 +376,33 @@ object Queries {
             FROM orders GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  // The stream-stream range-join operator on its batch parity path
+  // (same code, same condition): purchases within 1 hour after a
+  // click, per user. The streaming semantics (state eviction,
+  // append timing) are StreamJoinSpec's job; this verifies the join
+  // CONDITION byte-for-byte against a plain SQL oracle.
+  val rangeJoin = QueryDef(
+    "q_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      graft.streaming.StreamJoin.within(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "click_ts", rightTs = "purchase_ts",
+          within = "1 hour", watermark = "1 hour")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+              p.event_id AS purchase_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            ORDER BY c.user_id, click_id, purchase_id"""))
+
   // As-of join: latest signup at or before each purchase, per user.
   // The operator is one equi-shuffle join + one partial-aggregated
   // max(struct); the oracle is a windowed row_number replay with the
@@ -1087,7 +1114,8 @@ object Queries {
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
     topOrders, supplierRank,
-    usersNoPurchase, asofJoin, sessionize, sessionWindowAgg, windowedAgg,
+    usersNoPurchase, asofJoin, rangeJoin, sessionize, sessionWindowAgg,
+    windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash,
