@@ -844,19 +844,21 @@ object Queries {
     },
     Some(dedupOracle))
 
-  private val simhashOracle = {
-    // poly60 = poly(7)*2^30 + poly(13): bits 0..59 populated, 60..63
-    // always zero -> those sums are -n_tokens and contribute bit 0 on
-    // both engines, so the oracle only needs bits 0..59.
+  // poly60 = poly(7)*2^30 + poly(13): bits 0..59 populated, 60..63
+  // always zero -> those sums are -n_tokens and contribute bit 0 on
+  // both engines, so the oracle only needs bits 0..59. `docSource`
+  // must yield (doc_id, text); the CTE chain ends in
+  // sh(doc_id, simhash).
+  private def simhashShCtes(docSource: String): String = {
     val bitSums = (0 until 60).map(j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
       .mkString(",\n            ")
     val recombine = (0 until 60).map(j =>
       s"(CASE WHEN b_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString("\n          + ")
-    s"""WITH toks AS (
+    s"""toks AS (
           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
-          FROM documents WHERE doc_id < 300
+          FROM ($docSource)
         ), tc AS (
           SELECT doc_id, list_transform(string_split(t, ''), x -> CAST(ord(x) AS BIGINT)) AS cs
           FROM toks
@@ -867,10 +869,11 @@ object Queries {
           SELECT doc_id,
             $bitSums
           FROM h GROUP BY doc_id
-        )
-        SELECT doc_id,
-          $recombine AS simhash
-        FROM bits ORDER BY doc_id"""
+        ), sh AS (
+          SELECT doc_id,
+            $recombine AS simhash
+          FROM bits
+        )"""
   }
 
   val simhash = QueryDef(
@@ -879,7 +882,37 @@ object Queries {
         Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", "text",
         hashFn = Hashing.poly60)
       .orderBy("doc_id"),
-    Some(simhashOracle))
+    Some(s"""WITH ${simhashShCtes("SELECT doc_id, text FROM documents WHERE doc_id < 300")}
+             SELECT doc_id, simhash FROM sh ORDER BY doc_id"""))
+
+  // SimHash PAIRS via pigeonhole banding at the canonical Manku
+  // threshold (hamming <= 3, 4-chunk pigeonhole). Non-vacuous twice
+  // over: half the planted appended-tail variants land within 3 bits
+  // of their source, and the synthetic corpus contains ~85 genuinely
+  // similar natural pairs at that distance.
+  val simhashPairs = QueryDef(
+    "q_simhash_pairs",
+    (s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text"))
+      Dedup.simHashPairs(base.union(planted), "doc_id", "text",
+          maxHamming = 3, hashFn = Hashing.poly60)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH ${simhashShCtes(
+        """SELECT doc_id, text FROM documents WHERE doc_id < 300
+           UNION ALL
+           SELECT doc_id + 100000, text || ' zq zr zs'
+           FROM documents WHERE doc_id < 20""")}
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             ORDER BY id_a, id_b"""))
 
   // --- Planted near-duplicate corpora -----------------------------
   // The test embeddings are ISOTROPIC (max natural pairwise cosine
@@ -1118,7 +1151,7 @@ object Queries {
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
-    dedupEndToEnd, simhash,
+    dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode)
 }

@@ -190,6 +190,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Near-duplicate pairs by SimHash hamming distance: pairs of
+    * documents whose 64-bit simhashes differ in at most `maxHamming`
+    * bits.
+    *
+    * Candidate generation is the classic simhash banding (Manku et
+    * al., WWW'07): the 64-bit hash splits into `maxHamming + 1`
+    * chunks, and by pigeonhole any pair within `maxHamming` bits
+    * agrees EXACTLY on at least one chunk — so candidates come from
+    * an equi-join on (chunk index, chunk bits) with ZERO false
+    * negatives, and the cheap popcount(xor) verify runs only inside
+    * chunk buckets. Nothing quadratic in the corpus.
+    */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "0 <= maxHamming < 64")
+    val bands = maxHamming + 1
+    val width = 64 / bands // chunk bit width (last chunk takes the remainder)
+    val sh = simHash(docs, idCol, textCol, hashFn)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        val hi = if (b == bands - 1) 64 else (b + 1) * width
+        val chunk = shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit(if (hi - b * width >= 64) -1L else (1L << (hi - b * width)) - 1L))
+        struct(lit(b).as("band"), chunk.as("bits"))
+      }: _*)).as("__bk"))
+      .select(col(idCol), col("simhash"), col("__bk.band").as("band"),
+        col("__bk.bits").as("bits"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
   /** LSH-banded candidate pairs for [[embeddingNearDup]] —
     * (id_a, id_b) sharing at least one band bucket, id_a < id_b,
     * deduplicated across bands. Exposed so tests can assert the

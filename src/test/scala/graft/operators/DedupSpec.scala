@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
       s"candidates $nCand is ${nCand.toDouble / allPairs} of all-pairs $allPairs — not pruning")
   }
 
+  test("simHashPairs surfaces near-dups within the hamming bound, never unrelated docs") {
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) === 0) // identical text -> identical simhash
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0) // near-dup, small distance
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+    // banding guarantee: the pair set equals the exact all-pairs
+    // hamming filter (pigeonhole -> zero false negatives)
+    val sh = Dedup.simHash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 8
+    } yield (a, b) -> h).toMap
+    assert(pairs === exact)
+  }
+
   test("duplicateComponents resolves chained duplicates transitively") {
     val s = spark
     import s.implicits._
