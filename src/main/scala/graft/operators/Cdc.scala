@@ -50,23 +50,34 @@ object Cdc {
       payload: Seq[String]): DataFrame =
     latestByKey(current.unionByName(updates), keys, seqCols, payload)
 
+  /** Column marking tombstone rows in a tombstone-retaining state. */
+  val DeletedCol = "__del"
+
   /** Full `apply_changes` semantics including deletes — the
     * `APPLY AS DELETE WHEN <cond>` clause of the DLT API the plain
     * [[upsert]] lacks: among all rows per key the LATEST by `seqCols`
-    * wins, and if that winner is a delete marker the key disappears
-    * from the state entirely. Sequencing rules match DLT: a delete
-    * older than the current row is ignored; a row newer than a
-    * delete re-inserts the key.
+    * wins, and if that winner is a delete marker the key is deleted.
+    * Sequencing rules match DLT: a delete older than the current row
+    * is ignored; a row newer than a delete re-inserts the key.
     *
-    * `deleteWhen` is evaluated on `updates` (rows already in `current`
-    * are never markers — deleted keys left the state on a previous
-    * merge). Null condition results count as not-delete.
+    * `retainTombstones` decides what "deleted" means across MERGES:
+    *  - `true` (what a multi-batch stream needs): the winning delete
+    *    stays in the state as a tombstone row (`__del = true`), so a
+    *    LATE update with an older sequence arriving in a later batch
+    *    still loses to it — without the tombstone that late row
+    *    would silently resurrect the key. Filter `!__del` on read.
+    *    `current` may already carry a `__del` column from a previous
+    *    merge.
+    *  - `false` (single-shot merges): tombstones are dropped from
+    *    the output immediately.
+    *
+    * `deleteWhen` is evaluated on `updates`; null results count as
+    * not-delete.
     *
     * Scale: identical shape to [[upsert]] — ONE partial-aggregated
-    * shuffle; the marker is one boolean riding the max(struct), and
-    * tombstones are dropped by a post-aggregate filter at
-    * |distinct keys| volume, so deleted keys cost nothing after the
-    * merge that removes them.
+    * shuffle; the marker is one boolean riding the max(struct).
+    * Retained tombstones cost one state row per deleted key (bounded
+    * by key cardinality like every other state row).
     */
   def applyChanges(
       current: DataFrame,
@@ -74,13 +85,17 @@ object Cdc {
       keys: Seq[String],
       seqCols: Seq[String],
       payload: Seq[String],
-      deleteWhen: Column): DataFrame = {
+      deleteWhen: Column,
+      retainTombstones: Boolean = false): DataFrame = {
     val cols = keys ++ seqCols ++ payload
-    val cur = current.select(cols.map(col): _*).withColumn("__del", lit(false))
+    val cur =
+      if (current.columns.contains(DeletedCol))
+        current.select((cols :+ DeletedCol).map(col): _*)
+      else current.select(cols.map(col): _*).withColumn(DeletedCol, lit(false))
     val upd = updates.select(cols.map(col) :+
-      coalesce(deleteWhen, lit(false)).as("__del"): _*)
-    latestByKey(cur.unionByName(upd), keys, seqCols, payload :+ "__del")
-      .filter(!col("__del"))
-      .drop("__del")
+      coalesce(deleteWhen, lit(false)).as(DeletedCol): _*)
+    val merged = latestByKey(cur.unionByName(upd), keys, seqCols, payload :+ DeletedCol)
+    if (retainTombstones) merged
+    else merged.filter(!col(DeletedCol)).drop(DeletedCol)
   }
 }

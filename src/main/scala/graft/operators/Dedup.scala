@@ -152,7 +152,11 @@ object Dedup {
     // sides of two joins — up to ~7 re-evaluations of the tokenize +
     // explode subtree in the capped branch. Persist it once
     // (memory-with-disk-spill: the exploded index is ~2x corpus
-    // text, partition-local, evicted LRU under pressure).
+    // text, partition-local, evicted LRU under pressure). CACHE
+    // LIFETIME: the returned lazy frame references this cache, so it
+    // cannot be unpersisted here; it is evicted LRU, on session
+    // close, or by the caller via spark.catalog.clearCache() after
+    // consuming the result.
     val rawGrams = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("g"))
     val grams =
@@ -329,7 +333,10 @@ object Dedup {
     *
     * Output: (id, component) — component = min id of the cluster;
     * singleton nodes absent from `pairs` are absent here (they are
-    * their own representative by definition).
+    * their own representative by definition). The returned frame is
+    * the final round's persisted labels (one row per paired doc) —
+    * already materialized, so reads are cache hits; release it with
+    * `.unpersist()` (or session close / LRU) once consumed.
     */
   def duplicateComponents(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
@@ -365,6 +372,14 @@ object Dedup {
       round += 1
     }
     sym.unpersist()
+    // a silent cap-hit would return WRONG labels (a split cluster and
+    // false representatives) with every downstream count looking
+    // plausible — converging late must be loud, not lossy
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateComponents did not converge within $maxRounds rounds " +
+          s"($changed labels still changing) — the pair graph has diameter " +
+          s"> $maxRounds; raise maxRounds or use a star-contraction variant")
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -109,26 +109,34 @@ object Multimodal {
     private def normalizeFmt(f: String): String =
       f.toLowerCase match { case "jpg" => "jpeg"; case x => x }
 
-    /** Header-only decode: (format, width, height); no pixel work. */
+    /** Header-only decode: (format, width, height); no pixel work.
+      * A payload matching a format signature but truncated/corrupt
+      * makes the reader THROW (not return null) — caught here, so
+      * one bad blob degrades to the sentinel instead of failing the
+      * task 4 times and aborting the job.
+      */
     def decode(bytes: Array[Byte]): (String, Int, Int) = {
       if (bytes == null || bytes.isEmpty) return ("unknown", -1, -1)
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) ("unknown", -1, -1)
-        else {
-          val r = readers.next()
-          try {
-            r.setInput(iis)
-            (normalizeFmt(r.getFormatName), r.getWidth(0), r.getHeight(0))
-          } finally r.dispose()
-        }
-      } finally iis.close()
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) ("unknown", -1, -1)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              (normalizeFmt(r.getFormatName), r.getWidth(0), r.getHeight(0))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => ("unknown", -1, -1) }
     }
 
     private def read(bytes: Array[Byte]): Option[BufferedImage] =
       if (bytes == null || bytes.isEmpty) None
-      else Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Mean-luminance grid features: the image is cut into a
       * ceil(sqrt(dim))-square cell grid, cells averaged in scan

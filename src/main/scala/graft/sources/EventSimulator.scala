@@ -41,13 +41,18 @@ object EventSimulator {
       .load(), nStores, nItems)
 
   /** Bounded batch variant (ids 0 until n) for tests and backfills —
-    * identical derivation, so a batch backfill and a live stream
-    * produce the same rows for the same ids.
+    * identical attribute derivation, so a backfill and a live stream
+    * agree on every NON-TIME column for the same ids (the stream
+    * stamps wall-clock arrival time; the batch stamps a
+    * deterministic one-second-per-id clock from `baseEpochSeconds`,
+    * making two backfills byte-identical, timestamps included).
     */
   def batch(spark: SparkSession, n: Long,
-      nStores: Int = 10, nItems: Int = 1000): DataFrame =
+      nStores: Int = 10, nItems: Int = 1000,
+      baseEpochSeconds: Long = 1704067200L /* 2024-01-01 UTC */): DataFrame =
     shape(spark.range(n).select(
-      current_timestamp().as("timestamp"), col("id").as("value")),
+      timestamp_seconds(lit(baseEpochSeconds) + col("id")).as("timestamp"),
+      col("id").as("value")),
       nStores, nItems)
 
   private def shape(rate: DataFrame, nStores: Int, nItems: Int): DataFrame = {

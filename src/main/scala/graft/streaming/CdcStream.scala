@@ -42,9 +42,22 @@ final class ParquetStateStore(
       Some(new String(Files.readAllBytes(latestPtr), StandardCharsets.UTF_8).trim.toLong)
     else None
 
-  /** Current materialized state (None before the first batch). */
-  def current: Option[DataFrame] =
+  /** Raw persisted state, INCLUDING delete tombstones when
+    * `deleteWhen` is configured (they must survive merges so a late
+    * out-of-order update cannot resurrect a deleted key).
+    */
+  private def rawState: Option[DataFrame] =
     latestVersion.map(v => spark.read.parquet(versionDir(v)))
+
+  /** Current materialized state (None before the first batch);
+    * tombstoned keys are excluded.
+    */
+  def current: Option[DataFrame] = rawState.map { df =>
+    if (df.columns.contains(Cdc.DeletedCol))
+      df.filter(!org.apache.spark.sql.functions.col(Cdc.DeletedCol))
+        .drop(Cdc.DeletedCol)
+    else df
+  }
 
   /** Merge a batch of updates: state ∪ batch -> latest row per key
     * (honoring `deleteWhen` markers — `APPLY AS DELETE WHEN` — if
@@ -53,11 +66,12 @@ final class ParquetStateStore(
     */
   def upsertBatch(batch: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.functions.lit
-    val state = current.getOrElse(
+    val state = rawState.getOrElse(
       batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
         .filter(lit(false)))
     val merged = deleteWhen match {
-      case Some(cond) => Cdc.applyChanges(state, batch, keys, seqCols, payload, cond)
+      case Some(cond) => Cdc.applyChanges(state, batch, keys, seqCols, payload, cond,
+        retainTombstones = true)
       case None => Cdc.upsert(state, batch, keys, seqCols, payload)
     }
     val next = latestVersion.getOrElse(-1L) + 1
@@ -83,14 +97,19 @@ final class ParquetStateStore(
     val dir = Paths.get(path)
     if (cutoff > 0 && Files.isDirectory(dir)) {
       val versioned = "^v(\\d+)$".r
-      Files.list(dir).iterator().forEachRemaining { p =>
-        p.getFileName.toString match {
-          case versioned(v) if v.toLong < cutoff =>
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().forEachRemaining(Files.deleteIfExists(_))
-          case _ => ()
+      val listing = Files.list(dir)
+      try {
+        listing.iterator().forEachRemaining { p =>
+          p.getFileName.toString match {
+            case versioned(v) if v.toLong < cutoff =>
+              val walk = Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator().forEachRemaining(Files.deleteIfExists(_))
+              finally walk.close() // Files.walk/list leak an fd per call unless closed
+            case _ => ()
+          }
         }
-      }
+      } finally listing.close()
     }
   }
 }

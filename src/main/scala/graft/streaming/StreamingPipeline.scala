@@ -171,29 +171,13 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
     }
   }
 
-  /** Violation counts per rule observed by a query's finished
-    * batches: ruleName -> total failed rows.
-    */
-  private def observedFailures(q: StreamingQuery, table: String,
-      rules: Seq[Expectations.Rule]): Map[String, Long] = {
-    val perBatch = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get(observeName(table))))
-    rules.map { r =>
-      r.name -> perBatch.map { row =>
-        row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))
-      }.sum
-    }.toMap
-  }
-
-  private def enforceFail(q: StreamingQuery, table: String,
+  private def enforceFail(table: String, failures: Map[String, Long],
       rules: Seq[Expectations.Rule]): Unit = {
-    val failRules = rules.filter(_.action == Expectations.Fail)
-    if (failRules.nonEmpty) {
-      val bad = observedFailures(q, table, failRules).filter(_._2 > 0)
-      if (bad.nonEmpty)
-        throw new IllegalStateException("expectation(s) failed on streaming table " +
-          s"$table: ${bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ")}")
-    }
+    val failNames = rules.filter(_.action == Expectations.Fail).map(_.name).toSet
+    val bad = failures.filter { case (n, c) => failNames.contains(n) && c > 0 }
+    if (bad.nonEmpty)
+      throw new IllegalStateException("expectation(s) failed on streaming table " +
+        s"$table: ${bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ")}")
   }
 
   /** Build node `name`'s output stream from its deps' storage. */
@@ -213,27 +197,39 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
     */
   def runOnce(onMetrics: (String, Map[String, Long]) => Unit = (_, _) => ())
       : Map[String, DataFrame] = {
-    order.foreach { name =>
-      val flow = buildFlow(name)
-      val q = defs(name) match {
-        case SinkDef(_, _, start, _) =>
-          start(flow, checkpointDir(name))
-        case _ =>
-          schemas(name) = flow.schema
-          Files.createDirectories(Paths.get(dataDir(name)))
-          flow.writeStream
-            .format("parquet")
-            .option("path", dataDir(name))
-            .option("checkpointLocation", checkpointDir(name))
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .start()
+    // violation counts are accumulated by a listener over EVERY batch
+    // — q.recentProgress is capped (default 100 entries), so a long
+    // backlog cascade would silently drop early batches' metrics and
+    // a Fail violation in batch 1 could slip the gate
+    val collector = new StreamingPipeline.MetricsCollector
+    spark.streams.addListener(collector)
+    try {
+      order.foreach { name =>
+        val flow = buildFlow(name)
+        val q = defs(name) match {
+          case SinkDef(_, _, start, _) =>
+            start(flow, checkpointDir(name))
+          case _ =>
+            schemas(name) = flow.schema
+            Files.createDirectories(Paths.get(dataDir(name)))
+            flow.writeStream
+              .format("parquet")
+              .option("path", dataDir(name))
+              .option("checkpointLocation", checkpointDir(name))
+              .outputMode("append")
+              .trigger(Trigger.AvailableNow())
+              .start()
+        }
+        q.awaitTermination()
+        val rules = defs(name).expectations
+        if (rules.nonEmpty) {
+          collector.awaitTerminated(q.runId)
+          val failures = collector.failures(q.runId, observeName(name), rules)
+          onMetrics(name, failures)
+          enforceFail(name, failures, rules)
+        }
       }
-      q.awaitTermination()
-      val rules = defs(name).expectations
-      if (rules.nonEmpty) onMetrics(name, observedFailures(q, name, rules))
-      enforceFail(q, name, rules)
-    }
+    } finally spark.streams.removeListener(collector)
     defs.collect { case (n, _: SourceDef) => n -> readTable(n)
                    case (n, _: TableDef) => n -> readTable(n) }.toMap
   }
@@ -260,6 +256,56 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       name -> q
     }
     new StreamingRun(queries)
+  }
+}
+
+object StreamingPipeline {
+
+  /** Accumulates observed expectation metrics across ALL of a
+    * query's batches (listener events are delivered asynchronously;
+    * [[awaitTerminated]] fences on the terminal event so every
+    * progress update has arrived before totals are read).
+    */
+  private final class MetricsCollector
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    private val rows =
+      scala.collection.concurrent.TrieMap[(java.util.UUID, Long, String),
+        org.apache.spark.sql.Row]()
+    private val terminated =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val it = e.progress.observedMetrics.entrySet().iterator()
+      while (it.hasNext) {
+        val kv = it.next()
+        rows.put((e.progress.runId, e.progress.batchId, kv.getKey), kv.getValue)
+      }
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      terminated.add(e.runId)
+    }
+
+    def awaitTerminated(runId: java.util.UUID, timeoutMs: Long = 30000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!terminated.contains(runId) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      require(terminated.contains(runId),
+        s"listener did not observe termination of $runId within ${timeoutMs}ms")
+    }
+
+    def failures(runId: java.util.UUID, observeName: String,
+        rules: Seq[Expectations.Rule]): Map[String, Long] = {
+      val perBatch = rows.collect {
+        case ((r, _, n), row) if r == runId && n == observeName => row
+      }.toSeq
+      rules.map { r =>
+        r.name -> perBatch.map(row =>
+          row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))).sum
+      }.toMap
+    }
   }
 }
 

@@ -86,11 +86,17 @@ class MultimodalSpec extends SparkSpec {
   test("ImageIoCodec decodes real PNG/JPEG bytes through the partitioned shell") {
     val s = spark
     import s.implicits._
+    // doc 5: a valid PNG signature followed by garbage — matches the
+    // PNG reader but THROWS during header parse; must degrade to the
+    // sentinel, not fail the task
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      1, 2, 3, 4, 5, 6, 7, 8)
     val df = Seq(
       (1L, genImage(17, 9, "png")),
       (2L, genImage(64, 32, "jpg")),
       (3L, Array[Byte](1, 2, 3)), // not an image
-      (4L, null.asInstanceOf[Array[Byte]]))
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, corrupt))
       .toDF("doc_id", "payload").repartition(2)
     val out = Multimodal.decodePartitioned(s, df, "doc_id",
         codec = Multimodal.ImageIoCodec)
@@ -99,6 +105,11 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === (("jpeg", 64, 32)))
     assert(out(3L) === (("unknown", -1, -1)))
     assert(out(4L) === (("unknown", -1, -1)))
+    assert(out(5L) === (("unknown", -1, -1)))
+    // corrupt payloads also flow through the pixel-decoding paths
+    assert(Multimodal.ImageIoCodec.extractFeatures(corrupt, 8).toSeq
+      === Seq.fill(8)(0.0f))
+    assert(Multimodal.ImageIoCodec.resize(corrupt, 10, 10)._1.isEmpty)
   }
 
   test("ImageIoCodec resize produces a real decodable PNG in the bounding box") {

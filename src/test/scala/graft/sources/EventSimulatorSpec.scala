@@ -9,8 +9,9 @@ class EventSimulatorSpec extends SparkSpec {
   test("batch generation is deterministic, in-range, and chains into transactionalize") {
     val a = EventSimulator.batch(spark, 500, nStores = 7, nItems = 50)
     val b = EventSimulator.batch(spark, 500, nStores = 7, nItems = 50)
-    val rows = a.drop("date_time").collect().map(_.toString).sorted.toSeq
-    assert(rows === b.drop("date_time").collect().map(_.toString).sorted.toSeq)
+    // fully deterministic INCLUDING timestamps (fixed base epoch)
+    val rows = a.collect().map(_.toString).sorted.toSeq
+    assert(rows === b.collect().map(_.toString).sorted.toSeq)
     assert(rows.size === 500)
 
     val stats = a.agg(

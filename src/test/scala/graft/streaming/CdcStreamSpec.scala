@@ -65,6 +65,22 @@ class CdcStreamSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getInt(2)).toMap
     // k=1 deleted (newest op), k=2's stale delete ignored, k=3 inserted
     assert(state === Map(2 -> 20, 3 -> 30))
+
+    // a LATE update older than the delete arrives in a later batch:
+    // the retained tombstone must win — no resurrection
+    input.addData((1, 1, 99, "U"))
+    CdcStream.run(updates, store, ckpt).awaitTermination()
+    val state2 = store.current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state2 === Map(2 -> 20, 3 -> 30),
+      "late out-of-order update must not resurrect a deleted key")
+
+    // but a genuinely NEWER row re-inserts
+    input.addData((1, 3, 11, "U"))
+    CdcStream.run(updates, store, ckpt).awaitTermination()
+    val state3 = store.current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state3 === Map(1 -> 11, 2 -> 20, 3 -> 30))
   }
 
   test("retention deletes versions beyond the last k and state still reads back") {
