@@ -26,13 +26,18 @@ object Hashing {
   /** Seeded 64-bit hash of a string column (production family). */
   def xx(seed: Int, s: Column): Column = xxhash64(lit(seed), s)
 
-  /** Seeded polynomial rolling hash over the characters:
-    * h = (h*31 + code(c)) mod 1e9+7, starting from `seed`. The same
-    * recurrence as [[TextFunctions.fingerprint]] (seed 0).
+  /** Seeded polynomial rolling hash over the code points:
+    * h = (h*31 + codepoint) mod 1e9+7, starting from `seed`. The
+    * same recurrence as [[TextFunctions.fingerprint]] (seed 0),
+    * evaluated by the codegen'd [[graft.plans.PolyHash]] expression
+    * (a per-character lambda chain here made the sketch queries
+    * interpreter-bound). Registers on the active session.
     */
-  def poly(seed: Int, s: Column): Column =
-    aggregate(split(s, ""), lit(seed.toLong),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(Mod)))
+  def poly(seed: Int, s: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    call_function("graft_poly_hash", s, lit(seed.toLong))
+  }
 
   /** Polynomial hash of a long-array column (used to bucket LSH
     * signature bands). Values are folded mod 1e9+7 first so the fold

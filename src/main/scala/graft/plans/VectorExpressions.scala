@@ -159,6 +159,53 @@ object LshBandBits {
   }
 }
 
+/** Seeded polynomial rolling hash over a string's code points:
+  * h = (h*31 + codepoint) mod 1e9+7, starting from `seed` — the
+  * oracle-replayable hash family ([[graft.functions.Hashing]]) as a
+  * tight codegen'd loop. The Column composition it replaces
+  * (`aggregate(split(s, ""), ...)`) evaluates a higher-order lambda
+  * PER CHARACTER outside codegen — on sketch queries hashing every
+  * n-gram 32 times, that interpreter overhead dominated the whole
+  * query. Code-point iteration matches DuckDB's
+  * `string_split(s, '')` + `ord()` exactly (surrogate pairs hash as
+  * one code point).
+  */
+case class PolyHash(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType, LongType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_poly_hash"
+
+  override def nullSafeEval(s: Any, seed: Any): Any =
+    PolyHash.compute(s.toString, seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, seed) =>
+      s"${ev.value} = graft.plans.PolyHash.compute($s.toString(), $seed);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PolyHash {
+  val Mod: Long = 1000000007L
+
+  def compute(s: String, seed: Long): Long = {
+    var h = seed % Mod
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 object VectorExpressions {
 
   def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
@@ -210,7 +257,10 @@ object GraftFunctions {
       children => TopKPairs(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_lsh_band_bits"),
       new ExpressionInfo(classOf[LshBandBits].getName, "graft_lsh_band_bits"),
-      children => LshBandBits(children(0), children(1), children(2))))
+      children => LshBandBits(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      children => PolyHash(children(0), children(1))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
