@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   * Production default is xxhash64 — codegen'd, 64-bit, fast. The
   * polynomial family exists because xxhash64 is not reproducible in
   * other engines: an external SQL oracle (DuckDB) can replay
-  * `h = (h*31 + code) mod 1e9+7` exactly via `list_reduce` over the
-  * characters, so sketch queries registered with the polynomial
+  * `h = (h*31 + codepoint) mod 1e9+7` exactly via `list_reduce` over
+  * the characters, so sketch queries registered with the polynomial
   * family get full row/schema/hash oracle verification instead of
   * rows-only checks. Same sketch math, pluggable hash.
   *
-  * Scale note: `poly*` run through `aggregate` over a per-char split
-  * (non-codegen'd lambda) — fine for verification corpora, but the
-  * xxhash64 family is the 100 TB path.
+  * Scale note: [[poly]] runs through the codegen'd
+  * [[graft.plans.PolyHash]] expression (a tight code-point loop);
+  * xxhash64 remains ~2x faster and 64-bit wide, so it stays the
+  * 100 TB default. Only [[polyLongs]] (a 32-element fold per band)
+  * still uses a lambda `aggregate`. [[poly]] registers graft's
+  * functions on the ACTIVE session; in multi-session apps where the
+  * frame's owner session is not the active one, call
+  * [[graft.plans.GraftFunctions.register]] on the owning session
+  * first (same caveat as `TextFunctions.textStats`).
   */
 object Hashing {
 

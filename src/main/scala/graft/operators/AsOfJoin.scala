@@ -45,6 +45,9 @@ object AsOfJoin {
     require(keys.nonEmpty, "at least one key")
     require(rightTs != leftTs && !left.columns.contains(rightTs),
       s"right ts column '$rightTs' collides with a left column — rename it upstream")
+    require(!left.columns.contains("asof_ts") && !left.columns.contains("__m"),
+      "left already has an 'asof_ts'/'__m' column (chained as-of join?) — " +
+        "rename it upstream or the output would carry duplicate names")
     val tb = tieBreak.toSeq
     val rightCarry = ((rightTs +: tb) ++ payload).distinct
     require(rightCarry.forall(c => !left.columns.contains(c)),

@@ -353,7 +353,15 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
     var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    // the cap counts IMPROVEMENT rounds: converging exactly on round
+    // maxRounds is success (the throw below fires only when a
+    // further round would still be changing labels)
+    while (changed > 0) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"duplicateComponents did not converge within $maxRounds rounds " +
+            s"($changed labels still changing) — the pair graph has diameter " +
+            s"> $maxRounds; raise maxRounds or use a star-contraction variant")
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -372,14 +380,6 @@ object Dedup {
       round += 1
     }
     sym.unpersist()
-    // a silent cap-hit would return WRONG labels (a split cluster and
-    // false representatives) with every downstream count looking
-    // plausible — converging late must be loud, not lossy
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"duplicateComponents did not converge within $maxRounds rounds " +
-          s"($changed labels still changing) — the pair graph has diameter " +
-          s"> $maxRounds; raise maxRounds or use a star-contraction variant")
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -409,12 +409,21 @@ object Dedup {
   /** Filter `docs` down to cluster representatives given any
     * duplicate-pair frame (id_a, id_b): drop every id whose
     * component label is a different (smaller) id.
+    *
+    * The component labels' round cache is RELEASED here: the loser
+    * id set (one bare id per dropped doc — the minimal footprint) is
+    * local-checkpointed eagerly, which truncates its lineage off the
+    * labels cache, so the per-doc labels storage does not stay
+    * pinned for the life of the returned (lazy) frame.
     */
   def keepRepresentatives(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = duplicateComponents(pairs)
+    val components = duplicateComponents(pairs)
+    val losers = components
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    components.unpersist()
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

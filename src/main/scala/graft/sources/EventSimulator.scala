@@ -56,8 +56,10 @@ object EventSimulator {
       nStores, nItems)
 
   private def shape(rate: DataFrame, nStores: Int, nItems: Int): DataFrame = {
+    // pmod, not abs: abs(Long.MinValue) IS Long.MinValue, which
+    // would put one-in-2^64 rows outside the documented ranges
     def mix(seed: Int): org.apache.spark.sql.Column =
-      abs(xxhash64(lit(seed), col("value")))
+      pmod(xxhash64(lit(seed), col("value")), lit(Long.MaxValue))
     rate.select(
       concat(lit("t"), col("value")).as("trans_id"),
       (mix(1) % nStores + 1).cast("int").as("store_id"),
