@@ -328,15 +328,16 @@ object Dedup {
     * hard-capped). Labels are cached per round and the previous
     * round unpersisted; convergence is detected with a count of
     * changed labels (the only driver-side value — never the data).
-    * For adversarial long-chain graphs swap in large-star/small-star
-    * (Kiveris et al.) — same per-round join shape.
+    * Pointer jumping (each node also adopts its label's label via a
+    * labels self-join) makes the round count O(log diameter), so
+    * even adversarial long-chain graphs converge within the cap.
     *
     * Output: (id, component) — component = min id of the cluster;
     * singleton nodes absent from `pairs` are absent here (they are
-    * their own representative by definition). The returned frame is
-    * the final round's persisted labels (one row per paired doc) —
-    * already materialized, so reads are cache hits; release it with
-    * `.unpersist()` (or session close / LRU) once consumed.
+    * their own representative by definition). The returned frame
+    * reads the final round's local-checkpoint blocks (one row per
+    * paired doc, already materialized); they are reclaimed by the
+    * ContextCleaner once the frame is unreferenced.
     */
   def duplicateComponents(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
@@ -348,9 +349,14 @@ object Dedup {
     // a plain distinct, one fewer propagation round: diameter-1
     // clusters — the common dense near-dup case — converge without
     // iterating)
+    // each round is local-checkpointed (materialize + TRUNCATE
+    // lineage): the pointer-jumping self-join would otherwise embed
+    // two copies of the previous round's plan per round — an
+    // exponentially growing logical plan that OOMs the driver on
+    // plan stringification long before data is a problem
     var labels = sym.groupBy("src").agg(min("dst").as("__nmin"))
       .select(col("src").as("id"), least(col("src"), col("__nmin")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var round = 0
     var changed = 1L
     // the cap counts IMPROVEMENT rounds: converging exactly on round
@@ -366,17 +372,21 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).as("__chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // this count MATERIALIZES next's cache, so the old labels can
-      // be dropped and next reused as-is — one action per round, and
-      // no round ever recomputes its ancestry
+      // pointer jumping: each node also adopts its LABEL's label
+      // (one labels self-join per round) — label chains halve every
+      // round, so convergence is O(log diameter), not O(diameter):
+      // a 1000-link duplicate chain resolves in ~10 rounds
+      val parents = labels.select(col("id").as("label"), col("label").as("__pl"))
+      val next = labels.join(parents, Seq("label"), "left")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__pl"), col("label")),
+            coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
+        .localCheckpoint(true) // materialized here; lineage cut
       changed = next.filter(col("__chg")).count()
-      labels.unpersist()
-      labels = next
+      labels = next // previous round's blocks are reclaimed by the
+                    // ContextCleaner once unreferenced
       round += 1
     }
     sym.unpersist()
@@ -410,20 +420,18 @@ object Dedup {
     * duplicate-pair frame (id_a, id_b): drop every id whose
     * component label is a different (smaller) id.
     *
-    * The component labels' round cache is RELEASED here: the loser
-    * id set (one bare id per dropped doc — the minimal footprint) is
-    * local-checkpointed eagerly, which truncates its lineage off the
-    * labels cache, so the per-doc labels storage does not stay
-    * pinned for the life of the returned (lazy) frame.
+    * Storage: only the loser id set (one bare id per dropped doc —
+    * the minimal footprint) is local-checkpointed and referenced by
+    * the returned frame; the per-doc component labels behind it
+    * become unreferenced here and are reclaimed by the
+    * ContextCleaner.
     */
   def keepRepresentatives(
       docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val components = duplicateComponents(pairs)
-    val losers = components
+    val losers = duplicateComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
       .localCheckpoint(true)
-    components.unpersist()
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -124,6 +124,17 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("pointer jumping resolves a 50-link duplicate chain in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // plain min-propagation would need ~49 rounds; pointer jumping
+    // needs ~log2(50) — a cap of 10 proves the logarithmic behavior
+    val comp = Dedup.duplicateComponents(pairs, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === (1L to 50L).map(_ -> 1L).toMap)
+  }
+
   test("deduplicate keeps one representative per cluster and all unpaired docs") {
     val s = spark
     import s.implicits._
