@@ -751,16 +751,35 @@ object Queries {
   // NON-VACUOUS at every scale factor — at sf0.1 the natural corpus
   // has no pairs above threshold, and a 0-row hash match would
   // verify nothing.
+  // Planted textual near-duplicates shared by the sketch queries
+  // (minhash pairs, end-to-end dedup, simhash pairs): base corpus is
+  // documents with doc_id < 300; sources with doc_id < 20 get an
+  // appended-tail copy at doc_id + 100000 (3-gram jaccard ~0.95,
+  // simhash within a few bits) so pair sets stay non-vacuous at
+  // every scale factor. ONE definition on each engine — the Spark
+  // builder and the SQL source below must stay twins.
+  private val plantedDocsSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zq zr zs'
+          FROM documents WHERE doc_id < 20"""
+
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zq zr zs")).as("text"))
+    base.union(planted)
+  }
+
   // CTE chain shared by q_minhash_pairs and q_deduplicate: planted
   // corpus -> tokenize -> 3-grams -> polynomial minhash signatures ->
   // banding -> surviving pairs (est jaccard >= 0.5) as `sel`.
   private val minhashCtes = {
     val mins = (0 until 32).map(i => s"MIN(${phSql(i.toString)})").mkString(",\n              ")
     s"""aug AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 300
-          UNION ALL
-          SELECT doc_id + 100000, text || ' zq zr zs'
-          FROM documents WHERE doc_id < 20
+          $plantedDocsSql
         ), toks AS (
           SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS toks
           FROM aug
@@ -796,12 +815,7 @@ object Queries {
   val minhashPairs = QueryDef(
     "q_minhash_pairs",
     (s, d) => {
-      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text"))
-      val planted = base.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" zq zr zs")).as("text"))
-      Dedup.minHashLsh(base.union(planted), "doc_id", "text",
+      Dedup.minHashLsh(plantedDocs(s, d), "doc_id", "text",
           numHashes = 32, bands = 8, threshold = 0.5,
           hashFn = Hashing.poly, bandHashFn = Hashing.polyLongs)
         .select(col("id_a"), col("id_b"))
@@ -831,12 +845,7 @@ object Queries {
   val dedupEndToEnd = QueryDef(
     "q_deduplicate",
     (s, d) => {
-      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text"))
-      val planted = base.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" zq zr zs")).as("text"))
-      Dedup.deduplicate(base.union(planted), "doc_id", "text",
+      Dedup.deduplicate(plantedDocs(s, d), "doc_id", "text",
           numHashes = 32, bands = 8, threshold = 0.5,
           hashFn = Hashing.poly, bandHashFn = Hashing.polyLongs)
         .select(col("doc_id"))
@@ -893,21 +902,12 @@ object Queries {
   val simhashPairs = QueryDef(
     "q_simhash_pairs",
     (s, d) => {
-      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text"))
-      val planted = base.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" zq zr zs")).as("text"))
-      Dedup.simHashPairs(base.union(planted), "doc_id", "text",
+      Dedup.simHashPairs(plantedDocs(s, d), "doc_id", "text",
           maxHamming = 3, hashFn = Hashing.poly60)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
         .orderBy("id_a", "id_b")
     },
-    Some(s"""WITH ${simhashShCtes(
-        """SELECT doc_id, text FROM documents WHERE doc_id < 300
-           UNION ALL
-           SELECT doc_id + 100000, text || ' zq zr zs'
-           FROM documents WHERE doc_id < 20""")}
+    Some(s"""WITH ${simhashShCtes(plantedDocsSql)}
              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
              FROM sh a JOIN sh b ON a.doc_id < b.doc_id

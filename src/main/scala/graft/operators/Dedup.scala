@@ -213,7 +213,12 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64, "0 <= maxHamming < 64")
     val bands = maxHamming + 1
     val width = 64 / bands // chunk bit width (last chunk takes the remainder)
+    // both sides of the band self-join read the signatures — persist
+    // so the tokenize + 64-sum simhash aggregate runs once, not
+    // twice (same cache-lifetime story as ngramJaccardPairs'
+    // rawGrams: released by LRU/session close/clearCache)
     val sh = simHash(docs, idCol, textCol, hashFn)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { b =>
         val hi = if (b == bands - 1) 64 else (b + 1) * width
@@ -361,35 +366,37 @@ object Dedup {
     var changed = 1L
     // the cap counts IMPROVEMENT rounds: converging exactly on round
     // maxRounds is success (the throw below fires only when a
-    // further round would still be changing labels)
-    while (changed > 0) {
-      if (round >= maxRounds)
-        throw new IllegalStateException(
-          s"duplicateComponents did not converge within $maxRounds rounds " +
-            s"($changed labels still changing) — the pair graph has diameter " +
-            s"> $maxRounds; raise maxRounds or use a star-contraction variant")
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      // pointer jumping: each node also adopts its LABEL's label
-      // (one labels self-join per round) — label chains halve every
-      // round, so convergence is O(log diameter), not O(diameter):
-      // a 1000-link duplicate chain resolves in ~10 rounds
-      val parents = labels.select(col("id").as("label"), col("label").as("__pl"))
-      val next = labels.join(parents, Seq("label"), "left")
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("__pl"), col("label")),
-            coalesce(col("nmin"), col("label"))).as("label"))
-        .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
-        .localCheckpoint(true) // materialized here; lineage cut
-      changed = next.filter(col("__chg")).count()
-      labels = next // previous round's blocks are reclaimed by the
-                    // ContextCleaner once unreferenced
-      round += 1
-    }
-    sym.unpersist()
+    // further round would still be changing labels). try/finally so
+    // the throw path cannot leak the persisted edge frame.
+    try {
+      while (changed > 0) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"duplicateComponents did not converge within $maxRounds rounds " +
+              s"($changed labels still changing) — the pair graph has diameter " +
+              s"> 2^$maxRounds; raise maxRounds")
+        val neighborMin = sym
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nl")).as("nmin"))
+        // pointer jumping: each node also adopts its LABEL's label
+        // (one labels self-join per round) — label chains halve every
+        // round, so convergence is O(log diameter), not O(diameter):
+        // a 1000-link duplicate chain resolves in ~10 rounds
+        val parents = labels.select(col("id").as("label"), col("label").as("__pl"))
+        val next = labels.join(parents, Seq("label"), "left")
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("__pl"), col("label")),
+              coalesce(col("nmin"), col("label"))).as("label"))
+          .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
+          .localCheckpoint(true) // materialized here; lineage cut
+        changed = next.filter(col("__chg")).count()
+        labels = next // previous round's blocks are reclaimed by the
+                      // ContextCleaner once unreferenced
+        round += 1
+      }
+    } finally sym.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -224,7 +224,7 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
         val rules = defs(name).expectations
         if (rules.nonEmpty) {
           collector.awaitTerminated(q.runId)
-          val failures = collector.failures(q.runId, observeName(name), rules)
+          val failures = collector.failures(q, observeName(name), rules)
           onMetrics(name, failures)
           enforceFail(name, failures, rules)
         }
@@ -288,19 +288,36 @@ object StreamingPipeline {
       terminated.add(e.runId)
     }
 
-    def awaitTerminated(runId: java.util.UUID, timeoutMs: Long = 30000): Unit = {
+    /** Best-effort fence: wait for the terminal event so trailing
+      * progress updates have been delivered. The shared listener bus
+      * may DROP events under backpressure, so a missing terminal
+      * event is not fatal — [[failures]] fills listener gaps from
+      * `recentProgress` anyway.
+      */
+    def awaitTerminated(runId: java.util.UUID, timeoutMs: Long = 10000): Unit = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (!terminated.contains(runId) && System.nanoTime() < deadline)
         Thread.sleep(20)
-      require(terminated.contains(runId),
-        s"listener did not observe termination of $runId within ${timeoutMs}ms")
     }
 
-    def failures(runId: java.util.UUID, observeName: String,
+    /** Per-rule violation totals for a finished query: the listener's
+      * per-batch rows (unbounded history) merged with the query's own
+      * `recentProgress` (bounded at ~100 entries but immune to
+      * listener-bus drops) — each batch counted once, from whichever
+      * source saw it. Only if BOTH miss a batch (dropped event AND
+      * evicted from the progress buffer) can its counts be lost.
+      */
+    def failures(q: org.apache.spark.sql.streaming.StreamingQuery,
+        observeName: String,
         rules: Seq[Expectations.Rule]): Map[String, Long] = {
-      val perBatch = rows.collect {
-        case ((r, _, n), row) if r == runId && n == observeName => row
-      }.toSeq
+      val fromListener = rows.collect {
+        case ((r, b, n), row) if r == q.runId && n == observeName => b -> row
+      }.toMap
+      val fromProgress = q.recentProgress
+        .filter(_.runId == q.runId)
+        .flatMap(p => Option(p.observedMetrics.get(observeName)).map(p.batchId -> _))
+        .toMap
+      val perBatch = (fromProgress ++ fromListener).values.toSeq
       rules.map { r =>
         r.name -> perBatch.map(row =>
           row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))).sum
