@@ -31,6 +31,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Map(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0), 4L -> Some(9.0)))
   }
 
+  test("a chained as-of join is rejected loudly, not silently duplicated") {
+    val s = spark
+    import s.implicits._
+    val orders = Seq((1L, 100, ts("2024-01-01 12:00:00"))).toDF("order_id", "item", "ts")
+    val prices = Seq((100, ts("2024-01-01 10:00:00"), 5.0)).toDF("item", "p_ts", "price")
+    val once = AsOfJoin.latestAtOrBefore(orders, prices,
+      keys = Seq("item"), leftTs = "ts", rightTs = "p_ts", payload = Seq("price"))
+    assert(once.columns.contains("asof_ts"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.latestAtOrBefore(once,
+        Seq((100, ts("2024-01-01 11:00:00"), 1.0)).toDF("item", "q_ts", "promo"),
+        keys = Seq("item"), leftTs = "ts", rightTs = "q_ts", payload = Seq("promo"))
+    }
+    assert(e.getMessage.contains("asof_ts"))
+  }
+
   test("equal timestamps resolve by the tie-break column, greatest wins") {
     val s = spark
     import s.implicits._

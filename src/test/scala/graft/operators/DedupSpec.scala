@@ -124,6 +124,12 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("simHashPairs at maxHamming=0 pairs only identical signatures (single full-width band)") {
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs === Map((1L, 4L) -> 0)) // only the verbatim duplicate
+  }
+
   test("pointer jumping resolves a 50-link duplicate chain in O(log n) rounds") {
     val s = spark
     import s.implicits._
