@@ -32,12 +32,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warmup: exercise the parquet reader, codegen, shuffle and
-    // broadcast machinery once; untimed.
-    try {
-      materialize(Queries.pricingSummary.fn(spark, sfDir))
-      materialize(Queries.dimLoad.fn(spark, sfDir))
-    } catch { case _: Throwable => () }
+    // Warmup: one untimed pass over EVERY registered query, so the
+    // timed pass measures warm plan cost rather than janino/JIT
+    // compilation (round-4 verdict #1: the sketch-query codegen paths
+    // — LshBandBits, 64-column simhash, poly-hash — cost 15-20s each
+    // on first execution and <1s warm). Warmup runs at the SAME sfDir
+    // because AQE may pick different physical operators (and thus
+    // different generated code) at different data scales. Disable
+    // with SPARK_GRAFT_BENCH_WARMUP=0 to measure cold-start cost.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      Queries.all.foreach { q =>
+        try materialize(q.fn(spark, sfDir))
+        catch { case _: Throwable => () }
+      }
+    }
 
     // Repeats take the per-query minimum — run-to-run noise at sf0.1
     // is ±1-2s/query, so min-of-N is the stable plan-cost signal.

@@ -74,32 +74,47 @@ object Dedup {
     *
     * Scale: candidate generation is an equi-join on (band_idx,
     * band_hash) — pair fan-out only within buckets. With b bands of r
-    * rows the match curve is the standard (1-(1-s^r)^b).
+    * rows the match curve is the standard (1-(1-s^r)^b). The band
+    * self-join carries ONLY (id, band key): candidate id pairs are
+    * deduplicated across bands first, and the two 32-long signatures
+    * are re-joined once per surviving pair for the est-Jaccard
+    * verify — a pair colliding in many bands never ships its
+    * signatures through the join fan-out or the distinct shuffle
+    * (round-4 verdict #4; same shape as the embedding path).
+    *
+    * The signature frame feeds the band explode and both verify
+    * joins, so it is persisted via `scope` — pass a [[CacheScope]]
+    * and `release()` it after consuming the result to free the
+    * blocks deterministically.
     */
   def minHashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6,
       ngram: Int = 3,
       hashFn: (Int, Column) => Column = Hashing.xx,
-      bandHashFn: Column => Column = xxhash64(_)): DataFrame = {
+      bandHashFn: Column => Column = xxhash64(_),
+      scope: CacheScope = new CacheScope): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minHashSignatures(docs, idCol, textCol, numHashes, ngram, hashFn)
+    val sig = scope.cache(
+      minHashSignatures(docs, idCol, textCol, numHashes, ngram, hashFn))
     val banded = sig.select(
-      col(idCol), col("signature"),
+      col(idCol),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           bandHashFn(slice(col("signature"), b * rows + 1, rows)).as("bh"))): _*)).as("__band"))
-    val a = banded.select(col(idCol).as("id_a"), col("signature").as("sig_a"),
-      col("__band").as("band_a"))
-    val b = banded.select(col(idCol).as("id_b"), col("signature").as("sig_b"),
-      col("__band").as("band_b"))
+    val candidates = banded.select(col(idCol).as("id_a"), col("__band").as("band_a"))
+      .join(banded.select(col(idCol).as("id_b"), col("__band").as("band_b")),
+        col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / lit(numHashes.toDouble)
-    a.join(b, col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+    candidates
+      .join(sig.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is
@@ -147,20 +162,21 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      scope: CacheScope = new CacheScope): DataFrame = {
     // The (id, gram) explode feeds counts, the df filter and both
     // sides of two joins — up to ~7 re-evaluations of the tokenize +
     // explode subtree in the capped branch. Persist it once
     // (memory-with-disk-spill: the exploded index is ~2x corpus
     // text, partition-local, evicted LRU under pressure). CACHE
     // LIFETIME: the returned lazy frame references this cache, so it
-    // cannot be unpersisted here; it is evicted LRU, on session
-    // close, or by the caller via spark.catalog.clearCache() after
-    // consuming the result.
+    // cannot be unpersisted here; pass a [[CacheScope]] and
+    // `release()` it after consuming the result (else: LRU eviction
+    // or session close).
     val rawGrams = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("g"))
     val grams =
-      if (maxDf.isDefined) rawGrams.persist(StorageLevel.MEMORY_AND_DISK)
+      if (maxDf.isDefined) scope.cache(rawGrams)
       else rawGrams
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val shared = maxDf match {
@@ -209,16 +225,16 @@ object Dedup {
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+      hashFn: Column => Column = xxhash64(_),
+      scope: CacheScope = new CacheScope): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "0 <= maxHamming < 64")
     val bands = maxHamming + 1
     val width = 64 / bands // chunk bit width (last chunk takes the remainder)
     // both sides of the band self-join read the signatures — persist
     // so the tokenize + 64-sum simhash aggregate runs once, not
     // twice (same cache-lifetime story as ngramJaccardPairs'
-    // rawGrams: released by LRU/session close/clearCache)
-    val sh = simHash(docs, idCol, textCol, hashFn)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rawGrams: pass a CacheScope and release() after consuming)
+    val sh = scope.cache(simHash(docs, idCol, textCol, hashFn))
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { b =>
         val hi = if (b == bands - 1) 64 else (b + 1) * width
@@ -340,13 +356,32 @@ object Dedup {
     * Output: (id, component) — component = min id of the cluster;
     * singleton nodes absent from `pairs` are absent here (they are
     * their own representative by definition). The returned frame
-    * reads the final round's local-checkpoint blocks (one row per
-    * paired doc, already materialized); they are reclaimed by the
+    * reads the final round's checkpoint blocks (one row per paired
+    * doc, already materialized); they are reclaimed by the
     * ContextCleaner once the frame is unreferenced.
+    *
+    * FAULT TOLERANCE — `checkpointDir`: by default each round is
+    * `localCheckpoint`ed — blocks live on EXECUTORS with truncated
+    * lineage, so on a real cluster one lost executor mid-iteration
+    * aborts the whole job (fine on local[n] and for short jobs).
+    * For long-running large-cluster runs pass `checkpointDir` (an
+    * HDFS/S3 path): rounds then use RELIABLE `checkpoint` — each
+    * round's labels are written to the shared filesystem and any
+    * executor can be lost and rescheduled. Costs one distributed
+    * write+read per round. Setting it calls
+    * `sparkContext.setCheckpointDir` (session-wide); checkpoint
+    * files are cleaned by the ContextCleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+    * otherwise clean the directory after the job.
     */
   def duplicateComponents(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // materialize + truncate lineage, reliably when a dir was given
+    def checkpointed(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -359,9 +394,9 @@ object Dedup {
     // two copies of the previous round's plan per round — an
     // exponentially growing logical plan that OOMs the driver on
     // plan stringification long before data is a problem
-    var labels = sym.groupBy("src").agg(min("dst").as("__nmin"))
-      .select(col("src").as("id"), least(col("src"), col("__nmin")).as("label"))
-      .localCheckpoint(true)
+    var labels = checkpointed(
+      sym.groupBy("src").agg(min("dst").as("__nmin"))
+        .select(col("src").as("id"), least(col("src"), col("__nmin")).as("label")))
     var round = 0
     var changed = 1L
     // the cap counts IMPROVEMENT rounds: converging exactly on round
@@ -384,13 +419,13 @@ object Dedup {
         // round, so convergence is O(log diameter), not O(diameter):
         // a 1000-link duplicate chain resolves in ~10 rounds
         val parents = labels.select(col("id").as("label"), col("label").as("__pl"))
-        val next = labels.join(parents, Seq("label"), "left")
+        val next = checkpointed(labels.join(parents, Seq("label"), "left")
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("label").as("__old"),
             least(col("label"), coalesce(col("__pl"), col("label")),
               coalesce(col("nmin"), col("label"))).as("label"))
-          .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
-          .localCheckpoint(true) // materialized here; lineage cut
+          .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg")))
+          // materialized here; lineage cut
         changed = next.filter(col("__chg")).count()
         labels = next // previous round's blocks are reclaimed by the
                       // ContextCleaner once unreferenced
@@ -417,10 +452,12 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6,
       ngram: Int = 3,
       hashFn: (Int, Column) => Column = Hashing.xx,
-      bandHashFn: Column => Column = xxhash64(_)): DataFrame = {
+      bandHashFn: Column => Column = xxhash64(_),
+      scope: CacheScope = new CacheScope,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minHashLsh(docs, idCol, textCol, numHashes, bands, threshold,
-      ngram, hashFn, bandHashFn)
-    keepRepresentatives(docs, idCol, pairs)
+      ngram, hashFn, bandHashFn, scope)
+    keepRepresentatives(docs, idCol, pairs, checkpointDir)
   }
 
   /** Filter `docs` down to cluster representatives given any
@@ -434,11 +471,14 @@ object Dedup {
     * ContextCleaner.
     */
   def keepRepresentatives(
-      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = duplicateComponents(pairs)
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val componentLabels = duplicateComponents(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-      .localCheckpoint(true)
+    val losers =
+      if (checkpointDir.isDefined) componentLabels.checkpoint(eager = true)
+      else componentLabels.localCheckpoint(eager = true)
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

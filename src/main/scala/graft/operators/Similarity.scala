@@ -241,8 +241,12 @@ object Similarity {
     * codegen'd assignment the search uses) and recomputes centroids
     * as per-cell means via ONE partial-aggregated groupBy collected
     * at nCenters x dim scale (a few KB). Empty cells keep their old
-    * centroid. Deterministic: seed order, assignment ties and mean
-    * aggregation are all order-independent.
+    * centroid. Deterministic up to floating-point summation order:
+    * seed order and assignment ties are order-independent, but the
+    * per-cell `avg` sums doubles in partition/task order, so
+    * Lloyd-refined centroids can differ in the last ulps across
+    * cluster layouts (and downstream cell assignment of a vector
+    * sitting exactly on a Voronoi boundary with it).
     */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -254,10 +258,8 @@ object Similarity {
       .select(col("vec")).collect()
       .map(_.getSeq[Float](0).toArray)
     (1 to lloydRounds).foreach { _ =>
-      val cents = centroids
       val assigned = cNorm.withColumn("cid",
-        array_max(array(centroidStructs(cents, col("vec"), col("norm")): _*))
-          .getField("cid"))
+        nearestCentroidId(col("vec"), centroids))
       val means = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -271,16 +273,14 @@ object Similarity {
     centroids
   }
 
-  /** (cosine-to-centroid, centroid-id) structs for nearest-centroid
-    * selection via array_max / array_sort.
+  /** Nearest-centroid cell id, via ONE codegen'd expression over a
+    * reference-object centroid matrix ([[graft.plans.NearestCentroids]]).
+    * Plan size is independent of nCenters — the per-centroid literal
+    * struct subtrees this replaces were a plan/codegen blowup at the
+    * thousands of cells a 100 TB IVF needs (round-4 verdict #2).
     */
-  private def centroidStructs(centroids: Array[Array[Float]],
-      vecC: Column, normC: Column): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val cn = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-      struct((dot(vecC, lit(c)) / (normC * lit(cn))).as("cos"),
-        lit(i).as("cid"))
-    }
+  def nearestCentroidId(vec: Column, centroids: Array[Array[Float]]): Column =
+    VectorExpressions.nearestCentroids(vec, centroids, 1).getItem(0)
 
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -295,20 +295,13 @@ object Similarity {
 
     val centroids = ivfCentroids(corpus, idCol, vecCol, nCenters, lloydRounds)
 
-    // cosine to each centroid as codegen'd dots against literals
-    def centroidScores(vecC: Column, normC: Column): Seq[Column] =
-      centroidStructs(centroids, vecC, normC)
-
     val assigned = cNorm.withColumn("cid",
-      array_max(array(centroidScores(col("cvec"), col("cnorm")): _*)).getField("cid"))
+      nearestCentroidId(col("cvec"), centroids))
 
-    // nProbe nearest centroids per query: sort the (cos, cid) structs
-    // descending and keep the first nProbe cids
-    val probes = qNorm.withColumn("__probe",
-        explode(slice(reverse(array_sort(
-          array(centroidScores(col("qvec"), col("qnorm")): _*))), 1, nProbe)))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        col("__probe.cid").as("cid"))
+    // nProbe nearest centroids per query, one expression evaluation
+    val probes = qNorm.withColumn("cid",
+        explode(VectorExpressions.nearestCentroids(col("qvec"), centroids, nProbe)))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cid"))
 
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -159,6 +159,127 @@ object LshBandBits {
   }
 }
 
+/** The `nProbe` nearest centroids of a vector (cosine order), as ONE
+  * codegen'd expression over a plan-constant centroid matrix.
+  *
+  * Why an expression: scoring via per-centroid literal struct
+  * subtrees (`struct(dot(vec, lit(c)) / ..., lit(i))` x nCenters)
+  * puts one 64-float literal subtree PER CENTROID in the plan — fine
+  * at 16 centroids, but the thousands of cells a 100 TB IVF needs
+  * would blow up analysis and codegen exactly the way per-plane LSH
+  * signatures did (see [[LshBandBits]]). Here the centroid matrix is
+  * ONE reference object; plan size and generated-code size are
+  * independent of nCenters.
+  *
+  * Ranking is by dot(vec, c) / norm(c) — the query-vector norm is a
+  * common positive factor and cannot change the order. Ties break to
+  * the LARGER centroid id, matching the struct-max/array_sort
+  * composition this replaces.
+  *
+  * `centroids` (array<array<float>>, row-major) and `nProbe` (int)
+  * must be foldable — captured once, not per row.
+  */
+case class NearestCentroids(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), IntegerType)
+
+  override def dataType: DataType = ArrayType(IntegerType)
+
+  override def prettyName: String = "graft_nearest_centroids"
+
+  @transient private lazy val centroidMatrix: Array[Array[Float]] = {
+    require(second.foldable, "centroids must be a literal")
+    val ad = second.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+  }
+
+  /** 1 / ||c|| per centroid (0 for a zero centroid — every score 0,
+    * ties resolve by id as documented).
+    */
+  @transient private lazy val invNorms: Array[Double] =
+    centroidMatrix.map { c =>
+      val n = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      if (n == 0.0) 0.0 else 1.0 / n
+    }
+
+  @transient private lazy val probeCount: Int = {
+    require(third.foldable, "nProbe must be a literal")
+    val p = third.eval().asInstanceOf[Int]
+    require(p >= 1 && p <= centroidMatrix.length, "1 <= nProbe <= nCenters")
+    p
+  }
+
+  override def nullSafeEval(v: Any, c: Any, p: Any): Any = {
+    val out = NearestCentroids.compute(
+      v.asInstanceOf[ArrayData], centroidMatrix, invNorms, probeCount)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroidMatrix, "float[][]")
+    val normsRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+    val p = probeCount
+    nullSafeCodeGen(ctx, ev, (vecExpr, _, _) => {
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = graft.plans.NearestCentroids.compute($vecExpr, $centsRef, $normsRef, $p);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCentroids {
+  /** Shared by interpreted eval and generated code. One pass scoring
+    * (nCenters x dim multiply-adds) + an O(nCenters * nProbe)
+    * selection — no per-row sort, no allocation beyond the two small
+    * output-sized arrays. Order: score DESC, centroid id DESC on
+    * exact ties.
+    */
+  def compute(vec: ArrayData, centroids: Array[Array[Float]],
+      invNorms: Array[Double], nProbe: Int): Array[Int] = {
+    val nc = centroids.length
+    val dim = vec.numElements()
+    // bounded top-nProbe insertion lists (nProbe <= nc)
+    val topScore = new Array[Double](nProbe)
+    val topId = new Array[Int](nProbe)
+    var filled = 0
+    var i = 0
+    while (i < nc) {
+      val c = centroids(i)
+      val n = math.min(dim, c.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        s += vec.getFloat(d).toDouble * c(d).toDouble
+        d += 1
+      }
+      val score = s * invNorms(i)
+      // insert (score, i) if it beats the current tail
+      if (filled < nProbe || score > topScore(filled - 1) ||
+          (score == topScore(filled - 1) && i > topId(filled - 1))) {
+        var pos = if (filled < nProbe) filled else nProbe - 1
+        while (pos > 0 && (score > topScore(pos - 1) ||
+            (score == topScore(pos - 1) && i > topId(pos - 1)))) {
+          topScore(pos) = topScore(pos - 1)
+          topId(pos) = topId(pos - 1)
+          pos -= 1
+        }
+        topScore(pos) = score
+        topId(pos) = i
+        if (filled < nProbe) filled += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(topId, filled)
+  }
+}
+
 /** Seeded polynomial rolling hash over a string's code points:
   * h = (h*31 + codepoint) mod 1e9+7, starting from `seed` — the
   * oracle-replayable hash family ([[graft.functions.Hashing]]) as a
@@ -221,6 +342,14 @@ object VectorExpressions {
   def lshBandBits(vec: Column, planes: Array[Array[Float]], bands: Int): Column =
     call_function("graft_lsh_band_bits", vec,
       org.apache.spark.sql.functions.typedLit(planes), lit(bands))
+
+  /** Ids of the `nProbe` nearest centroids (cosine DESC, id DESC on
+    * ties), array<int>. `centroids` is captured as a plan constant —
+    * plan size does not grow with nCenters.
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    call_function("graft_nearest_centroids", vec,
+      org.apache.spark.sql.functions.typedLit(centroids), lit(nProbe))
 }
 
 /** The `spark.sql.extensions` injection path: add
@@ -260,7 +389,10 @@ object GraftFunctions {
       children => LshBandBits(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
-      children => PolyHash(children(0), children(1))))
+      children => PolyHash(children(0), children(1))),
+    (FunctionIdentifier("graft_nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
+      children => NearestCentroids(children(0), children(1), children(2))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Cdc
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
 import java.nio.charset.StandardCharsets
 
 /** Streaming CDC upsert — the `apply_changes` analog.
@@ -19,6 +19,22 @@ import java.nio.charset.StandardCharsets
   * partial-aggregated `max_by(struct)` over state ∪ batch, so state
   * size is bounded by key cardinality (stores x items), never by
   * stream length.
+  *
+  * CONCURRENCY — single writer, many readers. The reference targets
+  * a Delta table (`03:375-384`), where a second concurrent writer is
+  * handled by optimistic concurrency; the minimum parity here is
+  * DETECTING and REJECTING one: each `upsertBatch` holds an
+  * exclusive `_LOCK` file (atomic create-new) for the duration of
+  * its read-merge-swap, so two stores writing the same path fail
+  * loudly with [[ConcurrentWriterException]] instead of silently
+  * overwriting each other's version dir. The lock is released after
+  * every batch, so sequential writers (stream restarts) need no
+  * handover. A writer that CRASHES mid-batch leaves the lock behind
+  * — recover with [[ParquetStateStore.forceReleaseLock]] after
+  * confirming the old writer is dead.
+  *
+  * TIME TRAVEL — versions within `retainVersions` stay on disk and
+  * are readable via [[readVersion]] / [[versions]].
   */
 final class ParquetStateStore(
     spark: SparkSession,
@@ -52,11 +68,48 @@ final class ParquetStateStore(
   /** Current materialized state (None before the first batch);
     * tombstoned keys are excluded.
     */
-  def current: Option[DataFrame] = rawState.map { df =>
+  def current: Option[DataFrame] = rawState.map(dropTombstones)
+
+  private def dropTombstones(df: DataFrame): DataFrame =
     if (df.columns.contains(Cdc.DeletedCol))
       df.filter(!org.apache.spark.sql.functions.col(Cdc.DeletedCol))
         .drop(Cdc.DeletedCol)
     else df
+
+  /** Version numbers currently on disk (ascending) — the time-travel
+    * read surface. Bounded by `retainVersions` (+1 transiently
+    * mid-GC).
+    */
+  def versions: Seq[Long] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val versioned = "^v(\\d+)$".r
+      val listing = Files.list(dir)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        listing.iterator().forEachRemaining { p =>
+          p.getFileName.toString match {
+            case versioned(v) => buf += v.toLong
+            case _ => ()
+          }
+        }
+        buf.toSeq.sorted
+      } finally listing.close()
+    }
+  }
+
+  /** Historical read of a retained version, tombstones excluded —
+    * `readVersion(latest)` == `current`. Versions beyond the
+    * retention window are gone from disk; asking for one fails with
+    * the retained range in the message.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val have = versions
+    require(have.contains(v),
+      s"version $v is not retained (have ${have.mkString("[", ",", "]")}; " +
+        s"retainVersions=$retainVersions) — raise retainVersions to time-travel further back")
+    dropTombstones(spark.read.parquet(versionDir(v)))
   }
 
   /** Merge a batch of updates: state ∪ batch -> latest row per key
@@ -66,23 +119,56 @@ final class ParquetStateStore(
     */
   def upsertBatch(batch: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.functions.lit
-    val state = rawState.getOrElse(
-      batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
-        .filter(lit(false)))
-    val merged = deleteWhen match {
-      case Some(cond) => Cdc.applyChanges(state, batch, keys, seqCols, payload, cond,
-        retainTombstones = true)
-      case None => Cdc.upsert(state, batch, keys, seqCols, payload)
-    }
-    val next = latestVersion.getOrElse(-1L) + 1
-    merged.write.mode("overwrite").parquet(versionDir(next))
-    val tmp = Paths.get(path, s".LATEST.tmp$next")
-    Files.createDirectories(Paths.get(path))
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    gcOldVersions(next)
+    acquireLock()
+    try {
+      val state = rawState.getOrElse(
+        batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
+          .filter(lit(false)))
+      val merged = deleteWhen match {
+        case Some(cond) => Cdc.applyChanges(state, batch, keys, seqCols, payload, cond,
+          retainTombstones = true)
+        case None => Cdc.upsert(state, batch, keys, seqCols, payload)
+      }
+      val next = latestVersion.getOrElse(-1L) + 1
+      merged.write.mode("overwrite").parquet(versionDir(next))
+      val tmp = Paths.get(path, s".LATEST.tmp$next")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      gcOldVersions(next)
+    } finally releaseLock()
   }
+
+  /** Identifies this store instance in lock files / conflict
+    * messages.
+    */
+  private val writerId: String =
+    java.util.UUID.randomUUID().toString
+
+  private def lockFile = Paths.get(path, ParquetStateStore.LockName)
+
+  /** Exclusive writer lock for one read-merge-swap: atomic
+    * create-new of `_LOCK`. The whole merge must run under it —
+    * serializing only the pointer swap would let two writers read
+    * the same base version and silently drop one batch's rows.
+    */
+  private def acquireLock(): Unit = {
+    Files.createDirectories(Paths.get(path))
+    try Files.write(lockFile, writerId.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException =>
+        val holder =
+          try new String(Files.readAllBytes(lockFile), StandardCharsets.UTF_8)
+          catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+        throw new ConcurrentWriterException(
+          s"state store at $path is being written by another writer " +
+            s"(lock held by $holder, this writer is $writerId). If that " +
+            "writer crashed, recover with ParquetStateStore.forceReleaseLock(path).")
+    }
+  }
+
+  private def releaseLock(): Unit = Files.deleteIfExists(lockFile)
 
   /** Retention: after the pointer swap, delete version dirs older
     * than the last `retainVersions` — without this a continuous
@@ -112,6 +198,24 @@ final class ParquetStateStore(
       } finally listing.close()
     }
   }
+}
+
+/** A second writer attempted to merge into a [[ParquetStateStore]]
+  * while another held the lock.
+  */
+final class ConcurrentWriterException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+object ParquetStateStore {
+  private[streaming] val LockName = "_LOCK"
+
+  /** Remove a stale writer lock left by a crashed writer. Only call
+    * after confirming the previous writer is dead — releasing the
+    * lock under a LIVE writer reintroduces the lost-update race the
+    * lock exists to prevent.
+    */
+  def forceReleaseLock(path: String): Boolean =
+    Files.deleteIfExists(Paths.get(path, LockName))
 }
 
 object CdcStream {

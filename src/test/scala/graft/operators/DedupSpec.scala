@@ -151,6 +151,53 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq(1L, 3L)) // 1 represents {1,2,4}; 3 survives alone
   }
 
+  test("duplicateComponents with a reliable checkpoint dir matches the localCheckpoint path") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val pairs = ((1L until 50L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+        .toDF("id_a", "id_b")
+      val local = Dedup.duplicateComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.duplicateComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === local)
+      // the rounds actually went through the reliable dir
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      val entries = try listing.count() finally listing.close()
+      assert(entries > 0, "no checkpoint data written to the reliable dir")
+      // end-to-end: deduplicate through the reliable path too
+      val out = Dedup.deduplicate(corpus, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5,
+        checkpointDir = Some(dir))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(out === Seq(1L, 3L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("CacheScope releases an operator's tracked caches deterministically") {
+    // compare persisted-RDD id SETS, not counts — unrelated
+    // localCheckpoint blocks from other tests are reclaimed by the
+    // ContextCleaner at arbitrary times
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
+    val before = ids
+    val scope = new CacheScope
+    // distinct input plan: an identical simHash(corpus) plan is
+    // already in the CacheManager from an earlier test, and persist
+    // on an already-cached plan is a no-op
+    val pairs = Dedup.simHashPairs(corpus.filter(col("doc_id") <= 4L), "doc_id", "text",
+      maxHamming = 8, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    val added = ids -- before
+    assert(added.nonEmpty, "simHashPairs should have persisted its signatures")
+    scope.release(blocking = true)
+    assert(ids.intersect(added).isEmpty, "release() must unpersist every tracked frame")
+  }
+
   test("DF-capped ngram join equals the uncapped join on the test corpus") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
     def run(cap: Option[Int]) =

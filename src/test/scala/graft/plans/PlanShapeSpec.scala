@@ -81,6 +81,26 @@ class PlanShapeSpec extends SparkSpec {
       .findAllIn(p).length >= 2, "partial + final max(struct) expected\n" + p)
   }
 
+  test("minHashLsh band join carries only (id, band key) — no signature array crosses it") {
+    // round-4 verdict #4: shipping both 32-long signatures through
+    // the band-join fan-out (and the pair distinct) is the shuffle
+    // the embedding path already avoids. Candidate pairs must be
+    // ids-only; signatures re-join after the distinct.
+    val df = Dedup.minHashLsh(Tables.documents(spark, sf), "doc_id", "text")
+    // pre-AQE physical plan: join nodes exist, outputs are final
+    val bandJoins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name.startsWith("band"))) => j
+    }
+    assert(bandJoins.nonEmpty, "expected a band self-join in the plan")
+    bandJoins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"array columns cross the band join: ${arrays.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val orders = Tables.orders(spark, sf)

@@ -83,6 +83,62 @@ class CdcStreamSpec extends SparkSpec {
     assert(state3 === Map(1 -> 11, 2 -> 20, 3 -> 30))
   }
 
+  test("a second concurrent writer is rejected; a released/forced lock lets writes resume") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_lock")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
+    val rival = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
+
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v"))
+
+    // simulate a writer mid-merge: its _LOCK is on disk
+    val lock = java.nio.file.Paths.get(stateDir, "_LOCK")
+    java.nio.file.Files.write(lock, "other-writer".getBytes)
+    val e = intercept[ConcurrentWriterException] {
+      rival.upsertBatch(Seq((1, 2, 20)).toDF("k", "seq", "v"))
+    }
+    assert(e.getMessage.contains("other-writer"))
+    // the rejected write must not have advanced the state
+    assert(store.current.get.collect().map(r => r.getInt(2)).toSeq === Seq(10))
+
+    // crashed-writer recovery path
+    assert(ParquetStateStore.forceReleaseLock(stateDir))
+    rival.upsertBatch(Seq((1, 2, 20)).toDF("k", "seq", "v"))
+    assert(store.current.get.collect().map(r => r.getInt(2)).toSeq === Seq(20))
+    // locks are batch-scoped: nothing left behind after a clean write
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("readVersion time-travels across retained versions") {
+    val s = spark
+    import s.implicits._
+    val store = new ParquetStateStore(s, tmpDir("cdc_state_tt"),
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 3)
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v"))
+    store.upsertBatch(Seq((1, 2, 20), (2, 1, 5)).toDF("k", "seq", "v"))
+    store.upsertBatch(Seq((2, 2, 7)).toDF("k", "seq", "v"))
+
+    assert(store.versions === Seq(0L, 1L, 2L))
+    def read(v: Long) = store.readVersion(v).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(read(0L) === Map(1 -> 10))
+    assert(read(1L) === Map(1 -> 20, 2 -> 5))
+    assert(read(2L) === Map(1 -> 20, 2 -> 7))
+    // readVersion(latest) == current
+    assert(read(2L) === store.current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap)
+
+    // a 4th write GCs v0 (retainVersions=3): asking for it fails loud
+    store.upsertBatch(Seq((3, 1, 1)).toDF("k", "seq", "v"))
+    assert(store.versions === Seq(1L, 2L, 3L))
+    val err = intercept[IllegalArgumentException](store.readVersion(0L))
+    assert(err.getMessage.contains("not retained"))
+  }
+
   test("retention deletes versions beyond the last k and state still reads back") {
     val s = spark
     import s.implicits._
