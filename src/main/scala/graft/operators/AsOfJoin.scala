@@ -36,13 +36,28 @@ object AsOfJoin {
     *                  result when (keys, rightTs) is not unique
     *
     * Left rows must be pairwise distinct (they are the group key);
-    * carry a unique id column if they may repeat.
+    * carry a unique id column if they may repeat. By default a
+    * violation SILENTLY collapses the duplicates to one output row;
+    * set `checkUniqueLeft = true` to instead fail with the first
+    * offending row. The check is one extra aggregation over `left`
+    * (bounded: only a single sample row reaches the driver) — turn
+    * it on in tests/first runs, off in the steady-state hot path.
     */
   def latestAtOrBefore(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      payload: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+      payload: Seq[String], tieBreak: Option[String] = None,
+      checkUniqueLeft: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "at least one key")
+    if (checkUniqueLeft) {
+      val dup = left.groupBy(left.columns.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          "left rows must be pairwise distinct (they are the as-of group " +
+            s"key) — duplicate row found: ${dup.head}. Carry a unique id " +
+            "column on the left, or deduplicate upstream.")
+    }
     require(rightTs != leftTs && !left.columns.contains(rightTs),
       s"right ts column '$rightTs' collides with a left column — rename it upstream")
     require(!left.columns.contains("asof_ts") && !left.columns.contains("__m"),

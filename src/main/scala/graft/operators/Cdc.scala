@@ -74,6 +74,13 @@ object Cdc {
     * `deleteWhen` is evaluated on `updates`; null results count as
     * not-delete.
     *
+    * TIES: when a delete and an update carry EQUAL `seqCols`, the
+    * DELETE wins — the marker is compared right after the sequence
+    * (before payload) in the max-struct, so the outcome is a stated
+    * precedence rule, never a function of payload values. Ties
+    * between two non-deletes still fall through to payload order;
+    * include a unique tiebreaker in `seqCols` if updates may tie.
+    *
     * Scale: identical shape to [[upsert]] — ONE partial-aggregated
     * shuffle; the marker is one boolean riding the max(struct).
     * Retained tombstones cost one state row per deleted key (bounded
@@ -94,7 +101,8 @@ object Cdc {
       else current.select(cols.map(col): _*).withColumn(DeletedCol, lit(false))
     val upd = updates.select(cols.map(col) :+
       coalesce(deleteWhen, lit(false)).as(DeletedCol): _*)
-    val merged = latestByKey(cur.unionByName(upd), keys, seqCols, payload :+ DeletedCol)
+    val merged = latestByKey(cur.unionByName(upd), keys, seqCols, DeletedCol +: payload)
+      .select((keys ++ seqCols ++ payload :+ DeletedCol).map(col): _*)
     if (retainTombstones) merged
     else merged.filter(!col(DeletedCol)).drop(DeletedCol)
   }

@@ -31,6 +31,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Map(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0), 4L -> Some(9.0)))
   }
 
+  test("checkUniqueLeft surfaces duplicate left rows as an error instead of silent row loss") {
+    val s = spark
+    import s.implicits._
+    val dupLeft = Seq(
+      (100, ts("2024-01-01 10:00:00")),
+      (100, ts("2024-01-01 10:00:00"))) // exact duplicate row
+      .toDF("item", "ts")
+    val prices = Seq((100, ts("2024-01-01 09:00:00"), 5.0, 1L))
+      .toDF("item", "p_ts", "price", "p_id")
+
+    // default: duplicates silently collapse (documented behavior)
+    val silent = AsOfJoin.latestAtOrBefore(dupLeft, prices,
+      keys = Seq("item"), leftTs = "ts", rightTs = "p_ts",
+      payload = Seq("price"))
+    assert(silent.count() === 1)
+
+    // debug mode: the violation fails loudly with the offending row
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.latestAtOrBefore(dupLeft, prices,
+        keys = Seq("item"), leftTs = "ts", rightTs = "p_ts",
+        payload = Seq("price"), checkUniqueLeft = true)
+    }
+    assert(e.getMessage.contains("pairwise distinct"))
+
+    // distinct lefts pass the check unchanged
+    val ok = AsOfJoin.latestAtOrBefore(
+      dupLeft.dropDuplicates(), prices,
+      keys = Seq("item"), leftTs = "ts", rightTs = "p_ts",
+      payload = Seq("price"), checkUniqueLeft = true)
+    assert(ok.collect().map(_.getDouble(3)).toSeq === Seq(5.0))
+  }
+
   test("a chained as-of join is rejected loudly, not silently duplicated") {
     val s = spark
     import s.implicits._

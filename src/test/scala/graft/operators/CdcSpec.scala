@@ -51,6 +51,37 @@ class CdcSpec extends SparkSpec {
       "stale update must lose to the retained tombstone")
   }
 
+  test("equal-seq delete vs update: the delete wins regardless of payload values") {
+    val s = spark
+    import s.implicits._
+    val current = Seq((1, 0, 5), (2, 0, 5)).toDF("k", "seq", "v")
+    // k=1: delete payload (0) SORTS BELOW the update payload (99);
+    // k=2: delete payload (100) sorts above the update (7). Both keys
+    // must resolve the same way — delete wins — proving the outcome is
+    // the stated precedence rule, not a payload comparison.
+    val updates = Seq(
+      (1, 3, 0, "D"), (1, 3, 99, "U"),
+      (2, 3, 100, "D"), (2, 3, 7, "U"))
+      .toDF("k", "seq", "v", "op")
+    val state = Cdc.applyChanges(current, updates,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      deleteWhen = col("op") === "D")
+    assert(state.collect().isEmpty)
+
+    // the same tie against a retained tombstone: an equal-seq late
+    // update does not resurrect the key
+    val tomb = Cdc.applyChanges(current,
+      Seq((1, 3, 0, "D")).toDF("k", "seq", "v", "op"),
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      deleteWhen = col("op") === "D", retainTombstones = true)
+    val late = Cdc.applyChanges(tomb,
+      Seq((1, 3, 99, "U")).toDF("k", "seq", "v", "op"),
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      deleteWhen = col("op") === "D")
+      .filter(col("k") === 1)
+    assert(late.collect().isEmpty)
+  }
+
   test("applyChanges: null delete condition counts as not-delete") {
     val s = spark
     import s.implicits._
