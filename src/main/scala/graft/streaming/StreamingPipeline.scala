@@ -80,6 +80,7 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
 
   private val defs = mutable.LinkedHashMap[String, Node]()
   private val schemas = mutable.Map[String, StructType]()
+  private val triggers = mutable.Map[String, Trigger]()
 
   private def add(n: Node): this.type = {
     require(!defs.contains(n.name), s"duplicate table ${n.name}")
@@ -112,6 +113,25 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       expectations: Seq[Expectations.Rule] = Nil)(
       start: (DataFrame, String) => StreamingQuery): this.type =
     add(SinkDef(name, dep, start, expectations))
+
+  /** Per-table trigger cadence for CONTINUOUS mode — the
+    * `pipelines.trigger.interval` table property of the reference
+    * (pos-dlt `04_Silver-to-Gold ETL.sql:68` runs gold aggregates on
+    * a 5-minute cadence while silver processes per-arrival). Tables
+    * without an interval use the default micro-batch trigger
+    * (process-as-available). [[runOnce]] ignores intervals — its
+    * whole point is one AvailableNow cascade. Sink triggers belong
+    * to the sink's own writer, so setting one here is rejected.
+    */
+  def triggerInterval(name: String, trigger: Trigger): this.type = {
+    val node = defs.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown table $name — declare it before setting its trigger"))
+    require(!node.isInstanceOf[SinkDef],
+      s"$name is a sink: its writer owns the trigger (pass it to the sink's start fn)")
+    triggers(name) = trigger
+    this
+  }
 
   def dataDir(name: String): String = s"$storageRoot/$name/data"
   def checkpointDir(name: String): String = s"$storageRoot/$name/ckpt"
@@ -234,8 +254,9 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
                    case (n, _: TableDef) => n -> readTable(n) }.toMap
   }
 
-  /** Continuous mode: start every table's query concurrently (default
-    * micro-batch trigger) and hand back the running fleet.
+  /** Continuous mode: start every table's query concurrently — each
+    * on its own [[triggerInterval]] cadence (default: micro-batch as
+    * available) — and hand back the running fleet.
     */
   def start(): StreamingRun = {
     val queries = order.map { name =>
@@ -246,12 +267,13 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
         case _ =>
           schemas(name) = flow.schema
           Files.createDirectories(Paths.get(dataDir(name)))
-          flow.writeStream
+          val writer = flow.writeStream
             .format("parquet")
             .option("path", dataDir(name))
             .option("checkpointLocation", checkpointDir(name))
             .outputMode("append")
-            .start()
+          triggers.get(name).foreach(writer.trigger)
+          writer.start()
       }
       name -> q
     }

@@ -41,4 +41,84 @@ class FileIngestSpec extends SparkSpec {
       assert(qty === Map(1 -> 100, 2 -> 200, 3 -> 300))
     } finally q.stop()
   }
+
+  test("schema evolution: an added-column file lands on restart, old rows read null") {
+    val s = spark
+    val dir = tmpDir("evo_drop")
+    val schemaLoc = tmpDir("evo_schemas")
+    val target = tmpDir("evo_target") + "/data"
+    val ckpt = tmpDir("evo_ckpt")
+    drop(dir, "snap1.csv", Seq("1,7,100"))
+
+    def runToDrain(): StructType = {
+      val stream = FileIngest.streamEvolving(s, dir, schemaLoc,
+        format = "csv", options = Map("header" -> "true"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", target).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      stream.schema
+    }
+
+    // first start: inferred schema persisted as v0
+    val s0 = runToDrain()
+    assert(s0.fieldNames.toSeq === Seq("item_id", "employee_id", "quantity"))
+    assert(FileIngest.persistedSchema(schemaLoc).contains(s0))
+
+    // a snapshot with a NEW column lands; the restart evolves to v1
+    Files.write(Paths.get(dir, "snap2.csv"),
+      "item_id,employee_id,quantity,discount\n2,8,200,0.25\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val s1 = runToDrain()
+    assert(s1.fieldNames.toSeq ===
+      Seq("item_id", "employee_id", "quantity", "discount"))
+    // both evolution steps are on the audit trail
+    assert(Files.exists(Paths.get(schemaLoc, "v0.json")))
+    assert(Files.exists(Paths.get(schemaLoc, "v1.json")))
+
+    // reading the sink with the evolved schema: the pre-evolution row
+    // reads null for the late-added column, the new row carries it
+    val rows = s.read.schema(s1).parquet(target).collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows === Map(1 -> None, 2 -> Some(0.25)))
+
+    // idempotent restart: no new data, no new schema version
+    runToDrain()
+    assert(!Files.exists(Paths.get(schemaLoc, "v2.json")))
+  }
+
+  test("corrupt rows are quarantined raw while clean rows reach the target") {
+    val s = spark
+    val dir = tmpDir("quar_drop")
+    val target = tmpDir("quar_target") + "/data"
+    val quarantine = tmpDir("quar_bad") + "/data"
+    val ckpt = tmpDir("quar_ckpt")
+    // row 2 has a non-numeric quantity -> corrupt under the int schema
+    drop(dir, "snap1.csv", Seq("1,7,100", "2,7,not_a_number", "3,8,300"))
+
+    val q = FileIngest.runQuarantined(s, dir, schema,
+      targetDir = target, quarantineDir = quarantine, checkpointDir = ckpt,
+      format = "csv", options = Map("header" -> "true"))
+    try q.awaitTermination() finally q.stop()
+
+    val good = s.read.parquet(target).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(good === Map(1 -> 100, 3 -> 300))
+    val bad = s.read.parquet(quarantine).collect().map(_.getString(0))
+    assert(bad.length === 1)
+    assert(bad.head.contains("not_a_number"))
+
+    // restart with a clean new file: only the new rows append, the
+    // quarantine is untouched
+    drop(dir, "snap2.csv", Seq("4,9,400"))
+    val q2 = FileIngest.runQuarantined(s, dir, schema,
+      targetDir = target, quarantineDir = quarantine, checkpointDir = ckpt,
+      format = "csv", options = Map("header" -> "true"))
+    try q2.awaitTermination() finally q2.stop()
+    assert(s.read.parquet(target).count() === 3)
+    assert(s.read.parquet(quarantine).count() === 1)
+  }
 }

@@ -35,6 +35,58 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(observed === Map("x_nonneg" -> 2L, "id_small" -> 1L))
   }
 
+  test("per-table trigger intervals: two tables on different cadences in continuous mode") {
+    val s = spark
+    import org.apache.spark.sql.streaming.Trigger
+    val dropDir = tmpDir("ti_drop")
+    dropCsv(dropDir, "b1.csv", "1,0.5")
+
+    val p = new StreamingPipeline(s, tmpDir("ti_root"))
+    p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+      format = "csv", options = Map("header" -> "true")))
+    p.table("fast", "bronze") { d => d("bronze") }
+    p.table("slow", "bronze") { d => d("bronze") }
+    // the reference's `pipelines.trigger.interval` shape: silver-style
+    // per-arrival cadence vs a gold-style long interval (04:68)
+    p.triggerInterval("fast", Trigger.ProcessingTime("50 milliseconds"))
+    p.triggerInterval("slow", Trigger.ProcessingTime("10 minutes"))
+    intercept[IllegalArgumentException](
+      p.triggerInterval("nope", Trigger.ProcessingTime("1 second")))
+
+    val run = p.start()
+    try {
+      // each query runs on ITS OWN configured trigger
+      def triggerOf(name: String) = run.query(name)
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.trigger
+      assert(triggerOf("fast") === Trigger.ProcessingTime("50 milliseconds"))
+      assert(triggerOf("slow") === Trigger.ProcessingTime("10 minutes"))
+
+      def await(cond: => Boolean, what: String, timeoutMs: Long = 30000): Unit = {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (!cond) {
+          if (System.nanoTime() > deadline) fail(s"timed out waiting for $what")
+          Thread.sleep(50)
+        }
+      }
+      def ids(t: String): Seq[Int] = p.readTable(t)
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+
+      run.query("bronze").processAllAvailable()
+      await(ids("fast") == Seq(1), "fast to ingest b1 on its 50ms cadence")
+      // slow's FIRST trigger fired at start; record what it saw
+      await(run.query("slow").lastProgress != null, "slow's first batch")
+      val slow0 = ids("slow")
+
+      // new data flows through fast within its cadence, while slow's
+      // next trigger is 10 minutes away: its table must not move
+      dropCsv(dropDir, "b2.csv", "2,1.5")
+      run.query("bronze").processAllAvailable()
+      await(ids("fast") == Seq(1, 2), "fast to ingest b2 on its 50ms cadence")
+      assert(ids("slow") === slow0)
+    } finally run.stopAll()
+  }
+
   test("a NEW pipeline instance on the same storageRoot resumes from the checkpoints") {
     val s = spark
     val dropDir = tmpDir("sr_drop")
