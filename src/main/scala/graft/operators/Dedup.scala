@@ -159,6 +159,48 @@ object Dedup {
     * least one sub-cap gram — with threshold >= 0.5 and a cap well
     * above duplicate-cluster size that always holds.
     */
+  /** Pick a [[ngramJaccardPairs]] `maxDf` cap from the corpus itself
+    * instead of hand-tuning: the cap is a high quantile (default
+    * p=0.999) of the per-gram document-frequency distribution
+    * measured on a SAMPLE, scaled back up by the sample fraction
+    * (a gram with corpus df D appears ~fraction*D times in the
+    * sample) and floored at `minCap`.
+    *
+    * Why the quantile works: gram df is heavy-tailed — almost all
+    * grams are rare (df 1-2: the content grams that identify
+    * duplicate pairs) while the join-killing stop-grams sit in the
+    * extreme tail (df ~ corpus size). p=0.999 keeps 99.9% of grams
+    * as candidate generators and cuts only that tail. The floor
+    * keeps the cap above any plausible duplicate-cluster size (the
+    * correctness condition: every qualifying pair must share one
+    * sub-cap gram), so a uniformly tiny corpus can't tune itself
+    * into dropping pairs.
+    *
+    * Cost: one bounded scan of the sample + an approx-percentile
+    * sketch; a single scalar reaches the driver. At 100 TB run it at
+    * `sampleFraction` ~1e-3 — df tails that matter are exactly the
+    * ones a small sample still sees.
+    */
+  def autoMaxDf(
+      docs: DataFrame, textCol: String, n: Int = 3,
+      sampleFraction: Double = 0.1, quantile: Double = 0.999,
+      minCap: Int = 64, seed: Long = 42L): Int = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    val sampled =
+      if (sampleFraction >= 1.0) docs
+      else docs.sample(withReplacement = false, sampleFraction, seed)
+    val q = sampled
+      .select(explode(array_distinct(
+        TextFunctions.wordNgrams(col(textCol), n))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .select(percentile_approx(col("__df"), lit(quantile), lit(10000)))
+      .head()
+    val tail = if (q.isNullAt(0)) 0L else q.getLong(0)
+    math.max(minCap.toLong, math.ceil(tail / sampleFraction).toLong)
+      .min(Int.MaxValue).toInt
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,

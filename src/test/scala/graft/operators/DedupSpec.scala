@@ -207,4 +207,24 @@ class DedupSpec extends SparkSpec {
         .collect().map(_.toString).toSet
     assert(run(Some(100)) === run(None))
   }
+
+  test("auto-tuned DF cap matches the fixed cap and the uncapped join") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+    def run(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = cap)
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+        .collect().map(_.toString).toSet
+
+    // full-corpus tuning: cap sits in the df tail, result unchanged
+    val full = Dedup.autoMaxDf(docs, "text", n = 3, sampleFraction = 1.0)
+    assert(full >= 64, s"cap $full below the floor")
+    assert(run(Some(full)) === run(None))
+    assert(run(Some(full)) === run(Some(100)))
+
+    // sampled tuning (the 100 TB path): the scaled estimate still
+    // yields a cap that loses no pairs
+    val sampled = Dedup.autoMaxDf(docs, "text", n = 3, sampleFraction = 0.5)
+    assert(run(Some(sampled)) === run(None))
+  }
 }
