@@ -1140,6 +1140,41 @@ object Queries {
               CAST(64 + (octet_length(encode(text)) // 2) % 512 AS BIGINT) AS height
             FROM documents ORDER BY id"""))
 
+  // REAL audio decode, oracle-checked end-to-end: the WAV container
+  // is synthesized from closed-form doc_id arithmetic, decoded
+  // through the genuine javax.sound stack, and DuckDB replays the
+  // arithmetic — a mis-parsed header, wrong byte order or dropped
+  // frame shows up as a hash mismatch.
+  val audioDecode = QueryDef(
+    "q_audio_decode",
+    (s, d) => Multimodal.decodeAudioPartitioned(s,
+        Multimodal.withAudioPayload(s, Tables.documents(s, d), "doc_id"), "id")
+      .select(col("id"), col("fmt"),
+        col("sample_rate").cast("bigint").as("sample_rate"),
+        col("channels").cast("bigint").as("channels"),
+        col("n_frames").cast("bigint").as("n_frames"),
+        col("duration_ms").cast("bigint").as("duration_ms"),
+        col("peak").cast("bigint").as("peak"),
+        col("sum_abs").cast("bigint").as("sum_abs"))
+      .orderBy("id"),
+    Some("""WITH f AS (
+              SELECT d.doc_id, t.i, c.ch,
+                     ((d.doc_id*31 + t.i*7 + c.ch*13) % 2003) - 1001 AS v
+              FROM documents d
+              CROSS JOIN generate_series(0, 127) t(i)
+              CROSS JOIN generate_series(0, 1) c(ch)
+              WHERE t.i < 64 + d.doc_id % 64 AND c.ch <= d.doc_id % 2
+            )
+            SELECT doc_id AS id,
+              'pcm_signed' AS fmt,
+              CAST(8000*(1 + doc_id % 3) AS BIGINT) AS sample_rate,
+              CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+              CAST(64 + doc_id % 64 AS BIGINT) AS n_frames,
+              CAST(((64 + doc_id % 64) * 1000) // (8000*(1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+              CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+              CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+            FROM f GROUP BY doc_id ORDER BY id"""))
+
   // ---------------------------------------------------------------
 
   val all: Seq[QueryDef] = Seq(
@@ -1153,5 +1188,5 @@ object Queries {
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
-    multimodalDecode)
+    multimodalDecode, audioDecode)
 }

@@ -201,6 +201,180 @@ object Multimodal {
       FakeCodec.frameSample(bytes, frameSize, every)
   }
 
+  /** Audio payload metadata + exact-integer PCM features (integer
+    * features hash-compare cleanly in the oracle gate; floating RMS
+    * would not).
+    */
+  final case class AudioMeta(
+      fmt: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long, durationMs: Long)
+
+  /** Per-partition audio codec contract (same shell rules as
+    * [[MediaCodec]]: serializable, partition-local, never collected).
+    */
+  trait AudioCodec extends Serializable {
+    /** Container/stream metadata; sentinel meta on corrupt input. */
+    def decodeMeta(bytes: Array[Byte]): AudioMeta
+    /** (peak |amplitude|, sum of |amplitude|) over all decoded
+      * samples — exact integers.
+      */
+    def pcmFeatures(bytes: Array[Byte]): (Int, Long)
+  }
+
+  /** REAL audio decode over the JDK's `javax.sound.sampled` — WAV/
+    * AIFF/AU PCM with zero external dependencies (the audio analog
+    * of [[ImageIoCodec]]; compressed formats like MP3/OGG have no
+    * JDK codec and surface as the sentinel, exactly like an
+    * undecodable image).
+    *
+    * Corrupt/truncated/unsupported payloads degrade to
+    * `AudioMeta("unknown", -1, -1, -1, -1, -1)` / `(0, 0)` rather
+    * than failing the task — at corpus scale a bad blob is data.
+    */
+  object JavaSoundCodec extends AudioCodec {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.AudioSystem
+
+    def decodeMeta(bytes: Array[Byte]): AudioMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return AudioMeta("unknown", -1, -1, -1, -1L, -1L)
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          AudioMeta(
+            f.getEncoding.toString.toLowerCase,
+            f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+            frames,
+            if (f.getSampleRate > 0 && frames >= 0)
+              frames * 1000L / f.getSampleRate.toInt
+            else -1L)
+        } finally ais.close()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          AudioMeta("unknown", -1, -1, -1, -1L, -1L)
+      }
+    }
+
+    /** Decodes 16-bit signed PCM through the real audio stream (the
+      * stream, not hand-parsed container offsets — a header the
+      * decoder rejects yields (0, 0), not garbage features).
+      */
+    def pcmFeatures(bytes: Array[Byte]): (Int, Long) = {
+      if (bytes == null || bytes.isEmpty) return (0, 0L)
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 ||
+            !f.getEncoding.toString.equalsIgnoreCase("pcm_signed")) (0, 0L)
+          else {
+            val order =
+              if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN
+            var peak = 0
+            var sumAbs = 0L
+            val buf = new Array[Byte](8192)
+            var carry: Option[Byte] = None
+            var read = ais.read(buf)
+            while (read > 0) {
+              val bb = carry match {
+                case Some(b) =>
+                  val merged = java.nio.ByteBuffer.allocate(read + 1).order(order)
+                  merged.put(b); merged.put(buf, 0, read); merged.flip(); merged
+                case None => java.nio.ByteBuffer.wrap(buf, 0, read).order(order)
+              }
+              while (bb.remaining() >= 2) {
+                val v = math.abs(bb.getShort.toInt)
+                if (v > peak) peak = v
+                sumAbs += v
+              }
+              carry = if (bb.hasRemaining) Some(bb.get) else None
+              read = ais.read(buf)
+            }
+            (peak, sumAbs)
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => (0, 0L) }
+    }
+  }
+
+  /** Deterministic WAV synthesis: a REAL RIFF/WAVE PCM16 container
+    * whose every parameter is a pure function of `id` —
+    * channels = 1 + id%2, rate = 8000*(1 + id%3),
+    * frames = 64 + id%64, sample(i,ch) = ((id*31 + i*7 + ch*13) %
+    * 2003) - 1001. [[JavaSoundCodec]] then decodes it through the
+    * genuine JDK audio stack, and the DuckDB oracle replays the
+    * closed-form arithmetic — so a mis-parsed header or byte order
+    * shows up as a hash mismatch. (The image path fakes its decode;
+    * here the container AND the decoder are real.)
+    */
+  def synthWavPcm16(id: Long): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val sampleRate = (8000 * (1 + id % 3)).toInt
+    val nFrames = (64 + id % 64).toInt
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)                              // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2)        // byte rate
+    bb.putShort((channels * 2).toShort)         // block align
+    bb.putShort(16)                             // bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var ch = 0
+      while (ch < channels) {
+        bb.putShort((((id * 31 + i * 7 + ch * 13) % 2003) - 1001).toShort)
+        ch += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a synthesized WAV payload per row — the audio analog of
+    * [[withPayloadMeta]]'s stand-in for reading real media files.
+    * Partition-local byte building (the legitimate `mapPartitions`
+    * rung, same as the decode shells).
+    */
+  def withAudioPayload(spark: SparkSession,
+      docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("bigint")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthWavPcm16(id))))
+      .toDF("id", "payload")
+  }
+
+  /** Audio decode + feature extraction through the partition-batched
+    * shell: ONE pass per row over the payload for metadata and exact
+    * integer PCM features. Output is oracle-comparable (all ints +
+    * one format string).
+    */
+  def decodeAudioPartitioned(spark: SparkSession,
+      withPayload: DataFrame, idCol: String,
+      codec: AudioCodec = JavaSoundCodec): DataFrame = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("bigint"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = codec.decodeMeta(bytes)
+          val (peak, sumAbs) = codec.pcmFeatures(bytes)
+          (id, m.fmt, m.sampleRate, m.channels, m.bitsPerSample,
+            m.nFrames, m.durationMs, peak, sumAbs)
+        }
+      }
+      .toDF("id", "fmt", "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms", "peak", "sum_abs")
+  }
+
   /** Attach a binary payload column (here: utf-8 bytes of the text —
     * the deterministic stand-in for reading a real media file) plus
     * extracted metadata, all as codegen'd expressions.

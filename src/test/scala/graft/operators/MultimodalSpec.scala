@@ -155,4 +155,50 @@ class MultimodalSpec extends SparkSpec {
         .select(col("doc_id"), col("payload")), "doc_id")
     assert(out.rdd.getNumPartitions === 4)
   }
+
+  test("JavaSoundCodec decodes real WAV containers: meta and exact PCM features") {
+    // mono 8k and stereo 16k — the real javax.sound stack, not header
+    // arithmetic
+    for (id <- Seq(0L, 1L, 7L, 63L)) {
+      val wav = Multimodal.synthWavPcm16(id)
+      val m = Multimodal.JavaSoundCodec.decodeMeta(wav)
+      assert(m.fmt === "pcm_signed")
+      assert(m.sampleRate === 8000 * (1 + id % 3))
+      assert(m.channels === 1 + id % 2)
+      assert(m.bitsPerSample === 16)
+      assert(m.nFrames === 64 + id % 64)
+
+      val (peak, sumAbs) = Multimodal.JavaSoundCodec.pcmFeatures(wav)
+      // replay the synthesis arithmetic directly
+      val samples = for {
+        i <- 0 until (64 + id % 64).toInt
+        ch <- 0 until (1 + id % 2).toInt
+      } yield math.abs(((id * 31 + i * 7 + ch * 13) % 2003 - 1001).toInt)
+      assert(peak === samples.max)
+      assert(sumAbs === samples.map(_.toLong).sum)
+    }
+  }
+
+  test("corrupt or truncated audio degrades to the sentinel, never throws") {
+    val garbage = Array.fill[Byte](100)(42)
+    assert(Multimodal.JavaSoundCodec.decodeMeta(garbage).fmt === "unknown")
+    assert(Multimodal.JavaSoundCodec.pcmFeatures(garbage) === ((0, 0L)))
+    // a REAL header cut off mid-data: meta may parse, features must not blow up
+    val truncated = Multimodal.synthWavPcm16(5L).take(50)
+    Multimodal.JavaSoundCodec.decodeMeta(truncated)
+    Multimodal.JavaSoundCodec.pcmFeatures(truncated)
+    assert(Multimodal.JavaSoundCodec.decodeMeta(null).sampleRate === -1)
+    assert(Multimodal.JavaSoundCodec.pcmFeatures(Array.emptyByteArray) === ((0, 0L)))
+  }
+
+  test("audio decode runs through the partitioned shell, distributed") {
+    val docs = Tables.documents(spark, sf).repartition(4)
+    val out = Multimodal.decodeAudioPartitioned(spark,
+      Multimodal.withAudioPayload(spark, docs, "doc_id"), "id")
+    assert(out.rdd.getNumPartitions === 4)
+    val row = out.filter(col("id") === 1L).collect().head
+    assert(row.getString(1) === "pcm_signed")
+    assert(row.getInt(2) === 16000)
+    assert(row.getInt(3) === 2)
+  }
 }
