@@ -1140,6 +1140,27 @@ object Queries {
               CAST(64 + (octet_length(encode(text)) // 2) % 512 AS BIGINT) AS height
             FROM documents ORDER BY id"""))
 
+  // Salted hot-key join, oracle-checked against the PLAIN join SQL:
+  // salting must be invisible in the result (the hot key's rows land
+  // on saltBuckets reducers instead of one, nothing else changes).
+  val saltedJoin = QueryDef(
+    "q_salted_join",
+    (s, d) => {
+      val big = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val small = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      Skew.saltedJoin(big, small, Seq("custkey"), saltBuckets = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec12(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   // REAL audio decode, oracle-checked end-to-end: the WAV container
   // is synthesized from closed-form doc_id arithmetic, decoded
   // through the genuine javax.sound stack, and DuckDB replays the
@@ -1188,5 +1209,5 @@ object Queries {
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
-    multimodalDecode, audioDecode)
+    multimodalDecode, audioDecode, saltedJoin)
 }
