@@ -56,6 +56,13 @@ object Bench {
     // successful repeats reports null (and shows up in failures).
     val results: Seq[(String, Option[Double])] = Queries.all.map { q =>
       val times = (1 to repeats).flatMap { _ =>
+        // Warmup (and earlier queries/repeats) leave operator-level
+        // persisted frames in the CacheManager; Spark substitutes a
+        // canonically identical sub-plan with the warm InMemoryRelation,
+        // so without this clear a timed sketch query would read its
+        // signature aggregation from cache instead of executing it —
+        // warm JIT/codegen is the thing to measure, warm DATA is not.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           materialize(q.fn(spark, sfDir))

@@ -170,21 +170,32 @@ object Dedup {
     * grams are rare (df 1-2: the content grams that identify
     * duplicate pairs) while the join-killing stop-grams sit in the
     * extreme tail (df ~ corpus size). p=0.999 keeps 99.9% of grams
-    * as candidate generators and cuts only that tail. The floor
-    * keeps the cap above any plausible duplicate-cluster size (the
-    * correctness condition: every qualifying pair must share one
-    * sub-cap gram), so a uniformly tiny corpus can't tune itself
-    * into dropping pairs.
+    * as candidate generators and cuts only that tail.
     *
-    * Cost: one bounded scan of the sample + an approx-percentile
-    * sketch; a single scalar reaches the driver. At 100 TB run it at
-    * `sampleFraction` ~1e-3 — df tails that matter are exactly the
-    * ones a small sample still sees.
+    * The correctness condition is that the cap stays ABOVE the
+    * largest duplicate-cluster size (a cluster of C near-identical
+    * docs gives its content grams df≈C; cap < C drops every pair of
+    * the cluster, silently). The quantile alone cannot see a large
+    * cluster rarer than 1-p, so the cap is also floored by
+    * `clusterHeadroom` x the largest EXACT-duplicate group in the
+    * sample (xxhash64 of the text — large near-dup clusters are
+    * overwhelmingly anchored by exact copies; the headroom covers
+    * the near-identical variants around them). A large cluster of
+    * pairwise-DISTINCT near-duplicates with no exact core is still
+    * invisible to the tuner — if you expect those, pass `minCap`
+    * at your expected cluster size instead of relying on the
+    * estimate.
+    *
+    * Cost: two bounded aggregations over the sample (percentile
+    * sketch + max group count); two scalars reach the driver. At
+    * 100 TB run it at `sampleFraction` ~1e-3 — the tails that
+    * matter are exactly the ones a small sample still sees.
     */
   def autoMaxDf(
       docs: DataFrame, textCol: String, n: Int = 3,
       sampleFraction: Double = 0.1, quantile: Double = 0.999,
-      minCap: Int = 64, seed: Long = 42L): Int = {
+      minCap: Int = 64, clusterHeadroom: Int = 4,
+      seed: Long = 42L): Int = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0,1], got $sampleFraction")
     val sampled =
@@ -197,8 +208,14 @@ object Dedup {
       .select(percentile_approx(col("__df"), lit(quantile), lit(10000)))
       .head()
     val tail = if (q.isNullAt(0)) 0L else q.getLong(0)
-    math.max(minCap.toLong, math.ceil(tail / sampleFraction).toLong)
-      .min(Int.MaxValue).toInt
+    val g = sampled
+      .groupBy(xxhash64(col(textCol))).agg(count(lit(1)).as("__c"))
+      .select(max(col("__c"))).head()
+    val maxExactGroup = if (g.isNullAt(0)) 0L else g.getLong(0)
+    Seq(minCap.toLong,
+      math.ceil(tail / sampleFraction).toLong,
+      clusterHeadroom * math.ceil(maxExactGroup / sampleFraction).toLong)
+      .max.min(Int.MaxValue).toInt
   }
 
   def ngramJaccardPairs(

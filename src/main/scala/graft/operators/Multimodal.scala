@@ -275,22 +275,19 @@ object Multimodal {
               else java.nio.ByteOrder.LITTLE_ENDIAN
             var peak = 0
             var sumAbs = 0L
+            // AudioInputStream.read returns whole frames only, and
+            // 8192 is a multiple of every PCM16 frame size (2 bytes x
+            // channels) — each block parses out evenly, no sample
+            // straddles two reads
             val buf = new Array[Byte](8192)
-            var carry: Option[Byte] = None
             var read = ais.read(buf)
             while (read > 0) {
-              val bb = carry match {
-                case Some(b) =>
-                  val merged = java.nio.ByteBuffer.allocate(read + 1).order(order)
-                  merged.put(b); merged.put(buf, 0, read); merged.flip(); merged
-                case None => java.nio.ByteBuffer.wrap(buf, 0, read).order(order)
-              }
+              val bb = java.nio.ByteBuffer.wrap(buf, 0, read).order(order)
               while (bb.remaining() >= 2) {
                 val v = math.abs(bb.getShort.toInt)
                 if (v > peak) peak = v
                 sumAbs += v
               }
-              carry = if (bb.hasRemaining) Some(bb.get) else None
               read = ais.read(buf)
             }
             (peak, sumAbs)

@@ -206,8 +206,10 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
   @transient private lazy val probeCount: Int = {
     require(third.foldable, "nProbe must be a literal")
     val p = third.eval().asInstanceOf[Int]
-    require(p >= 1 && p <= centroidMatrix.length, "1 <= nProbe <= nCenters")
-    p
+    require(p >= 1, "nProbe must be >= 1")
+    // a tiny corpus can yield fewer centroids than nProbe (ivfCentroids
+    // samples FROM the corpus) — probe what exists rather than failing
+    math.min(p, centroidMatrix.length)
   }
 
   override def nullSafeEval(v: Any, c: Any, p: Any): Any = {

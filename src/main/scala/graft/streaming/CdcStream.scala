@@ -80,24 +80,8 @@ final class ParquetStateStore(
     * read surface. Bounded by `retainVersions` (+1 transiently
     * mid-GC).
     */
-  def versions: Seq[Long] = {
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val versioned = "^v(\\d+)$".r
-      val listing = Files.list(dir)
-      try {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-        listing.iterator().forEachRemaining { p =>
-          p.getFileName.toString match {
-            case versioned(v) => buf += v.toLong
-            case _ => ()
-          }
-        }
-        buf.toSeq.sorted
-      } finally listing.close()
-    }
-  }
+  def versions: Seq[Long] =
+    VersionedDir.list(Paths.get(path), "^v(\\d+)$".r).map(_._1)
 
   /** Historical read of a retained version, tombstones excluded —
     * `readVersion(latest)` == `current`. Versions beyond the
@@ -168,7 +152,18 @@ final class ParquetStateStore(
     }
   }
 
-  private def releaseLock(): Unit = Files.deleteIfExists(lockFile)
+  /** Delete the lock only if THIS writer still owns it. After a
+    * mistaken `forceReleaseLock` (old writer presumed dead but
+    * actually slow) and a re-acquire by a new writer, the slow
+    * original's finally-block must not delete the NEW holder's lock
+    * — that would reopen the lost-update window for a third writer.
+    */
+  private def releaseLock(): Unit =
+    try {
+      val mine = Files.exists(lockFile) &&
+        new String(Files.readAllBytes(lockFile), StandardCharsets.UTF_8) == writerId
+      if (mine) Files.delete(lockFile)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Retention: after the pointer swap, delete version dirs older
     * than the last `retainVersions` — without this a continuous
@@ -180,22 +175,14 @@ final class ParquetStateStore(
     */
   private def gcOldVersions(latest: Long): Unit = {
     val cutoff = latest - retainVersions + 1
-    val dir = Paths.get(path)
-    if (cutoff > 0 && Files.isDirectory(dir)) {
-      val versioned = "^v(\\d+)$".r
-      val listing = Files.list(dir)
-      try {
-        listing.iterator().forEachRemaining { p =>
-          p.getFileName.toString match {
-            case versioned(v) if v.toLong < cutoff =>
-              val walk = Files.walk(p)
-              try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .iterator().forEachRemaining(Files.deleteIfExists(_))
-              finally walk.close() // Files.walk/list leak an fd per call unless closed
-            case _ => ()
-          }
+    if (cutoff > 0) {
+      VersionedDir.list(Paths.get(path), "^v(\\d+)$".r)
+        .collect { case (v, p) if v < cutoff =>
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().forEachRemaining(Files.deleteIfExists(_))
+          finally walk.close() // Files.walk/list leak an fd per call unless closed
         }
-      } finally listing.close()
     }
   }
 }

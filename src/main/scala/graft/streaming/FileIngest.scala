@@ -65,32 +65,50 @@ object FileIngest {
     * first sampled file's type wins; rows that don't parse under it
     * are a job for [[runQuarantined]].
     */
-  def inferSchema(
+  /** Per-sampled-file inferred schemas (file path -> schema). Skips
+    * the `_`- and `.`-prefixed names Spark's own file source ignores
+    * — inferring from a half-written `.part.tmp` dotfile would
+    * pollute the schema with garbage the stream itself never reads.
+    */
+  private def fileSchemas(
       spark: SparkSession,
       dir: String,
-      format: String = "csv",
-      options: Map[String, String] = Map.empty,
-      sampleFiles: Int = 64): StructType = {
+      format: String,
+      options: Map[String, String],
+      sampleFiles: Int): Seq[(String, StructType)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(path).filter(_.isFile)
       .map(_.getPath.toString)
-      .filterNot(_.split('/').last.startsWith("_"))
+      .filterNot { f =>
+        val name = f.split('/').last
+        name.startsWith("_") || name.startsWith(".")
+      }
       .sorted.take(sampleFiles)
     require(files.nonEmpty, s"no files in $dir to infer a schema from")
-    files.foldLeft(new StructType()) { (acc, f) =>
-      val one = format match {
+    files.toSeq.map { f =>
+      f -> (format match {
         case "csv" => spark.read.options(options)
           .option("inferSchema", "true").csv(f).schema
         case "json" => spark.read.options(options).json(f).schema
         case "parquet" => spark.read.options(options).parquet(f).schema
         case other => throw new IllegalArgumentException(
           s"unsupported format for inference: $other")
-      }
-      one.fields.foldLeft(acc)((s, fld) =>
-        if (s.fieldNames.contains(fld.name)) s else s.add(fld))
+      })
     }
   }
+
+  def inferSchema(
+      spark: SparkSession,
+      dir: String,
+      format: String = "csv",
+      options: Map[String, String] = Map.empty,
+      sampleFiles: Int = 64): StructType =
+    fileSchemas(spark, dir, format, options, sampleFiles)
+      .foldLeft(new StructType()) { case (acc, (_, one)) =>
+        one.fields.foldLeft(acc)((s, fld) =>
+          if (s.fieldNames.contains(fld.name)) s else s.add(fld))
+      }
 
   private def schemaVersions(schemaLocation: String): Seq[Long] = {
     val dir = Paths.get(schemaLocation)
@@ -134,12 +152,34 @@ object FileIngest {
       format: String = "csv",
       options: Map[String, String] = Map.empty,
       sampleFiles: Int = 64): StructType = {
-    val inferred = inferSchema(spark, dir, format, options, sampleFiles)
+    val perFile = fileSchemas(spark, dir, format, options, sampleFiles)
+    val inferred = perFile.foldLeft(new StructType()) { case (acc, (_, one)) =>
+      one.fields.foldLeft(acc)((s, fld) =>
+        if (s.fieldNames.contains(fld.name)) s else s.add(fld))
+    }
     val prior = persistedSchema(schemaLocation)
     val merged = prior match {
       case None => inferred
       case Some(p) => inferred.fields.foldLeft(p)((s, f) =>
         if (s.fieldNames.contains(f.name)) s else s.add(f))
+    }
+    // CSV is parsed POSITIONALLY against the stream schema (the
+    // header is skipped, not matched by name), so appended-at-end is
+    // the only evolution CSV can express: a file whose columns are
+    // not a positional prefix of the merged schema would have every
+    // token silently land in the wrong column — token counts still
+    // match, no corrupt-record marker fires. Fail LOUDLY here
+    // instead. (JSON/parquet resolve by name and are unaffected;
+    // use them for out-of-order evolution. Only sampled files are
+    // checked — keep sampleFiles above the drop cadence.)
+    if (format == "csv") perFile.foreach { case (f, sch) =>
+      val expect = merged.fieldNames.take(sch.length).toSeq
+      require(sch.fieldNames.toSeq == expect,
+        s"CSV file $f has columns ${sch.fieldNames.mkString("[", ",", "]")} " +
+          s"but the evolved schema expects the positional prefix " +
+          s"${expect.mkString("[", ",", "]")} — CSV evolution must append " +
+          "new columns at the end (or switch to json/parquet, which " +
+          "resolve columns by name)")
     }
     if (!prior.contains(merged)) {
       Files.createDirectories(Paths.get(schemaLocation))
@@ -172,10 +212,18 @@ object FileIngest {
 
   /** Ingest with bad-record quarantine (the `badRecordsPath`
     * behavior): rows that fail to parse under `schema` are captured
-    * raw by a PERMISSIVE corrupt-record column and appended to
-    * `quarantineDir`; clean rows are appended to `targetDir`. ONE
-    * scan feeds both sinks (the micro-batch is persisted across the
-    * two writes, not re-read). Restartable via `checkpointDir`.
+    * raw by a PERMISSIVE corrupt-record column and written to
+    * `quarantineDir`; clean rows to `targetDir`. ONE scan feeds both
+    * sinks (the micro-batch is persisted across the two writes, not
+    * re-read). Restartable via `checkpointDir`.
+    *
+    * IDEMPOTENT REPLAY: foreachBatch is at-least-once — a crash
+    * after the target write but before the batch commits replays the
+    * batch on restart. Each write therefore lands in a
+    * `batch=<batchId>` subdirectory with overwrite mode: the replay
+    * rewrites the same subdirectory instead of appending duplicates.
+    * Read the sinks with `spark.read.parquet(dir)` — the batch id
+    * surfaces as one extra partition column.
     *
     * Returns the started query (AvailableNow trigger — run-to-drain,
     * matching [[StreamingPipeline.runOnce]]'s cascade model).
@@ -199,13 +247,13 @@ object FileIngest {
     src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
           b.filter(col(corruptCol).isNull).drop(corruptCol)
-            .write.mode("append").parquet(targetDir)
+            .write.mode("overwrite").parquet(s"$targetDir/batch=$batchId")
           b.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw"))
-            .write.mode("append").parquet(quarantineDir)
+            .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
         } finally b.unpersist()
         ()
       }

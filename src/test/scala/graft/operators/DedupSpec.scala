@@ -227,4 +227,27 @@ class DedupSpec extends SparkSpec {
     val sampled = Dedup.autoMaxDf(docs, "text", n = 3, sampleFraction = 0.5)
     assert(run(Some(sampled)) === run(None))
   }
+
+  test("auto cap clears a duplicate cluster larger than the default floor") {
+    val s = spark
+    import s.implicits._
+    // 100 identical docs: every content gram has df=100 > the floor
+    // (64); a df-quantile alone would cap below it and silently drop
+    // all 4950 pairs — the exact-group estimator must raise the cap
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val cluster = (0L until 100L).map(i => (i, text)).toDF("doc_id", "text")
+    val noise = (100L until 200L).map(i =>
+      (i, s"unique filler document number $i with its own distinct words $i")).toDF("doc_id", "text")
+    val corpus = cluster.union(noise)
+
+    val cap = Dedup.autoMaxDf(corpus, "text", n = 3, sampleFraction = 1.0)
+    assert(cap >= 100, s"cap $cap must clear the 100-doc cluster")
+    def run(c: Option[Int]) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDf = c)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(Some(cap))
+    assert(capped.size >= 4950, s"cluster pairs lost: ${capped.size}")
+    assert(capped === run(None))
+  }
 }

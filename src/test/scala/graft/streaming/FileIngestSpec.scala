@@ -88,6 +88,26 @@ class FileIngestSpec extends SparkSpec {
     // idempotent restart: no new data, no new schema version
     runToDrain()
     assert(!Files.exists(Paths.get(schemaLoc, "v2.json")))
+
+    // a half-written hidden temp file must not pollute inference —
+    // the streaming source ignores dotfiles, so must the inferrer
+    Files.write(Paths.get(dir, ".snap3.csv.tmp"),
+      "garbage,half written\nnoise".getBytes(StandardCharsets.UTF_8))
+    val s2 = FileIngest.evolveSchema(s, dir, schemaLoc,
+      format = "csv", options = Map("header" -> "true"))
+    assert(s2 === s1)
+    assert(!Files.exists(Paths.get(schemaLoc, "v2.json")))
+
+    // CSV parses positionally: a file with the new column NOT at the
+    // end would silently shift every token — rejected loudly instead
+    Files.write(Paths.get(dir, "snap4.csv"),
+      "discount,item_id,employee_id,quantity\n0.5,3,9,300\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val err = intercept[IllegalArgumentException] {
+      FileIngest.evolveSchema(s, dir, schemaLoc,
+        format = "csv", options = Map("header" -> "true"))
+    }
+    assert(err.getMessage.contains("positional prefix"))
   }
 
   test("corrupt rows are quarantined raw while clean rows reach the target") {
