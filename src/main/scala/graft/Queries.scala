@@ -1196,6 +1196,31 @@ object Queries {
               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
             FROM f GROUP BY doc_id ORDER BY id"""))
 
+  // REAL video demux, oracle-checked end-to-end: a standards-shaped
+  // RIFF AVI with genuine JPEG frames is synthesized from closed-form
+  // doc_id arithmetic, demuxed by the real RIFF walk, every 2nd frame
+  // decoded by the real javax.imageio stack; DuckDB replays the
+  // arithmetic — a mis-walked chunk or dropped frame = hash mismatch.
+  val videoFrames = QueryDef(
+    "q_video_frames",
+    (s, d) => Multimodal.decodeVideoFrames(s,
+        Multimodal.withVideoPayload(s, Tables.documents(s, d), "doc_id"), "id",
+        every = 2)
+      .select(col("id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        col("fmt"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"))
+      .orderBy("id", "frame_idx"),
+    Some("""SELECT d.doc_id AS id,
+              t.i AS frame_idx,
+              'jpeg' AS fmt,
+              CAST(16 + (d.doc_id % 4) * 8 AS BIGINT) AS width,
+              CAST(16 + (d.doc_id % 3) * 8 AS BIGINT) AS height
+            FROM documents d
+            CROSS JOIN generate_series(0, 3) t(i)
+            WHERE t.i < ((3 + d.doc_id % 5) + 1) // 2
+            ORDER BY id, frame_idx"""))
+
   // ---------------------------------------------------------------
 
   val all: Seq[QueryDef] = Seq(
@@ -1209,5 +1234,5 @@ object Queries {
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
-    multimodalDecode, audioDecode, saltedJoin)
+    multimodalDecode, audioDecode, videoFrames, saltedJoin)
 }

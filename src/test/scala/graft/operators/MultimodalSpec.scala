@@ -191,6 +191,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JavaSoundCodec.pcmFeatures(Array.emptyByteArray) === ((0, 0L)))
   }
 
+  test("AviMjpegCodec demuxes a real RIFF container and decodes real JPEG frames") {
+    for (id <- Seq(0L, 3L, 7L, 11L)) {
+      val avi = Multimodal.synthAviMjpeg(id)
+      val expFrames = (3 + id % 5).toInt
+      val expW = (16 + (id % 4) * 8).toInt
+      val expH = (16 + (id % 3) * 8).toInt
+
+      // header-only metadata from the strf BITMAPINFOHEADER
+      assert(Multimodal.AviMjpegCodec.decode(avi) === (("mjpeg", expW, expH)))
+
+      // full demux: every frame is a REAL decodable JPEG at the
+      // declared dimensions
+      val frames = Multimodal.AviMjpegCodec.demuxFrames(avi)
+      assert(frames.length === expFrames)
+      frames.foreach { f =>
+        assert(Multimodal.ImageIoCodec.decode(f) === (("jpeg", expW, expH)))
+      }
+
+      // sampling keeps every 2nd
+      assert(Multimodal.AviMjpegCodec.frameSample(avi, 0, 2).length ===
+        (expFrames + 1) / 2)
+
+      // poster-frame features are the first frame's features
+      val pf = Multimodal.AviMjpegCodec.extractFeatures(avi, 16)
+      assert(pf.toSeq === Multimodal.ImageIoCodec.extractFeatures(frames.head, 16).toSeq)
+    }
+  }
+
+  test("corrupt or truncated AVI degrades to empty/sentinel, never throws") {
+    val garbage = Array.fill[Byte](64)(7)
+    assert(Multimodal.AviMjpegCodec.demuxFrames(garbage).isEmpty)
+    assert(Multimodal.AviMjpegCodec.decode(garbage) === (("unknown", -1, -1)))
+    assert(Multimodal.AviMjpegCodec.demuxFrames(null) === Seq.empty)
+    // real container cut mid-movi: the walk stops at the truncation
+    val truncated = Multimodal.synthAviMjpeg(3L).dropRight(400)
+    val frames = Multimodal.AviMjpegCodec.demuxFrames(truncated)
+    assert(frames.length < 6)
+    frames.foreach(f => Multimodal.ImageIoCodec.decode(f)) // decodable or sentinel
+  }
+
   test("audio decode runs through the partitioned shell, distributed") {
     val docs = Tables.documents(spark, sf).repartition(4)
     val out = Multimodal.decodeAudioPartitioned(spark,
