@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode or
+  // ImageInputStream spills through a temp file — at ~30k frame
+  // codecs per bench run that is tens of thousands of file
+  // create/delete syscalls on the executor. Heap buffers are strictly
+  // better for our in-memory byte arrays. Object init runs once per
+  // JVM (driver AND executors — codec closures reference this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Per-partition media codec contract. Implementations must be
     * serializable (they ship inside task closures) and stateless or
     * cheaply re-initializable per partition.
