@@ -1140,6 +1140,41 @@ object Queries {
               CAST(64 + (octet_length(encode(text)) // 2) % 512 AS BIGINT) AS height
             FROM documents ORDER BY id"""))
 
+  // GPT-style concat-and-chunk packing: the distributed two-phase
+  // prefix scan must agree with the oracle's window-function running
+  // sum — a wrong partition offset or dropped carry = hash mismatch.
+  val packSequences = QueryDef(
+    "q_pack_sequences",
+    (s, d) => TextOps.packSequences(
+        Tables.documents(s, d), "doc_id", "n_chars", binSize = 8192)
+      .orderBy("id"),
+    Some("""WITH c AS (
+              SELECT doc_id AS id, n_chars AS w,
+                CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS start_offset
+              FROM documents)
+            SELECT id, w, start_offset,
+              CAST(start_offset // 8192 AS BIGINT) AS bin,
+              CAST(start_offset % 8192 AS BIGINT) AS bin_offset
+            FROM c ORDER BY id"""))
+
+  // Deterministic source-weighted sampling (data mixing): hash-based
+  // keep decisions replay exactly in the oracle — same mixture on
+  // every engine, run and retry.
+  val sampleSources = QueryDef(
+    "q_sample_sources",
+    (s, d) => TextOps.sampleBySource(Tables.documents(s, d), "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM documents
+            WHERE ((doc_id * 2654435761) % 1000000007) % 10000 <
+              CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                          WHEN 'src2' THEN 2500 ELSE 1000 END
+            ORDER BY doc_id"""))
+
   // Salted hot-key join, oracle-checked against the PLAIN join SQL:
   // salting must be invisible in the result (the hot key's rows land
   // on saltBuckets reducers instead of one, nothing else changes).
@@ -1234,5 +1269,6 @@ object Queries {
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
-    multimodalDecode, audioDecode, videoFrames, saltedJoin)
+    multimodalDecode, audioDecode, videoFrames, saltedJoin,
+    packSequences, sampleSources)
 }

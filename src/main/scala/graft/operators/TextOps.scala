@@ -54,4 +54,84 @@ object TextOps {
         regexp_replace(text, emailRe, "<EMAIL>"),
         cardRe, "<NUMBER>"),
       phoneRe, "<PHONE>")
+
+  /** Deterministic source-weighted sampling — the data-mixing stage
+    * of a training pipeline ("webtext at 100%, common-crawl at 25%"):
+    * a row survives iff its id's hash bucket (0..9999) falls under
+    * its source's rate x 10000.
+    *
+    * Hash-based (not `rand()`): the SAME rows are kept on every run,
+    * engine and retry — reproducible mixtures, and an engine-
+    * replayable oracle (multiplicative hashing is plain integer
+    * arithmetic; swap in xxhash64 via `bucketFn` when external
+    * replay doesn't matter). Shuffle-free, codegen'd filter; at
+    * 100 TB this is a scan that keeps rate x rows, nothing else.
+    */
+  def sampleBySource(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      bucketFn: Column => Column = defaultBucket): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val rateCol = rates.foldLeft(lit(math.round(defaultRate * 10000)): Column) {
+      case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    docs.filter(bucketFn(col(idCol)) < rateCol)
+  }
+
+  /** Knuth multiplicative hash of a numeric id into 0..9999 —
+    * exactly replayable as integer SQL in any engine.
+    */
+  def defaultBucket(id: Column): Column =
+    pmod(pmod(id.cast("bigint") * lit(2654435761L), lit(1000000007L)), lit(10000L))
+
+  /** GPT-style sequence packing (concat-and-chunk): documents are
+    * concatenated in `idCol` order and cut into fixed-`binSize`
+    * token bins; each document reports its global start offset, its
+    * bin, and its offset within the bin (documents may straddle a
+    * boundary — exactly what concat-packing does in pretraining).
+    *
+    * Scale: this is a GLOBAL running sum. A window over a global
+    * ORDER BY collapses to one partition — instead this runs the
+    * classic two-phase distributed scan: range-partition by id, one
+    * pass computes per-partition weight sums (only nPartitions longs
+    * reach the driver), then each partition streams its rows adding
+    * its broadcast base offset. The one legitimate `mapPartitions`
+    * rung: a prefix scan's carry is inherently sequential WITHIN a
+    * partition and embarrassingly parallel ACROSS them.
+    *
+    * The two passes re-read the sorted input; pass a [[CacheScope]]
+    * and release after consuming to avoid recomputing the sort.
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, weightCol: String,
+      binSize: Long, partitions: Int = 0,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val projected = docs.select(col(idCol).cast("bigint").as("id"),
+      col(weightCol).cast("bigint").as("w"))
+    val ranged =
+      if (partitions > 0) projected.repartitionByRange(partitions, col("id"))
+      else projected.repartitionByRange(col("id"))
+    val sorted = scope.cache(ranged.sortWithinPartitions("id"))
+    val ds = sorted.as[(Long, Long)]
+    val partSums = ds.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bc = spark.sparkContext.broadcast(offsets)
+    ds.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var run = bc.value(i)
+      it.map { case (id, w) =>
+        val start = run
+        run += w
+        (id, w, start, start / binSize, start % binSize)
+      }
+    }.toDF("id", "w", "start_offset", "bin", "bin_offset")
+  }
 }

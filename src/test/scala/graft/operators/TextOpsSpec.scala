@@ -46,4 +46,61 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) === "card <NUMBER> expires soon")
     assert(out(2) === "no pii here, just 42 words")
   }
+
+  test("packSequences: contiguous offsets, straddling bins, partition-count invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).map(i => (i, 100 + (i % 37) * 13)).toDF("doc_id", "n_tok")
+
+    val scope = new CacheScope
+    val packed = TextOps.packSequences(docs, "doc_id", "n_tok",
+        binSize = 1000, partitions = 8, scope = scope)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    scope.release()
+
+    // concat semantics: each doc starts exactly where the previous ended
+    packed.sliding(2).foreach { case Array((_, w0, s0, _, _), (_, _, s1, _, _)) =>
+      assert(s1 === s0 + w0)
+    }
+    // bin/bin_offset arithmetic
+    packed.foreach { case (_, _, start, bin, off) =>
+      assert(bin === start / 1000)
+      assert(off === start % 1000)
+    }
+    // docs DO straddle boundaries (concat-packing, not first-fit)
+    assert(packed.exists { case (_, w, _, _, off) => off + w > 1000 })
+    // the distributed scan is partition-count independent
+    val single = TextOps.packSequences(docs, "doc_id", "n_tok",
+        binSize = 1000, partitions = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.toSeq === single.toSeq)
+  }
+
+  test("sampleBySource keeps a deterministic per-source mixture") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def run() = TextOps.sampleBySource(docs, "doc_id", "source", rates,
+      defaultRate = 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val kept = run()
+    assert(kept === run(), "hash-based sampling must be run-deterministic")
+    val bySrc = kept.groupBy(_ % 4).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse(0L, 0) === 1000)          // rate 1.0 keeps all
+    assert(!bySrc.contains(2L))                       // rate 0.0 keeps none
+    val r1 = bySrc.getOrElse(1L, 0) / 1000.0          // ~0.5
+    val r3 = bySrc.getOrElse(3L, 0) / 1000.0          // default ~0.25
+    assert(math.abs(r1 - 0.5) < 0.1, s"src1 rate $r1")
+    assert(math.abs(r3 - 0.25) < 0.1, s"default rate $r3")
+    // filter matches the stated arithmetic row-for-row
+    val expected = (0L until 4000L).filter { i =>
+      val b = ((i * 2654435761L) % 1000000007L) % 10000L
+      val rate = Map(0L -> 10000L, 1L -> 5000L, 2L -> 0L).getOrElse(i % 4, 2500L)
+      b < rate
+    }.toSet
+    assert(kept === expected)
+  }
 }
