@@ -101,6 +101,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("salted join: replicated small side broadcasts, no cartesian, salt never output") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    val df = Skew.saltedJoin(orders, cust, Seq("custkey"), saltBuckets = 8)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"),
+      "replicated small side should broadcast — salting must not force a shuffle join\n" + p)
+    assert(!df.columns.contains("__salt"), "salt is internal")
+  }
+
+  test("packSequences stays distributed: range-partitioned scan, never one partition") {
+    val docs = Tables.documents(spark, sf)
+    val df = TextOps.packSequences(docs, "doc_id", "n_chars", binSize = 8192,
+      partitions = 8)
+    // the result is built over the RDD lineage (mapPartitions carry),
+    // so the invariant surfaces as partitioning, not as a SQL plan
+    // node: the global prefix sum must NOT collapse to one partition
+    // (a window over a global ORDER BY would)
+    assert(df.rdd.getNumPartitions === 8, "two-phase scan must stay distributed")
+    assert(df.rdd.toDebugString.contains("ShuffledRowRDD"),
+      "range repartition expected in the lineage\n" + df.rdd.toDebugString)
+  }
+
+  test("sampleBySource is a shuffle-free codegen'd filter") {
+    val docs = Tables.documents(spark, sf)
+    val df = TextOps.sampleBySource(docs, "doc_id", "source",
+      rates = Map("src0" -> 0.5))
+    assert(shuffles(df) === 0, plan(df))
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val orders = Tables.orders(spark, sf)
