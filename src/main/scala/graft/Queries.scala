@@ -1170,7 +1170,7 @@ object Queries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id, source FROM documents
-            WHERE ((doc_id * 2654435761) % 1000000007) % 10000 <
+            WHERE (((doc_id % 1000000007) * 654435747) % 1000000007) % 10000 <
               CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                           WHEN 'src2' THEN 2500 ELSE 1000 END
             ORDER BY doc_id"""))

@@ -237,40 +237,64 @@ object Multimodal {
       }
 
     /** Walk every chunk (recursing into LISTs), invoking `f` with
-      * (fourcc, payload slice). Bounded by the buffer — a declared
-      * size past the end truncates the walk instead of throwing.
+      * (fourcc, payload slice) until `f` returns false. Bounded by
+      * the buffer — a declared size past the end, or a final
+      * odd-sized chunk missing its pad byte, truncates the walk
+      * instead of throwing (the advance is clamped to the limit).
       */
-    private def walk(bb: java.nio.ByteBuffer)(f: (String, java.nio.ByteBuffer) => Unit): Unit =
+    private def walk(bb: java.nio.ByteBuffer)(f: (String, java.nio.ByteBuffer) => Boolean): Boolean = {
       while (bb.remaining() >= 8) {
         val cc = fourcc(bb)
         val size = bb.getInt
-        if (size < 0 || size > bb.remaining()) return // truncated/corrupt
+        if (size < 0 || size > bb.remaining()) return true // truncated/corrupt
         val payload = bb.slice().order(LE)
         payload.limit(size)
-        if (cc == "LIST" && size >= 4) {
-          payload.position(4) // skip the list type fourcc
-          walk(payload)(f)
-        } else f(cc, payload)
-        bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+        val go =
+          if (cc == "LIST" && size >= 4) {
+            payload.position(4) // skip the list type fourcc
+            walk(payload)(f)
+          } else f(cc, payload)
+        if (!go) return false
+        bb.position(math.min(bb.limit(),
+          bb.position() + size + (size & 1))) // chunks pad to even
       }
+      true
+    }
 
-    /** Every `##dc`/`##db` video-stream chunk payload, in order. */
-    def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    private def isVideoChunk(cc: String): Boolean =
+      cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+        cc(2) == 'd' && (cc(3) == 'c' || cc(3) == 'b')
+
+    /** Video chunks with `keep(frameIndex)`, copied out only when
+      * kept, stopping the walk after `stopAfter` kept frames — the
+      * poster-frame path copies ONE frame and never touches the
+      * rest of the container.
+      */
+    private def demuxSelect(bytes: Array[Byte], keep: Int => Boolean,
+        stopAfter: Int = Int.MaxValue): Seq[Array[Byte]] = {
       if (!isAvi(bytes)) return Seq.empty
       try {
         val bb = java.nio.ByteBuffer.wrap(bytes, 12, bytes.length - 12).order(LE)
         val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var idx = 0
         walk(bb) { (cc, payload) =>
-          if (cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
-            cc(2) == 'd' && (cc(3) == 'c' || cc(3) == 'b')) {
-            val a = new Array[Byte](payload.remaining())
-            payload.get(a)
-            out += a
+          if (isVideoChunk(cc)) {
+            if (keep(idx)) {
+              val a = new Array[Byte](payload.remaining())
+              payload.get(a)
+              out += a
+            }
+            idx += 1
           }
+          out.size < stopAfter
         }
         out.toSeq
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }
+
+    /** Every `##dc`/`##db` video-stream chunk payload, in order. */
+    def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      demuxSelect(bytes, _ => true)
 
     /** Header-only metadata from the strf BITMAPINFOHEADER. */
     def decode(bytes: Array[Byte]): (String, Int, Int) = {
@@ -282,28 +306,35 @@ object Multimodal {
           if (cc == "strf" && payload.remaining() >= 12 && found._2 < 0) {
             payload.position(4) // biSize
             found = ("mjpeg", payload.getInt, payload.getInt)
-          }
+            false // header found — stop the walk
+          } else true
         }
         found
       } catch { case scala.util.control.NonFatal(_) => ("unknown", -1, -1) }
     }
 
+    /** Poster frame only — one copy, walk stops at the first frame. */
+    private def posterFrame(bytes: Array[Byte]): Option[Array[Byte]] =
+      demuxSelect(bytes, _ == 0, stopAfter = 1).headOption
+
     def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
-      demuxFrames(bytes).headOption
+      posterFrame(bytes)
         .map(ImageIoCodec.extractFeatures(_, dim))
         .getOrElse(new Array[Float](dim))
 
     def resize(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) =
-      demuxFrames(bytes).headOption
+      posterFrame(bytes)
         .map(ImageIoCodec.resize(_, maxW, maxH))
         .getOrElse((Array.emptyByteArray, -1, -1))
 
     /** Real demux: `frameSize` is container-defined here and ignored;
-      * every `every`-th demuxed frame is kept.
+      * every `every`-th demuxed frame is kept (dropped frames are
+      * never copied out of the container).
       */
-    def frameSample(bytes: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] =
-      demuxFrames(bytes).zipWithIndex
-        .collect { case (f, i) if i % every == 0 => f }
+    def frameSample(bytes: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] = {
+      require(every >= 1, s"every must be >= 1, got $every")
+      demuxSelect(bytes, _ % every == 0)
+    }
   }
 
   /** Deterministic AVI/MJPEG synthesis: a standards-shaped RIFF AVI
@@ -400,6 +431,7 @@ object Multimodal {
       withPayload: DataFrame, idCol: String, every: Int = 2,
       videoCodec: MediaCodec = AviMjpegCodec,
       imageCodec: MediaCodec = ImageIoCodec): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every") // fail on the driver, not in 4 task retries
     import spark.implicits._
     withPayload.select(col(idCol).cast("bigint"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -662,6 +694,7 @@ object Multimodal {
       withPayload: DataFrame, idCol: String,
       frameSize: Int, every: Int,
       codec: MediaCodec = FakeCodec): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
     import spark.implicits._
     withPayload.select(col(idCol).cast("bigint"), col("payload"))
       .as[(Long, Array[Byte])]

@@ -80,11 +80,17 @@ object TextOps {
     docs.filter(bucketFn(col(idCol)) < rateCol)
   }
 
-  /** Knuth multiplicative hash of a numeric id into 0..9999 —
-    * exactly replayable as integer SQL in any engine.
+  /** Multiplicative hash of a numeric id into 0..9999 — exactly
+    * replayable as integer SQL in any engine. The id is reduced mod
+    * p BEFORE the multiply: (p-1) * (2654435761 mod p) ≈ 6.5e17
+    * stays inside a 64-bit long, whereas multiplying a raw 100 TB-
+    * scale id first would silently wrap in Spark and error in
+    * engines that check BIGINT overflow — diverging mixtures at
+    * exactly the id ranges this is for.
     */
   def defaultBucket(id: Column): Column =
-    pmod(pmod(id.cast("bigint") * lit(2654435761L), lit(1000000007L)), lit(10000L))
+    pmod(pmod(pmod(id.cast("bigint"), lit(1000000007L)) * lit(654435747L),
+      lit(1000000007L)), lit(10000L))
 
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * concatenated in `idCol` order and cut into fixed-`binSize`
@@ -101,13 +107,17 @@ object TextOps {
     * rung: a prefix scan's carry is inherently sequential WITHIN a
     * partition and embarrassingly parallel ACROSS them.
     *
-    * The two passes re-read the sorted input; pass a [[CacheScope]]
-    * and release after consuming to avoid recomputing the sort.
+    * The two passes re-read the sorted input. By DEFAULT nothing is
+    * persisted (the sort simply runs twice — correct, never leaks);
+    * pass a [[CacheScope]] to cache the sorted projection across the
+    * passes and `release()` it after consuming the result. A
+    * silently-pinned default cache would leak a corpus-sized block
+    * per invocation in a long-lived session.
     */
   def packSequences(
       docs: DataFrame, idCol: String, weightCol: String,
       binSize: Long, partitions: Int = 0,
-      scope: CacheScope = new CacheScope): DataFrame = {
+      scope: Option[CacheScope] = None): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -116,7 +126,8 @@ object TextOps {
     val ranged =
       if (partitions > 0) projected.repartitionByRange(partitions, col("id"))
       else projected.repartitionByRange(col("id"))
-    val sorted = scope.cache(ranged.sortWithinPartitions("id"))
+    val sortedPlain = ranged.sortWithinPartitions("id")
+    val sorted = scope.fold(sortedPlain)(_.cache(sortedPlain))
     val ds = sorted.as[(Long, Long)]
     val partSums = ds.rdd
       .mapPartitionsWithIndex { case (i, it) =>

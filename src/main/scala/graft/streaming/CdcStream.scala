@@ -157,13 +157,26 @@ final class ParquetStateStore(
     * actually slow) and a re-acquire by a new writer, the slow
     * original's finally-block must not delete the NEW holder's lock
     * — that would reopen the lost-update window for a third writer.
+    *
+    * The check-then-delete is NOT atomic (a plain filesystem has no
+    * compare-and-delete), so a forceRelease+re-acquire landing in
+    * the window between the read and the delete can still lose the
+    * new lock — the ownership check shrinks the hazard from "every
+    * release" to "a release racing a misused forceRelease", it
+    * cannot close it. Treat forceReleaseLock as an offline recovery
+    * tool, not an online operation.
+    *
+    * A failed delete of our OWN lock propagates (the store would be
+    * permanently locked — surface it; recovery is forceReleaseLock);
+    * an unreadable/missing lock file just means we no longer own it.
     */
-  private def releaseLock(): Unit =
-    try {
-      val mine = Files.exists(lockFile) &&
+  private def releaseLock(): Unit = {
+    val mine =
+      try Files.exists(lockFile) &&
         new String(Files.readAllBytes(lockFile), StandardCharsets.UTF_8) == writerId
-      if (mine) Files.delete(lockFile)
-    } catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (mine) Files.deleteIfExists(lockFile)
+  }
 
   /** Retention: after the pointer swap, delete version dirs older
     * than the last `retainVersions` — without this a continuous

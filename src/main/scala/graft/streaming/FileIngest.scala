@@ -54,17 +54,6 @@ object FileIngest {
       base.option("maxFilesPerTrigger", n.toString)).load(dir)
   }
 
-  /** Infer the merged schema of the files currently in `dir`: each
-    * sampled file is inferred SEPARATELY and their columns unioned,
-    * so a new column appearing in only the newest file is seen even
-    * when older files lack it (per-dir inference would take the
-    * column set of whichever file the reader lists first). Bounded
-    * by `sampleFiles` — at 100 TB nobody infers over every file;
-    * Auto Loader samples too (`cloudFiles.schemaInference.sampleSize`).
-    * On a column present in several files with CONFLICTING types, the
-    * first sampled file's type wins; rows that don't parse under it
-    * are a job for [[runQuarantined]].
-    */
   /** Per-sampled-file inferred schemas (file path -> schema). Skips
     * the `_`- and `.`-prefixed names Spark's own file source ignores
     * — inferring from a half-written `.part.tmp` dotfile would
@@ -98,36 +87,38 @@ object FileIngest {
     }
   }
 
+  /** Append every field of `schemas` (in order) not already present
+    * by name — new columns land at the END, existing columns keep
+    * their original type (a type change upstream must not silently
+    * rewrite a column; rows that don't parse under the kept type are
+    * a job for [[runQuarantined]]).
+    */
+  private def mergeFields(base: StructType, schemas: Seq[StructType]): StructType =
+    schemas.foldLeft(base)((acc, one) =>
+      one.fields.foldLeft(acc)((s, fld) =>
+        if (s.fieldNames.contains(fld.name)) s else s.add(fld)))
+
+  /** Infer the merged schema of the files currently in `dir`: each
+    * sampled file is inferred SEPARATELY and their columns unioned
+    * ([[mergeFields]]), so a new column appearing in only the newest
+    * file is seen even when older files lack it (per-dir inference
+    * would take the column set of whichever file the reader lists
+    * first). Bounded by `sampleFiles` — at 100 TB nobody infers over
+    * every file; Auto Loader samples too
+    * (`cloudFiles.schemaInference.sampleSize`). On conflicting
+    * types the first sampled file wins.
+    */
   def inferSchema(
       spark: SparkSession,
       dir: String,
       format: String = "csv",
       options: Map[String, String] = Map.empty,
       sampleFiles: Int = 64): StructType =
-    fileSchemas(spark, dir, format, options, sampleFiles)
-      .foldLeft(new StructType()) { case (acc, (_, one)) =>
-        one.fields.foldLeft(acc)((s, fld) =>
-          if (s.fieldNames.contains(fld.name)) s else s.add(fld))
-      }
+    mergeFields(new StructType(),
+      fileSchemas(spark, dir, format, options, sampleFiles).map(_._2))
 
-  private def schemaVersions(schemaLocation: String): Seq[Long] = {
-    val dir = Paths.get(schemaLocation)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val versioned = "^v(\\d+)\\.json$".r
-      val listing = Files.list(dir)
-      try {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-        listing.iterator().forEachRemaining { p =>
-          p.getFileName.toString match {
-            case versioned(v) => buf += v.toLong
-            case _ => ()
-          }
-        }
-        buf.toSeq.sorted
-      } finally listing.close()
-    }
-  }
+  private def schemaVersions(schemaLocation: String): Seq[Long] =
+    VersionedDir.list(Paths.get(schemaLocation), "^v(\\d+)\\.json$".r).map(_._1)
 
   /** Latest persisted schema under `schemaLocation`, if any. */
   def persistedSchema(schemaLocation: String): Option[StructType] =
@@ -153,16 +144,8 @@ object FileIngest {
       options: Map[String, String] = Map.empty,
       sampleFiles: Int = 64): StructType = {
     val perFile = fileSchemas(spark, dir, format, options, sampleFiles)
-    val inferred = perFile.foldLeft(new StructType()) { case (acc, (_, one)) =>
-      one.fields.foldLeft(acc)((s, fld) =>
-        if (s.fieldNames.contains(fld.name)) s else s.add(fld))
-    }
     val prior = persistedSchema(schemaLocation)
-    val merged = prior match {
-      case None => inferred
-      case Some(p) => inferred.fields.foldLeft(p)((s, f) =>
-        if (s.fieldNames.contains(f.name)) s else s.add(f))
-    }
+    val merged = mergeFields(prior.getOrElse(new StructType()), perFile.map(_._2))
     // CSV is parsed POSITIONALLY against the stream schema (the
     // header is skipped, not matched by name), so appended-at-end is
     // the only evolution CSV can express: a file whose columns are

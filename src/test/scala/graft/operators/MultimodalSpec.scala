@@ -229,6 +229,19 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.AviMjpegCodec.demuxFrames(truncated)
     assert(frames.length < 6)
     frames.foreach(f => Multimodal.ImageIoCodec.decode(f)) // decodable or sentinel
+
+    // a final ODD-sized chunk with its pad byte missing (real AVIs
+    // omit the trailing pad): frames walked so far must SURVIVE, not
+    // be discarded by an out-of-bounds advance
+    val base = Multimodal.synthAviMjpeg(4L) // 7 frames
+    val odd = Array.concat(base,
+      "frm0".getBytes("US-ASCII"),
+      Array[Byte](3, 0, 0, 0), // declared size 3, odd
+      Array[Byte](1, 2, 3))    // payload, NO pad byte
+    // patch the RIFF size to cover the appended chunk
+    val bb = java.nio.ByteBuffer.wrap(odd).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, odd.length - 8)
+    assert(Multimodal.AviMjpegCodec.demuxFrames(odd).length === 7)
   }
 
   test("audio decode runs through the partitioned shell, distributed") {

@@ -54,7 +54,7 @@ class TextOpsSpec extends SparkSpec {
 
     val scope = new CacheScope
     val packed = TextOps.packSequences(docs, "doc_id", "n_tok",
-        binSize = 1000, partitions = 8, scope = scope)
+        binSize = 1000, partitions = 8, scope = Some(scope))
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     scope.release()
@@ -97,10 +97,18 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r3 - 0.25) < 0.1, s"default rate $r3")
     // filter matches the stated arithmetic row-for-row
     val expected = (0L until 4000L).filter { i =>
-      val b = ((i * 2654435761L) % 1000000007L) % 10000L
+      val b = (((i % 1000000007L) * 654435747L) % 1000000007L) % 10000L
       val rate = Map(0L -> 10000L, 1L -> 5000L, 2L -> 0L).getOrElse(i % 4, 2500L)
       b < rate
     }.toSet
     assert(kept === expected)
+
+    // ids at 100 TB scale: no silent 64-bit wrap, bucket stays in range
+    val big = Seq(4000000000L, Long.MaxValue / 3).toDF("doc_id")
+    val buckets = big.select(TextOps.defaultBucket(col("doc_id")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 10000))
+    assert(buckets(0) ===
+      (((4000000000L % 1000000007L) * 654435747L) % 1000000007L) % 10000L)
   }
 }
