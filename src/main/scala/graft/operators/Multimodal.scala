@@ -345,7 +345,40 @@ object Multimodal {
     * `javax.imageio`. The oracle replays the arithmetic while Spark
     * demuxes the genuine container and decodes the genuine frames.
     */
-  def synthAviMjpeg(id: Long): Array[Byte] = {
+  /** One-shot JPEG encode (registry lookup per call). For bulk work
+    * use [[JpegEncoder]] — one writer per partition.
+    */
+  private def encodeJpegOnce(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Reusable JPEG encoder — ImageIO.write scans the provider
+    * registry and builds a fresh compressor per call; holding ONE
+    * `ImageWriter` per partition ("one codec context per partition",
+    * as the decode shells document) cuts that overhead for bulk
+    * synthesis/transcode. Not thread-safe; use within one task.
+    */
+  final class JpegEncoder extends (java.awt.image.BufferedImage => Array[Byte]) {
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    def apply(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally ios.close()
+      bos.toByteArray
+    }
+    def dispose(): Unit = writer.dispose()
+  }
+
+  def synthAviMjpeg(id: Long): Array[Byte] = synthAviMjpeg(id, encodeJpegOnce)
+
+  def synthAviMjpeg(id: Long,
+      encodeJpeg: java.awt.image.BufferedImage => Array[Byte]): Array[Byte] = {
     import java.awt.image.BufferedImage
     val nFrames = (3 + id % 5).toInt
     val w = (16 + (id % 4) * 8).toInt
@@ -360,9 +393,7 @@ object Multimodal {
           ((id * 83 + i * 29) % 256).toInt))
         g.fillRect(0, 0, w, h)
       } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      encodeJpeg(img)
     }
     def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer
@@ -413,12 +444,20 @@ object Multimodal {
     bb.array()
   }
 
-  /** Attach a synthesized AVI/MJPEG payload per row. */
+  /** Attach a synthesized AVI/MJPEG payload per row — one reused
+    * [[JpegEncoder]] per partition, disposed when the partition
+    * drains.
+    */
   def withVideoPayload(spark: SparkSession,
       docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("bigint")).as[Long]
-      .mapPartitions(it => it.map(id => (id, synthAviMjpeg(id))))
+      .mapPartitions { it =>
+        val enc = new JpegEncoder
+        it.map(id => (id, synthAviMjpeg(id, enc))) ++ {
+          enc.dispose(); Iterator.empty // ++ is by-name: runs after the last row
+        }
+      }
       .toDF("id", "payload")
   }
 
