@@ -296,17 +296,27 @@ object Multimodal {
     def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
       demuxSelect(bytes, _ => true)
 
-    /** Header-only metadata from the strf BITMAPINFOHEADER. */
+    /** Header-only metadata from the VIDEO stream's strf
+      * BITMAPINFOHEADER. Streams appear as strh/strf pairs and an
+      * AVI may legally list audio first — the strf is only accepted
+      * when the preceding strh declared fccType `vids` (an audio
+      * strf is a WAVEFORMATEX whose bytes would parse as garbage
+      * dimensions).
+      */
     def decode(bytes: Array[Byte]): (String, Int, Int) = {
       if (!isAvi(bytes)) return ("unknown", -1, -1)
       try {
         var found: (String, Int, Int) = ("avi", -1, -1)
+        var inVideoStream = false
         val bb = java.nio.ByteBuffer.wrap(bytes, 12, bytes.length - 12).order(LE)
         walk(bb) { (cc, payload) =>
-          if (cc == "strf" && payload.remaining() >= 12 && found._2 < 0) {
+          if (cc == "strh" && payload.remaining() >= 4) {
+            inVideoStream = fourcc(payload) == "vids"
+            true
+          } else if (cc == "strf" && inVideoStream && payload.remaining() >= 12) {
             payload.position(4) // biSize
             found = ("mjpeg", payload.getInt, payload.getInt)
-            false // header found — stop the walk
+            false // video header found — stop the walk
           } else true
         }
         found
@@ -337,14 +347,6 @@ object Multimodal {
     }
   }
 
-  /** Deterministic AVI/MJPEG synthesis: a standards-shaped RIFF AVI
-    * (hdrl with avih/strh/strf, movi with one `00dc` JPEG per frame)
-    * whose frame count and dimensions are pure functions of `id` —
-    * nFrames = 3 + id%5, width = 16 + (id%4)*8,
-    * height = 16 + (id%3)*8; each frame is a REAL JPEG encoded via
-    * `javax.imageio`. The oracle replays the arithmetic while Spark
-    * demuxes the genuine container and decodes the genuine frames.
-    */
   /** One-shot JPEG encode (registry lookup per call). For bulk work
     * use [[JpegEncoder]] — one writer per partition.
     */
@@ -375,6 +377,14 @@ object Multimodal {
     def dispose(): Unit = writer.dispose()
   }
 
+  /** Deterministic AVI/MJPEG synthesis: a standards-shaped RIFF AVI
+    * (hdrl with avih/strh/strf, movi with one `00dc` JPEG per frame)
+    * whose frame count and dimensions are pure functions of `id` —
+    * nFrames = 3 + id%5, width = 16 + (id%4)*8,
+    * height = 16 + (id%3)*8; each frame is a REAL JPEG encoded via
+    * `javax.imageio`. The oracle replays the arithmetic while Spark
+    * demuxes the genuine container and decodes the genuine frames.
+    */
   def synthAviMjpeg(id: Long): Array[Byte] = synthAviMjpeg(id, encodeJpegOnce)
 
   def synthAviMjpeg(id: Long,
@@ -454,9 +464,12 @@ object Multimodal {
     docs.select(col(idCol).cast("bigint")).as[Long]
       .mapPartitions { it =>
         val enc = new JpegEncoder
-        it.map(id => (id, synthAviMjpeg(id, enc))) ++ {
-          enc.dispose(); Iterator.empty // ++ is by-name: runs after the last row
-        }
+        // completion listener, not end-of-iterator: runs on EVERY task
+        // exit path (limit/take stop consuming early; a throwing row
+        // aborts the task) — the writer never leaks
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => enc.dispose()))
+        it.map(id => (id, synthAviMjpeg(id, enc)))
       }
       .toDF("id", "payload")
   }

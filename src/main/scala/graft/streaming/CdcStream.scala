@@ -104,6 +104,7 @@ final class ParquetStateStore(
   def upsertBatch(batch: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.functions.lit
     acquireLock()
+    var primary: Throwable = null
     try {
       val state = rawState.getOrElse(
         batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
@@ -120,7 +121,17 @@ final class ParquetStateStore(
       Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
       gcOldVersions(next)
-    } finally releaseLock()
+    } catch { case t: Throwable => primary = t; throw t }
+    finally {
+      // a failed self-release must SURFACE (store permanently locked)
+      // but never REPLACE an in-flight merge failure — the merge
+      // exception is the root cause, the lock error rides suppressed
+      try releaseLock()
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          if (primary != null) primary.addSuppressed(t) else throw t
+      }
+    }
   }
 
   /** Identifies this store instance in lock files / conflict

@@ -219,6 +219,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI with an audio stream listed first: decode still finds the VIDEO strf") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(cc.getBytes("US-ASCII")); bb.putInt(payload.length); bb.put(payload)
+      bb.array()
+    }
+    def list(t: String, cs: Array[Byte]*): Array[Byte] =
+      chunk("LIST", t.getBytes("US-ASCII") ++ cs.flatten)
+    def strh(fcc: String) = chunk("strh",
+      fcc.getBytes("US-ASCII") ++ new Array[Byte](52))
+    // audio strf = WAVEFORMATEX-ish bytes that would misparse as dims
+    val audioStrf = chunk("strf", Array.fill[Byte](16)(9))
+    val videoStrf = chunk("strf", {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40); bb.putInt(320); bb.putInt(240)
+      bb.array()
+    })
+    val hdrl = list("hdrl",
+      list("strl", strh("auds"), audioStrf),
+      list("strl", strh("vids"), videoStrf))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ list("movi")
+    val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(body.length); bb.put(body)
+    assert(Multimodal.AviMjpegCodec.decode(bb.array()) === (("mjpeg", 320, 240)))
+  }
+
   test("corrupt or truncated AVI degrades to empty/sentinel, never throws") {
     val garbage = Array.fill[Byte](64)(7)
     assert(Multimodal.AviMjpegCodec.demuxFrames(garbage).isEmpty)
