@@ -73,11 +73,28 @@ object TextOps {
       bucketFn: Column => Column = defaultBucket): DataFrame = {
     require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
       "rates must be in [0,1]")
-    val rateCol = rates.foldLeft(lit(math.round(defaultRate * 10000)): Column) {
-      case (acc, (src, r)) =>
-        when(col(sourceCol) === src, lit(math.round(r * 10000))).otherwise(acc)
+    if (rates.size <= 64) {
+      // small maps: one codegen'd CASE chain, shuffle-free
+      val rateCol = rates.foldLeft(lit(math.round(defaultRate * 10000)): Column) {
+        case (acc, (src, r)) =>
+          when(col(sourceCol) === src, lit(math.round(r * 10000))).otherwise(acc)
+      }
+      docs.filter(bucketFn(col(idCol)) < rateCol)
+    } else {
+      // thousands of sources: a per-source literal CASE subtree is the
+      // plan-size blowup LshBandBits/NearestCentroids exist to avoid —
+      // broadcast-join a tiny rates table instead (no shuffle on docs)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ratesDf = broadcast(
+        rates.toSeq.map { case (s, r) => (s, math.round(r * 10000)) }
+          .toDF(sourceCol, "__rate"))
+      docs.join(ratesDf, Seq(sourceCol), "left")
+        .filter(bucketFn(col(idCol)) <
+          coalesce(col("__rate"), lit(math.round(defaultRate * 10000))))
+        .drop("__rate")
+        .select(docs.columns.map(col): _*) // original column order
     }
-    docs.filter(bucketFn(col(idCol)) < rateCol)
   }
 
   /** Multiplicative hash of a numeric id into 0..9999 — exactly

@@ -103,6 +103,15 @@ class TextOpsSpec extends SparkSpec {
     }.toSet
     assert(kept === expected)
 
+    // >64 sources switches to the broadcast-join path (plan size must
+    // not grow per source) — results identical to the CASE path
+    val manyRates = rates ++ // pad past the threshold with absent sources
+      (0 until 70).map(i => s"srcX$i" -> 0.5).toMap
+    assert(manyRates.size > 64)
+    val joined = TextOps.sampleBySource(docs, "doc_id", "source", manyRates,
+      defaultRate = 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(joined === kept, "broadcast-join path must equal the CASE path")
+
     // ids at 100 TB scale: no silent 64-bit wrap, bucket stays in range
     val big = Seq(4000000000L, Long.MaxValue / 3).toDF("doc_id")
     val buckets = big.select(TextOps.defaultBucket(col("doc_id")).as("b"))
