@@ -1175,6 +1175,23 @@ object Queries {
                           WHEN 'src2' THEN 2500 ELSE 1000 END
             ORDER BY doc_id"""))
 
+  // Deterministic split assignment: the cumulative-bound CASE must
+  // replay exactly (80/10/10 over the hash bucket).
+  val assignSplits = QueryDef(
+    "q_assign_splits",
+    (s, d) => TextOps.assignSplits(Tables.documents(s, d), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN b < 8000 THEN 'train'
+                   WHEN b < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    (((doc_id % 1000000007) * 654435747) % 1000000007) % 10000 AS b
+                  FROM documents)
+            ORDER BY doc_id"""))
+
   // Salted hot-key join, oracle-checked against the PLAIN join SQL:
   // salting must be invisible in the result (the hot key's rows land
   // on saltBuckets reducers instead of one, nothing else changes).
@@ -1270,5 +1287,5 @@ object Queries {
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode, audioDecode, videoFrames, saltedJoin,
-    packSequences, sampleSources)
+    packSequences, sampleSources, assignSplits)
 }

@@ -97,6 +97,36 @@ object TextOps {
     }
   }
 
+  /** Deterministic train/val/test split assignment: each row gets
+    * the first label whose cumulative fraction bound exceeds its
+    * hash bucket — `Seq(("train",0.8),("val",0.1),("test",0.1))`
+    * maps buckets [0,8000) / [8000,9000) / [9000,10000). Hash-based
+    * like [[sampleBySource]]: the same row lands in the same split
+    * on every run, engine and retry, and adding MORE data never
+    * reassigns existing rows across splits (the property `rand()`
+    * or row-number splits lack). Fractions must sum to 1 (±1e-9).
+    * Shuffle-free: one codegen'd CASE over the bucket.
+    */
+  def assignSplits(
+      docs: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split",
+      bucketFn: Column => Column = defaultBucket): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0),
+      "fractions must be non-negative")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val bucket = bucketFn(col(idCol))
+    val expr = fractions.map(_._1).zip(bounds).init
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((label, bound), rest) => when(bucket < bound, label).otherwise(rest)
+      }
+    docs.withColumn(splitCol, expr)
+  }
+
   /** Multiplicative hash of a numeric id into 0..9999 — exactly
     * replayable as integer SQL in any engine. The id is reduced mod
     * p BEFORE the multiply: (p-1) * (2654435761 mod p) ≈ 6.5e17

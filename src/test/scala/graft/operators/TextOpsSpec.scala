@@ -78,6 +78,31 @@ class TextOpsSpec extends SparkSpec {
     assert(packed.toSeq === single.toSeq)
   }
 
+  test("assignSplits: stable 80/10/10 partition, growth never reassigns") {
+    val s = spark
+    import s.implicits._
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val small = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val splits = TextOps.assignSplits(small, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // every row labeled, proportions near the fractions
+    val counts = splits.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.05)
+    assert(math.abs(counts("val") / 2000.0 - 0.1) < 0.03)
+
+    // the killer property: doubling the corpus reassigns NOTHING
+    val big = (0L until 4000L).map(Tuple1(_)).toDF("doc_id")
+    val splitsBig = TextOps.assignSplits(big, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    splits.foreach { case (id, label) => assert(splitsBig(id) === label) }
+
+    // bad fractions fail loudly
+    intercept[IllegalArgumentException](
+      TextOps.assignSplits(small, "doc_id", Seq(("a", 0.5), ("b", 0.2))))
+  }
+
   test("sampleBySource keeps a deterministic per-source mixture") {
     val s = spark
     import s.implicits._

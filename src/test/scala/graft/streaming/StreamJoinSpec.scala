@@ -61,4 +61,29 @@ class StreamJoinSpec extends SparkSpec {
       .select("ad_id").collect().map(_.getInt(0)).toSeq
     assert(out === Seq(1))
   }
+
+  test("stream-static broadcast enrichment: dims join the stream, no state, no watermark") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    implicit val ctx = s.sqlContext
+
+    // the DLT-silver pattern (reference 03: silver items enriched from
+    // static dims): a static side needs no watermark and no join state
+    // — it is re-resolved per micro-batch and broadcast to the stream
+    val dim = Seq((1, "widget"), (2, "gadget")).toDF("item_id", "item_name")
+    val events = MemoryStream[(Int, Int)]
+    val enriched = events.toDS.toDF("item_id", "qty")
+      .join(broadcast(dim), Seq("item_id"), "left")
+
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      events.addData((1, 10), (3, 5)) // 3 has no dim row -> null name
+      q.processAllAvailable()
+      val rows = s.table("enrich_out").collect()
+        .map(r => r.getInt(0) -> Option(r.getString(2))).toMap
+      assert(rows === Map(1 -> Some("widget"), 3 -> None))
+    } finally q.stop()
+  }
 }
