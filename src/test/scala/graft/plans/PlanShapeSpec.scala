@@ -54,6 +54,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "queries must broadcast\n" + p)
     assert(p.contains("partial_graft_topk"), "map-side partial top-k expected\n" + p)
     assert(!p.contains("Window"), p)
+    // the ONE intentional nested-loop join in the engine: brute force
+    // is all-pairs by definition (only a non-equi self-exclusion
+    // predicate), so BroadcastNestedLoopJoin with the small query side
+    // built IS the right plan — the scale path is lshTopK/ivfTopK
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("windowed aggregation: one shuffle, partial+final aggregate") {

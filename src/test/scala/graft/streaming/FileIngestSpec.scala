@@ -140,5 +140,33 @@ class FileIngestSpec extends SparkSpec {
     try q2.awaitTermination() finally q2.stop()
     assert(s.read.parquet(target).count() === 3)
     assert(s.read.parquet(quarantine).count() === 1)
+
+    // REPLAY idempotency (foreachBatch is at-least-once): simulate a
+    // crash AFTER the sink writes but BEFORE the batch commits by
+    // deleting the last commit marker — the restart re-runs the SAME
+    // batch id over the same files, and the batch=<id> overwrite must
+    // leave counts unchanged where a plain append would duplicate
+    val commits = Files.list(Paths.get(ckpt, "commits"))
+    val lastCommit = try {
+      import scala.jdk.CollectionConverters._
+      commits.iterator().asScala.toSeq.maxBy(_.getFileName.toString)
+    } finally commits.close()
+    Files.delete(lastCommit)
+    // a terminated query releases its checkpoint lock asynchronously;
+    // retry the restart until the lock is free (bounded)
+    def runReplay(attempt: Int): Unit = {
+      val q3 = FileIngest.runQuarantined(s, dir, schema,
+        targetDir = target, quarantineDir = quarantine, checkpointDir = ckpt,
+        format = "csv", options = Map("header" -> "true"))
+      try q3.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if attempt < 20 && e.getMessage.contains("concurrently using") =>
+          Thread.sleep(250); runReplay(attempt + 1)
+      } finally q3.stop()
+    }
+    runReplay(0)
+    assert(s.read.parquet(target).count() === 3, "replay must not duplicate")
+    assert(s.read.parquet(quarantine).count() === 1)
   }
 }
