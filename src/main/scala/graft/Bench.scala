@@ -48,8 +48,11 @@ object Bench {
     }
 
     // Repeats take the per-query minimum — run-to-run noise at sf0.1
-    // is ±1-2s/query, so min-of-N is the stable plan-cost signal.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt.max(1)
+    // is ±1-2s/query (GC/scheduler), so min-of-N is the stable
+    // plan-cost signal. Default 2: a single shot carries ~15% ambient
+    // noise, which reads as a phantom regression against the
+    // min-of-3 BASELINE; min-of-2 is the cheapest stable point.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Failed attempts contribute NO timing: a fast-failing query must
     // not publish its abort latency as times.min. A query with zero
