@@ -104,27 +104,34 @@ object TextOps {
     * like [[sampleBySource]]: the same row lands in the same split
     * on every run, engine and retry, and adding MORE data never
     * reassigns existing rows across splits (the property `rand()`
-    * or row-number splits lack). Fractions must sum to 1 (±1e-9).
-    * Shuffle-free: one codegen'd CASE over the bucket.
+    * or row-number splits lack). Fractions must sum to 1 (±1e-9),
+    * and — since buckets quantize to 1/10000 — each fraction must be
+    * at least 0.0001 (a smaller one would silently round to an
+    * empty split). A NULL id gets a NULL split (visible, filterable
+    * — not silently dumped into the last label). Shuffle-free: one
+    * codegen'd CASE over the bucket.
     */
   def assignSplits(
       docs: DataFrame, idCol: String,
       fractions: Seq[(String, Double)],
       splitCol: String = "split",
       bucketFn: Column => Column = defaultBucket): DataFrame = {
-    require(fractions.nonEmpty && fractions.forall(_._2 >= 0),
-      "fractions must be non-negative")
+    require(fractions.nonEmpty, "at least one fraction")
+    require(fractions.forall(f => math.round(f._2 * 10000) >= 1),
+      "each fraction must be >= 0.0001 (bucket granularity is 1/10000; " +
+        s"got ${fractions.filter(f => math.round(f._2 * 10000) < 1).map(_._1).mkString(",")})")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * 10000)
     }.tail
     val bucket = bucketFn(col(idCol))
-    val expr = fractions.map(_._1).zip(bounds).init
+    val chain = fractions.map(_._1).zip(bounds).init
       .foldRight(lit(fractions.last._1): Column) {
         case ((label, bound), rest) => when(bucket < bound, label).otherwise(rest)
       }
-    docs.withColumn(splitCol, expr)
+    // when without otherwise: null bucket (null id) -> null split
+    docs.withColumn(splitCol, when(bucket.isNotNull, chain))
   }
 
   /** Multiplicative hash of a numeric id into 0..9999 — exactly

@@ -98,9 +98,21 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     splits.foreach { case (id, label) => assert(splitsBig(id) === label) }
 
-    // bad fractions fail loudly
+    // bad fractions fail loudly: wrong sum AND sub-granularity slices
     intercept[IllegalArgumentException](
       TextOps.assignSplits(small, "doc_id", Seq(("a", 0.5), ("b", 0.2))))
+    val e = intercept[IllegalArgumentException](
+      TextOps.assignSplits(small, "doc_id",
+        Seq(("train", 0.99996), ("calib", 0.00004))))
+    assert(e.getMessage.contains("calib"))
+
+    // a NULL id gets a NULL split, never silently the last label
+    val withNull = Seq(Some(1L), None).map(Tuple1(_)).toDF("doc_id")
+    val nullSplit = TextOps.assignSplits(withNull, "doc_id", fr)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(nullSplit(None) === None)
+    assert(nullSplit(Some(1L)).isDefined)
   }
 
   test("sampleBySource keeps a deterministic per-source mixture") {

@@ -149,7 +149,9 @@ class FileIngestSpec extends SparkSpec {
     val commits = Files.list(Paths.get(ckpt, "commits"))
     val lastCommit = try {
       import scala.jdk.CollectionConverters._
-      commits.iterator().asScala.toSeq.maxBy(_.getFileName.toString)
+      commits.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.forall(_.isDigit)) // skip .tmp etc
+        .maxBy(_.getFileName.toString.toLong) // numeric: "9" < "10"
     } finally commits.close()
     Files.delete(lastCommit)
     // a terminated query releases its checkpoint lock asynchronously;

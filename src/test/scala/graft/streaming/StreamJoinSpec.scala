@@ -84,6 +84,9 @@ class StreamJoinSpec extends SparkSpec {
       val rows = s.table("enrich_out").collect()
         .map(r => r.getInt(0) -> Option(r.getString(2))).toMap
       assert(rows === Map(1 -> Some("widget"), 3 -> None))
+      // the actual claim: a static side keeps NO streaming state
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not create state operators")
     } finally q.stop()
   }
 }
