@@ -53,11 +53,22 @@ object Bench {
     // noise, which reads as a phantom regression against the
     // min-of-3 BASELINE; min-of-2 is the cheapest stable point.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set (the
+    // warmup above still covers every query so a filtered run sees
+    // the same JIT/codegen state as a full run) — for diagnosing one
+    // query's in-suite vs alone behavior.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timed = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Failed attempts contribute NO timing: a fast-failing query must
     // not publish its abort latency as times.min. A query with zero
     // successful repeats reports null (and shows up in failures).
-    val results: Seq[(String, Option[Double])] = Queries.all.map { q =>
+    // Per-attempt timings are kept and emitted alongside the min so a
+    // divergence between this run and BASELINE is self-diagnosing
+    // (all attempts slow => real cost; one outlier => ambient noise).
+    val attempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val results: Seq[(String, Option[Double])] = timed.map { q =>
       val times = (1 to repeats).flatMap { _ =>
         // Warmup (and earlier queries/repeats) leave operator-level
         // persisted frames in the CacheManager; Spark substitutes a
@@ -77,6 +88,7 @@ object Bench {
             None
         }
       }
+      attempts(q.name) = times
       q.name -> times.minOption
     }
 
@@ -91,8 +103,11 @@ object Bench {
       s"${jstr(k)}:${v.map(_.toString).getOrElse("null")}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val attJson = attempts.map { case (k, ts) =>
+      s"${jstr(k)}:${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,8 +3,7 @@ package graft.streaming
 import graft.operators.Cdc
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
-import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
 
 /** Streaming CDC upsert — the `apply_changes` analog.
   *
@@ -20,21 +19,34 @@ import java.nio.charset.StandardCharsets
   * size is bounded by key cardinality (stores x items), never by
   * stream length.
   *
-  * CONCURRENCY — single writer, many readers. The reference targets
-  * a Delta table (`03:375-384`), where a second concurrent writer is
-  * handled by optimistic concurrency; the minimum parity here is
-  * DETECTING and REJECTING one: each `upsertBatch` holds an
-  * exclusive `_LOCK` file (atomic create-new) for the duration of
-  * its read-merge-swap, so two stores writing the same path fail
-  * loudly with [[ConcurrentWriterException]] instead of silently
-  * overwriting each other's version dir. The lock is released after
-  * every batch, so sequential writers (stream restarts) need no
-  * handover. A writer that CRASHES mid-batch leaves the lock behind
-  * — recover with [[ParquetStateStore.forceReleaseLock]] after
-  * confirming the old writer is dead.
+  * CONCURRENCY — optimistic, Delta-style (the reference's target
+  * table `03:375-384` is Delta, where two concurrent pipelines
+  * sharing a target both commit via optimistic retry). Each
+  * `upsertBatch` (1) resolves the latest committed version B,
+  * (2) merges state(vB) ∪ batch into a private `.staged-*` dir,
+  * (3) COMMITS by atomically renaming the staged dir to `v{B+1}`.
+  * The rename is the whole commit: a version dir either exists
+  * complete or not at all, and renaming onto an existing (non-empty)
+  * dir fails — which is exactly how a lost race is detected. The
+  * loser deletes its staging, re-reads the NEW base (including the
+  * winner's rows), re-merges and retries at `v{B+2}` — no update is
+  * ever lost, and concurrent writers serialize into a linear version
+  * history. `maxCommitRetries` consecutive lost races fail loudly
+  * with [[ConcurrentWriterException]].
+  *
+  * The commit primitive assumes atomic rename-if-absent (true on
+  * POSIX filesystems and HDFS; object stores without atomic rename
+  * need a coordination service — the same caveat Delta's log
+  * protocol documents). A writer that crashes mid-merge leaves only
+  * an inert `.staged-*` dir (never a partial version, never a lock):
+  * other writers are unaffected, and [[ParquetStateStore.vacuumStaging]]
+  * clears the leftovers.
   *
   * TIME TRAVEL — versions within `retainVersions` stay on disk and
-  * are readable via [[readVersion]] / [[versions]].
+  * are readable via [[readVersion]] / [[versions]]. `retainVersions`
+  * >= 2 (the default) also shields a concurrent writer's in-flight
+  * merge from GC: its base version survives until the NEXT commit
+  * after the one that beat it.
   */
 final class ParquetStateStore(
     spark: SparkSession,
@@ -43,20 +55,22 @@ final class ParquetStateStore(
     seqCols: Seq[String],
     payload: Seq[String],
     retainVersions: Int = 2,
-    deleteWhen: Option[org.apache.spark.sql.Column] = None) {
+    deleteWhen: Option[org.apache.spark.sql.Column] = None,
+    maxCommitRetries: Int = 10) {
 
   require(retainVersions >= 1, "must retain at least the latest version")
-
-  private val latestPtr = Paths.get(path, "LATEST")
 
   private val payloadColumns: Seq[String] = keys ++ seqCols ++ payload
 
   private def versionDir(v: Long) = s"$path/v$v"
 
+  /** Latest committed version = max `v<N>` dir present. Version dirs
+    * appear only via the atomic commit rename, so a listed dir is
+    * always a complete, committed version (no pointer file to swap —
+    * the rename IS the commit).
+    */
   private def latestVersion: Option[Long] =
-    if (Files.exists(latestPtr))
-      Some(new String(Files.readAllBytes(latestPtr), StandardCharsets.UTF_8).trim.toLong)
-    else None
+    VersionedDir.list(Paths.get(path), "^v(\\d+)$".r).lastOption.map(_._1)
 
   /** Raw persisted state, INCLUDING delete tombstones when
     * `deleteWhen` is configured (they must survive merges so a late
@@ -98,15 +112,23 @@ final class ParquetStateStore(
 
   /** Merge a batch of updates: state ∪ batch -> latest row per key
     * (honoring `deleteWhen` markers — `APPLY AS DELETE WHEN` — if
-    * configured), written as a new immutable version, then the
-    * LATEST pointer is swapped (write-temp + atomic move).
+    * configured), committed optimistically (see class doc): merge
+    * against the latest version into a staged dir, atomically rename
+    * into the version history, and on a lost race re-merge against
+    * the winner's version and retry.
+    *
+    * Replay-safe: re-applying the same batch (foreachBatch delivers
+    * at-least-once across restarts) re-merges rows that are already
+    * the latest per key — a new version with identical content.
     */
   def upsertBatch(batch: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.functions.lit
-    acquireLock()
-    var primary: Throwable = null
-    try {
-      val state = rawState.getOrElse(
+    Files.createDirectories(Paths.get(path))
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val base = latestVersion
+      val state = base.map(v => spark.read.parquet(versionDir(v))).getOrElse(
         batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
           .filter(lit(false)))
       val merged = deleteWhen match {
@@ -114,119 +136,105 @@ final class ParquetStateStore(
           retainTombstones = true)
         case None => Cdc.upsert(state, batch, keys, seqCols, payload)
       }
-      val next = latestVersion.getOrElse(-1L) + 1
-      merged.write.mode("overwrite").parquet(versionDir(next))
-      val tmp = Paths.get(path, s".LATEST.tmp$next")
-      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      gcOldVersions(next)
-    } catch { case t: Throwable => primary = t; throw t }
-    finally {
-      // a failed self-release must SURFACE (store permanently locked)
-      // but never REPLACE an in-flight merge failure — the merge
-      // exception is the root cause, the lock error rides suppressed
-      try releaseLock()
-      catch {
-        case scala.util.control.NonFatal(t) =>
-          if (primary != null) primary.addSuppressed(t) else throw t
+      val next = base.getOrElse(-1L) + 1
+      stagedSeq += 1
+      val staged = Paths.get(path, s".staged-$writerId-$stagedSeq")
+      try {
+        merged.write.mode("overwrite").parquet(staged.toString)
+        beforeCommit() // test seam: deterministic interleaving
+        // THE commit: atomic rename onto the next version slot. A
+        // rival that committed first left a non-empty v{next} there,
+        // so this rename fails — that failure is the conflict signal.
+        Files.move(staged, Paths.get(versionDir(next)))
+        committed = true
+      } catch {
+        case e @ (_: FileAlreadyExistsException |
+                  _: java.nio.file.DirectoryNotEmptyException) =>
+          // lost the race for v{next}: discard staging, re-read the
+          // winner's state, re-merge, try v{next+1}
+          attempt += 1
+          if (attempt > maxCommitRetries)
+            throw new ConcurrentWriterException(
+              s"state store at $path: lost $attempt consecutive commit races " +
+                s"(writer $writerId, contended version v$next) — too many " +
+                "concurrent writers for maxCommitRetries=" + maxCommitRetries, e)
+      } finally {
+        if (!committed) ParquetStateStore.deleteRecursively(staged)
       }
     }
+    gcOldVersions(latestVersion.getOrElse(0L))
   }
 
-  /** Identifies this store instance in lock files / conflict
+  /** Identifies this store instance in staging dirs / conflict
     * messages.
     */
   private val writerId: String =
     java.util.UUID.randomUUID().toString
 
-  private def lockFile = Paths.get(path, ParquetStateStore.LockName)
+  /** Distinguishes staging dirs across retries within this writer. */
+  private var stagedSeq: Long = 0L
 
-  /** Exclusive writer lock for one read-merge-swap: atomic
-    * create-new of `_LOCK`. The whole merge must run under it —
-    * serializing only the pointer swap would let two writers read
-    * the same base version and silently drop one batch's rows.
+  /** Test seam: runs between staging and the commit rename, so specs
+    * can force a rival's commit to land first and exercise the
+    * conflict-retry path deterministically.
     */
-  private def acquireLock(): Unit = {
-    Files.createDirectories(Paths.get(path))
-    try Files.write(lockFile, writerId.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    catch {
-      case _: FileAlreadyExistsException =>
-        val holder =
-          try new String(Files.readAllBytes(lockFile), StandardCharsets.UTF_8)
-          catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
-        throw new ConcurrentWriterException(
-          s"state store at $path is being written by another writer " +
-            s"(lock held by $holder, this writer is $writerId). If that " +
-            "writer crashed, recover with ParquetStateStore.forceReleaseLock(path).")
-    }
-  }
+  @volatile private[streaming] var beforeCommit: () => Unit = () => ()
 
-  /** Delete the lock only if THIS writer still owns it. After a
-    * mistaken `forceReleaseLock` (old writer presumed dead but
-    * actually slow) and a re-acquire by a new writer, the slow
-    * original's finally-block must not delete the NEW holder's lock
-    * — that would reopen the lost-update window for a third writer.
-    *
-    * The check-then-delete is NOT atomic (a plain filesystem has no
-    * compare-and-delete), so a forceRelease+re-acquire landing in
-    * the window between the read and the delete can still lose the
-    * new lock — the ownership check shrinks the hazard from "every
-    * release" to "a release racing a misused forceRelease", it
-    * cannot close it. Treat forceReleaseLock as an offline recovery
-    * tool, not an online operation.
-    *
-    * A failed delete of our OWN lock propagates (the store would be
-    * permanently locked — surface it; recovery is forceReleaseLock);
-    * an unreadable/missing lock file just means we no longer own it.
-    */
-  private def releaseLock(): Unit = {
-    val mine =
-      try Files.exists(lockFile) &&
-        new String(Files.readAllBytes(lockFile), StandardCharsets.UTF_8) == writerId
-      catch { case scala.util.control.NonFatal(_) => false }
-    if (mine) Files.deleteIfExists(lockFile)
-  }
-
-  /** Retention: after the pointer swap, delete version dirs older
+  /** Retention: after a successful commit, delete version dirs older
     * than the last `retainVersions` — without this a continuous
     * stream (one full state copy per micro-batch) leaks storage
-    * without bound. Runs AFTER the swap so a crash mid-GC never
-    * touches the referenced version; keeping >= 2 versions also
-    * shields a concurrent reader that resolved the previous pointer
-    * just before the swap.
+    * without bound. Runs AFTER the commit rename so a crash mid-GC
+    * never touches the committed version; keeping >= 2 versions also
+    * shields a concurrent reader (or a rival writer's in-flight
+    * merge) that resolved the previous latest just before this
+    * commit.
     */
   private def gcOldVersions(latest: Long): Unit = {
     val cutoff = latest - retainVersions + 1
     if (cutoff > 0) {
       VersionedDir.list(Paths.get(path), "^v(\\d+)$".r)
-        .collect { case (v, p) if v < cutoff =>
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().forEachRemaining(Files.deleteIfExists(_))
-          finally walk.close() // Files.walk/list leak an fd per call unless closed
-        }
+        .collect { case (v, p) if v < cutoff => ParquetStateStore.deleteRecursively(p) }
     }
   }
 }
 
-/** A second writer attempted to merge into a [[ParquetStateStore]]
-  * while another held the lock.
+/** A [[ParquetStateStore]] writer exhausted its optimistic-commit
+  * retries — more concurrent writers than `maxCommitRetries` can
+  * absorb.
   */
-final class ConcurrentWriterException(msg: String)
-    extends java.util.ConcurrentModificationException(msg)
+final class ConcurrentWriterException(msg: String, cause: Throwable = null)
+    extends java.util.ConcurrentModificationException(msg) {
+  initCause(cause)
+}
 
 object ParquetStateStore {
-  private[streaming] val LockName = "_LOCK"
 
-  /** Remove a stale writer lock left by a crashed writer. Only call
-    * after confirming the previous writer is dead — releasing the
-    * lock under a LIVE writer reintroduces the lost-update race the
-    * lock exists to prevent.
+  /** Delete leftover `.staged-*` dirs (crashed or race-losing
+    * writers' private staging — never part of the committed
+    * history). Safe only when no writer is MID-MERGE on this store:
+    * a live writer's staging dir looks identical to a dead one's.
+    * Returns the number of dirs removed.
     */
-  def forceReleaseLock(path: String): Boolean =
-    Files.deleteIfExists(Paths.get(path, LockName))
+  def vacuumStaging(path: String): Int = {
+    val listing =
+      if (!Files.isDirectory(Paths.get(path))) java.util.stream.Stream.empty[java.nio.file.Path]()
+      else Files.list(Paths.get(path))
+    try {
+      var n = 0
+      listing.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith(".staged-")) { deleteRecursively(p); n += 1 }
+      }
+      n
+    } finally listing.close()
+  }
+
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(Files.deleteIfExists(_))
+      finally walk.close() // Files.walk/list leak an fd per call unless closed
+    }
 }
 
 object CdcStream {

@@ -83,33 +83,91 @@ class CdcStreamSpec extends SparkSpec {
     assert(state3 === Map(1 -> 11, 2 -> 20, 3 -> 30))
   }
 
-  test("a second concurrent writer is rejected; a released/forced lock lets writes resume") {
+  test("a commit race is detected and retried: both writers' rows survive") {
     val s = spark
     import s.implicits._
-    val stateDir = tmpDir("cdc_state_lock")
+    val stateDir = tmpDir("cdc_state_occ")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"), retainVersions = 10)
+    val rival = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"), retainVersions = 10)
+
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // v0
+
+    // Deterministic lost update: just before `store` renames its
+    // staged merge into v1, `rival` commits v1 first. store's rename
+    // must fail, and the retry must re-merge against RIVAL'S v1 (not
+    // the stale v0 it staged from), landing as v2 with both rows.
+    var fired = false
+    store.beforeCommit = () => {
+      if (!fired) {
+        fired = true // rival must commit exactly once, not per retry
+        rival.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v")) // wins v1
+      }
+    }
+    store.upsertBatch(Seq((3, 1, 30)).toDF("k", "seq", "v")) // loses v1, retries -> v2
+    assert(fired)
+
+    assert(store.versions === Seq(0L, 1L, 2L))
+    val state = store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state === Map(1 -> 10, 2 -> 20, 3 -> 30), "no update may be lost to the race")
+    // the loser's abandoned staging must not linger
+    val staged = new java.io.File(stateDir).listFiles().map(_.getName)
+      .filter(_.startsWith(".staged-")).toSeq
+    assert(staged.isEmpty, s"leftover staging dirs: $staged")
+  }
+
+  test("many concurrent writers all commit; no lost update; history is linear") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_many")
+    val writers = (1 to 4).map { _ =>
+      new ParquetStateStore(s, stateDir,
+        keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+        retainVersions = 100, maxCommitRetries = 50)
+    }
+    val threads = writers.zipWithIndex.map { case (w, i) =>
+      new Thread(() => w.upsertBatch(Seq((i, 1, i * 10)).toDF("k", "seq", "v")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    val store = writers.head
+    assert(store.versions === Seq(0L, 1L, 2L, 3L),
+      "4 commits must serialize into 4 consecutive versions")
+    val state = store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state === Map(0 -> 0, 1 -> 10, 2 -> 20, 3 -> 30))
+  }
+
+  test("a crashed writer's staging dir is inert; replaying the same batch is idempotent") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_crash")
     val store = new ParquetStateStore(s, stateDir,
       keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
-    val rival = new ParquetStateStore(s, stateDir,
-      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
-
     store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v"))
 
-    // simulate a writer mid-merge: its _LOCK is on disk
-    val lock = java.nio.file.Paths.get(stateDir, "_LOCK")
-    java.nio.file.Files.write(lock, "other-writer".getBytes)
-    val e = intercept[ConcurrentWriterException] {
-      rival.upsertBatch(Seq((1, 2, 20)).toDF("k", "seq", "v"))
-    }
-    assert(e.getMessage.contains("other-writer"))
-    // the rejected write must not have advanced the state
-    assert(store.current.get.collect().map(r => r.getInt(2)).toSeq === Seq(10))
+    // simulate a rival that died mid-merge: its private staging is on
+    // disk but was never renamed into the history
+    val stale = java.nio.file.Paths.get(stateDir, ".staged-dead-writer-1")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
 
-    // crashed-writer recovery path
-    assert(ParquetStateStore.forceReleaseLock(stateDir))
-    rival.upsertBatch(Seq((1, 2, 20)).toDF("k", "seq", "v"))
-    assert(store.current.get.collect().map(r => r.getInt(2)).toSeq === Seq(20))
-    // locks are batch-scoped: nothing left behind after a clean write
-    assert(!java.nio.file.Files.exists(lock))
+    // live writers are unaffected (no lock to steal, nothing to force)
+    store.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    assert(store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+      === Map(1 -> 10, 2 -> 20))
+
+    // foreachBatch is at-least-once: the SAME batch re-applied after
+    // a restart must produce identical state content
+    store.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    assert(store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+      === Map(1 -> 10, 2 -> 20))
+
+    // offline cleanup removes the dead writer's leftovers only
+    assert(ParquetStateStore.vacuumStaging(stateDir) === 1)
+    assert(!java.nio.file.Files.exists(stale))
+    assert(store.current.get.count() === 2)
   }
 
   test("readVersion time-travels across retained versions") {
