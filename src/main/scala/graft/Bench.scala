@@ -49,10 +49,12 @@ object Bench {
 
     // Repeats take the per-query minimum — run-to-run noise at sf0.1
     // is ±1-2s/query (GC/scheduler), so min-of-N is the stable
-    // plan-cost signal. Default 2: a single shot carries ~15% ambient
-    // noise, which reads as a phantom regression against the
-    // min-of-3 BASELINE; min-of-2 is the cheapest stable point.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
+    // plan-cost signal. Default 3 — the SAME protocol the BASELINE
+    // table was recorded under, so gate runs compare like-for-like
+    // (the r5 driver run at min-of-2 read 4-6x ambient-load outliers
+    // on the iterative queries as regressions; at min-of-3 one noisy
+    // attempt per query is absorbed).
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set (the
     // warmup above still covers every query so a filtered run sees
     // the same JIT/codegen state as a full run) — for diagnosing one

@@ -1275,6 +1275,137 @@ object Queries {
 
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Auto-Loader schema evolution, end state (oracle-checkable)
+  // ---------------------------------------------------------------
+
+  /** Write `df` as ONE csv file at `dest` (Spark write to a staging
+    * dir, then move the single part file) — harness plumbing for
+    * replaying a file-drop trail without collecting rows to the
+    * driver.
+    */
+  private def writeCsvStep(df: DataFrame, staging: String, dest: String): Unit = {
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(staging)
+    val stagingPath = java.nio.file.Paths.get(staging)
+    val listing = java.nio.file.Files.list(stagingPath)
+    val part = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .find(_.getFileName.toString.matches("part-.*\\.csv"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+    } finally listing.close()
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dest),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // Replays FileIngest.streamEvolving's restart loop over a 3-step
+  // evolution trail derived from the nation table (2 cols -> +
+  // n_regionkey -> + name_len), then reads the sink back under the
+  // final persisted schema. The deterministic END STATE — merged
+  // schema + null back-fill for rows ingested before each column
+  // landed — is exactly expressible in SQL over nation, which makes
+  // the evolution semantics oracle-checkable (the restart mechanics
+  // stay FileIngestSpec's job).
+  val ingestEvolved = QueryDef(
+    "q_ingest_evolved",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_iev").toString
+      val drop = s"$root/drop"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(drop))
+      val nation = Tables.nation(s, d)
+      val steps = Seq(
+        nation.filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("int"), col("n_name")),
+        nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 18)
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int")),
+        nation.filter(col("n_nationkey") >= 18)
+          .select(col("n_nationkey").cast("int"), col("n_name"),
+            col("n_regionkey").cast("int"),
+            length(col("n_name")).as("name_len")))
+      steps.zipWithIndex.foreach { case (df, i) =>
+        writeCsvStep(df, s"$root/staging$i", s"$drop/f$i.csv")
+        val stream = graft.streaming.FileIngest.streamEvolving(
+          s, drop, s"$root/schemas", format = "csv",
+          options = Map("header" -> "true"))
+        val q = stream.writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val finalSchema = graft.streaming.FileIngest
+        .persistedSchema(s"$root/schemas").get
+      s.read.schema(finalSchema).parquet(s"$root/sink")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"),
+          col("name_len").cast("bigint").as("name_len"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+              CAST(CASE WHEN n_nationkey >= 10 THEN n_regionkey END AS BIGINT) AS n_regionkey,
+              CAST(CASE WHEN n_nationkey >= 18 THEN length(n_name) END AS BIGINT) AS name_len
+            FROM nation ORDER BY n_nationkey"""))
+
+  // ---------------------------------------------------------------
+  // Pipeline event log (DLT run-history analog)
+  // ---------------------------------------------------------------
+
+  // Runs a real 3-table streaming pipeline (bronze file ingest ->
+  // silver with Drop/Warn expectations -> gold filter) over the
+  // documents table, then queries the PERSISTED parquet event log it
+  // leaves behind — the DLT event-log surface (run history, per-rule
+  // violation counts) as a queryable table. The oracle recomputes
+  // every logged count from the source table directly, so this
+  // verifies the log's rows_in/rows_out/violation accounting, not
+  // just its shape. Batch granularity is engine-dependent; sums over
+  // batches are not.
+  val pipelineEvents = QueryDef(
+    "q_pipeline_events",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_plev").toString
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val p = new graft.streaming.StreamingPipeline(s, root)
+      // the file stream source needs a DIRECTORY: stream the sf dir
+      // itself, glob-restricted to the documents table's file
+      p.source("bronze")(s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d))
+      p.tableWithExpectations("silver", Seq("bronze"), Seq(
+        Expectations.ruleOrDrop("text_within_limit", col("n_chars") <= 400),
+        Expectations.rule("lang_en", col("lang") === "en")))(t => t("bronze"))
+      p.table("gold", "silver")(t => t("silver").filter(col("n_chars") >= 100))
+      p.runOnce()
+      p.eventLog
+        .select(col("table_name"), col("rows_in"), col("rows_out"),
+          explode_outer(col("expectations")).as("e"))
+        .groupBy(col("table_name"), col("e.rule").as("rule"),
+          col("e.action").as("action"))
+        .agg(sum(col("rows_in")).as("rows_in"),
+          sum(col("rows_out")).as("rows_out"),
+          sum(col("e.failed")).as("failed_rows"))
+        .orderBy(asc_nulls_first("table_name"), asc_nulls_first("rule"))
+    },
+    Some("""WITH s AS (
+              SELECT count(*) AS n,
+                count(*) FILTER (WHERE n_chars <= 400) AS kept,
+                count(*) FILTER (WHERE n_chars > 400) AS drop_viol,
+                count(*) FILTER (WHERE lang <> 'en') AS warn_viol,
+                count(*) FILTER (WHERE n_chars <= 400 AND n_chars >= 100) AS gold_kept
+              FROM documents)
+            SELECT 'bronze' AS table_name, CAST(NULL AS VARCHAR) AS rule,
+              CAST(NULL AS VARCHAR) AS action, n AS rows_in, n AS rows_out,
+              CAST(NULL AS BIGINT) AS failed_rows FROM s
+            UNION ALL
+            SELECT 'gold', NULL, NULL, kept, gold_kept, NULL FROM s
+            UNION ALL
+            SELECT 'silver', 'lang_en', 'Warn', n, kept, warn_viol FROM s
+            UNION ALL
+            SELECT 'silver', 'text_within_limit', 'Drop', n, kept, drop_viol FROM s
+            ORDER BY table_name, rule NULLS FIRST"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory,
     transactionalize, expectations,
@@ -1287,5 +1418,6 @@ object Queries {
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode, audioDecode, videoFrames, saltedJoin,
-    packSequences, sampleSources, assignSplits)
+    packSequences, sampleSources, assignSplits, pipelineEvents,
+    ingestEvolved)
 }

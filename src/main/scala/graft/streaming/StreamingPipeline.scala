@@ -172,6 +172,30 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
   }
 
   private def observeName(table: String) = s"graft_expect_$table"
+  private def rowsObserveName(table: String) = s"graft_rows_$table"
+
+  /** Directory of the persisted pipeline event log (plain parquet —
+    * queryable with any engine after the fact).
+    */
+  def eventLogDir: String = s"$storageRoot/_eventlog"
+
+  /** Batch view of the persisted event log: one row per
+    * (table, micro-batch) with rows in/out, duration, and per-rule
+    * expectation violation counts — the queryable run history DLT
+    * surfaces as its event log (pos-dlt `05_DLT Job Scheduling.py`
+    * surfaces run history through the DLT UI backed by this log).
+    */
+  def eventLog: DataFrame = spark.read.parquet(eventLogDir)
+
+  private def appendEvents(events: Seq[StreamingPipeline.PipelineEvent]): Unit =
+    if (events.nonEmpty) {
+      val enc = org.apache.spark.sql.Encoders.product[StreamingPipeline.PipelineEvent]
+      // one micro-file per flush — the log is tiny (one row per
+      // table-batch); repartition(1) keeps it from fanning into
+      // shuffle.partitions empty files
+      spark.createDataset(events)(enc).repartition(1)
+        .write.mode("append").parquet(eventLogDir)
+    }
 
   /** Attach expectations to a streaming frame: one `observe` node
     * counting violations per rule (before any filtering), then the
@@ -200,13 +224,20 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
         s"$table: ${bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ")}")
   }
 
-  /** Build node `name`'s output stream from its deps' storage. */
-  private def buildFlow(name: String): DataFrame = defs(name) match {
-    case SourceDef(_, build) => build()
-    case TableDef(_, deps, build, rules) =>
-      instrument(build(deps.map(d => d -> readStream(d)).toMap), rules, name)
-    case SinkDef(_, dep, _, rules) =>
-      instrument(readStream(dep), rules, name)
+  /** Build node `name`'s output stream from its deps' storage. Every
+    * flow gets a post-filter `observe` counting output rows (the
+    * event log's rows_out — the file sink doesn't report output rows,
+    * and rows_in - dropped is wrong when rule violations overlap).
+    */
+  private def buildFlow(name: String): DataFrame = {
+    val flow = defs(name) match {
+      case SourceDef(_, build) => build()
+      case TableDef(_, deps, build, rules) =>
+        instrument(build(deps.map(d => d -> readStream(d)).toMap), rules, name)
+      case SinkDef(_, dep, _, rules) =>
+        instrument(readStream(dep), rules, name)
+    }
+    flow.observe(rowsObserveName(name), count(lit(1)).as("rows_out"))
   }
 
   /** Triggered mode: one AvailableNow cascade in dependency order —
@@ -241,9 +272,13 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
               .start()
         }
         q.awaitTermination()
+        collector.awaitTerminated(q.runId)
         val rules = defs(name).expectations
+        // log BEFORE enforcing Fail rules so the failing batch's
+        // counts are queryable after the abort (as DLT's event log is)
+        appendEvents(collector.events(q, name, "triggered",
+          rowsObserveName(name), observeName(name), rules))
         if (rules.nonEmpty) {
-          collector.awaitTerminated(q.runId)
           val failures = collector.failures(q, observeName(name), rules)
           onMetrics(name, failures)
           enforceFail(name, failures, rules)
@@ -256,9 +291,13 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
 
   /** Continuous mode: start every table's query concurrently — each
     * on its own [[triggerInterval]] cadence (default: micro-batch as
-    * available) — and hand back the running fleet.
+    * available) — and hand back the running fleet. Event-log rows for
+    * every processed batch are flushed when the run is stopped
+    * ([[StreamingRun.stopAll]]).
     */
   def start(): StreamingRun = {
+    val collector = new StreamingPipeline.MetricsCollector
+    spark.streams.addListener(collector)
     val queries = order.map { name =>
       val flow = buildFlow(name)
       val q = defs(name) match {
@@ -277,35 +316,51 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       }
       name -> q
     }
-    new StreamingRun(queries)
+    new StreamingRun(queries, () => {
+      try queries.foreach { case (name, q) =>
+        collector.awaitTerminated(q.runId, timeoutMs = 5000)
+        appendEvents(collector.events(q, name, "continuous",
+          rowsObserveName(name), observeName(name), defs(name).expectations))
+      } finally spark.streams.removeListener(collector)
+    })
   }
 }
 
 object StreamingPipeline {
 
-  /** Accumulates observed expectation metrics across ALL of a
-    * query's batches (listener events are delivered asynchronously;
-    * [[awaitTerminated]] fences on the terminal event so every
-    * progress update has arrived before totals are read).
+  /** One event-log row: a single micro-batch of a single table's
+    * flow. `rows_out` is measured by a post-filter observe node (the
+    * file sink doesn't report output rows); `duration_ms` is the
+    * batch's triggerExecution wall time (-1 if the engine didn't
+    * report one). Persisted as plain parquet under
+    * `storageRoot/_eventlog`.
+    */
+  final case class ExpectationMetric(rule: String, action: String, failed: Long)
+  final case class PipelineEvent(
+      table_name: String, mode: String, run_id: String, batch_id: Long,
+      batch_ts: String, rows_in: Long, rows_out: Long, duration_ms: Long,
+      expectations: Seq[ExpectationMetric])
+
+  /** Accumulates per-batch progress (observed metrics, row counts,
+    * durations) across ALL of a query's batches (listener events are
+    * delivered asynchronously; [[awaitTerminated]] fences on the
+    * terminal event so every progress update has arrived before
+    * totals are read).
     */
   private final class MetricsCollector
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
 
-    private val rows =
-      scala.collection.concurrent.TrieMap[(java.util.UUID, Long, String),
-        org.apache.spark.sql.Row]()
+    private val progresses =
+      scala.collection.concurrent.TrieMap[(java.util.UUID, Long),
+        StreamingQueryProgress]()
     private val terminated =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-    override def onQueryProgress(e: QueryProgressEvent): Unit = {
-      val it = e.progress.observedMetrics.entrySet().iterator()
-      while (it.hasNext) {
-        val kv = it.next()
-        rows.put((e.progress.runId, e.progress.batchId, kv.getKey), kv.getValue)
-      }
-    }
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      progresses.put((e.progress.runId, e.progress.batchId), e.progress)
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
       terminated.add(e.runId)
     }
@@ -313,7 +368,7 @@ object StreamingPipeline {
     /** Best-effort fence: wait for the terminal event so trailing
       * progress updates have been delivered. The shared listener bus
       * may DROP events under backpressure, so a missing terminal
-      * event is not fatal — [[failures]] fills listener gaps from
+      * event is not fatal — [[merged]] fills listener gaps from
       * `recentProgress` anyway.
       */
     def awaitTerminated(runId: java.util.UUID, timeoutMs: Long = 10000): Unit = {
@@ -322,36 +377,57 @@ object StreamingPipeline {
         Thread.sleep(20)
     }
 
-    /** Per-rule violation totals for a finished query: the listener's
-      * per-batch rows (unbounded history) merged with the query's own
+    /** Per-batch progress for a finished query: the listener's rows
+      * (unbounded history) merged with the query's own
       * `recentProgress` (bounded at ~100 entries but immune to
       * listener-bus drops) — each batch counted once, from whichever
       * source saw it. Only if BOTH miss a batch (dropped event AND
       * evicted from the progress buffer) can its counts be lost.
       */
-    def failures(q: org.apache.spark.sql.streaming.StreamingQuery,
-        observeName: String,
+    private def merged(q: StreamingQuery): Map[Long, StreamingQueryProgress] =
+      q.recentProgress.filter(_.runId == q.runId)
+        .map(p => p.batchId -> p).toMap ++
+        progresses.collect { case ((r, b), p) if r == q.runId => b -> p }
+
+    /** Per-rule violation totals for a finished query. */
+    def failures(q: StreamingQuery, observeName: String,
         rules: Seq[Expectations.Rule]): Map[String, Long] = {
-      val fromListener = rows.collect {
-        case ((r, b, n), row) if r == q.runId && n == observeName => b -> row
-      }.toMap
-      val fromProgress = q.recentProgress
-        .filter(_.runId == q.runId)
-        .flatMap(p => Option(p.observedMetrics.get(observeName)).map(p.batchId -> _))
-        .toMap
-      val perBatch = (fromProgress ++ fromListener).values.toSeq
+      val perBatch = merged(q).values
+        .flatMap(p => Option(p.observedMetrics.get(observeName))).toSeq
       rules.map { r =>
         r.name -> perBatch.map(row =>
           row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))).sum
       }.toMap
     }
+
+    /** Event-log rows for a finished query, batch-ordered. */
+    def events(q: StreamingQuery, table: String, mode: String,
+        rowsName: String, expName: String,
+        rules: Seq[Expectations.Rule]): Seq[PipelineEvent] =
+      merged(q).toSeq.sortBy(_._1).map { case (b, p) =>
+        val rowsOut = Option(p.observedMetrics.get(rowsName))
+          .map(r => r.getAs[Long](r.fieldIndex("rows_out")))
+          .getOrElse(Option(p.sink).map(_.numOutputRows).getOrElse(-1L))
+        val exp = Option(p.observedMetrics.get(expName)).map { row =>
+          rules.map(r => ExpectationMetric(r.name, r.action.toString,
+            row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))))
+        }.getOrElse(Seq.empty)
+        PipelineEvent(table, mode, q.runId.toString, b,
+          p.timestamp, p.numInputRows, rowsOut,
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(-1L),
+          exp)
+      }
   }
 }
 
 /** Handle on a running continuous pipeline: the per-table queries in
-  * dependency order.
+  * dependency order. `flushEvents` persists the run's event-log rows
+  * (invoked by [[stopAll]]).
   */
-final class StreamingRun(val queries: Seq[(String, StreamingQuery)]) {
+final class StreamingRun(
+    val queries: Seq[(String, StreamingQuery)],
+    flushEvents: () => Unit = () => ()) {
 
   def query(name: String): StreamingQuery =
     queries.collectFirst { case (n, q) if n == name => q }
@@ -364,8 +440,12 @@ final class StreamingRun(val queries: Seq[(String, StreamingQuery)]) {
   def processAllAvailable(): Unit =
     queries.foreach { case (_, q) => q.processAllAvailable() }
 
-  def stopAll(): Unit = queries.reverseIterator.foreach { case (_, q) => q.stop() }
+  def stopAll(): Unit = {
+    queries.reverseIterator.foreach { case (_, q) => q.stop() }
+    flushEvents()
+  }
 
   def awaitAnyTermination(): Unit =
     queries.headOption.foreach(_._2.sparkSession.streams.awaitAnyTermination())
 }
+

@@ -113,6 +113,74 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(p2.readTable("silver").count() === 3)
   }
 
+  test("event log: per-table per-batch rows with expectation counts, appended across runs") {
+    val s = spark
+    val dropDir = tmpDir("el_drop")
+    val root = tmpDir("el_root")
+    dropCsv(dropDir, "b1.csv", "1,0.5", "2,", "3,-0.1")
+
+    def build(): StreamingPipeline = {
+      val p = new StreamingPipeline(s, root)
+      p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+        format = "csv", options = Map("header" -> "true")))
+      p.tableWithExpectations("silver", Seq("bronze"), Seq(
+        Expectations.ruleOrDrop("x_nonneg", col("x") >= 0),
+        Expectations.rule("id_small", col("id") <= 2))) { d => d("bronze") }
+      p
+    }
+    build().runOnce()
+
+    val p = build()
+    val log1 = p.eventLog.collect()
+    assert(log1.map(_.getAs[String]("table_name")).toSet === Set("bronze", "silver"))
+    assert(log1.forall(_.getAs[String]("mode") == "triggered"))
+    assert(log1.forall(_.getAs[Long]("duration_ms") >= 0))
+    val bronze = log1.filter(_.getAs[String]("table_name") == "bronze")
+    assert(bronze.map(_.getAs[Long]("rows_in")).sum === 3)
+    assert(bronze.map(_.getAs[Long]("rows_out")).sum === 3)
+    assert(bronze.forall(_.getAs[scala.collection.Seq[Any]]("expectations").isEmpty))
+    val silver = log1.filter(_.getAs[String]("table_name") == "silver")
+    assert(silver.map(_.getAs[Long]("rows_in")).sum === 3)
+    // x_nonneg drops the NULL and the negative row
+    assert(silver.map(_.getAs[Long]("rows_out")).sum === 1)
+    val exp = silver.flatMap(
+        _.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("expectations"))
+      .map(r => (r.getAs[String]("rule"), r.getAs[String]("action"),
+        r.getAs[Long]("failed"))).toSet
+    assert(exp === Set(("x_nonneg", "Drop", 2L), ("id_small", "Warn", 1L)))
+
+    // second cascade over new data APPENDS events with a later batch id
+    dropCsv(dropDir, "b2.csv", "4,1.0")
+    p.runOnce()
+    val log2 = p.eventLog.collect()
+    assert(log2.length > log1.length)
+    val silver2 = log2.filter(r => r.getAs[String]("table_name") == "silver" &&
+      r.getAs[Long]("batch_id") > silver.map(_.getAs[Long]("batch_id")).max)
+    assert(silver2.map(_.getAs[Long]("rows_in")).sum === 1)
+    assert(silver2.map(_.getAs[Long]("rows_out")).sum === 1)
+  }
+
+  test("event log: continuous mode flushes batch rows on stopAll") {
+    val s = spark
+    val dropDir = tmpDir("elc_drop")
+    dropCsv(dropDir, "b1.csv", "1,0.5", "2,1.5")
+
+    val p = new StreamingPipeline(s, tmpDir("elc_root"))
+    p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+      format = "csv", options = Map("header" -> "true")))
+    p.table("silver", "bronze") { d => d("bronze").filter(col("x") > 1.0) }
+
+    val run = p.start()
+    try run.processAllAvailable()
+    finally run.stopAll()
+
+    val log = p.eventLog.collect()
+    assert(log.forall(_.getAs[String]("mode") == "continuous"))
+    val silver = log.filter(_.getAs[String]("table_name") == "silver")
+    assert(silver.map(_.getAs[Long]("rows_in")).sum === 2)
+    assert(silver.map(_.getAs[Long]("rows_out")).sum === 1)
+  }
+
   test("streaming fail rule aborts the cascade before dependents run") {
     val s = spark
     val dropDir = tmpDir("sf_drop")
