@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ramp diagnostic: times the dedup/ANN family at 1x and Nx the
+  * sf0.1 corpus and prints per-op scaling ratios as ONE JSON line.
+  *
+  * The point (round-5 verdict #6): the banded/bucketed pair paths are
+  * DESIGNED to be near-linear in corpus size — a super-linear ramp is
+  * a hidden quadratic that sf0.1 alone cannot see. No sf1 test data
+  * exists, so the Nx corpus is derived from sf0.1 deterministically:
+  *
+  *  - documents: copy c applies a Caesar rotation of the lowercase
+  *    alphabet (`translate`) — every token (hence every shingle,
+  *    minhash, simhash) changes, so copies are NOT near-duplicates of
+  *    each other and the per-copy duplicate structure replicates the
+  *    natural one (pair count scales ~k, candidate volume ~k).
+  *    Appending a suffix instead would make every copy a near-dup of
+  *    its source and measure a k^2 clique workload, not scaling.
+  *  - embeddings: copy c flips the sign of dimensions whose index has
+  *    bit (c-1) mod 6 set — isotropy preserved, copies decorrelated
+  *    (cosine ~0 to their source), so LSH bucket occupancy scales
+  *    linearly instead of planting artificial near-dup cliques.
+  *
+  * Also benches the PRE-r5 minhash band join ("minhash_pairs_wide":
+  * signatures carried through the join fan-out) next to the current
+  * ids-only shape, at both scales — the round-5 verdict asked whether
+  * the 1.3x sf0.1 drift was the rewrite's price or noise, and what it
+  * buys back at scale.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_RAMP_SCALE
+  * (default 10), SPARK_GRAFT_RAMP_REPEATS (default 2, min-of-N).
+  */
+object ScaleRamp {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Pre-r5 minHashLsh shape: the band self-join carries both full
+    * signatures; est-Jaccard filters before the distinct. Kept here
+    * (not in Dedup) purely as the drift-check baseline.
+    */
+  private def minHashLshWide(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    // plain persist (released by the bench's clearCache per attempt)
+    val sig = Dedup.minHashSignatures(docs, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col(idCol), col("signature"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("signature"), b * rows + 1, rows)).as("bh"))): _*)).as("__band"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes.toDouble)
+    banded.select(col(idCol).as("id_a"), col("signature").as("sig_a"), col("__band").as("band_a"))
+      .join(banded.select(col(idCol).as("id_b"), col("signature").as("sig_b"),
+        col("__band").as("band_b")),
+        col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_RAMP_SCALE", "10").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_RAMP_REPEATS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def docsAt(k: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      (0 until k).map { c =>
+        if (c == 0) base
+        else {
+          val rot = alpha.drop(c % 25 + 1) + alpha.take(c % 25 + 1)
+          base.select((col("doc_id") + c * 10000000L).as("doc_id"),
+            translate(col("text"), alpha, rot).as("text"))
+        }
+      }.reduce(_ union _)
+    }
+    def vecsAt(k: Int): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      (0 until k).map { c =>
+        if (c == 0) base
+        else {
+          val bit = (c - 1) % 6
+          base.select((col("vec_id") + c * 10000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(shiftright(i, bit).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
+              .as("embedding"))
+        }
+      }.reduce(_ union _)
+    }
+
+    // materialize each scale's corpus ONCE as parquet so every op at
+    // a scale reads identical warm files (not a union re-computed
+    // per attempt — the ramp should time the operator, not the
+    // corpus synthesis)
+    val work = java.nio.file.Files.createTempDirectory("graft_ramp").toString
+    val scales = Seq(1, scaleN)
+    val docPaths = scales.map { k =>
+      val p = s"$work/docs_x$k"
+      docsAt(k).write.mode("overwrite").parquet(p)
+      k -> p
+    }.toMap
+    val vecPaths = scales.map { k =>
+      val p = s"$work/vecs_x$k"
+      vecsAt(k).write.mode("overwrite").parquet(p)
+      k -> p
+    }.toMap
+    def docs(k: Int) = spark.read.parquet(docPaths(k))
+    def vecs(k: Int) = spark.read.parquet(vecPaths(k))
+    // fixed-size query set at every scale: ANN cost should scale with
+    // the CORPUS, queries held constant
+    def queries(k: Int) = vecs(1).filter(col("vec_id") < 50)
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
+      "minhash_pairs" -> (k => Dedup.minHashLsh(docs(k), "doc_id", "text",
+        threshold = 0.5)),
+      "minhash_pairs_wide" -> (k => minHashLshWide(docs(k), "doc_id", "text",
+        threshold = 0.5)),
+      "simhash_pairs" -> (k => Dedup.simHashPairs(docs(k), "doc_id", "text")),
+      "ngram_jaccard_pairs" -> (k => Dedup.ngramJaccardPairs(
+        docs(k), "doc_id", "text", maxDf = Some(64))),
+      "deduplicate" -> (k => Dedup.deduplicate(docs(k), "doc_id", "text",
+        threshold = 0.5)),
+      "embedding_neardup" -> (k => Dedup.embeddingNearDup(
+        vecs(k), "vec_id", "embedding", threshold = 0.9)),
+      "ann_lsh" -> (k => Similarity.lshTopK(
+        queries(k), vecs(k), "vec_id", "embedding", k = 10)),
+      "ann_ivf" -> (k => Similarity.ivfTopK(
+        queries(k), vecs(k), "vec_id", "embedding", k = 10, nCenters = 64)))
+
+    // warm every op once at 1x (JIT/codegen), then time scales in
+    // ascending order with min-of-N and a cache clear per attempt
+    ops.foreach { case (_, fn) =>
+      try materialize(fn(1)) catch { case _: Throwable => () }
+    }
+    val results = ops.map { case (name, fn) =>
+      val times = scales.map { k =>
+        val ts = (1 to repeats).flatMap { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { materialize(fn(k)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[ramp] $name x$k failed: ${e.getMessage}"); None }
+        }
+        ts.minOption.getOrElse(-1.0)
+      }
+      val ratio =
+        if (times.forall(_ > 0)) times.last / times.head else -1.0
+      (name, times, ratio)
+    }
+
+    val opsJson = results.map { case (name, times, ratio) =>
+      s""""$name":{"sec":${times.map(t => f"$t%.3f").mkString("[", ",", "]")},"ratio":${f"$ratio%.2f"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ramp","scales":${scales.mkString("[", ",", "]")},"repeats":$repeats,"ops":$opsJson,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
