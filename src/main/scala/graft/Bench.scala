@@ -105,8 +105,13 @@ object Bench {
       s"${jstr(k)}:${v.map(_.toString).getOrElse("null")}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // BigDecimal, not f"%.3f": the f interpolator formats with the
+    // default locale, and a comma-decimal locale would corrupt the
+    // one-line JSON the driver parses
     val attJson = attempts.map { case (k, ts) =>
-      s"${jstr(k)}:${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}"
+      s"${jstr(k)}:${ts.map(t => BigDecimal(t)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+        .mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")

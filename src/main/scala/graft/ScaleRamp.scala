@@ -67,6 +67,12 @@ object ScaleRamp {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_RAMP_SCALE", "10").toInt
+    // beyond these bounds the derivations repeat (Caesar rotations
+    // cycle at 26, sign-flip masks at the 64-dim space) and copies
+    // become exact duplicates of earlier copies — a silently
+    // different (quadratic-pair) workload
+    require(scaleN >= 2 && scaleN <= 26,
+      s"SPARK_GRAFT_RAMP_SCALE must be in [2, 26], got $scaleN")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_RAMP_REPEATS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -95,10 +101,15 @@ object ScaleRamp {
       (0 until k).map { c =>
         if (c == 0) base
         else {
-          val bit = (c - 1) % 6
+          // flip dims where popcount(i & c) is odd: for c1 != c2 the
+          // masks differ on the dimension indexed by the lowest set
+          // bit of c1 XOR c2 (< 64 = dim), so every copy pair is
+          // decorrelated — a shared single-bit mask would make copies
+          // c and c' bit-identical (planted exact dups, the k^2
+          // distortion this scheme exists to avoid)
           base.select((col("vec_id") + c * 10000000L).as("vec_id"),
             transform(col("embedding"), (x, i) =>
-              when(shiftright(i, bit).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
+              when(bit_count(i.bitwiseAND(lit(c))) % 2 === 1, -x).otherwise(x))
               .as("embedding"))
         }
       }.reduce(_ union _)
@@ -165,8 +176,12 @@ object ScaleRamp {
       (name, times, ratio)
     }
 
+    // BigDecimal.toString is locale-independent (f"%.3f" uses the
+    // default locale — a comma-decimal locale would corrupt the JSON)
+    def fmt(d: Double, dp: Int): String =
+      BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val opsJson = results.map { case (name, times, ratio) =>
-      s""""$name":{"sec":${times.map(t => f"$t%.3f").mkString("[", ",", "]")},"ratio":${f"$ratio%.2f"}}"""
+      s""""$name":{"sec":${times.map(fmt(_, 3)).mkString("[", ",", "]")},"ratio":${fmt(ratio, 2)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ramp","scales":${scales.mkString("[", ",", "]")},"repeats":$repeats,"ops":$opsJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Cdc
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.file.{Files, Paths}
 
 /** Streaming CDC upsert — the `apply_changes` analog.
   *
@@ -148,10 +148,21 @@ final class ParquetStateStore(
         Files.move(staged, Paths.get(versionDir(next)))
         committed = true
       } catch {
-        case e @ (_: FileAlreadyExistsException |
-                  _: java.nio.file.DirectoryNotEmptyException) =>
-          // lost the race for v{next}: discard staging, re-read the
-          // winner's state, re-merge, try v{next+1}
+        // CONFLICT = any failure while v{next} exists on disk — a
+        // rival committed it, so re-merge against the winner and
+        // retry. Matching on exception TYPE instead would miss real
+        // races: Files.move's no-REPLACE path is stat-then-rename(2),
+        // and when both writers pass the stat the loser's rename
+        // fails with ENOTEMPTY, which Linux surfaces as a GENERIC
+        // FileSystemException (DirectoryNotEmptyException only comes
+        // from the REPLACE_EXISTING delete path). The same predicate
+        // also absorbs a base version GC'd by rivals mid-merge: the
+        // staged write's lazy read of v{base} then fails, but rivals
+        // having committed >= 2 versions implies v{next} exists, and
+        // the correct response is exactly this re-merge-and-retry.
+        // A failure with NO committed v{next} (disk full, corrupt
+        // batch...) is not a race and propagates.
+        case e: Exception if Files.isDirectory(Paths.get(versionDir(next))) =>
           attempt += 1
           if (attempt > maxCommitRetries)
             throw new ConcurrentWriterException(

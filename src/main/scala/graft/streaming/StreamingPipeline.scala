@@ -136,6 +136,44 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
   def dataDir(name: String): String = s"$storageRoot/$name/data"
   def checkpointDir(name: String): String = s"$storageRoot/$name/ckpt"
 
+  /** DLT's "full refresh": wipe the named tables' materialized
+    * storage AND checkpoints so the next [[runOnce]]/[[start]]
+    * reprocesses their inputs from scratch. The refresh closes over
+    * DEPENDENTS transitively — a dependent's checkpoint tracks which
+    * of the upstream's storage files it has seen, so leaving it in
+    * place after the upstream is rebuilt would silently skip the
+    * rebuilt files (same names = already-seen to the file source) —
+    * exactly DLT's behavior, where refreshing a table refreshes
+    * everything downstream of it. With no names: refresh the whole
+    * pipeline. Sources keep their EXTERNAL input data (that is the
+    * point — a refreshed source re-reads it); only engine-owned
+    * state under `storageRoot` is deleted. Call only between runs —
+    * deleting a LIVE query's checkpoint out from under it fails that
+    * query (stop the [[StreamingRun]] first).
+    */
+  def fullRefresh(names: String*): Unit = {
+    names.foreach(n => require(defs.contains(n), s"unknown table $n"))
+    val targets =
+      if (names.isEmpty) defs.keySet.toSet
+      else {
+        var ts = names.toSet
+        var grown = true
+        while (grown) {
+          val next = ts ++ defs.values.collect {
+            case d if d.deps.exists(ts) => d.name
+          }
+          grown = next.size > ts.size
+          ts = next
+        }
+        ts
+      }
+    order.filter(targets).foreach { name =>
+      ParquetStateStore.deleteRecursively(Paths.get(dataDir(name)))
+      ParquetStateStore.deleteRecursively(Paths.get(checkpointDir(name)))
+      schemas.remove(name)
+    }
+  }
+
   /** Dependency-ordered node names (cycle / unknown dep -> error). */
   def order: Seq[String] = {
     val visiting = mutable.Set[String]()
@@ -321,6 +359,7 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
         collector.awaitTerminated(q.runId, timeoutMs = 5000)
         appendEvents(collector.events(q, name, "continuous",
           rowsObserveName(name), observeName(name), defs(name).expectations))
+        collector.forget(q.runId)
       } finally spark.streams.removeListener(collector)
     })
   }
@@ -346,6 +385,13 @@ object StreamingPipeline {
     * delivered asynchronously; [[awaitTerminated]] fences on the
     * terminal event so every progress update has arrived before
     * totals are read).
+    *
+    * Only a compact [[Snap]] is retained per batch — a full
+    * `StreamingQueryProgress` (sources, sink, state operators, JSON)
+    * is kilobytes, and a continuous pipeline at sub-second cadence
+    * would grow the map into real driver memory; the few fields the
+    * event log needs are ~100 bytes/batch (a days-long continuous
+    * run accumulates megabytes, flushed and dropped at stopAll).
     */
   private final class MetricsCollector
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -353,14 +399,13 @@ object StreamingPipeline {
     import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
 
     private val progresses =
-      scala.collection.concurrent.TrieMap[(java.util.UUID, Long),
-        StreamingQueryProgress]()
+      scala.collection.concurrent.TrieMap[(java.util.UUID, Long), Snap]()
     private val terminated =
       java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
-      progresses.put((e.progress.runId, e.progress.batchId), e.progress)
+      progresses.put((e.progress.runId, e.progress.batchId), Snap(e.progress))
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
       terminated.add(e.runId)
     }
@@ -384,16 +429,22 @@ object StreamingPipeline {
       * source saw it. Only if BOTH miss a batch (dropped event AND
       * evicted from the progress buffer) can its counts be lost.
       */
-    private def merged(q: StreamingQuery): Map[Long, StreamingQueryProgress] =
+    private def merged(q: StreamingQuery): Map[Long, Snap] =
       q.recentProgress.filter(_.runId == q.runId)
-        .map(p => p.batchId -> p).toMap ++
+        .map(p => p.batchId -> Snap(p)).toMap ++
         progresses.collect { case ((r, b), p) if r == q.runId => b -> p }
+
+    /** Drop a finished query's retained snapshots (after flushing). */
+    def forget(runId: java.util.UUID): Unit =
+      progresses.keys.foreach { case k @ (r, _) =>
+        if (r == runId) progresses.remove(k)
+      }
 
     /** Per-rule violation totals for a finished query. */
     def failures(q: StreamingQuery, observeName: String,
         rules: Seq[Expectations.Rule]): Map[String, Long] = {
       val perBatch = merged(q).values
-        .flatMap(p => Option(p.observedMetrics.get(observeName))).toSeq
+        .flatMap(_.observed.get(observeName)).toSeq
       rules.map { r =>
         r.name -> perBatch.map(row =>
           row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))).sum
@@ -405,29 +456,52 @@ object StreamingPipeline {
         rowsName: String, expName: String,
         rules: Seq[Expectations.Rule]): Seq[PipelineEvent] =
       merged(q).toSeq.sortBy(_._1).map { case (b, p) =>
-        val rowsOut = Option(p.observedMetrics.get(rowsName))
+        val rowsOut = p.observed.get(rowsName)
           .map(r => r.getAs[Long](r.fieldIndex("rows_out")))
-          .getOrElse(Option(p.sink).map(_.numOutputRows).getOrElse(-1L))
-        val exp = Option(p.observedMetrics.get(expName)).map { row =>
+          .getOrElse(p.sinkRows)
+        val exp = p.observed.get(expName).map { row =>
           rules.map(r => ExpectationMetric(r.name, r.action.toString,
             row.getAs[Long](row.fieldIndex(s"fail_${r.name}"))))
         }.getOrElse(Seq.empty)
         PipelineEvent(table, mode, q.runId.toString, b,
-          p.timestamp, p.numInputRows, rowsOut,
-          Option(p.durationMs.get("triggerExecution"))
-            .map(_.longValue).getOrElse(-1L),
-          exp)
+          p.ts, p.rowsIn, rowsOut, p.durationMs, exp)
       }
+  }
+
+  /** The per-batch fields the event log needs, extracted eagerly so
+    * the listener never retains full progress objects.
+    */
+  private final case class Snap(
+      ts: String, rowsIn: Long, sinkRows: Long, durationMs: Long,
+      observed: Map[String, org.apache.spark.sql.Row])
+  private object Snap {
+    def apply(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Snap = {
+      val obs = {
+        val b = Map.newBuilder[String, org.apache.spark.sql.Row]
+        val it = p.observedMetrics.entrySet().iterator()
+        while (it.hasNext) { val kv = it.next(); b += kv.getKey -> kv.getValue }
+        b.result()
+      }
+      Snap(p.timestamp, p.numInputRows,
+        Option(p.sink).map(_.numOutputRows).getOrElse(-1L),
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(-1L),
+        obs)
+    }
   }
 }
 
 /** Handle on a running continuous pipeline: the per-table queries in
   * dependency order. `flushEvents` persists the run's event-log rows
-  * (invoked by [[stopAll]]).
+  * (invoked by the FIRST [[stopAll]]; the stop-in-finally pattern
+  * means stopAll often runs twice, and a second flush would append
+  * every event row to the persisted log again).
   */
 final class StreamingRun(
     val queries: Seq[(String, StreamingQuery)],
     flushEvents: () => Unit = () => ()) {
+
+  private val flushed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def query(name: String): StreamingQuery =
     queries.collectFirst { case (n, q) if n == name => q }
@@ -442,7 +516,7 @@ final class StreamingRun(
 
   def stopAll(): Unit = {
     queries.reverseIterator.foreach { case (_, q) => q.stop() }
-    flushEvents()
+    if (flushed.compareAndSet(false, true)) flushEvents()
   }
 
   def awaitAnyTermination(): Unit =

@@ -117,6 +117,54 @@ class CdcStreamSpec extends SparkSpec {
     assert(staged.isEmpty, s"leftover staging dirs: $staged")
   }
 
+  test("conflict detection is by committed-rival state, not exception type") {
+    // The true rename race on Linux surfaces as a GENERIC
+    // FileSystemException (ENOTEMPTY from rename(2) when both
+    // writers pass Files.move's stat pre-check), and a base version
+    // GC'd by rivals mid-merge surfaces as a Spark read failure —
+    // neither is FileAlreadyExistsException. The store must treat
+    // ANY failure while a rival's v{next} exists as a lost race and
+    // retry; simulate those shapes by throwing a generic IOException
+    // from the commit path after the rival committed.
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_generic")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"), retainVersions = 10)
+    val rival = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"), retainVersions = 10)
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // v0
+
+    var fired = false
+    store.beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        rival.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v")) // wins v1
+        throw new java.io.IOException("simulated ENOTEMPTY-shaped race failure")
+      }
+    }
+    store.upsertBatch(Seq((3, 1, 30)).toDF("k", "seq", "v")) // retries -> v2
+    assert(fired)
+    assert(store.versions === Seq(0L, 1L, 2L))
+    val state = store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state === Map(1 -> 10, 2 -> 20, 3 -> 30))
+  }
+
+  test("a non-race failure (no rival commit) propagates instead of retrying") {
+    val s = spark
+    import s.implicits._
+    val store = new ParquetStateStore(s, tmpDir("cdc_state_norace"),
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // v0
+    store.beforeCommit = () =>
+      throw new java.io.IOException("disk exploded (no rival committed)")
+    val e = intercept[java.io.IOException] {
+      store.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    }
+    assert(e.getMessage.contains("disk exploded"))
+    assert(store.versions === Seq(0L), "no partial commit may appear")
+  }
+
   test("many concurrent writers all commit; no lost update; history is linear") {
     val s = spark
     import s.implicits._

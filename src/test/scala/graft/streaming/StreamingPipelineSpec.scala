@@ -179,6 +179,51 @@ class StreamingPipelineSpec extends SparkSpec {
     val silver = log.filter(_.getAs[String]("table_name") == "silver")
     assert(silver.map(_.getAs[Long]("rows_in")).sum === 2)
     assert(silver.map(_.getAs[Long]("rows_out")).sum === 1)
+
+    // stop-in-finally means stopAll often runs twice — the second
+    // call must not append the run's events to the log again
+    run.stopAll()
+    assert(p.eventLog.count() === log.length.toLong)
+  }
+
+  test("full refresh wipes a table + its dependents and the next cascade reprocesses") {
+    val s = spark
+    val dropDir = tmpDir("fr_drop")
+    dropCsv(dropDir, "b1.csv", "1,0.5", "2,1.5", "3,2.5")
+
+    val p = new StreamingPipeline(s, tmpDir("fr_root"))
+    p.source("bronze")(FileIngest.stream(s, dropDir, schema,
+      format = "csv", options = Map("header" -> "true")))
+    p.table("silver", "bronze") { d => d("bronze").filter(col("x") > 1.0) }
+    p.table("gold", "silver") { d => d("silver") }
+    p.runOnce()
+    assert(p.readTable("silver").count() === 2)
+    assert(p.readTable("gold").count() === 2)
+
+    intercept[IllegalArgumentException](p.fullRefresh("nope"))
+
+    // refreshing silver must close over gold (gold's checkpoint has
+    // already seen silver's storage files; stale, it would skip the
+    // rebuilt ones) but must NOT touch bronze
+    p.fullRefresh("silver")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p.dataDir("silver"))))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p.dataDir("gold"))))
+    assert(p.readTable("bronze").count() === 3, "bronze must survive")
+
+    // no new input: bronze's checkpoint is intact (nothing
+    // reprocessed there), silver/gold rebuild from bronze's storage
+    p.runOnce()
+    assert(p.readTable("bronze").count() === 3)
+    assert(p.readTable("silver").count() === 2)
+    assert(p.readTable("gold").count() === 2)
+
+    // whole-pipeline refresh: bronze re-ingests the external files
+    p.fullRefresh()
+    p.runOnce()
+    assert(p.readTable("bronze").count() === 3)
+    assert(p.readTable("gold").count() === 2)
   }
 
   test("streaming fail rule aborts the cascade before dependents run") {
