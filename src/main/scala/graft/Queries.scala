@@ -653,6 +653,87 @@ object Queries {
                  '${TextOps.phoneRe}', '<PHONE>', 'g') AS clean
              FROM documents ORDER BY doc_id"""))
 
+  // Gopher/MassiveText repetition signals. The synthetic corpus is
+  // single-line, so BOTH sides first derive multi-line structure
+  // deterministically: 2-token lines (regex pass 1), then a blank
+  // line after every 3rd line (pass 2) — the tiny vocabulary makes
+  // repeated 2-token lines genuinely common, so dup-line/para
+  // fractions are non-vacuous and vary per document. All fractions
+  // are exact-integer ratios evaluated identically in both engines.
+  val repetition = QueryDef(
+    "q_repetition",
+    (s, d) => {
+      val ml = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"),
+          "((?:[^\n]+\n){3})", "$1\n").as("text"))
+      TextOps.repetitionSignals(ml, "doc_id", "text", ngram = 2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH ml AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g'),
+                  '((?:[^\n]+\n){3})', '\1' || chr(10), 'g') AS t
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, u, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(list_filter(string_split(t, chr(10)),
+                  x -> length(x) > 0)) AS u FROM ml)
+              GROUP BY doc_id, u
+            ), ls AS (
+              SELECT doc_id, SUM(c) AS n_l,
+                SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_l,
+                SUM(c * length(u)) AS chars_l,
+                SUM(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) AS dup_chars_l
+              FROM lc GROUP BY doc_id
+            ), pc AS (
+              SELECT doc_id, u, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(list_filter(string_split(t, chr(10)||chr(10)),
+                  x -> length(x) > 0)) AS u FROM ml)
+              GROUP BY doc_id, u
+            ), ps AS (
+              SELECT doc_id, SUM(c) AS n_p,
+                SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_p
+              FROM pc GROUP BY doc_id
+            ), gc AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)),
+                         i -> array_to_string(toks[i:i+1], ' ')) END) AS g
+                FROM (SELECT doc_id, string_split_regex(trim(lower(t)), '\s+') AS toks
+                      FROM ml))
+              GROUP BY doc_id, g
+            ), tg AS (
+              SELECT doc_id, g AS top_gram, c AS top_cnt FROM (
+                SELECT doc_id, g, c,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+                FROM gc) WHERE rn = 1
+            )
+            SELECT m.doc_id,
+              CAST(COALESCE(ls.n_l, 0) AS BIGINT) AS n_lines,
+              CASE WHEN COALESCE(ls.n_l, 0) > 0
+                   THEN CAST(ls.dup_l AS DOUBLE) / CAST(ls.n_l AS DOUBLE)
+                   ELSE 0.0 END AS dup_line_frac,
+              CASE WHEN COALESCE(ls.chars_l, 0) > 0
+                   THEN CAST(ls.dup_chars_l AS DOUBLE) / CAST(ls.chars_l AS DOUBLE)
+                   ELSE 0.0 END AS dup_line_char_frac,
+              CAST(COALESCE(ps.n_p, 0) AS BIGINT) AS n_paras,
+              CASE WHEN COALESCE(ps.n_p, 0) > 0
+                   THEN CAST(ps.dup_p AS DOUBLE) / CAST(ps.n_p AS DOUBLE)
+                   ELSE 0.0 END AS dup_para_frac,
+              COALESCE(tg.top_gram, '') AS top_gram,
+              CAST(COALESCE(tg.top_cnt, 0) AS BIGINT) AS top_gram_cnt,
+              CASE WHEN length(m.t) > 0
+                   THEN CAST(COALESCE(tg.top_cnt, 0) * length(COALESCE(tg.top_gram, '')) AS DOUBLE)
+                        / CAST(length(m.t) AS DOUBLE)
+                   ELSE 0.0 END AS top_gram_char_frac
+            FROM ml m
+            LEFT JOIN ls USING (doc_id)
+            LEFT JOIN ps USING (doc_id)
+            LEFT JOIN tg USING (doc_id)
+            ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------
   // Dedup
   // ---------------------------------------------------------------
@@ -1414,6 +1495,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
+    repetition,
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,

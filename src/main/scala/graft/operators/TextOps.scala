@@ -55,6 +55,83 @@ object TextOps {
         cardRe, "<NUMBER>"),
       phoneRe, "<PHONE>")
 
+  /** Gopher-style repetition quality signals (per document):
+    *
+    *  - `n_lines`, `dup_line_frac` (repeated lines / all lines),
+    *    `dup_line_char_frac` (chars inside repeated lines / chars in
+    *    all lines) — the "duplicate line (character) fraction" rules;
+    *  - `n_paras`, `dup_para_frac` — same over blank-line-separated
+    *    paragraphs;
+    *  - `top_gram`, `top_gram_cnt`, `top_gram_char_frac` — the "top
+    *    n-gram character fraction" rule: chars covered by the single
+    *    most frequent word n-gram over the document's total chars.
+    *
+    * Boilerplate-heavy and template-generated pages score high on
+    * these and get filtered before training.
+    *
+    * Scale: two explode → hash-aggregate chains (lines, n-grams),
+    * both map-side partial-agg friendly and LINEAR in corpus size —
+    * a per-document array self-count (`transform(distinct, x ->
+    * count(filter(...)))`) would be O(len²) per doc and blow up on
+    * 100k-token documents, so counting goes through the aggregate,
+    * not array lambdas. The most-frequent gram is
+    * `max(struct(cnt, gram))` — one partial agg, deterministic
+    * tie-break (lexicographically greatest gram among tied counts).
+    * "Repeated" counts ALL occurrences of a unit appearing more than
+    * once (the MassiveText convention), for lines and paragraphs
+    * alike. Empty docs yield zero fractions, not nulls.
+    */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+
+    // shared explode -> count -> per-doc rollup for one unit kind
+    def unitStats(sep: String, p: String): DataFrame = {
+      val cnt = base.select(col("doc_id"),
+          explode(filter(split(col("__t"), sep), u => length(u) > 0)).as("__u"))
+        .groupBy(col("doc_id"), col("__u"))
+        .agg(count(lit(1)).as("__c"))
+      cnt.groupBy(col("doc_id")).agg(
+        sum(col("__c")).as(s"__n_$p"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as(s"__dup_$p"),
+        sum(col("__c") * length(col("__u"))).as(s"__chars_$p"),
+        sum(when(col("__c") > 1, col("__c") * length(col("__u")))
+          .otherwise(0L)).as(s"__dup_chars_$p"))
+    }
+
+    val lineStats = unitStats("\n", "l")
+    val paraStats = unitStats("\n\n", "p")
+    val gramCnt = base.select(col("doc_id"),
+        explode(TextFunctions.wordNgrams(col("__t"), ngram)).as("__g"))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val topGram = gramCnt.groupBy(col("doc_id"))
+      .agg(max(struct(col("__c"), col("__g"))).as("__m"))
+      .select(col("doc_id"), col("__m.__g").as("__top_gram"),
+        col("__m.__c").as("__top_cnt"))
+
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    // only (id, length) crosses the join shuffles — never the text
+    base.select(col("doc_id"), length(col("__t")).as("__t_len"))
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(paraStats, Seq("doc_id"), "left")
+      .join(topGram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        z(col("__n_l")).as("n_lines"),
+        frac(z(col("__dup_l")), z(col("__n_l"))).as("dup_line_frac"),
+        frac(z(col("__dup_chars_l")), z(col("__chars_l"))).as("dup_line_char_frac"),
+        z(col("__n_p")).as("n_paras"),
+        frac(z(col("__dup_p")), z(col("__n_p"))).as("dup_para_frac"),
+        coalesce(col("__top_gram"), lit("")).as("top_gram"),
+        z(col("__top_cnt")).as("top_gram_cnt"),
+        frac(z(col("__top_cnt")) * length(coalesce(col("__top_gram"), lit(""))),
+          col("__t_len")).as("top_gram_char_frac"))
+  }
+
   /** Deterministic source-weighted sampling — the data-mixing stage
     * of a training pipeline ("webtext at 100%, common-crawl at 25%"):
     * a row survives iff its id's hash bucket (0..9999) falls under

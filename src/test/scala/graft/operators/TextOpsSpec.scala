@@ -157,4 +157,58 @@ class TextOpsSpec extends SparkSpec {
     assert(buckets(0) ===
       (((4000000000L % 1000000007L) * 654435747L) % 1000000007L) % 10000L)
   }
+
+  test("repetitionSignals: line/para/ngram repetition on hand-built docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 4 lines, "ab cd" appears twice (4 dup-line rows? no: 2 of 4
+      // lines repeated -> dup_line_frac 0.5); paragraphs "p|q" twice
+      (1L, "ab cd\nef gh\nab cd\nxy zz\n\nab cd\nef gh\nab cd\nxy zz"),
+      // no repetition at all
+      (2L, "aa bb\ncc dd"),
+      // empty doc
+      (3L, ""),
+      // top 2-gram: "to be" x3 in "to be or not to be or to be"
+      (4L, "to be or not to be or to be")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", ngram = 2)
+      .orderBy("doc_id").collect()
+
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_lines") === 8)
+    // every line of doc 1 occurs twice -> all 8 are "repeated"
+    assert(r1.getAs[Double]("dup_line_frac") === 1.0)
+    assert(r1.getAs[Double]("dup_line_char_frac") === 1.0)
+    assert(r1.getAs[Long]("n_paras") === 2)
+    assert(r1.getAs[Double]("dup_para_frac") === 1.0)
+
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_lines") === 2)
+    assert(r2.getAs[Double]("dup_line_frac") === 0.0)
+    assert(r2.getAs[Long]("n_paras") === 1)
+    assert(r2.getAs[Double]("dup_para_frac") === 0.0)
+
+    val r3 = out(2)
+    assert(r3.getAs[Long]("n_lines") === 0)
+    assert(r3.getAs[Double]("dup_line_frac") === 0.0)
+    assert(r3.getAs[Long]("top_gram_cnt") === 0)
+    assert(r3.getAs[Double]("top_gram_char_frac") === 0.0)
+
+    val r4 = out(3)
+    assert(r4.getAs[String]("top_gram") === "to be")
+    assert(r4.getAs[Long]("top_gram_cnt") === 3)
+    // 3 occurrences x 5 chars over 27 chars of text
+    assert(math.abs(r4.getAs[Double]("top_gram_char_frac") - 15.0 / 27.0) < 1e-15)
+  }
+
+  test("repetitionSignals: deterministic top-gram tie-break (greatest gram wins)") {
+    val s = spark
+    import s.implicits._
+    // "a b" and "b a" both occur twice; max(struct(cnt, gram)) must
+    // pick "b a" (lexicographically greatest among tied counts)
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", ngram = 2).collect()
+    assert(out(0).getAs[String]("top_gram") === "b a")
+    assert(out(0).getAs[Long]("top_gram_cnt") === 2)
+  }
 }
