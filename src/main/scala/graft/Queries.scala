@@ -734,6 +734,67 @@ object Queries {
             LEFT JOIN tg USING (doc_id)
             ORDER BY doc_id"""))
 
+  // GPT-3-style benchmark decontamination. Non-vacuous by
+  // construction on BOTH sides: docs 450+ act as the benchmark set,
+  // the corpus is docs < 450 plus 50 planted variants (id+200000)
+  // whose text embeds one full benchmark document — those MUST flag
+  // as contaminated (every benchmark gram present), while the
+  // random-vocabulary originals share almost no 5-gram with the
+  // benchmark. Exact-match grams, integer counts — replayable.
+  val contamination = QueryDef(
+    "q_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .join(docs.filter(col("doc_id") >= 450)
+          .select((col("doc_id") - 450).as("doc_id"), col("text").as("btext")),
+          Seq("doc_id"))
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("btext")).as("text"))
+      val corpus = docs.filter(col("doc_id") < 450)
+        .select(col("doc_id"), col("text"))
+        .union(planted)
+      val bench = docs.filter(col("doc_id") >= 450)
+      TextOps.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 450
+              UNION ALL
+              SELECT a.doc_id + 200000, a.text || ' ' || b.text
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 450
+              WHERE a.doc_id < 50
+            ), cg AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' ')) END) AS gs
+              FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM corpus)
+            ), bg AS (
+              SELECT DISTINCT unnest(list_distinct(
+                CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' ')) END)) AS g
+              FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents WHERE doc_id >= 450)
+            ), hits AS (
+              SELECT c.doc_id, COUNT(*) AS n_hit
+              FROM (SELECT doc_id, unnest(gs) AS g FROM cg) c
+              JOIN bg USING (g)
+              GROUP BY c.doc_id
+            )
+            SELECT cg.doc_id,
+              CAST(len(cg.gs) AS BIGINT) AS n_grams,
+              CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_contaminated,
+              CASE WHEN len(cg.gs) > 0
+                   THEN CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / CAST(len(cg.gs) AS DOUBLE)
+                   ELSE 0.0 END AS contaminated_frac,
+              COALESCE(hits.n_hit, 0) >= 1 AS contaminated
+            FROM cg LEFT JOIN hits USING (doc_id)
+            ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------
   // Dedup
   // ---------------------------------------------------------------
@@ -1495,7 +1556,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    repetition,
+    repetition, contamination,
     dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,

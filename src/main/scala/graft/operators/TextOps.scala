@@ -132,6 +132,51 @@ object TextOps {
           col("__t_len")).as("top_gram_char_frac"))
   }
 
+  /** Benchmark-contamination detection (the GPT-3-style n-gram
+    * decontamination pass): flags corpus documents sharing word
+    * n-grams with an evaluation/benchmark set, so they can be
+    * dropped before training and the benchmark stays meaningful.
+    *
+    * Per document: `n_grams` (distinct n-grams), `n_contaminated`
+    * (distinct n-grams also present anywhere in the benchmark),
+    * `contaminated_frac`, and `contaminated` (>= `minMatches` hits
+    * — published pipelines use ANY overlap at n=13).
+    *
+    * Scale: the benchmark side is an eval suite — thousands of
+    * documents, not terabytes — so its distinct-gram set is
+    * broadcast and the corpus side is a linear scan + explode +
+    * broadcast LEFT SEMI join + partial-agg count: the 100 TB corpus
+    * is never shuffled on gram strings. Set `broadcastBench=false`
+    * only if the "benchmark" is itself huge (falls back to a
+    * shuffled semi join). Exact-match semantics (no hashing) keep
+    * results engine-replayable; at extreme scale swap the join key
+    * for xxhash64(gram) to shrink the broadcast.
+    */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 13, minMatches: Int = 1,
+      broadcastBench: Boolean = true): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.wordNgrams(col(textCol), n)).as("__gs"))
+    val perGram = docGrams.select(col("doc_id"), explode(col("__gs")).as("__g"))
+    val benchGrams0 = bench.select(explode(array_distinct(
+        TextFunctions.wordNgrams(col(benchTextCol), n))).as("__g"))
+      .distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    val hits = perGram.join(benchGrams, Seq("__g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_hit"))
+    docGrams.select(col("doc_id"), size(col("__gs")).cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("__n_hit"), lit(0L)).as("n_contaminated"),
+        when(col("n_grams") > 0,
+          coalesce(col("__n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("contaminated_frac"),
+        (coalesce(col("__n_hit"), lit(0L)) >= minMatches).as("contaminated"))
+  }
+
   /** Deterministic source-weighted sampling — the data-mixing stage
     * of a training pipeline ("webtext at 100%, common-crawl at 25%"):
     * a row survives iff its id's hash bucket (0..9999) falls under

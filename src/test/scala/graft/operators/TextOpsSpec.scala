@@ -158,6 +158,31 @@ class TextOpsSpec extends SparkSpec {
       (((4000000000L % 1000000007L) * 654435747L) % 1000000007L) % 10000L)
   }
 
+  test("contamination flags benchmark n-gram overlap, counts distinct hits") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("bid", "btext")
+    val docs = Seq(
+      // embeds the full benchmark 5-gram -> 1 hit of 4 grams
+      (1L, "intro words the quick brown fox jumps outro"),
+      // shares only a 4-gram run (no full 5-gram) -> clean
+      (2L, "the quick brown fox sleeps all day long"),
+      // repeated embedding still counts DISTINCT grams once
+      (3L, "the quick brown fox jumps and the quick brown fox jumps"),
+      (4L, "completely unrelated text about sparkly databases here"),
+      (5L, "tiny")).toDF("doc_id", "text")
+    val out = TextOps.contamination(docs, "doc_id", "text", bench, "btext", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(out(0) === ((1L, 4L, 1L, true)))
+    assert(out(1) === ((2L, 4L, 0L, false)))
+    // doc 3: 11 tokens -> 7 gram positions but 6 DISTINCT grams ("the
+    // quick brown fox jumps" occurs twice); exactly 1 contaminated
+    assert(out(2) === ((3L, 6L, 1L, true)))
+    assert(out(3)._4 === false)
+    assert(out(4) === ((5L, 0L, 0L, false))) // shorter than n: no grams
+  }
+
   test("repetitionSignals: line/para/ngram repetition on hand-built docs") {
     val s = spark
     import s.implicits._

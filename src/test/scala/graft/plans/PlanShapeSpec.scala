@@ -139,6 +139,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) === 0, plan(df))
   }
 
+  test("contamination: benchmark grams broadcast; corpus never shuffles on gram strings") {
+    val docs = Tables.documents(spark, sf)
+    val df = TextOps.contamination(
+      docs.filter(col("doc_id") < 400), "doc_id", "text",
+      docs.filter(col("doc_id") >= 400), "text", n = 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), "benchmark gram set must broadcast\n" + p)
+    // gram-string shuffles: at most the benchmark-side distinct (tiny,
+    // pre-broadcast) — the corpus semi join itself must be broadcast,
+    // so the 100 TB side's grams never cross an exchange
+    assert("Exchange hashpartitioning\\(__g".r.findAllIn(p).length <= 1,
+      "corpus gram strings must not cross a shuffle\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "broadcast left-semi join expected\n" + p)
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val orders = Tables.orders(spark, sf)
