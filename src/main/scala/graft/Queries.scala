@@ -813,6 +813,43 @@ object Queries {
             GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
             ORDER BY rep_id"""))
 
+  // Incremental (new-batch-vs-history) dedup through the Bloom
+  // prefilter + exact-verify path. Non-vacuous: 50 batch rows are
+  // case/whitespace variants of history docs (MUST flag
+  // in_history=true via normalization), 50 carry a unique suffix
+  // (MUST pass as new). The Bloom filter only prunes; the exact
+  // verify join makes the output equal to the plain membership SQL.
+  val incrementalDedup = QueryDef(
+    "q_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+        .union(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" zzqx"), col("doc_id").cast("string")).as("text")))
+      Dedup.incrementalDedup(docs, batch, "doc_id", "text",
+          expectedItems = 1000L, fpp = 0.01)
+        .select(col("doc_id"), col("in_history"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH batch AS (
+              SELECT doc_id + 300000 AS doc_id,
+                '  ' || upper(text) || '  ' AS text
+              FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 400000,
+                text || ' zzqx' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id >= 100 AND doc_id < 150
+            ), hist AS (
+              SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+              FROM documents
+            )
+            SELECT doc_id,
+              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) IN (SELECT nt FROM hist) AS in_history
+            FROM batch ORDER BY doc_id"""))
+
   val ngramJaccardPairs = QueryDef(
     "q_ngram_jaccard_pairs",
     (s, d) => Dedup.ngramJaccardPairs(
@@ -1557,7 +1594,7 @@ object Queries {
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     repetition, contamination,
-    dedupExact, normalizeDedup, ngramJaccardPairs, minhashPairs,
+    dedupExact, incrementalDedup, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode, audioDecode, videoFrames, saltedJoin,

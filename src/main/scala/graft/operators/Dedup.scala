@@ -43,6 +43,64 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
       .select(col("rep_id"), col("n_dups"))
 
+  /** Incremental dedup: annotate a NEW batch against an existing
+    * (already-deduped) history corpus without re-pairing the history
+    * — the "dedup today's crawl against ten trillion stored rows"
+    * operation. Output = the batch plus an `in_history` boolean on
+    * exact-normalized-text semantics (xxhash64 of
+    * [[normalize]]; same collision caveat as [[exactByHash]]).
+    *
+    * Scale shape — the history is NEVER shuffled:
+    *  1. one linear history scan builds a Bloom filter of its hashes
+    *     via the [[graft.plans.BloomAgg]] partial aggregate (only
+    *     numBits/8 bytes per task cross the wire);
+    *  2. the batch probes the filter through the codegen'd
+    *     [[graft.plans.BloomContains]] plan constant — rows the
+    *     filter rejects are DEFINITELY new and skip the join
+    *     entirely (the overwhelming majority of a fresh crawl);
+    *  3. the few bloom-positive hashes broadcast back against a
+    *     second history scan (broadcast LEFT SEMI) for exact
+    *     confirmation, so Bloom false positives cost only verify
+    *     traffic, never correctness;
+    *  4. confirmed hashes (true dups + nothing else) broadcast-join
+    *     the batch to set the flag.
+    *
+    * Because step 3 makes results exact, `fpp` only tunes verify
+    * traffic: ~9.6 bits/key at 1%, ~4.8 at 10%. The bit array is a
+    * driver/plan constant — at histories beyond ~10^9 keys (GBs of
+    * bits) shard the filter by hash range and run one pass per
+    * shard, or accept a higher fpp; the verify join keeps either
+    * choice exact.
+    *
+    * `expectedItems` sizes the filter (approximate history
+    * cardinality; an over-estimate wastes bits, an under-estimate
+    * raises fpp — never correctness).
+    */
+  def incrementalDedup(
+      history: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.plans.{BloomFilterOps, VectorExpressions}
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    val (numBits, numHashes) = BloomFilterOps.sizeFor(expectedItems, fpp)
+    val histHashes = history.select(xxhash64(normalize(col(textCol))).as("__h"))
+    val words = histHashes
+      .agg(VectorExpressions.bloomAgg(col("__h"), numBits, numHashes).as("w"))
+      .head().getSeq[Long](0).toArray
+    val annotated = batch.withColumn("__h", xxhash64(normalize(col(textCol))))
+    val candidates = annotated
+      .filter(VectorExpressions.bloomContains(col("__h"), words, numHashes))
+      .select(col("__h"))
+    val confirmed = histHashes
+      .join(broadcast(candidates), Seq("__h"), "left_semi")
+      .distinct()
+    annotated
+      .join(broadcast(confirmed.withColumn("__in", lit(true))), Seq("__h"), "left")
+      .select(batch.columns.map(col) :+
+        coalesce(col("__in"), lit(false)).as("in_history"): _*)
+  }
+
   /** MinHash signatures: for seeds 0..k-1,
     * sig[i] = min over distinct word-ngrams g of hash(i, g).
     *

@@ -352,6 +352,19 @@ object VectorExpressions {
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     call_function("graft_nearest_centroids", vec,
       org.apache.spark.sql.functions.typedLit(centroids), lit(nProbe))
+
+  /** Distributed Bloom build over a 64-bit hash column (aggregate:
+    * array<long> of numBits/64 words).
+    */
+  def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom_agg", hash, lit(numBits), lit(numHashes))
+
+  /** Bloom membership probe; `words` is captured as a plan constant —
+    * plan size independent of filter size.
+    */
+  def bloomContains(hash: Column, words: Array[Long], numHashes: Int): Column =
+    call_function("graft_bloom_contains", hash,
+      org.apache.spark.sql.functions.typedLit(words), lit(numHashes))
 }
 
 /** The `spark.sql.extensions` injection path: add
@@ -394,7 +407,13 @@ object GraftFunctions {
       children => PolyHash(children(0), children(1))),
     (FunctionIdentifier("graft_nearest_centroids"),
       new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
-      children => NearestCentroids(children(0), children(1), children(2))))
+      children => NearestCentroids(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom_agg"),
+      children => BloomAgg(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      children => BloomContains(children(0), children(1), children(2))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

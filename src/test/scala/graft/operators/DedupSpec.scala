@@ -250,4 +250,47 @@ class DedupSpec extends SparkSpec {
     assert(capped.size >= 4950, s"cluster pairs lost: ${capped.size}")
     assert(capped === run(None))
   }
+
+  test("incrementalDedup: exact flags vs history; bloom prefilter cannot lose a dup") {
+    val s = spark
+    import s.implicits._
+    val history = (0L until 500L).map(i => (i, s"history document number $i payload"))
+      .toDF("doc_id", "text")
+    val batch = (
+      // 40 normalization-equal copies of history docs
+      (0L until 40L).map(i => (1000L + i, s"  HISTORY   document Number $i payload ")) ++
+      // 60 genuinely new docs
+      (0L until 60L).map(i => (2000L + i, s"fresh content $i never seen"))).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(history, batch, "doc_id", "text",
+        expectedItems = 500L, fpp = 0.01)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_history")).toMap
+    assert(out.size === 100)
+    (0L until 40L).foreach(i => assert(out(1000L + i), s"dup ${1000 + i} missed"))
+    (0L until 60L).foreach(i => assert(!out(2000L + i), s"new ${2000 + i} misflagged"))
+
+    // a deliberately tiny, saturated filter (worst case: every probe
+    // positive) still yields EXACT results — fpp degrades traffic,
+    // never correctness
+    val saturated = Dedup.incrementalDedup(history, batch, "doc_id", "text",
+        expectedItems = 2L, fpp = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_history")).toMap
+    assert(saturated === out)
+  }
+
+  test("bloom build/probe: zero false negatives, bounded false positives") {
+    import graft.plans.BloomFilterOps
+    val (bits, k) = BloomFilterOps.sizeFor(10000L, 0.01)
+    assert(bits % 64 === 0 && k >= 5 && k <= 10, s"bits=$bits k=$k")
+    val words = new Array[Long](bits / 64)
+    val rnd = new scala.util.Random(7)
+    val members = Array.fill(10000)(rnd.nextLong())
+    members.foreach(BloomFilterOps.setBits(words, k, _))
+    assert(members.forall(BloomFilterOps.contains(words, k, _)),
+      "bloom filters must never have false negatives")
+    val memberSet = members.toSet
+    val probes = Array.fill(20000)(rnd.nextLong()).filterNot(memberSet.contains)
+    val fp = probes.count(BloomFilterOps.contains(words, k, _))
+    assert(fp.toDouble / probes.length < 0.03,
+      s"false-positive rate ${fp.toDouble / probes.length} far above the 1% design point")
+  }
 }

@@ -155,6 +155,21 @@ class PlanShapeSpec extends SparkSpec {
       "broadcast left-semi join expected\n" + p)
   }
 
+  test("incrementalDedup: history never shuffles; bloom probe is a codegen'd plan constant") {
+    val docs = Tables.documents(spark, sf)
+    val df = Dedup.incrementalDedup(
+      docs, docs.filter(col("doc_id") < 50), "doc_id", "text", expectedItems = 1000L)
+    val p = plan(df)
+    assert(p.contains("graft_bloom_contains"),
+      "bloom prefilter expression missing from the plan\n" + p)
+    // both joins broadcast (candidates -> history semi; confirmed ->
+    // batch flag); the only hash exchange is the distinct over the
+    // CONFIRMED hash set, which is dup-count-sized, never corpus-sized
+    assert(shuffles(df) <= 1, "history/batch must not shuffle\n" + p)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("LeftSemi"), "exact verify must be a semi join\n" + p)
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val orders = Tables.orders(spark, sf)
