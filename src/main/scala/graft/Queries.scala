@@ -734,6 +734,27 @@ object Queries {
             LEFT JOIN tg USING (doc_id)
             ORDER BY doc_id"""))
 
+  // Deterministic training-order shuffle. The global ordinal makes
+  // the ORDER itself part of the row values (the gate's row-sorted
+  // hash would not see a wrong sort otherwise): the oracle replays
+  // the key arithmetic and ranks with row_number over (key, id).
+  val shuffleOrder = QueryDef(
+    "q_shuffle_order",
+    (s, d) => TextOps.shuffleDeterministic(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", seed = 12345L)
+      .orderBy("shuffle_pos"),
+    Some {
+      val (m, a) = TextOps.shuffleKeyConstants(12345L)
+      s"""SELECT doc_id, source,
+            ((doc_id % 1000000007) * $m + $a) % 1000000007 AS shuffle_key,
+            row_number() OVER (ORDER BY
+              ((doc_id % 1000000007) * $m + $a) % 1000000007,
+              doc_id) - 1 AS shuffle_pos
+          FROM documents
+          ORDER BY shuffle_pos"""
+    })
+
   // GPT-3-style benchmark decontamination. Non-vacuous by
   // construction on BOTH sides: docs 450+ act as the benchmark set,
   // the corpus is docs < 450 plus 50 planted variants (id+200000)
@@ -1593,7 +1614,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    repetition, contamination,
+    repetition, contamination, shuffleOrder,
     dedupExact, incrementalDedup, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,

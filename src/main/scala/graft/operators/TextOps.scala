@@ -268,6 +268,70 @@ object TextOps {
     pmod(pmod(pmod(id.cast("bigint"), lit(1000000007L)) * lit(654435747L),
       lit(1000000007L)), lit(10000L))
 
+  /** Seeded multiplicative shuffle key over a numeric id — full
+    * 0..p-1 range (p = 1e9+7), same overflow-safe reduce-first shape
+    * as [[defaultBucket]], replayable as integer SQL in any engine.
+    *
+    * The seed feeds the MULTIPLIER, not an addend: `(key + seed)
+    * mod p` would merely rotate the ordering (every epoch nearly the
+    * same permutation — a subtle but real training-order bug), while
+    * a different multiplier yields a genuinely different linear
+    * permutation. [[shuffleKeyConstants]] exposes the derived
+    * (multiplier, addend) so an external engine can replay the
+    * exact arithmetic.
+    */
+  def shuffleKey(id: Column, seed: Long): Column = {
+    val (m, s) = shuffleKeyConstants(seed)
+    pmod(pmod(id.cast("bigint"), lit(1000000007L)) * lit(m) + lit(s),
+      lit(1000000007L))
+  }
+
+  /** (multiplier, addend) mod p for a seed; multiplier is never 0. */
+  def shuffleKeyConstants(seed: Long): (Long, Long) = {
+    val p = 1000000007L
+    val s = ((seed % p) + p) % p
+    val m = (654435747L + (s * 2654435761L) % p) % p // fits: < 1e9 * 2.66e9
+    (if (m == 0L) 1L else m, s)
+  }
+
+  /** Deterministic global corpus shuffle — the training-order pass:
+    * rows are totally ordered by (seeded hash key, id) and each gets
+    * its global ordinal. Hash-based, so the SAME permutation on
+    * every run, engine and retry (unlike `rand()`), and naturally
+    * source-interleaving: consecutive output rows come from
+    * unrelated input regions, which is exactly what a data loader
+    * wants instead of file-order correlation.
+    *
+    * Scale: `repartitionByRange` + per-partition sort is Spark's
+    * distributed total order (never one partition). The ordinal is
+    * the rank in that total order — computed by the same two-phase
+    * scan as [[packSequences]] (per-partition counts to the driver,
+    * broadcast base offsets, partition-local carry), and well
+    * defined regardless of where sampling places the range bounds
+    * because (key, id) is unique per row.
+    */
+  def shuffleDeterministic(
+      docs: DataFrame, idCol: String, seed: Long = 0L,
+      keyCol: String = "shuffle_key", posCol: String = "shuffle_pos",
+      partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.withColumn(keyCol, shuffleKey(col(idCol), seed))
+    val ordCols = Seq(col(keyCol), col(idCol))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, ordCols: _*)
+      else keyed.repartitionByRange(ordCols: _*)
+    val sorted = ranged.sortWithinPartitions(ordCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        posCol, org.apache.spark.sql.types.LongType, nullable = false))
+    // zipWithIndex = per-partition counts (one scalar each to the
+    // driver) + partition-local carry — the classic two-phase rank
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): documents are
     * concatenated in `idCol` order and cut into fixed-`binSize`
     * token bins; each document reports its global start offset, its

@@ -158,6 +158,26 @@ class TextOpsSpec extends SparkSpec {
       (((4000000000L % 1000000007L) * 654435747L) % 1000000007L) % 10000L)
   }
 
+  test("shuffleDeterministic: stable permutation, contiguous ordinals, interleaved sources") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 400L).map(i => (i, s"src${i / 100}")).toDF("doc_id", "source")
+    def run(seed: Long) = TextOps.shuffleDeterministic(docs, "doc_id", seed, partitions = 8)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = run(7L)
+    // ordinals are exactly 0..n-1 (a permutation, no gaps/dups)
+    assert(a.map(_._2).sorted.toSeq === (0L until 400L))
+    // deterministic: the identical permutation on a second run
+    assert(run(7L).toSeq === a.toSeq)
+    // a different seed gives a different permutation
+    assert(run(8L).toMap !== a.toMap)
+    // input was grouped by source in blocks of 100; the shuffle must
+    // interleave: the first 40 output rows draw from all 4 sources
+    val bySrc = a.sortBy(_._2).take(40).map(_._1 / 100).distinct
+    assert(bySrc.length === 4, s"sources not interleaved: $bySrc")
+  }
+
   test("contamination flags benchmark n-gram overlap, counts distinct hits") {
     val s = spark
     import s.implicits._
