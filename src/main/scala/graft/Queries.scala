@@ -403,6 +403,33 @@ object Queries {
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             ORDER BY c.user_id, click_id, purchase_id"""))
 
+  // LEFT OUTER range join on the batch parity path: every click,
+  // with its in-window purchases OR nulls — non-vacuous on both
+  // branches (most clicks have no purchase within the hour; many
+  // have several).
+  val rangeJoinOuter = QueryDef(
+    "q_range_join_outer",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      graft.streaming.StreamJoin.withinOuter(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "click_ts", rightTs = "purchase_ts",
+          within = "1 hour", watermark = "1 hour")
+        .select(col("user_id"), col("click_id"),
+          col("purchase_id").cast("bigint").as("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+              CAST(p.event_id AS BIGINT) AS purchase_id
+            FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            ORDER BY user_id, click_id, purchase_id"""))
+
   // As-of join: latest signup at or before each purchase, per user.
   // The operator is one equi-shuffle join + one partial-aggregated
   // max(struct); the oracle is a windowed row_number replay with the
@@ -1611,7 +1638,7 @@ object Queries {
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
     topOrders, supplierRank,
-    usersNoPurchase, asofJoin, rangeJoin, sessionize, sessionWindowAgg,
+    usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
     repetition, contamination, shuffleOrder,

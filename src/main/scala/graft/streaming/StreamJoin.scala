@@ -32,14 +32,34 @@ object StreamJoin {
   def within(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      within: String, watermark: String): DataFrame = {
+      within: String, watermark: String): DataFrame =
+    rangeJoin(left, right, keys, leftTs, rightTs, within, watermark, "inner")
+
+  /** LEFT OUTER variant of [[within]]: every left event is emitted —
+    * matched rows as they pair up, UNMATCHED rows with nulls on the
+    * right once the watermark proves no match can still arrive (an
+    * impression with no click inside the window IS a result:
+    * conversion-funnel and timeout-detection queries need exactly
+    * these rows). Same state bound as the inner join; the null
+    * emission is what the watermark makes safe.
+    */
+  def withinOuter(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      within: String, watermark: String): DataFrame =
+    rangeJoin(left, right, keys, leftTs, rightTs, within, watermark, "left_outer")
+
+  private def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      within: String, watermark: String, joinType: String): DataFrame = {
     require(keys.nonEmpty, "at least one join key")
     val l = withWatermarkIfStreaming(left, leftTs, watermark).alias("l")
     val r = withWatermarkIfStreaming(right, rightTs, watermark).alias("r")
     val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     val rangeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
-    val joined = l.join(r, keyCond && rangeCond, "inner")
+    val joined = l.join(r, keyCond && rangeCond, joinType)
     // drop the right side's duplicate key columns
     keys.foldLeft(joined)((df, k) => df.drop(col(s"r.$k")))
   }

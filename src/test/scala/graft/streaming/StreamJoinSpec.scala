@@ -49,6 +49,48 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows with nulls after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val impressions = MemoryStream[(Int, Timestamp)]
+    val clicks = MemoryStream[(Int, Timestamp)]
+    val joined = StreamJoin.withinOuter(
+      impressions.toDS.toDF("ad_id", "imp_ts"),
+      clicks.toDS.toDF("ad_id", "click_ts"),
+      keys = Seq("ad_id"), leftTs = "imp_ts", rightTs = "click_ts",
+      within = "10 minutes", watermark = "10 minutes")
+
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join_outer").outputMode("append").start()
+    try {
+      impressions.addData(
+        (1, ts("2024-01-01 08:00:00")), // will match
+        (2, ts("2024-01-01 08:00:00"))) // never matches
+      clicks.addData((1, ts("2024-01-01 08:05:00")))
+      q.processAllAvailable()
+      // before the watermark passes, ad 2 must NOT have a null row yet
+      // (a match could still arrive)
+      val early = s.table("ss_join_outer").collect()
+      assert(!early.exists(_.getInt(0) == 2),
+        "null row emitted before the watermark proved no match can come")
+
+      // push both watermarks far past the window
+      impressions.addData((99, ts("2024-01-01 10:00:00")))
+      clicks.addData((99, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+
+      val rows = s.table("ss_join_outer")
+        .select("ad_id", "click_ts")
+        .collect().map(r => (r.getInt(0), Option(r.getTimestamp(1)).map(_.toString)))
+        .toSet
+      assert(rows.contains((1, Some("2024-01-01 08:05:00.0"))), rows.toString)
+      assert(rows.contains((2, None)),
+        "unmatched impression must surface with a null right side: " + rows)
+    } finally q.stop()
+  }
+
   test("batch frames run through the same join (parity path)") {
     val s = spark
     import s.implicits._
