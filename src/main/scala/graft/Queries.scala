@@ -761,6 +761,29 @@ object Queries {
             LEFT JOIN tg USING (doc_id)
             ORDER BY doc_id"""))
 
+  // File-stats data skipping end to end: write a range-partitioned
+  // copy of events WITH a min/max manifest, read it back through the
+  // pruned-scan path under a range predicate. The oracle is the
+  // plain filtered SQL over the source table — pruning must be
+  // invisible in the result (files are only skipped when their stats
+  // prove no row can match). DataSkippingSpec asserts the pruning
+  // itself (fewer files scanned); this gate asserts zero row drift.
+  val skippingScan = QueryDef(
+    "q_skipping_scan",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_skq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.sources.DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events", Seq("user_id"))
+      graft.sources.DataSkipping.readSkipping(s, s"$root/events",
+          col("user_id") >= 100L && col("user_id") < 200L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events WHERE user_id >= 100 AND user_id < 200
+            ORDER BY event_id"""))
+
   // Deterministic training-order shuffle. The global ordinal makes
   // the ORDER itself part of the row values (the gate's row-sorted
   // hash would not see a wrong sort otherwise): the oracle replays
@@ -1641,7 +1664,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    repetition, contamination, shuffleOrder,
+    repetition, contamination, shuffleOrder, skippingScan,
     dedupExact, incrementalDedup, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataSkippingSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_skip").toString
+
+  test("readSkipping scans fewer files and returns exactly the full-scan result") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // range-partitioned write -> disjoint id ranges per file
+    val df = (0L until 10000L).map(i => (i, i % 97, s"row$i")).toDF("id", "bucket", "payload")
+      .repartitionByRange(10, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id", "bucket"))
+
+    val pred = col("id") >= 2000L && col("id") < 3000L
+    val (kept, all) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(all.size === 10)
+    assert(kept.size <= 3, s"pruning failed: kept ${kept.size} of ${all.size}")
+
+    val viaSkip = DataSkipping.readSkipping(s, dir, pred)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val viaFull = s.read.parquet(dir).filter(pred)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(viaSkip.toSeq === viaFull.toSeq)
+    assert(viaSkip.length === 1000)
+  }
+
+  test("disjunctions prune; unsupported predicates fall back to keeping every file") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 1000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(10, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"))
+
+    // OR of two narrow ranges: both sides rewritable -> prunes
+    val orPred = (col("id") === 5L) || (col("id") === 905L)
+    val (keptOr, all) = DataSkipping.prunedFiles(s, dir, orPred)
+    assert(keptOr.size === 2, s"expected 2 files, kept $keptOr")
+
+    // untracked column -> conservative: nothing pruned, result right
+    val hard = col("payload") === "p42"
+    val (keptHard, _) = DataSkipping.prunedFiles(s, dir, hard)
+    assert(keptHard.size === all.size)
+    assert(DataSkipping.readSkipping(s, dir, hard).count() === 1)
+
+    // supported AND unsupported conjunct: the supported side prunes,
+    // the full predicate still filters rows
+    val mixed = (col("id") < 100L) && (col("payload") =!= "p7")
+    val (keptMixed, _) = DataSkipping.prunedFiles(s, dir, mixed)
+    assert(keptMixed.size <= 2, keptMixed.toString)
+    assert(DataSkipping.readSkipping(s, dir, mixed).count() === 99)
+  }
+
+  test("all-null stats files are skipped for value predicates (no rows lost)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"))
+      .toDF("id", "payload")
+      .union(Seq[(java.lang.Long, String)]((null, "n1"), (null, "n2"))
+        .toDF("id", "payload"))
+      .repartition(2, coalesce(col("id"), lit(-1L)))
+    DataSkipping.writeWithStats(df, dir, Seq("id"))
+    val out = DataSkipping.readSkipping(s, dir, col("id") === 2L)
+    assert(out.collect().map(_.getString(1)).toSeq === Seq("b"))
+  }
+
+  test("manifest is invisible to plain readers") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 100L).toDF("id"), dir, Seq("id"))
+    assert(s.read.parquet(dir).count() === 100)
+    assert(s.read.parquet(dir).columns.toSeq === Seq("id"))
+  }
+}
