@@ -123,19 +123,59 @@ final class ParquetStateStore(
     */
   def upsertBatch(batch: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.functions.lit
-    Files.createDirectories(Paths.get(path))
-    var attempt = 0
-    var committed = false
-    while (!committed) {
-      val base = latestVersion
+    commitOptimistically { base =>
       val state = base.map(v => spark.read.parquet(versionDir(v))).getOrElse(
         batch.select(payloadColumns.map(org.apache.spark.sql.functions.col): _*)
           .filter(lit(false)))
-      val merged = deleteWhen match {
+      deleteWhen match {
         case Some(cond) => Cdc.applyChanges(state, batch, keys, seqCols, payload, cond,
           retainTombstones = true)
         case None => Cdc.upsert(state, batch, keys, seqCols, payload)
       }
+    }
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the latest version's many
+    * small files (each micro-batch commit inherits the merge's
+    * shuffle-partition count) into ceil(bytes/targetFileBytes)
+    * files, committed as a NEW version through the SAME optimistic
+    * path as a data commit — so compaction never blocks or corrupts
+    * concurrent writers: if an upsert wins the version slot first,
+    * the compactor simply re-reads the winner's state and retries,
+    * and vice versa. Content (including tombstones) is byte-for-byte
+    * the same rows; only the file layout changes. No-op (None)
+    * before the first commit.
+    *
+    * Returns the committed version. At 100 TB this is what keeps a
+    * long-running CDC target scannable: thousands of 100-row files
+    * from frequent triggers become a handful of target-sized files,
+    * without stopping the stream.
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Option[Long] = synchronized {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    latestVersion.map { _ =>
+      commitOptimistically { base =>
+        val dir = versionDir(base.getOrElse(
+          sys.error("state store emptied mid-compaction")))
+        val bytes = ParquetStateStore.dirBytes(Paths.get(dir))
+        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        spark.read.parquet(dir).coalesce(nFiles)
+      }
+    }
+  }
+
+  /** The shared Delta-style commit loop (see class doc): resolve the
+    * latest version, build the new full state from it, stage, rename
+    * to commit, re-merge and retry on a lost race. Returns the
+    * committed version.
+    */
+  private def commitOptimistically(makeMerged: Option[Long] => DataFrame): Long = {
+    Files.createDirectories(Paths.get(path))
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion
+      val merged = makeMerged(base)
       val next = base.getOrElse(-1L) + 1
       stagedSeq += 1
       val staged = Paths.get(path, s".staged-$writerId-$stagedSeq")
@@ -146,7 +186,7 @@ final class ParquetStateStore(
         // rival that committed first left a non-empty v{next} there,
         // so this rename fails — that failure is the conflict signal.
         Files.move(staged, Paths.get(versionDir(next)))
-        committed = true
+        committed = next
       } catch {
         // CONFLICT = any failure while v{next} exists on disk — a
         // rival committed it, so re-merge against the winner and
@@ -170,10 +210,11 @@ final class ParquetStateStore(
                 s"(writer $writerId, contended version v$next) — too many " +
                 "concurrent writers for maxCommitRetries=" + maxCommitRetries, e)
       } finally {
-        if (!committed) ParquetStateStore.deleteRecursively(staged)
+        if (committed < 0) ParquetStateStore.deleteRecursively(staged)
       }
     }
     gcOldVersions(latestVersion.getOrElse(0L))
+    committed
   }
 
   /** Identifies this store instance in staging dirs / conflict
@@ -237,6 +278,17 @@ object ParquetStateStore {
       }
       n
     } finally listing.close()
+  }
+
+  /** Total bytes of regular files under a dir (compaction sizing). */
+  private[streaming] def dirBytes(p: java.nio.file.Path): Long = {
+    val walk = Files.walk(p)
+    try {
+      var n = 0L
+      walk.iterator().forEachRemaining(f =>
+        if (Files.isRegularFile(f)) n += Files.size(f))
+      n
+    } finally walk.close()
   }
 
   private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -218,6 +218,60 @@ class CdcStreamSpec extends SparkSpec {
     assert(store.current.get.count() === 2)
   }
 
+  test("compact bin-packs the latest version; rows identical, rivals survive mid-compaction") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_compact")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"), retainVersions = 10)
+
+    // several commits; the merge inherits shuffle partitions, so the
+    // latest version is fragmented into many small files (AQE off so
+    // the toy-sized state doesn't auto-coalesce to one partition —
+    // at real state sizes fragmentation is the default)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try (0 until 4).foreach(b => store.upsertBatch(
+      (0 until 50).map(i => (b * 50 + i, 1, b)).toDF("k", "seq", "v")))
+    finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    val vDir = new java.io.File(s"$stateDir/v3")
+    val before = vDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before > 1, s"need fragmentation to compact, got $before files")
+    val expected = store.current.get.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+
+    // huge target -> single file; content unchanged; new version
+    val v = store.compact()
+    assert(v === Some(4L))
+    val compacted = new java.io.File(s"$stateDir/v4")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(compacted === 1, s"expected 1 packed file, got $compacted")
+    assert(store.current.get.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq === expected)
+
+    // a rival upsert that wins the slot mid-compaction is never lost:
+    // the compactor detects the race and repacks the WINNER's state
+    var fired = false
+    store.beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        val rival = new ParquetStateStore(s, stateDir,
+          keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"), retainVersions = 10)
+        rival.upsertBatch(Seq((999, 1, 42)).toDF("k", "seq", "v")) // wins v5
+      }
+    }
+    val v2 = store.compact()
+    store.beforeCommit = () => ()
+    assert(fired && v2 === Some(6L), s"compaction must retry past the rival: $v2")
+    val state = store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state(999) === 42, "rival's row lost by compaction")
+    assert(state.size === expected.size + 1)
+
+    // compacting an empty store is a no-op
+    val empty = new ParquetStateStore(s, tmpDir("cdc_state_compact_e"),
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
+    assert(empty.compact() === None)
+  }
+
   test("readVersion time-travels across retained versions") {
     val s = spark
     import s.implicits._
