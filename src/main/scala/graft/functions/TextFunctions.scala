@@ -52,13 +52,16 @@ object TextFunctions {
 
   /** Word n-grams (default 3) of the whitespace tokens, each n-gram a
     * space-joined string. Documents shorter than n yield an empty
-    * array.
+    * array. Runs as the single codegen'd
+    * [[graft.plans.WordNgrams]] expression — the equivalent
+    * transform/sequence/slice/concat_ws composition evaluates three
+    * interpreted lambdas per gram and dominated corpus-wide gram
+    * explodes (see the expression's doc).
     */
   def wordNgrams(text: Column, n: Int = 3): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(ts) - lit(n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    call_function("graft_word_ngrams", text, lit(n))
   }
 
   /** Count of tokens that appear in `words`. */

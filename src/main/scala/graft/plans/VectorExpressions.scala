@@ -329,6 +329,69 @@ object PolyHash {
   }
 }
 
+/** Word n-grams of lowercased whitespace-tokenized text as ONE
+  * codegen'd expression: semantically identical to the Column
+  * composition `transform(sequence(...), i -> concat_ws(" ",
+  * slice(split(trim(lower(text)), "\s+"), i, n)))` it replaces, but
+  * that chain evaluates THREE interpreted higher-order lambdas and a
+  * per-gram array slice+join allocation outside whole-stage codegen
+  * — on corpus-wide gram explodes (dedup sketches, contamination
+  * scans, repetition stats) the interpreter overhead dominated the
+  * entire query, the same failure mode [[LshBandBits]] fixed for
+  * hyperplane signatures. Documents shorter than n tokens yield an
+  * empty array.
+  */
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType, IntegerType)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    WordNgrams.compute(s.toString, n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.plans.WordNgrams.compute($s.toString(), $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordNgrams {
+  /** One pass: lowercase+trim, split on whitespace runs, emit the
+    * space-joined n-grams. Matches `split(trim(lower(text)), "\s+")`
+    * exactly (Java regex \s over the lowercased string).
+    */
+  def compute(text: String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    require(n >= 1, "n must be >= 1")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val count = toks.length - n + 1
+    if (toks.length < n) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object VectorExpressions {
 
   def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
@@ -413,7 +476,10 @@ object GraftFunctions {
       children => BloomAgg(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
-      children => BloomContains(children(0), children(1), children(2))))
+      children => BloomContains(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      children => WordNgrams(children(0), children(1))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
