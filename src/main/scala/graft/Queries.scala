@@ -784,6 +784,53 @@ object Queries {
             FROM events WHERE user_id >= 100 AND user_id < 200
             ORDER BY event_id"""))
 
+  // Z-order clustering end to end: events written z-ordered on
+  // (user_id, event_id) with a stats manifest, read back through the
+  // pruned path under a predicate on the SECOND z column, with the
+  // Morton z-value itself in the output — the oracle recomputes the
+  // bucketization and bit interleave in plain SQL (integer div +
+  // shifts), so a single wrong bit anywhere in the dilation is a
+  // hash mismatch. Multi-column pruning quality is DataSkippingSpec's
+  // job; this gate pins arithmetic + zero row drift.
+  val zorderScan = QueryDef(
+    "q_zorder_scan",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_zoq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val r = ev.agg(min("user_id"), max("user_id"),
+        min("event_id"), max("event_id")).head()
+      val (uLo, uHi, eLo, eHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      DataSkipping.writeZOrdered(ev, s"$root/ev",
+        Seq(("user_id", uLo, uHi), ("event_id", eLo, eHi)), targetFiles = 16)
+      DataSkipping.readSkipping(s, s"$root/ev", col("event_id") < 5000L)
+        .withColumn("zval", DataSkipping.zValue(Seq(
+          DataSkipping.bucket16(col("user_id"), uLo, uHi),
+          DataSkipping.bucket16(col("event_id"), eLo, eHi))))
+        .orderBy("event_id")
+    },
+    Some {
+      def spread(x: String, n: Int): String =
+        (0 until 16).map(i => s"((($x >> $i) & 1) << ${i * n})").mkString("(", " | ", ")")
+      s"""WITH r AS (
+            SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                   min(event_id) AS elo, max(event_id) AS ehi
+            FROM events
+          ), b AS (
+            SELECT e.event_id, e.user_id, e.event_type, e.value,
+              CASE WHEN r.uhi = r.ulo THEN 0
+                   ELSE ((e.user_id - r.ulo) * 65535) // (r.uhi - r.ulo) END AS bu,
+              CASE WHEN r.ehi = r.elo THEN 0
+                   ELSE ((e.event_id - r.elo) * 65535) // (r.ehi - r.elo) END AS be
+            FROM events e, r
+            WHERE e.event_id < 5000
+          )
+          SELECT event_id, user_id, event_type, value,
+            CAST(${spread("bu", 2)} | (${spread("be", 2)} << 1) AS BIGINT) AS zval
+          FROM b ORDER BY event_id"""
+    })
+
   // Deterministic training-order shuffle. The global ordinal makes
   // the ORDER itself part of the row values (the gate's row-sorted
   // hash would not see a wrong sort otherwise): the oracle replays
@@ -1664,7 +1711,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    repetition, contamination, shuffleOrder, skippingScan,
+    repetition, contamination, shuffleOrder, skippingScan, zorderScan,
     dedupExact, incrementalDedup, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,

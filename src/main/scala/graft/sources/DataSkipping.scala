@@ -122,6 +122,72 @@ object DataSkipping {
     case _ => None
   }
 
+  // -----------------------------------------------------------------
+  // Z-order clustering (the OPTIMIZE ZORDER analog)
+  // -----------------------------------------------------------------
+
+  /** Scale a numeric column into a 16-bit bucket given its global
+    * [min, max]: floor((v - min) * 65535 / (max - min)). Pure integer
+    * arithmetic — replayable as SQL in any engine.
+    */
+  def bucket16(c: Column, minV: Long, maxV: Long): Column = {
+    require(maxV >= minV, s"empty range [$minV,$maxV]")
+    if (maxV == minV) lit(0L)
+    // `div` = exact integer division (Column./ is DOUBLE division,
+    // which silently loses bits past 2^53 — real ids get there)
+    else call_function("div",
+      (c.cast("bigint") - lit(minV)) * lit(65535L), lit(maxV - minV))
+  }
+
+  /** Spread the low 16 bits of `x` so consecutive bits land `n`
+    * positions apart (n = number of z-order columns, 2-4) — the
+    * classic Morton bit-dilation, expressed entirely in codegen'd
+    * bitwise column functions (shifts/AND/OR exist in every SQL
+    * engine, so the oracle replays the exact arithmetic).
+    */
+  def spreadBits(x: Column, n: Int): Column = {
+    require(n >= 2 && n <= 4, "z-order supports 2-4 columns")
+    // dilate bit-by-bit: bit i of x moves to position i*n. 16
+    // iterations of (x >> i & 1) << (i*n) OR'd together — codegen
+    // folds this into straight-line long ops.
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Morton z-value of 2-4 bucketized columns: bit i of column j
+    * lands at position i*n + j. Equal weight per column — range
+    * predicates on ANY of them map to z-ranges, which is what makes
+    * multi-column skipping work.
+    */
+  def zValue(buckets: Seq[Column]): Column = {
+    val n = buckets.size
+    buckets.zipWithIndex.map { case (b, j) =>
+      shiftleft(spreadBits(b, n), j)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-ordered on `zCols` (each as (name, globalMin,
+    * globalMax)) into ~`targetFiles` files WITH the stats manifest
+    * for those columns: range partition + local sort by z-value, so
+    * every file covers a compact z-range — a hypercube-ish region of
+    * the column space — and min/max stats prune on EVERY z column,
+    * not just a leading sort key. The caller passes the global
+    * ranges (usually known, or one cheap agg) so the bucketization
+    * is a deterministic plan, not a hidden extra scan per write.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String,
+      zCols: Seq[(String, Long, Long)], targetFiles: Int): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 4, "z-order supports 2-4 columns")
+    val z = zValue(zCols.map { case (c, lo, hi) => bucket16(col(c), lo, hi) })
+    val ordered = df.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    writeWithStats(ordered, path, zCols.map(_._1))
+  }
+
   /** Column name of a (resolved or unresolved) attribute node. */
   private object Attr {
     def unapply(e: Expression): Option[String] = e match {

@@ -71,6 +71,68 @@ class DataSkippingSpec extends SparkSpec {
     assert(out.collect().map(_.getString(1)).toSeq === Seq("b"))
   }
 
+  test("zValue matches a reference Morton interleave") {
+    val s = spark
+    import s.implicits._
+    def refMorton(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (i * 2)
+        z |= ((b >> i) & 1L) << (i * 2 + 1)
+      }
+      z
+    }
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L))
+      .toDF("a", "b")
+    val out = df.select(col("a"), col("b"),
+        DataSkipping.zValue(Seq(col("a"), col("b"))).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (a, b, z) =>
+      assert(z === refMorton(a, b), s"morton($a,$b)")
+    }
+    // locality: close points interleave to close z-values
+    assert(refMorton(3, 3) < refMorton(200, 200))
+  }
+
+  test("z-order prunes on BOTH columns; a linear sort only on the leading one") {
+    val s = spark
+    import s.implicits._
+    // 100x100 grid, independent x/y
+    val grid = (for (x <- 0L until 100L; y <- 0L until 100L) yield (x, y))
+      .toDF("x", "y")
+
+    val zDir = tmp()
+    DataSkipping.writeZOrdered(grid, zDir,
+      Seq(("x", 0L, 99L), ("y", 0L, 99L)), targetFiles = 16)
+
+    val linDir = tmp()
+    DataSkipping.writeWithStats(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"),
+      linDir, Seq("x", "y"))
+
+    val yPred = col("y") >= 10L && col("y") < 20L
+    val (zKeptY, zAll) = DataSkipping.prunedFiles(s, zDir, yPred)
+    val (linKeptY, linAll) = DataSkipping.prunedFiles(s, linDir, yPred)
+    assert(zAll.size === 16 && linAll.size === 16)
+    // linear x-sort: every file spans all y -> nothing prunable
+    assert(linKeptY.size === 16)
+    // z-order: files cover compact (x,y) regions -> y alone prunes
+    assert(zKeptY.size <= 8, s"z-order kept ${zKeptY.size}/16 on a 10% y-range")
+
+    // and x still prunes too (z-order trades a bit of x-pruning for y)
+    val xPred = col("x") >= 10L && col("x") < 20L
+    val (zKeptX, _) = DataSkipping.prunedFiles(s, zDir, xPred)
+    assert(zKeptX.size <= 8, s"x pruning lost: ${zKeptX.size}/16")
+
+    // correctness unchanged by layout
+    val viaZ = DataSkipping.readSkipping(s, zDir, yPred)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val viaLin = DataSkipping.readSkipping(s, linDir, yPred)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(viaZ === viaLin)
+    assert(viaZ.size === 1000)
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
