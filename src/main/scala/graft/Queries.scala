@@ -277,6 +277,69 @@ object Queries {
             WHERE rn <= 3
             ORDER BY s_nationkey, rn"""))
 
+  // Native pivot (groupBy().pivot() with an EXPLICIT value list —
+  // the two-phase implicit-values variant collects distinct values
+  // to the driver first; pinning the list keeps the plan one
+  // aggregate and the output schema stable, both required at scale).
+  val pivotEvents = QueryDef(
+    "q_pivot",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      ev.withColumn("bucket", pmod(col("user_id"), lit(10)).cast("bigint"))
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup"))
+        .agg(count(lit(1)))
+        .select(col("bucket"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT user_id % 10 AS bucket,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+            FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  // Window FRAMES (rowsBetween) + lag: per-customer 3-order moving
+  // average and order-over-order delta — the sliding-frame operator
+  // class q_supplier_rank's rank query doesn't touch. Decimal sums
+  // inside the frame keep both engines bit-identical; (date, key)
+  // ordering is a total order so frames are deterministic.
+  val movingAvg = QueryDef(
+    "q_moving_avg",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_custkey") < 200)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val frame = w.rowsBetween(-2, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          dec12(col("o_totalprice")).as("__p"))
+        .withColumn("mavg3",
+          sum(col("__p")).over(frame).cast(d18).cast("double") /
+            count(lit(1)).over(frame).cast("double"))
+        .withColumn("prev_price",
+          lag(col("__p"), 1).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("__p").cast("double").as("price"), col("mavg3"), col("prev_price"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+              CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+                / CAST(COUNT(*) OVER w AS DOUBLE) AS mavg3,
+              CAST(lag(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+                AS DOUBLE) AS prev_price
+            FROM orders WHERE o_custkey < 200
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
   // Anti join with a filtered right side: every customer has SOME
   // order in this data, so the unfiltered variant passed vacuously
   // (0 rows). "No order above 400k" yields 20/202 rows at
@@ -1707,7 +1770,7 @@ object Queries {
     dimLoad, jsonExtract, latestSnapshot, currentInventory,
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
-    topOrders, supplierRank,
+    topOrders, supplierRank, pivotEvents, movingAvg,
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
