@@ -153,7 +153,20 @@ object ScaleRamp {
       "ann_lsh" -> (k => Similarity.lshTopK(
         queries(k), vecs(k), "vec_id", "embedding", k = 10)),
       "ann_ivf" -> (k => Similarity.ivfTopK(
-        queries(k), vecs(k), "vec_id", "embedding", k = 10, nCenters = 64)))
+        queries(k), vecs(k), "vec_id", "embedding", k = 10, nCenters = 64)),
+      // r6 additions. contamination: benchmark held FIXED (the 1x
+      // corpus's first 500 docs) while the scanned corpus scales —
+      // the broadcast-semi shape should ramp linearly. incremental:
+      // history scales, batch held fixed at the 1x corpus — the
+      // bloom build is the linear part, the probe/verify constant.
+      "contamination" -> (k => graft.operators.TextOps.contamination(
+        docs(k), "doc_id", "text",
+        docs(1).filter(col("doc_id") < 500), "text", n = 5)),
+      "repetition" -> (k => graft.operators.TextOps.repetitionSignals(
+        docs(k), "doc_id", "text")),
+      "incremental_dedup" -> (k => Dedup.incrementalDedup(
+        docs(k), docs(1), "doc_id", "text",
+        expectedItems = 5000L * k, fpp = 0.01)))
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
