@@ -743,6 +743,51 @@ object Queries {
                  '${TextOps.phoneRe}', '<PHONE>', 'g') AS clean
              FROM documents ORDER BY doc_id"""))
 
+  // HTML boilerplate strip + URL host/domain extraction. Both sides
+  // wrap every document in the same HTML scaffold (script/style
+  // noise, tags, entities) and derive a per-doc URL, then strip and
+  // parse — the operator provably fires on every row and prose must
+  // come through byte-identical.
+  val stripHtmlQ = QueryDef(
+    "q_strip_html",
+    (s, d) => {
+      val html = concat(
+        lit("<html><head><script>var x=1; if(a<b){}</script>" +
+          "<style>p{color:red}</style></head><body><p>"),
+        col("text"),
+        lit("</p><br><a href=\"#\">link &amp; more</a>&nbsp;</body></html>"))
+      val url = concat(lit("https://www.Site"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com:8080/p/"), col("doc_id"), lit("?ref=x"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextFunctions.stripHtml(html).as("clean"),
+          TextFunctions.urlHost(url).as("host"),
+          TextFunctions.urlDomain(url).as("domain"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(regexp_replace(regexp_replace(
+                    '<html><head><script>var x=1; if(a<b){}</script><style>p{color:red}</style></head><body><p>'
+                      || text ||
+                    '</p><br><a href="#">link &amp; more</a>&nbsp;</body></html>',
+                    '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                '\s+', ' ', 'g')) AS clean,
+              regexp_extract(lower(trim(
+                  'https://www.Site' || (doc_id % 7) || '.example.com:8080/p/' || doc_id || '?ref=x')),
+                '^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^/?#:]+)', 1) AS host,
+              regexp_replace(
+                regexp_extract(lower(trim(
+                    'https://www.Site' || (doc_id % 7) || '.example.com:8080/p/' || doc_id || '?ref=x')),
+                  '^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^/?#:]+)', 1),
+                '^www\.', '') AS domain
+            FROM documents ORDER BY doc_id"""))
+
   // Gopher/MassiveText repetition signals. The synthetic corpus is
   // single-line, so BOTH sides first derive multi-line structure
   // deterministically: 2-token lines (regex pass 1), then a blank
@@ -1030,6 +1075,45 @@ object Queries {
             SELECT doc_id,
               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) IN (SELECT nt FROM hist) AS in_history
             FROM batch ORDER BY doc_id"""))
+
+  // Paragraph-level dedup across the corpus: the same 2-token-line
+  // derivation as q_repetition turns each doc into many small
+  // "paragraphs" with heavy natural cross-document duplication
+  // (tiny vocabulary), so the first-occurrence election and the
+  // reassembly both do real work. Oracle replays the election with
+  // a row_number over (para -> doc_id, idx) and rebuilds documents
+  // with an ordered string_agg.
+  val dedupParagraphsQ = QueryDef(
+    "q_dedup_paragraphs",
+    (s, d) => {
+      val ml = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+      Dedup.dedupParagraphs(ml, "doc_id", "text", sep = "\n")
+        .orderBy("doc_id")
+    },
+    Some("""WITH ml AS (
+              SELECT doc_id,
+                regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
+              FROM documents WHERE doc_id < 200
+            ), p AS (
+              SELECT doc_id, u.idx AS idx, u.para AS para FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ps)+1),
+                  i -> {'idx': i, 'para': ps[i]})) AS u
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM ml))
+              WHERE length(u.para) > 0
+            ), k AS (
+              SELECT doc_id, idx, para,
+                row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+              FROM p
+            )
+            SELECT ml.doc_id,
+              COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                chr(10) ORDER BY idx), '') AS text,
+              CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+              CAST(COUNT(rn) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_dropped
+            FROM ml LEFT JOIN k USING (doc_id)
+            GROUP BY ml.doc_id ORDER BY doc_id"""))
 
   val ngramJaccardPairs = QueryDef(
     "q_ngram_jaccard_pairs",
@@ -1774,8 +1858,8 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
-    repetition, contamination, shuffleOrder, skippingScan, zorderScan,
-    dedupExact, incrementalDedup, normalizeDedup, ngramJaccardPairs, minhashPairs,
+    repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
+    dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
     multimodalDecode, audioDecode, videoFrames, saltedJoin,

@@ -159,6 +159,43 @@ object TextFunctions {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** HTML → text boilerplate strip (the C4-style extraction pass a
+    * web-crawl pipeline runs before any quality/dedup stage):
+    * script/style blocks dropped wholesale, tags replaced by spaces,
+    * the six ubiquitous named entities decoded (ordered so `&amp;`
+    * unescapes LAST — decoding it first would double-unescape
+    * `&amp;lt;`), whitespace collapsed. Pure codegen'd
+    * regexp/replace chain — shuffle-free, linear, engine-replayable
+    * (patterns avoid backreferences, which RE2 engines reject).
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Host part of a URL (lowercased; empty string when the input
+    * isn't URL-shaped — same no-match semantics in Spark and RE2
+    * engines). Userinfo and port are stripped.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(trim(url)),
+      "^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^/?#:]+)", 1)
+
+  /** Host with a leading `www.` removed — the key for domain-level
+    * blocklists and per-domain sampling caps. (Public-suffix-aware
+    * registrable domains need a suffix table; this is the standard
+    * cheap approximation.)
+    */
+  def urlDomain(url: Column): Column =
+    regexp_replace(urlHost(url), "^www\\.", "")
+
   /** Deterministic rolling polynomial fingerprint over the document's
     * characters: h = (h*31 + code(c)) mod 1e9+7. Reproducible in any
     * engine (incl. the DuckDB oracle) — unlike murmur/xxhash.

@@ -101,6 +101,55 @@ object Dedup {
         coalesce(col("__in"), lit(false)).as("in_history"): _*)
   }
 
+  /** Paragraph-level exact dedup — the FineWeb-style SUB-document
+    * pass: across the whole corpus, each distinct paragraph survives
+    * only at its first occurrence (smallest (doc id, position));
+    * every later copy — boilerplate headers, repeated disclaimers,
+    * templated blocks — is dropped, and each document is reassembled
+    * from its surviving paragraphs in original order.
+    *
+    * Output: (doc_id, text, n_kept, n_dropped); a document whose
+    * every paragraph appeared earlier elsewhere comes back empty
+    * (visible and filterable, not silently removed). Empty
+    * paragraphs are discarded before matching (separator runs don't
+    * count as content).
+    *
+    * Scale: one posexplode; the winner election groups by the
+    * paragraph text itself with a map-side partial `min(struct)` —
+    * one row PER DISTINCT PARAGRAPH crosses that shuffle (hash the
+    * text for the group key at extreme scale, as [[exactByHash]]
+    * does); the keep-decision join is on (paragraph, id, pos)
+    * against the winner set; reassembly is one `collect_list` +
+    * `array_sort` per document — linear, no window over the corpus.
+    */
+  def dedupParagraphs(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sep)).as(Seq("__idx", "__p")))
+      .filter(length(col("__p")) > 0)
+    val winners = paras.groupBy(col("__p"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__p").as("__wp"), col("__w.__id").as("__wid"),
+        col("__w.__idx").as("__widx"))
+    val kept = paras.join(winners,
+      col("__p") === col("__wp") &&
+        col("__id") === col("__wid") && col("__idx") === col("__widx"))
+      .select(col("__id"), col("__idx"), col("__p").as("__kp"))
+    val reassembled = kept.groupBy(col("__id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__kp")))),
+        s => s.getField("__kp")), sep).as("text"))
+    val counts = paras.groupBy(col("__id")).agg(count(lit(1)).as("__n_paras"))
+    docs.select(col(idCol).as("__id"))
+      .join(counts, Seq("__id"), "left")
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** MinHash signatures: for seeds 0..k-1,
     * sig[i] = min over distinct word-ngrams g of hash(i, g).
     *

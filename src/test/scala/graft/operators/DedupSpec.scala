@@ -251,6 +251,23 @@ class DedupSpec extends SparkSpec {
     assert(capped === run(None))
   }
 
+  test("dedupParagraphs keeps first global occurrence, reassembles in order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nbeta\n\nalpha"),   // within-doc repeat of alpha
+      (2L, "beta\n\ngamma"),            // beta already seen in doc 1
+      (3L, "alpha\n\nbeta"),            // nothing new -> empty
+      (4L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "alpha\n\nbeta", 2L, 1L)))
+    assert(out(1) === ((2L, "gamma", 1L, 1L)))
+    assert(out(2) === ((3L, "", 0L, 2L)))
+    assert(out(3) === ((4L, "delta", 1L, 0L)))
+  }
+
   test("incrementalDedup: exact flags vs history; bloom prefilter cannot lose a dup") {
     val s = spark
     import s.implicits._
