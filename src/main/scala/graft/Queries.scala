@@ -1083,6 +1083,37 @@ object Queries {
   // reassembly both do real work. Oracle replays the election with
   // a row_number over (para -> doc_id, idx) and rebuilds documents
   // with an ordered string_agg.
+  // Int8 embedding quantization, exploded to scalar rows (per-dim
+  // values — the gate's hash then checks every quantized byte and
+  // the per-vector scale; rounding is floor(x+0.5), bit-identical in
+  // both engines, where round() half-cases are not).
+  val quantizeQ = QueryDef(
+    "q_quantize",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("__qz"))
+      e.select(col("vec_id"), col("__qz.scale").as("scale"),
+          posexplode(col("__qz.q")).as(Seq("dim", "qval")))
+        .select(col("vec_id"), col("dim").cast("bigint").as("dim"),
+          col("qval").cast("bigint").as("qval"), col("scale"))
+        .orderBy("vec_id", "dim")
+    },
+    Some("""WITH s AS (
+              SELECT vec_id, embedding,
+                CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+              FROM (SELECT vec_id, embedding,
+                      CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS mx
+                    FROM embeddings WHERE vec_id < 100)
+            )
+            SELECT vec_id, CAST(u.d AS BIGINT) AS dim,
+              CAST(floor(CAST(u.v AS DOUBLE) / scale + 0.5) AS BIGINT) AS qval,
+              scale
+            FROM (SELECT vec_id, scale,
+                    unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'d': i - 1, 'v': embedding[i]})) AS u
+                  FROM s)
+            ORDER BY vec_id, dim"""))
+
   val dedupParagraphsQ = QueryDef(
     "q_dedup_paragraphs",
     (s, d) => {
@@ -1861,7 +1892,7 @@ object Queries {
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, multimodalMeta,
+    embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, assignSplits, pipelineEvents,
     ingestEvolved)

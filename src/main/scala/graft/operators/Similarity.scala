@@ -83,6 +83,32 @@ object Similarity {
     * spec-fixed, so signatures are identical on every executor, JVM
     * and run).
     */
+  /** Per-vector symmetric int8 quantization — the storage-compression
+    * pass a 100 TB vector corpus runs before ANN serving (4x smaller
+    * than float32; recall loss is small because ranking only needs
+    * relative dot products). Returns struct(scale: double,
+    * q: array<int> in [-127, 127]).
+    *
+    * Rounding is floor(x/scale + 0.5) — half-toward-+inf, chosen
+    * over `round()` because its semantics are bit-identical across
+    * engines (SQL round() disagrees on negative halves between
+    * implementations). A zero vector quantizes to zeros with
+    * scale 1. Shuffle-free, linear.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x))).cast("double")
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / lit(127.0))
+    struct(
+      scale.as("scale"),
+      transform(vec, x => floor(x.cast("double") / scale + lit(0.5)).cast("int")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: array<double> ~ the original within
+    * scale/2 per dimension.
+    */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"), v => v.cast("double") * quant.getField("scale"))
+
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
     Array.tabulate(numPlanes) { p =>
       val rng = new java.util.Random(seed + p)

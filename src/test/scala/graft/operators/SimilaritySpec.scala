@@ -169,4 +169,43 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand.toDouble / allPairs <= 0.10,
       s"candidate set $nCand is ${nCand.toDouble / allPairs} of all $allPairs query-corpus pairs — not pruning")
   }
+
+  test("int8 quantization: bounded error, zero-vector safe, high dequantized recall") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(s, sf)
+
+    // per-dimension error bound: |x - q*scale| <= scale/2
+    val checked = emb.select(col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("embedding"), col("qz.scale").as("scale"),
+        Similarity.dequantizeInt8(col("qz")).as("deq"))
+      .select(max(expr(
+        "aggregate(zip_with(embedding, deq, (a, b) -> abs(cast(a as double) - b) / scale), " +
+          "cast(0.0 as double), (acc, x) -> greatest(acc, x))")).as("worst"))
+      .head().getDouble(0)
+    assert(checked <= 0.5 + 1e-9, s"per-dim error $checked exceeds scale/2")
+
+    // zero vector: scale 1, all-zero codes
+    val z = Seq(Tuple1(Array.fill(4)(0.0f))).toDF("embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("qz.scale"), col("qz.q")).head()
+    assert(z.getDouble(0) === 1.0 && z.getSeq[Int](1).forall(_ == 0))
+
+    // ranking survives quantization: brute-force top-5 on dequantized
+    // vectors recalls >= 0.9 of the exact float top-5
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5))
+    val dq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding")))
+        .cast("array<float>").as("embedding"))
+    val approx = pairs(Similarity.bruteForceTopK(
+      dq.filter(col("vec_id") < 20), dq, "vec_id", "embedding", k = 5))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"dequantized recall $recall")
+  }
 }
