@@ -170,6 +170,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "exact verify must be a semi join\n" + p)
   }
 
+  test("quantization, html strip, url parse, shuffle keys are all shuffle-free") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    assert(shuffles(emb.select(
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))))) === 0)
+    assert(shuffles(docs.select(
+      TextFunctions.stripHtml(col("text")),
+      TextFunctions.urlDomain(col("text")))) === 0)
+    assert(shuffles(docs.select(
+      graft.operators.TextOps.shuffleKey(col("doc_id"), 7L))) === 0)
+  }
+
+  test("dedupParagraphs: winner election is a partial aggregate; ordinal-sorted reassembly, no window") {
+    val df = Dedup.dedupParagraphs(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val p = plan(df)
+    assert(!p.contains("Window"), "reassembly must not use a corpus window\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("partial_min|HashAggregate".r.findAllIn(p).nonEmpty,
+      "winner election should partial-aggregate\n" + p)
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val orders = Tables.orders(spark, sf)
@@ -178,6 +200,9 @@ class PlanShapeSpec extends SparkSpec {
       Similarity.lshTopK(emb.filter(col("vec_id") < 3), emb,
         "vec_id", "embedding", k = 5),
       Inventory.currentInventoryOverEvents(spark, Tables.events(spark, sf)),
+      Dedup.dedupParagraphs(Tables.documents(spark, sf), "doc_id", "text"),
+      graft.operators.TextOps.repetitionSignals(
+        Tables.documents(spark, sf), "doc_id", "text"),
       orders.rollup(col("o_orderpriority")).agg(count(lit(1))))
     candidates.foreach { df =>
       val p = plan(df)
