@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (ScalaCheck) for the pure compute kernels behind
+  * the codegen expressions — the places where a subtle bit/edge bug
+  * would pass example tests and corrupt results at scale.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("bloom: inserted keys are ALWAYS contained, whatever the sizing") {
+    val gen = for {
+      bitsLog <- Gen.choose(6, 14)
+      k <- Gen.choose(1, 16)
+      keys <- Gen.listOfN(100, Gen.long)
+    } yield (bitsLog, k, keys)
+    check(Prop.forAll(gen) { case (bitsLog, k, keys) =>
+      val words = new Array[Long]((1 << bitsLog) / 64)
+      keys.foreach(BloomFilterOps.setBits(words, k, _))
+      keys.forall(BloomFilterOps.contains(words, k, _))
+    }, "bloom no-false-negatives")
+  }
+
+  test("word n-grams: equals the sliding-window reference on arbitrary text") {
+    def ref(text: String, n: Int): Seq[String] = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").toSeq
+      if (toks.length < n) Nil else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val gen = for {
+      n <- Gen.choose(1, 5)
+      words <- Gen.listOf(Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(8)), Gen.const("  "), Gen.const("\tx\n"),
+        Gen.const("héllo"), Gen.const("世界")))
+    } yield (words.mkString(" "), n)
+    check(Prop.forAll(gen) { case (text, n) =>
+      val got = WordNgrams.compute(text, n).array.toSeq
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      got == ref(text, n)
+    }, "wordNgrams == reference")
+  }
+
+  test("shuffle key: always in [0, p); same seed same key; different seed different permutation") {
+    val p = 1000000007L
+    check(Prop.forAll(Gen.long, Gen.long) { (id, seed) =>
+      val (m, a) = graft.operators.TextOps.shuffleKeyConstants(seed)
+      val idm = ((id % p) + p) % p
+      val key = (idm * m + a) % p
+      m > 0 && m < p && key >= 0 && key < p
+    }, "shuffleKey range")
+    // different seeds reorder some pair among ids 0..49 (probability
+    // of an identical 50-element order under an independent
+    // permutation is ~0)
+    check(Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(0L, 1L << 40)) { (s1, s2) =>
+      val (m1, a1) = graft.operators.TextOps.shuffleKeyConstants(s1)
+      val (m2, a2) = graft.operators.TextOps.shuffleKeyConstants(s2)
+      def order(m: Long, a: Long) =
+        (0L until 50L).sortBy(i => (i * m + a) % p)
+      (s1 == s2 || m1 == m2) || order(m1, a1) != order(m2, a2)
+    }, "seed independence")
+  }
+
+  test("poly hash: matches a BigInt reference; seed-sensitive") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(0L, 100L)) { (s, seed) =>
+      val ref = s.codePoints().toArray.foldLeft(BigInt(seed % PolyHash.Mod)) {
+        (h, cp) => (h * 31 + cp) % PolyHash.Mod
+      }
+      PolyHash.compute(s, seed) == ref.toLong
+    }, "polyHash reference")
+  }
+}
