@@ -110,6 +110,55 @@ final class ParquetStateStore(
     dropTombstones(spark.read.parquet(versionDir(v)))
   }
 
+  /** Change data feed between two retained versions — the Delta CDF
+    * analog a downstream incremental consumer reads instead of
+    * re-scanning the full state: one row per key whose VISIBLE state
+    * changed from `fromV` to `toV`, tagged `insert` / `update` /
+    * `delete` (tombstone transitions count: a key deleted-then-
+    * reinserted between the two versions is an update of the visible
+    * row). Inserts and updates carry the post-image, deletes the
+    * pre-image.
+    *
+    * Scale: ONE full-outer equi join between two state versions,
+    * keyed on the store keys — state-sized, not history-sized, and
+    * only changed rows survive the filter.
+    */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val have = versions
+    require(have.contains(fromV) && have.contains(toV),
+      s"versions [$fromV,$toV] not retained (have ${have.mkString("[", ",", "]")})")
+    val nonKey = (seqCols ++ payload).toSeq
+    def side(v: Long, p: String): DataFrame = {
+      val raw = spark.read.parquet(versionDir(v))
+      val visible =
+        if (raw.columns.contains(Cdc.DeletedCol)) raw.filter(!col(Cdc.DeletedCol))
+        else raw
+      visible.select(keys.map(col) ++
+        nonKey.map(c => col(c).as(s"${p}_$c")) :+
+        lit(true).as(s"${p}_present"): _*)
+    }
+    val a = side(fromV, "a")
+    val b = side(toV, "b")
+    val joined = a.join(b, keys.toSeq, "full_outer")
+    val aP = col("a_present").isNotNull
+    val bP = col("b_present").isNotNull
+    val differs = nonKey
+      .map(c => struct(col(s"a_$c")) =!= struct(col(s"b_$c"))) // null-safe via struct
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(!aP && bP, lit("insert"))
+          .when(aP && !bP, lit("delete"))
+          .when(aP && bP && differs, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select((col("change_type") +: keys.map(col)) ++
+        // post-image for insert/update, pre-image for delete
+        nonKey.map(c =>
+          when(bP, col(s"b_$c")).otherwise(col(s"a_$c")).as(c)): _*)
+  }
+
   /** Merge a batch of updates: state ∪ batch -> latest row per key
     * (honoring `deleteWhen` markers — `APPLY AS DELETE WHEN` — if
     * configured), committed optimistically (see class doc): merge

@@ -272,6 +272,38 @@ class CdcStreamSpec extends SparkSpec {
     assert(empty.compact() === None)
   }
 
+  test("changes(): insert/update/delete feed between retained versions") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_cdf")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 10,
+      deleteWhen = Some(org.apache.spark.sql.functions.col("v") < 0))
+
+    store.upsertBatch(Seq((1, 1, 10), (2, 1, 20)).toDF("k", "seq", "v"))  // v0
+    store.upsertBatch(Seq((2, 2, 21), (3, 1, 30)).toDF("k", "seq", "v"))  // v1: update 2, insert 3
+    store.upsertBatch(Seq((1, 2, -1)).toDF("k", "seq", "v"))              // v2: delete 1
+
+    def feed(a: Long, b: Long) = store.changes(a, b).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+
+    assert(feed(0, 1) === Set(("update", 2, 2, 21), ("insert", 3, 1, 30)))
+    // delete carries the PRE-image
+    assert(feed(1, 2) === Set(("delete", 1, 1, 10)))
+    // composed: the intermediate update collapses into one change
+    assert(feed(0, 2) === Set(
+      ("update", 2, 2, 21), ("insert", 3, 1, 30), ("delete", 1, 1, 10)))
+
+    // identical versions -> empty feed
+    store.upsertBatch(Seq((3, 1, 30)).toDF("k", "seq", "v"))              // v3: no-op merge
+    assert(store.changes(2, 3).isEmpty)
+
+    // bounds are validated loudly
+    intercept[IllegalArgumentException](store.changes(2, 2))
+    intercept[IllegalArgumentException](store.changes(0, 99))
+  }
+
   test("readVersion time-travels across retained versions") {
     val s = spark
     import s.implicits._
