@@ -80,6 +80,48 @@ object Queries {
               FROM events) WHERE rn = 1
             ORDER BY user_id, event_type"""))
 
+  // Change-data-feed through the REAL versioned store: two CDC
+  // batches committed as v0/v1, then `changes(0,1)` read back. The
+  // oracle recomputes both snapshots (windowed latest-per-key) and
+  // diffs them — insert = key born in batch 2, update = key whose
+  // winning row changed. Delete transitions are CdcStreamSpec's job
+  // (they need deleteWhen); this gate pins the diff arithmetic.
+  val cdcChanges = QueryDef(
+    "q_cdc_changes",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val ev = Tables.events(s, d)
+      val store = new graft.streaming.ParquetStateStore(s, root,
+        keys = Seq("user_id", "event_type"), seqCols = Seq("ts", "event_id"),
+        payload = Seq("value"), retainVersions = 10)
+      val b = ev.select("user_id", "event_type", "ts", "event_id", "value")
+      store.upsertBatch(b.filter(col("event_id") < 5000))
+      store.upsertBatch(b.filter(col("event_id") >= 5000))
+      store.changes(0L, 1L).orderBy("user_id", "event_type")
+    },
+    Some("""WITH s0 AS (
+              SELECT user_id, event_type, ts, event_id, value FROM (
+                SELECT user_id, event_type, ts, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_id < 5000) WHERE rn = 1
+            ), s1 AS (
+              SELECT user_id, event_type, ts, event_id, value FROM (
+                SELECT user_id, event_type, ts, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+            )
+            SELECT CASE WHEN s0.user_id IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+              s1.user_id, s1.event_type, s1.ts, s1.event_id, s1.value
+            FROM s1 LEFT JOIN s0
+              ON s1.user_id = s0.user_id AND s1.event_type = s0.event_type
+            WHERE s0.user_id IS NULL
+               OR s0.ts IS DISTINCT FROM s1.ts
+               OR s0.event_id IS DISTINCT FROM s1.event_id
+               OR s0.value IS DISTINCT FROM s1.value
+            ORDER BY s1.user_id, s1.event_type"""))
+
   val currentInventory = QueryDef(
     "q_current_inventory",
     (s, d) => Inventory.currentInventoryOverEvents(s, Tables.events(s, d)),
@@ -1882,7 +1924,7 @@ object Queries {
             ORDER BY table_name, rule NULLS FIRST"""))
 
   val all: Seq[QueryDef] = Seq(
-    dimLoad, jsonExtract, latestSnapshot, currentInventory,
+    dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
     topOrders, supplierRank, pivotEvents, movingAvg,
