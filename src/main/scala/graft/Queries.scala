@@ -1118,6 +1118,28 @@ object Queries {
               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) IN (SELECT nt FROM hist) AS in_history
             FROM batch ORDER BY doc_id"""))
 
+  // Exact corpus heavy hitters through the Misra-Gries sketch +
+  // exact-verify path. At the 3.3% threshold the synthetic
+  // vocabulary genuinely splits (some terms above, some below), so
+  // both the sketch's superset guarantee and the exact threshold
+  // filter do real work; the oracle is the plain exact GROUP BY /
+  // HAVING — the sketch must be invisible in the result.
+  val heavyTermsQ = QueryDef(
+    "q_heavy_terms",
+    (s, d) => TextOps.heavyTerms(
+        Tables.documents(s, d), "text", minFreqRatio = 0.033)
+      .orderBy("term"),
+    Some("""WITH t AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents
+            ), tt AS (
+              SELECT term FROM t WHERE length(term) > 0
+            )
+            SELECT term, COUNT(*) AS freq FROM tt
+            GROUP BY term
+            HAVING COUNT(*) >= (SELECT CEIL(COUNT(*) * 0.033) FROM tt)
+            ORDER BY term"""))
+
   // Paragraph-level dedup across the corpus: the same 2-token-line
   // derivation as q_repetition turns each doc into many small
   // "paragraphs" with heavy natural cross-document duplication
@@ -1930,7 +1952,7 @@ object Queries {
     topOrders, supplierRank, pivotEvents, movingAvg,
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
-    tokenCount, qualityScore, langId, fingerprint, termStats, redactDocs,
+    tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,

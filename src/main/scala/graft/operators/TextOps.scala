@@ -132,6 +132,48 @@ object TextOps {
           col("__t_len")).as("top_gram_char_frac"))
   }
 
+  /** Corpus-wide frequent terms ("heavy hitters"), EXACT, without
+    * ever shuffling the full term space: a Misra-Gries sketch
+    * ([[graft.plans.HeavyHittersAgg]]) runs as a partial aggregate —
+    * k counters per task cross the wire — and by the MG guarantee
+    * its survivors are a SUPERSET of every term with frequency >
+    * n/(k+1); an exact count over just those candidates (broadcast
+    * semi join, then a partial-agg count) turns the superset into
+    * the exact answer. Same approximate-prune-exact-verify shape as
+    * [[Dedup.incrementalDedup]].
+    *
+    * `k` defaults to ceil(1/minFreqRatio) + 1, the smallest sketch
+    * whose guarantee covers the threshold; raise it to shrink the
+    * candidate set (fewer exact counts), never for correctness.
+    * `totalTokens` skips the counting scan when the caller already
+    * knows n.
+    *
+    * Returns (term, freq) for terms with freq >= ceil(n *
+    * minFreqRatio), ordered by term.
+    */
+  def heavyTerms(
+      docs: DataFrame, textCol: String, minFreqRatio: Double,
+      sketchK: Int = 0, totalTokens: Option[Long] = None): DataFrame = {
+    require(minFreqRatio > 0 && minFreqRatio <= 1, "minFreqRatio in (0,1]")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    val terms = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val n = totalTokens.getOrElse(terms.count())
+    val threshold = math.ceil(n * minFreqRatio).toLong
+    val k = if (sketchK > 0) sketchK
+      else math.ceil(1.0 / minFreqRatio).toInt + 1
+    val candidates = terms
+      .agg(call_function("graft_heavy_hitters", col("term"), lit(k)).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("term"))
+    terms.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= threshold)
+  }
+
   /** Benchmark-contamination detection (the GPT-3-style n-gram
     * decontamination pass): flags corpus documents sharing word
     * n-grams with an evaluation/benchmark set, so they can be

@@ -479,7 +479,10 @@ object GraftFunctions {
       children => BloomContains(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
-      children => WordNgrams(children(0), children(1))))
+      children => WordNgrams(children(0), children(1))),
+    (FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
+      children => HeavyHittersAgg(children(0), children(1))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

@@ -158,6 +158,35 @@ class TextOpsSpec extends SparkSpec {
       (((4000000000L % 1000000007L) * 654435747L) % 1000000007L) % 10000L)
   }
 
+  test("heavyTerms: exact result equals plain groupBy; MG sketch never misses a heavy item") {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: 'hot' 30%, 'warm' 15%, 60 distinct cold fillers
+    val words = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 550).map(i => s"cold${i % 60}")
+    val rnd = new scala.util.Random(11)
+    val docs = rnd.shuffle(words).grouped(20).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val exact = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val ratio = 0.10
+    val expected = exact.filter(_._2 >= math.ceil(n * ratio).toLong)
+
+    val got = TextOps.heavyTerms(docs, "text", minFreqRatio = ratio)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, s"n=$n expected=$expected")
+    assert(got.keySet === Set("hot", "warm"))
+
+    // tiny sketch stress: k barely above 1/ratio still cannot miss —
+    // the MG guarantee, exercised through heavy merge pressure
+    val tiny = TextOps.heavyTerms(docs, "text", minFreqRatio = ratio, sketchK = 11)
+      .collect().map(r => r.getString(0)).toSet
+    assert(tiny === Set("hot", "warm"))
+  }
+
   test("stripHtml removes blocks/tags, decodes entities in safe order; url parsing") {
     val s = spark
     import s.implicits._
