@@ -79,10 +79,6 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic Gaussian hyperplanes (java.util.Random is
-    * spec-fixed, so signatures are identical on every executor, JVM
-    * and run).
-    */
   /** Per-vector symmetric int8 quantization — the storage-compression
     * pass a 100 TB vector corpus runs before ANN serving (4x smaller
     * than float32; recall loss is small because ranking only needs
@@ -109,6 +105,38 @@ object Similarity {
   def dequantizeInt8(quant: Column): Column =
     transform(quant.getField("q"), v => v.cast("double") * quant.getField("scale"))
 
+  /** Exact top-k by approximate dot product over int8-QUANTIZED
+    * vectors — the serving path of a quantized ANN corpus: the score
+    * is the integer code dot ([[graft.plans.DotProductInt8]], one
+    * codegen'd loop) times the two scales, so float vectors are
+    * never materialized. Ranks by dot, which equals cosine ranking
+    * when inputs are L2-normalized (the usual embedding-store
+    * convention); on raw vectors it is dot-product search. Same
+    * two-phase bounded top-k as [[bruteForceTopK]].
+    */
+  def bruteForceTopKInt8(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    def quantized(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"),
+        quantizeInt8(col(vecCol)).as(s"${p}_qz"))
+    val q = quantized(queries, "q")
+    val c = quantized(corpus, "c")
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("c_id") else lit(true))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        (call_function("graft_dot_int8", col("q_qz.q"), col("c_qz.q"))
+          .cast("double") * col("q_qz.scale") * col("c_qz.scale")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Deterministic Gaussian hyperplanes (java.util.Random is
+    * spec-fixed, so signatures are identical on every executor, JVM
+    * and run).
+    */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] =
     Array.tabulate(numPlanes) { p =>
       val rng = new java.util.Random(seed + p)

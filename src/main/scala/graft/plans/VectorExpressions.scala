@@ -329,6 +329,56 @@ object PolyHash {
   }
 }
 
+/** Dot product of two int8-quantized vectors (array<int> codes),
+  * returned as the exact integer sum of code products — multiply by
+  * the two scales for the approximate float dot. Integer
+  * multiply-adds are the whole point of int8 ANN serving (no
+  * dequantize materialization, SIMD-friendly); like
+  * [[DotProductFloat]] this must be one codegen'd loop, not an
+  * interpreted higher-order-function chain.
+  */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_dot_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Word n-grams of lowercased whitespace-tokenized text as ONE
   * codegen'd expression: semantically identical to the Column
   * composition `transform(sequence(...), i -> concat_ws(" ",
@@ -482,7 +532,10 @@ object GraftFunctions {
       children => WordNgrams(children(0), children(1))),
     (FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
-      children => HeavyHittersAgg(children(0), children(1))))
+      children => HeavyHittersAgg(children(0), children(1))),
+    (FunctionIdentifier("graft_dot_int8"),
+      new ExpressionInfo(classOf[DotProductInt8].getName, "graft_dot_int8"),
+      children => DotProductInt8(children(0), children(1))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

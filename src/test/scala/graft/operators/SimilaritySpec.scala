@@ -208,4 +208,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"dequantized recall $recall")
   }
+
+  test("int8 dot-product search recalls the exact dot-product top-k") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact DOT ranking baseline (unnormalized corpus -> rank by dot)
+    val exactScored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dot(col("qvec"), col("cvec")).as("cosine"))
+    val exact = pairs(Similarity.topKPerQuery(exactScored, 5))
+    val viaInt8 = pairs(Similarity.bruteForceTopKInt8(
+      queries, emb, "vec_id", "embedding", k = 5))
+    val recall = exact.intersect(viaInt8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall")
+    // the plan scores with the integer dot expression, not floats
+    val p = Similarity.bruteForceTopKInt8(queries, emb, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_dot_int8"), p)
+  }
 }
