@@ -282,4 +282,49 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getInt(2) === 16000)
     assert(row.getInt(3) === 2)
   }
+
+  test("cross-modality pipeline: real images -> features -> embedding near-dup finds re-encodes") {
+    // The integration claim: the multimodal decode shell feeds the
+    // similarity stack directly — near-duplicate IMAGE detection is
+    // image features (javax.imageio, partition-local) into the same
+    // banded-LSH near-dup operator the text/embedding path uses. A
+    // JPEG re-encode of a PNG is the classic web near-dup: pixels
+    // perturbed by lossy coding, features close but not equal.
+    val s = spark
+    import s.implicits._
+
+    def blockImage(id: Int, format: String): Array[Byte] = {
+      // 8x8 block pattern from an id-seeded generator: distinct ids
+      // give uncorrelated on/off grids (cosine ~0.5), a re-encode
+      // keeps the grid (cosine ~1)
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new java.util.Random(id * 7919L)
+      val bits = Array.fill(8, 8)(rnd.nextBoolean())
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = if (bits(y / 8)(x / 8)) 230 else 20
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    val images = ((0 until 20).map(i => (i.toLong, blockImage(i, "png"))) ++
+      // ids 100+i are JPEG re-encodes of ids i < 5 -> planted near-dups
+      (0 until 5).map(i => (100L + i, blockImage(i, "jpg"))))
+      .toDF("img_id", "payload").repartition(3)
+
+    val feats = Multimodal.extractFeaturesPartitioned(
+      s, images, "img_id", dim = 64, codec = Multimodal.ImageIoCodec)
+    val pairs = Dedup.embeddingNearDup(
+        feats, "id", "features", threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(expected.subsetOf(pairs), s"missed re-encodes: ${expected -- pairs}")
+    // no unrelated pair: everything found involves a planted re-encode
+    assert(pairs.forall { case (a, b) => (b - a) == 100L },
+      s"unrelated images paired: ${pairs.filterNot { case (a, b) => b - a == 100L }}")
+  }
 }
