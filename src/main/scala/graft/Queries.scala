@@ -1239,6 +1239,62 @@ object Queries {
             WHERE CAST(shared AS DOUBLE) / CAST(ca.n_grams + cb.n_grams - shared AS DOUBLE) >= 0.5
             ORDER BY id_a, id_b"""))
 
+  // Long-shared-span detection (the "any 50-token overlap" dedup
+  // signal, n=20 here since synthetic docs run ~55 tokens): 20
+  // planted docs embed a 30-token verbatim prefix of a corpus doc —
+  // each MUST pair with its source on an absolute shared-span count,
+  // while overall-Jaccard similarity stays low (the case ratio
+  // thresholds miss). Both engines derive the planted corpus with
+  // identical token-slice arithmetic.
+  val sharedSpans = QueryDef(
+    "q_shared_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, 1, 30)).as("prefix"))
+        .join(docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+          .select((col("doc_id") - 300).as("doc_id"), col("text").as("suffix")),
+          Seq("doc_id"))
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("prefix"), lit(" "), col("suffix")).as("text"))
+      val corpus = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .union(planted)
+      Dedup.sharedSpanPairs(corpus, "doc_id", "text", n = 20, minShared = 1)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT a.doc_id + 100000,
+                array_to_string(string_split_regex(trim(lower(a.text)), '\s+')[1:30], ' ')
+                  || ' ' || b.text
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 300
+              WHERE a.doc_id < 20
+            ), grams AS (
+              SELECT doc_id AS id, unnest(list_distinct(gs)) AS g FROM (
+                SELECT doc_id,
+                  CASE WHEN len(toks) < 20 THEN CAST([] AS VARCHAR[])
+                       ELSE list_transform(range(1, len(toks) - 18),
+                              i -> array_to_string(toks[i:i+19], ' ')) END AS gs
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM corpus))
+            ), counts AS (
+              SELECT id, COUNT(*) AS n_grams FROM grams GROUP BY id
+            ), shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+              FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, shared, ca.n_grams AS n_a, cb.n_grams AS n_b
+            FROM shared
+            JOIN counts ca ON ca.id = id_a
+            JOIN counts cb ON cb.id = id_b
+            WHERE shared >= 1
+            ORDER BY id_a, id_b"""))
+
   // Canonical-form exact dedup: normalization (lowercase, strip
   // punctuation, collapse whitespace) merges documents that differ
   // only in case/punct/spacing. Non-vacuous by construction: 50
@@ -1954,7 +2010,8 @@ object Queries {
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs, minhashPairs,
+    dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
+    sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, videoFrames, saltedJoin,

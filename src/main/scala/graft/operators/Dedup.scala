@@ -376,6 +376,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Long-shared-span detector — the "any 50-token overlap" signal
+    * exact-substring training-data dedup uses (two documents sharing
+    * one LONG verbatim run are near-dups regardless of their overall
+    * Jaccard, which a 500-page doc sharing one paragraph would
+    * fail). A shared word n-gram of length `n` IS a shared n-token
+    * verbatim span, so pair generation is the same DF-capped
+    * inverted index as [[ngramJaccardPairs]]; the filter is an
+    * absolute distinct-shared-span count instead of a ratio.
+    *
+    * Scale: identical to the capped n-gram path — long spans are
+    * nearly unique (document frequency ~1 except true copies), so
+    * the index buckets stay tiny and the cap almost never bites.
+    */
+  def sharedSpanPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minShared: Int = 1,
+      maxDf: Option[Int] = Some(64),
+      scope: CacheScope = new CacheScope): DataFrame =
+    ngramJaccardPairs(docs, idCol, textCol, n = n, threshold = 0.0,
+        maxDf = maxDf, scope = scope)
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
+
   /** Near-duplicate pairs by SimHash hamming distance: pairs of
     * documents whose 64-bit simhashes differ in at most `maxHamming`
     * bits.

@@ -251,6 +251,26 @@ class DedupSpec extends SparkSpec {
     assert(capped === run(None))
   }
 
+  test("sharedSpanPairs flags a long verbatim overlap that Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"aword$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"bword$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $span"),           // long doc ending in the span
+      (2L, s"$span $fillerB"),           // long doc starting with it
+      (3L, (1 to 150).map(i => s"cword$i").mkString(" "))).toDF("doc_id", "text")
+    // overall jaccard of (1,2) is tiny — the ratio detector misses it
+    val jacc = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 20, threshold = 0.3).count()
+    assert(jacc === 0)
+    // the span detector finds exactly that pair: 6 shared 20-grams
+    val pairs = Dedup.sharedSpanPairs(docs, "doc_id", "text", n = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 6L)))
+  }
+
   test("dedupParagraphs keeps first global occurrence, reassembles in order") {
     val s = spark
     import s.implicits._
