@@ -1140,13 +1140,6 @@ object Queries {
             HAVING COUNT(*) >= (SELECT CEIL(COUNT(*) * 0.033) FROM tt)
             ORDER BY term"""))
 
-  // Paragraph-level dedup across the corpus: the same 2-token-line
-  // derivation as q_repetition turns each doc into many small
-  // "paragraphs" with heavy natural cross-document duplication
-  // (tiny vocabulary), so the first-occurrence election and the
-  // reassembly both do real work. Oracle replays the election with
-  // a row_number over (para -> doc_id, idx) and rebuilds documents
-  // with an ordered string_agg.
   // Int8 embedding quantization, exploded to scalar rows (per-dim
   // values — the gate's hash then checks every quantized byte and
   // the per-vector scale; rounding is floor(x+0.5), bit-identical in
@@ -1178,6 +1171,13 @@ object Queries {
                   FROM s)
             ORDER BY vec_id, dim"""))
 
+  // Paragraph-level dedup across the corpus: the same 2-token-line
+  // derivation as q_repetition turns each doc into many small
+  // "paragraphs" with heavy natural cross-document duplication
+  // (tiny vocabulary), so the first-occurrence election and the
+  // reassembly both do real work. Oracle replays the election with
+  // a row_number over (para -> doc_id, idx) and rebuilds documents
+  // with an ordered string_agg.
   val dedupParagraphsQ = QueryDef(
     "q_dedup_paragraphs",
     (s, d) => {

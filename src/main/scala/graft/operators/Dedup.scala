@@ -385,14 +385,19 @@ object Dedup {
     * inverted index as [[ngramJaccardPairs]]; the filter is an
     * absolute distinct-shared-span count instead of a ratio.
     *
-    * Scale: identical to the capped n-gram path — long spans are
-    * nearly unique (document frequency ~1 except true copies), so
-    * the index buckets stay tiny and the cap almost never bites.
+    * Scale: long spans are nearly unique (document frequency ~1
+    * except true copies), so the uncapped inverted index stays
+    * bucket-tiny by construction — which is why the DEFAULT here is
+    * no DF cap: a capped index would silently drop exactly the
+    * highest-value signal (a boilerplate block copied into 1000
+    * documents has df=1000). Pass `maxDf` only when a pathological
+    * corpus makes a span bucket genuinely quadratic, accepting the
+    * documented miss on over-cap spans.
     */
   def sharedSpanPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minShared: Int = 1,
-      maxDf: Option[Int] = Some(64),
+      maxDf: Option[Int] = None,
       scope: CacheScope = new CacheScope): DataFrame =
     ngramJaccardPairs(docs, idCol, textCol, n = n, threshold = 0.0,
         maxDf = maxDf, scope = scope)

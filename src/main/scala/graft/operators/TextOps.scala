@@ -149,7 +149,8 @@ object TextOps {
     * knows n.
     *
     * Returns (term, freq) for terms with freq >= ceil(n *
-    * minFreqRatio), ordered by term.
+    * minFreqRatio); row order is unspecified (sort downstream if
+    * needed — the result is at most ~1/minFreqRatio rows).
     */
   def heavyTerms(
       docs: DataFrame, textCol: String, minFreqRatio: Double,
@@ -199,24 +200,31 @@ object TextOps {
       bench: DataFrame, benchTextCol: String,
       n: Int = 13, minMatches: Int = 1,
       broadcastBench: Boolean = true): DataFrame = {
-    val docGrams = docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.wordNgrams(col(textCol), n)).as("__gs"))
-    val perGram = docGrams.select(col("doc_id"), explode(col("__gs")).as("__g"))
+    // ONE corpus scan: n_grams rides the explode (explode_outer keeps
+    // gram-less docs), the benchmark join is a broadcast left join
+    // with a hit marker, and one partial aggregate produces both the
+    // per-doc hit count and the constant n_grams — tokenizing the
+    // 100 TB side twice (separate count + hits subtrees) would double
+    // the dominant cost
+    val perGram = docs.select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.wordNgrams(col(textCol), n)).as("__gs"))
+      .select(col("doc_id"), size(col("__gs")).cast("bigint").as("__n_grams"),
+        explode_outer(col("__gs")).as("__g"))
     val benchGrams0 = bench.select(explode(array_distinct(
         TextFunctions.wordNgrams(col(benchTextCol), n))).as("__g"))
       .distinct()
+      .withColumn("__hit", lit(true))
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
-    val hits = perGram.join(benchGrams, Seq("__g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_hit"))
-    docGrams.select(col("doc_id"), size(col("__gs")).cast("bigint").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
+    perGram.join(benchGrams, Seq("__g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("__n_grams")).as("n_grams"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_contaminated"))
       .select(
-        col("doc_id"), col("n_grams"),
-        coalesce(col("__n_hit"), lit(0L)).as("n_contaminated"),
+        col("doc_id"), col("n_grams"), col("n_contaminated"),
         when(col("n_grams") > 0,
-          coalesce(col("__n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double"))
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)).as("contaminated_frac"),
-        (coalesce(col("__n_hit"), lit(0L)) >= minMatches).as("contaminated"))
+        (col("n_contaminated") >= minMatches).as("contaminated"))
   }
 
   /** Deterministic source-weighted sampling — the data-mixing stage

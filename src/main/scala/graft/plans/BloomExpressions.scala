@@ -50,7 +50,10 @@ object BloomFilterOps {
     val ln2 = math.log(2.0)
     val mBits = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
     val bits = math.min(math.max(mBits, 64L), Int.MaxValue.toLong / 2).toInt
-    val k = math.max(1, math.round(bits.toDouble / expectedItems * ln2).toInt)
+    // clamp to the expressions' [1,32] bound: the 64-bit floor can
+    // inflate bits/key for tiny expectedItems and push k past it
+    val k = math.min(32,
+      math.max(1, math.round(bits.toDouble / expectedItems * ln2).toInt))
     (((bits + 63) / 64) * 64, k)
   }
 }

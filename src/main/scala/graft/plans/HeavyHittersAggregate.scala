@@ -103,11 +103,19 @@ case class HeavyHittersAgg(
     })
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: writeUTF caps an item
+  // at 65535 encoded bytes and would crash the shuffle on long items
+  // (paragraph-sized keys are legitimate inputs here)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    buf.foreach { case (item, c) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -117,7 +125,13 @@ case class HeavyHittersAgg(
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
     buf
   }
 

@@ -415,11 +415,14 @@ case class WordNgrams(left: Expression, right: Expression)
 object WordNgrams {
   /** One pass: lowercase+trim, split on whitespace runs, emit the
     * space-joined n-grams. Matches `split(trim(lower(text)), "\s+")`
-    * exactly (Java regex \s over the lowercased string).
+    * exactly — including the locale: Spark's `lower()` non-ASCII
+    * path is `String.toLowerCase()` under the DEFAULT locale, so
+    * this uses the same call (Locale.ROOT would silently diverge
+    * from `TextFunctions.tokens` on locale-sensitive codepoints).
     */
   def compute(text: String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     require(n >= 1, "n must be >= 1")
-    val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val toks = text.toLowerCase().trim.split("\\s+")
     val count = toks.length - n + 1
     if (toks.length < n) {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])

@@ -99,27 +99,41 @@ object DataSkipping {
     case Or(l, r) =>
       // an unsupported disjunct could match anywhere: give up the OR
       for (a <- rewrite(l, tracked); b <- rewrite(r, tracked)) yield a || b
-    case EqualTo(Attr(a), v: Literal) if tracked(a) =>
+    case EqualTo(Attr(a), Lit(v)) if tracked(a) =>
       Some(minC(a) <= litOf(v) && maxC(a) >= litOf(v))
-    case EqualTo(v: Literal, Attr(a)) if tracked(a) =>
+    case EqualTo(Lit(v), Attr(a)) if tracked(a) =>
       Some(minC(a) <= litOf(v) && maxC(a) >= litOf(v))
-    case GreaterThan(Attr(a), v: Literal) if tracked(a) =>
+    case GreaterThan(Attr(a), Lit(v)) if tracked(a) =>
       Some(maxC(a) > litOf(v))
-    case GreaterThan(v: Literal, Attr(a)) if tracked(a) =>
+    case GreaterThan(Lit(v), Attr(a)) if tracked(a) =>
       Some(minC(a) < litOf(v)) // v > a  <=>  a < v
-    case GreaterThanOrEqual(Attr(a), v: Literal) if tracked(a) =>
+    case GreaterThanOrEqual(Attr(a), Lit(v)) if tracked(a) =>
       Some(maxC(a) >= litOf(v))
-    case GreaterThanOrEqual(v: Literal, Attr(a)) if tracked(a) =>
+    case GreaterThanOrEqual(Lit(v), Attr(a)) if tracked(a) =>
       Some(minC(a) <= litOf(v))
-    case LessThan(Attr(a), v: Literal) if tracked(a) =>
+    case LessThan(Attr(a), Lit(v)) if tracked(a) =>
       Some(minC(a) < litOf(v))
-    case LessThan(v: Literal, Attr(a)) if tracked(a) =>
+    case LessThan(Lit(v), Attr(a)) if tracked(a) =>
       Some(maxC(a) > litOf(v))
-    case LessThanOrEqual(Attr(a), v: Literal) if tracked(a) =>
+    case LessThanOrEqual(Attr(a), Lit(v)) if tracked(a) =>
       Some(minC(a) <= litOf(v))
-    case LessThanOrEqual(v: Literal, Attr(a)) if tracked(a) =>
+    case LessThanOrEqual(Lit(v), Attr(a)) if tracked(a) =>
       Some(maxC(a) >= litOf(v))
     case _ => None
+  }
+
+  /** Foldable comparand, evaluated to a Literal. The ANALYZED plan
+    * wraps type-coerced literals in Cast (e.g. an Int literal
+    * against a BIGINT column) — matching bare `Literal` only would
+    * silently disable pruning for the most common predicate form.
+    */
+  private object Lit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case _ if e.foldable && e.references.isEmpty =>
+        Some(Literal.create(e.eval(), e.dataType))
+      case _ => None
+    }
   }
 
   // -----------------------------------------------------------------
@@ -133,10 +147,14 @@ object DataSkipping {
   def bucket16(c: Column, minV: Long, maxV: Long): Column = {
     require(maxV >= minV, s"empty range [$minV,$maxV]")
     if (maxV == minV) lit(0L)
-    // `div` = exact integer division (Column./ is DOUBLE division,
-    // which silently loses bits past 2^53 — real ids get there)
+    // exact integer division (`div`; Column./ is DOUBLE division,
+    // which silently loses bits past 2^53) over DECIMAL(38,0)
+    // products: (v - min) * 65535 in Long arithmetic would wrap for
+    // column ranges past 2^47 — snowflake-style ids get there — and
+    // a wrapped bucket garbles the whole z-order silently
     else call_function("div",
-      (c.cast("bigint") - lit(minV)) * lit(65535L), lit(maxV - minV))
+      (c.cast("bigint") - lit(minV)).cast("decimal(38,0)") * lit(65535L),
+      lit(maxV - minV)).cast("bigint")
   }
 
   /** Spread the low 16 bits of `x` so consecutive bits land `n`

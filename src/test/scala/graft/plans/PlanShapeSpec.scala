@@ -147,12 +147,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("BroadcastExchange"), "benchmark gram set must broadcast\n" + p)
     // gram-string shuffles: at most the benchmark-side distinct (tiny,
-    // pre-broadcast) — the corpus semi join itself must be broadcast,
-    // so the 100 TB side's grams never cross an exchange
+    // pre-broadcast) — the corpus-side hit join itself must be
+    // broadcast, so the 100 TB side's grams never cross an exchange
     assert("Exchange hashpartitioning\\(__g".r.findAllIn(p).length <= 1,
       "corpus gram strings must not cross a shuffle\n" + p)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      "broadcast left-semi join expected\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "broadcast hit join expected\n" + p)
+    // ONE corpus scan: the tokenize+ngram subtree must not be
+    // duplicated into a separate counting branch
+    assert("graft_word_ngrams".r.findAllIn(p).length <= 2, // corpus + bench
+      "corpus n-grams computed more than once\n" + p)
   }
 
   test("incrementalDedup: history never shuffles; bloom probe is a codegen'd plan constant") {

@@ -57,6 +57,22 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, mixed).count() === 99)
   }
 
+  test("type-coerced literals (Cast-wrapped by the analyzer) still prune") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 1000L).toDF("id").repartitionByRange(10, col("id")), dir, Seq("id"))
+    // Int literal against a BIGINT column: the analyzed condition is
+    // GreaterThanOrEqual(id, cast(900 as bigint)) — pruning must see
+    // through the Cast, not silently keep every file
+    val (kept, all) = DataSkipping.prunedFiles(s, dir, col("id") >= 900 && col("id") < 950)
+    assert(all.size === 10)
+    assert(kept.size <= 2, s"coerced literal disabled pruning: kept ${kept.size}")
+    assert(DataSkipping.readSkipping(s, dir, col("id") >= 900 && col("id") < 950)
+      .count() === 50)
+  }
+
   test("all-null stats files are skipped for value predicates (no rows lost)") {
     val s = spark
     import s.implicits._
