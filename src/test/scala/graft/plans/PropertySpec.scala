@@ -66,6 +66,33 @@ class PropertySpec extends AnyFunSuite {
     }, "seed independence")
   }
 
+  test("misra-gries merge math: decrement-by-(k+1)th-largest preserves non-negativity and bound") {
+    val gen = for {
+      k <- Gen.choose(1, 20)
+      items <- Gen.listOfN(500, Gen.choose(0, 40).map(i => s"w$i"))
+    } yield (k, items)
+    check(Prop.forAll(gen) { case (k, items) =>
+      // reference MG over the stream, then check invariants the
+      // aggregate's buffers rely on
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      items.foreach { it =>
+        if (buf.contains(it)) buf(it) += 1
+        else if (buf.size < k) buf(it) = 1
+        else {
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c > 0)
+        }
+      }
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = items.size.toLong
+      val heavy = exact.filter(_._2 > n / (k + 1)).keys
+      buf.size <= k &&
+        buf.values.forall(_ > 0) &&
+        heavy.forall(buf.contains) && // the guarantee itself
+        buf.forall { case (it, c) => c <= exact.getOrElse(it, 0L) } // lower bound
+    }, "MG invariants")
+  }
+
   test("poly hash: matches a BigInt reference; seed-sensitive") {
     check(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(0L, 100L)) { (s, seed) =>
       val ref = s.codePoints().toArray.foldLeft(BigInt(seed % PolyHash.Mod)) {
