@@ -58,19 +58,35 @@ object Dedup {
     *     [[graft.plans.BloomContains]] plan constant — rows the
     *     filter rejects are DEFINITELY new and skip the join
     *     entirely (the overwhelming majority of a fresh crawl);
-    *  3. the few bloom-positive hashes broadcast back against a
-    *     second history scan (broadcast LEFT SEMI) for exact
-    *     confirmation, so Bloom false positives cost only verify
+    *  3. the few bloom-positive (hash, normalized-text) pairs
+    *     broadcast back against a second history scan (broadcast
+    *     LEFT SEMI on BOTH columns — the hash routes the probe, the
+    *     TEXT decides equality) for exact confirmation, so Bloom
+    *     false positives AND 64-bit hash collisions cost only verify
     *     traffic, never correctness;
-    *  4. confirmed hashes (true dups + nothing else) broadcast-join
+    *  4. confirmed pairs (true dups + nothing else) broadcast-join
     *     the batch to set the flag.
     *
-    * Because step 3 makes results exact, `fpp` only tunes verify
-    * traffic: ~9.6 bits/key at 1%, ~4.8 at 10%. The bit array is a
-    * driver/plan constant — at histories beyond ~10^9 keys (GBs of
-    * bits) shard the filter by hash range and run one pass per
-    * shard, or accept a higher fpp; the verify join keeps either
-    * choice exact.
+    * Because step 3 compares the normalized text itself, the result
+    * is exact (not merely modulo xxhash64 collisions), and `fpp`
+    * only tunes verify traffic: ~9.6 bits/key at 1%, ~4.8 at 10%.
+    * A null text never matches (equi-join null semantics — the same
+    * not-true a SQL `IN` membership yields), even against null-text
+    * history rows.
+    *
+    * `shards` splits the filter by hash range (shard = pmod(hash,
+    * shards)): build stays ONE history scan — a
+    * `groupBy(pmod)` of partial-aggregated word arrays instead of a
+    * global aggregate — and probe stays one expression
+    * ([[graft.plans.BloomContainsSharded]]), but every individual
+    * plan constant is numBits/shards bits. Beyond ~10^9 history keys
+    * a single filter is GBs in one constant (past array and
+    * task-serialization limits); sharding bounds each piece while
+    * total bits, per-key fpp and results are UNCHANGED (DedupSpec
+    * asserts shard-count invariance). The driver still holds the
+    * full word-array set transiently at build time — for
+    * beyond-driver-memory filter sets run one shard-restricted pass
+    * per shard over the batch instead.
     *
     * `expectedItems` sizes the filter (approximate history
     * cardinality; an over-estimate wastes bits, an under-estimate
@@ -79,24 +95,35 @@ object Dedup {
   def incrementalDedup(
       history: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01,
+      shards: Int = 1): DataFrame = {
     import graft.plans.{BloomFilterOps, VectorExpressions}
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.plans.GraftFunctions.register)
-    val (numBits, numHashes) = BloomFilterOps.sizeFor(expectedItems, fpp)
-    val histHashes = history.select(xxhash64(normalize(col(textCol))).as("__h"))
-    val words = histHashes
+    val (numBits, numHashes) =
+      BloomFilterOps.sizeFor(math.max(1L, expectedItems / shards), fpp)
+    val histKeyed = history.select(
+      normalize(col(textCol)).as("__nt"),
+      xxhash64(normalize(col(textCol))).as("__h"))
+    val shardRows = histKeyed
+      .groupBy(pmod(col("__h"), lit(shards)).as("__s"))
       .agg(VectorExpressions.bloomAgg(col("__h"), numBits, numHashes).as("w"))
-      .head().getSeq[Long](0).toArray
-    val annotated = batch.withColumn("__h", xxhash64(normalize(col(textCol))))
+      .collect()
+    // shards with no history rows keep an all-zero filter (rejects everything)
+    val wordsPerShard = Array.fill(shards)(new Array[Long](numBits / 64))
+    shardRows.foreach(r => wordsPerShard(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
+    val annotated = batch
+      .withColumn("__nt", normalize(col(textCol)))
+      .withColumn("__h", xxhash64(col("__nt")))
     val candidates = annotated
-      .filter(VectorExpressions.bloomContains(col("__h"), words, numHashes))
-      .select(col("__h"))
-    val confirmed = histHashes
-      .join(broadcast(candidates), Seq("__h"), "left_semi")
+      .filter(VectorExpressions.bloomContainsSharded(col("__h"), wordsPerShard, numHashes))
+      .select(col("__h"), col("__nt"))
+    val confirmed = histKeyed
+      .join(broadcast(candidates), Seq("__h", "__nt"), "left_semi")
       .distinct()
     annotated
-      .join(broadcast(confirmed.withColumn("__in", lit(true))), Seq("__h"), "left")
+      .join(broadcast(confirmed.withColumn("__in", lit(true))), Seq("__h", "__nt"), "left")
       .select(batch.columns.map(col) :+
         coalesce(col("__in"), lit(false)).as("in_history"): _*)
   }
@@ -114,27 +141,37 @@ object Dedup {
     * paragraphs are discarded before matching (separator runs don't
     * count as content).
     *
-    * Scale: one posexplode; the winner election groups by the
-    * paragraph text itself with a map-side partial `min(struct)` —
-    * one row PER DISTINCT PARAGRAPH crosses that shuffle (hash the
-    * text for the group key at extreme scale, as [[exactByHash]]
-    * does); the keep-decision join is on (paragraph, id, pos)
-    * against the winner set; reassembly is one `collect_list` +
-    * `array_sort` per document — linear, no window over the corpus.
+    * Scale: one posexplode; the winner election groups by
+    * xxhash64(paragraph) with a map-side partial `min(struct)` —
+    * one 8-byte key + (id, pos) PER DISTINCT PARAGRAPH crosses that
+    * shuffle, never the paragraph text (the exact width problem
+    * [[exactByHash]] solves for whole documents: boilerplate
+    * paragraphs are multi-KB and the distinct-paragraph set at
+    * corpus scale dwarfs executor memory when shuffled as strings).
+    * `hashKeys = false` restores full-text keys — exact even under
+    * 64-bit collisions (~n^2/2^64 — negligible below ~10^9 distinct
+    * paragraphs). The keep-decision join is on (id, pos) against the
+    * winner set; reassembly is one `collect_list` + `array_sort` per
+    * document — linear, no window over the corpus.
+    *
+    * `sep` is a LITERAL separator (regex-quoted before reaching
+    * Spark's regex-based `split` — a caller's "." or "|" splits on
+    * the character, not on the regex).
     */
   def dedupParagraphs(
       docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n\n"): DataFrame = {
+      sep: String = "\n\n", hashKeys: Boolean = true): DataFrame = {
     val paras = docs.select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), sep)).as(Seq("__idx", "__p")))
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__p")))
       .filter(length(col("__p")) > 0)
-    val winners = paras.groupBy(col("__p"))
+    val key: Column => Column =
+      if (hashKeys) xxhash64(_) else identity
+    val winners = paras.groupBy(key(col("__p")).as("__pk"))
       .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
-      .select(col("__p").as("__wp"), col("__w.__id").as("__wid"),
-        col("__w.__idx").as("__widx"))
+      .select(col("__w.__id").as("__wid"), col("__w.__idx").as("__widx"))
     val kept = paras.join(winners,
-      col("__p") === col("__wp") &&
-        col("__id") === col("__wid") && col("__idx") === col("__widx"))
+      col("__id") === col("__wid") && col("__idx") === col("__widx"))
       .select(col("__id"), col("__idx"), col("__p").as("__kp"))
     val reassembled = kept.groupBy(col("__id")).agg(
       count(lit(1)).as("n_kept"),

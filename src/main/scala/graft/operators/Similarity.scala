@@ -89,14 +89,15 @@ object Similarity {
     * over `round()` because its semantics are bit-identical across
     * engines (SQL round() disagrees on negative halves between
     * implementations). A zero vector quantizes to zeros with
-    * scale 1. Shuffle-free, linear.
+    * scale 1. Shuffle-free, linear: one codegen'd pass per row
+    * ([[graft.plans.QuantizeInt8]] — the earlier Column composition
+    * captured the array_max subtree inside the per-element lambda,
+    * which Catalyst re-evaluated per element: O(d^2) per row).
     */
   def quantizeInt8(vec: Column): Column = {
-    val maxAbs = array_max(transform(vec, x => abs(x))).cast("double")
-    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / lit(127.0))
-    struct(
-      scale.as("scale"),
-      transform(vec, x => floor(x.cast("double") / scale + lit(0.5)).cast("int")).as("q"))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    call_function("graft_quantize_int8", vec)
   }
 
   /** Inverse of [[quantizeInt8]]: array<double> ~ the original within

@@ -41,6 +41,16 @@ object BloomFilterOps {
     true
   }
 
+  /** Membership probe against a hash-range-sharded filter set: the
+    * row's shard is floorMod(hash, nShards) — the same arithmetic as
+    * Spark's `pmod`, so a filter built from a
+    * `groupBy(pmod(hash, nShards))` partition probes consistently.
+    */
+  def containsSharded(shardWords: Array[Array[Long]], numHashes: Int, hash: Long): Boolean = {
+    val s = java.lang.Math.floorMod(hash, shardWords.length.toLong).toInt
+    contains(shardWords(s), numHashes, hash)
+  }
+
   /** Standard sizing: bits per key for a target false-positive rate
     * (m = -n ln p / ln2², k = (m/n) ln 2), rounded up to whole
     * 64-bit words, capped to keep the plan constant broadcastable.
@@ -181,6 +191,59 @@ case class BloomContains(first: Expression, second: Expression, third: Expressio
     val k = numHashes
     nullSafeCodeGen(ctx, ev, (hashExpr, _, _) =>
       s"${ev.value} = graft.plans.BloomFilterOps.contains($wordsRef, $k, $hashExpr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Membership test against a hash-range-SHARDED Bloom filter set, as
+  * one codegen'd expression: shard = floorMod(hash, nShards) (Spark
+  * `pmod` arithmetic), then the k probes run against that shard's
+  * words only.
+  *
+  * Why sharding: a single filter for ~10^9+ history keys is GBs of
+  * bits in ONE plan constant / reference object — past array and
+  * task-serialization limits, and an all-or-nothing broadcast.
+  * Sharding by hash range keeps every individual constant bounded
+  * (total bits unchanged, fpp per key unchanged — each key is sized
+  * into its shard), while build stays one history scan
+  * (`groupBy(pmod(hash, S))` of partial-aggregated word arrays) and
+  * probe stays one expression. `wordsPerShard` (array<array<long>>,
+  * element s = shard s's words) and `numHashes` must be foldable.
+  */
+case class BloomContainsSharded(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType, ArrayType(ArrayType(LongType)), IntegerType)
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_bloom_contains_sharded"
+
+  @transient private lazy val shardWords: Array[Array[Long]] = {
+    require(second.foldable, "shard words must be a literal")
+    val ad = second.eval().asInstanceOf[ArrayData]
+    require(ad.numElements() >= 1, "at least one shard")
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toLongArray())
+  }
+
+  @transient private lazy val numHashes: Int = {
+    require(third.foldable, "numHashes must be a literal")
+    val k = third.eval().asInstanceOf[Int]
+    require(k >= 1 && k <= 32, s"numHashes must be in [1,32], got $k")
+    k
+  }
+
+  override def nullSafeEval(h: Any, b: Any, k: Any): Any =
+    BloomFilterOps.containsSharded(shardWords, numHashes, h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("bloomShardWords", shardWords, "long[][]")
+    val k = numHashes
+    nullSafeCodeGen(ctx, ev, (hashExpr, _, _) =>
+      s"${ev.value} = graft.plans.BloomFilterOps.containsSharded($wordsRef, $k, $hashExpr);")
   }
 
   override protected def withNewChildrenInternal(

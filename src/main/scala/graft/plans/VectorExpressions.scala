@@ -379,6 +379,71 @@ case class DotProductInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-vector symmetric int8 quantization as ONE codegen'd pass:
+  * struct(scale: double, q: array<int>), scale = max|x| / 127 (1 for
+  * a zero vector), q[i] = floor(x[i]/scale + 0.5). The Column
+  * composition this replaces (`transform(vec, x -> floor(x/scale +
+  * 0.5))` with `scale` a derived expression) captured the
+  * array_max(transform(vec, abs)) subtree INSIDE the per-element
+  * lambda, so Catalyst re-evaluated the max over the whole vector
+  * for every element — O(d^2) per row, ~590k multiply-compares for a
+  * 768-dim vector, on the path a 100 TB corpus runs per row before
+  * ANN serving. Here the max is one pass and the codes a second —
+  * O(d), inside whole-stage codegen.
+  *
+  * Arithmetic is bit-identical to the replaced composition (and the
+  * DuckDB oracle): the max runs over double-widened floats,
+  * floor(x/scale + 0.5) is half-toward-+inf — engine-portable where
+  * SQL round() half-cases are not.
+  */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def prettyName: String = "graft_quantize_int8"
+
+  override def nullSafeEval(v: Any): Any =
+    QuantizeInt8.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.QuantizeInt8.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  /** Shared by interpreted eval and generated code: one max pass, one
+    * quantize pass, no per-element re-evaluation of the scale.
+    */
+  def compute(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = Math.abs(vec.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val q = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      q(i) = Math.floor(vec.getFloat(i).toDouble / scale + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+}
+
 /** Word n-grams of lowercased whitespace-tokenized text as ONE
   * codegen'd expression: semantically identical to the Column
   * composition `transform(sequence(...), i -> concat_ws(" ",
@@ -413,16 +478,32 @@ case class WordNgrams(left: Expression, right: Expression)
 }
 
 object WordNgrams {
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** One pass: lowercase+trim, split on whitespace runs, emit the
     * space-joined n-grams. Matches `split(trim(lower(text)), "\s+")`
     * exactly — including the locale: Spark's `lower()` non-ASCII
     * path is `String.toLowerCase()` under the DEFAULT locale, so
     * this uses the same call (Locale.ROOT would silently diverge
     * from `TextFunctions.tokens` on locale-sensitive codepoints).
+    * Two further Spark-vs-Java divergences matter for crawl text
+    * with leading/trailing tabs/newlines: Spark `trim` strips ONLY
+    * the space character (0x20) where Java's String.trim strips
+    * every char <= U+0020, and Spark `split` runs with limit -1
+    * (trailing empty tokens kept) where Java's default drops them —
+    * so trimming and splitting here replicate the Spark calls, not
+    * the Java conveniences, and the n-grams stay bit-identical to
+    * `TextFunctions.tokens` and the oracle replays on ANY input.
     */
   def compute(text: String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     require(n >= 1, "n must be >= 1")
-    val toks = text.toLowerCase().trim.split("\\s+")
+    val lowered = text.toLowerCase()
+    var s = 0
+    var e = lowered.length
+    while (s < e && lowered.charAt(s) == ' ') s += 1
+    while (e > s && lowered.charAt(e - 1) == ' ') e -= 1
+    val toks = Whitespace.split(lowered.substring(s, e), -1)
     val count = toks.length - n + 1
     if (toks.length < n) {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
@@ -481,6 +562,15 @@ object VectorExpressions {
   def bloomContains(hash: Column, words: Array[Long], numHashes: Int): Column =
     call_function("graft_bloom_contains", hash,
       org.apache.spark.sql.functions.typedLit(words), lit(numHashes))
+
+  /** Sharded Bloom probe: shard = pmod(hash, wordsPerShard.length),
+    * probe that shard's words only. Each shard's word array is a
+    * bounded constant — the >10^9-key story for [[bloomContains]].
+    */
+  def bloomContainsSharded(
+      hash: Column, wordsPerShard: Array[Array[Long]], numHashes: Int): Column =
+    call_function("graft_bloom_contains_sharded", hash,
+      org.apache.spark.sql.functions.typedLit(wordsPerShard), lit(numHashes))
 }
 
 /** The `spark.sql.extensions` injection path: add
@@ -530,6 +620,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       children => BloomContains(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bloom_contains_sharded"),
+      new ExpressionInfo(classOf[BloomContainsSharded].getName, "graft_bloom_contains_sharded"),
+      children => BloomContainsSharded(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       children => WordNgrams(children(0), children(1))),
@@ -538,7 +631,10 @@ object GraftFunctions {
       children => HeavyHittersAgg(children(0), children(1))),
     (FunctionIdentifier("graft_dot_int8"),
       new ExpressionInfo(classOf[DotProductInt8].getName, "graft_dot_int8"),
-      children => DotProductInt8(children(0), children(1))))
+      children => DotProductInt8(children(0), children(1))),
+    (FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
+      children => QuantizeInt8(children(0))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

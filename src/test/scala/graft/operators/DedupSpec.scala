@@ -314,6 +314,50 @@ class DedupSpec extends SparkSpec {
     assert(saturated === out)
   }
 
+  test("incrementalDedup: sharded bloom filters give shard-count-invariant results") {
+    val s = spark
+    import s.implicits._
+    val history = (0L until 400L).map(i => (i, s"shardable history doc $i body"))
+      .toDF("doc_id", "text")
+    val batch = (
+      (0L until 30L).map(i => (1000L + i, s"  SHARDABLE history DOC $i body ")) ++
+      (0L until 30L).map(i => (2000L + i, s"novel shard text $i"))).toDF("doc_id", "text")
+    def run(shards: Int) =
+      Dedup.incrementalDedup(history, batch, "doc_id", "text",
+          expectedItems = 400L, fpp = 0.01, shards = shards)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_history"))
+        .toMap
+    val single = run(1)
+    assert(single.size === 60)
+    (0L until 30L).foreach(i => assert(single(1000L + i) && !single(2000L + i)))
+    // per-shard constants shrink; membership semantics must not move
+    assert(run(4) === single)
+    assert(run(7) === single)
+  }
+
+  test("dedupParagraphs: hashed group keys equal the full-string path on multi-KB paragraphs") {
+    val s = spark
+    import s.implicits._
+    // paragraphs of several KB — exactly the width the hashed shuffle
+    // key exists to keep out of the winner-election exchange
+    def para(tag: String): String = (1 to 400).map(i => s"$tag-word$i").mkString(" ")
+    val (a, b, c) = (para("alpha"), para("beta"), para("gamma"))
+    val docs = Seq(
+      (1L, s"$a\n\n$b"),
+      (2L, s"$b\n\n$c\n\n$a"), // b and a already seen in doc 1
+      (3L, s"$c"),             // c seen in doc 2
+      (4L, s"$a\n\n$a")).toDF("doc_id", "text")
+    def rows(hashKeys: Boolean) =
+      Dedup.dedupParagraphs(docs, "doc_id", "text", hashKeys = hashKeys)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val hashed = rows(hashKeys = true)
+    assert(hashed === rows(hashKeys = false))
+    assert(hashed.map(t => (t._1, t._3, t._4)) ===
+      Seq((1L, 2L, 0L), (2L, 1L, 2L), (3L, 0L, 1L), (4L, 0L, 2L)))
+    assert(hashed(1)._2 === c)
+  }
+
   test("bloom build/probe: zero false negatives, bounded false positives") {
     import graft.plans.BloomFilterOps
     val (bits, k) = BloomFilterOps.sizeFor(10000L, 0.01)

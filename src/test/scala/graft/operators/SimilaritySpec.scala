@@ -209,6 +209,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"dequantized recall $recall")
   }
 
+  test("quantize expression matches the per-element Column composition it replaced") {
+    // the O(d) codegen'd expression must be value-identical to the
+    // (O(d^2)-per-row) transform/array_max composition, including the
+    // floor(x/scale + 0.5) negative-half cases and the zero vector
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      Array(1.0f, -1.0f, 0.5f, -0.5f, 126.9f),
+      Array(-127.0f, 63.5f, -63.5f, 0.0f, 1e-6f),
+      Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f),
+      Array(3.14159f, -2.71828f, 1.41421f, -0.57721f, 0.69314f))
+      .map(Tuple1(_)).toDF("v")
+    val maxAbs = array_max(transform(col("v"), x => abs(x))).cast("double")
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / lit(127.0))
+    val composed = struct(
+      scale.as("scale"),
+      transform(col("v"), x => floor(x.cast("double") / scale + lit(0.5)).cast("int")).as("q"))
+    val rows = vecs.select(
+      Similarity.quantizeInt8(col("v")).as("e"), composed.as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0).getDouble(0) === r.getStruct(1).getDouble(0))
+      assert(r.getStruct(0).getSeq[Int](1) === r.getStruct(1).getSeq[Int](1))
+    }
+  }
+
   test("int8 dot-product search recalls the exact dot-product top-k") {
     val s = spark
     import s.implicits._

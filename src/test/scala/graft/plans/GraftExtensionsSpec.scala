@@ -21,6 +21,32 @@ class GraftExtensionsSpec extends SparkSpec {
       .isInstanceOf[TopKPairs])
   }
 
+  test("word n-grams expression matches Spark's split(trim(lower)) on whitespace-adversarial text") {
+    // Spark trim strips only ' '; Spark split runs with limit -1
+    // (trailing empties kept). Crawl text with leading/trailing
+    // tabs/newlines is exactly where Java's String.trim/split
+    // conveniences silently diverge — pin the expression against the
+    // real engine composition, not a Java reference.
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq("\tleading tab", "trailing newline\n", "  spaced  ",
+      "a\tb\nc", "", " ", "\n\n", "one", "x \t y", "\ta b\t").toDF("t")
+    val n = 2
+    val toks = split(trim(lower(col("t"))), "\\s+")
+    val composed = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    docs.select(col("t"),
+        call_function("graft_word_ngrams", col("t"), lit(n)).as("e"),
+        composed.as("c"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"divergence on ${r.getString(0).replace("\n", "\\n").replace("\t", "\\t")}"))
+  }
+
   test("runtime registrar exposes the functions through SQL") {
     GraftFunctions.register(spark)
     val d = spark.sql(

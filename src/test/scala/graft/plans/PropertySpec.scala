@@ -28,9 +28,17 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("word n-grams: equals the sliding-window reference on arbitrary text") {
+    // the reference replays SPARK's composition semantics —
+    // split(trim(lower(text)), '\s+') — NOT the Java conveniences:
+    // trim strips only ' ' (Java String.trim strips all <= U+0020)
+    // and split keeps trailing empty tokens (Spark split runs with
+    // limit -1); GraftExtensionsSpec pins the same against the
+    // actual Spark engine
     def ref(text: String, n: Int): Seq[String] = {
-      val toks = text.toLowerCase(java.util.Locale.ROOT).trim
-        .split("\\s+").toSeq
+      val lowered = text.toLowerCase()
+      val trimmed = lowered
+        .replaceAll("^ +", "").replaceAll(" +$", "")
+      val toks = trimmed.split("\\s+", -1).toSeq
       if (toks.length < n) Nil else toks.sliding(n).map(_.mkString(" ")).toSeq
     }
     val gen = for {
