@@ -1,8 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** File-level data skipping — the Delta-Lake-style min/max manifest,
   * re-expressed over plain parquet (reference: pos-dlt stores its
@@ -35,9 +40,15 @@ import org.apache.spark.sql.functions._
 object DataSkipping {
 
   val StatsDir = "_graft_stats"
+  val SchemaFile = "_table_schema.json"
 
-  /** Write `df` as parquet at `path` plus a per-file min/max manifest
-    * for `statsCols`. Stats are computed in ONE extra scan of the
+  /** Write `df` as parquet at `path` plus a per-file manifest for
+    * `statsCols`: min/max per column, row count, and the file's SIZE
+    * and MODIFICATION TIME (from the scan's `_metadata` struct — no
+    * extra filesystem listing), so a pruned read can build its file
+    * index purely from the manifest. The table schema is persisted
+    * alongside (`_table_schema.json`) so planning never touches a
+    * data-file footer. Stats are computed in ONE extra scan of the
     * written files, grouped by file (partial-agg shuffle keyed on
     * file path — one row per file crosses the wire).
     */
@@ -47,27 +58,60 @@ object DataSkipping {
     val spark = df.sparkSession
     val written = spark.read.parquet(path)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    written
-      .groupBy(input_file_name().as("file"))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++ Seq(
+      count(lit(1)).as("n_rows"),
+      max(col("_metadata.file_size")).as("file_size"),
+      max(unix_millis(col("_metadata.file_modification_time"))).as("mod_time"))
+    written.select(col("*"), col("_metadata"))
+      .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    // schema sidecar AFTER the manifest write (overwrite clears the dir)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$path/$StatsDir/$SchemaFile"), true)
+    try out.write(written.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  /** (files the predicate might match, all files) from the manifest. */
+  /** Table schema from the manifest sidecar; falls back to reading
+    * the data files (a listing + footer) for pre-sidecar manifests.
+    */
+  private def tableSchema(spark: SparkSession, path: String): StructType = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$path/$StatsDir/$SchemaFile")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try DataType.fromJson(new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType]
+      finally in.close()
+    } else spark.read.parquet(path).schema
+  }
+
+  /** The user predicate analyzed against the table schema (via an
+    * empty local relation — NO file listing or footer read), as the
+    * resolved Filter condition the min/max rewriter consumes.
+    */
+  private def resolvedCondition(
+      spark: SparkSession, schema: StructType, predicate: Column): Expression =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      .filter(predicate)
+      .queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(sys.error("predicate did not analyze to a Filter"))
+
+  /** (files the predicate might match, all files) from the manifest.
+    * DRIVER-SIDE LISTS — the test/diagnostic surface for pruning
+    * counts. The scan path is [[readSkipping]], which never
+    * materializes the all-files list.
+    */
   def prunedFiles(
       spark: SparkSession, path: String,
       predicate: Column): (Seq[String], Seq[String]) = {
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
-    // resolve the user predicate against the table's own schema (the
-    // analyzed Filter condition), then rewrite it over min_/max_
-    val cond = spark.read.parquet(path).filter(predicate)
-      .queryExecution.analyzed
-      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-      .getOrElse(sys.error("predicate did not analyze to a Filter"))
+    val cond = resolvedCondition(spark, tableSchema(spark, path), predicate)
     val skip = rewrite(cond, tracked).getOrElse(lit(true))
     val all = stats.select("file").collect().map(_.getString(0)).toSeq
     val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
@@ -76,12 +120,50 @@ object DataSkipping {
 
   /** Read `path` under `predicate`, scanning only files whose stats
     * admit a match; the predicate is re-applied to surviving rows.
+    *
+    * Scale shape (the Delta-snapshot pattern): the manifest is a
+    * TABLE — the kept-file set is computed by a distributed filter
+    * over it, and only the surviving (path, size, mtime) rows reach
+    * the driver, where they become a [[ManifestFileIndex]] feeding
+    * the parquet reader directly. Planning therefore does:
+    *  - ZERO data-file listings (statuses come from the manifest),
+    *  - ZERO footer reads (schema comes from the sidecar),
+    *  - no per-file path list in the plan (the scan node holds one
+    *    relation whose file index serves the statuses),
+    * and the driver never materializes the all-files list — at 10^6
+    * manifest entries with a selective predicate, driver memory is
+    * O(kept), not O(files). Pre-sidecar manifests (no
+    * file_size/mod_time columns) fall back to a path-list read.
     */
   def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame = {
-    val (kept, all) = prunedFiles(spark, path, predicate)
-    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else if (kept.size == all.size) spark.read.parquet(path).filter(predicate)
-    else spark.read.parquet(kept: _*).filter(predicate)
+    val stats = spark.read.parquet(s"$path/$StatsDir")
+    val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val schema = tableSchema(spark, path)
+    val cond = resolvedCondition(spark, schema, predicate)
+    val skip = rewrite(cond, tracked).getOrElse(lit(true))
+    if (!stats.columns.contains("file_size")) {
+      // legacy manifest: no status metadata recorded — path-list read
+      val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.schema(schema).parquet(kept: _*).filter(predicate)
+    } else {
+      val kept = stats.filter(skip)
+        .select(col("file"), col("file_size"), col("mod_time")).collect()
+      val statuses = kept.map { r =>
+        FileStatusWithMetadata(new FileStatus(
+          r.getLong(1), false, 1, 128L * 1024 * 1024, r.getLong(2),
+          new Path(r.getString(0))))
+      }.toSeq
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val relation = HadoopFsRelation(
+        new ManifestFileIndex(new Path(path), statuses),
+        partitionSchema = new StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(classic)
+      classic.baseRelationToDataFrame(relation).filter(predicate)
+    }
   }
 
   /** Rewrite a row predicate into a file-stats predicate over
@@ -220,4 +302,30 @@ object DataSkipping {
   private def litOf(v: Literal): Column =
     lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
       .convertToScala(v.value, v.dataType))
+}
+
+/** A [[FileIndex]] served entirely from manifest rows: the statuses
+  * (path, size, mtime) were recorded at write time, so the scan
+  * plans with NO filesystem listing and no footer read — the role
+  * Delta's log snapshot plays for its reader. Unpartitioned (the
+  * manifest's min/max pruning replaces partition pruning); the
+  * already-pruned file set is returned for any filter combination.
+  */
+private[sources] class ManifestFileIndex(
+    root: Path, files: Seq[FileStatusWithMetadata]) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, files))
+
+  override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override val sizeInBytes: Long = files.map(_.getLen).sum
+
+  override def partitionSchema: StructType = new StructType()
 }

@@ -149,6 +149,45 @@ class DataSkippingSpec extends SparkSpec {
     assert(viaZ.size === 1000)
   }
 
+  test("10k-entry manifest: kept set computed distributively, no O(files) plan or listing") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // 16 real files, ids 0..999
+    DataSkipping.writeWithStats(
+      (0L until 1000L).toDF("id").repartitionByRange(16, col("id")), dir, Seq("id"))
+    // inflate the manifest to 10k entries: 9,984 synthetic files with
+    // id ranges the predicate provably excludes — never to be opened
+    val manifest = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+    val fakes = s.range(9984).select(
+      concat(lit(s"file:$dir/fake-"), col("id"), lit(".parquet")).as("file"),
+      (col("id") + 1000000L).as("min_id"), (col("id") + 1000000L).as("max_id"),
+      lit(1L).as("n_rows"), lit(123L).as("file_size"), lit(0L).as("mod_time"))
+    manifest.select("file", "min_id", "max_id", "n_rows", "file_size", "mod_time")
+      .union(fakes)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/__newstats")
+    // swap the inflated manifest in (keep the schema sidecar)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/${DataSkipping.StatsDir}"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/__newstats"),
+      new org.apache.hadoop.fs.Path(s"$dir/${DataSkipping.StatsDir}"))
+    val schemaOut = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/${DataSkipping.StatsDir}/${DataSkipping.SchemaFile}"), true)
+    schemaOut.write(new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint", nullable = false).json.getBytes("UTF-8"))
+    schemaOut.close()
+
+    val df = DataSkipping.readSkipping(s, dir, col("id") >= 100L && col("id") < 300L)
+    // none of the 9,984 synthetic paths may appear anywhere in the
+    // plan — the scan holds ONE relation backed by the manifest index
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("fake-"), "plan embeds pruned file paths\n" + p.take(2000))
+    assert(p.length < 100000, s"plan size ${p.length} grows with manifest size")
+    // and the read is correct: only real files are opened
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (100L until 300L))
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
