@@ -207,6 +207,32 @@ object Multimodal {
       */
     def frameSample(bytes: Array[Byte], frameSize: Int, every: Int): Seq[Array[Byte]] =
       FakeCodec.frameSample(bytes, frameSize, every)
+
+    /** EXACT-INTEGER per-channel pixel sums over a full real decode —
+      * the oracle-comparable image feature (integer sums hash-compare
+      * cleanly where the luminance-grid floats of [[extractFeatures]]
+      * would not; the audio path's peak/sum_abs analog). (-1,-1,-1)
+      * on undecodable payloads.
+      */
+    def pixelSums(bytes: Array[Byte]): (Long, Long, Long) =
+      read(bytes) match {
+        case None => (-1L, -1L, -1L)
+        case Some(img) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (sr, sg, sb)
+      }
   }
 
   /** REAL video-container demux over plain JDK: AVI is RIFF-framed
@@ -497,6 +523,71 @@ object Multimodal {
         }
       }
       .toDF("id", "frame_idx", "fmt", "width", "height")
+  }
+
+  /** Deterministic PNG synthesis: a REAL PNG (lossless, so decoded
+    * pixels are byte-identical to these) whose dimensions and every
+    * pixel are pure functions of `id` — width = 8 + id%9,
+    * height = 8 + id%7, pixel(x,y) = (r,g,b) with
+    * r = (id*7 + x*3 + y*5) % 256, g = (id*11 + x*13 + y*2) % 256,
+    * b = (id*3 + x + y*17) % 256. [[ImageIoCodec]] then decodes it
+    * through the genuine JDK PNG stack and the DuckDB oracle replays
+    * the closed-form arithmetic — the image analog of
+    * [[synthWavPcm16]]/[[synthAviMjpeg]] (which closed the same
+    * fake-only gap for audio/video in r5/r6).
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id * 11 + x * 13 + y * 2) % 256).toInt
+        val b = ((id * 3 + x + y * 17) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a synthesized real-PNG payload per row (partition-local
+    * byte building, the same shell as [[withAudioPayload]]).
+    */
+  def withImagePayload(spark: SparkSession,
+      docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("bigint")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthPng(id))))
+      .toDF("id", "payload")
+  }
+
+  /** Real image decode + exact-integer features through the
+    * partition-batched shell: header metadata (format, dimensions)
+    * plus per-channel pixel sums from a full pixel decode — ONE
+    * partition-local pass, oracle-comparable output (all ints + one
+    * format string).
+    */
+  def decodeImagesExact(spark: SparkSession,
+      withPayload: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    withPayload.select(col(idCol).cast("bigint"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (fmt, w, h) = ImageIoCodec.decode(bytes)
+          val (sr, sg, sb) = ImageIoCodec.pixelSums(bytes)
+          (id, fmt, w, h, sr, sg, sb)
+        }
+      }
+      .toDF("id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Audio payload metadata + exact-integer PCM features (integer

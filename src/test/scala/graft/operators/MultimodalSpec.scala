@@ -179,6 +179,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthPng roundtrips through the real PNG stack with exact closed-form pixel sums") {
+    for (id <- Seq(0L, 1L, 8L, 62L, 499L)) {
+      val png = Multimodal.synthPng(id)
+      // genuine PNG signature
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+      val (fmt, w, h) = Multimodal.ImageIoCodec.decode(png)
+      assert(fmt === "png")
+      assert(w === 8 + id % 9)
+      assert(h === 8 + id % 7)
+      // lossless roundtrip: decoded sums equal the synthesis arithmetic
+      val (sr, sg, sb) = Multimodal.ImageIoCodec.pixelSums(png)
+      val px = for (y <- 0 until h; x <- 0 until w) yield (
+        (id * 7 + x * 3 + y * 5) % 256,
+        (id * 11 + x * 13 + y * 2) % 256,
+        (id * 3 + x + y * 17) % 256)
+      assert(sr === px.map(_._1).sum)
+      assert(sg === px.map(_._2).sum)
+      assert(sb === px.map(_._3).sum)
+    }
+    // sentinel on garbage
+    assert(Multimodal.ImageIoCodec.pixelSums(Array.fill[Byte](64)(7)) === ((-1L, -1L, -1L)))
+  }
+
   test("corrupt or truncated audio degrades to the sentinel, never throws") {
     val garbage = Array.fill[Byte](100)(42)
     assert(Multimodal.JavaSoundCodec.decodeMeta(garbage).fmt === "unknown")
