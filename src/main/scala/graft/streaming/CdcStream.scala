@@ -34,13 +34,19 @@ import java.nio.file.{Files, Paths}
   * history. `maxCommitRetries` consecutive lost races fail loudly
   * with [[ConcurrentWriterException]].
   *
-  * The commit primitive assumes atomic rename-if-absent (true on
-  * POSIX filesystems and HDFS; object stores without atomic rename
-  * need a coordination service — the same caveat Delta's log
-  * protocol documents). A writer that crashes mid-merge leaves only
-  * an inert `.staged-*` dir (never a partial version, never a lock):
+  * The commit primitive is PLUGGABLE ([[CommitCoordinator]]): the
+  * default [[RenameCoordinator]] assumes atomic rename-if-absent
+  * (true on POSIX filesystems and HDFS); object stores without
+  * atomic rename use [[LockFileCoordinator]], which rebuilds the
+  * same either-fully-committed-or-invisible guarantee from the
+  * conditional-put primitive they DO have (lock object + per-file
+  * copy + marker-object commit point — closing the caveat Delta's
+  * log protocol documents). A writer that crashes mid-merge leaves
+  * only an inert `.staged-*` dir (never a partial version):
   * other writers are unaffected, and [[ParquetStateStore.vacuumStaging]]
-  * clears the leftovers.
+  * clears the leftovers; a lock-coordinator writer crashing
+  * mid-PUBLISH leaves a marker-less partial version dir that stays
+  * invisible to readers and is repaired by the next publisher.
   *
   * TIME TRAVEL — versions within `retainVersions` stay on disk and
   * are readable via [[readVersion]] / [[versions]]. `retainVersions`
@@ -56,7 +62,8 @@ final class ParquetStateStore(
     payload: Seq[String],
     retainVersions: Int = 2,
     deleteWhen: Option[org.apache.spark.sql.Column] = None,
-    maxCommitRetries: Int = 10) {
+    maxCommitRetries: Int = 10,
+    coordinator: CommitCoordinator = RenameCoordinator) {
 
   require(retainVersions >= 1, "must retain at least the latest version")
 
@@ -64,13 +71,18 @@ final class ParquetStateStore(
 
   private def versionDir(v: Long) = s"$path/v$v"
 
-  /** Latest committed version = max `v<N>` dir present. Version dirs
-    * appear only via the atomic commit rename, so a listed dir is
-    * always a complete, committed version (no pointer file to swap —
-    * the rename IS the commit).
+  /** Latest committed version = max `v<N>` dir the coordinator
+    * confirms committed. Under rename-commit a listed dir is always
+    * complete (the rename IS the commit); under marker-commit a
+    * partially-published dir without its marker is filtered here —
+    * the read-side half of the commit protocol.
     */
   private def latestVersion: Option[Long] =
-    VersionedDir.list(Paths.get(path), "^v(\\d+)$".r).lastOption.map(_._1)
+    committedVersions.lastOption.map(_._1)
+
+  private def committedVersions: Seq[(Long, java.nio.file.Path)] =
+    VersionedDir.list(Paths.get(path), "^v(\\d+)$".r)
+      .filter { case (_, p) => coordinator.isCommitted(p) }
 
   /** Raw persisted state, INCLUDING delete tombstones when
     * `deleteWhen` is configured (they must survive merges so a late
@@ -94,8 +106,7 @@ final class ParquetStateStore(
     * read surface. Bounded by `retainVersions` (+1 transiently
     * mid-GC).
     */
-  def versions: Seq[Long] =
-    VersionedDir.list(Paths.get(path), "^v(\\d+)$".r).map(_._1)
+  def versions: Seq[Long] = committedVersions.map(_._1)
 
   /** Historical read of a retained version, tombstones excluded —
     * `readVersion(latest)` == `current`. Versions beyond the
@@ -228,36 +239,40 @@ final class ParquetStateStore(
       val next = base.getOrElse(-1L) + 1
       stagedSeq += 1
       val staged = Paths.get(path, s".staged-$writerId-$stagedSeq")
+      def lostRace(cause: Throwable): Unit = {
+        attempt += 1
+        if (attempt > maxCommitRetries)
+          throw new ConcurrentWriterException(
+            s"state store at $path: lost $attempt consecutive commit races " +
+              s"(writer $writerId, contended version v$next) — too many " +
+              "concurrent writers for maxCommitRetries=" + maxCommitRetries, cause)
+      }
       try {
         merged.write.mode("overwrite").parquet(staged.toString)
         beforeCommit() // test seam: deterministic interleaving
-        // THE commit: atomic rename onto the next version slot. A
-        // rival that committed first left a non-empty v{next} there,
-        // so this rename fails — that failure is the conflict signal.
-        Files.move(staged, Paths.get(versionDir(next)))
-        committed = next
+        // THE commit: the coordinator publishes the staged dir onto
+        // the next version slot — atomic rename on POSIX/HDFS, the
+        // lock+marker protocol on object stores. false = a rival won
+        // (or holds the commit lock): re-merge against the new
+        // latest and retry.
+        if (coordinator.publish(staged, Paths.get(versionDir(next)))) committed = next
+        else lostRace(null)
       } catch {
-        // CONFLICT = any failure while v{next} exists on disk — a
-        // rival committed it, so re-merge against the winner and
-        // retry. Matching on exception TYPE instead would miss real
-        // races: Files.move's no-REPLACE path is stat-then-rename(2),
-        // and when both writers pass the stat the loser's rename
-        // fails with ENOTEMPTY, which Linux surfaces as a GENERIC
-        // FileSystemException (DirectoryNotEmptyException only comes
-        // from the REPLACE_EXISTING delete path). The same predicate
-        // also absorbs a base version GC'd by rivals mid-merge: the
-        // staged write's lazy read of v{base} then fails, but rivals
-        // having committed >= 2 versions implies v{next} exists, and
-        // the correct response is exactly this re-merge-and-retry.
-        // A failure with NO committed v{next} (disk full, corrupt
-        // batch...) is not a race and propagates.
-        case e: Exception if Files.isDirectory(Paths.get(versionDir(next))) =>
-          attempt += 1
-          if (attempt > maxCommitRetries)
-            throw new ConcurrentWriterException(
-              s"state store at $path: lost $attempt consecutive commit races " +
-                s"(writer $writerId, contended version v$next) — too many " +
-                "concurrent writers for maxCommitRetries=" + maxCommitRetries, e)
+        // CONFLICT = any failure while a COMMITTED v{next} exists — a
+        // rival published it, so re-merge against the winner and
+        // retry. The predicate is committed-rival state, not
+        // exception type (see RenameCoordinator's doc for why type
+        // matching misses real races). It also absorbs a base version
+        // GC'd by rivals mid-merge: the staged write's lazy read of
+        // v{base} then fails, but rivals having committed >= 2
+        // versions implies a committed v{next}, and the correct
+        // response is exactly this re-merge-and-retry. A failure with
+        // NO committed v{next} (disk full, corrupt batch...) is not a
+        // race and propagates.
+        case e: Exception
+            if Files.isDirectory(Paths.get(versionDir(next))) &&
+              coordinator.isCommitted(Paths.get(versionDir(next))) =>
+          lostRace(e)
       } finally {
         if (committed < 0) ParquetStateStore.deleteRecursively(staged)
       }

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path}
+
+/** The commit primitive a [[ParquetStateStore]] uses to publish a
+  * staged version dir as `v{next}` — pluggable because the ONLY
+  * filesystem property the optimistic protocol needs ("a version is
+  * either completely committed or not visible, and two writers
+  * cannot both commit the same version") is provided by different
+  * primitives on different storage:
+  *
+  *  - POSIX / HDFS: rename-if-absent is atomic — the rename IS the
+  *    commit ([[RenameCoordinator]], the default; identical behavior
+  *    to the pre-r7 hardcoded path).
+  *  - S3 / GCS-class object stores: no atomic directory rename (a
+  *    "rename" is a per-object copy loop with partial visibility),
+  *    but they DO have a conditional single-object put (S3
+  *    `If-None-Match`, GCS `x-goog-if-generation-match: 0`) —
+  *    [[LockFileCoordinator]] builds the commit from exactly that
+  *    primitive: an exclusive lock object serializes publishers, the
+  *    (non-atomic) copy runs under the lock, and a marker object
+  *    written LAST is the commit point readers trust. Modeled here
+  *    on `Files.createFile` (atomic CREATE_NEW — the local-FS
+  *    equivalent of the conditional put); a real S3 binding swaps
+  *    the create/exists/delete calls for object-store requests, the
+  *    protocol is unchanged.
+  *
+  * Contract:
+  *  - [[publish]] returns true iff this writer committed `target`;
+  *    false signals a lost race / live contention (the store
+  *    re-merges against the new latest and retries). Non-contention
+  *    failures (disk full, corrupt batch) must propagate as
+  *    exceptions.
+  *  - [[isCommitted]] decides whether a LISTED version dir is a
+  *    completed commit — the read-side half of the protocol (under
+  *    rename-commit, existence == committed; under marker-commit, a
+  *    partially-copied dir without its marker is invisible).
+  */
+trait CommitCoordinator extends Serializable {
+
+  /** Publish `staged` as `target` iff `target` is not already
+    * committed. True = committed by this call; false = lost
+    * race/contention, caller should re-merge and retry.
+    */
+  def publish(staged: Path, target: Path): Boolean
+
+  /** Whether a listed version dir is a completed commit. */
+  def isCommitted(target: Path): Boolean = true
+}
+
+/** Rename-as-commit for filesystems with atomic rename-if-absent
+  * (POSIX, HDFS). A version dir either exists complete or not at
+  * all; renaming onto an existing (non-empty) dir fails — that
+  * failure is the lost-race signal. Matching on "target exists"
+  * instead of exception TYPE is load-bearing: `Files.move`'s
+  * no-REPLACE path is stat-then-rename(2), and when both writers
+  * pass the stat the loser's rename fails with ENOTEMPTY, which
+  * Linux surfaces as a GENERIC FileSystemException
+  * (DirectoryNotEmptyException only comes from the REPLACE_EXISTING
+  * delete path).
+  */
+object RenameCoordinator extends CommitCoordinator {
+  override def publish(staged: Path, target: Path): Boolean =
+    try { Files.move(staged, target); true }
+    catch { case _: Exception if Files.isDirectory(target) => false }
+}
+
+/** Marker-file commit under an exclusive lock, built ONLY from
+  * primitives object stores provide (conditional put = atomic
+  * exclusive file create, list, delete):
+  *
+  *  1. acquire `.{target}.lock` via exclusive create — the
+  *     conditional put. A fresh rival lock → brief poll, then report
+  *     contention (false) so the store's bounded retry loop owns the
+  *     policy. A lock older than `lockTimeoutMs` is STALE (its
+  *     holder crashed mid-publish — the copy loop leaves no
+  *     heartbeat) and is stolen; the steal itself re-races through
+  *     exclusive create, so two stealers cannot both win.
+  *  2. under the lock: if `target` carries the commit marker, a
+  *     rival won — release and report false. If `target` exists
+  *     WITHOUT the marker, it is a crashed rival's partial copy —
+  *     delete it (it was never visible to readers: [[isCommitted]]
+  *     gates on the marker).
+  *  3. copy the staged dir file-by-file — deliberately NON-atomic,
+  *     exactly like an object-store "rename".
+  *  4. write the `_graft_commit` marker LAST: the single-object
+  *     commit point. Readers (and rival writers) treat the version
+  *     as existing only once the marker does.
+  *
+  * Crash analysis: dying before (4) leaves a partial dir + a lock
+  * that goes stale — invisible to readers, repaired by the next
+  * publisher via (2). Dying after (4) but before the lock release
+  * leaves a committed version + a stale lock — the next publisher
+  * steals the lock and sees the marker (false: lost race). No
+  * interleaving yields a half-visible version or two winners.
+  */
+class LockFileCoordinator(
+    lockTimeoutMs: Long = 60000L,
+    lockPollMs: Long = 25L) extends CommitCoordinator {
+
+  val MarkerFile = "_graft_commit"
+
+  override def isCommitted(target: Path): Boolean =
+    Files.exists(target.resolve(MarkerFile))
+
+  override def publish(staged: Path, target: Path): Boolean = {
+    val lock = target.resolveSibling("." + target.getFileName.toString + ".lock")
+    if (!acquire(lock)) return false
+    try {
+      if (isCommitted(target)) return false
+      if (Files.exists(target)) ParquetStateStore.deleteRecursively(target)
+      copyTree(staged, target)
+      beforeMarker() // test seam: crash/interleave injection mid-publish
+      Files.createFile(target.resolve(MarkerFile))
+      ParquetStateStore.deleteRecursively(staged)
+      true
+    } finally Files.deleteIfExists(lock)
+  }
+
+  private def acquire(lock: Path): Boolean =
+    try { Files.createFile(lock); true }
+    catch {
+      case _: FileAlreadyExistsException =>
+        val stale =
+          try System.currentTimeMillis() -
+            Files.getLastModifiedTime(lock).toMillis > lockTimeoutMs
+          catch { case _: java.io.IOException => false } // vanished: holder just released
+        if (stale) {
+          Files.deleteIfExists(lock)
+          try { Files.createFile(lock); true }
+          catch { case _: FileAlreadyExistsException => false } // lost the steal race
+        } else {
+          Thread.sleep(lockPollMs) // live rival mid-publish: don't spin the retry loop dry
+          false
+        }
+    }
+
+  /** Per-file copy in listing order — partial visibility on crash is
+    * the POINT (it models the object-store copy loop); the marker
+    * protocol makes it safe.
+    */
+  private def copyTree(from: Path, to: Path): Unit = {
+    Files.createDirectories(to)
+    val walk = Files.walk(from)
+    try walk.iterator().forEachRemaining { p =>
+      val rel = to.resolve(from.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(rel)
+      else Files.copy(p, rel)
+    } finally walk.close()
+  }
+
+  /** Test seam: runs after the copy, before the marker write. */
+  protected def beforeMarker(): Unit = ()
+}

@@ -150,6 +150,96 @@ class CdcStreamSpec extends SparkSpec {
     assert(state === Map(1 -> 10, 2 -> 20, 3 -> 30))
   }
 
+  test("lock-file coordinator: race detected and retried under the object-store protocol") {
+    // the SAME lost-update scenario as the rename-coordinator race
+    // test, but through the non-atomic copy + lock + marker protocol
+    // — no atomic directory rename anywhere on the commit path
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_lockocc")
+    def mk() = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 10, coordinator = new LockFileCoordinator())
+    val store = mk()
+    val rival = mk()
+
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // v0
+    var fired = false
+    store.beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        rival.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v")) // wins v1
+      }
+    }
+    store.upsertBatch(Seq((3, 1, 30)).toDF("k", "seq", "v")) // loses v1, retries -> v2
+    assert(fired)
+    assert(store.versions === Seq(0L, 1L, 2L))
+    val state = store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state === Map(1 -> 10, 2 -> 20, 3 -> 30), "no update may be lost to the race")
+    // no lock files or staging may linger
+    val leftovers = new java.io.File(stateDir).listFiles().map(_.getName)
+      .filter(n => n.startsWith(".staged-") || n.endsWith(".lock")).toSeq
+    assert(leftovers.isEmpty, s"leftover commit artifacts: $leftovers")
+  }
+
+  test("lock-file coordinator: a crash mid-publish leaves an invisible partial that the next commit repairs") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val stateDir = tmpDir("cdc_state_lockcrash")
+    val store = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 10, coordinator = new LockFileCoordinator(lockTimeoutMs = 200L))
+    store.upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // v0
+
+    // fake the on-disk state of a writer that died between the copy
+    // loop and the marker write: a partial v1 (garbage bytes, NO
+    // marker) plus its still-held lock
+    val partial = Paths.get(stateDir, "v1")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("part-00000.parquet"), Array[Byte](9, 9, 9))
+    val lock = Paths.get(stateDir, ".v1.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+
+    // the partial is INVISIBLE: version surface and reads see only v0
+    assert(store.versions === Seq(0L))
+    assert(store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+      === Map(1 -> 10))
+
+    // the next committer steals the stale lock, clears the partial,
+    // and publishes a REAL v1 merged from v0
+    store.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    assert(store.versions === Seq(0L, 1L))
+    assert(store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+      === Map(1 -> 10, 2 -> 20))
+    assert(!Files.exists(lock), "stolen lock must be released")
+    assert(Files.exists(partial.resolve("_graft_commit")), "repaired v1 must carry the marker")
+  }
+
+  test("lock-file coordinator: many concurrent writers serialize without atomic rename") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_lockmany")
+    val writers = (1 to 4).map { _ =>
+      new ParquetStateStore(s, stateDir,
+        keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+        retainVersions = 100, maxCommitRetries = 50,
+        coordinator = new LockFileCoordinator())
+    }
+    val threads = writers.zipWithIndex.map { case (w, i) =>
+      new Thread(() => w.upsertBatch(Seq((i, 1, i * 10)).toDF("k", "seq", "v")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val store = writers.head
+    assert(store.versions === Seq(0L, 1L, 2L, 3L),
+      "4 commits must serialize into 4 consecutive versions")
+    val state = store.current.get.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(state === Map(0 -> 0, 1 -> 10, 2 -> 20, 3 -> 30))
+  }
+
   test("a non-race failure (no rival commit) propagates instead of retrying") {
     val s = spark
     import s.implicits._
