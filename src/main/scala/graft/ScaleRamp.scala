@@ -67,12 +67,32 @@ object ScaleRamp {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_RAMP_SCALE", "10").toInt
-    // beyond these bounds the derivations repeat (Caesar rotations
-    // cycle at 26, sign-flip masks at the 64-dim space) and copies
-    // become exact duplicates of earlier copies — a silently
-    // different (quadratic-pair) workload
-    require(scaleN >= 2 && scaleN <= 26,
-      s"SPARK_GRAFT_RAMP_SCALE must be in [2, 26], got $scaleN")
+    // beyond these bounds the derivations repeat (letter bijections:
+    // the identity + 25 rotations + 25 reversed rotations = 51; the
+    // r = c%25+1 index cycles past that; sign-flip masks cycle at
+    // the 64-dim space) and copies become exact duplicates of earlier
+    // copies — a silently different (quadratic-pair) workload
+    require(scaleN >= 2 && scaleN <= 51,
+      s"SPARK_GRAFT_RAMP_SCALE must be in [2, 51], got $scaleN")
+    // SPARK_GRAFT_RAMP_ONLY=op1,op2 restricts the timed op set (for
+    // the long single-op ramps, e.g. ngram_jaccard at 30x)
+    val only = sys.env.get("SPARK_GRAFT_RAMP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_RAMP_BASE_FRACTION shrinks the 1x base corpus (a
+    // deterministic doc_id-hash sample) so a large SCALE multiplier's
+    // shuffle scratch fits this container's local disk — the ngram
+    // inverted-index join spills ~2.5 GB per 1x-sf0.1 unit, so 30x on
+    // the full base needs ~75 GB of /tmp, more than the container
+    // has. The growth RATIO is unaffected: both scales shrink
+    // together and the multiplier between them is unchanged.
+    val baseFraction =
+      sys.env.getOrElse("SPARK_GRAFT_RAMP_BASE_FRACTION", "1.0").toDouble
+    require(baseFraction > 0 && baseFraction <= 1.0,
+      s"SPARK_GRAFT_RAMP_BASE_FRACTION must be in (0,1], got $baseFraction")
+    def sampleBase(df: DataFrame, idCol: String): DataFrame =
+      if (baseFraction >= 1.0) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(1000L)) <
+        (baseFraction * 1000).toLong)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_RAMP_REPEATS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,20 +104,28 @@ object ScaleRamp {
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def docsAt(k: Int): DataFrame = {
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+      val base = sampleBase(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")), "doc_id")
       (0 until k).map { c =>
         if (c == 0) base
         else {
-          val rot = alpha.drop(c % 25 + 1) + alpha.take(c % 25 + 1)
+          // copies 1..25: Caesar rotations; 26..51: REVERSED
+          // rotations — a reversal inverts cyclic order, so no
+          // reversed rotation equals any rotation as a mapping and
+          // all 52 bijections are pairwise distinct (two copies can
+          // agree on at most ~1 letter, so no multi-letter token —
+          // hence no shingle — survives across copies)
+          val r = c % 25 + 1
+          val rot = alpha.drop(r) + alpha.take(r)
+          val target = if (c < 26) rot else rot.reverse
           base.select((col("doc_id") + c * 10000000L).as("doc_id"),
-            translate(col("text"), alpha, rot).as("text"))
+            translate(col("text"), alpha, target).as("text"))
         }
       }.reduce(_ union _)
     }
     def vecsAt(k: Int): DataFrame = {
-      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding"))
+      val base = sampleBase(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), "vec_id")
       (0 until k).map { c =>
         if (c == 0) base
         else {
@@ -170,10 +198,11 @@ object ScaleRamp {
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
-    ops.foreach { case (_, fn) =>
+    val timedOps = only.fold(ops)(names => ops.filter(o => names(o._1)))
+    timedOps.foreach { case (_, fn) =>
       try materialize(fn(1)) catch { case _: Throwable => () }
     }
-    val results = ops.map { case (name, fn) =>
+    val results = timedOps.map { case (name, fn) =>
       val times = scales.map { k =>
         val ts = (1 to repeats).flatMap { _ =>
           spark.catalog.clearCache()

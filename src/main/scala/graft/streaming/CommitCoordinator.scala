@@ -91,8 +91,21 @@ object RenameCoordinator extends CommitCoordinator {
   * that goes stale — invisible to readers, repaired by the next
   * publisher via (2). Dying after (4) but before the lock release
   * leaves a committed version + a stale lock — the next publisher
-  * steals the lock and sees the marker (false: lost race). No
-  * interleaving yields a half-visible version or two winners.
+  * steals the lock and sees the marker (false: lost race).
+  *
+  * Steal safety is LEASE-based, the standard non-fencing caveat: a
+  * lock is only stolen `lockTimeoutMs` after its last write, so
+  * correctness assumes a publisher either finishes or is dead within
+  * the lease (Delta on pre-conditional-put S3 ran a DynamoDB
+  * coordination table for exactly this reason). Each lock carries
+  * its owner's token, and the owner RE-CHECKS the token just before
+  * the marker write — so a single stolen lease aborts the original
+  * owner before it can commit; only two writers BOTH deciding the
+  * same lock is stale in the same instant (a double-expired lease,
+  * impossible while any holder is live within its lease) could
+  * interleave copies. A real object-store binding replaces the
+  * delete+create steal with a generation-conditioned swap, removing
+  * the assumption entirely.
   */
 class LockFileCoordinator(
     lockTimeoutMs: Long = 60000L,
@@ -105,35 +118,53 @@ class LockFileCoordinator(
 
   override def publish(staged: Path, target: Path): Boolean = {
     val lock = target.resolveSibling("." + target.getFileName.toString + ".lock")
-    if (!acquire(lock)) return false
+    val token = java.util.UUID.randomUUID().toString
+    if (!acquire(lock, token)) return false
     try {
       if (isCommitted(target)) return false
       if (Files.exists(target)) ParquetStateStore.deleteRecursively(target)
       copyTree(staged, target)
       beforeMarker() // test seam: crash/interleave injection mid-publish
+      // fencing check: if our lease was stolen mid-copy, the thief
+      // owns the slot now — abort WITHOUT the marker (our partial
+      // copy stays invisible and the thief's clear step removes it)
+      if (!holds(lock, token)) return false
       Files.createFile(target.resolve(MarkerFile))
       ParquetStateStore.deleteRecursively(staged)
       true
-    } finally Files.deleteIfExists(lock)
+    } finally {
+      if (holds(lock, token)) Files.deleteIfExists(lock)
+    }
   }
 
-  private def acquire(lock: Path): Boolean =
-    try { Files.createFile(lock); true }
-    catch {
-      case _: FileAlreadyExistsException =>
-        val stale =
-          try System.currentTimeMillis() -
-            Files.getLastModifiedTime(lock).toMillis > lockTimeoutMs
-          catch { case _: java.io.IOException => false } // vanished: holder just released
-        if (stale) {
-          Files.deleteIfExists(lock)
-          try { Files.createFile(lock); true }
-          catch { case _: FileAlreadyExistsException => false } // lost the steal race
-        } else {
-          Thread.sleep(lockPollMs) // live rival mid-publish: don't spin the retry loop dry
-          false
-        }
+  private def holds(lock: Path, token: String): Boolean =
+    try new String(Files.readAllBytes(lock),
+      java.nio.charset.StandardCharsets.UTF_8) == token
+    catch { case _: java.io.IOException => false }
+
+  private def acquire(lock: Path, token: String): Boolean = {
+    def create(): Boolean =
+      try {
+        Files.write(lock, token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    if (create()) true
+    else {
+      val stale =
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis > lockTimeoutMs
+        catch { case _: java.io.IOException => false } // vanished: holder just released
+      if (stale) {
+        Files.deleteIfExists(lock)
+        create() // lost the steal race unless our create wins
+      } else {
+        Thread.sleep(lockPollMs) // live rival mid-publish: don't spin the retry loop dry
+        false
+      }
     }
+  }
 
   /** Per-file copy in listing order — partial visibility on crash is
     * the POINT (it models the object-store copy loop); the marker
