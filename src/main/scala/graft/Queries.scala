@@ -1844,6 +1844,31 @@ object Queries {
                           WHEN 'src2' THEN 2500 ELSE 1000 END
             ORDER BY doc_id"""))
 
+  // Per-source document cap through the bounded-heap topk aggregate:
+  // keep the 10 hash-smallest docs per source (the per-domain-limit
+  // pass). The oracle replays the seeded key arithmetic and elects
+  // winners with a row_number window — the heap selection must be
+  // indistinguishable from the full sort.
+  val capPerSource = QueryDef(
+    "q_cap_per_source",
+    (s, d) => TextOps.capPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 10, seed = 777L)
+      .orderBy("doc_id"),
+    Some {
+      val (m, a) = TextOps.shuffleKeyConstants(777L)
+      s"""WITH keyed AS (
+            SELECT doc_id, source,
+              ((doc_id % 1000000007) * $m + $a) % 1000000007 AS sk
+            FROM documents
+          ), r AS (
+            SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn
+            FROM keyed
+          )
+          SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id"""
+    })
+
   // Deterministic split assignment: the cumulative-bound CASE must
   // replay exactly (80/10/10 over the hash bucket).
   val assignSplits = QueryDef(
@@ -2123,6 +2148,6 @@ object Queries {
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
-    packSequences, sampleSources, assignSplits, pipelineEvents,
+    packSequences, sampleSources, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved)
 }

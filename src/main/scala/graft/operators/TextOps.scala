@@ -269,6 +269,43 @@ object TextOps {
     }
   }
 
+  /** Per-group document cap — the FineWeb/C4-style per-DOMAIN limit
+    * ("at most k pages per registrable domain"): within each group,
+    * keep the k rows with the smallest (seeded shuffle key, id) and
+    * drop the rest. Hash-based like [[sampleBySource]], so the SAME
+    * k representatives survive on every run, engine and retry, and
+    * adding more data never evicts a previously-kept row in favor of
+    * a hash-larger one.
+    *
+    * Scale: selection is `groupBy(group).agg(graft_topk(...))` — the
+    * bounded O(k)-heap [[graft.plans.TopKPairs]] aggregate runs
+    * partially on every map task and merges k-sized states, so a
+    * mega-domain (the whole of wikipedia under one key) costs k
+    * heap entries per task, never a per-group sort. A `row_number`
+    * window would sort every group's full row set in one partition —
+    * exactly the skew this operator exists to cap. The winner-id
+    * set (|groups| x k ids) then semi-joins the corpus. Rows with a
+    * NULL id are dropped (no position in the deterministic order —
+    * visible behavior, not an error).
+    */
+  def capPerGroup(
+      docs: DataFrame, groupCol: String, idCol: String, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    // key < p = 1e9+7 < 2^30: exact in double, so graft_topk's
+    // (score DESC, id ASC) order on -key is exactly (key ASC, id ASC)
+    val scored = docs.select(col(groupCol).as("__g"),
+      col(idCol).cast("bigint").as("__id"),
+      (-shuffleKey(col(idCol), seed)).cast("double").as("__s"))
+    val keptIds = scored.groupBy(col("__g"))
+      .agg(call_function("graft_topk", col("__s"), col("__id"), lit(k)).as("__top"))
+      .select(explode(col("__top")).as("__c"))
+      .select(col("__c.neighbor_id").as("__kid"))
+    docs.join(keptIds, col(idCol) === col("__kid"), "left_semi")
+  }
+
   /** Deterministic train/val/test split assignment: each row gets
     * the first label whose cumulative fraction bound exceeds its
     * hash bucket — `Seq(("train",0.8),("val",0.1),("test",0.1))`

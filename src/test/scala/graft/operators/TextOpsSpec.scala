@@ -318,4 +318,51 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("top_gram") === "b a")
     assert(out(0).getAs[Long]("top_gram_cnt") === 2)
   }
+
+  test("capPerGroup: heap selection equals the row_number reference; stable under growth") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 300L).map(i => (i, s"dom${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = TextOps.capPerGroup(docs, "source", "doc_id", k = 7, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly k per group
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap
+      === Map("dom0" -> 7, "dom1" -> 7, "dom2" -> 7))
+    // equals the full-sort reference
+    val ref = docs
+      .withColumn("__k", TextOps.shuffleKey(col("doc_id"), 11L))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__k"), col("doc_id"))))
+      .filter(col("__rn") <= 7)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq === ref.sorted.toSeq)
+
+    // growth stability: adding MORE rows never evicts a kept row in
+    // favor of a hash-LARGER one — kept sets only change where a new
+    // row genuinely wins a slot
+    val grown = docs.union(
+      (300L until 600L).map(i => (i, s"dom${i % 3}")).toDF("doc_id", "source"))
+    val keptBefore = out.map(_._1).toSet
+    val keptAfter = TextOps.capPerGroup(grown, "source", "doc_id", k = 7, seed = 11L)
+      .collect().map(_.getLong(0)).toSet
+    val evicted = keptBefore -- keptAfter
+    val keyOf = (0L until 600L).map { i =>
+      val (m, a) = TextOps.shuffleKeyConstants(11L)
+      i -> ((i % 1000000007L) * m + a) % 1000000007L
+    }.toMap
+    evicted.foreach { e =>
+      assert(keptAfter.exists(n => n >= 300L && n % 3 == e % 3 && keyOf(n) < keyOf(e)),
+        s"doc $e evicted without a hash-smaller same-group newcomer")
+    }
+
+    // k >= group size keeps everything; null ids are dropped
+    assert(TextOps.capPerGroup(docs, "source", "doc_id", k = 1000).count() === 300)
+    val withNull = Seq[(java.lang.Long, String)]((1L, "d"), (null, "d"))
+      .toDF("doc_id", "source")
+    assert(TextOps.capPerGroup(withNull, "source", "doc_id", k = 5)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }

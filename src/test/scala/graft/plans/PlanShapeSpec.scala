@@ -196,6 +196,39 @@ class PlanShapeSpec extends SparkSpec {
       "winner election should partial-aggregate\n" + p)
   }
 
+  test("capPerGroup: bounded-heap partial agg, no per-group sort window") {
+    val df = TextOps.capPerGroup(
+      Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 10, seed = 777L)
+    val p = plan(df)
+    assert(p.contains("partial_graft_topk"),
+      "per-group cap must select via the map-side bounded heap\n" + p)
+    assert(!p.contains("Window"),
+      "a row_number window would sort whole groups in one partition\n" + p)
+    assert(p.contains("LeftSemi"), "winner ids must semi-join the corpus\n" + p)
+  }
+
+  test("manifest-pruned read: scan served by ManifestFileIndex with the predicate pushed down") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_psread")
+    graft.sources.DataSkipping.writeWithStats(
+      (0L until 1000L).toDF("id").repartitionByRange(8, col("id")),
+      dir, Seq("id"))
+    val df = graft.sources.DataSkipping.readSkipping(
+      s, dir, col("id") >= 100L && col("id") < 300L)
+    val p = plan(df)
+    // the scan's file listing comes from the manifest, not a
+    // filesystem walk, and the row predicate reaches the parquet
+    // reader (a scan reading all row groups for a pushed-down-able
+    // range predicate is a plan regression)
+    assert(p.contains("ManifestFileIndex"),
+      "scan must be served by the manifest-backed file index\n" + p)
+    assert("PushedFilters: \\[.*GreaterThanOrEqual\\(id,100\\)".r
+      .findFirstIn(p).isDefined,
+      "range predicate must be pushed to the parquet scan\n" + p)
+  }
+
   test("no plan anywhere falls back to a cartesian/nested-loop join") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val orders = Tables.orders(spark, sf)
