@@ -92,7 +92,8 @@ object ScaleRamp {
     def sampleBase(df: DataFrame, idCol: String): DataFrame =
       if (baseFraction >= 1.0) df
       else df.filter(pmod(xxhash64(col(idCol)), lit(1000L)) <
-        (baseFraction * 1000).toLong)
+        // round, not truncate: 0.3*1000 is 299.9999... in double
+        math.round(baseFraction * 1000))
     val repeats = sys.env.getOrElse("SPARK_GRAFT_RAMP_REPEATS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -198,6 +199,14 @@ object ScaleRamp {
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
+    // fail fast on a typo'd op name — a silently-empty timed set
+    // wastes a multi-hour ramp run and exits 0 with no results
+    only.foreach { names =>
+      val unknown = names -- ops.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_RAMP_ONLY names unknown ops: ${unknown.mkString(",")}; " +
+          s"known: ${ops.map(_._1).mkString(",")}")
+    }
     val timedOps = only.fold(ops)(names => ops.filter(o => names(o._1)))
     timedOps.foreach { case (_, fn) =>
       try materialize(fn(1)) catch { case _: Throwable => () }

@@ -217,22 +217,62 @@ object Multimodal {
     def pixelSums(bytes: Array[Byte]): (Long, Long, Long) =
       read(bytes) match {
         case None => (-1L, -1L, -1L)
-        case Some(img) =>
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          (sr, sg, sb)
+        case Some(img) => channelSums(img)
       }
+
+    private def channelSums(img: BufferedImage): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    }
+
+    /** ONE-PASS full decode: (format, width, height, sum_r, sum_g,
+      * sum_b). Composing [[decode]] + [[pixelSums]] runs ImageIO
+      * reader discovery and payload parsing TWICE per row — pure
+      * codec CPU doubled on the hot path of a partition-batched
+      * operator that exists for scale. Semantics match the
+      * composition exactly: unreadable payload → full sentinel row;
+      * header parses but pixel data is truncated → real (fmt, w, h)
+      * with (-1,-1,-1) sums.
+      */
+    def decodeFull(bytes: Array[Byte]): (String, Int, Int, Long, Long, Long) = {
+      val sentinel = ("unknown", -1, -1, -1L, -1L, -1L)
+      if (bytes == null || bytes.isEmpty) return sentinel
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) sentinel
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val fmt = normalizeFmt(r.getFormatName)
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              (try Option(r.read(0))
+              catch { case scala.util.control.NonFatal(_) => None }) match {
+                case None => (fmt, w, h, -1L, -1L, -1L)
+                case Some(img) =>
+                  val (sr, sg, sb) = channelSums(img)
+                  (fmt, w, h, sr, sg, sb)
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => sentinel }
+    }
   }
 
   /** REAL video-container demux over plain JDK: AVI is RIFF-framed
@@ -582,8 +622,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (fmt, w, h) = ImageIoCodec.decode(bytes)
-          val (sr, sg, sb) = ImageIoCodec.pixelSums(bytes)
+          val (fmt, w, h, sr, sg, sb) = ImageIoCodec.decodeFull(bytes)
           (id, fmt, w, h, sr, sg, sb)
         }
       }

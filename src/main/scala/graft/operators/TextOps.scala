@@ -283,10 +283,14 @@ object TextOps {
     * mega-domain (the whole of wikipedia under one key) costs k
     * heap entries per task, never a per-group sort. A `row_number`
     * window would sort every group's full row set in one partition —
-    * exactly the skew this operator exists to cap. The winner-id
-    * set (|groups| x k ids) then semi-joins the corpus. Rows with a
+    * exactly the skew this operator exists to cap. The winner
+    * (group, id) pairs (|groups| x k of them) then semi-join the
+    * corpus on BOTH columns — an id that wins a slot in one group
+    * must not keep its namesake rows in other groups. Rows with a
     * NULL id are dropped (no position in the deterministic order —
-    * visible behavior, not an error).
+    * visible behavior, not an error). Ids are assumed unique within
+    * a group (the usual corpus contract); duplicated (group, id)
+    * rows would all survive one slot.
     */
   def capPerGroup(
       docs: DataFrame, groupCol: String, idCol: String, k: Int,
@@ -299,11 +303,14 @@ object TextOps {
     val scored = docs.select(col(groupCol).as("__g"),
       col(idCol).cast("bigint").as("__id"),
       (-shuffleKey(col(idCol), seed)).cast("double").as("__s"))
-    val keptIds = scored.groupBy(col("__g"))
+    val kept = scored.groupBy(col("__g"))
       .agg(call_function("graft_topk", col("__s"), col("__id"), lit(k)).as("__top"))
-      .select(explode(col("__top")).as("__c"))
-      .select(col("__c.neighbor_id").as("__kid"))
-    docs.join(keptIds, col(idCol) === col("__kid"), "left_semi")
+      .select(col("__g"), explode(col("__top")).as("__c"))
+      .select(col("__g"), col("__c.neighbor_id").as("__kid"))
+    // <=> so a NULL group (a legal groupBy key, capped like any
+    // other) keeps its winners instead of being equi-join-dropped
+    docs.join(kept,
+      col(groupCol) <=> col("__g") && col(idCol) === col("__kid"), "left_semi")
   }
 
   /** Deterministic train/val/test split assignment: each row gets

@@ -394,7 +394,15 @@ case class DotProductInt8(left: Expression, right: Expression)
   * Arithmetic is bit-identical to the replaced composition (and the
   * DuckDB oracle): the max runs over double-widened floats,
   * floor(x/scale + 0.5) is half-toward-+inf — engine-portable where
-  * SQL round() half-cases are not.
+  * SQL round() half-cases are not. Dirty elements follow the same
+  * composition's semantics: a null element is skipped by the max
+  * (array_max ignores nulls) and stays null in `q` (the transform
+  * lambda propagates it); a NaN element is GREATEST in the max
+  * (Spark's float ordering), making scale NaN and every code
+  * floor(NaN).toInt = 0. One intentional divergence, documented
+  * here: an all-null or empty vector gets scale 1.0 and all-null
+  * codes where the composition's null array_max would null the
+  * scale — the struct keeps a non-nullable scale field.
   */
 case class QuantizeInt8(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -404,7 +412,7 @@ case class QuantizeInt8(child: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
-    org.apache.spark.sql.types.StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    org.apache.spark.sql.types.StructField("q", ArrayType(IntegerType, containsNull = true), nullable = false)))
 
   override def prettyName: String = "graft_quantize_int8"
 
@@ -428,15 +436,20 @@ object QuantizeInt8 {
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val a = Math.abs(vec.getFloat(i).toDouble)
-      if (a > maxAbs) maxAbs = a
+      if (!vec.isNullAt(i)) {
+        val a = Math.abs(vec.getFloat(i).toDouble)
+        // NaN wins (Spark float ordering: NaN > everything); once
+        // captured it sticks — later `a > NaN` is always false
+        if (java.lang.Double.isNaN(a) || a > maxAbs) maxAbs = a
+      }
       i += 1
     }
     val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
-    val q = new Array[Int](n)
+    val q = new Array[Any](n)
     i = 0
     while (i < n) {
-      q(i) = Math.floor(vec.getFloat(i).toDouble / scale + 0.5).toInt
+      q(i) = if (vec.isNullAt(i)) null
+        else Math.floor(vec.getFloat(i).toDouble / scale + 0.5).toInt
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

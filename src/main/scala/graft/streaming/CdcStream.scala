@@ -80,9 +80,49 @@ final class ParquetStateStore(
   private def latestVersion: Option[Long] =
     committedVersions.lastOption.map(_._1)
 
-  private def committedVersions: Seq[(Long, java.nio.file.Path)] =
+  private def committedVersions: Seq[(Long, java.nio.file.Path)] = {
+    readProtocolChecked
     VersionedDir.list(Paths.get(path), "^v(\\d+)$".r)
       .filter { case (_, p) => coordinator.isCommitted(p) }
+  }
+
+  /** The commit protocol is part of the STORE, not the writer: a
+    * LockFileCoordinator-written store opened with the default
+    * rename coordinator would treat marker-less partial version dirs
+    * as committed — exactly the partial visibility the marker
+    * protocol prevents. The first commit stamps the store root with
+    * the coordinator class (`_graft_commit_protocol`); every later
+    * writer AND reader instance verifies it matches and fails
+    * loudly on a mismatch instead of misreading.
+    */
+  private def verifyProtocol(create: Boolean): Unit = {
+    val tag = Paths.get(path, "_graft_commit_protocol")
+    val name = coordinator.getClass.getName
+    if (create && !Files.exists(tag)) {
+      // stamp via temp + atomic move: a CREATE_NEW + write pair lets
+      // a concurrent reader observe the tag created but EMPTY (seen
+      // as a protocol mismatch); the move publishes complete bytes
+      // or nothing — the local analog of an object store's atomic PUT
+      val tmp = Files.createTempFile(Paths.get(path), ".protocol-", ".tmp")
+      try {
+        Files.write(tmp, name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try Files.move(tmp, tag, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () } // rival stamped it
+      } finally Files.deleteIfExists(tmp)
+    }
+    if (Files.exists(tag)) {
+      val existing = new String(Files.readAllBytes(tag),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (existing != name)
+        throw new IllegalStateException(
+          s"state store at $path was written under commit protocol $existing " +
+            s"but this instance is configured with $name — mixing protocols makes " +
+            "partial versions visible; open the store with the original coordinator")
+    }
+  }
+
+  // validate-only on the read path (reading must not mutate the store)
+  private lazy val readProtocolChecked: Unit = verifyProtocol(create = false)
 
   /** Raw persisted state, INCLUDING delete tombstones when
     * `deleteWhen` is configured (they must survive merges so a late
@@ -231,7 +271,15 @@ final class ParquetStateStore(
     */
   private def commitOptimistically(makeMerged: Option[Long] => DataFrame): Long = {
     Files.createDirectories(Paths.get(path))
+    verifyProtocol(create = true)
     var attempt = 0
+    // contention WITHOUT a committed rival (a lock held by a live
+    // publisher) is not a lost race: the rival will either commit
+    // (then we count a real loss) or die and be lease-stolen, so
+    // these polls get their own, much larger bound instead of
+    // burning maxCommitRetries while making no progress
+    var stalls = 0
+    val maxStalls = maxCommitRetries * 20
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion
@@ -256,7 +304,15 @@ final class ParquetStateStore(
         // (or holds the commit lock): re-merge against the new
         // latest and retry.
         if (coordinator.publish(staged, Paths.get(versionDir(next)))) committed = next
-        else lostRace(null)
+        else if (coordinator.isCommitted(Paths.get(versionDir(next)))) lostRace(null)
+        else {
+          stalls += 1
+          if (stalls > maxStalls)
+            throw new ConcurrentWriterException(
+              s"state store at $path: commit slot v$next contended $stalls times " +
+                s"with no rival commit (writer $writerId) — a publisher is stuck " +
+                "holding the commit lock past its lease")
+        }
       } catch {
         // CONFLICT = any failure while a COMMITTED v{next} exists — a
         // rival published it, so re-merge against the winner and

@@ -95,17 +95,25 @@ object RenameCoordinator extends CommitCoordinator {
   *
   * Steal safety is LEASE-based, the standard non-fencing caveat: a
   * lock is only stolen `lockTimeoutMs` after its last write, so
-  * correctness assumes a publisher either finishes or is dead within
+  * liveness assumes a publisher either finishes or is dead within
   * the lease (Delta on pre-conditional-put S3 ran a DynamoDB
-  * coordination table for exactly this reason). Each lock carries
-  * its owner's token, and the owner RE-CHECKS the token just before
-  * the marker write — so a single stolen lease aborts the original
-  * owner before it can commit; only two writers BOTH deciding the
-  * same lock is stale in the same instant (a double-expired lease,
-  * impossible while any holder is live within its lease) could
-  * interleave copies. A real object-store binding replaces the
-  * delete+create steal with a generation-conditioned swap, removing
-  * the assumption entirely.
+  * coordination table for exactly this reason). Two independent
+  * fences keep even a broken lease from committing garbage:
+  *
+  *  - each lock carries its owner's token, the steal DELETE is
+  *    conditioned on the stale token it observed (the local
+  *    verify-then-delete stand-in for an object store's
+  *    generation-conditioned delete — so a stealer cannot remove a
+  *    lock it did not judge stale), and the owner re-checks the
+  *    token before the marker write: a stolen lease aborts the
+  *    original owner unmarked;
+  *  - the marker is written only after re-listing `target` and
+  *    confirming it contains EXACTLY the files this writer copied
+  *    (relative path + size): if two writers ever interleave copies
+  *    into the slot (a double-expired lease plus a lost steal
+  *    race), the listing mismatches for at least the writer who
+  *    commits last, so a MIXED directory can never become a
+  *    committed version — worst case both abort, re-merge, retry.
   */
 class LockFileCoordinator(
     lockTimeoutMs: Long = 60000L,
@@ -123,12 +131,16 @@ class LockFileCoordinator(
     try {
       if (isCommitted(target)) return false
       if (Files.exists(target)) ParquetStateStore.deleteRecursively(target)
-      copyTree(staged, target)
+      val copied = copyTree(staged, target)
       beforeMarker() // test seam: crash/interleave injection mid-publish
-      // fencing check: if our lease was stolen mid-copy, the thief
-      // owns the slot now — abort WITHOUT the marker (our partial
-      // copy stays invisible and the thief's clear step removes it)
+      // fence 1: if our lease was stolen mid-copy, the thief owns
+      // the slot now — abort WITHOUT the marker (our partial copy
+      // stays invisible and the thief's clear step removes it)
       if (!holds(lock, token)) return false
+      // fence 2: the slot must hold exactly what we copied — a
+      // rival's interleaved files (double-expired lease) or a
+      // concurrent mutation means this dir must never be marked
+      if (listTree(target) != copied) return false
       Files.createFile(target.resolve(MarkerFile))
       ParquetStateStore.deleteRecursively(staged)
       true
@@ -152,12 +164,21 @@ class LockFileCoordinator(
       } catch { case _: FileAlreadyExistsException => false }
     if (create()) true
     else {
-      val stale =
-        try System.currentTimeMillis() -
+      // read the holder's token FIRST: the steal delete below is
+      // conditioned on it, so we can never delete a lock that was
+      // replaced after we judged it stale
+      val observed =
+        try Some(new String(Files.readAllBytes(lock),
+          java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => None } // vanished: holder just released
+      val stale = observed.isDefined &&
+        (try System.currentTimeMillis() -
           Files.getLastModifiedTime(lock).toMillis > lockTimeoutMs
-        catch { case _: java.io.IOException => false } // vanished: holder just released
+        catch { case _: java.io.IOException => false })
       if (stale) {
-        Files.deleteIfExists(lock)
+        // conditional delete (generation-match analog): only the
+        // exact stale lock we observed
+        if (holds(lock, observed.get)) Files.deleteIfExists(lock)
         create() // lost the steal race unless our create wins
       } else {
         Thread.sleep(lockPollMs) // live rival mid-publish: don't spin the retry loop dry
@@ -168,16 +189,32 @@ class LockFileCoordinator(
 
   /** Per-file copy in listing order — partial visibility on crash is
     * the POINT (it models the object-store copy loop); the marker
-    * protocol makes it safe.
+    * protocol makes it safe. Returns the (relative path -> size)
+    * manifest of everything copied, for the pre-marker fence.
     */
-  private def copyTree(from: Path, to: Path): Unit = {
+  private def copyTree(from: Path, to: Path): Map[String, Long] = {
     Files.createDirectories(to)
+    val out = scala.collection.mutable.Map.empty[String, Long]
     val walk = Files.walk(from)
     try walk.iterator().forEachRemaining { p =>
       val rel = to.resolve(from.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(rel)
-      else Files.copy(p, rel)
+      else {
+        Files.copy(p, rel)
+        out(from.relativize(p).toString) = Files.size(p)
+      }
     } finally walk.close()
+    out.toMap
+  }
+
+  /** (relative path -> size) of every regular file under `dir`. */
+  private def listTree(dir: Path): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val walk = Files.walk(dir)
+    try walk.iterator().forEachRemaining { p =>
+      if (Files.isRegularFile(p)) out(dir.relativize(p).toString) = Files.size(p)
+    } finally walk.close()
+    out.toMap
   }
 
   /** Test seam: runs after the copy, before the marker write. */

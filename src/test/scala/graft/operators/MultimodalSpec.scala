@@ -112,6 +112,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.resize(corrupt, 10, 10)._1.isEmpty)
   }
 
+  test("ImageIoCodec.decodeFull is value-identical to decode + pixelSums composed") {
+    // one reader-discovery + one pixel decode must produce exactly
+    // what the two-pass composition did, on every payload class:
+    // valid, truncated-after-header, garbage, empty/null
+    val png = genImage(17, 9, "png")
+    val payloads = Seq(png, png.take(40), Array[Byte](1, 2, 3),
+      Array.emptyByteArray, null)
+    payloads.foreach { bytes =>
+      val (fmt, w, h) = Multimodal.ImageIoCodec.decode(bytes)
+      val (sr, sg, sb) = Multimodal.ImageIoCodec.pixelSums(bytes)
+      assert(Multimodal.ImageIoCodec.decodeFull(bytes) === ((fmt, w, h, sr, sg, sb)))
+    }
+    // and the valid payload really decodes (guards against a parity
+    // test that passes because both sides degraded to the sentinel)
+    assert(Multimodal.ImageIoCodec.decodeFull(png)._1 === "png")
+    assert(Multimodal.ImageIoCodec.decodeFull(png)._4 >= 0L)
+  }
+
   test("ImageIoCodec resize produces a real decodable PNG in the bounding box") {
     val s = spark
     import s.implicits._

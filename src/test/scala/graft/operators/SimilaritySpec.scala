@@ -234,6 +234,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantize expression: null and NaN elements follow the replaced composition") {
+    // null is skipped by the max (array_max ignores nulls) and stays
+    // null in q (the transform lambda propagated it); NaN is GREATEST
+    // in the max (Spark float ordering) making scale NaN and every
+    // code floor(NaN).toInt = 0
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(cast(1.0 as float), cast(null as float), cast(-0.5 as float))),
+        |  (array(cast(1.0 as float), cast('NaN' as float), cast(0.5 as float)))
+        |AS t(v)""".stripMargin)
+    val rows = df.select(Similarity.quantizeInt8(col("v")).as("e")).collect()
+    val clean = rows(0).getStruct(0)
+    assert(clean.getDouble(0) === 1.0 / 127.0)
+    assert(clean.getSeq[Any](1) === Seq(127, null, -63))
+    val nan = rows(1).getStruct(0)
+    assert(java.lang.Double.isNaN(nan.getDouble(0)))
+    assert(nan.getSeq[Any](1) === Seq(0, 0, 0))
+  }
+
   test("int8 dot-product search recalls the exact dot-product top-k") {
     val s = spark
     import s.implicits._

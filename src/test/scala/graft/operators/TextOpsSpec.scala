@@ -358,6 +358,17 @@ class TextOpsSpec extends SparkSpec {
         s"doc $e evicted without a hash-smaller same-group newcomer")
     }
 
+    // an id winning a slot in ONE group must not keep its namesake
+    // rows in other groups: id 7 wins in tiny domX, but its domY row
+    // ranks against domY's own field
+    val shared = (Seq((7L, "domX")) ++ (0L until 40L).map(i => (i, "domY")))
+      .toDF("doc_id", "source")
+    val cappedShared = TextOps.capPerGroup(shared, "source", "doc_id", k = 3, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(cappedShared.count(_._2 == "domX") === 1)
+    assert(cappedShared.count(_._2 == "domY") === 3,
+      s"cross-group id leak: ${cappedShared.toSeq.sorted}")
+
     // k >= group size keeps everything; null ids are dropped
     assert(TextOps.capPerGroup(docs, "source", "doc_id", k = 1000).count() === 300)
     val withNull = Seq[(java.lang.Long, String)]((1L, "d"), (null, "d"))

@@ -240,6 +240,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(state === Map(0 -> 0, 1 -> 10, 2 -> 20, 3 -> 30))
   }
 
+  test("commit protocol is stamped on the store: a different coordinator is rejected") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_proto")
+    def lockStore() = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 10, coordinator = new LockFileCoordinator())
+    lockStore().upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // stamps the protocol
+    // same-protocol reopen (a NEW coordinator instance) reads fine
+    assert(lockStore().versions === Seq(0L))
+    // a rename-coordinator instance would treat marker-less partial
+    // version dirs as committed — the stamp rejects reads AND writes
+    val wrong = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      retainVersions = 10) // defaults to RenameCoordinator
+    val eRead = intercept[IllegalStateException] { wrong.versions }
+    assert(eRead.getMessage.contains("commit protocol"))
+    val eWrite = intercept[IllegalStateException] {
+      wrong.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    }
+    assert(eWrite.getMessage.contains("commit protocol"))
+    // the rejected instance must not have corrupted the store
+    assert(lockStore().current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap === Map(1 -> 10))
+  }
+
   test("a non-race failure (no rival commit) propagates instead of retrying") {
     val s = spark
     import s.implicits._
