@@ -1055,6 +1055,64 @@ object Queries {
     },
     zorderScan.oracle)
 
+  // Incremental append to a stats table: base write + an appended
+  // batch (appendWithStats — the manifest gains O(batch) rows,
+  // nothing existing is re-scanned or rewritten), then a pruned read
+  // spanning BOTH generations of files. Oracle is the plain filtered
+  // SQL over the source table: the base/batch split and the
+  // staging/move machinery must be invisible in the result.
+  // DataSkippingSpec asserts the manifest mechanics (old rows
+  // byte-identical, pruning spans appended files).
+  val appendScan = QueryDef(
+    "q_append_scan",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_apq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 2 === 0).repartitionByRange(8, col("user_id")),
+        s"$root/events", Seq("user_id"))
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 2 === 1).repartitionByRange(4, col("user_id")),
+        s"$root/events", Seq("user_id"))
+      DataSkipping.readSkipping(s, s"$root/events",
+          col("user_id") >= 300L && col("user_id") < 450L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events WHERE user_id >= 300 AND user_id < 450
+            ORDER BY event_id"""))
+
+  // OPTIMIZE bin-packing: a deliberately fragmented table (16 base
+  // files + a small-file append tail) compacted into few files, then
+  // a pruned read. Oracle is the plain filtered SQL — compaction
+  // must be content-invisible. File-count / vacuum / no-op mechanics
+  // are DataSkippingSpec's job; this gate pins zero row drift
+  // through the rewrite + manifest swap.
+  val compactScan = QueryDef(
+    "q_compact_scan",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_cpq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 4 =!= 0).repartitionByRange(16, col("user_id")),
+        s"$root/events", Seq("user_id"))
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 4 === 0).repartitionByRange(3, col("user_id")),
+        s"$root/events", Seq("user_id"))
+      DataSkipping.compactTable(s, s"$root/events",
+        targetFileBytes = 16L * 1024 * 1024)
+      DataSkipping.readSkipping(s, s"$root/events",
+          col("user_id") >= 100L && col("user_id") < 250L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events WHERE user_id >= 100 AND user_id < 250
+            ORDER BY event_id"""))
+
   // Deterministic training-order shuffle. The global ordinal makes
   // the ORDER itself part of the row values (the gate's row-sorted
   // hash would not see a wrong sort otherwise): the oracle replays
@@ -2142,7 +2200,7 @@ object Queries {
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead,
+    skippingRead, zorderRead, appendScan, compactScan,
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,

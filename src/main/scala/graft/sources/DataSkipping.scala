@@ -57,21 +57,149 @@ object DataSkipping {
     df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
     val written = spark.read.parquet(path)
+    statsFor(written, statsCols)
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    writeSchemaSidecar(spark, path, written.schema)
+  }
+
+  /** Per-file stats rows (one output row per input file) for a scan
+    * that carries `_metadata`: min/max per stats column, row count,
+    * file size and mtime. Partial-agg shuffle keyed on file path —
+    * one row per file crosses the wire.
+    */
+  private def statsFor(scan: DataFrame, statsCols: Seq[String]): DataFrame = {
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++ Seq(
       count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("file_size"),
       max(unix_millis(col("_metadata.file_modification_time"))).as("mod_time"))
-    written.select(col("*"), col("_metadata"))
+    scan.select(col("*"), col("_metadata"))
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
-    // schema sidecar AFTER the manifest write (overwrite clears the dir)
+  }
+
+  private def writeSchemaSidecar(
+      spark: SparkSession, path: String, schema: StructType): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$path/$StatsDir/$SchemaFile"), true)
-    try out.write(written.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Append a batch to an existing stats table WITHOUT touching what
+    * is already there: data files are written to a hidden staging dir
+    * and moved into the table root, then the manifest GAINS rows for
+    * exactly those files (parquet append). Nothing lists or re-scans
+    * the existing table — the writer knows its own files, the same
+    * reason Delta's commit can be O(batch): at ingest cadence on a
+    * 100 TB table, the alternative (writeWithStats over everything)
+    * re-reads and re-writes the world per batch. Driver memory is
+    * O(files in this batch) — bounded by the batch itself.
+    *
+    * Snapshot order: data files move first (manifest readers still
+    * see the old file set — complete and consistent), the manifest
+    * rows land second and are the visibility point. A crash in
+    * between leaves orphan data files that manifest readers never
+    * see; plain-path readers see them as extra rows until the next
+    * [[compactTable]] (which rebuilds the manifest from live files
+    * it rewrites and vacuums the rest).
+    *
+    * The batch schema must equal the stored sidecar schema
+    * (name + type, nullability ignored): schema EVOLUTION is
+    * [[graft.streaming.FileIngest]]'s job at the ingest boundary,
+    * not a property of the storage layout.
+    */
+  def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "at least one stats column")
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$path/$StatsDir/$SchemaFile")),
+      s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    val stored = tableSchema(spark, path)
+    require(df.schema.map(f => (f.name, f.dataType)) ==
+      stored.map(f => (f.name, f.dataType)),
+      s"append schema ${df.schema.simpleString} must match stored " +
+        s"${stored.simpleString}; no evolution on the append path")
+    val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
+    df.write.parquet(staging.toString)
+    // move data files in under their (job-UUID-unique) names
+    val moved = fs.listStatus(staging)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map { f =>
+        val dest = new Path(path, f.getPath.getName)
+        require(fs.rename(f.getPath, dest), s"rename ${f.getPath} -> $dest failed")
+        dest.toString
+      }.toSeq
+    fs.delete(staging, true)
+    if (moved.nonEmpty)
+      statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
+        .write.mode("append").parquet(s"$path/$StatsDir")
+  }
+
+  /** OPTIMIZE-style bin-packing: rewrite the table's CURRENT file set
+    * (as the manifest defines it) into ~ceil(bytes/targetFileBytes)
+    * files, publish a fresh manifest, then vacuum the replaced data
+    * files. Ingest-cadence appends leave a long tail of small files;
+    * at scale the per-file costs (open, footer, task schedule,
+    * manifest row) dominate a scan of many small files — this is the
+    * maintenance pass that pays that debt down, the role OPTIMIZE
+    * plays for Delta.
+    *
+    * The MANIFEST is the snapshot commit point: manifest readers see
+    * the pre-compaction file set until the new manifest is fully
+    * written, then the post-compaction one — never a mix. The driver
+    * materializes the file list being replaced ((path) rows — the
+    * same O(snapshot files) any OPTIMIZE planner holds). Compaction
+    * is a single-writer maintenance op: plain-path readers and
+    * concurrent writers must not race it (Delta needs its log +
+    * vacuum discipline for exactly the same reason). `vacuum = false`
+    * keeps the replaced files on disk (manifest-invisible) for
+    * manual rollback.
+    *
+    * Returns the number of files after compaction, or 0 if the table
+    * already meets the target (no write, no manifest churn).
+    */
+  def compactTable(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      vacuum: Boolean = true): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val stats = spark.read.parquet(s"$path/$StatsDir")
+    require(stats.columns.contains("file_size"),
+      "compactTable needs a size-carrying manifest (rewrite with writeWithStats)")
+    val statsCols = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSeq
+    val old = stats.select(col("file"), col("file_size")).collect()
+    val totalBytes = old.map(_.getLong(1)).sum
+    val target = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (target >= old.length) return 0
+    val schema = tableSchema(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rewrite the current snapshot: coalesce (no shuffle) into the
+    // target file count, staged hidden, then moved in — invisible to
+    // manifest readers until the manifest swap below
+    val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
+    spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
+      .coalesce(target)
+      .write.parquet(staging.toString)
+    val moved = fs.listStatus(staging)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map { f =>
+        val dest = new Path(path, f.getPath.getName)
+        require(fs.rename(f.getPath, dest), s"rename ${f.getPath} -> $dest failed")
+        dest.toString
+      }.toSeq
+    fs.delete(staging, true)
+    // manifest swap = the commit; sidecar rewritten after (overwrite
+    // clears the stats dir), during which schema resolution falls
+    // back to a footer read — slower, never wrong
+    statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols)
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    writeSchemaSidecar(spark, path, schema)
+    if (vacuum) old.foreach { r =>
+      fs.delete(new Path(r.getString(0)), false)
+    }
+    moved.size
   }
 
   /** Table schema from the manifest sidecar; falls back to reading

@@ -188,6 +188,95 @@ class DataSkippingSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === (100L until 300L))
   }
 
+  test("appendWithStats: O(batch) manifest growth, old rows untouched, pruning spans both") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val base = (0L until 5000L).map(i => (i, s"row$i")).toDF("id", "payload")
+      .repartitionByRange(5, col("id"))
+    DataSkipping.writeWithStats(base, dir, Seq("id"))
+    val before = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(before.size === 5)
+
+    val batch = (5000L until 8000L).map(i => (i, s"row$i")).toDF("id", "payload")
+      .repartitionByRange(3, col("id"))
+    DataSkipping.appendWithStats(batch, dir, Seq("id"))
+
+    // old manifest rows are byte-identical (nothing re-scanned or
+    // rewritten); exactly the batch's files were added
+    val after = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(after.size === 8)
+    before.foreach { case (f, row) => assert(after(f) === row, s"old row $f changed") }
+
+    // reads see the union, pruning works across old AND new files
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 8000)
+    val (kept, all) = DataSkipping.prunedFiles(s, dir, col("id") >= 6000L)
+    assert(all.size === 8)
+    assert(kept.size <= 3, s"append files must prune: kept $kept")
+    val viaSkip = DataSkipping.readSkipping(s, dir, col("id") >= 4000L && col("id") < 6000L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(viaSkip.toSeq === (4000L until 6000L).toSeq)
+
+    // plain readers see the same table (no staging leftovers)
+    assert(s.read.parquet(dir).count() === 8000)
+    // schema mismatch is rejected loudly, table untouched
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats(
+        Seq((1L, 2L)).toDF("id", "other"), dir, Seq("id"))
+    }
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 8000)
+  }
+
+  test("compactTable bin-packs the file tail; rows identical, pruning intact, old files vacuumed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 4000L).map(i => (i, i % 13, s"row$i")).toDF("id", "bucket", "payload")
+      .repartitionByRange(16, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id", "bucket"))
+    // ingest-cadence tail: three small appends
+    (0 until 3).foreach { b =>
+      DataSkipping.appendWithStats(
+        (4000L + b * 100L until 4100L + b * 100L).map(i => (i, i % 13, s"row$i"))
+          .toDF("id", "bucket", "payload"),
+        dir, Seq("id", "bucket"))
+    }
+    val preRows = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val preFiles = s.read.parquet(s"$dir/${DataSkipping.StatsDir}").count()
+    assert(preFiles >= 19)
+
+    val n = DataSkipping.compactTable(s, dir, targetFileBytes = 512L * 1024)
+    assert(n > 0 && n < preFiles, s"compacted to $n of $preFiles")
+
+    // identical rows through BOTH read paths; manifest matches disk
+    val post = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(post === preRows)
+    assert(s.read.parquet(dir).count() === 4300)
+    val manifest = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+    assert(manifest.count() === n.toLong, "manifest must describe exactly the new files")
+    // vacuum removed the replaced files: every manifest path exists,
+    // and the data dir holds nothing beyond the manifest's file set
+    val live = manifest.select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    assert(onDisk === live, s"orphans or missing files: ${onDisk.diff(live)} ${live.diff(onDisk)}")
+
+    // stats still prune after the rewrite, results still exact
+    val viaSkip = DataSkipping.readSkipping(s, dir, col("id") >= 4100L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(viaSkip.toSeq === (4100L until 4300L).toSeq)
+
+    // already-compact table: no-op, manifest untouched
+    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30) === 0)
+    assert(manifest.count() === n.toLong)
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
