@@ -759,6 +759,81 @@ object Queries {
             FROM tf JOIN dfc USING (term)
             ORDER BY doc_id, term"""))
 
+  // Frequency-ranked vocabulary: the tokenizer-prep id table. The
+  // oracle replays the (count desc, term asc) dense ranking and the
+  // top-maxVocab cut — the TakeOrderedAndProject selection must be
+  // indistinguishable from the full sort. maxVocab = 20 sits BELOW
+  // the synthetic corpus's distinct-term count (~31), so the cut and
+  // its tie-break genuinely fire in the gate, not just in the spec.
+  val vocabQ = QueryDef(
+    "q_vocab",
+    (s, d) => TextOps.buildVocab(
+        Tables.documents(s, d), "text", maxVocab = 20, firstId = 4L)
+      .orderBy("term_id"),
+    Some("""WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents
+            ), c AS (
+              SELECT term, COUNT(*) AS n FROM toks
+              WHERE length(term) > 0 GROUP BY term
+            ), r AS (
+              SELECT term,
+                CAST(row_number() OVER (ORDER BY n DESC, term) - 1 + 4 AS BIGINT)
+                  AS term_id, n
+              FROM c
+            )
+            SELECT term, term_id, n FROM r
+            WHERE term_id < 24 ORDER BY term_id"""))
+
+  // Token-id encoding against a deliberately SMALL vocab (12 of the
+  // corpus's ~31 distinct terms) so OOV -> unkId genuinely fires on
+  // most documents. The encoded arrays are re-exploded with
+  // positions: the oracle ranks each doc's kept tokens by original
+  // index and joins the same vocab ranking — array reassembly,
+  // broadcast lookup, and OOV mapping all hash-gate per
+  // (doc, pos, id) row.
+  val encodeTokensQ = QueryDef(
+    "q_encode_tokens",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val vocab = TextOps.buildVocab(docs, "text", maxVocab = 12)
+      TextOps.encodeDocs(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "id")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("id"))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300
+            ), c AS (
+              SELECT term, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+                FROM d)
+              WHERE length(term) > 0 GROUP BY term
+            ), v AS (
+              SELECT term, term_id FROM (
+                SELECT term,
+                  CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+                    AS term_id
+                FROM c)
+              WHERE term_id < 12
+            ), p AS (
+              SELECT doc_id, u.pos0 AS pos0, u.term AS term FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                  i -> {'pos0': i, 'term': ts[i]})) AS u
+                FROM (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\s+') AS ts
+                      FROM d))
+              WHERE length(u.term) > 0
+            ), k AS (
+              SELECT doc_id, term,
+                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos0) - 1
+                  AS BIGINT) AS pos
+              FROM p
+            )
+            SELECT k.doc_id, k.pos, COALESCE(v.term_id, -1) AS id
+            FROM k LEFT JOIN v USING (term)
+            ORDER BY doc_id, pos"""))
+
   // PII redaction. The synthetic corpus contains no PII-shaped
   // strings (a plain redact(text) hash-matched vacuously as the
   // identity), so both sides append deterministic per-doc PII —
@@ -1832,6 +1907,61 @@ object Queries {
             SELECT a AS id, least(a, min(b)) AS component
             FROM reach GROUP BY a ORDER BY id"""))
 
+  // Leakage-safe split assignment over the same planted near-dup
+  // corpus: every cluster (source + 2 planted copies, chained) must
+  // land atomically in one split. The oracle recomputes components
+  // via the recursive reachability closure, keys the bucket
+  // arithmetic on COALESCE(component, own id), and replays the
+  // cumulative-bound CASE — one doc split off from its cluster
+  // anywhere in the corpus is a hash mismatch.
+  val splitNoLeakage = QueryDef(
+    "q_split_no_leakage",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val corpus = Similarity.plantNearDuplicates(base, "vec_id", "embedding",
+        col("vec_id") < 100, copies = 2, idOffset = 100000L, scaleStep = 0.01)
+      val pairs = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", threshold = 0.9)
+      TextOps.assignSplitsLeakageSafe(corpus.select(col("vec_id")), "vec_id", pairs,
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE aug AS (
+              ${plantedSql("WHERE vec_id < 300", "WHERE vec_id < 100", 2, 100000L, 0.01)}
+            ), e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM aug
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.9
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT s AS a, d AS b FROM edges
+              UNION
+              SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s
+            ), comp AS (
+              SELECT a AS id, least(a, min(b)) AS component
+              FROM reach GROUP BY a
+            ), rep AS (
+              SELECT aug.vec_id, COALESCE(comp.component, aug.vec_id) AS r
+              FROM aug LEFT JOIN comp ON aug.vec_id = comp.id
+            )
+            SELECT vec_id,
+              CASE WHEN b < 8000 THEN 'train'
+                   WHEN b < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT vec_id,
+                    (((r % 1000000007) * 654435747) % 1000000007) % 10000 AS b
+                  FROM rep)
+            ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------
@@ -2199,6 +2329,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
+    vocabQ, encodeTokensQ, splitNoLeakage,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, appendScan, compactScan,
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,

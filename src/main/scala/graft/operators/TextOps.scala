@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text operators (beyond the per-document
@@ -29,6 +30,69 @@ object TextOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Frequency-ranked vocabulary over the corpus: (term, term_id, n)
+    * with term_id dense from `firstId` (ids below it reserved for
+    * special tokens), ordered by (count desc, term asc) — the
+    * deterministic tie-break makes id assignment replayable in any
+    * engine. The tokenizer-prep step: a fixed token→id table the
+    * encode pass and the training job both consume.
+    *
+    * Scale: explode + partial-agg count (the corpus never shuffles
+    * raw text — 8-byte-ish terms and counts do), then the
+    * top-maxVocab cut is a sort+limit, which Spark plans as
+    * TakeOrderedAndProject: per-partition bounded heaps, maxVocab
+    * rows per partition to the driver merge — never a global sort of
+    * the distinct-term set. The dense-rank window then runs over
+    * ONLY those maxVocab rows (a single partition bounded by
+    * construction, not by luck).
+    */
+  def buildVocab(
+      docs: DataFrame, textCol: String,
+      maxVocab: Int, firstId: Long = 0L): DataFrame = {
+    require(maxVocab > 0, "maxVocab must be positive")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(maxVocab)
+    counts.withColumn("term_id",
+        (row_number().over(Window.orderBy(col("n").desc, col("term")))
+          - 1 + firstId).cast("bigint"))
+      .select(col("term"), col("term_id"), col("n"))
+  }
+
+  /** Token-id encoding against a vocabulary: each doc becomes its
+    * token-id sequence (`ids`), out-of-vocabulary tokens mapped to
+    * `unkId`, empty/token-free docs kept with an empty array (a
+    * vanished doc is a silent corpus shrink; an empty one is
+    * visible and filterable).
+    *
+    * Scale: the vocab is BROADCAST (≤ maxVocab rows by contract —
+    * KBs to low MBs), so the token→id join is map-side with no
+    * corpus shuffle for the lookup; per-doc reassembly sorts each
+    * document's OWN (pos, id) pairs inside the aggregation — never
+    * a global order-by. One shuffle total, keyed on doc id.
+    */
+  def encodeDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+    val enc = toks
+      .join(broadcast(vocab.select(col("term"), col("term_id"))), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("term_id"), lit(unkId)).as("id")))).as("__ps"))
+      .select(col("doc_id"),
+        transform(col("__ps"), p => p.getField("id")).as("ids"))
+    docs.select(col(idCol).as("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
   }
 
   /** TF-IDF with the standard smoothed idf:
@@ -348,6 +412,37 @@ object TextOps {
       }
     // when without otherwise: null bucket (null id) -> null split
     docs.withColumn(splitCol, when(bucket.isNotNull, chain))
+  }
+
+  /** Leakage-safe split assignment: near-duplicate documents must
+    * land in the SAME split — a train/test pair of near-dups is
+    * evaluation leakage, the canonical reason benchmark numbers
+    * inflate. The split is therefore keyed on each doc's
+    * duplicate-CLUSTER representative (its connected component over
+    * the near-dup pair graph, min id of the cluster) instead of its
+    * own id: every member of a cluster hashes the same bucket, so a
+    * cluster is atomically train, val, or test. Docs absent from
+    * `pairs` are their own representative. Same deterministic,
+    * growth-stable hash-bucket election as [[assignSplits]] — adding
+    * data never moves an existing cluster across splits.
+    *
+    * `pairs` is (id_a, id_b) from any pair detector
+    * (minhash/simhash/ngram/embedding). Scale: component labels via
+    * [[Dedup.duplicateComponents]] (O(log diameter) rounds, count-
+    * only driver traffic), then one equi-join of the corpus against
+    * the labels (≤ paired docs — broadcast when small, AQE decides).
+    */
+  def assignSplitsLeakageSafe(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    val comps = Dedup.duplicateComponents(pairs)
+      .withColumnRenamed("id", "__cid")
+    val withRep = docs
+      .join(comps, col(idCol) === col("__cid"), "left")
+      .withColumn("__rep", coalesce(col("component"), col(idCol).cast("bigint")))
+      .drop("__cid", "component")
+    assignSplits(withRep, "__rep", fractions, splitCol).drop("__rep")
   }
 
   /** Multiplicative hash of a numeric id into 0..9999 — exactly

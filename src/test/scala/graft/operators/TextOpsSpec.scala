@@ -376,4 +376,60 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.capPerGroup(withNull, "source", "doc_id", k = 5)
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("buildVocab: frequency-ranked dense ids, deterministic ties, maxVocab cut, firstId offset") {
+    val s = spark
+    import s.implicits._
+    // counts: the=3, cat=2, ant=2, dog=1  ->  tie (cat, ant) breaks
+    // alphabetically: ant before cat
+    val docs = Seq("the cat sat", "THE cat", "the ant", "ant dog").toDF("text")
+    val v = TextOps.buildVocab(docs, "text", maxVocab = 3, firstId = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq === Seq(("the", 4L, 3L), ("ant", 5L, 2L), ("cat", 6L, 2L)))
+    // uncapped: dog gets the next id
+    val full = TextOps.buildVocab(docs, "text", maxVocab = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(full === Map("the" -> 0L, "ant" -> 1L, "cat" -> 2L, "dog" -> 3L, "sat" -> 4L))
+  }
+
+  test("encodeDocs: positional ids, OOV to unkId, token-free docs keep an empty array") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "sat THE unknownword"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.buildVocab(docs.filter(col("doc_id") === 1L), "text", maxVocab = 10)
+    // vocab over doc 1 only: all count 1 -> alphabetical: cat=0, sat=1, the=2
+    val enc = TextOps.encodeDocs(docs, "doc_id", "text", vocab, unkId = -1L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) === Seq(2L, 0L, 1L), "token order must survive reassembly")
+    assert(enc(2L) === Seq(1L, 2L, -1L), "case-folded hit, hit, OOV")
+    assert(enc(3L) === Seq.empty, "token-free doc stays, empty")
+  }
+
+  test("assignSplitsLeakageSafe: every duplicate cluster lands atomically in one split") {
+    val s = spark
+    import s.implicits._
+    // clusters: {1,2,3} (chained), {10,11}; singletons 20..59
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L until 60L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = TextOps.assignSplitsLeakageSafe(docs, "doc_id", pairs,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 45)
+    assert(Set(out(1L), out(2L), out(3L)).size === 1, "cluster {1,2,3} split apart")
+    assert(Set(out(10L), out(11L)).size === 1, "cluster {10,11} split apart")
+    // cluster members get the REPRESENTATIVE's split: identical to
+    // assigning the min id directly
+    val direct = TextOps.assignSplits(Seq(1L).toDF("doc_id"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().head.getString(1)
+    assert(out(3L) === direct)
+    // singletons match plain assignSplits exactly (absence from the
+    // pair graph must change nothing)
+    val plain = TextOps.assignSplits((20L until 60L).toDF("doc_id"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (20L until 60L).foreach(i => assert(out(i) === plain(i)))
+  }
 }

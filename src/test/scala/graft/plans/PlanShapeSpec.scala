@@ -208,6 +208,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "winner ids must semi-join the corpus\n" + p)
   }
 
+  test("buildVocab: top-k via TakeOrderedAndProject, window only over the capped rows; encode broadcasts the vocab") {
+    val docs = Tables.documents(spark, sf)
+    val vocab = TextOps.buildVocab(docs, "text", maxVocab = 20)
+    val pv = plan(vocab)
+    assert(pv.contains("TakeOrderedAndProject"),
+      "the maxVocab cut must be a distributed top-k, not a global sort\n" + pv)
+    // the dense-rank window exists but must sit ABOVE the take (over
+    // maxVocab rows), i.e. the plan has no Sort-Exchange feeding a
+    // window below the take; cheap proxy: exactly one shuffle (the
+    // count agg) before the driver-side take
+    assert(shuffles(vocab) <= 2, s"vocab build grew extra shuffles\n$pv")
+    val enc = TextOps.encodeDocs(docs, "doc_id", "text", vocab)
+    val pe = plan(enc)
+    assert(pe.contains("BroadcastHashJoin"),
+      "token->id lookup must be a broadcast join, never a corpus shuffle on terms\n" + pe)
+    assert(!pe.contains("SortMergeJoin"),
+      "a sort-merge token lookup shuffles the exploded corpus\n" + pe)
+  }
+
   test("manifest-pruned read: scan served by ManifestFileIndex with the predicate pushed down") {
     val s = spark
     import s.implicits._
