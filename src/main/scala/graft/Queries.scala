@@ -2032,6 +2032,50 @@ object Queries {
                           WHEN 'src2' THEN 2500 ELSE 1000 END
             ORDER BY doc_id"""))
 
+  // Token-budget source mixing: per-source greedy prefix in seeded
+  // hash order until the token budget is met. The oracle replays the
+  // key arithmetic, the token count, and the EXCLUSIVE running sum
+  // with a window — the two-phase distributed scan must be
+  // indistinguishable from the per-source window cumsum, and
+  // tokens_before in the output makes any prefix drift a hash
+  // mismatch. Budgets sit well inside each source's total so the
+  // cutoff genuinely fires.
+  val sampleTokenBudget = QueryDef(
+    "q_sample_token_budget",
+    (s, d) => TextOps.sampleByTokenBudget(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok")),
+        "doc_id", "source", "n_tok",
+        budgets = Map("src0" -> 4000L, "src1" -> 1500L, "src2" -> 1L),
+        seed = 99L)
+      .select(col("id").as("doc_id"), col("source"),
+        col("n_tokens"), col("tokens_before"))
+      .orderBy("doc_id"),
+    Some {
+      val (m, a) = TextOps.shuffleKeyConstants(99L)
+      s"""WITH keyed AS (
+            SELECT doc_id, source,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+              ((doc_id % 1000000007) * $m + $a) % 1000000007 AS sk
+            FROM documents
+          ), c AS (
+            SELECT doc_id, source, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY sk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS tokens_before
+            FROM keyed
+          )
+          SELECT doc_id, source, n_tokens, tokens_before
+          FROM c
+          WHERE tokens_before < CASE source WHEN 'src0' THEN 4000
+                                            WHEN 'src1' THEN 1500
+                                            WHEN 'src2' THEN 1
+                                            ELSE 0 END
+          ORDER BY doc_id"""
+    })
+
   // Per-source document cap through the bounded-heap topk aggregate:
   // keep the 10 hash-smallest docs per source (the per-domain-limit
   // pass). The oracle replays the seeded key arithmetic and elects
@@ -2337,6 +2381,6 @@ object Queries {
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
-    packSequences, sampleSources, capPerSource, assignSplits, pipelineEvents,
+    packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved)
 }

@@ -333,6 +333,89 @@ object TextOps {
     }
   }
 
+  /** Token-BUDGET source mixing — the unit a training mixture is
+    * actually specified in ("300B tokens of web, 100B of code"):
+    * doc-fraction sampling ([[sampleBySource]]) under-represents
+    * sources with long documents, so this keeps each source's
+    * documents — in deterministic seeded-hash order — until the
+    * source's TOKEN budget is met. A doc survives iff the token sum
+    * of hash-earlier docs of the same source is below the budget:
+    * the boundary-crossing doc is kept (any budget >= 1 keeps at
+    * least one doc). Determinism matches the other samplers (same
+    * rows on every run/engine/retry); growth stability is
+    * necessarily WEAKER than [[sampleBySource]]'s per-row bucket
+    * test: a fixed budget over a grown corpus must drop something,
+    * but only new docs hashing EARLIER than a kept doc can displace
+    * it — appended data never reshuffles the selection wholesale.
+    * Sources absent from `budgets` are dropped (budget 0) —
+    * explicit mixtures only.
+    *
+    * Scale: a per-source running sum. A window over
+    * (PARTITION BY source ORDER BY key) sorts each source in ONE
+    * partition — a mega-source (the whole of common-crawl under one
+    * label) is exactly the skew that breaks. Instead this extends
+    * [[packSequences]]' two-phase scan to grouped prefixes:
+    * range-partition by (source, key, id) — each partition holds a
+    * contiguous slice of the composite order, so a source spans
+    * consecutive partitions — then one pass computes per-(partition,
+    * source) token sums (nPartitions x nSources longs to the driver;
+    * sources here are mixture LABELS, dozens not millions — per-
+    * DOMAIN limits belong to [[capPerGroup]]), the driver prefixes
+    * them per source, and each partition streams its rows against
+    * its broadcast base. Output: (id, source, n_tokens,
+    * tokens_before) — the exclusive prefix makes the budget decision
+    * auditable and the oracle replayable.
+    */
+  def sampleByTokenBudget(
+      docs: DataFrame, idCol: String, sourceCol: String, tokensCol: String,
+      budgets: Map[String, Long], seed: Long = 0L,
+      partitions: Int = 0): DataFrame = {
+    require(budgets.nonEmpty, "at least one source budget")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val projected = docs.select(
+      col(idCol).cast("bigint").as("id"),
+      col(sourceCol).cast("string").as("source"),
+      col(tokensCol).cast("bigint").as("n_tokens"),
+      shuffleKey(col(idCol), seed).as("__k"))
+      .filter(col("source").isNotNull && col("id").isNotNull)
+    val ordCols = Seq(col("source"), col("__k"), col("id"))
+    val ranged =
+      if (partitions > 0) projected.repartitionByRange(partitions, ordCols: _*)
+      else projected.repartitionByRange(ordCols: _*)
+    val sorted = ranged.sortWithinPartitions(ordCols: _*)
+    val ds = sorted.as[(Long, String, Long, Long)]
+    // phase 1: per-(partition, source) sums — partition count x
+    // mixture-label count longs, the only driver-side data
+    val partSums = ds.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, src, w, _) => m(src) = m.getOrElse(src, 0L) + w }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1)
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val bases: Array[Map[String, Long]] = partSums.map { case (_, m) =>
+      val snapshot = m.keysIterator
+        .map(s => s -> running.getOrElse(s, 0L)).toMap
+      m.foreach { case (s, w) => running(s) = running.getOrElse(s, 0L) + w }
+      snapshot
+    }
+    val bcBases = spark.sparkContext.broadcast(bases)
+    val bcBudgets = spark.sparkContext.broadcast(budgets)
+    // phase 2: stream each partition against its base offsets; keep
+    // while the exclusive prefix is under budget
+    ds.rdd.mapPartitionsWithIndex { case (i, it) =>
+      val run = scala.collection.mutable.Map[String, Long]() ++ bcBases.value(i)
+      val buds = bcBudgets.value
+      it.flatMap { case (id, src, w, _) =>
+        val before = run.getOrElse(src, 0L)
+        run(src) = before + w
+        if (before < buds.getOrElse(src, 0L)) Some((id, src, w, before))
+        else None
+      }
+    }.toDF("id", "source", "n_tokens", "tokens_before")
+  }
+
   /** Per-group document cap — the FineWeb/C4-style per-DOMAIN limit
     * ("at most k pages per registrable domain"): within each group,
     * keep the k rows with the smallest (seeded shuffle key, id) and

@@ -377,6 +377,43 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("sampleByTokenBudget: equals the window cumsum; boundary doc kept; partition invariant") {
+    val s = spark
+    import s.implicits._
+    // two sources, one 50x the other (the skew case), varied weights
+    val docs = ((0L until 500L).map(i => (i, "big", 10L + i % 7)) ++
+      (1000L until 1010L).map(i => (i, "small", 100L)))
+      .toDF("doc_id", "source", "n_tok").repartition(7)
+    val budgets = Map("big" -> 800L, "small" -> 250L)
+    val out = TextOps.sampleByTokenBudget(docs, "doc_id", "source", "n_tok", budgets, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // reference: per-source exclusive cumsum in (shuffleKey, id) order
+    val keyed = docs.withColumn("k", TextOps.shuffleKey(col("doc_id"), 5L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = keyed.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var run = 0L
+      rows.sortBy(r => (r._4, r._1)).toSeq.flatMap { case (id, _, w, _) =>
+        val before = run; run += w
+        if (before < budgets(src)) Some((id, src, w, before)) else None
+      }
+    }.toSet
+    assert(out.toSet === expect)
+    // the boundary-crossing doc is kept: each source's kept token sum
+    // reaches (or first-crosses) its budget
+    val bySrc = out.groupBy(_._2).map { case (src, rs) => src -> rs.map(_._3).sum }
+    assert(bySrc("big") >= 800L && bySrc("small") >= 250L)
+    // partition invariance (the two-phase prefix must not depend on layout)
+    val out1 = TextOps.sampleByTokenBudget(docs.repartition(1), "doc_id", "source",
+        "n_tok", budgets, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out1.toSet === out.toSet)
+    // a source with no budget is dropped entirely
+    val none = TextOps.sampleByTokenBudget(docs, "doc_id", "source", "n_tok",
+      Map("small" -> 1L), seed = 5L).collect().map(_.getString(1)).toSet
+    assert(none === Set("small"))
+  }
+
   test("buildVocab: frequency-ranked dense ids, deterministic ties, maxVocab cut, firstId offset") {
     val s = spark
     import s.implicits._
