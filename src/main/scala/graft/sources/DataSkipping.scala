@@ -109,13 +109,32 @@ object DataSkipping {
     * (name + type, nullability ignored): schema EVOLUTION is
     * [[graft.streaming.FileIngest]]'s job at the ingest boundary,
     * not a property of the storage layout.
+    *
+    * NAMED COMMITS (`commitName`) — the exactly-once hook for
+    * at-least-once writers (Structured Streaming's foreachBatch): the
+    * batch's manifest rows land as ONE parquet file named
+    * `<commitName>.parquet` inside the stats dir, and that file IS
+    * the commit marker. A replayed batch whose marker already exists
+    * is skipped up front (returns false, nothing written); a crash
+    * after the data-file move but before the marker leaves orphan
+    * data files that manifest readers never see — the replay
+    * re-writes the batch and commits, and the orphans are reclaimed
+    * by the next [[compactTable]]. Manifest-reader-visible state is
+    * therefore exactly-once per commit name.
+    *
+    * @return true if the batch committed; false if `commitName` was
+    *         already present (idempotent replay skip)
     */
-  def appendWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Unit = {
+  def appendWithStats(
+      df: DataFrame, path: String, statsCols: Seq[String],
+      commitName: Option[String] = None): Boolean = {
     require(statsCols.nonEmpty, "at least one stats column")
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(s"$path/$StatsDir/$SchemaFile")),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    val marker = commitName.map(n => new Path(s"$path/$StatsDir", s"$n.parquet"))
+    if (marker.exists(fs.exists)) return false
     val stored = tableSchema(spark, path)
     require(df.schema.map(f => (f.name, f.dataType)) ==
       stored.map(f => (f.name, f.dataType)),
@@ -132,9 +151,24 @@ object DataSkipping {
         dest.toString
       }.toSeq
     fs.delete(staging, true)
-    if (moved.nonEmpty)
-      statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
-        .write.mode("append").parquet(s"$path/$StatsDir")
+    if (moved.nonEmpty) marker match {
+      case None =>
+        statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
+          .write.mode("append").parquet(s"$path/$StatsDir")
+      case Some(dest) =>
+        // single-file manifest commit: statsFor coalesces to one
+        // part file, moved into place under the deterministic name
+        val tmp = new Path(path, s".stats-${java.util.UUID.randomUUID}")
+        statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
+          .write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one stats part, got ${part.length}")
+        require(fs.rename(part.head.getPath, dest),
+          s"stats commit rename to $dest failed")
+        fs.delete(tmp, true)
+    }
+    true
   }
 
   /** OPTIMIZE-style bin-packing: rewrite the table's CURRENT file set

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.sources.DataSkipping
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming sink into a [[DataSkipping]] stats table — the bridge
+  * between the ingest boundary ([[FileIngest]], Kafka-shaped
+  * sources) and the skipping-read/maintenance storage layer: each
+  * micro-batch lands via `appendWithStats`, so a continuously-fed
+  * table is immediately prunable (`readSkipping`) and compactable
+  * (`compactTable`) without ever re-scanning what was already
+  * written.
+  *
+  * EXACTLY-ONCE to manifest readers: foreachBatch is at-least-once,
+  * so each batch commits under the deterministic name
+  * `commit-batch<id>` — the named-manifest-file marker in
+  * `appendWithStats`. A replayed batch finds its marker and is
+  * skipped; a crash between the data move and the marker leaves
+  * orphan files manifest readers never see (reclaimed by the next
+  * `compactTable`). Reference behavior: pos-dlt's DLT tables get
+  * this from Delta's transaction log (03_Bronze-to-Silver-ETL Auto
+  * Loader writes); this is the same contract over plain parquet +
+  * manifest. Run `compactTable` only with the stream stopped — it
+  * rewrites the manifest the markers live in.
+  */
+object StatsTableSink {
+
+  /** Bootstrap an EMPTY stats table (schema sidecar + empty
+    * manifest) so the first streaming batch can append. Idempotent:
+    * an existing table is left untouched.
+    */
+  def ensureTable(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$path/${DataSkipping.StatsDir}/${DataSkipping.SchemaFile}")))
+      return
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    DataSkipping.writeWithStats(empty.coalesce(1), path, statsCols)
+  }
+
+  /** Start draining `source` (a streaming DataFrame) into the stats
+    * table at `path`. AvailableNow trigger — run-to-drain, matching
+    * [[StreamingPipeline.runOnce]]'s cascade model; restart with the
+    * same `checkpointDir` to pick up new source data, replays
+    * deduplicated by the per-batch commit marker.
+    */
+  def run(
+      source: DataFrame, path: String, statsCols: Seq[String],
+      checkpointDir: String): StreamingQuery = {
+    val spark = source.sparkSession
+    ensureTable(spark, path, source.schema, statsCols)
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DataSkipping.appendWithStats(batch, path, statsCols,
+          commitName = Some(s"commit-batch$batchId"))
+        () // discard the committed/skipped flag: skip IS success here
+      }
+      .start()
+  }
+}
