@@ -364,7 +364,10 @@ object TextOps {
     * them per source, and each partition streams its rows against
     * its broadcast base. Output: (id, source, n_tokens,
     * tokens_before) — the exclusive prefix makes the budget decision
-    * auditable and the oracle replayable.
+    * auditable and the oracle replayable. Rows with a NULL id,
+    * source, or token count are dropped (no position, no mixture
+    * label, or no budget weight — visible behavior, not an error;
+    * same contract as [[capPerGroup]]'s null ids).
     */
   def sampleByTokenBudget(
       docs: DataFrame, idCol: String, sourceCol: String, tokensCol: String,
@@ -379,7 +382,10 @@ object TextOps {
       col(sourceCol).cast("string").as("source"),
       col(tokensCol).cast("bigint").as("n_tokens"),
       shuffleKey(col(idCol), seed).as("__k"))
-      .filter(col("source").isNotNull && col("id").isNotNull)
+      // null n_tokens would NPE at the typed-Dataset boundary deep in
+      // phase 1 — drop them visibly with the other null keys instead
+      .filter(col("source").isNotNull && col("id").isNotNull &&
+        col("n_tokens").isNotNull)
     val ordCols = Seq(col("source"), col("__k"), col("id"))
     val ranged =
       if (partitions > 0) projected.repartitionByRange(partitions, ordCols: _*)

@@ -114,13 +114,22 @@ object DataSkipping {
     * at-least-once writers (Structured Streaming's foreachBatch): the
     * batch's manifest rows land as ONE parquet file named
     * `<commitName>.parquet` inside the stats dir, and that file IS
-    * the commit marker. A replayed batch whose marker already exists
-    * is skipped up front (returns false, nothing written); a crash
-    * after the data-file move but before the marker leaves orphan
-    * data files that manifest readers never see — the replay
-    * re-writes the batch and commits, and the orphans are reclaimed
-    * by the next [[compactTable]]. Manifest-reader-visible state is
-    * therefore exactly-once per commit name.
+    * the commit marker (an empty batch still writes a zero-row
+    * marker — the marker's existence is the commit, unconditionally).
+    * A replayed batch whose marker already exists is skipped up front
+    * (returns false, nothing written); a crash after the data-file
+    * move but before the marker leaves orphan data files that
+    * manifest readers never see — the replay re-writes the batch and
+    * commits, and the orphans are reclaimed by [[compactTable]]'s
+    * vacuum (which deletes everything the new manifest doesn't
+    * claim). Manifest-reader-visible state is therefore exactly-once
+    * per commit name; names must not start with `part-` (reserved
+    * for plain manifest parts, and how compaction tells markers
+    * apart to preserve them).
+    *
+    * `statsCols` must match the table's tracked column set — a
+    * mixed-schema manifest would silently mis-prune (the reader
+    * adopts one file's schema and sees nulls for the other's rows).
     *
     * @return true if the batch committed; false if `commitName` was
     *         already present (idempotent replay skip)
@@ -129,12 +138,20 @@ object DataSkipping {
       df: DataFrame, path: String, statsCols: Seq[String],
       commitName: Option[String] = None): Boolean = {
     require(statsCols.nonEmpty, "at least one stats column")
+    commitName.foreach(n => require(!n.startsWith("part-") && !n.contains("/"),
+      s"commitName '$n' must not start with 'part-' or contain '/'"))
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(s"$path/$StatsDir/$SchemaFile")),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
     val marker = commitName.map(n => new Path(s"$path/$StatsDir", s"$n.parquet"))
     if (marker.exists(fs.exists)) return false
+    val tracked = spark.read.parquet(s"$path/$StatsDir").columns
+      .collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
+    require(statsCols.toSet == tracked,
+      s"statsCols [${statsCols.sorted.mkString(",")}] must equal the table's " +
+        s"tracked columns [${tracked.toSeq.sorted.mkString(",")}] — a mixed-schema " +
+        "manifest silently drops files from pruned reads")
     val stored = tableSchema(spark, path)
     require(df.schema.map(f => (f.name, f.dataType)) ==
       stored.map(f => (f.name, f.dataType)),
@@ -142,33 +159,52 @@ object DataSkipping {
         s"${stored.simpleString}; no evolution on the append path")
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     df.write.parquet(staging.toString)
-    // move data files in under their (job-UUID-unique) names
+    val moved = moveIn(fs, staging, new Path(path))
+    val batchStats =
+      if (moved.nonEmpty) statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
+      else spark.read.parquet(s"$path/$StatsDir").limit(0) // zero-row marker
+    marker match {
+      case None if moved.isEmpty => ()
+      case None =>
+        batchStats.write.mode("append").parquet(s"$path/$StatsDir")
+      case Some(dest) =>
+        writeManifestFile(spark, fs, path, batchStats, dest)
+    }
+    true
+  }
+
+  /** Move a staging dir's data files into the table root under their
+    * (job-UUID-unique) names; deletes the staging dir, returns the
+    * destination paths.
+    */
+  private def moveIn(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, table: Path): Seq[String] = {
     val moved = fs.listStatus(staging)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .map { f =>
-        val dest = new Path(path, f.getPath.getName)
+        val dest = new Path(table, f.getPath.getName)
         require(fs.rename(f.getPath, dest), s"rename ${f.getPath} -> $dest failed")
         dest.toString
       }.toSeq
     fs.delete(staging, true)
-    if (moved.nonEmpty) marker match {
-      case None =>
-        statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
-          .write.mode("append").parquet(s"$path/$StatsDir")
-      case Some(dest) =>
-        // single-file manifest commit: statsFor coalesces to one
-        // part file, moved into place under the deterministic name
-        val tmp = new Path(path, s".stats-${java.util.UUID.randomUUID}")
-        statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
-          .write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        require(part.length == 1, s"expected one stats part, got ${part.length}")
-        require(fs.rename(part.head.getPath, dest),
-          s"stats commit rename to $dest failed")
-        fs.delete(tmp, true)
-    }
-    true
+    moved
+  }
+
+  /** Write `rows` as ONE parquet file at exactly `dest` (staged,
+    * then renamed into place) — the single-file manifest commit
+    * primitive behind named appends and preserved markers.
+    */
+  private def writeManifestFile(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, table: String,
+      rows: DataFrame, dest: Path): Unit = {
+    val tmp = new Path(table, s".stats-${java.util.UUID.randomUUID}")
+    rows.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one stats part, got ${part.length}")
+    require(fs.rename(part.head.getPath, dest),
+      s"stats commit rename to $dest failed")
+    fs.delete(tmp, true)
   }
 
   /** OPTIMIZE-style bin-packing: rewrite the table's CURRENT file set
@@ -182,24 +218,39 @@ object DataSkipping {
     *
     * The MANIFEST is the snapshot commit point: manifest readers see
     * the pre-compaction file set until the new manifest is fully
-    * written, then the post-compaction one — never a mix. The driver
-    * materializes the file list being replaced ((path) rows — the
-    * same O(snapshot files) any OPTIMIZE planner holds). Compaction
-    * is a single-writer maintenance op: plain-path readers and
-    * concurrent writers must not race it (Delta needs its log +
-    * vacuum discipline for exactly the same reason). `vacuum = false`
-    * keeps the replaced files on disk (manifest-invisible) for
-    * manual rollback.
+    * written, then the post-compaction one — never a mix. Named
+    * commit markers (see [[appendWithStats]]) SURVIVE compaction:
+    * their rows are folded into the rewritten files, but each marker
+    * name is re-created as a zero-row manifest file, so a streaming
+    * replay after compaction still short-circuits instead of
+    * re-appending an already-folded batch. The driver materializes
+    * the file list being replaced ((path) rows — the same
+    * O(snapshot files) any OPTIMIZE planner holds).
+    *
+    * VACUUM (`vacuum = true`, default) deletes every data file in
+    * the table root the NEW manifest doesn't claim — the replaced
+    * files AND any orphans from crashed appends or a previously
+    * crashed compaction, which also makes compaction self-repairing:
+    * a crash after the move-in but before the manifest swap leaves
+    * extra files that only plain-path readers see, and the next
+    * successful compact reclaims them. `vacuum = false` keeps
+    * everything on disk (manifest-invisible) for manual rollback.
+    * Compaction is a single-writer maintenance op: plain-path
+    * readers and concurrent writers (including a live stream) must
+    * not race it (Delta needs its log + vacuum discipline for
+    * exactly the same reason).
     *
     * Returns the number of files after compaction, or 0 if the table
-    * already meets the target (no write, no manifest churn).
+    * already meets the target (no write, no manifest churn, no
+    * vacuum).
     */
   def compactTable(
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       vacuum: Boolean = true): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val stats = spark.read.parquet(s"$path/$StatsDir")
+    val statsDir = new Path(s"$path/$StatsDir")
+    val stats = spark.read.parquet(statsDir.toString)
     require(stats.columns.contains("file_size"),
       "compactTable needs a size-carrying manifest (rewrite with writeWithStats)")
     val statsCols = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSeq
@@ -209,29 +260,43 @@ object DataSkipping {
     if (target >= old.length) return 0
     val schema = tableSchema(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // named commit markers to preserve across the manifest rewrite
+    val markers = fs.listStatus(statsDir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("part-")).toSeq
     // rewrite the current snapshot: coalesce (no shuffle) into the
     // target file count, staged hidden, then moved in — invisible to
     // manifest readers until the manifest swap below
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
-    spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
-      .coalesce(target)
-      .write.parquet(staging.toString)
-    val moved = fs.listStatus(staging)
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .map { f =>
-        val dest = new Path(path, f.getPath.getName)
-        require(fs.rename(f.getPath, dest), s"rename ${f.getPath} -> $dest failed")
-        dest.toString
-      }.toSeq
-    fs.delete(staging, true)
+    val snapshot = spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
+    snapshot.coalesce(target).write.parquet(staging.toString)
+    val moved = moveIn(fs, staging, new Path(path))
     // manifest swap = the commit; sidecar rewritten after (overwrite
     // clears the stats dir), during which schema resolution falls
     // back to a footer read — slower, never wrong
-    statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols)
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+    val newStats = statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols)
+    newStats.write.mode("overwrite").parquet(statsDir.toString)
     writeSchemaSidecar(spark, path, schema)
-    if (vacuum) old.foreach { r =>
-      fs.delete(new Path(r.getString(0)), false)
+    if (markers.nonEmpty) {
+      // one zero-row manifest file per preserved marker name (all
+      // identical: one Spark write, then filesystem copies)
+      val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
+      newStats.limit(0).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one marker part, got ${part.length}")
+      markers.foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
+          fs, new Path(statsDir, n), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+      fs.delete(tmp, true)
+    }
+    if (vacuum) {
+      val keep = moved.map(p => new Path(p).getName).toSet
+      fs.listStatus(new Path(path))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".") && !keep(f.getPath.getName))
+        .foreach(f => fs.delete(f.getPath, false))
     }
     moved.size
   }

@@ -28,8 +28,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StatsTableSink {
 
   /** Bootstrap an EMPTY stats table (schema sidecar + empty
-    * manifest) so the first streaming batch can append. Idempotent:
-    * an existing table is left untouched.
+    * manifest) so the first streaming batch can append. Idempotent
+    * for an existing STATS table (left untouched) — but a directory
+    * that holds files WITHOUT a schema sidecar is refused loudly:
+    * bootstrapping runs writeWithStats, whose overwrite would
+    * destroy whatever lives there (a raw parquet dataset, a legacy
+    * pre-sidecar stats table). Convert such tables explicitly with
+    * [[DataSkipping.writeWithStats]] over their read-back contents.
     */
   def ensureTable(
       spark: SparkSession, path: String,
@@ -38,6 +43,10 @@ object StatsTableSink {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$path/${DataSkipping.StatsDir}/${DataSkipping.SchemaFile}")))
       return
+    val root = new Path(path)
+    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+      s"$path exists and is not a stats table (no schema sidecar) — refusing to " +
+        "overwrite it; convert it with DataSkipping.writeWithStats first")
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     DataSkipping.writeWithStats(empty.coalesce(1), path, statsCols)
@@ -48,18 +57,33 @@ object StatsTableSink {
     * [[StreamingPipeline.runOnce]]'s cascade model; restart with the
     * same `checkpointDir` to pick up new source data, replays
     * deduplicated by the per-batch commit marker.
+    *
+    * Marker names are scoped per WRITER, not per table: batch ids
+    * restart from 0 in every fresh checkpoint, so two streams
+    * feeding one table would collide on bare batch numbers and the
+    * second stream's data would be silently "replay"-skipped (the
+    * bug Delta's txn (appId, version) pairs exist to prevent). The
+    * writer identity defaults to a hash of `checkpointDir` — stable
+    * across restarts of the same logical stream, distinct between
+    * streams; pass `writerId` to pin it explicitly (e.g. when a
+    * checkpoint is relocated).
     */
   def run(
       source: DataFrame, path: String, statsCols: Seq[String],
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, writerId: Option[String] = None): StreamingQuery = {
     val spark = source.sparkSession
     ensureTable(spark, path, source.schema, statsCols)
+    val writer = writerId.getOrElse {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(8).map(b => f"$b%02x").mkString
+    }
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         DataSkipping.appendWithStats(batch, path, statsCols,
-          commitName = Some(s"commit-batch$batchId"))
+          commitName = Some(s"commit-$writer-batch$batchId"))
         () // discard the committed/skipped flag: skip IS success here
       }
       .start()

@@ -26,7 +26,7 @@ class StatsTableSinkSpec extends SparkSpec {
 
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 500)
     val manifests = new java.io.File(s"$table/${DataSkipping.StatsDir}")
-      .listFiles().map(_.getName).filter(_.startsWith("commit-batch")).toSeq
+      .listFiles().map(_.getName).filter(_.startsWith("commit-")).toSeq
     assert(manifests.nonEmpty, "batch must commit under its deterministic marker name")
 
     // restart with new source data: only the new files drain
@@ -65,6 +65,48 @@ class StatsTableSinkSpec extends SparkSpec {
       (100L until 150L).map(i => (i, i)).toDF("id", "v"), table, Seq("id"),
       commitName = Some("commit-batch8")))
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 150)
+    // an EMPTY batch still writes its marker (the marker IS the
+    // commit): the replay short-circuits
+    assert(DataSkipping.appendWithStats(
+      batch.limit(0), table, Seq("id"), commitName = Some("commit-batch9")))
+    assert(!DataSkipping.appendWithStats(
+      batch.limit(0), table, Seq("id"), commitName = Some("commit-batch9")))
+    // mismatched statsCols are rejected before anything is written
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats(batch, table, Seq("v"),
+        commitName = Some("commit-batch10"))
+    }
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 150)
+  }
+
+  test("two writers (distinct checkpoints) into one table never collide on batch ids") {
+    val s = spark
+    import s.implicits._
+    val srcA = tmpDir("stsink_two_a")
+    val srcB = tmpDir("stsink_two_b")
+    val table = tmpDir("stsink_two_tbl") + "/t"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcA)
+    (1000L until 1100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcB)
+    // both streams drain batch id 0 — marker names must not collide
+    StatsTableSink.run(FileIngest.stream(s, srcA, schema, format = "parquet"),
+      table, Seq("id"), tmpDir("stsink_two_ca")).awaitTermination()
+    StatsTableSink.run(FileIngest.stream(s, srcB, schema, format = "parquet"),
+      table, Seq("id"), tmpDir("stsink_two_cb")).awaitTermination()
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 200,
+      "the second writer's batch 0 must not be skipped as a replay")
+  }
+
+  test("ensureTable refuses a directory that holds data without a sidecar") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("stsink_refuse")
+    (0L until 10L).map(i => (i, i)).toDF("id", "v").write.mode("append").parquet(dir)
+    intercept[IllegalArgumentException] {
+      StatsTableSink.ensureTable(s, dir, schema, Seq("id"))
+    }
+    assert(s.read.parquet(dir).count() === 10, "the existing data must be untouched")
   }
 
   test("crash between data move and marker: orphans invisible to manifest readers, replay repairs") {
@@ -90,10 +132,19 @@ class StatsTableSinkSpec extends SparkSpec {
     assert(s.read.parquet(table).count() === 200,
       "the orphan remains on disk for compactTable to reclaim")
 
-    // compaction (stream stopped) folds the committed snapshot and
-    // vacuums only its own replaced files; the manifest keeps exactly
-    // the committed rows
-    DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30)
+    // compaction (stream stopped) folds the committed snapshot,
+    // vacuums EVERYTHING the new manifest doesn't claim (replaced
+    // files AND the crash orphan), and preserves the commit marker
+    // so a very late replay still short-circuits
+    val n = DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30)
+    assert(n > 0, "fragmented table must compact")
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 100)
+    assert(s.read.parquet(table).count() === 100,
+      "vacuum must reclaim the orphan: plain and manifest readers now agree")
+    assert(!DataSkipping.appendWithStats(batch, table, Seq("id"),
+      commitName = Some("commit-batch0")),
+      "the commit marker must survive compaction — a post-compact replay " +
+        "would otherwise re-append an already-folded batch")
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 100)
   }
 }
