@@ -2365,6 +2365,132 @@ object Queries {
             SELECT 'silver', 'text_within_limit', 'Drop', n, kept, drop_viol FROM s
             ORDER BY table_name, rule NULLS FIRST"""))
 
+  // The END-TO-END corpus pipeline — the FineWeb/C4-style path from
+  // raw crawl to training manifest, five operators composed into ONE
+  // gated result: quality filter (score >= 0.5) -> canonical exact
+  // dedup (min-id representative per normalized text) -> per-source
+  // cap (k hash-smallest) -> deterministic splits (90/5/5) ->
+  // training-order shuffle ordinal over the train split. The oracle
+  // replays every stage in one CTE chain, so drift in ANY stage —
+  // or in how stages compose — is a hash mismatch. Individual
+  // operators are gated by their own queries; this pins the
+  // composition a real user would run. NON-VACUOUS by construction:
+  // planted digit-junk docs MUST die at the quality gate, planted
+  // case/punct variants MUST collapse onto their originals at the
+  // dedup stage, and k = 15 sits under the 25-docs-per-source
+  // corpus so the cap genuinely elects.
+  val corpusPipeline = QueryDef(
+    "q_corpus_pipeline",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val junk = base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+          lit("12345 67890 !!! ??? 000").as("text"))
+      val dupes = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          concat(lit("  "), upper(col("text")), lit(" .")).as("text"))
+      val docs = base.union(junk).union(dupes)
+      val kept = docs.filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      // keep-one dedup in ONE pass over the scored corpus: min-id
+      // winner per normalized text via min(struct), grouped on the
+      // 8-byte HASH of the normalization (the text itself never
+      // shuffles — exactByHash's stance, exact modulo 64-bit
+      // collisions). The (id, source) survivor set is tiny and
+      // consumed by four downstream stages (cap's election + its
+      // semi-join, both split branches), so it is cached — without
+      // it every consumer re-runs the full text-stats quality scan.
+      val unique = kept
+        .select(xxhash64(TextFunctions.normalizeForDedup(col("text"))).as("__n"),
+          col("doc_id"), col("source"))
+        .groupBy(col("__n"))
+        .agg(min(struct(col("doc_id"), col("source"))).as("__w"))
+        .select(col("__w.doc_id").as("doc_id"), col("__w.source").as("source"))
+        .persist()
+      val capped = TextOps.capPerGroup(unique, "source", "doc_id",
+        k = 15, seed = 42L)
+      val split = TextOps.assignSplits(capped, "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      val train = TextOps.shuffleDeterministic(
+        split.filter(col("split") === "train"), "doc_id", seed = 7L)
+      train.select(col("doc_id"), col("source"), col("split"), col("shuffle_pos"))
+        .union(split.filter(col("split") =!= "train")
+          .select(col("doc_id"), col("source"), col("split"),
+            lit(-1L).as("shuffle_pos")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val (m42, a42) = TextOps.shuffleKeyConstants(42L)
+      val (m7, a7) = TextOps.shuffleKeyConstants(7L)
+      s"""WITH aug AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000, source, '12345 67890 !!! ??? 000'
+            FROM documents WHERE doc_id < 30
+            UNION ALL
+            SELECT doc_id + 100000, source, '  ' || upper(text) || ' .'
+            FROM documents WHERE doc_id < 50
+          ), base AS (
+            SELECT doc_id, source, text,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE) END AS digit_ratio
+            FROM aug
+          ), sw AS (
+            SELECT doc_id, source, text, n_tokens, punct_ratio, digit_ratio,
+              CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          t -> list_contains($stop, t))) AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stopword_ratio
+            FROM base
+          ), q AS (
+            SELECT doc_id, source, text FROM sw
+            WHERE (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+              + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+              + GREATEST(0.0, 1.0 - (punct_ratio + digit_ratio) * 2.0) * 0.3 >= 0.5
+          ), n AS (
+            SELECT doc_id, source,
+              trim(regexp_replace(regexp_replace(lower(text),
+                '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+            FROM q
+          ), u AS (
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, min(doc_id) OVER (PARTITION BY nt) AS rep FROM n)
+            WHERE doc_id = rep
+          ), capped AS (
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn
+              FROM (SELECT doc_id, source,
+                      ((doc_id % 1000000007) * $m42 + $a42) % 1000000007 AS sk
+                    FROM u))
+            WHERE rn <= 15
+          ), sp AS (
+            SELECT doc_id, source,
+              CASE WHEN b < 9000 THEN 'train'
+                   WHEN b < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id, source,
+                    (((doc_id % 1000000007) * 654435747) % 1000000007) % 10000 AS b
+                  FROM capped)
+          ), tr AS (
+            SELECT doc_id, source, split,
+              row_number() OVER (ORDER BY
+                ((doc_id % 1000000007) * $m7 + $a7) % 1000000007, doc_id) - 1
+                AS shuffle_pos
+            FROM sp WHERE split = 'train'
+          )
+          SELECT doc_id, source, split, shuffle_pos FROM tr
+          UNION ALL
+          SELECT doc_id, source, split, CAST(-1 AS BIGINT) AS shuffle_pos
+          FROM sp WHERE split <> 'train'
+          ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
@@ -2382,5 +2508,5 @@ object Queries {
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
-    ingestEvolved)
+    ingestEvolved, corpusPipeline)
 }
