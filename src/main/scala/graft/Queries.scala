@@ -2397,15 +2397,20 @@ object Queries {
       // shuffles — exactByHash's stance, exact modulo 64-bit
       // collisions). The (id, source) survivor set is tiny and
       // consumed by four downstream stages (cap's election + its
-      // semi-join, both split branches), so it is cached — without
-      // it every consumer re-runs the full text-stats quality scan.
+      // semi-join, both split branches), so it is materialized ONCE
+      // via localCheckpoint — without it every consumer re-runs the
+      // full text-stats quality scan. (localCheckpoint, not persist:
+      // its blocks are reclaimed by the ContextCleaner when the
+      // frame is unreferenced, where a bare .persist() would pin a
+      // block per invocation in a long-lived session — the leak
+      // packSequences' CacheScope exists to prevent.)
       val unique = kept
         .select(xxhash64(TextFunctions.normalizeForDedup(col("text"))).as("__n"),
           col("doc_id"), col("source"))
         .groupBy(col("__n"))
         .agg(min(struct(col("doc_id"), col("source"))).as("__w"))
         .select(col("__w.doc_id").as("doc_id"), col("__w.source").as("source"))
-        .persist()
+        .localCheckpoint()
       val capped = TextOps.capPerGroup(unique, "source", "doc_id",
         k = 15, seed = 42L)
       val split = TextOps.assignSplits(capped, "doc_id",

@@ -41,6 +41,30 @@ object DataSkipping {
 
   val StatsDir = "_graft_stats"
   val SchemaFile = "_table_schema.json"
+  val StatsColsFile = "_stats_cols.txt"
+  private val SwapPrefix = ".stats-swap-"
+
+  /** Complete a torn manifest swap: compactTable builds the whole
+    * replacement stats dir offline and swaps it in (delete + rename)
+    * — a crash between the two leaves the table without a manifest
+    * but WITH the fully-built swap dir, which this finishes. Called
+    * at the entry of every manifest-touching operation; one
+    * `exists` check when the table is healthy.
+    */
+  private def repairStatsSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val statsDir = new Path(s"$path/$StatsDir")
+    if (fs.exists(statsDir) || !fs.exists(new Path(path))) return
+    val swaps = fs.listStatus(new Path(path))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(SwapPrefix))
+    if (swaps.nonEmpty) {
+      // single-writer maintenance ⇒ at most one swap is mid-flight;
+      // take the newest (older ones are pre-delete debris)
+      val chosen = swaps.maxBy(_.getModificationTime)
+      require(fs.rename(chosen.getPath, statsDir),
+        s"completing torn stats swap ${chosen.getPath} failed")
+    }
+  }
 
   /** Write `df` as parquet at `path` plus a per-file manifest for
     * `statsCols`: min/max per column, row count, and the file's SIZE
@@ -59,7 +83,7 @@ object DataSkipping {
     val written = spark.read.parquet(path)
     statsFor(written, statsCols)
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
-    writeSchemaSidecar(spark, path, written.schema)
+    writeSidecars(spark, s"$path/$StatsDir", written.schema, statsCols)
   }
 
   /** Per-file stats rows (one output row per input file) for a scan
@@ -79,12 +103,34 @@ object DataSkipping {
       .coalesce(1)
   }
 
-  private def writeSchemaSidecar(
-      spark: SparkSession, path: String, schema: StructType): Unit = {
+  /** Schema + tracked-columns sidecars into `dir` (the live stats
+    * dir, or a swap dir being built offline).
+    */
+  private def writeSidecars(spark: SparkSession, dir: String,
+      schema: StructType, statsCols: Seq[String]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new Path(dir, name), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put(SchemaFile, schema.json)
+    put(StatsColsFile, statsCols.mkString("\n"))
+  }
+
+  /** Tracked stats columns from the sidecar (O(1)); falls back to a
+    * manifest listing + footer read for pre-sidecar tables.
+    */
+  private def trackedCols(spark: SparkSession, path: String): Set[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(s"$path/$StatsDir/$SchemaFile"), true)
-    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val p = new Path(s"$path/$StatsDir/$StatsColsFile")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).toSet
+      finally in.close()
+    } else spark.read.parquet(s"$path/$StatsDir").columns
+      .collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
   }
 
   /** Append a batch to an existing stats table WITHOUT touching what
@@ -138,16 +184,20 @@ object DataSkipping {
       df: DataFrame, path: String, statsCols: Seq[String],
       commitName: Option[String] = None): Boolean = {
     require(statsCols.nonEmpty, "at least one stats column")
-    commitName.foreach(n => require(!n.startsWith("part-") && !n.contains("/"),
-      s"commitName '$n' must not start with 'part-' or contain '/'"))
+    commitName.foreach(n => require(
+      n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !n.startsWith("part-"),
+      s"commitName '$n' must start with an alphanumeric and use only " +
+        "[A-Za-z0-9._-] (a '_'/'.' prefix would HIDE the marker from the " +
+        "manifest reader — a committed-then-vacuumed batch; 'part-' is " +
+        "reserved for plain manifest parts)"))
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairStatsSwap(fs, path)
     require(fs.exists(new Path(s"$path/$StatsDir/$SchemaFile")),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
     val marker = commitName.map(n => new Path(s"$path/$StatsDir", s"$n.parquet"))
     if (marker.exists(fs.exists)) return false
-    val tracked = spark.read.parquet(s"$path/$StatsDir").columns
-      .collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val tracked = trackedCols(spark, path)
     require(statsCols.toSet == tracked,
       s"statsCols [${statsCols.sorted.mkString(",")}] must equal the table's " +
         s"tracked columns [${tracked.toSeq.sorted.mkString(",")}] — a mixed-schema " +
@@ -228,21 +278,29 @@ object DataSkipping {
     * O(snapshot files) any OPTIMIZE planner holds).
     *
     * VACUUM (`vacuum = true`, default) deletes every data file in
-    * the table root the NEW manifest doesn't claim — the replaced
-    * files AND any orphans from crashed appends or a previously
-    * crashed compaction, which also makes compaction self-repairing:
-    * a crash after the move-in but before the manifest swap leaves
-    * extra files that only plain-path readers see, and the next
-    * successful compact reclaims them. `vacuum = false` keeps
-    * everything on disk (manifest-invisible) for manual rollback.
-    * Compaction is a single-writer maintenance op: plain-path
-    * readers and concurrent writers (including a live stream) must
-    * not race it (Delta needs its log + vacuum discipline for
-    * exactly the same reason).
+    * the table root the manifest doesn't claim — the replaced files
+    * AND any orphans from crashed appends or a previously crashed
+    * compaction — plus stale hidden staging dirs, which makes
+    * compaction self-repairing: crash debris only survives until the
+    * next successful run. Vacuum runs EVEN when the table already
+    * meets the size target (a no-op compact is still the documented
+    * orphan-reclamation path). `vacuum = false` keeps everything on
+    * disk (manifest-invisible) for manual rollback. Compaction is a
+    * single-writer maintenance op: plain-path readers and concurrent
+    * writers (including a live stream) must not race it (Delta needs
+    * its log + vacuum discipline for exactly the same reason).
+    *
+    * CRASH SAFETY of the manifest swap: the complete replacement
+    * stats dir — part files, sidecars, preserved markers — is built
+    * OFFLINE in a hidden swap dir, then swapped in (delete old +
+    * rename new). A crash between the delete and the rename leaves
+    * the table manifest-less but with the fully-built swap dir, and
+    * every manifest-touching entry point completes the rename first
+    * ([[repairStatsSwap]]) — markers can never be lost to a torn
+    * compaction.
     *
     * Returns the number of files after compaction, or 0 if the table
-    * already meets the target (no write, no manifest churn, no
-    * vacuum).
+    * already meets the target (no rewrite — vacuum still runs).
     */
   def compactTable(
       spark: SparkSession, path: String,
@@ -250,6 +308,8 @@ object DataSkipping {
       vacuum: Boolean = true): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val statsDir = new Path(s"$path/$StatsDir")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairStatsSwap(fs, path)
     val stats = spark.read.parquet(statsDir.toString)
     require(stats.columns.contains("file_size"),
       "compactTable needs a size-carrying manifest (rewrite with writeWithStats)")
@@ -257,9 +317,13 @@ object DataSkipping {
     val old = stats.select(col("file"), col("file_size")).collect()
     val totalBytes = old.map(_.getLong(1)).sum
     val target = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (target >= old.length) return 0
+    if (target >= old.length) {
+      // no rewrite, but vacuum is still the orphan-reclamation path
+      if (vacuum) sweepUnclaimed(fs, path,
+        old.map(r => new Path(r.getString(0)).getName).toSet)
+      return 0
+    }
     val schema = tableSchema(spark, path)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // named commit markers to preserve across the manifest rewrite
     val markers = fs.listStatus(statsDir).map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("part-")).toSeq
@@ -270,15 +334,14 @@ object DataSkipping {
     val snapshot = spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
     snapshot.coalesce(target).write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
-    // manifest swap = the commit; sidecar rewritten after (overwrite
-    // clears the stats dir), during which schema resolution falls
-    // back to a footer read — slower, never wrong
+    // build the COMPLETE replacement stats dir offline: manifest
+    // parts, sidecars, and the preserved markers (zero-row manifest
+    // files — one Spark write, filesystem copies while still hidden)
+    val swap = new Path(path, s"$SwapPrefix${java.util.UUID.randomUUID}")
     val newStats = statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols)
-    newStats.write.mode("overwrite").parquet(statsDir.toString)
-    writeSchemaSidecar(spark, path, schema)
+    newStats.write.parquet(swap.toString)
+    writeSidecars(spark, swap.toString, schema, statsCols)
     if (markers.nonEmpty) {
-      // one zero-row manifest file per preserved marker name (all
-      // identical: one Spark write, then filesystem copies)
       val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
       newStats.limit(0).write.parquet(tmp.toString)
       val part = fs.listStatus(tmp)
@@ -286,19 +349,35 @@ object DataSkipping {
       require(part.length == 1, s"expected one marker part, got ${part.length}")
       markers.foreach { n =>
         org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
-          fs, new Path(statsDir, n), false,
+          fs, new Path(swap, n), false,
           spark.sparkContext.hadoopConfiguration)
       }
       fs.delete(tmp, true)
     }
-    if (vacuum) {
-      val keep = moved.map(p => new Path(p).getName).toSet
-      fs.listStatus(new Path(path))
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith(".") && !keep(f.getPath.getName))
-        .foreach(f => fs.delete(f.getPath, false))
-    }
+    // the swap: delete old, rename new. The gap is repaired by
+    // repairStatsSwap at every entry point.
+    fs.delete(statsDir, true)
+    require(fs.rename(swap, statsDir), s"stats swap rename to $statsDir failed")
+    if (vacuum) sweepUnclaimed(fs, path, moved.map(p => new Path(p).getName).toSet)
     moved.size
+  }
+
+  /** Delete every visible data file the manifest doesn't claim and
+    * every stale hidden staging dir (crashed append/compact debris).
+    * Single-writer maintenance only — a live writer's staging would
+    * be swept.
+    */
+  private def sweepUnclaimed(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, keep: Set[String]): Unit = {
+    val stagingPrefixes =
+      Seq(".append-", ".compact-", ".stats-", ".markers-", SwapPrefix)
+    fs.listStatus(new Path(path)).foreach { f =>
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && !keep(n))
+        fs.delete(f.getPath, false)
+      else if (f.isDirectory && stagingPrefixes.exists(n.startsWith))
+        fs.delete(f.getPath, true)
+    }
   }
 
   /** Table schema from the manifest sidecar; falls back to reading
@@ -336,6 +415,8 @@ object DataSkipping {
   def prunedFiles(
       spark: SparkSession, path: String,
       predicate: Column): (Seq[String], Seq[String]) = {
+    repairStatsSwap(new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), path)
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val cond = resolvedCondition(spark, tableSchema(spark, path), predicate)
@@ -363,6 +444,8 @@ object DataSkipping {
     * file_size/mod_time columns) fall back to a path-list read.
     */
   def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame = {
+    repairStatsSwap(new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), path)
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val schema = tableSchema(spark, path)

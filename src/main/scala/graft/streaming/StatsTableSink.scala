@@ -74,8 +74,15 @@ object StatsTableSink {
     val spark = source.sparkSession
     ensureTable(spark, path, source.schema, statsCols)
     val writer = writerId.getOrElse {
+      // hash the QUALIFIED path, not the raw string: "/tmp/ck",
+      // "/tmp/ck/" and "file:/tmp/ck" are the same checkpoint and
+      // must yield the same writer identity, or a restart under a
+      // different spelling re-appends its replayed batches
+      val p = new Path(checkpointDir)
+      val qualified = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
       val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       d.take(8).map(b => f"$b%02x").mkString
     }
     source.writeStream

@@ -147,4 +147,59 @@ class StatsTableSinkSpec extends SparkSpec {
         "would otherwise re-append an already-folded batch")
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 100)
   }
+
+  test("a torn manifest swap (crash between delete and rename) is completed on next access") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths}
+    val table = tmpDir("stsink_torn") + "/t"
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    DataSkipping.appendWithStats((0L until 100L).map(i => (i, i)).toDF("id", "v"),
+      table, Seq("id"), commitName = Some("commit-batchA"))
+    // fake the torn swap: the fully-built replacement dir exists
+    // under the hidden swap name, the live stats dir is gone
+    val statsDir = Paths.get(table, DataSkipping.StatsDir)
+    val swap = Paths.get(table, ".stats-swap-torn")
+    Files.move(statsDir, swap)
+    assert(!Files.exists(statsDir))
+    // any manifest-touching entry completes the swap first
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 100)
+    assert(Files.exists(statsDir) && !Files.exists(swap))
+    // markers survived the repair: the replay still short-circuits
+    assert(!DataSkipping.appendWithStats((0L until 100L).map(i => (i, i)).toDF("id", "v"),
+      table, Seq("id"), commitName = Some("commit-batchA")))
+  }
+
+  test("a no-op compact still vacuums orphans; hidden/illegal commit names are rejected") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsink_noop") + "/t"
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    DataSkipping.appendWithStats((0L until 50L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), table, Seq("id"), commitName = Some("commit-b0"))
+    // crash debris: an orphan data file + a stale staging dir
+    (50L until 90L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(table)
+    new java.io.File(s"$table/.append-stale").mkdirs()
+    assert(s.read.parquet(table).count() === 90)
+    // table is already compact (1 committed file >= target) -> the
+    // compact is a no-op BUT the vacuum must still reclaim debris
+    assert(DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30) === 0)
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 50)
+    assert(s.read.parquet(table).count() === 50,
+      "no-op compact must still reclaim the orphan")
+    assert(!new java.io.File(s"$table/.append-stale").exists(),
+      "stale staging dirs are debris and must be swept")
+    // a '_'/'.'-prefixed marker would be HIDDEN from the manifest
+    // reader (committed then vacuumed) — rejected up front
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats((0L until 5L).map(i => (i, i)).toDF("id", "v"),
+        table, Seq("id"), commitName = Some("_backfill"))
+    }
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats((0L until 5L).map(i => (i, i)).toDF("id", "v"),
+        table, Seq("id"), commitName = Some(".hidden"))
+    }
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 50)
+  }
 }
