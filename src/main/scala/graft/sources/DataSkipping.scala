@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (Hadoop's default path filter hides `_`/`.` entries), so readers
   * that don't know about skipping see exactly the same table.
   *
-  * Predicate support (the skippable subset): =, <, <=, >, >= against
-  * literals, composed with AND/OR. Anything else is handled
+  * Predicate support (the skippable subset): =, <, <=, >, >=, IN,
+  * and ASCII startsWith against literals, composed with AND/OR.
+  * Anything else is handled
   * CONSERVATIVELY — an unsupported conjunct prunes nothing, an
   * unsupported disjunct disables pruning of its OR — so correctness
   * never depends on the rewriter's coverage. Null semantics fall out
@@ -511,6 +512,26 @@ object DataSkipping {
       Some(minC(a) <= litOf(v))
     case LessThanOrEqual(Lit(v), Attr(a)) if tracked(a) =>
       Some(maxC(a) >= litOf(v))
+    case org.apache.spark.sql.catalyst.expressions.In(Attr(a), vs)
+        if tracked(a) && vs.forall(Lit.unapply(_).isDefined) =>
+      // a IN (v1..vn): the file can hold a match iff its range admits
+      // SOME value. A null element's term evaluates null, which is
+      // conservative-correct under the OR (a row only survives the
+      // row filter when IN is TRUE, never null).
+      Some(vs.map { case Lit(v) => minC(a) <= litOf(v) && maxC(a) >= litOf(v) }
+        .reduce(_ || _))
+    case org.apache.spark.sql.catalyst.expressions.StartsWith(Attr(a), Lit(v))
+        if tracked(a) && v.value != null &&
+          v.value.toString.forall(_ < 0x80) =>
+      // v startsWith p  ⟹  p <= v < succ(p). ASCII prefixes only:
+      // Spark orders strings by UTF-8 bytes, the JVM by UTF-16 code
+      // units — they agree on ASCII, and a wrong bound here silently
+      // drops live files.
+      val prefix = v.value.toString
+      val lower = maxC(a) >= lit(prefix)
+      if (prefix.isEmpty) Some(lower) // every string matches ""
+      else Some(lower &&
+        minC(a) < lit(prefix.init + (prefix.last + 1).toChar))
     case _ => None
   }
 

@@ -57,6 +57,39 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, mixed).count() === 99)
   }
 
+  test("IN lists and ASCII prefix predicates prune; non-ASCII prefix falls back safely") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 1000L).map(i => (i, f"k$i%04d"))
+      .toDF("id", "key").repartitionByRange(10, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id", "key"))
+
+    // IN over two far-apart ids: exactly two files survive
+    val inPred = col("id").isin(5L, 905L)
+    val (keptIn, all) = DataSkipping.prunedFiles(s, dir, inPred)
+    assert(all.size === 10)
+    assert(keptIn.size === 2, s"IN must prune: kept $keptIn")
+    assert(DataSkipping.readSkipping(s, dir, inPred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 905L))
+
+    // ASCII prefix: k02xx lives in one id-range file
+    val pre = col("key").startsWith("k02")
+    val (keptPre, _) = DataSkipping.prunedFiles(s, dir, pre)
+    assert(keptPre.size <= 2, s"prefix must prune: kept $keptPre")
+    assert(DataSkipping.readSkipping(s, dir, pre).count() === 100)
+
+    // non-ASCII prefix: UTF-8 vs UTF-16 ordering can disagree, so
+    // pruning must decline (keep all) and the result stay exact
+    val (keptUni, _) = DataSkipping.prunedFiles(s, dir, col("key").startsWith("ké"))
+    assert(keptUni.size === all.size)
+    assert(DataSkipping.readSkipping(s, dir, col("key").startsWith("ké")).count() === 0)
+
+    // IN with a null element: conservative-correct, planted values kept
+    val withNull = col("id").isin(5L, 905L) || col("id").isNull
+    assert(DataSkipping.readSkipping(s, dir, withNull).count() === 2)
+  }
+
   test("type-coerced literals (Cast-wrapped by the analyzer) still prune") {
     val s = spark
     import s.implicits._
