@@ -195,7 +195,29 @@ object ScaleRamp {
         docs(k), "doc_id", "text")),
       "incremental_dedup" -> (k => Dedup.incrementalDedup(
         docs(k), docs(1), "doc_id", "text",
-        expectedItems = 5000L * k, fpp = 0.01)))
+        expectedItems = 5000L * k, fpp = 0.01)),
+      // r7 additions. A synthetic 20-label source column (hash of
+      // doc_id) gives the grouped ops a fixed label space while the
+      // corpus scales — the shapes under test are the bounded-heap
+      // election (cap), the two-phase grouped prefix scan (token
+      // budget), and the count-agg + top-k cut + broadcast lookup
+      // (vocab/encode); all should ramp linearly.
+      "cap_per_group" -> (k => graft.operators.TextOps.capPerGroup(
+        docs(k).withColumn("source",
+          concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(20L)))),
+        "source", "doc_id", k = 100, seed = 7L)),
+      "token_budget" -> (k => graft.operators.TextOps.sampleByTokenBudget(
+        docs(k).withColumn("source",
+            concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(20L))))
+          .withColumn("n_tok", length(col("text")).cast("bigint")),
+        "doc_id", "source", "n_tok",
+        budgets = (0 until 20).map(i => s"src$i" -> 50000L * k).toMap,
+        seed = 7L)),
+      "vocab_encode" -> { k =>
+        val d = docs(k)
+        graft.operators.TextOps.encodeDocs(d, "doc_id", "text",
+          graft.operators.TextOps.buildVocab(d, "text", maxVocab = 10000))
+      })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
