@@ -2032,6 +2032,63 @@ object Queries {
                           WHEN 'src2' THEN 2500 ELSE 1000 END
             ORDER BY doc_id"""))
 
+  // Reference-corpus familiarity scoring: a bigram model counted
+  // from docs < 100 scores the WHOLE corpus (in-reference docs score
+  // high on their own bigrams; the rest mix known and unknown
+  // grams). The oracle replays the counts, the smoothing arithmetic,
+  // and the position-ordered left-fold sum — bit-exact doubles, no
+  // transcendentals — so a wrong count, join, or fold order anywhere
+  // is a hash mismatch.
+  val lmFamiliarityQ = QueryDef(
+    "q_lm_familiarity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.lmFamiliarity(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 100), "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH rtoks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+              FROM documents WHERE doc_id < 100
+            ), uni AS (
+              SELECT t, COUNT(*) AS cu FROM rtoks GROUP BY t
+            ), vs AS (
+              SELECT COUNT(*) AS v FROM uni
+            ), rg AS (
+              SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')) END) AS g
+              FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents WHERE doc_id < 100)
+            ), big AS (
+              SELECT g, COUNT(*) AS cb FROM rg GROUP BY g
+            ), dg AS (
+              SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                SELECT doc_id, unnest(CASE WHEN len(toks) < 2
+                  THEN CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[])
+                  ELSE list_transform(range(1, len(toks)),
+                         i -> {'pos': i, 'g': array_to_string(toks[i:i+1], ' ')}) END) AS u
+                FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents))
+            ), dp AS (
+              SELECT dg.doc_id, dg.pos,
+                CAST(COALESCE(b.cb, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(u2.cu, 0) + (SELECT v FROM vs) AS DOUBLE) AS p
+              FROM dg
+              LEFT JOIN big b ON dg.g = b.g
+              LEFT JOIN uni u2 ON string_split(dg.g, ' ')[1] = u2.t
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list(p ORDER BY pos)), (a, b) -> a + b) AS s
+              FROM dp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              COALESCE(a.s / a.n_bigrams, 0.0) AS score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id"""))
+
   // Token-budget source mixing: per-source greedy prefix in seeded
   // hash order until the token budget is met. The oracle replays the
   // key arithmetic, the token count, and the EXCLUSIVE running sum
@@ -2504,7 +2561,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
-    vocabQ, encodeTokensQ, splitNoLeakage,
+    vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, appendScan, compactScan,
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,

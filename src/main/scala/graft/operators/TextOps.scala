@@ -503,6 +503,63 @@ object TextOps {
     docs.withColumn(splitCol, when(bucket.isNotNull, chain))
   }
 
+  /** Reference-corpus n-gram familiarity score — the CCNet/KenLM-
+    * style "does this document look like the reference domain"
+    * filter: score each doc by the average add-one-smoothed bigram
+    * probability under a bigram model counted from `ref`.
+    *
+    *   score(doc) = avg_i P(w_i | w_{i-1}),
+    *   P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    *
+    * over the reference corpus (c = counts, V = reference vocabulary
+    * size; c(w1) is the token's total unigram count). Deliberately
+    * NOT log-space perplexity: ln() is libm-dependent and breaks
+    * cross-engine bit-parity, while +,/ are IEEE-exact — and the
+    * ranking direction is the same (higher = more familiar). The
+    * per-doc sum is a LEFT FOLD over the position-sorted
+    * probability array, so the floating addition order — and hence
+    * every output bit — is identical on every run, partitioning,
+    * and engine.
+    *
+    * Scale: both count tables are bounded by the REFERENCE
+    * vocabulary (the in-domain sample — orders of magnitude smaller
+    * than the corpus being scored) and broadcast; the corpus side is
+    * one gram explode, two map-side joins, and one shuffle keyed on
+    * doc id for the per-doc fold. Docs with fewer than 2 tokens get
+    * (n_bigrams = 0, score = 0.0) — visible, filterable.
+    */
+  def lmFamiliarity(
+      docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val refGrams = ref
+      .select(explode(TextFunctions.wordNgrams(col(refTextCol), 2)).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__cb"))
+    val refToks = ref
+      .select(explode(TextFunctions.tokens(col(refTextCol))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocabSize = refToks.count() // bounded: reference vocabulary
+    val pairs = docs.select(col(idCol).cast("bigint").as("doc_id"),
+      posexplode(TextFunctions.wordNgrams(col(textCol), 2)).as(Seq("pos", "__g")))
+    val scored = pairs
+      .join(broadcast(refGrams), Seq("__g"), "left")
+      .withColumn("__w1", substring_index(col("__g"), " ", 1))
+      .join(broadcast(refToks), Seq("__w1"), "left")
+      .withColumn("__p",
+        (coalesce(col("__cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("__cu"), lit(0L)) + lit(vocabSize)).cast("double"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("__p")))).as("__ps"))
+      .select(col("doc_id"),
+        size(col("__ps")).cast("bigint").as("n_bigrams"),
+        (aggregate(col("__ps"), lit(0.0),
+          (acc, x) => acc + x.getField("__p")) / size(col("__ps"))).as("score"))
+    docs.select(col(idCol).cast("bigint").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** Leakage-safe split assignment: near-duplicate documents must
     * land in the SAME split — a train/test pair of near-dups is
     * evaluation leakage, the canonical reason benchmark numbers

@@ -444,6 +444,34 @@ class TextOpsSpec extends SparkSpec {
     assert(enc(3L) === Seq.empty, "token-free doc stays, empty")
   }
 
+  test("lmFamiliarity: add-one bigram probabilities, fold determinism, short docs visible") {
+    val s = spark
+    import s.implicits._
+    // ref "a b a c": unigrams a:2 b:1 c:1 (V=3); bigrams ab:1 ba:1 ac:1
+    val ref = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),  // known bigram: (1+1)/(2+3) = 0.4
+      (2L, "a z"),  // known prefix, unknown bigram: (0+1)/(2+3) = 0.2
+      (3L, "z q"),  // fully OOV: (0+1)/(0+3) = 1/3
+      (4L, "a"),    // < 2 tokens: n_bigrams 0, score 0
+      (5L, "a b a c")) // the ref doc itself: (0.4 + 0.2 + 0.4)/3
+      .toDF("doc_id", "text")
+    val out = TextOps.lmFamiliarity(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((1L, 0.4)))
+    assert(out(2L) === ((1L, 0.2)))
+    assert(out(3L) === ((1L, 1.0 / 3.0)))
+    assert(out(4L) === ((0L, 0.0)))
+    // "b a" has cb=1, cu(b)=1: (1+1)/(1+3) = 0.5 -> (0.4+0.5+0.4)/3
+    assert(out(5L) === ((3L, (0.4 + 0.5 + 0.4) / 3)))
+    // in-domain text outranks OOV text — the filter's purpose
+    assert(out(5L)._2 > out(3L)._2)
+    // repartitioning must not change a single bit (ordered fold)
+    val out2 = TextOps.lmFamiliarity(docs.repartition(7), "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, (_, sc)) => assert(out2(id) === sc) }
+  }
+
   test("assignSplitsLeakageSafe: every duplicate cluster lands atomically in one split") {
     val s = spark
     import s.implicits._
