@@ -513,7 +513,7 @@ object DataSkipping {
     case LessThanOrEqual(Lit(v), Attr(a)) if tracked(a) =>
       Some(maxC(a) >= litOf(v))
     case org.apache.spark.sql.catalyst.expressions.In(Attr(a), vs)
-        if tracked(a) && vs.forall(Lit.unapply(_).isDefined) =>
+        if tracked(a) && vs.nonEmpty && vs.forall(Lit.unapply(_).isDefined) =>
       // a IN (v1..vn): the file can hold a match iff its range admits
       // SOME value. A null element's term evaluates null, which is
       // conservative-correct under the OR (a row only survives the

@@ -88,6 +88,9 @@ class DataSkippingSpec extends SparkSpec {
     // IN with a null element: conservative-correct, planted values kept
     val withNull = col("id").isin(5L, 905L) || col("id").isNull
     assert(DataSkipping.readSkipping(s, dir, withNull).count() === 2)
+    // empty IN list: must fall back (an empty reduce would crash the
+    // planner), and the result is correctly empty
+    assert(DataSkipping.readSkipping(s, dir, col("id").isin()).count() === 0)
   }
 
   test("type-coerced literals (Cast-wrapped by the analyzer) still prune") {
