@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * that don't know about skipping see exactly the same table.
   *
   * Predicate support (the skippable subset): =, <, <=, >, >=, IN,
-  * and ASCII startsWith against literals, composed with AND/OR.
-  * Anything else is handled
+  * ASCII startsWith, and — on manifests carrying per-file null
+  * counts (the "nulls" feature, Delta's nullCount analog; written by
+  * default, legacy tables upgraded by compactTable) — IS NULL /
+  * IS NOT NULL, composed with AND/OR. Anything else is handled
   * CONSERVATIVELY — an unsupported conjunct prunes nothing, an
   * unsupported disjunct disables pruning of its OR — so correctness
   * never depends on the rewriter's coverage. Null semantics fall out
@@ -43,6 +45,7 @@ object DataSkipping {
   val StatsDir = "_graft_stats"
   val SchemaFile = "_table_schema.json"
   val StatsColsFile = "_stats_cols.txt"
+  val FeaturesFile = "_manifest_features.txt"
   private val SwapPrefix = ".stats-swap-"
 
   /** Complete a torn manifest swap: compactTable builds the whole
@@ -92,9 +95,17 @@ object DataSkipping {
     * file size and mtime. Partial-agg shuffle keyed on file path —
     * one row per file crosses the wire.
     */
-  private def statsFor(scan: DataFrame, statsCols: Seq[String]): DataFrame = {
+  private def statsFor(scan: DataFrame, statsCols: Seq[String],
+      withNulls: Boolean = true): DataFrame = {
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++ Seq(
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) ++
+        // per-file null counts (Delta's nullCount analog) enable
+        // IS [NOT] NULL pruning; emitted only when the table's
+        // manifest generation carries them — a mixed-schema
+        // manifest is exactly what the statsCols check forbids
+        (if (withNulls)
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+        else Nil)) ++ Seq(
       count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("file_size"),
       max(unix_millis(col("_metadata.file_modification_time"))).as("mod_time"))
@@ -104,11 +115,27 @@ object DataSkipping {
       .coalesce(1)
   }
 
-  /** Schema + tracked-columns sidecars into `dir` (the live stats
-    * dir, or a swap dir being built offline).
+  /** O(1) manifest feature flags ("nulls" = per-file null counts
+    * present). Absent file = legacy manifest, no flags.
+    */
+  private def manifestFeatures(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Set[String] = {
+    val p = new Path(s"$path/$StatsDir/$FeaturesFile")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Schema + tracked-columns + feature sidecars into `dir` (the
+    * live stats dir, or a swap dir being built offline).
     */
   private def writeSidecars(spark: SparkSession, dir: String,
-      schema: StructType, statsCols: Seq[String]): Unit = {
+      schema: StructType, statsCols: Seq[String],
+      features: Set[String] = Set("nulls")): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def put(name: String, content: String): Unit = {
       val out = fs.create(new Path(dir, name), true)
@@ -117,6 +144,7 @@ object DataSkipping {
     }
     put(SchemaFile, schema.json)
     put(StatsColsFile, statsCols.mkString("\n"))
+    put(FeaturesFile, features.toSeq.sorted.mkString("\n"))
   }
 
   /** Tracked stats columns from the sidecar (O(1)); falls back to a
@@ -212,7 +240,12 @@ object DataSkipping {
     df.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
     val batchStats =
-      if (moved.nonEmpty) statsFor(spark.read.schema(stored).parquet(moved: _*), statsCols)
+      if (moved.nonEmpty) statsFor(spark.read.schema(stored).parquet(moved: _*),
+        // match the table's manifest generation: appending null-count
+        // columns to a legacy manifest (or vice versa) is the mixed-
+        // schema mis-pruning the statsCols check forbids. Legacy
+        // tables are upgraded wholesale by compactTable.
+        statsCols, withNulls = manifestFeatures(fs, path).contains("nulls"))
       else spark.read.parquet(s"$path/$StatsDir").limit(0) // zero-row marker
     marker match {
       case None if moved.isEmpty => ()
@@ -420,8 +453,9 @@ object DataSkipping {
       spark.sparkContext.hadoopConfiguration), path)
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
     val cond = resolvedCondition(spark, tableSchema(spark, path), predicate)
-    val skip = rewrite(cond, tracked).getOrElse(lit(true))
+    val skip = rewrite(cond, tracked, nullsTracked).getOrElse(lit(true))
     val all = stats.select("file").collect().map(_.getString(0)).toSeq
     val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
     (kept, all)
@@ -449,9 +483,10 @@ object DataSkipping {
       spark.sparkContext.hadoopConfiguration), path)
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
     val schema = tableSchema(spark, path)
     val cond = resolvedCondition(spark, schema, predicate)
-    val skip = rewrite(cond, tracked).getOrElse(lit(true))
+    val skip = rewrite(cond, tracked, nullsTracked).getOrElse(lit(true))
     if (!stats.columns.contains("file_size")) {
       // legacy manifest: no status metadata recorded — path-list read
       val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
@@ -478,12 +513,14 @@ object DataSkipping {
   }
 
   /** Rewrite a row predicate into a file-stats predicate over
-    * min_/max_ columns. None = cannot skip on this expression.
+    * min_/max_ (and, on v2 manifests, nulls_) columns. None = cannot
+    * skip on this expression.
     */
-  private[sources] def rewrite(e: Expression, tracked: Set[String]): Option[Column] = e match {
+  private[sources] def rewrite(e: Expression, tracked: Set[String],
+      nullsTracked: Set[String] = Set.empty): Option[Column] = e match {
     case And(l, r) =>
       // an unsupported conjunct restricts nothing: x AND unknown -> x
-      (rewrite(l, tracked), rewrite(r, tracked)) match {
+      (rewrite(l, tracked, nullsTracked), rewrite(r, tracked, nullsTracked)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (Some(a), None) => Some(a)
         case (None, Some(b)) => Some(b)
@@ -491,7 +528,12 @@ object DataSkipping {
       }
     case Or(l, r) =>
       // an unsupported disjunct could match anywhere: give up the OR
-      for (a <- rewrite(l, tracked); b <- rewrite(r, tracked)) yield a || b
+      for (a <- rewrite(l, tracked, nullsTracked);
+        b <- rewrite(r, tracked, nullsTracked)) yield a || b
+    case IsNull(Attr(a)) if nullsTracked(a) =>
+      Some(col(s"nulls_$a") > 0L)
+    case IsNotNull(Attr(a)) if nullsTracked(a) =>
+      Some(col("n_rows") > col(s"nulls_$a"))
     case EqualTo(Attr(a), Lit(v)) if tracked(a) =>
       Some(minC(a) <= litOf(v) && maxC(a) >= litOf(v))
     case EqualTo(Lit(v), Attr(a)) if tracked(a) =>

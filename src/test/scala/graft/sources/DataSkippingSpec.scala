@@ -93,6 +93,63 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, col("id").isin()).count() === 0)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL; legacy manifests append compatibly and upgrade via compact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // nulls clustered in the id range [0, 200): only those files can
+    // answer IS NULL
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 200) None else Some(i * 2)))
+      .toDF("id", "v")
+      .repartitionByRange(10, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id", "v"))
+
+    val (keptNull, all) = DataSkipping.prunedFiles(s, dir, col("v").isNull)
+    assert(all.size === 10)
+    assert(keptNull.size <= 3, s"IS NULL must prune to the null-bearing files: $keptNull")
+    assert(DataSkipping.readSkipping(s, dir, col("v").isNull).count() === 200)
+    // IS NOT NULL drops the all-null files
+    val (keptNotNull, _) = DataSkipping.prunedFiles(s, dir, col("v").isNotNull)
+    assert(keptNotNull.size < all.size,
+      s"IS NOT NULL must drop all-null files: $keptNotNull")
+    assert(DataSkipping.readSkipping(s, dir, col("v").isNotNull).count() === 800)
+
+    // LEGACY table (no null counts, no feature flag): appends must
+    // emit the legacy shape — a mixed-schema manifest mis-prunes
+    val legacy = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")),
+      legacy, Seq("id"))
+    val statsDir = s"$legacy/${DataSkipping.StatsDir}"
+    val stripped = s.read.parquet(statsDir).drop("nulls_id")
+    stripped.write.mode("overwrite").parquet(s"$legacy/.legacy_rewrite")
+    s.read.parquet(s"$legacy/.legacy_rewrite").write.mode("overwrite").parquet(statsDir)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statsDir, DataSkipping.FeaturesFile), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(statsDir, DataSkipping.SchemaFile), true)
+    out.write(s.read.parquet(legacy).schema.json.getBytes("UTF-8")); out.close()
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(statsDir, DataSkipping.StatsColsFile), true)
+    out2.write("id".getBytes("UTF-8")); out2.close()
+
+    DataSkipping.appendWithStats(
+      (100L until 150L).map(i => (i, i)).toDF("id", "v"), legacy, Seq("id"))
+    assert(!s.read.parquet(statsDir).columns.contains("nulls_id"),
+      "append to a legacy manifest must not introduce null-count columns")
+    assert(DataSkipping.readSkipping(s, legacy, lit(true)).count() === 150)
+    // ...and value pruning still works without the feature
+    assert(DataSkipping.readSkipping(s, legacy, col("id") < 50L).count() === 50)
+
+    // compactTable upgrades the whole manifest to the nulls feature
+    val n = DataSkipping.compactTable(s, legacy, targetFileBytes = 1L << 30)
+    assert(n > 0)
+    assert(s.read.parquet(statsDir).columns.contains("nulls_id"),
+      "compaction must upgrade a legacy manifest to null-count stats")
+    assert(DataSkipping.readSkipping(s, legacy,
+      col("id").isNotNull).count() === 150)
+  }
+
   test("type-coerced literals (Cast-wrapped by the analyzer) still prune") {
     val s = spark
     import s.implicits._
