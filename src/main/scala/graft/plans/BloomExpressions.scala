@@ -41,6 +41,22 @@ object BloomFilterOps {
     true
   }
 
+  /** Membership probe over ArrayData words in place (no long[]
+    * materialization) — the per-ROW variant for bit arrays stored as
+    * table columns rather than plan constants.
+    */
+  def containsData(words: ArrayData, numHashes: Int, hash: Long): Boolean = {
+    val m = words.numElements().toLong * 64L
+    val h2 = hash * Mix | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((hash + i * h2) & Long.MaxValue) % m
+      if ((words.getLong((idx >>> 6).toInt) & (1L << (idx & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Membership probe against a hash-range-sharded filter set: the
     * row's shard is floorMod(hash, nShards) — the same arithmetic as
     * Spark's `pmod`, so a filter built from a
@@ -192,6 +208,36 @@ case class BloomContains(first: Expression, second: Expression, third: Expressio
     nullSafeCodeGen(ctx, ev, (hashExpr, _, _) =>
       s"${ev.value} = graft.plans.BloomFilterOps.contains($wordsRef, $k, $hashExpr);")
   }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-ROW Bloom membership: unlike [[BloomContains]] (whose bit
+  * array is a foldable plan constant), the filter here is a COLUMN —
+  * the per-file Bloom a data-skipping manifest row carries. Rows at
+  * the probe site are per-FILE (thousands, not billions), so walking
+  * the ArrayData per row costs nothing that matters; what matters is
+  * that no filter bytes live in the plan at all — the manifest scan
+  * streams them.
+  */
+case class BloomContainsColumn(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType, ArrayType(LongType), IntegerType)
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_bloom_contains_col"
+
+  override def nullSafeEval(h: Any, b: Any, k: Any): Any =
+    BloomFilterOps.containsData(
+      b.asInstanceOf[ArrayData], k.asInstanceOf[Int], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, b, k) =>
+      s"${ev.value} = graft.plans.BloomFilterOps.containsData($b, $k, $h);")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

@@ -636,6 +636,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_contains_sharded"),
       new ExpressionInfo(classOf[BloomContainsSharded].getName, "graft_bloom_contains_sharded"),
       children => BloomContainsSharded(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bloom_contains_col"),
+      new ExpressionInfo(classOf[BloomContainsColumn].getName, "graft_bloom_contains_col"),
+      children => BloomContainsColumn(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       children => WordNgrams(children(0), children(1))),

@@ -80,15 +80,55 @@ object DataSkipping {
     * written files, grouped by file (partial-agg shuffle keyed on
     * file path — one row per file crosses the wire).
     */
-  def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Unit = {
+  def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String]): Unit =
+    writeWithStats(df, path, statsCols, Nil)
+
+  /** As above, plus per-file BLOOM filters for `bloomCols` — the
+    * Delta bloom-filter-index analog for point lookups on
+    * high-cardinality columns where min/max ranges are useless (an
+    * unclustered id spans every file's range, so range stats keep
+    * everything; a per-file Bloom keeps ~1 file + fpp stragglers).
+    * Costs `bloomBits/8` bytes per file per column in the manifest
+    * (8 KB at the 64 Ki default) — opt in for the tables you point-
+    * look-up, not everywhere.
+    */
+  def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int = 1 << 16,
+      bloomHashes: Int = 7): Unit = {
     require(statsCols.nonEmpty, "at least one stats column")
     df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
     val written = spark.read.parquet(path)
-    statsFor(written, statsCols)
+    val bloom = if (bloomCols.isEmpty) None
+      else Some((bloomCols, bloomBits, bloomHashes))
+    statsFor(written, statsCols, withNulls = true, bloom)
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
-    writeSidecars(spark, s"$path/$StatsDir", written.schema, statsCols)
+    writeSidecars(spark, s"$path/$StatsDir", written.schema, statsCols,
+      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet)
   }
+
+  private def bloomFeatureLine(b: (Seq[String], Int, Int)): String =
+    s"bloom:${b._2}:${b._3}:${b._1.mkString(",")}"
+
+  /** Parse the `bloom:<bits>:<hashes>:<cols>` feature line. */
+  private def bloomFeature(features: Set[String]): Option[(Seq[String], Int, Int)] =
+    features.collectFirst { case f if f.startsWith("bloom:") =>
+      val parts = f.split(":", 4)
+      (parts(3).split(",").toSeq, parts(1).toInt, parts(2).toInt)
+    }
+
+  /** col -> probe count for the bloom-indexed columns actually
+    * present in the manifest (the feature line and the `bloom_`
+    * column must both agree before the rewriter may probe).
+    */
+  private def bloomIndex(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, statsColumns: Array[String]): Map[String, Int] =
+    bloomFeature(manifestFeatures(fs, path)) match {
+      case Some((cols, _, hashes)) =>
+        cols.filter(c => statsColumns.contains(s"bloom_$c"))
+          .map(_ -> hashes).toMap
+      case None => Map.empty
+    }
 
   /** Per-file stats rows (one output row per input file) for a scan
     * that carries `_metadata`: min/max per stats column, row count,
@@ -96,7 +136,9 @@ object DataSkipping {
     * one row per file crosses the wire.
     */
   private def statsFor(scan: DataFrame, statsCols: Seq[String],
-      withNulls: Boolean = true): DataFrame = {
+      withNulls: Boolean = true,
+      bloom: Option[(Seq[String], Int, Int)] = None): DataFrame = {
+    if (bloom.isDefined) graft.plans.GraftFunctions.register(scan.sparkSession)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) ++
         // per-file null counts (Delta's nullCount analog) enable
@@ -105,7 +147,12 @@ object DataSkipping {
         // manifest is exactly what the statsCols check forbids
         (if (withNulls)
           Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-        else Nil)) ++ Seq(
+        else Nil)) ++
+      // per-file Bloom filters over xxhash64 of the column value
+      bloom.toSeq.flatMap { case (cols, bits, hashes) =>
+        cols.map(c => call_function("graft_bloom_agg",
+          xxhash64(col(c)), lit(bits), lit(hashes)).as(s"bloom_$c"))
+      } ++ Seq(
       count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("file_size"),
       max(unix_millis(col("_metadata.file_modification_time"))).as("mod_time"))
@@ -240,12 +287,15 @@ object DataSkipping {
     df.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
     val batchStats =
-      if (moved.nonEmpty) statsFor(spark.read.schema(stored).parquet(moved: _*),
+      if (moved.nonEmpty) {
         // match the table's manifest generation: appending null-count
-        // columns to a legacy manifest (or vice versa) is the mixed-
-        // schema mis-pruning the statsCols check forbids. Legacy
-        // tables are upgraded wholesale by compactTable.
-        statsCols, withNulls = manifestFeatures(fs, path).contains("nulls"))
+        // or bloom columns to a legacy manifest (or vice versa) is
+        // the mixed-schema mis-pruning the statsCols check forbids.
+        // Legacy tables are upgraded wholesale by compactTable.
+        val feats = manifestFeatures(fs, path)
+        statsFor(spark.read.schema(stored).parquet(moved: _*),
+          statsCols, withNulls = feats.contains("nulls"), bloom = bloomFeature(feats))
+      }
       else spark.read.parquet(s"$path/$StatsDir").limit(0) // zero-row marker
     marker match {
       case None if moved.isEmpty => ()
@@ -372,9 +422,14 @@ object DataSkipping {
     // parts, sidecars, and the preserved markers (zero-row manifest
     // files — one Spark write, filesystem copies while still hidden)
     val swap = new Path(path, s"$SwapPrefix${java.util.UUID.randomUUID}")
-    val newStats = statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols)
+    // the rewrite always emits null counts (the legacy→v2 upgrade
+    // moment) and preserves the table's bloom configuration
+    val bloomCfg = bloomFeature(manifestFeatures(fs, path))
+    val newStats = statsFor(spark.read.schema(schema).parquet(moved: _*),
+      statsCols, withNulls = true, bloom = bloomCfg)
     newStats.write.parquet(swap.toString)
-    writeSidecars(spark, swap.toString, schema, statsCols)
+    writeSidecars(spark, swap.toString, schema, statsCols,
+      Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet)
     if (markers.nonEmpty) {
       val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
       newStats.limit(0).write.parquet(tmp.toString)
@@ -449,13 +504,15 @@ object DataSkipping {
   def prunedFiles(
       spark: SparkSession, path: String,
       predicate: Column): (Seq[String], Seq[String]) = {
-    repairStatsSwap(new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration), path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairStatsSwap(fs, path)
+    graft.plans.GraftFunctions.register(spark)
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
+    val bloomIdx = bloomIndex(fs, path, stats.columns)
     val cond = resolvedCondition(spark, tableSchema(spark, path), predicate)
-    val skip = rewrite(cond, tracked, nullsTracked).getOrElse(lit(true))
+    val skip = rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true))
     val all = stats.select("file").collect().map(_.getString(0)).toSeq
     val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
     (kept, all)
@@ -479,14 +536,16 @@ object DataSkipping {
     * file_size/mod_time columns) fall back to a path-list read.
     */
   def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame = {
-    repairStatsSwap(new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration), path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairStatsSwap(fs, path)
+    graft.plans.GraftFunctions.register(spark)
     val stats = spark.read.parquet(s"$path/$StatsDir")
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
+    val bloomIdx = bloomIndex(fs, path, stats.columns)
     val schema = tableSchema(spark, path)
     val cond = resolvedCondition(spark, schema, predicate)
-    val skip = rewrite(cond, tracked, nullsTracked).getOrElse(lit(true))
+    val skip = rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true))
     if (!stats.columns.contains("file_size")) {
       // legacy manifest: no status metadata recorded — path-list read
       val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
@@ -513,14 +572,27 @@ object DataSkipping {
   }
 
   /** Rewrite a row predicate into a file-stats predicate over
-    * min_/max_ (and, on v2 manifests, nulls_) columns. None = cannot
-    * skip on this expression.
+    * min_/max_ (and, per manifest features, nulls_/bloom_) columns.
+    * None = cannot skip on this expression. `bloom` maps each
+    * bloom-indexed column to its probe count; equality and IN terms
+    * on those columns ALSO require the per-file Bloom to admit the
+    * value — the pruning that works where min/max ranges are useless
+    * (unclustered high-cardinality columns).
     */
   private[sources] def rewrite(e: Expression, tracked: Set[String],
-      nullsTracked: Set[String] = Set.empty): Option[Column] = e match {
+      nullsTracked: Set[String] = Set.empty,
+      bloom: Map[String, Int] = Map.empty): Option[Column] = {
+    def eqTerm(a: String, v: Literal): Column = {
+      val range = minC(a) <= litOf(v) && maxC(a) >= litOf(v)
+      bloom.get(a).fold(range)(k => range &&
+        call_function("graft_bloom_contains_col",
+          xxhash64(litOf(v)), col(s"bloom_$a"), lit(k)))
+    }
+    e match {
     case And(l, r) =>
       // an unsupported conjunct restricts nothing: x AND unknown -> x
-      (rewrite(l, tracked, nullsTracked), rewrite(r, tracked, nullsTracked)) match {
+      (rewrite(l, tracked, nullsTracked, bloom),
+        rewrite(r, tracked, nullsTracked, bloom)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (Some(a), None) => Some(a)
         case (None, Some(b)) => Some(b)
@@ -528,16 +600,16 @@ object DataSkipping {
       }
     case Or(l, r) =>
       // an unsupported disjunct could match anywhere: give up the OR
-      for (a <- rewrite(l, tracked, nullsTracked);
-        b <- rewrite(r, tracked, nullsTracked)) yield a || b
+      for (a <- rewrite(l, tracked, nullsTracked, bloom);
+        b <- rewrite(r, tracked, nullsTracked, bloom)) yield a || b
     case IsNull(Attr(a)) if nullsTracked(a) =>
       Some(col(s"nulls_$a") > 0L)
     case IsNotNull(Attr(a)) if nullsTracked(a) =>
       Some(col("n_rows") > col(s"nulls_$a"))
     case EqualTo(Attr(a), Lit(v)) if tracked(a) =>
-      Some(minC(a) <= litOf(v) && maxC(a) >= litOf(v))
+      Some(eqTerm(a, v))
     case EqualTo(Lit(v), Attr(a)) if tracked(a) =>
-      Some(minC(a) <= litOf(v) && maxC(a) >= litOf(v))
+      Some(eqTerm(a, v))
     case GreaterThan(Attr(a), Lit(v)) if tracked(a) =>
       Some(maxC(a) > litOf(v))
     case GreaterThan(Lit(v), Attr(a)) if tracked(a) =>
@@ -556,12 +628,11 @@ object DataSkipping {
       Some(maxC(a) >= litOf(v))
     case org.apache.spark.sql.catalyst.expressions.In(Attr(a), vs)
         if tracked(a) && vs.nonEmpty && vs.forall(Lit.unapply(_).isDefined) =>
-      // a IN (v1..vn): the file can hold a match iff its range admits
-      // SOME value. A null element's term evaluates null, which is
-      // conservative-correct under the OR (a row only survives the
-      // row filter when IN is TRUE, never null).
-      Some(vs.map { case Lit(v) => minC(a) <= litOf(v) && maxC(a) >= litOf(v) }
-        .reduce(_ || _))
+      // a IN (v1..vn): the file can hold a match iff its range (and
+      // bloom, when indexed) admits SOME value. A null element's term
+      // evaluates null, which is conservative-correct under the OR (a
+      // row only survives the row filter when IN is TRUE, never null).
+      Some(vs.map { case Lit(v) => eqTerm(a, v) }.reduce(_ || _))
     case org.apache.spark.sql.catalyst.expressions.StartsWith(Attr(a), Lit(v))
         if tracked(a) && v.value != null &&
           v.value.toString.forall(_ < 0x80) =>
@@ -575,6 +646,7 @@ object DataSkipping {
       else Some(lower &&
         minC(a) < lit(prefix.init + (prefix.last + 1).toChar))
     case _ => None
+    }
   }
 
   /** Foldable comparand, evaluated to a Literal. The ANALYZED plan

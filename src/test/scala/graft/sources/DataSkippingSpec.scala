@@ -57,6 +57,54 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, mixed).count() === 99)
   }
 
+  test("per-file bloom filters prune point lookups where min/max ranges are useless") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // key is an UNCLUSTERED high-cardinality string: every file's
+    // (min_key, max_key) spans nearly the whole lexicographic range,
+    // so range stats keep everything — only the bloom can prune
+    val df = (0L until 4000L)
+      .map(i => (i, f"k${(i * 2654435761L) % 100000L}%05d"))
+      .toDF("id", "key")
+      .repartitionByRange(8, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id", "key"),
+      bloomCols = Seq("key"), bloomBits = 1 << 14, bloomHashes = 7)
+
+    val target = f"k${(123L * 2654435761L) % 100000L}%05d" // lives in exactly one file
+    val (keptEq, all) = DataSkipping.prunedFiles(s, dir, col("key") === target)
+    assert(all.size === 8)
+    assert(keptEq.size <= 2, s"bloom must prune the point lookup: kept $keptEq")
+    assert(DataSkipping.readSkipping(s, dir, col("key") === target)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(123L))
+    // an absent key prunes everything (fpp aside) and returns empty
+    val (keptMiss, _) = DataSkipping.prunedFiles(s, dir, col("key") === "nope")
+    assert(keptMiss.size <= 1, s"absent key should prune to ~0 files: $keptMiss")
+    assert(DataSkipping.readSkipping(s, dir, col("key") === "nope").count() === 0)
+    // IN probes each value through the bloom
+    val target2 = f"k${(3777L * 2654435761L) % 100000L}%05d"
+    val (keptIn, _) = DataSkipping.prunedFiles(s, dir, col("key").isin(target, target2))
+    assert(keptIn.size <= 3, s"IN bloom probes: kept $keptIn")
+    assert(DataSkipping.readSkipping(s, dir, col("key").isin(target, target2))
+      .count() === 2)
+
+    // appends inherit the bloom configuration from the feature sidecar
+    DataSkipping.appendWithStats(
+      Seq((9001L, "zzz-appended")).toDF("id", "key"), dir, Seq("id", "key"))
+    val (keptApp, all2) = DataSkipping.prunedFiles(s, dir, col("key") === "zzz-appended")
+    assert(all2.size === 9)
+    assert(keptApp.size <= 2, s"appended file must carry a probeable bloom: $keptApp")
+    assert(DataSkipping.readSkipping(s, dir, col("key") === "zzz-appended").count() === 1)
+
+    // compaction preserves the bloom config through the manifest swap
+    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30) > 0)
+    val (keptPost, allPost) = DataSkipping.prunedFiles(s, dir, col("key") === "nope")
+    assert(allPost.size < 9)
+    assert(keptPost.size <= 1, s"post-compact bloom must still prune: $keptPost")
+    assert(DataSkipping.readSkipping(s, dir, col("key") === target)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(123L))
+  }
+
   test("IN lists and ASCII prefix predicates prune; non-ASCII prefix falls back safely") {
     val s = spark
     import s.implicits._
