@@ -534,10 +534,18 @@ object TextOps {
     val refGrams = ref
       .select(explode(TextFunctions.wordNgrams(col(refTextCol), 2)).as("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__cb"))
+    // materialized ONCE (localCheckpoint, blocks reclaimed when
+    // unreferenced): both the vocab-size action and the broadcast
+    // join below read it — without this the reference corpus would
+    // be tokenized and aggregated twice
     val refToks = ref
       .select(explode(TextFunctions.tokens(col(refTextCol))).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+      .localCheckpoint()
     val vocabSize = refToks.count() // bounded: reference vocabulary
+    require(vocabSize > 0,
+      "reference corpus has no tokens — every smoothed probability " +
+        "would divide by zero; pass a non-empty in-domain reference")
     val pairs = docs.select(col(idCol).cast("bigint").as("doc_id"),
       posexplode(TextFunctions.wordNgrams(col(textCol), 2)).as(Seq("pos", "__g")))
     val scored = pairs

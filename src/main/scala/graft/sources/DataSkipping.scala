@@ -501,9 +501,13 @@ object DataSkipping {
     * counts. The scan path is [[readSkipping]], which never
     * materializes the all-files list.
     */
-  def prunedFiles(
-      spark: SparkSession, path: String,
-      predicate: Column): (Seq[String], Seq[String]) = {
+  /** Shared planning preamble for the pruning entry points: repair a
+    * torn swap, load the manifest, derive the tracked/null/bloom
+    * column sets, and rewrite `predicate` into the file-skip filter.
+    * Returns (manifest frame, table schema, skip filter).
+    */
+  private def planSkip(spark: SparkSession, path: String,
+      predicate: Column): (DataFrame, StructType, Column) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairStatsSwap(fs, path)
     graft.plans.GraftFunctions.register(spark)
@@ -511,8 +515,15 @@ object DataSkipping {
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
     val bloomIdx = bloomIndex(fs, path, stats.columns)
-    val cond = resolvedCondition(spark, tableSchema(spark, path), predicate)
-    val skip = rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true))
+    val schema = tableSchema(spark, path)
+    val cond = resolvedCondition(spark, schema, predicate)
+    (stats, schema, rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true)))
+  }
+
+  def prunedFiles(
+      spark: SparkSession, path: String,
+      predicate: Column): (Seq[String], Seq[String]) = {
+    val (stats, _, skip) = planSkip(spark, path, predicate)
     val all = stats.select("file").collect().map(_.getString(0)).toSeq
     val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
     (kept, all)
@@ -536,16 +547,7 @@ object DataSkipping {
     * file_size/mod_time columns) fall back to a path-list read.
     */
   def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairStatsSwap(fs, path)
-    graft.plans.GraftFunctions.register(spark)
-    val stats = spark.read.parquet(s"$path/$StatsDir")
-    val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
-    val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
-    val bloomIdx = bloomIndex(fs, path, stats.columns)
-    val schema = tableSchema(spark, path)
-    val cond = resolvedCondition(spark, schema, predicate)
-    val skip = rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true))
+    val (stats, schema, skip) = planSkip(spark, path, predicate)
     if (!stats.columns.contains("file_size")) {
       // legacy manifest: no status metadata recorded — path-list read
       val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
