@@ -1188,6 +1188,34 @@ object Queries {
             FROM events WHERE user_id >= 100 AND user_id < 250
             ORDER BY event_id"""))
 
+  // Bloom-indexed point lookup: events clustered by USER (the usual
+  // layout for per-user reads), blooms on the UNCLUSTERED unique
+  // event_id — each file's event_id range spans nearly everything,
+  // so min/max stats keep all 16 files and only the Bloom narrows a
+  // point lookup to ~1 file + fpp. Oracle is the plain filtered SQL
+  // — bloom pruning must be content-invisible (a false negative =
+  // lost rows = hash mismatch). Pruning counts are
+  // DataSkippingSpec's job.
+  val bloomScan = QueryDef(
+    "q_bloom_scan",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_blq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events",
+        statsCols = Seq("user_id", "event_id"),
+        bloomCols = Seq("event_id"), bloomBits = 1 << 16)
+      DataSkipping.readSkipping(s, s"$root/events",
+          col("event_id") === 1234L || col("event_id").isin(77L, 5555L))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE event_id = 1234 OR event_id IN (77, 5555)
+            ORDER BY event_id"""))
+
   // Deterministic training-order shuffle. The global ordinal makes
   // the ORDER itself part of the row values (the gate's row-sorted
   // hash would not see a wrong sort otherwise): the oracle replays
@@ -2563,7 +2591,7 @@ object Queries {
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, appendScan, compactScan,
+    skippingRead, zorderRead, appendScan, compactScan, bloomScan,
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
