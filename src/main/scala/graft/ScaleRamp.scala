@@ -217,7 +217,13 @@ object ScaleRamp {
         val d = docs(k)
         graft.operators.TextOps.encodeDocs(d, "doc_id", "text",
           graft.operators.TextOps.buildVocab(d, "text", maxVocab = 10000))
-      })
+      },
+      // reference held FIXED (the 1x corpus's first 500 docs) while
+      // the scored corpus scales — the broadcast-count shape should
+      // ramp linearly like contamination
+      "lm_familiarity" -> (k => graft.operators.TextOps.lmFamiliarity(
+        docs(k), "doc_id", "text",
+        docs(1).filter(col("doc_id") < 500), "text")))
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
