@@ -1151,12 +1151,16 @@ object Queries {
       DataSkipping.appendWithStats(
         ev.filter(col("event_id") % 2 === 1).repartitionByRange(4, col("user_id")),
         s"$root/events", Seq("user_id"))
+      // predicate INSIDE the data domain at every gated scale (sf0.01
+      // events carry user_id < 150): a range past the domain returns
+      // zero rows from both engines and the gate would stay green even
+      // if the append dropped or duplicated every row (r7 advice)
       DataSkipping.readSkipping(s, s"$root/events",
-          col("user_id") >= 300L && col("user_id") < 450L)
+          col("user_id") >= 30L && col("user_id") < 80L)
         .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id, event_type, value
-            FROM events WHERE user_id >= 300 AND user_id < 450
+            FROM events WHERE user_id >= 30 AND user_id < 80
             ORDER BY event_id"""))
 
   // OPTIMIZE bin-packing: a deliberately fragmented table (16 base

@@ -496,11 +496,6 @@ object DataSkipping {
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(sys.error("predicate did not analyze to a Filter"))
 
-  /** (files the predicate might match, all files) from the manifest.
-    * DRIVER-SIDE LISTS — the test/diagnostic surface for pruning
-    * counts. The scan path is [[readSkipping]], which never
-    * materializes the all-files list.
-    */
   /** Shared planning preamble for the pruning entry points: repair a
     * torn swap, load the manifest, derive the tracked/null/bloom
     * column sets, and rewrite `predicate` into the file-skip filter.
@@ -520,6 +515,11 @@ object DataSkipping {
     (stats, schema, rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true)))
   }
 
+  /** (files the predicate might match, all files) from the manifest.
+    * DRIVER-SIDE LISTS — the test/diagnostic surface for pruning
+    * counts. The scan path is [[readSkipping]], which never
+    * materializes the all-files list.
+    */
   def prunedFiles(
       spark: SparkSession, path: String,
       predicate: Column): (Seq[String], Seq[String]) = {

@@ -99,6 +99,25 @@ final class ParquetStateStore(
     val tag = Paths.get(path, "_graft_commit_protocol")
     val name = coordinator.getClass.getName
     if (create && !Files.exists(tag)) {
+      // PRE-PROTOCOL stores (version dirs, no tag — written before
+      // the stamp existed, under rename-commit): stamping them with a
+      // coordinator whose isCommitted rejects every existing version
+      // would make latestVersion None, and the first publish would
+      // delete the real committed v0 as a "crashed rival's partial
+      // copy" — silent data loss. Refuse unless the configured
+      // coordinator recognizes at least one existing version as
+      // committed (trivially true for RenameCoordinator, the protocol
+      // such stores were written under).
+      val existing = VersionedDir.list(Paths.get(path), "^v(\\d+)$".r)
+      if (existing.nonEmpty && !existing.exists { case (_, p) => coordinator.isCommitted(p) })
+        throw new IllegalStateException(
+          s"state store at $path has ${existing.size} version dir(s) but no " +
+            s"commit-protocol tag, and $name recognizes none of them as " +
+            "committed — publishing would delete real committed versions as " +
+            "crashed partial copies. Open the store with the coordinator it " +
+            "was written under (pre-tag stores used RenameCoordinator), or " +
+            "migrate it explicitly by rewriting its state through the new " +
+            "coordinator into a fresh store path")
       // stamp via temp + atomic move: a CREATE_NEW + write pair lets
       // a concurrent reader observe the tag created but EMPTY (seen
       // as a protocol mismatch); the move publishes complete bytes

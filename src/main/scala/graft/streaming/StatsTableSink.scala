@@ -35,6 +35,16 @@ object StatsTableSink {
     * destroy whatever lives there (a raw parquet dataset, a legacy
     * pre-sidecar stats table). Convert such tables explicitly with
     * [[DataSkipping.writeWithStats]] over their read-back contents.
+    *
+    * FIRST-TIME bootstrap is serialized by an exclusive-create
+    * sentinel NEXT TO the table dir (inside it would be destroyed by
+    * writeWithStats' overwrite): two streams starting against the
+    * same empty path would otherwise both pass the empty check and
+    * run concurrent overwrites — a torn manifest. The loser of the
+    * sentinel race fails loudly instead. A crashed bootstrap leaves
+    * the sentinel behind (deliberate: the half-built table must be
+    * inspected, not silently overwritten) — delete the sentinel and
+    * the partial table dir to retry.
     */
   def ensureTable(
       spark: SparkSession, path: String,
@@ -47,9 +57,24 @@ object StatsTableSink {
     require(!fs.exists(root) || fs.listStatus(root).isEmpty,
       s"$path exists and is not a stats table (no schema sidecar) — refusing to " +
         "overwrite it; convert it with DataSkipping.writeWithStats first")
+    val qualified = fs.makeQualified(root)
+    val sentinel = new Path(qualified.getParent,
+      s".${qualified.getName}.bootstrap-lock")
+    // exclusive create (overwrite=false) — the conditional-put analog
+    val out =
+      try fs.create(sentinel, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"stats-table bootstrap sentinel $sentinel already exists — either a " +
+            "concurrent caller is bootstrapping this table right now, or a " +
+            "previous bootstrap crashed mid-write; inspect and delete the " +
+            s"sentinel (and any partial $path) before retrying", e)
+      }
+    out.close()
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     DataSkipping.writeWithStats(empty.coalesce(1), path, statsCols)
+    fs.delete(sentinel, false) // success: release; a crash above keeps it
   }
 
   /** Start draining `source` (a streaming DataFrame) into the stats

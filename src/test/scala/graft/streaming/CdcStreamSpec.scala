@@ -266,6 +266,40 @@ class CdcStreamSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getInt(2)).toMap === Map(1 -> 10))
   }
 
+  test("pre-protocol store (versions, no tag): a marker coordinator refuses instead of deleting v0") {
+    val s = spark
+    import s.implicits._
+    val stateDir = tmpDir("cdc_state_pretag")
+    // a store written before the protocol stamp existed: committed
+    // rename-protocol versions, NO _graft_commit_protocol tag
+    new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
+      .upsertBatch(Seq((1, 1, 10)).toDF("k", "seq", "v")) // v0, rename-committed
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(stateDir, "_graft_commit_protocol"))
+    // opening it with LockFileCoordinator: every existing version
+    // lacks the marker, so latestVersion would be None and the first
+    // publish would delete the real v0 as a crashed rival's partial
+    // copy — the guard must refuse the write up front
+    val lockStore = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"),
+      coordinator = new LockFileCoordinator())
+    val e = intercept[IllegalStateException] {
+      lockStore.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    }
+    assert(e.getMessage.contains("no commit-protocol tag"))
+    // v0 survived intact and the legacy coordinator still reads it
+    val reopened = new ParquetStateStore(s, stateDir,
+      keys = Seq("k"), seqCols = Seq("seq"), payload = Seq("v"))
+    assert(reopened.current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap === Map(1 -> 10))
+    // ...and writing through the matching (rename) coordinator
+    // re-stamps the tag and proceeds normally
+    reopened.upsertBatch(Seq((2, 1, 20)).toDF("k", "seq", "v"))
+    assert(reopened.current.get.collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap === Map(1 -> 10, 2 -> 20))
+  }
+
   test("a non-race failure (no rival commit) propagates instead of retrying") {
     val s = spark
     import s.implicits._

@@ -109,6 +109,29 @@ class StatsTableSinkSpec extends SparkSpec {
     assert(s.read.parquet(dir).count() === 10, "the existing data must be untouched")
   }
 
+  test("bootstrap is sentinel-guarded: a rival (or crashed) bootstrap fails loudly") {
+    val s = spark
+    val table = tmpDir("stsink_sentinel") + "/t"
+    // a rival's in-flight bootstrap (or a crashed one) left the
+    // exclusive-create sentinel next to the table dir
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(table))
+    val sentinel = new org.apache.hadoop.fs.Path(
+      qualified.getParent, s".${qualified.getName}.bootstrap-lock")
+    fs.create(sentinel, false).close()
+    val e = intercept[IllegalStateException] {
+      StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    }
+    assert(e.getMessage.contains("bootstrap sentinel"))
+    // clearing the sentinel lets bootstrap proceed, and success
+    // releases it so later callers early-return on the sidecar
+    fs.delete(sentinel, false)
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(!fs.exists(sentinel), "successful bootstrap must release the sentinel")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id")) // idempotent reopen
+  }
+
   test("crash between data move and marker: orphans invisible to manifest readers, replay repairs") {
     val s = spark
     import s.implicits._
