@@ -2585,6 +2585,47 @@ object Queries {
           ORDER BY doc_id"""
     })
 
+  // Silver→gold chained through MANIFEST COMMITS (the Delta-source
+  // analog): bronze file-streams two waves of documents, silver
+  // materializes as a stats table whose micro-batches land as named
+  // manifest commits, and gold consumes silver through
+  // StatsTableSource — each commit becomes one downstream
+  // micro-batch, discovery driven by the manifest, never a directory
+  // listing. TWO pipeline runs (fresh instances, shared checkpoints)
+  // prove incremental exactly-once delivery: the oracle is the plain
+  // SQL over ALL documents, so a dropped or doubled commit anywhere
+  // in the chain is a row-count/hash mismatch. Both filter bounds
+  // fire at the correctness scale (n_chars spans well past [150,380])
+  // — the gate is non-vacuous in both directions.
+  val manifestStream = QueryDef(
+    "q_manifest_stream",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mstr").toString
+      val src = s"$root/src"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val schema = docs.schema
+      def wave(pred: Column): Unit =
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(src)
+      def runPipe(): Map[String, DataFrame] = {
+        val p = new graft.streaming.StreamingPipeline(s, s"$root/pipe")
+        p.source("bronze")(s.readStream.schema(schema).parquet(src))
+        p.statsTable("silver", Seq("doc_id"), "bronze")(t =>
+          t("bronze").filter(col("n_chars") >= 150 && col("n_chars") <= 380))
+        p.table("gold", "silver")(t =>
+          t("silver").withColumn("n_mod", col("n_chars") % 7))
+        p.runOnce()
+      }
+      wave(col("doc_id") % 2 === 0)
+      runPipe()
+      wave(col("doc_id") % 2 === 1)
+      val built = runPipe()
+      built("gold").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars, n_chars % 7 AS n_mod
+            FROM documents WHERE n_chars >= 150 AND n_chars <= 380
+            ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
@@ -2602,5 +2643,5 @@ object Queries {
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
-    ingestEvolved, corpusPipeline)
+    ingestEvolved, corpusPipeline, manifestStream)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Equal
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** File-level data skipping — the Delta-Lake-style min/max manifest,
   * re-expressed over plain parquet (reference: pos-dlt stores its
@@ -28,6 +28,49 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (Hadoop's default path filter hides `_`/`.` entries), so readers
   * that don't know about skipping see exactly the same table.
   *
+  * MANIFEST GENERATIONS (the Delta-log-checkpoint analog): the stats
+  * dir holds versioned generation dirs `v0, v1, ...`, each a COMPLETE
+  * manifest snapshot — part files, sidecars, named commit markers —
+  * made visible by an atomic `_COMMIT` marker file created LAST.
+  * Readers resolve the highest committed generation and plan against
+  * it; [[compactTable]] builds the next generation offline (invisible
+  * until its marker lands) and commits with ONE file create — there
+  * is no delete-then-rename window and therefore no repair path. A
+  * crash mid-build leaves an uncommitted generation dir that readers
+  * never see, reclaimed by the next vacuum. Appends land INSIDE the
+  * current generation (the manifest gains rows, the generation does
+  * not change — generations are compaction/migration events, exactly
+  * like Delta checkpoints vs commits). Pre-generation FLAT manifests
+  * (parts directly under `_graft_stats`) are still read and appended
+  * compatibly; compaction migrates them to `v0`.
+  *
+  * RETENTION (the Delta-VACUUM analog): maintenance never deletes a
+  * file a concurrent reader could still be scanning. Compaction
+  * records every file it replaces (and the generation it supersedes)
+  * in the new generation's removal log with a timestamp;
+  * [[vacuumTable]] deletes a recorded file only `retentionMs` after
+  * its removal, and unrecorded debris (crashed-append orphans, stale
+  * staging dirs) only `retentionMs` after its last modification. A
+  * reader that planned against generation N keeps every data file it
+  * resolved for at least the retention window after a concurrent
+  * compaction commits N+1 — at 100 TB, long-running queries
+  * overlapping maintenance are the NORMAL case, which is exactly why
+  * Delta's VACUUM defaults to 7 days. Pass `retentionMs = 0` only
+  * when no reader can be in flight (tests, exclusive maintenance
+  * windows).
+  *
+  * SCHEMA EVOLUTION on append (`mergeSchema = true`, the Auto-Loader
+  * addNewColumns analog at the storage layer): a batch may carry NEW
+  * columns. The widened schema sidecars are written FIRST (every
+  * crash point leaves a consistently-readable table), old data files
+  * read through the widened schema yield nulls for the new columns,
+  * and old MANIFEST rows read through the widened manifest schema
+  * yield null min/max/null-counts — which the rewriter interprets
+  * exactly right: null min/max = "no non-null values in this file"
+  * prunes value predicates, and `coalesce(nulls_c, n_rows)` backfills
+  * the null count so `IS NULL` keeps pre-evolution files and
+  * `IS NOT NULL` prunes them.
+  *
   * Predicate support (the skippable subset): =, <, <=, >, >=, IN,
   * ASCII startsWith, and — on manifests carrying per-file null
   * counts (the "nulls" feature, Delta's nullCount analog; written by
@@ -46,14 +89,89 @@ object DataSkipping {
   val SchemaFile = "_table_schema.json"
   val StatsColsFile = "_stats_cols.txt"
   val FeaturesFile = "_manifest_features.txt"
-  private val SwapPrefix = ".stats-swap-"
+  val ManifestSchemaFile = "_manifest_schema.json"
+  val CommitFile = "_COMMIT"
+  val RemovedFile = "_removed.txt"
 
-  /** Complete a torn manifest swap: compactTable builds the whole
-    * replacement stats dir offline and swaps it in (delete + rename)
-    * — a crash between the two leaves the table without a manifest
-    * but WITH the fully-built swap dir, which this finishes. Called
-    * at the entry of every manifest-touching operation; one
-    * `exists` check when the table is healthy.
+  /** Default reader-safety window (Delta VACUUM's default): nothing a
+    * manifest ever claimed is deleted sooner than this after being
+    * replaced.
+    */
+  val RetentionDefaultMs: Long = 7L * 24 * 60 * 60 * 1000
+  private val SwapPrefix = ".stats-swap-"
+  private val GenRe = "^v(\\d+)$".r
+
+  // -----------------------------------------------------------------
+  // Generation resolution
+  // -----------------------------------------------------------------
+
+  /** (version, status) of every `v<N>` generation dir, ascending. */
+  private def genDirs(fs: org.apache.hadoop.fs.FileSystem,
+      statsDir: Path): Seq[(Long, FileStatus)] =
+    if (!fs.exists(statsDir)) Seq.empty
+    else fs.listStatus(statsDir).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case GenRe(v) if f.isDirectory => Some(v.toLong -> f)
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  private def isCommittedGen(fs: org.apache.hadoop.fs.FileSystem, gen: Path): Boolean =
+    fs.exists(new Path(gen, CommitFile))
+
+  /** Highest committed generation, if the table is versioned. */
+  private def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+      statsDir: Path): Option[(Long, Path)] =
+    genDirs(fs, statsDir)
+      .filter { case (_, f) => isCommittedGen(fs, f.getPath) }
+      .lastOption.map { case (v, f) => v -> f.getPath }
+
+  /** The directory the CURRENT manifest lives in: the highest
+    * committed generation for a versioned table, the flat stats dir
+    * for a legacy one (completing any torn pre-generation swap
+    * first). Everything the planner needs — manifest parts, sidecars,
+    * commit markers — is under this one dir.
+    */
+  def manifestDir(spark: SparkSession, path: String): String = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestDirOf(fs, path)
+  }
+
+  private def manifestDirOf(fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val statsDir = new Path(s"$path/$StatsDir")
+    currentGen(fs, statsDir) match {
+      case Some((_, gen)) => gen.toString
+      case None =>
+        repairStatsSwap(fs, path)
+        // the repaired swap may itself carry generations (a versioned
+        // stats dir torn loose by pre-generation-era maintenance)
+        currentGen(fs, statsDir).map(_._2.toString).getOrElse(statsDir.toString)
+    }
+  }
+
+  /** Manifest rows of the table's current generation, read through
+    * the persisted manifest schema (no footer reads; post-evolution
+    * parts wider than older ones surface nulls for the added
+    * columns). Falls back to a merged-footer read for manifests
+    * written before the schema sidecar existed.
+    */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    readManifestIn(spark, manifestDir(spark, path))
+
+  private def readManifestIn(spark: SparkSession, dir: String): DataFrame =
+    readSidecar(spark, dir, ManifestSchemaFile) match {
+      case Some(json) =>
+        spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType]).parquet(dir)
+      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+    }
+
+  /** Complete a torn LEGACY manifest swap: the pre-generation
+    * compactTable swapped via delete + rename — a crash between the
+    * two leaves the table without a flat manifest but WITH the
+    * fully-built swap dir, which this finishes. Generation commits
+    * made the window structurally impossible; this survives only so
+    * tables written by the old layout still open. One `exists` check
+    * when the table is healthy.
     */
   private def repairStatsSwap(
       fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
@@ -69,6 +187,10 @@ object DataSkipping {
         s"completing torn stats swap ${chosen.getPath} failed")
     }
   }
+
+  // -----------------------------------------------------------------
+  // Write / append
+  // -----------------------------------------------------------------
 
   /** Write `df` as parquet at `path` plus a per-file manifest for
     * `statsCols`: min/max per column, row count, and the file's SIZE
@@ -101,10 +223,21 @@ object DataSkipping {
     val written = spark.read.parquet(path)
     val bloom = if (bloomCols.isEmpty) None
       else Some((bloomCols, bloomBits, bloomHashes))
-    statsFor(written, statsCols, withNulls = true, bloom)
-      .write.mode("overwrite").parquet(s"$path/$StatsDir")
-    writeSidecars(spark, s"$path/$StatsDir", written.schema, statsCols,
-      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet)
+    val stats = statsFor(written, statsCols, withNulls = true, bloom)
+    // v0, committed by its marker — the overwrite above cleared the
+    // table dir, so this is always the first generation
+    val gen = s"$path/$StatsDir/v0"
+    stats.write.mode("overwrite").parquet(gen)
+    writeSidecars(spark, gen, written.schema, statsCols,
+      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet,
+      manifestSchema = Some(stats.schema))
+    commitGen(spark, new Path(gen))
+  }
+
+  /** The atomic generation commit: one `_COMMIT` file create. */
+  private def commitGen(spark: SparkSession, gen: Path): Unit = {
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(gen, CommitFile), false).close()
   }
 
   private def bloomFeatureLine(b: (Seq[String], Int, Int)): String =
@@ -122,8 +255,8 @@ object DataSkipping {
     * column must both agree before the rewriter may probe).
     */
   private def bloomIndex(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, statsColumns: Array[String]): Map[String, Int] =
-    bloomFeature(manifestFeatures(fs, path)) match {
+      dir: String, statsColumns: Array[String]): Map[String, Int] =
+    bloomFeature(manifestFeatures(fs, dir)) match {
       case Some((cols, _, hashes)) =>
         cols.filter(c => statsColumns.contains(s"bloom_$c"))
           .map(_ -> hashes).toMap
@@ -162,27 +295,40 @@ object DataSkipping {
       .coalesce(1)
   }
 
-  /** O(1) manifest feature flags ("nulls" = per-file null counts
-    * present). Absent file = legacy manifest, no flags.
-    */
-  private def manifestFeatures(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Set[String] = {
-    val p = new Path(s"$path/$StatsDir/$FeaturesFile")
-    if (!fs.exists(p)) Set.empty
+  /** O(1) read of a small text/JSON sidecar in a manifest dir. */
+  private def readSidecarIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, name: String): Option[String] = {
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty).toSet
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
     }
   }
 
-  /** Schema + tracked-columns + feature sidecars into `dir` (the
-    * live stats dir, or a swap dir being built offline).
+  private def readSidecar(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSidecarIn(fs, dir, name)
+  }
+
+  /** O(1) manifest feature flags ("nulls" = per-file null counts
+    * present). Absent file = legacy manifest, no flags.
+    */
+  private def manifestFeatures(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] =
+    readSidecarIn(fs, dir, FeaturesFile)
+      .map(_.linesIterator.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Schema + tracked-columns + feature (+ manifest-schema) sidecars
+    * into `dir` — the generation dir being built or appended to.
     */
   private def writeSidecars(spark: SparkSession, dir: String,
       schema: StructType, statsCols: Seq[String],
-      features: Set[String] = Set("nulls")): Unit = {
+      features: Set[String] = Set("nulls"),
+      manifestSchema: Option[StructType] = None): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def put(name: String, content: String): Unit = {
       val out = fs.create(new Path(dir, name), true)
@@ -192,27 +338,24 @@ object DataSkipping {
     put(SchemaFile, schema.json)
     put(StatsColsFile, statsCols.mkString("\n"))
     put(FeaturesFile, features.toSeq.sorted.mkString("\n"))
+    manifestSchema.foreach(ms => put(ManifestSchemaFile, ms.json))
   }
 
   /** Tracked stats columns from the sidecar (O(1)); falls back to a
     * manifest listing + footer read for pre-sidecar tables.
     */
-  private def trackedCols(spark: SparkSession, path: String): Set[String] = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(s"$path/$StatsDir/$StatsColsFile")
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty).toSet
-      finally in.close()
-    } else spark.read.parquet(s"$path/$StatsDir").columns
-      .collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
-  }
+  private def trackedCols(spark: SparkSession, dir: String): Set[String] =
+    readSidecar(spark, dir, StatsColsFile) match {
+      case Some(content) => content.linesIterator.filter(_.nonEmpty).toSet
+      case None => spark.read.parquet(dir).columns
+        .collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
+    }
 
   /** Append a batch to an existing stats table WITHOUT touching what
     * is already there: data files are written to a hidden staging dir
     * and moved into the table root, then the manifest GAINS rows for
-    * exactly those files (parquet append). Nothing lists or re-scans
+    * exactly those files (parquet append into the CURRENT generation
+    * — appends never create generations). Nothing lists or re-scans
     * the existing table — the writer knows its own files, the same
     * reason Delta's commit can be O(batch): at ingest cadence on a
     * 100 TB table, the alternative (writeWithStats over everything)
@@ -224,41 +367,47 @@ object DataSkipping {
     * rows land second and are the visibility point. A crash in
     * between leaves orphan data files that manifest readers never
     * see; plain-path readers see them as extra rows until the next
-    * [[compactTable]] (which rebuilds the manifest from live files
-    * it rewrites and vacuums the rest).
+    * [[vacuumTable]] pass reclaims them (after retention).
     *
-    * The batch schema must equal the stored sidecar schema
-    * (name + type, nullability ignored): schema EVOLUTION is
-    * [[graft.streaming.FileIngest]]'s job at the ingest boundary,
-    * not a property of the storage layout.
+    * SCHEMA: by default the batch schema must equal the stored
+    * sidecar schema (name + type, nullability ignored). With
+    * `mergeSchema = true` the batch may ADD columns (the Auto-Loader
+    * addNewColumns analog; see class doc for why every crash point
+    * stays consistent): the widened schema + tracked-column sidecars
+    * are rewritten FIRST, old data files read through the widened
+    * schema yield nulls, and old manifest rows yield null stats that
+    * the rewriter backfills correctly. Dropping or retyping columns
+    * is still rejected loudly. Evolution requires a versioned
+    * (generation) manifest — run [[compactTable]] once to migrate a
+    * legacy flat table.
     *
     * NAMED COMMITS (`commitName`) — the exactly-once hook for
     * at-least-once writers (Structured Streaming's foreachBatch): the
     * batch's manifest rows land as ONE parquet file named
-    * `<commitName>.parquet` inside the stats dir, and that file IS
+    * `<commitName>.parquet` inside the manifest dir, and that file IS
     * the commit marker (an empty batch still writes a zero-row
     * marker — the marker's existence is the commit, unconditionally).
     * A replayed batch whose marker already exists is skipped up front
     * (returns false, nothing written); a crash after the data-file
     * move but before the marker leaves orphan data files that
     * manifest readers never see — the replay re-writes the batch and
-    * commits, and the orphans are reclaimed by [[compactTable]]'s
-    * vacuum (which deletes everything the new manifest doesn't
-    * claim). Manifest-reader-visible state is therefore exactly-once
-    * per commit name; names must not start with `part-` (reserved
-    * for plain manifest parts, and how compaction tells markers
-    * apart to preserve them).
+    * commits, and the orphans are reclaimed by [[vacuumTable]] after
+    * retention. Manifest-reader-visible state is therefore
+    * exactly-once per commit name; names must not start with `part-`
+    * (reserved for plain manifest parts, and how compaction tells
+    * markers apart to preserve them).
     *
-    * `statsCols` must match the table's tracked column set — a
-    * mixed-schema manifest would silently mis-prune (the reader
-    * adopts one file's schema and sees nulls for the other's rows).
+    * `statsCols` must match the table's tracked column set (with
+    * `mergeSchema = true`: contain it — new columns extend it) — a
+    * mixed-schema manifest would silently mis-prune.
     *
     * @return true if the batch committed; false if `commitName` was
     *         already present (idempotent replay skip)
     */
   def appendWithStats(
       df: DataFrame, path: String, statsCols: Seq[String],
-      commitName: Option[String] = None): Boolean = {
+      commitName: Option[String] = None,
+      mergeSchema: Boolean = false): Boolean = {
     require(statsCols.nonEmpty, "at least one stats column")
     commitName.foreach(n => require(
       n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !n.startsWith("part-"),
@@ -268,21 +417,73 @@ object DataSkipping {
         "reserved for plain manifest parts)"))
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairStatsSwap(fs, path)
-    require(fs.exists(new Path(s"$path/$StatsDir/$SchemaFile")),
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
-    val marker = commitName.map(n => new Path(s"$path/$StatsDir", s"$n.parquet"))
+    val marker = commitName.map(n => new Path(dir, s"$n.parquet"))
     if (marker.exists(fs.exists)) return false
-    val tracked = trackedCols(spark, path)
-    require(statsCols.toSet == tracked,
-      s"statsCols [${statsCols.sorted.mkString(",")}] must equal the table's " +
-        s"tracked columns [${tracked.toSeq.sorted.mkString(",")}] — a mixed-schema " +
-        "manifest silently drops files from pruned reads")
-    val stored = tableSchema(spark, path)
-    require(df.schema.map(f => (f.name, f.dataType)) ==
-      stored.map(f => (f.name, f.dataType)),
-      s"append schema ${df.schema.simpleString} must match stored " +
-        s"${stored.simpleString}; no evolution on the append path")
+    val tracked = trackedCols(spark, dir)
+    val stored = tableSchemaIn(spark, path, dir)
+    val storedByName = stored.map(f => f.name -> f.dataType).toMap
+    val batchTypes = df.schema.map(f => (f.name, f.dataType))
+    val newFields = df.schema.filterNot(f => storedByName.contains(f.name))
+
+    val schema: StructType =
+      if (!mergeSchema) {
+        require(statsCols.toSet == tracked,
+          s"statsCols [${statsCols.sorted.mkString(",")}] must equal the table's " +
+            s"tracked columns [${tracked.toSeq.sorted.mkString(",")}] — a mixed-schema " +
+            "manifest silently drops files from pruned reads")
+        require(batchTypes == stored.map(f => (f.name, f.dataType)),
+          s"append schema ${df.schema.simpleString} must match stored " +
+            s"${stored.simpleString}; pass mergeSchema = true to add columns")
+        stored
+      } else {
+        // shared columns must keep their types — evolution adds (or
+        // omits: a missing stored column simply isn't in this batch's
+        // files, nulls at read time), it never retypes
+        stored.foreach { f =>
+          df.schema.find(_.name == f.name).foreach(b =>
+            require(b.dataType == f.dataType,
+              s"column ${f.name}: batch type ${b.dataType.simpleString} must match " +
+                s"stored ${f.dataType.simpleString} — evolution adds columns, never retypes"))
+        }
+        if (newFields.isEmpty) {
+          require(statsCols.toSet == tracked,
+            s"statsCols [${statsCols.sorted.mkString(",")}] must equal the table's " +
+              s"tracked columns [${tracked.toSeq.sorted.mkString(",")}] unless the " +
+              "batch carries new columns to track")
+          stored
+        } else {
+          require(currentGen(fs, new Path(s"$path/$StatsDir")).isDefined,
+            s"$path is a legacy flat-manifest table — run compactTable once to " +
+              "migrate it to generations before evolving its schema")
+          require(tracked.subsetOf(statsCols.toSet),
+            s"statsCols [${statsCols.sorted.mkString(",")}] must contain the tracked " +
+              s"columns [${tracked.toSeq.sorted.mkString(",")}] — evolution extends " +
+              "the tracked set, never shrinks it")
+          val newNames = newFields.map(_.name).toSet
+          val extraTracked = statsCols.toSet -- tracked
+          extraTracked.foreach(c => require(newNames(c),
+            s"newly tracked column $c must be one of the batch's NEW columns " +
+              s"[${newNames.toSeq.sorted.mkString(",")}] — tracking an existing " +
+              "column needs a stats rewrite (compactTable), not an append"))
+          // added columns are NULLABLE by construction — files written
+          // before the evolution have no values for them, and a
+          // required (non-null) missing column fails the parquet read
+          val widened = StructType(stored.fields ++ newFields.map(_.copy(nullable = true)))
+          // SIDECARS FIRST: a crash after this point leaves a widened
+          // table whose old files read as nulls for the new columns —
+          // consistent and correct (see class doc)
+          val feats = manifestFeatures(fs, dir)
+          val widenedManifest = widenedManifestSchema(spark, dir, statsCols,
+            feats.contains("nulls"), newFields)
+          writeSidecars(spark, dir, widened, statsCols, feats,
+            manifestSchema = Some(widenedManifest))
+          widened
+        }
+      }
+
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     df.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
@@ -292,19 +493,41 @@ object DataSkipping {
         // or bloom columns to a legacy manifest (or vice versa) is
         // the mixed-schema mis-pruning the statsCols check forbids.
         // Legacy tables are upgraded wholesale by compactTable.
-        val feats = manifestFeatures(fs, path)
-        statsFor(spark.read.schema(stored).parquet(moved: _*),
+        val feats = manifestFeatures(fs, dir)
+        statsFor(spark.read.schema(schema).parquet(moved: _*),
           statsCols, withNulls = feats.contains("nulls"), bloom = bloomFeature(feats))
       }
-      else spark.read.parquet(s"$path/$StatsDir").limit(0) // zero-row marker
+      else readManifestIn(spark, dir).limit(0) // zero-row marker
     marker match {
       case None if moved.isEmpty => ()
       case None =>
-        batchStats.write.mode("append").parquet(s"$path/$StatsDir")
+        batchStats.write.mode("append").parquet(dir)
       case Some(dest) =>
         writeManifestFile(spark, fs, path, batchStats, dest)
     }
     true
+  }
+
+  /** The manifest schema after tracking `statsCols` over a table that
+    * gained `newFields`: existing manifest columns keep their
+    * positions, new stat columns append. Derived from the persisted
+    * manifest schema when present (no footer reads), else from a
+    * merged-footer read of the manifest parts.
+    */
+  private def widenedManifestSchema(spark: SparkSession, dir: String,
+      statsCols: Seq[String], withNulls: Boolean,
+      newFields: Seq[StructField]): StructType = {
+    val existing = readSidecar(spark, dir, ManifestSchemaFile)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(spark.read.option("mergeSchema", "true").parquet(dir).schema)
+    val typesByName = newFields.map(f => f.name -> f.dataType).toMap
+    val have = existing.fieldNames.toSet
+    val added = statsCols.filter(c => typesByName.contains(c)).flatMap { c =>
+      Seq(StructField(s"min_$c", typesByName(c)), StructField(s"max_$c", typesByName(c))) ++
+        (if (withNulls) Seq(StructField(s"nulls_$c", org.apache.spark.sql.types.LongType))
+        else Nil)
+    }.filterNot(f => have(f.name))
+    StructType(existing.fields ++ added)
   }
 
   /** Move a staging dir's data files into the table root under their
@@ -341,47 +564,50 @@ object DataSkipping {
     fs.delete(tmp, true)
   }
 
+  // -----------------------------------------------------------------
+  // Maintenance: compaction + retention vacuum
+  // -----------------------------------------------------------------
+
   /** OPTIMIZE-style bin-packing: rewrite the table's CURRENT file set
     * (as the manifest defines it) into ~ceil(bytes/targetFileBytes)
-    * files, publish a fresh manifest, then vacuum the replaced data
-    * files. Ingest-cadence appends leave a long tail of small files;
-    * at scale the per-file costs (open, footer, task schedule,
-    * manifest row) dominate a scan of many small files — this is the
-    * maintenance pass that pays that debt down, the role OPTIMIZE
-    * plays for Delta.
+    * files, commit the NEXT manifest generation, then vacuum
+    * retention-expired debris. Ingest-cadence appends leave a long
+    * tail of small files; at scale the per-file costs (open, footer,
+    * task schedule, manifest row) dominate a scan of many small
+    * files — this is the maintenance pass that pays that debt down,
+    * the role OPTIMIZE plays for Delta.
     *
-    * The MANIFEST is the snapshot commit point: manifest readers see
-    * the pre-compaction file set until the new manifest is fully
-    * written, then the post-compaction one — never a mix. Named
-    * commit markers (see [[appendWithStats]]) SURVIVE compaction:
-    * their rows are folded into the rewritten files, but each marker
-    * name is re-created as a zero-row manifest file, so a streaming
-    * replay after compaction still short-circuits instead of
-    * re-appending an already-folded batch. The driver materializes
-    * the file list being replaced ((path) rows — the same
-    * O(snapshot files) any OPTIMIZE planner holds).
+    * The GENERATION COMMIT is the snapshot point: the complete
+    * replacement manifest — parts, sidecars, preserved markers,
+    * removal log — is built inside the next `v<N+1>` dir (invisible:
+    * readers only trust generations carrying `_COMMIT`), then made
+    * visible by ONE atomic file create. Readers see the
+    * pre-compaction file set until that instant and the
+    * post-compaction one after — never a mix, with no
+    * delete-then-rename window and no repair path. A crash mid-build
+    * leaves an uncommitted generation dir readers never see
+    * (vacuumed later). Named commit markers (see [[appendWithStats]])
+    * SURVIVE compaction: their rows are folded into the rewritten
+    * files, but each marker name is re-created as a zero-row manifest
+    * file in the new generation, so a streaming replay after
+    * compaction still short-circuits instead of re-appending an
+    * already-folded batch. The driver materializes the file list
+    * being replaced ((path) rows — the same O(snapshot files) any
+    * OPTIMIZE planner holds). Legacy FLAT manifests are migrated to
+    * `v0` by this pass (their flat files enter the removal log like
+    * any replaced file).
     *
-    * VACUUM (`vacuum = true`, default) deletes every data file in
-    * the table root the manifest doesn't claim — the replaced files
-    * AND any orphans from crashed appends or a previously crashed
-    * compaction — plus stale hidden staging dirs, which makes
-    * compaction self-repairing: crash debris only survives until the
-    * next successful run. Vacuum runs EVEN when the table already
-    * meets the size target (a no-op compact is still the documented
-    * orphan-reclamation path). `vacuum = false` keeps everything on
-    * disk (manifest-invisible) for manual rollback. Compaction is a
-    * single-writer maintenance op: plain-path readers and concurrent
-    * writers (including a live stream) must not race it (Delta needs
-    * its log + vacuum discipline for exactly the same reason).
-    *
-    * CRASH SAFETY of the manifest swap: the complete replacement
-    * stats dir — part files, sidecars, preserved markers — is built
-    * OFFLINE in a hidden swap dir, then swapped in (delete old +
-    * rename new). A crash between the delete and the rename leaves
-    * the table manifest-less but with the fully-built swap dir, and
-    * every manifest-touching entry point completes the rename first
-    * ([[repairStatsSwap]]) — markers can never be lost to a torn
-    * compaction.
+    * VACUUM (`vacuum = true`, default) runs [[vacuumTable]] with
+    * `retentionMs`: replaced data files, superseded generations and
+    * crash debris are deleted only after the retention window — a
+    * reader that planned against the previous generation keeps every
+    * file it resolved (see class doc). Vacuum runs EVEN when the
+    * table already meets the size target (a no-op compact is still
+    * the documented reclamation path). `vacuum = false` keeps
+    * everything on disk (manifest-invisible) for manual rollback.
+    * Compaction remains a single-WRITER maintenance op (concurrent
+    * appends would race the snapshot); concurrent READERS are safe at
+    * any retention ≥ their runtime.
     *
     * Returns the number of files after compaction, or 0 if the table
     * already meets the target (no rewrite — vacuum still runs).
@@ -389,47 +615,56 @@ object DataSkipping {
   def compactTable(
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      vacuum: Boolean = true): Int = {
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(retentionMs >= 0, "retentionMs must be >= 0")
     val statsDir = new Path(s"$path/$StatsDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairStatsSwap(fs, path)
-    val stats = spark.read.parquet(statsDir.toString)
+    val dir = manifestDirOf(fs, path)
+    val stats = readManifestIn(spark, dir)
     require(stats.columns.contains("file_size"),
       "compactTable needs a size-carrying manifest (rewrite with writeWithStats)")
-    val statsCols = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSeq
+    val statsCols = trackedCols(spark, dir).toSeq.sorted
     val old = stats.select(col("file"), col("file_size")).collect()
     val totalBytes = old.map(_.getLong(1)).sum
     val target = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (target >= old.length) {
-      // no rewrite, but vacuum is still the orphan-reclamation path
-      if (vacuum) sweepUnclaimed(fs, path,
-        old.map(r => new Path(r.getString(0)).getName).toSet)
+      // no rewrite, but vacuum is still the reclamation path
+      if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0
     }
-    val schema = tableSchema(spark, path)
+    val schema = tableSchemaIn(spark, path, dir)
     // named commit markers to preserve across the manifest rewrite
-    val markers = fs.listStatus(statsDir).map(_.getPath.getName)
+    val markers = fs.listStatus(new Path(dir)).map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("part-")).toSeq
     // rewrite the current snapshot: coalesce (no shuffle) into the
     // target file count, staged hidden, then moved in — invisible to
-    // manifest readers until the manifest swap below
+    // manifest readers until the generation commit below
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
     val snapshot = spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
     snapshot.coalesce(target).write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
-    // build the COMPLETE replacement stats dir offline: manifest
-    // parts, sidecars, and the preserved markers (zero-row manifest
-    // files — one Spark write, filesystem copies while still hidden)
-    val swap = new Path(path, s"$SwapPrefix${java.util.UUID.randomUUID}")
+    // build the COMPLETE next generation in a HIDDEN dir: manifest
+    // parts, sidecars, preserved markers, removal log — then rename
+    // to v<N+1> and commit with one atomic _COMMIT create. (The
+    // hidden build keeps a concurrent LEGACY reader's recursive
+    // parquet read of the flat stats dir clean during a one-time
+    // migration; versioned readers never look at uncommitted dirs at
+    // all.)
+    val curGen = currentGen(fs, statsDir)
+    val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
+    val build = new Path(statsDir, s".genbuild-${java.util.UUID.randomUUID}")
     // the rewrite always emits null counts (the legacy→v2 upgrade
     // moment) and preserves the table's bloom configuration
-    val bloomCfg = bloomFeature(manifestFeatures(fs, path))
-    val newStats = statsFor(spark.read.schema(schema).parquet(moved: _*),
+    val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
+    val newStats = statsFor(
+      spark.read.schema(schema).parquet(moved: _*),
       statsCols, withNulls = true, bloom = bloomCfg)
-    newStats.write.parquet(swap.toString)
-    writeSidecars(spark, swap.toString, schema, statsCols,
-      Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet)
+    newStats.write.parquet(build.toString)
+    writeSidecars(spark, build.toString, schema, statsCols,
+      Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet,
+      manifestSchema = Some(newStats.schema))
     if (markers.nonEmpty) {
       val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
       newStats.limit(0).write.parquet(tmp.toString)
@@ -438,51 +673,146 @@ object DataSkipping {
       require(part.length == 1, s"expected one marker part, got ${part.length}")
       markers.foreach { n =>
         org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
-          fs, new Path(swap, n), false,
+          fs, new Path(build, n), false,
           spark.sparkContext.hadoopConfiguration)
       }
       fs.delete(tmp, true)
     }
-    // the swap: delete old, rename new. The gap is repaired by
-    // repairStatsSwap at every entry point.
-    fs.delete(statsDir, true)
-    require(fs.rename(swap, statsDir), s"stats swap rename to $statsDir failed")
-    if (vacuum) sweepUnclaimed(fs, path, moved.map(p => new Path(p).getName).toSet)
+    // removal log: every data file this generation replaces, plus the
+    // generation (or legacy flat manifest files) it supersedes — the
+    // timestamps vacuumTable's retention window runs against
+    val now = System.currentTimeMillis()
+    val movedNames = moved.map(p => new Path(p).getName).toSet
+    val replacedData = old.map(r => new Path(r.getString(0)).getName)
+      .filterNot(movedNames).toSeq
+    val replacedManifest = curGen match {
+      case Some((v, _)) => Seq(s"$StatsDir/v$v")
+      case None => // legacy flat manifest: its top-level files
+        fs.listStatus(statsDir)
+          .filter(f => f.isFile)
+          .map(f => s"$StatsDir/${f.getPath.getName}").toSeq
+    }
+    writeRemovalLog(fs, build, (replacedData ++ replacedManifest).map(_ -> now))
+    val gen = new Path(statsDir, s"v$nextV")
+    require(fs.rename(build, gen), s"generation rename $build -> $gen failed")
+    commitGen(spark, gen)
+    if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }
 
-  /** Delete every visible data file the manifest doesn't claim and
-    * every stale hidden staging dir (crashed append/compact debris).
-    * Single-writer maintenance only — a live writer's staging would
-    * be swept.
+  /** `<table-root-relative path>\t<removedAtMillis>` lines. */
+  private def writeRemovalLog(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, entries: Seq[(String, Long)]): Unit =
+    if (entries.nonEmpty) {
+      val out = fs.create(new Path(gen, RemovedFile), true)
+      try out.write(entries.map { case (p, t) => s"$p\t$t" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  private def readRemovalLog(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Seq[(String, Long)] =
+    readSidecarIn(fs, gen.toString, RemovedFile)
+      .map(_.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toSeq).getOrElse(Seq.empty)
+
+  /** Retention-aware reclamation (the Delta VACUUM analog): delete
+    *  - files/dirs in the removal logs whose removal is older than
+    *    `retentionMs` (replaced data files, superseded generations,
+    *    migrated legacy manifests),
+    *  - visible data files no manifest claims and no log records
+    *    (crashed-append orphans) whose MTIME is older than
+    *    `retentionMs`,
+    *  - hidden staging dirs and uncommitted generation debris older
+    *    than `retentionMs`.
+    * Nothing younger is touched, so any reader that planned within
+    * the window completes against intact files. With the default
+    * window this is safe to run alongside readers; `retentionMs = 0`
+    * reclaims everything immediately and needs reader exclusivity.
     */
-  private def sweepUnclaimed(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, keep: Set[String]): Unit = {
+  def vacuumTable(spark: SparkSession, path: String,
+      retentionMs: Long = RetentionDefaultMs): Unit = {
+    require(retentionMs >= 0, "retentionMs must be >= 0")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$path/$StatsDir")
+    if (!fs.exists(statsDir)) return
+    val now = System.currentTimeMillis()
+    def expired(t: Long): Boolean = now - t >= retentionMs
+    val gens = genDirs(fs, statsDir)
+    val current = currentGen(fs, statsDir)
+
+    // 1. removal-log entries past retention (from every generation
+    //    still on disk — a superseded generation's log stays
+    //    actionable until the generation itself expires, which by
+    //    construction happens after everything it recorded)
+    val recorded = gens.flatMap { case (_, f) => readRemovalLog(fs, f.getPath) }
+    recorded.foreach { case (rel, t) =>
+      if (expired(t)) {
+        val p = new Path(path, rel)
+        // never delete the current generation or a live data file the
+        // current manifest claims (paranoia: removal logs only ever
+        // record superseded state, but a bad entry must not cascade)
+        val isCurrentGen = current.exists(_._2.toString == fs.makeQualified(p).toString)
+        if (!isCurrentGen && fs.exists(p))
+          fs.delete(p, true)
+      }
+    }
+    val recordedNames = recorded.map { case (rel, _) => new Path(rel).getName }.toSet
+
+    // 2. unrecorded visible orphans (crashed appends): mtime-gated.
+    //    Claim set = the current manifest's file names (tolerating a
+    //    freshly bootstrapped table whose manifest has no parts yet).
+    val claimed: Set[String] = {
+      val dir = manifestDirOf(fs, path)
+      val hasParts = fs.exists(new Path(dir)) && fs.listStatus(new Path(dir))
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (!hasParts) Set.empty
+      else readManifestIn(spark, dir).select("file").collect()
+        .map(r => new Path(r.getString(0)).getName).toSet
+    }
     val stagingPrefixes =
       Seq(".append-", ".compact-", ".stats-", ".markers-", SwapPrefix)
     fs.listStatus(new Path(path)).foreach { f =>
       val n = f.getPath.getName
-      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") && !keep(n))
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !claimed(n) && !recordedNames(n) && expired(f.getModificationTime))
         fs.delete(f.getPath, false)
-      else if (f.isDirectory && stagingPrefixes.exists(n.startsWith))
+      // 3. stale staging dirs (crashed append/compact debris)
+      else if (f.isDirectory && stagingPrefixes.exists(n.startsWith) &&
+          expired(f.getModificationTime))
+        fs.delete(f.getPath, true)
+    }
+    // 4. uncommitted generation debris and crashed generation builds
+    gens.foreach { case (_, f) =>
+      if (!isCommittedGen(fs, f.getPath) && expired(f.getModificationTime))
+        fs.delete(f.getPath, true)
+    }
+    fs.listStatus(statsDir).foreach { f =>
+      if (f.isDirectory && f.getPath.getName.startsWith(".genbuild-") &&
+          expired(f.getModificationTime))
         fs.delete(f.getPath, true)
     }
   }
 
+  /** The table's persisted schema (what a pruned or streaming read
+    * plans with — no data-file footer is touched when the sidecar
+    * exists).
+    */
+  def tableSchema(spark: SparkSession, path: String): StructType =
+    tableSchemaIn(spark, path, manifestDir(spark, path))
+
   /** Table schema from the manifest sidecar; falls back to reading
     * the data files (a listing + footer) for pre-sidecar manifests.
     */
-  private def tableSchema(spark: SparkSession, path: String): StructType = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(s"$path/$StatsDir/$SchemaFile")
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try DataType.fromJson(new String(
-        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[StructType]
-      finally in.close()
-    } else spark.read.parquet(path).schema
-  }
+  private def tableSchemaIn(spark: SparkSession, path: String,
+      dir: String): StructType =
+    readSidecar(spark, dir, SchemaFile) match {
+      case Some(json) =>
+        DataType.fromJson(json).asInstanceOf[StructType]
+      case None => spark.read.parquet(path).schema
+    }
 
   /** The user predicate analyzed against the table schema (via an
     * empty local relation — NO file listing or footer read), as the
@@ -496,21 +826,22 @@ object DataSkipping {
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(sys.error("predicate did not analyze to a Filter"))
 
-  /** Shared planning preamble for the pruning entry points: repair a
-    * torn swap, load the manifest, derive the tracked/null/bloom
-    * column sets, and rewrite `predicate` into the file-skip filter.
-    * Returns (manifest frame, table schema, skip filter).
+  /** Shared planning preamble for the pruning entry points: resolve
+    * the current manifest generation, load the manifest, derive the
+    * tracked/null/bloom column sets, and rewrite `predicate` into the
+    * file-skip filter. Returns (manifest frame, table schema, skip
+    * filter).
     */
   private def planSkip(spark: SparkSession, path: String,
       predicate: Column): (DataFrame, StructType, Column) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairStatsSwap(fs, path)
     graft.plans.GraftFunctions.register(spark)
-    val stats = spark.read.parquet(s"$path/$StatsDir")
+    val dir = manifestDirOf(fs, path)
+    val stats = readManifestIn(spark, dir)
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
-    val bloomIdx = bloomIndex(fs, path, stats.columns)
-    val schema = tableSchema(spark, path)
+    val bloomIdx = bloomIndex(fs, dir, stats.columns)
+    val schema = tableSchemaIn(spark, path, dir)
     val cond = resolvedCondition(spark, schema, predicate)
     (stats, schema, rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true)))
   }
@@ -580,6 +911,15 @@ object DataSkipping {
     * on those columns ALSO require the per-file Bloom to admit the
     * value — the pruning that works where min/max ranges are useless
     * (unclustered high-cardinality columns).
+    *
+    * Null-count terms use `coalesce(nulls_c, n_rows)`: a null
+    * null-count in a nulls-featured manifest means the row was
+    * written before the column existed (schema evolution) — every
+    * row in that file reads as null for the column, so the backfill
+    * is exact. (A bloom_ column that is null for pre-evolution rows
+    * needs no special casing: the bloom probe evaluates null, the
+    * skip predicate is null, and the file is dropped — correct, the
+    * file holds no values of an evolved column.)
     */
   private[sources] def rewrite(e: Expression, tracked: Set[String],
       nullsTracked: Set[String] = Set.empty,
@@ -605,9 +945,9 @@ object DataSkipping {
       for (a <- rewrite(l, tracked, nullsTracked, bloom);
         b <- rewrite(r, tracked, nullsTracked, bloom)) yield a || b
     case IsNull(Attr(a)) if nullsTracked(a) =>
-      Some(col(s"nulls_$a") > 0L)
+      Some(coalesce(col(s"nulls_$a"), col("n_rows")) > 0L)
     case IsNotNull(Attr(a)) if nullsTracked(a) =>
-      Some(col("n_rows") > col(s"nulls_$a"))
+      Some(col("n_rows") > coalesce(col(s"nulls_$a"), col("n_rows")))
     case EqualTo(Attr(a), Lit(v)) if tracked(a) =>
       Some(eqTerm(a, v))
     case EqualTo(Lit(v), Attr(a)) if tracked(a) =>
@@ -758,7 +1098,7 @@ object DataSkipping {
   * manifest's min/max pruning replaces partition pruning); the
   * already-pruned file set is returned for any filter combination.
   */
-private[sources] class ManifestFileIndex(
+private[graft] class ManifestFileIndex(
     root: Path, files: Seq[FileStatusWithMetadata]) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)

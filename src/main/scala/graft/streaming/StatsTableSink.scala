@@ -51,7 +51,8 @@ object StatsTableSink {
       schema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(s"$path/${DataSkipping.StatsDir}/${DataSkipping.SchemaFile}")))
+    if (fs.exists(new Path(DataSkipping.manifestDir(spark, path),
+        DataSkipping.SchemaFile)))
       return
     val root = new Path(path)
     require(!fs.exists(root) || fs.listStatus(root).isEmpty,
@@ -78,8 +79,9 @@ object StatsTableSink {
   }
 
   /** Start draining `source` (a streaming DataFrame) into the stats
-    * table at `path`. AvailableNow trigger — run-to-drain, matching
-    * [[StreamingPipeline.runOnce]]'s cascade model; restart with the
+    * table at `path`. Defaults to the AvailableNow trigger —
+    * run-to-drain, matching [[StreamingPipeline.runOnce]]'s cascade
+    * model (pass `trigger` for continuous cadence); restart with the
     * same `checkpointDir` to pick up new source data, replays
     * deduplicated by the per-batch commit marker.
     *
@@ -95,7 +97,8 @@ object StatsTableSink {
     */
   def run(
       source: DataFrame, path: String, statsCols: Seq[String],
-      checkpointDir: String, writerId: Option[String] = None): StreamingQuery = {
+      checkpointDir: String, writerId: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = source.sparkSession
     ensureTable(spark, path, source.schema, statsCols)
     val writer = writerId.getOrElse {
@@ -112,7 +115,7 @@ object StatsTableSink {
     }
     source.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         DataSkipping.appendWithStats(batch, path, statsCols,
           commitName = Some(s"commit-$writer-batch$batchId"))

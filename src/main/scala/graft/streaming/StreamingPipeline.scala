@@ -70,7 +70,8 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
   private final case class TableDef(
       name: String, deps: Seq[String],
       build: Map[String, DataFrame] => DataFrame,
-      expectations: Seq[Expectations.Rule]) extends Node
+      expectations: Seq[Expectations.Rule],
+      statsCols: Option[Seq[String]] = None) extends Node
   private final case class SinkDef(
       name: String, dep: String,
       start: (DataFrame, String) => StreamingQuery,
@@ -104,6 +105,27 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       expectations: Seq[Expectations.Rule])(
       build: Map[String, DataFrame] => DataFrame): this.type =
     add(TableDef(name, deps, build, expectations))
+
+  /** Stream-backed table materialized as a [[graft.sources.DataSkipping]]
+    * STATS TABLE instead of plain parquet: each micro-batch lands as
+    * a NAMED manifest commit ([[StatsTableSink]]), and dependents'
+    * `readStream` consumes those commits through
+    * [[StatsTableSource]] — one commit = one downstream micro-batch,
+    * the `dlt.read_stream`-from-a-Delta-table loop closed end to end
+    * (file discovery driven by the manifest, never a directory
+    * listing). The materialized table is also immediately prunable
+    * (`readSkipping`) and compactable (`compactTable`, streams
+    * stopped and caught up first).
+    */
+  def statsTable(name: String, statsCols: Seq[String], deps: String*)(
+      build: Map[String, DataFrame] => DataFrame): this.type =
+    add(TableDef(name, deps, build, Nil, statsCols = Some(statsCols)))
+
+  def statsTableWithExpectations(
+      name: String, statsCols: Seq[String], deps: Seq[String],
+      expectations: Seq[Expectations.Rule])(
+      build: Map[String, DataFrame] => DataFrame): this.type =
+    add(TableDef(name, deps, build, expectations, statsCols = Some(statsCols)))
 
   /** Terminal flow with a custom writer; `start` receives the
     * upstream stream and this sink's checkpoint dir. The writer owns
@@ -192,21 +214,43 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
     done.toSeq
   }
 
+  private def isStatsTable(name: String): Boolean =
+    defs.get(name).exists {
+      case t: TableDef => t.statsCols.isDefined
+      case _ => false
+    }
+
   /** Read a materialized table's storage as a NEW stream (what
-    * `dlt.read_stream("name")` hands a dependent table).
+    * `dlt.read_stream("name")` hands a dependent table). Stats-backed
+    * tables stream MANIFEST COMMITS ([[StatsTableSource]]: one named
+    * commit = one micro-batch, no directory listing); plain tables
+    * stream their parquet files.
     */
   def readStream(name: String): DataFrame = {
     val dir = dataDir(name)
-    Files.createDirectories(Paths.get(dir))
-    spark.readStream.schema(schemas(name)).parquet(dir)
+    if (isStatsTable(name))
+      spark.readStream.format(classOf[StatsTableSourceProvider].getName)
+        .option("path", dir).load()
+    else {
+      Files.createDirectories(Paths.get(dir))
+      spark.readStream.schema(schemas(name)).parquet(dir)
+    }
   }
 
-  /** Batch view of a materialized table's current storage. */
+  /** Batch view of a materialized table's current storage. For a
+    * stats-backed table this is the MANIFEST view (exactly the
+    * committed snapshot — crash orphans from an in-flight writer are
+    * invisible, as they are to Delta readers).
+    */
   def readTable(name: String): DataFrame = {
     val dir = dataDir(name)
-    require(schemas.contains(name) || Files.isDirectory(Paths.get(dir)),
-      s"table $name has not been materialized")
-    schemas.get(name).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
+    if (isStatsTable(name))
+      graft.sources.DataSkipping.readSkipping(spark, dir, lit(true))
+    else {
+      require(schemas.contains(name) || Files.isDirectory(Paths.get(dir)),
+        s"table $name has not been materialized")
+      schemas.get(name).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
+    }
   }
 
   private def observeName(table: String) = s"graft_expect_$table"
@@ -270,7 +314,7 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
   private def buildFlow(name: String): DataFrame = {
     val flow = defs(name) match {
       case SourceDef(_, build) => build()
-      case TableDef(_, deps, build, rules) =>
+      case TableDef(_, deps, build, rules, _) =>
         instrument(build(deps.map(d => d -> readStream(d)).toMap), rules, name)
       case SinkDef(_, dep, _, rules) =>
         instrument(readStream(dep), rules, name)
@@ -298,6 +342,9 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
         val q = defs(name) match {
           case SinkDef(_, _, start, _) =>
             start(flow, checkpointDir(name))
+          case TableDef(_, _, _, _, Some(cols)) =>
+            schemas(name) = flow.schema
+            StatsTableSink.run(flow, dataDir(name), cols, checkpointDir(name))
           case _ =>
             schemas(name) = flow.schema
             Files.createDirectories(Paths.get(dataDir(name)))
@@ -341,6 +388,11 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       val q = defs(name) match {
         case SinkDef(_, _, startFn, _) =>
           startFn(flow, checkpointDir(name))
+        case TableDef(_, _, _, _, Some(cols)) =>
+          schemas(name) = flow.schema
+          StatsTableSink.run(flow, dataDir(name), cols, checkpointDir(name),
+            trigger = triggers.getOrElse(name,
+              Trigger.ProcessingTime(0L))) // default micro-batch cadence
         case _ =>
           schemas(name) = flow.schema
           Files.createDirectories(Paths.get(dataDir(name)))

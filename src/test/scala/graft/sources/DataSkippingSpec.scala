@@ -163,19 +163,23 @@ class DataSkippingSpec extends SparkSpec {
       s"IS NOT NULL must drop all-null files: $keptNotNull")
     assert(DataSkipping.readSkipping(s, dir, col("v").isNotNull).count() === 800)
 
-    // LEGACY table (no null counts, no feature flag): appends must
-    // emit the legacy shape — a mixed-schema manifest mis-prunes
+    // LEGACY table (pre-generation flat manifest, no null counts, no
+    // feature flag): appends must emit the legacy shape — a
+    // mixed-schema manifest mis-prunes. Hand-built, since
+    // writeWithStats now always produces a versioned manifest.
     val legacy = tmp()
-    DataSkipping.writeWithStats(
-      (0L until 100L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id")),
-      legacy, Seq("id"))
+    (0L until 100L).map(i => (i, i)).toDF("id", "v").repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(legacy)
     val statsDir = s"$legacy/${DataSkipping.StatsDir}"
-    val stripped = s.read.parquet(statsDir).drop("nulls_id")
-    stripped.write.mode("overwrite").parquet(s"$legacy/.legacy_rewrite")
-    s.read.parquet(s"$legacy/.legacy_rewrite").write.mode("overwrite").parquet(statsDir)
+    s.read.parquet(legacy).select(col("*"), col("_metadata"))
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("id").as("min_id"), max("id").as("max_id"),
+        count(lit(1)).as("n_rows"),
+        max(col("_metadata.file_size")).as("file_size"),
+        max(unix_millis(col("_metadata.file_modification_time"))).as("mod_time"))
+      .coalesce(1).write.parquet(statsDir)
     val fs = new org.apache.hadoop.fs.Path(legacy)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(statsDir, DataSkipping.FeaturesFile), false)
     val out = fs.create(new org.apache.hadoop.fs.Path(statsDir, DataSkipping.SchemaFile), true)
     out.write(s.read.parquet(legacy).schema.json.getBytes("UTF-8")); out.close()
     val out2 = fs.create(new org.apache.hadoop.fs.Path(statsDir, DataSkipping.StatsColsFile), true)
@@ -183,19 +187,27 @@ class DataSkippingSpec extends SparkSpec {
 
     DataSkipping.appendWithStats(
       (100L until 150L).map(i => (i, i)).toDF("id", "v"), legacy, Seq("id"))
-    assert(!s.read.parquet(statsDir).columns.contains("nulls_id"),
+    assert(!DataSkipping.readManifest(s, legacy).columns.contains("nulls_id"),
       "append to a legacy manifest must not introduce null-count columns")
     assert(DataSkipping.readSkipping(s, legacy, lit(true)).count() === 150)
     // ...and value pruning still works without the feature
     assert(DataSkipping.readSkipping(s, legacy, col("id") < 50L).count() === 50)
 
-    // compactTable upgrades the whole manifest to the nulls feature
-    val n = DataSkipping.compactTable(s, legacy, targetFileBytes = 1L << 30)
+    // compactTable MIGRATES the legacy flat manifest to a committed
+    // generation and upgrades it to the nulls feature
+    val n = DataSkipping.compactTable(s, legacy, targetFileBytes = 1L << 30,
+      retentionMs = 0L)
     assert(n > 0)
-    assert(s.read.parquet(statsDir).columns.contains("nulls_id"),
+    assert(DataSkipping.manifestDir(s, legacy).contains("/v0"),
+      "compaction must migrate a flat manifest to generation v0")
+    assert(DataSkipping.readManifest(s, legacy).columns.contains("nulls_id"),
       "compaction must upgrade a legacy manifest to null-count stats")
     assert(DataSkipping.readSkipping(s, legacy,
       col("id").isNotNull).count() === 150)
+    // retention-0 vacuum reclaimed the migrated flat manifest files
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(statsDir))
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")),
+      "migrated flat manifest parts must be vacuumed at retention 0")
   }
 
   test("type-coerced literals (Cast-wrapped by the analyzer) still prune") {
@@ -299,7 +311,7 @@ class DataSkippingSpec extends SparkSpec {
       (0L until 1000L).toDF("id").repartitionByRange(16, col("id")), dir, Seq("id"))
     // inflate the manifest to 10k entries: 9,984 synthetic files with
     // id ranges the predicate provably excludes — never to be opened
-    val manifest = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+    val manifest = DataSkipping.readManifest(s, dir)
     val fakes = s.range(9984).select(
       concat(lit(s"file:$dir/fake-"), col("id"), lit(".parquet")).as("file"),
       (col("id") + 1000000L).as("min_id"), (col("id") + 1000000L).as("max_id"),
@@ -336,7 +348,7 @@ class DataSkippingSpec extends SparkSpec {
     val base = (0L until 5000L).map(i => (i, s"row$i")).toDF("id", "payload")
       .repartitionByRange(5, col("id"))
     DataSkipping.writeWithStats(base, dir, Seq("id"))
-    val before = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+    val before = DataSkipping.readManifest(s, dir)
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(before.size === 5)
 
@@ -346,7 +358,7 @@ class DataSkippingSpec extends SparkSpec {
 
     // old manifest rows are byte-identical (nothing re-scanned or
     // rewritten); exactly the batch's files were added
-    val after = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+    val after = DataSkipping.readManifest(s, dir)
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(after.size === 8)
     before.foreach { case (f, row) => assert(after(f) === row, s"old row $f changed") }
@@ -386,10 +398,14 @@ class DataSkippingSpec extends SparkSpec {
     }
     val preRows = DataSkipping.readSkipping(s, dir, lit(true))
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
-    val preFiles = s.read.parquet(s"$dir/${DataSkipping.StatsDir}").count()
+    val preFiles = DataSkipping.readManifest(s, dir).count()
     assert(preFiles >= 19)
 
-    val n = DataSkipping.compactTable(s, dir, targetFileBytes = 512L * 1024)
+    // retention 0: reader-exclusive maintenance — vacuum reclaims
+    // the replaced files immediately (the reader-overlap case is its
+    // own test below)
+    val n = DataSkipping.compactTable(s, dir, targetFileBytes = 512L * 1024,
+      retentionMs = 0L)
     assert(n > 0 && n < preFiles, s"compacted to $n of $preFiles")
 
     // identical rows through BOTH read paths; manifest matches disk
@@ -397,7 +413,7 @@ class DataSkippingSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     assert(post === preRows)
     assert(s.read.parquet(dir).count() === 4300)
-    val manifest = s.read.parquet(s"$dir/${DataSkipping.StatsDir}")
+    val manifest = DataSkipping.readManifest(s, dir)
     assert(manifest.count() === n.toLong, "manifest must describe exactly the new files")
     // vacuum removed the replaced files: every manifest path exists,
     // and the data dir holds nothing beyond the manifest's file set
@@ -414,8 +430,152 @@ class DataSkippingSpec extends SparkSpec {
     assert(viaSkip.toSeq === (4100L until 4300L).toSeq)
 
     // already-compact table: no-op, manifest untouched
-    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30) === 0)
-    assert(manifest.count() === n.toLong)
+    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30,
+      retentionMs = 0L) === 0)
+    assert(DataSkipping.readManifest(s, dir).count() === n.toLong)
+  }
+
+  test("a reader planned before compaction survives a concurrent compact + vacuum (retention)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 4000L).map(i => (i, s"row$i")).toDF("id", "payload")
+      .repartitionByRange(8, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"))
+    (0 until 3).foreach { b =>
+      DataSkipping.appendWithStats(
+        (4000L + b * 100L until 4100L + b * 100L).map(i => (i, s"row$i"))
+          .toDF("id", "payload").coalesce(1), dir, Seq("id"))
+    }
+    // the reader PLANS against generation v0's manifest: its file
+    // statuses are resolved now, before maintenance runs
+    val planned = DataSkipping.readSkipping(s, dir, col("id") >= 2000L && col("id") < 4200L)
+    val plannedFiles = planned.queryExecution.analyzed
+      .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+      .flatMap(_.relation.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.inputFiles)
+    assert(plannedFiles.nonEmpty)
+
+    // maintenance lands mid-flight: compact + vacuum at DEFAULT
+    // retention — the files the reader resolved must survive
+    val n = DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30)
+    assert(n > 0)
+    plannedFiles.foreach { f =>
+      assert(new java.io.File(new java.net.URI(f).getPath).exists(),
+        s"retention vacuum deleted $f out from under a planned reader")
+    }
+    // the in-flight read completes correctly against the OLD snapshot
+    assert(planned.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (2000L until 4200L).toSeq)
+    // new reads resolve the new generation and agree
+    assert(DataSkipping.manifestDir(s, dir).contains("/v1"))
+    assert(DataSkipping.readSkipping(s, dir, col("id") >= 2000L && col("id") < 4200L)
+      .count() === 2200)
+    // after the reader is done, an exclusive retention-0 vacuum
+    // reclaims the replaced generation and its files
+    DataSkipping.vacuumTable(s, dir, retentionMs = 0L)
+    assert(plannedFiles.exists(f => !new java.io.File(new java.net.URI(f).getPath).exists()),
+      "retention-0 vacuum must reclaim the replaced files")
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 4300)
+  }
+
+  test("a crashed generation build needs no repair: readers unaffected, next compact proceeds") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i)).toDF("id", "v").repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    DataSkipping.appendWithStats(
+      (1000L until 1100L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir, Seq("id"))
+    // fake a compaction that died mid-build: an UNCOMMITTED v1 dir
+    // with partial junk (no _COMMIT marker)
+    val deadGen = new java.io.File(s"$dir/${DataSkipping.StatsDir}", "v1")
+    deadGen.mkdirs()
+    java.nio.file.Files.write(deadGen.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // readers keep resolving committed v0 — no repair step, no error
+    assert(DataSkipping.manifestDir(s, dir).endsWith("/v0"))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1100)
+    assert(DataSkipping.readSkipping(s, dir, col("id") >= 1000L).count() === 100)
+    // appends keep landing in the committed generation
+    assert(DataSkipping.appendWithStats(
+      (1100L until 1150L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir, Seq("id")))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1150)
+    // the next compaction skips the dead slot (v2) and commits
+    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30,
+      retentionMs = 0L) > 0)
+    assert(DataSkipping.manifestDir(s, dir).endsWith("/v2"))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1150)
+    // retention-0 vacuum reclaimed the crashed build
+    assert(!deadGen.exists, "uncommitted generation debris must be vacuumed")
+  }
+
+  test("schema evolution on append: new column tracked, old files backfill as nulls, pruning exact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v")
+        .repartitionByRange(5, col("id")),
+      dir, Seq("id"))
+    // widened batch: adds column w, tracks it — rejected without the
+    // explicit evolution flag, accepted with it
+    val wide = (1000L until 1500L).map(i => (i, i * 2, i % 7)).toDF("id", "v", "w")
+      .repartitionByRange(2, col("id"))
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats(wide, dir, Seq("id"))
+    }
+    assert(DataSkipping.appendWithStats(wide, dir, Seq("id", "w"), mergeSchema = true))
+
+    // full read: widened schema, old files surface null w
+    val all = DataSkipping.readSkipping(s, dir, lit(true))
+    assert(all.columns.toSeq === Seq("id", "v", "w"))
+    assert(all.count() === 1500)
+    assert(all.filter(col("w").isNull).count() === 1000)
+
+    // value predicates on the NEW column prune the old files (their
+    // null min/max proves no non-null w) — and the result is exact
+    val (keptW, allF) = DataSkipping.prunedFiles(s, dir, col("w") === 3L)
+    assert(allF.size === 7)
+    assert(keptW.size <= 2, s"old files must prune on the evolved column: $keptW")
+    assert(DataSkipping.readSkipping(s, dir, col("w") === 3L).count()
+      === (1000L until 1500L).count(_ % 7 == 3))
+
+    // IS NULL keeps exactly the pre-evolution files (null-count
+    // backfill); IS NOT NULL keeps exactly the appended ones
+    val (keptNull, _) = DataSkipping.prunedFiles(s, dir, col("w").isNull)
+    assert(keptNull.size === 5, s"IS NULL must keep the 5 old files: $keptNull")
+    assert(DataSkipping.readSkipping(s, dir, col("w").isNull).count() === 1000)
+    val (keptNotNull, _) = DataSkipping.prunedFiles(s, dir, col("w").isNotNull)
+    assert(keptNotNull.size === 2, s"IS NOT NULL must keep the 2 new files: $keptNotNull")
+    assert(DataSkipping.readSkipping(s, dir, col("w").isNotNull).count() === 500)
+
+    // pruning on the ORIGINAL column still spans both generations
+    val (keptId, _) = DataSkipping.prunedFiles(s, dir, col("id") >= 1200L)
+    assert(keptId.size <= 2, s"id pruning lost after evolution: $keptId")
+
+    // a later batch may OMIT a stored column under mergeSchema (its
+    // files read back as nulls); retypes stay rejected
+    assert(DataSkipping.appendWithStats(
+      (1500L until 1550L).map(i => (i, i % 7)).toDF("id", "w").coalesce(1),
+      dir, Seq("id", "w"), mergeSchema = true))
+    assert(DataSkipping.readSkipping(s, dir, col("v").isNull).count() === 50)
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats(
+        Seq(("oops", 1L, 1L)).toDF("id", "v", "w"), dir, Seq("id", "w"),
+        mergeSchema = true)
+    }
+
+    // compaction folds the evolved table into one uniform generation;
+    // stats re-computed, pruning and results unchanged
+    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30,
+      retentionMs = 0L) > 0)
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1550)
+    assert(DataSkipping.readSkipping(s, dir, col("w").isNull).count() === 1000)
+    assert(DataSkipping.readSkipping(s, dir, col("w") === 3L).count()
+      === (1000L until 1550L).count(_ % 7 == 3))
   }
 
   test("manifest is invisible to plain readers") {

@@ -25,7 +25,8 @@ class StatsTableSinkSpec extends SparkSpec {
     q1.awaitTermination()
 
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 500)
-    val manifests = new java.io.File(s"$table/${DataSkipping.StatsDir}")
+    val manifests = new java.io.File(
+        new java.net.URI(DataSkipping.manifestDir(s, table)).getPath)
       .listFiles().map(_.getName).filter(_.startsWith("commit-")).toSeq
     assert(manifests.nonEmpty, "batch must commit under its deterministic marker name")
 
@@ -157,9 +158,11 @@ class StatsTableSinkSpec extends SparkSpec {
 
     // compaction (stream stopped) folds the committed snapshot,
     // vacuums EVERYTHING the new manifest doesn't claim (replaced
-    // files AND the crash orphan), and preserves the commit marker
-    // so a very late replay still short-circuits
-    val n = DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30)
+    // files AND the crash orphan — retention 0: reader-exclusive
+    // maintenance), and preserves the commit marker so a very late
+    // replay still short-circuits
+    val n = DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30,
+      retentionMs = 0L)
     assert(n > 0, "fragmented table must compact")
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 100)
     assert(s.read.parquet(table).count() === 100,
@@ -207,7 +210,9 @@ class StatsTableSinkSpec extends SparkSpec {
     assert(s.read.parquet(table).count() === 90)
     // table is already compact (1 committed file >= target) -> the
     // compact is a no-op BUT the vacuum must still reclaim debris
-    assert(DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30) === 0)
+    // (retention 0: reader-exclusive maintenance)
+    assert(DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30,
+      retentionMs = 0L) === 0)
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 50)
     assert(s.read.parquet(table).count() === 50,
       "no-op compact must still reclaim the orphan")

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.DataSkipping
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+class StatsTableSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  private def drain(s: org.apache.spark.sql.SparkSession, table: String,
+      outDir: String, ckpt: String): Unit = {
+    val q = s.readStream
+      .format(classOf[StatsTableSourceProvider].getName)
+      .option("path", table).load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("named commits stream incrementally; replays and restarts are exactly-once") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_tbl") + "/t"
+    val outDir = tmpDir("stsrc_out") + "/o"
+    val ckpt = tmpDir("stsrc_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 100L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-w1-b0")))
+    assert(DataSkipping.appendWithStats(
+      (100L until 150L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-w1-b1")))
+
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).count() === 150)
+
+    // an at-least-once writer REPLAYS b1: the marker short-circuits,
+    // no new commit appears, and the next drain moves nothing
+    assert(!DataSkipping.appendWithStats(
+      (100L until 150L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-w1-b1")))
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).count() === 150, "replayed commit must not re-stream")
+
+    // a genuinely new commit streams exactly its own rows, and an
+    // EMPTY commit (zero-row marker) drains without error
+    assert(DataSkipping.appendWithStats(
+      (150L until 170L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-w1-b2")))
+    assert(DataSkipping.appendWithStats(
+      (0L until 0L).map(i => (i, i)).toDF("id", "v"),
+      table, Seq("id"), commitName = Some("commit-w1-b3")))
+    drain(s, table, outDir, ckpt)
+    val ids = s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 170L).toSeq,
+      "restart must deliver exactly the new commits, once")
+  }
+
+  test("discovery is manifest-driven: crash orphans in the table dir are never streamed") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_orph") + "/t"
+    val outDir = tmpDir("stsrc_orph_out") + "/o"
+    val ckpt = tmpDir("stsrc_orph_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 50L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-a")))
+    // a crashed append: data files land, no manifest commit — a plain
+    // file stream over the directory would ingest these
+    (1000L until 1100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(table)
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 50L).toSeq,
+      "orphans without a commit must be invisible to the stream")
+  }
+
+  test("pipeline silver→gold chained through manifest commits, exactly-once across runs") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("stsrc_pipe_src")
+    val root = tmpDir("stsrc_pipe_root")
+
+    def runPipeline(): Map[String, org.apache.spark.sql.DataFrame] = {
+      val p = new StreamingPipeline(s, root)
+      p.source("bronze")(FileIngest.stream(s, srcDir, schema, format = "parquet"))
+      // silver: stats-backed — every micro-batch is a named manifest
+      // commit, immediately prunable storage
+      p.statsTable("silver", Seq("id"), "bronze") { d =>
+        d("bronze").filter(col("v") % 3 =!= 0)
+      }
+      // gold consumes silver THROUGH the manifest source (one commit
+      // = one downstream batch), not via directory listing
+      p.table("gold", "silver") { d =>
+        d("silver").withColumn("vv", col("v") * 10)
+      }
+      p.runOnce()
+    }
+
+    (0L until 200L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    runPipeline()
+    val expected1 = (0L until 200L).filter(_ % 3 != 0)
+    assert(s.read.parquet(s"$root/gold/data").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === expected1)
+
+    // silver's storage really is a manifest table with named commits
+    val silverManifest = DataSkipping.manifestDir(s, s"$root/silver/data")
+    assert(new java.io.File(new java.net.URI(silverManifest).getPath match {
+      case "" => silverManifest
+      case p => p
+    }).listFiles().exists(f => f.getName.startsWith("commit-")),
+      "silver batches must land as named manifest commits")
+
+    // crash orphan in silver's dir: gold must never see it
+    (9000L until 9050L).map(i => (i, i + 1)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$root/silver/data")
+
+    // second wave of source data, fresh pipeline instance (restart):
+    // only the NEW data flows, exactly once, orphan excluded
+    (200L until 300L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val built = runPipeline()
+    val expected2 = (0L until 300L).filter(_ % 3 != 0)
+    assert(s.read.parquet(s"$root/gold/data").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === expected2,
+      "restart must process exactly the new wave; orphans stay invisible")
+    // the pipeline's batch view of silver is the manifest view —
+    // orphan-free, prunable
+    assert(built("silver").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === expected2)
+    val (kept, all) = DataSkipping.prunedFiles(s, s"$root/silver/data",
+      col("id") < 10L)
+    assert(kept.size < all.size, "silver must prune like any stats table")
+  }
+}
