@@ -22,6 +22,23 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Fixed-cost calibration micro-task (a 10^7-row local-range agg —
+    * constant work, no I/O): timed immediately before each query so
+    * ambient machine load is SELF-EVIDENT in the artifact. On an idle
+    * container every sample is ~equal; a sample far above the run's
+    * minimum means that query's window was load-poisoned and its
+    * timing should be re-pinned, not read as a regression (r7
+    * verdict #4: two rounds of driver artifacts carried 3-10×
+    * load artifacts that dissolved on re-run, and min-of-3 plus
+    * tight-cluster heuristics could not prove it from the JSON
+    * alone).
+    */
+  private def calibrate(spark: SparkSession, slices: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 10000000L, 1L, slices).selectExpr("sum(id * 3 + 1)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,7 +87,14 @@ object Bench {
     // divergence between this run and BASELINE is self-diagnosing
     // (all attempts slow => real cost; one outlier => ambient noise).
     val attempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // per-query calibration sample + per-attempt wall-clock start
+    // epoch (ms) — the load-poisoning evidence (see calibrate())
+    val calibrations = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val attemptStarts = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+    calibrate(spark, cpus.toInt) // one untimed calibration warmup
     val results: Seq[(String, Option[Double])] = timed.map { q =>
+      calibrations(q.name) = calibrate(spark, cpus.toInt)
+      val starts = scala.collection.mutable.ArrayBuffer[Long]()
       val times = (1 to repeats).flatMap { _ =>
         // Warmup (and earlier queries/repeats) leave operator-level
         // persisted frames in the CacheManager; Spark substitutes a
@@ -79,6 +103,7 @@ object Bench {
         // signature aggregation from cache instead of executing it —
         // warm JIT/codegen is the thing to measure, warm DATA is not.
         spark.catalog.clearCache()
+        starts += System.currentTimeMillis()
         val t0 = System.nanoTime()
         try {
           materialize(q.fn(spark, sfDir))
@@ -91,6 +116,7 @@ object Bench {
         }
       }
       attempts(q.name) = times
+      attemptStarts(q.name) = starts.toSeq
       q.name -> times.minOption
     }
 
@@ -113,8 +139,29 @@ object Bench {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
         .mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    def dec(t: Double): String = BigDecimal(t)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val calJson = calibrations.map { case (k, t) => s"${jstr(k)}:${dec(t)}" }
+      .mkString("{", ",", "}")
+    val calMin = if (calibrations.isEmpty) 0.0 else calibrations.values.min
+    // a query window whose calibration ran >= 2x the run's best is
+    // load-poisoned: its timing row is ambient noise, not plan cost
+    val poisoned = calibrations.collect {
+      case (k, t) if calMin > 0 && t >= 2 * calMin => jstr(k)
+    }.mkString("[", ",", "]")
+    val tsJson = attemptStarts.map { case (k, ts) =>
+      s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout tail the driver captures has truncated long runs
+    // (r7 lost 25 queries): the SAME JSON goes to a file it can
+    // ingest whole
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // stdout already has it
     spark.stop()
   }
 }
