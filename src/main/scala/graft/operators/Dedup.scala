@@ -83,10 +83,20 @@ object Dedup {
     * a single filter is GBs in one constant (past array and
     * task-serialization limits); sharding bounds each piece while
     * total bits, per-key fpp and results are UNCHANGED (DedupSpec
-    * asserts shard-count invariance). The driver still holds the
-    * full word-array set transiently at build time — for
-    * beyond-driver-memory filter sets run one shard-restricted pass
-    * per shard over the batch instead.
+    * asserts shard-count invariance). The driver holds the full
+    * word-array set transiently at build time.
+    *
+    * `buildShardsIteratively` is the BEYOND-DRIVER-MEMORY build: one
+    * shard-restricted history scan per shard, the driver holding ONE
+    * shard's words at a time — each shard's bloom-positive batch
+    * rows are materialized eagerly (localCheckpoint) so the shard's
+    * filter constant is released before the next shard builds. Peak
+    * driver memory drops from `shards x numBits/8` to `numBits/8`
+    * bytes at the cost of `shards` history scans (the trade a
+    * >driver-memory filter set forces; on a real cluster swap
+    * localCheckpoint for reliable checkpointing if executor loss
+    * mid-build matters). Results are identical to the one-pass path
+    * (DedupSpec asserts equality at shards >= 4).
     *
     * `expectedItems` sizes the filter (approximate history
     * cardinality; an over-estimate wastes bits, an under-estimate
@@ -96,7 +106,8 @@ object Dedup {
       history: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      shards: Int = 1): DataFrame = {
+      shards: Int = 1,
+      buildShardsIteratively: Boolean = false): DataFrame = {
     import graft.plans.{BloomFilterOps, VectorExpressions}
     require(shards >= 1, s"shards must be >= 1, got $shards")
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -106,19 +117,44 @@ object Dedup {
     val histKeyed = history.select(
       normalize(col(textCol)).as("__nt"),
       xxhash64(normalize(col(textCol))).as("__h"))
-    val shardRows = histKeyed
-      .groupBy(pmod(col("__h"), lit(shards)).as("__s"))
-      .agg(VectorExpressions.bloomAgg(col("__h"), numBits, numHashes).as("w"))
-      .collect()
-    // shards with no history rows keep an all-zero filter (rejects everything)
-    val wordsPerShard = Array.fill(shards)(new Array[Long](numBits / 64))
-    shardRows.foreach(r => wordsPerShard(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
     val annotated = batch
       .withColumn("__nt", normalize(col(textCol)))
       .withColumn("__h", xxhash64(col("__nt")))
-    val candidates = annotated
-      .filter(VectorExpressions.bloomContainsSharded(col("__h"), wordsPerShard, numHashes))
-      .select(col("__h"), col("__nt"))
+    val candidates = if (!buildShardsIteratively) {
+      val shardRows = histKeyed
+        .groupBy(pmod(col("__h"), lit(shards)).as("__s"))
+        .agg(VectorExpressions.bloomAgg(col("__h"), numBits, numHashes).as("w"))
+        .collect()
+      // shards with no history rows keep an all-zero filter (rejects everything)
+      val wordsPerShard = Array.fill(shards)(new Array[Long](numBits / 64))
+      shardRows.foreach(r => wordsPerShard(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
+      annotated
+        .filter(VectorExpressions.bloomContainsSharded(col("__h"), wordsPerShard, numHashes))
+        .select(col("__h"), col("__nt"))
+    } else {
+      // one shard at a time: build filter_s from a shard-restricted
+      // scan, probe the shard's batch slice, MATERIALIZE the (tiny)
+      // bloom-positive rows so filter_s leaves the driver before
+      // filter_{s+1} arrives — no plan retains more than one shard's
+      // constant at once
+      val parts = (0 until shards).flatMap { sh =>
+        val row = histKeyed
+          .filter(pmod(col("__h"), lit(shards)) === sh)
+          .agg(VectorExpressions.bloomAgg(col("__h"), numBits, numHashes).as("w"))
+          .collect().head
+        if (row.isNullAt(0)) None // empty shard: no history -> no dups here
+        else {
+          val words = row.getSeq[Long](0).toArray
+          Some(annotated
+            .filter(pmod(col("__h"), lit(shards)) === sh)
+            .filter(VectorExpressions.bloomContains(col("__h"), words, numHashes))
+            .select(col("__h"), col("__nt"))
+            .localCheckpoint(true))
+        }
+      }
+      parts.reduceOption(_ unionAll _)
+        .getOrElse(annotated.select(col("__h"), col("__nt")).limit(0))
+    }
     val confirmed = histKeyed
       .join(broadcast(candidates), Seq("__h", "__nt"), "left_semi")
       .distinct()

@@ -333,6 +333,20 @@ class DedupSpec extends SparkSpec {
     // per-shard constants shrink; membership semantics must not move
     assert(run(4) === single)
     assert(run(7) === single)
+
+    // beyond-driver-memory build: one shard-restricted history scan
+    // per shard (driver holds ONE shard's words at a time) — results
+    // identical to the one-pass sharded path
+    def runIter(shards: Int) =
+      Dedup.incrementalDedup(history, batch, "doc_id", "text",
+          expectedItems = 400L, fpp = 0.01, shards = shards,
+          buildShardsIteratively = true)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("in_history"))
+        .toMap
+    assert(runIter(4) === single)
+    assert(runIter(7) === single)
+    // degenerate but legal: iterative at shards = 1 (one full scan)
+    assert(runIter(1) === single)
   }
 
   test("dedupParagraphs: hashed group keys equal the full-string path on multi-KB paragraphs") {
