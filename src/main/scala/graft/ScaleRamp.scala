@@ -166,6 +166,43 @@ object ScaleRamp {
     // the CORPUS, queries held constant
     def queries(k: Int) = vecs(1).filter(col("vec_id") < 50)
 
+    // ---- storage family (r8): FILE-COUNT ramp ----
+    // The ramp dimension is the MANIFEST (file count), not data
+    // bytes: scale k = 16k files x 2000 rows, so 10x means 160 files.
+    // append / pruned read / bloom lookup should be ~FLAT in total
+    // files (append is O(batch); the kept-file set is constant and
+    // the manifest filter distributed); a full compact is linear in
+    // files by construction (it rewrites them all). `key` is
+    // UNCLUSTERED high-cardinality (only the per-file bloom can prune
+    // a point lookup).
+    import graft.sources.DataSkipping
+    val storageCols = Seq("id", "key")
+    def storageRows(n: Long) = spark.range(n).select(col("id"),
+      concat(lit("k"), pmod(col("id") * 2654435761L, lit(100000L))).as("key"))
+    def buildStorageTable(k: Int, path: String): Unit =
+      DataSkipping.writeWithStats(
+        storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
+        path, storageCols, bloomCols = Seq("key"), bloomBits = 1 << 14)
+    val storePaths = scales.map { k =>
+      val p = s"$work/store_x$k"
+      buildStorageTable(k, p)
+      k -> p
+    }.toMap
+    // compaction consumes a FRESH fragmented table per attempt (a
+    // compacted table's second compact is a no-op and min-of-N would
+    // time that instead); built here, outside the timed region
+    val compactQueues: Map[Int, java.util.ArrayDeque[String]] = scales.map { k =>
+      val q = new java.util.ArrayDeque[String]()
+      val copies = repeats + (if (k == 1) 2 else 1) // +warmup, +spare
+      (0 until copies).foreach { i =>
+        val p = s"$work/store_frag_x${k}_$i"
+        buildStorageTable(k, p)
+        q.add(p)
+      }
+      k -> q
+    }.toMap
+    val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
       "minhash_pairs" -> (k => Dedup.minHashLsh(docs(k), "doc_id", "text",
@@ -223,7 +260,34 @@ object ScaleRamp {
       // ramp linearly like contamination
       "lm_familiarity" -> (k => graft.operators.TextOps.lmFamiliarity(
         docs(k), "doc_id", "text",
-        docs(1).filter(col("doc_id") < 500), "text")))
+        docs(1).filter(col("doc_id") < 500), "text")),
+      // r8 storage family (see the storage section above for the
+      // expected shapes). The returned frames are the POST-op reads
+      // whose plan cost is part of the claim (kept files constant).
+      "storage_read" -> (k => DataSkipping.readSkipping(
+        spark, storePaths(k), col("id") >= 5000L && col("id") < 7000L)),
+      "storage_bloom" -> (k => DataSkipping.readSkipping(
+        spark, storePaths(k),
+        col("key") === concat(lit("k"), pmod(lit(1234L) * 2654435761L, lit(100000L))))),
+      "storage_append" -> { k =>
+        // unique ids per attempt (ids past every scale's base range)
+        val n = appendSeq.incrementAndGet()
+        val lo = 100000000L + n * 10000L
+        DataSkipping.appendWithStats(
+          storageRows(1000L).select((col("id") + lo).as("id"), col("key"))
+            .coalesce(1),
+          storePaths(k), storageCols)
+        DataSkipping.readSkipping(spark, storePaths(k),
+          col("id") >= lo && col("id") < lo + 1000L)
+      },
+      "storage_compact" -> { k =>
+        val p = compactQueues(k).poll()
+        require(p != null, s"compact queue exhausted at x$k — raise the prebuild count")
+        val folded = DataSkipping.compactTable(spark, p,
+          targetFileBytes = 8L * 1024 * 1024, retentionMs = 0L)
+        require(folded > 0, s"compact at x$k unexpectedly a no-op")
+        DataSkipping.readSkipping(spark, p, col("id") < 0L) // plan-only read
+      })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
