@@ -86,7 +86,11 @@ object Bench {
     // Per-attempt timings are kept and emitted alongside the min so a
     // divergence between this run and BASELINE is self-diagnosing
     // (all attempts slow => real cost; one outlier => ambient noise).
-    val attempts = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // attempts keeps ONE slot per attempt (None = failed, emitted as
+    // JSON null) so it stays index-aligned with attempt_start_ms —
+    // a reader pairing timing i with timestamp i must get the right
+    // wall-clock window even when some attempts failed
+    val attempts = scala.collection.mutable.LinkedHashMap[String, Seq[Option[Double]]]()
     // per-query calibration sample + per-attempt wall-clock start
     // epoch (ms) — the load-poisoning evidence (see calibrate())
     val calibrations = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -95,7 +99,7 @@ object Bench {
     val results: Seq[(String, Option[Double])] = timed.map { q =>
       calibrations(q.name) = calibrate(spark, cpus.toInt)
       val starts = scala.collection.mutable.ArrayBuffer[Long]()
-      val times = (1 to repeats).flatMap { _ =>
+      val times: Seq[Option[Double]] = (1 to repeats).map { _ =>
         // Warmup (and earlier queries/repeats) leave operator-level
         // persisted frames in the CacheManager; Spark substitutes a
         // canonically identical sub-plan with the warm InMemoryRelation,
@@ -117,7 +121,7 @@ object Bench {
       }
       attempts(q.name) = times
       attemptStarts(q.name) = starts.toSeq
-      q.name -> times.minOption
+      q.name -> times.flatten.minOption
     }
 
     def jstr(s: String): String =
@@ -135,8 +139,9 @@ object Bench {
     // default locale, and a comma-decimal locale would corrupt the
     // one-line JSON the driver parses
     val attJson = attempts.map { case (k, ts) =>
-      s"${jstr(k)}:${ts.map(t => BigDecimal(t)
+      s"${jstr(k)}:${ts.map(_.map(t => BigDecimal(t)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+        .getOrElse("null"))
         .mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     def dec(t: Double): String = BigDecimal(t)

@@ -177,8 +177,13 @@ object ScaleRamp {
     // a point lookup).
     import graft.sources.DataSkipping
     val storageCols = Seq("id", "key")
+    // key = id * c mod p with p prime and far beyond every scale's id
+    // range: INJECTIVE on ids, so the probed key matches exactly one
+    // row (one file) at every scale — a smaller modulus would admit
+    // more matching ids as the table grows and the "kept files
+    // constant" claim would silently measure a growing match set
     def storageRows(n: Long) = spark.range(n).select(col("id"),
-      concat(lit("k"), pmod(col("id") * 2654435761L, lit(100000L))).as("key"))
+      concat(lit("k"), pmod(col("id") * 2654435761L, lit(1000000007L))).as("key"))
     def buildStorageTable(k: Int, path: String): Unit =
       DataSkipping.writeWithStats(
         storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
@@ -268,7 +273,7 @@ object ScaleRamp {
         spark, storePaths(k), col("id") >= 5000L && col("id") < 7000L)),
       "storage_bloom" -> (k => DataSkipping.readSkipping(
         spark, storePaths(k),
-        col("key") === concat(lit("k"), pmod(lit(1234L) * 2654435761L, lit(100000L))))),
+        col("key") === concat(lit("k"), pmod(lit(1234L) * 2654435761L, lit(1000000007L))))),
       "storage_append" -> { k =>
         // unique ids per attempt (ids past every scale's base range)
         val n = appendSeq.incrementAndGet()

@@ -591,7 +591,11 @@ object DataSkipping {
     * files, but each marker name is re-created as a zero-row manifest
     * file in the new generation, so a streaming replay after
     * compaction still short-circuits instead of re-appending an
-    * already-folded batch. The driver materializes the file list
+    * already-folded batch — EXCEPT markers older than
+    * `markerRetentionMs` (default 7 days), which are dropped (the
+    * Delta txn-retention analog: without expiry, manifest listings
+    * and [[graft.streaming.StatsTableSource]] offsets grow one entry
+    * per commit forever). The driver materializes the file list
     * being replaced ((path) rows — the same O(snapshot files) any
     * OPTIMIZE planner holds). Legacy FLAT manifests are migrated to
     * `v0` by this pass (their flat files enter the removal log like
@@ -616,9 +620,11 @@ object DataSkipping {
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       vacuum: Boolean = true,
-      retentionMs: Long = RetentionDefaultMs): Int = {
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(retentionMs >= 0, "retentionMs must be >= 0")
+    require(markerRetentionMs >= 0, "markerRetentionMs must be >= 0")
     val statsDir = new Path(s"$path/$StatsDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
@@ -635,9 +641,22 @@ object DataSkipping {
       return 0
     }
     val schema = tableSchemaIn(spark, path, dir)
-    // named commit markers to preserve across the manifest rewrite
-    val markers = fs.listStatus(new Path(dir)).map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("part-")).toSeq
+    // named commit markers to preserve across the manifest rewrite —
+    // but only those younger than `markerRetentionMs` (the Delta
+    // txn-retention analog, deliberately SEPARATE from the data
+    // retention — a reader-exclusive retention-0 vacuum must not
+    // void replay protection): a marker's only job after its rows
+    // are folded is replay short-circuiting, and writers/consumers
+    // more than the window behind are already outside the table's
+    // replay guarantees. Expiring them here is what keeps manifest
+    // listings and streaming offsets bounded by the window's commit
+    // count instead of growing forever.
+    val markerCutoff = System.currentTimeMillis() - markerRetentionMs
+    val markers = fs.listStatus(new Path(dir))
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("part-") &&
+        f.getModificationTime >= markerCutoff)
+      .map(_.getPath.getName).toSeq
     // rewrite the current snapshot: coalesce (no shuffle) into the
     // target file count, staged hidden, then moved in — invisible to
     // manifest readers until the generation commit below
@@ -743,6 +762,18 @@ object DataSkipping {
     val gens = genDirs(fs, statsDir)
     val current = currentGen(fs, statsDir)
 
+    // Claim set = the current manifest's file names (tolerating a
+    // freshly bootstrapped table whose manifest has no parts yet).
+    // Computed FIRST: it guards BOTH deletion passes below.
+    val claimed: Set[String] = {
+      val dir = manifestDirOf(fs, path)
+      val hasParts = fs.exists(new Path(dir)) && fs.listStatus(new Path(dir))
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (!hasParts) Set.empty
+      else readManifestIn(spark, dir).select("file").collect()
+        .map(r => new Path(r.getString(0)).getName).toSet
+    }
+
     // 1. removal-log entries past retention (from every generation
     //    still on disk — a superseded generation's log stays
     //    actionable until the generation itself expires, which by
@@ -755,23 +786,13 @@ object DataSkipping {
         // current manifest claims (paranoia: removal logs only ever
         // record superseded state, but a bad entry must not cascade)
         val isCurrentGen = current.exists(_._2.toString == fs.makeQualified(p).toString)
-        if (!isCurrentGen && fs.exists(p))
+        if (!isCurrentGen && !claimed(p.getName) && fs.exists(p))
           fs.delete(p, true)
       }
     }
     val recordedNames = recorded.map { case (rel, _) => new Path(rel).getName }.toSet
 
-    // 2. unrecorded visible orphans (crashed appends): mtime-gated.
-    //    Claim set = the current manifest's file names (tolerating a
-    //    freshly bootstrapped table whose manifest has no parts yet).
-    val claimed: Set[String] = {
-      val dir = manifestDirOf(fs, path)
-      val hasParts = fs.exists(new Path(dir)) && fs.listStatus(new Path(dir))
-        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (!hasParts) Set.empty
-      else readManifestIn(spark, dir).select("file").collect()
-        .map(r => new Path(r.getString(0)).getName).toSet
-    }
+    // 2. unrecorded visible orphans (crashed appends): mtime-gated
     val stagingPrefixes =
       Seq(".append-", ".compact-", ".stats-", ".markers-", SwapPrefix)
     fs.listStatus(new Path(path)).foreach { f =>

@@ -61,15 +61,21 @@ object StatsTableSink {
     val qualified = fs.makeQualified(root)
     val sentinel = new Path(qualified.getParent,
       s".${qualified.getName}.bootstrap-lock")
-    // exclusive create (overwrite=false) — the conditional-put analog
+    // exclusive create (overwrite=false) — the conditional-put
+    // analog. Only a genuine already-exists failure maps to the
+    // rival-bootstrap message; any other IO failure (permissions,
+    // disk) propagates as itself instead of sending the operator
+    // hunting for a sentinel that is not there
     val out =
       try fs.create(sentinel, false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"stats-table bootstrap sentinel $sentinel already exists — either a " +
-            "concurrent caller is bootstrapping this table right now, or a " +
-            "previous bootstrap crashed mid-write; inspect and delete the " +
-            s"sentinel (and any partial $path) before retrying", e)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          throw new IllegalStateException(
+            s"stats-table bootstrap sentinel $sentinel already exists — either a " +
+              "concurrent caller is bootstrapping this table right now, or a " +
+              "previous bootstrap crashed mid-write; inspect and delete the " +
+              s"sentinel (and any partial $path) before retrying", e)
       }
     out.close()
     val empty = spark.createDataFrame(

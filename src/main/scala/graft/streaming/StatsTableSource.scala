@@ -53,20 +53,34 @@ private[streaming] object StatsCommitOffset {
   * listing, no footer read); `getBatch` reads the NEW markers' rows
   * (tiny parquet files) and serves the recorded (path, size, mtime)
   * statuses straight to the parquet reader through a
-  * [[ManifestFileIndex]] — planning cost is O(batch files), never
-  * O(table files). Unnamed appends and base `writeWithStats` files
-  * are NOT streamed (they carry no commit identity to make replay
-  * exactly-once); feed continuously-written tables through
+  * [[ManifestFileIndex]] — planning cost is O(batch files) after the
+  * first batch, never O(table files).
+  *
+  * INITIAL SNAPSHOT (Delta-source semantics): a FRESH consumer's
+  * first batch is the table's current committed snapshot — the plain
+  * manifest parts (base write, unnamed appends, compaction folds)
+  * plus the markers its first offset covers — so a stream started on
+  * a long-lived, already-compacted table begins from current state
+  * instead of silently skipping folded history. Unnamed appends
+  * landing AFTER the first batch are not streamed (they carry no
+  * commit identity); feed continuously-written tables through
   * [[StatsTableSink]]'s named commits.
   *
   * Exactly-once: offsets are commit-name sets persisted in the query
   * checkpoint; a restart replays the last uncommitted batch by
-  * re-reading the same markers — same rows, same files. Run
-  * [[DataSkipping.compactTable]] only when downstream streams are
-  * CAUGHT UP (markers survive compaction but are re-created
-  * zero-row, so an in-flight batch replayed after a compaction would
-  * read empty) — with the default retention the replaced data files
-  * themselves stay readable for the whole window.
+  * re-reading the same markers — same rows, same files. A marker
+  * named by the replayed offset range that has VANISHED from the
+  * manifest (expired by a compaction that outran this consumer)
+  * fails LOUDLY rather than delivering an empty batch as success.
+  * Marker lifetime is [[DataSkipping.compactTable]]'s `retentionMs`
+  * (markers older than the window are dropped at compaction — the
+  * Delta txn-retention analog that keeps offsets and manifest
+  * listings bounded by the window's commit count instead of growing
+  * forever); run compaction only when downstream streams are within
+  * the retention window, and prefer caught-up streams — a surviving
+  * marker is re-created zero-row, so an in-flight batch replayed
+  * across a compaction reads empty (indistinguishable from a
+  * legitimately empty commit).
   */
 final class StatsTableSource(
     sqlContext: SQLContext, path: String) extends Source {
@@ -90,21 +104,45 @@ final class StatsTableSource(
       .map(_.stripSuffix(".parquet"))
   }
 
-  override def getOffset: Option[Offset] = {
-    val names = markerNames()
-    if (names.isEmpty) None else Some(StatsCommitOffset(names))
-  }
+  // Always an offset (possibly the empty set) once the table exists:
+  // the INITIAL SNAPSHOT batch must fire even on a fully-compacted
+  // table whose markers have all expired — `None` here would mean
+  // "no data ever", and the engine would never call getBatch. Equal
+  // consecutive offsets (case-class equality) trigger no new batch.
+  override def getOffset: Option[Offset] =
+    Some(StatsCommitOffset(markerNames()))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val done = start.map(o => StatsCommitOffset.from(o).commits.toSet)
       .getOrElse(Set.empty[String])
     val todo = StatsCommitOffset.from(end).commits.filterNot(done).sorted
     val dir = DataSkipping.manifestDir(spark, path)
-    val markerPaths = todo.map(n => s"$dir/$n.parquet")
-      .filter(p => fs.exists(new Path(p)))
+    val markerPaths = todo.map { n =>
+      val p = s"$dir/$n.parquet"
+      // a named commit this consumer still owes downstream has been
+      // EXPIRED from the manifest: delivering an empty batch here
+      // would record it consumed with its rows silently lost — fail
+      // loudly instead (the consumer lagged past the table's marker
+      // retention; raise retentionMs or keep streams within it)
+      require(fs.exists(new Path(p)) || start.isEmpty,
+        s"stats-table stream at $path: commit marker '$n' is named by this " +
+          "batch's offset range but no longer exists in the manifest — a " +
+          "compaction expired it before this consumer caught up; its rows " +
+          "cannot be replayed. Raise compactTable's retentionMs (marker " +
+          "lifetime) or keep downstream streams within the retention window")
+      p
+    }.filter(p => fs.exists(new Path(p)))
+    // fresh consumer: first batch = the current committed snapshot
+    // (plain manifest parts) + the markers this offset covers
+    val partPaths: Seq[String] =
+      if (start.isDefined) Seq.empty
+      else fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .map(_.toString)
+    val manifestPaths = partPaths ++ markerPaths
     val statuses: Seq[FileStatusWithMetadata] =
-      if (markerPaths.isEmpty) Seq.empty
-      else spark.read.parquet(markerPaths: _*)
+      if (manifestPaths.isEmpty) Seq.empty
+      else spark.read.parquet(manifestPaths: _*)
         .select("file", "file_size", "mod_time").collect().toSeq
         .map(r => FileStatusWithMetadata(new FileStatus(
           r.getLong(1), false, 1, 128L * 1024 * 1024, r.getLong(2),

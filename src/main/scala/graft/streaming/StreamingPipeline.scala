@@ -244,13 +244,12 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
     */
   def readTable(name: String): DataFrame = {
     val dir = dataDir(name)
+    require(schemas.contains(name) || Files.isDirectory(Paths.get(dir)),
+      s"table $name has not been materialized")
     if (isStatsTable(name))
       graft.sources.DataSkipping.readSkipping(spark, dir, lit(true))
-    else {
-      require(schemas.contains(name) || Files.isDirectory(Paths.get(dir)),
-        s"table $name has not been materialized")
+    else
       schemas.get(name).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
-    }
   }
 
   private def observeName(table: String) = s"graft_expect_$table"

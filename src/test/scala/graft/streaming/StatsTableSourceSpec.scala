@@ -84,6 +84,52 @@ class StatsTableSourceSpec extends SparkSpec {
       "orphans without a commit must be invisible to the stream")
   }
 
+  test("fresh consumer on a compacted table starts from the snapshot; marker expiry bounds listings") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_snap") + "/t"
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 80L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-s-b0")))
+    assert(DataSkipping.appendWithStats(
+      (80L until 120L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-s-b1")))
+    // compaction folds both commits' rows into plain parts (markers
+    // re-created zero-row, still young enough to survive)
+    assert(DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30,
+      retentionMs = 0L) > 0)
+
+    // a BRAND-NEW consumer must start from the current snapshot, not
+    // silently consume the zero-row markers as its entire history
+    val out1 = tmpDir("stsrc_snap_o1") + "/o"
+    val ckpt1 = tmpDir("stsrc_snap_c1")
+    drain(s, table, out1, ckpt1)
+    assert(s.read.parquet(out1).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 120L).toSeq,
+      "fresh consumer must receive the folded history as its first snapshot batch")
+
+    // ...and new commits after the snapshot still stream incrementally
+    assert(DataSkipping.appendWithStats(
+      (120L until 150L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-s-b2")))
+    drain(s, table, out1, ckpt1)
+    assert(s.read.parquet(out1).count() === 150)
+
+    // markerRetentionMs = 0 expires every marker at the next
+    // REWRITING compact (the Delta txn-retention analog): the
+    // manifest listing is bounded, and a fresh consumer still gets
+    // everything via the snapshot
+    assert(DataSkipping.compactTable(s, table, targetFileBytes = 1L << 30,
+      retentionMs = 0L, markerRetentionMs = 0L) > 0)
+    val dir = new java.io.File(new java.net.URI(DataSkipping.manifestDir(s, table)).getPath)
+    assert(!dir.listFiles().exists(_.getName.startsWith("commit-")),
+      "expired markers must leave the manifest")
+    val out2 = tmpDir("stsrc_snap_o2") + "/o"
+    drain(s, table, out2, tmpDir("stsrc_snap_c2"))
+    assert(s.read.parquet(out2).count() === 150)
+  }
+
   test("pipeline silver→gold chained through manifest commits, exactly-once across runs") {
     val s = spark
     import s.implicits._
