@@ -2585,6 +2585,44 @@ object Queries {
           ORDER BY doc_id"""
     })
 
+  // Generation TIME TRAVEL (the Delta VERSION AS OF analog at
+  // maintenance granularity): build a stats table in three waves —
+  // base write + append (generation v0), compaction (freezes v0,
+  // commits v1), a post-compaction append (lands in v1) — then read
+  // AT VERSION 0. The oracle is the plain SQL over exactly the first
+  // two waves: if the versioned read leaked the third wave (read the
+  // current state), or if compaction's default-retention vacuum had
+  // deleted the files v0 references, the gate mismatches/fails.
+  // Non-vacuous by construction: every wave is non-empty at the
+  // correctness scale (event_id mod 3), and the predicate sits inside
+  // the user_id domain.
+  val timeTravel = QueryDef(
+    "q_time_travel",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_ttq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 3 === 0).repartitionByRange(8, col("user_id")),
+        s"$root/events", Seq("user_id"))
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 3 === 1).repartitionByRange(4, col("user_id")),
+        s"$root/events", Seq("user_id"))
+      DataSkipping.compactTable(s, s"$root/events",
+        targetFileBytes = 16L * 1024 * 1024) // freezes v0, commits v1
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 3 === 2).repartitionByRange(4, col("user_id")),
+        s"$root/events", Seq("user_id")) // lands in v1, invisible to v0
+      DataSkipping.readSkippingAt(s, s"$root/events", 0L,
+          col("user_id") >= 40L && col("user_id") < 110L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE event_id % 3 <> 2 AND user_id >= 40 AND user_id < 110
+            ORDER BY event_id"""))
+
   // Silver→gold chained through MANIFEST COMMITS (the Delta-source
   // analog): bronze file-streams two waves of documents, silver
   // materializes as a stats table whose micro-batches land as named
@@ -2643,5 +2681,5 @@ object Queries {
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
-    ingestEvolved, corpusPipeline, manifestStream)
+    ingestEvolved, corpusPipeline, manifestStream, timeTravel)
 }

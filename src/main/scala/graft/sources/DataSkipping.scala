@@ -847,17 +847,50 @@ object DataSkipping {
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(sys.error("predicate did not analyze to a Filter"))
 
-  /** Shared planning preamble for the pruning entry points: resolve
-    * the current manifest generation, load the manifest, derive the
-    * tracked/null/bloom column sets, and rewrite `predicate` into the
-    * file-skip filter. Returns (manifest frame, table schema, skip
-    * filter).
+  /** Committed manifest generations (ascending) — the TIME-TRAVEL
+    * surface. Generations freeze at maintenance boundaries: appends
+    * land in the NEWEST generation, so generation N holds exactly the
+    * table state at the moment generation N+1 was committed (and the
+    * newest one is the live state). Superseded generations and the
+    * data files they reference survive for `retentionMs` after
+    * replacement (see [[vacuumTable]]) — the same window bounds how
+    * far back [[readSkippingAt]] can read, exactly Delta's
+    * time-travel-vs-VACUUM coupling. Empty for a legacy flat-manifest
+    * table (no history is recorded there).
     */
-  private def planSkip(spark: SparkSession, path: String,
+  def tableVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    genDirs(fs, new Path(s"$path/$StatsDir"))
+      .filter { case (_, f) => isCommittedGen(fs, f.getPath) }
+      .map(_._1)
+  }
+
+  /** [[readSkipping]] against a RETAINED manifest generation — the
+    * Delta `VERSION AS OF` analog at maintenance granularity. Fails
+    * loudly (with the retained range) for a version that is not on
+    * disk; note a version older than the vacuum retention may name
+    * data files that are already gone.
+    */
+  def readSkippingAt(spark: SparkSession, path: String, version: Long,
+      predicate: Column): DataFrame = {
+    val have = tableVersions(spark, path)
+    require(have.contains(version),
+      s"version $version of $path is not retained (have " +
+        s"${have.mkString("[", ",", "]")}) — superseded generations are " +
+        "vacuumed retentionMs after replacement; raise the retention to " +
+        "time-travel further back")
+    readSkippingIn(spark, path, s"$path/$StatsDir/v$version", predicate)
+  }
+
+  /** Shared planning preamble for the pruning entry points: load the
+    * manifest at `dir`, derive the tracked/null/bloom column sets,
+    * and rewrite `predicate` into the file-skip filter. Returns
+    * (manifest frame, table schema, skip filter).
+    */
+  private def planSkip(spark: SparkSession, path: String, dir: String,
       predicate: Column): (DataFrame, StructType, Column) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.plans.GraftFunctions.register(spark)
-    val dir = manifestDirOf(fs, path)
     val stats = readManifestIn(spark, dir)
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
@@ -875,7 +908,7 @@ object DataSkipping {
   def prunedFiles(
       spark: SparkSession, path: String,
       predicate: Column): (Seq[String], Seq[String]) = {
-    val (stats, _, skip) = planSkip(spark, path, predicate)
+    val (stats, _, skip) = planSkip(spark, path, manifestDir(spark, path), predicate)
     val all = stats.select("file").collect().map(_.getString(0)).toSeq
     val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
     (kept, all)
@@ -898,8 +931,12 @@ object DataSkipping {
     * O(kept), not O(files). Pre-sidecar manifests (no
     * file_size/mod_time columns) fall back to a path-list read.
     */
-  def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame = {
-    val (stats, schema, skip) = planSkip(spark, path, predicate)
+  def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame =
+    readSkippingIn(spark, path, manifestDir(spark, path), predicate)
+
+  private def readSkippingIn(spark: SparkSession, path: String, dir: String,
+      predicate: Column): DataFrame = {
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
     if (!stats.columns.contains("file_size")) {
       // legacy manifest: no status metadata recorded — path-list read
       val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq

@@ -578,6 +578,44 @@ class DataSkippingSpec extends SparkSpec {
       === (1000L until 1550L).count(_ % 7 == 3))
   }
 
+  test("generation time travel: frozen versions read their own snapshot until vacuumed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i)).toDF("id", "v").repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    DataSkipping.appendWithStats(
+      (1000L until 1200L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir, Seq("id"))
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L))
+    // compaction freezes v0 (base + append) and commits v1
+    assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30) > 0)
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L, 1L))
+    // a post-compaction append lands in v1 only
+    DataSkipping.appendWithStats(
+      (1200L until 1300L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir, Seq("id"))
+
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1300)
+    assert(DataSkipping.readSkippingAt(s, dir, 0L, lit(true)).count() === 1200,
+      "version 0 must read its frozen snapshot, not the live state")
+    assert(DataSkipping.readSkippingAt(s, dir, 1L, lit(true)).count() === 1300)
+    // pruning works against the old generation's manifest too
+    assert(DataSkipping.readSkippingAt(s, dir, 0L, col("id") >= 1000L).count() === 200)
+    // unknown version fails loudly with the retained range
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.readSkippingAt(s, dir, 7L, lit(true))
+    }
+    assert(e.getMessage.contains("not retained"))
+    // retention-0 vacuum reclaims the superseded generation: it
+    // leaves the version list and can no longer be read
+    DataSkipping.vacuumTable(s, dir, retentionMs = 0L)
+    assert(DataSkipping.tableVersions(s, dir) === Seq(1L))
+    intercept[IllegalArgumentException] {
+      DataSkipping.readSkippingAt(s, dir, 0L, lit(true))
+    }
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1300)
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
