@@ -2664,6 +2664,87 @@ object Queries {
             FROM documents WHERE n_chars >= 150 AND n_chars <= 380
             ORDER BY doc_id"""))
 
+  // Row-level DML, copy-on-write: DELETE drops one user_id band,
+  // UPDATE rewrites another (string literal + value sign flip), then
+  // a FULL readback. The oracle replays both as plain SQL (NOT
+  // (deleted band), CASE on the updated band) over the whole events
+  // domain — a row dropped/duplicated/left stale by the prune→touch→
+  // rewrite→generation-commit path is a row/hash mismatch. Both
+  // bands sit inside the user_id domain at every gated scale
+  // (sf0.01 max is 149). File-preservation mechanics (untouched
+  // files carried verbatim, only matching files rewritten) are
+  // DataSkippingSpec's job.
+  val deleteUpdate = QueryDef(
+    "q_delete_update",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_dml").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events", Seq("user_id"))
+      DataSkipping.deleteWhere(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.readSkipping(s, s"$root/events", col("user_id") >= 0L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CASE WHEN user_id >= 100 AND user_id < 120
+                   THEN 'redacted' ELSE event_type END AS event_type,
+              CASE WHEN user_id >= 100 AND user_id < 120
+                   THEN value * -1 ELSE value END AS value
+            FROM events
+            WHERE NOT (user_id >= 40 AND user_id < 60)
+            ORDER BY event_id"""))
+
+  // Upsert MERGE: keys ending in 3 are updated in place (priority
+  // flipped to a literal), keys ending in 7 re-enter shifted +10M as
+  // inserts, then a FULL readback. The oracle is the
+  // unmatched-target ∪ source union — a lost update, doubled insert,
+  // or a stale matched row anywhere in the prune→semi-join→anti-
+  // join→commit path mismatches. Non-vacuous on both MERGE arms at
+  // every gated scale (orders keys cover all residues mod 10; the
+  // +10M shift stays clear of the key domain ≤ sf1).
+  val mergeUpsertQ = QueryDef(
+    "q_merge_upsert",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_mrg").toString
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      DataSkipping.writeWithStats(
+        ord.repartitionByRange(8, col("o_orderkey")),
+        s"$root/orders", Seq("o_orderkey"))
+      val updates = ord.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderpriority", lit("MERGED"))
+      val inserts = ord.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderpriority", lit("INSERTED"))
+      DataSkipping.mergeUpsert(s, s"$root/orders",
+        updates.unionByName(inserts), Seq("o_orderkey"))
+      DataSkipping.readSkipping(s, s"$root/orders", col("o_orderkey") >= 0L)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     'MERGED' AS o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 3
+              UNION ALL
+              SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                     o_orderstatus, o_totalprice, 'INSERTED' AS o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 7)
+            SELECT * FROM (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 10 <> 3
+              UNION ALL
+              SELECT * FROM src)
+            ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
@@ -2681,5 +2762,6 @@ object Queries {
     embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
-    ingestEvolved, corpusPipeline, manifestStream, timeTravel)
+    ingestEvolved, corpusPipeline, manifestStream, timeTravel,
+    deleteUpdate, mergeUpsertQ)
 }

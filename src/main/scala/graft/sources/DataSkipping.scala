@@ -641,22 +641,6 @@ object DataSkipping {
       return 0
     }
     val schema = tableSchemaIn(spark, path, dir)
-    // named commit markers to preserve across the manifest rewrite —
-    // but only those younger than `markerRetentionMs` (the Delta
-    // txn-retention analog, deliberately SEPARATE from the data
-    // retention — a reader-exclusive retention-0 vacuum must not
-    // void replay protection): a marker's only job after its rows
-    // are folded is replay short-circuiting, and writers/consumers
-    // more than the window behind are already outside the table's
-    // replay guarantees. Expiring them here is what keeps manifest
-    // listings and streaming offsets bounded by the window's commit
-    // count instead of growing forever.
-    val markerCutoff = System.currentTimeMillis() - markerRetentionMs
-    val markers = fs.listStatus(new Path(dir))
-      .filter(f => f.getPath.getName.endsWith(".parquet") &&
-        !f.getPath.getName.startsWith("part-") &&
-        f.getModificationTime >= markerCutoff)
-      .map(_.getPath.getName).toSeq
     // rewrite the current snapshot: coalesce (no shuffle) into the
     // target file count, staged hidden, then moved in — invisible to
     // manifest readers until the generation commit below
@@ -664,29 +648,68 @@ object DataSkipping {
     val snapshot = spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
     snapshot.coalesce(target).write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
-    // build the COMPLETE next generation in a HIDDEN dir: manifest
-    // parts, sidecars, preserved markers, removal log — then rename
-    // to v<N+1> and commit with one atomic _COMMIT create. (The
-    // hidden build keeps a concurrent LEGACY reader's recursive
-    // parquet read of the flat stats dir clean during a one-time
-    // migration; versioned readers never look at uncommitted dirs at
-    // all.)
-    val curGen = currentGen(fs, statsDir)
-    val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
-    val build = new Path(statsDir, s".genbuild-${java.util.UUID.randomUUID}")
     // the rewrite always emits null counts (the legacy→v2 upgrade
     // moment) and preserves the table's bloom configuration
     val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
     val newStats = statsFor(
       spark.read.schema(schema).parquet(moved: _*),
       statsCols, withNulls = true, bloom = bloomCfg)
-    newStats.write.parquet(build.toString)
-    writeSidecars(spark, build.toString, schema, statsCols,
+    val movedNames = moved.map(p => new Path(p).getName).toSet
+    val replacedData = old.map(r => new Path(r.getString(0)).getName)
+      .filterNot(movedNames).toSeq
+    publishGeneration(spark, fs, path, dir, newStats, schema, statsCols,
       Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet,
-      manifestSchema = Some(newStats.schema))
+      manifestSchema = newStats.schema, removedData = replacedData,
+      markerRetentionMs = markerRetentionMs)
+    if (vacuum) vacuumTable(spark, path, retentionMs)
+    moved.size
+  }
+
+  /** Build the COMPLETE next manifest generation in a hidden dir and
+    * publish it with ONE atomic `_COMMIT` create — the shared commit
+    * path behind [[compactTable]], [[deleteWhere]], [[updateWhere]]
+    * and [[mergeUpsert]]. Writes `manifestRows` as the generation's
+    * parts, carries the table sidecars, re-creates the current
+    * manifest's named commit markers as zero-row files (their data
+    * rows are folded into `manifestRows`) — but only markers younger
+    * than `markerRetentionMs` (the Delta txn-retention analog,
+    * deliberately SEPARATE from the data retention — a
+    * reader-exclusive retention-0 vacuum must not void replay
+    * protection): a marker's only job after its rows are folded is
+    * replay short-circuiting, and writers/consumers more than the
+    * window behind are already outside the table's replay
+    * guarantees; expiring them here keeps manifest listings and
+    * streaming offsets bounded by the window's commit count instead
+    * of growing forever. Records `removedData` (table-root-relative
+    * names) plus the superseded generation — or, for a legacy flat
+    * manifest being migrated, its top-level files — in the removal
+    * log that [[vacuumTable]]'s retention window runs against. (The
+    * hidden build keeps a concurrent LEGACY reader's recursive
+    * parquet read of the flat stats dir clean during a one-time
+    * migration; versioned readers never look at uncommitted dirs at
+    * all.) Returns the committed version number.
+    */
+  private def publishGeneration(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
+      manifestRows: DataFrame, schema: StructType, statsCols: Seq[String],
+      features: Set[String], manifestSchema: StructType,
+      removedData: Seq[String], markerRetentionMs: Long): Long = {
+    val statsDir = new Path(s"$path/$StatsDir")
+    val curGen = currentGen(fs, statsDir)
+    val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
+    val markerCutoff = System.currentTimeMillis() - markerRetentionMs
+    val markers = fs.listStatus(new Path(dir))
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("part-") &&
+        f.getModificationTime >= markerCutoff)
+      .map(_.getPath.getName).toSeq
+    val build = new Path(statsDir, s".genbuild-${java.util.UUID.randomUUID}")
+    manifestRows.write.parquet(build.toString)
+    writeSidecars(spark, build.toString, schema, statsCols, features,
+      manifestSchema = Some(manifestSchema))
     if (markers.nonEmpty) {
       val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
-      newStats.limit(0).write.parquet(tmp.toString)
+      manifestRows.limit(0).write.parquet(tmp.toString)
       val part = fs.listStatus(tmp)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one marker part, got ${part.length}")
@@ -697,13 +720,7 @@ object DataSkipping {
       }
       fs.delete(tmp, true)
     }
-    // removal log: every data file this generation replaces, plus the
-    // generation (or legacy flat manifest files) it supersedes — the
-    // timestamps vacuumTable's retention window runs against
     val now = System.currentTimeMillis()
-    val movedNames = moved.map(p => new Path(p).getName).toSet
-    val replacedData = old.map(r => new Path(r.getString(0)).getName)
-      .filterNot(movedNames).toSeq
     val replacedManifest = curGen match {
       case Some((v, _)) => Seq(s"$StatsDir/v$v")
       case None => // legacy flat manifest: its top-level files
@@ -711,12 +728,267 @@ object DataSkipping {
           .filter(f => f.isFile)
           .map(f => s"$StatsDir/${f.getPath.getName}").toSeq
     }
-    writeRemovalLog(fs, build, (replacedData ++ replacedManifest).map(_ -> now))
+    writeRemovalLog(fs, build, (removedData ++ replacedManifest).map(_ -> now))
     val gen = new Path(statsDir, s"v$nextV")
     require(fs.rename(build, gen), s"generation rename $build -> $gen failed")
     commitGen(spark, gen)
+    nextV
+  }
+
+  // -----------------------------------------------------------------
+  // Row-level DML: DELETE / UPDATE / MERGE (copy-on-write)
+  // -----------------------------------------------------------------
+
+  /** Candidate files that actually contain rows where `cond` is TRUE,
+    * with their match counts: ONE distributed scan of just the
+    * candidate subset; only a (file, count) row per touched file
+    * reaches the driver.
+    */
+  private def touchedFiles(spark: SparkSession, schema: StructType,
+      candidates: Seq[String], cond: Column): Seq[(String, Long)] =
+    if (candidates.isEmpty) Seq.empty
+    else spark.read.schema(schema).parquet(candidates: _*)
+      .select(col("_metadata.file_path").as("__file"), cond.as("__hit"))
+      .filter(col("__hit"))
+      .groupBy("__file").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  /** The copy-on-write commit shared by the row-level DML ops: stage
+    * `replacement` into the table root, carry every manifest row
+    * EXCEPT the `touched` files into the next generation together
+    * with fresh stats for the replacement files, publish the
+    * generation, optionally vacuum. The table schema, tracked
+    * columns, features and manifest schema are all unchanged — DML
+    * rewrites rows, never shape.
+    */
+  private def rewriteFiles(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
+      schema: StructType, touched: Seq[String], replacement: DataFrame,
+      vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long): Unit = {
+    val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
+    replacement.write.parquet(staging.toString)
+    val moved = moveIn(fs, staging, new Path(path))
+    val feats = manifestFeatures(fs, dir)
+    val statsCols = trackedCols(spark, dir).toSeq.sorted
+    val manifest = readManifestIn(spark, dir)
+    val carried =
+      if (touched.isEmpty) manifest
+      else manifest.filter(!col("file").isin(touched: _*))
+    val rows =
+      if (moved.isEmpty) carried
+      else carried.unionByName(
+        statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols,
+          withNulls = feats.contains("nulls"), bloom = bloomFeature(feats)),
+        allowMissingColumns = true)
+    val manifestSchema = readSidecar(spark, dir, ManifestSchemaFile)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(manifest.schema)
+    publishGeneration(spark, fs, path, dir, rows, schema, statsCols,
+      feats, manifestSchema,
+      removedData = touched.map(p => new Path(p).getName),
+      markerRetentionMs = markerRetentionMs)
     if (vacuum) vacuumTable(spark, path, retentionMs)
-    moved.size
+  }
+
+  /** Row-level DELETE (the Delta `DELETE FROM ... WHERE` analog),
+    * copy-on-write: the manifest's min/max/bloom stats prune the
+    * candidate file set at PLANNING time, one distributed scan of
+    * just the candidates finds the files that actually hold matching
+    * rows, and only THOSE files are rewritten without their matching
+    * rows (a file whose every row matches is simply dropped); every
+    * other file is carried into the next manifest generation
+    * verbatim — at 100 TB a selective delete rewrites a handful of
+    * files, never the table. The generation commit is the snapshot
+    * point (a concurrent reader sees all-old or all-new, never a
+    * mix), replaced files enter the removal log, and retention
+    * vacuum / [[readSkippingAt]] time travel apply exactly as after
+    * [[compactTable]].
+    *
+    * SQL DELETE semantics: only rows where the predicate is TRUE are
+    * deleted — NULL keeps the row. Single-writer like all
+    * maintenance ops; concurrent readers are safe at any retention
+    * >= their runtime. Returns the number of rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+    require(stats.columns.contains("file_size"),
+      "deleteWhere needs a size-carrying manifest (rewrite with writeWithStats)")
+    val candidates = stats.filter(skip).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val hit = coalesce(predicate, lit(false))
+    val touched = touchedFiles(spark, schema, candidates, hit)
+    if (touched.isEmpty) {
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0L
+    }
+    val files = touched.map(_._1)
+    val keep = spark.read.schema(schema).parquet(files: _*).filter(!hit)
+    rewriteFiles(spark, fs, path, dir, schema, files, keep,
+      vacuum, retentionMs, markerRetentionMs)
+    touched.map(_._2).sum
+  }
+
+  /** Row-level `UPDATE ... SET` (copy-on-write, the same
+    * prune-then-touch shape as [[deleteWhere]]): only files holding
+    * rows where the predicate is TRUE are rewritten, with each `set`
+    * expression applied to exactly those rows (cast back to the
+    * column's stored type — updates change values, never the
+    * schema); FALSE/NULL rows and untouched files are preserved
+    * verbatim. Set expressions may reference any table column (the
+    * pre-update value, as in SQL UPDATE). Returns the number of rows
+    * updated.
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+    require(stats.columns.contains("file_size"),
+      "updateWhere needs a size-carrying manifest (rewrite with writeWithStats)")
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"SET columns [${unknown.toSeq.sorted.mkString(",")}] are not in the " +
+        s"table schema ${schema.simpleString}")
+    val candidates = stats.filter(skip).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val hit = coalesce(predicate, lit(false))
+    val touched = touchedFiles(spark, schema, candidates, hit)
+    if (touched.isEmpty) {
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0L
+    }
+    val files = touched.map(_._1)
+    val updated = spark.read.schema(schema).parquet(files: _*)
+      .select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) =>
+            when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    rewriteFiles(spark, fs, path, dir, schema, files, updated,
+      vacuum, retentionMs, markerRetentionMs)
+    touched.map(_._2).sum
+  }
+
+  /** Upsert MERGE (the Delta `MERGE ... WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *` analog), copy-on-write on the
+    * target's files:
+    *
+    *  1. PRUNE: the target manifest keeps only files whose per-key
+    *     min/max ranges overlap the source's key envelope (one small
+    *     agg over the source) — at 100 TB a CDC batch touching one
+    *     day's keys prunes everything else at planning time.
+    *  2. TOUCH: one distributed semi-join of the candidate scan
+    *     against the source's distinct keys finds the files holding
+    *     at least one matched row; only (file, count) rows reach the
+    *     driver.
+    *  3. REWRITE: touched rows whose key matches the source are
+    *     dropped (anti-join) and EVERY source row is written as new
+    *     files — matched keys become updates, unmatched keys
+    *     inserts. Files without a matched row are carried into the
+    *     next generation verbatim.
+    *
+    * The generation commit snapshots the whole merge atomically
+    * (readers see none or all of it); removal-log / retention /
+    * time-travel semantics are [[compactTable]]'s. Source keys must
+    * be UNIQUE (checked — a key matching twice would make the merge
+    * order-dependent, the same error Delta MERGE raises); a target
+    * key duplicated across rows collapses to its single source row
+    * (update-all semantics). The source must carry exactly the
+    * table's columns (any order). Returns (matched source keys,
+    * inserted source keys).
+    */
+  def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): (Long, Long) = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val schema = tableSchemaIn(spark, path, dir)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k is not in the table schema ${schema.simpleString}"))
+    require(
+      source.schema.map(f => (f.name, f.dataType)).toSet ==
+        schema.map(f => (f.name, f.dataType)).toSet,
+      s"source schema ${source.schema.simpleString} must carry exactly the " +
+        s"table's columns ${schema.simpleString} (any order)")
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "mergeUpsert needs a size-carrying manifest (rewrite with writeWithStats)")
+    // the source is read several times below (key envelope, distinct
+    // keys, counts, the final union) — materialize it once; merge
+    // sources are CDC-batch-sized, not table-sized
+    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcCount = src.count()
+      if (srcCount == 0L) return (0L, 0L)
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"source keys must be unique on (${keyCols.mkString(",")}) — " +
+          s"duplicate: ${dup.headOption.getOrElse("")}")
+      // 1. PRUNE — per-key range overlap against the source envelope.
+      // Untracked key columns contribute no constraint (all files stay
+      // candidates — correct, just unpruned). An all-null key column
+      // never matches any target row (SQL equality), so its term is
+      // FALSE; a file with null stats for a key (evolved/all-null)
+      // yields a NULL term and is correctly dropped from candidates.
+      val tracked = trackedCols(spark, dir)
+      val prunable = keyCols.filter(tracked)
+      val skip: Column =
+        if (prunable.isEmpty) lit(true)
+        else {
+          val aggs = prunable.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+          val env = src.agg(aggs.head, aggs.tail: _*).head()
+          prunable.zipWithIndex.map { case (k, i) =>
+            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
+            if (lo == null) lit(false)
+            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+          }.reduce(_ && _)
+        }
+      val candidates = stats.filter(skip).select("file")
+        .collect().map(_.getString(0)).toSeq
+      // 2. TOUCH
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      val touched: Seq[(String, Long)] =
+        if (candidates.isEmpty) Seq.empty
+        else spark.read.schema(schema).parquet(candidates: _*)
+          .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+          .join(srcKeys, keyCols, "left_semi")
+          .groupBy("__file").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val files = touched.map(_._1)
+      val matchedKeys =
+        if (files.isEmpty) 0L
+        else srcKeys.join(
+          spark.read.schema(schema).parquet(files: _*)
+            .select(keyCols.map(col): _*),
+          keyCols, "left_semi").count()
+      // 3. REWRITE
+      val replacement =
+        if (files.isEmpty) src
+        else spark.read.schema(schema).parquet(files: _*)
+          .join(srcKeys, keyCols, "left_anti")
+          .unionByName(src)
+      rewriteFiles(spark, fs, path, dir, schema, files, replacement,
+        vacuum, retentionMs, markerRetentionMs)
+      (matchedKeys, srcCount - matchedKeys)
+    } finally src.unpersist()
   }
 
   /** `<table-root-relative path>\t<removedAtMillis>` lines. */

@@ -616,6 +616,160 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1300)
   }
 
+  test("deleteWhere rewrites only matching files; snapshot, retention and time travel hold") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, s"row$i")).toDF("id", "payload")
+        .repartitionByRange(8, col("id")),
+      dir, Seq("id"))
+    val before = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(before.size === 8)
+
+    // delete a band confined to one 500-id file
+    val deleted = DataSkipping.deleteWhere(s, dir,
+      col("id") >= 1000L && col("id") < 1250L)
+    assert(deleted === 250L)
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L, 1L))
+
+    // untouched files carried byte-identically; exactly one replaced
+    val after = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size === 7, s"one file must be rewritten, not ${8 - carried.size}")
+    carried.foreach(f => assert(after(f) === before(f), s"carried row $f changed"))
+
+    // content: the band is gone, everything else intact
+    val ids = DataSkipping.readSkipping(s, dir, lit(true))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === ((0L until 1000L) ++ (1250L until 4000L)))
+    // pruned read across the rewritten boundary
+    assert(DataSkipping.readSkipping(s, dir, col("id") >= 900L && col("id") < 1400L)
+      .count() === 100 + 150)
+
+    // time travel: v0 still reads the pre-delete snapshot (retention
+    // kept the replaced file)
+    assert(DataSkipping.readSkippingAt(s, dir, 0L, lit(true)).count() === 4000)
+
+    // a no-match delete is a no-op: no rewrite, no new generation
+    assert(DataSkipping.deleteWhere(s, dir, col("id") > 1000000L) === 0L)
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L, 1L))
+
+    // deleting every row of a file drops the file outright
+    val dropped = DataSkipping.deleteWhere(s, dir, col("id") < 500L)
+    assert(dropped === 500L)
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 3250)
+
+    // retention-0 vacuum reclaims the replaced files and superseded
+    // generations; the live state is untouched, v0/v1 are gone
+    DataSkipping.vacuumTable(s, dir, retentionMs = 0L)
+    assert(DataSkipping.tableVersions(s, dir) === Seq(2L))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 3250)
+    assert(s.read.parquet(dir).count() === 3250,
+      "plain readers must see the same post-delete state after vacuum")
+  }
+
+  test("updateWhere applies SET to exactly the matching rows; untouched files carried verbatim") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 2000L).map(i => (i, "ok", i.toDouble)).toDF("id", "flag", "value")
+        .repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    val before = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+
+    // SET references the pre-update value (value * 2), plus a literal
+    val updated = DataSkipping.updateWhere(s, dir,
+      col("id") >= 600L && col("id") < 700L,
+      Map("flag" -> lit("patched"), "value" -> (col("value") * 2)))
+    assert(updated === 100L)
+
+    val after = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size === 3, "only the one matching file is rewritten")
+    carried.foreach(f => assert(after(f) === before(f)))
+
+    val rows = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length === 2000)
+    rows.foreach { case (id, flag, v) =>
+      if (id >= 600 && id < 700) {
+        assert(flag === "patched" && v === id * 2.0, s"row $id not updated")
+      } else {
+        assert(flag === "ok" && v === id.toDouble, s"row $id must be untouched")
+      }
+    }
+    // unknown SET column is rejected loudly, table untouched
+    intercept[IllegalArgumentException] {
+      DataSkipping.updateWhere(s, dir, col("id") === 0L, Map("nope" -> lit(1)))
+    }
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 2000)
+  }
+
+  test("mergeUpsert: updates + inserts land atomically, untouched files carried, pruning bounds the rewrite") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "payload")
+        .repartitionByRange(8, col("id")),
+      dir, Seq("id"))
+    val before = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+
+    // source: 100 updates confined to one 500-id file + 50 inserts
+    // past the key domain
+    val source = ((3500L until 3600L).map(i => (i, s"upd$i")) ++
+      (10000L until 10050L).map(i => (i, s"new$i"))).toDF("id", "payload")
+    val (matched, inserted) = DataSkipping.mergeUpsert(s, dir, source, Seq("id"))
+    assert(matched === 100L)
+    assert(inserted === 50L)
+
+    // the key envelope [3500, 10049] only overlaps the file(s)
+    // holding the 3500-3600 band (range boundaries are sampled, so
+    // the band may straddle one split) — everything below is carried
+    // byte-identically
+    val after = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size >= 6, s"at most two files may be rewritten, not ${8 - carried.size}")
+    carried.foreach(f => assert(after(f) === before(f)))
+
+    val rows = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size === 4050)
+    (0L until 4000L).foreach { i =>
+      val want = if (i >= 3500 && i < 3600) s"upd$i" else s"v$i"
+      assert(rows(i) === want, s"key $i")
+    }
+    (10000L until 10050L).foreach(i => assert(rows(i) === s"new$i"))
+
+    // time travel reads the pre-merge state
+    assert(DataSkipping.readSkippingAt(s, dir, 0L, lit(true)).count() === 4000)
+
+    // duplicate source keys are rejected loudly (order-dependent
+    // merge), table untouched
+    intercept[IllegalArgumentException] {
+      DataSkipping.mergeUpsert(s, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "payload"), Seq("id"))
+    }
+    // a wrong-schema source is rejected loudly
+    intercept[IllegalArgumentException] {
+      DataSkipping.mergeUpsert(s, dir,
+        Seq((1L, 2L)).toDF("id", "other"), Seq("id"))
+    }
+    // an empty source is a no-op: no generation, no rewrite
+    assert(DataSkipping.mergeUpsert(s, dir,
+      source.limit(0), Seq("id")) === ((0L, 0L)))
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L, 1L))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 4050)
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
