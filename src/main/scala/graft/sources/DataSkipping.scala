@@ -625,6 +625,7 @@ object DataSkipping {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(retentionMs >= 0, "retentionMs must be >= 0")
     require(markerRetentionMs >= 0, "markerRetentionMs must be >= 0")
+    val opStart = System.currentTimeMillis()
     val statsDir = new Path(s"$path/$StatsDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
@@ -660,7 +661,7 @@ object DataSkipping {
     publishGeneration(spark, fs, path, dir, newStats, schema, statsCols,
       Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet,
       manifestSchema = newStats.schema, removedData = replacedData,
-      markerRetentionMs = markerRetentionMs)
+      markerRetentionMs = markerRetentionMs, opStartMs = opStart)
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }
@@ -693,11 +694,16 @@ object DataSkipping {
       fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
       manifestRows: DataFrame, schema: StructType, statsCols: Seq[String],
       features: Set[String], manifestSchema: StructType,
-      removedData: Seq[String], markerRetentionMs: Long): Long = {
+      removedData: Seq[String], markerRetentionMs: Long,
+      opStartMs: Long): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
-    val markerCutoff = System.currentTimeMillis() - markerRetentionMs
+    // marker age is measured from the op's ENTRY time, not from
+    // whenever the heavy rewrite before this call finished — a marker
+    // must not expire merely because the maintenance op that should
+    // preserve it ran long
+    val markerCutoff = opStartMs - markerRetentionMs
     val markers = fs.listStatus(new Path(dir))
       .filter(f => f.getPath.getName.endsWith(".parquet") &&
         !f.getPath.getName.startsWith("part-") &&
@@ -753,24 +759,44 @@ object DataSkipping {
       .groupBy("__file").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
 
+  /** Shared DELETE/UPDATE preamble: plan the skip, require a
+    * status-carrying manifest, collect the candidate file list, and
+    * find the actually-touched files under TRUE-only hit semantics
+    * (NULL neither deletes nor updates). Returns the already-loaded
+    * manifest frame, table schema, coalesced hit predicate, and the
+    * touched (file, matches) pairs.
+    */
+  private def pruneAndTouch(spark: SparkSession, path: String,
+      dir: String, predicate: Column, op: String)
+      : (DataFrame, StructType, Column, Seq[(String, Long)]) = {
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+    require(stats.columns.contains("file_size"),
+      s"$op needs a size-carrying manifest (rewrite with writeWithStats)")
+    val candidates = stats.filter(skip).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val hit = coalesce(predicate, lit(false))
+    (stats, schema, hit, touchedFiles(spark, schema, candidates, hit))
+  }
+
   /** The copy-on-write commit shared by the row-level DML ops: stage
-    * `replacement` into the table root, carry every manifest row
-    * EXCEPT the `touched` files into the next generation together
-    * with fresh stats for the replacement files, publish the
-    * generation, optionally vacuum. The table schema, tracked
-    * columns, features and manifest schema are all unchanged — DML
-    * rewrites rows, never shape.
+    * `replacement` into the table root, carry every row of the
+    * (caller-loaded) `manifest` EXCEPT the `touched` files into the
+    * next generation together with fresh stats for the replacement
+    * files, publish the generation, optionally vacuum. The table
+    * schema, tracked columns, features and manifest schema are all
+    * unchanged — DML rewrites rows, never shape.
     */
   private def rewriteFiles(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
-      schema: StructType, touched: Seq[String], replacement: DataFrame,
-      vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long): Unit = {
+      manifest: DataFrame, schema: StructType,
+      touched: Seq[String], replacement: DataFrame,
+      vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long,
+      opStartMs: Long): Unit = {
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     replacement.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
     val feats = manifestFeatures(fs, dir)
     val statsCols = trackedCols(spark, dir).toSeq.sorted
-    val manifest = readManifestIn(spark, dir)
     val carried =
       if (touched.isEmpty) manifest
       else manifest.filter(!col("file").isin(touched: _*))
@@ -786,7 +812,7 @@ object DataSkipping {
     publishGeneration(spark, fs, path, dir, rows, schema, statsCols,
       feats, manifestSchema,
       removedData = touched.map(p => new Path(p).getName),
-      markerRetentionMs = markerRetentionMs)
+      markerRetentionMs = markerRetentionMs, opStartMs = opStartMs)
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 
@@ -813,23 +839,19 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
-    require(stats.columns.contains("file_size"),
-      "deleteWhere needs a size-carrying manifest (rewrite with writeWithStats)")
-    val candidates = stats.filter(skip).select("file")
-      .collect().map(_.getString(0)).toSeq
-    val hit = coalesce(predicate, lit(false))
-    val touched = touchedFiles(spark, schema, candidates, hit)
+    val (manifest, schema, hit, touched) =
+      pruneAndTouch(spark, path, dir, predicate, "deleteWhere")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
     }
     val files = touched.map(_._1)
     val keep = spark.read.schema(schema).parquet(files: _*).filter(!hit)
-    rewriteFiles(spark, fs, path, dir, schema, files, keep,
-      vacuum, retentionMs, markerRetentionMs)
+    rewriteFiles(spark, fs, path, dir, manifest, schema, files, keep,
+      vacuum, retentionMs, markerRetentionMs, opStart)
     touched.map(_._2).sum
   }
 
@@ -849,19 +871,15 @@ object DataSkipping {
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
-    require(stats.columns.contains("file_size"),
-      "updateWhere needs a size-carrying manifest (rewrite with writeWithStats)")
+    val (manifest, schema, hit, touched) =
+      pruneAndTouch(spark, path, dir, predicate, "updateWhere")
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty,
       s"SET columns [${unknown.toSeq.sorted.mkString(",")}] are not in the " +
         s"table schema ${schema.simpleString}")
-    val candidates = stats.filter(skip).select("file")
-      .collect().map(_.getString(0)).toSeq
-    val hit = coalesce(predicate, lit(false))
-    val touched = touchedFiles(spark, schema, candidates, hit)
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
@@ -875,8 +893,8 @@ object DataSkipping {
           case None => col(f.name)
         }
       }: _*)
-    rewriteFiles(spark, fs, path, dir, schema, files, updated,
-      vacuum, retentionMs, markerRetentionMs)
+    rewriteFiles(spark, fs, path, dir, manifest, schema, files, updated,
+      vacuum, retentionMs, markerRetentionMs, opStart)
     touched.map(_._2).sum
   }
 
@@ -914,6 +932,7 @@ object DataSkipping {
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): (Long, Long) = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
     val schema = tableSchemaIn(spark, path, dir)
@@ -963,31 +982,35 @@ object DataSkipping {
         }
       val candidates = stats.filter(skip).select("file")
         .collect().map(_.getString(0)).toSeq
-      // 2. TOUCH
+      // 2. TOUCH — ONE scan of the candidates, inner-joined to the
+      // (unique, so duplication-free) source keys; the narrow matched
+      // frame (keys + file) is kept for BOTH aggregates — per-file
+      // match counts and the global matched-key count — instead of
+      // scanning the touched files a second time
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
-      val touched: Seq[(String, Long)] =
-        if (candidates.isEmpty) Seq.empty
-        else spark.read.schema(schema).parquet(candidates: _*)
+      val matched: Option[DataFrame] =
+        if (candidates.isEmpty) None
+        else Some(spark.read.schema(schema).parquet(candidates: _*)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
-          .join(srcKeys, keyCols, "left_semi")
-          .groupBy("__file").agg(count(lit(1)).as("__n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      val files = touched.map(_._1)
-      val matchedKeys =
-        if (files.isEmpty) 0L
-        else srcKeys.join(
-          spark.read.schema(schema).parquet(files: _*)
-            .select(keyCols.map(col): _*),
-          keyCols, "left_semi").count()
-      // 3. REWRITE
-      val replacement =
-        if (files.isEmpty) src
-        else spark.read.schema(schema).parquet(files: _*)
-          .join(srcKeys, keyCols, "left_anti")
-          .unionByName(src)
-      rewriteFiles(spark, fs, path, dir, schema, files, replacement,
-        vacuum, retentionMs, markerRetentionMs)
-      (matchedKeys, srcCount - matchedKeys)
+          .join(srcKeys, keyCols)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val touched: Seq[(String, Long)] = matched.fold(Seq.empty[(String, Long)])(
+          _.groupBy("__file").agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
+        val files = touched.map(_._1)
+        val matchedKeys = matched.fold(0L)(
+          _.select(keyCols.map(col): _*).distinct().count())
+        // 3. REWRITE
+        val replacement =
+          if (files.isEmpty) src
+          else spark.read.schema(schema).parquet(files: _*)
+            .join(srcKeys, keyCols, "left_anti")
+            .unionByName(src)
+        rewriteFiles(spark, fs, path, dir, stats, schema, files, replacement,
+          vacuum, retentionMs, markerRetentionMs, opStart)
+        (matchedKeys, srcCount - matchedKeys)
+      } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
   }
 
