@@ -695,7 +695,7 @@ object DataSkipping {
       manifestRows: DataFrame, schema: StructType, statsCols: Seq[String],
       features: Set[String], manifestSchema: StructType,
       removedData: Seq[String], markerRetentionMs: Long,
-      opStartMs: Long): Long = {
+      opStartMs: Long, verbatimMarkers: Set[String] = Set.empty): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
@@ -713,13 +713,24 @@ object DataSkipping {
     manifestRows.write.parquet(build.toString)
     writeSidecars(spark, build.toString, schema, statsCols, features,
       manifestSchema = Some(manifestSchema))
-    if (markers.nonEmpty) {
+    // retained markers either survive VERBATIM (caller proved none of
+    // their rows reference a rewritten file — their data rows stay in
+    // the copied marker, excluded from `manifestRows`, so an
+    // in-flight stream consumer replays the commit unchanged) or fold
+    // to a zero-row re-creation (rows moved into `manifestRows`)
+    val (keepVerbatim, folded) = markers.partition(verbatimMarkers)
+    keepVerbatim.foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir, n),
+        fs, new Path(build, n), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    if (folded.nonEmpty) {
       val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
       manifestRows.limit(0).write.parquet(tmp.toString)
       val part = fs.listStatus(tmp)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one marker part, got ${part.length}")
-      markers.foreach { n =>
+      folded.foreach { n =>
         org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
           fs, new Path(build, n), false,
           spark.sparkContext.hadoopConfiguration)
@@ -797,9 +808,41 @@ object DataSkipping {
     val moved = moveIn(fs, staging, new Path(path))
     val feats = manifestFeatures(fs, dir)
     val statsCols = trackedCols(spark, dir).toSeq.sorted
-    val carried =
-      if (touched.isEmpty) manifest
-      else manifest.filter(!col("file").isin(touched: _*))
+    // Manifest rows tagged with their SOURCE manifest file: a named
+    // commit marker none of whose rows reference a rewritten data
+    // file survives the generation VERBATIM — an in-flight stream
+    // consumer ([[graft.streaming.StatsTableSource]]) replaying that
+    // commit across this DML op still reads its exact rows. Only
+    // markers actually referencing touched files fold to zero-row
+    // (their batch is no longer replayable as written — compaction's
+    // documented caveat, here scoped to the affected commits). A
+    // marker past the retention cutoff is NOT preserved verbatim:
+    // publishGeneration drops it, so its surviving rows must travel
+    // in the carried parts instead.
+    val tagged = manifest.select(col("*"), col("_metadata.file_path").as("__mfile"))
+    val dirtyNames: Set[String] =
+      if (touched.isEmpty) Set.empty
+      else tagged.filter(col("file").isin(touched: _*))
+        .select("__mfile").distinct().collect()
+        .map(r => new Path(r.getString(0)).getName).toSet
+    val markerCutoff = opStartMs - markerRetentionMs
+    val verbatim: Set[String] = fs.listStatus(new Path(dir))
+      .filter { f =>
+        val n = f.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("part-") &&
+          f.getModificationTime >= markerCutoff && !dirtyNames(n)
+      }
+      .map(_.getPath.getName).toSet
+    val carried = {
+      val minusTouched =
+        if (touched.isEmpty) tagged
+        else tagged.filter(!col("file").isin(touched: _*))
+      val minusVerbatim =
+        if (verbatim.isEmpty) minusTouched
+        else minusTouched.filter(
+          !element_at(split(col("__mfile"), "/"), -1).isin(verbatim.toSeq: _*))
+      minusVerbatim.drop("__mfile")
+    }
     val rows =
       if (moved.isEmpty) carried
       else carried.unionByName(
@@ -812,7 +855,8 @@ object DataSkipping {
     publishGeneration(spark, fs, path, dir, rows, schema, statsCols,
       feats, manifestSchema,
       removedData = touched.map(p => new Path(p).getName),
-      markerRetentionMs = markerRetentionMs, opStartMs = opStartMs)
+      markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
+      verbatimMarkers = verbatim)
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 

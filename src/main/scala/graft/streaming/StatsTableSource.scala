@@ -80,7 +80,13 @@ private[streaming] object StatsCommitOffset {
   * the retention window, and prefer caught-up streams — a surviving
   * marker is re-created zero-row, so an in-flight batch replayed
   * across a compaction reads empty (indistinguishable from a
-  * legitimately empty commit).
+  * legitimately empty commit). Row-level DML
+  * ([[DataSkipping.deleteWhere]]/`updateWhere`/`mergeUpsert`) is
+  * gentler: a commit none of whose files were rewritten survives the
+  * new generation VERBATIM and replays unchanged; only commits whose
+  * files the DML op touched fold to zero-row. Rewrites themselves
+  * are never re-streamed (the Delta skipChangeCommits analog —
+  * already-delivered rows are not retracted).
   */
 final class StatsTableSource(
     sqlContext: SQLContext, path: String) extends Source {

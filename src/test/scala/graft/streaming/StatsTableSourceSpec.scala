@@ -130,6 +130,40 @@ class StatsTableSourceSpec extends SparkSpec {
     assert(s.read.parquet(out2).count() === 150)
   }
 
+  test("row-level DML preserves unaffected commits verbatim: an in-flight consumer still gets its pending batch") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_dml") + "/t"
+    val outDir = tmpDir("stsrc_dml_out") + "/o"
+    val ckpt = tmpDir("stsrc_dml_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 100L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-d-b0")))
+    drain(s, table, outDir, ckpt) // consumer caught up through b0
+
+    assert(DataSkipping.appendWithStats(
+      (100L until 200L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-d-b1")))
+    // DML lands while the consumer still owes b1: the delete touches
+    // only b0's file, so b1's marker must survive VERBATIM (a fold to
+    // zero-row would silently empty the pending batch)
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 50L) === 50L)
+
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 200L).toSeq,
+      "the pending commit must deliver its full batch across the DML generation; " +
+        "already-delivered rows are not retracted (skip-change semantics)")
+
+    // a FRESH consumer starts from the post-DML snapshot
+    val out2 = tmpDir("stsrc_dml_o2") + "/o"
+    drain(s, table, out2, tmpDir("stsrc_dml_c2"))
+    assert(s.read.parquet(out2).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (50L until 200L).toSeq,
+      "fresh consumers see the post-DML state: folded b0 survivors via parts, b1 verbatim")
+  }
+
   test("pipeline silver→gold chained through manifest commits, exactly-once across runs") {
     val s = spark
     import s.implicits._
