@@ -207,6 +207,8 @@ object ScaleRamp {
       k -> q
     }.toMap
     val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    val deleteSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    val mergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
@@ -292,6 +294,42 @@ object ScaleRamp {
           targetFileBytes = 8L * 1024 * 1024, retentionMs = 0L)
         require(folded > 0, s"compact at x$k unexpectedly a no-op")
         DataSkipping.readSkipping(spark, p, col("id") < 0L) // plan-only read
+      },
+      // r8 DML: a band-confined DELETE / pure-update MERGE touches ONE
+      // ~2000-id file at every scale (files hold ~2000 consecutive ids
+      // at 1x and 10x alike), so copy-on-write cost should be ~FLAT in
+      // total files — the candidate scan is manifest-pruned to the
+      // band's file and only that file rewrites; the per-generation
+      // carried-manifest write grows with file count but carries one
+      // tiny row per file. Bands are attempt-unique (a re-delete of a
+      // deleted band is a no-op and min-of-N would time that; mutated
+      // bands sit in [20000, 32000) — clear of storage_read's
+      // [5000,7000) window, the bloom probe id, and append's 100M+
+      // range, so the shared tables stay valid for every other op).
+      "storage_delete" -> { k =>
+        val n = deleteSeq.getAndIncrement()
+        val lo = 20000L + n * 500L
+        require(lo + 500L <= 26000L,
+          s"delete band $n exhausted — raise the band budget for higher repeats")
+        val gone = DataSkipping.deleteWhere(spark, storePaths(k),
+          col("id") >= lo && col("id") < lo + 250L, retentionMs = 0L)
+        require(gone == 250L, s"delete at x$k removed $gone rows, wanted 250")
+        DataSkipping.readSkipping(spark, storePaths(k),
+          col("id") >= lo && col("id") < lo + 500L)
+      },
+      "storage_merge" -> { k =>
+        val n = mergeSeq.getAndIncrement()
+        val lo = 26000L + n * 500L
+        require(lo + 500L <= 32000L,
+          s"merge band $n exhausted — raise the band budget for higher repeats")
+        val source = spark.range(lo, lo + 250L)
+          .select(col("id"), concat(lit("upd"), col("id")).as("key"))
+        val (matched, inserted) = DataSkipping.mergeUpsert(
+          spark, storePaths(k), source, Seq("id"), retentionMs = 0L)
+        require(matched == 250L && inserted == 0L,
+          s"merge at x$k matched $matched/inserted $inserted, wanted 250/0")
+        DataSkipping.readSkipping(spark, storePaths(k),
+          col("id") >= lo && col("id") < lo + 500L)
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
