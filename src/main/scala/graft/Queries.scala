@@ -2745,6 +2745,79 @@ object Queries {
               SELECT * FROM src)
             ORDER BY o_orderkey"""))
 
+  // CHANGE DATA FEED across all three DML ops: v1 DELETE (band A),
+  // v2 UPDATE (band B, pre+post images), v3 MERGE keyed on event_id
+  // (matched rows pre+post, keys deleted in v1 re-enter as inserts).
+  // The oracle replays the WHOLE feed: v3's preimages must show v2's
+  // updated values and must exclude v1's deleted rows — the arms are
+  // order-sensitive, so a feed row recorded from the wrong snapshot
+  // mismatches. All bands are inside the data domain at every gated
+  // scale (sf0.01 user_id < 150; event_id % 50 = 3 intersects both
+  // the deleted band and its complement). Retention/vacuum coupling
+  // and failure modes are DataSkippingSpec's job.
+  val cdfChanges = QueryDef(
+    "q_cdf_changes",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events",
+        statsCols = Seq("user_id"), bloomCols = Nil, changeFeed = true)
+      DataSkipping.deleteWhere(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.mergeUpsert(s, s"$root/events",
+        ev.filter(col("event_id") % 50 === 3)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("value", col("value") * 2),
+        Seq("event_id"))
+      DataSkipping.readChangeFeed(s, s"$root/events", 0L)
+        .orderBy("_commit_version", "_change_type", "event_id")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id, event_type, value FROM events),
+            upd AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN value * -1 ELSE value END AS value
+              FROM base WHERE NOT (user_id >= 40 AND user_id < 60)),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM base WHERE event_id % 50 = 3)
+            SELECT * FROM (
+              SELECT event_id, user_id, event_type, value,
+                     'delete' AS _change_type,
+                     CAST(1 AS BIGINT) AS _commit_version
+              FROM base WHERE user_id >= 40 AND user_id < 60
+              UNION ALL
+              SELECT event_id, user_id, event_type, value,
+                     'update_preimage', CAST(2 AS BIGINT)
+              FROM base WHERE user_id >= 100 AND user_id < 120
+              UNION ALL
+              SELECT event_id, user_id, 'redacted', value * -1,
+                     'update_postimage', CAST(2 AS BIGINT)
+              FROM base WHERE user_id >= 100 AND user_id < 120
+              UNION ALL
+              SELECT event_id, user_id, event_type, value,
+                     'update_preimage', CAST(3 AS BIGINT)
+              FROM upd WHERE event_id % 50 = 3
+              UNION ALL
+              SELECT s.event_id, s.user_id, s.event_type, s.value,
+                     'update_postimage', CAST(3 AS BIGINT)
+              FROM src s WHERE s.event_id IN (SELECT event_id FROM upd)
+              UNION ALL
+              SELECT s.event_id, s.user_id, s.event_type, s.value,
+                     'insert', CAST(3 AS BIGINT)
+              FROM src s WHERE s.event_id NOT IN (SELECT event_id FROM upd)
+            ) ORDER BY _commit_version, _change_type, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
@@ -2763,5 +2836,5 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, mergeUpsertQ)
+    deleteUpdate, mergeUpsertQ, cdfChanges)
 }

@@ -93,6 +93,24 @@ object DataSkipping {
   val CommitFile = "_COMMIT"
   val RemovedFile = "_removed.txt"
 
+  /** Manifest feature flag: this table records a CHANGE DATA FEED
+    * (the Delta `enableChangeDataFeed` table-property analog). See
+    * [[writeWithStats]] / [[readChangeFeed]].
+    */
+  val CdfFeature = "changefeed"
+
+  /** Per-generation change-data subdir (`v<N>/_change_data`): the
+    * leading underscore hides it from the generation's own parquet
+    * manifest read, and living INSIDE the generation dir makes it
+    * atomic with the `_COMMIT` marker and reclaimed by the same
+    * vacuum that reclaims the generation — the CDF availability
+    * window IS the time-travel retention window, exactly Delta's
+    * CDF-vs-VACUUM coupling.
+    */
+  val ChangeDataDir = "_change_data"
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
   /** Default reader-safety window (Delta VACUUM's default): nothing a
     * manifest ever claimed is deleted sooner than this after being
     * replaced.
@@ -213,10 +231,19 @@ object DataSkipping {
     * Costs `bloomBits/8` bytes per file per column in the manifest
     * (8 KB at the 64 Ki default) — opt in for the tables you point-
     * look-up, not everywhere.
+    *
+    * `changeFeed = true` enables the table's CHANGE DATA FEED (the
+    * Delta `enableChangeDataFeed` analog, a manifest feature flag):
+    * every row-level DML generation additionally materializes its
+    * changed rows under `_change_data/v<N>` for [[readChangeFeed]].
+    * Appends need no change files — they stream as inserts through
+    * [[graft.streaming.StatsTableSource]] (exactly Delta's
+    * insert-only-commit optimization); compaction changes nothing
+    * logically and records nothing.
     */
   def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int = 1 << 16,
-      bloomHashes: Int = 7): Unit = {
+      bloomHashes: Int = 7, changeFeed: Boolean = false): Unit = {
     require(statsCols.nonEmpty, "at least one stats column")
     df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
@@ -229,12 +256,33 @@ object DataSkipping {
     val gen = s"$path/$StatsDir/v0"
     stats.write.mode("overwrite").parquet(gen)
     writeSidecars(spark, gen, written.schema, statsCols,
-      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet,
+      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
+        (if (changeFeed) Set(CdfFeature) else Set.empty),
       manifestSchema = Some(stats.schema))
     commitGen(spark, new Path(gen))
   }
 
   /** The atomic generation commit: one `_COMMIT` file create. */
+  /** Turn on the change data feed for an EXISTING stats table (the
+    * `ALTER TABLE ... SET TBLPROPERTIES (enableChangeDataFeed=true)`
+    * analog): stamps [[CdfFeature]] into the current generation's
+    * feature sidecar. Takes effect for row-level DML committed AFTER
+    * this call — history is not backfilled (same as Delta: the feed
+    * starts at the version where the property landed). Single-writer
+    * like all maintenance ops.
+    */
+  def enableChangeFeed(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
+      s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    val feats = manifestFeatures(fs, dir) + CdfFeature
+    val out = fs.create(new Path(dir, FeaturesFile), true)
+    try out.write(feats.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def commitGen(spark: SparkSession, gen: Path): Unit = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(gen, CommitFile), false).close()
@@ -658,8 +706,12 @@ object DataSkipping {
     val movedNames = moved.map(p => new Path(p).getName).toSet
     val replacedData = old.map(r => new Path(r.getString(0)).getName)
       .filterNot(movedNames).toSeq
+    // compaction changes nothing logically, so it records NO change
+    // data — but the feed feature flag must survive the rebuilt
+    // feature set or the next DML would silently stop recording
     publishGeneration(spark, fs, path, dir, newStats, schema, statsCols,
-      Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet,
+      Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet ++
+        manifestFeatures(fs, dir).filter(_ == CdfFeature),
       manifestSchema = newStats.schema, removedData = replacedData,
       markerRetentionMs = markerRetentionMs, opStartMs = opStart)
     if (vacuum) vacuumTable(spark, path, retentionMs)
@@ -695,7 +747,8 @@ object DataSkipping {
       manifestRows: DataFrame, schema: StructType, statsCols: Seq[String],
       features: Set[String], manifestSchema: StructType,
       removedData: Seq[String], markerRetentionMs: Long,
-      opStartMs: Long, verbatimMarkers: Set[String] = Set.empty): Long = {
+      opStartMs: Long, verbatimMarkers: Set[String] = Set.empty,
+      changeData: Option[DataFrame] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
@@ -713,6 +766,11 @@ object DataSkipping {
     manifestRows.write.parquet(build.toString)
     writeSidecars(spark, build.toString, schema, statsCols, features,
       manifestSchema = Some(manifestSchema))
+    // change-data files land inside the build dir: the single _COMMIT
+    // create below makes them exactly as atomic as the generation, and
+    // the `_` prefix hides them from the generation's manifest read
+    changeData.foreach(cd =>
+      cd.write.parquet(new Path(build, ChangeDataDir).toString))
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
     // the copied marker, excluded from `manifestRows`, so an
@@ -802,7 +860,7 @@ object DataSkipping {
       manifest: DataFrame, schema: StructType,
       touched: Seq[String], replacement: DataFrame,
       vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long,
-      opStartMs: Long): Unit = {
+      opStartMs: Long, changeData: Option[DataFrame] = None): Unit = {
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     replacement.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
@@ -856,9 +914,17 @@ object DataSkipping {
       feats, manifestSchema,
       removedData = touched.map(p => new Path(p).getName),
       markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
-      verbatimMarkers = verbatim)
+      verbatimMarkers = verbatim,
+      changeData = changeData.filter(_ => feats.contains(CdfFeature)))
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
+
+  /** Whether DML against the manifest at `dir` must record change
+    * data (feature flag check — O(1) sidecar read).
+    */
+  private def cdfEnabled(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean =
+    manifestFeatures(fs, dir).contains(CdfFeature)
 
   /** Row-level DELETE (the Delta `DELETE FROM ... WHERE` analog),
     * copy-on-write: the manifest's min/max/bloom stats prune the
@@ -894,8 +960,15 @@ object DataSkipping {
     }
     val files = touched.map(_._1)
     val keep = spark.read.schema(schema).parquet(files: _*).filter(!hit)
+    // CDF: the deleted rows themselves, one extra scan of ONLY the
+    // touched files (bounded by the delete's selectivity, not the
+    // table)
+    val changes =
+      if (!cdfEnabled(fs, dir)) None
+      else Some(spark.read.schema(schema).parquet(files: _*).filter(hit)
+        .withColumn(ChangeTypeCol, lit("delete")))
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, keep,
-      vacuum, retentionMs, markerRetentionMs, opStart)
+      vacuum, retentionMs, markerRetentionMs, opStart, changes)
     touched.map(_._2).sum
   }
 
@@ -937,8 +1010,24 @@ object DataSkipping {
           case None => col(f.name)
         }
       }: _*)
+    // CDF: pre- and post-image of exactly the TRUE-predicate rows
+    // (Delta's update_preimage/update_postimage pair), from one extra
+    // scan of only the touched files
+    val changes =
+      if (!cdfEnabled(fs, dir)) None
+      else {
+        val hitRows = spark.read.schema(schema).parquet(files: _*).filter(hit)
+        val post = hitRows.select(schema.fields.toSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        Some(hitRows.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage"))))
+      }
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, updated,
-      vacuum, retentionMs, markerRetentionMs, opStart)
+      vacuum, retentionMs, markerRetentionMs, opStart, changes)
     touched.map(_._2).sum
   }
 
@@ -1051,8 +1140,29 @@ object DataSkipping {
           else spark.read.schema(schema).parquet(files: _*)
             .join(srcKeys, keyCols, "left_anti")
             .unionByName(src)
+        // CDF: matched target rows are the update preimages (every
+        // duplicate target row that collapses is a preimage — each
+        // was replaced), matched source rows the postimages,
+        // unmatched source rows plain inserts
+        val changes =
+          if (!cdfEnabled(fs, dir)) None
+          else {
+            val matchedKeyDf = matched.map(
+              _.select(keyCols.map(col): _*).distinct())
+            val pre =
+              if (files.isEmpty) src.limit(0)
+              else spark.read.schema(schema).parquet(files: _*)
+                .join(srcKeys, keyCols, "semi")
+            val post = matchedKeyDf.fold(src.limit(0))(
+              k => src.join(k, keyCols, "semi"))
+            val ins = matchedKeyDf.fold(src)(
+              k => src.join(k, keyCols, "left_anti"))
+            Some(pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))))
+          }
         rewriteFiles(spark, fs, path, dir, stats, schema, files, replacement,
-          vacuum, retentionMs, markerRetentionMs, opStart)
+          vacuum, retentionMs, markerRetentionMs, opStart, changes)
         (matchedKeys, srcCount - matchedKeys)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -1219,6 +1329,68 @@ object DataSkipping {
         "vacuumed retentionMs after replacement; raise the retention to " +
         "time-travel further back")
     readSkippingIn(spark, path, s"$path/$StatsDir/v$version", predicate)
+  }
+
+  /** The table's CHANGE DATA FEED over committed versions
+    * `[fromVersion, toVersion]` (default: through the latest) — the
+    * Delta `table_changes(...)` analog. Returns the table columns
+    * plus `_change_type` (`insert` / `delete` / `update_preimage` /
+    * `update_postimage`) and `_commit_version`; rows in each version
+    * are read through THAT generation's schema sidecar and united by
+    * name, so the feed spans schema evolution (pre-evolution change
+    * rows carry nulls for later columns).
+    *
+    * Only row-level DML generations carry change rows: compaction and
+    * Z-ORDER record nothing (no logical change), and appends land
+    * inside a generation, not at a version boundary — consume appends
+    * as inserts through [[graft.streaming.StatsTableSource]] (exactly
+    * Delta's insert-only-commit path) and this feed for the DML
+    * deltas. Fails loudly when `fromVersion` predates the retained
+    * history (the feed's availability window IS the vacuum retention
+    * — the change files live inside the generation dirs) or when the
+    * feed was never enabled ([[writeWithStats]] `changeFeed = true`
+    * or [[enableChangeFeed]]).
+    */
+  def readChangeFeed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(cdfEnabled(fs, manifestDirOf(fs, path)),
+      s"$path has no change data feed — create with writeWithStats(" +
+        "changeFeed = true) or call enableChangeFeed first")
+    val have = tableVersions(spark, path)
+    require(have.nonEmpty,
+      s"$path is a legacy flat-manifest table with no version history — " +
+        "run compactTable once to migrate it to generations")
+    val hi = toVersion.getOrElse(have.max)
+    require(fromVersion <= hi,
+      s"fromVersion $fromVersion must be <= toVersion $hi")
+    require(hi <= have.max,
+      s"toVersion $hi is beyond the latest committed version ${have.max}")
+    require(fromVersion >= have.min,
+      s"version $fromVersion of $path is not retained (have " +
+        s"${have.mkString("[", ",", "]")}) — change data lives inside the " +
+        "generation dirs and is vacuumed with them; raise the retention " +
+        "to read further back")
+    val frames = have.filter(v => v >= fromVersion && v <= hi).flatMap { v =>
+      val gen = s"$path/$StatsDir/v$v"
+      val cd = new Path(gen, ChangeDataDir)
+      if (!fs.exists(cd)) None
+      else {
+        val genSchema = tableSchemaIn(spark, path, gen)
+        val withType = StructType(genSchema.fields :+
+          StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType))
+        Some(spark.read.schema(withType).parquet(cd.toString)
+          .withColumn(CommitVersionCol, lit(v)))
+      }
+    }
+    if (frames.isEmpty) {
+      val empty = StructType(tableSchema(spark, path).fields ++ Seq(
+        StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType),
+        StructField(CommitVersionCol, org.apache.spark.sql.types.LongType,
+          nullable = false)))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
+    }
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Shared planning preamble for the pruning entry points: load the

@@ -779,4 +779,121 @@ class DataSkippingSpec extends SparkSpec {
     assert(s.read.parquet(dir).count() === 100)
     assert(s.read.parquet(dir).columns.toSeq === Seq("id"))
   }
+
+  test("change data feed: DML records typed rows per version; compaction records nothing and keeps the flag") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 1000L).map(i => (i, i % 10, s"p$i"))
+      .toDF("id", "grp", "payload").repartitionByRange(8, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"), bloomCols = Nil,
+      changeFeed = true)
+    assert(DataSkipping.deleteWhere(s, dir,
+      col("id") >= 100L && col("id") < 200L) === 100L) // v1
+    assert(DataSkipping.updateWhere(s, dir,
+      col("id") >= 300L && col("id") < 350L,
+      Map("payload" -> lit("upd"))) === 50L) // v2
+    assert(DataSkipping.compactTable(s, dir) === 1) // v3, no change rows
+    val srcUpd = (400L until 450L).map(i => (i, i % 10, "merged"))
+    val srcIns = (2000L until 2010L).map(i => (i, i % 10, "fresh"))
+    assert(DataSkipping.mergeUpsert(s, dir,
+      (srcUpd ++ srcIns).toDF("id", "grp", "payload"),
+      Seq("id")) === ((50L, 10L))) // v4
+
+    val feed = DataSkipping.readChangeFeed(s, dir, 0L)
+    assert(feed.columns.toSeq ===
+      Seq("id", "grp", "payload", "_change_type", "_commit_version"))
+    val byVt = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVt === Map(
+      (1L, "delete") -> 100L,
+      (2L, "update_preimage") -> 50L, (2L, "update_postimage") -> 50L,
+      (4L, "update_preimage") -> 50L, (4L, "update_postimage") -> 50L,
+      (4L, "insert") -> 10L))
+    // post-images carry the post-state, pre-images the pre-state
+    assert(feed.filter(col("_commit_version") === 2L &&
+      col("_change_type") === "update_postimage" &&
+      col("payload") === "upd").count() === 50L)
+    assert(feed.filter(col("_commit_version") === 2L &&
+      col("_change_type") === "update_preimage" &&
+      col("payload").startsWith("p")).count() === 50L)
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("id") >= 2000L).count() === 10L)
+    // bounded window: [2,2] sees exactly v2's pair
+    assert(DataSkipping.readChangeFeed(s, dir, 2L, Some(2L))
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("update_preimage" -> 50L, "update_postimage" -> 50L))
+  }
+
+  test("change feed: disabled tables record nothing and refuse the reader; enableChangeFeed starts mid-history") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"))
+    DataSkipping.deleteWhere(s, dir, col("id") < 50L) // v1, no feed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${DataSkipping.StatsDir}/v1/${DataSkipping.ChangeDataDir}")))
+    val e = intercept[IllegalArgumentException](
+      DataSkipping.readChangeFeed(s, dir, 0L))
+    assert(e.getMessage.contains("no change data feed"))
+    // flipping the property starts the feed at the NEXT version —
+    // v1 is not backfilled (Delta's semantics)
+    DataSkipping.enableChangeFeed(s, dir)
+    DataSkipping.updateWhere(s, dir, col("id") >= 400L,
+      Map("payload" -> lit("late"))) // v2
+    val vs = DataSkipping.readChangeFeed(s, dir, 0L)
+      .select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(vs === Set(2L))
+  }
+
+  test("change feed availability window IS the vacuum retention: vacuumed versions fail loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"), bloomCols = Nil,
+      changeFeed = true)
+    DataSkipping.deleteWhere(s, dir, col("id") < 50L,
+      retentionMs = 0L) // v1; v0 reclaimed
+    DataSkipping.updateWhere(s, dir, col("id") >= 400L,
+      Map("payload" -> lit("x")), retentionMs = 0L) // v2; v1 + its feed gone
+    assert(DataSkipping.tableVersions(s, dir) === Seq(2L))
+    val e = intercept[IllegalArgumentException](
+      DataSkipping.readChangeFeed(s, dir, 1L))
+    assert(e.getMessage.contains("not retained"))
+    // the retained tail still reads
+    assert(DataSkipping.readChangeFeed(s, dir, 2L)
+      .filter(col("_change_type") === "update_postimage").count() === 100L)
+  }
+
+  test("change feed spans schema evolution: pre-evolution change rows carry nulls for added columns") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 400L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"), bloomCols = Nil,
+      changeFeed = true)
+    DataSkipping.deleteWhere(s, dir, col("id") < 40L) // v1, old schema
+    DataSkipping.appendWithStats(
+      (1000L until 1100L).map(i => (i, s"p$i", i * 2))
+        .toDF("id", "payload", "score"),
+      dir, Seq("id", "score"), mergeSchema = true)
+    DataSkipping.deleteWhere(s, dir,
+      col("id") >= 1000L && col("id") < 1010L) // v2, widened schema
+    val feed = DataSkipping.readChangeFeed(s, dir, 0L)
+    assert(feed.columns.contains("score"))
+    assert(feed.filter(col("_commit_version") === 1L &&
+      col("score").isNull).count() === 40L)
+    assert(feed.filter(col("_commit_version") === 2L).count() === 10L)
+    assert(feed.filter(col("_commit_version") === 2L &&
+      col("score") === col("id") * 2).count() === 10L)
+  }
 }
