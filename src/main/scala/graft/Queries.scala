@@ -2818,6 +2818,34 @@ object Queries {
               FROM src s WHERE s.event_id NOT IN (SELECT event_id FROM upd)
             ) ORDER BY _commit_version, _change_type, event_id"""))
 
+  // RESTORE VERSION AS OF: two destructive DML generations, then a
+  // restore back to v0 and a FULL readback. The oracle is the plain
+  // unmodified source table — any DML state leaking through the
+  // restore (a stale rewritten file claimed, an original file lost)
+  // is a row/hash mismatch against ~13% deleted and ~13% rewritten
+  // rows. History/CDF-diff/vacuum-failure mechanics are
+  // DataSkippingSpec's job.
+  val restoreQ = QueryDef(
+    "q_restore",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_rst").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events", Seq("user_id"))
+      DataSkipping.deleteWhere(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted")))
+      DataSkipping.restoreTable(s, s"$root/events", 0L)
+      DataSkipping.readSkipping(s, s"$root/events", col("user_id") >= 0L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
@@ -2836,5 +2864,5 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, mergeUpsertQ, cdfChanges)
+    deleteUpdate, mergeUpsertQ, cdfChanges, restoreQ)
 }

@@ -209,6 +209,17 @@ object ScaleRamp {
     val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     val deleteSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     val mergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    // dedicated CHANGE-FEED tables: enabling the feed on the shared
+    // storePaths would silently add change-recording cost to the
+    // plain storage_delete/storage_merge rows pinned without it
+    val cdfPaths = scales.map { k =>
+      val p = s"$work/store_cdf_x$k"
+      DataSkipping.writeWithStats(
+        storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
+        p, storageCols, bloomCols = Nil, changeFeed = true)
+      k -> p
+    }.toMap
+    val cdfSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
@@ -330,6 +341,26 @@ object ScaleRamp {
           s"merge at x$k matched $matched/inserted $inserted, wanted 250/0")
         DataSkipping.readSkipping(spark, storePaths(k),
           col("id") >= lo && col("id") < lo + 500L)
+      },
+      // r8 CDF: the change-recording DELETE — same band shape as
+      // storage_delete but on a feed-enabled table, plus the feed
+      // read of the new version. The change scan is touched-files-
+      // only (one ~2000-id file per band at every scale), so
+      // recording should stay ~FLAT in total file count like the
+      // plain delete.
+      "storage_cdf_delete" -> { k =>
+        val n = cdfSeq.getAndIncrement()
+        val lo = 20000L + n * 500L
+        require(lo + 500L <= 26000L,
+          s"cdf band $n exhausted — raise the band budget for higher repeats")
+        val gone = DataSkipping.deleteWhere(spark, cdfPaths(k),
+          col("id") >= lo && col("id") < lo + 250L, retentionMs = 0L)
+        require(gone == 250L, s"cdf delete at x$k removed $gone rows, wanted 250")
+        val v = DataSkipping.tableVersions(spark, cdfPaths(k)).max
+        val feed = DataSkipping.readChangeFeed(spark, cdfPaths(k), v, Some(v))
+        require(feed.count() == 250L,
+          s"cdf feed at x$k holds ${feed.count()} rows, wanted 250")
+        feed
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in

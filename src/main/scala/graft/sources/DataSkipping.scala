@@ -93,6 +93,13 @@ object DataSkipping {
   val CommitFile = "_COMMIT"
   val RemovedFile = "_removed.txt"
 
+  /** Per-generation operation record (`_op.json`: operation name +
+    * entry timestamp) — the DESCRIBE HISTORY analog's storage. Absent
+    * on generations written before this sidecar existed (and on a
+    * `writeWithStats` v0, which IS the WRITE operation).
+    */
+  val OpFile = "_op.json"
+
   /** Manifest feature flag: this table records a CHANGE DATA FEED
     * (the Delta `enableChangeDataFeed` table-property analog). See
     * [[writeWithStats]] / [[readChangeFeed]].
@@ -713,7 +720,8 @@ object DataSkipping {
       Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet ++
         manifestFeatures(fs, dir).filter(_ == CdfFeature),
       manifestSchema = newStats.schema, removedData = replacedData,
-      markerRetentionMs = markerRetentionMs, opStartMs = opStart)
+      markerRetentionMs = markerRetentionMs, opStartMs = opStart,
+      op = "OPTIMIZE")
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }
@@ -748,7 +756,8 @@ object DataSkipping {
       features: Set[String], manifestSchema: StructType,
       removedData: Seq[String], markerRetentionMs: Long,
       opStartMs: Long, verbatimMarkers: Set[String] = Set.empty,
-      changeData: Option[DataFrame] = None): Long = {
+      changeData: Option[DataFrame] = None,
+      op: String = "UNKNOWN"): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
@@ -771,6 +780,12 @@ object DataSkipping {
     // the `_` prefix hides them from the generation's manifest read
     changeData.foreach(cd =>
       cd.write.parquet(new Path(build, ChangeDataDir).toString))
+    locally {
+      val out = fs.create(new Path(build, OpFile), true)
+      try out.write(s"""{"operation":"$op","ts":$opStartMs}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
     // the copied marker, excluded from `manifestRows`, so an
@@ -860,7 +875,8 @@ object DataSkipping {
       manifest: DataFrame, schema: StructType,
       touched: Seq[String], replacement: DataFrame,
       vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long,
-      opStartMs: Long, changeData: Option[DataFrame] = None): Unit = {
+      opStartMs: Long, changeData: Option[DataFrame] = None,
+      op: String = "UNKNOWN"): Unit = {
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     replacement.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
@@ -915,7 +931,8 @@ object DataSkipping {
       removedData = touched.map(p => new Path(p).getName),
       markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
       verbatimMarkers = verbatim,
-      changeData = changeData.filter(_ => feats.contains(CdfFeature)))
+      changeData = changeData.filter(_ => feats.contains(CdfFeature)),
+      op = op)
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 
@@ -925,6 +942,14 @@ object DataSkipping {
   private def cdfEnabled(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Boolean =
     manifestFeatures(fs, dir).contains(CdfFeature)
+
+  /** Whether the table's change data feed is on (O(1) sidecar read of
+    * the current generation's feature flags).
+    */
+  def changeFeedEnabled(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cdfEnabled(fs, manifestDirOf(fs, path))
+  }
 
   /** Row-level DELETE (the Delta `DELETE FROM ... WHERE` analog),
     * copy-on-write: the manifest's min/max/bloom stats prune the
@@ -968,7 +993,7 @@ object DataSkipping {
       else Some(spark.read.schema(schema).parquet(files: _*).filter(hit)
         .withColumn(ChangeTypeCol, lit("delete")))
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, keep,
-      vacuum, retentionMs, markerRetentionMs, opStart, changes)
+      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE")
     touched.map(_._2).sum
   }
 
@@ -1027,7 +1052,7 @@ object DataSkipping {
           .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage"))))
       }
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, updated,
-      vacuum, retentionMs, markerRetentionMs, opStart, changes)
+      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE")
     touched.map(_._2).sum
   }
 
@@ -1162,7 +1187,8 @@ object DataSkipping {
               .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))))
           }
         rewriteFiles(spark, fs, path, dir, stats, schema, files, replacement,
-          vacuum, retentionMs, markerRetentionMs, opStart, changes)
+          vacuum, retentionMs, markerRetentionMs, opStart, changes,
+          op = "MERGE")
         (matchedKeys, srcCount - matchedKeys)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -1391,6 +1417,133 @@ object DataSkipping {
       spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
     }
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** RESTORE the table to a retained version (the Delta
+    * `RESTORE TABLE ... VERSION AS OF` analog): publishes a NEW
+    * generation whose manifest, schema, tracked columns and manifest
+    * schema are version `version`'s — history is preserved (restore
+    * is a commit on top, so a bad restore is itself restorable), and
+    * nothing is copied: the old generation's data files are simply
+    * re-claimed by the new manifest. Fails loudly when any data file
+    * the restored manifest references has already been vacuumed
+    * (same failure Delta RESTORE raises) — within the retention
+    * window replaced files are still on disk by construction, so a
+    * restore inside the window always succeeds. Files the current
+    * manifest holds beyond the restored set enter the removal log
+    * (they age out through the normal retention vacuum; the vacuum
+    * claim-set guard protects them if a later restore-forward
+    * re-claims them first).
+    *
+    * With the change feed enabled, the restore records file-level
+    * diff rows the way Delta does: every row of a dropped file as
+    * `delete`, every row of a re-added file as `insert` — rows living
+    * in files common to both states record nothing. Feature flags
+    * carry over from the CURRENT generation for table-property flags
+    * (the change feed must not silently vanish) but row-describing
+    * flags (null counts, bloom config) come from the RESTORED
+    * generation — they describe the restored manifest rows.
+    *
+    * Single-writer like all maintenance ops. Returns the new
+    * generation's version.
+    */
+  def restoreTable(spark: SparkSession, path: String, version: Long,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val have = tableVersions(spark, path)
+    require(have.contains(version),
+      s"version $version of $path is not retained (have " +
+        s"${have.mkString("[", ",", "]")}) — superseded generations are " +
+        "vacuumed retentionMs after replacement")
+    val vDir = s"$path/$StatsDir/v$version"
+    val restored = readManifestIn(spark, vDir)
+    val files = restored.select("file").collect().map(_.getString(0)).toSeq
+    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    require(missing.isEmpty,
+      s"cannot restore $path to version $version: ${missing.size} of its " +
+        s"data files are already vacuumed (first: ${missing.headOption
+          .getOrElse("")}) — raise the retention to keep restore targets " +
+        "whole for longer")
+    val vSchema = tableSchemaIn(spark, path, vDir)
+    val vStatsCols = trackedCols(spark, vDir).toSeq.sorted
+    val feats = manifestFeatures(fs, vDir) ++
+      manifestFeatures(fs, dir).filter(_ == CdfFeature)
+    val vManifestSchema = readSidecar(spark, vDir, ManifestSchemaFile)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(restored.schema)
+    val curSchema = tableSchemaIn(spark, path, dir)
+    val curFiles = readManifestIn(spark, dir).select("file").collect()
+      .map(_.getString(0)).toSet
+    val restoredSet = files.toSet
+    val dropped = (curFiles -- restoredSet).toSeq
+    val added = (restoredSet -- curFiles).toSeq
+    val changes =
+      if (!cdfEnabled(fs, dir)) None
+      else {
+        val dels =
+          if (dropped.isEmpty) None
+          else Some(spark.read.schema(curSchema).parquet(dropped: _*)
+            .withColumn(ChangeTypeCol, lit("delete")))
+        val ins =
+          if (added.isEmpty) None
+          else Some(spark.read.schema(vSchema).parquet(added: _*)
+            .withColumn(ChangeTypeCol, lit("insert")))
+        (dels ++ ins).reduceOption(
+          _.unionByName(_, allowMissingColumns = true))
+      }
+    publishGeneration(spark, fs, path, dir, restored, vSchema, vStatsCols,
+      feats, vManifestSchema,
+      removedData = dropped.map(p => new Path(p).getName),
+      markerRetentionMs = markerRetentionMs, opStartMs = opStart,
+      changeData = changes, op = s"RESTORE(v$version)")
+    val newV = tableVersions(spark, path).max
+    if (vacuum) vacuumTable(spark, path, retentionMs)
+    newV
+  }
+
+  /** The table's commit history (the `DESCRIBE HISTORY` analog), one
+    * row per RETAINED committed generation, newest first: `version`,
+    * `operation` (WRITE / OPTIMIZE / DELETE / UPDATE / MERGE /
+    * RESTORE(vN); UNKNOWN for generations written before the op
+    * sidecar existed), and `op_time` (the operation's entry
+    * timestamp; commit-marker mtime for pre-sidecar generations).
+    * History reaches back exactly as far as time travel does — the
+    * retention window — because superseded generations ARE the
+    * history records. Tiny driver-side listing (O(retained
+    * generations)), like Delta's.
+    */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$path/$StatsDir")
+    val rows = genDirs(fs, statsDir)
+      .filter { case (_, f) => isCommittedGen(fs, f.getPath) }
+      .map { case (v, f) =>
+        val (op, ts) = readSidecarIn(fs, f.getPath.toString, OpFile) match {
+          case Some(json) =>
+            val opRe = "\"operation\"\\s*:\\s*\"([^\"]*)\"".r
+            val tsRe = "\"ts\"\\s*:\\s*(\\d+)".r
+            (opRe.findFirstMatchIn(json).map(_.group(1)).getOrElse("UNKNOWN"),
+              tsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
+          case None =>
+            val fallback =
+              fs.getFileStatus(new Path(f.getPath, CommitFile)).getModificationTime
+            (if (v == 0L) "WRITE" else "UNKNOWN", fallback)
+        }
+        Row(v, op, ts)
+      }.reverse
+    val schema = StructType(Seq(
+      StructField("version", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("operation", org.apache.spark.sql.types.StringType,
+        nullable = false),
+      StructField("op_time", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   /** Shared planning preamble for the pruning entry points: load the

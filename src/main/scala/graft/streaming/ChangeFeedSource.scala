@@ -1,0 +1,207 @@
+package graft.streaming
+
+import graft.sources.DataSkipping
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Offset for [[ChangeFeedSource]]: the highest committed table
+  * version this stream has delivered. Versions are totally ordered
+  * and immutable once committed, so a single long is a complete,
+  * replay-deterministic offset.
+  */
+private[streaming] case class CdfVersionOffset(version: Long) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+private[streaming] object CdfVersionOffset {
+  def from(o: org.apache.spark.sql.connector.read.streaming.Offset): CdfVersionOffset =
+    o match {
+      case v: CdfVersionOffset => v
+      case other => CdfVersionOffset(
+        "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(other.json)
+          .map(_.group(1).toLong)
+          .getOrElse(sys.error(s"malformed CDF offset: ${other.json}")))
+    }
+}
+
+/** Streaming source over a stats table's CHANGE DATA FEED — the
+  * `readStream ... option("readChangeFeed", "true")` Delta analog,
+  * and the incremental-consumption half of
+  * [[graft.sources.DataSkipping.readChangeFeed]]: every row-level
+  * DML generation (DELETE / UPDATE / MERGE / RESTORE diff) becomes
+  * one micro-batch of typed change rows (`_change_type`,
+  * `_commit_version`) for a downstream pipeline stage — at 100 TB
+  * the difference between re-reading the table after each merge and
+  * shipping just the deltas.
+  *
+  * Mechanics: `getOffset` resolves the highest committed generation
+  * (one small listing of `_graft_stats` — no data-file listing);
+  * `getBatch` reads the `_change_data` dirs of exactly the versions
+  * in `(start, end]`, each through the stream's schema (older
+  * generations' narrower change files surface nulls for later
+  * columns) with `_commit_version` stamped per version. Versions
+  * without change data (appends, compaction, Z-ORDER) contribute
+  * nothing — consume appends through [[StatsTableSource]], exactly
+  * the Delta split between insert-only commits and CDC commits.
+  *
+  * STARTING VERSION: by default the stream begins at the table's
+  * current version when the query FIRST starts — only changes
+  * committed after that are delivered (Delta's default). Pass
+  * `.option("startingVersion", n)` to replay retained history from
+  * version n. Either way the resolved start is persisted under the
+  * query's checkpoint metadata on first start and re-read on
+  * restart, so a crash before the first batch commit cannot slide
+  * the window.
+  *
+  * Exactly-once: the version offset lives in the query checkpoint; a
+  * restart re-reads the same immutable generation range — same
+  * files, same rows. A version named by a replayed range whose
+  * generation has been VACUUMED (the consumer lagged past the
+  * retention window) fails LOUDLY rather than delivering silence —
+  * the same contract as [[StatsTableSource]]'s expired markers.
+  */
+final class ChangeFeedSource(
+    sqlContext: SQLContext, path: String, metadataPath: String,
+    startingVersion: Option[Long]) extends Source {
+
+  private val spark =
+    sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  require(DataSkipping.changeFeedEnabled(spark, path),
+    s"$path has no change data feed — create with writeWithStats(" +
+      "changeFeed = true) or call enableChangeFeed first")
+
+  override val schema: StructType = StructType(
+    DataSkipping.tableSchema(spark, path).fields ++ Seq(
+      StructField(DataSkipping.ChangeTypeCol, StringType),
+      StructField(DataSkipping.CommitVersionCol, LongType, nullable = false)))
+
+  /** First version this stream owes its consumer, resolved ONCE at
+    * first start and pinned in the stream's metadata dir: an
+    * explicit `startingVersion`, else current-version-plus-one at
+    * the moment of first start. Restart re-reads the pin — the
+    * window cannot slide even if the first batch never committed.
+    */
+  private val firstVersion: Long = {
+    val pin = new Path(metadataPath, "graft-cdf-start")
+    if (fs.exists(pin)) {
+      val in = fs.open(pin)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else {
+      val resolved = startingVersion.getOrElse(
+        DataSkipping.tableVersions(spark, path)
+          .maxOption.map(_ + 1).getOrElse(0L))
+      fs.mkdirs(new Path(metadataPath))
+      val out = fs.create(pin, false) // exclusive: one resolver wins
+      try out.write(resolved.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      resolved
+    }
+  }
+
+  // Offset even when nothing is pending (the engine diffs
+  // consecutive offsets; equal case-class values fire no batch).
+  // firstVersion - 1 = "delivered nothing yet".
+  override def getOffset: Option[Offset] =
+    Some(CdfVersionOffset(
+      DataSkipping.tableVersions(spark, path).maxOption
+        .getOrElse(firstVersion - 1).max(firstVersion - 1)))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(o => CdfVersionOffset.from(o).version + 1)
+      .getOrElse(firstVersion)
+    val endV = CdfVersionOffset.from(end).version
+    val statsDir = s"$path/${DataSkipping.StatsDir}"
+    val frames = (fromV to endV).flatMap { v =>
+      val gen = new Path(statsDir, s"v$v")
+      // a version this consumer still owes downstream has been
+      // vacuumed: delivering silence would record it consumed with
+      // its rows lost — fail loudly (raise retentionMs or keep the
+      // stream within the retention window)
+      require(fs.exists(new Path(gen, DataSkipping.CommitFile)),
+        s"change-feed stream at $path: version $v is named by this " +
+          "batch's offset range but its generation is no longer " +
+          "retained — vacuum outran this consumer; its change rows " +
+          "cannot be replayed. Raise the table's retentionMs or keep " +
+          "downstream streams within the retention window")
+      val cd = new Path(gen, DataSkipping.ChangeDataDir)
+      if (!fs.exists(cd)) None
+      else {
+        val files = fs.listStatus(cd).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => org.apache.spark.sql.execution.datasources
+            .FileStatusWithMetadata(f))
+        if (files.isEmpty) None
+        else {
+          val readSchema = StructType(schema.fields
+            .filterNot(_.name == DataSkipping.CommitVersionCol))
+          val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            new graft.sources.ManifestFileIndex(cd, files),
+            partitionSchema = new StructType(),
+            dataSchema = readSchema,
+            bucketSpec = None,
+            fileFormat = new org.apache.spark.sql.execution.datasources
+              .parquet.ParquetFileFormat,
+            options = Map.empty)(spark)
+          Some(org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.LogicalRelation(
+              relation, isStreaming = true))
+            .withColumn(DataSkipping.CommitVersionCol, lit(v)))
+        }
+      }
+    }
+    if (frames.isEmpty)
+      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+        LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ChangeFeedSource[$path]"
+}
+
+/** `spark.readStream.format(classOf[ChangeFeedSourceProvider].getName)
+  * .option("path", table)[.option("startingVersion", n)].load()`.
+  */
+final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-change-feed"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-change-feed source requires .option(\"path\", <stats table dir>)"))
+
+  private def feedSchema(sqlContext: SQLContext, p: String): StructType =
+    StructType(DataSkipping.tableSchema(sqlContext.sparkSession, p).fields ++ Seq(
+      StructField(DataSkipping.ChangeTypeCol, StringType),
+      StructField(DataSkipping.CommitVersionCol, LongType, nullable = false)))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(feedSchema(sqlContext, path(parameters))))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, path(parameters), metadataPath,
+      parameters.get("startingVersion").map(_.toLong))
+}

@@ -873,6 +873,97 @@ class DataSkippingSpec extends SparkSpec {
       .filter(col("_change_type") === "update_postimage").count() === 100L)
   }
 
+  test("restore round-trips DML, restores forward again, and describeHistory names every operation") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 1000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(8, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id")) // v0
+    DataSkipping.deleteWhere(s, dir, col("id") >= 100L && col("id") < 200L) // v1
+    DataSkipping.updateWhere(s, dir, col("id") >= 300L && col("id") < 350L,
+      Map("payload" -> lit("upd"))) // v2
+    assert(DataSkipping.restoreTable(s, dir, 0L) === 3L) // v3 == v0 state
+    val back = DataSkipping.readSkipping(s, dir, col("id") >= 0L)
+    assert(back.count() === 1000L)
+    assert(back.filter(col("payload") === "upd").count() === 0L)
+    // a restore is itself restorable: forward to the post-DML state
+    assert(DataSkipping.restoreTable(s, dir, 2L) === 4L)
+    val fwd = DataSkipping.readSkipping(s, dir, col("id") >= 0L)
+    assert(fwd.count() === 900L)
+    assert(fwd.filter(col("payload") === "upd").count() === 50L)
+    // pruning still works against the restored manifest
+    val (kept, all) = DataSkipping.prunedFiles(s, dir, col("id") < 100L)
+    assert(kept.size < all.size)
+    val hist = DataSkipping.describeHistory(s, dir)
+      .select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq(4L -> "RESTORE(v2)", 3L -> "RESTORE(v0)",
+      2L -> "UPDATE", 1L -> "DELETE", 0L -> "WRITE"))
+  }
+
+  test("restore records file-level CDF diff rows; files common to both states record nothing") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 1000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(8, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"), bloomCols = Nil,
+      changeFeed = true) // v0: 8 range-partitioned files
+    DataSkipping.deleteWhere(s, dir, col("id") >= 100L && col("id") < 150L) // v1
+    DataSkipping.restoreTable(s, dir, 0L) // v2
+    val feed = DataSkipping.readChangeFeed(s, dir, 2L, Some(2L))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the delete rewrote the touched file(s); restore drops the
+    // survivors (deletes) and re-adds the originals (inserts) — a
+    // file-level diff, so insert − delete == the 50 restored rows
+    // and files common to both manifests contribute NOTHING
+    assert(byType.keySet === Set("delete", "insert"))
+    assert(byType("insert") - byType("delete") === 50L)
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("id") >= 100L && col("id") < 150L).count() === 50L)
+    // untouched files (far from the band under range partitioning)
+    // must not appear in the diff at all
+    assert(feed.filter(col("id") >= 600L).count() === 0L)
+    // and the feed matches the manifest-level file diff exactly
+    val restored = DataSkipping.readSkipping(s, dir, col("id") >= 0L)
+    assert(restored.count() === 1000L)
+  }
+
+  test("restore to a version whose files are gone fails loudly; a fully vacuumed version is not retained") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id"))
+    DataSkipping.deleteWhere(s, dir, col("id") < 50L) // v1, originals retained
+    // lose one of v0's replaced originals out-of-band (a premature
+    // external cleanup): restore must refuse rather than commit a
+    // manifest naming a missing file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val claimed = DataSkipping.readManifest(s, dir).select("file")
+      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    val orphan = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        !claimed(f.getPath.getName))
+      .head.getPath
+    fs.delete(orphan, false)
+    val e = intercept[IllegalArgumentException](
+      DataSkipping.restoreTable(s, dir, 0L))
+    assert(e.getMessage.contains("already vacuumed"))
+    // retention-0 DML instead reclaims the whole superseded
+    // generation — the restore target itself is then not retained
+    val dir2 = tmp()
+    DataSkipping.writeWithStats(df, dir2, Seq("id"))
+    DataSkipping.deleteWhere(s, dir2, col("id") < 50L, retentionMs = 0L)
+    val e2 = intercept[IllegalArgumentException](
+      DataSkipping.restoreTable(s, dir2, 0L))
+    assert(e2.getMessage.contains("not retained"))
+  }
+
   test("change feed spans schema evolution: pre-evolution change rows carry nulls for added columns") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.DataSkipping
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class ChangeFeedSourceSpec extends SparkSpec {
+
+  private def drain(s: org.apache.spark.sql.SparkSession, table: String,
+      outDir: String, ckpt: String,
+      startingVersion: Option[Long] = None): Unit = {
+    val reader = s.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", table)
+    val q = startingVersion.fold(reader)(v =>
+        reader.option("startingVersion", v.toString))
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def buildTable(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    import s.implicits._
+    DataSkipping.writeWithStats(
+      (0L until 400L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")),
+      table, Seq("id"), bloomCols = Nil, changeFeed = true)
+  }
+
+  test("DML after stream start delivers typed micro-batches; restart delivers only the missed versions") {
+    val s = spark
+    val table = tmpDir("cdfsrc_tbl") + "/t"
+    val outDir = tmpDir("cdfsrc_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_ckpt")
+    buildTable(s, table)
+
+    // fresh stream on a DML-free table: nothing owed, clean drain
+    drain(s, table, outDir, ckpt)
+
+    assert(DataSkipping.deleteWhere(s, table,
+      col("id") >= 100L && col("id") < 150L) === 50L) // v1
+    drain(s, table, outDir, ckpt)
+    val wave1 = s.read.parquet(outDir)
+    assert(wave1.count() === 50L)
+    assert(wave1.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("delete" -> 50L))
+    assert(wave1.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+
+    // two more versions land while the stream is stopped; the
+    // restarted stream owes exactly those — v1 must not re-deliver
+    assert(DataSkipping.updateWhere(s, table,
+      col("id") >= 200L && col("id") < 220L,
+      Map("payload" -> lit("upd"))) === 20L) // v2
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L) === 10L) // v3
+    drain(s, table, outDir, ckpt)
+    val all = s.read.parquet(outDir)
+    assert(all.count() === 50L + 40L + 10L)
+    assert(all.groupBy("_commit_version", "_change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap ===
+      Map((1L, "delete") -> 50L,
+        (2L, "update_preimage") -> 20L, (2L, "update_postimage") -> 20L,
+        (3L, "delete") -> 10L))
+  }
+
+  test("startingVersion replays retained history; appends and compaction contribute no feed batches") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("cdfsrc_hist") + "/t"
+    buildTable(s, table)
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 50L) === 50L) // v1
+    assert(DataSkipping.updateWhere(s, table, col("id") >= 350L,
+      Map("payload" -> lit("upd"))) === 50L) // v2
+
+    // a consumer starting at 0 replays the whole retained feed
+    val outDir = tmpDir("cdfsrc_hist_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_hist_ckpt")
+    drain(s, table, outDir, ckpt, startingVersion = Some(0L))
+    assert(s.read.parquet(outDir).groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("delete" -> 50L,
+        "update_preimage" -> 50L, "update_postimage" -> 50L))
+
+    // an append (in-generation) and a compaction (v3, no logical
+    // change) must stream NOTHING through the feed
+    assert(DataSkipping.appendWithStats(
+      (1000L until 1050L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .coalesce(1), table, Seq("id")))
+    assert(DataSkipping.compactTable(s, table) === 1)
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).count() === 150L,
+      "appends/compaction are not change-feed batches")
+
+    // ...but DML on the compacted table streams again
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 1000L) === 50L) // v4
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).filter(col("_commit_version") === 4L)
+      .count() === 50L)
+  }
+
+  test("a vacuumed version still owed to the consumer fails loudly instead of delivering silence") {
+    val s = spark
+    val table = tmpDir("cdfsrc_vac") + "/t"
+    val outDir = tmpDir("cdfsrc_vac_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_vac_ckpt")
+    buildTable(s, table)
+    drain(s, table, outDir, ckpt) // pinned at version 0
+
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 50L) === 50L) // v1
+    // retention-0 DML vacuums v1's generation (and its change rows)
+    // before the lagging consumer ever saw it
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L,
+      retentionMs = 0L) === 10L) // v2
+    assert(DataSkipping.tableVersions(s, table) === Seq(2L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(s, table, outDir, ckpt))
+    assert(e.getMessage.contains("no longer retained") ||
+      Option(e.getCause).exists(_.getMessage.contains("no longer retained")))
+  }
+
+  test("a feed-less table is refused at stream construction") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("cdfsrc_off") + "/t"
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      table, Seq("id"))
+    val e = intercept[Exception](
+      drain(s, table, tmpDir("cdfsrc_off_out") + "/o", tmpDir("cdfsrc_off_ckpt")))
+    assert(e.getMessage.contains("no change data feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("no change data feed")))
+  }
+}
