@@ -269,14 +269,17 @@ object DataSkipping {
     commitGen(spark, new Path(gen))
   }
 
-  /** The atomic generation commit: one `_COMMIT` file create. */
   /** Turn on the change data feed for an EXISTING stats table (the
     * `ALTER TABLE ... SET TBLPROPERTIES (enableChangeDataFeed=true)`
     * analog): stamps [[CdfFeature]] into the current generation's
     * feature sidecar. Takes effect for row-level DML committed AFTER
     * this call — history is not backfilled (same as Delta: the feed
-    * starts at the version where the property landed). Single-writer
-    * like all maintenance ops.
+    * starts at the version where the property landed). The sidecar is
+    * replaced via write-aside + atomic overwrite-rename: a crash at
+    * any point leaves either the old or the new flag set, never a
+    * truncated file (an empty features file would silently drop the
+    * "nulls"/bloom flags and make the next compaction rebuild the
+    * manifest without them). Single-writer like all maintenance ops.
     */
   def enableChangeFeed(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -284,12 +287,18 @@ object DataSkipping {
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
     val feats = manifestFeatures(fs, dir) + CdfFeature
-    val out = fs.create(new Path(dir, FeaturesFile), true)
+    val tmp = new Path(dir, s".features-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
     try out.write(feats.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(dir, FeaturesFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** The atomic generation commit: one `_COMMIT` file create. */
   private def commitGen(spark: SparkSession, gen: Path): Unit = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(gen, CommitFile), false).close()
@@ -780,12 +789,7 @@ object DataSkipping {
     // the `_` prefix hides them from the generation's manifest read
     changeData.foreach(cd =>
       cd.write.parquet(new Path(build, ChangeDataDir).toString))
-    locally {
-      val out = fs.create(new Path(build, OpFile), true)
-      try out.write(s"""{"operation":"$op","ts":$opStartMs}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    writeOpFile(fs, build, op, opStartMs)
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
     // the copied marker, excluded from `manifestRows`, so an
@@ -1027,29 +1031,34 @@ object DataSkipping {
       return 0L
     }
     val files = touched.map(_._1)
-    val updated = spark.read.schema(schema).parquet(files: _*)
-      .select(schema.fields.toSeq.map { f =>
+    // ONE projection mapping serves the rewrite and both CDF images
+    // (a second hand-written copy would have to track SET/cast
+    // changes in lockstep): guarded per-row for the rewrite, applied
+    // unconditionally to the already-filtered hit rows for the
+    // postimage
+    def applySet(frame: DataFrame, onlyWhere: Option[Column]): DataFrame =
+      frame.select(schema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(e) =>
-            when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            val applied = e.cast(f.dataType)
+            onlyWhere.fold(applied)(c =>
+              when(c, applied).otherwise(col(f.name))).as(f.name)
           case None => col(f.name)
         }
       }: _*)
+    def scanTouched = spark.read.schema(schema).parquet(files: _*)
+    val updated = applySet(scanTouched, onlyWhere = Some(hit))
     // CDF: pre- and post-image of exactly the TRUE-predicate rows
-    // (Delta's update_preimage/update_postimage pair), from one extra
-    // scan of only the touched files
+    // (Delta's update_preimage/update_postimage pair). Two extra
+    // scans (pre + post) — both bounded by the touched files, i.e.
+    // the update's selectivity, never the table
     val changes =
       if (!cdfEnabled(fs, dir)) None
       else {
-        val hitRows = spark.read.schema(schema).parquet(files: _*).filter(hit)
-        val post = hitRows.select(schema.fields.toSeq.map { f =>
-          set.get(f.name) match {
-            case Some(e) => e.cast(f.dataType).as(f.name)
-            case None => col(f.name)
-          }
-        }: _*)
+        val hitRows = scanTouched.filter(hit)
         Some(hitRows.withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage"))))
+          .unionByName(applySet(hitRows, onlyWhere = None)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
       }
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, updated,
       vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE")
@@ -1192,6 +1201,15 @@ object DataSkipping {
         (matchedKeys, srcCount - matchedKeys)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
+  }
+
+  /** The generation's `_op.json` operation record (see [[OpFile]]). */
+  private def writeOpFile(fs: org.apache.hadoop.fs.FileSystem,
+      build: Path, op: String, opStartMs: Long): Unit = {
+    val out = fs.create(new Path(build, OpFile), true)
+    try out.write(s"""{"operation":"$op","ts":$opStartMs}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** `<table-root-relative path>\t<removedAtMillis>` lines. */
@@ -1444,6 +1462,14 @@ object DataSkipping {
     * flags (null counts, bloom config) come from the RESTORED
     * generation — they describe the restored manifest rows.
     *
+    * Stream-aware like DML: the restored generation's named commit
+    * markers are copied VERBATIM (an in-flight [[graft.streaming
+    * .StatsTableSource]] consumer owing one of them replays its exact
+    * rows), and markers existing only in the superseded current
+    * generation are re-created zero-row — their rows are not part of
+    * the restored state, but their names must keep short-circuiting
+    * an at-least-once writer's replays.
+    *
     * Single-writer like all maintenance ops. Returns the new
     * generation's version.
     */
@@ -1462,7 +1488,13 @@ object DataSkipping {
     val vDir = s"$path/$StatsDir/v$version"
     val restored = readManifestIn(spark, vDir)
     val files = restored.select("file").collect().map(_.getString(0)).toSeq
-    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    // ONE listing of the table root (the vacuumTable claim-set
+    // shape) instead of O(files) serial exists() probes — at object-
+    // store latency the per-file HEAD loop would stall the driver
+    // for minutes on a large restored manifest
+    val present: Set[String] = fs.listStatus(new Path(path))
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    val missing = files.map(f => new Path(f).getName).filterNot(present)
     require(missing.isEmpty,
       s"cannot restore $path to version $version: ${missing.size} of its " +
         s"data files are already vacuumed (first: ${missing.headOption
@@ -1495,14 +1527,68 @@ object DataSkipping {
         (dels ++ ins).reduceOption(
           _.unionByName(_, allowMissingColumns = true))
       }
-    publishGeneration(spark, fs, path, dir, restored, vSchema, vStatsCols,
-      feats, vManifestSchema,
-      removedData = dropped.map(p => new Path(p).getName),
-      markerRetentionMs = markerRetentionMs, opStartMs = opStart,
-      changeData = changes, op = s"RESTORE(v$version)")
-    val newV = tableVersions(spark, path).max
+    // Build the new generation as a VERBATIM file copy of the
+    // restored one — parts stay parts and MARKERS STAY MARKERS. This
+    // is what keeps restore stream-aware like DML: a StatsTableSource
+    // consumer still owing a batch whose marker exists in the
+    // restored generation replays exactly that generation's rows for
+    // it (the data files were just verified present). Markers that
+    // exist only in the CURRENT generation (landed after the restored
+    // state froze, or already folded there) are re-created zero-row:
+    // their rows are legitimately not part of the restored state, but
+    // their names must keep short-circuiting an at-least-once
+    // writer's replays — dropping them would let a replayed batch
+    // RE-COMMIT rows the restore removed. (Copied markers get fresh
+    // mtimes, so an ancient marker can outlive one extra retention
+    // window after a restore — bounded, and erring toward replay
+    // protection.)
+    val statsDir = new Path(s"$path/$StatsDir")
+    val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
+    val build = new Path(statsDir, s".genbuild-${java.util.UUID.randomUUID}")
+    fs.mkdirs(build)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val copiedMarkers = fs.listStatus(new Path(vDir)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath,
+          fs, new Path(build, f.getPath.getName), false, conf)
+        f.getPath.getName
+      }
+      .filterNot(_.startsWith("part-")).toSet
+    writeSidecars(spark, build.toString, vSchema, vStatsCols, feats,
+      manifestSchema = Some(vManifestSchema))
+    val markerCutoff = opStart - markerRetentionMs
+    val currentOnly = fs.listStatus(new Path(dir)).toSeq
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("part-") &&
+          f.getModificationTime >= markerCutoff && !copiedMarkers(n)
+      }.map(_.getPath.getName)
+    if (currentOnly.nonEmpty) {
+      val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
+      restored.limit(0).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one marker part, got ${part.length}")
+      currentOnly.foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
+          fs, new Path(build, n), false, conf)
+      }
+      fs.delete(tmp, true)
+    }
+    changes.foreach(cd =>
+      cd.write.parquet(new Path(build, ChangeDataDir).toString))
+    writeOpFile(fs, build, s"RESTORE(v$version)", opStart)
+    val now = System.currentTimeMillis()
+    val replacedManifest = currentGen(fs, statsDir)
+      .map { case (v, _) => s"$StatsDir/v$v" }.toSeq
+    writeRemovalLog(fs, build,
+      (dropped.map(p => new Path(p).getName) ++ replacedManifest).map(_ -> now))
+    val gen = new Path(statsDir, s"v$nextV")
+    require(fs.rename(build, gen), s"generation rename $build -> $gen failed")
+    commitGen(spark, gen)
     if (vacuum) vacuumTable(spark, path, retentionMs)
-    newV
+    nextV
   }
 
   /** The table's commit history (the `DESCRIBE HISTORY` analog), one

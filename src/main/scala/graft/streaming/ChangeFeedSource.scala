@@ -92,22 +92,27 @@ final class ChangeFeedSource(
     */
   private val firstVersion: Long = {
     val pin = new Path(metadataPath, "graft-cdf-start")
-    if (fs.exists(pin)) {
-      val in = fs.open(pin)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    } else {
+    if (!fs.exists(pin)) {
       val resolved = startingVersion.getOrElse(
         DataSkipping.tableVersions(spark, path)
           .maxOption.map(_ + 1).getOrElse(0L))
       fs.mkdirs(new Path(metadataPath))
-      val out = fs.create(pin, false) // exclusive: one resolver wins
+      // write-aside + rename: the pin is never visible half-written
+      // (a crash mid-write leaves only the hidden temp, and the next
+      // start resolves afresh); a lost publication race just reads
+      // the winner's pin below
+      val tmp = new Path(metadataPath,
+        s".graft-cdf-start-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
       try out.write(resolved.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      resolved
+      if (!fs.rename(tmp, pin)) fs.delete(tmp, false)
     }
+    val in = fs.open(pin)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
   }
 
   // Offset even when nothing is pending (the engine diffs
@@ -123,18 +128,25 @@ final class ChangeFeedSource(
       .getOrElse(firstVersion)
     val endV = CdfVersionOffset.from(end).version
     val statsDir = s"$path/${DataSkipping.StatsDir}"
-    val frames = (fromV to endV).flatMap { v =>
+    // Iterate COMMITTED retained versions only: version numbers can
+    // have gaps (a crashed generation build burns its slot forever —
+    // the designed no-repair crash state), so requiring a _COMMIT at
+    // every number in the dense range would wedge the stream on a
+    // slot where no data ever existed. What MUST fail loudly is an
+    // owed version below the earliest retained one: whether the
+    // missing slots there were committed DML or dead builds is no
+    // longer knowable, so delivering silence could lose change rows
+    // (raise retentionMs or keep the stream within the window).
+    val have = DataSkipping.tableVersions(spark, path)
+    require(fromV > endV || have.headOption.exists(_ <= fromV),
+      s"change-feed stream at $path: versions from $fromV are named by " +
+        "this batch's offset range but are no longer retained " +
+        s"(earliest retained: ${have.headOption.getOrElse("none")}) — " +
+        "vacuum outran this consumer and its change rows cannot be " +
+        "proven replayable. Raise the table's retentionMs or keep " +
+        "downstream streams within the retention window")
+    val frames = have.filter(v => v >= fromV && v <= endV).flatMap { v =>
       val gen = new Path(statsDir, s"v$v")
-      // a version this consumer still owes downstream has been
-      // vacuumed: delivering silence would record it consumed with
-      // its rows lost — fail loudly (raise retentionMs or keep the
-      // stream within the retention window)
-      require(fs.exists(new Path(gen, DataSkipping.CommitFile)),
-        s"change-feed stream at $path: version $v is named by this " +
-          "batch's offset range but its generation is no longer " +
-          "retained — vacuum outran this consumer; its change rows " +
-          "cannot be replayed. Raise the table's retentionMs or keep " +
-          "downstream streams within the retention window")
       val cd = new Path(gen, DataSkipping.ChangeDataDir)
       if (!fs.exists(cd)) None
       else {

@@ -852,6 +852,31 @@ class DataSkippingSpec extends SparkSpec {
     assert(vs === Set(2L))
   }
 
+  test("enableChangeFeed preserves the existing feature flags: bloom pruning and null counts survive the flip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 1000L).map(i => (i, i * 37 % 1009, s"p$i"))
+      .toDF("id", "k", "payload").repartitionByRange(8, col("id"))
+    DataSkipping.writeWithStats(df, dir, Seq("id", "k"),
+      bloomCols = Seq("k"), bloomBits = 1 << 14)
+    val (keptBefore, all) = DataSkipping.prunedFiles(s, dir, col("k") === 37L)
+    assert(keptBefore.size < all.size, "bloom must prune before the flip")
+    DataSkipping.enableChangeFeed(s, dir)
+    // bloom config survived the sidecar rewrite
+    val (keptAfter, _) = DataSkipping.prunedFiles(s, dir, col("k") === 37L)
+    assert(keptAfter.size === keptBefore.size,
+      "bloom pruning must survive enableChangeFeed")
+    // the feed is on
+    assert(DataSkipping.changeFeedEnabled(s, dir))
+    DataSkipping.deleteWhere(s, dir, col("id") < 10L)
+    assert(DataSkipping.readChangeFeed(s, dir, 1L).count() === 10L)
+    // and IS NULL pruning (the "nulls" flag) still prunes everything
+    // (no nulls anywhere -> zero kept files)
+    val (keptNull, _) = DataSkipping.prunedFiles(s, dir, col("k").isNull)
+    assert(keptNull.isEmpty, "null-count stats must survive enableChangeFeed")
+  }
+
   test("change feed availability window IS the vacuum retention: vacuumed versions fail loudly") {
     val s = spark
     import s.implicits._

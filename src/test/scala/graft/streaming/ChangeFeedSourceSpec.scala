@@ -106,6 +106,32 @@ class ChangeFeedSourceSpec extends SparkSpec {
       .count() === 50L)
   }
 
+  test("a committed-version gap (crashed generation build) is skipped, not wedged on") {
+    val s = spark
+    val table = tmpDir("cdfsrc_gap") + "/t"
+    val outDir = tmpDir("cdfsrc_gap_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_gap_ckpt")
+    buildTable(s, table)
+    drain(s, table, outDir, ckpt) // pinned at version 0
+
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 30L) === 30L) // v1
+    // a crashed generation build burns slot v2: an uncommitted dir
+    // that no reader ever sees and no repair path touches — the next
+    // commit takes v3
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$table/${DataSkipping.StatsDir}/v2"))
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L) === 10L) // v3
+    assert(DataSkipping.tableVersions(s, table) === Seq(0L, 1L, 3L))
+
+    // the stream must deliver v1 and v3 and sail over the dead slot
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(s.read.parquet(outDir).count() === 40L)
+  }
+
   test("a vacuumed version still owed to the consumer fails loudly instead of delivering silence") {
     val s = spark
     val table = tmpDir("cdfsrc_vac") + "/t"

@@ -164,6 +164,47 @@ class StatsTableSourceSpec extends SparkSpec {
       "fresh consumers see the post-DML state: folded b0 survivors via parts, b1 verbatim")
   }
 
+  test("restore preserves a pending commit marker verbatim: the consumer's owed batch replays its rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_rst") + "/t"
+    val outDir = tmpDir("stsrc_rst_out") + "/o"
+    val ckpt = tmpDir("stsrc_rst_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 100L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-r-b0")))
+    drain(s, table, outDir, ckpt) // caught up through b0
+
+    // b1 lands, then DML commits v1, then the table is RESTORED to
+    // v0 — all while the consumer still owes b1. The restored
+    // generation holds b1's marker with its rows (appends landed
+    // inside v0), so the owed batch must replay in full.
+    assert(DataSkipping.appendWithStats(
+      (100L until 200L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-r-b1")))
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 50L) === 50L) // v1
+    DataSkipping.restoreTable(s, table, 0L) // v2 == pre-delete state
+
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 200L).toSeq,
+      "the pending commit must replay its exact rows across the restore")
+
+    // a replay of either commit still short-circuits post-restore
+    assert(!DataSkipping.appendWithStats(
+      (0L until 100L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-r-b0")))
+    assert(!DataSkipping.appendWithStats(
+      (100L until 200L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("commit-r-b1")))
+    // and a fresh consumer sees exactly the restored state
+    val out2 = tmpDir("stsrc_rst_o2") + "/o"
+    drain(s, table, out2, tmpDir("stsrc_rst_c2"))
+    assert(s.read.parquet(out2).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 200L).toSeq)
+  }
+
   test("pipeline silver→gold chained through manifest commits, exactly-once across runs") {
     val s = spark
     import s.implicits._
