@@ -2846,6 +2846,63 @@ object Queries {
     Some("""SELECT event_id, user_id, event_type, value
             FROM events ORDER BY event_id"""))
 
+  // Incrementally-maintained materialized aggregate: bootstrap the
+  // sum/count-by-event_type view at v0, run all three DML ops on the
+  // base (the UPDATE migrates rows into a NEW group 'redacted', the
+  // MERGE into 'merged'), then refresh the view purely from the
+  // change feed. The oracle RECOMPUTES the aggregate from the
+  // replayed final state — the incremental fold must be bit-identical
+  // (decimal arithmetic), so a wrong sign, a double-applied version,
+  // or a missed group migration mismatches. Zero-count group removal
+  // and exactly-once replay are IncrementalViewSpec's job.
+  val incrementalAgg = QueryDef(
+    "q_incremental_agg",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_ivw").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events",
+        statsCols = Seq("user_id"), bloomCols = Nil, changeFeed = true)
+      def refresh() = graft.streaming.IncrementalView.maintainSumCount(
+        s, s"$root/events", s"$root/view", "event_type", "value",
+        s"$root/ckpt")
+      refresh() // bootstrap at v0, feed pinned after it
+      DataSkipping.deleteWhere(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.mergeUpsert(s, s"$root/events",
+        ev.filter(col("event_id") % 50 === 3)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("value", col("value") * 2),
+        Seq("event_id"))
+      refresh().orderBy("event_type")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id, event_type, value FROM events),
+            upd AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN value * -1 ELSE value END AS value
+              FROM base WHERE NOT (user_id >= 40 AND user_id < 60)),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM base WHERE event_id % 50 = 3),
+            final AS (
+              SELECT event_type, value FROM upd WHERE event_id % 50 <> 3
+              UNION ALL
+              SELECT event_type, value FROM src)
+            SELECT event_type,
+                   SUM(CAST(value AS DECIMAL(20,6))) AS sum_value,
+                   COUNT(*) AS cnt
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     transactionalize, expectations,
@@ -2864,5 +2921,5 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, mergeUpsertQ, cdfChanges, restoreQ)
+    deleteUpdate, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
 }
