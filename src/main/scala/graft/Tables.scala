@@ -27,17 +27,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which the
-    * Spark 4 parquet reader rejects outright. Read it as a raw long
-    * (`nanosAsLong`) and truncate to a micros timestamp with integer
-    * division (`div`, not `/` — a double division would lose precision
-    * above 2^53 ns and round instead of truncating). Truncation
-    * matches DuckDB, which surfaces the same column as a micros
-    * TIMESTAMP; the generated data is micro-aligned at every sf, so
-    * the two engines agree bit-for-bit.
+  /** `events.parquet` has shipped with two `ts` physical layouts
+    * across testdata generations, both normalized here to a session-tz
+    * micros TIMESTAMP so every consumer sees one type:
     *
-    * KNOWN SESSION-WIDE SIDE EFFECT: the flag must be set on the
-    * session, not scoped to this read — a per-read
+    *  - plain `timestamp[us]` (current): surfaces as TIMESTAMP_NTZ;
+    *    cast to TIMESTAMP (shift-free — every session in this repo
+    *    pins spark.sql.session.timeZone=UTC) so event-time windows,
+    *    watermarks and `unix_millis` downstream keep the type they
+    *    were built against.
+    *  - INT64 TIMESTAMP(NANOS) (legacy), which the Spark 4 parquet
+    *    reader rejects outright: read as a raw long (`nanosAsLong`)
+    *    and truncate to micros with integer division (`div`, not `/`
+    *    — a double division would lose precision above 2^53 ns and
+    *    round instead of truncating). Truncation matches DuckDB,
+    *    which surfaces the same column as a micros TIMESTAMP.
+    *
+    * KNOWN SESSION-WIDE SIDE EFFECT (legacy layout only, harmless for
+    * `timestamp[us]` files): the flag must be set on the session, not
+    * scoped to this read — a per-read
     * `.option("spark.sql.legacy.parquet.nanosAsLong", "true")` is
     * honored during schema inference but overwritten from the
     * session conf when the execution-side reader is built (verified
@@ -48,8 +56,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
