@@ -100,6 +100,20 @@ object DataSkipping {
     */
   val OpFile = "_op.json"
 
+  /** Per-generation idempotent-writer sidecar (`_txn.json`: a JSON
+    * map of application id → last applied transaction version — the
+    * Delta `txnAppId`/`txnVersion` analog). Written by DML ops passed
+    * a `txn` stamp and CARRIED FORWARD verbatim into every later
+    * generation (compaction, restore, unrelated DML), so the
+    * watermark survives vacuum of the generation that wrote it. An
+    * at-least-once writer (foreachBatch's crash window: its DML
+    * committed but its stream offset didn't) checks
+    * [[txnVersion]] before re-applying a batch — replaying an
+    * already-stamped version is a detectable no-op, not a silent
+    * double-apply.
+    */
+  val TxnFile = "_txn.json"
+
   /** Manifest feature flag: this table records a CHANGE DATA FEED
     * (the Delta `enableChangeDataFeed` table-property analog). See
     * [[writeWithStats]] / [[readChangeFeed]].
@@ -766,7 +780,8 @@ object DataSkipping {
       removedData: Seq[String], markerRetentionMs: Long,
       opStartMs: Long, verbatimMarkers: Set[String] = Set.empty,
       changeData: Option[DataFrame] = None,
-      op: String = "UNKNOWN"): Long = {
+      op: String = "UNKNOWN",
+      txn: Option[(String, Long)] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
@@ -790,6 +805,7 @@ object DataSkipping {
     changeData.foreach(cd =>
       cd.write.parquet(new Path(build, ChangeDataDir).toString))
     writeOpFile(fs, build, op, opStartMs)
+    writeTxnFile(fs, dir, build, txn)
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
     // the copied marker, excluded from `manifestRows`, so an
@@ -880,7 +896,8 @@ object DataSkipping {
       touched: Seq[String], replacement: DataFrame,
       vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long,
       opStartMs: Long, changeData: Option[DataFrame] = None,
-      op: String = "UNKNOWN"): Unit = {
+      op: String = "UNKNOWN",
+      txn: Option[(String, Long)] = None): Unit = {
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     replacement.write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
@@ -936,7 +953,7 @@ object DataSkipping {
       markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
       verbatimMarkers = verbatim,
       changeData = changeData.filter(_ => feats.contains(CdfFeature)),
-      op = op)
+      op = op, txn = txn)
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 
@@ -1092,16 +1109,31 @@ object DataSkipping {
     * (update-all semantics). The source must carry exactly the
     * table's columns (any order). Returns (matched source keys,
     * inserted source keys).
+    *
+    * IDEMPOTENT WRITES (`txn = Some(appId -> version)`, the Delta
+    * `txnAppId`/`txnVersion` analog): if the table's [[txnVersion]]
+    * for `appId` is already >= `version`, the whole merge is SKIPPED
+    * (returns (0, 0)) — an at-least-once writer replaying a batch
+    * whose merge committed but whose own offset didn't cannot
+    * double-apply. On commit the stamp lands in the generation's
+    * [[TxnFile]] atomically with the merged rows and is carried
+    * forward by every later generation.
     */
   def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): (Long, Long) = {
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    val replayed = txn.exists { case (app, v) =>
+      readSidecarIn(fs, dir, TxnFile)
+        .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
+    }
+    if (replayed) return (0L, 0L)
     val schema = tableSchemaIn(spark, path, dir)
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"key column $k is not in the table schema ${schema.simpleString}"))
@@ -1197,7 +1229,7 @@ object DataSkipping {
           }
         rewriteFiles(spark, fs, path, dir, stats, schema, files, replacement,
           vacuum, retentionMs, markerRetentionMs, opStart, changes,
-          op = "MERGE")
+          op = "MERGE", txn = txn)
         (matchedKeys, srcCount - matchedKeys)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -1210,6 +1242,77 @@ object DataSkipping {
     try out.write(s"""{"operation":"$op","ts":$opStartMs}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  // JSON string escaping for txn app ids (paths may hold quotes or
+  // backslashes on exotic filesystems; everything else in the map is
+  // a number)
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonUnescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case c => b.append(c); i += 2
+        }
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  private def txnMapToJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (a, v) => s""""${jsonEscape(a)}":$v""" }
+      .mkString("{", ",", "}")
+
+  // Entries are `"escaped-app-id":version`; the app id may contain
+  // escaped quotes, so split on `":` boundaries, not bare commas.
+  private def txnMapFromJson(json: String): Map[String, Long] =
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?\\d+)".r
+      .findAllMatchIn(json)
+      .map(m => jsonUnescape(m.group(1)) -> m.group(2).toLong)
+      .toMap
+
+  /** The generation's idempotent-writer map (see [[TxnFile]]):
+    * previous generation's map carried forward, merged with this
+    * op's stamp (a replayed version never lowers the watermark —
+    * `max` keeps the map monotonic per app id).
+    */
+  private def writeTxnFile(fs: org.apache.hadoop.fs.FileSystem,
+      prevDir: String, build: Path, txn: Option[(String, Long)]): Unit = {
+    val prev = readSidecarIn(fs, prevDir, TxnFile)
+      .map(txnMapFromJson).getOrElse(Map.empty)
+    val merged = txn.fold(prev) { case (app, v) =>
+      prev.updated(app, prev.get(app).fold(v)(_ max v))
+    }
+    if (merged.nonEmpty) {
+      val out = fs.create(new Path(build, TxnFile), true)
+      try out.write(txnMapToJson(merged)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Last transaction version stamped for `appId` on this table, or
+    * None if the app never committed here — the idempotent-replay
+    * check (Delta's `txnVersion(appId)`). O(1): one sidecar read of
+    * the current generation.
+    */
+  def txnVersion(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSidecarIn(fs, manifestDirOf(fs, path), TxnFile)
+      .flatMap(j => txnMapFromJson(j).get(appId))
   }
 
   /** `<table-root-relative path>\t<removedAtMillis>` lines. */

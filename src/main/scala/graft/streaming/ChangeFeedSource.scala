@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -65,10 +66,28 @@ private[streaming] object CdfVersionOffset {
   * generation has been VACUUMED (the consumer lagged past the
   * retention window) fails LOUDLY rather than delivering silence —
   * the same contract as [[StatsTableSource]]'s expired markers.
+  *
+  * ADMISSION CONTROL ([[SupportsTriggerAvailableNow]]): the source
+  * answers the engine's `latestOffset(start, limit)` directly, so
+  *  - `Trigger.AvailableNow` runs the REAL multi-batch drain (end
+  *    pinned once at query start by [[prepareForTriggerAvailableNow]])
+  *    instead of the lossy single-batch fallback the engine warns
+  *    about for plain v1 sources — batch boundaries are deterministic
+  *    under load, and an uncommitted batch left by a crash cannot
+  *    stop new data from being processed in the same run;
+  *  - `maxVersionsPerTrigger` (default 128) caps the COMMITTED
+  *    versions per micro-batch, so a `startingVersion=0` replay over
+  *    a deep history planes out as bounded batches instead of one
+  *    O(versions)-ary union plan.
   */
 final class ChangeFeedSource(
     sqlContext: SQLContext, path: String, metadataPath: String,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Int = ChangeFeedSource.DefaultMaxVersionsPerTrigger)
+  extends Source with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger > 0,
+    s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -115,13 +134,59 @@ final class ChangeFeedSource(
     finally in.close()
   }
 
+  /** Highest committed version, floored at "delivered nothing yet"
+    * (`firstVersion - 1`) so a fresh stream on a DML-free table has a
+    * stable offset. One small generation-dir listing.
+    */
+  private def latestVersion: Long =
+    DataSkipping.tableVersions(spark, path).maxOption
+      .getOrElse(firstVersion - 1).max(firstVersion - 1)
+
+  /** End version pinned by [[prepareForTriggerAvailableNow]]: under
+    * `Trigger.AvailableNow` every `latestOffset` answer is capped
+    * here, so the run drains exactly the data that existed at query
+    * start and then terminates — DML landing mid-run waits for the
+    * next run.
+    */
+  @volatile private var availableNowCeiling: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxVersionsPerTrigger)
+
+  /** Admission control: advance at most `limit` COMMITTED versions
+    * past `startOffset` (a `ReadMaxFiles` counts versions here — one
+    * generation = one logical commit). When the remaining committed
+    * versions all fit, the offset jumps straight to the ceiling so
+    * trailing no-change versions (appends, compaction) are absorbed
+    * without an extra empty batch.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset).map(CdfVersionOffset.from(_).version)
+      .getOrElse(firstVersion - 1)
+    val ceiling = availableNowCeiling.getOrElse(latestVersion).max(start)
+    val end = limit match {
+      case mf: ReadMaxFiles =>
+        val pending = DataSkipping.tableVersions(spark, path)
+          .filter(v => v > start && v <= ceiling)
+        if (pending.length <= mf.maxFiles()) ceiling
+        else pending(mf.maxFiles() - 1)
+      case _ => ceiling
+    }
+    CdfVersionOffset(end)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = CdfVersionOffset(latestVersion)
+
   // Offset even when nothing is pending (the engine diffs
   // consecutive offsets; equal case-class values fire no batch).
-  // firstVersion - 1 = "delivered nothing yet".
+  // firstVersion - 1 = "delivered nothing yet". Retained for engines
+  // that drive the plain v1 path; admission-control engines call
+  // latestOffset above instead.
   override def getOffset: Option[Offset] =
-    Some(CdfVersionOffset(
-      DataSkipping.tableVersions(spark, path).maxOption
-        .getOrElse(firstVersion - 1).max(firstVersion - 1)))
+    Some(CdfVersionOffset(latestVersion))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(o => CdfVersionOffset.from(o).version + 1)
@@ -184,8 +249,18 @@ final class ChangeFeedSource(
   override def toString: String = s"ChangeFeedSource[$path]"
 }
 
+object ChangeFeedSource {
+  /** Default cap on committed versions per micro-batch: bounds the
+    * per-batch union plan (and task count) when replaying a deep
+    * history, while letting steady-state maintenance (a handful of
+    * versions per refresh) still drain in one batch.
+    */
+  val DefaultMaxVersionsPerTrigger = 128
+}
+
 /** `spark.readStream.format(classOf[ChangeFeedSourceProvider].getName)
-  * .option("path", table)[.option("startingVersion", n)].load()`.
+  * .option("path", table)[.option("startingVersion", n)]
+  * [.option("maxVersionsPerTrigger", n)].load()`.
   */
 final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -215,5 +290,7 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext, path(parameters), metadataPath,
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt)
+        .getOrElse(ChangeFeedSource.DefaultMaxVersionsPerTrigger))
 }

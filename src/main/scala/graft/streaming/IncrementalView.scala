@@ -16,15 +16,21 @@ import org.apache.spark.sql.types.DecimalType
   * The view is itself a stats table keyed on the group column, so
   * downstream reads prune on it and the merge arithmetic reuses the
   * storage layer's own MERGE. Maintenance is a change-feed stream
-  * ([[ChangeFeedSource]]) drained with `Trigger.AvailableNow` into
+  * ([[ChangeFeedSource]], which implements the AvailableNow-correct
+  * multi-batch drain) drained with `Trigger.AvailableNow` into
   * `foreachBatch`: per batch, each change row contributes its value
   * with weight +1 (`insert` / `update_postimage`) or -1 (`delete` /
-  * `update_preimage`), the per-group deltas join the view's CURRENT
-  * rows for exactly the affected keys (pruned read), groups whose
-  * count reaches zero are DELETEd from the view, and the rest MERGE
-  * in. A group-key-changing UPDATE migrates between groups for free
-  * — the preimage debits the old group, the postimage credits the
-  * new one.
+  * `update_preimage`), the per-group deltas re-aggregate with the
+  * view's CURRENT rows for exactly the affected keys, and the result
+  * MERGEs in as ONE atomic generation commit. A group-key-changing
+  * UPDATE migrates between groups for free — the preimage debits the
+  * old group, the postimage credits the new one. A group emptied by
+  * deletes folds to a `(sum 0, cnt 0)` TOMBSTONE row: keeping the
+  * fold a single DML op is what makes every crash point replay-safe
+  * (a delete-then-merge pair has a torn middle state no replay can
+  * distinguish), and the read surface filters `cnt != 0`, so
+  * tombstones are invisible. Later credits to the group resume from
+  * the tombstone exactly.
   *
   * Sums are DECIMAL (value cast to `(20,6)`, accumulated at
   * `(30,6)`): decimal arithmetic is exact and associative, so the
@@ -32,27 +38,51 @@ import org.apache.spark.sql.types.DecimalType
   * recompute — a float sum would drift with fold order and make the
   * view unverifiable against its own definition.
   *
-  * Exactly-once: the feed's version offsets live in `checkpoint`; a
-  * maintenance run that crashes after folding but before the offset
-  * commit replays the same immutable versions into the same MERGE —
-  * re-running [[maintainSumCount]] with no new DML is a no-op. The
-  * BOOTSTRAP aggregates the frozen snapshot `readSkippingAt(base,
-  * V)` of the CURRENT version V and pins the feed at `V + 1`
-  * (version boundaries make "exactly the changes after the
-  * snapshot" well-defined — no double-count window even if DML
-  * lands mid-bootstrap). Single maintainer per view, like all
-  * storage maintenance ops.
+  * Exactly-once, at EVERY crash point:
+  *  - The feed's version offsets live in `checkpoint`; a replayed
+  *    micro-batch re-reads the same immutable versions under the
+  *    SAME deterministic batch id.
+  *  - The fold is IDEMPOTENT, not merely additive: each batch's
+  *    MERGE carries `txn = (viewAppId, batchId)` — the Delta
+  *    `txnAppId`/`txnVersion` shape — stamped into the view
+  *    generation atomically with the merged rows
+  *    ([[DataSkipping.TxnFile]]). A batch whose MERGE committed but
+  *    whose offset commit was lost (foreachBatch's classic crash
+  *    window) replays as a detected no-op inside
+  *    [[DataSkipping.mergeUpsert]] itself.
+  *  - The BOOTSTRAP aggregates the frozen snapshot
+  *    `readSkippingAt(base, V)` of the CURRENT version V and pins the
+  *    feed at `V + 1` (version boundaries make "exactly the changes
+  *    after the snapshot" well-defined — no double-count window even
+  *    if DML lands mid-bootstrap).
+  *  Single maintainer per view, like all storage maintenance ops.
+  *
+  * Scale shape: nothing in the fold touches the driver beyond two
+  * scalar envelope values — the delta is a distributed aggregate of
+  * the batch, the view's affected rows are read via stats-pruned
+  * scan (group-key envelope, O(1) driver data) plus a BROADCAST
+  * semi-join against the delta's keys, and the new values come from
+  * one hash re-aggregation of (current ∪ delta) — no key list is
+  * ever collected, no `IN` literal enters any plan, no join keys a
+  * 100 TB-scale group cardinality could overwhelm.
   */
 object IncrementalView {
 
   private val SumType = DecimalType(30, 6)
   private val CastType = DecimalType(20, 6)
 
+  /** Transaction app id stamped into the view's generations: one
+    * maintainer per view by contract, so the view path itself is the
+    * unique id. `private[streaming]` for the crash-window spec.
+    */
+  private[streaming] def viewAppId(viewTable: String): String =
+    s"graft-incremental-view:$viewTable"
+
   /** Bootstrap (first call) or incrementally refresh (every later
     * call) the `sum(valueCol)/count(*) GROUP BY groupCol` view of
     * `baseTable` at `viewTable`. The base table must have its change
     * feed enabled. Returns the view as a DataFrame (pruned-read
-    * surface).
+    * surface; zero-count tombstone groups are filtered out).
     */
   def maintainSumCount(spark: SparkSession, baseTable: String,
       viewTable: String, groupCol: String, valueCol: String,
@@ -89,21 +119,38 @@ object IncrementalView {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldBatch(spark, viewTable, groupCol, valueCol, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(spark, viewTable, groupCol, valueCol, batch, batchId)
       }
       .start()
     q.awaitTermination()
+    readView(spark, viewTable, groupCol)
+  }
+
+  /** The view's visible rows: stats-table pruned read minus the
+    * zero-count tombstones dead groups leave behind (see class doc).
+    */
+  def readView(spark: SparkSession, viewTable: String,
+      groupCol: String): DataFrame =
     DataSkipping.readSkipping(spark, viewTable,
       col(groupCol).isNotNull || col(groupCol).isNull)
-  }
+      .filter(col("cnt") =!= 0L)
 
   /** Fold one feed micro-batch (possibly spanning several versions —
     * signed deltas are additive, so composition is free) into the
-    * view.
+    * view as ONE idempotent MERGE. `private[streaming]` so the crash
+    * window (merge committed, offset lost → replay with the same
+    * batchId) is directly testable.
     */
-  private def foldBatch(spark: SparkSession, viewTable: String,
-      groupCol: String, valueCol: String, batch: DataFrame): Unit = {
+  private[streaming] def foldBatch(spark: SparkSession, viewTable: String,
+      groupCol: String, valueCol: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val appId = viewAppId(viewTable)
+    // replayed batch (merge committed, offset commit lost): skip the
+    // whole fold up front — mergeUpsert would detect it too, but
+    // there's no reason to recompute the delta first
+    if (DataSkipping.txnVersion(spark, viewTable, appId).exists(_ >= batchId))
+      return
     val debit = col(DataSkipping.ChangeTypeCol)
       .isin("delete", "update_preimage")
     val signedVal = when(debit, -col(valueCol).cast(CastType))
@@ -113,26 +160,33 @@ object IncrementalView {
       sum(when(debit, -1L).otherwise(1L)).as("__d_cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val keys = delta.select(groupCol).collect().map(_.get(0))
-      if (keys.nonEmpty) {
-        val current = DataSkipping.readSkipping(spark, viewTable,
-          col(groupCol).isin(keys.toSeq: _*))
-        val merged = delta.join(current, Seq(groupCol), "left")
-          .select(col(groupCol),
-            (coalesce(col("sum_value"), lit(0).cast(SumType)) +
-              col("__d_sum")).cast(SumType).as("sum_value"),
-            (coalesce(col("cnt"), lit(0L)) + col("__d_cnt")).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val dead = merged.filter(col("cnt") === 0L)
-            .select(groupCol).collect().map(_.get(0))
-          // a group emptied by deletes leaves the view entirely
-          if (dead.nonEmpty)
-            DataSkipping.deleteWhere(spark, viewTable,
-              col(groupCol).isin(dead.toSeq: _*))
-          DataSkipping.mergeUpsert(spark, viewTable,
-            merged.filter(col("cnt") =!= 0L), Seq(groupCol))
-        } finally merged.unpersist()
+      if (!delta.isEmpty) {
+        // group-key envelope of the delta: two scalars to the driver,
+        // prunes the view read to the affected key range via file
+        // stats (null group keys ride along — min/max ignore them)
+        val env = delta.agg(min(col(groupCol)), max(col(groupCol))).head()
+        val inRange =
+          if (env.isNullAt(0)) col(groupCol).isNull
+          else col(groupCol).between(lit(env.get(0)), lit(env.get(1))) ||
+            col(groupCol).isNull
+        // ... then exact affected-group selection by BROADCAST
+        // semi-join against the (batch-bounded) delta keys — never a
+        // collected key list, never an IN literal
+        val current = DataSkipping.readSkipping(spark, viewTable, inRange)
+          .join(broadcast(delta.select(col(groupCol))), Seq(groupCol),
+            "left_semi")
+        // new value = one hash re-aggregation of (current ∪ delta):
+        // existing groups contribute their current row, new groups
+        // only their delta, emptied groups fold to a (0, 0) tombstone
+        val merged = current
+          .select(col(groupCol), col("sum_value").as("__d_sum"),
+            col("cnt").as("__d_cnt"))
+          .unionByName(delta)
+          .groupBy(col(groupCol)).agg(
+            sum(col("__d_sum")).cast(SumType).as("sum_value"),
+            sum(col("__d_cnt")).as("cnt"))
+        DataSkipping.mergeUpsert(spark, viewTable, merged, Seq(groupCol),
+          txn = Some(viewAppId(viewTable) -> batchId))
       }
     } finally delta.unpersist()
   }

@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
@@ -19,8 +20,17 @@ import org.apache.spark.sql.types.StructType
   * exactly the structure that makes replay deterministic anyway.
   */
 private[streaming] case class StatsCommitOffset(commits: Seq[String]) extends Offset {
+  // Sorted in json AND in equality terms: the engine compares
+  // consecutive offsets by case-class equality to decide whether a
+  // batch fires, and a filesystem listing carries no order contract.
+  private val normalized: Seq[String] = commits.sorted
   override def json: String =
-    commits.sorted.map(c => "\"" + c + "\"").mkString("{\"commits\":[", ",", "]}")
+    normalized.map(c => "\"" + c + "\"").mkString("{\"commits\":[", ",", "]}")
+  override def equals(o: Any): Boolean = o match {
+    case s: StatsCommitOffset => normalized == s.commits.sorted
+    case _ => false
+  }
+  override def hashCode(): Int = normalized.hashCode()
 }
 
 private[streaming] object StatsCommitOffset {
@@ -87,9 +97,24 @@ private[streaming] object StatsCommitOffset {
   * files the DML op touched fold to zero-row. Rewrites themselves
   * are never re-streamed (the Delta skipChangeCommits analog —
   * already-delivered rows are not retracted).
+  *
+  * ADMISSION CONTROL ([[SupportsTriggerAvailableNow]]): the source
+  * answers `latestOffset(start, limit)` directly, so
+  * `Trigger.AvailableNow` runs the real multi-batch drain (marker
+  * set pinned once at query start) instead of the lossy
+  * single-batch fallback, and `maxCommitsPerTrigger` (default 128)
+  * caps the named commits admitted per micro-batch — a backlogged
+  * consumer catches up in bounded batches (bounded manifest reads,
+  * bounded file-status lists) instead of one batch holding the whole
+  * backlog.
   */
 final class StatsTableSource(
-    sqlContext: SQLContext, path: String) extends Source {
+    sqlContext: SQLContext, path: String,
+    maxCommitsPerTrigger: Int = StatsTableSource.DefaultMaxCommitsPerTrigger)
+  extends Source with SupportsTriggerAvailableNow {
+
+  require(maxCommitsPerTrigger > 0,
+    s"maxCommitsPerTrigger must be positive, got $maxCommitsPerTrigger")
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -110,11 +135,49 @@ final class StatsTableSource(
       .map(_.stripSuffix(".parquet"))
   }
 
+  /** Marker set pinned by [[prepareForTriggerAvailableNow]]: under
+    * `Trigger.AvailableNow` the run drains exactly the commits that
+    * existed at query start, then terminates; commits landing mid-run
+    * wait for the next run.
+    */
+  @volatile private var availableNowCeiling: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(markerNames().toSet)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxCommitsPerTrigger)
+
+  /** Admission control: admit at most `limit` NEW named commits past
+    * `startOffset` (a `ReadMaxFiles` counts commit markers here —
+    * one marker = one logical commit). Deterministic order: new
+    * marker names sorted, first N. The initial-snapshot batch (fresh
+    * consumer, null start) is not capped below its first offset —
+    * snapshot semantics need the whole current marker set in one
+    * consistent batch.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset)
+      .map(StatsCommitOffset.from(_).commits.toSet).getOrElse(Set.empty[String])
+    val ceiling = availableNowCeiling.getOrElse(markerNames().toSet)
+    val fresh = (ceiling -- start).toSeq.sorted
+    val admitted = (Option(startOffset), limit) match {
+      case (Some(_), mf: ReadMaxFiles) => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    StatsCommitOffset((start ++ admitted).toSeq.sorted)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    StatsCommitOffset(markerNames().sorted)
+
   // Always an offset (possibly the empty set) once the table exists:
   // the INITIAL SNAPSHOT batch must fire even on a fully-compacted
   // table whose markers have all expired — `None` here would mean
   // "no data ever", and the engine would never call getBatch. Equal
-  // consecutive offsets (case-class equality) trigger no new batch.
+  // consecutive offsets (sorted-set equality) trigger no new batch.
+  // Retained for engines driving the plain v1 path; admission-control
+  // engines call latestOffset above instead.
   override def getOffset: Option[Offset] =
     Some(StatsCommitOffset(markerNames()))
 
@@ -177,8 +240,18 @@ final class StatsTableSource(
   override def toString: String = s"StatsTableSource[$path]"
 }
 
+object StatsTableSource {
+  /** Default cap on named commits per micro-batch: bounds marker
+    * reads and file-status lists for a backlogged consumer while
+    * letting ingest-cadence streams (a few commits per trigger)
+    * drain in one batch.
+    */
+  val DefaultMaxCommitsPerTrigger = 128
+}
+
 /** `spark.readStream.format(classOf[StatsTableSourceProvider].getName)
-  * .option("path", table).load()` — the registration glue.
+  * .option("path", table)[.option("maxCommitsPerTrigger", n)].load()`
+  * — the registration glue.
   */
 final class StatsTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -203,5 +276,7 @@ final class StatsTableSourceProvider extends StreamSourceProvider with DataSourc
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new StatsTableSource(sqlContext, path(parameters))
+    new StatsTableSource(sqlContext, path(parameters),
+      parameters.get("maxCommitsPerTrigger").map(_.toInt)
+        .getOrElse(StatsTableSource.DefaultMaxCommitsPerTrigger))
 }

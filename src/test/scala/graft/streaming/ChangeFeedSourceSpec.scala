@@ -152,6 +152,52 @@ class ChangeFeedSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("no longer retained")))
   }
 
+  test("a deep history drains in bounded batches (maxVersionsPerTrigger) with exactly-once delivery") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("cdfsrc_deep") + "/t"
+    val outDir = tmpDir("cdfsrc_deep_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_deep_ckpt")
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .coalesce(2),
+      table, Seq("id"), bloomCols = Nil, changeFeed = true)
+    // 50 DML versions, two deleted rows each
+    (0L until 50L).foreach { k =>
+      assert(DataSkipping.deleteWhere(s, table,
+        col("id") === 2 * k || col("id") === 2 * k + 1,
+        vacuum = false) === 2L)
+    }
+    assert(DataSkipping.tableVersions(s, table).size === 51)
+
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", table)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "8")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        rows.addAndGet(b.count())
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    // ceil(50 / 8) = 7 bounded batches — the O(versions) union plan a
+    // single batch would build is capped at 8 frames
+    assert(batches.get() === 7, s"expected 7 bounded batches, got ${batches.get()}")
+    assert(rows.get() === 100L)
+    val delivered = s.read.parquet(outDir)
+    assert(delivered.count() === 100L, "every change row exactly once")
+    assert(delivered.select("_commit_version").distinct().count() === 50L)
+    assert(delivered.select("id").distinct().count() === 100L)
+  }
+
   test("a feed-less table is refused at stream construction") {
     val s = spark
     import s.implicits._

@@ -263,4 +263,47 @@ class StatsTableSourceSpec extends SparkSpec {
       col("id") < 10L)
     assert(kept.size < all.size, "silver must prune like any stats table")
   }
+
+  test("a commit backlog drains in bounded batches (maxCommitsPerTrigger) with exactly-once delivery") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_backlog") + "/t"
+    val outDir = tmpDir("stsrc_backlog_out") + "/o"
+    val ckpt = tmpDir("stsrc_backlog_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    // establish the consumer first (the initial-snapshot batch is
+    // deliberately uncapped — snapshot semantics need one consistent
+    // batch), then build the backlog it must catch up on
+    def drainCapped(): Int = {
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream
+        .format(classOf[StatsTableSourceProvider].getName)
+        .option("path", table)
+        .option("maxCommitsPerTrigger", "5")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.incrementAndGet()
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      batches.get()
+    }
+    drainCapped() // fresh consumer, empty table: offset established
+    (0 until 20).foreach { k =>
+      assert(DataSkipping.appendWithStats(
+        (k * 10L until (k + 1) * 10L).map(i => (i, i * 2)).toDF("id", "v")
+          .coalesce(1),
+        table, Seq("id"), commitName = Some(f"backlog-$k%03d")))
+    }
+    // 20 owed commits / 5 per trigger = 4 bounded batches
+    assert(drainCapped() === 4,
+      "a 20-commit backlog at maxCommitsPerTrigger=5 must drain in 4 batches")
+    val ids = s.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 200L).toSeq,
+      "capped batches must deliver every commit exactly once")
+  }
 }
