@@ -572,7 +572,7 @@ object DataSkipping {
         // the mixed-schema mis-pruning the statsCols check forbids.
         // Legacy tables are upgraded wholesale by compactTable.
         val feats = manifestFeatures(fs, dir)
-        statsFor(spark.read.schema(schema).parquet(moved: _*),
+        statsFor(statusScan(spark, path, schema, statusesFor(fs, moved)),
           statsCols, withNulls = feats.contains("nulls"), bloom = bloomFeature(feats))
       }
       else readManifestIn(spark, dir).limit(0) // zero-row marker
@@ -724,14 +724,19 @@ object DataSkipping {
     // target file count, staged hidden, then moved in — invisible to
     // manifest readers until the generation commit below
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
-    val snapshot = spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
+    // legacy manifests may lack mod_time — fall back to a path-list
+    // read there; status-carrying ones plan through ManifestFileIndex
+    val snapshot =
+      if (stats.columns.contains("mod_time"))
+        statusScan(spark, path, schema, statusesOf(stats))
+      else spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
     snapshot.coalesce(target).write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
     // the rewrite always emits null counts (the legacy→v2 upgrade
     // moment) and preserves the table's bloom configuration
     val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
     val newStats = statsFor(
-      spark.read.schema(schema).parquet(moved: _*),
+      statusScan(spark, path, schema, statusesFor(fs, moved)),
       statsCols, withNulls = true, bloom = bloomCfg)
     val movedNames = moved.map(p => new Path(p).getName).toSet
     val replacedData = old.map(r => new Path(r.getString(0)).getName)
@@ -849,37 +854,86 @@ object DataSkipping {
   // Row-level DML: DELETE / UPDATE / MERGE (copy-on-write)
   // -----------------------------------------------------------------
 
+  /** (path, size, mtime) statuses of the manifest rows in `rows` —
+    * the only driver-side materialization in the DML path (the
+    * Delta-snapshot pattern: O(selected files) triples, never the
+    * all-files list unless the op itself is unprunable).
+    */
+  private def statusesOf(rows: DataFrame): Seq[FileStatusWithMetadata] =
+    rows.select(col("file"), col("file_size"), col("mod_time"))
+      .collect().map { r =>
+        FileStatusWithMetadata(new FileStatus(
+          r.getLong(1), false, 1, 128L * 1024 * 1024, r.getLong(2),
+          new Path(r.getString(0))))
+      }.toSeq
+
+  /** Statuses for files this op just WROTE (staged + moved in): one
+    * driver-side stat per file — the same calls a path-list read's
+    * InMemoryFileIndex would make, without also baking an O(files)
+    * path list into the relation.
+    */
+  private def statusesFor(fs: org.apache.hadoop.fs.FileSystem,
+      paths: Seq[String]): Seq[FileStatusWithMetadata] =
+    paths.map(p => FileStatusWithMetadata(fs.getFileStatus(new Path(p))))
+
+  /** Scan exactly `statuses` of `path`'s data files through a
+    * [[ManifestFileIndex]]: planning serves the recorded statuses
+    * straight to the parquet reader — no per-file path list in the
+    * plan, no listing, no footer reads. Every DML-internal scan
+    * (candidate probe, touched-row rewrite, CDF images, compaction
+    * snapshot) goes through here, so an UNPRUNABLE op (whole-table
+    * MERGE) plans one relation, not an O(files)-ary path literal —
+    * the same rebuild the read path ([[readSkippingIn]]) got.
+    */
+  private def statusScan(spark: SparkSession, path: String,
+      schema: StructType, statuses: Seq[FileStatusWithMetadata]): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.baseRelationToDataFrame(HadoopFsRelation(
+      new ManifestFileIndex(new Path(path), statuses),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(classic))
+  }
+
   /** Candidate files that actually contain rows where `cond` is TRUE,
     * with their match counts: ONE distributed scan of just the
     * candidate subset; only a (file, count) row per touched file
     * reaches the driver.
     */
-  private def touchedFiles(spark: SparkSession, schema: StructType,
-      candidates: Seq[String], cond: Column): Seq[(String, Long)] =
-    if (candidates.isEmpty) Seq.empty
-    else spark.read.schema(schema).parquet(candidates: _*)
-      .select(col("_metadata.file_path").as("__file"), cond.as("__hit"))
-      .filter(col("__hit"))
-      .groupBy("__file").agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+  private def touchedFiles(candScan: Option[DataFrame],
+      cond: Column): Seq[(String, Long)] =
+    candScan.fold(Seq.empty[(String, Long)])(
+      _.select(col("_metadata.file_path").as("__file"), cond.as("__hit"))
+        .filter(col("__hit"))
+        .groupBy("__file").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
 
   /** Shared DELETE/UPDATE preamble: plan the skip, require a
-    * status-carrying manifest, collect the candidate file list, and
-    * find the actually-touched files under TRUE-only hit semantics
-    * (NULL neither deletes nor updates). Returns the already-loaded
-    * manifest frame, table schema, coalesced hit predicate, and the
-    * touched (file, matches) pairs.
+    * status-carrying manifest, materialize the candidate statuses,
+    * and find the actually-touched files under TRUE-only hit
+    * semantics (NULL neither deletes nor updates). Returns the
+    * already-loaded manifest frame, table schema, coalesced hit
+    * predicate, the touched (file, matches) pairs, and a scan of
+    * exactly the touched files for the rewrite.
     */
   private def pruneAndTouch(spark: SparkSession, path: String,
       dir: String, predicate: Column, op: String)
-      : (DataFrame, StructType, Column, Seq[(String, Long)]) = {
+      : (DataFrame, StructType, Column, Seq[(String, Long)], DataFrame) = {
     val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
     require(stats.columns.contains("file_size"),
       s"$op needs a size-carrying manifest (rewrite with writeWithStats)")
-    val candidates = stats.filter(skip).select("file")
-      .collect().map(_.getString(0)).toSeq
+    val candStatuses = statusesOf(stats.filter(skip))
+    val candScan =
+      if (candStatuses.isEmpty) None
+      else Some(statusScan(spark, path, schema, candStatuses))
     val hit = coalesce(predicate, lit(false))
-    (stats, schema, hit, touchedFiles(spark, schema, candidates, hit))
+    val touched = touchedFiles(candScan, hit)
+    val touchedSet = touched.map(_._1).toSet
+    val touchedScan = statusScan(spark, path, schema,
+      candStatuses.filter(s => touchedSet(s.getPath.toString)))
+    (stats, schema, hit, touched, touchedScan)
   }
 
   /** The copy-on-write commit shared by the row-level DML ops: stage
@@ -941,7 +995,8 @@ object DataSkipping {
     val rows =
       if (moved.isEmpty) carried
       else carried.unionByName(
-        statsFor(spark.read.schema(schema).parquet(moved: _*), statsCols,
+        statsFor(statusScan(spark, path, schema, statusesFor(fs, moved)),
+          statsCols,
           withNulls = feats.contains("nulls"), bloom = bloomFeature(feats)),
         allowMissingColumns = true)
     val manifestSchema = readSidecar(spark, dir, ManifestSchemaFile)
@@ -998,20 +1053,20 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched) =
+    val (manifest, schema, hit, touched, touchedScan) =
       pruneAndTouch(spark, path, dir, predicate, "deleteWhere")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
     }
     val files = touched.map(_._1)
-    val keep = spark.read.schema(schema).parquet(files: _*).filter(!hit)
+    val keep = touchedScan.filter(!hit)
     // CDF: the deleted rows themselves, one extra scan of ONLY the
     // touched files (bounded by the delete's selectivity, not the
     // table)
     val changes =
       if (!cdfEnabled(fs, dir)) None
-      else Some(spark.read.schema(schema).parquet(files: _*).filter(hit)
+      else Some(touchedScan.filter(hit)
         .withColumn(ChangeTypeCol, lit("delete")))
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, keep,
       vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE")
@@ -1037,7 +1092,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched) =
+    val (manifest, schema, hit, touched, touchedScan) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhere")
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty,
@@ -1063,7 +1118,7 @@ object DataSkipping {
           case None => col(f.name)
         }
       }: _*)
-    def scanTouched = spark.read.schema(schema).parquet(files: _*)
+    def scanTouched = touchedScan
     val updated = applySet(scanTouched, onlyWhere = Some(hit))
     // CDF: pre- and post-image of exactly the TRUE-predicate rows
     // (Delta's update_preimage/update_postimage pair). Two extra
@@ -1179,8 +1234,7 @@ object DataSkipping {
             else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
           }.reduce(_ && _)
         }
-      val candidates = stats.filter(skip).select("file")
-        .collect().map(_.getString(0)).toSeq
+      val candStatuses = statusesOf(stats.filter(skip))
       // 2. TOUCH — ONE scan of the candidates, inner-joined to the
       // (unique, so duplication-free) source keys; the narrow matched
       // frame (keys + file) is kept for BOTH aggregates — per-file
@@ -1188,8 +1242,8 @@ object DataSkipping {
       // scanning the touched files a second time
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
       val matched: Option[DataFrame] =
-        if (candidates.isEmpty) None
-        else Some(spark.read.schema(schema).parquet(candidates: _*)
+        if (candStatuses.isEmpty) None
+        else Some(statusScan(spark, path, schema, candStatuses)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
           .join(srcKeys, keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1198,12 +1252,15 @@ object DataSkipping {
           _.groupBy("__file").agg(count(lit(1)).as("__n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
         val files = touched.map(_._1)
+        val touchedSet = files.toSet
+        def touchedScan = statusScan(spark, path, schema,
+          candStatuses.filter(s => touchedSet(s.getPath.toString)))
         val matchedKeys = matched.fold(0L)(
           _.select(keyCols.map(col): _*).distinct().count())
         // 3. REWRITE
         val replacement =
           if (files.isEmpty) src
-          else spark.read.schema(schema).parquet(files: _*)
+          else touchedScan
             .join(srcKeys, keyCols, "left_anti")
             .unionByName(src)
         // CDF: matched target rows are the update preimages (every
@@ -1217,7 +1274,7 @@ object DataSkipping {
               _.select(keyCols.map(col): _*).distinct())
             val pre =
               if (files.isEmpty) src.limit(0)
-              else spark.read.schema(schema).parquet(files: _*)
+              else touchedScan
                 .join(srcKeys, keyCols, "semi")
             val post = matchedKeyDf.fold(src.limit(0))(
               k => src.join(k, keyCols, "semi"))

@@ -1012,4 +1012,74 @@ class DataSkippingSpec extends SparkSpec {
     assert(feed.filter(col("_commit_version") === 2L &&
       col("score") === col("id") * 2).count() === 10L)
   }
+
+  test("an unprunable whole-table MERGE plans its scans through ManifestFileIndex, never an O(files) path list") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // 16 files, keys interleaved so EVERY file is a candidate AND
+    // touched — the worst case the DML scan path must survive at
+    // 100 TB without materializing a per-file path list in any plan
+    val df = (0L until 1600L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(16)
+    DataSkipping.writeWithStats(df, dir, Seq("id"))
+
+    val tableScans = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.datasources.FileIndex]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // walk THROUGH adaptive wrappers, query stages and cached
+      // relations — file scans hide inside all three
+      private def locations(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.FileIndex] =
+        p.flatMap {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f.relation.location)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            locations(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            locations(q.plan)
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            locations(c.relation.cachedPlan)
+          case _ => Nil
+        }.toSeq
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        locations(qe.executedPlan)
+          // only scans of the TABLE's data files (manifest-dir reads
+          // hold a handful of stats parts and stay path-listed)
+          .filter(_.rootPaths.exists(p =>
+            p.toString.contains(dir) &&
+              !p.toString.contains(DataSkipping.StatsDir)))
+          .foreach(tableScans.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      // every key matched: no file prunes, every file rewrites
+      val (matchedK, insertedK) = DataSkipping.mergeUpsert(s, dir,
+        (0L until 1600L).map(i => (i, s"m$i")).toDF("id", "payload"),
+        Seq("id"))
+      assert(matchedK === 1600L && insertedK === 0L)
+      // listener delivery is async — poll until the candidate scan
+      // (the 16-file one) has been observed
+      val deadline = System.currentTimeMillis() + 15000
+      def bigScans = tableScans.toArray.toSeq
+        .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FileIndex])
+        .filter(_.inputFiles.length >= 16)
+      while (bigScans.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(bigScans.nonEmpty, "expected at least one whole-table scan")
+      bigScans.foreach { loc =>
+        assert(loc.isInstanceOf[ManifestFileIndex],
+          s"whole-table DML scan must plan through ManifestFileIndex, " +
+            s"got ${loc.getClass.getSimpleName} over ${loc.inputFiles.length} files")
+      }
+    } finally s.listenerManager.unregister(listener)
+    // and the merge is correct: every payload rewritten
+    assert(DataSkipping.readSkipping(s, dir, col("id") >= 0L)
+      .filter(col("payload").startsWith("m")).count() === 1600L)
+  }
 }
