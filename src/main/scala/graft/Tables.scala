@@ -61,9 +61,19 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // shift-free only under UTC — a non-UTC session would silently
+        // move every event timestamp; fail loudly instead
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events casts TIMESTAMP_NTZ assuming " +
+            "spark.sql.session.timeZone=UTC; set it on the session builder")
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected type $other — expected INT64 " +
+          "(nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP; fix the reader " +
+          "instead of letting downstream window/unix_millis consumers " +
+          "fail obscurely")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
