@@ -159,15 +159,22 @@ object Bench {
       s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // FULL record (per-attempt timings, wall-clock starts, calibration
+    // samples) goes to the artifact file; stdout gets a COMPACT line —
+    // the driver's stdout tail buffer truncated the full 81-query line
+    // in r8 ("parsed": null), and everything it needs for the gate is
+    // metric/value/queries/failures. Query minima are rounded to ms in
+    // the compact line (full precision lives in the artifact).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val qsCompact = results.map { case (k, v) =>
+      s"${jstr(k)}:${v.map(dec).getOrElse("null")}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":$qsCompact,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir","full":${jstr(outPath)}}"""
     println(line)
-    // the stdout tail the driver captures has truncated long runs
-    // (r7 lost 25 queries): the SAME JSON goes to a file it can
-    // ingest whole
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () } // stdout already has it
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () } // stdout has the gate line
     spark.stop()
   }
 }
