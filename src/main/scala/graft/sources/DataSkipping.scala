@@ -969,9 +969,15 @@ object DataSkipping {
     // publishGeneration drops it, so its surviving rows must travel
     // in the carried parts instead.
     val tagged = manifest.select(col("*"), col("_metadata.file_path").as("__mfile"))
+    // the touched list rides as a broadcast local relation, not an
+    // O(touched) IN literal — a whole-table MERGE would otherwise
+    // bake every file path into this plan's expression tree
+    val touchedDf = spark.createDataset(touched)(
+      org.apache.spark.sql.Encoders.STRING).toDF("__touched_file")
     val dirtyNames: Set[String] =
       if (touched.isEmpty) Set.empty
-      else tagged.filter(col("file").isin(touched: _*))
+      else tagged.join(broadcast(touchedDf),
+          col("file") === col("__touched_file"), "left_semi")
         .select("__mfile").distinct().collect()
         .map(r => new Path(r.getString(0)).getName).toSet
     val markerCutoff = opStartMs - markerRetentionMs
@@ -985,7 +991,8 @@ object DataSkipping {
     val carried = {
       val minusTouched =
         if (touched.isEmpty) tagged
-        else tagged.filter(!col("file").isin(touched: _*))
+        else tagged.join(broadcast(touchedDf),
+          col("file") === col("__touched_file"), "left_anti")
       val minusVerbatim =
         if (verbatim.isEmpty) minusTouched
         else minusTouched.filter(

@@ -41,15 +41,18 @@ private[streaming] object CdfVersionOffset {
   * the difference between re-reading the table after each merge and
   * shipping just the deltas.
   *
-  * Mechanics: `getOffset` resolves the highest committed generation
-  * (one small listing of `_graft_stats` — no data-file listing);
-  * `getBatch` reads the `_change_data` dirs of exactly the versions
-  * in `(start, end]`, each through the stream's schema (older
-  * generations' narrower change files surface nulls for later
-  * columns) with `_commit_version` stamped per version. Versions
-  * without change data (appends, compaction, Z-ORDER) contribute
-  * nothing — consume appends through [[StatsTableSource]], exactly
-  * the Delta split between insert-only commits and CDC commits.
+  * Mechanics: offset resolution is one small listing of
+  * `_graft_stats` (no data-file listing); `getBatch` reads the
+  * `_change_data` dirs of exactly the versions in `(start, end]` as
+  * ONE [[graft.sources.ManifestFileIndex]]-served relation through
+  * the stream's schema (older generations' narrower change files
+  * surface nulls for later columns), recovering each row's
+  * `_commit_version` from the generation dir in its file path — the
+  * batch plan is a single scan however many versions it spans.
+  * Versions without change data (appends, compaction, Z-ORDER)
+  * contribute nothing — consume appends through
+  * [[StatsTableSource]], exactly the Delta split between insert-only
+  * commits and CDC commits.
   *
   * STARTING VERSION: by default the stream begins at the table's
   * current version when the query FIRST starts — only changes
@@ -210,38 +213,44 @@ final class ChangeFeedSource(
         "vacuum outran this consumer and its change rows cannot be " +
         "proven replayable. Raise the table's retentionMs or keep " +
         "downstream streams within the retention window")
-    val frames = have.filter(v => v >= fromV && v <= endV).flatMap { v =>
-      val gen = new Path(statsDir, s"v$v")
-      val cd = new Path(gen, DataSkipping.ChangeDataDir)
-      if (!fs.exists(cd)) None
-      else {
-        val files = fs.listStatus(cd).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => org.apache.spark.sql.execution.datasources
-            .FileStatusWithMetadata(f))
-        if (files.isEmpty) None
-        else {
-          val readSchema = StructType(schema.fields
-            .filterNot(_.name == DataSkipping.CommitVersionCol))
-          val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-            new graft.sources.ManifestFileIndex(cd, files),
-            partitionSchema = new StructType(),
-            dataSchema = readSchema,
-            bucketSpec = None,
-            fileFormat = new org.apache.spark.sql.execution.datasources
-              .parquet.ParquetFileFormat,
-            options = Map.empty)(spark)
-          Some(org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-            org.apache.spark.sql.execution.datasources.LogicalRelation(
-              relation, isStreaming = true))
-            .withColumn(DataSkipping.CommitVersionCol, lit(v)))
-        }
-      }
+    // ONE relation over every owed version's change files (plan arity
+    // O(1) regardless of versions in the batch — a deep replay batch
+    // is one scan, not an O(versions)-ary union): the per-file
+    // `_commit_version` is recovered from the generation dir in the
+    // file's own path instead of a per-version literal stamp. Older
+    // generations' narrower change files surface nulls for later
+    // columns straight from the parquet reader.
+    val files = have.filter(v => v >= fromV && v <= endV).flatMap { v =>
+      val cd = new Path(new Path(statsDir, s"v$v"), DataSkipping.ChangeDataDir)
+      if (!fs.exists(cd)) Nil
+      else fs.listStatus(cd).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => org.apache.spark.sql.execution.datasources
+          .FileStatusWithMetadata(f))
     }
-    if (frames.isEmpty)
+    if (files.isEmpty)
       org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
         LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val readSchema = StructType(schema.fields
+        .filterNot(_.name == DataSkipping.CommitVersionCol))
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new graft.sources.ManifestFileIndex(new Path(statsDir), files),
+        partitionSchema = new StructType(),
+        dataSchema = readSchema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat,
+        options = Map.empty)(spark)
+      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          relation, isStreaming = true))
+        .withColumn(DataSkipping.CommitVersionCol,
+          org.apache.spark.sql.functions.regexp_extract(
+            org.apache.spark.sql.functions.col("_metadata.file_path"),
+            "/v(\\d+)/" + DataSkipping.ChangeDataDir + "/", 1)
+            .cast(org.apache.spark.sql.types.LongType))
+    }
   }
 
   override def stop(): Unit = ()
