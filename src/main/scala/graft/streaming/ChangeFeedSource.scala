@@ -169,11 +169,14 @@ final class ChangeFeedSource(
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val start = Option(startOffset).map(CdfVersionOffset.from(_).version)
       .getOrElse(firstVersion - 1)
-    val ceiling = availableNowCeiling.getOrElse(latestVersion).max(start)
+    // one generation-dir listing per trigger, shared by ceiling + cap
+    val versions = DataSkipping.tableVersions(spark, path)
+    val ceiling = availableNowCeiling
+      .getOrElse(versions.maxOption.getOrElse(firstVersion - 1))
+      .max(start)
     val end = limit match {
       case mf: ReadMaxFiles =>
-        val pending = DataSkipping.tableVersions(spark, path)
-          .filter(v => v > start && v <= ceiling)
+        val pending = versions.filter(v => v > start && v <= ceiling)
         if (pending.length <= mf.maxFiles()) ceiling
         else pending(mf.maxFiles() - 1)
       case _ => ceiling

@@ -1013,6 +1013,55 @@ class DataSkippingSpec extends SparkSpec {
       col("score") === col("id") * 2).count() === 10L)
   }
 
+  test("idempotent merge txns: replays skip, stamps survive compaction, watermark is monotonic") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 400L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")),
+      dir, Seq("id"))
+    val app = "writer-a"
+    def src(tag: String) = (100L until 150L).map(i => (i, s"$tag$i"))
+      .toDF("id", "payload")
+    assert(DataSkipping.txnVersion(s, dir, app).isEmpty)
+
+    val (m1, i1) = DataSkipping.mergeUpsert(s, dir, src("v5-"), Seq("id"),
+      txn = Some(app -> 5L))
+    assert(m1 === 50L && i1 === 0L)
+    assert(DataSkipping.txnVersion(s, dir, app) === Some(5L))
+
+    // the classic crash window: the merge committed, the writer's own
+    // offset didn't — the replay must be a detected no-op (no rows
+    // changed, no new generation)
+    val gens = DataSkipping.tableVersions(s, dir).size
+    assert(DataSkipping.mergeUpsert(s, dir, src("replay-"), Seq("id"),
+      txn = Some(app -> 5L)) === ((0L, 0L)))
+    assert(DataSkipping.tableVersions(s, dir).size === gens,
+      "a replayed txn must not commit a generation")
+    assert(DataSkipping.readSkipping(s, dir, col("id") === 120L)
+      .head().getString(1) === "v5-120", "replay must not overwrite rows")
+
+    // the stamp is carried forward by unrelated generations
+    // (compaction here) — vacuum of the stamping generation cannot
+    // lose the watermark
+    assert(DataSkipping.compactTable(s, dir, retentionMs = 0L) > 0)
+    assert(DataSkipping.txnVersion(s, dir, app) === Some(5L))
+
+    // a LOWER version than the watermark is also a replay (monotonic)
+    assert(DataSkipping.mergeUpsert(s, dir, src("v4-"), Seq("id"),
+      txn = Some(app -> 4L)) === ((0L, 0L)))
+    // a new version applies, advances the watermark, and other app
+    // ids are independent
+    val (m6, _) = DataSkipping.mergeUpsert(s, dir, src("v6-"), Seq("id"),
+      txn = Some(app -> 6L))
+    assert(m6 === 50L)
+    assert(DataSkipping.txnVersion(s, dir, app) === Some(6L))
+    assert(DataSkipping.txnVersion(s, dir, "writer-b").isEmpty)
+    assert(DataSkipping.readSkipping(s, dir, col("id") === 120L)
+      .head().getString(1) === "v6-120")
+  }
+
   test("an unprunable whole-table MERGE plans its scans through ManifestFileIndex, never an O(files) path list") {
     val s = spark
     import s.implicits._
