@@ -1125,8 +1125,7 @@ object DataSkipping {
           case None => col(f.name)
         }
       }: _*)
-    def scanTouched = touchedScan
-    val updated = applySet(scanTouched, onlyWhere = Some(hit))
+    val updated = applySet(touchedScan, onlyWhere = Some(hit))
     // CDF: pre- and post-image of exactly the TRUE-predicate rows
     // (Delta's update_preimage/update_postimage pair). Two extra
     // scans (pre + post) — both bounded by the touched files, i.e.
@@ -1134,7 +1133,7 @@ object DataSkipping {
     val changes =
       if (!cdfEnabled(fs, dir)) None
       else {
-        val hitRows = scanTouched.filter(hit)
+        val hitRows = touchedScan.filter(hit)
         Some(hitRows.withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(applySet(hitRows, onlyWhere = None)
             .withColumn(ChangeTypeCol, lit("update_postimage"))))
@@ -1724,6 +1723,12 @@ object DataSkipping {
       .filterNot(_.startsWith("part-")).toSet
     writeSidecars(spark, build.toString, vSchema, vStatsCols, feats,
       manifestSchema = Some(vManifestSchema))
+    // the idempotent-writer watermarks ride the CURRENT generation
+    // forward like any other op's commit would — restore rewinds the
+    // table's CONTENT, never a writer's replay protection (a lost
+    // _txn.json would let an at-least-once writer double-apply its
+    // in-flight batch right after the restore)
+    writeTxnFile(fs, dir, build, txn = None)
     val markerCutoff = opStart - markerRetentionMs
     val currentOnly = fs.listStatus(new Path(dir)).toSeq
       .filter { f =>

@@ -71,12 +71,16 @@ object IncrementalView {
   private val SumType = DecimalType(30, 6)
   private val CastType = DecimalType(20, 6)
 
-  /** Transaction app id stamped into the view's generations: one
-    * maintainer per view by contract, so the view path itself is the
-    * unique id. `private[streaming]` for the crash-window spec.
+  /** Transaction app id stamped into the view's generations: scoped
+    * to the (view, CHECKPOINT) pair — batch ids are checkpoint-local,
+    * so a view re-pointed at a fresh checkpoint must start a fresh
+    * watermark (a view-only id would compare the new checkpoint's
+    * batch 0 against the old checkpoint's high watermark and silently
+    * skip every fold while offsets keep committing — permanent data
+    * loss). `private[streaming]` for the crash-window spec.
     */
-  private[streaming] def viewAppId(viewTable: String): String =
-    s"graft-incremental-view:$viewTable"
+  private[streaming] def viewAppId(viewTable: String, checkpoint: String): String =
+    s"graft-incremental-view:$viewTable@$checkpoint"
 
   /** Bootstrap (first call) or incrementally refresh (every later
     * call) the `sum(valueCol)/count(*) GROUP BY groupCol` view of
@@ -120,7 +124,8 @@ object IncrementalView {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(spark, viewTable, groupCol, valueCol, batch, batchId)
+        foldBatch(spark, viewTable, groupCol, valueCol, batch, batchId,
+          checkpoint)
       }
       .start()
     q.awaitTermination()
@@ -144,8 +149,8 @@ object IncrementalView {
     */
   private[streaming] def foldBatch(spark: SparkSession, viewTable: String,
       groupCol: String, valueCol: String, batch: DataFrame,
-      batchId: Long): Unit = {
-    val appId = viewAppId(viewTable)
+      batchId: Long, checkpoint: String): Unit = {
+    val appId = viewAppId(viewTable, checkpoint)
     // replayed batch (merge committed, offset commit lost): skip the
     // whole fold up front — mergeUpsert would detect it too, but
     // there's no reason to recompute the delta first
@@ -157,18 +162,27 @@ object IncrementalView {
       .otherwise(col(valueCol).cast(CastType))
     val delta = batch.groupBy(col(groupCol)).agg(
       sum(signedVal).cast(SumType).as("__d_sum"),
-      sum(when(debit, -1L).otherwise(1L)).as("__d_cnt"))
+      sum(when(debit, -1L).otherwise(1L)).as("__d_cnt"),
+      count(when(col(groupCol).isNull, lit(1))).as("__nulls"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (!delta.isEmpty) {
-        // group-key envelope of the delta: two scalars to the driver,
-        // prunes the view read to the affected key range via file
-        // stats (null group keys ride along — min/max ignore them)
-        val env = delta.agg(min(col(groupCol)), max(col(groupCol))).head()
+        // group-key envelope of the delta: three scalars to the
+        // driver — the min/max prune the view read to the affected
+        // key range via file stats, and the null count REJECTS null
+        // group keys loudly (every equality join downstream —
+        // the semi-join here, mergeUpsert's key join — is SQL
+        // null-unsafe, so a null group would silently duplicate
+        // instead of accumulating; same contract as Delta MERGE keys)
+        val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
+          sum(col("__nulls"))).head()
+        require(env.isNullAt(2) || env.getLong(2) == 0L,
+          s"change batch carries ${env.getLong(2)} NULL $groupCol row(s) — " +
+            "null group keys cannot be incrementally maintained (merge " +
+            "keys are SQL-equality joined); filter them from the base " +
+            "table or aggregate them under an explicit sentinel value")
         val inRange =
-          if (env.isNullAt(0)) col(groupCol).isNull
-          else col(groupCol).between(lit(env.get(0)), lit(env.get(1))) ||
-            col(groupCol).isNull
+          col(groupCol).between(lit(env.get(0)), lit(env.get(1)))
         // ... then exact affected-group selection by BROADCAST
         // semi-join against the (batch-bounded) delta keys — never a
         // collected key list, never an IN literal
@@ -181,12 +195,12 @@ object IncrementalView {
         val merged = current
           .select(col(groupCol), col("sum_value").as("__d_sum"),
             col("cnt").as("__d_cnt"))
-          .unionByName(delta)
+          .unionByName(delta.drop("__nulls"))
           .groupBy(col(groupCol)).agg(
             sum(col("__d_sum")).cast(SumType).as("sum_value"),
             sum(col("__d_cnt")).as("cnt"))
         DataSkipping.mergeUpsert(spark, viewTable, merged, Seq(groupCol),
-          txn = Some(viewAppId(viewTable) -> batchId))
+          txn = Some(appId -> batchId))
       }
     } finally delta.unpersist()
   }

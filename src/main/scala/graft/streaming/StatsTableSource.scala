@@ -148,24 +148,40 @@ final class StatsTableSource(
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxFiles(maxCommitsPerTrigger)
 
+  /** Markers OBSERVED by this query but not yet admitted into an
+    * offset. Accumulating them (instead of re-deriving from the live
+    * listing each trigger) closes a capped-admission loss window: a
+    * queued marker that compaction expires BEFORE it was admitted
+    * would silently vanish from a live listing — from the
+    * accumulator it is still admitted, and `getBatch`'s
+    * vanished-marker check then fails LOUDLY, the same contract as
+    * an expired already-admitted marker.
+    */
+  @volatile private var pendingObserved: Set[String] = Set.empty
+
   /** Admission control: admit at most `limit` NEW named commits past
     * `startOffset` (a `ReadMaxFiles` counts commit markers here —
     * one marker = one logical commit). Deterministic order: new
     * marker names sorted, first N. The initial-snapshot batch (fresh
     * consumer, null start) is not capped below its first offset —
     * snapshot semantics need the whole current marker set in one
-    * consistent batch.
+    * consistent batch. Offsets stay BOUNDED by the marker-retention
+    * window: already-delivered names that have expired from the
+    * manifest are pruned from the next offset (they can never be
+    * re-delivered — a re-created marker is zero-row by contract).
     */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val start = Option(startOffset)
       .map(StatsCommitOffset.from(_).commits.toSet).getOrElse(Set.empty[String])
-    val ceiling = availableNowCeiling.getOrElse(markerNames().toSet)
-    val fresh = (ceiling -- start).toSeq.sorted
+    val live = markerNames().toSet
+    pendingObserved =
+      (pendingObserved ++ availableNowCeiling.getOrElse(live)) -- start
+    val fresh = pendingObserved.toSeq.sorted
     val admitted = (Option(startOffset), limit) match {
       case (Some(_), mf: ReadMaxFiles) => fresh.take(mf.maxFiles())
       case _ => fresh
     }
-    StatsCommitOffset((start ++ admitted).toSeq.sorted)
+    StatsCommitOffset((start.filter(live) ++ admitted).toSeq.sorted)
   }
 
   override def reportLatestOffset(): OffsetV2 =

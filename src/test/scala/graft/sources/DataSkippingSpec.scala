@@ -1060,6 +1060,18 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.txnVersion(s, dir, "writer-b").isEmpty)
     assert(DataSkipping.readSkipping(s, dir, col("id") === 120L)
       .head().getString(1) === "v6-120")
+
+    // RESTORE rewinds content, never replay protection: the
+    // watermark survives a restore and the replay of the restored-
+    // away merge is still detected
+    val preMerge = DataSkipping.tableVersions(s, dir)
+      .sorted.takeRight(2).head // the generation the v6 merge replaced
+    DataSkipping.restoreTable(s, dir, preMerge)
+    assert(DataSkipping.txnVersion(s, dir, app) === Some(6L),
+      "restore must carry the txn watermark forward")
+    assert(DataSkipping.mergeUpsert(s, dir, src("v6-replay-"), Seq("id"),
+      txn = Some(app -> 6L)) === ((0L, 0L)),
+      "a replay after restore must still be detected")
   }
 
   test("an unprunable whole-table MERGE plans its scans through ManifestFileIndex, never an O(files) path list") {

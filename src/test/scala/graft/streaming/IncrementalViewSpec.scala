@@ -101,7 +101,7 @@ class IncrementalViewSpec extends SparkSpec {
     DataSkipping.deleteWhere(s, base, col("id") < 100L) // v1
     refresh() // folds v1, stamps its batch id into the view
     val after = viewMap(IncrementalView.readView(s, s"$root/view", "grp"))
-    val appId = IncrementalView.viewAppId(s"$root/view")
+    val appId = IncrementalView.viewAppId(s"$root/view", s"$root/ckpt")
     val stamped = DataSkipping.txnVersion(s, s"$root/view", appId)
     assert(stamped.nonEmpty, "the fold must stamp its txn version")
 
@@ -111,15 +111,67 @@ class IncrementalViewSpec extends SparkSpec {
     // that batch from the immutable feed and re-fold it directly.
     val replayBatch = DataSkipping.readChangeFeed(s, base, fromVersion = 1L)
     IncrementalView.foldBatch(s, s"$root/view", "grp", "value",
-      replayBatch, stamped.get)
+      replayBatch, stamped.get, s"$root/ckpt")
     assert(viewMap(IncrementalView.readView(s, s"$root/view", "grp")) === after,
       "a replayed batch must not double-apply its deltas")
     // control: the same batch under a NEW id DOES apply — proving the
     // txn guard (not an accident of the data) kept the replay inert
     IncrementalView.foldBatch(s, s"$root/view", "grp", "value",
-      replayBatch, stamped.get + 1)
+      replayBatch, stamped.get + 1, s"$root/ckpt")
     assert(viewMap(IncrementalView.readView(s, s"$root/view", "grp")) !== after,
       "the control double-apply must change the view")
+  }
+
+  test("a view re-pointed at a FRESH checkpoint still folds (txn watermark is checkpoint-scoped)") {
+    val s = spark
+    val root = tmpDir("ivw_ckpt")
+    val base = s"$root/base"
+    buildBase(s, base)
+    IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckptA") // bootstrap
+    DataSkipping.deleteWhere(s, base, col("id") < 50L) // v1
+    IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckptA") // fold @ A
+    // hand over to checkpoint B while A and the view agree (the
+    // documented single-maintainer handover point) — B's feed pins at
+    // the CURRENT version, so nothing is owed at switch time
+    IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckptB")
+    DataSkipping.deleteWhere(s, base, col("id") >= 450L) // v2
+    val view = IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckptB")
+    // B's first fold runs at batchId 0; a view-scoped watermark would
+    // compare it against A's stamp and silently skip the fold while
+    // B's offsets commit — permanent loss. Checkpoint-scoped app ids
+    // keep B's watermark independent.
+    val expect = DataSkipping.readSkipping(s, base, col("id") >= 0L)
+      .groupBy("grp").agg(
+        sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+          .as("sum_value"),
+        count(lit(1)).as("cnt"))
+    assert(viewMap(view.orderBy("grp")) === viewMap(expect.orderBy("grp")),
+      "the fresh checkpoint's folds must apply, not skip on the old watermark")
+  }
+
+  test("null group keys are rejected loudly, not silently duplicated") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_null")
+    val base = s"$root/base"
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i =>
+        (i, if (i % 10 == 0) null else s"g${i % 5}", i.toDouble))
+        .toDF("id", "grp", "value").repartitionByRange(4, col("id")),
+      base, Seq("id"), bloomCols = Nil, changeFeed = true)
+    def refresh() = IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh() // bootstrap aggregates nulls fine (no fold involved)
+    DataSkipping.deleteWhere(s, base, col("id") < 30L) // deletes null rows too
+    val e = intercept[Exception](refresh())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL grp")),
+      s"expected the null-group reject, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("fold plan shape: broadcast semi-join against the delta keys, no collected IN literal") {

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.sources.DataSkipping
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -262,6 +263,48 @@ class StatsTableSourceSpec extends SparkSpec {
     val (kept, all) = DataSkipping.prunedFiles(s, s"$root/silver/data",
       col("id") < 10L)
     assert(kept.size < all.size, "silver must prune like any stats table")
+  }
+
+  test("offsets stay bounded and capped admission never silently drops an observed marker") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_adm") + "/t"
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    (0 until 3).foreach { k =>
+      assert(DataSkipping.appendWithStats(
+        (k * 10L until (k + 1) * 10L).map(i => (i, i)).toDF("id", "v")
+          .coalesce(1),
+        table, Seq("id"), commitName = Some(s"adm-$k")))
+    }
+    val src = new StatsTableSource(s.sqlContext, table, maxCommitsPerTrigger = 2)
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(2)
+
+    // BOUNDED OFFSETS: a delivered name that no longer exists in the
+    // manifest ("ghost", expired by compaction) is pruned from the
+    // next offset instead of riding every future offset forever
+    val off1 = StatsCommitOffset.from(
+      src.latestOffset(StatsCommitOffset(Seq("adm-0", "ghost")), limit))
+    assert(!off1.commits.contains("ghost"), "expired delivered names must prune")
+    assert(off1.commits.toSet === Set("adm-0", "adm-1", "adm-2"),
+      s"live names admitted, got ${off1.commits}")
+
+    // LOSS WINDOW: a marker OBSERVED by admission control but expired
+    // before its batch was admitted must still enter the offset so
+    // getBatch fails loudly — never a silent disappearance
+    val fs = new Path(table).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dir = DataSkipping.manifestDir(s, table)
+    val observed = src.latestOffset(StatsCommitOffset(Seq("adm-0")), limit)
+    assert(StatsCommitOffset.from(observed).commits.toSet
+      === Set("adm-0", "adm-1", "adm-2"))
+    assert(fs.delete(new Path(s"$dir/adm-2.parquet"), false)) // "expired"
+    val off2 = StatsCommitOffset.from(
+      src.latestOffset(StatsCommitOffset(Seq("adm-0", "adm-1")), limit))
+    assert(off2.commits.contains("adm-2"),
+      "an observed-but-unadmitted expired marker must still be admitted")
+    val e = intercept[IllegalArgumentException](
+      src.getBatch(Some(StatsCommitOffset(Seq("adm-0", "adm-1"))), off2))
+    assert(e.getMessage.contains("no longer exists"),
+      "the expired observed marker must fail loudly at getBatch")
   }
 
   test("a commit backlog drains in bounded batches (maxCommitsPerTrigger) with exactly-once delivery") {
