@@ -155,7 +155,11 @@ final class StatsTableSource(
     * would silently vanish from a live listing — from the
     * accumulator it is still admitted, and `getBatch`'s
     * vanished-marker check then fails LOUDLY, the same contract as
-    * an expired already-admitted marker.
+    * an expired already-admitted marker. The accumulator is
+    * query-lifetime state: across a RESTART the protection is the
+    * table's marker retention window itself (compaction must not
+    * expire markers faster than consumers drain — the documented
+    * `compactTable` retention contract).
     */
   @volatile private var pendingObserved: Set[String] = Set.empty
 
