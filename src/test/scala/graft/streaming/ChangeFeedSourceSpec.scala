@@ -198,6 +198,35 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(delivered.select("id").distinct().count() === 100L)
   }
 
+  test("a single-relation batch spans schema evolution: pre-evolution change rows carry nulls") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("cdfsrc_evo") + "/t"
+    val outDir = tmpDir("cdfsrc_evo_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_evo_ckpt")
+    buildTable(s, table)
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 40L) === 40L) // v1, old schema
+    assert(DataSkipping.appendWithStats(
+      (1000L until 1100L).map(i => (i, s"p$i", i * 2))
+        .toDF("id", "payload", "score"),
+      table, Seq("id", "score"), mergeSchema = true))
+    assert(DataSkipping.deleteWhere(s, table,
+      col("id") >= 1000L && col("id") < 1010L) === 10L) // v2, widened schema
+
+    // one drain covers BOTH versions in one batch (one relation):
+    // v1's narrower change files must surface null score, v2's real
+    // values — and each row must carry its own version from its path
+    drain(s, table, outDir, ckpt, startingVersion = Some(0L))
+    val out = s.read.parquet(outDir)
+    assert(out.columns.contains("score"))
+    assert(out.count() === 50L)
+    assert(out.filter(col("_commit_version") === 1L).count() === 40L)
+    assert(out.filter(col("_commit_version") === 1L && col("score").isNull)
+      .count() === 40L)
+    assert(out.filter(col("_commit_version") === 2L &&
+      col("score") === col("id") * 2).count() === 10L)
+  }
+
   test("a feed-less table is refused at stream construction") {
     val s = spark
     import s.implicits._
