@@ -225,7 +225,7 @@ object FileIngest {
       s"schema already has a '$corruptCol' column")
     val src = stream(spark, dir, schema.add(corruptCol, StringType),
       format, None,
-      options + ("mode" -> "PERMISSIVE",
+      options ++ Seq("mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> corruptCol))
     src.writeStream
       .option("checkpointLocation", checkpointDir)
