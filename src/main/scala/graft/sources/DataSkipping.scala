@@ -1310,7 +1310,7 @@ object DataSkipping {
   // JSON string escaping for txn app ids (paths may hold quotes or
   // backslashes on exotic filesystems; everything else in the map is
   // a number)
-  private def jsonEscape(s: String): String =
+  private[sources] def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -1318,7 +1318,7 @@ object DataSkipping {
       case c => c.toString
     }
 
-  private def jsonUnescape(s: String): String = {
+  private[sources] def jsonUnescape(s: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -1334,14 +1334,14 @@ object DataSkipping {
     b.toString
   }
 
-  private def txnMapToJson(m: Map[String, Long]): String =
+  private[sources] def txnMapToJson(m: Map[String, Long]): String =
     m.toSeq.sortBy(_._1)
       .map { case (a, v) => s""""${jsonEscape(a)}":$v""" }
       .mkString("{", ",", "}")
 
   // Entries are `"escaped-app-id":version`; the app id may contain
   // escaped quotes, so split on `":` boundaries, not bare commas.
-  private def txnMapFromJson(json: String): Map[String, Long] =
+  private[sources] def txnMapFromJson(json: String): Map[String, Long] =
     "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?\\d+)".r
       .findAllMatchIn(json)
       .map(m => jsonUnescape(m.group(1)) -> m.group(2).toLong)
