@@ -229,6 +229,64 @@ class IncrementalViewSpec extends SparkSpec {
     } finally s.listenerManager.unregister(listener)
   }
 
+  test("randomized DML sequences: the fold equals the recompute at every refresh point") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_rand")
+    val base = s"$root/base"
+    buildBase(s, base)
+    def refresh() = IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh() // bootstrap
+    def recompute() = viewMap(
+      DataSkipping.readSkipping(s, base, col("id") >= 0L)
+        .groupBy("grp").agg(
+          sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+            .as("sum_value"),
+          count(lit(1)).as("cnt")))
+
+    // deterministic pseudo-random op sequence: deletes, value
+    // updates, GROUP-MIGRATING updates, merges (updates + inserts),
+    // with refreshes interleaved so some folds span multiple
+    // versions and some span one
+    val rnd = new scala.util.Random(20260813L)
+    var nextInsert = 5000L
+    (1 to 8).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val lo = rnd.nextInt(450)
+          DataSkipping.deleteWhere(s, base,
+            col("id") >= lo.toLong && col("id") < (lo + 25).toLong)
+        case 1 =>
+          val lo = rnd.nextInt(450)
+          DataSkipping.updateWhere(s, base,
+            col("id") >= lo.toLong && col("id") < (lo + 30).toLong,
+            Map("value" -> (col("value") * 2 + 1)))
+        case 2 =>
+          val lo = rnd.nextInt(450)
+          DataSkipping.updateWhere(s, base,
+            col("id") >= lo.toLong && col("id") < (lo + 20).toLong,
+            Map("grp" -> concat(lit("m"), (col("id") % 3).cast("string")),
+              "value" -> (col("value") - 10)))
+        case 3 =>
+          val ins = nextInsert; nextInsert += 50
+          val existingLo = rnd.nextInt(400)
+          val src = s.range(existingLo.toLong, existingLo + 15L)
+            .select(col("id"), concat(lit("g"), (col("id") % 5).cast("string")).as("grp"),
+              (col("id") * 3).cast("double").as("value"))
+            .unionByName(s.range(ins, ins + 10L)
+              .select(col("id"), lit("gIns").as("grp"),
+                col("id").cast("double").as("value")))
+          DataSkipping.mergeUpsert(s, base, src, Seq("id"))
+      }
+      if (step % 2 == 0 || rnd.nextBoolean()) {
+        assert(viewMap(refresh()) === recompute(),
+          s"fold diverged from recompute after step $step")
+      }
+    }
+    assert(viewMap(refresh()) === recompute(), "final state must agree")
+  }
+
   test("a feed-less base table is refused") {
     val s = spark
     import s.implicits._
