@@ -1013,6 +1013,95 @@ class DataSkippingSpec extends SparkSpec {
       col("score") === col("id") * 2).count() === 10L)
   }
 
+  test("randomized DML sequences: table state equals a shadow model after every op, at every version") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
+    val init = (0L until 2000L).map(i => (i, s"p$i"))
+    DataSkipping.writeWithStats(
+      df(init).repartitionByRange(8, col("id")), dir, Seq("id"),
+      bloomCols = Nil, changeFeed = true)
+
+    var shadow: Map[Long, String] = init.toMap
+    // version -> shadow snapshot, for restore targets (generation-
+    // committing ops only; appends land inside the current one)
+    val snapshots = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    def curVersion: Long = DataSkipping.tableVersions(s, dir).max
+    snapshots(curVersion) = shadow
+
+    def assertState(step: String): Unit = {
+      val got = DataSkipping.readSkipping(s, dir, col("id") >= Long.MinValue)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === shadow, s"table diverged from shadow after $step")
+    }
+
+    val rnd = new scala.util.Random(987654321L)
+    var nextId = 100000L
+    (1 to 14).foreach { step =>
+      val op = rnd.nextInt(6)
+      val desc = op match {
+        case 0 => // range delete (may hit nothing)
+          val lo = rnd.nextInt(2200).toLong
+          DataSkipping.deleteWhere(s, dir,
+            col("id") >= lo && col("id") < lo + 120L)
+          shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 120L }
+          s"delete [$lo, ${lo + 120})"
+        case 1 => // range update
+          val lo = rnd.nextInt(2200).toLong
+          DataSkipping.updateWhere(s, dir,
+            col("id") >= lo && col("id") < lo + 150L,
+            Map("payload" -> concat(lit(s"u$step-"), col("id"))))
+          shadow = shadow.map { case (k, v) =>
+            k -> (if (k >= lo && k < lo + 150L) s"u$step-$k" else v)
+          }
+          s"update [$lo, ${lo + 150})"
+        case 2 => // merge: updates over a band + fresh inserts
+          val lo = rnd.nextInt(2200).toLong
+          val ins = (nextId until nextId + 40L).map(i => (i, s"i$step-$i"))
+          nextId += 40L
+          // mergeUpsert: matched keys update, unmatched insert — the
+          // source carries BOTH bands (some upd keys may have been
+          // deleted; they insert, same as the semantics require)
+          val srcRows = (lo until lo + 60L).map(i => (i, s"m$step-$i")) ++ ins
+          DataSkipping.mergeUpsert(s, dir, df(srcRows), Seq("id"))
+          shadow = shadow ++ srcRows.toMap
+          s"merge [$lo, ${lo + 60}) + ${ins.size} inserts"
+        case 3 => // append fresh ids (no generation commit)
+          val ins = (nextId until nextId + 80L).map(i => (i, s"a$step-$i"))
+          nextId += 80L
+          assert(DataSkipping.appendWithStats(df(ins).coalesce(1), dir, Seq("id")))
+          shadow = shadow ++ ins.toMap
+          s"append ${ins.size}"
+        case 4 => // compact (no logical change)
+          DataSkipping.compactTable(s, dir,
+            targetFileBytes = 4L * 1024 * 1024)
+          "compact"
+        case 5 => // restore to a random retained snapshot
+          val targets = DataSkipping.tableVersions(s, dir)
+            .filter(snapshots.contains)
+          val v = targets(rnd.nextInt(targets.size))
+          DataSkipping.restoreTable(s, dir, v)
+          shadow = snapshots(v)
+          s"restore v$v"
+      }
+      snapshots(curVersion) = shadow
+      assertState(s"step $step: $desc")
+    }
+
+    // pruning soundness on the churned manifest: random range
+    // predicates read through stats pruning must equal the shadow
+    (1 to 5).foreach { _ =>
+      val lo = rnd.nextInt(2500).toLong
+      val hi = lo + rnd.nextInt(400).toLong
+      val got = DataSkipping.readSkipping(s, dir,
+        col("id") >= lo && col("id") < hi)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === shadow.filter { case (k, _) => k >= lo && k < hi },
+        s"pruned read [$lo,$hi) diverged")
+    }
+  }
+
   test("idempotent merge txns: replays skip, stamps survive compaction, watermark is monotonic") {
     val s = spark
     import s.implicits._
