@@ -1102,6 +1102,89 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("randomized DML sequences: the change feed alone reconstructs the final state") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
+    val init = (0L until 1500L).map(i => (i, s"p$i"))
+    DataSkipping.writeWithStats(
+      df(init).repartitionByRange(6, col("id")), dir, Seq("id"),
+      bloomCols = Nil, changeFeed = true)
+    var shadow: Map[Long, String] = init.toMap
+    val snapshots = scala.collection.mutable.Map[Long, Map[Long, String]](
+      0L -> shadow)
+
+    // no appends here: appends stream through StatsTableSource by
+    // design, so a feed-only reconstruction is exact for DML +
+    // compaction + restore histories
+    val rnd = new scala.util.Random(1357924680L)
+    var nextId = 100000L
+    (1 to 12).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          val lo = rnd.nextInt(1700).toLong
+          DataSkipping.deleteWhere(s, dir,
+            col("id") >= lo && col("id") < lo + 100L)
+          shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 100L }
+        case 1 =>
+          val lo = rnd.nextInt(1700).toLong
+          DataSkipping.updateWhere(s, dir,
+            col("id") >= lo && col("id") < lo + 120L,
+            Map("payload" -> concat(lit(s"u$step-"), col("id"))))
+          shadow = shadow.map { case (k, v) =>
+            k -> (if (k >= lo && k < lo + 120L) s"u$step-$k" else v)
+          }
+        case 2 =>
+          val lo = rnd.nextInt(1700).toLong
+          val srcRows = (lo until lo + 50L).map(i => (i, s"m$step-$i")) ++
+            (nextId until nextId + 30L).map(i => (i, s"i$step-$i"))
+          nextId += 30L
+          DataSkipping.mergeUpsert(s, dir, df(srcRows), Seq("id"))
+          shadow = shadow ++ srcRows.toMap
+        case 3 =>
+          DataSkipping.compactTable(s, dir,
+            targetFileBytes = 4L * 1024 * 1024)
+        case 4 =>
+          val targets = DataSkipping.tableVersions(s, dir)
+            .filter(snapshots.contains)
+          val v = targets(rnd.nextInt(targets.size))
+          DataSkipping.restoreTable(s, dir, v)
+          shadow = snapshots(v)
+      }
+      snapshots(DataSkipping.tableVersions(s, dir).max) = shadow
+    }
+
+    // replay the WHOLE retained feed over the initial snapshot:
+    // inserts add, deletes remove, postimages upsert (preimages are
+    // informational). Every version's rows must compose to exactly
+    // the final table state — a wrong sign, a missed file in a
+    // restore diff, or a phantom change row diverges here.
+    val feed = DataSkipping.readChangeFeed(s, dir, fromVersion = 1L)
+      .select("id", "payload", DataSkipping.ChangeTypeCol,
+        DataSkipping.CommitVersionCol)
+      .collect()
+      .groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+    var replayed: Map[Long, String] = init.toMap
+    feed.foreach { case (_, rows) =>
+      // within a version, deletes first: a restore diff can carry a
+      // same-key delete (row's old file dropped) AND insert (row's
+      // new file re-added) when a compaction sat between the two
+      // states — the version's NET effect is keep-with-new-location
+      val (dels, adds) = rows.partition(_.getString(2) == "delete")
+      dels.foreach(r => replayed = replayed.removed(r.getLong(0)))
+      adds.foreach { r =>
+        if (r.getString(2) != "update_preimage")
+          replayed = replayed.updated(r.getLong(0), r.getString(1))
+      }
+    }
+    assert(replayed === shadow,
+      "feed replay over the initial snapshot must reconstruct the final state")
+    val live = DataSkipping.readSkipping(s, dir, col("id") >= 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live === shadow, "and the live table agrees")
+  }
+
   test("idempotent merge txns: replays skip, stamps survive compaction, watermark is monotonic") {
     val s = spark
     import s.implicits._
