@@ -1939,6 +1939,83 @@ object Queries {
             SELECT a AS id, least(a, min(b)) AS component
             FROM reach GROUP BY a ORDER BY id"""))
 
+  // SemDeDup-style semantic dedup over the same planted corpus:
+  // cluster-bounded pair detection (each vector assigned to its top-2
+  // Voronoi cells over PINNED seed centroids), exact-cosine verify,
+  // transitive components, min-id representative. The oracle REPLAYS
+  // the algorithm's own semantics in SQL — centroid scores in the
+  // identical double arithmetic (dot x (1/||c||), ties to the larger
+  // cell id), rank <= 2 cell membership, shared-cell pairs, cosine
+  // verify, recursive-CTE components — so the gate checks the defined
+  // decision procedure, not a geometric assumption about boundaries.
+  // The spec separately asserts recall of planted copies and that the
+  // candidate set actually pruned.
+  private val semanticSeedIds = Seq(3L, 41L, 77L, 114L, 152L, 189L, 226L, 263L)
+  val semanticDedupQ = QueryDef(
+    "q_semantic_dedup",
+    (s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val corpus = Similarity.plantNearDuplicates(base, "vec_id", "embedding",
+        col("vec_id") < 100, copies = 2, idOffset = 100000L, scaleStep = 0.01)
+      Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          eps = 0.9, nCenters = 8, assignProbes = 2,
+          seedIds = Some(semanticSeedIds))
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE aug AS (
+              ${plantedSql("WHERE vec_id < 300", "WHERE vec_id < 100", 2, 100000L, 0.01)}
+            ), e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM aug
+            ), cent AS (
+              SELECT s.cid, e.embedding AS cvec,
+                1.0 / e.nrm AS cinv
+              FROM (VALUES ${semanticSeedIds.zipWithIndex
+                .map { case (id, i) => s"($i, $id)" }.mkString(", ")}) AS s(cid, sid)
+              JOIN e ON e.vec_id = s.sid
+            ), scores AS (
+              SELECT e.vec_id, cent.cid,
+                list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cent.cvec[i] AS DOUBLE)),
+                  (x, y) -> x + y) * cent.cinv AS s
+              FROM e CROSS JOIN cent
+            ), cells AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rk
+                FROM scores)
+              WHERE rk <= 2
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            ), pairs AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN e a ON a.vec_id = c.id_a
+              JOIN e b ON b.vec_id = c.id_b
+              WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.9
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT s AS a, d AS b FROM edges
+              UNION
+              SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s
+            ), comp AS (
+              SELECT a AS id, least(a, min(b)) AS component
+              FROM reach GROUP BY a
+            )
+            SELECT aug.vec_id AS id,
+              COALESCE(comp.component, aug.vec_id) AS component,
+              (COALESCE(comp.component, aug.vec_id) = aug.vec_id) AS keep
+            FROM aug LEFT JOIN comp ON comp.id = aug.vec_id
+            ORDER BY id"""))
+
   // Leakage-safe split assignment over the same planted near-dup
   // corpus: every cluster (source + 2 planted copies, chained) must
   // land atomically in one split. The oracle recomputes components
@@ -2917,7 +2994,7 @@ object Queries {
     dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,

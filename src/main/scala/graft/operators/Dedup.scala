@@ -749,6 +749,150 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-bounded candidate pairs for [[semanticDedup]]:
+    * (id_a, id_b) pairs assigned to at least one common cell among
+    * each vector's `assignProbes` nearest Voronoi cells, id_a < id_b,
+    * deduplicated across shared cells. ONE codegen'd
+    * nearest-centroids pass per row ([[graft.plans.NearestCentroids]],
+    * plan size independent of nCenters), then an equi self-join on
+    * the cell id — the shuffle is keyed by cell, carries only
+    * (id, cid) rows (never a vector), and the quadratic term is
+    * bounded by cell size (nCenters is chosen so cells stay small;
+    * the SemDeDup premise). `assignProbes > 1` is the boundary
+    * mitigation: a near-duplicate pair split by a Voronoi boundary
+    * still collides when their probed cell sets intersect, at
+    * assignProbes x fan-out cost. Exposed so tests can assert the
+    * PRUNE RATE (candidates << n^2/2), not just end-state
+    * correctness.
+    */
+  def semanticCandidates(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], assignProbes: Int = 1): DataFrame = {
+    val assigned = Similarity.withNorm(embeddings, idCol, vecCol)
+      .select(col("id"), explode(graft.plans.VectorExpressions
+        .nearestCentroids(col("vec"), centroids, assignProbes)).as("cid"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are k-means-clustered into
+    * `nCenters` Voronoi cells, near-duplicate pairs (cosine >= `eps`)
+    * are detected ONLY within a cell, duplicate groups are resolved
+    * transitively ([[duplicateComponents]]) and one representative
+    * per group survives. This is the semantic complement of
+    * [[embeddingNearDup]]'s hyperplane-LSH path: clustering prunes by
+    * global geometry (one assignment pass + cell-keyed join, no band
+    * fan-out), which is the standard shape for web-scale embedding
+    * dedup where duplicates are semantic rather than literal.
+    *
+    * The whole decision procedure is REPLAYABLE by an external
+    * engine when centroids are pinned with `seedIds`: assignment is
+    * score = dot(vec, centroid) * (1/||centroid||) in sequential
+    * double arithmetic (ties to the larger cell id), each vector
+    * belongs to its `assignProbes` top cells, pairs collide on any
+    * shared cell and are verified with the exact cosine — the
+    * oracle-gated q_semantic_dedup replays exactly this in SQL, so
+    * the gate checks the algorithm's OWN semantics, not a geometric
+    * assumption about cell boundaries.
+    *
+    * Representative choice:
+    *  - default: min id per duplicate group — deterministic and
+    *    engine-independent (the oracle-gated variant).
+    *  - `keepFarthestFromCentroid = true`: the paper's policy — keep
+    *    the group member with the LOWEST cosine to its cell centroid
+    *    (the least prototypical example carries the most training
+    *    signal), ties broken by min id.
+    *
+    * Output: (id, component, keep) for EVERY input row — component is
+    * the min-id label of the duplicate group (own id when unpaired),
+    * keep marks survivors. Filter on keep to materialize the
+    * deduplicated corpus.
+    *
+    * Scale: centroid seeding/refinement collects only
+    * nCenters x dim floats ([[Similarity.ivfCentroids]]); assignment
+    * is one codegen'd pass; the only quadratic term is within-cell
+    * and bounded by cell size; component resolution is O(log
+    * diameter) keyed rounds; the final labeling is one broadcast-able
+    * join of (paired ids — a small fraction of the corpus after
+    * pruning) against the corpus. Nothing is ever all-pairs.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      eps: Double, nCenters: Int, lloydRounds: Int = 0,
+      assignProbes: Int = 1,
+      seedIds: Option[Seq[Long]] = None,
+      keepFarthestFromCentroid: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // explicit seedIds pin the centroids to given corpus rows (in the
+    // given order) — deterministic AND replayable by an external
+    // oracle; default is the xxhash64-order sample (+ optional Lloyd
+    // refinement) of ivfCentroids
+    val centroids: Array[Array[Float]] = seedIds match {
+      case Some(ids) =>
+        val byId = embeddings.filter(col(idCol).isin(ids: _*))
+          .select(col(idCol).cast("long"), col(vecCol))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        ids.map(i => byId.getOrElse(i,
+          throw new IllegalArgumentException(s"seed id $i not in corpus"))).toArray
+      case None =>
+        Similarity.ivfCentroids(embeddings, idCol, vecCol, nCenters, lloydRounds)
+    }
+    val withNorm = Similarity.withNorm(embeddings, idCol, vecCol)
+    // candidates are ids-only; vectors re-join by id for the exact
+    // cosine verification (no shuffle row carries two vectors)
+    val pairs = semanticCandidates(embeddings, idCol, vecCol, centroids, assignProbes)
+      .join(withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), Seq("id_b"))
+      .filter(Similarity.cosineFromParts(
+        col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b")) >= eps)
+      .select(col("id_a"), col("id_b"))
+    val components = duplicateComponents(pairs, checkpointDir = checkpointDir)
+    val keepers: DataFrame =
+      if (!keepFarthestFromCentroid) {
+        // min-id label IS the representative
+        components.filter(col("id") === col("component"))
+          .select(col("id"), lit(true).as("__keep"))
+      } else {
+        // centroid vectors as a BROADCAST dim frame (nCenters rows) —
+        // not per-centroid literal subtrees (the plan blowup
+        // NearestCentroids exists to avoid); then one bounded
+        // min_by(struct) per group over the centroid cosine
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        val centroidDim = spark.createDataset(centroids.toSeq.zipWithIndex
+            .map { case (c, i) =>
+              (i, c.toSeq, math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x)))
+            })
+          .toDF("cid", "__cvec", "__cnorm")
+          .select(col("cid"), col("__cvec").cast("array<float>").as("__cvec"),
+            col("__cnorm"))
+        val centroidCos = Similarity.withNorm(embeddings, idCol, vecCol)
+          .withColumn("cid", Similarity.nearestCentroidId(col("vec"), centroids))
+          .join(broadcast(centroidDim), Seq("cid"))
+          .select(col("id"),
+            (Similarity.dot(col("vec"), col("__cvec")) /
+              (col("norm") * col("__cnorm"))).as("__ccos"))
+        components.join(centroidCos, Seq("id"))
+          .groupBy(col("component"))
+          .agg(min(struct(col("__ccos"), col("id"))).as("__w"))
+          .select(col("__w.id").as("id"), lit(true).as("__keep"))
+      }
+    val labeled = embeddings.select(col(idCol).as("id"))
+      .join(components, Seq("id"), "left")
+      .join(keepers, Seq("id"), "left")
+    labeled.select(col("id"),
+      coalesce(col("component"), col("id")).as("component"),
+      // unpaired rows (no component label) always survive
+      coalesce(col("__keep"), col("component").isNull).as("keep"))
+  }
+
   /** All-pairs exact variant: the oracle/recall baseline for
     * [[embeddingNearDup]] in tests. Quadratic — never the scale
     * path.

@@ -388,4 +388,109 @@ class DedupSpec extends SparkSpec {
     assert(fp.toDouble / probes.length < 0.03,
       s"false-positive rate ${fp.toDouble / probes.length} far above the 1% design point")
   }
+
+  // --- SemDeDup-style semantic dedup ------------------------------
+
+  private def semanticCorpus = {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .filter(col("vec_id") < 300)
+    Similarity.plantNearDuplicates(emb, "vec_id", "embedding",
+      col("vec_id") < 100, copies = 2, idOffset = 100000L, scaleStep = 0.01)
+  }
+  private val semanticSeeds = Seq(3L, 41L, 77L, 114L, 152L, 189L, 226L, 263L)
+
+  test("semanticDedup drops every planted copy and keeps every source (top-2 cell assignment)") {
+    val out = Dedup.semanticDedup(semanticCorpus, "vec_id", "embedding",
+        eps = 0.9, nCenters = 8, assignProbes = 2, seedIds = Some(semanticSeeds))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === 500)
+    (0L until 100L).foreach { i =>
+      assert(out(i) === ((i, true)), s"source $i must be its own kept representative")
+      assert(out(i + 100000L) === ((i, false)), s"copy 1 of $i must fold into $i")
+      assert(out(i + 200000L) === ((i, false)), s"copy 2 of $i must fold into $i")
+    }
+    (100L until 300L).foreach { i =>
+      assert(out(i) === ((i, true)), s"unpaired doc $i must survive untouched")
+    }
+  }
+
+  test("semanticDedup with one cell equals exact all-pairs components") {
+    val corpus = semanticCorpus
+    val sem = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        eps = 0.9, nCenters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exactPairs = Dedup.embeddingNearDupExact(corpus, "vec_id", "embedding", 0.9)
+    val comp = Dedup.duplicateComponents(exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = corpus.select(col("vec_id")).collect().map(_.getLong(0)).map { id =>
+      val c = comp.getOrElse(id, id)
+      (id, c, c == id)
+    }.toSet
+    assert(sem === expected)
+  }
+
+  test("semanticCandidates prune rate scales with nCenters and keeps planted-pair recall") {
+    val corpus = semanticCorpus
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    // an unrelated pair collides with probability ~ probes^2/nCenters
+    // (balanced cells): nCenters is the pruning lever and must grow
+    // with the corpus (the SemDeDup premise — ~n/1000 clusters at
+    // paper scale). Assert the lever actually works on this corpus...
+    def candidates(k: Int) = Dedup.semanticCandidates(corpus, "vec_id", "embedding",
+      Similarity.ivfCentroids(corpus, "vec_id", "embedding", nCenters = k),
+      assignProbes = 2)
+    val c8 = candidates(8).count()
+    val c32 = candidates(32).cache()
+    val n32 = c32.count()
+    assert(n32 < c8, s"nCenters 8->32 must shrink candidates ($c8 -> $n32)")
+    assert(n32.toDouble / allPairs <= 0.25,
+      s"candidates $n32 is ${n32.toDouble / allPairs} of all-pairs $allPairs — not pruning")
+    // ...without losing the planted near-duplicate pairs: top-2 cell
+    // assignment keeps boundary-straddling copies with their source
+    val plantedPairs = (0L until 100L).flatMap(i => Seq(
+      (i, i + 100000L), (i, i + 200000L), (i + 100000L, i + 200000L))).toSet
+    val cand = c32.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    c32.unpersist()
+    val recalled = plantedPairs.count(cand.contains)
+    assert(recalled >= 295,
+      s"only $recalled of ${plantedPairs.size} planted pairs survive 32-cell candidate pruning")
+  }
+
+  test("semanticDedup keepFarthestFromCentroid keeps the least-prototypical member per group") {
+    val corpus = semanticCorpus
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        eps = 0.9, nCenters = 8, assignProbes = 2, seedIds = Some(semanticSeeds),
+        keepFarthestFromCentroid = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // exactly one keeper per component
+    val byComponent = out.groupBy(_._2)
+    byComponent.foreach { case (c, members) =>
+      assert(members.count(_._3) === 1, s"component $c must keep exactly one member")
+    }
+    // keeper = argmin cosine-to-own-centroid (ties: min id), verified
+    // by independent recomputation on the driver
+    val centroids = semanticSeeds.map { id =>
+      corpus.filter(col("vec_id") === id).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toArray
+    }.toArray
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    def centroidCos(id: Long): Double = {
+      val v = vecs(id)
+      val best = centroids.zipWithIndex.maxBy { case (c, i) =>
+        (dot(v, c) * (1.0 / norm(c)), i) // ties to the larger cell id
+      }._1
+      dot(v, best) / (norm(v) * norm(best))
+    }
+    byComponent.filter(_._2.length > 1).foreach { case (c, members) =>
+      val keeper = members.find(_._3).get._1
+      val expected = members.map(_._1).minBy(id => (centroidCos(id), id))
+      assert(keeper === expected,
+        s"component $c kept $keeper, expected least-prototypical $expected")
+    }
+  }
 }

@@ -259,11 +259,26 @@ class PlanShapeSpec extends SparkSpec {
       Dedup.dedupParagraphs(Tables.documents(spark, sf), "doc_id", "text"),
       graft.operators.TextOps.repetitionSignals(
         Tables.documents(spark, sf), "doc_id", "text"),
-      orders.rollup(col("o_orderpriority")).agg(count(lit(1))))
+      orders.rollup(col("o_orderpriority")).agg(count(lit(1))),
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        eps = 0.9, nCenters = 4, assignProbes = 2))
     candidates.foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p)
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
     }
+  }
+
+  test("semanticCandidates: cell-keyed equi join carries only (id, cid) — vectors never cross it") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", nCenters = 4)
+    val p = plan(Dedup.semanticCandidates(emb, "vec_id", "embedding",
+      centroids, assignProbes = 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the join inputs are id+cid projections: no embedding column may
+    // appear above the nearest-centroids projection feeding the join
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, "expected an equi join on the cell id\n" + p)
   }
 }
