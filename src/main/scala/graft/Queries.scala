@@ -2016,6 +2016,62 @@ object Queries {
             FROM aug LEFT JOIN comp ON comp.id = aug.vec_id
             ORDER BY id"""))
 
+  // Incremental embedding near-dup: a 100-row admission batch (50
+  // planted copies of history rows at cosine ~0.994 + 50 genuinely
+  // novel vectors) gated against a 400-row history. The LSH path must
+  // find exactly the 50 true (batch, history) pairs — the oracle is
+  // the exact batch x history cosine join — while the plan never
+  // shuffles the history (PlanShapeSpec).
+  val incrementalEmbDedup = QueryDef(
+    "q_incremental_embdedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val history = emb.filter(col("vec_id") < 400)
+      val copies = Similarity.plantNearDuplicates(history, "vec_id", "embedding",
+          col("vec_id") < 50, copies = 1, idOffset = 100000L, scaleStep = 0.01)
+        .filter(col("vec_id") >= 100000L)
+      val fresh = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select(col("vec_id"), col("embedding"))
+      Dedup.incrementalEmbeddingNearDup(history, copies.union(fresh),
+          "vec_id", "embedding", threshold = 0.9)
+        // ids only: DuckDB's float cast of the planted perturbation
+        // differs from IEEE double-then-round by 1 ulp on some
+        // elements, so raw cosines disagree at 1e-9 while the pair
+        // SET is decision-stable (planted pairs at 0.994 vs the 0.9
+        // threshold) — the same convention as q_embedding_neardup
+        .select(col("batch_id"), col("history_id"))
+        .orderBy("batch_id", "history_id")
+    },
+    Some("""WITH hist AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400
+            ), batch AS (
+              SELECT vec_id + 100000 AS vec_id,
+                list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] + 0.01 * (((i - 1) % 5) - 2) AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id < 50
+              UNION ALL
+              SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 400 AND vec_id < 450
+            ), eh AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM hist
+            ), eb AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM batch
+            )
+            SELECT b.vec_id AS batch_id, h.vec_id AS history_id
+            FROM eb b JOIN eh h
+              ON list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(h.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) / (b.nrm * h.nrm) >= 0.9
+            ORDER BY batch_id, history_id"""))
+
   // Leakage-safe split assignment over the same planted near-dup
   // corpus: every cluster (source + 2 planted copies, chained) must
   // land atomically in one split. The oracle recomputes components
@@ -2991,7 +3047,7 @@ object Queries {
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, appendScan, compactScan, bloomScan,
-    dedupExact, incrementalDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
+    dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,

@@ -893,6 +893,58 @@ object Dedup {
       coalesce(col("__keep"), col("component").isNull).as("keep"))
   }
 
+  /** Incremental embedding near-dup: which rows of a (small) new
+    * `batch` near-duplicate (cosine >= `threshold`) some row of an
+    * unbounded `history` corpus — the continuous-ingestion gate a
+    * training pipeline runs before admitting new documents, the
+    * embedding analog of [[incrementalDedup]].
+    *
+    * Scale contract (the 10^12-row history case):
+    *  - history is SCANNED exactly once and NEVER shuffled: its band
+    *    keys are computed on the scan (one codegen'd
+    *    [[graft.plans.LshBandBits]] pass) and joined against the
+    *    BROADCAST batch key set, so every history partition streams
+    *    through map-side work only;
+    *  - the batch side (per-band keys, multi-probed, carrying the
+    *    batch vector) is batch-sized x bands x (probes+1) — KBs to
+    *    MBs, always broadcastable;
+    *  - the exact cosine verify happens IN the broadcast-join stage
+    *    (both vectors are present: history's from the scan row,
+    *    batch's from the broadcast), so no candidate row ever carries
+    *    a vector through a shuffle — the only shuffle is the final
+    *    pair distinct over (batch_id, history_id, cosine).
+    *
+    * Returns (batch_id, history_id, cosine) for every detected
+    * near-dup pair; anti-join the batch against its distinct
+    * batch_ids to admit only novel rows.
+    */
+  def incrementalEmbeddingNearDup(
+      history: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int = 256, bands: Int = 16, dim: Int = 64,
+      multiProbe: Int = 1): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    // batch: per-band keys, multi-probed, vector + norm carried (the
+    // broadcast side duplicates the batch vector per band key — fine,
+    // the batch is small by contract)
+    val bBanded = Similarity.withNorm(batch, idCol, vecCol)
+      .select(col("id").as("batch_id"), col("vec").as("bvec"), col("norm").as("bnorm"),
+        posexplode(Similarity.bandKeys(col("vec"), planes, bands)).as(Seq("band", "__bits0")))
+      .select(col("batch_id"), col("bvec"), col("bnorm"), col("band"),
+        explode(Similarity.probeKeys(col("__bits0"), numPlanes / bands, multiProbe)).as("bits"))
+    // history: keys computed on the scan; broadcast join = no shuffle
+    val hBanded = Similarity.withNorm(history, idCol, vecCol)
+      .select(col("id").as("history_id"), col("vec").as("hvec"), col("norm").as("hnorm"),
+        posexplode(Similarity.bandKeys(col("vec"), planes, bands)).as(Seq("band", "bits")))
+    hBanded.join(broadcast(bBanded), Seq("band", "bits"))
+      .select(col("batch_id"), col("history_id"),
+        Similarity.cosineFromParts(
+          col("bvec"), col("hvec"), col("bnorm"), col("hnorm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** All-pairs exact variant: the oracle/recall baseline for
     * [[embeddingNearDup]] in tests. Quadratic — never the scale
     * path.

@@ -389,6 +389,21 @@ class DedupSpec extends SparkSpec {
       s"false-positive rate ${fp.toDouble / probes.length} far above the 1% design point")
   }
 
+  test("incrementalEmbeddingNearDup admits novel vectors and flags every planted history dup") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val history = emb.filter(col("vec_id") < 400)
+    val copies = Similarity.plantNearDuplicates(history, "vec_id", "embedding",
+        col("vec_id") < 50, copies = 1, idOffset = 100000L, scaleStep = 0.01)
+      .filter(col("vec_id") >= 100000L)
+    val fresh = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = Dedup.incrementalEmbeddingNearDup(history, copies.union(fresh),
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every copy pairs with exactly its source; every fresh vector is novel
+    assert(pairs === (0L until 50L).map(i => (i + 100000L, i)).toSet)
+  }
+
   // --- SemDeDup-style semantic dedup ------------------------------
 
   private def semanticCorpus = {

@@ -174,6 +174,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "exact verify must be a semi join\n" + p)
   }
 
+  test("incrementalEmbeddingNearDup: history never shuffles; batch keys broadcast") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = Dedup.incrementalEmbeddingNearDup(
+      emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", threshold = 0.9)
+    val p = plan(df)
+    // the only exchange is the final pair distinct (pair-count-sized);
+    // the history scan streams map-side through the broadcast join
+    assert(shuffles(df) <= 1, "history must not shuffle\n" + p)
+    assert(p.contains("BroadcastExchange"), "batch keys must broadcast\n" + p)
+    assert(p.contains("graft_lsh_band_bits"),
+      "band keys must come from the codegen'd signature expression\n" + p)
+  }
+
   test("quantization, html strip, url parse, shuffle keys are all shuffle-free") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
