@@ -280,6 +280,23 @@ object ScaleRamp {
       "lm_familiarity" -> (k => graft.operators.TextOps.lmFamiliarity(
         docs(k), "doc_id", "text",
         docs(1).filter(col("doc_id") < 500), "text")),
+      // r9 additions. semantic_dedup: nCenters scales WITH the corpus
+      // (32*k centers keeps cell size ~constant — the SemDeDup
+      // premise), so the within-cell quadratic term stays linear
+      // overall; the ramp catches a fixed-nCenters deployment mistake
+      // (cells growing with the corpus => quadratic). Copies are
+      // decorrelated, so the pair graph stays sparse and the timed
+      // cost is assignment + cell-keyed candidate generation.
+      "semantic_dedup" -> (k => Dedup.semanticDedup(
+        vecs(k), "vec_id", "embedding", eps = 0.9, nCenters = 32 * k,
+        assignProbes = 2)),
+      // incremental_embdedup: history scales, admission batch held
+      // FIXED (the 1x corpus's first 500 vectors) — the history
+      // band-key scan is the linear part, the broadcast probe and
+      // verify constant-sized.
+      "incremental_embdedup" -> (k => Dedup.incrementalEmbeddingNearDup(
+        vecs(k), vecs(1).filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.9)),
       // r8 storage family (see the storage section above for the
       // expected shapes). The returned frames are the POST-op reads
       // whose plan cost is part of the claim (kept files constant).
