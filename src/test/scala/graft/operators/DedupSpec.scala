@@ -404,6 +404,77 @@ class DedupSpec extends SparkSpec {
     assert(pairs === (0L until 50L).map(i => (i + 100000L, i)).toSet)
   }
 
+  // --- randomized engine-vs-model gates (fixed seed => every run
+  // sees the same corpora; a pass is a pass forever) ---------------
+
+  private def randVec(rnd: scala.util.Random, dim: Int): Array[Float] =
+    Array.fill(dim)(rnd.nextGaussian().toFloat)
+  private def perturb(rnd: scala.util.Random, v: Array[Float], s: Double): Array[Float] =
+    v.map(x => (x + s * rnd.nextGaussian()).toFloat)
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("randomized: incrementalEmbeddingNearDup equals the exact batch x history join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val hist = (0 until 300).map(i => (i.toLong, randVec(rnd, 64)))
+      // 20 admission dups (perturbed copies of random history rows:
+      // cosine ~0.999) + 20 genuinely novel vectors (max natural
+      // cosine on isotropic 64-dim data ~0.5)
+      val dupSrcs = rnd.shuffle(hist).take(20)
+      val batch = dupSrcs.zipWithIndex.map { case ((_, v), j) =>
+        (1000L + j, perturb(rnd, v, 0.05)) } ++
+        (0 until 20).map(j => (2000L + j, randVec(rnd, 64)))
+      val exact = (for {
+        (bid, bv) <- batch; (hid, hv) <- hist
+        if cosD(bv, hv) >= 0.92
+      } yield (bid, hid)).toSet
+      val engine = Dedup.incrementalEmbeddingNearDup(
+          hist.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+          batch.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.92)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(engine === exact, s"trial $trial: engine pair set diverged from the exact join")
+    }
+  }
+
+  test("randomized: semanticDedup(nCenters=1) matches a driver union-find model") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    // 30 cluster bases with 0-3 perturbed copies each + 50 singletons
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var nextId = 0L
+    (0 until 30).foreach { _ =>
+      val base = randVec(rnd, 64)
+      rows += ((nextId, base)); nextId += 1
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        rows += ((nextId, perturb(rnd, base, 0.05))); nextId += 1
+      }
+    }
+    (0 until 50).foreach { _ => rows += ((nextId, randVec(rnd, 64))); nextId += 1 }
+    // driver model: union-find over exact pairs at eps, min-id labels
+    val ids = rows.map(_._1).toArray
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- rows.indices; j <- (i + 1) until rows.length
+         if cosD(rows(i)._2, rows(j)._2) >= 0.9) {
+      val (ra, rb) = (find(rows(i)._1), find(rows(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => (i, find(i), find(i) == i)).toSet
+    val engine = Dedup.semanticDedup(
+        rows.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", eps = 0.9, nCenters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(engine === expected)
+  }
+
   // --- SemDeDup-style semantic dedup ------------------------------
 
   private def semanticCorpus = {
