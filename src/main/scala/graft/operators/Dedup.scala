@@ -833,6 +833,10 @@ object Dedup {
     // refinement) of ivfCentroids
     val centroids: Array[Array[Float]] = seedIds match {
       case Some(ids) =>
+        require(ids.size == nCenters,
+          s"seedIds pins the centroids, so its size (${ids.size}) must equal " +
+            s"nCenters ($nCenters) — a mismatch means the tuned cell count is not " +
+            "what executes")
         val byId = embeddings.filter(col(idCol).isin(ids: _*))
           .select(col(idCol).cast("long"), col(vecCol))
           .collect()
@@ -873,7 +877,7 @@ object Dedup {
           .toDF("cid", "__cvec", "__cnorm")
           .select(col("cid"), col("__cvec").cast("array<float>").as("__cvec"),
             col("__cnorm"))
-        val centroidCos = Similarity.withNorm(embeddings, idCol, vecCol)
+        val centroidCos = withNorm
           .withColumn("cid", Similarity.nearestCentroidId(col("vec"), centroids))
           .join(broadcast(centroidDim), Seq("cid"))
           .select(col("id"),

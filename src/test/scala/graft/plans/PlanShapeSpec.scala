@@ -286,13 +286,23 @@ class PlanShapeSpec extends SparkSpec {
   test("semanticCandidates: cell-keyed equi join carries only (id, cid) — vectors never cross it") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", nCenters = 4)
-    val p = plan(Dedup.semanticCandidates(emb, "vec_id", "embedding",
-      centroids, assignProbes = 2))
+    val df = Dedup.semanticCandidates(emb, "vec_id", "embedding",
+      centroids, assignProbes = 2)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the join inputs are id+cid projections: no embedding column may
-    // appear above the nearest-centroids projection feeding the join
-    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
-      p.indexOf("BroadcastHashJoin")
-    assert(joinIdx >= 0, "expected an equi join on the cell id\n" + p)
+    // the join inputs are id+cid projections: no array (vector)
+    // column may reach either side of the cell-keyed join — the same
+    // ids-only discipline the minhash band join is held to
+    val cellJoins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name.startsWith("cid"))) => j
+    }
+    assert(cellJoins.nonEmpty, "expected an equi join on the cell id\n" + p)
+    cellJoins.foreach { j =>
+      val arrays = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"vector columns cross the cell join: ${arrays.map(_.name).mkString(", ")}")
+    }
   }
 }
