@@ -101,6 +101,43 @@ class PropertySpec extends AnyFunSuite {
     }, "MG invariants")
   }
 
+  test("nearest-centroids kernel: equals the sort-based reference selection on arbitrary inputs") {
+    // the bounded top-nProbe insertion in NearestCentroids.compute is
+    // the one hand-rolled selection loop in the vector family — the
+    // semantic dedup + IVF paths both key cell assignment off it, so
+    // an off-by-one in the insertion order silently reassigns cells
+    val gen = for {
+      dim <- Gen.choose(1, 16)
+      nc <- Gen.choose(1, 12)
+      nProbe <- Gen.choose(1, 12)
+      vec <- Gen.listOfN(dim, Gen.choose(-4.0f, 4.0f))
+      cents <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.choose(-4.0f, 4.0f)))
+      zeroIdx <- Gen.option(Gen.choose(0, nc - 1)) // sometimes a zero centroid
+    } yield (vec.toArray, cents.map(_.toArray).toArray, nProbe, zeroIdx)
+    check(Prop.forAll(gen) { case (vec, cents0, nProbe, zeroIdx) =>
+      val cents = cents0.clone()
+      zeroIdx.foreach(i => cents(i) = Array.fill(cents(i).length)(0.0f))
+      val invNorms = cents.map { c =>
+        val n = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+        if (n == 0.0) 0.0 else 1.0 / n
+      }
+      val got = NearestCentroids.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vec),
+        cents, invNorms, math.min(nProbe, cents.length)).toSeq
+      // reference: full sort by (score DESC, id DESC), take nProbe
+      val scores = cents.indices.map { i =>
+        var s = 0.0
+        var d = 0
+        val n = math.min(vec.length, cents(i).length)
+        while (d < n) { s += vec(d).toDouble * cents(i)(d).toDouble; d += 1 }
+        (s * invNorms(i), i)
+      }
+      val want = scores.sortBy { case (s, i) => (-s, -i) }
+        .take(math.min(nProbe, cents.length)).map(_._2)
+      got == want
+    }, "nearest-centroids selection")
+  }
+
   test("poly hash: matches a BigInt reference; seed-sensitive") {
     check(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(0L, 100L)) { (s, seed) =>
       val ref = s.codePoints().toArray.foldLeft(BigInt(seed % PolyHash.Mod)) {
