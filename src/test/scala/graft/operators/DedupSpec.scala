@@ -475,6 +475,30 @@ class DedupSpec extends SparkSpec {
     assert(engine === expected)
   }
 
+  test("degenerate inputs: empty batch, batch-only corpus, single-row semantic corpus") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(s, "/root/testdata/sf0.01").filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    // empty admission batch -> no pairs, no crash
+    assert(Dedup.incrementalEmbeddingNearDup(
+      emb, emb.filter(col("vec_id") < 0), "vec_id", "embedding", 0.9).count() === 0)
+    // empty history -> nothing to collide with
+    assert(Dedup.incrementalEmbeddingNearDup(
+      emb.filter(col("vec_id") < 0), emb, "vec_id", "embedding", 0.9).count() === 0)
+    // single-row semantic corpus: its own kept representative
+    val one = Dedup.semanticDedup(emb.filter(col("vec_id") === 7), "vec_id", "embedding",
+        eps = 0.9, nCenters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(one.toSeq === Seq((7L, 7L, true)))
+    // seed/nCenters mismatch fails loudly, not silently
+    val err = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding", eps = 0.9, nCenters = 4,
+        seedIds = Some(Seq(1L, 2L)))
+    }
+    assert(err.getMessage.contains("nCenters"))
+  }
+
   // --- SemDeDup-style semantic dedup ------------------------------
 
   private def semanticCorpus = {
