@@ -155,6 +155,17 @@ object Bench {
     val poisoned = calibrations.collect {
       case (k, t) if calMin > 0 && t >= 2 * calMin => jstr(k)
     }.mkString("[", ",", "]")
+    // second self-diagnosis channel: the probe runs BEFORE the
+    // attempts, so a load wave arriving mid-query shows up as wildly
+    // divergent attempt timings with a clean probe (observed r9: a
+    // 1.45/4.6/11.9 attempt series behind a 1.8x probe that slipped
+    // under the 2x gate). min-of-N already reports the best attempt;
+    // this flags that the WINDOW was turbulent so a reader re-pins
+    // instead of reading the row as plan cost.
+    val unstable = attempts.collect {
+      case (k, ts) if ts.flatten.size >= 2 &&
+        ts.flatten.max >= 3 * ts.flatten.min => jstr(k)
+    }.mkString("[", ",", "]")
     val tsJson = attemptStarts.map { case (k, ts) =>
       s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
@@ -166,11 +177,11 @@ object Bench {
     // in r8 ("parsed": null), and everything it needs for the gate is
     // metric/value/queries/failures. Query minima are rounded to ms in
     // the compact line (full precision lives in the artifact).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"unstable":$unstable,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     val qsCompact = results.map { case (k, v) =>
       s"${jstr(k)}:${v.map(dec).getOrElse("null")}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":$qsCompact,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir","full":${jstr(outPath)}}"""
+    val line = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":$qsCompact,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"unstable":$unstable,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir","full":${jstr(outPath)}}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
