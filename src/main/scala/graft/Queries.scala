@@ -122,6 +122,77 @@ object Queries {
                OR s0.value IS DISTINCT FROM s1.value
             ORDER BY s1.user_id, s1.event_type"""))
 
+  // SCD TYPE 2 — the other face of DLT apply_changes
+  // (stored_as_scd_type=2): full per-key version history as validity
+  // intervals, deletes closing intervals without opening one. The
+  // oracle replays the identical window derivation in SQL; ~3.4% of
+  // events (event_id % 29 = 7) act as delete markers, so interval
+  // gaps (delete → later re-insert) are exercised by real data.
+  val scd2 = QueryDef(
+    "q_scd2",
+    (s, d) => Cdc.scdType2(Tables.events(s, d),
+        keys = Seq("user_id", "event_type"),
+        seqCols = Seq("ts", "event_id"),
+        payload = Seq("value"),
+        deleteWhen = col("event_id") % 29 === 7)
+      .orderBy(col("user_id"), col("event_type"),
+        col("__start_ts"), col("__start_event_id")),
+    Some("""WITH tagged AS (
+              SELECT user_id, event_type, ts, event_id, value,
+                     (event_id % 29 = 7) AS del
+              FROM events),
+            ordered AS (
+              SELECT user_id, event_type, ts, event_id, value, del,
+                     lead(ts) OVER w AS end_ts,
+                     lead(event_id) OVER w AS end_event_id
+              FROM tagged
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id))
+            SELECT user_id, event_type, value,
+                   ts AS __start_ts, event_id AS __start_event_id,
+                   end_ts AS __end_ts, end_event_id AS __end_event_id
+            FROM ordered WHERE NOT del
+            ORDER BY user_id, event_type, __start_ts, __start_event_id"""))
+
+  // Incremental SCD2 maintenance: history derived from the first
+  // 80% of the change log, then the rest applied as a batch through
+  // scdType2Apply (affected keys reconstructed + re-derived,
+  // untouched keys passed through). The oracle is the FULL-log
+  // derivation — the incremental result must be indistinguishable
+  // from a from-scratch rebuild, splices, deletions and all.
+  val scd2Apply = QueryDef(
+    "q_scd2_apply",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+      val del = col("event_id") % 29 === 7
+      val keys = Seq("user_id", "event_type")
+      val seqs = Seq("ts", "event_id")
+      val pay = Seq("value")
+      val hist = Cdc.scdType2(
+        ev.filter(col("event_id") < 8000), keys, seqs, pay, del)
+      Cdc.scdType2Apply(hist,
+          ev.filter(col("event_id") >= 8000), keys, seqs, pay, del)
+        .orderBy(col("user_id"), col("event_type"),
+          col("__start_ts"), col("__start_event_id"))
+    },
+    Some("""WITH tagged AS (
+              SELECT user_id, event_type, ts, event_id, value,
+                     (event_id % 29 = 7) AS del
+              FROM events),
+            ordered AS (
+              SELECT user_id, event_type, ts, event_id, value, del,
+                     lead(ts) OVER w AS end_ts,
+                     lead(event_id) OVER w AS end_event_id
+              FROM tagged
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id))
+            SELECT user_id, event_type, value,
+                   ts AS __start_ts, event_id AS __start_event_id,
+                   end_ts AS __end_ts, end_event_id AS __end_event_id
+            FROM ordered WHERE NOT del
+            ORDER BY user_id, event_type, __start_ts, __start_event_id"""))
+
   val currentInventory = QueryDef(
     "q_current_inventory",
     (s, d) => Inventory.currentInventoryOverEvents(s, Tables.events(s, d)),
@@ -455,6 +526,38 @@ object Queries {
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY lvl, r_name, n_name"""))
+
+  // CUBE grouping sets over two INDEPENDENT dimensions — the slice
+  // both ways rollup can't express (rollup nests right-to-left; cube
+  // emits all 4 grouping sets incl. per-priority-across-regions).
+  // Same scale shape as rollup: Spark expands the sets map-side into
+  // ONE partial-aggregated shuffle — 4x the aggregate state, not 4
+  // passes over the fact table.
+  val revenueCube = QueryDef(
+    "q_revenue_cube",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec12(col("o_totalprice"))).cast("double").as("revenue"),
+          grouping_id(col("r_name"), col("o_orderpriority")).cast("bigint").as("lvl"))
+        .orderBy(col("lvl"), col("r_name"), col("o_orderpriority"))
+    },
+    Some("""SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+              CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY CUBE (r_name, o_orderpriority)
+            ORDER BY lvl, r_name, o_orderpriority"""))
 
   // Exact interpolated percentiles (Spark `percentile` == DuckDB
   // `quantile_cont`, both linear interpolation over sorted values).
@@ -3048,8 +3151,9 @@ object Queries {
 
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
+    scd2, scd2Apply,
     transactionalize, expectations,
-    pricingSummary, revenueByRegion, revenueRollup, orderPercentiles,
+    pricingSummary, revenueByRegion, revenueRollup, revenueCube, orderPercentiles,
     topOrders, supplierRank, pivotEvents, movingAvg,
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,

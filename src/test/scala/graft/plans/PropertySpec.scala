@@ -62,16 +62,28 @@ class PropertySpec extends AnyFunSuite {
       val key = (idm * m + a) % p
       m > 0 && m < p && key >= 0 && key < p
     }, "shuffleKey range")
-    // different seeds reorder some pair among ids 0..49 (probability
-    // of an identical 50-element order under an independent
-    // permutation is ~0)
+    // distinct (m, a) constants give DISTINCT key functions — a
+    // deterministic fact: two affine maps mod p agree on at most one
+    // point, so they must differ on {0, 1}. (The stronger "any two
+    // seeds reorder a 50-element sample" is NOT a theorem — rare
+    // multiplier pairs sort a small prefix identically, and ScalaCheck
+    // found such a pair — so the sample-order claim is pinned by the
+    // fixed example below, not quantified over all seeds.)
     check(Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(0L, 1L << 40)) { (s1, s2) =>
       val (m1, a1) = graft.operators.TextOps.shuffleKeyConstants(s1)
       val (m2, a2) = graft.operators.TextOps.shuffleKeyConstants(s2)
+      ((m1, a1)) == ((m2, a2)) ||
+        (0L to 1L).exists(i => (i * m1 + a1) % p != (i * m2 + a2) % p)
+    }, "distinct constants are distinct key functions")
+    // fixed-example reorder: two specific seeds produce genuinely
+    // different 50-element orders (the property users care about)
+    locally {
+      val (m1, a1) = graft.operators.TextOps.shuffleKeyConstants(42L)
+      val (m2, a2) = graft.operators.TextOps.shuffleKeyConstants(43L)
       def order(m: Long, a: Long) =
         (0L until 50L).sortBy(i => (i * m + a) % p)
-      (s1 == s2 || m1 == m2) || order(m1, a1) != order(m2, a2)
-    }, "seed independence")
+      assert(order(m1, a1) != order(m2, a2))
+    }
   }
 
   test("misra-gries merge math: decrement-by-(k+1)th-largest preserves non-negativity and bound") {
