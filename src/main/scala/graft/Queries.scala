@@ -2946,6 +2946,45 @@ object Queries {
             WHERE NOT (user_id >= 40 AND user_id < 60)
             ORDER BY event_id"""))
 
+  // MERGE-ON-READ DML (deletion vectors): two stacked DV deletes
+  // (overlapping bands — double-delete protection on the overlap), a
+  // DV update, then a COMPACTION that materializes the vector, then a
+  // full readback. The oracle is the same CASE/NOT SQL as the
+  // copy-on-write gate — merge-on-read must be observationally
+  // IDENTICAL to copy-on-write; only the write amplification differs.
+  // A resurrected dead row (any scan path missing the vector), a
+  // double-counted overlap, or a compaction losing/duplicating a row
+  // all mismatch.
+  val deleteDv = QueryDef(
+    "q_delete_dv",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events", Seq("user_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 55L)
+      DataSkipping.deleteWhereDV(s, s"$root/events",
+        col("user_id") >= 50L && col("user_id") < 60L)
+      DataSkipping.updateWhereDV(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.compactTable(s, s"$root/events",
+        targetFileBytes = 4L * 1024 * 1024)
+      DataSkipping.readSkipping(s, s"$root/events", col("user_id") >= 0L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CASE WHEN user_id >= 100 AND user_id < 120
+                   THEN 'redacted' ELSE event_type END AS event_type,
+              CASE WHEN user_id >= 100 AND user_id < 120
+                   THEN value * -1 ELSE value END AS value
+            FROM events
+            WHERE NOT (user_id >= 40 AND user_id < 60)
+            ORDER BY event_id"""))
+
   // Upsert MERGE: keys ending in 3 are updated in place (priority
   // flipped to a literal), keys ending in 7 re-enter shifted +10M as
   // inserts, then a FULL readback. The oracle is the
@@ -3168,5 +3207,5 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
+    deleteUpdate, deleteDv, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
 }

@@ -132,6 +132,28 @@ object DataSkipping {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** DELETION VECTORS (the Delta deletion-vector analog — merge-on-
+    * read DELETE/UPDATE): a parquet dir inside the generation holding
+    * `(file, row_index)` positions that are DELETED from otherwise-
+    * untouched data files. [[deleteWhereDV]]/[[updateWhereDV]] write
+    * O(changed rows) instead of rewriting files — at 100 TB, deleting
+    * 0.1% of rows costs the DV rows, not a copy of every touched
+    * file. Every read and every DML-internal scan applies the DV as a
+    * BROADCAST-hash LEFT ANTI join on (`_metadata.file_path`,
+    * `_metadata.row_index`) — O(1) probe per row, no shuffle of the
+    * data side; file stats stay valid as UPPER bounds (a DV only
+    * removes rows, so min/max/nulls pruning can only over-keep, never
+    * over-prune). Generations CARRY the DV forward minus rewritten/
+    * removed files; [[compactTable]] MATERIALIZES it (rewrites files
+    * without the dead rows and clears the vector) — the broadcast's
+    * size bound is therefore the deletes between compactions, the
+    * same maintenance contract Delta's OPTIMIZE has. Living inside
+    * the generation dir makes the vector atomic with `_COMMIT`,
+    * time-travel-consistent (each version reads ITS OWN vector) and
+    * vacuumed with its generation.
+    */
+  val DvDir = "_dv"
+
   /** Default reader-safety window (Delta VACUUM's default): nothing a
     * manifest ever claimed is deleted sooner than this after being
     * replaced.
@@ -714,21 +736,27 @@ object DataSkipping {
     val old = stats.select(col("file"), col("file_size")).collect()
     val totalBytes = old.map(_.getLong(1)).sum
     val target = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (target >= old.length) {
-      // no rewrite, but vacuum is still the reclamation path
+    val dv = readDvIn(spark, dir)
+    if (target >= old.length && dv.isEmpty) {
+      // no rewrite, but vacuum is still the reclamation path. (With a
+      // deletion vector present compaction ALWAYS rewrites — resolving
+      // the vector into clean files is one of its two jobs, and the
+      // read path's broadcast bound depends on it.)
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0
     }
     val schema = tableSchemaIn(spark, path, dir)
     // rewrite the current snapshot: coalesce (no shuffle) into the
     // target file count, staged hidden, then moved in — invisible to
-    // manifest readers until the generation commit below
+    // manifest readers until the generation commit below. DV-dead
+    // rows are filtered here — compaction MATERIALIZES the deletion
+    // vector (the new generation carries none)
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
     // legacy manifests may lack mod_time — fall back to a path-list
     // read there; status-carrying ones plan through ManifestFileIndex
     val snapshot =
       if (stats.columns.contains("mod_time"))
-        statusScan(spark, path, schema, statusesOf(stats))
+        applyDv(statusScan(spark, path, schema, statusesOf(stats)), dv)
       else spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
     snapshot.coalesce(target).write.parquet(staging.toString)
     val moved = moveIn(fs, staging, new Path(path))
@@ -786,7 +814,8 @@ object DataSkipping {
       opStartMs: Long, verbatimMarkers: Set[String] = Set.empty,
       changeData: Option[DataFrame] = None,
       op: String = "UNKNOWN",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      dv: Option[DataFrame] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
@@ -809,6 +838,11 @@ object DataSkipping {
     // the `_` prefix hides them from the generation's manifest read
     changeData.foreach(cd =>
       cd.write.parquet(new Path(build, ChangeDataDir).toString))
+    // the deletion vector is generation state like change data: the
+    // single _COMMIT create below makes it exactly as atomic as the
+    // manifest rows, and the `_` prefix hides it from manifest reads
+    dv.foreach(d =>
+      d.write.parquet(new Path(build, DvDir).toString))
     writeOpFile(fs, build, op, opStartMs)
     writeTxnFile(fs, dir, build, txn)
     // retained markers either survive VERBATIM (caller proved none of
@@ -897,6 +931,36 @@ object DataSkipping {
       options = Map.empty)(classic))
   }
 
+  /** The generation's deletion vector, if any (see [[DvDir]]):
+    * `(file: string, row_index: long)` rows of dead positions.
+    */
+  private def readDvIn(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dv = new Path(dir, DvDir)
+    if (!fs.exists(dv)) None
+    else Some(spark.read.schema(
+        StructType(Seq(
+          StructField("file", org.apache.spark.sql.types.StringType),
+          StructField("row_index", org.apache.spark.sql.types.LongType))))
+      .parquet(dv.toString))
+  }
+
+  /** Filter DV-dead rows out of a data-file scan: broadcast-hash
+    * LEFT ANTI on (file path, row index) — the stream side never
+    * shuffles, each row pays one hash probe. No-op when the
+    * generation has no vector.
+    */
+  private def applyDv(scan: DataFrame, dv: Option[DataFrame]): DataFrame =
+    dv.fold(scan) { d =>
+      // the vector read is itself a file scan with its own _metadata
+      // — qualify the probe side's pseudo-column through the Dataset
+      scan.join(broadcast(d),
+        scan("_metadata.file_path") === d("file") &&
+          scan("_metadata.row_index") === d("row_index"),
+        "left_anti")
+    }
+
   /** Candidate files that actually contain rows where `cond` is TRUE,
     * with their match counts: ONE distributed scan of just the
     * candidate subset; only a (file, count) row per touched file
@@ -924,15 +988,21 @@ object DataSkipping {
     val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
     require(stats.columns.contains("file_size"),
       s"$op needs a size-carrying manifest (rewrite with writeWithStats)")
+    // DML sees the LOGICAL table: DV-dead rows are invisible to the
+    // candidate probe, the rewrite and the CDF images — a rewritten
+    // file drops its dead rows physically (the rewrite IS their
+    // materialization), and they can be neither re-deleted nor
+    // resurrected
+    val dv = readDvIn(spark, dir)
     val candStatuses = statusesOf(stats.filter(skip))
     val candScan =
       if (candStatuses.isEmpty) None
-      else Some(statusScan(spark, path, schema, candStatuses))
+      else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv))
     val hit = coalesce(predicate, lit(false))
     val touched = touchedFiles(candScan, hit)
     val touchedSet = touched.map(_._1).toSet
-    val touchedScan = statusScan(spark, path, schema,
-      candStatuses.filter(s => touchedSet(s.getPath.toString)))
+    val touchedScan = applyDv(statusScan(spark, path, schema,
+      candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
     (stats, schema, hit, touched, touchedScan)
   }
 
@@ -947,14 +1017,20 @@ object DataSkipping {
   private def rewriteFiles(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
       manifest: DataFrame, schema: StructType,
-      touched: Seq[String], replacement: DataFrame,
+      touched: Seq[String], replacement: Option[DataFrame],
       vacuum: Boolean, retentionMs: Long, markerRetentionMs: Long,
       opStartMs: Long, changeData: Option[DataFrame] = None,
       op: String = "UNKNOWN",
-      txn: Option[(String, Long)] = None): Unit = {
-    val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
-    replacement.write.parquet(staging.toString)
-    val moved = moveIn(fs, staging, new Path(path))
+      txn: Option[(String, Long)] = None,
+      extraDv: Option[DataFrame] = None): Unit = {
+    // None = the op writes no data files at all (merge-on-read DML:
+    // its entire output is the deletion vector) — not even an empty
+    // staged part
+    val moved = replacement.fold(Seq.empty[String]) { r =>
+      val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
+      r.write.parquet(staging.toString)
+      moveIn(fs, staging, new Path(path))
+    }
     val feats = manifestFeatures(fs, dir)
     val statsCols = trackedCols(spark, dir).toSeq.sorted
     // Manifest rows tagged with their SOURCE manifest file: a named
@@ -1009,13 +1085,27 @@ object DataSkipping {
     val manifestSchema = readSidecar(spark, dir, ManifestSchemaFile)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(manifest.schema)
+    // deletion-vector carry: entries for files this op rewrote or
+    // removed are RESOLVED (the rewrite scanned DV-filtered rows, so
+    // the new files hold no dead positions); everything else rides
+    // into the next generation, plus this op's own new dead
+    // positions (merge-on-read DELETE/UPDATE)
+    val carriedDv = readDvIn(spark, dir).map { d =>
+      if (touched.isEmpty) d
+      else d.join(broadcast(spark.createDataset(touched)(
+          org.apache.spark.sql.Encoders.STRING).toDF("__t")),
+        col("file") === col("__t"), "left_anti")
+    }
+    val dvNext = (carriedDv.toSeq ++ extraDv.toSeq)
+      .reduceOption(_.unionByName(_))
+      .filter(!_.isEmpty) // a rewrite that resolved every entry carries no vector
     publishGeneration(spark, fs, path, dir, rows, schema, statsCols,
       feats, manifestSchema,
       removedData = touched.map(p => new Path(p).getName),
       markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
       verbatimMarkers = verbatim,
       changeData = changeData.filter(_ => feats.contains(CdfFeature)),
-      op = op, txn = txn)
+      op = op, txn = txn, dv = dvNext)
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 
@@ -1075,7 +1165,7 @@ object DataSkipping {
       if (!cdfEnabled(fs, dir)) None
       else Some(touchedScan.filter(hit)
         .withColumn(ChangeTypeCol, lit("delete")))
-    rewriteFiles(spark, fs, path, dir, manifest, schema, files, keep,
+    rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(keep),
       vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE")
     touched.map(_._2).sum
   }
@@ -1138,8 +1228,117 @@ object DataSkipping {
           .unionByName(applySet(hitRows, onlyWhere = None)
             .withColumn(ChangeTypeCol, lit("update_postimage"))))
       }
-    rewriteFiles(spark, fs, path, dir, manifest, schema, files, updated,
+    rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(updated),
       vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE")
+    touched.map(_._2).sum
+  }
+
+  /** Merge-on-read DELETE via deletion vectors (the Delta
+    * deletion-vector DELETE analog — see [[DvDir]]): instead of
+    * rewriting every touched file ([[deleteWhere]]'s copy-on-write),
+    * record the matching rows' `(file, row_index)` positions in the
+    * next generation's vector and carry every data file AND manifest
+    * row verbatim. Write cost is O(deleted rows), independent of how
+    * many bytes the touched files hold — the right trade when
+    * deletes are small and frequent (CDC, GDPR erasure) against
+    * 100 TB of large files; [[compactTable]] later materializes the
+    * vector into clean files and resets the read path's broadcast
+    * bound.
+    *
+    * Everything else behaves exactly like [[deleteWhere]]: SQL TRUE-
+    * only semantics, stats-pruned candidate scan, atomic generation
+    * commit, CDF `delete` rows when the feed is on, time travel reads
+    * each version under its own vector, retention vacuum. Rows
+    * already dead in the current vector are invisible to the scan and
+    * cannot be re-deleted (the count never double-counts). Named
+    * commit markers survive verbatim — no data file was rewritten —
+    * so an in-flight [[graft.streaming.StatsTableSource]] consumer
+    * replaying a pre-delete batch still reads its ORIGINAL rows (the
+    * Delta streaming contract: appends stream; later deletes don't
+    * retro-edit a delivered batch — the skipChangeCommits shape).
+    * Single-writer like all maintenance ops. Returns the number of
+    * rows deleted.
+    */
+  def deleteWhereDV(spark: SparkSession, path: String, predicate: Column,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (manifest, schema, hit, touched, touchedScan) =
+      pruneAndTouch(spark, path, dir, predicate, "deleteWhereDV")
+    if (touched.isEmpty) {
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0L
+    }
+    // hit rows of the (already DV-filtered) touched-file scan are the
+    // new dead positions — bounded by the delete's selectivity
+    val newDead = touchedScan.filter(hit).select(
+      col("_metadata.file_path").as("file"),
+      col("_metadata.row_index").as("row_index"))
+    val changes =
+      if (!cdfEnabled(fs, dir)) None
+      else Some(touchedScan.filter(hit)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .withColumn(ChangeTypeCol, lit("delete")))
+    // no files touched: manifest carried whole, replacement empty —
+    // the op's entire output is the vector (+ change data)
+    rewriteFiles(spark, fs, path, dir, manifest, schema,
+      touched = Nil, replacement = None,
+      vacuum, retentionMs, markerRetentionMs, opStart, changes,
+      op = "DELETE", extraDv = Some(newDead))
+    touched.map(_._2).sum
+  }
+
+  /** Merge-on-read UPDATE via deletion vectors: the matching rows'
+    * positions join the vector (their files stay untouched) and the
+    * updated row images are APPENDED as new files — write cost
+    * O(updated rows), not O(touched file bytes). Same SET semantics,
+    * CDF pre/post images, and maintenance contract as [[updateWhere]];
+    * same vector lifecycle as [[deleteWhereDV]]. Returns the number
+    * of rows updated.
+    */
+  def updateWhereDV(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (manifest, schema, hit, touched, touchedScan) =
+      pruneAndTouch(spark, path, dir, predicate, "updateWhereDV")
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"SET columns [${unknown.toSeq.sorted.mkString(",")}] are not in the " +
+        s"table schema ${schema.simpleString}")
+    if (touched.isEmpty) {
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0L
+    }
+    val hitRows = touchedScan.filter(hit)
+    val newDead = hitRows.select(
+      col("_metadata.file_path").as("file"),
+      col("_metadata.row_index").as("row_index"))
+    def applySet(frame: DataFrame): DataFrame =
+      frame.select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val changes =
+      if (!cdfEnabled(fs, dir)) None
+      else Some(hitRows.select(schema.fieldNames.map(col).toSeq: _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(applySet(hitRows)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))))
+    rewriteFiles(spark, fs, path, dir, manifest, schema,
+      touched = Nil, replacement = Some(applySet(hitRows)),
+      vacuum, retentionMs, markerRetentionMs, opStart, changes,
+      op = "UPDATE", extraDv = Some(newDead))
     touched.map(_._2).sum
   }
 
@@ -1241,6 +1440,7 @@ object DataSkipping {
           }.reduce(_ && _)
         }
       val candStatuses = statusesOf(stats.filter(skip))
+      val dv = readDvIn(spark, dir)
       // 2. TOUCH — ONE scan of the candidates, inner-joined to the
       // (unique, so duplication-free) source keys; the narrow matched
       // frame (keys + file) is kept for BOTH aggregates — per-file
@@ -1249,7 +1449,7 @@ object DataSkipping {
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
       val matched: Option[DataFrame] =
         if (candStatuses.isEmpty) None
-        else Some(statusScan(spark, path, schema, candStatuses)
+        else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
           .join(srcKeys, keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1290,7 +1490,7 @@ object DataSkipping {
               .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
               .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))))
           }
-        rewriteFiles(spark, fs, path, dir, stats, schema, files, replacement,
+        rewriteFiles(spark, fs, path, dir, stats, schema, files, Some(replacement),
           vacuum, retentionMs, markerRetentionMs, opStart, changes,
           op = "MERGE", txn = txn)
         (matchedKeys, srcCount - matchedKeys)
@@ -1682,15 +1882,59 @@ object DataSkipping {
     val changes =
       if (!cdfEnabled(fs, dir)) None
       else {
+        // each side's rows are its OWN generation's visible rows:
+        // dropped files minus the current vector, re-added files
+        // minus the restored version's vector
         val dels =
           if (dropped.isEmpty) None
-          else Some(spark.read.schema(curSchema).parquet(dropped: _*)
+          else Some(applyDv(spark.read.schema(curSchema).parquet(dropped: _*),
+              readDvIn(spark, dir))
             .withColumn(ChangeTypeCol, lit("delete")))
         val ins =
           if (added.isEmpty) None
-          else Some(spark.read.schema(vSchema).parquet(added: _*)
+          else Some(applyDv(spark.read.schema(vSchema).parquet(added: _*),
+              readDvIn(spark, vDir))
             .withColumn(ChangeTypeCol, lit("insert")))
-        (dels ++ ins).reduceOption(
+        // files COMMON to both states can still change visibility
+        // through their deletion vectors: positions dead now but
+        // alive at the restored version are RESURRECTED (insert);
+        // positions alive now but dead there are re-deleted. Row
+        // lookup cost is bounded by the vector sizes, never the
+        // files.
+        val common = (curFiles & restoredSet).toSeq
+        def dvDiff(a: Option[DataFrame], b: Option[DataFrame])
+            : Option[DataFrame] = a.map { d =>
+          val inCommon = d.join(broadcast(spark.createDataset(common)(
+              org.apache.spark.sql.Encoders.STRING).toDF("__c")),
+            col("file") === col("__c"), "left_semi")
+          b.fold(inCommon)(o => inCommon.join(broadcast(o),
+            inCommon("file") === o("file") &&
+              inCommon("row_index") === o("row_index"), "left_anti"))
+        }
+        def rowsAt(positions: Option[DataFrame], schemaX: StructType,
+            changeType: String): Option[DataFrame] =
+          positions.flatMap { pos =>
+            // read ONLY the files the position diff names (the
+            // distinct-file list is bounded by the vector, collected
+            // once)
+            val posFiles = pos.select("file").distinct()
+              .collect().map(_.getString(0)).toSeq
+            if (posFiles.isEmpty) None
+            else {
+              val scanDf = spark.read.schema(schemaX).parquet(posFiles: _*)
+              Some(scanDf.join(broadcast(pos),
+                  scanDf("_metadata.file_path") === pos("file") &&
+                    scanDf("_metadata.row_index") === pos("row_index"),
+                  "left_semi")
+                .withColumn(ChangeTypeCol, lit(changeType)))
+            }
+          }
+        val (curDvF, vDvF) =
+          if (common.isEmpty) (None, None)
+          else (readDvIn(spark, dir), readDvIn(spark, vDir))
+        val resurrected = rowsAt(dvDiff(curDvF, vDvF), vSchema, "insert")
+        val reDeleted = rowsAt(dvDiff(vDvF, curDvF), curSchema, "delete")
+        (dels ++ ins ++ resurrected ++ reDeleted).reduceOption(
           _.unionByName(_, allowMissingColumns = true))
       }
     // Build the new generation as a VERBATIM file copy of the
@@ -1721,6 +1965,13 @@ object DataSkipping {
         f.getPath.getName
       }
       .filterNot(_.startsWith("part-")).toSet
+    // the restored version's deletion vector IS part of its state —
+    // a restore to a DV-bearing version must hide exactly the rows
+    // that version hid
+    val vDvPath = new Path(vDir, DvDir)
+    if (fs.exists(vDvPath))
+      org.apache.hadoop.fs.FileUtil.copy(fs, vDvPath,
+        fs, new Path(build, DvDir), false, conf)
     writeSidecars(spark, build.toString, vSchema, vStatsCols, feats,
       manifestSchema = Some(vManifestSchema))
     // the idempotent-writer watermarks ride the CURRENT generation
@@ -1880,7 +2131,8 @@ object DataSkipping {
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(classic)
-      classic.baseRelationToDataFrame(relation).filter(predicate)
+      applyDv(classic.baseRelationToDataFrame(relation),
+        readDvIn(spark, dir)).filter(predicate)
     }
   }
 

@@ -1038,8 +1038,8 @@ class DataSkippingSpec extends SparkSpec {
 
     val rnd = new scala.util.Random(987654321L)
     var nextId = 100000L
-    (1 to 14).foreach { step =>
-      val op = rnd.nextInt(6)
+    (1 to 18).foreach { step =>
+      val op = rnd.nextInt(8)
       val desc = op match {
         case 0 => // range delete (may hit nothing)
           val lo = rnd.nextInt(2200).toLong
@@ -1047,6 +1047,21 @@ class DataSkippingSpec extends SparkSpec {
             col("id") >= lo && col("id") < lo + 120L)
           shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 120L }
           s"delete [$lo, ${lo + 120})"
+        case 6 => // merge-on-read delete (deletion vector)
+          val lo = rnd.nextInt(2200).toLong
+          DataSkipping.deleteWhereDV(s, dir,
+            col("id") >= lo && col("id") < lo + 120L)
+          shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 120L }
+          s"dv-delete [$lo, ${lo + 120})"
+        case 7 => // merge-on-read update (vector + appended images)
+          val lo = rnd.nextInt(2200).toLong
+          DataSkipping.updateWhereDV(s, dir,
+            col("id") >= lo && col("id") < lo + 150L,
+            Map("payload" -> concat(lit(s"w$step-"), col("id"))))
+          shadow = shadow.map { case (k, v) =>
+            k -> (if (k >= lo && k < lo + 150L) s"w$step-$k" else v)
+          }
+          s"dv-update [$lo, ${lo + 150})"
         case 1 => // range update
           val lo = rnd.nextInt(2200).toLong
           DataSkipping.updateWhere(s, dir,
@@ -1120,13 +1135,27 @@ class DataSkippingSpec extends SparkSpec {
     // compaction + restore histories
     val rnd = new scala.util.Random(1357924680L)
     var nextId = 100000L
-    (1 to 12).foreach { step =>
-      rnd.nextInt(5) match {
+    (1 to 15).foreach { step =>
+      rnd.nextInt(7) match {
         case 0 =>
           val lo = rnd.nextInt(1700).toLong
           DataSkipping.deleteWhere(s, dir,
             col("id") >= lo && col("id") < lo + 100L)
           shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 100L }
+        case 5 => // merge-on-read delete: feed rows must be identical
+          // to the copy-on-write op's
+          val lo = rnd.nextInt(1700).toLong
+          DataSkipping.deleteWhereDV(s, dir,
+            col("id") >= lo && col("id") < lo + 100L)
+          shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 100L }
+        case 6 => // merge-on-read update
+          val lo = rnd.nextInt(1700).toLong
+          DataSkipping.updateWhereDV(s, dir,
+            col("id") >= lo && col("id") < lo + 120L,
+            Map("payload" -> concat(lit(s"w$step-"), col("id"))))
+          shadow = shadow.map { case (k, v) =>
+            k -> (if (k >= lo && k < lo + 120L) s"w$step-$k" else v)
+          }
         case 1 =>
           val lo = rnd.nextInt(1700).toLong
           DataSkipping.updateWhere(s, dir,
