@@ -227,6 +227,33 @@ class ChangeFeedSourceSpec extends SparkSpec {
       col("score") === col("id") * 2).count() === 10L)
   }
 
+  test("deletion-vector DML streams through the feed identically to copy-on-write") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("cdfsrc_dv") + "/t"
+    val outDir = tmpDir("cdfsrc_dvout") + "/o"
+    val ckpt = tmpDir("cdfsrc_dvckpt")
+    buildTable(s, table)
+    drain(s, table, outDir, ckpt) // pin the stream at v0
+
+    assert(DataSkipping.deleteWhereDV(s, table,
+      col("id") >= 50L && col("id") < 90L) === 40L)            // v1
+    assert(DataSkipping.updateWhereDV(s, table, col("id") === 200L,
+      Map("payload" -> lit("dvup"))) === 1L)                   // v2
+    drain(s, table, outDir, ckpt)
+    val got = s.read.parquet(outDir)
+    assert(got.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("delete" -> 40L, "update_preimage" -> 1L,
+        "update_postimage" -> 1L))
+    assert(got.filter(col("_change_type") === "update_postimage")
+      .select("payload").head().getString(0) === "dvup")
+    // restart owes nothing — vector DML versions commit offsets like
+    // any other
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).count() === 42L)
+  }
+
   test("a feed-less table is refused at stream construction") {
     val s = spark
     import s.implicits._

@@ -52,6 +52,32 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewMap(view)("g0")._2 === 80L) // 100 - 10 (deleted) - 10 (migrated)
   }
 
+  test("deletion-vector DML folds into the view exactly like copy-on-write") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_dv")
+    val base = s"$root/base"
+    buildBase(s, base)
+    def refresh() = IncrementalView.maintainSumCount(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh() // bootstrap
+
+    DataSkipping.deleteWhereDV(s, base, col("id") < 50L)           // v1
+    DataSkipping.updateWhereDV(s, base,
+      col("id") >= 400L && col("id") < 450L,
+      Map("grp" -> lit("gX"), "value" -> (col("value") * -1)))     // v2
+    val view = refresh().orderBy("grp")
+    val expect = DataSkipping.readSkipping(s, base, col("id") >= 0L)
+      .groupBy("grp").agg(
+        sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+          .as("sum_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("grp")
+    assert(viewMap(view) === viewMap(expect),
+      "view maintained from DV-DML feed rows must equal the recompute")
+    assert(viewMap(view).contains("gX"))
+  }
+
   test("a group emptied by deletes leaves the view entirely") {
     val s = spark
     val root = tmpDir("ivw_dead")
