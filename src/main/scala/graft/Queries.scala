@@ -2985,6 +2985,49 @@ object Queries {
             WHERE NOT (user_id >= 40 AND user_id < 60)
             ORDER BY event_id"""))
 
+  // METADATA-ONLY COUNT (the Delta/Photon metadata-count analog):
+  // tri-state file classification from manifest stats — all-match
+  // files contribute n_rows (minus deletion-vector entries) with no
+  // data read, no-match files prune, only boundary files scan. The
+  // gate stacks a DV delete on top so the metadata arithmetic must
+  // subtract dead positions exactly; the oracle recomputes all four
+  // labeled counts by brute force.
+  val countMeta = QueryDef(
+    "q_count_meta",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_cnt").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events", Seq("user_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      def cnt(label: String, pred: org.apache.spark.sql.Column) =
+        (label, DataSkipping.countWhere(s, s"$root/events", pred))
+      import s.implicits._
+      Seq(
+        cnt("all", lit(true)),
+        cnt("band", col("user_id") >= 100L && col("user_id") < 200L),
+        cnt("deleted_band", col("user_id") >= 30L && col("user_id") < 70L),
+        cnt("none", col("user_id") > 1000000L))
+        .toDF("label", "cnt").orderBy("label")
+    },
+    Some("""WITH live AS (
+              SELECT * FROM events
+              WHERE NOT (user_id >= 40 AND user_id < 60))
+            SELECT * FROM (
+              SELECT 'all' AS label, COUNT(*) AS cnt FROM live
+              UNION ALL
+              SELECT 'band', COUNT(*) FROM live
+              WHERE user_id >= 100 AND user_id < 200
+              UNION ALL
+              SELECT 'deleted_band', COUNT(*) FROM live
+              WHERE user_id >= 30 AND user_id < 70
+              UNION ALL
+              SELECT 'none', COUNT(*) FROM live WHERE user_id > 1000000)
+            ORDER BY label"""))
+
   // Upsert MERGE: keys ending in 3 are updated in place (priority
   // flipped to a literal), keys ending in 7 re-enter shifted +10M as
   // inserts, then a FULL readback. The oracle is the
@@ -3207,5 +3250,5 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
+    deleteUpdate, deleteDv, countMeta, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
 }

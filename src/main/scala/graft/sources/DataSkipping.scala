@@ -2107,6 +2107,73 @@ object DataSkipping {
   def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame =
     readSkippingIn(spark, path, manifestDir(spark, path), predicate)
 
+  /** METADATA-ONLY `COUNT(*) WHERE predicate` (the Delta/Photon
+    * metadata-count optimization): every file is classified from its
+    * manifest stats as ALL-match ([[rewriteAll]] — counted as
+    * `n_rows` minus its deletion-vector entries, no data read),
+    * NO-match (the [[rewrite]] skip predicate — contributes zero), or
+    * BOUNDARY (scanned with the row predicate, vector applied). A
+    * range count over a clustered 100 TB table reads the manifest
+    * plus at most the two boundary files; `countWhere(lit(true))` on
+    * a vector-free table reads no data at all. The DV subtraction on
+    * all-match files is EXACT: stats are physical, so every physical
+    * row matches — dead rows included — and visible matches are
+    * `n_rows - dead`. Always equals
+    * `readSkipping(...).filter(predicate).count()`; only the bytes
+    * read differ.
+    */
+  def countWhere(spark: SparkSession, path: String,
+      predicate: Column): Long =
+    countWhereDetail(spark, path, predicate)._1
+
+  /** (count, all-match files, scanned files) — the detail triple
+    * backing [[countWhere]]; `private[sources]` so the no-scan claim
+    * is directly testable.
+    */
+  private[sources] def countWhereDetail(spark: SparkSession, path: String,
+      predicate: Column): (Long, Long, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+    if (!stats.columns.contains("n_rows") ||
+        !stats.columns.contains("file_size")) {
+      // legacy manifest: no row counts recorded — plain scan count
+      val c = readSkippingIn(spark, path, dir, predicate)
+        .filter(coalesce(predicate, lit(false))).count()
+      return (c, 0L, -1L)
+    }
+    val tracked = stats.columns.collect {
+      case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val nullsTracked = stats.columns.collect {
+      case c if c.startsWith("nulls_") => c.drop(6) }.toSet
+    val cond = resolvedCondition(spark, schema, predicate)
+    // null-safe tri-state: a null stats term (evolved column, legacy
+    // row) falls to the same side the read path puts it on — skip
+    // null drops the file, all null demotes to boundary scan
+    val all = coalesce(
+      rewriteAll(cond, tracked, nullsTracked).getOrElse(lit(false)),
+      lit(false))
+    val fullRows = stats.filter(skip && all)
+    val dv = readDvIn(spark, dir)
+    val fullAgg = dv match {
+      case None =>
+        fullRows.agg(sum(col("n_rows")), count(lit(1))).head()
+      case Some(d) =>
+        val dvc = d.groupBy(col("file")).agg(count(lit(1)).as("__dead"))
+        fullRows.join(dvc, Seq("file"), "left")
+          .agg(sum(col("n_rows") - coalesce(col("__dead"), lit(0L))),
+            count(lit(1))).head()
+    }
+    val fullCount = if (fullAgg.isNullAt(0)) 0L else fullAgg.getLong(0)
+    val fullFiles = fullAgg.getLong(1)
+    val partialStatuses = statusesOf(stats.filter(skip && !all))
+    val partialCount =
+      if (partialStatuses.isEmpty) 0L
+      else applyDv(statusScan(spark, path, schema, partialStatuses), dv)
+        .filter(coalesce(predicate, lit(false))).count()
+    (fullCount + partialCount, fullFiles, partialStatuses.size.toLong)
+  }
+
   private def readSkippingIn(spark: SparkSession, path: String, dir: String,
       predicate: Column): DataFrame = {
     val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
@@ -2233,6 +2300,57 @@ object DataSkipping {
       case l: Literal => Some(l)
       case _ if e.foldable && e.references.isEmpty =>
         Some(Literal.create(e.eval(), e.dataType))
+      case _ => None
+    }
+  }
+
+  /** Rewrite a row predicate into a file-stats predicate that is TRUE
+    * only when EVERY row of the file matches — the dual of [[rewrite]]
+    * (which proves "no row matches" by negation). Sufficient, never
+    * necessary: None or FALSE just means the file must be scanned.
+    * Used by [[countWhere]]'s metadata-only counting.
+    *
+    * Null discipline: stats min/max EXCLUDE nulls, and a null
+    * comparison is not TRUE, so every comparison term additionally
+    * requires the file to have ZERO nulls in the column (exact via
+    * the nulls feature's `coalesce(nulls_c, n_rows)` backfill — a
+    * pre-evolution file is all-null and correctly fails the test).
+    * AND needs both sides proven; OR either (a file all-matching one
+    * disjunct all-matches the disjunction).
+    */
+  private[sources] def rewriteAll(e: Expression, tracked: Set[String],
+      nullsTracked: Set[String]): Option[Column] = {
+    def noNulls(a: String): Option[Column] =
+      if (!nullsTracked(a)) None
+      else Some(coalesce(col(s"nulls_$a"), col("n_rows")) === 0L)
+    def cmp(a: String, term: Column): Option[Column] =
+      if (!tracked(a)) None else noNulls(a).map(term && _)
+    e match {
+      case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+        Some(lit(true))
+      case And(l, r) =>
+        for (a <- rewriteAll(l, tracked, nullsTracked);
+          b <- rewriteAll(r, tracked, nullsTracked)) yield a && b
+      case Or(l, r) =>
+        (rewriteAll(l, tracked, nullsTracked).toSeq ++
+          rewriteAll(r, tracked, nullsTracked).toSeq)
+          .reduceOption(_ || _)
+      case EqualTo(Attr(a), Lit(v)) =>
+        cmp(a, minC(a) === litOf(v) && maxC(a) === litOf(v))
+      case EqualTo(Lit(v), Attr(a)) =>
+        cmp(a, minC(a) === litOf(v) && maxC(a) === litOf(v))
+      case GreaterThan(Attr(a), Lit(v)) => cmp(a, minC(a) > litOf(v))
+      case GreaterThan(Lit(v), Attr(a)) => cmp(a, maxC(a) < litOf(v))
+      case GreaterThanOrEqual(Attr(a), Lit(v)) => cmp(a, minC(a) >= litOf(v))
+      case GreaterThanOrEqual(Lit(v), Attr(a)) => cmp(a, maxC(a) <= litOf(v))
+      case LessThan(Attr(a), Lit(v)) => cmp(a, maxC(a) < litOf(v))
+      case LessThan(Lit(v), Attr(a)) => cmp(a, minC(a) > litOf(v))
+      case LessThanOrEqual(Attr(a), Lit(v)) => cmp(a, maxC(a) <= litOf(v))
+      case LessThanOrEqual(Lit(v), Attr(a)) => cmp(a, minC(a) >= litOf(v))
+      case IsNull(Attr(a)) if nullsTracked(a) =>
+        Some(coalesce(col(s"nulls_$a"), col("n_rows")) === col("n_rows"))
+      case IsNotNull(Attr(a)) if nullsTracked(a) =>
+        Some(coalesce(col(s"nulls_$a"), col("n_rows")) === 0L)
       case _ => None
     }
   }
