@@ -559,6 +559,37 @@ object Queries {
             GROUP BY CUBE (r_name, o_orderpriority)
             ORDER BY lvl, r_name, o_orderpriority"""))
 
+  // Distribution window functions — the rank-family surface beyond
+  // q_supplier_rank's rank/dense_rank: NTILE bucketing, PERCENT_RANK,
+  // CUME_DIST and frame-sensitive NTH_VALUE, all over one totally
+  // ordered window (unique (price, key) order — rank ties would
+  // otherwise make the gate engine-dependent). One shuffle + per-key
+  // sort, the same irreducible shape as any ordered window.
+  val windowFuncs = QueryDef(
+    "q_window_funcs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("o_orderpriority"),
+        ntile(8).over(w).cast("bigint").as("tile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_orderkey"), 3).over(w).cast("bigint").as("third_key"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+              CAST(NTILE(8) OVER w AS BIGINT) AS tile,
+              PERCENT_RANK() OVER w AS pr,
+              CUME_DIST() OVER w AS cd,
+              CAST(NTH_VALUE(o_orderkey, 3) OVER w AS BIGINT) AS third_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""))
+
   // Exact interpolated percentiles (Spark `percentile` == DuckDB
   // `quantile_cont`, both linear interpolation over sorted values).
   // The approximate path (approx_percentile / t-digest) is the
@@ -3028,6 +3059,45 @@ object Queries {
               SELECT 'none', COUNT(*) FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
+  // METADATA-ONLY MIN/MAX (aggregate pushdown): all-match files
+  // answer from manifest stats, vector-bearing files demote to a
+  // scan — the gate DV-deletes the global minimum band, so believing
+  // a stale stats row surfaces a dead extremum and mismatches.
+  val minmaxMeta = QueryDef(
+    "q_minmax_meta",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_mm").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("event_id")), s"$root/events", Seq("event_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/events", col("event_id") < 37L)
+      def mm(label: String, pred: org.apache.spark.sql.Column) = {
+        val (lo, hi) = DataSkipping.minMaxWhere(s, s"$root/events",
+          "event_id", pred)
+        (label, lo.map(_.asInstanceOf[Long]), hi.map(_.asInstanceOf[Long]))
+      }
+      import s.implicits._
+      Seq(
+        mm("all", lit(true)),
+        mm("band", col("event_id") >= 2000L && col("event_id") < 3000L),
+        mm("none", col("event_id") > 1000000L))
+        .toDF("label", "lo", "hi").orderBy("label")
+    },
+    Some("""WITH live AS (
+              SELECT * FROM events WHERE NOT (event_id < 37))
+            SELECT * FROM (
+              SELECT 'all' AS label, MIN(event_id) AS lo, MAX(event_id) AS hi
+              FROM live
+              UNION ALL
+              SELECT 'band', MIN(event_id), MAX(event_id) FROM live
+              WHERE event_id >= 2000 AND event_id < 3000
+              UNION ALL
+              SELECT 'none', MIN(event_id), MAX(event_id) FROM live
+              WHERE event_id > 1000000)
+            ORDER BY label"""))
+
   // Upsert MERGE: keys ending in 3 are updated in place (priority
   // flipped to a literal), keys ending in 7 re-enter shifted +10M as
   // inserts, then a FULL readback. The oracle is the
@@ -3236,7 +3306,7 @@ object Queries {
     scd2, scd2Apply,
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, revenueCube, orderPercentiles,
-    topOrders, supplierRank, pivotEvents, movingAvg,
+    topOrders, supplierRank, windowFuncs, pivotEvents, movingAvg,
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
@@ -3250,5 +3320,5 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
+    deleteUpdate, deleteDv, countMeta, minmaxMeta, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
 }

@@ -2126,6 +2126,76 @@ object DataSkipping {
       predicate: Column): Long =
     countWhereDetail(spark, path, predicate)._1
 
+  /** Metadata-only `MIN(column), MAX(column) WHERE predicate` — the
+    * aggregate-pushdown companion of [[countWhere]]: ALL-match files
+    * contribute their manifest `min_/max_` stats directly (exact —
+    * stats exclude nulls, and MIN/MAX ignore nulls), files with
+    * deletion-vector entries are DEMOTED to a scan (the extremum row
+    * might be dead — stats are only upper/lower BOUNDS under a
+    * vector), and boundary files scan with the predicate. One small
+    * distributed agg over (stats rows ∪ scanned rows); a clustered
+    * range query answers from the manifest + ≤2 boundary files.
+    * `column` must be stats-tracked. Returns (min, max) as Options
+    * (None on zero matching non-null rows).
+    */
+  def minMaxWhere(spark: SparkSession, path: String, column: String,
+      predicate: Column): (Option[Any], Option[Any]) = {
+    minMaxWhereDetail(spark, path, column, predicate)._1
+  }
+
+  /** ((min, max), scanned files) — detail behind [[minMaxWhere]];
+    * `private[sources]` so the no-scan claim is testable.
+    */
+  private[sources] def minMaxWhereDetail(spark: SparkSession, path: String,
+      column: String, predicate: Column)
+      : ((Option[Any], Option[Any]), Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+    require(stats.columns.contains(s"min_$column"),
+      s"$column is not stats-tracked — minMaxWhere needs manifest " +
+        "min/max for it")
+    def scanAll(statuses: Seq[FileStatusWithMetadata],
+        dv: Option[DataFrame]): Option[DataFrame] =
+      if (statuses.isEmpty) None
+      else Some(applyDv(statusScan(spark, path, schema, statuses), dv)
+        .filter(coalesce(predicate, lit(false)))
+        .select(col(column).as("__lo"), col(column).as("__hi")))
+    if (!stats.columns.contains("file_size")) {
+      // legacy: plain scan
+      val part = scanAll(statusesOf(stats.filter(skip)), None)
+      val r = part.map(_.agg(min(col("__lo")), max(col("__hi"))).head())
+      return ((r.flatMap(x => Option(x.get(0))), r.flatMap(x => Option(x.get(1)))), -1L)
+    }
+    val tracked = stats.columns.collect {
+      case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val nullsTracked = stats.columns.collect {
+      case c if c.startsWith("nulls_") => c.drop(6) }.toSet
+    val cond = resolvedCondition(spark, schema, predicate)
+    val all = coalesce(
+      rewriteAll(cond, tracked, nullsTracked).getOrElse(lit(false)),
+      lit(false))
+    val dv = readDvIn(spark, dir)
+    val kept = stats.filter(skip)
+    // vector-bearing files demote to the scan side: their stats are
+    // bounds, not witnesses
+    val (statsSide, demoted) = dv match {
+      case None => (kept.filter(all), kept.filter(!all))
+      case Some(d) =>
+        val dvFiles = d.select(col("file")).distinct()
+        (kept.filter(all).join(broadcast(dvFiles), Seq("file"), "left_anti"),
+          kept.filter(!all).unionByName(
+            kept.filter(all).join(broadcast(dvFiles), Seq("file"), "left_semi")))
+    }
+    val statuses = statusesOf(demoted)
+    val fromStats = statsSide
+      .select(col(s"min_$column").as("__lo"), col(s"max_$column").as("__hi"))
+    val frames = Seq(fromStats) ++ scanAll(statuses, dv).toSeq
+    val r = frames.reduce(_.unionByName(_))
+      .agg(min(col("__lo")), max(col("__hi"))).head()
+    ((Option(r.get(0)), Option(r.get(1))), statuses.size.toLong)
+  }
+
   /** (count, all-match files, scanned files) — the detail triple
     * backing [[countWhere]]; `private[sources]` so the no-scan claim
     * is directly testable.

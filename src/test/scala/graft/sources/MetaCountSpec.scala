@@ -99,6 +99,40 @@ class MetaCountSpec extends SparkSpec {
       col("id") >= 500L && col("id") < 700L) === 160L)
   }
 
+  test("minMaxWhere answers from stats; a vector on the extremum file demotes to a scan") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(8, col("id")),
+      dir, Seq("id"))
+    // whole-table min/max: pure metadata
+    val ((lo0, hi0), scanned0) = DataSkipping.minMaxWhereDetail(s, dir,
+      "id", lit(true))
+    assert(lo0 === Some(0L) && hi0 === Some(3999L) && scanned0 === 0L)
+    // band: boundary scans only
+    val ((lo1, hi1), scanned1) = DataSkipping.minMaxWhereDetail(s, dir,
+      "id", col("id") >= 1100L && col("id") < 2900L)
+    assert(lo1 === Some(1100L) && hi1 === Some(2899L))
+    assert(scanned1 <= 2)
+    // DV-delete the global minimum band: the stale stats row (min_id
+    // = 0) must NOT be believed — the file demotes to a scan
+    DataSkipping.deleteWhereDV(s, dir, col("id") < 120L)
+    val ((lo2, hi2), scanned2) = DataSkipping.minMaxWhereDetail(s, dir,
+      "id", lit(true))
+    assert(lo2 === Some(120L), "a dead extremum must not surface")
+    assert(hi2 === Some(3999L))
+    assert(scanned2 >= 1L, "the vector-bearing file must be scanned")
+    // no matches -> (None, None)
+    assert(DataSkipping.minMaxWhere(s, dir, "id", col("id") > 1000000L)
+      === ((None, None)))
+    // untracked column refused loudly
+    intercept[IllegalArgumentException] {
+      DataSkipping.minMaxWhere(s, dir, "payload", lit(true))
+    }
+  }
+
   test("randomized predicates: metadata count equals the scan count") {
     val s = spark
     import s.implicits._
