@@ -3301,6 +3301,64 @@ object Queries {
                    COUNT(*) AS cnt
             FROM final GROUP BY event_type ORDER BY event_type"""))
 
+  // Incrementally-maintained MIN/MAX/COUNT view — the NON-invertible
+  // aggregate IVM gate: extrema don't fold under deletes, so the
+  // maintainer recomputes exactly the groups whose extremum a delete
+  // touched (at the batch's end version) and formulas the rest. The
+  // DELETE band removes low user_ids whose values hit several groups'
+  // extrema, the UPDATE migrates groups, the MERGE doubles values —
+  // the oracle recomputes the final state from scratch; a stale
+  // extremum, wrong recompute version, or missed tombstone all
+  // mismatch (decimal min/max: bit-exact both engines).
+  val incrementalMinMax = QueryDef(
+    "q_incremental_minmax",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_ivmm").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events",
+        statsCols = Seq("user_id"), bloomCols = Nil, changeFeed = true)
+      def refresh() = graft.streaming.IncrementalView.maintainMinMax(
+        s, s"$root/events", s"$root/view", "event_type", "value",
+        s"$root/ckpt")
+      refresh() // bootstrap at v0
+      DataSkipping.deleteWhere(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.mergeUpsert(s, s"$root/events",
+        ev.filter(col("event_id") % 50 === 3)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("value", col("value") * 2),
+        Seq("event_id"))
+      refresh().orderBy("event_type")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id, event_type, value FROM events),
+            upd AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN value * -1 ELSE value END AS value
+              FROM base WHERE NOT (user_id >= 40 AND user_id < 60)),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM base WHERE event_id % 50 = 3),
+            final AS (
+              SELECT event_type, value FROM upd WHERE event_id % 50 <> 3
+              UNION ALL
+              SELECT event_type, value FROM src)
+            SELECT event_type,
+                   MIN(CAST(value AS DECIMAL(20,6))) AS min_value,
+                   MAX(CAST(value AS DECIMAL(20,6))) AS max_value,
+                   COUNT(*) AS cnt
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     scd2, scd2Apply,
@@ -3320,5 +3378,6 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, minmaxMeta, mergeUpsertQ, cdfChanges, restoreQ, incrementalAgg)
+    deleteUpdate, deleteDv, countMeta, minmaxMeta, mergeUpsertQ, cdfChanges, restoreQ,
+    incrementalAgg, incrementalMinMax)
 }

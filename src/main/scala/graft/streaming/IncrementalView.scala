@@ -141,6 +141,165 @@ object IncrementalView {
       col(groupCol).isNotNull || col(groupCol).isNull)
       .filter(col("cnt") =!= 0L)
 
+  /** Incrementally-maintained `min(valueCol)/max(valueCol)/count(*)
+    * GROUP BY groupCol` view — the NON-invertible-aggregate face of
+    * materialized-view maintenance. Sums fold under deletes (signed
+    * deltas); extrema don't: deleting the current minimum says
+    * nothing about the NEW minimum. The classic IVM answer, used
+    * here: per batch, a group's extrema are maintained by FORMULA
+    * when the batch provably cannot have lowered them — inserts only
+    * (`new_min = least(cur, ins_min)`), or deletes strictly INSIDE
+    * the current (min, max) interval — and RECOMPUTED from the base
+    * table only when a delete touches an extremum (`del_min <=
+    * cur_min` or `del_max >= cur_max`). The recompute reads the base
+    * AT THE BATCH'S END VERSION via [[DataSkipping.readSkippingAt]]
+    * time travel — NOT the live table, which may already hold future
+    * versions this stream hasn't folded (a lagging consumer
+    * recomputing from the live state would leap ahead and then
+    * double-fold) — pruned to exactly the affected groups
+    * (stats-envelope + broadcast semi-join, the [[foldBatch]] shape).
+    * Cost: O(changes) per batch plus O(rows of extremum-deleted
+    * groups) on the rare recompute — never O(table). Needs the
+    * batch's end version retained (the same retention contract the
+    * feed itself has). Exactly-once via the identical txn-stamped
+    * single-MERGE fold as [[maintainSumCount]]; same tombstone /
+    * null-key / bootstrap rules.
+    */
+  def maintainMinMax(spark: SparkSession, baseTable: String,
+      viewTable: String, groupCol: String, valueCol: String,
+      checkpoint: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(viewTable)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(DataSkipping.changeFeedEnabled(spark, baseTable),
+      s"$baseTable has no change data feed — the view cannot be " +
+        "maintained incrementally; enable it with writeWithStats(" +
+        "changeFeed = true) or enableChangeFeed")
+    val bootstrapped = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$viewTable/${DataSkipping.StatsDir}"))
+    val startAfter: Long =
+      if (bootstrapped) -1L
+      else {
+        val v = DataSkipping.tableVersions(spark, baseTable)
+          .maxOption.getOrElse(0L)
+        val snap = DataSkipping.readSkippingAt(spark, baseTable, v,
+          col(groupCol).isNotNull || col(groupCol).isNull)
+        DataSkipping.writeWithStats(
+          snap.groupBy(col(groupCol)).agg(
+            min(col(valueCol).cast(CastType)).as("min_value"),
+            max(col(valueCol).cast(CastType)).as("max_value"),
+            count(lit(1)).as("cnt")),
+          viewTable, Seq(groupCol))
+        v
+      }
+    val reader = spark.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", baseTable)
+    val withStart =
+      if (bootstrapped) reader
+      else reader.option("startingVersion", (startAfter + 1).toString)
+    val q = withStart.load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldMinMaxBatch(spark, baseTable, viewTable, groupCol, valueCol,
+          batch, batchId, checkpoint)
+      }
+      .start()
+    q.awaitTermination()
+    readView(spark, viewTable, groupCol)
+  }
+
+  /** One min/max feed micro-batch folded as ONE idempotent MERGE —
+    * see [[maintainMinMax]]. `private[streaming]` for the crash
+    * window and recompute-path specs.
+    */
+  private[streaming] def foldMinMaxBatch(spark: SparkSession,
+      baseTable: String, viewTable: String, groupCol: String,
+      valueCol: String, batch: DataFrame, batchId: Long,
+      checkpoint: String): Unit = {
+    val appId = viewAppId(viewTable, checkpoint)
+    if (DataSkipping.txnVersion(spark, viewTable, appId).exists(_ >= batchId))
+      return
+    val debit = col(DataSkipping.ChangeTypeCol)
+      .isin("delete", "update_preimage")
+    val v = col(valueCol).cast(CastType)
+    val delta = batch.groupBy(col(groupCol)).agg(
+      min(when(!debit, v)).as("__ins_min"),
+      max(when(!debit, v)).as("__ins_max"),
+      min(when(debit, v)).as("__del_min"),
+      max(when(debit, v)).as("__del_max"),
+      sum(when(debit, -1L).otherwise(1L)).as("__d_cnt"),
+      max(col(DataSkipping.CommitVersionCol)).as("__max_ver"),
+      count(when(col(groupCol).isNull, lit(1))).as("__nulls"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!delta.isEmpty) {
+        val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
+          sum(col("__nulls")), max(col("__max_ver"))).head()
+        require(env.isNullAt(2) || env.getLong(2) == 0L,
+          s"change batch carries ${env.getLong(2)} NULL $groupCol row(s) — " +
+            "null group keys cannot be incrementally maintained")
+        val endVersion = env.getLong(3)
+        val inRange =
+          col(groupCol).between(lit(env.get(0)), lit(env.get(1)))
+        val current = DataSkipping.readSkipping(spark, viewTable, inRange)
+          .join(broadcast(delta.select(col(groupCol))), Seq(groupCol),
+            "left_semi")
+        val joined = delta.join(current, Seq(groupCol), "left")
+        val newCnt = coalesce(col("cnt"), lit(0L)) + col("__d_cnt")
+        // a delete at-or-below the current min (or at-or-above the
+        // max) invalidates the formula; null-valued deletes never do
+        // (extrema ignore nulls). A NULL current extremum (group new
+        // to the view, tombstoned, or all-null) with any valued
+        // delete also recomputes — the batch may have inserted AND
+        // deleted the would-be extremum within its own version span,
+        // and there is no interval to prove the delete interior to
+        val needRec = newCnt > 0L && (
+          (col("__del_min").isNotNull &&
+            (col("min_value").isNull ||
+              col("__del_min") <= col("min_value"))) ||
+          (col("__del_max").isNotNull &&
+            (col("max_value").isNull ||
+              col("__del_max") >= col("max_value"))))
+        val recKeys = joined.filter(needRec).select(col(groupCol))
+        val formula = joined.filter(!coalesce(needRec, lit(false)))
+          .select(col(groupCol),
+            when(newCnt === 0L, lit(null).cast(CastType))
+              .otherwise(least(col("min_value"), col("__ins_min")))
+              .as("min_value"),
+            when(newCnt === 0L, lit(null).cast(CastType))
+              .otherwise(greatest(col("max_value"), col("__ins_max")))
+              .as("max_value"),
+            newCnt.as("cnt"))
+        val recomputed =
+          if (recKeys.isEmpty) None
+          else {
+            val kEnv = recKeys.agg(min(col(groupCol)), max(col(groupCol))).head()
+            val snap = DataSkipping.readSkippingAt(spark, baseTable,
+                endVersion,
+                col(groupCol).between(lit(kEnv.get(0)), lit(kEnv.get(1))))
+              .join(broadcast(recKeys), Seq(groupCol), "left_semi")
+              .groupBy(col(groupCol)).agg(
+                min(col(valueCol).cast(CastType)).as("min_value"),
+                max(col(valueCol).cast(CastType)).as("max_value"),
+                count(lit(1)).as("cnt"))
+            // a recompute group absent from the snapshot (shouldn't
+            // happen if counts are consistent, but a lost row must
+            // tombstone, not silently keep stale extrema)
+            Some(recKeys.join(snap, Seq(groupCol), "left")
+              .select(col(groupCol),
+                col("min_value"), col("max_value"),
+                coalesce(col("cnt"), lit(0L)).as("cnt")))
+          }
+        val merged = (Seq(formula) ++ recomputed.toSeq)
+          .reduce(_.unionByName(_))
+        DataSkipping.mergeUpsert(spark, viewTable, merged, Seq(groupCol),
+          txn = Some(appId -> batchId))
+      }
+    } finally delta.unpersist()
+  }
+
   /** Fold one feed micro-batch (possibly spanning several versions —
     * signed deltas are additive, so composition is free) into the
     * view as ONE idempotent MERGE. `private[streaming]` so the crash

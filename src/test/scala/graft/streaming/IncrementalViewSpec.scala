@@ -78,6 +78,128 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewMap(view).contains("gX"))
   }
 
+  private def mmMap(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Option[BigDecimal], Option[BigDecimal], Long)] =
+    df.collect().map(r => r.getString(0) -> ((
+      Option(r.getDecimal(1)).map(BigDecimal(_)),
+      Option(r.getDecimal(2)).map(BigDecimal(_)),
+      r.getLong(3)))).toMap
+
+  private def mmExpect(s: org.apache.spark.sql.SparkSession, base: String) =
+    DataSkipping.readSkipping(s, base, col("id") >= 0L)
+      .groupBy("grp").agg(
+        min(col("value").cast("decimal(20,6)")).as("min_value"),
+        max(col("value").cast("decimal(20,6)")).as("max_value"),
+        count(lit(1)).as("cnt"))
+
+  test("min/max view: extremum deletes recompute, interior deletes fold by formula") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_mm")
+    val base = s"$root/base"
+    buildBase(s, base)
+    def refresh() = IncrementalView.maintainMinMax(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh() // bootstrap
+
+    // g0's minimum is id 0 (value 0): extremum delete -> recompute;
+    // ids 100-150 are interior for their groups at most; inserts
+    // extend g1's max and create gNew
+    DataSkipping.deleteWhere(s, base, col("id") < 10L)               // v1
+    DataSkipping.deleteWhere(s, base,
+      col("id") >= 200L && col("id") < 240L)                         // v2
+    DataSkipping.mergeUpsert(s, base,
+      ((2000L until 2010L).map(i => (i, "g1", 9999.0 + i)) ++
+        (3000L until 3005L).map(i => (i, "gNew", -5.0 + i)))
+        .toDF("id", "grp", "value"), Seq("id"))                      // v3
+    val view = refresh().orderBy("grp")
+    assert(mmMap(view) === mmMap(mmExpect(s, base)),
+      "maintained min/max view must equal the full recompute")
+  }
+
+  test("min/max view: in-batch insert-then-delete of a would-be extremum recomputes, not formulas") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_mmx")
+    val base = s"$root/base"
+    buildBase(s, base)
+    def refresh() = IncrementalView.maintainMinMax(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh()
+
+    // ONE refresh folds both versions: gZ is born with values {-100,
+    // 50} and loses -100 within the same batch — a formula over the
+    // batch's inserts would believe min = -100
+    DataSkipping.mergeUpsert(s, base,
+      Seq((5000L, "gZ", -100.0), (5001L, "gZ", 50.0))
+        .toDF("id", "grp", "value"), Seq("id"))                      // v1
+    DataSkipping.deleteWhere(s, base, col("id") === 5000L)           // v2
+    val view = refresh()
+    val gz = mmMap(view)("gZ")
+    assert(gz === ((Some(BigDecimal(50)), Some(BigDecimal(50)), 1L)),
+      s"in-batch dead extremum must not surface: $gz")
+    assert(mmMap(view) === mmMap(mmExpect(s, base)))
+  }
+
+  test("min/max view: a lagging consumer recomputes at the batch's END version, not the live table") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_mmlag")
+    val base = s"$root/base"
+    buildBase(s, base)
+    val view = s"$root/view"
+    val ckpt = s"$root/ckpt"
+    IncrementalView.maintainMinMax(s, base, view, "grp", "value", ckpt)
+
+    // v1 deletes g0's minimum (recompute trigger); v2 inserts an even
+    // smaller g0 value. A consumer folding ONLY v1 must see the
+    // v1-state minimum (id 5 -> value 5), not v2's -999 — recomputing
+    // from the live table would leap ahead
+    DataSkipping.deleteWhere(s, base, col("id") === 0L)              // v1
+    DataSkipping.mergeUpsert(s, base,
+      Seq((6000L, "g0", -999.0)).toDF("id", "grp", "value"), Seq("id")) // v2
+    val v1Batch = DataSkipping.readChangeFeed(s, base, 1L, Some(1L))
+    IncrementalView.foldMinMaxBatch(s, base, view, "grp", "value",
+      v1Batch, batchId = 1L, checkpoint = ckpt)
+    val afterV1 = mmMap(IncrementalView.readView(s, view, "grp"))
+    assert(afterV1("g0")._1 === Some(BigDecimal(5)),
+      s"lagging fold must recompute at v1: ${afterV1("g0")}")
+
+    // replay of the same batchId is a detected no-op
+    IncrementalView.foldMinMaxBatch(s, base, view, "grp", "value",
+      v1Batch, batchId = 1L, checkpoint = ckpt)
+    assert(mmMap(IncrementalView.readView(s, view, "grp"))("g0")._1
+      === Some(BigDecimal(5)))
+
+    // the consumer then folds v2 as its next batch (same channel —
+    // the txn watermark means a REAL stream would deliver exactly
+    // this continuation) and converges with the live recompute
+    val v2Batch = DataSkipping.readChangeFeed(s, base, 2L, Some(2L))
+    IncrementalView.foldMinMaxBatch(s, base, view, "grp", "value",
+      v2Batch, batchId = 2L, checkpoint = ckpt)
+    assert(mmMap(IncrementalView.readView(s, view, "grp"))
+      === mmMap(mmExpect(s, base)))
+  }
+
+  test("min/max view: emptied group tombstones and a later re-insert resurrects it") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_mmdead")
+    val base = s"$root/base"
+    buildBase(s, base)
+    def refresh() = IncrementalView.maintainMinMax(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh()
+    // g2 = ids with i % 5 == 2
+    DataSkipping.deleteWhere(s, base, col("id") % 5 === 2L)          // v1
+    assert(!mmMap(refresh()).contains("g2"), "emptied group must vanish")
+    DataSkipping.mergeUpsert(s, base,
+      Seq((7000L, "g2", 42.0)).toDF("id", "grp", "value"), Seq("id")) // v2
+    val after = mmMap(refresh())
+    assert(after("g2") === ((Some(BigDecimal(42)), Some(BigDecimal(42)), 1L)))
+    assert(after === mmMap(mmExpect(s, base)))
+  }
+
   test("a group emptied by deletes leaves the view entirely") {
     val s = spark
     val root = tmpDir("ivw_dead")
