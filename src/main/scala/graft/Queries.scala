@@ -3059,6 +3059,41 @@ object Queries {
               SELECT 'none', COUNT(*) FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
+  // CHECK constraints: monitoring-only registrations report live
+  // violation counts (the staged-rollout surface); the oracle
+  // recomputes each count by brute force. SQL CHECK semantics: only
+  // FALSE violates, NULL passes — the props IS NOT NULL distinction
+  // rides on real nulls in the events table if present (count is
+  // whatever the data says; both engines must agree exactly).
+  val checkConstraints = QueryDef(
+    "q_check_constraints",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_ck").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("user_id")), s"$root/events", Seq("user_id"))
+      DataSkipping.addCheckConstraint(s, s"$root/events",
+        "id_nonneg", "event_id >= 0") // validated: zero violations
+      DataSkipping.addCheckConstraint(s, s"$root/events",
+        "user_low", "user_id < 80", validate = false)
+      DataSkipping.addCheckConstraint(s, s"$root/events",
+        "value_mid", "value >= 10 AND value < 90", validate = false)
+      DataSkipping.constraintViolations(s, s"$root/events")
+        .orderBy("constraint")
+    },
+    Some("""SELECT * FROM (
+              SELECT 'id_nonneg' AS "constraint", COUNT(*) AS violations
+              FROM events WHERE NOT COALESCE(event_id >= 0, TRUE)
+              UNION ALL
+              SELECT 'user_low', COUNT(*) FROM events
+              WHERE NOT COALESCE(user_id < 80, TRUE)
+              UNION ALL
+              SELECT 'value_mid', COUNT(*) FROM events
+              WHERE NOT COALESCE(value >= 10 AND value < 90, TRUE))
+            ORDER BY "constraint""""))
+
   // METADATA-ONLY MIN/MAX (aggregate pushdown): all-match files
   // answer from manifest stats, vector-bearing files demote to a
   // scan — the gate DV-deletes the global minimum band, so believing
@@ -3378,6 +3413,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, minmaxMeta, mergeUpsertQ, cdfChanges, restoreQ,
+    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints,
+    mergeUpsertQ, cdfChanges, restoreQ,
     incrementalAgg, incrementalMinMax)
 }

@@ -221,6 +221,15 @@ object ScaleRamp {
       k -> p
     }.toMap
     val cdfSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    // dedicated DELETION-VECTOR tables: once a `_dv` exists every
+    // read of the table pays the broadcast anti join — sharing
+    // storePaths would contaminate the plain ops' timings
+    val dvPaths = scales.map { k =>
+      val p = s"$work/store_dv_x$k"
+      buildStorageTable(k, p)
+      k -> p
+    }.toMap
+    val dvSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
@@ -379,6 +388,33 @@ object ScaleRamp {
         require(feed.count() == 250L,
           s"cdf feed at x$k holds ${feed.count()} rows, wanted 250")
         feed
+      },
+      // r9 DELETION VECTORS: merge-on-read delete of the same band
+      // shape — the write side is O(deleted rows) + the O(files)
+      // carried-manifest copy every generation pays (no data file
+      // rewrite at all), so the ramp should stay ~flat like the CoW
+      // delete while writing far fewer bytes; the follow-up pruned
+      // read pays the vector's broadcast anti join
+      "storage_dv_delete" -> { k =>
+        val n = dvSeq.getAndIncrement()
+        val lo = 20000L + n * 500L
+        require(lo + 500L <= 26000L,
+          s"dv band $n exhausted — raise the band budget for higher repeats")
+        val gone = DataSkipping.deleteWhereDV(spark, dvPaths(k),
+          col("id") >= lo && col("id") < lo + 250L, retentionMs = 0L)
+        require(gone == 250L, s"dv delete at x$k removed $gone rows, wanted 250")
+        DataSkipping.readSkipping(spark, dvPaths(k),
+          col("id") >= lo && col("id") < lo + 500L)
+      },
+      // r9 METADATA COUNT: a band count answered from the manifest +
+      // <=2 boundary scans — O(manifest rows) distributed work, so
+      // the ramp should stay ~flat while a scan count would grow
+      // with the band's file bytes
+      "storage_meta_count" -> { k =>
+        val c = DataSkipping.countWhere(spark, storePaths(k),
+          col("id") >= 5000L && col("id") < 6000L)
+        require(c == 1000L, s"meta count at x$k got $c, wanted 1000")
+        spark.range(1).select(lit(c).as("cnt"))
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in

@@ -154,6 +154,25 @@ object DataSkipping {
     */
   val DvDir = "_dv"
 
+  /** CHECK constraints (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * analog): a JSON sidecar mapping constraint name → SQL boolean
+    * expression, carried forward by every generation like [[TxnFile]].
+    * SQL CHECK semantics — a row violates only when the expression is
+    * FALSE (NULL passes). Enforcement happens at the single choke
+    * point every new row passes through: the STAGED files of an
+    * append or DML rewrite are validated before the move-in/commit,
+    * so a violating batch aborts with the table untouched (only
+    * inert staging debris remains, reclaimed by vacuum) and costs
+    * one extra read of the staged batch — O(batch), never O(table).
+    * [[addCheckConstraint]] validates existing rows first (or
+    * `validate = false` registers a monitoring-only constraint for
+    * staged rollout — [[constraintViolations]] reports its live
+    * counts). A RESTORE carries the CURRENT constraint set and does
+    * NOT re-validate the restored rows (validation pins the state at
+    * add time; auditing a restore is [[constraintViolations]]'s job).
+    */
+  val ConstraintsFile = "_constraints.json"
+
   /** Default reader-safety window (Delta VACUUM's default): nothing a
     * manifest ever claimed is deleted sooner than this after being
     * replaced.
@@ -586,6 +605,10 @@ object DataSkipping {
 
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     df.write.parquet(staging.toString)
+    // validated under the TABLE schema (already widened if this batch
+    // evolves it): a batch omitting a constrained column reads as
+    // nulls — NULL passes CHECK, SQL semantics
+    enforceConstraintsOnStaged(spark, fs, dir, staging, schema, "append")
     val moved = moveIn(fs, staging, new Path(path))
     val batchStats =
       if (moved.nonEmpty) {
@@ -845,6 +868,12 @@ object DataSkipping {
       d.write.parquet(new Path(build, DvDir).toString))
     writeOpFile(fs, build, op, opStartMs)
     writeTxnFile(fs, dir, build, txn)
+    // CHECK constraints ride every generation forward like the txn map
+    readSidecarIn(fs, dir, ConstraintsFile).foreach { j =>
+      val out = fs.create(new Path(build, ConstraintsFile), true)
+      try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
     // the copied marker, excluded from `manifestRows`, so an
@@ -1029,6 +1058,7 @@ object DataSkipping {
     val moved = replacement.fold(Seq.empty[String]) { r =>
       val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
       r.write.parquet(staging.toString)
+      enforceConstraintsOnStaged(spark, fs, dir, staging, schema, op)
       moveIn(fs, staging, new Path(path))
     }
     val feats = manifestFeatures(fs, dir)
@@ -1547,6 +1577,153 @@ object DataSkipping {
       .map(m => jsonUnescape(m.group(1)) -> m.group(2).toLong)
       .toMap
 
+  private[sources] def constraintsToJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (n, e) => s""""${jsonEscape(n)}":"${jsonEscape(e)}"""" }
+      .mkString("{", ",", "}")
+
+  private[sources] def constraintsFromJson(json: String): Map[String, String] =
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(json)
+      .map(m => jsonUnescape(m.group(1)) -> jsonUnescape(m.group(2)))
+      .toMap
+
+  private def constraintsIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Map[String, String] =
+    readSidecarIn(fs, dir, ConstraintsFile)
+      .map(constraintsFromJson).getOrElse(Map.empty)
+
+  /** The table's CHECK constraints (name → SQL expression). */
+  def tableConstraints(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    constraintsIn(fs, manifestDirOf(fs, path))
+  }
+
+  /** A row VIOLATES a check iff the expression is FALSE — SQL CHECK
+    * semantics, NULL passes.
+    */
+  private def violates(exprSql: String): Column =
+    !coalesce(expr(exprSql), lit(true))
+
+  /** One agg pass over `scan` counting violations per constraint —
+    * shared by validation and monitoring; empty map → None.
+    */
+  private def violationCounts(scan: DataFrame,
+      cons: Map[String, String]): Option[Seq[(String, Long)]] =
+    if (cons.isEmpty) None
+    else {
+      val names = cons.keys.toSeq.sorted
+      val aggs = names.map(n =>
+        sum(when(violates(cons(n)), 1L).otherwise(0L)).as(n))
+      val row = scan.agg(aggs.head, aggs.tail: _*).head()
+      Some(names.zipWithIndex.map { case (n, i) =>
+        n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) })
+    }
+
+  private def writeConstraintsSidecar(spark: SparkSession, dir: String,
+      cons: Map[String, String]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".constraints-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(constraintsToJson(cons)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(dir, ConstraintsFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Register the CHECK constraint `name` with boolean SQL
+    * `exprSql` — see [[ConstraintsFile]]. With `validate = true`
+    * (default) every existing row is checked first (one scan) and a
+    * violating table is refused loudly; `validate = false` registers
+    * a MONITORING-ONLY baseline ([[constraintViolations]]) that still
+    * enforces on future writes.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String, validate: Boolean = true): Unit = {
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9._-]*"),
+      s"constraint name '$name' must be alphanumeric/._-")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
+      s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    val cons = constraintsIn(fs, dir)
+    require(!cons.contains(name),
+      s"constraint $name already exists on $path (as: ${cons.getOrElse(name, "")})")
+    // fail fast on an unparseable/unresolvable expression before
+    // anything is written
+    val scan = readSkippingIn(spark, path, dir, lit(true))
+    scan.filter(violates(exprSql)).queryExecution.assertAnalyzed()
+    if (validate) {
+      val n = scan.filter(violates(exprSql)).count()
+      require(n == 0L,
+        s"cannot add CHECK constraint $name ($exprSql) to $path: $n existing " +
+          "row(s) violate it — clean the data first, or register with " +
+          "validate = false for monitoring")
+    }
+    writeConstraintsSidecar(spark, dir, cons.updated(name, exprSql))
+  }
+
+  /** Remove the CHECK constraint `name` (loud if absent). */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val cons = constraintsIn(fs, dir)
+    require(cons.contains(name), s"no CHECK constraint $name on $path " +
+      s"(have: ${cons.keys.toSeq.sorted.mkString(",")})")
+    writeConstraintsSidecar(spark, dir, cons.removed(name))
+  }
+
+  /** Live violation counts per constraint, `(constraint, violations)`
+    * ordered by name — the monitoring surface for `validate = false`
+    * rollouts and post-RESTORE audits. One pruned scan, one agg pass
+    * for ALL constraints.
+    */
+  def constraintViolations(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val cons = constraintsIn(fs, dir)
+    val rows = violationCounts(readSkippingIn(spark, path, dir, lit(true)), cons)
+      .getOrElse(Seq.empty)
+      .map { case (n, c) => Row(n, c) }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      StructType(Seq(
+        StructField("constraint", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("violations", org.apache.spark.sql.types.LongType,
+          nullable = false))))
+  }
+
+  /** Validate freshly STAGED files against the table's constraints
+    * before they become visible; on violation the staging dir is
+    * deleted and the op aborts loudly — the commit choke point for
+    * both appends and DML rewrites.
+    */
+  private def enforceConstraintsOnStaged(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      staging: Path, schema: StructType, op: String): Unit = {
+    val cons = constraintsIn(fs, dir)
+    if (cons.isEmpty) return
+    val hasParts = fs.exists(staging) && fs.listStatus(staging)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (!hasParts) return
+    val staged = spark.read.schema(schema).parquet(staging.toString)
+    violationCounts(staged, cons).foreach { counts =>
+      val bad = counts.filter(_._2 > 0L)
+      if (bad.nonEmpty) {
+        fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"$op aborted: CHECK constraint violation(s) in the batch — " +
+            bad.map { case (n, c) => s"$n: $c row(s) (${cons(n)})" }
+              .mkString("; ") + " — nothing was committed")
+      }
+    }
+  }
+
   /** The generation's idempotent-writer map (see [[TxnFile]]):
     * previous generation's map carried forward, merged with this
     * op's stamp (a replayed version never lowers the watermark —
@@ -1980,6 +2157,14 @@ object DataSkipping {
     // _txn.json would let an at-least-once writer double-apply its
     // in-flight batch right after the restore)
     writeTxnFile(fs, dir, build, txn = None)
+    // constraints are table metadata, not content: the CURRENT set
+    // carries through a restore (the restored rows are NOT
+    // re-validated — audit with constraintViolations)
+    readSidecarIn(fs, dir, ConstraintsFile).foreach { j =>
+      val out = fs.create(new Path(build, ConstraintsFile), true)
+      try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val markerCutoff = opStart - markerRetentionMs
     val currentOnly = fs.listStatus(new Path(dir)).toSeq
       .filter { f =>
