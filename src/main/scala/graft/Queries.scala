@@ -1234,6 +1234,35 @@ object Queries {
       }
   }
 
+  // OPTIMIZE ZORDER as maintenance: a linearly-written table is
+  // DV-deleted then RE-CLUSTERED in place (manifest-derived ranges,
+  // vector materialized by the rewrite, generation-committed), and
+  // read back pruned on the SECOND column — the one the original
+  // layout couldn't prune. Any row lost/duplicated by the
+  // re-cluster, or a resurrected DV row, mismatches.
+  val zorderOptimize = QueryDef(
+    "q_zorder_optimize",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_zopt").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("event_id")), s"$root/ev",
+        Seq("event_id", "user_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/ev", col("event_id") < 500L)
+      DataSkipping.zorderTable(s, s"$root/ev", Seq("event_id", "user_id"),
+        targetFiles = 16)
+      DataSkipping.readSkipping(s, s"$root/ev",
+          col("user_id") >= 100L && col("user_id") < 200L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE user_id >= 100 AND user_id < 200
+              AND NOT (event_id < 500)
+            ORDER BY event_id"""))
+
   // Read-only pruned scan against the pre-materialized stats table:
   // the manifest-driven file pruning + predicate re-apply, nothing
   // else. Same oracle as q_skipping_scan (the write is content-
@@ -3405,7 +3434,7 @@ object Queries {
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, appendScan, compactScan, bloomScan,
+    skippingRead, zorderRead, zorderOptimize, appendScan, compactScan, bloomScan,
     dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,

@@ -2659,6 +2659,79 @@ object DataSkipping {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** `OPTIMIZE ... ZORDER BY` as TABLE MAINTENANCE (vs
+    * [[writeZOrdered]]'s creation-time form): re-cluster an EXISTING
+    * stats table on `zCols`, as a generation commit with
+    * [[compactTable]]'s exact safety contract — snapshot rewrite
+    * built hidden, one atomic `_COMMIT`, old generation retained for
+    * time travel, removal-log vacuum. The global column ranges come
+    * from the MANIFEST (one tiny agg over min_/max_ rows — no data
+    * scan), the snapshot read is deletion-vector-filtered (z-order
+    * MATERIALIZES the vector like compaction does), feature flags
+    * (bloom config, change feed, null counts) carry, and the change
+    * feed records nothing — re-clustering is not a logical change.
+    * Tracked stats switch to `zCols` (they are what the new layout
+    * prunes on). Returns the number of files written.
+    */
+  def zorderTable(spark: SparkSession, path: String, zCols: Seq[String],
+      targetFiles: Int,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Int = {
+    require(zCols.size >= 2 && zCols.size <= 4, "z-order supports 2-4 columns")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "zorderTable needs a size-carrying manifest (rewrite with writeWithStats)")
+    zCols.foreach(c => require(stats.columns.contains(s"min_$c"),
+      s"z-order column $c is not stats-tracked in the current manifest — " +
+        "its global range must come from somewhere; compact with it tracked first"))
+    // global ranges from the manifest: one small agg, no data read
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(s"min_$c")).cast("bigint"), max(col(s"max_$c")).cast("bigint")))
+    val env = stats.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = zCols.zipWithIndex.map { case (c, i) =>
+      require(!env.isNullAt(2 * i),
+        s"z-order column $c has no non-null values recorded — nothing to cluster on")
+      (c, env.getLong(2 * i), env.getLong(2 * i + 1))
+    }
+    val schema = tableSchemaIn(spark, path, dir)
+    val dv = readDvIn(spark, dir)
+    val old = stats.select(col("file")).collect().map(_.getString(0))
+    val snapshot = applyDv(statusScan(spark, path, schema,
+      statusesOf(stats)), dv)
+    val z = zValue(bounds.map { case (c, lo, hi) => bucket16(col(c), lo, hi) })
+    val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
+    snapshot.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(staging.toString)
+    val moved = moveIn(fs, staging, new Path(path))
+    val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
+    // tracked set GROWS to include the z columns (dropping an
+    // existing tracked column would silently stop pruning on it)
+    val newTracked = (trackedCols(spark, dir) ++ zCols).toSeq.distinct.sorted
+    val newStats = statsFor(
+      statusScan(spark, path, schema, statusesFor(fs, moved)),
+      newTracked, withNulls = true, bloom = bloomCfg)
+    val movedNames = moved.map(p => new Path(p).getName).toSet
+    val replaced = old.map(p => new Path(p).getName)
+      .filterNot(movedNames).toSeq
+    publishGeneration(spark, fs, path, dir, newStats, schema,
+      newTracked,
+      Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet ++
+        manifestFeatures(fs, dir).filter(_ == CdfFeature),
+      manifestSchema = newStats.schema, removedData = replaced,
+      markerRetentionMs = markerRetentionMs, opStartMs = opStart,
+      op = "OPTIMIZE ZORDER")
+    if (vacuum) vacuumTable(spark, path, retentionMs)
+    moved.size
+  }
+
   /** Write `df` z-ordered on `zCols` (each as (name, globalMin,
     * globalMax)) into ~`targetFiles` files WITH the stats manifest
     * for those columns: range partition + local sort by z-value, so
