@@ -3123,6 +3123,36 @@ object Queries {
               WHERE NOT COALESCE(value >= 10 AND value < 90, TRUE))
             ORDER BY "constraint""""))
 
+  // SHALLOW CLONE: zero-copy clone of the events stats table, DML
+  // applied to the CLONE only, then BOTH tables read back united
+  // with a side label — the clone must show the delete while the
+  // source shows none of it (and keeps serving the files the clone
+  // references). Any cross-contamination mismatches.
+  val cloneQ = QueryDef(
+    "q_clone",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_clnq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("user_id")), s"$root/src", Seq("user_id"))
+      DataSkipping.cloneTable(s, s"$root/src", s"$root/cln")
+      DataSkipping.deleteWhere(s, s"$root/cln",
+        col("user_id") >= 30L && col("user_id") < 70L)
+      DataSkipping.readSkipping(s, s"$root/cln", col("user_id") >= 0L)
+        .withColumn("side", lit("clone"))
+        .unionByName(
+          DataSkipping.readSkipping(s, s"$root/src", col("user_id") >= 0L)
+            .withColumn("side", lit("source")))
+        .orderBy("side", "event_id")
+    },
+    Some("""SELECT event_id, user_id, value, 'clone' AS side FROM events
+            WHERE NOT (user_id >= 30 AND user_id < 70)
+            UNION ALL
+            SELECT event_id, user_id, value, 'source' FROM events
+            ORDER BY side, event_id"""))
+
   // METADATA-ONLY MIN/MAX (aggregate pushdown): all-match files
   // answer from manifest stats, vector-bearing files demote to a
   // scan — the gate DV-deletes the global minimum band, so believing
@@ -3442,7 +3472,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints,
+    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
     mergeUpsertQ, cdfChanges, restoreQ,
     incrementalAgg, incrementalMinMax)
 }

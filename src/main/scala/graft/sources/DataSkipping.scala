@@ -1980,6 +1980,66 @@ object DataSkipping {
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
+    * analog): create `target` as a stats table whose v0 manifest
+    * REFERENCES the source's current data files — nothing is copied
+    * except the manifest generation itself (parts, named commit
+    * markers, schema/stats/features/constraints sidecars and the
+    * deletion vector), so cloning a 100 TB table costs O(manifest).
+    * The clone then lives its own life: DML rewrites touched files
+    * INTO the clone's root (the source is never written), untouched
+    * rows keep reading the source's files, and a compaction/z-order
+    * makes the clone fully self-contained. The clone's vacuum can
+    * never reclaim source files (removal-log entries resolve under
+    * the clone root, where source files don't live; the orphan pass
+    * only lists the clone root) — and symmetrically, the SOURCE's
+    * vacuum does not know about clones: vacuuming the source past
+    * the clone's creation point can break the clone, exactly Delta's
+    * documented shallow-clone hazard. Writer lineage does NOT carry:
+    * the `_txn.json` idempotency map stays with the source (a writer
+    * resuming against the clone is a NEW writer). Returns the number
+    * of referenced data files.
+    */
+  def cloneTable(spark: SparkSession, source: String,
+      target: String): Long = {
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcDir = manifestDirOf(fs, source)
+    require(fs.exists(new Path(srcDir, SchemaFile)),
+      s"$source is not a stats table with a schema sidecar")
+    val targetStats = new Path(s"$target/$StatsDir")
+    require(!fs.exists(targetStats),
+      s"$target already has a stats dir — refusing to overwrite")
+    fs.mkdirs(new Path(target))
+    val build = new Path(targetStats, s".genbuild-${java.util.UUID.randomUUID}")
+    fs.mkdirs(build)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // manifest parts + named markers, verbatim (marker rows keep
+    // replaying exactly; replay protection transfers conservatively)
+    fs.listStatus(new Path(srcDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath,
+        fs, new Path(build, f.getPath.getName), false, conf))
+    // metadata sidecars — but NOT the txn map (writer lineage), NOT
+    // the removal log (the clone must never re-delete source state),
+    // NOT the op record (the clone's history starts at CLONE)
+    Seq(SchemaFile, StatsColsFile, FeaturesFile, ManifestSchemaFile,
+      ConstraintsFile).foreach { n =>
+      val p = new Path(srcDir, n)
+      if (fs.exists(p))
+        org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(build, n),
+          false, conf)
+    }
+    val dvPath = new Path(srcDir, DvDir)
+    if (fs.exists(dvPath))
+      org.apache.hadoop.fs.FileUtil.copy(fs, dvPath,
+        fs, new Path(build, DvDir), false, conf)
+    writeOpFile(fs, build, s"CLONE($source)", System.currentTimeMillis())
+    val gen = new Path(targetStats, "v0")
+    require(fs.rename(build, gen), s"generation rename $build -> $gen failed")
+    commitGen(spark, gen)
+    readManifestIn(spark, gen.toString).count()
+  }
+
   /** RESTORE the table to a retained version (the Delta
     * `RESTORE TABLE ... VERSION AS OF` analog): publishes a NEW
     * generation whose manifest, schema, tracked columns and manifest
@@ -2031,13 +2091,21 @@ object DataSkipping {
     val vDir = s"$path/$StatsDir/v$version"
     val restored = readManifestIn(spark, vDir)
     val files = restored.select("file").collect().map(_.getString(0)).toSeq
-    // ONE listing of the table root (the vacuumTable claim-set
-    // shape) instead of O(files) serial exists() probes — at object-
-    // store latency the per-file HEAD loop would stall the driver
-    // for minutes on a large restored manifest
-    val present: Set[String] = fs.listStatus(new Path(path))
-      .filter(_.isFile).map(_.getPath.getName).toSet
-    val missing = files.map(f => new Path(f).getName).filterNot(present)
+    // ONE listing PER PARENT DIR (the vacuumTable claim-set shape)
+    // instead of O(files) serial exists() probes — at object-store
+    // latency the per-file HEAD loop would stall the driver for
+    // minutes on a large restored manifest. Grouping by parent
+    // handles SHALLOW CLONES, whose manifests reference files
+    // outside the table root ([[cloneTable]]).
+    val byParent = files.groupBy(f =>
+      fs.makeQualified(new Path(f)).getParent.toString)
+    val missing = byParent.toSeq.flatMap { case (parent, inParent) =>
+      val present: Set[String] =
+        if (!fs.exists(new Path(parent))) Set.empty
+        else fs.listStatus(new Path(parent))
+          .filter(_.isFile).map(_.getPath.getName).toSet
+      inParent.map(f => new Path(f).getName).filterNot(present)
+    }
     require(missing.isEmpty,
       s"cannot restore $path to version $version: ${missing.size} of its " +
         s"data files are already vacuumed (first: ${missing.headOption
