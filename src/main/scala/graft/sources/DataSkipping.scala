@@ -1980,6 +1980,77 @@ object DataSkipping {
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Resolve a wall-clock instant to a table version — the Delta
+    * `TIMESTAMP AS OF` analog: the LATEST retained version whose
+    * commit instant (the `_COMMIT` create, the atomic visibility
+    * point) is <= `tsMillis`. Loud when the instant predates the
+    * earliest retained version (vacuumed history cannot be read —
+    * same error `VERSION AS OF` raises) and when it precedes nothing.
+    */
+  def versionAtTime(spark: SparkSession, path: String,
+      tsMillis: Long): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$path/$StatsDir")
+    val commits = genDirs(fs, statsDir)
+      .filter { case (_, f) => isCommittedGen(fs, f.getPath) }
+      .map { case (v, f) =>
+        v -> fs.getFileStatus(new Path(f.getPath, CommitFile))
+          .getModificationTime
+      }
+    require(commits.nonEmpty, s"$path has no committed versions")
+    val at = commits.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no version of $path existed at $tsMillis — the earliest retained " +
+        s"commit is ${commits.head._2} (v${commits.head._1}); earlier " +
+        "history is vacuumed or never existed")
+    at.map(_._1).max
+  }
+
+  /** `TIMESTAMP AS OF` read: [[readSkippingAt]] of
+    * [[versionAtTime]]`(tsMillis)`.
+    */
+  def readSkippingAtTime(spark: SparkSession, path: String,
+      tsMillis: Long, predicate: Column): DataFrame =
+    readSkippingAt(spark, path, versionAtTime(spark, path, tsMillis),
+      predicate)
+
+  /** One-row table summary — the `DESCRIBE DETAIL` analog: live file
+    * count and bytes (manifest sum, no listing), physical row count
+    * and deletion-vector entry count (visible rows = n_rows - dv),
+    * retained version range, feature flags, tracked stats columns
+    * and constraint count. O(manifest) + an O(vector) count.
+    */
+  def tableDetail(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val stats = readManifestIn(spark, dir)
+    val agg = stats.agg(count(lit(1)), sum(col("file_size")),
+      sum(col("n_rows"))).head()
+    val versions = tableVersions(spark, path)
+    val dvCount = readDvIn(spark, dir).fold(0L)(_.count())
+    val row = Row(
+      agg.getLong(0),
+      if (agg.isNullAt(1)) 0L else agg.getLong(1),
+      if (agg.isNullAt(2)) 0L else agg.getLong(2),
+      dvCount,
+      versions.minOption.getOrElse(-1L), versions.maxOption.getOrElse(-1L),
+      manifestFeatures(fs, dir).toSeq.sorted.mkString(","),
+      trackedCols(spark, dir).toSeq.sorted.mkString(","),
+      constraintsIn(fs, dir).size.toLong)
+    val schema = StructType(Seq(
+      StructField("num_files", org.apache.spark.sql.types.LongType, false),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType, false),
+      StructField("num_rows_physical", org.apache.spark.sql.types.LongType, false),
+      StructField("dv_entries", org.apache.spark.sql.types.LongType, false),
+      StructField("earliest_version", org.apache.spark.sql.types.LongType, false),
+      StructField("latest_version", org.apache.spark.sql.types.LongType, false),
+      StructField("features", org.apache.spark.sql.types.StringType, false),
+      StructField("stats_columns", org.apache.spark.sql.types.StringType, false),
+      StructField("num_constraints", org.apache.spark.sql.types.LongType, false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava, schema)
+  }
+
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
     * analog): create `target` as a stats table whose v0 manifest
     * REFERENCES the source's current data files — nothing is copied

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `TIMESTAMP AS OF` resolution ([[DataSkipping.versionAtTime]]) and
+  * the `DESCRIBE DETAIL` analog ([[DataSkipping.tableDetail]]).
+  */
+class TableDetailSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_det").toString
+
+  test("timestamp time travel resolves to the latest commit at-or-before the instant") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .repartitionByRange(2, col("id")), dir, Seq("id"))
+    Thread.sleep(15)
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    DataSkipping.deleteWhere(s, dir, col("id") < 100L, vacuum = false) // v1
+    Thread.sleep(15)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    DataSkipping.deleteWhere(s, dir, col("id") >= 900L, vacuum = false) // v2
+
+    assert(DataSkipping.versionAtTime(s, dir, afterV0) === 0L)
+    assert(DataSkipping.versionAtTime(s, dir, afterV1) === 1L)
+    assert(DataSkipping.versionAtTime(s, dir,
+      System.currentTimeMillis() + 1000L) === 2L)
+    assert(DataSkipping.readSkippingAtTime(s, dir, afterV0, lit(true))
+      .count() === 1000L)
+    assert(DataSkipping.readSkippingAtTime(s, dir, afterV1, lit(true))
+      .count() === 900L)
+    // an instant before the table existed is loud, like VERSION AS OF
+    intercept[IllegalArgumentException] {
+      DataSkipping.versionAtTime(s, dir, afterV0 - 3600L * 1000L)
+    }
+  }
+
+  test("tableDetail summarizes files, rows, vector, versions, features and constraints") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 2000L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), dir, Seq("id", "v"),
+      bloomCols = Nil, changeFeed = true)
+    DataSkipping.addCheckConstraint(s, dir, "v_ok", "v >= 0")
+    DataSkipping.deleteWhereDV(s, dir, col("id") < 50L)
+
+    val d = DataSkipping.tableDetail(s, dir).head()
+    assert(d.getAs[Long]("num_files") === 4L)
+    assert(d.getAs[Long]("num_rows_physical") === 2000L)
+    assert(d.getAs[Long]("dv_entries") === 50L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("earliest_version") === 0L)
+    assert(d.getAs[Long]("latest_version") === 1L)
+    assert(d.getAs[String]("features").contains("changefeed"))
+    assert(d.getAs[String]("stats_columns") === "id,v")
+    assert(d.getAs[Long]("num_constraints") === 1L)
+    // visible rows = physical - vector
+    assert(DataSkipping.countWhere(s, dir, lit(true)) ===
+      d.getAs[Long]("num_rows_physical") - d.getAs[Long]("dv_entries"))
+  }
+}
