@@ -669,6 +669,35 @@ object Queries {
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             ORDER BY user_id, click_id, purchase_id"""))
 
+  // FULL OUTER range join (batch parity of the streaming operator):
+  // both sides' orphans are rows — clicks with no purchase AND
+  // purchases preceded by no click, in one pass. Coalesced key, so a
+  // right orphan still carries its user_id.
+  val rangeJoinFull = QueryDef(
+    "q_range_join_full",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      graft.streaming.StreamJoin.withinFullOuter(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "click_ts", rightTs = "purchase_ts",
+          within = "1 hour", watermark = "1 hour")
+        .select(col("user_id"),
+          col("click_id").cast("bigint").as("click_id"),
+          col("purchase_id").cast("bigint").as("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+              CAST(c.event_id AS BIGINT) AS click_id,
+              CAST(p.event_id AS BIGINT) AS purchase_id
+            FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+            FULL JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            ORDER BY user_id, click_id, purchase_id"""))
+
   // As-of join: latest signup at or before each purchase, per user.
   // The operator is one equi-shuffle join + one partial-aggregated
   // max(struct); the oracle is a windowed row_number replay with the
@@ -3459,7 +3488,8 @@ object Queries {
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, revenueCube, orderPercentiles,
     topOrders, supplierRank, windowFuncs, pivotEvents, movingAvg,
-    usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, sessionize, sessionWindowAgg,
+    usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull,
+    sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,

@@ -49,6 +49,20 @@ object StreamJoin {
       within: String, watermark: String): DataFrame =
     rangeJoin(left, right, keys, leftTs, rightTs, within, watermark, "left_outer")
 
+  /** FULL OUTER variant of [[within]] — both sides' orphans are
+    * results (reconciliation queries: orders without shipments AND
+    * shipments without orders in one pass). Each side's unmatched
+    * rows emit with nulls once the watermark proves no partner can
+    * arrive; the state bound is the same as the inner join — the
+    * outer-ness changes what is EMITTED at eviction, not what is
+    * kept.
+    */
+  def withinFullOuter(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      within: String, watermark: String): DataFrame =
+    rangeJoin(left, right, keys, leftTs, rightTs, within, watermark, "full_outer")
+
   private def rangeJoin(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
@@ -60,8 +74,16 @@ object StreamJoin {
     val rangeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
     val joined = l.join(r, keyCond && rangeCond, joinType)
-    // drop the right side's duplicate key columns
-    keys.foldLeft(joined)((df, k) => df.drop(col(s"r.$k")))
+    if (joinType == "full_outer")
+      // a right orphan has NULL left keys: surface the key from
+      // whichever side holds it, then drop both originals
+      keys.foldLeft(joined)((df, k) =>
+        df.withColumn(s"__k_$k", coalesce(col(s"l.$k"), col(s"r.$k")))
+          .drop(col(s"l.$k")).drop(col(s"r.$k"))
+          .withColumnRenamed(s"__k_$k", k))
+    else
+      // drop the right side's duplicate key columns
+      keys.foldLeft(joined)((df, k) => df.drop(col(s"r.$k")))
   }
 
   private def withWatermarkIfStreaming(

@@ -91,6 +91,52 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join surfaces BOTH sides' orphans after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+
+    val orders = MemoryStream[(Int, Timestamp)]
+    val ships = MemoryStream[(Int, Timestamp)]
+    val joined = StreamJoin.withinFullOuter(
+      orders.toDS.toDF("order_id", "order_ts"),
+      ships.toDS.toDF("order_id", "ship_ts"),
+      keys = Seq("order_id"), leftTs = "order_ts", rightTs = "ship_ts",
+      within = "10 minutes", watermark = "10 minutes")
+
+    val q = joined.writeStream
+      .format("memory").queryName("ss_join_full").outputMode("append").start()
+    try {
+      orders.addData(
+        (1, ts("2024-01-01 08:00:00")),  // matches
+        (2, ts("2024-01-01 08:00:00")))  // order with no shipment
+      ships.addData(
+        (1, ts("2024-01-01 08:05:00")),
+        (3, ts("2024-01-01 08:02:00")))  // shipment with no order
+      q.processAllAvailable()
+      val early = s.table("ss_join_full")
+        .select("order_ts", "ship_ts").collect()
+      assert(!early.exists(r => r.isNullAt(0) || r.isNullAt(1)),
+        "no null row may emit before the watermark proves the orphan")
+
+      orders.addData((99, ts("2024-01-01 10:00:00")))
+      ships.addData((99, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+
+      val rows = s.table("ss_join_full")
+        .select("order_id", "order_ts", "ship_ts")
+        .collect().map(r => (r.getInt(0),
+          Option(r.getTimestamp(1)).map(_.toString),
+          Option(r.getTimestamp(2)).map(_.toString))).toSet
+      assert(rows.contains((1,
+        Some("2024-01-01 08:00:00.0"), Some("2024-01-01 08:05:00.0"))))
+      assert(rows.contains((2, Some("2024-01-01 08:00:00.0"), None)),
+        s"left orphan must surface: $rows")
+      assert(rows.contains((3, None, Some("2024-01-01 08:02:00.0"))),
+        s"right orphan must surface: $rows")
+    } finally q.stop()
+  }
+
   test("batch frames run through the same join (parity path)") {
     val s = spark
     import s.implicits._
