@@ -3117,6 +3117,33 @@ object Queries {
               SELECT 'none', COUNT(*) FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
+  // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
+  // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
+  // by key envelope, absent keys no-ops. Full readback vs an
+  // anti-join oracle; the key set includes absent keys (+10M shift)
+  // so idempotent-no-op behavior is in the gate.
+  val mergeDeleteQ = QueryDef(
+    "q_merge_delete",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_mdl").toString
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DataSkipping.writeWithStats(
+        ord.repartitionByRange(8, col("o_orderkey")),
+        s"$root/orders", Seq("o_orderkey"))
+      val keys = ord.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"))
+        .unionByName(ord.filter(col("o_orderkey") % 7 === 4)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey")))
+      DataSkipping.mergeDelete(s, s"$root/orders", keys, Seq("o_orderkey"))
+      DataSkipping.readSkipping(s, s"$root/orders", col("o_orderkey") >= 0L)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 7 <> 3
+            ORDER BY o_orderkey"""))
+
   // CHECK constraints: monitoring-only registrations report live
   // violation counts (the staged-rollout surface); the oracle
   // recomputes each count by brute force. SQL CHECK semantics: only
@@ -3503,6 +3530,6 @@ object Queries {
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
-    mergeUpsertQ, cdfChanges, restoreQ,
+    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ,
     incrementalAgg, incrementalMinMax)
 }

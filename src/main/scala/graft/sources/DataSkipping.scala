@@ -1372,6 +1372,95 @@ object DataSkipping {
     touched.map(_._2).sum
   }
 
+  /** Keyed MERGE DELETE (the Delta `MERGE ... WHEN MATCHED THEN
+    * DELETE` arm): drop every target row whose key appears in
+    * `keys` — the CDC-tombstone apply path, where the delete set is
+    * a DATAFRAME of keys, not a predicate (a predicate form would
+    * need an O(batch) IN literal; the frame rides joins). Same
+    * prune→touch→rewrite shape as [[mergeUpsert]]: the target
+    * manifest prunes by the keys' min/max envelope, one semi-join
+    * scan finds the files actually holding matched rows, only those
+    * rewrite (anti-join), everything else carries verbatim. Keys
+    * absent from the target are no-ops (delete is idempotent).
+    * CDF records the dropped rows as `delete`; `txn` gives the same
+    * idempotent-writer skip as [[mergeUpsert]]. Returns the number
+    * of rows deleted.
+    */
+  def mergeDelete(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): Long = {
+    require(keyCols.nonEmpty, "mergeDelete needs at least one key column")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val replayed = txn.exists { case (app, v) =>
+      readSidecarIn(fs, dir, TxnFile)
+        .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
+    }
+    if (replayed) return 0L
+    val schema = tableSchemaIn(spark, path, dir)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k is not in the table schema ${schema.simpleString}"))
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "mergeDelete needs a size-carrying manifest (rewrite with writeWithStats)")
+    val delKeys = keys.select(keyCols.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (delKeys.isEmpty) {
+        if (vacuum) vacuumTable(spark, path, retentionMs)
+        return 0L
+      }
+      val tracked = trackedCols(spark, dir)
+      val prunable = keyCols.filter(tracked)
+      val skip: Column =
+        if (prunable.isEmpty) lit(true)
+        else {
+          val aggs = prunable.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+          val env = delKeys.agg(aggs.head, aggs.tail: _*).head()
+          prunable.zipWithIndex.map { case (k, i) =>
+            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
+            if (lo == null) lit(false)
+            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+          }.reduce(_ && _)
+        }
+      val candStatuses = statusesOf(stats.filter(skip))
+      val dv = readDvIn(spark, dir)
+      val matched: Option[DataFrame] =
+        if (candStatuses.isEmpty) None
+        else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv)
+          .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+          .join(delKeys, keyCols)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val touched: Seq[(String, Long)] = matched.fold(Seq.empty[(String, Long)])(
+          _.groupBy("__file").agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
+        if (touched.isEmpty) {
+          if (vacuum) vacuumTable(spark, path, retentionMs)
+          return 0L
+        }
+        val files = touched.map(_._1)
+        val touchedSet = files.toSet
+        def touchedScan = applyDv(statusScan(spark, path, schema,
+          candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
+        val replacement = touchedScan.join(delKeys, keyCols, "left_anti")
+        val changes =
+          if (!cdfEnabled(fs, dir)) None
+          else Some(touchedScan.join(delKeys, keyCols, "semi")
+            .withColumn(ChangeTypeCol, lit("delete")))
+        rewriteFiles(spark, fs, path, dir, stats, schema, files,
+          Some(replacement), vacuum, retentionMs, markerRetentionMs,
+          opStart, changes, op = "MERGE", txn = txn)
+        touched.map(_._2).sum
+      } finally matched.foreach(_.unpersist())
+    } finally delKeys.unpersist()
+  }
+
   /** Upsert MERGE (the Delta `MERGE ... WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT *` analog), copy-on-write on the
     * target's files:

@@ -129,4 +129,87 @@ object StatsTableSink {
       }
       .start()
   }
+
+  /** Streaming CDC MERGE sink — the Delta
+    * `foreachBatch { merge }` pattern as a first-class sink, closing
+    * the continuous `apply_changes`-into-storage loop: each
+    * micro-batch collapses to one winner per key (ordered by
+    * `seqCols`, a delete marker beating an update at equal
+    * sequence — [[graft.operators.Cdc.applyChanges]]'s tie rule),
+    * then winning deletes apply via [[DataSkipping.mergeDelete]] and
+    * winning upserts via [[DataSkipping.mergeUpsert]] — both
+    * key-envelope-pruned copy-on-write commits, so a CDC batch
+    * touching one day's keys rewrites a handful of files of a 100 TB
+    * target.
+    *
+    * EXACTLY-ONCE across foreachBatch's at-least-once delivery: both
+    * DML arms carry `txn` stamps keyed by (sink identity, arm,
+    * batchId) — a replayed batch whose delete and/or upsert already
+    * committed re-applies as detected no-ops, including the torn
+    * middle state (delete committed, upsert not) which the replay
+    * completes rather than doubles. Winner keys are DISJOINT between
+    * the arms, so arm order cannot matter.
+    *
+    * `dropCols` are visible to `deleteWhen`/collapse but not stored
+    * (the op/tombstone column of a CDC feed). The target's schema is
+    * the source's minus `dropCols`.
+    */
+  def runMerge(
+      source: DataFrame, path: String, keyCols: Seq[String],
+      seqCols: Seq[String], statsCols: Seq[String],
+      checkpointDir: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      dropCols: Seq[String] = Nil,
+      writerId: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark = source.sparkSession
+    require(keyCols.nonEmpty && seqCols.nonEmpty,
+      "runMerge needs key and sequence columns")
+    val storedFields = source.schema.fields
+      .filterNot(f => dropCols.contains(f.name))
+    val storedSchema = org.apache.spark.sql.types.StructType(storedFields)
+    val storedCols = storedFields.map(_.name).toSeq
+    val payload = storedCols.filterNot(c =>
+      keyCols.contains(c) || seqCols.contains(c))
+    ensureTable(spark, path, storedSchema, statsCols)
+    val writer = writerId.getOrElse {
+      val p = new Path(checkpointDir)
+      val qualified = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(8).map(b => f"$b%02x").mkString
+    }
+    val appDel = s"graft-merge-sink-del:$writer"
+    val appUps = s"graft-merge-sink-ups:$writer"
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val del = coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+        // one winner per key: latest by seq, delete beating an
+        // update at EQUAL sequence (the marker is compared before
+        // the payload in the max-struct — applyChanges' stated rule)
+        val ordered = (seqCols.map(col) :+ col("__del")) ++ payload.map(col)
+        val winners = batch.withColumn("__del", del)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(struct(ordered: _*)).as("__w"))
+          .select(keyCols.map(col) ++
+            (seqCols ++ Seq("__del") ++ payload)
+              .map(c => col(s"__w.$c").as(c)): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          DataSkipping.mergeDelete(spark, path,
+            winners.filter(col("__del")).select(keyCols.map(col): _*),
+            keyCols, txn = Some(appDel -> batchId))
+          DataSkipping.mergeUpsert(spark, path,
+            winners.filter(!col("__del"))
+              .select(storedCols.map(col): _*),
+            keyCols, txn = Some(appUps -> batchId))
+          ()
+        } finally winners.unpersist()
+      }
+      .start()
+  }
 }
