@@ -167,6 +167,37 @@ object ScaleRamp {
     // the CORPUS, queries held constant
     def queries(k: Int) = vecs(1).filter(col("vec_id") < 50)
 
+    // ---- SCD2 family (r9): CHANGE-LOG ramp ----
+    // 20k*k change events over 2000*k keys (10 events/key, ~4%
+    // deletes); the BATCH is fixed (200 events over 20 keys). Both
+    // derivations scan the input linearly; the claim is the SHAPE —
+    // the full rebuild pays a key-shuffle + per-key SORT of
+    // everything at every refresh, the incremental apply sorts only
+    // the batch's keys' history (broadcast semi/anti splits), so its
+    // ramp should track the scan cost, not the sort.
+    val scd2LogPaths = scales.map { k =>
+      val p = s"$work/scd2log_x$k"
+      spark.range(20000L * k).select(
+        (col("id") % (2000L * k)).as("k"),
+        (col("id") / (2000L * k)).as("seq"),
+        concat(lit("v"), pmod(col("id"), lit(7L))).as("v"),
+        when(pmod(col("id"), lit(23L)) === 11L, lit("D"))
+          .otherwise(lit("U")).as("op"))
+        .write.mode("overwrite").parquet(p)
+      k -> p
+    }.toMap
+    val scd2HistPaths = scales.map { k =>
+      val p = s"$work/scd2hist_x$k"
+      graft.operators.Cdc.scdType2(
+          spark.read.parquet(scd2LogPaths(k)),
+          Seq("k"), Seq("seq"), Seq("v"), col("op") === "D")
+        .write.mode("overwrite").parquet(p)
+      k -> p
+    }.toMap
+    def scd2Batch: DataFrame = spark.range(200L).select(
+      (col("id") % 20L).as("k"), (col("id") / 20L + 100L).as("seq"),
+      concat(lit("b"), col("id")).as("v"), lit("U").as("op"))
+
     // ---- storage family (r8): FILE-COUNT ramp ----
     // The ramp dimension is the MANIFEST (file count), not data
     // bytes: scale k = 16k files x 2000 rows, so 10x means 160 files.
@@ -405,6 +436,18 @@ object ScaleRamp {
         require(gone == 250L, s"dv delete at x$k removed $gone rows, wanted 250")
         DataSkipping.readSkipping(spark, dvPaths(k),
           col("id") >= lo && col("id") < lo + 500L)
+      },
+      // r9 SCD2: full rebuild vs incremental apply on the same
+      // batch, change-log scaled 10x
+      "scd2_full" -> { k =>
+        graft.operators.Cdc.scdType2(
+          spark.read.parquet(scd2LogPaths(k)).unionByName(scd2Batch),
+          Seq("k"), Seq("seq"), Seq("v"), col("op") === "D")
+      },
+      "scd2_apply" -> { k =>
+        graft.operators.Cdc.scdType2Apply(
+          spark.read.parquet(scd2HistPaths(k)), scd2Batch,
+          Seq("k"), Seq("seq"), Seq("v"), col("op") === "D")
       },
       // r9 METADATA COUNT: a band count answered from the manifest +
       // <=2 boundary scans — O(manifest rows) distributed work, so
