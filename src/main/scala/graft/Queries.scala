@@ -1292,6 +1292,36 @@ object Queries {
               AND NOT (event_id < 500)
             ORDER BY event_id"""))
 
+  // The format("graft") data source: the same pruned read through
+  // the STANDARD reader API + a SQL view — filters arrive at
+  // planning time via PrunedFilteredScan and the deletion vector
+  // applies inside the relation. Oracle = plain SQL over the
+  // surviving rows.
+  val graftSourceQ = QueryDef(
+    "q_graft_source",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("user_id")), s"$root/ev", Seq("user_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/ev", col("event_id") % 13 === 5)
+      s.read.format("graft").load(s"$root/ev")
+        .createOrReplaceTempView("graft_events_v")
+      s.sql("""SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+               FROM graft_events_v
+               WHERE user_id >= 50 AND user_id < 150
+               GROUP BY user_id ORDER BY user_id""")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE user_id >= 50 AND user_id < 150
+              AND NOT (event_id % 13 = 5)
+            GROUP BY user_id ORDER BY user_id"""))
+
   // Read-only pruned scan against the pre-materialized stats table:
   // the manifest-driven file pruning + predicate re-apply, nothing
   // else. Same oracle as q_skipping_scan (the write is content-
@@ -3521,7 +3551,7 @@ object Queries {
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, zorderOptimize, appendScan, compactScan, bloomScan,
+    skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
     dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft").load(path)` — the stats table as a
+  * standard data source, so SQL views and DataFrame readers get the
+  * manifest machinery WITHOUT calling [[DataSkipping]] directly:
+  * filters arrive at PLANNING time through `PrunedFilteredScan`,
+  * translate to the same predicate [[DataSkipping.readSkipping]]
+  * prunes with (min/max, null counts, blooms — and the deletion
+  * vector applies like on every read), and column pruning reaches
+  * the parquet scan through the inner relation. Every source filter
+  * is also RE-APPLIED by Spark above the scan (the `buildScan`
+  * contract's safe default), so a translation gap can only lose
+  * pruning, never correctness.
+  *
+  * `.load(path)` is LAZY about files: the manifest is consulted when
+  * a query plans, so a view created over this source prunes per
+  * QUERY, not per view creation — the property an eager
+  * `readSkipping(...).createTempView` cannot have.
+  */
+class GraftSourceProvider extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source needs a path: spark.read.format(\"graft\").load(path)"))
+    new GraftRelation(sqlContext.sparkSession, path)
+  }
+}
+
+private[sources] class GraftRelation(spark: SparkSession, path: String)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = DataSkipping.tableSchema(spark, path)
+
+  // rows come back as the inner DataFrame's InternalRows — no
+  // Row conversion layer on top of an already-planned scan
+  override def needConversion: Boolean = false
+
+  /** Source filters → one Column the skip planner understands; None
+    * for a filter family the translation doesn't cover (Spark still
+    * applies it above the scan — only pruning is lost).
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) =>
+      // a one-sided And still restricts: x AND unknown -> x
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, None) => one
+        case (None, one) => one
+      }
+    case Or(l, r) =>
+      // an untranslatable disjunct could match anywhere: drop the Or
+      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(EqualTo(a, v)) => Some(col(a) =!= lit(v))
+    case _ => None
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    // report everything unhandled: Spark re-applies all filters above
+    // the scan, so file-level pruning can never change results even
+    // if a translated term were subtly off
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pred = filters.flatMap(toColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val scan = DataSkipping.readSkipping(spark, path, pred)
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scans need a row per row, no columns
+        scan.select(lit(1))
+      else scan.select(requiredColumns.map(col).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
