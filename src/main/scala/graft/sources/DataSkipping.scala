@@ -1682,6 +1682,15 @@ object DataSkipping {
     readSidecarIn(fs, dir, ConstraintsFile)
       .map(constraintsFromJson).getOrElse(Map.empty)
 
+  /** The table's tracked stats columns, sorted — the set every
+    * append must match (public for the `format("graft")` write path
+    * and callers resolving a table's statsCols contract).
+    */
+  def tableStatsCols(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    trackedCols(spark, manifestDirOf(fs, path)).toSeq.sorted
+  }
+
   /** The table's CHECK constraints (name → SQL expression). */
   def tableConstraints(spark: SparkSession, path: String): Map[String, String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -24,14 +24,71 @@ import org.apache.spark.sql.types.StructType
   * QUERY, not per view creation — the property an eager
   * `readSkipping(...).createTempView` cannot have.
   */
-class GraftSourceProvider extends RelationProvider with DataSourceRegister {
+class GraftSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
-  override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft source needs a path: spark.read.format(\"graft\").load(path)"))
-    new GraftRelation(sqlContext.sparkSession, path)
+        "graft source needs a path: .format(\"graft\").load/save(path)"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new GraftRelation(sqlContext.sparkSession, pathOf(parameters))
+
+  /** `df.write.format("graft").option("statsCols", "a,b").save(path)`
+    * — the write side: Overwrite = [[DataSkipping.writeWithStats]]
+    * (fresh table; `statsCols` required), Append =
+    * [[DataSkipping.appendWithStats]] (O(batch) manifest growth,
+    * optional `commitName` exactly-once marker, `mergeSchema`
+    * evolution; `statsCols` defaults to the table's tracked set),
+    * ErrorIfExists/Ignore with their standard meanings against an
+    * existing stats dir.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(s"$path/${DataSkipping.StatsDir}"))
+    def statsColsOpt: Option[Seq[String]] = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def requiredStatsCols: Seq[String] = statsColsOpt.getOrElse(
+      throw new IllegalArgumentException(
+        "a fresh graft table needs .option(\"statsCols\", \"c1,c2\")"))
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Overwrite =>
+        DataSkipping.writeWithStats(data, path, requiredStatsCols,
+          bloomCols = Nil,
+          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case Append if exists =>
+        val cols = statsColsOpt.getOrElse(
+          DataSkipping.tableStatsCols(spark, path))
+        DataSkipping.appendWithStats(data, path, cols,
+          commitName = parameters.get("commitName"),
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      case Append =>
+        DataSkipping.writeWithStats(data, path, requiredStatsCols,
+          bloomCols = Nil,
+          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"$path already exists (SaveMode.ErrorIfExists)")
+      case ErrorIfExists =>
+        DataSkipping.writeWithStats(data, path, requiredStatsCols,
+          bloomCols = Nil,
+          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case Ignore if exists => ()
+      case Ignore =>
+        DataSkipping.writeWithStats(data, path, requiredStatsCols,
+          bloomCols = Nil,
+          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+    }
+    new GraftRelation(spark, path)
   }
 }
 

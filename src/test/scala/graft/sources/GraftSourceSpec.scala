@@ -47,4 +47,42 @@ class GraftSourceSpec extends SparkSpec {
     assert(df.filter(length(col("payload")) === 3).count() ===
       df.collect().count(r => r.getString(2).length == 3))
   }
+
+  test("write side: Overwrite creates, Append grows O(batch), modes behave, round-trip reads") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp() + "/t"
+    (0L until 1000L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(2, col("id"))
+      .write.format("graft").option("statsCols", "id").save(dir)
+    assert(s.read.format("graft").load(dir).count() === 1000L)
+    // append without statsCols: the table's tracked set applies
+    (1000L until 1100L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .write.format("graft").mode("append").save(dir)
+    assert(s.read.format("graft").load(dir).count() === 1100L)
+    assert(DataSkipping.readSkipping(s, dir, col("id") >= 1000L)
+      .count() === 100L, "appended rows land in the manifest")
+    // ErrorIfExists refuses; Ignore is a no-op
+    intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("id", "payload")
+        .write.format("graft").mode("errorifexists").save(dir)
+    }
+    Seq((1L, "x")).toDF("id", "payload")
+      .write.format("graft").mode("ignore").save(dir)
+    assert(s.read.format("graft").load(dir).count() === 1100L)
+    // a missing statsCols on a FRESH table is loud
+    intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("id", "payload")
+        .write.format("graft").save(tmp() + "/fresh")
+    }
+    // exactly-once append markers through the option
+    val n0 = DataSkipping.readSkipping(s, dir, lit(true)).count()
+    (5000L until 5010L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .write.format("graft").mode("append")
+      .option("commitName", "batch-7").save(dir)
+    (5000L until 5010L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .write.format("graft").mode("append")
+      .option("commitName", "batch-7").save(dir) // replay: skipped
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === n0 + 10L)
+  }
 }
