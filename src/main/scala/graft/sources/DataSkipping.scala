@@ -2584,10 +2584,12 @@ object DataSkipping {
         .filter(coalesce(predicate, lit(false)))
         .select(col(column).as("__lo"), col(column).as("__hi")))
     if (!stats.columns.contains("file_size")) {
-      // legacy: plain scan
-      val part = scanAll(statusesOf(stats.filter(skip)), None)
-      val r = part.map(_.agg(min(col("__lo")), max(col("__hi"))).head())
-      return ((r.flatMap(x => Option(x.get(0))), r.flatMap(x => Option(x.get(1)))), -1L)
+      // legacy manifest: no status metadata — the read path's own
+      // legacy branch handles the path-list scan
+      val r = readSkippingIn(spark, path, dir, predicate)
+        .filter(coalesce(predicate, lit(false)))
+        .agg(min(col(column)), max(col(column))).head()
+      return ((Option(r.get(0)), Option(r.get(1))), -1L)
     }
     val tracked = stats.columns.collect {
       case c if c.startsWith("min_") => c.drop(4) }.toSet
@@ -2926,6 +2928,16 @@ object DataSkipping {
     zCols.foreach(c => require(stats.columns.contains(s"min_$c"),
       s"z-order column $c is not stats-tracked in the current manifest — " +
         "its global range must come from somewhere; compact with it tracked first"))
+    locally {
+      val sch = tableSchemaIn(spark, path, dir)
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      zCols.foreach { c =>
+        val t = sch(c).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+          s"z-order column $c has type ${t.simpleString} — the 16-bit " +
+            "bucketization needs an integral column (derive one upstream)")
+      }
+    }
     // global ranges from the manifest: one small agg, no data read
     val aggs = zCols.flatMap(c =>
       Seq(min(col(s"min_$c")).cast("bigint"), max(col(s"max_$c")).cast("bigint")))
