@@ -3539,6 +3539,73 @@ object Queries {
                    COUNT(*) AS cnt
             FROM final GROUP BY event_type ORDER BY event_type"""))
 
+  // Continuously-maintained SCD2 history from the change feed
+  // (Scd2Stream): bootstrap at v0, three DML waves on DISJOINT
+  // event_id classes, one refresh folding them all — then the FULL
+  // history (every interval, open and closed) vs an oracle that
+  // derives each row class's exact [start, end) version tiles from
+  // the DML program. A wrong reconstruction, a torn replace, or a
+  // missed preimage-drop shows up as a wrong tile somewhere.
+  val scd2Stream = QueryDef(
+    "q_scd2_stream",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_s2s").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("event_id")), s"$root/base",
+        Seq("event_id"), bloomCols = Nil, changeFeed = true)
+      def refresh() = graft.streaming.Scd2Stream.maintain(
+        s, s"$root/base", s"$root/hist", Seq("event_id"),
+        Seq("user_id", "value"), s"$root/ckpt")
+      refresh() // bootstrap at v0
+      DataSkipping.deleteWhere(s, s"$root/base", col("event_id") % 50 === 7)  // v1
+      DataSkipping.updateWhere(s, s"$root/base", col("event_id") % 50 === 11,
+        Map("value" -> (col("value") * -1)))                                  // v2
+      DataSkipping.mergeUpsert(s, s"$root/base",
+        ev.filter(col("event_id") % 50 === 13)
+          .withColumn("value", col("value") * 2)
+          .unionByName(ev.filter(col("event_id") % 50 === 17)
+            .withColumn("event_id", col("event_id") + 10000000L)),
+        Seq("event_id"))                                                      // v3
+      refresh()
+        .select(col("event_id"), col("user_id"), col("value"),
+          col(graft.streaming.Scd2Stream.StartCol).as("start_ver"),
+          col(graft.streaming.Scd2Stream.EndCol).as("end_ver"))
+        .orderBy("event_id", "start_ver")
+    },
+    Some("""WITH base AS (SELECT event_id, user_id, value FROM events)
+            SELECT * FROM (
+              -- untouched keys: one open bootstrap row
+              SELECT event_id, user_id, value,
+                     CAST(0 AS BIGINT) AS start_ver,
+                     CAST(NULL AS BIGINT) AS end_ver
+              FROM base WHERE event_id % 50 NOT IN (7, 11, 13)
+              UNION ALL
+              -- deleted at v1: closed, no successor
+              SELECT event_id, user_id, value, 0, 1
+              FROM base WHERE event_id % 50 = 7
+              UNION ALL
+              -- updated at v2: [0,2) original + [2,) negated
+              SELECT event_id, user_id, value, 0, 2
+              FROM base WHERE event_id % 50 = 11
+              UNION ALL
+              SELECT event_id, user_id, value * -1, 2, NULL
+              FROM base WHERE event_id % 50 = 11
+              UNION ALL
+              -- merge-updated at v3: [0,3) original + [3,) doubled
+              SELECT event_id, user_id, value, 0, 3
+              FROM base WHERE event_id % 50 = 13
+              UNION ALL
+              SELECT event_id, user_id, value * 2, 3, NULL
+              FROM base WHERE event_id % 50 = 13
+              UNION ALL
+              -- merge-inserted at v3: born open
+              SELECT event_id + 10000000, user_id, value, 3, NULL
+              FROM base WHERE event_id % 50 = 17)
+            ORDER BY event_id, start_ver"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
     scd2, scd2Apply,
@@ -3561,5 +3628,5 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
     mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ,
-    incrementalAgg, incrementalMinMax)
+    incrementalAgg, incrementalMinMax, scd2Stream)
 }

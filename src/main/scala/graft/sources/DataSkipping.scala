@@ -1372,6 +1372,105 @@ object DataSkipping {
     touched.map(_._2).sum
   }
 
+  /** Keyed REPLACE (one atomic commit): drop EVERY target row whose
+    * key appears in the source, then write EVERY source row — the
+    * multi-row-per-key sibling of [[mergeUpsert]] (which this
+    * generalizes by removing the unique-source-keys restriction:
+    * replace semantics are well-defined at any source cardinality,
+    * update-all upserts are not). The op the continuously-maintained
+    * SCD2 history needs: a batch re-derives its affected keys' whole
+    * version sets, and swapping them in must be ONE generation commit
+    * — a delete-then-insert pair has a torn middle no replay can
+    * repair, while a single `txn`-stamped commit replays as a
+    * detected no-op. Same prune→touch→rewrite shape and costs as
+    * [[mergeUpsert]]; CDF records matched target rows as `delete`
+    * and all source rows as `insert` (cardinality may legitimately
+    * change, so update pre/post pairing does not apply). Returns
+    * (target rows dropped, source rows written).
+    */
+  def replaceKeyed(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
+    require(keyCols.nonEmpty, "replaceKeyed needs at least one key column")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val replayed = txn.exists { case (app, v) =>
+      readSidecarIn(fs, dir, TxnFile)
+        .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
+    }
+    if (replayed) return (0L, 0L)
+    val schema = tableSchemaIn(spark, path, dir)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k is not in the table schema ${schema.simpleString}"))
+    require(
+      source.schema.map(f => (f.name, f.dataType)).toSet ==
+        schema.map(f => (f.name, f.dataType)).toSet,
+      s"source schema ${source.schema.simpleString} must carry exactly the " +
+        s"table's columns ${schema.simpleString} (any order)")
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "replaceKeyed needs a size-carrying manifest (rewrite with writeWithStats)")
+    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcCount = src.count()
+      if (srcCount == 0L) return (0L, 0L)
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      val tracked = trackedCols(spark, dir)
+      val prunable = keyCols.filter(tracked)
+      val skip: Column =
+        if (prunable.isEmpty) lit(true)
+        else {
+          val aggs = prunable.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+          val env = src.agg(aggs.head, aggs.tail: _*).head()
+          prunable.zipWithIndex.map { case (k, i) =>
+            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
+            if (lo == null) lit(false)
+            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+          }.reduce(_ && _)
+        }
+      val candStatuses = statusesOf(stats.filter(skip))
+      val dv = readDvIn(spark, dir)
+      val matched: Option[DataFrame] =
+        if (candStatuses.isEmpty) None
+        else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv)
+          .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+          .join(srcKeys, keyCols)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val touched: Seq[(String, Long)] = matched.fold(Seq.empty[(String, Long)])(
+          _.groupBy("__file").agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
+        val files = touched.map(_._1)
+        val touchedSet = files.toSet
+        def touchedScan = applyDv(statusScan(spark, path, schema,
+          candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
+        val replacement =
+          if (files.isEmpty) src
+          else touchedScan.join(srcKeys, keyCols, "left_anti")
+            .unionByName(src)
+        val changes =
+          if (!cdfEnabled(fs, dir)) None
+          else {
+            val dels =
+              if (files.isEmpty) src.limit(0)
+              else touchedScan.join(srcKeys, keyCols, "semi")
+            Some(dels.withColumn(ChangeTypeCol, lit("delete"))
+              .unionByName(src.withColumn(ChangeTypeCol, lit("insert"))))
+          }
+        rewriteFiles(spark, fs, path, dir, stats, schema, files,
+          Some(replacement), vacuum, retentionMs, markerRetentionMs,
+          opStart, changes, op = "MERGE", txn = txn)
+        (touched.map(_._2).sum, srcCount)
+      } finally matched.foreach(_.unpersist())
+    } finally src.unpersist()
+  }
+
   /** Keyed MERGE DELETE (the Delta `MERGE ... WHEN MATCHED THEN
     * DELETE` arm): drop every target row whose key appears in
     * `keys` — the CDC-tombstone apply path, where the delete set is
