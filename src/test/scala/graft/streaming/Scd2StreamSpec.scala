@@ -109,4 +109,57 @@ class Scd2StreamSpec extends SparkSpec {
     assert(hist(root) === after)
     assert(DataSkipping.tableVersions(s, s"$root/hist").size === gens)
   }
+
+  test("fold plan shape: affected keys ride broadcast joins, never a collected key IN literal") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("scd2s_shape")
+    val base = s"$root/base"
+    build(s, base)
+    Scd2Stream.maintain(s, base, s"$root/hist", Seq("id"), Seq("v"),
+      s"$root/ckpt")
+    DataSkipping.deleteWhere(s, base, col("id") < 40L) // v1
+
+    val executed = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val optimized = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        executed.add(qe.executedPlan.toString)
+        optimized.add(qe.optimizedPlan)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      Scd2Stream.maintain(s, base, s"$root/hist", Seq("id"), Seq("v"),
+        s"$root/ckpt") // folds v1
+      val deadline = System.currentTimeMillis() + 15000
+      def hasBroadcastSemi = executed.toArray.exists { p =>
+        val str = p.toString
+        str.contains("BroadcastHashJoin") && str.contains("LeftSemi")
+      }
+      while (!hasBroadcastSemi && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(hasBroadcastSemi,
+        "affected history rows must come via a broadcast semi-join")
+      // no fold plan may carry a collected history-KEY IN literal
+      // (file-list INs from manifest handling are the accepted
+      // Delta-snapshot pattern and exempt)
+      import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+      optimized.forEach { plan =>
+        plan.foreach(_.expressions.foreach(_.foreach {
+          case i: In if i.value.references.exists(_.name == "id") =>
+            fail(s"collected key IN literal in fold plan: $i")
+          case i: InSet if i.child.references.exists(_.name == "id") =>
+            fail(s"collected key INSET literal in fold plan: $i")
+          case _ => ()
+        }))
+      }
+    } finally s.listenerManager.unregister(listener)
+  }
 }
