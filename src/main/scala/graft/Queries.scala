@@ -2121,6 +2121,73 @@ object Queries {
                      // SimilaritySpec separately proves
                      // nProbe=nCenters == brute force exactly
 
+  // Product-quantization ADC search (row 24d): the corpus stores m=8
+  // codeword ids instead of 64 floats and queries rank by
+  // dot(query, codeword reconstruction). The oracle REPLAYS the
+  // decision procedure itself — pinned seed codebooks (codeword c of
+  // subspace j = subvector j of seed row c), per-subspace argmin of
+  // the sequentially-summed squared L2 distance (ties to the smaller
+  // code), then the ADC dot against the flattened reconstruction in
+  // the same global element order — so the gate checks PQ's defined
+  // semantics, not a recall assumption. Decision margins: codeword
+  // argmin margins are O(0.1..1) squared distance (distinct corpus
+  // vectors as seeds) and ranking gaps between different code
+  // assignments are quantization-level; rows sharing EXACT codes get
+  // bit-equal scores in both engines (the score depends only on
+  // codes + the raw query floats) and tie-break by neighbor id
+  // identically. Recall of planted neighbors is asserted separately
+  // in SimilaritySpec.
+  private val pqSeedIds = Seq(11L, 42L, 73L, 104L, 135L, 166L, 197L, 228L,
+    259L, 290L, 321L, 352L, 383L, 414L, 445L, 476L)
+  val annPq = QueryDef(
+    "q_ann_pq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+          emb.filter(col("vec_id") < 10), annPlantedCorpus(s, d), "vec_id", "embedding",
+          k = 5, m = 8, ksub = 16, seedIds = Some(pqSeedIds))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH aug AS (
+          ${plantedSql("", "WHERE vec_id < 10", 5, 100000L, 0.005)}
+        ), seeds(code, sid) AS (
+          VALUES ${pqSeedIds.zipWithIndex.map { case (id, c) => s"($c, $id)" }.mkString(", ")}
+        ), cw AS (
+          SELECT s.code, a.embedding FROM seeds s JOIN aug a ON a.vec_id = s.sid
+        ), dist AS (
+          SELECT x.vec_id, j.j, c.code,
+            list_reduce(list_transform(range(1, 9),
+              i -> (CAST(x.embedding[j.j * 8 + i] AS DOUBLE) - CAST(c.embedding[j.j * 8 + i] AS DOUBLE))
+                 * (CAST(x.embedding[j.j * 8 + i] AS DOUBLE) - CAST(c.embedding[j.j * 8 + i] AS DOUBLE))),
+              (u, v) -> u + v) AS d2
+          FROM aug x, (SELECT unnest(range(0, 8)) AS j) j, cw c
+        ), codes AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ), recon AS (
+          SELECT codes.vec_id,
+            flatten(list(list_transform(range(1, 9),
+              i -> CAST(c.embedding[codes.j * 8 + i] AS DOUBLE)) ORDER BY codes.j)) AS rvec
+          FROM codes JOIN cw c ON c.code = codes.code
+          GROUP BY codes.vec_id
+        ), q AS (
+          SELECT vec_id, embedding FROM aug WHERE vec_id < 10
+        ), scored AS (
+          SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]), (u, v) -> u + v) AS score
+          FROM q, recon r WHERE r.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // Duplicate-cluster components over the near-dup pair graph: with
   // TWO planted copies per source, pairs chain (source~copy1,
   // source~copy2, copy1~copy2) and the representative of each
@@ -3622,7 +3689,7 @@ object Queries {
     dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,

@@ -337,6 +337,116 @@ object Similarity {
   def nearestCentroidId(vec: Column, centroids: Array[Array[Float]]): Column =
     VectorExpressions.nearestCentroids(vec, centroids, 1).getItem(0)
 
+  /** Per-subspace PQ codebooks (m subspaces x ksub codewords x
+    * d/m dims): codeword c of subspace j is the j-th subvector of the
+    * c-th SEED vector — seeds are `seedIds` in their given order
+    * (pinned, oracle-replayable) or the first ksub corpus vectors in
+    * xxhash64(id) order (deterministic uniform sample, the
+    * [[ivfCentroids]] production default) — optionally refined with
+    * `lloydRounds` k-means passes run on ALL m subspaces at once:
+    * each round is ONE distributed encode pass ([[pqEncodeCol]])
+    * exploded to (subspace, code, pos) cell means via a single
+    * partial-aggregated groupBy, collected at m x ksub x dsub floats
+    * (a few KB). Empty cells keep their codeword. Refined codebooks
+    * inherit [[ivfCentroids]]' caveat: per-cell `avg` sums in
+    * partition order, so last-ulp drift across cluster layouts is
+    * possible — pin seeds and skip refinement where bit-replay
+    * matters.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int,
+      seedIds: Option[Seq[Long]] = None,
+      lloydRounds: Int = 0): Array[Array[Array[Float]]] = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val seeds: Array[Array[Float]] = seedIds match {
+      case Some(ids) =>
+        require(ids.size == ksub, s"seedIds must have exactly ksub=$ksub entries")
+        val byId = corpus.filter(col(idCol).isin(ids: _*))
+          .select(col(idCol), col(vecCol)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        ids.map(id => byId.getOrElse(id,
+          throw new IllegalArgumentException(s"seed id $id not in corpus"))).toArray
+      case None =>
+        corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub)
+          .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    }
+    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(j => seeds.map(s => s.slice(j * dsub, (j + 1) * dsub)))
+    (1 to lloydRounds).foreach { _ =>
+      val cells = corpus
+        .select(posexplode(pqEncodeCol(col(vecCol), books)).as(Seq("j", "code")),
+          col(vecCol).as("__v"))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("__v"), col("j") * dsub + 1, lit(dsub))).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("code"), col("pos")).agg(avg(col("x")).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat)).toMap
+      books = Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+        cells.getOrElse((j, c), books(j)(c))))
+    }
+    books
+  }
+
+  /** PQ codes column (array<int>, one codeword id per subspace) — the
+    * STORAGE pass of a quantized corpus: persist these m small ints
+    * and drop the floats (d=64 float32 -> m=8 codes is 32x). One
+    * codegen'd expression ([[graft.plans.PqEncode]]); the codebook
+    * tensor is a plan constant.
+    */
+  def pqEncodeCol(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    VectorExpressions.pqEncode(vec, codebooks)
+  }
+
+  /** ADC score column: dot(query, reconstruction(codes)) without
+    * materializing the reconstruction ([[graft.plans.PqAdc]]).
+    */
+  def pqAdcCol(qvec: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    VectorExpressions.pqAdc(qvec, codes, codebooks)
+  }
+
+  /** PQ-ADC top-k (Jégou et al. 2011): the corpus is PQ-encoded once
+    * (one codegen'd pass; at serving time the codes would be the
+    * stored table) and every query scores every code row by
+    * asymmetric distance — dot(query, codeword reconstruction) — so
+    * the scan reads m ints per corpus row instead of d floats: the
+    * memory/bandwidth story that makes exhaustive scans of a 100 TB
+    * vector corpus feasible (32x less data moved at d=64, m=8).
+    * Queries broadcast raw (asymmetric = only the corpus is
+    * quantized; the query side stays exact, halving the quantization
+    * error vs symmetric). Ranking ties and ordering follow
+    * [[topKPerQuery]] ((score DESC, neighbor ASC)); ranks by dot like
+    * [[bruteForceTopKInt8]] — equals cosine ranking on L2-normalized
+    * corpora. Same two-phase bounded top-k; corpus floats never cross
+    * a shuffle (only codes do).
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16,
+      seedIds: Option[Seq[Long]] = None,
+      lloydRounds: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, seedIds, lloydRounds)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncodeCol(col(vecCol), books).as("__codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+    val scored = coded.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcCol(col("__qvec"), col("__codes"), books).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -539,6 +539,171 @@ object WordNgrams {
   }
 }
 
+/** Product-quantization encode (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011): the vector is split
+  * into m = codebooks.length contiguous subspaces of
+  * dsub = codebooks(j)(c).length dims each, and element j of the
+  * result is the id of subspace j's nearest codeword by squared L2
+  * distance — so a d-dim float vector (4d bytes) stores as m small
+  * ints, the 100 TB vector-corpus compression story (d=64, m=8 is
+  * 32x before int-width packing).
+  *
+  * Decision procedure (what the oracle replays): per subspace,
+  * distances accumulate in double, element order left-to-right,
+  * (x - c)^2 per element; ties break to the SMALLER codeword id
+  * (strict `<` to replace). A vector shorter than (j+1)*dsub treats
+  * missing elements as absent pairs (distance contribution of the
+  * codeword element alone is NOT added — pairing stops at the
+  * shorter length, like [[DotProductFloat]]).
+  *
+  * Why an expression: the composition would be m x ksub literal
+  * dot-product subtrees — the exact plan blowup [[NearestCentroids]]
+  * exists to avoid, squared. The codebook tensor is ONE reference
+  * object; plan and generated-code size are independent of m x ksub.
+  */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(ArrayType(ArrayType(FloatType))))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val codebooks: Array[Array[Array[Float]]] = {
+    require(right.foldable, "codebooks must be a literal")
+    val ad = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { j =>
+      val sub = ad.getArray(j)
+      Array.tabulate(sub.numElements())(c => sub.getArray(c).toFloatArray())
+    }
+  }
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqEncode.compute(v.asInstanceOf[ArrayData], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (vecExpr, _) => {
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = graft.plans.PqEncode.compute($vecExpr, $cbRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncode {
+  /** Shared by interpreted eval and generated code: m x ksub x dsub
+    * multiply-adds, no allocation beyond the m-int output.
+    */
+  def compute(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Int] = {
+    val m = codebooks.length
+    val dim = vec.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    var base = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val dsub = if (book.length == 0) 0 else book(0).length
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        val n = math.min(math.max(dim - base, 0), cw.length)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          val diff = vec.getFloat(base + d).toDouble - cw(d).toDouble
+          s += diff * diff
+          d += 1
+        }
+        if (s < bestDist) { bestDist = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      base += dsub
+      j += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric-distance (ADC) score of a query float vector against a
+  * PQ code array: dot(query, reconstruction), where the
+  * reconstruction is the concatenation of the coded codewords —
+  * computed WITHOUT materializing it, in strict global element order
+  * left-to-right (one running double across all m subspaces), so the
+  * oracle can replay it as a single sequential `list_reduce` dot
+  * against the flattened codeword list. The corpus side of an ADC
+  * scan carries only its m-int codes; floats never re-join.
+  */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(IntegerType),
+    ArrayType(ArrayType(ArrayType(FloatType))))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_adc"
+
+  @transient private lazy val codebooks: Array[Array[Array[Float]]] = {
+    require(third.foldable, "codebooks must be a literal")
+    val ad = third.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { j =>
+      val sub = ad.getArray(j)
+      Array.tabulate(sub.numElements())(c => sub.getArray(c).toFloatArray())
+    }
+  }
+
+  override def nullSafeEval(q: Any, codes: Any, cb: Any): Any =
+    PqAdc.compute(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (qExpr, codesExpr, _) =>
+      s"${ev.value} = graft.plans.PqAdc.compute($qExpr, $codesExpr, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqAdc {
+  /** One running double over the concatenated codewords, pairing up
+    * to the shorter of (query, reconstruction) like [[DotProductFloat]].
+    */
+  def compute(q: ArrayData, codes: ArrayData, codebooks: Array[Array[Array[Float]]]): Double = {
+    val m = math.min(codes.numElements(), codebooks.length)
+    val qn = q.numElements()
+    var sum = 0.0
+    var j = 0
+    var base = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val cw = book(math.min(math.max(codes.getInt(j), 0), book.length - 1))
+      val n = math.min(math.max(qn - base, 0), cw.length)
+      var d = 0
+      while (d < n) {
+        sum += q.getFloat(base + d).toDouble * cw(d).toDouble
+        d += 1
+      }
+      base += cw.length
+      j += 1
+    }
+    sum
+  }
+}
+
 object VectorExpressions {
 
   def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
@@ -584,6 +749,22 @@ object VectorExpressions {
       hash: Column, wordsPerShard: Array[Array[Long]], numHashes: Int): Column =
     call_function("graft_bloom_contains_sharded", hash,
       org.apache.spark.sql.functions.typedLit(wordsPerShard), lit(numHashes))
+
+  /** PQ codes of a float vector (array<int>, one codeword id per
+    * subspace). The codebook tensor is captured as a plan constant —
+    * plan size independent of m x ksub.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.typedLit(codebooks))
+
+  /** ADC score: dot(query, PQ reconstruction of `codes`), strict
+    * global element order (oracle-replayable against the flattened
+    * codeword list).
+    */
+  def pqAdc(qvec: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    call_function("graft_pq_adc", qvec, codes,
+      org.apache.spark.sql.functions.typedLit(codebooks))
 }
 
 /** The `spark.sql.extensions` injection path: add
@@ -650,7 +831,13 @@ object GraftFunctions {
       children => DotProductInt8(children(0), children(1))),
     (FunctionIdentifier("graft_quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
-      children => QuantizeInt8(children(0))))
+      children => QuantizeInt8(children(0))),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      children => PqEncode(children(0), children(1))),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      children => PqAdc(children(0), children(1), children(2))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
