@@ -3491,6 +3491,56 @@ object Queries {
     Some("""SELECT event_id, user_id, event_type, value
             FROM events ORDER BY event_id"""))
 
+  // SQL maintenance surface (row 17p): the full OPTIMIZE → DML →
+  // RESTORE → VACUUM → DESCRIBE HISTORY/DETAIL loop driven through
+  // GraftSql's statement grammar (the Delta SQL-command analog; the
+  // same parser GraftExtensions injects into spark.sql). The result
+  // unions (a) the post-restore pruned readback — a failed RESTORE
+  // leaves the DELETE's hole, a failed OPTIMIZE changes nothing
+  // logically but its history row vanishes — with (b) the exact
+  // operation sequence from DESCRIBE HISTORY and (c) the constraint
+  // count from DESCRIBE DETAIL after an ALTER TABLE ADD CONSTRAINT.
+  // All three parts are deterministic, so the oracle pins them as
+  // literals + plain SQL.
+  val sqlMaintenance = QueryDef(
+    "q_sql_maintenance",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlm").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 3 =!= 0).repartitionByRange(12, col("user_id")),
+        t, Seq("user_id"))
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 3 === 0).repartitionByRange(4, col("user_id")),
+        t, Seq("user_id"))
+      GraftSql.sql(s, s"OPTIMIZE '$t'")                              // v1
+      DataSkipping.deleteWhere(s, t,
+        col("user_id") >= 60L && col("user_id") < 80L)               // v2
+      GraftSql.sql(s, s"RESTORE '$t' TO VERSION AS OF 1")            // v3
+      GraftSql.sql(s, s"VACUUM '$t' RETAIN 168 HOURS")
+      GraftSql.sql(s, s"ALTER TABLE '$t' ADD CONSTRAINT uid_ok CHECK (user_id >= 0)")
+      val data = DataSkipping.readSkipping(s, t,
+          col("user_id") >= 40L && col("user_id") < 120L)
+        .select(col("event_id"), lit("data").as("info"))
+      val ops = GraftSql.sql(s, s"DESCRIBE HISTORY '$t'")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("version"), col("operation")))),
+            x => x.getField("operation")), ",").as("info"))
+        .select(lit(-1L).as("event_id"), col("info"))
+      val detail = GraftSql.sql(s, s"DESCRIBE DETAIL '$t'")
+        .select(lit(-2L).as("event_id"),
+          concat(lit("constraints="), col("num_constraints")).as("info"))
+      data.unionAll(ops).unionAll(detail).orderBy("event_id")
+    },
+    Some("""SELECT event_id, 'data' AS info FROM events
+            WHERE user_id >= 40 AND user_id < 120
+            UNION ALL SELECT -1, 'WRITE,OPTIMIZE,DELETE,RESTORE(v1)'
+            UNION ALL SELECT -2, 'constraints=1'
+            ORDER BY event_id"""))
+
   // Incrementally-maintained materialized aggregate: bootstrap the
   // sum/count-by-event_type view at v0, run all three DML ops on the
   // base (the UPDATE migrates rows into a NEW group 'redacted', the
@@ -3694,6 +3744,6 @@ object Queries {
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
-    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ,
+    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

@@ -774,8 +774,12 @@ object VectorExpressions {
   * session construction — no runtime registration call needed.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY|DETAIL /
+    // RESTORE / ADD|DROP CONSTRAINT) — everything else delegates
+    ext.injectParser((_, parser) => new graft.sources.GraftSqlParser(parser))
+  }
 }
 
 /** Idempotently registers every graft custom expression in a

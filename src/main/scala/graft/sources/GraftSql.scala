@@ -1,0 +1,261 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** SQL surface for graft-table maintenance — the Delta SQL-command
+  * analog (`OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY` / `DESCRIBE
+  * DETAIL` / `RESTORE` / `ALTER TABLE ... ADD|DROP CONSTRAINT`,
+  * reference pos-dlt runs on exactly this operational surface), so a
+  * user can maintain stats tables from SQL without touching the Scala
+  * API:
+  *
+  * {{{
+  *   OPTIMIZE '/path/to/table'
+  *   OPTIMIZE '/path/to/table' ZORDER BY (x, y)
+  *   VACUUM '/path/to/table' [RETAIN 168 HOURS]
+  *   DESCRIBE HISTORY '/path/to/table'
+  *   DESCRIBE DETAIL '/path/to/table'
+  *   RESTORE '/path/to/table' [TO] VERSION AS OF 3
+  *   ALTER TABLE '/path/to/table' ADD CONSTRAINT nm CHECK (expr)
+  *   ALTER TABLE '/path/to/table' DROP CONSTRAINT nm
+  * }}}
+  *
+  * Tables are addressed by PATH literal (Delta's `delta.`/path``
+  * shape) — the graft format has no catalog, so a path IS the table
+  * identity, matching every other [[DataSkipping]] entry point.
+  *
+  * Wiring: [[GraftSqlParser]] is a delegating `ParserInterface` —
+  * statements it recognizes become [[LeafRunnableCommand]] plans
+  * (planned by Spark's own command machinery, visible in `EXPLAIN`),
+  * everything else passes VERBATIM to the session's normal parser, so
+  * injecting it changes nothing about standard SQL. Sessions built
+  * with `graft.plans.GraftExtensions` (`spark.sql.extensions`) get it
+  * automatically; [[GraftSql.sql]] runs the same grammar against ANY
+  * session without extensions.
+  *
+  * This is the one place the engine uses a custom parser/plan-node
+  * rung: maintenance statements are not expressible as operators or
+  * expressions — SURVEY §3's escalation-ladder note records it.
+  */
+object GraftSql {
+
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""".r
+  private val History =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
+  private val Detail =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+'([^']+)'\s*;?\s*$""".r
+  private val Restore =
+    """(?is)^\s*RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val AddConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
+  private val DropConstraint =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+
+  /** The graft statement grammar: Some(command plan) when `sqlText`
+    * is a maintenance statement, None to mean "not ours" (the caller
+    * falls through to the standard parser).
+    */
+  def parse(sqlText: String): Option[LeafRunnableCommand] = sqlText match {
+    case Optimize(path, null)  => Some(OptimizeGraftCommand(path, Nil))
+    case Optimize(path, zCols) =>
+      val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      Some(OptimizeGraftCommand(path, cols))
+    case Vacuum(path, null)    => Some(VacuumGraftCommand(path, None))
+    case Vacuum(path, hours)   => Some(VacuumGraftCommand(path, Some(hours.toLong)))
+    case History(path)         => Some(DescribeHistoryGraftCommand(path))
+    case Detail(path)          => Some(DescribeDetailGraftCommand(path))
+    case Restore(path, v)      => Some(RestoreGraftCommand(path, v.toLong))
+    case AddConstraint(path, name, expr) =>
+      Some(AddConstraintGraftCommand(path, name, expr.trim))
+    case DropConstraint(path, name) =>
+      Some(DropConstraintGraftCommand(path, name))
+    case _ => None
+  }
+
+  /** Run a statement against ANY session (no extension install
+    * needed): graft maintenance statements execute their command,
+    * everything else is `spark.sql`.
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    parse(sqlText) match {
+      case Some(cmd) =>
+        val schema = StructType(cmd.output.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(cmd.run(spark)).asJava,
+          schema)
+      case None => spark.sql(sqlText)
+    }
+}
+
+/** `OPTIMIZE '<path>'` → [[DataSkipping.compactTable]];
+  * `OPTIMIZE '<path>' ZORDER BY (...)` → [[DataSkipping.zorderTable]]
+  * with the file target derived from live bytes at the compaction
+  * default (128 MiB per file) — Delta's OPTIMIZE picks its own file
+  * count the same way.
+  */
+case class OptimizeGraftCommand(path: String, zCols: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("result_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val files =
+      if (zCols.isEmpty) DataSkipping.compactTable(spark, path)
+      else {
+        val bytes = DataSkipping.tableDetail(spark, path)
+          .select("size_bytes").head.getLong(0)
+        val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+        DataSkipping.zorderTable(spark, path, zCols, targetFiles = target)
+      }
+    val op = if (zCols.isEmpty) "OPTIMIZE"
+      else s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})"
+    Seq(Row(path, op, files.toLong))
+  }
+}
+
+/** `VACUUM '<path>' [RETAIN n HOURS]` → [[DataSkipping.vacuumTable]]
+  * (default retention = the table default, Delta's 7 days).
+  */
+case class VacuumGraftCommand(path: String, retainHours: Option[Long])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    retainHours match {
+      case Some(h) => DataSkipping.vacuumTable(spark, path, retentionMs = h * 3600000L)
+      case None    => DataSkipping.vacuumTable(spark, path)
+    }
+    Seq(Row(path))
+  }
+}
+
+/** `DESCRIBE HISTORY '<path>'` → [[DataSkipping.describeHistory]]. */
+case class DescribeHistoryGraftCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("op_time", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DataSkipping.describeHistory(spark, path).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL '<path>'` → [[DataSkipping.tableDetail]]. */
+case class DescribeDetailGraftCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows_physical", LongType, nullable = false)(),
+    AttributeReference("dv_entries", LongType, nullable = false)(),
+    AttributeReference("earliest_version", LongType, nullable = false)(),
+    AttributeReference("latest_version", LongType, nullable = false)(),
+    AttributeReference("features", StringType, nullable = false)(),
+    AttributeReference("stats_columns", StringType, nullable = false)(),
+    AttributeReference("num_constraints", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DataSkipping.tableDetail(spark, path).collect().toSeq
+}
+
+/** `RESTORE '<path>' [TO] VERSION AS OF n` →
+  * [[DataSkipping.restoreTable]].
+  */
+case class RestoreGraftCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.restoreTable(spark, path, version)
+    Seq(Row(path, version))
+  }
+}
+
+/** `ALTER TABLE '<path>' ADD CONSTRAINT nm CHECK (expr)` →
+  * [[DataSkipping.addCheckConstraint]] (validates existing rows, like
+  * Delta's ADD CONSTRAINT).
+  */
+case class AddConstraintGraftCommand(path: String, name: String, exprSql: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.addCheckConstraint(spark, path, name, exprSql)
+    Seq(Row(path, name))
+  }
+}
+
+/** `ALTER TABLE '<path>' DROP CONSTRAINT nm` →
+  * [[DataSkipping.dropCheckConstraint]].
+  */
+case class DropConstraintGraftCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.dropCheckConstraint(spark, path, name)
+    Seq(Row(path, name))
+  }
+}
+
+/** Delegating parser: graft maintenance statements parse to their
+  * command plans; every other string goes to the wrapped parser
+  * untouched. Injected by `graft.plans.GraftExtensions`
+  * (`ext.injectParser`).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

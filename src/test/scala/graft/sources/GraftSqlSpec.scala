@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+class GraftSqlSpec extends SparkSpec {
+
+  private def freshTable(prefix: String, changeFeed: Boolean = false): String = {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir(prefix)}/t"
+    val df = (0L until 400L).map(i => (i, i % 40, s"e${i % 5}", i * 1.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+    DataSkipping.writeWithStats(df.repartitionByRange(8, col("user_id")), t,
+      Seq("user_id", "event_id"), bloomCols = Nil, changeFeed = changeFeed)
+    t
+  }
+
+  test("statement grammar: each maintenance statement parses to its command, others fall through") {
+    assert(GraftSql.parse("OPTIMIZE '/x/t'").contains(OptimizeGraftCommand("/x/t", Nil)))
+    assert(GraftSql.parse("optimize '/x/t' zorder by (a, b)")
+      .contains(OptimizeGraftCommand("/x/t", Seq("a", "b"))))
+    assert(GraftSql.parse("VACUUM '/x/t'").contains(VacuumGraftCommand("/x/t", None)))
+    assert(GraftSql.parse("VACUUM '/x/t' RETAIN 24 HOURS")
+      .contains(VacuumGraftCommand("/x/t", Some(24L))))
+    assert(GraftSql.parse("DESCRIBE HISTORY '/x/t'")
+      .contains(DescribeHistoryGraftCommand("/x/t")))
+    assert(GraftSql.parse("desc detail '/x/t'")
+      .contains(DescribeDetailGraftCommand("/x/t")))
+    assert(GraftSql.parse("RESTORE '/x/t' TO VERSION AS OF 3")
+      .contains(RestoreGraftCommand("/x/t", 3L)))
+    assert(GraftSql.parse("RESTORE '/x/t' VERSION AS OF 0")
+      .contains(RestoreGraftCommand("/x/t", 0L)))
+    assert(GraftSql.parse(
+        "ALTER TABLE '/x/t' ADD CONSTRAINT ok CHECK (a > 0 AND (b < 2))")
+      .contains(AddConstraintGraftCommand("/x/t", "ok", "a > 0 AND (b < 2)")))
+    assert(GraftSql.parse("ALTER TABLE '/x/t' DROP CONSTRAINT ok")
+      .contains(DropConstraintGraftCommand("/x/t", "ok")))
+    // NOT ours: standard SQL, catalog-table DDL, near-misses
+    assert(GraftSql.parse("SELECT 1").isEmpty)
+    assert(GraftSql.parse("ALTER TABLE tbl ADD COLUMNS (x INT)").isEmpty)
+    assert(GraftSql.parse("DESCRIBE TABLE '/x/t'").isEmpty)
+    assert(GraftSql.parse("OPTIMIZE mytable").isEmpty)
+  }
+
+  test("injected parser chain routes graft statements to commands and the rest to the delegate") {
+    val ext = new SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val delegate = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser
+    // buildParser is private[sql] in Scala but JVM-public — invoke it
+    // the way the session-state builder does, via reflection
+    val parser = classOf[SparkSessionExtensions]
+      .getMethod("buildParser", classOf[org.apache.spark.sql.SparkSession],
+        classOf[org.apache.spark.sql.catalyst.parser.ParserInterface])
+      .invoke(ext, spark, delegate)
+      .asInstanceOf[org.apache.spark.sql.catalyst.parser.ParserInterface]
+    assert(parser.parsePlan("OPTIMIZE '/x/t'") == OptimizeGraftCommand("/x/t", Nil))
+    // a standard statement must produce a NON-graft plan via the delegate
+    val std = parser.parsePlan("SELECT 1 AS a")
+    assert(!std.isInstanceOf[OptimizeGraftCommand], std.getClass.getName)
+    // and a syntax error still raises the delegate's ParseException
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      parser.parsePlan("SELEC 1")
+    }
+  }
+
+  test("OPTIMIZE compacts, DESCRIBE HISTORY and DETAIL report through SQL, VACUUM runs") {
+    val t = freshTable("graft_sql1")
+    val before = DataSkipping.tableDetail(spark, t).select("num_files").head.getLong(0)
+    assert(before > 1L)
+    val res = GraftSql.sql(spark, s"OPTIMIZE '$t'").head
+    assert(res.getString(1) == "OPTIMIZE")
+    val after = GraftSql.sql(spark, s"DESCRIBE DETAIL '$t'")
+      .select("num_files").head.getLong(0)
+    assert(after < before)
+    assert(after == res.getLong(2))
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY '$t'")
+      .orderBy("version").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq == Seq((0L, "WRITE"), (1L, "OPTIMIZE")))
+    GraftSql.sql(spark, s"VACUUM '$t' RETAIN 0 HOURS")
+    // retention-0 vacuum reclaims the superseded generation
+    assert(DataSkipping.tableVersions(spark, t) == Seq(1L))
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters via SQL and rows survive byte-identically") {
+    val t = freshTable("graft_sql2")
+    val rows = DataSkipping.readSkipping(spark, t, lit(true))
+      .orderBy("event_id").collect().toSeq
+    val res = GraftSql.sql(spark, s"OPTIMIZE '$t' ZORDER BY (user_id, event_id)").head
+    assert(res.getString(1) == "OPTIMIZE ZORDER BY (user_id, event_id)")
+    val after = DataSkipping.readSkipping(spark, t, lit(true))
+      .orderBy("event_id").collect().toSeq
+    assert(after == rows)
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY '$t'")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(hist == Seq("WRITE", "OPTIMIZE ZORDER"))
+  }
+
+  test("RESTORE VERSION AS OF undoes DML through SQL") {
+    val t = freshTable("graft_sql3")
+    DataSkipping.deleteWhere(spark, t, col("user_id") < 10L)
+    assert(DataSkipping.readSkipping(spark, t, lit(true)).count() == 300L)
+    GraftSql.sql(spark, s"RESTORE '$t' TO VERSION AS OF 0")
+    assert(DataSkipping.readSkipping(spark, t, lit(true)).count() == 400L)
+    // a version outside retained history fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"RESTORE '$t' VERSION AS OF 99")
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("ADD/DROP CONSTRAINT via SQL enforce and release like the Scala API") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("graft_sql4")
+    GraftSql.sql(s, s"ALTER TABLE '$t' ADD CONSTRAINT uid CHECK (user_id < 1000)")
+    assert(DataSkipping.tableConstraints(s, t) == Map("uid" -> "user_id < 1000"))
+    // a violating append aborts while the constraint stands
+    val bad = Seq((9999L, 5000L, "x", 0.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendWithStats(bad, t, Seq("user_id", "event_id"))
+    }
+    GraftSql.sql(s, s"ALTER TABLE '$t' DROP CONSTRAINT uid")
+    DataSkipping.appendWithStats(bad, t, Seq("user_id", "event_id"))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() == 401L)
+    // adding a constraint existing rows violate is refused via SQL too
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(s, s"ALTER TABLE '$t' ADD CONSTRAINT uid CHECK (user_id < 1000)")
+    }
+  }
+}
