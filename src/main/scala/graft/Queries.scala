@@ -3541,6 +3541,53 @@ object Queries {
             UNION ALL SELECT -2, 'constraints=1'
             ORDER BY event_id"""))
 
+  // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only
+  // (zero data rewritten), every batch entry point speaks logical
+  // names, and a dropped-then-re-added name binds to a FRESH physical
+  // column so old values can never resurrect. The gate drives the
+  // full loop — rename x2 (one via SQL), logical-name DML, drop,
+  // mergeSchema RE-ADD OF THE DROPPED NAME (binds to a fresh physical
+  // column, value__p1) — then reads back through a logical predicate.
+  // The oracle replays it as plain SQL with aliases: the re-added
+  // 'value' column must be NULL for every pre-re-add row (a
+  // resurrected dropped value would mismatch), the DELETE band must
+  // be gone, and the renamed columns must carry their exact values
+  // under the new names.
+  val columnMapping = QueryDef(
+    "q_column_mapping",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_cmq").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(12, col("user_id")), t, Seq("user_id"))
+      DataSkipping.renameColumn(s, t, "user_id", "uid")
+      GraftSql.sql(s, s"ALTER TABLE '$t' RENAME COLUMN event_type TO etype")
+      DataSkipping.deleteWhere(s, t, col("uid") >= 60L && col("uid") < 80L)
+      DataSkipping.dropColumn(s, t, "value")
+      val extra = Tables.events(s, d)
+        .filter(col("user_id") < 10L && col("event_id") % 7 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"), col("user_id").as("uid"),
+          col("event_type").as("etype"), (col("value") * 2.0).as("value"))
+      DataSkipping.appendWithStats(extra, t, Seq("uid", "value"), mergeSchema = true)
+      DataSkipping.readSkipping(s, t, col("uid") < 100L)
+        .orderBy("event_id")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id AS uid, event_type AS etype,
+                CAST(NULL AS DOUBLE) AS value
+              FROM events
+              WHERE user_id < 60 OR user_id >= 80
+            ), added AS (
+              SELECT event_id + 1000000 AS event_id, user_id AS uid,
+                event_type AS etype, value * 2.0 AS value
+              FROM events WHERE user_id < 10 AND event_id % 7 = 0
+            )
+            SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM added)
+            WHERE uid < 100 ORDER BY event_id"""))
+
   // Incrementally-maintained materialized aggregate: bootstrap the
   // sum/count-by-event_type view at v0, run all three DML ops on the
   // base (the UPDATE migrates rows into a NEW group 'redacted', the
@@ -3744,6 +3791,6 @@ object Queries {
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
-    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance,
+    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

@@ -524,9 +524,43 @@ object DataSkipping {
     *         already present (idempotent replay skip)
     */
   def appendWithStats(
-      df: DataFrame, path: String, statsCols: Seq[String],
+      df0: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
       mergeSchema: Boolean = false): Boolean = {
+    // Column mapping: the batch and statsCols arrive in LOGICAL
+    // names. Mapped columns translate to their physical names; NEW
+    // logical columns (mergeSchema evolution) keep their names but
+    // must be fresh against the table's whole physical history — a
+    // re-added dropped/renamed-away name binding to the old physical
+    // column would resurrect dropped values. The identity entries for
+    // new columns land BEFORE the data (the sidecars-first
+    // crash-consistency order schema evolution already uses).
+    val (df, statsCols) = {
+      val s0 = df0.sparkSession
+      val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
+      val d0 = manifestDirOf(f0, path)
+      colMapIn(f0, d0) match {
+        case None => (df0, statsCols0)
+        case Some(m) =>
+          val stored0 = tableSchemaIn(s0, path, d0)
+          val physTaken = stored0.fieldNames.toSet ++ m.values
+          val fresh = df0.columns.filterNot(m.contains).toSeq
+          val alloc = fresh.map { n =>
+            if (!physTaken(n)) n -> n
+            else {
+              // the logical name was used before (dropped or
+              // renamed away): bind it to a FRESH physical column so
+              // the old values can never resurrect
+              var i = 1
+              while (physTaken(s"${n}__p$i")) i += 1
+              n -> s"${n}__p$i"
+            }
+          }.toMap
+          val m2 = m ++ alloc
+          if (mergeSchema && fresh.nonEmpty) writeColMap(f0, d0, m2)
+          (toPhysicalInput(df0, m2), statsCols0.map(c => m2.getOrElse(c, c)))
+      }
+    }
     require(statsCols.nonEmpty, "at least one stats column")
     commitName.foreach(n => require(
       n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !n.startsWith("part-"),
@@ -868,11 +902,14 @@ object DataSkipping {
       d.write.parquet(new Path(build, DvDir).toString))
     writeOpFile(fs, build, op, opStartMs)
     writeTxnFile(fs, dir, build, txn)
-    // CHECK constraints ride every generation forward like the txn map
-    readSidecarIn(fs, dir, ConstraintsFile).foreach { j =>
-      val out = fs.create(new Path(build, ConstraintsFile), true)
-      try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    // CHECK constraints and the column mapping ride every generation
+    // forward like the txn map
+    Seq(ConstraintsFile, ColMapFile).foreach { n =>
+      readSidecarIn(fs, dir, n).foreach { j =>
+        val out = fs.create(new Path(build, n), true)
+        try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     }
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
@@ -1173,7 +1210,7 @@ object DataSkipping {
     * maintenance ops; concurrent readers are safe at any retention
     * >= their runtime. Returns the number of rows deleted.
     */
-  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+  private[sources] def deleteWherePhys(spark: SparkSession, path: String, predicate: Column,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Long = {
@@ -1210,7 +1247,7 @@ object DataSkipping {
     * pre-update value, as in SQL UPDATE). Returns the number of rows
     * updated.
     */
-  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+  private[sources] def updateWherePhys(spark: SparkSession, path: String, predicate: Column,
       set: Map[String, Column],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
@@ -1289,7 +1326,7 @@ object DataSkipping {
     * Single-writer like all maintenance ops. Returns the number of
     * rows deleted.
     */
-  def deleteWhereDV(spark: SparkSession, path: String, predicate: Column,
+  private[sources] def deleteWhereDVPhys(spark: SparkSession, path: String, predicate: Column,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Long = {
@@ -1329,7 +1366,7 @@ object DataSkipping {
     * same vector lifecycle as [[deleteWhereDV]]. Returns the number
     * of rows updated.
     */
-  def updateWhereDV(spark: SparkSession, path: String, predicate: Column,
+  private[sources] def updateWhereDVPhys(spark: SparkSession, path: String, predicate: Column,
       set: Map[String, Column],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
@@ -1388,7 +1425,7 @@ object DataSkipping {
     * change, so update pre/post pairing does not apply). Returns
     * (target rows dropped, source rows written).
     */
-  def replaceKeyed(spark: SparkSession, path: String, source: DataFrame,
+  private[sources] def replaceKeyedPhys(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
@@ -1485,7 +1522,7 @@ object DataSkipping {
     * idempotent-writer skip as [[mergeUpsert]]. Returns the number
     * of rows deleted.
     */
-  def mergeDelete(spark: SparkSession, path: String, keys: DataFrame,
+  private[sources] def mergeDeletePhys(spark: SparkSession, path: String, keys: DataFrame,
       keyCols: Seq[String],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
@@ -1597,7 +1634,7 @@ object DataSkipping {
     * [[TxnFile]] atomically with the merged rows and is carried
     * forward by every later generation.
     */
-  def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
+  private[sources] def mergeUpsertPhys(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
@@ -1839,13 +1876,28 @@ object DataSkipping {
     * enforces on future writes.
     */
   def addCheckConstraint(spark: SparkSession, path: String, name: String,
-      exprSql: String, validate: Boolean = true): Unit = {
+      exprSql0: String, validate: Boolean = true): Unit = {
     require(name.matches("[A-Za-z0-9_][A-Za-z0-9._-]*"),
       s"constraint name '$name' must be alphanumeric/._-")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    // under a column mapping the stored expression binds to PHYSICAL
+    // names (stable across renames — enforcement on staged physical
+    // files keeps working after any rename); users write logical names
+    val exprSql = colMapIn(fs, dir) match {
+      case None => exprSql0
+      case Some(m) =>
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.sqlParser.parseExpression(exprSql0)
+          .transform {
+            case a: UnresolvedAttribute
+                if a.nameParts.size == 1 && m.contains(a.nameParts.head) =>
+              UnresolvedAttribute(Seq(m(a.nameParts.head)))
+          }.sql
+    }
     val cons = constraintsIn(fs, dir)
     require(!cons.contains(name),
       s"constraint $name already exists on $path (as: ${cons.getOrElse(name, "")})")
@@ -1872,6 +1924,295 @@ object DataSkipping {
     require(cons.contains(name), s"no CHECK constraint $name on $path " +
       s"(have: ${cons.keys.toSeq.sorted.mkString(",")})")
     writeConstraintsSidecar(spark, dir, cons.removed(name))
+  }
+
+  // -----------------------------------------------------------------
+  // Column mapping: RENAME / DROP COLUMN (the Delta column-mapping
+  // 'name'-mode analog)
+  // -----------------------------------------------------------------
+
+  /** Logical→physical column-name map (`_colmap.json`, same JSON
+    * string-map codec as `_constraints.json`). PHYSICAL names — what
+    * the data files, manifest stats, deletion vector and change data
+    * are keyed by — never change after a file is written; a RENAME
+    * changes only which logical name maps to a physical, and a DROP
+    * removes the logical entry while the physical column simply stops
+    * being projected (zero data rewritten in both cases — the whole
+    * point at 100 TB). Absent sidecar = identity mapping (the
+    * pre-mapping table every writeWithStats produces). The sidecar
+    * rides every generation forward like `_constraints.json`; RESTORE
+    * takes the TARGET version's map (a rename is schema metadata, and
+    * restore restores schema); clones carry it.
+    *
+    * Boundary semantics, pinned by ColumnMappingSpec:
+    *  - every BATCH entry point speaks LOGICAL names (read
+    *    predicates, DML predicates/SET exprs, merge sources and key
+    *    columns, append batches) and every batch read RETURNS logical
+    *    columns; pruning still happens on the physical stats.
+    *  - a dropped-then-re-added logical name binds to a FRESH
+    *    physical column, so old values can never resurrect (Delta's
+    *    drop semantics). Re-adds arrive via mergeSchema appends.
+    *  - STREAMING sources ([[graft.streaming.StatsTableSource]],
+    *    [[graft.streaming.ChangeFeedSource]]) REFUSE a non-identity
+    *    mapping loudly — Delta likewise blocks streaming reads from
+    *    renamed/dropped tables without a schema-tracking location;
+    *    serving physical names silently would be a correctness trap.
+    *  - CHECK constraints bind to PHYSICAL names (exprs given to
+    *    [[addCheckConstraint]] are translated at registration), so a
+    *    rename never breaks enforcement; dropping a constrained
+    *    column is refused until the constraint is dropped.
+    */
+  val ColMapFile = "_colmap.json"
+
+  private[sources] def colMapIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Map[String, String]] =
+    readSidecarIn(fs, dir, ColMapFile).map(constraintsFromJson)
+
+  private def writeColMap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, m: Map[String, String]): Unit = {
+    val out = fs.create(new Path(dir, ColMapFile), true)
+    try out.write(constraintsToJson(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The current logical→physical map (identity entries for every
+    * column when no rename/drop ever happened).
+    */
+  def columnMapping(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    colMapIn(fs, dir).getOrElse(
+      tableSchemaIn(spark, path, dir).fieldNames.map(n => n -> n).toMap)
+  }
+
+  /** True when a rename or drop is in effect (the logical view
+    * differs from the physical schema) — the condition under which
+    * STREAMING sources refuse the table (Delta's rule without a
+    * schema-tracking location: silently serving physical names would
+    * be a correctness trap for downstream consumers).
+    */
+  def hasNonIdentityMapping(spark: SparkSession, path: String): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    colMapIn(fs, dir).exists { m =>
+      val phys = tableSchemaIn(spark, path, dir).fieldNames.toSet
+      m.exists { case (l, p) => l != p } || (phys != m.values.toSet)
+    }
+  }
+
+  /** The user-facing schema: logical names in PHYSICAL field order
+    * (a rename keeps its column's position; a drop removes it).
+    */
+  def tableLogicalSchema(spark: SparkSession, path: String): StructType = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    logicalSchemaOf(tableSchemaIn(spark, path, dir), colMapIn(fs, dir))
+  }
+
+  private def logicalSchemaOf(phys: StructType,
+      m: Option[Map[String, String]]): StructType = m match {
+    case None => phys
+    case Some(map) =>
+      val inverse = map.map(_.swap)
+      StructType(phys.fields.flatMap(f =>
+        inverse.get(f.name).map(l => f.copy(name = l))))
+  }
+
+  /** Physical scan → logical projection (physical field order). */
+  private def toLogicalScan(df: DataFrame, phys: StructType,
+      m: Map[String, String]): DataFrame = {
+    val inverse = m.map(_.swap)
+    df.select(phys.fields.toSeq.flatMap(f =>
+      inverse.get(f.name).map(l => col(f.name).as(l))): _*)
+  }
+
+  /** Rename an input DataFrame's LOGICAL columns to physical names
+    * (columns not in the map — e.g. new columns in a mergeSchema
+    * append — pass through).
+    */
+  private def toPhysicalInput(df: DataFrame, m: Map[String, String]): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      col(c).as(m.getOrElse(c, c))): _*)
+
+  /** Translate single-part attribute references in a Column from
+    * logical to physical names (pre-analysis — the result resolves
+    * against the physical scan).
+    */
+  private def toPhysicalColumn(c: Column, m: Map[String, String]): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val e = org.apache.spark.sql.graft.ColumnBridge.expression(c)
+    val t = e.transform {
+      case a: UnresolvedAttribute
+          if a.nameParts.size == 1 && m.contains(a.nameParts.head) =>
+        UnresolvedAttribute(Seq(m(a.nameParts.head)))
+    }
+    org.apache.spark.sql.graft.ColumnBridge.column(t)
+  }
+
+  /** Column names referenced by a SQL boolean expression (used to
+    * guard drops and translate constraint registrations).
+    */
+  private def referencedNames(spark: SparkSession, exprSql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseExpression(exprSql)
+      .collect { case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        a.nameParts.head }.toSet
+  }
+
+  /** RENAME COLUMN — metadata-only (the Delta
+    * `ALTER TABLE ... RENAME COLUMN` analog under column-mapping
+    * 'name' mode): no data file, manifest row, vector or change-data
+    * byte is touched; only the logical→physical sidecar changes. The
+    * new name must be free among BOTH logical names (obviously) and
+    * physical names — logical and physical namespaces must stay
+    * disjoint outside identity entries, or input translation would be
+    * ambiguous.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Unit = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name '$newName'")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
+      s"$path is not a stats table with a schema sidecar")
+    val phys = tableSchemaIn(spark, path, dir)
+    val m = colMapIn(fs, dir).getOrElse(
+      phys.fieldNames.map(n => n -> n).toMap)
+    require(m.contains(oldName),
+      s"no column $oldName on $path (have: ${m.keys.toSeq.sorted.mkString(",")})")
+    require(!m.contains(newName), s"column $newName already exists on $path")
+    require(m(oldName) == newName || !phys.fieldNames.contains(newName),
+      s"$newName collides with a physical column name of $path — " +
+        "pick a name never used by this table")
+    writeColMap(fs, dir, m.removed(oldName).updated(newName, m(oldName)))
+  }
+
+  /** DROP COLUMN — metadata-only: the physical column stays in every
+    * file (and its stats in the manifest, harmless) but stops being
+    * projected, immediately and for O(1) cost. A later mergeSchema
+    * append may re-add the same LOGICAL name — it binds to a FRESH
+    * physical column, so the dropped values never resurrect.
+    * Refused while a CHECK constraint references the column (drop the
+    * constraint first — Delta's rule).
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
+      s"$path is not a stats table with a schema sidecar")
+    val phys = tableSchemaIn(spark, path, dir)
+    val m = colMapIn(fs, dir).getOrElse(
+      phys.fieldNames.map(n => n -> n).toMap)
+    require(m.contains(name),
+      s"no column $name on $path (have: ${m.keys.toSeq.sorted.mkString(",")})")
+    require(m.size > 1, s"cannot drop the last column of $path")
+    val physName = m(name)
+    constraintsIn(fs, dir).foreach { case (cn, expr) =>
+      require(!referencedNames(spark, expr).contains(physName),
+        s"cannot drop column $name: CHECK constraint $cn ($expr) references " +
+          "it — drop the constraint first")
+    }
+    writeColMap(fs, dir, m.removed(name))
+  }
+
+  // --- DML entry points under the mapping: LOGICAL names in, the
+  // physical implementations (`...Phys`) below them unchanged ---
+
+  private def mapPred(spark: SparkSession, path: String, c: Column): Column =
+    currentMap(spark, path) match {
+      case None => c
+      case Some(m) =>
+        // resolve against the LOGICAL schema first so a renamed-away
+        // or dropped name fails with the standard unresolved-column
+        // error instead of silently binding to the physical column
+        val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dir = manifestDirOf(fs, path)
+        resolvedCondition(spark,
+          logicalSchemaOf(tableSchemaIn(spark, path, dir), Some(m)), c)
+        toPhysicalColumn(c, m)
+    }
+
+  private def mapSet(spark: SparkSession, path: String,
+      set: Map[String, Column]): Map[String, Column] =
+    currentMap(spark, path).fold(set)(m =>
+      set.map { case (k, v) => m.getOrElse(k, k) -> toPhysicalColumn(v, m) })
+
+  private def mapDfCols(spark: SparkSession, path: String,
+      df: DataFrame, keyCols: Seq[String]): (DataFrame, Seq[String]) =
+    currentMap(spark, path).fold((df, keyCols))(m =>
+      (toPhysicalInput(df, m), keyCols.map(k => m.getOrElse(k, k))))
+
+  /** Row-level DELETE (copy-on-write); see [[deleteWherePhys]]. */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+    deleteWherePhys(spark, path, mapPred(spark, path, predicate),
+      vacuum, retentionMs, markerRetentionMs)
+
+  /** Row-level UPDATE (copy-on-write); see [[updateWherePhys]]. */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+    updateWherePhys(spark, path, mapPred(spark, path, predicate),
+      mapSet(spark, path, set), vacuum, retentionMs, markerRetentionMs)
+
+  /** Merge-on-read DELETE (deletion vector); see [[deleteWhereDVPhys]]. */
+  def deleteWhereDV(spark: SparkSession, path: String, predicate: Column,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+    deleteWhereDVPhys(spark, path, mapPred(spark, path, predicate),
+      vacuum, retentionMs, markerRetentionMs)
+
+  /** Merge-on-read UPDATE (deletion vector); see [[updateWhereDVPhys]]. */
+  def updateWhereDV(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+    updateWhereDVPhys(spark, path, mapPred(spark, path, predicate),
+      mapSet(spark, path, set), vacuum, retentionMs, markerRetentionMs)
+
+  /** Atomic keyed replace; see [[replaceKeyedPhys]]. */
+  def replaceKeyed(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
+    val (src, keys) = mapDfCols(spark, path, source, keyCols)
+    replaceKeyedPhys(spark, path, src, keys, vacuum, retentionMs,
+      markerRetentionMs, txn)
+  }
+
+  /** Keyed MERGE DELETE arm; see [[mergeDeletePhys]]. */
+  def mergeDelete(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): Long = {
+    val (src, kc) = mapDfCols(spark, path, keys, keyCols)
+    mergeDeletePhys(spark, path, src, kc, vacuum, retentionMs,
+      markerRetentionMs, txn)
+  }
+
+  /** Keyed MERGE upsert; see [[mergeUpsertPhys]]. */
+  def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): (Long, Long) = {
+    val (src, keys) = mapDfCols(spark, path, source, keyCols)
+    mergeUpsertPhys(spark, path, src, keys, vacuum, retentionMs,
+      markerRetentionMs, txn)
   }
 
   /** Live violation counts per constraint, `(constraint, violations)`
@@ -2112,7 +2453,9 @@ object DataSkipping {
         s"${have.mkString("[", ",", "]")}) — superseded generations are " +
         "vacuumed retentionMs after replacement; raise the retention to " +
         "time-travel further back")
-    readSkippingIn(spark, path, s"$path/$StatsDir/v$version", predicate)
+    // time travel reads under the VERSION'S OWN column mapping — a
+    // read at a pre-rename version shows the names of that time
+    readSkippingMapped(spark, path, s"$path/$StatsDir/v$version", predicate)
   }
 
   /** The table's CHANGE DATA FEED over committed versions
@@ -2167,14 +2510,27 @@ object DataSkipping {
           .withColumn(CommitVersionCol, lit(v)))
       }
     }
-    if (frames.isEmpty) {
-      val empty = StructType(tableSchema(spark, path).fields ++ Seq(
-        StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType),
-        StructField(CommitVersionCol, org.apache.spark.sql.types.LongType,
-          nullable = false)))
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
+    val raw =
+      if (frames.isEmpty) {
+        val empty = StructType(tableSchema(spark, path).fields ++ Seq(
+          StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType),
+          StructField(CommitVersionCol, org.apache.spark.sql.types.LongType,
+            nullable = false)))
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), empty)
+      }
+      else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    // change files are keyed by stable PHYSICAL names (which is what
+    // lets the feed span renames); consumers see the CURRENT logical
+    // view, like a Delta CDF read under column mapping
+    colMapIn(fs, manifestDirOf(fs, path)) match {
+      case None => raw
+      case Some(m) =>
+        val phys = tableSchemaIn(spark, path, manifestDirOf(fs, path))
+        val inverse = m.map(_.swap)
+        raw.select(phys.fields.toSeq.flatMap(f =>
+          inverse.get(f.name).map(l => col(f.name).as(l))) ++
+          Seq(col(ChangeTypeCol), col(CommitVersionCol)): _*)
     }
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Resolve a wall-clock instant to a table version — the Delta
@@ -2291,7 +2647,7 @@ object DataSkipping {
     // the removal log (the clone must never re-delete source state),
     // NOT the op record (the clone's history starts at CLONE)
     Seq(SchemaFile, StatsColsFile, FeaturesFile, ManifestSchemaFile,
-      ConstraintsFile).foreach { n =>
+      ConstraintsFile, ColMapFile).foreach { n =>
       val p = new Path(srcDir, n)
       if (fs.exists(p))
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(build, n),
@@ -2501,6 +2857,14 @@ object DataSkipping {
       try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    // the column mapping is SCHEMA metadata and follows the TARGET
+    // version like the schema sidecar does — restoring past a rename
+    // restores the old logical names
+    readSidecarIn(fs, vDir, ColMapFile).foreach { j =>
+      val out = fs.create(new Path(build, ColMapFile), true)
+      try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val markerCutoff = opStart - markerRetentionMs
     val currentOnly = fs.listStatus(new Path(dir)).toSeq
       .filter { f =>
@@ -2602,7 +2966,8 @@ object DataSkipping {
   def prunedFiles(
       spark: SparkSession, path: String,
       predicate: Column): (Seq[String], Seq[String]) = {
-    val (stats, _, skip) = planSkip(spark, path, manifestDir(spark, path), predicate)
+    val (stats, _, skip) = planSkip(spark, path, manifestDir(spark, path),
+      mapPred(spark, path, predicate))
     val all = stats.select("file").collect().map(_.getString(0)).toSeq
     val kept = stats.filter(skip).select("file").collect().map(_.getString(0)).toSeq
     (kept, all)
@@ -2626,7 +2991,27 @@ object DataSkipping {
     * file_size/mod_time columns) fall back to a path-list read.
     */
   def readSkipping(spark: SparkSession, path: String, predicate: Column): DataFrame =
-    readSkippingIn(spark, path, manifestDir(spark, path), predicate)
+    readSkippingMapped(spark, path, manifestDir(spark, path), predicate)
+
+  /** [[readSkippingIn]] behind the column mapping: the predicate
+    * arrives in LOGICAL names, pruning and scanning run on PHYSICAL
+    * names, and the result projects back to logical. Identity (no
+    * sidecar) short-circuits to the plain path.
+    */
+  private def readSkippingMapped(spark: SparkSession, path: String,
+      dir: String, predicate: Column): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    colMapIn(fs, dir) match {
+      case None => readSkippingIn(spark, path, dir, predicate)
+      case Some(m) =>
+        val phys = tableSchemaIn(spark, path, dir)
+        // loud on renamed-away/dropped names (see mapPred)
+        resolvedCondition(spark, logicalSchemaOf(phys, Some(m)), predicate)
+        toLogicalScan(
+          readSkippingIn(spark, path, dir, toPhysicalColumn(predicate, m)),
+          phys, m)
+    }
+  }
 
   /** METADATA-ONLY `COUNT(*) WHERE predicate` (the Delta/Photon
     * metadata-count optimization): every file is classified from its
@@ -2643,9 +3028,17 @@ object DataSkipping {
     * `readSkipping(...).filter(predicate).count()`; only the bytes
     * read differ.
     */
+  /** Current-mapping predicate/name translation for the metadata
+    * aggregates (identity when no mapping exists).
+    */
+  private def currentMap(spark: SparkSession, path: String): Option[Map[String, String]] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    colMapIn(fs, manifestDirOf(fs, path))
+  }
+
   def countWhere(spark: SparkSession, path: String,
       predicate: Column): Long =
-    countWhereDetail(spark, path, predicate)._1
+    countWhereDetail(spark, path, mapPred(spark, path, predicate))._1
 
   /** Metadata-only `MIN(column), MAX(column) WHERE predicate` — the
     * aggregate-pushdown companion of [[countWhere]]: ALL-match files
@@ -2661,7 +3054,10 @@ object DataSkipping {
     */
   def minMaxWhere(spark: SparkSession, path: String, column: String,
       predicate: Column): (Option[Any], Option[Any]) = {
-    minMaxWhereDetail(spark, path, column, predicate)._1
+    val m = currentMap(spark, path)
+    minMaxWhereDetail(spark, path,
+      m.flatMap(_.get(column)).getOrElse(column),
+      mapPred(spark, path, predicate))._1
   }
 
   /** ((min, max), scanned files) — detail behind [[minMaxWhere]];
@@ -3011,11 +3407,13 @@ object DataSkipping {
     * Tracked stats switch to `zCols` (they are what the new layout
     * prunes on). Returns the number of files written.
     */
-  def zorderTable(spark: SparkSession, path: String, zCols: Seq[String],
+  def zorderTable(spark: SparkSession, path: String, zCols0: Seq[String],
       targetFiles: Int,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Int = {
+    val zCols = currentMap(spark, path).fold(zCols0)(m =>
+      zCols0.map(c => m.getOrElse(c, c)))
     require(zCols.size >= 2 && zCols.size <= 4, "z-order supports 2-4 columns")
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val opStart = System.currentTimeMillis()

@@ -97,7 +97,9 @@ private[sources] class GraftRelation(spark: SparkSession, path: String)
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType = DataSkipping.tableSchema(spark, path)
+  // the LOGICAL view: renames/drops apply; filters arrive in logical
+  // names and readSkipping translates them for pruning
+  override val schema: StructType = DataSkipping.tableLogicalSchema(spark, path)
 
   // rows come back as the inner DataFrame's InternalRows — no
   // Row conversion layer on top of an already-planned scan

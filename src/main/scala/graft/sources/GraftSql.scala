@@ -59,6 +59,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
   private val DropConstraint =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val RenameCol =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+  private val DropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
 
   /** The graft statement grammar: Some(command plan) when `sqlText`
     * is a maintenance statement, None to mean "not ours" (the caller
@@ -78,6 +82,10 @@ object GraftSql {
       Some(AddConstraintGraftCommand(path, name, expr.trim))
     case DropConstraint(path, name) =>
       Some(DropConstraintGraftCommand(path, name))
+    case RenameCol(path, from, to) =>
+      Some(RenameColumnGraftCommand(path, from, to))
+    case DropCol(path, name) =>
+      Some(DropColumnGraftCommand(path, name))
     case _ => None
   }
 
@@ -222,6 +230,38 @@ case class DropConstraintGraftCommand(path: String, name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     DataSkipping.dropCheckConstraint(spark, path, name)
     Seq(Row(path, name))
+  }
+}
+
+/** `ALTER TABLE '<path>' RENAME COLUMN a TO b` →
+  * [[DataSkipping.renameColumn]] (metadata-only, zero data rewritten).
+  */
+case class RenameColumnGraftCommand(path: String, from: String, to: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.renameColumn(spark, path, from, to)
+    Seq(Row(path, to))
+  }
+}
+
+/** `ALTER TABLE '<path>' DROP COLUMN c` →
+  * [[DataSkipping.dropColumn]] (metadata-only).
+  */
+case class DropColumnGraftCommand(path: String, column: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.dropColumn(spark, path, column)
+    Seq(Row(path, column))
   }
 }
 

@@ -101,6 +101,13 @@ final class ChangeFeedSource(
     s"$path has no change data feed — create with writeWithStats(" +
       "changeFeed = true) or call enableChangeFeed first")
 
+  // same rule as StatsTableSource: a renamed/dropped table is refused
+  // rather than silently streamed under physical names
+  require(!DataSkipping.hasNonIdentityMapping(spark, path),
+    s"$path has renamed or dropped columns (column mapping) — streaming " +
+      "the change feed of a mapped table is not supported; use the batch " +
+      "readChangeFeed, which serves the current logical view")
+
   override val schema: StructType = StructType(
     DataSkipping.tableSchema(spark, path).fields ++ Seq(
       StructField(DataSkipping.ChangeTypeCol, StringType),

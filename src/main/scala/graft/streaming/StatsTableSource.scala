@@ -121,6 +121,15 @@ final class StatsTableSource(
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // renamed/dropped tables are refused (Delta's rule for streaming
+  // reads without a schema-tracking location): batches are served
+  // under physical names, and silently diverging from the table's
+  // logical view would be a correctness trap
+  require(!DataSkipping.hasNonIdentityMapping(spark, path),
+    s"$path has renamed or dropped columns (column mapping) — streaming " +
+      "reads of a mapped table are not supported; read it as a batch " +
+      "(readSkipping / format(\"graft\"))")
+
   override val schema: StructType = DataSkipping.tableSchema(spark, path)
 
   /** Marker names currently committed (manifest files that are not
