@@ -1756,6 +1756,89 @@ object Queries {
             WHERE shared >= 1
             ORDER BY id_a, id_b"""))
 
+  // Exact substring EXCISION (row 21c, Lee et al. ExactSubstr): the
+  // duplicated spans are CUT OUT of later documents instead of the
+  // documents being dropped. Planted docs carry a 30-token prefix
+  // copied from a smaller-id corpus doc plus a unique suffix — the
+  // prefix must excise in full (every token sits inside a duplicated
+  // 20-gram window) while the suffix survives verbatim. The oracle
+  // replays the whole decision procedure in SQL: positional tokens,
+  // positional 20-grams, global first-occurrence election (min
+  // (id, pos), row_number), window cover, ordered reassembly — any
+  // drift in the election order, the cover arithmetic, or the
+  // reassembly is a hash mismatch on the rebuilt text itself.
+  val exciseSpans = QueryDef(
+    "q_excise_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toksC = split(trim(lower(col("text"))), "\\s+")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toksC, 1, 30)).as("prefix"))
+        .join(docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+          .select((col("doc_id") - 300).as("doc_id"), col("text").as("suffix")),
+          Seq("doc_id"))
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("prefix"), lit(" "), col("suffix")).as("text"))
+      val corpus = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .union(planted)
+      Dedup.exciseSpans(corpus, "doc_id", "text", n = 20)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT a.doc_id + 100000,
+                array_to_string(string_split_regex(trim(lower(a.text)), '\s+')[1:30], ' ')
+                  || ' ' || b.text
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 300
+              WHERE a.doc_id < 20
+            ), tk AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+              FROM corpus
+            ), toks AS (
+              SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                  i -> {'pos': i - 1, 'tok': ts[i]})) AS u
+                FROM tk)
+            ), occ AS (
+              SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+                SELECT doc_id, unnest(CASE WHEN len(ts) < 20
+                    THEN CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[])
+                    ELSE list_transform(range(1, len(ts) - 18),
+                      i -> {'pos': i - 1, 'g': array_to_string(ts[i:i+19], ' ')})
+                  END) AS u
+                FROM tk)
+            ), winners AS (
+              SELECT g, doc_id AS wid, pos AS wpos FROM (
+                SELECT g, doc_id, pos,
+                  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                FROM occ) WHERE rn = 1
+            ), covered AS (
+              SELECT DISTINCT o.doc_id, o.pos + d.i AS tp
+              FROM occ o
+              JOIN winners w ON o.g = w.g
+                AND (o.doc_id <> w.wid OR o.pos <> w.wpos),
+                (SELECT unnest(range(0, 20)) AS i) d
+            ), kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM toks t LEFT JOIN covered c
+                ON t.doc_id = c.doc_id AND t.pos = c.tp
+              WHERE c.doc_id IS NULL
+            )
+            SELECT c.doc_id,
+              coalesce(k.text, '') AS text,
+              coalesce(nt.n_tokens, 0) AS n_tokens,
+              coalesce(nt.n_tokens, 0) - coalesce(k.n_kept, 0) AS n_excised
+            FROM corpus c
+            LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                         array_to_string(list(tok ORDER BY pos), ' ') AS text
+                       FROM kept GROUP BY doc_id) k ON k.doc_id = c.doc_id
+            LEFT JOIN (SELECT doc_id, count(*) AS n_tokens
+                       FROM toks GROUP BY doc_id) nt ON nt.doc_id = c.doc_id
+            ORDER BY c.doc_id"""))
+
   // Canonical-form exact dedup: normalization (lowercase, strip
   // punctuation, collapse whitespace) merges documents that differ
   // only in case/punct/spacing. Non-vacuous by construction: 50
@@ -3784,7 +3867,7 @@ object Queries {
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
     dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
-    sharedSpans, minhashPairs,
+    sharedSpans, exciseSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,

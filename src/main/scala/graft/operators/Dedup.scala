@@ -477,6 +477,82 @@ object Dedup {
       .filter(col("shared") >= minShared)
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
 
+  /** EXACT SUBSTRING EXCISION (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+    * pass): instead of dropping whole near-duplicate documents, CUT
+    * the duplicated spans out of every document except the first
+    * occurrence. A long document sharing one boilerplate paragraph
+    * with a thousand pages keeps everything but that paragraph — the
+    * case where document-level dedup either over-deletes (drops the
+    * doc) or under-deletes (keeps the duplicated span in all 1,000).
+    *
+    * Decision procedure (what the oracle replays): tokens =
+    * whitespace-split of trim(lower(text)) (the [[sharedSpanPairs]]
+    * normalization — output text is re-joined with single spaces);
+    * every n-token window is an occurrence of its gram; per DISTINCT
+    * gram the GLOBAL first occurrence (min (id, pos) lexicographic)
+    * is the original and every other occurrence is a duplicate;
+    * every token position covered by any duplicate occurrence's
+    * [pos, pos+n) window is excised; remaining tokens re-join in
+    * order. The reference uses suffix arrays for spans >= 50 tokens;
+    * an n-gram cover marks exactly the same positions for any shared
+    * span of length >= n (every duplicated position sits inside a
+    * duplicated n-window), with the gram election replacing the
+    * suffix-array scan — the Spark-native shape of the same
+    * semantics. Within-document repeats count too (the second copy
+    * of a chorus excises), matching the reference.
+    *
+    * Returns (idCol, text, n_tokens, n_excised) for EVERY input doc
+    * (a fully-duplicated doc comes back with empty text, visible).
+    *
+    * Scale: three shuffles, all partial-aggregated, none carrying
+    * text — (1) the gram election groups on an 8-byte xxhash64 key
+    * (`hashKeys = false` restores full-string keys, DedupSpec pins
+    * equality) with `min(struct(id, pos))` (one shuffle, no window);
+    * (2) covered-position distinct on (id, tokpos) longs; (3)
+    * per-doc reassembly. A mega-frequent gram costs one partial-agg
+    * cell per task, never a window sort; the cover explode is
+    * n x duplicate-occurrences, bounded by input tokens x n.
+    */
+  def exciseSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, hashKeys: Boolean = true,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    require(n >= 2, "span excision needs n >= 2")
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("__pos", "__t")))
+    // occurrences: gram at __pos covers tokens [__pos, __pos + n)
+    val occ = scope.cache(docs.select(col(idCol).as("__id"),
+        posexplode(TextFunctions.wordNgrams(col(textCol), n)).as(Seq("__pos", "__g"))))
+    val key: Column => Column = if (hashKeys) xxhash64(_) else identity
+    val winners = occ.groupBy(key(col("__g")).as("__gk"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__gk"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
+    val duplicates = occ.join(winners, key(col("__g")) === col("__gk"))
+      .filter(col("__id") =!= col("__wid") || col("__pos") =!= col("__wpos"))
+      .select(col("__id"), col("__pos"))
+    val covered = duplicates
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tp"))
+      .distinct()
+    val kept = toks.join(covered,
+        toks("__id") === covered("__id") && toks("__pos") === covered("__tp"),
+        "left_anti")
+    val reassembled = kept.groupBy(col("__id")).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__t")))),
+        s => s.getField("__t")), " ").as("text"))
+    val counts = toks.groupBy(col("__id")).agg(count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol).as("__id"))
+      .join(counts, Seq("__id"), "left")
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_excised"))
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance: pairs of
     * documents whose 64-bit simhashes differ in at most `maxHamming`
     * bits.

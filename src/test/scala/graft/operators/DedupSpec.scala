@@ -603,4 +603,86 @@ class DedupSpec extends SparkSpec {
         s"component $c kept $keeper, expected least-prototypical $expected")
     }
   }
+
+  // --- exact substring excision (Lee et al. ExactSubstr) ---
+
+  private def excised(rows: Seq[(Long, String)], n: Int,
+      hashKeys: Boolean = true): Map[Long, (String, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Dedup.exciseSpans(rows.toDF("id", "text"), "id", "text", n = n,
+        hashKeys = hashKeys)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("excision cuts the shared span from the LATER doc only; the first occurrence keeps it") {
+    val out = excised(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y b c d z")), n = 3)
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))
+    // doc 2's "b c d" window duplicates doc 1's pos-1 gram: tokens
+    // 2..4 excised, the unique flanks survive
+    assert(out(2L) == (("x y z", 6L, 3L)))
+  }
+
+  test("excision catches WITHIN-document repeats and leaves unique docs untouched") {
+    val out = excised(Seq(
+      (1L, "p q r s p q r s"),
+      (2L, "totally unrelated filler words here")), n = 4)
+    // the second chorus copy (pos 4 window) is a duplicate of pos 0
+    assert(out(1L) == (("p q r s", 8L, 4L)))
+    assert(out(2L) == (("totally unrelated filler words here", 5L, 0L)))
+  }
+
+  test("a fully-duplicated doc excises to empty, visibly") {
+    val out = excised(Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six")), n = 3)
+    assert(out(1L)._1 == "one two three four five six")
+    assert(out(2L) == (("", 6L, 6L)))
+  }
+
+  test("smaller (id, pos) wins the gram election — order independence of input") {
+    // same corpus in both input orders must produce the same result
+    val a = excised(Seq((5L, "k l m n o"), (9L, "z k l m n")), n = 3)
+    val b = excised(Seq((9L, "z k l m n"), (5L, "k l m n o")), n = 3)
+    assert(a == b)
+    // doc 5 wins "k l m" (id 5 < 9); doc 9's occurrence at pos 1 and
+    // "l m n" at pos 2 excise tokens 1..4, leaving only "z"
+    assert(a(9L) == (("z", 5L, 4L)))
+  }
+
+  test("hashed gram keys produce the identical excision as string keys on real docs") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // plant a copy that shares a 25-token prefix with doc 0
+    val prefix = docs.head._2.toLowerCase.trim.split("\\s+").take(25).mkString(" ")
+    val planted = (999999L, prefix + " entirely fresh suffix content")
+    val withPlant = docs :+ planted
+    val viaHash = excised(withPlant, n = 20, hashKeys = true)
+    val viaString = excised(withPlant, n = 20, hashKeys = false)
+    assert(viaHash == viaString)
+    // the planted prefix (>= 20 tokens, so fully window-covered) must
+    // have been excised in its entirety — and nothing else
+    val prefixLen = prefix.split(" ").length
+    assert(prefixLen >= 20, s"prefix only $prefixLen tokens")
+    assert(viaHash(999999L)._3 == prefixLen.toLong, viaHash(999999L).toString)
+    assert(viaHash(999999L)._1 == "entirely fresh suffix content")
+  }
+
+  test("excision plan: gram election is a partial-aggregated shuffle, no Window, no cartesian") {
+    val s = spark
+    import s.implicits._
+    val df = Dedup.exciseSpans(
+      Seq((1L, "a b c d"), (2L, "b c d e")).toDF("id", "text"),
+      "id", "text", n = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_finalmerge_min")
+      || plan.toLowerCase.contains("partial"), plan)
+  }
 }
