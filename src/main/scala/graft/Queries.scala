@@ -2271,6 +2271,94 @@ object Queries {
           FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // IVF-PQ (row 24e): the coarse quantizer prunes to nProbe=2 of 8
+  // cells AND scanned rows are 8-int PQ codes scored by ADC — both
+  // serving-index levers composed. The oracle replays BOTH decision
+  // procedures: cell assignment/probe ranking in the NearestCentroids
+  // order (dot x 1/||c||, ties to the larger cell id — the
+  // q_semantic_dedup arithmetic) and the PQ codes + flattened-
+  // reconstruction ADC (the q_ann_pq arithmetic), so the gate checks
+  // the composition's defined semantics end to end. Recall and the
+  // nProbe=nCenters == pqTopK identity are SimilaritySpec's job.
+  private val ivfPqCoarseSeeds = Seq(23L, 87L, 151L, 215L, 279L, 343L, 407L, 471L)
+  val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 10), annPlantedCorpus(s, d), "vec_id", "embedding",
+          k = 5, nCenters = 8, nProbe = 2, m = 8, ksub = 16,
+          coarseSeedIds = Some(ivfPqCoarseSeeds), pqSeedIds = Some(pqSeedIds))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH aug AS (
+          ${plantedSql("", "WHERE vec_id < 10", 5, 100000L, 0.005)}
+        ), cent AS (
+          SELECT s.cid, a.embedding AS cvec,
+            1.0 / sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+              (u, v) -> u + v)) AS cinv
+          FROM (VALUES ${ivfPqCoarseSeeds.zipWithIndex
+            .map { case (id, c) => s"($c, $id)" }.mkString(", ")}) AS s(cid, sid)
+          JOIN aug a ON a.vec_id = s.sid
+        ), assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT x.vec_id, c.cid,
+              row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+                  (u, v) -> u + v) * c.cinv DESC, c.cid DESC) AS rn
+            FROM aug x, cent c) WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT q.vec_id, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+                  (u, v) -> u + v) * c.cinv DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM aug WHERE vec_id < 10) q, cent c) WHERE rn <= 2
+        ), seeds(code, sid) AS (
+          VALUES ${pqSeedIds.zipWithIndex.map { case (id, c) => s"($c, $id)" }.mkString(", ")}
+        ), cw AS (
+          SELECT s.code, a.embedding FROM seeds s JOIN aug a ON a.vec_id = s.sid
+        ), dist AS (
+          SELECT x.vec_id, j.j, c.code,
+            list_reduce(list_transform(range(1, 9),
+              i -> (CAST(x.embedding[j.j * 8 + i] AS DOUBLE) - CAST(c.embedding[j.j * 8 + i] AS DOUBLE))
+                 * (CAST(x.embedding[j.j * 8 + i] AS DOUBLE) - CAST(c.embedding[j.j * 8 + i] AS DOUBLE))),
+              (u, v) -> u + v) AS d2
+          FROM aug x, (SELECT unnest(range(0, 8)) AS j) j, cw c
+        ), codes AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ), recon AS (
+          SELECT codes.vec_id,
+            flatten(list(list_transform(range(1, 9),
+              i -> CAST(c.embedding[codes.j * 8 + i] AS DOUBLE)) ORDER BY codes.j)) AS rvec
+          FROM codes JOIN cw c ON c.code = codes.code
+          GROUP BY codes.vec_id
+        ), q AS (
+          SELECT vec_id, embedding FROM aug WHERE vec_id < 10
+        ), scored AS (
+          SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]), (u, v) -> u + v) AS score
+          FROM q
+          JOIN probes p ON p.qid = q.vec_id
+          JOIN assign a2 ON a2.cid = p.cid
+          JOIN recon r ON r.vec_id = a2.vec_id
+          WHERE r.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // Duplicate-cluster components over the near-dup pair graph: with
   // TWO planted copies per source, pairs chain (source~copy1,
   // source~copy2, copy1~copy2) and the representative of each
@@ -3869,7 +3957,7 @@ object Queries {
     dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,

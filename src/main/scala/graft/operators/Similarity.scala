@@ -447,6 +447,68 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Coarse centroids pinned to explicit corpus rows (oracle-
+    * replayable, the [[graft.operators.Dedup.semanticDedup]] seed
+    * mechanism) or the xxhash64-order [[ivfCentroids]] sample.
+    */
+  def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int, seedIds: Option[Seq[Long]],
+      lloydRounds: Int = 0): Array[Array[Float]] = seedIds match {
+    case Some(ids) =>
+      require(ids.size == nCenters,
+        s"seedIds must have exactly nCenters=$nCenters entries")
+      val byId = corpus.filter(col(idCol).isin(ids: _*))
+        .select(col(idCol).cast("long"), col(vecCol)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      ids.map(i => byId.getOrElse(i,
+        throw new IllegalArgumentException(s"seed id $i not in corpus"))).toArray
+    case None =>
+      ivfCentroids(corpus, idCol, vecCol, nCenters, lloydRounds)
+  }
+
+  /** IVF-PQ (Jégou et al. 2011, the FAISS `IVFx,PQy` shape without
+    * residual coding — raw-vector PQ inside Voronoi cells, the
+    * documented simplification): the coarse quantizer prunes the
+    * scan to the query's `nProbe` cells AND the scanned rows are
+    * m-int PQ codes scored by ADC — the two memory/compute levers of
+    * a billion-vector serving index composed. At nCenters cells and
+    * m-byte codes a query touches ~(nProbe/nCenters) x (m/4d) of the
+    * float-corpus bytes an exhaustive float scan would read.
+    *
+    * With `nProbe = nCenters` the result equals [[pqTopK]] exactly
+    * (every cell probed — the coarse layer is pure pruning), which
+    * is the machinery check in SimilaritySpec. Cell assignment and
+    * probe ranking are the codegen'd [[graft.plans.NearestCentroids]]
+    * order (dot x 1/||c||, ties to the larger cell id); both
+    * centroid sets pin to seed rows for oracle replay.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCenters: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16,
+      coarseSeedIds: Option[Seq[Long]] = None,
+      pqSeedIds: Option[Seq[Long]] = None,
+      lloydRounds: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCenters, "1 <= nProbe <= nCenters")
+    val centroids = seedCentroids(corpus, idCol, vecCol, nCenters,
+      coarseSeedIds, lloydRounds)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, pqSeedIds, lloydRounds)
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      nearestCentroidId(col(vecCol), centroids).as("cid"),
+      pqEncodeCol(col(vecCol), books).as("__codes"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("cid",
+        explode(VectorExpressions.nearestCentroids(col("__qvec"), centroids, nProbe)))
+    val scored = coded.join(broadcast(probes), Seq("cid"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcCol(col("__qvec"), col("__codes"), books).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.StructType
   * `readSkipping(...).createTempView` cannot have.
   */
 class GraftSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -90,6 +91,75 @@ class GraftSourceProvider extends RelationProvider
     }
     new GraftRelation(spark, path)
   }
+
+  /** `df.writeStream.format("graft").option("statsCols", "a,b")
+    * .option("checkpointLocation", ck).start(path)` — the streaming
+    * WRITE side (the `writeStream.format("delta")` analog), closing
+    * the stream-in/stream-out loop around the stats-table format:
+    * each micro-batch appends through
+    * [[DataSkipping.appendWithStats]] under a NAMED commit marker
+    * `commit-<writerId>-batch<id>`, so foreachBatch-style replays
+    * are exactly-once to manifest readers (the
+    * [[graft.streaming.StatsTableSink]] semantics behind the
+    * standard API). The writer identity is a hash of the qualified
+    * checkpoint location (stable across restarts, distinct between
+    * streams into one table) or an explicit `writerId` option. A
+    * fresh target bootstraps from the first batch's schema
+    * (`statsCols` required); an existing table takes its tracked
+    * set. Append output mode only — a stats table has no
+    * complete/update semantics.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"format(\"graft\") streaming writes support Append mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "format(\"graft\") streaming writes do not take partitionBy — file " +
+        "layout is the table's own concern (compactTable / zorderTable)")
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters), parameters)
+  }
+}
+
+private[sources] class GraftStreamSink(spark: SparkSession, path: String,
+    parameters: Map[String, String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val writerId: String = parameters.get("writerId").getOrElse {
+    val ck = parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft streaming sink needs .option(\"checkpointLocation\", ...) (or an " +
+          "explicit writerId option) — the writer identity that keeps replayed " +
+          "batches exactly-once is derived from it"))
+    val p = new Path(ck)
+    val qualified = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.DatasetBridge.asBatch(data)
+    graft.streaming.StatsTableSink.ensureTable(spark, path, batch.schema,
+      statsColsOf(batch))
+    DataSkipping.appendWithStats(batch, path, statsColsOf(batch),
+      commitName = Some(s"commit-$writerId-batch$batchId"))
+  }
+
+  private def statsColsOf(batch: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(DataSkipping.manifestDir(spark, path),
+      DataSkipping.SchemaFile))
+    val opt = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    if (exists) opt.getOrElse(DataSkipping.tableStatsCols(spark, path))
+    else opt.getOrElse(throw new IllegalArgumentException(
+      "a fresh graft streaming target needs .option(\"statsCols\", \"c1,c2\")"))
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
 }
 
 private[sources] class GraftRelation(spark: SparkSession, path: String)

@@ -12,6 +12,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * pre-analysis expression tree of a `Column` and a way back.
   * Nothing else in the engine touches non-public Spark API.
   */
+/** Bridge for streaming `Sink.addBatch` implementations: re-root the
+  * micro-batch DataFrame onto its already-planned RDD as a
+  * NON-streaming plan — the exact pattern Spark's own
+  * `ForeachBatchSink` (and Delta's sink) use, because handing the
+  * incremental plan to a batch writer would fail analysis
+  * ("streaming sources must be executed with writeStream.start()").
+  */
+object DatasetBridge {
+  def asBatch(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, node)
+  }
+}
+
 object ColumnBridge {
   /** The FULLY-CONVERTED catalyst expression tree of a Column (a
     * plain `ExpressionUtils.expression` returns a lazy

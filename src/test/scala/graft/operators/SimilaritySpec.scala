@@ -369,6 +369,35 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("graft_pq_adc"), p)
   }
 
+  test("ivfPqTopK with nProbe == nCenters reproduces pqTopK exactly; pruned probes keep planted recall") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = Similarity.plantNearDuplicates(emb, "vec_id", "embedding",
+      col("vec_id") < 20, copies = 3, idOffset = 100000L, scaleStep = 0.005)
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // full probe: the coarse layer prunes nothing, result == pure PQ
+    val full = rows(Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, nCenters = 8, nProbe = 8, m = 8, ksub = 32))
+    val pure = rows(Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 32))
+    assert(full == pure)
+    // pruned probes: planted copies live in the query's own cell(s)
+    val pruned = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, nCenters = 8, nProbe = 2, m = 8, ksub = 32)
+    val got = pruned.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).flatMap(q =>
+      (1 to 3).map(c => (q, q + 100000L * c))).toSet
+    val recall = planted.intersect(got).size.toDouble / planted.size
+    assert(recall >= 0.85, s"ivf-pq recall $recall")
+    // both codegen'd layers present: coarse assignment + ADC scoring
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("graft_nearest_centroids"), p)
+    assert(p.contains("graft_pq_adc"), p)
+  }
+
   test("lloyd refinement does not worsen PQ reconstruction error") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val vecs = emb.filter(col("vec_id") < 200).collect()

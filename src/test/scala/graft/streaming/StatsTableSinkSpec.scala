@@ -230,4 +230,63 @@ class StatsTableSinkSpec extends SparkSpec {
     }
     assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 50)
   }
+
+  test("writeStream.format(graft): the standard streaming write API drains, replays exactly-once, prunes") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("gsink_src")
+    val table = tmpDir("gsink_tbl") + "/t"
+    val ckpt = tmpDir("gsink_ckpt")
+
+    (0L until 400L).map(i => (i, i * 3)).toDF("id", "v")
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    val q1 = FileIngest.stream(s, srcDir, schema, format = "parquet")
+      .writeStream.format("graft")
+      .option("statsCols", "id")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(table)
+    q1.awaitTermination()
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 400)
+
+    // restart with new source files: exactly-once, no dups
+    (400L until 600L).map(i => (i, i * 3)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = FileIngest.stream(s, srcDir, schema, format = "parquet")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(table)
+    q2.awaitTermination()
+    val ids = DataSkipping.readSkipping(s, table, lit(true))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 600L).toSeq)
+
+    // named markers exist (exactly-once machinery, not plain parts)
+    val markers = new java.io.File(
+        new java.net.URI(DataSkipping.manifestDir(s, table)).getPath)
+      .listFiles().map(_.getName).filter(_.startsWith("commit-")).toSeq
+    assert(markers.nonEmpty)
+    // and the result is a first-class stats table: pruning + graft read
+    val (kept, all) = DataSkipping.prunedFiles(s, table, col("id") >= 500L)
+    assert(kept.size < all.size, s"$kept of $all")
+    assert(s.read.format("graft").load(table).filter(col("id") >= 500L).count() === 100)
+  }
+
+  test("writeStream.format(graft): fresh target without statsCols, or non-append mode, is refused") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("gsink_bad_src")
+    (0L until 10L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = FileIngest.stream(s, srcDir, schema, format = "parquet")
+    val q = stream.writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gsink_bad_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(tmpDir("gsink_bad_tbl") + "/t")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("statsCols"), e.getCause.getMessage)
+  }
 }
