@@ -238,12 +238,37 @@ object DataSkipping {
   def readManifest(spark: SparkSession, path: String): DataFrame =
     readManifestIn(spark, manifestDir(spark, path))
 
-  private def readManifestIn(spark: SparkSession, dir: String): DataFrame =
+  /** Feature flags THIS build implements. Everything else in a
+    * manifest's `_manifest_features.txt` came from a NEWER writer
+    * whose semantics this reader cannot honor — and ignoring a
+    * feature is not merely slow: a different stats encoding or
+    * row-visibility rule would make an ignorant read WRONG. So every
+    * manifest consumer (reads, metadata aggregates, appends,
+    * compaction, DML, vacuum — they all plan through
+    * [[readManifestIn]]) REFUSES unknown features loudly — the Delta
+    * reader/writer-protocol rule, feature-name-granular like Delta's
+    * table features. `describeHistory`/`tableVersions` stay readable
+    * (inspection needs no feature semantics).
+    */
+  private def unknownFeatures(feats: Set[String]): Set[String] =
+    feats.filterNot(f =>
+      f == "nulls" || f == CdfFeature || f.startsWith("bloom:"))
+
+  private def readManifestIn(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unknown = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknown.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] this build does not " +
+        "implement — refusing to read rather than silently ignoring them " +
+        "(a newer writer's stats encoding or visibility rule could make an " +
+        "ignorant read wrong, not just slow); upgrade the library")
     readSidecar(spark, dir, ManifestSchemaFile) match {
       case Some(json) =>
         spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType]).parquet(dir)
       case None => spark.read.option("mergeSchema", "true").parquet(dir)
     }
+  }
 
   /** Complete a torn LEGACY manifest swap: the pre-generation
     * compactTable swapped via delete + rename — a crash between the
@@ -575,6 +600,15 @@ object DataSkipping {
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
     val marker = commitName.map(n => new Path(dir, s"$n.parquet"))
     if (marker.exists(fs.exists)) return false
+    // appends write manifest rows without reading the manifest, so
+    // the protocol gate (see readManifestIn) must run explicitly —
+    // appending feature-ignorant rows to a newer writer's manifest
+    // would corrupt whatever the feature encodes
+    val unknownFeats = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknownFeats.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknownFeats.toSeq.sorted.mkString(", ")}] this build does not " +
+        "implement — refusing to append; upgrade the library")
     val tracked = trackedCols(spark, dir)
     val stored = tableSchemaIn(spark, path, dir)
     val storedByName = stored.map(f => f.name -> f.dataType).toMap
