@@ -3712,6 +3712,38 @@ object Queries {
             UNION ALL SELECT -2, 'constraints=1'
             ORDER BY event_id"""))
 
+  // CONVERT TO GRAFT (row 17s): an existing plain parquet dataset
+  // becomes a stats table in place — zero data bytes rewritten — and
+  // is immediately a first-class table: the gate converts, runs a
+  // copy-on-write DELETE, reads back pruned, and folds in the exact
+  // DESCRIBE HISTORY op sequence (CONVERT then DELETE). The oracle is
+  // plain SQL over the same rows plus the pinned history literal.
+  val convertQ = QueryDef(
+    "q_convert",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_cvt").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      // a PLAIN parquet dataset — no manifest, no sidecars
+      ev.repartitionByRange(10, col("user_id")).write.parquet(t)
+      GraftSql.sql(s, s"CONVERT TO GRAFT '$t' STATS BY (user_id)")       // v0
+      DataSkipping.deleteWhere(s, t, col("user_id") >= 30L && col("user_id") < 50L) // v1
+      val data = DataSkipping.readSkipping(s, t, col("user_id") < 100L)
+        .select(col("event_id"), lit("data").as("info"))
+      val ops = GraftSql.sql(s, s"DESCRIBE HISTORY '$t'")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("version"), col("operation")))),
+            x => x.getField("operation")), ",").as("info"))
+        .select(lit(-1L).as("event_id"), col("info"))
+      data.unionAll(ops).orderBy("event_id")
+    },
+    Some("""SELECT event_id, 'data' AS info FROM events
+            WHERE user_id < 100 AND NOT (user_id >= 30 AND user_id < 50)
+            UNION ALL SELECT -1, 'CONVERT,DELETE'
+            ORDER BY event_id"""))
+
   // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only
   // (zero data rewritten), every batch entry point speaks logical
   // names, and a dropped-then-re-added name binds to a FRESH physical
@@ -3962,6 +3994,6 @@ object Queries {
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
-    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping,
+    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

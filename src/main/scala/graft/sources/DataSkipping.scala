@@ -349,6 +349,57 @@ object DataSkipping {
     commitGen(spark, new Path(gen))
   }
 
+  /** CONVERT TO GRAFT (the Delta `CONVERT TO DELTA` analog): build a
+    * stats-table manifest OVER an existing plain parquet directory —
+    * ZERO data bytes rewritten, so converting a 100 TB dataset costs
+    * one stats scan (the same per-file grouped aggregate every write
+    * runs), not a rewrite. After conversion the directory is a
+    * first-class graft table: pruned reads, appends, DML, time
+    * travel, OPTIMIZE — everything. The original files simply become
+    * generation v0's data files; `describeHistory` records CONVERT.
+    *
+    * Refused on a directory that already has a stats dir (already a
+    * graft table) or holds no top-level parquet files. Like Delta's
+    * CONVERT, the source must be a plain flat parquet dataset —
+    * partitioned (subdirectory) layouts are not converted.
+    *
+    * Returns the number of data files the manifest now tracks.
+    */
+  def convertToStats(spark: SparkSession, path: String, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
+      bloomHashes: Int = 7, changeFeed: Boolean = false): Long = {
+    require(statsCols.nonEmpty, "at least one stats column")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$path/$StatsDir")),
+      s"$path already has a stats dir — it is already a graft table")
+    val entries = fs.listStatus(new Path(path))
+    val nested = entries.filter(f =>
+      f.isDirectory && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    require(nested.isEmpty,
+      s"$path holds subdirectories (${nested.map(_.getPath.getName).take(3).mkString(",")}" +
+        ") — CONVERT handles flat parquet datasets only")
+    val files = entries.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(files.nonEmpty, s"no top-level parquet data files at $path to convert")
+    val existing = spark.read.parquet(path)
+    val bloom = if (bloomCols.isEmpty) None
+      else Some((bloomCols, bloomBits, bloomHashes))
+    val stats = statsFor(existing, statsCols, withNulls = true, bloom)
+    val gen = s"$path/$StatsDir/v0"
+    stats.write.mode("overwrite").parquet(gen)
+    writeSidecars(spark, gen, existing.schema, statsCols,
+      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
+        (if (changeFeed) Set(CdfFeature) else Set.empty),
+      manifestSchema = Some(stats.schema))
+    writeOpFile(fs, new Path(gen), "CONVERT", opStart)
+    commitGen(spark, new Path(gen))
+    files.length.toLong
+  }
+
   /** Turn on the change data feed for an EXISTING stats table (the
     * `ALTER TABLE ... SET TBLPROPERTIES (enableChangeDataFeed=true)`
     * analog): stamps [[CdfFeature]] into the current generation's

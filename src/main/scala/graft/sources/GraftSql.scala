@@ -63,6 +63,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
   private val DropCol =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+  private val Convert =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
 
   /** The graft statement grammar: Some(command plan) when `sqlText`
     * is a maintenance statement, None to mean "not ours" (the caller
@@ -86,6 +88,9 @@ object GraftSql {
       Some(RenameColumnGraftCommand(path, from, to))
     case DropCol(path, name) =>
       Some(DropColumnGraftCommand(path, name))
+    case Convert(path, cols) =>
+      Some(ConvertGraftCommand(path,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case _ => None
   }
 
@@ -262,6 +267,23 @@ case class DropColumnGraftCommand(path: String, column: String)
   override def run(spark: SparkSession): Seq[Row] = {
     DataSkipping.dropColumn(spark, path, column)
     Seq(Row(path, column))
+  }
+}
+
+/** `CONVERT TO GRAFT '<path>' STATS BY (c1, c2)` →
+  * [[DataSkipping.convertToStats]] (the Delta CONVERT TO DELTA
+  * analog — zero data rewritten).
+  */
+case class ConvertGraftCommand(path: String, statsCols: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = DataSkipping.convertToStats(spark, path, statsCols)
+    Seq(Row(path, n))
   }
 }
 
