@@ -2095,6 +2095,14 @@ object DataSkipping {
     logicalSchemaOf(tableSchemaIn(spark, path, dir), colMapIn(fs, dir))
   }
 
+  /** The logical schema AT a retained version (its own mapping). */
+  def tableLogicalSchemaAt(spark: SparkSession, path: String,
+      version: Long): StructType = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = s"$path/$StatsDir/v$version"
+    logicalSchemaOf(tableSchemaIn(spark, path, dir), colMapIn(fs, dir))
+  }
+
   private def logicalSchemaOf(phys: StructType,
       m: Option[Map[String, String]]): StructType = m match {
     case None => phys
@@ -2412,10 +2420,28 @@ object DataSkipping {
     */
   def vacuumTable(spark: SparkSession, path: String,
       retentionMs: Long = RetentionDefaultMs): Unit = {
+    vacuumImpl(spark, path, retentionMs, delete = true); ()
+  }
+
+  /** `VACUUM ... DRY RUN` — the files a vacuum at `retentionMs`
+    * would delete right now, without deleting anything. Same four
+    * passes, same guards, purely observational.
+    */
+  def vacuumDryRun(spark: SparkSession, path: String,
+      retentionMs: Long = RetentionDefaultMs): Seq[String] =
+    vacuumImpl(spark, path, retentionMs, delete = false)
+
+  private def vacuumImpl(spark: SparkSession, path: String,
+      retentionMs: Long, delete: Boolean): Seq[String] = {
     require(retentionMs >= 0, "retentionMs must be >= 0")
+    val targets = scala.collection.mutable.ArrayBuffer.empty[String]
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def act(p: Path, recursive: Boolean): Unit = {
+      targets += p.toString
+      if (delete) fs.delete(p, recursive)
+    }
     val statsDir = new Path(s"$path/$StatsDir")
-    if (!fs.exists(statsDir)) return
+    if (!fs.exists(statsDir)) return targets.toSeq
     val now = System.currentTimeMillis()
     def expired(t: Long): Boolean = now - t >= retentionMs
     val gens = genDirs(fs, statsDir)
@@ -2446,7 +2472,7 @@ object DataSkipping {
         // record superseded state, but a bad entry must not cascade)
         val isCurrentGen = current.exists(_._2.toString == fs.makeQualified(p).toString)
         if (!isCurrentGen && !claimed(p.getName) && fs.exists(p))
-          fs.delete(p, true)
+          act(p, true)
       }
     }
     val recordedNames = recorded.map { case (rel, _) => new Path(rel).getName }.toSet
@@ -2458,22 +2484,23 @@ object DataSkipping {
       val n = f.getPath.getName
       if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
           !claimed(n) && !recordedNames(n) && expired(f.getModificationTime))
-        fs.delete(f.getPath, false)
+        act(f.getPath, false)
       // 3. stale staging dirs (crashed append/compact debris)
       else if (f.isDirectory && stagingPrefixes.exists(n.startsWith) &&
           expired(f.getModificationTime))
-        fs.delete(f.getPath, true)
+        act(f.getPath, true)
     }
     // 4. uncommitted generation debris and crashed generation builds
     gens.foreach { case (_, f) =>
       if (!isCommittedGen(fs, f.getPath) && expired(f.getModificationTime))
-        fs.delete(f.getPath, true)
+        act(f.getPath, true)
     }
     fs.listStatus(statsDir).foreach { f =>
       if (f.isDirectory && f.getPath.getName.startsWith(".genbuild-") &&
           expired(f.getModificationTime))
-        fs.delete(f.getPath, true)
+        act(f.getPath, true)
     }
+    targets.toSeq
   }
 
   /** The table's persisted schema (what a pruned or streaming read

@@ -34,9 +34,26 @@ class GraftSourceProvider extends RelationProvider
       throw new IllegalArgumentException(
         "graft source needs a path: .format(\"graft\").load/save(path)"))
 
+  /** Read options: `versionAsOf` (a retained version number) and
+    * `timestampAsOf` (epoch millis or `java.sql.Timestamp`-parseable
+    * text) time-travel the relation — the Delta reader options. The
+    * instant resolves to a version ONCE at load time and the
+    * relation stays pinned to it.
+    */
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    new GraftRelation(sqlContext.sparkSession, pathOf(parameters))
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version: Option[Long] = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val ms = ts.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(ts).getTime)
+        DataSkipping.versionAtTime(spark, path, ms)
+      })
+    new GraftRelation(spark, path, version)
+  }
 
   /** `df.write.format("graft").option("statsCols", "a,b").save(path)`
     * — the write side: Overwrite = [[DataSkipping.writeWithStats]]
@@ -162,14 +179,19 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
   override def toString: String = s"GraftStreamSink[$path]"
 }
 
-private[sources] class GraftRelation(spark: SparkSession, path: String)
+private[sources] class GraftRelation(spark: SparkSession, path: String,
+    version: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
   // the LOGICAL view: renames/drops apply; filters arrive in logical
-  // names and readSkipping translates them for pruning
-  override val schema: StructType = DataSkipping.tableLogicalSchema(spark, path)
+  // names and readSkipping translates them for pruning. A pinned
+  // version reads under ITS OWN schema and mapping.
+  override val schema: StructType = version match {
+    case Some(v) => DataSkipping.tableLogicalSchemaAt(spark, path, v)
+    case None => DataSkipping.tableLogicalSchema(spark, path)
+  }
 
   // rows come back as the inner DataFrame's InternalRows — no
   // Row conversion layer on top of an already-planned scan
@@ -213,7 +235,10 @@ private[sources] class GraftRelation(spark: SparkSession, path: String)
       filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(toColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val scan = DataSkipping.readSkipping(spark, path, pred)
+    val scan = version match {
+      case Some(v) => DataSkipping.readSkippingAt(spark, path, v, pred)
+      case None => DataSkipping.readSkipping(spark, path, pred)
+    }
     val projected =
       if (requiredColumns.isEmpty)
         // COUNT(*)-style scans need a row per row, no columns

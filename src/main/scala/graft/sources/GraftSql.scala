@@ -48,7 +48,7 @@ object GraftSql {
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*(DRY\s+RUN)?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
   private val Detail =
@@ -75,8 +75,8 @@ object GraftSql {
     case Optimize(path, zCols) =>
       val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       Some(OptimizeGraftCommand(path, cols))
-    case Vacuum(path, null)    => Some(VacuumGraftCommand(path, None))
-    case Vacuum(path, hours)   => Some(VacuumGraftCommand(path, Some(hours.toLong)))
+    case Vacuum(path, hours, dry) =>
+      Some(VacuumGraftCommand(path, Option(hours).map(_.toLong), dry != null))
     case History(path)         => Some(DescribeHistoryGraftCommand(path))
     case Detail(path)          => Some(DescribeDetailGraftCommand(path))
     case Restore(path, v)      => Some(RestoreGraftCommand(path, v.toLong))
@@ -139,21 +139,33 @@ case class OptimizeGraftCommand(path: String, zCols: Seq[String])
   }
 }
 
-/** `VACUUM '<path>' [RETAIN n HOURS]` → [[DataSkipping.vacuumTable]]
-  * (default retention = the table default, Delta's 7 days).
+/** `VACUUM '<path>' [RETAIN n HOURS] [DRY RUN]` →
+  * [[DataSkipping.vacuumTable]] / [[DataSkipping.vacuumDryRun]]
+  * (default retention = the table default, Delta's 7 days). DRY RUN
+  * returns one row per file the vacuum WOULD delete, like Delta's.
   */
-case class VacuumGraftCommand(path: String, retainHours: Option[Long])
+case class VacuumGraftCommand(path: String, retainHours: Option[Long],
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    retainHours match {
-      case Some(h) => DataSkipping.vacuumTable(spark, path, retentionMs = h * 3600000L)
-      case None    => DataSkipping.vacuumTable(spark, path)
+    val retention = retainHours.map(_ * 3600000L)
+    if (dryRun) {
+      val would = retention match {
+        case Some(ms) => DataSkipping.vacuumDryRun(spark, path, ms)
+        case None     => DataSkipping.vacuumDryRun(spark, path)
+      }
+      would.map(Row(_))
+    } else {
+      retention match {
+        case Some(ms) => DataSkipping.vacuumTable(spark, path, ms)
+        case None     => DataSkipping.vacuumTable(spark, path)
+      }
+      Seq(Row(path))
     }
-    Seq(Row(path))
   }
 }
 

@@ -85,4 +85,38 @@ class GraftSourceSpec extends SparkSpec {
       .option("commitName", "batch-7").save(dir) // replay: skipped
     assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === n0 + 10L)
   }
+
+  test("versionAsOf / timestampAsOf reader options pin the relation to a retained version") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 500L).map(i => (i, i % 10)).toDF("id", "k")
+        .repartitionByRange(4, col("k")), dir, Seq("k"))
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    DataSkipping.deleteWhere(s, dir, col("k") === 3L)                  // v1
+    DataSkipping.renameColumn(s, dir, "k", "kk")
+    DataSkipping.deleteWhere(s, dir, col("kk") === 4L)                 // v2
+
+    // live: both deletes and the rename apply
+    val live = s.read.format("graft").load(dir)
+    assert(live.columns.contains("kk") && live.count() === 400L)
+    // versionAsOf 0: pre-delete rows under the ORIGINAL name
+    val v0 = s.read.format("graft").option("versionAsOf", "0").load(dir)
+    assert(v0.columns.contains("k") && v0.count() === 500L)
+    assert(v0.filter(col("k") === 3L).count() === 50L)
+    // timestampAsOf before the first delete resolves to v0
+    val byTs = s.read.format("graft").option("timestampAsOf", t0.toString).load(dir)
+    assert(byTs.count() === 500L)
+    // both options together are refused
+    intercept[IllegalArgumentException] {
+      s.read.format("graft").option("versionAsOf", "0")
+        .option("timestampAsOf", t0.toString).load(dir).count()
+    }
+    // an unretained version fails loudly at scan time
+    intercept[IllegalArgumentException] {
+      s.read.format("graft").option("versionAsOf", "99").load(dir).count()
+    }
+  }
 }

@@ -24,6 +24,10 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.parse("VACUUM '/x/t'").contains(VacuumGraftCommand("/x/t", None)))
     assert(GraftSql.parse("VACUUM '/x/t' RETAIN 24 HOURS")
       .contains(VacuumGraftCommand("/x/t", Some(24L))))
+    assert(GraftSql.parse("VACUUM '/x/t' RETAIN 0 HOURS DRY RUN")
+      .contains(VacuumGraftCommand("/x/t", Some(0L), dryRun = true)))
+    assert(GraftSql.parse("VACUUM '/x/t' DRY RUN")
+      .contains(VacuumGraftCommand("/x/t", None, dryRun = true)))
     assert(GraftSql.parse("DESCRIBE HISTORY '/x/t'")
       .contains(DescribeHistoryGraftCommand("/x/t")))
     assert(GraftSql.parse("desc detail '/x/t'")
@@ -79,6 +83,11 @@ class GraftSqlSpec extends SparkSpec {
     val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY '$t'")
       .orderBy("version").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(hist.toSeq == Seq((0L, "WRITE"), (1L, "OPTIMIZE")))
+    // DRY RUN first: names the superseded generation without deleting
+    val would = GraftSql.sql(spark, s"VACUUM '$t' RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(would.exists(_.contains("v0")), would.mkString(","))
+    assert(DataSkipping.tableVersions(spark, t) == Seq(0L, 1L))
     GraftSql.sql(spark, s"VACUUM '$t' RETAIN 0 HOURS")
     // retention-0 vacuum reclaims the superseded generation
     assert(DataSkipping.tableVersions(spark, t) == Seq(1L))
