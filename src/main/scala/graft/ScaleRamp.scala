@@ -458,7 +458,29 @@ object ScaleRamp {
           col("id") >= 5000L && col("id") < 6000L)
         require(c == 1000L, s"meta count at x$k got $c, wanted 1000")
         spark.range(1).select(lit(c).as("cnt"))
-      })
+      },
+      // r10 EXCISION: the gram election + window cover + reassembly
+      // are all partial-aggregated shuffles on the corpus's token
+      // volume — should ramp linearly like the other text ops
+      // (corpus copies are rotation-decorrelated, so the duplicated-
+      // span structure replicates instead of exploding)
+      "excise_spans" -> (k => Dedup.exciseSpans(
+        docs(k), "doc_id", "text", n = 20)),
+      // r10 PQ-ADC: codebooks fixed (ksub=64 codewords sampled from
+      // the corpus), queries fixed at 50, corpus scales — encode is
+      // one codegen'd pass per corpus row and ADC scans m ints per
+      // row, so the ramp should be linear in the corpus
+      "ann_pq" -> (k => Similarity.pqTopK(
+        queries(k), vecs(k), "vec_id", "embedding", k = 10,
+        m = 8, ksub = 64)),
+      // r10 IVF-PQ: cell count scales with sqrt(corpus) — the
+      // standard IVF sizing rule (nCenters ~ sqrt(N)) that balances
+      // the O(N x nCenters) assignment term against the
+      // O(N x nProbe / nCenters) probe-scan term; scaling nCenters
+      // linearly would make assignment itself quadratic
+      "ann_ivfpq" -> (k => Similarity.ivfPqTopK(
+        queries(k), vecs(k), "vec_id", "embedding", k = 10,
+        nCenters = (32 * math.sqrt(k)).toInt, nProbe = 8, m = 8, ksub = 64)))
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt
