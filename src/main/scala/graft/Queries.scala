@@ -3712,6 +3712,68 @@ object Queries {
             UNION ALL SELECT -2, 'constraints=1'
             ORDER BY event_id"""))
 
+  // Full conditional MERGE (row 17t): every clause family in one
+  // statement — WHEN MATCHED AND s.value<0 DELETE, WHEN MATCHED
+  // UPDATE (value from source, event_type tagged), WHEN NOT MATCHED
+  // AND s.user_id<25 INSERT, WHEN NOT MATCHED BY SOURCE AND band
+  // UPDATE — then a FULL readback. The oracle reconstructs the exact
+  // row routing as one LEFT-JOIN CASE chain + the conditional insert
+  // union: a wrong clause precedence, a leaked delete, an exempted
+  // by-source row touched, or a dropped carry all hash-mismatch.
+  val mergeIntoQ = QueryDef(
+    "q_merge_into",
+    (s, d) => {
+      import graft.sources.{DataSkipping, MergeClause}
+      val root = java.nio.file.Files.createTempDirectory("graft_mrgi").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(12, col("user_id")), t, Seq("user_id", "event_id"))
+      val base = ev.filter(col("user_id") < 50L && col("event_id") % 11 === 0)
+      val src = base.select(col("event_id"), col("user_id"),
+          lit("src").as("event_type"),
+          when(col("event_id") % 3 === 0, lit(-1.0))
+            .otherwise(col("value") * 2).as("value"))
+        .unionAll(base.select((col("event_id") + 5000000L).as("event_id"),
+          col("user_id"), lit("ins").as("event_type"),
+          (col("value") + 0.5).as("value")))
+      DataSkipping.mergeInto(s, t, src, Seq("event_id"), Seq(
+        MergeClause.MatchedDelete(Some(col("s.value") < 0)),
+        MergeClause.MatchedUpdate(None, Map(
+          "value" -> col("s.value"),
+          "event_type" -> concat(col("t.event_type"), lit("+m")))),
+        MergeClause.NotMatchedInsert(Some(col("s.user_id") < 25L)),
+        MergeClause.BySourceUpdate(
+          Some(col("t.user_id") >= 120L && col("t.user_id") < 130L),
+          Map("event_type" -> lit("aged")))))
+      DataSkipping.readSkipping(s, t, lit(true)).orderBy("event_id")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id, value FROM events
+              WHERE user_id < 50 AND event_id % 11 = 0
+            ), src AS (
+              SELECT event_id, user_id, 'src' AS event_type,
+                CASE WHEN event_id % 3 = 0 THEN -1.0 ELSE value * 2 END AS value
+              FROM base
+              UNION ALL
+              SELECT event_id + 5000000, user_id, 'ins', value + 0.5 FROM base
+            )
+            SELECT t.event_id, t.user_id,
+              CASE WHEN s.event_id IS NOT NULL THEN t.event_type || '+m'
+                   WHEN t.user_id >= 120 AND t.user_id < 130 THEN 'aged'
+                   ELSE t.event_type END AS event_type,
+              CASE WHEN s.event_id IS NOT NULL THEN s.value
+                   ELSE t.value END AS value
+            FROM events t LEFT JOIN src s
+              ON s.event_id = t.event_id AND s.value >= 0
+            WHERE NOT EXISTS (SELECT 1 FROM src x
+              WHERE x.event_id = t.event_id AND x.value < 0)
+            UNION ALL
+            SELECT event_id, user_id, event_type, value FROM src
+            WHERE event_id > 4000000 AND user_id < 25
+            ORDER BY event_id"""))
+
   // CONVERT TO GRAFT (row 17s): an existing plain parquet dataset
   // becomes a stats table in place — zero data bytes rewritten — and
   // is immediately a first-class table: the gate converts, runs a
@@ -3994,6 +4056,6 @@ object Queries {
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
-    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ,
+    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

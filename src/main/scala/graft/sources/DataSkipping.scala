@@ -83,6 +83,24 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * skip predicate evaluates null, and the file is (correctly)
   * dropped for any value comparison.
   */
+/** A clause of the full conditional MERGE ([[DataSkipping.mergeInto]]
+  * — the Delta `whenMatched`/`whenNotMatched`/`whenNotMatchedBySource`
+  * builder's clause model). Clause conditions and UPDATE SET values
+  * reference the target row as `t.<col>` and (for matched clauses)
+  * the pairing source row as `s.<col>`; insert conditions see only
+  * `s.<col>`, by-source clauses only `t.<col>`. First matching clause
+  * wins within each family; a row matching no clause carries
+  * unchanged.
+  */
+sealed trait MergeClause
+object MergeClause {
+  case class MatchedUpdate(condition: Option[Column], set: Map[String, Column]) extends MergeClause
+  case class MatchedDelete(condition: Option[Column]) extends MergeClause
+  case class NotMatchedInsert(condition: Option[Column]) extends MergeClause
+  case class BySourceUpdate(condition: Option[Column], set: Map[String, Column]) extends MergeClause
+  case class BySourceDelete(condition: Option[Column]) extends MergeClause
+}
+
 object DataSkipping {
 
   val StatsDir = "_graft_stats"
@@ -1838,6 +1856,297 @@ object DataSkipping {
     } finally src.unpersist()
   }
 
+  /** FULL CONDITIONAL MERGE — the Delta `MERGE INTO` with the
+    * complete clause surface ([[MergeClause]]): ordered
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT *` (the full source
+    * row), and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE | DELETE`. The ON condition is equi-key on `keyCols`
+    * (the scalable case; source keys must be unique so each matched
+    * target row pairs one source row). Matched rows take the FIRST
+    * clause whose condition holds; rows matching no clause carry
+    * unchanged and do NOT force their file to rewrite.
+    *
+    * Same copy-on-write shape as [[mergeUpsertPhys]]: candidates =
+    * key-envelope-pruned files UNION (when by-source clauses exist)
+    * files passing the stats rewrite of the by-source conditions'
+    * OR (an unprunable by-source condition keeps every file a
+    * candidate — Delta's cost too: "not matched by source" is a
+    * whole-table question); ONE candidate scan computes each row's
+    * action, only (file, action) rows reach the driver aggregated,
+    * and only files holding an acting row are rewritten. CDF records
+    * update pre/postimages, deletes and inserts; `txn` gives the
+    * Delta txnAppId/txnVersion idempotency. A merge where nothing
+    * acts commits no generation.
+    *
+    * Returns (target rows updated, target rows deleted, source rows
+    * inserted).
+    */
+  private[sources] def mergeIntoPhys(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String], clauses: Seq[MergeClause],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): (Long, Long, Long) = {
+    import MergeClause._
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(clauses.nonEmpty, "mergeInto needs at least one clause")
+    val matchedClauses = clauses.collect {
+      case c: MatchedUpdate => c: MergeClause
+      case c: MatchedDelete => c: MergeClause
+    }
+    val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+    val bySourceClauses = clauses.collect {
+      case c: BySourceUpdate => c: MergeClause
+      case c: BySourceDelete => c: MergeClause
+    }
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val replayed = txn.exists { case (app, v) =>
+      readSidecarIn(fs, dir, TxnFile)
+        .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
+    }
+    if (replayed) return (0L, 0L, 0L)
+    val schema = tableSchemaIn(spark, path, dir)
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k is not in the table schema ${schema.simpleString}"))
+    clauses.foreach {
+      case MatchedUpdate(_, set) => (set.keySet -- schema.fieldNames).foreach(c =>
+        sys.error(s"SET column $c is not in the table schema"))
+      case BySourceUpdate(_, set) => (set.keySet -- schema.fieldNames).foreach(c =>
+        sys.error(s"SET column $c is not in the table schema"))
+      case _ => ()
+    }
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "mergeInto needs a size-carrying manifest (rewrite with writeWithStats)")
+    val src = source.select(schema.fieldNames.map(col).toSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcCount = src.count()
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"source keys must be unique on (${keyCols.mkString(",")}) — " +
+          s"duplicate: ${dup.headOption.getOrElse("")}")
+
+      // candidate files: key-envelope overlap + the by-source
+      // conditions' stats rewrite (unprunable => every file)
+      val tracked = trackedCols(spark, dir)
+      val nullsTracked = stats.columns.collect {
+        case c if c.startsWith("nulls_") => c.drop(6) }.toSet
+      val prunable = keyCols.filter(tracked)
+      val envelopeSkip: Column =
+        if (srcCount == 0L) lit(false)
+        else if (prunable.isEmpty) lit(true)
+        else {
+          val aggs = prunable.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+          val env = src.agg(aggs.head, aggs.tail: _*).head()
+          prunable.zipWithIndex.map { case (k, i) =>
+            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
+            if (lo == null) lit(false)
+            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+          }.reduce(_ && _)
+        }
+      // by-source conditions are written over `t.<col>` — strip the
+      // alias before resolving against the bare schema for the
+      // stats rewrite
+      def stripT(c: Column): Column = {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        val e = org.apache.spark.sql.graft.ColumnBridge.expression(c).transform {
+          case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+              a.nameParts.head == "t" =>
+            UnresolvedAttribute(Seq(a.nameParts(1)))
+        }
+        org.apache.spark.sql.graft.ColumnBridge.column(e)
+      }
+      val bySourceSkip: Column =
+        if (bySourceClauses.isEmpty) lit(false)
+        else bySourceClauses.map {
+          case BySourceUpdate(cond, _) => cond
+          case BySourceDelete(cond) => cond
+          case _ => None
+        }.map {
+          case None => lit(true)
+          case Some(c) =>
+            rewrite(resolvedCondition(spark, schema, stripT(c)),
+              tracked, nullsTracked).getOrElse(lit(true))
+        }.reduce(_ || _)
+      val candStatuses = statusesOf(stats.filter(envelopeSkip || bySourceSkip))
+      val dv = readDvIn(spark, dir)
+      def scanOf(statuses: Seq[FileStatusWithMetadata]): DataFrame =
+        applyDv(statusScan(spark, path, schema, statuses), dv)
+      val srcA = src.withColumn("__smatch", lit(1)).as("s")
+      def joined(statuses: Seq[FileStatusWithMetadata]): DataFrame =
+        scanOf(statuses)
+          .withColumn("__tfile", col("_metadata.file_path"))
+          .as("t")
+          .join(srcA,
+            keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+            "left_outer")
+      val matchedCol = col("s.__smatch").isNotNull
+      // first-match-wins action index: matched clauses 1.., by-source
+      // clauses 101.. (0 = carry unchanged)
+      val actionConds: Seq[(Column, Int)] =
+        matchedClauses.zipWithIndex.map { case (cl, i) =>
+          val cond = cl match {
+            case MatchedUpdate(c, _) => c
+            case MatchedDelete(c) => c
+            case _ => None
+          }
+          (matchedCol && cond.getOrElse(lit(true)), i + 1)
+        } ++ bySourceClauses.zipWithIndex.map { case (cl, i) =>
+          val cond = cl match {
+            case BySourceUpdate(c, _) => c
+            case BySourceDelete(c) => c
+            case _ => None
+          }
+          (!matchedCol && cond.getOrElse(lit(true)), 101 + i)
+        }
+      val act: Column = actionConds match {
+        case Seq() => lit(0)
+        case (c0, i0) +: rest =>
+          rest.foldLeft(when(c0, lit(i0))) { case (w, (c, i)) => w.when(c, lit(i)) }
+            .otherwise(lit(0))
+      }
+      val updateActs: Seq[Int] =
+        matchedClauses.zipWithIndex.collect { case (_: MatchedUpdate, i) => i + 1 } ++
+          bySourceClauses.zipWithIndex.collect { case (_: BySourceUpdate, i) => 101 + i }
+      val deleteActs: Seq[Int] =
+        matchedClauses.zipWithIndex.collect { case (_: MatchedDelete, i) => i + 1 } ++
+          bySourceClauses.zipWithIndex.collect { case (_: BySourceDelete, i) => 101 + i }
+
+      // PASS A: one candidate scan -> (file, action) for acting rows
+      val probe =
+        if (candStatuses.isEmpty) None
+        else Some(joined(candStatuses)
+          .select(col("__tfile"), act.as("__act"))
+          .filter(col("__act") =!= 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val actCounts: Map[Int, Long] = probe.fold(Map.empty[Int, Long])(
+          _.groupBy("__act").agg(count(lit(1)).as("__n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        val updated = updateActs.map(actCounts.getOrElse(_, 0L)).sum
+        val deleted = deleteActs.map(actCounts.getOrElse(_, 0L)).sum
+        val files: Seq[String] = probe.fold(Seq.empty[String])(
+          _.select("__tfile").distinct().collect().map(_.getString(0)).toSeq)
+        val touchedSet = files.toSet
+
+        // unmatched source rows -> inserts (matched keys computed
+        // from the candidates; the key envelope keeps every file that
+        // could hold a matching key, so the set is complete)
+        val insertRows: Option[DataFrame] =
+          if (insertClauses.isEmpty || srcCount == 0L) None
+          else {
+            val tgtKeys =
+              if (candStatuses.isEmpty) src.limit(0).select(keyCols.map(col): _*)
+              else scanOf(candStatuses).select(keyCols.map(col): _*).distinct()
+            val insCond = insertClauses.map(_.condition)
+              .map(_.getOrElse(lit(true))).reduce(_ || _)
+            Some(src.join(tgtKeys, keyCols, "left_anti").as("s")
+              .filter(insCond)
+              .select(schema.fieldNames.map(col).toSeq: _*))
+          }
+        val inserted = insertRows.fold(0L)(_.count())
+        if (files.isEmpty && inserted == 0L) {
+          if (vacuum) vacuumTable(spark, path, retentionMs)
+          return (updated, deleted, 0L) // nothing acts: no generation
+        }
+
+        // PASS B: rewrite only the touched files
+        val touchedStatuses = candStatuses.filter(s => touchedSet(s.getPath.toString))
+        def withAct = joined(touchedStatuses).withColumn("__act", act)
+        def projectedCols: Seq[Column] = schema.fields.toSeq.map { f =>
+          val updates =
+            matchedClauses.zipWithIndex.collect {
+              case (MatchedUpdate(_, set), i) if set.contains(f.name) =>
+                (i + 1, set(f.name))
+            } ++ bySourceClauses.zipWithIndex.collect {
+              case (BySourceUpdate(_, set), i) if set.contains(f.name) =>
+                (101 + i, set(f.name))
+            }
+          updates.foldLeft(col(s"t.${f.name}")) { case (acc, (i, v)) =>
+            when(col("__act") === i, v.cast(f.dataType)).otherwise(acc)
+          }.as(f.name)
+        }
+        def tRow: Seq[Column] = schema.fieldNames.toSeq.map(c => col(s"t.$c").as(c))
+        val keptTouched =
+          if (files.isEmpty) None
+          else Some(withAct
+            .filter(if (deleteActs.isEmpty) lit(true)
+              else !col("__act").isin(deleteActs.map(Integer.valueOf): _*))
+            .select(projectedCols: _*))
+        val replacement = (keptTouched, insertRows) match {
+          case (Some(k), Some(i)) => k.unionByName(i)
+          case (Some(k), None) => k
+          case (None, Some(i)) => i
+          case (None, None) => sys.error("unreachable: nothing to write")
+        }
+        val changes =
+          if (!cdfEnabled(fs, dir)) None
+          else {
+            val updIn = (c: Column) =>
+              if (updateActs.isEmpty) lit(false)
+              else c.isin(updateActs.map(Integer.valueOf): _*)
+            val delIn = (c: Column) =>
+              if (deleteActs.isEmpty) lit(false)
+              else c.isin(deleteActs.map(Integer.valueOf): _*)
+            val pre =
+              if (files.isEmpty) src.limit(0)
+              else withAct.filter(updIn(col("__act"))).select(tRow: _*)
+            val post =
+              if (files.isEmpty) src.limit(0)
+              else withAct.filter(updIn(col("__act"))).select(projectedCols: _*)
+            val del =
+              if (files.isEmpty) src.limit(0)
+              else withAct.filter(delIn(col("__act"))).select(tRow: _*)
+            val ins = insertRows.getOrElse(src.limit(0))
+            Some(pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(del.withColumn(ChangeTypeCol, lit("delete")))
+              .unionByName(ins.withColumn(ChangeTypeCol, lit("insert"))))
+          }
+        rewriteFiles(spark, fs, path, dir, stats, schema, files, Some(replacement),
+          vacuum, retentionMs, markerRetentionMs, opStart, changes,
+          op = "MERGE", txn = txn)
+        (updated, deleted, inserted)
+      } finally probe.foreach(_.unpersist())
+    } finally src.unpersist()
+  }
+
+  /** Full conditional MERGE; see [[mergeIntoPhys]]. Under a column
+    * mapping the source, key columns and every clause condition /
+    * SET expression arrive in LOGICAL names (`t.<col>` / `s.<col>`
+    * qualified references translate too).
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      txn: Option[(String, Long)] = None): (Long, Long, Long) = {
+    import MergeClause._
+    val m = currentMap(spark, path)
+    def mapC(c: Column): Column = m.fold(c)(toPhysicalColumn(c, _))
+    def mapS(set: Map[String, Column]): Map[String, Column] =
+      m.fold(set)(mm => set.map { case (k, v) =>
+        mm.getOrElse(k, k) -> toPhysicalColumn(v, mm) })
+    val mapped = clauses.map {
+      case MatchedUpdate(c, set) => MatchedUpdate(c.map(mapC), mapS(set))
+      case MatchedDelete(c) => MatchedDelete(c.map(mapC))
+      case NotMatchedInsert(c) => NotMatchedInsert(c.map(mapC))
+      case BySourceUpdate(c, set) => BySourceUpdate(c.map(mapC), mapS(set))
+      case BySourceDelete(c) => BySourceDelete(c.map(mapC))
+    }
+    val (srcM, keysM) = mapDfCols(spark, path, source, keyCols)
+    mergeIntoPhys(spark, path, srcM, keysM, mapped, vacuum, retentionMs,
+      markerRetentionMs, txn)
+  }
+
   /** The generation's `_op.json` operation record (see [[OpFile]]). */
   private def writeOpFile(fs: org.apache.hadoop.fs.FileSystem,
       build: Path, op: String, opStartMs: Long): Unit = {
@@ -2139,6 +2448,11 @@ object DataSkipping {
       case a: UnresolvedAttribute
           if a.nameParts.size == 1 && m.contains(a.nameParts.head) =>
         UnresolvedAttribute(Seq(m(a.nameParts.head)))
+      // merge-clause references qualified by the fixed t/s aliases
+      case a: UnresolvedAttribute
+          if a.nameParts.size == 2 && Set("t", "s")(a.nameParts.head) &&
+            m.contains(a.nameParts(1)) =>
+        UnresolvedAttribute(Seq(a.nameParts.head, m(a.nameParts(1))))
     }
     org.apache.spark.sql.graft.ColumnBridge.column(t)
   }
