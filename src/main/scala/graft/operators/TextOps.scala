@@ -95,6 +95,119 @@ object TextOps {
         coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
   }
 
+  /** Learn a BPE merge table (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016) — the
+    * tokenizer-TRAINING step that [[buildVocab]]'s word-level ids
+    * don't cover. The corpus-sized work is ONE distributed pass: a
+    * word-frequency aggregate cut to the `maxWords` most frequent
+    * words (TakeOrderedAndProject, like [[buildVocab]] — this is
+    * also how production BPE trainers run: merges are a function of
+    * the word-frequency TABLE, never of document order, so the
+    * driver loop operates on a bounded table whatever the corpus
+    * size). Words symbolize as characters + `</w>`; each round
+    * merges the most frequent adjacent symbol pair (frequency-
+    * weighted by word count; ties to the lexicographically smallest
+    * pair — deterministic across runs and engines), maintained
+    * INCREMENTALLY via a pair→words index so a round touches only
+    * the words containing the merged pair. Stops at `numMerges`, or
+    * earlier when no pair reaches `minPairFreq`.
+    *
+    * Returns the merges in rank order — feed them to [[bpeEncode]] /
+    * [[bpeEncodeDocs]] (and persist them; the table IS the
+    * tokenizer).
+    */
+  def learnBpe(
+      docs: DataFrame, textCol: String,
+      numMerges: Int, maxWords: Int = 50000,
+      minFreq: Long = 1L, minPairFreq: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(maxWords > 0, "maxWords must be positive")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val syms = words.map { case (w, _) => graft.plans.BpeEncodeTokens.symbolsOf(w) }
+    val freq = words.map(_._2)
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = pairCount.getOrElse(p, 0L) + sign * freq(i)
+        if (n <= 0L) pairCount.remove(p) else pairCount(p) = n
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(addWord(_, 1L))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // max by (count desc, pair asc) — deterministic
+      var best: (String, String) = null
+      var bestN = 0L
+      pairCount.foreach { case (p, n) =>
+        if (n > bestN || (n == bestN && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      if (best == null || bestN < minPairFreq) exhausted = true
+      else {
+        merges += best
+        val affected = pairWords.getOrElse(best, Set.empty).toSeq
+        affected.foreach { i =>
+          addWord(i, -1L)
+          val s = syms(i)
+          var j = 0
+          while (j < s.length - 1) {
+            if (s(j) == best._1 && s(j + 1) == best._2) {
+              s(j) = s(j) + s(j + 1)
+              s.remove(j + 1)
+            } else j += 1
+          }
+          addWord(i, 1L)
+        }
+        pairCount.remove(best)
+        pairWords.remove(best)
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE tokens of a text column under a learned merge table — ONE
+    * codegen'd expression ([[graft.plans.BpeEncodeTokens]]; the rank
+    * map is a plan constant), shuffle-free and linear. Tokenization
+    * matches [[TextFunctions.tokens]] exactly, so learn and encode
+    * see the same words.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    call_function("graft_bpe_encode", text,
+      typedLit(merges.map(p => Array(p._1, p._2)).toArray))
+  }
+
+  /** Per-document BPE token arrays: (idCol, tokens). Null text
+    * yields an empty array (visible, filterable — like
+    * [[encodeDocs]]).
+    */
+  def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+      coalesce(bpeEncode(col(textCol), merges),
+        array().cast("array<string>")).as("tokens"))
+
   /** TF-IDF with the standard smoothed idf:
     * idf = ln((N + 1) / (df + 1)) + 1. N is passed in (the caller
     * usually knows it; recomputing would add a scan).

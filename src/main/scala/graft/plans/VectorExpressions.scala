@@ -841,7 +841,10 @@ object GraftFunctions {
       children => PqEncode(children(0), children(1))),
     (FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
-      children => PqAdc(children(0), children(1), children(2))))
+      children => PqAdc(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeTokens].getName, "graft_bpe_encode"),
+      children => BpeEncodeTokens(children(0), children(1))))
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
