@@ -698,6 +698,45 @@ object Queries {
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             ORDER BY user_id, click_id, purchase_id"""))
 
+  // Binned point-in-interval range join (row 11b): traffic inside
+  // each purchase's 10-minute attribution window, with NO shared
+  // equi key — the pure-theta case where naive Spark plans a
+  // BroadcastNestedLoopJoin. RangeJoin manufactures the bin equi key
+  // (interval replicated to overlapped bins, point in exactly one
+  // bin, range predicate residual), so the plan is an ordinary
+  // shuffle equi join; RangeJoinSpec pins the no-nested-loop shape
+  // and the binned==naive identity. Counts and a decimal-exact sum
+  // make any lost/duplicated boundary row a hash mismatch.
+  val rangeBinJoin = QueryDef(
+    "q_range_bin_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val points = ev.select(col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+      val winUs = 600L * 1000 * 1000 // 10 minutes, exact integer micros
+      val intervals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(winUs)).as("w_end"))
+      RangeJoin.pointInInterval(points, intervals,
+          "p_us", "w_start", "w_end", binWidth = winUs)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec12(col("p_value"))).cast("double").as("sum_value"))
+        .orderBy("interval_id")
+    },
+    Some("""WITH p AS (
+              SELECT event_id AS p_id, epoch_us(ts) AS p_us, value AS p_value
+              FROM events),
+            i AS (
+              SELECT event_id AS interval_id, epoch_us(ts) AS w_start,
+                epoch_us(ts) + 600000000 AS w_end
+              FROM events WHERE event_type = 'purchase')
+            SELECT interval_id, COUNT(*) AS n_events,
+              CAST(SUM(CAST(p_value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM i JOIN p ON p.p_us >= i.w_start AND p.p_us < i.w_end
+            GROUP BY 1 ORDER BY interval_id"""))
+
   // As-of join: latest signup at or before each purchase, per user.
   // The operator is one equi-shuffle join + one partial-aggregated
   // max(struct); the oracle is a windowed row_number replay with the
@@ -4041,7 +4080,7 @@ object Queries {
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, revenueCube, orderPercentiles,
     topOrders, supplierRank, windowFuncs, pivotEvents, movingAvg,
-    usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull,
+    usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
     windowedAgg,
     tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
