@@ -2398,6 +2398,66 @@ object Queries {
           FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Binary (1-bit sign) quantization ANN (row 24f): Hamming over
+  // packed sign bits picks 50 candidates per query, exact cosine
+  // reranks them — the filter-then-rerank serving shape. The oracle
+  // replays the FULL decision procedure: the sign threshold
+  // (>= 0), integer Hamming with (distance ASC, id ASC) candidate
+  // cut, then the q_embedding_topk cosine arithmetic over exactly
+  // those candidates — so the gate checks the operator's defined
+  // semantics including any "mistakes" the 1-bit filter makes.
+  // Hamming is integral, so the candidate boundary is exact in both
+  // engines; SimilaritySpec separately pins bqTopK(C=|corpus|) ==
+  // bruteForceTopK and the packed-word layout.
+  val annBq = QueryDef(
+    "q_ann_bq",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bqTopK(
+          emb.filter(col("vec_id") < 10), annPlantedCorpus(s, d), "vec_id", "embedding",
+          k = 5, dim = 64, candidates = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH aug AS (
+          ${plantedSql("", "WHERE vec_id < 10", 5, 100000L, 0.005)}
+        ), q AS (
+          SELECT vec_id, embedding FROM aug WHERE vec_id < 10
+        ), ham AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> CASE WHEN (q.embedding[i] >= 0) <> (e.embedding[i] >= 0)
+                        THEN 1 ELSE 0 END),
+              (x, y) -> x + y) AS hamming
+          FROM aug e, q WHERE e.vec_id <> q.vec_id
+        ), cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, neighbor_id ASC) AS rn
+            FROM ham) WHERE rn <= 50
+        ), e2 AS (
+          SELECT vec_id, embedding,
+            sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS nrm
+          FROM aug
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+            list_reduce(list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+          FROM cand c
+          JOIN e2 a ON a.vec_id = c.query_id
+          JOIN e2 b ON b.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // Duplicate-cluster components over the near-dup pair graph: with
   // TWO planted copies per source, pairs chain (source~copy1,
   // source~copy2, copy1~copy2) and the representative of each
@@ -4090,7 +4150,7 @@ object Queries {
     dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annBq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,

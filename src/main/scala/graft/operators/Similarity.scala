@@ -134,6 +134,89 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Sign-bit binary quantization: bit j of the signature is 1 iff
+    * vec[j] >= 0, packed 64 bits per long — float32 vectors shrink
+    * 32x (a 100 TB float corpus becomes ~3 TB of codes), and
+    * Hamming distance over the codes is a few XOR+POPCNT words per
+    * pair. This is the 1-bit end of the quantization ladder
+    * (float32 -> int8 [[quantizeInt8]] -> m-byte PQ [[pqCodebooks]]
+    * -> dim/8 bytes here); for centered/normalized embeddings
+    * Hamming on sign bits is a monotone proxy for angular distance
+    * (Charikar SRP with axis-aligned planes), so it serves as a
+    * cheap candidate filter that an exact float rerank then orders.
+    *
+    * Word w packs dims [64w, 64w+63], dim j at bit (j - 64w); the
+    * expression is built-ins only (fixed shifts + bitwise OR), fully
+    * codegen'd, shuffle-free. Plan size grows with dim — at
+    * thousands of dims move this to a custom Expression (the
+    * NearestCentroids precedent).
+    */
+  def binarySignature(vec: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be positive")
+    val nWords = (dim + 63) / 64
+    array((0 until nWords).map { w =>
+      val lo = w * 64
+      val hi = math.min(dim, lo + 64)
+      (lo until hi).map { j =>
+        when(vec.getItem(j) >= lit(0f), lit(1L << (j - lo))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed signatures: XOR + popcount
+    * per word, summed — built-ins only, codegen'd.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+
+  /** Binary-quantized ANN: Hamming distance over packed sign bits
+    * selects `candidates` neighbors per query (smallest distance,
+    * ties to the smaller id), and ONLY those rows re-join their
+    * float vectors for the exact cosine rerank — the
+    * filter-then-rerank serving shape of every binary-quantized
+    * vector store. The Hamming phase reads dim/8 bytes per corpus
+    * row instead of 4·dim, and both phases end in the bounded
+    * [[topKPerQuery]] aggregate (no window, no per-query candidate
+    * list on the driver).
+    *
+    * With `candidates` >= |corpus| the result equals
+    * [[bruteForceTopK]] exactly (the filter admits everything and
+    * the rerank is the exact ranking) — the machinery check in
+    * SimilaritySpec. The decision procedure (sign threshold >= 0,
+    * Hamming tie-break, rerank order) is deterministic, so the
+    * oracle replays it verbatim.
+    */
+  def bqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, candidates: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(candidates >= k, "candidates must be >= k")
+    val cSig = corpus.select(col(idCol).as("neighbor_id"),
+      binarySignature(col(vecCol), dim).as("__csig"))
+    val qSig = queries.select(col(idCol).as("query_id"),
+      binarySignature(col(vecCol), dim).as("__qsig"))
+    val ham = cSig.join(broadcast(qSig),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingDistance(col("__qsig"), col("__csig")).cast("double").as("__h"))
+    val cand = topKPerQuery(
+        ham.select(col("query_id"), col("neighbor_id"), (-col("__h")).as("cosine")),
+        candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val cNorm = withNorm(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    val qNorm = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val scored = cand.join(cNorm, Seq("neighbor_id"))
+      .join(broadcast(qNorm), Seq("query_id"))
+      .withColumn("cosine",
+        cosineFromParts(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic Gaussian hyperplanes (java.util.Random is
     * spec-fixed, so signatures are identical on every executor, JVM
     * and run).

@@ -419,4 +419,55 @@ class SimilaritySpec extends SparkSpec {
     assert(mse(refined) < mse(seedOnly) * 0.95,
       s"refined ${mse(refined)} vs seed ${mse(seedOnly)}")
   }
+
+  test("binarySignature packs sign bits 64-per-long, low word first") {
+    val s = spark
+    import s.implicits._
+    // dim 70: word 0 = bits 0..63, word 1 = bits 64..69
+    val v = Array.tabulate(70)(i => if (i == 0 || i == 63 || i == 65) 1.0f
+                                    else if (i == 64) 0.0f else -1.0f)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(Similarity.binarySignature(col("v"), 70).as("sig"))
+      .head.getSeq[Long](0)
+    assert(got === Seq((1L << 0) | (1L << 63), (1L << 0) | (1L << 1)))
+    // zero is non-negative -> bit set (the documented threshold)
+    val ham = Seq((Array(0.0f, -1.0f), Array(-0.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.hammingDistance(
+        Similarity.binarySignature(col("a"), 2),
+        Similarity.binarySignature(col("b"), 2)).as("h"))
+      .head.getInt(0)
+    assert(ham === 1) // -0.0f >= 0f in SQL ordering; only dim 1 differs
+  }
+
+  test("bqTopK with candidates >= |corpus| equals bruteForceTopK exactly") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 150)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val viaBq = Similarity.bqTopK(q, emb, "vec_id", "embedding", k = 5,
+        dim = 64, candidates = 150)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(viaBq === exact)
+  }
+
+  test("bqTopK recalls planted near-duplicates through the 1-bit filter") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = Similarity.plantNearDuplicates(emb, "vec_id", "embedding",
+      col("vec_id") < 10, copies = 5, idOffset = 100000L, scaleStep = 0.005)
+    val got = Similarity.bqTopK(emb.filter(col("vec_id") < 10), corpus,
+        "vec_id", "embedding", k = 5, dim = 64, candidates = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // tiny perturbations rarely flip sign bits: each query's 5 planted
+    // copies sit at Hamming ~0 and must dominate its top-5
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    val planted = byQuery.map { case (q, rows) =>
+      rows.count(r => (1 to 5).exists(c => r._2 == q + 100000L * c))
+    }
+    assert(planted.sum >= 45, s"planted recall too low: $planted")
+    // and the filter actually prunes: candidate phase admits 50 of 549
+    val cand = Similarity.bqTopK(emb.filter(col("vec_id") < 10), corpus,
+      "vec_id", "embedding", k = 50, dim = 64, candidates = 50)
+    assert(cand.groupBy("query_id").count().collect().forall(_.getLong(1) <= 50))
+  }
 }
