@@ -961,6 +961,76 @@ object Queries {
             FROM tf JOIN dfc USING (term)
             ORDER BY doc_id, term"""))
 
+  // BM25 top-k retrieval (row 30o): five fixed keyword queries over
+  // the documents corpus. The oracle replays the whole decision
+  // procedure — identical tokenization, exact integer tf/df/dl/N,
+  // the same constant values (interpolated from the SAME Scala
+  // doubles the engine uses), and the same term-sorted left fold —
+  // and compares the RANK ordering (scores use ln(), libm-dependent
+  // cross-engine; the ordering is stable because score gaps between
+  // different (tf, dl) profiles are many orders above 1 ulp, and
+  // equal profiles tie-break by doc_id in both engines).
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25QuerySet = Seq(
+    (0L, "hash join"), (1L, "window agg stream"), (2L, "slow scan filter"),
+    (3L, "customer vector data"), (4L, "spark merge batch"))
+  val bm25Q = QueryDef(
+    "q_bm25",
+    (s, d) => {
+      import s.implicits._
+      val qs = bm25QuerySet.toDF("query_id", "qtext")
+      TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10, k1 = bm25K1, b = bm25B)
+        .select(col("query_id"), col("doc_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents
+            ), t AS (
+              SELECT doc_id, term FROM toks WHERE length(term) > 0
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1
+            ), s AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT COUNT(*) FROM t) AS total_dl
+            ), qt AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT query_id,
+                  unnest(string_split_regex(trim(lower(qtext)), '\\s+')) AS term
+                FROM (VALUES ${bm25QuerySet
+                  .map { case (i, q) => s"($i, '$q')" }.mkString(", ")})
+                  AS qq(query_id, qtext))
+              WHERE length(term) > 0
+            ), dfc AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+            ), post AS (
+              SELECT q.query_id, tf.doc_id, tf.term,
+                ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+                         / (CAST(dfc.df AS DOUBLE) + 0.5))
+                  * (CAST(tf.tf AS DOUBLE) * ${bm25K1 + 1.0})
+                  / (CAST(tf.tf AS DOUBLE) + $bm25K1 * (${1.0 - bm25B}
+                     + $bm25B * CAST(dl.dl AS DOUBLE)
+                       / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS c
+              FROM qt q
+              JOIN tf ON tf.term = q.term
+              JOIN dfc ON dfc.term = q.term
+              JOIN dl ON dl.doc_id = tf.doc_id, s
+            ), sc AS (
+              SELECT query_id, doc_id,
+                list_reduce(list(c ORDER BY term), (x, y) -> x + y) AS score
+              FROM post GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+              FROM sc)
+            WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   // Frequency-ranked vocabulary: the tokenizer-prep id table. The
   // oracle replays the (count desc, term asc) dense ranking and the
   // top-maxVocab cut — the TakeOrderedAndProject selection must be
@@ -4143,7 +4213,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
     windowedAgg,
-    tokenCount, qualityScore, langId, fingerprint, termStats, heavyTermsQ, redactDocs,
+    tokenCount, qualityScore, langId, fingerprint, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,

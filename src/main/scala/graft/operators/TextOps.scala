@@ -217,6 +217,81 @@ object TextOps {
       .withColumn("tfidf",
         col("tf") * (log((lit(numDocs + 1).cast("double")) / (col("df") + 1)) + 1))
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, which is
+    * always positive):
+    *
+    *   score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * summed over the DISTINCT query terms — keyword search over the
+    * corpus, the retrieval face of [[termStats]].
+    *
+    * Scale shape: the corpus tokenizes ONCE into tf/dl aggregates
+    * (partial-agg friendly, raw text never shuffles); query terms
+    * and their df rows are BROADCAST (bounded by the query set, not
+    * the corpus), so the postings join is map-side; one doc-keyed
+    * shuffle joins dl; N/total-length ride along as a broadcast
+    * 1-row cross join (never a driver collect); and the final
+    * ranking is the bounded [[graft.operators.Similarity.topKPerQuery]]
+    * heap aggregate — no window over the corpus, no per-query
+    * candidate lists in memory.
+    *
+    * Determinism: tf/df/dl/N are exact integers; per-(query, doc)
+    * contributions fold in TERM-sorted order (left fold from 0.0),
+    * so every score bit is run- and partition-independent. Ranks
+    * tie-break (score DESC, doc ASC). Scores use ln(), which is
+    * libm-dependent cross-ENGINE (see [[lmFamiliarity]]) — gate
+    * queries compare the rank ordering, not the score value.
+    *
+    * @param queries (qIdCol, qTextCol) rows; tokenized with the same
+    *                [[TextFunctions.tokens]] as the corpus
+    * @param k       results per query
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    graft.plans.VectorExpressions.register(docs.sparkSession)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.select(col(idCol).as("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dl"), lit(0L))).as("total_dl"))
+    val qterms = queries
+      .select(col(qIdCol).as("query_id"),
+        explode(TextFunctions.tokens(col(qTextCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val qdf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dbl: String => Column = c => col(c).cast("double")
+    val idf = log(lit(1.0) +
+      (dbl("n_docs") - dbl("df") + lit(0.5)) / (dbl("df") + lit(0.5)))
+    val avgdl = dbl("total_dl") / dbl("n_docs")
+    val contrib = idf * (dbl("tf") * lit(k1 + 1.0)) /
+      (dbl("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * dbl("dl") / avgdl))
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("__c")))).as("__cs"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        aggregate(col("__cs"), lit(0.0),
+          (acc, x) => acc + x.getField("__c")).as("cosine"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"), col("cosine").as("score"))
+  }
+
   /** PII redaction: emails, international-ish phone numbers and
     * 13-16-digit card-like numbers replaced with typed placeholders.
     * Pure regexp_replace chain — codegen'd, shuffle-free, linear.

@@ -497,4 +497,61 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     (20L until 60L).foreach(i => assert(out(i) === plain(i)))
   }
+
+  test("bm25 matches a driver-side model exactly (score and rank)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana cherry"),
+      (4L, "durian"),
+      (5L, "")).toDF("doc_id", "text")
+    val qs = Seq((0L, "apple banana"), (1L, "cherry"), (2L, "missing")).toDF("qid", "qtext")
+    val got = TextOps.bm25(docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(2)), (r.getLong(1), r.getDouble(3)))).toMap
+
+    val (k1, b) = (1.2, 0.75)
+    val corpus = Map(1L -> Seq("apple", "banana", "apple"), 2L -> Seq("apple", "cherry"),
+      3L -> Seq("banana", "banana", "banana", "cherry"), 4L -> Seq("durian"), 5L -> Seq())
+    val nDocs = 5.0
+    val avgdl = corpus.values.map(_.size).sum / nDocs
+    def dfOf(t: String) = corpus.values.count(_.contains(t)).toDouble
+    def score(q: Seq[String], d: Long): Double =
+      q.distinct.sorted.foldLeft(0.0) { (acc, t) =>
+        val tf = corpus(d).count(_ == t).toDouble
+        if (tf == 0) acc
+        else acc + math.log(1.0 + (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5)) *
+          (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * corpus(d).size / avgdl))
+      }
+    // query 0: docs 1,2,3 contain apple or banana
+    val exp0 = Seq(1L, 2L, 3L).map(d => d -> score(Seq("apple", "banana"), d))
+      .sortBy { case (d, sc) => (-sc, d) }
+    exp0.zipWithIndex.foreach { case ((d, sc), i) =>
+      assert(got((0L, i + 1)) === ((d, sc)), s"rank ${i + 1}") }
+    // query 1: cherry in docs 2 and 3
+    val exp1 = Seq(2L, 3L).map(d => d -> score(Seq("cherry"), d))
+      .sortBy { case (d, sc) => (-sc, d) }
+    exp1.zipWithIndex.foreach { case ((d, sc), i) =>
+      assert(got((1L, i + 1)) === ((d, sc))) }
+    // query 2: term absent from the corpus -> no rows at all
+    assert(!got.keySet.exists(_._1 == 2L))
+    // k bounds the result
+    assert(got.keySet.count(_._1 == 0L) === 3)
+  }
+
+  test("bm25 plan: query side broadcast, bounded top-k aggregate, no window") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq((0L, "hash join")).toDF("qid", "qtext")
+    val df = TextOps.bm25(docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_graft_topk"), "bounded top-k partial agg\n" + plan)
+    assert(!plan.contains("Window"), plan)
+    // (the one nested-loop in the plan is the 1-row stats broadcast
+    // cross join — intentional: scalars ride the plan, no collect)
+    assert(df.count() === 5)
+  }
 }
