@@ -1651,6 +1651,63 @@ object Queries {
             GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
             ORDER BY rep_id"""))
 
+  // URL-level dedup (row 18h): documents get deterministically
+  // planted messy URLs (uppercase scheme/host, www., default port,
+  // tracking params, trailing slash, fragment) colliding mod
+  // lcm(7,5,3)=105 canonical groups; the operator keeps the lowest
+  // doc_id per canonical URL. The oracle replays the EXACT
+  // canonicalization chain (same regexes — RE2-safe, no
+  // backreferences — with 'g' where Spark replaces all) and the
+  // min-id election, so the gate checks every normalization step
+  // byte for byte.
+  val urlDedupQ = QueryDef(
+    "q_url_dedup",
+    (s, d) => {
+      val withUrls = Tables.documents(s, d).withColumn("url",
+        concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.COM:443/Path"), (col("doc_id") % 5).cast("string"),
+          lit("/?utm_source=x&p="), (col("doc_id") % 3).cast("string"),
+          lit("&fbclid=abc#frag")))
+      Dedup.urlDedup(withUrls, "doc_id", "url")
+        .select(col("canonical_url"), col("doc_id"), col("n_dupes"))
+        .orderBy("canonical_url")
+    },
+    Some("""WITH urls AS (
+              SELECT doc_id,
+                'HTTPS://WWW.Site' || (doc_id % 7) || '.example.COM:443/Path' ||
+                (doc_id % 5) || '/?utm_source=x&p=' || (doc_id % 3) ||
+                '&fbclid=abc#frag' AS url
+              FROM documents
+            ), c1 AS (
+              SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM urls
+            ), c2 AS (
+              SELECT doc_id,
+                lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')) AS scheme,
+                regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM c1
+            ), c3 AS (
+              SELECT doc_id, scheme,
+                regexp_replace(lower(regexp_extract(rest, '^[^/?#]*')), '^www\.', '') AS hostport,
+                regexp_replace(rest, '^[^/?#]*', '') AS pathq
+              FROM c2
+            ), c4 AS (
+              SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http://' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https://' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                regexp_replace(regexp_extract(pathq, '^[^?]*'), '/+$', '') AS path,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(regexp_replace(pathq, '^[^?]*', ''),
+                      '&(utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+                    '\?(utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*&?', '?'),
+                  '[?&]+$', '') AS query
+              FROM c3
+            )
+            SELECT scheme || host || path || query AS canonical_url,
+              MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+            FROM c4 GROUP BY 1 ORDER BY canonical_url"""))
+
   // Incremental (new-batch-vs-history) dedup through the Bloom
   // prefilter + exact-verify path. Non-vacuous: 50 batch rows are
   // case/whitespace variants of history docs (MUST flag
@@ -4217,7 +4274,7 @@ object Queries {
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
-    dedupExact, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
+    dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annBq, quantizeQ, multimodalMeta,

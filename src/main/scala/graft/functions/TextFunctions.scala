@@ -196,6 +196,48 @@ object TextFunctions {
   def urlDomain(url: Column): Column =
     regexp_replace(urlHost(url), "^www\\.", "")
 
+  /** Canonical URL form for exact-URL dedup (the FineWeb/CCNet first
+    * pass — the same page crawled as `HTTP://WWW.X.com/a/?utm_…` and
+    * `http://x.com/a` must collide BEFORE any text-level dedup runs):
+    *
+    *  1. fragment dropped (`#…` never reaches the server);
+    *  2. scheme and host lowercased (RFC 3986: both case-insensitive;
+    *     path/query case is preserved — they are not);
+    *  3. leading `www.` and the scheme's default port (`:80`/`:443`)
+    *     stripped from the host;
+    *  4. tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *     `msclkid` — lowercase keys, the dominant real-world form),
+    *     with separator repair and trailing `?`/`&` cleanup;
+    *  5. trailing slashes stripped from the path.
+    *
+    * Pure codegen'd regexp chain — shuffle-free, linear, and every
+    * pattern avoids backreferences so RE2 engines (the DuckDB
+    * oracle) replay it byte-identically. Non-URL-shaped input has no
+    * scheme/host match and passes through steps 4-5 only — still
+    * deterministic, never an error.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, schemeRe, 0))
+    val rest = regexp_replace(noFrag, schemeRe, "")
+    val hostPort = regexp_replace(lower(regexp_extract(rest, "^[^/?#]*", 0)),
+      "^www\\.", "")
+    val host = when(scheme === "http://", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https://", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(regexp_extract(pathq, "^[^?]*", 0), "/+$", "")
+    val trackers = "utm_[^=&#]*|fbclid|gclid|msclkid"
+    val query = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(pathq, "^[^?]*", ""),
+          s"&($trackers)=[^&#]*", ""),
+        s"\\?($trackers)=[^&#]*&?", "?"),
+      "[?&]+$", "")
+    concat(scheme, host, path, query)
+  }
+
   /** Deterministic rolling polynomial fingerprint over the document's
     * characters: h = (h*31 + code(c)) mod 1e9+7. Reproducible in any
     * engine (incl. the DuckDB oracle) — unlike murmur/xxhash.

@@ -43,6 +43,40 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
       .select(col("rep_id"), col("n_dups"))
 
+  /** URL-level dedup: one kept row per
+    * [[graft.functions.TextFunctions.canonicalizeUrl canonical URL]]
+    * — the cheapest (and in FineWeb, the FIRST) dedup stage of a web
+    * corpus: the same page under `HTTP://WWW.X.com/a/?utm_…` and
+    * `http://x.com/a` collapses before any text is compared. Keeps
+    * the LOWEST `idCol` row of each canonical group (first-crawled
+    * wins — deterministic because ids are unique), carries every
+    * other column of the kept row, and reports the group size as
+    * `n_dupes`.
+    *
+    * Scale: canonicalization is a shuffle-free codegen'd regexp
+    * chain; then ONE hash shuffle keyed on the canonical string with
+    * a partial-aggregated `min(struct)` — the [[exactByHash]] /
+    * `Cdc.latestByKey` shape. No window, no self-join, no text
+    * comparison.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    require(docs.columns.contains(idCol) && docs.columns.contains(urlCol),
+      s"missing $idCol/$urlCol")
+    require(!docs.columns.contains("canonical_url") && !docs.columns.contains("n_dupes"),
+      "docs already has a canonical_url/n_dupes column — rename upstream")
+    val payload = docs.columns.filterNot(_ == idCol).toSeq
+    docs
+      .withColumn("canonical_url",
+        graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(struct((idCol +: payload).map(col): _*)).as("__keep"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("canonical_url") +:
+        col(s"__keep.$idCol").as(idCol) +:
+        payload.map(p => col(s"__keep.$p").as(p)) :+
+        col("n_dupes"): _*)
+  }
+
   /** Incremental dedup: annotate a NEW batch against an existing
     * (already-deduped) history corpus without re-pairing the history
     * — the "dedup today's crawl against ten trillion stored rows"

@@ -685,4 +685,59 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("partial_min") || plan.contains("partial_finalmerge_min")
       || plan.toLowerCase.contains("partial"), plan)
   }
+
+  test("canonicalizeUrl: each documented normalization step, and non-URL passthrough") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, www strip, default port, trailing slash, fragment
+      "HTTPS://WWW.Example.COM:443/A/B/#frag" -> "https://example.com/A/B",
+      "HTTP://example.com:80/" -> "http://example.com",
+      // non-default port kept; path case kept; query kept in order
+      "http://Example.com:8080/Path?b=2&a=1" -> "http://example.com:8080/Path?b=2&a=1",
+      // tracking params: leading, middle, trailing, only
+      "https://x.com/p?utm_source=a&q=1" -> "https://x.com/p?q=1",
+      "https://x.com/p?q=1&fbclid=zz&r=2" -> "https://x.com/p?q=1&r=2",
+      "https://x.com/p?q=1&gclid=zz" -> "https://x.com/p?q=1",
+      "https://x.com/p?msclkid=zz" -> "https://x.com/p",
+      "https://x.com/p?utm_a=1&utm_b=2&q=3" -> "https://x.com/p?q=3",
+      // ftp: unknown default port -> kept; www still stripped
+      "FTP://WWW.Files.net:21/dir/" -> "ftp://files.net:21/dir",
+      // non-URL-shaped input: no scheme; whole string treated as a
+      // host-ish token (lowercased), never an error
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (exp, g) => assert(g === exp) }
+  }
+
+  test("urlDedup keeps the lowest-id row per canonical URL with its payload") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (3L, "HTTP://A.com/x?utm_source=1", "three"),
+      (1L, "http://a.com/x/", "one"),
+      (2L, "http://a.com/x#f", "two"),
+      (9L, "https://b.org/y", "nine")).toDF("doc_id", "url", "payload")
+    val out = Dedup.urlDedup(docs, "doc_id", "url")
+      .orderBy("canonical_url").collect()
+    assert(out.length === 2)
+    val a = out.head
+    assert(a.getString(0) === "http://a.com/x")
+    assert(a.getLong(1) === 1L)
+    assert(a.getString(3) === "one") // payload of the KEPT row
+    assert(a.getLong(4) === 3L)      // n_dupes
+    assert(out(1).getLong(1) === 9L && out(1).getLong(4) === 1L)
+  }
+
+  test("urlDedup plan: one shuffle, partial min(struct), no window") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("url",
+        concat(lit("http://h"), (col("doc_id") % 7).cast("string"), lit("/p")))
+    val df = Dedup.urlDedup(docs, "doc_id", "url")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("(?<!Broadcast)Exchange hash".r.findAllIn(plan).length === 1, plan)
+  }
 }
