@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSourceProvider extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -137,6 +138,44 @@ class GraftSourceProvider extends RelationProvider
         "layout is the table's own concern (compactTable / zorderTable)")
     new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters), parameters)
   }
+
+  // --- streaming READ side: spark.readStream.format("graft") -------
+  //
+  // One format string for all four surfaces (read / write /
+  // readStream / writeStream — the Delta shape). Default is the
+  // append stream of committed rows ([[graft.streaming
+  // .StatsTableSource]]; bounded admission via
+  // `maxCommitsPerTrigger`); `.option("readChangeFeed", "true")`
+  // switches to the row-level change feed ([[graft.streaming
+  // .ChangeFeedSource]]; `startingVersion`, `maxVersionsPerTrigger`)
+  // — exactly the Delta CDF reader option. The dedicated short names
+  // (`graft-stats-table`, `graft-change-feed`) stay registered for
+  // explicit use; this delegation only closes the API loop.
+
+  private def readsChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  private def streamDelegate(parameters: Map[String, String]): StreamSourceProvider =
+    if (readsChangeFeed(parameters)) new graft.streaming.ChangeFeedSourceProvider
+    else new graft.streaming.StatsTableSourceProvider
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      streamDelegate(parameters)
+        .sourceSchema(sqlContext, schema, providerName, parameters)._2)
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    streamDelegate(parameters)
+      .createSource(sqlContext, metadataPath, schema, providerName, parameters)
 }
 
 private[sources] class GraftStreamSink(spark: SparkSession, path: String,

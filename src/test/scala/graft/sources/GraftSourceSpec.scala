@@ -119,4 +119,51 @@ class GraftSourceSpec extends SparkSpec {
       s.read.format("graft").option("versionAsOf", "99").load(dir).count()
     }
   }
+
+  test("readStream.format(graft): append stream by default, change feed via readChangeFeed") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp() + "/t"
+    DataSkipping.writeWithStats(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir, Seq("id"),
+      bloomCols = Nil, changeFeed = true)
+    DataSkipping.appendWithStats(
+      Seq((3L, 30L)).toDF("id", "v"), dir, Seq("id"),
+      commitName = Some("b1"))
+    DataSkipping.deleteWhere(s, dir, col("id") === 2L)
+
+    def drain(df: org.apache.spark.sql.DataFrame, out: String, ckpt: String): Unit = {
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // default: the append stream — initial snapshot of LIVE rows
+    // (id=2 already deleted), then new commits as they land
+    val out1 = tmp() + "/out1"
+    val ckpt1 = tmp() + "/c1"
+    drain(s.readStream.format("graft").option("path", dir).load(), out1, ckpt1)
+    val appended = s.read.parquet(out1).as[(Long, Long)].collect().toSet
+    assert(appended === Set((1L, 10L), (3L, 30L)))
+    DataSkipping.appendWithStats(
+      Seq((4L, 40L)).toDF("id", "v"), dir, Seq("id"), commitName = Some("b2"))
+    drain(s.readStream.format("graft").option("path", dir).load(), out1, ckpt1)
+    assert(s.read.parquet(out1).as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (3L, 30L), (4L, 40L)), "only the new commit streams on restart")
+
+    // readChangeFeed=true: row-level changes with type + version
+    val out2 = tmp() + "/out2"
+    drain(s.readStream.format("graft")
+        .option("path", dir).option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(),
+      out2, tmp() + "/c2")
+    val changes = s.read.parquet(out2)
+      .select(col("id"), col(DataSkipping.ChangeTypeCol))
+      .as[(Long, String)].collect().toSet
+    // the feed carries row-level DML only; appends are the stats-table
+    // stream's job (the documented Delta insert-commit/CDC-commit split)
+    assert(changes === Set((2L, "delete")), changes.toString)
+  }
 }
