@@ -2128,6 +2128,76 @@ object Queries {
     },
     Some(minhashOracle))
 
+  // Incremental MinHash admission (row 18i): a new batch (20 planted
+  // near-dup variants + 30 novel docs) gated against the history's
+  // SIGNATURE INDEX — the text-near-dup face of the continuous-
+  // ingestion triple (18e exact, 18g embeddings). The oracle replays
+  // the polynomial minhash, the banding, the batch x history band
+  // join, and the est-Jaccard cut; est_jaccard = matches/32.0 is
+  // exact arithmetic, so it rides the hash compare.
+  private val incMinhashOracle = {
+    val mins = (0 until 32).map(i => s"MIN(${phSql(i.toString)})").mkString(",\n              ")
+    s"""WITH corpus AS (
+          SELECT doc_id AS id, 0 AS side, text FROM documents WHERE doc_id < 300
+          UNION ALL
+          SELECT doc_id + 100000, 1, text || ' zq zr zs'
+          FROM documents WHERE doc_id < 20
+          UNION ALL
+          SELECT doc_id, 1, text FROM documents WHERE doc_id >= 400 AND doc_id < 430
+        ), toks AS (
+          SELECT id, side, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM corpus
+        ), grams AS (
+          SELECT id, side, unnest(list_distinct(
+            CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END)) AS g
+          FROM toks
+        ), gc AS (
+          SELECT id, side, list_transform(string_split(g, ''), x -> CAST(ord(x) AS BIGINT)) AS cs
+          FROM grams
+        ), sig AS (
+          SELECT id, side, [$mins] AS s
+          FROM gc GROUP BY id, side
+        ), banded AS (
+          SELECT id, side, s, b,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), s[b*4+1 : b*4+4]),
+              (a, v) -> (a * 31 + (v % 1000000007)) % 1000000007) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+        ), pairs AS (
+          SELECT DISTINCT bb.id AS batch_id, hh.id AS history_id, bb.s AS sb, hh.s AS sh
+          FROM banded bb JOIN banded hh ON bb.b = hh.b AND bb.bh = hh.bh
+          WHERE bb.side = 1 AND hh.side = 0
+        ), est AS (
+          SELECT batch_id, history_id,
+            CAST(len(list_filter(range(1, 33), i -> sb[i] = sh[i])) AS DOUBLE) / 32.0
+              AS est_jaccard
+          FROM pairs
+        )
+        SELECT batch_id, history_id, est_jaccard FROM est
+        WHERE est_jaccard >= 0.5
+        ORDER BY batch_id, history_id"""
+  }
+
+  val incrementalMinhashQ = QueryDef(
+    "q_incremental_minhash",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val hSigs = Dedup.minHashSignatures(history, "doc_id", "text",
+        numHashes = 32, ngram = 3, hashFn = Hashing.poly)
+      val batch = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zq zr zs")).as("text"))
+        .union(docs.filter(col("doc_id") >= 400 && col("doc_id") < 430)
+          .select(col("doc_id"), col("text")))
+      Dedup.incrementalMinHashNearDup(hSigs, batch, "doc_id", "text",
+          threshold = 0.5, hashFn = Hashing.poly, bandHashFn = Hashing.polyLongs)
+        .orderBy("batch_id", "history_id")
+    },
+    Some(incMinhashOracle))
+
   // End-to-end near-dedup: the pair CTEs above + transitive closure
   // + drop every non-representative. The Spark side is ONE call
   // (Dedup.deduplicate) composing minHashLsh -> duplicateComponents
@@ -4275,7 +4345,7 @@ object Queries {
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
-    sharedSpans, exciseSpans, minhashPairs,
+    sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annBq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,

@@ -1007,6 +1007,66 @@ object Dedup {
       coalesce(col("__keep"), col("component").isNull).as("keep"))
   }
 
+  /** Incremental TEXT near-dup admission: which rows of a (small)
+    * new `batch` are MinHash near-duplicates (estimated Jaccard >=
+    * `threshold`) of the stored corpus — the text analog of
+    * [[incrementalEmbeddingNearDup]], completing the admission-gate
+    * triple (exact text [[incrementalDedup]], embeddings, and this).
+    *
+    * `historySigs` is the SIGNATURE INDEX table (id, signature),
+    * built once with [[minHashSignatures]] and grown by appending
+    * each admitted batch's signatures — the realistic continuous-
+    * ingestion shape: the history's raw text is never re-read, and
+    * at numHashes longs per document the index is ~1/100th of the
+    * corpus bytes.
+    *
+    * Scale contract (the 10^12-row history case):
+    *  - the index is SCANNED once and NEVER shuffled: band keys are
+    *    computed on the scan (a per-row projection + bands-way
+    *    explode) and joined against the BROADCAST batch band set;
+    *  - the batch side (signatures + per-band keys) is batch-sized x
+    *    bands — always broadcastable;
+    *  - the Jaccard estimate is computed IN the broadcast-join stage
+    *    (both signatures present), so no candidate carries a
+    *    signature through a shuffle; the only shuffle is the final
+    *    distinct over (batch_id, history_id, est_jaccard).
+    *
+    * Returns (batch_id, history_id, est_jaccard) for every detected
+    * pair; anti-join the batch against the distinct batch_ids to
+    * admit only novel rows, then append the admitted signatures to
+    * `historySigs`.
+    */
+  def incrementalMinHashNearDup(
+      historySigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double,
+      numHashes: Int = 32, bands: Int = 8, ngram: Int = 3,
+      hashFn: (Int, Column) => Column = Hashing.xx,
+      bandHashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(historySigs.columns.contains(idCol) &&
+      historySigs.columns.contains("signature"),
+      s"historySigs must be a ($idCol, signature) index table — " +
+        "build it with minHashSignatures")
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
+      sigs.select(col(idCol).as(idAs), col("signature").as(sigAs),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            bandHashFn(slice(col("signature"), b * rows + 1, rows)).as("bh"))): _*))
+          .as("__band"))
+    val b = banded(
+      minHashSignatures(batch, idCol, textCol, numHashes, ngram, hashFn),
+      "batch_id", "sig_b")
+    val h = banded(historySigs, "history_id", "sig_h")
+    val est = size(filter(zip_with(col("sig_b"), col("sig_h"), (x, y) => x === y),
+      p => p)).cast("double") / lit(numHashes.toDouble)
+    h.join(broadcast(b), Seq("__band"))
+      .select(col("batch_id"), col("history_id"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
   /** Incremental embedding near-dup: which rows of a (small) new
     * `batch` near-duplicate (cosine >= `threshold`) some row of an
     * unbounded `history` corpus — the continuous-ingestion gate a

@@ -686,6 +686,49 @@ class DedupSpec extends SparkSpec {
       || plan.toLowerCase.contains("partial"), plan)
   }
 
+  test("incrementalMinHashNearDup == the batch x history restriction of the full pair sketch") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val history = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zq zr")).as("text"))
+      .union(docs.filter(col("doc_id") >= 150 && col("doc_id") < 170))
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+
+    // model: run the FULL all-pairs sketch over history ∪ batch and
+    // keep only (batch, history) pairs — the incremental operator
+    // must agree exactly (same hash family, same banding)
+    val full = Dedup.minHashLsh(history.union(batch), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, e) =>
+        if (batchIds(a) && !batchIds(b)) Some((a, b, e))
+        else if (batchIds(b) && !batchIds(a)) Some((b, a, e))
+        else None
+      }.toSet
+
+    val hSigs = Dedup.minHashSignatures(history, "doc_id", "text", numHashes = 32)
+    val inc = Dedup.incrementalMinHashNearDup(hSigs, batch, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "planted variants must hit their sources")
+    // every planted variant is caught; novel rows may or may not pair
+    (0L until 10L).foreach { i =>
+      assert(inc.exists(_._1 == i + 100000L), s"variant of $i missed") }
+
+    // plan: the history index is scanned, never shuffled — the only
+    // exchanges are the batch's own signature aggregate and the
+    // final pair distinct; the band join is broadcast
+    val df = Dedup.incrementalMinHashNearDup(hSigs, batch, "doc_id", "text", 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), "history must not shuffle-join\n" + plan)
+  }
+
   test("canonicalizeUrl: each documented normalization step, and non-URL passthrough") {
     val s = spark
     import s.implicits._
