@@ -3743,6 +3743,45 @@ object Queries {
               WHERE NOT COALESCE(value >= 10 AND value < 90, TRUE))
             ORDER BY "constraint""""))
 
+  // GENERATED COLUMNS (row 17u): event_day = to_date(ts) declared
+  // generated; the append OMITS the column (the engine computes it),
+  // and the read filters on it — derived-column pruning with zero
+  // writer discipline (the Delta partition-pruning-via-generation-
+  // expressions shape, served here by min/max file stats). Oracle
+  // recomputes the day from raw ts — any drift between the stored
+  // generated values and the expression mismatches the hash.
+  val generatedColQ = QueryDef(
+    "q_generated_col",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_genq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 2 === 0)
+          .withColumn("event_day", to_date(col("ts")))
+          .repartitionByRange(8, col("ts")),
+        s"$root/events", Seq("user_id", "event_day"))
+      DataSkipping.addGeneratedColumn(s, s"$root/events", "event_day", "to_date(ts)")
+      // the append never mentions event_day — generation fills it
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 2 === 1).repartitionByRange(4, col("ts")),
+        s"$root/events", Seq("user_id", "event_day"))
+      DataSkipping.readSkipping(s, s"$root/events",
+          col("event_day") >= lit(java.sql.Date.valueOf("2024-01-10")) &&
+            col("event_day") < lit(java.sql.Date.valueOf("2024-01-20")))
+        .groupBy(col("event_day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec12(col("value"))).cast("double").as("sum_value"))
+        .orderBy("event_day")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS event_day, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+              AND CAST(ts AS DATE) < DATE '2024-01-20'
+            GROUP BY 1 ORDER BY event_day"""))
+
   // SHALLOW CLONE: zero-copy clone of the events stats table, DML
   // applied to the CLONE only, then BOTH tables read back united
   // with a side label — the clone must show the delete while the
@@ -4351,7 +4390,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, cloneQ,
+    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, generatedColQ, cloneQ,
     mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

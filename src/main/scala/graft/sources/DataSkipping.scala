@@ -191,6 +191,33 @@ object DataSkipping {
     */
   val ConstraintsFile = "_constraints.json"
 
+  /** GENERATED COLUMNS (`_generated.json`, the Delta
+    * `GENERATED ALWAYS AS (expr)` analog): logical column name →
+    * generation SQL expression. Two behaviors compose:
+    *
+    *  - COMPUTE on append: a batch that OMITS a generated column
+    *    gets it computed from the stored expression before any
+    *    schema check — the writer convenience that makes derived
+    *    pruning columns (event_day from a timestamp) maintenance-
+    *    free. With min/max file stats on the generated column this
+    *    is the graft equivalent of Delta's partition pruning via
+    *    generation expressions: filter the derived column, prune
+    *    files, zero writer discipline required.
+    *  - ENFORCE everywhere else: registration also installs the
+    *    paired CHECK constraint `_gen_<col>` asserting
+    *    `col <=> (expr)`, so a batch (or DML rewrite) that SUPPLIES
+    *    the column with non-conforming values aborts at the same
+    *    staged-write choke point every constraint uses — the table
+    *    can never hold a row whose generated column disagrees with
+    *    its expression (validated back to add time, like Delta).
+    *
+    * Expressions are stored in LOGICAL names (the compute runs on
+    * the logical batch before any column-mapping translation); the
+    * paired constraint goes through [[addCheckConstraint]]'s
+    * physical binding, so enforcement survives RENAME COLUMN.
+    */
+  val GeneratedFile = "_generated.json"
+
   /** Default reader-safety window (Delta VACUUM's default): nothing a
     * manifest ever claimed is deleted sooner than this after being
     * replaced.
@@ -618,9 +645,33 @@ object DataSkipping {
     *         already present (idempotent replay skip)
     */
   def appendWithStats(
-      df0: DataFrame, path: String, statsCols0: Seq[String],
+      df0in: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
       mergeSchema: Boolean = false): Boolean = {
+    // GENERATED COLUMNS: a batch omitting a generated column gets it
+    // computed here, on the LOGICAL batch, before any schema check
+    // or column-mapping translation (expressions are stored logical
+    // — see [[GeneratedFile]]). Columns are then re-ordered to the
+    // stored schema so the strict shape check still compares equal.
+    // A batch that SUPPLIES the column is left alone — the paired
+    // _gen_ CHECK constraint verifies it at the staged choke point.
+    val df0 = {
+      val s0 = df0in.sparkSession
+      val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
+      val d0 = manifestDirOf(f0, path)
+      val missing = generatedIn(f0, d0)
+        .filterNot { case (n, _) => df0in.columns.contains(n) }
+      if (missing.isEmpty) df0in
+      else {
+        val withGen = missing.toSeq.sortBy(_._1).foldLeft(df0in) {
+          case (acc, (n, e)) => acc.withColumn(n, expr(e))
+        }
+        val storedNames = tableSchemaIn(s0, path, d0).fieldNames
+        val ordered = storedNames.filter(withGen.columns.contains) ++
+          withGen.columns.filterNot(storedNames.contains)
+        withGen.select(ordered.map(col): _*)
+      }
+    }
     // Column mapping: the batch and statsCols arrive in LOGICAL
     // names. Mapped columns translate to their physical names; NEW
     // logical columns (mergeSchema evolution) keep their names but
@@ -1005,9 +1056,9 @@ object DataSkipping {
       d.write.parquet(new Path(build, DvDir).toString))
     writeOpFile(fs, build, op, opStartMs)
     writeTxnFile(fs, dir, build, txn)
-    // CHECK constraints and the column mapping ride every generation
-    // forward like the txn map
-    Seq(ConstraintsFile, ColMapFile).foreach { n =>
+    // CHECK constraints, the column mapping and generated-column
+    // declarations ride every generation forward like the txn map
+    Seq(ConstraintsFile, ColMapFile, GeneratedFile).foreach { n =>
       readSidecarIn(fs, dir, n).foreach { j =>
         val out = fs.create(new Path(build, n), true)
         try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2321,6 +2372,83 @@ object DataSkipping {
   }
 
   // -----------------------------------------------------------------
+  // Generated columns (see [[GeneratedFile]])
+  // -----------------------------------------------------------------
+
+  private[sources] def generatedIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Map[String, String] =
+    readSidecarIn(fs, dir, GeneratedFile)
+      .map(constraintsFromJson).getOrElse(Map.empty)
+
+  /** The table's generated columns (name → generation SQL). */
+  def tableGeneratedColumns(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    generatedIn(fs, manifestDirOf(fs, path))
+  }
+
+  private def writeGeneratedSidecar(spark: SparkSession, dir: String,
+      gens: Map[String, String]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".generated-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(constraintsToJson(gens)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(dir, GeneratedFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Declare existing column `name` as GENERATED ALWAYS AS
+    * (`exprSql`). The column must already be in the table schema
+    * (declare it at creation by materializing the expression once);
+    * existing rows are validated against the expression through the
+    * paired `_gen_<name>` CHECK constraint (`validate = false` for
+    * the monitoring-only rollout, like [[addCheckConstraint]]).
+    * From then on appends may simply OMIT the column.
+    *
+    * Crash consistency: the constraint registers first; if the
+    * sidecar write is lost, enforcement still holds and a batch
+    * omitting the column fails the plain schema check — fail-safe,
+    * never silent drift.
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+      exprSql: String, validate: Boolean = true): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
+      s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    val schema = tableSchemaIn(spark, path, dir)
+    require(schema.fieldNames.contains(name),
+      s"generated column $name must already exist in the table schema " +
+        s"[${schema.fieldNames.sorted.mkString(",")}] — materialize it once at " +
+        "creation, then declare it")
+    val gens = generatedIn(fs, dir)
+    require(!gens.contains(name),
+      s"column $name is already generated on $path (as: ${gens(name)})")
+    addCheckConstraint(spark, path, s"_gen_$name",
+      s"`$name` <=> ($exprSql)", validate)
+    writeGeneratedSidecar(spark, dir, gens.updated(name, exprSql))
+  }
+
+  /** Remove the generation (column and data stay; the paired CHECK
+    * constraint is dropped too). Loud if absent.
+    */
+  def dropGeneratedColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val gens = generatedIn(fs, dir)
+    require(gens.contains(name), s"no generated column $name on $path " +
+      s"(have: ${gens.keys.toSeq.sorted.mkString(",")})")
+    // sidecar first: a crash between the two leaves enforcement
+    // without compute — appends omitting the column fail the schema
+    // check loudly instead of silently diverging
+    writeGeneratedSidecar(spark, dir, gens.removed(name))
+    dropCheckConstraint(spark, path, s"_gen_$name")
+  }
+
+  // -----------------------------------------------------------------
   // Column mapping: RENAME / DROP COLUMN (the Delta column-mapping
   // 'name'-mode analog)
   // -----------------------------------------------------------------
@@ -3073,7 +3201,7 @@ object DataSkipping {
     // the removal log (the clone must never re-delete source state),
     // NOT the op record (the clone's history starts at CLONE)
     Seq(SchemaFile, StatsColsFile, FeaturesFile, ManifestSchemaFile,
-      ConstraintsFile, ColMapFile).foreach { n =>
+      ConstraintsFile, ColMapFile, GeneratedFile).foreach { n =>
       val p = new Path(srcDir, n)
       if (fs.exists(p))
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(build, n),
@@ -3278,10 +3406,12 @@ object DataSkipping {
     // constraints are table metadata, not content: the CURRENT set
     // carries through a restore (the restored rows are NOT
     // re-validated — audit with constraintViolations)
-    readSidecarIn(fs, dir, ConstraintsFile).foreach { j =>
-      val out = fs.create(new Path(build, ConstraintsFile), true)
-      try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    Seq(ConstraintsFile, GeneratedFile).foreach { n =>
+      readSidecarIn(fs, dir, n).foreach { j =>
+        val out = fs.create(new Path(build, n), true)
+        try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     }
     // the column mapping is SCHEMA metadata and follows the TARGET
     // version like the schema sidecar does — restoring past a rename
