@@ -3782,6 +3782,80 @@ object Queries {
               AND CAST(ts AS DATE) < DATE '2024-01-20'
             GROUP BY 1 ORDER BY event_day"""))
 
+  // IDENTITY COLUMNS (row 17v): row_id GENERATED ALWAYS AS IDENTITY
+  // (start 1000 step 2). Bootstrap rows carry a deterministic id
+  // (1000 + 2*event_id); two appends OMIT the column and the engine
+  // deals dense grid ids past the bootstrap max — no window, no
+  // global sort, per-partition offsets only. WHICH appended row gets
+  // WHICH id is partitioning-dependent by design (Delta's contract
+  // too), so the oracle checks the exact ID SETS per batch (dense
+  // ranges the arithmetic pins) plus per-batch payload aggregates,
+  // and the per-row binding only for the deterministic bootstrap.
+  // Batch boundaries are recovered IN-PLAN from a 1-row broadcast of
+  // source-derived bounds — never a driver value.
+  val identityColQ = QueryDef(
+    "q_identity_col",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_idq").toString
+      val t = s"$root/events_id"
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 4 === 0)
+          .select((lit(1000L) + lit(2L) * col("event_id")).as("row_id"),
+            col("event_id"), col("value"))
+          .repartitionByRange(8, col("row_id")),
+        t, Seq("row_id"))
+      DataSkipping.addIdentityColumn(s, t, "row_id", start = 1000L, step = 2L)
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 4 === 1).repartition(8), t, Seq("row_id"))
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 4 === 2).repartition(3), t, Seq("row_id"))
+      val bounds = ev.agg(
+          (lit(1002L) + lit(2L) * max(when(col("event_id") % 4 === 0,
+            col("event_id")))).as("next0"),
+          count(when(col("event_id") % 4 === 1, lit(1))).as("n1"))
+        .select(col("next0"), (col("next0") + lit(2L) * col("n1")).as("b2lo"))
+      val tbl = DataSkipping.readSkipping(s, t,
+          col("row_id").isNotNull || col("row_id").isNull)
+        .crossJoin(broadcast(bounds))
+        .withColumn("batch",
+          when(col("row_id") < col("next0"), lit(0))
+            .when(col("row_id") < col("b2lo"), lit(1)).otherwise(lit(2)))
+        .withColumn("eid", when(col("batch") === 0, col("event_id")))
+      // per-batch payload aggregates ride back on a 3-row broadcast
+      // join — no window over the table, no per-batch row funnel
+      val per = tbl.groupBy(col("batch")).agg(
+        count(lit(1)).as("n"),
+        sum(dec12(col("value"))).cast("double").as("sum_value"))
+      tbl.join(broadcast(per), Seq("batch"))
+        .select(col("row_id"), col("batch"), col("eid"),
+          col("n"), col("sum_value"))
+        .orderBy("row_id")
+    },
+    Some("""WITH bounds AS (
+              SELECT 1002 + 2*MAX(CASE WHEN event_id % 4 = 0 THEN event_id END) AS next0
+              FROM events),
+            b0 AS (SELECT 1000 + 2*event_id AS row_id, 0 AS batch,
+                     event_id AS eid, value
+                   FROM events WHERE event_id % 4 = 0),
+            b1 AS (SELECT (SELECT next0 FROM bounds)
+                       + 2*(ROW_NUMBER() OVER (ORDER BY event_id) - 1) AS row_id,
+                     1 AS batch, CAST(NULL AS BIGINT) AS eid, value
+                   FROM events WHERE event_id % 4 = 1),
+            b2 AS (SELECT (SELECT next0 FROM bounds)
+                       + 2*(SELECT COUNT(*) FROM events WHERE event_id % 4 = 1)
+                       + 2*(ROW_NUMBER() OVER (ORDER BY event_id) - 1) AS row_id,
+                     2 AS batch, CAST(NULL AS BIGINT) AS eid, value
+                   FROM events WHERE event_id % 4 = 2),
+            u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+                  UNION ALL SELECT * FROM b2)
+            SELECT row_id, batch, eid,
+              COUNT(*) OVER (PARTITION BY batch) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY batch)
+                AS DOUBLE) AS sum_value
+            FROM u ORDER BY row_id"""))
+
   // SHALLOW CLONE: zero-copy clone of the events stats table, DML
   // applied to the CLONE only, then BOTH tables read back united
   // with a side label — the clone must show the delete while the
@@ -4390,7 +4464,8 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, generatedColQ, cloneQ,
+    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, generatedColQ,
+    identityColQ, cloneQ,
     mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

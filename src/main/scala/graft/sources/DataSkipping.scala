@@ -218,6 +218,34 @@ object DataSkipping {
     */
   val GeneratedFile = "_generated.json"
 
+  /** IDENTITY COLUMNS (`_identity.json`, the Delta `GENERATED ALWAYS
+    * AS IDENTITY` analog): logical column name → `"start,step,next"`
+    * where `next` is the high-water mark — the next id this table
+    * will issue. Appends must OMIT the column (GENERATED ALWAYS);
+    * the engine assigns each batch row a fresh id from the
+    * arithmetic sequence `start + k*step` and advances `next` by
+    * `step * batchRows` SIDECAR-FIRST, so a crash between the
+    * watermark advance and the data move burns ids (a gap — legal
+    * for identity, Delta's contract too) but can never issue the
+    * same id twice. Ids are allocated densely per batch with NO
+    * global sort and NO window: `monotonically_increasing_id`
+    * decomposes into (partition, row-in-partition), per-partition
+    * counts (O(tasks) driver rows, the partition-count pattern) turn
+    * into exclusive prefix offsets broadcast-joined back, and the id
+    * is pure arithmetic — codegen the whole way. The batch is pinned
+    * (persist) across the count and write passes so a recomputation
+    * cannot re-deal rows across partitions between them.
+    *
+    * DML keeps stored ids verbatim (rewrites carry rows; MERGE
+    * sources carry the full schema and thus supply ids — the
+    * caller's contract, like Delta's `GENERATED BY DEFAULT` inserts);
+    * UPDATE refuses to assign an identity column. The sidecar rides
+    * DML generations and clones forward; RESTORE carries the CURRENT
+    * watermark (content rewinds, issued ids are never re-issued —
+    * the same never-rewind rule as `_txn.json`).
+    */
+  val IdentityFile = "_identity.json"
+
   /** Default reader-safety window (Delta VACUUM's default): nothing a
     * manifest ever claimed is deleted sooner than this after being
     * replaced.
@@ -648,6 +676,14 @@ object DataSkipping {
       df0in: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
       mergeSchema: Boolean = false): Boolean = {
+    val s0 = df0in.sparkSession
+    val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
+    val d0 = manifestDirOf(f0, path)
+    // idempotent-replay check FIRST: a replayed named commit must not
+    // re-run the identity hook below (the watermark would advance and
+    // burn a batch-sized id gap on every replay)
+    if (commitName.exists(n => n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+        f0.exists(new Path(d0, s"$n.parquet")))) return false
     // GENERATED COLUMNS: a batch omitting a generated column gets it
     // computed here, on the LOGICAL batch, before any schema check
     // or column-mapping translation (expressions are stored logical
@@ -655,23 +691,28 @@ object DataSkipping {
     // stored schema so the strict shape check still compares equal.
     // A batch that SUPPLIES the column is left alone — the paired
     // _gen_ CHECK constraint verifies it at the staged choke point.
-    val df0 = {
-      val s0 = df0in.sparkSession
-      val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
-      val d0 = manifestDirOf(f0, path)
+    val dfGen = {
       val missing = generatedIn(f0, d0)
         .filterNot { case (n, _) => df0in.columns.contains(n) }
       if (missing.isEmpty) df0in
-      else {
-        val withGen = missing.toSeq.sortBy(_._1).foldLeft(df0in) {
-          case (acc, (n, e)) => acc.withColumn(n, expr(e))
-        }
-        val storedNames = tableSchemaIn(s0, path, d0).fieldNames
-        val ordered = storedNames.filter(withGen.columns.contains) ++
-          withGen.columns.filterNot(storedNames.contains)
-        withGen.select(ordered.map(col): _*)
+      else missing.toSeq.sortBy(_._1).foldLeft(df0in) {
+        case (acc, (n, e)) => acc.withColumn(n, expr(e))
       }
     }
+    // IDENTITY COLUMNS: the batch must omit them; the engine assigns
+    // fresh ids and advances the watermark sidecar-first (see
+    // [[IdentityFile]]). Both hooks may append columns out of stored
+    // order — one reorder restores the strict shape check's frame.
+    val (dfIds, idPinned) = assignIdentity(s0, d0, dfGen)
+    val df0 =
+      if (dfIds eq df0in) df0in
+      else {
+        val storedNames = tableSchemaIn(s0, path, d0).fieldNames
+        val ordered = storedNames.filter(dfIds.columns.contains) ++
+          dfIds.columns.filterNot(storedNames.contains)
+        dfIds.select(ordered.map(col): _*)
+      }
+    try {
     // Column mapping: the batch and statsCols arrive in LOGICAL
     // names. Mapped columns translate to their physical names; NEW
     // logical columns (mergeSchema evolution) keep their names but
@@ -817,6 +858,7 @@ object DataSkipping {
         writeManifestFile(spark, fs, path, batchStats, dest)
     }
     true
+    } finally idPinned.foreach(_.unpersist())
   }
 
   /** The manifest schema after tracking `statsCols` over a table that
@@ -1058,7 +1100,7 @@ object DataSkipping {
     writeTxnFile(fs, dir, build, txn)
     // CHECK constraints, the column mapping and generated-column
     // declarations ride every generation forward like the txn map
-    Seq(ConstraintsFile, ColMapFile, GeneratedFile).foreach { n =>
+    Seq(ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile).foreach { n =>
       readSidecarIn(fs, dir, n).foreach { j =>
         val out = fs.create(new Path(build, n), true)
         try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2449,6 +2491,160 @@ object DataSkipping {
   }
 
   // -----------------------------------------------------------------
+  // Identity columns (see [[IdentityFile]])
+  // -----------------------------------------------------------------
+
+  /** Parsed identity spec: (start, step, next id to issue). */
+  private[sources] final case class IdentitySpec(start: Long, step: Long, next: Long)
+
+  private[sources] def identityIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Map[String, IdentitySpec] =
+    readSidecarIn(fs, dir, IdentityFile)
+      .map(constraintsFromJson).getOrElse(Map.empty)
+      .map { case (n, v) =>
+        val parts = v.split(",", 3)
+        require(parts.length == 3, s"malformed identity spec for $n: $v")
+        n -> IdentitySpec(parts(0).toLong, parts(1).toLong, parts(2).toLong)
+      }
+
+  private def writeIdentitySidecar(spark: SparkSession, dir: String,
+      ids: Map[String, IdentitySpec]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".identity-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(constraintsToJson(ids.map { case (n, s) =>
+        n -> s"${s.start},${s.step},${s.next}" })
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(dir, IdentityFile),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The table's identity columns (name → (start, step, next)). */
+  def tableIdentityColumns(spark: SparkSession,
+      path: String): Map[String, (Long, Long, Long)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    identityIn(fs, manifestDirOf(fs, path))
+      .map { case (n, s) => n -> (s.start, s.step, s.next) }
+  }
+
+  /** Declare existing LONG column `name` as GENERATED ALWAYS AS
+    * IDENTITY (START WITH `start` STEP `step`). The column must
+    * already exist (bootstrap its initial values at creation — e.g.
+    * a deterministic row_number — then declare); the watermark
+    * resolves PAST every stored value on the `start + k*step` grid,
+    * so already-issued ids can never repeat. From then on every
+    * append must OMIT the column and the engine assigns fresh ids
+    * (see [[IdentityFile]]).
+    */
+  def addIdentityColumn(spark: SparkSession, path: String, name: String,
+      start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0L, "identity step must be non-zero")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    require(fs.exists(new Path(dir, SchemaFile)),
+      s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    val schema = tableSchemaIn(spark, path, dir)
+    val field = schema.find(_.name == name)
+    require(field.isDefined,
+      s"identity column $name must already exist in the table schema " +
+        s"[${schema.fieldNames.sorted.mkString(",")}] — bootstrap its values " +
+        "once at creation, then declare it")
+    require(field.get.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column $name must be BIGINT, is ${field.get.dataType.simpleString}")
+    val ids = identityIn(fs, dir)
+    require(!ids.contains(name), s"column $name is already an identity column")
+    require(!generatedIn(fs, dir).contains(name),
+      s"column $name is a generated column — it cannot also be identity")
+    // one agg scan resolves the watermark past existing ids on the
+    // grid (declaration-time only; appends never re-scan)
+    val extreme = readSkipping(spark, path,
+        col(name).isNotNull || col(name).isNull)
+      .agg((if (step > 0) max(col(name)) else min(col(name))).as("m")).head()
+    val next =
+      if (extreme.isNullAt(0)) start
+      else {
+        val m = extreme.getLong(0)
+        // first grid point strictly past m (in step direction), >= start
+        if (step > 0) {
+          if (m < start) start
+          else start + step * (Math.floorDiv(m - start, step) + 1)
+        } else {
+          if (m > start) start
+          else start + step * (Math.floorDiv(start - m, -step) + 1)
+        }
+      }
+    writeIdentitySidecar(spark, dir, ids.updated(name,
+      IdentitySpec(start, step, next)))
+  }
+
+  /** Remove the identity declaration (column and data stay). Loud if
+    * absent.
+    */
+  def dropIdentityColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val ids = identityIn(fs, dir)
+    require(ids.contains(name), s"no identity column $name on $path " +
+      s"(have: ${ids.keys.toSeq.sorted.mkString(",")})")
+    writeIdentitySidecar(spark, dir, ids.removed(name))
+  }
+
+  /** Assign fresh identity ids to `batch` for every declared identity
+    * column (all of which the batch must omit) and advance the
+    * watermark sidecar-first. Returns the batch unchanged when the
+    * table has no identity columns, else `(batch with ids, pinned)`
+    * where `pinned` must be unpersisted by the caller after the
+    * write lands. See [[IdentityFile]] for the allocation shape.
+    */
+  private def assignIdentity(spark: SparkSession, dir: String,
+      batch: DataFrame): (DataFrame, Option[DataFrame]) = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = identityIn(fs, dir)
+    if (ids.isEmpty) return (batch, None)
+    ids.keys.foreach(n => require(!batch.columns.contains(n),
+      s"column $n is GENERATED ALWAYS AS IDENTITY — the batch must omit " +
+        "it; the engine assigns ids"))
+    val rowBits = 33 // monotonically_increasing_id: pid << 33 | row
+    val pinned = batch
+      .withColumn("__graft_mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftright(col("__graft_mid"), rowBits).cast("int")
+    // O(partitions) rows to the driver — the partition-count pattern
+    val counts = pinned.groupBy(pid.as("__graft_pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    if (total == 0L) {
+      pinned.unpersist()
+      val withCols = ids.keys.toSeq.sorted.foldLeft(batch) {
+        (acc, n) => acc.withColumn(n, lit(null).cast("bigint"))
+      }
+      return (withCols.limit(0), None)
+    }
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (p, n)) => (p, acc + n)
+    }.tail.zip(counts).map { case ((p, cum), (_, n)) => (p, cum - n) }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__graft_pid", "__graft_off")
+    val rank = col("__graft_off") +
+      col("__graft_mid").bitwiseAND((1L << rowBits) - 1)
+    // watermark advances BEFORE any data lands: crash = gap, never a
+    // duplicate id
+    writeIdentitySidecar(spark, dir, ids.map { case (n, s) =>
+      n -> s.copy(next = s.next + s.step * total) })
+    val withIds = ids.toSeq.sortBy(_._1).foldLeft(
+        pinned.withColumn("__graft_pid", pid)
+          .join(broadcast(offsetsDf), Seq("__graft_pid"))) {
+      case (acc, (n, s)) =>
+        acc.withColumn(n, lit(s.next) + lit(s.step) * rank)
+    }.drop("__graft_pid", "__graft_mid", "__graft_off")
+    (withIds, Some(pinned))
+  }
+
+  // -----------------------------------------------------------------
   // Column mapping: RENAME / DROP COLUMN (the Delta column-mapping
   // 'name'-mode analog)
   // -----------------------------------------------------------------
@@ -2693,9 +2889,22 @@ object DataSkipping {
       set: Map[String, Column],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long =
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    requireNotIdentity(spark, path, set.keys, "UPDATE")
     updateWherePhys(spark, path, mapPred(spark, path, predicate),
       mapSet(spark, path, set), vacuum, retentionMs, markerRetentionMs)
+  }
+
+  /** GENERATED ALWAYS AS IDENTITY columns cannot be assigned. */
+  private def requireNotIdentity(spark: SparkSession, path: String,
+      assigned: Iterable[String], op: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = identityIn(fs, manifestDirOf(fs, path)).keySet
+    val hit = assigned.filter(ids)
+    require(hit.isEmpty,
+      s"$op cannot assign identity column(s) ${hit.toSeq.sorted.mkString(",")} " +
+        "— ids are GENERATED ALWAYS and never reassigned")
+  }
 
   /** Merge-on-read DELETE (deletion vector); see [[deleteWhereDVPhys]]. */
   def deleteWhereDV(spark: SparkSession, path: String, predicate: Column,
@@ -2710,9 +2919,11 @@ object DataSkipping {
       set: Map[String, Column],
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long =
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    requireNotIdentity(spark, path, set.keys, "UPDATE")
     updateWhereDVPhys(spark, path, mapPred(spark, path, predicate),
       mapSet(spark, path, set), vacuum, retentionMs, markerRetentionMs)
+  }
 
   /** Atomic keyed replace; see [[replaceKeyedPhys]]. */
   def replaceKeyed(spark: SparkSession, path: String, source: DataFrame,
@@ -3201,7 +3412,7 @@ object DataSkipping {
     // the removal log (the clone must never re-delete source state),
     // NOT the op record (the clone's history starts at CLONE)
     Seq(SchemaFile, StatsColsFile, FeaturesFile, ManifestSchemaFile,
-      ConstraintsFile, ColMapFile, GeneratedFile).foreach { n =>
+      ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile).foreach { n =>
       val p = new Path(srcDir, n)
       if (fs.exists(p))
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(build, n),
@@ -3406,7 +3617,7 @@ object DataSkipping {
     // constraints are table metadata, not content: the CURRENT set
     // carries through a restore (the restored rows are NOT
     // re-validated — audit with constraintViolations)
-    Seq(ConstraintsFile, GeneratedFile).foreach { n =>
+    Seq(ConstraintsFile, GeneratedFile, IdentityFile).foreach { n =>
       readSidecarIn(fs, dir, n).foreach { j =>
         val out = fs.create(new Path(build, n), true)
         try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
