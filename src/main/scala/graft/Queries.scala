@@ -849,6 +849,32 @@ object Queries {
               CAST(length(text) AS BIGINT) AS len_chars
             FROM documents ORDER BY doc_id"""))
 
+  // RAG CHUNKING (row 30p): 40-token windows, 10-token overlap,
+  // over the whole documents table — shuffle-free fan-out, each
+  // chunk's id/start/count/text replayed exactly by the oracle's
+  // lateral generate_series + list slice.
+  val chunkDocsQ = QueryDef(
+    "q_chunk_docs",
+    (s, d) => TextOps.chunkDocs(Tables.documents(s, d),
+        "doc_id", "text", chunkTokens = 40, overlapTokens = 10)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+              FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                    unnest(range(0, GREATEST(1,
+                      CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS chunk_id
+                  FROM n)
+            SELECT doc_id, chunk_id,
+              chunk_id * 30 AS start_token,
+              GREATEST(0, LEAST(40, n - chunk_id * 30)) AS n_tokens,
+              array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+                AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id"""))
+
   private val qualityOracle = {
     val stop = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH base AS (
@@ -4453,7 +4479,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
     windowedAgg,
-    tokenCount, qualityScore, langId, fingerprint, termStats, bm25Q, heavyTermsQ, redactDocs,
+    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,

@@ -208,6 +208,53 @@ object TextOps {
       coalesce(bpeEncode(col(textCol), merges),
         array().cast("array<string>")).as("tokens"))
 
+  /** RAG-style document chunking: fixed-size token windows with
+    * overlap — the retrieval-corpus preparation pass that turns each
+    * document into indexable passages. Chunk k of a document covers
+    * tokens `[k·stride, k·stride + chunkTokens)` where
+    * `stride = chunkTokens − overlapTokens`; the last chunk is the
+    * first one whose window reaches the end (a trailing window that
+    * would add no new token is never emitted), and a document always
+    * yields at least one chunk (a trimmed-empty document yields one
+    * empty chunk — visible and filterable, not silently dropped).
+    * Tokenization is the corpus-wide [[TextFunctions.tokens]]
+    * whitespace pass, so chunk token counts agree with
+    * [[graft.functions.TextFunctions.tokenCount]] budgeting.
+    *
+    * Output: (idCol, chunk_id, start_token, n_tokens, chunk_text).
+    *
+    * Scale shape: ZERO shuffles — tokenize, chunk-count arithmetic,
+    * `explode(sequence(...))` and a 1-based `slice`/`array_join` are
+    * all per-row codegen'd expressions; the fan-out is bounded by
+    * `len/stride` per document and composes with any downstream
+    * embed/index stage without a repartition.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens): $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(toks)).cast("bigint")
+    // integer ceil((n - overlap) / stride), floored at one chunk
+    // (values are token counts — far inside double's exact-integer
+    // range, so floor(x / y) is exact)
+    val nChunks = greatest(lit(1L),
+      floor((n - overlapTokens + (stride - 1)) / lit(stride)).cast("bigint"))
+    val start = col("chunk_id") * stride
+    docs.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks.cast("bigint") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        start.as("start_token"),
+        greatest(lit(0L), least(lit(chunkTokens.toLong),
+          when(length(trim(col(textCol))) === 0, lit(0))
+            .otherwise(size(toks)).cast("bigint") - start)).as("n_tokens"),
+        array_join(slice(toks, (start + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** TF-IDF with the standard smoothed idf:
     * idf = ln((N + 1) / (df + 1)) + 1. N is passed in (the caller
     * usually knows it; recomputing would add a scan).

@@ -554,4 +554,53 @@ class TextOpsSpec extends SparkSpec {
     // cross join — intentional: scalars ride the plan, no collect)
     assert(df.count() === 5)
   }
+
+  test("chunkDocs: window arithmetic, overlap stitching, empty doc, single-chunk doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (0 until 70).map(i => s"t$i").mkString(" ")), // 70 tokens
+      (2L, "only three tokens"),
+      (3L, "   "),                                       // trimmed-empty
+      (4L, (0 until 30).map(i => s"u$i").mkString(" "))  // exactly one stride
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 10)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc 1: ceil((70-10)/30) = 2 chunks; [0,40) and [30,70)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length === 2)
+    assert(d1(0)._3 === 0L && d1(0)._4 === 40L)
+    assert(d1(1)._3 === 30L && d1(1)._4 === 40L)
+    // overlap: chunk 0's last 10 tokens == chunk 1's first 10
+    assert(d1(0)._5.split(" ").takeRight(10).toSeq ===
+      d1(1)._5.split(" ").take(10).toSeq)
+    // stitching chunk0 + chunk1-minus-overlap rebuilds the doc
+    assert((d1(0)._5.split(" ") ++ d1(1)._5.split(" ").drop(10)).mkString(" ")
+      === (0 until 70).map(i => s"t$i").mkString(" "))
+    // doc 2: one short chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0L, 0L, 3L, "only three tokens")))
+    // doc 3: one visible empty chunk
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 0L, "")))
+    // doc 4: 30 tokens fit one 40-token window — exactly one chunk
+    assert(out.filter(_._1 == 4L).map(_._2).toSeq === Seq(0L))
+    // a trailing window adding no new token is never emitted:
+    // 40 tokens = exactly one chunk (second window [30,40) would
+    // only repeat overlap)
+    val exact = TextOps.chunkDocs(
+      Seq((9L, (0 until 40).map("x" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 40, 10)
+    assert(exact.count() === 1)
+  }
+
+  test("chunkDocs plan: zero shuffles, codegen'd fan-out") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = TextOps.chunkDocs(docs, "doc_id", "text", 40, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle\n" + plan)
+    assert(!plan.contains("Window"), plan)
+    assert(df.count() > 0)
+  }
 }
