@@ -1863,6 +1863,59 @@ object Queries {
             FROM ml LEFT JOIN k USING (doc_id)
             GROUP BY ml.doc_id ORDER BY doc_id"""))
 
+  // BOILERPLATE LINE REMOVAL (row 18i): the rule dedupParagraphs
+  // deliberately doesn't implement — a line in >= minDocs DISTINCT
+  // docs is removed from EVERY doc, first occurrence included.
+  // Planted banners ("subscribe ..." on even ids, "all rights
+  // reserved" on ids % 3 == 0) must vanish everywhere; natural
+  // 3-word lines crossing the threshold go too; rare lines survive
+  // verbatim. Oracle replays the distinct-doc counting and ordered
+  // reassembly exactly.
+  val removeBoilerplateQ = QueryDef(
+    "q_remove_boilerplate",
+    (s, d) => {
+      val ml = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 2 === 0,
+            lit("subscribe to our newsletter\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nall rights reserved")).otherwise(lit(""))).as("text"))
+      Dedup.removeBoilerplate(ml, "doc_id", "text", minDocs = 5, sep = "\n")
+        .orderBy("doc_id")
+    },
+    Some("""WITH ml AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+                || regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g')
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'all rights reserved' ELSE '' END AS t
+              FROM documents WHERE doc_id < 250
+            ), p AS (
+              SELECT doc_id, u.idx AS idx, u.para AS para FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ps)+1),
+                  i -> {'idx': i, 'para': ps[i]})) AS u
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM ml))
+              WHERE length(u.para) > 0
+            ), b AS (
+              SELECT para FROM (
+                SELECT para, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY para)
+              WHERE nd >= 5
+            ), k AS (
+              SELECT doc_id, idx, para FROM p
+              WHERE para NOT IN (SELECT para FROM b)
+            ), c AS (
+              SELECT doc_id, COUNT(*) AS n_lines FROM p GROUP BY doc_id
+            )
+            SELECT ml.doc_id,
+              COALESCE(string_agg(k.para, chr(10) ORDER BY k.idx), '') AS text,
+              CAST(COUNT(k.para) AS BIGINT) AS n_kept,
+              CAST(COALESCE(ANY_VALUE(c.n_lines), 0) - COUNT(k.para) AS BIGINT)
+                AS n_removed
+            FROM ml LEFT JOIN c USING (doc_id) LEFT JOIN k USING (doc_id)
+            GROUP BY ml.doc_id ORDER BY doc_id"""))
+
   val ngramJaccardPairs = QueryDef(
     "q_ngram_jaccard_pairs",
     (s, d) => Dedup.ngramJaccardPairs(
@@ -4483,7 +4536,8 @@ object Queries {
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
-    dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ, normalizeDedup, ngramJaccardPairs,
+    dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
+    removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annBq, quantizeQ, multimodalMeta,

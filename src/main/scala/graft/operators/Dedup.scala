@@ -257,6 +257,63 @@ object Dedup {
         (coalesce(col("__n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Line-level BOILERPLATE REMOVAL — the RefinedWeb/MassiveText
+    * rule [[dedupParagraphs]] deliberately does NOT implement: a line
+    * appearing in at least `minDocs` DISTINCT documents (navigation
+    * menus, cookie banners, license footers) is boilerplate and is
+    * removed from EVERY document, first occurrence included —
+    * keep-first is the right call for copied content, wrong for
+    * template furniture that was never content anywhere. Documents
+    * are reassembled from their surviving lines in original order;
+    * a document that was all boilerplate comes back empty (visible
+    * and filterable). Empty lines are discarded before matching,
+    * like [[dedupParagraphs]].
+    *
+    * Output: (doc id, text, n_kept, n_removed).
+    *
+    * Scale: the frequency side shuffles ONLY 8-byte line hashes —
+    * distinct (hash, doc) pairs (partial-aggregated), then a
+    * per-hash distinct-doc count; line text crosses exactly the two
+    * shuffles reassembly itself requires (the anti-join against the
+    * hash-only boilerplate set and the per-doc regroup — the
+    * [[dedupParagraphs]] shape). A popular line costs one count row,
+    * never a row per occurrence, so template skew cannot hot-spot a
+    * task. `hashKeys = false` restores full-text keys (exact under
+    * collisions, at string-width shuffle cost).
+    */
+  def removeBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, sep: String = "\n",
+      hashKeys: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__idx", "__l")))
+      .filter(length(col("__l")) > 0)
+    val key: Column => Column =
+      if (hashKeys) xxhash64(_) else identity
+    val boiler = lines.select(key(col("__l")).as("__lk"), col("__id"))
+      .distinct()
+      .groupBy(col("__lk")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__lk"))
+    val kept = lines.join(boiler,
+        key(col("__l")) === boiler("__lk"), "left_anti")
+    val reassembled = kept.groupBy(col("__id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__l")))),
+        s => s.getField("__l")), sep).as("text"))
+    val counts = lines.groupBy(col("__id")).agg(count(lit(1)).as("__n_lines"))
+    docs.select(col(idCol).as("__id"))
+      .join(counts, Seq("__id"), "left")
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_lines"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** MinHash signatures: for seeds 0..k-1,
     * sig[i] = min over distinct word-ngrams g of hash(i, g).
     *

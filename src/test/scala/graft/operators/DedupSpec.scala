@@ -288,6 +288,46 @@ class DedupSpec extends SparkSpec {
     assert(out(3) === ((4L, "delta", 1L, 0L)))
   }
 
+  test("removeBoilerplate drops EVERY copy past the distinct-doc threshold, first included") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "footer\ncontent one\nfooter"), // footer twice here = ONE distinct doc
+      (2L, "footer\ncontent two"),
+      (3L, "footer\ncontent three"),
+      (4L, "content four\nrare line"),
+      (5L, "rare line\ncontent five")      // rare line: 2 docs < minDocs=3
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // footer is in 3 distinct docs -> removed everywhere (both copies in doc 1)
+    assert(out(0) === ((1L, "content one", 1L, 2L)))
+    assert(out(1) === ((2L, "content two", 1L, 1L)))
+    assert(out(2) === ((3L, "content three", 1L, 1L)))
+    // rare line in only 2 docs -> survives in both
+    assert(out(3) === ((4L, "content four\nrare line", 2L, 0L)))
+    assert(out(4) === ((5L, "rare line\ncontent five", 2L, 0L)))
+    // within-doc repetition alone never crosses the DISTINCT-doc bar
+    val solo = Dedup.removeBoilerplate(
+      Seq((9L, "x\nx\nx\ny")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().head
+    assert(solo.getString(1) === "x\nx\nx\ny")
+    // all-boilerplate doc comes back empty, visible
+    val all = Dedup.removeBoilerplate(
+      Seq((1L, "b"), (2L, "b"), (3L, "b")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).orderBy("doc_id").collect()
+    assert(all.forall(r => r.getString(1) == "" && r.getLong(3) == 1L))
+    // hashed keys == full-string keys
+    val big = (0L until 50L).map(i =>
+      (i, s"shared header line\nunique body $i")).toDF("doc_id", "text")
+    val h = Dedup.removeBoilerplate(big, "doc_id", "text", 3, hashKeys = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val f = Dedup.removeBoilerplate(big, "doc_id", "text", 3, hashKeys = false)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(h.toSeq === f.toSeq)
+  }
+
   test("incrementalDedup: exact flags vs history; bloom prefilter cannot lose a dup") {
     val s = spark
     import s.implicits._
