@@ -217,6 +217,42 @@ object Queries {
               ON a.user_id = b.user_id AND a.ts <= b.ts
             GROUP BY a.user_id ORDER BY a.user_id"""))
 
+  // PERIODIC SNAPSHOT + FORWARD FILL (row 7b): inventory position
+  // per (store, day) — gap days carry the prior position forward, so
+  // "stock on any day" is a filter, not an as-of join. Purchases
+  // over user_id%97 stores give real gaps at every sf. Oracle
+  // replays the last-of-day argmax, the per-key day grid and an
+  // IGNORE NULLS last_value window.
+  val dailySnapshotsQ = QueryDef(
+    "q_daily_snapshots",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select((col("user_id") % 97).as("store_id"), col("ts"), col("value"))
+      Inventory.dailySnapshots(ev, Seq("store_id"), "ts", "value")
+        .orderBy("store_id", "day")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id % 97 AS store_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), daily AS (
+              SELECT store_id, day, value FROM (
+                SELECT store_id, CAST(ts AS DATE) AS day, ts, value,
+                  row_number() OVER (PARTITION BY store_id, CAST(ts AS DATE)
+                    ORDER BY ts DESC, value DESC) AS rn
+                FROM ev) WHERE rn = 1
+            ), grid AS (
+              SELECT store_id,
+                CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                  (SELECT CAST(MAX(CAST(ts AS DATE)) AS TIMESTAMP) FROM ev),
+                  INTERVAL 1 DAY)) AS DATE) AS day
+              FROM (SELECT store_id, MIN(day) AS d0 FROM daily GROUP BY store_id)
+            )
+            SELECT g.store_id, g.day,
+              last_value(daily.value IGNORE NULLS) OVER (
+                PARTITION BY g.store_id ORDER BY g.day) AS quantity
+            FROM grid g LEFT JOIN daily USING (store_id, day)
+            ORDER BY store_id, day"""))
+
   val transactionalize = QueryDef(
     "q_transactionalize",
     (s, d) => {
@@ -4524,7 +4560,7 @@ object Queries {
             ORDER BY event_id, start_ver"""))
 
   val all: Seq[QueryDef] = Seq(
-    dimLoad, jsonExtract, latestSnapshot, currentInventory, cdcChanges,
+    dimLoad, jsonExtract, latestSnapshot, currentInventory, dailySnapshotsQ, cdcChanges,
     scd2, scd2Apply,
     transactionalize, expectations,
     pricingSummary, revenueByRegion, revenueRollup, revenueCube, orderPercentiles,

@@ -86,4 +86,54 @@ object Inventory {
     currentState(snapshot, changes, keys = Seq("user_id"), seqCol = "ts", qtyCol = "value")
       .orderBy("user_id")
   }
+
+  /** PERIODIC SNAPSHOT fact table with forward fill — the
+    * inventory-position-by-day surface the reference's gold layer
+    * implies (pos-dlt `04_Silver-to-Gold ETL.sql`: current state =
+    * snapshot + later deltas; this materializes that state AT EVERY
+    * DAY): per key, one row per calendar day from the key's first
+    * observation to the global end of data, carrying the LAST
+    * observed value at or before that day (gap days repeat the prior
+    * position — the standard periodic-snapshot semantics that makes
+    * "inventory on any given day" a filter instead of an as-of
+    * join).
+    *
+    * Day-collapse rule: the last event of the day wins, ties on the
+    * timestamp break by highest value — one deterministic
+    * `max(struct(ts, value))` partial aggregate.
+    *
+    * Scale shape: the day-collapse is ONE partial-aggregated shuffle
+    * of the raw stream (the only pass over the big input); the day
+    * grid explodes from the ALREADY-AGGREGATED per-key frame
+    * (bounded by keys × days, the output size); the global end day
+    * rides a 1-row broadcast cross join (never a collect); and the
+    * forward fill is a `last(ignoreNulls)` window PARTITIONED BY
+    * KEY — per-key state, no corpus-global ordering, the one window
+    * shape that holds at 100 TB.
+    *
+    * Output: (keys..., day, quantity) — quantity non-null from each
+    * key's first observation onward.
+    */
+  def dailySnapshots(
+      df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "dailySnapshots needs at least one key column")
+    val day = to_date(col(tsCol))
+    val daily = df
+      .groupBy(keys.map(col) :+ day.as("day"): _*)
+      .agg(max(struct(col(tsCol), col(valueCol).as("__v"))).as("__last"))
+      .select(keys.map(col) :+ col("day") :+
+        col("__last.__v").as("__day_last"): _*)
+    val end = df.agg(max(day).as("__end_day"))
+    val grid = daily.groupBy(keys.map(col): _*)
+      .agg(min(col("day")).as("__d0"))
+      .crossJoin(broadcast(end))
+      .select(keys.map(col) :+
+        explode(sequence(col("__d0"), col("__end_day"))).as("day"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("day"))
+    grid.join(daily, keys :+ "day", "left")
+      .withColumn("quantity", last(col("__day_last"), ignoreNulls = true).over(w))
+      .select(keys.map(col) :+ col("day") :+ col("quantity"): _*)
+  }
 }
