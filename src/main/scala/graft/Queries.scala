@@ -4085,6 +4085,46 @@ object Queries {
               SELECT * FROM src)
             ORDER BY o_orderkey"""))
 
+  // MERGE SCHEMA EVOLUTION (row 17q note): the source adds a
+  // `channel` column under mergeSchema = true — matched rows take
+  // the source's value, inserts carry it, and every UNTOUCHED row
+  // surfaces NULL straight from the parquet reader (old files are
+  // never rewritten). Oracle builds the same three-way frame.
+  val mergeEvolveQ = QueryDef(
+    "q_merge_evolve",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_mev").toString
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DataSkipping.writeWithStats(
+        ord.repartitionByRange(8, col("o_orderkey")),
+        s"$root/orders", Seq("o_orderkey"))
+      val updates = ord.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("channel", lit("store"))
+      val inserts = ord.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("channel", lit("online"))
+      DataSkipping.mergeUpsert(s, s"$root/orders",
+        updates.unionByName(inserts), Seq("o_orderkey"), mergeSchema = true)
+      DataSkipping.readSkipping(s, s"$root/orders", col("o_orderkey") >= 0L)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH src AS (
+              SELECT o_orderkey, o_custkey, o_totalprice, 'store' AS channel
+              FROM orders WHERE o_orderkey % 10 = 3
+              UNION ALL
+              SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                     o_totalprice, 'online' AS channel
+              FROM orders WHERE o_orderkey % 10 = 7)
+            SELECT * FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(NULL AS VARCHAR) AS channel
+              FROM orders WHERE o_orderkey % 10 <> 3
+              UNION ALL
+              SELECT * FROM src)
+            ORDER BY o_orderkey"""))
+
   // CHANGE DATA FEED across all three DML ops: v1 DELETE (band A),
   // v2 UPDATE (band B, pre+post images), v3 MERGE keyed on event_id
   // (matched rows pre+post, keys deleted in v1 re-enter as inserts).
@@ -4582,6 +4622,6 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
-    mergeUpsertQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
+    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, scd2Stream)
 }

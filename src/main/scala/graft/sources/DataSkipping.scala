@@ -1835,7 +1835,8 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
-      txn: Option[(String, Long)] = None): (Long, Long) = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): (Long, Long) = {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1845,14 +1846,63 @@ object DataSkipping {
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
     }
     if (replayed) return (0L, 0L)
-    val schema = tableSchemaIn(spark, path, dir)
-    keyCols.foreach(k => require(schema.fieldNames.contains(k),
-      s"key column $k is not in the table schema ${schema.simpleString}"))
-    require(
-      source.schema.map(f => (f.name, f.dataType)).toSet ==
-        schema.map(f => (f.name, f.dataType)).toSet,
-      s"source schema ${source.schema.simpleString} must carry exactly the " +
-        s"table's columns ${schema.simpleString} (any order)")
+    val schema0 = tableSchemaIn(spark, path, dir)
+    keyCols.foreach(k => require(schema0.fieldNames.contains(k),
+      s"key column $k is not in the table schema ${schema0.simpleString}"))
+    // SCHEMA EVOLUTION on merge (`mergeSchema = true`, the Delta
+    // autoMerge analog): the source may ADD columns — the table
+    // widens sidecars-first (the append-evolution crash order: a
+    // crash after the sidecar write leaves a widened table whose
+    // old files read as nulls — consistent), matched target rows
+    // take the source's new values, UNTOUCHED files are never
+    // rewritten (their rows surface nulls for the new columns from
+    // the parquet reader, zero data movement — the 100 TB point).
+    // Shared columns never retype; the tracked-stats set is
+    // unchanged (track a new column via append evolution or a
+    // stats rewrite).
+    val newFields = source.schema
+      .filterNot(f => schema0.fieldNames.contains(f.name))
+    val schema: StructType =
+      if (!mergeSchema) {
+        require(
+          source.schema.map(f => (f.name, f.dataType)).toSet ==
+            schema0.map(f => (f.name, f.dataType)).toSet,
+          s"source schema ${source.schema.simpleString} must carry exactly the " +
+            s"table's columns ${schema0.simpleString} (any order); pass " +
+            "mergeSchema = true to add columns")
+        schema0
+      } else {
+        schema0.foreach { f =>
+          source.schema.find(_.name == f.name) match {
+            case Some(b) => require(b.dataType == f.dataType,
+              s"column ${f.name}: source type ${b.dataType.simpleString} must " +
+                s"match stored ${f.dataType.simpleString} — evolution adds " +
+                "columns, never retypes")
+            case None => require(false,
+              s"merge source must carry every stored column; missing ${f.name}")
+          }
+        }
+        if (newFields.isEmpty) schema0
+        else {
+          require(colMapIn(fs, dir).isEmpty,
+            "merge schema evolution on a column-mapped table is not " +
+              "supported — evolve via appendWithStats(mergeSchema = true) " +
+              "first (it allocates collision-free physical names), then merge")
+          require(currentGen(fs, new Path(s"$path/$StatsDir")).isDefined,
+            s"$path is a legacy flat-manifest table — run compactTable once " +
+              "to migrate it to generations before evolving its schema")
+          val widened = StructType(schema0.fields ++
+            newFields.map(_.copy(nullable = true)))
+          // tracked set unchanged — preserve the stats-cols FILE
+          // order verbatim (manifest part columns are keyed to it)
+          val statsColsInOrder = readSidecar(spark, dir, StatsColsFile)
+            .map(_.linesIterator.filter(_.nonEmpty).toSeq)
+            .getOrElse(trackedCols(spark, dir).toSeq.sorted)
+          writeSidecars(spark, dir, widened, statsColsInOrder,
+            manifestFeatures(fs, dir))
+          widened
+        }
+      }
     val stats = readManifestIn(spark, dir)
     require(stats.columns.contains("file_size"),
       "mergeUpsert needs a size-carrying manifest (rewrite with writeWithStats)")
@@ -2955,10 +3005,11 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
-      txn: Option[(String, Long)] = None): (Long, Long) = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): (Long, Long) = {
     val (src, keys) = mapDfCols(spark, path, source, keyCols)
     mergeUpsertPhys(spark, path, src, keys, vacuum, retentionMs,
-      markerRetentionMs, txn)
+      markerRetentionMs, txn, mergeSchema)
   }
 
   /** Live violation counts per constraint, `(constraint, violations)`

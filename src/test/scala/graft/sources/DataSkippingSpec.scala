@@ -770,6 +770,69 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 4050)
   }
 
+  test("mergeUpsert schema evolution: source adds a column, untouched files carried, old rows null") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "payload")
+        .repartitionByRange(8, col("id")),
+      dir, Seq("id"))
+    val before = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+
+    val source = ((3500L until 3600L).map(i => (i, s"upd$i", "a")) ++
+      (10000L until 10050L).map(i => (i, s"new$i", "b")))
+      .toDF("id", "payload", "tag")
+    // without mergeSchema the widened source is refused loudly
+    intercept[IllegalArgumentException] {
+      DataSkipping.mergeUpsert(s, dir, source, Seq("id"))
+    }
+    // a source missing a stored column is refused even WITH evolution
+    intercept[IllegalArgumentException] {
+      DataSkipping.mergeUpsert(s, dir,
+        Seq((1L, "x")).toDF("id", "tag"), Seq("id"), mergeSchema = true)
+    }
+    // a retype is refused
+    intercept[IllegalArgumentException] {
+      DataSkipping.mergeUpsert(s, dir,
+        Seq((1L, 2L)).toDF("id", "payload"), Seq("id"), mergeSchema = true)
+    }
+    assert(DataSkipping.mergeUpsert(s, dir, source, Seq("id"),
+      mergeSchema = true) === ((100L, 50L)))
+
+    // untouched files carried byte-identically — evolution rewrote
+    // ZERO old data for the widening itself
+    val after = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size >= 6, s"at most two files may be rewritten, not ${8 - carried.size}")
+    carried.foreach(f => assert(after(f) === before(f)))
+
+    val rows = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(rows.size === 4050)
+    assert(DataSkipping.tableSchema(s, dir).fieldNames.toSeq ===
+      Seq("id", "payload", "tag"))
+    (0L until 4000L).foreach { i =>
+      val want =
+        if (i >= 3500 && i < 3600) (s"upd$i", Some("a"))
+        else (s"v$i", None) // untouched rows surface NULL for the new column
+      assert(rows(i) === want, s"key $i")
+    }
+    (10000L until 10050L).foreach(i => assert(rows(i) === ((s"new$i", Some("b")))))
+
+    // the widened schema is the table schema now: a follow-up merge
+    // carrying all three columns needs no evolution flag
+    assert(DataSkipping.mergeUpsert(s, dir,
+      Seq((0L, "z", "c")).toDF("id", "payload", "tag"), Seq("id")) === ((1L, 0L)))
+
+    // pruned reads on the ORIGINAL tracked column still work across
+    // the evolution boundary
+    assert(DataSkipping.readSkipping(s, dir, col("id") === 3550L)
+      .select("tag").as[String].head() === "a")
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
