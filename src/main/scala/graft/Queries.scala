@@ -563,6 +563,39 @@ object Queries {
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY lvl, r_name, n_name"""))
 
+  // ARBITRARY GROUPING SETS (row 12d): {(r_name), (o_orderpriority),
+  // ()} — two INDEPENDENT one-dimension slices plus the grand total,
+  // the shape ROLLUP can't express (it nests) and CUBE overshoots
+  // (it would add the pair). Same scale shape: Spark expands the
+  // sets map-side into one partial-aggregated shuffle.
+  val groupingSetsQ = QueryDef(
+    "q_grouping_sets",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("o_orderpriority")), Seq.empty),
+          col("r_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec12(col("o_totalprice"))).cast("double").as("revenue"),
+          grouping_id(col("r_name"), col("o_orderpriority")).cast("bigint").as("lvl"))
+        .orderBy(col("lvl"), col("r_name"), col("o_orderpriority"))
+    },
+    Some("""SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+              CAST(GROUPING(r_name) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS lvl
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+            ORDER BY lvl, r_name, o_orderpriority"""))
+
   // CUBE grouping sets over two INDEPENDENT dimensions — the slice
   // both ways rollup can't express (rollup nests right-to-left; cube
   // emits all 4 grouping sets incl. per-priority-across-regions).
@@ -4603,7 +4636,7 @@ object Queries {
     dimLoad, jsonExtract, latestSnapshot, currentInventory, dailySnapshotsQ, cdcChanges,
     scd2, scd2Apply,
     transactionalize, expectations,
-    pricingSummary, revenueByRegion, revenueRollup, revenueCube, orderPercentiles,
+    pricingSummary, revenueByRegion, revenueRollup, revenueCube, groupingSetsQ, orderPercentiles,
     topOrders, supplierRank, windowFuncs, pivotEvents, movingAvg,
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
