@@ -3786,6 +3786,38 @@ object Queries {
             WHERE NOT (user_id >= 40 AND user_id < 60)
             ORDER BY event_id"""))
 
+  // REORG / PURGE DV (row 17i note): stacked merge-on-read DML, then
+  // purgeDeletionVectors rewrites ONLY the vector's files — the
+  // readback must be identical to the logical state and the vector
+  // must be gone (the plan is probe-free; any resurrection or loss
+  // mismatches the oracle).
+  val purgeDvQ = QueryDef(
+    "q_purge_dv",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_prg").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events", Seq("user_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhereDV(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.purgeDeletionVectors(s, s"$root/events")
+      DataSkipping.readSkipping(s, s"$root/events", col("user_id") >= 0L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CASE WHEN user_id >= 100 AND user_id < 120
+                   THEN 'redacted' ELSE event_type END AS event_type,
+              CASE WHEN user_id >= 100 AND user_id < 120
+                   THEN value * -1 ELSE value END AS value
+            FROM events
+            WHERE NOT (user_id >= 40 AND user_id < 60)
+            ORDER BY event_id"""))
+
   // METADATA-ONLY COUNT (the Delta/Photon metadata-count analog):
   // tri-state file classification from manifest stats — all-match
   // files contribute n_rows (minus deletion-vector entries) with no
@@ -4653,7 +4685,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
-    deleteUpdate, deleteDv, countMeta, minmaxMeta, checkConstraints, generatedColQ,
+    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, scd2Stream)

@@ -1554,6 +1554,58 @@ object DataSkipping {
     touched.map(_._2).sum
   }
 
+  /** REORG / PURGE (the Delta `REORG TABLE ... APPLY (PURGE)`
+    * analog): materialize the current deletion vector by rewriting
+    * ONLY the files it names — each rewritten file's live rows land
+    * in clean files, its vector entries resolve, and every other
+    * file (manifest row, commit marker, data bytes) carries into the
+    * next generation verbatim. The targeted counterpart to
+    * [[compactTable]]'s whole-tail materialization: after a burst of
+    * merge-on-read DML the vector's broadcast probe has a cost on
+    * every read, and purging pays O(DV-carrying file bytes) once to
+    * reset it — never O(table). No logical rows change, so a CDF
+    * table records nothing (the compaction rule) and time travel
+    * still reads each old version under its own vector. Returns the
+    * number of dead positions purged; no-op (no generation) when the
+    * vector is empty.
+    */
+  def purgeDeletionVectors(spark: SparkSession, path: String,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val dvOpt = readDvIn(spark, dir)
+    if (dvOpt.isEmpty) return 0L
+    val dv = dvOpt.get
+    // O(DV-carrying files) driver rows — the touched-files pattern
+    // (bounded by past merge-on-read DML, not by the table)
+    val perFile = dv.groupBy(col("file")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (perFile.isEmpty) return 0L
+    val files = perFile.map(_._1)
+    val schema = tableSchemaIn(spark, path, dir)
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "purgeDeletionVectors needs a size-carrying manifest (rewrite with " +
+        "writeWithStats)")
+    // manifest narrowed by a broadcast semi-join against the
+    // (DV-bounded) touched list BEFORE the driver collect — only the
+    // rewritten files' statuses ever leave the cluster
+    val touchedDf = spark.createDataset(files)(
+      org.apache.spark.sql.Encoders.STRING).toDF("__t")
+    val statuses = statusesOf(stats.join(broadcast(touchedDf),
+      col("file") === col("__t"), "left_semi"))
+    val live = applyDv(statusScan(spark, path, schema, statuses), Some(dv))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    rewriteFiles(spark, fs, path, dir, stats, schema,
+      touched = files, replacement = Some(live),
+      vacuum, retentionMs, markerRetentionMs, opStart,
+      changeData = None, op = "REORG")
+    perFile.map(_._2).sum
+  }
+
   /** Merge-on-read UPDATE via deletion vectors: the matching rows'
     * positions join the vector (their files stay untouched) and the
     * updated row images are APPENDED as new files — write cost

@@ -164,6 +164,55 @@ class DeletionVectorSpec extends SparkSpec {
     assert(s.read.parquet(dir).count() === 2000)
   }
 
+  test("purgeDeletionVectors rewrites ONLY the vector's files; everything else verbatim") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, s"row$i")).toDF("id", "payload")
+        .repartitionByRange(8, col("id")),
+      dir, Seq("id"))
+    // two merge-on-read ops stack dead positions confined to the low band
+    assert(DataSkipping.deleteWhereDV(s, dir,
+      col("id") >= 100L && col("id") < 300L) === 200L)
+    assert(DataSkipping.updateWhereDV(s, dir,
+      col("id") >= 300L && col("id") < 350L,
+      Map("payload" -> lit("upd"))) === 50L)
+    val before = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val visBefore = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val purged = DataSkipping.purgeDeletionVectors(s, dir)
+    assert(purged === 250L)
+    // vector is gone; the read path needs no anti join anymore
+    assert(!fs(dir).exists(dvDir(s, dir)), "vector must be resolved")
+    val plan = DataSkipping.readSkipping(s, dir, lit(true))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), s"post-purge read must be probe-free:\n$plan")
+
+    // logical content identical; untouched manifest rows verbatim
+    val visAfter = DataSkipping.readSkipping(s, dir, lit(true))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(visAfter === visBefore)
+    val after = DataSkipping.readManifest(s, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size >= 6,
+      s"only the DV-carrying band files may be rewritten, not ${before.size - carried.size}")
+    carried.foreach(f => assert(after(f) === before(f)))
+
+    // time travel still reads the DV'd version under ITS vector
+    assert(DataSkipping.readSkippingAt(s, dir, 1L, lit(true)).count() === 3800)
+    // idempotent: purging a clean table is a no-op, no generation
+    val versions = DataSkipping.tableVersions(s, dir)
+    assert(DataSkipping.purgeDeletionVectors(s, dir) === 0L)
+    assert(DataSkipping.tableVersions(s, dir) === versions)
+    // history records the REORG
+    assert(DataSkipping.describeHistory(s, dir)
+      .select("operation").as[String].collect().contains("REORG"))
+  }
+
   test("copy-on-write DML after a DV delete cannot resurrect dead rows") {
     val s = spark
     import s.implicits._
