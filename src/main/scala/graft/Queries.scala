@@ -4539,6 +4539,81 @@ object Queries {
                    COUNT(*) AS cnt
             FROM final GROUP BY event_type ORDER BY event_type"""))
 
+  // Incrementally-maintained MEAN/VARIANCE view (row 17f family):
+  // the second-moment fold — the view stores EXACT decimal
+  // (Σv, Σv², n); mean and population variance derive in double AT
+  // READ TIME with the identical expression on both engines, so the
+  // incremental result is bit-equal to the oracle's from-scratch
+  // recompute over the replayed final state.
+  val incrementalMoments = QueryDef(
+    "q_incremental_moments",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_ivmo").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events",
+        statsCols = Seq("user_id"), bloomCols = Nil, changeFeed = true)
+      def refresh() = graft.streaming.IncrementalView.maintainMeanVar(
+        s, s"$root/events", s"$root/view", "event_type", "value",
+        s"$root/ckpt")
+      refresh() // bootstrap at v0
+      DataSkipping.deleteWhere(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, s"$root/events",
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted"), "value" -> (col("value") * -1)))
+      DataSkipping.mergeUpsert(s, s"$root/events",
+        ev.filter(col("event_id") % 50 === 3)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("value", col("value") * 2),
+        Seq("event_id"))
+      val sumD = col("sum_value").cast("double")
+      val cntD = col("cnt").cast("double")
+      // derived stats rounded to 6 places: Spark's wide-decimal ->
+      // double cast is correctly rounded (BigDecimal), DuckDB's goes
+      // int128 -> double -> divide (two roundings) — a 1-ULP
+      // cross-engine artifact on Σv²; 6 decimal places is what the
+      // gate verifies
+      refresh()
+        .select(col("event_type"), col("cnt"),
+          sumD.as("sum_value"),
+          round(sumD / cntD, 6).as("mean"),
+          round(col("sum_sq").cast("double") / cntD -
+            (sumD / cntD) * (sumD / cntD), 6).as("variance"))
+        .orderBy("event_type")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id, event_type, value FROM events),
+            upd AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN value * -1 ELSE value END AS value
+              FROM base WHERE NOT (user_id >= 40 AND user_id < 60)),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM base WHERE event_id % 50 = 3),
+            final AS (
+              SELECT event_type, value FROM upd WHERE event_id % 50 <> 3
+              UNION ALL
+              SELECT event_type, value FROM src)
+            SELECT event_type, COUNT(*) AS cnt,
+              CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE), 6) AS mean,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(16,6))
+                       * CAST(value AS DECIMAL(16,6))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)
+                - (CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE))
+                  * (CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)), 6) AS variance
+            FROM final GROUP BY event_type ORDER BY event_type"""))
+
   // Incrementally-maintained MIN/MAX/COUNT view — the NON-invertible
   // aggregate IVM gate: extrema don't fold under deletes, so the
   // maintainer recomputes exactly the groups whose extremum a delete
@@ -4688,5 +4763,5 @@ object Queries {
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
-    incrementalAgg, incrementalMinMax, scd2Stream)
+    incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
 }

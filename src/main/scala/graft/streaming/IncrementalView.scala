@@ -141,6 +141,118 @@ object IncrementalView {
       col(groupCol).isNotNull || col(groupCol).isNull)
       .filter(col("cnt") =!= 0L)
 
+  /** Second-moment precision ladder: values square at (16,6) →
+    * (33,12), accumulate at (38,12) — exact for any realistic value
+    * domain, and exactness is what makes the fold order-free.
+    */
+  private val SqCastType = DecimalType(16, 6)
+  private val SqSumType = DecimalType(38, 12)
+
+  /** Incrementally-maintained MEAN/VARIANCE view — the second-moment
+    * member of the invertible-aggregate family: variance folds under
+    * deletes because it decomposes into (Σv, Σv², n), each a signed
+    * sum. The view stores the EXACT decimal moments (never the
+    * derived mean/variance — a stored double would accumulate fold-
+    * order drift); readers derive mean = Σv/n and the population
+    * variance Σv²/n − (Σv/n)² in double AT READ TIME from exact
+    * inputs, so the derived values are bit-identical to a full
+    * recompute. Same txn-stamped single-MERGE exactly-once fold,
+    * tombstone, bootstrap-pin and broadcast-semi-join shape as
+    * [[maintainSumCount]].
+    */
+  def maintainMeanVar(spark: SparkSession, baseTable: String,
+      viewTable: String, groupCol: String, valueCol: String,
+      checkpoint: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(viewTable)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(DataSkipping.changeFeedEnabled(spark, baseTable),
+      s"$baseTable has no change data feed — the view cannot be " +
+        "maintained incrementally; enable it with writeWithStats(" +
+        "changeFeed = true) or enableChangeFeed")
+    val bootstrapped = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$viewTable/${DataSkipping.StatsDir}"))
+    val startAfter: Long =
+      if (bootstrapped) -1L
+      else {
+        val v = DataSkipping.tableVersions(spark, baseTable)
+          .maxOption.getOrElse(0L)
+        val snap = DataSkipping.readSkippingAt(spark, baseTable, v,
+          col(groupCol).isNotNull || col(groupCol).isNull)
+        val sq = col(valueCol).cast(SqCastType)
+        DataSkipping.writeWithStats(
+          snap.groupBy(col(groupCol)).agg(
+            sum(col(valueCol).cast(CastType)).cast(SumType).as("sum_value"),
+            sum(sq * sq).cast(SqSumType).as("sum_sq"),
+            count(lit(1)).as("cnt")),
+          viewTable, Seq(groupCol))
+        v
+      }
+    val reader = spark.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", baseTable)
+    val withStart =
+      if (bootstrapped) reader
+      else reader.option("startingVersion", (startAfter + 1).toString)
+    val q = withStart.load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldMomentsBatch(spark, viewTable, groupCol, valueCol, batch,
+          batchId, checkpoint)
+      }
+      .start()
+    q.awaitTermination()
+    readView(spark, viewTable, groupCol)
+  }
+
+  /** One moments micro-batch folded as ONE idempotent MERGE — the
+    * [[foldBatch]] shape with a second signed accumulator for Σv².
+    */
+  private[streaming] def foldMomentsBatch(spark: SparkSession,
+      viewTable: String, groupCol: String, valueCol: String,
+      batch: DataFrame, batchId: Long, checkpoint: String): Unit = {
+    val appId = viewAppId(viewTable, checkpoint)
+    if (DataSkipping.txnVersion(spark, viewTable, appId).exists(_ >= batchId))
+      return
+    val debit = col(DataSkipping.ChangeTypeCol)
+      .isin("delete", "update_preimage")
+    val signedVal = when(debit, -col(valueCol).cast(CastType))
+      .otherwise(col(valueCol).cast(CastType))
+    val sq = col(valueCol).cast(SqCastType)
+    val signedSq = when(debit, -(sq * sq)).otherwise(sq * sq)
+    val delta = batch.groupBy(col(groupCol)).agg(
+      sum(signedVal).cast(SumType).as("__d_sum"),
+      sum(signedSq).cast(SqSumType).as("__d_sq"),
+      sum(when(debit, -1L).otherwise(1L)).as("__d_cnt"),
+      count(when(col(groupCol).isNull, lit(1))).as("__nulls"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!delta.isEmpty) {
+        val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
+          sum(col("__nulls"))).head()
+        require(env.isNullAt(2) || env.getLong(2) == 0L,
+          s"change batch carries ${env.getLong(2)} NULL $groupCol row(s) — " +
+            "null group keys cannot be incrementally maintained")
+        val inRange =
+          col(groupCol).between(lit(env.get(0)), lit(env.get(1)))
+        val current = DataSkipping.readSkipping(spark, viewTable, inRange)
+          .join(broadcast(delta.select(col(groupCol))), Seq(groupCol),
+            "left_semi")
+        val merged = current
+          .select(col(groupCol), col("sum_value").as("__d_sum"),
+            col("sum_sq").as("__d_sq"), col("cnt").as("__d_cnt"))
+          .unionByName(delta.drop("__nulls"))
+          .groupBy(col(groupCol)).agg(
+            sum(col("__d_sum")).cast(SumType).as("sum_value"),
+            sum(col("__d_sq")).cast(SqSumType).as("sum_sq"),
+            sum(col("__d_cnt")).as("cnt"))
+        DataSkipping.mergeUpsert(spark, viewTable, merged, Seq(groupCol),
+          txn = Some(appId -> batchId))
+      }
+    } finally delta.unpersist()
+  }
+
   /** Incrementally-maintained `min(valueCol)/max(valueCol)/count(*)
     * GROUP BY groupCol` view — the NON-invertible-aggregate face of
     * materialized-view maintenance. Sums fold under deletes (signed

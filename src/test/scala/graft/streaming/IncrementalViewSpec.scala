@@ -52,6 +52,56 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewMap(view)("g0")._2 === 80L) // 100 - 10 (deleted) - 10 (migrated)
   }
 
+  test("moments view: mean/variance fold equals recompute; emptied group tombstones; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_mo")
+    val base = s"$root/base"
+    buildBase(s, base)
+    def refresh() = IncrementalView.maintainMeanVar(
+      s, base, s"$root/view", "grp", "value", s"$root/ckpt")
+    refresh() // bootstrap
+
+    DataSkipping.deleteWhere(s, base, col("id") < 50L) // v1
+    DataSkipping.updateWhere(s, base, col("id") >= 400L && col("id") < 450L,
+      Map("grp" -> lit("gX"), "value" -> (col("value") * -1))) // v2
+    DataSkipping.mergeUpsert(s, base,
+      (1000L until 1020L).map(i => (i, "gNew", i.toDouble))
+        .toDF("id", "grp", "value"), Seq("id")) // v3
+    val view = refresh().orderBy("grp")
+
+    def m(df: org.apache.spark.sql.DataFrame)
+        : Map[String, (BigDecimal, BigDecimal, Long)] =
+      df.select("grp", "sum_value", "sum_sq", "cnt").collect()
+        .map(r => r.getString(0) -> ((BigDecimal(r.getDecimal(1)),
+          BigDecimal(r.getDecimal(2)), r.getLong(3)))).toMap
+    val expect = DataSkipping.readSkipping(s, base, col("id") >= 0L)
+      .groupBy("grp").agg(
+        sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+          .as("sum_value"),
+        sum(col("value").cast("decimal(16,6)") *
+          col("value").cast("decimal(16,6)")).cast("decimal(38,12)")
+          .as("sum_sq"),
+        count(lit(1)).as("cnt"))
+    assert(m(view) === m(expect),
+      "incrementally-maintained moments must equal the full recompute")
+    // derived variance is non-negative everywhere (sanity on Σv²)
+    m(view).foreach { case (g, (sv, sq, n)) =>
+      val mean = sv.toDouble / n
+      assert(sq.toDouble / n - mean * mean >= -1e-9, s"group $g")
+    }
+    // empty a group entirely -> tombstone leaves the view
+    DataSkipping.deleteWhere(s, base, col("grp") === "gNew")
+    assert(!refresh().select("grp").as[String].collect().contains("gNew"))
+    // replay with a stale batch id cannot double-apply
+    val before = m(refresh())
+    val feed = DataSkipping.readChangeFeed(s, base, 0L)
+    IncrementalView.foldMomentsBatch(s, s"$root/view", "grp", "value",
+      feed, batchId = 0L, s"$root/ckpt")
+    assert(m(IncrementalView.readView(s, s"$root/view", "grp")) === before,
+      "stale replay must be a no-op")
+  }
+
   test("deletion-vector DML folds into the view exactly like copy-on-write") {
     val s = spark
     import s.implicits._
