@@ -4320,6 +4320,8 @@ object Queries {
       DataSkipping.deleteWhere(s, t,
         col("user_id") >= 60L && col("user_id") < 80L)               // v2
       GraftSql.sql(s, s"RESTORE '$t' TO VERSION AS OF 1")            // v3
+      DataSkipping.deleteWhereDV(s, t, col("user_id") % 10 === 7L)  // v4 (vector)
+      GraftSql.sql(s, s"REORG TABLE '$t' APPLY (PURGE)")              // v5
       GraftSql.sql(s, s"VACUUM '$t' RETAIN 168 HOURS")
       GraftSql.sql(s, s"ALTER TABLE '$t' ADD CONSTRAINT uid_ok CHECK (user_id >= 0)")
       val data = DataSkipping.readSkipping(s, t,
@@ -4336,8 +4338,8 @@ object Queries {
       data.unionAll(ops).unionAll(detail).orderBy("event_id")
     },
     Some("""SELECT event_id, 'data' AS info FROM events
-            WHERE user_id >= 40 AND user_id < 120
-            UNION ALL SELECT -1, 'WRITE,OPTIMIZE,DELETE,RESTORE(v1)'
+            WHERE user_id >= 40 AND user_id < 120 AND user_id % 10 <> 7
+            UNION ALL SELECT -1, 'WRITE,OPTIMIZE,DELETE,RESTORE(v1),DELETE,REORG'
             UNION ALL SELECT -2, 'constraints=1'
             ORDER BY event_id"""))
 

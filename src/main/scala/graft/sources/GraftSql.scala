@@ -65,6 +65,14 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val Convert =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val Reorg =
+    """(?is)^\s*REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+  private val AddGenerated =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*;?\s*$""".r
+  private val DropGenerated =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+GENERATED\s*;?\s*$""".r
+  private val AddIdentity =
+    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+(?:INCREMENT|STEP)\s+BY\s+(-?\d+)\s*\))?\s*;?\s*$""".r
 
   /** The graft statement grammar: Some(command plan) when `sqlText`
     * is a maintenance statement, None to mean "not ours" (the caller
@@ -91,6 +99,18 @@ object GraftSql {
     case Convert(path, cols) =>
       Some(ConvertGraftCommand(path,
         cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    case Reorg(path) => Some(ReorgGraftCommand(path))
+    // IDENTITY must match before the generic generated-expression
+    // form (its expression body would otherwise swallow "IDENTITY")
+    case AddIdentity(path, colName, start, step) =>
+      Some(AddIdentityGraftCommand(path, colName,
+        Option(start).map(_.toLong).getOrElse(1L),
+        Option(step).map(_.toLong).getOrElse(1L)))
+    case AddGenerated(path, colName, expr)
+        if !expr.trim.isEmpty =>
+      Some(AddGeneratedGraftCommand(path, colName, expr.trim))
+    case DropGenerated(path, colName) =>
+      Some(DropGeneratedGraftCommand(path, colName))
     case _ => None
   }
 
@@ -332,4 +352,67 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+/** `REORG TABLE '<path>' APPLY (PURGE)` →
+  * [[DataSkipping.purgeDeletionVectors]] (rewrites only the
+  * vector's files).
+  */
+case class ReorgGraftCommand(path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("rows_purged", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(path, DataSkipping.purgeDeletionVectors(spark, path)))
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN c SET GENERATED ALWAYS AS
+  * (expr)` → [[DataSkipping.addGeneratedColumn]].
+  */
+case class AddGeneratedGraftCommand(path: String, column: String,
+    exprSql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.addGeneratedColumn(spark, path, column, exprSql)
+    Seq(Row(path, column))
+  }
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN c DROP GENERATED` →
+  * [[DataSkipping.dropGeneratedColumn]].
+  */
+case class DropGeneratedGraftCommand(path: String, column: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.dropGeneratedColumn(spark, path, column)
+    Seq(Row(path, column))
+  }
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN c SET GENERATED ALWAYS AS
+  * IDENTITY [(START WITH n STEP BY m)]` →
+  * [[DataSkipping.addIdentityColumn]].
+  */
+case class AddIdentityGraftCommand(path: String, column: String,
+    start: Long, step: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("column", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    DataSkipping.addIdentityColumn(spark, path, column, start, step)
+    Seq(Row(path, column))
+  }
 }

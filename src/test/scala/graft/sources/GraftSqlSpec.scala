@@ -41,11 +41,49 @@ class GraftSqlSpec extends SparkSpec {
       .contains(AddConstraintGraftCommand("/x/t", "ok", "a > 0 AND (b < 2)")))
     assert(GraftSql.parse("ALTER TABLE '/x/t' DROP CONSTRAINT ok")
       .contains(DropConstraintGraftCommand("/x/t", "ok")))
+    assert(GraftSql.parse("REORG TABLE '/x/t' APPLY (PURGE)")
+      .contains(ReorgGraftCommand("/x/t")))
+    assert(GraftSql.parse(
+        "ALTER TABLE '/x/t' ALTER COLUMN d SET GENERATED ALWAYS AS (to_date(ts))")
+      .contains(AddGeneratedGraftCommand("/x/t", "d", "to_date(ts)")))
+    assert(GraftSql.parse("ALTER TABLE '/x/t' ALTER COLUMN d DROP GENERATED")
+      .contains(DropGeneratedGraftCommand("/x/t", "d")))
+    assert(GraftSql.parse(
+        "ALTER TABLE '/x/t' ALTER COLUMN id SET GENERATED ALWAYS AS IDENTITY")
+      .contains(AddIdentityGraftCommand("/x/t", "id", 1L, 1L)))
+    assert(GraftSql.parse(
+        "ALTER TABLE '/x/t' ALTER COLUMN id SET GENERATED ALWAYS AS IDENTITY (START WITH 1000 STEP BY 2)")
+      .contains(AddIdentityGraftCommand("/x/t", "id", 1000L, 2L)))
     // NOT ours: standard SQL, catalog-table DDL, near-misses
     assert(GraftSql.parse("SELECT 1").isEmpty)
     assert(GraftSql.parse("ALTER TABLE tbl ADD COLUMNS (x INT)").isEmpty)
     assert(GraftSql.parse("DESCRIBE TABLE '/x/t'").isEmpty)
     assert(GraftSql.parse("OPTIMIZE mytable").isEmpty)
+    assert(GraftSql.parse("REORG TABLE '/x/t' APPLY (ZORDER)").isEmpty)
+  }
+
+  test("REORG PURGE and generated/identity DDL run end-to-end through SQL") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("graft_sql_reorg")
+    // merge-on-read delete leaves a vector; REORG purges it
+    assert(DataSkipping.deleteWhereDV(s, t, col("event_id") < 50L) === 50L)
+    val out = GraftSql.sql(s, s"REORG TABLE '$t' APPLY (PURGE)").collect()
+    assert(out.head.getLong(1) === 50L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 350L)
+    // generated column DDL
+    val t2 = freshTable("graft_sql_gen")
+    GraftSql.sql(s,
+      s"ALTER TABLE '$t2' ALTER COLUMN value SET GENERATED ALWAYS AS (event_id * 1.5)")
+    assert(DataSkipping.tableGeneratedColumns(s, t2) ===
+      Map("value" -> "event_id * 1.5"))
+    GraftSql.sql(s, s"ALTER TABLE '$t2' ALTER COLUMN value DROP GENERATED")
+    assert(DataSkipping.tableGeneratedColumns(s, t2).isEmpty)
+    // identity DDL
+    GraftSql.sql(s,
+      s"ALTER TABLE '$t2' ALTER COLUMN event_id SET GENERATED ALWAYS AS IDENTITY (START WITH 0 STEP BY 1)")
+    assert(DataSkipping.tableIdentityColumns(s, t2) ===
+      Map("event_id" -> ((0L, 1L, 400L))))
   }
 
   test("injected parser chain routes graft statements to commands and the rest to the delegate") {
