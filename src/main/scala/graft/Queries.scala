@@ -1496,6 +1496,35 @@ object Queries {
               AND NOT (event_id < 500)
             ORDER BY event_id"""))
 
+  // HILBERT CLUSTERING (row 17e note): the same maintenance op with
+  // curve = "hilbert" — the locality-preserving alternative (no
+  // Morton diagonal jumps, tighter per-file envelopes). The curve
+  // only changes LAYOUT: the gate is content identity after the
+  // re-cluster plus a pruned read on the second column; the
+  // adjacency property itself is pinned in ZorderMaintenanceSpec.
+  val hilbertOptimize = QueryDef(
+    "q_hilbert_optimize",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_hopt").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("event_id")), s"$root/ev",
+        Seq("event_id", "user_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/ev", col("event_id") < 500L)
+      DataSkipping.zorderTable(s, s"$root/ev", Seq("event_id", "user_id"),
+        targetFiles = 16, curve = "hilbert")
+      DataSkipping.readSkipping(s, s"$root/ev",
+          col("user_id") >= 100L && col("user_id") < 200L)
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE user_id >= 100 AND user_id < 200
+              AND NOT (event_id < 500)
+            ORDER BY event_id"""))
+
   // The format("graft") data source: the same pruned read through
   // the STANDARD reader API + a SQL view — filters arrive at
   // planning time via PrunedFilteredScan and the deletion vector
@@ -4753,7 +4782,7 @@ object Queries {
     tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, zorderOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
+    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,

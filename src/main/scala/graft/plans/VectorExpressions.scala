@@ -827,6 +827,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
       children => WordNgrams(children(0), children(1))),
+    (FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      children => HilbertIndex(children(0), children(1))),
     (FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       children => HeavyHittersAgg(children(0), children(1))),

@@ -4281,10 +4281,15 @@ object DataSkipping {
       targetFiles: Int,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Int = {
+      markerRetentionMs: Long = RetentionDefaultMs,
+      curve: String = "morton"): Int = {
     val zCols = currentMap(spark, path).fold(zCols0)(m =>
       zCols0.map(c => m.getOrElse(c, c)))
     require(zCols.size >= 2 && zCols.size <= 4, "z-order supports 2-4 columns")
+    require(curve == "morton" || curve == "hilbert",
+      s"curve must be morton or hilbert: $curve")
+    require(curve == "morton" || zCols.size == 2,
+      "the Hilbert curve is 2-D — pass exactly two columns")
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4319,7 +4324,16 @@ object DataSkipping {
     val old = stats.select(col("file")).collect().map(_.getString(0))
     val snapshot = applyDv(statusScan(spark, path, schema,
       statusesOf(stats)), dv)
-    val z = zValue(bounds.map { case (c, lo, hi) => bucket16(col(c), lo, hi) })
+    val bkts = bounds.map { case (c, lo, hi) => bucket16(col(c), lo, hi) }
+    // Hilbert keeps every consecutive cell pair ADJACENT (Morton
+    // jumps diagonally at power-of-two seams), so per-file (x, y)
+    // envelopes come out tighter — see [[graft.plans.HilbertIndex]]
+    val z = curve match {
+      case "hilbert" =>
+        graft.plans.GraftFunctions.register(spark)
+        call_function("graft_hilbert", bkts(0), bkts(1))
+      case _ => zValue(bkts)
+    }
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
     snapshot.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))

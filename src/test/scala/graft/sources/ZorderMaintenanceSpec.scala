@@ -79,4 +79,56 @@ class ZorderMaintenanceSpec extends SparkSpec {
       DataSkipping.zorderTable(s, dir, Seq("x"), targetFiles = 2)
     }
   }
+
+  test("hilbert index: bijective unit-step walk on the top-level subgrid; beats morton's worst jumps") {
+    val s = spark
+    import s.implicits._
+    graft.plans.GraftFunctions.register(s)
+    // the 16x16 top-level subgrid of the order-16 curve: cells
+    // (i<<12, j<<12). Their indices / 4096^2 must be a PERMUTATION
+    // of 0..255 whose consecutive cells are grid-ADJACENT — the
+    // property Morton lacks (its quadrant seams jump diagonally).
+    val grid = (for (i <- 0 until 16; j <- 0 until 16)
+      yield (i.toLong << 12, j.toLong << 12)).toDF("x", "y")
+    val cells = grid.select(col("x"), col("y"),
+        (call_function("graft_hilbert", col("x"), col("y")) /
+          lit(4096L * 4096L)).cast("bigint").as("d"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0) >> 12, r.getLong(1) >> 12)))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq === (0L until 256L), "bijection on the subgrid")
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"consecutive Hilbert cells must be adjacent: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert re-cluster: rows identical, both columns prune, history records the op") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val n = 1 << 14
+    val df = (0L until n).map { i => (i, (i * 2654435761L) % n) }
+      .toDF("x", "y")
+    DataSkipping.writeWithStats(
+      df.repartitionByRange(16, col("x")), dir, Seq("x", "y"))
+    val yPred = col("y") >= 0L && col("y") < (n / 16)
+    DataSkipping.zorderTable(s, dir, Seq("x", "y"),
+      targetFiles = 16, curve = "hilbert")
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === n.toLong)
+    val (keptY, allY) = DataSkipping.prunedFiles(s, dir, yPred)
+    assert(allY.size === 16)
+    assert(keptY.size <= 8, s"y must prune after hilbert, kept ${keptY.size}")
+    val (keptX, _) = DataSkipping.prunedFiles(s, dir,
+      col("x") >= 0L && col("x") < (n / 16))
+    assert(keptX.size <= 8, s"x must still prune, kept ${keptX.size}")
+    // 3+ columns refused for the 2-D curve; unknown curve refused
+    intercept[IllegalArgumentException] {
+      DataSkipping.zorderTable(s, dir, Seq("x", "y", "x"),
+        targetFiles = 4, curve = "hilbert")
+    }
+    intercept[IllegalArgumentException] {
+      DataSkipping.zorderTable(s, dir, Seq("x", "y"),
+        targetFiles = 4, curve = "peano")
+    }
+  }
 }
