@@ -1033,6 +1033,70 @@ object Queries {
                      (a, b) -> (a * 31 + b) % 1000000007) END AS fp
             FROM documents ORDER BY doc_id"""))
 
+  // HYPERLOGLOG APPROX DISTINCT (row 32): per-event-type distinct
+  // event_ids via the partial-agg HLL composition (p=8, m=256) next
+  // to the exact countDistinct. The sketch state T is an EXACT
+  // scaled integer, so the oracle — which replays the poly60 hash,
+  // bucketing, rho-via-binary-length and the bucket fold in SQL —
+  // must match it bit-for-bit; the derived estimate is one double
+  // divide from T on both engines.
+  val approxDistinctQ = QueryDef(
+    "q_approx_distinct",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hll = Sketches.approxDistinct(ev, Seq("event_type"), "event_id", p = 8)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("exact_distinct"))
+      exact.join(hll, Seq("event_type")).orderBy("event_type")
+    },
+    Some("""WITH cps AS (
+              SELECT event_type,
+                list_transform(string_split(CAST(event_id AS VARCHAR), ''),
+                  x -> CAST(ord(x) AS BIGINT)) AS cp
+              FROM events),
+            h AS (
+              SELECT event_type,
+                CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), cp),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS HUGEINT) * 1073741824
+                 + list_reduce(list_prepend(CAST(13 AS BIGINT), cp),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h0
+              FROM cps),
+            -- splitmix64 finalizer; the 64-bit wrapping multiply is
+            -- done in 32-bit constant halves so the int128
+            -- intermediates never overflow:
+            -- z*c mod 2^64 = (((z*c_hi) mod 2^32)*2^32 + z*c_lo) mod 2^64
+            x1 AS (SELECT event_type, xor(h0, h0 // 1073741824) AS x FROM h),
+            z1 AS (SELECT event_type,
+                (((x * 3210233709::HUGEINT) % 4294967296) * 4294967296
+                  + x * 484763065::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z FROM x1),
+            x2 AS (SELECT event_type, xor(z, z // 134217728) AS x FROM z1),
+            z2 AS (SELECT event_type,
+                (((x * 2496678331::HUGEINT) % 4294967296) * 4294967296
+                  + x * 321982955::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z FROM x2),
+            z3 AS (SELECT event_type,
+                xor(z, z // 2147483648) AS z FROM z2),
+            r AS (
+              SELECT event_type, CAST(z // (1::HUGEINT << 56) AS BIGINT) AS b,
+                CASE WHEN (z % (1::HUGEINT << 56)) = 0 THEN 41
+                     ELSE LEAST(41, 56 -
+                       (length(bin(CAST(z % (1::HUGEINT << 56) AS BIGINT))) - 1))
+                END AS rho
+              FROM z3),
+            mx AS (SELECT event_type, b, MAX(rho) AS m FROM r GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type, COUNT(*) AS hll_buckets_used,
+                CAST(SUM(CAST(power(2, 41 - m) AS BIGINT))
+                  + (256 - COUNT(*)) * (1::BIGINT << 41) AS BIGINT) AS hll_t_scaled
+              FROM mx GROUP BY 1),
+            e AS (SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+                  FROM events GROUP BY 1)
+            SELECT event_type, exact_distinct, hll_buckets_used, hll_t_scaled,
+              0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * power(2, 41)
+                / CAST(hll_t_scaled AS DOUBLE) AS approx_distinct
+            FROM agg JOIN e USING (event_type) ORDER BY event_type"""))
+
   // Corpus-level term statistics (the TF-IDF integer core). The
   // oracle compares tf/df exactly; the ln-based tfidf value itself
   // is checked in TextOpsSpec (libm rounding isn't bit-stable across
@@ -4779,7 +4843,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
     windowedAgg,
-    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, termStats, bm25Q, heavyTermsQ, redactDocs,
+    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, approxDistinctQ, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, bloomScan,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketching — the approximate-aggregate rung the exact
+  * operators can't take at 100 TB: COUNT(DISTINCT user_id) over a
+  * petabyte of events shuffles every distinct value; a HyperLogLog
+  * sketch shuffles 2^p 8-byte rows per group, period.
+  */
+object Sketches {
+
+  /** rho is clamped here so the exact scaled accumulator
+    * `T = Σ 2^(RhoCap − M_b)` fits a long for every p ≤ 16
+    * (m·2^RhoCap ≤ 2^57); the clamp fires with probability 2^−41 —
+    * unobservable below ~10^12 distinct values per bucket.
+    */
+  val RhoCap = 41
+
+  /** Grouped HyperLogLog approximate distinct count (Flajolet et al.
+    * 2007), built ENTIRELY from partial-aggregated composition — no
+    * custom aggregate state, no sketch blob:
+    *
+    *  1. hash each value with the oracle-replayable 60-bit
+    *     polynomial hash ([[Hashing.poly60]]) and run it through the
+    *     codegen'd splitmix64 finalizer
+    *     ([[graft.plans.Mix64]]) — polynomial hashes are AFFINE in
+    *     their input (fine for equality bucketing, useless for a
+    *     sketch that reads bit positions; without the avalanche the
+    *     estimate collapses to alpha·m);
+    *  2. bucket = top p bits of the mixed hash; rho = 1 +
+    *     leading-zero count of the remaining bits, computed EXACTLY
+    *     via binary-string length (`floor(log2)` in doubles rounds
+    *     2^k−1 neighborhoods — the classic trap), clamped at
+    *     [[RhoCap]];
+    *  3. `groupBy(group, bucket).max(rho)` — the sketch IS this
+    *     frame; max is Spark's partial-aggregated merge, so the
+    *     shuffle carries ≤ 2^p 8-byte rows per group whatever the
+    *     input size or skew;
+    *  4. fold buckets to the raw HLL estimate
+    *     `alpha_m · m² / Σ 2^−M_b` with the sum carried as the
+    *     EXACT scaled long `T = Σ 2^(RhoCap − M_b)` (empty buckets
+    *     contribute 2^RhoCap), so the only floating-point step is
+    *     one final multiply/divide — the estimate is bit-identical
+    *     across engines, partitionings and fold orders.
+    *
+    * The RAW estimate is emitted deliberately: HLL's small-range
+    * linear-counting correction needs `ln`, which is libm-dependent
+    * cross-engine (the lmFamiliarity lesson) — callers in the raw
+    * regime (n ≳ 2.5·m) lose nothing, and the exact `hll_t_scaled`
+    * rides in the output for any downstream correction.
+    *
+    * Output: (groupCols..., hll_buckets_used, hll_t_scaled,
+    * approx_distinct). Standard error ≈ 1.04/√(2^p).
+    */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 12): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16]: $p") // m >= 128: single-alpha regime
+    val m = 1 << p
+    val wbits = 64 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    val z = call_function("graft_mix64",
+      Hashing.poly60(col(valueCol).cast("string")))
+    val bucket = shiftrightunsigned(z, wbits)
+    val w = z.bitwiseAND(lit((1L << wbits) - 1))
+    // exact floor(log2(w)) = len(binary(w)) - 1; rho = lz + 1
+    val rho = least(lit(RhoCap),
+      when(w === 0L, lit(RhoCap))
+        .otherwise(lit(wbits) - (length(conv(w.cast("string"), 10, 2)) - 1)))
+    val perBucket = df
+      .groupBy(groupCols.map(col) :+ bucket.as("__b"): _*)
+      .agg(max(rho).as("__M"))
+    perBucket.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("hll_buckets_used"),
+        sum(pow(lit(2.0), lit(RhoCap) - col("__M")).cast("long")).as("__t_p"))
+      .select(groupCols.map(col) :+ col("hll_buckets_used") :+
+        (col("__t_p") +
+          (lit(m.toLong) - col("hll_buckets_used")) * lit(1L << RhoCap))
+          .as("hll_t_scaled"): _*)
+      .withColumn("approx_distinct",
+        lit(alpha * m.toDouble * m.toDouble * (1L << RhoCap).toDouble) /
+          col("hll_t_scaled").cast("double"))
+  }
+}

@@ -86,3 +86,43 @@ case class HilbertIndex(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** splitmix64 finalizer (Steele et al., JDK SplittableRandom): the
+  * avalanche step that turns a structured 64-bit input into
+  * uniformly-mixed bits. Needed because the oracle-replayable
+  * polynomial hashes are affine in their inputs — fine for equality
+  * bucketing, USELESS for sketches that read bit positions (HLL's
+  * rho). Java long arithmetic wraps natively; Spark 4's ANSI-mode
+  * Column `*` would throw on the deliberate overflow, hence an
+  * expression instead of a composition. The DuckDB oracle replays
+  * the exact wrap via HUGEINT `% 2^64` arithmetic.
+  */
+case class Mix64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_mix64"
+
+  override def nullSafeEval(v: Any): Any =
+    Mix64.mix(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.Mix64.mix($v);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Mix64 =
+    copy(child = newChild)
+}
+
+object Mix64 {
+  def mix(z0: Long): Long = {
+    var z = (z0 ^ (z0 >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

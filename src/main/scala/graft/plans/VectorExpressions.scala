@@ -830,6 +830,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hilbert"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
       children => HilbertIndex(children(0), children(1))),
+    (FunctionIdentifier("graft_mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
+      children => Mix64(children(0))),
     (FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       children => HeavyHittersAgg(children(0), children(1))),

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sketches.approxDistinct]]: HLL accuracy in the raw regime,
+  * partition invariance of the exact sketch state, plan shape.
+  */
+class SketchesSpec extends SparkSpec {
+
+  test("estimate within the p=12 error envelope on 100k distinct; duplicates don't inflate") {
+    val s = spark
+    import s.implicits._
+    val n = 100000L
+    // every value appears twice — distinct is n, rows are 2n
+    val df = (0L until 2 * n).map(i => ("g", i % n)).toDF("g", "v")
+    val out = Sketches.approxDistinct(df, Seq("g"), "v", p = 12).collect().head
+    val est = out.getAs[Double]("approx_distinct")
+    // standard error 1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.065, s"estimate $est vs exact $n")
+  }
+
+  test("sketch state is partition-invariant and group-scoped") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20000L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    def state(parts: Int): Map[String, (Long, Long)] =
+      Sketches.approxDistinct(df.repartition(parts), Seq("g"), "v", p = 10)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("hll_buckets_used"), r.getAs[Long]("hll_t_scaled"))))
+        .toMap
+    val a = state(2)
+    assert(a === state(17), "T must be exactly partition-invariant")
+    assert(a.keySet === Set("g0", "g1", "g2"))
+    // three interleaved groups of ~6667 distinct each
+    Sketches.approxDistinct(df, Seq("g"), "v", p = 10).collect().foreach { r =>
+      val est = r.getAs[Double]("approx_distinct")
+      assert(math.abs(est - 6667) / 6667 < 0.13, s"${r.getString(0)}: $est")
+    }
+  }
+
+  test("plan: two partial-aggregated shuffles, no distinct expansion, no UDF") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => ("g", i)).toDF("g", "v")
+    val plan = Sketches.approxDistinct(df, Seq("g"), "v", p = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"), "bucket sketch must map-side combine\n" + plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    intercept[IllegalArgumentException] {
+      Sketches.approxDistinct(df, Seq("g"), "v", p = 3)
+    }
+  }
+}
