@@ -55,11 +55,21 @@ object Sketches {
     * approx_distinct). Standard error ≈ 1.04/√(2^p).
     */
   def approxDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 12): DataFrame =
+    estimate(sketch(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The MERGEABLE sketch state: one (groupCols..., hll_bucket,
+    * hll_rho) row per non-empty bucket — at most 2^p rows per group.
+    * This frame is the HLL register array in relational form: union
+    * two states (same p) and re-[[merge]] to sketch the union of the
+    * underlying sets without revisiting either input — persist it as
+    * a stats table and tomorrow's batch folds in with one
+    * `groupBy.max`. Every step is a partial aggregate.
+    */
+  def sketch(df: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Int = 12): DataFrame = {
     require(p >= 7 && p <= 16, s"p must be in [7, 16]: $p") // m >= 128: single-alpha regime
-    val m = 1 << p
     val wbits = 64 - p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.plans.GraftFunctions.register)
     val z = call_function("graft_mix64",
@@ -70,12 +80,27 @@ object Sketches {
     val rho = least(lit(RhoCap),
       when(w === 0L, lit(RhoCap))
         .otherwise(lit(wbits) - (length(conv(w.cast("string"), 10, 2)) - 1)))
-    val perBucket = df
-      .groupBy(groupCols.map(col) :+ bucket.as("__b"): _*)
-      .agg(max(rho).as("__M"))
-    perBucket.groupBy(groupCols.map(col): _*)
+    df.groupBy(groupCols.map(col) :+ bucket.as("hll_bucket"): _*)
+      .agg(max(rho).as("hll_rho"))
+  }
+
+  /** Merge any number of unioned sketch states (all built at the
+    * same p): bucket-wise max — HLL's lossless register merge.
+    */
+  def merge(states: DataFrame, groupCols: Seq[String]): DataFrame =
+    states.groupBy(groupCols.map(col) :+ col("hll_bucket"): _*)
+      .agg(max(col("hll_rho")).as("hll_rho"))
+
+  /** Fold a sketch state to the raw HLL estimate (see
+    * [[approxDistinct]] for the arithmetic and determinism story).
+    */
+  def estimate(state: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7, 16]: $p")
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    state.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("hll_buckets_used"),
-        sum(pow(lit(2.0), lit(RhoCap) - col("__M")).cast("long")).as("__t_p"))
+        sum(pow(lit(2.0), lit(RhoCap) - col("hll_rho")).cast("long")).as("__t_p"))
       .select(groupCols.map(col) :+ col("hll_buckets_used") :+
         (col("__t_p") +
           (lit(m.toLong) - col("hll_buckets_used")) * lit(1L << RhoCap))

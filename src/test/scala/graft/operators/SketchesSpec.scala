@@ -40,6 +40,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("sketch states merge losslessly: estimate(merge(A, B)) == estimate(A ∪ B inputs)") {
+    val s = spark
+    import s.implicits._
+    // overlapping halves: A = [0, 60k), B = [40k, 100k); union = 100k
+    val a = (0L until 60000L).map(i => ("g", i)).toDF("g", "v")
+    val b = (40000L until 100000L).map(i => ("g", i)).toDF("g", "v")
+    val sa = Sketches.sketch(a, Seq("g"), "v", p = 12)
+    val sb = Sketches.sketch(b, Seq("g"), "v", p = 12)
+    val merged = Sketches.merge(sa.unionByName(sb), Seq("g"))
+    val viaMerge = Sketches.estimate(merged, Seq("g"), 12).collect().head
+    val direct = Sketches.approxDistinct(a.unionByName(b), Seq("g"), "v", 12)
+      .collect().head
+    // the merged sketch is BIT-IDENTICAL to sketching the union
+    assert(viaMerge.getAs[Long]("hll_t_scaled") ===
+      direct.getAs[Long]("hll_t_scaled"), "register merge must be lossless")
+    val est = viaMerge.getAs[Double]("approx_distinct")
+    assert(math.abs(est - 100000) / 100000 < 0.065, s"union estimate $est")
+  }
+
   test("plan: two partial-aggregated shuffles, no distinct expansion, no UDF") {
     val s = spark
     import s.implicits._
