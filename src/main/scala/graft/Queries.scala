@@ -1097,6 +1097,69 @@ object Queries {
                 / CAST(hll_t_scaled AS DOUBLE) AS approx_distinct
             FROM agg JOIN e USING (event_type) ORDER BY event_type"""))
 
+  // INCREMENTAL SKETCH MAINTENANCE (row 32 note): the events stream
+  // arrives as three disjoint batches folded one at a time into a
+  // persisted sketch table (conditional MERGE register merge); the
+  // final estimate must be BIT-IDENTICAL to sketching everything at
+  // once — which is exactly what the oracle replays. A lost
+  // register, a non-idempotent fold, or an overwrite that lowered a
+  // register all mismatch.
+  val sketchMaintainQ = QueryDef(
+    "q_sketch_maintain",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_skm").toString
+      val t = s"$root/sketch"
+      val ev = Tables.events(s, d)
+      (0 until 3).foreach { i =>
+        Sketches.foldSketch(s, t,
+          ev.filter(col("event_id") % 3 === i),
+          Seq("event_type"), "event_id", p = 8,
+          txn = Some("q_sketch_maintain" -> i.toLong))
+      }
+      Sketches.readSketchEstimate(s, t, Seq("event_type"), p = 8)
+        .orderBy("event_type")
+    },
+    Some("""WITH cps AS (
+              SELECT event_type,
+                list_transform(string_split(CAST(event_id AS VARCHAR), ''),
+                  x -> CAST(ord(x) AS BIGINT)) AS cp
+              FROM events),
+            h AS (
+              SELECT event_type,
+                CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), cp),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS HUGEINT) * 1073741824
+                 + list_reduce(list_prepend(CAST(13 AS BIGINT), cp),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h0
+              FROM cps),
+            x1 AS (SELECT event_type, xor(h0, h0 // 1073741824) AS x FROM h),
+            z1 AS (SELECT event_type,
+                (((x * 3210233709::HUGEINT) % 4294967296) * 4294967296
+                  + x * 484763065::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z FROM x1),
+            x2 AS (SELECT event_type, xor(z, z // 134217728) AS x FROM z1),
+            z2 AS (SELECT event_type,
+                (((x * 2496678331::HUGEINT) % 4294967296) * 4294967296
+                  + x * 321982955::HUGEINT)
+                  % 18446744073709551616::HUGEINT AS z FROM x2),
+            z3 AS (SELECT event_type,
+                xor(z, z // 2147483648) AS z FROM z2),
+            r AS (
+              SELECT event_type, CAST(z // (1::HUGEINT << 56) AS BIGINT) AS b,
+                CASE WHEN (z % (1::HUGEINT << 56)) = 0 THEN 41
+                     ELSE LEAST(41, 56 -
+                       (length(bin(CAST(z % (1::HUGEINT << 56) AS BIGINT))) - 1))
+                END AS rho
+              FROM z3),
+            mx AS (SELECT event_type, b, MAX(rho) AS m FROM r GROUP BY 1, 2)
+            SELECT event_type, COUNT(*) AS hll_buckets_used,
+              CAST(SUM(CAST(power(2, 41 - m) AS BIGINT))
+                + (256 - COUNT(*)) * (1::BIGINT << 41) AS BIGINT) AS hll_t_scaled,
+              0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * power(2, 41)
+                / CAST(CAST(SUM(CAST(power(2, 41 - m) AS BIGINT))
+                    + (256 - COUNT(*)) * (1::BIGINT << 41) AS BIGINT) AS DOUBLE)
+                AS approx_distinct
+            FROM mx GROUP BY event_type ORDER BY event_type"""))
+
   // Corpus-level term statistics (the TF-IDF integer core). The
   // oracle compares tf/df exactly; the ln-based tfidf value itself
   // is checked in TextOpsSpec (libm rounding isn't bit-stable across
@@ -4843,7 +4906,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
     windowedAgg,
-    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, approxDistinctQ, termStats, bm25Q, heavyTermsQ, redactDocs,
+    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, approxDistinctQ, sketchMaintainQ, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, bloomScan,

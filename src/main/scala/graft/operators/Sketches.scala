@@ -91,6 +91,49 @@ object Sketches {
     states.groupBy(groupCols.map(col) :+ col("hll_bucket"): _*)
       .agg(max(col("hll_rho")).as("hll_rho"))
 
+  /** INCREMENTAL sketch maintenance: fold one batch's registers into
+    * a persisted sketch stats table — "distinct users ever seen, per
+    * group" maintained at O(batch + touched registers) per fold,
+    * never O(history). First call bootstraps the table (stats
+    * tracked on the merge keys, so the conditional MERGE prunes to
+    * the touched register files); every later call is ONE
+    * [[graft.sources.DataSkipping.mergeInto]] whose matched-update
+    * clause applies the lossless register merge
+    * (`s.hll_rho > t.hll_rho` → take the source's) and whose
+    * not-matched clause inserts fresh registers. A register the
+    * batch cannot raise rewrites nothing — steady state touches a
+    * shrinking file set. `txn` gives Delta-style replay idempotency
+    * (the foreachBatch crash window); the estimate after any fold
+    * sequence is BIT-IDENTICAL to sketching all inputs at once
+    * (max is associative/commutative/idempotent).
+    */
+  def foldSketch(spark: org.apache.spark.sql.SparkSession,
+      sketchTable: String, batch: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 12,
+      txn: Option[(String, Long)] = None): Unit = {
+    import graft.sources.{DataSkipping, MergeClause}
+    val batchSketch = sketch(batch, groupCols, valueCol, p)
+    val fs = new org.apache.hadoop.fs.Path(sketchTable)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = groupCols :+ "hll_bucket"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$sketchTable/${DataSkipping.StatsDir}")))
+      DataSkipping.writeWithStats(batchSketch, sketchTable, keys)
+    else
+      DataSkipping.mergeInto(spark, sketchTable, batchSketch, keys, Seq(
+        MergeClause.MatchedUpdate(
+          Some(col("s.hll_rho") > col("t.hll_rho")),
+          Map("hll_rho" -> col("s.hll_rho"))),
+        MergeClause.NotMatchedInsert(None)), txn = txn)
+  }
+
+  /** The maintained sketch table's current estimates. */
+  def readSketchEstimate(spark: org.apache.spark.sql.SparkSession,
+      sketchTable: String, groupCols: Seq[String], p: Int): DataFrame =
+    estimate(graft.sources.DataSkipping.readSkipping(spark, sketchTable,
+      col("hll_bucket").isNotNull || col("hll_bucket").isNull),
+      groupCols, p)
+
   /** Fold a sketch state to the raw HLL estimate (see
     * [[approxDistinct]] for the arithmetic and determinism story).
     */

@@ -59,6 +59,36 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 100000) / 100000 < 0.065, s"union estimate $est")
   }
 
+  test("foldSketch: incremental folds equal one-shot sketching; replayed batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_skt").toString
+    val t = s"$root/sk"
+    val all = (0L until 30000L).map(i => (s"g${i % 2}", i)).toDF("g", "v")
+    (0 until 3).foreach { i =>
+      Sketches.foldSketch(s, t, all.filter(col("v") % 3 === i),
+        Seq("g"), "v", p = 10, txn = Some("skt" -> i.toLong))
+    }
+    def st() = Sketches.readSketchEstimate(s, t, Seq("g"), 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hll_t_scaled")).toMap
+    val incremental = st()
+    val direct = Sketches.approxDistinct(all, Seq("g"), "v", 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("hll_t_scaled")).toMap
+    assert(incremental === direct,
+      "fold sequence must be bit-identical to one-shot sketching")
+    // replaying an already-applied batch (crash window) changes nothing
+    Sketches.foldSketch(s, t, all.filter(col("v") % 3 === 1),
+      Seq("g"), "v", p = 10, txn = Some("skt" -> 1L))
+    assert(st() === incremental, "replay must be a no-op")
+    // a batch that cannot raise any register rewrites nothing
+    val versions = graft.sources.DataSkipping.tableVersions(s, t)
+    Sketches.foldSketch(s, t, all.filter(col("v") % 3 === 0),
+      Seq("g"), "v", p = 10, txn = Some("skt" -> 5L))
+    assert(st() === incremental)
+    assert(graft.sources.DataSkipping.tableVersions(s, t) === versions,
+      "an unraisable fold must commit no generation")
+  }
+
   test("plan: two partial-aggregated shuffles, no distinct expansion, no UDF") {
     val s = spark
     import s.implicits._
