@@ -68,20 +68,31 @@ object Sketches {
     */
   def sketch(df: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Int = 12): DataFrame = {
+    val (bucket, rho) = registerColumns(col(valueCol), p)
+    df.groupBy(groupCols.map(col) :+ bucket.as("hll_bucket"): _*)
+      .agg(max(rho).as("hll_rho"))
+  }
+
+  /** The per-row (bucket, rho) register expressions — the reusable
+    * half of [[sketch]] for callers that own their own grouping
+    * (e.g. [[graft.streaming.WindowedDistinct]]'s event-time
+    * windows, where the window expression must sit in the SAME
+    * single streaming aggregation).
+    */
+  def registerColumns(value: org.apache.spark.sql.Column,
+      p: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     require(p >= 7 && p <= 16, s"p must be in [7, 16]: $p") // m >= 128: single-alpha regime
     val wbits = 64 - p
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.plans.GraftFunctions.register)
-    val z = call_function("graft_mix64",
-      Hashing.poly60(col(valueCol).cast("string")))
+    val z = call_function("graft_mix64", Hashing.poly60(value.cast("string")))
     val bucket = shiftrightunsigned(z, wbits)
     val w = z.bitwiseAND(lit((1L << wbits) - 1))
     // exact floor(log2(w)) = len(binary(w)) - 1; rho = lz + 1
     val rho = least(lit(RhoCap),
       when(w === 0L, lit(RhoCap))
         .otherwise(lit(wbits) - (length(conv(w.cast("string"), 10, 2)) - 1)))
-    df.groupBy(groupCols.map(col) :+ bucket.as("hll_bucket"): _*)
-      .agg(max(rho).as("hll_rho"))
+    (bucket, rho)
   }
 
   /** Merge any number of unioned sketch states (all built at the
