@@ -672,10 +672,39 @@ object DataSkipping {
     * @return true if the batch committed; false if `commitName` was
     *         already present (idempotent replay skip)
     */
+  /** AUTO-COMPACTION (the Delta autoOptimize/autoCompact analog,
+    * opt-in): after an append lands, count the manifest's small
+    * files (one aggregate over the manifest table — never a data
+    * read or file listing) and trigger [[compactTable]] when the
+    * small-file tail reaches `minSmallFiles`. The ingest-cadence
+    * maintenance loop, automated: streaming appends stop degrading
+    * read planning without an external OPTIMIZE scheduler, and the
+    * threshold makes the compaction cost amortized — one rewrite
+    * per `minSmallFiles` appends, not one per append.
+    *
+    * @param smallFileBytes files strictly below this are "small"
+    * @param minSmallFiles  compact once at least this many exist
+    * @return whether a compaction ran
+    */
+  def autoCompact(spark: SparkSession, path: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      minSmallFiles: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean = {
+    require(smallFileBytes > 0 && minSmallFiles > 0)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val small = readManifestIn(spark, dir)
+      .filter(col("file_size") < smallFileBytes)
+      .limit(minSmallFiles).count()
+    if (small < minSmallFiles) false
+    else { compactTable(spark, path, targetFileBytes); true }
+  }
+
   def appendWithStats(
       df0in: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
-      mergeSchema: Boolean = false): Boolean = {
+      mergeSchema: Boolean = false,
+      autoCompactSmallFiles: Option[Int] = None): Boolean = {
     val s0 = df0in.sparkSession
     val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
     val d0 = manifestDirOf(f0, path)
@@ -857,6 +886,9 @@ object DataSkipping {
       case Some(dest) =>
         writeManifestFile(spark, fs, path, batchStats, dest)
     }
+    // opt-in ingest-cadence maintenance: see [[autoCompact]]
+    autoCompactSmallFiles.foreach(n =>
+      autoCompact(spark, path, minSmallFiles = n))
     true
     } finally idPinned.foreach(_.unpersist())
   }

@@ -833,6 +833,38 @@ class DataSkippingSpec extends SparkSpec {
       .select("tag").as[String].head() === "a")
   }
 
+  test("autoCompact: small-file tail triggers exactly at the threshold; rows identical") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1),
+      dir, Seq("id"))
+    // appends below the threshold never compact
+    (1 to 3).foreach { k =>
+      assert(DataSkipping.appendWithStats(
+        (100L * k until 100L * k + 100L).map(i => (i, s"v$i")).toDF("id", "payload")
+          .coalesce(1),
+        dir, Seq("id"), autoCompactSmallFiles = Some(5)))
+    }
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L),
+      "below threshold: no compaction generation")
+    assert(DataSkipping.readManifest(s, dir).count() === 4)
+    // the 5th small file crosses minSmallFiles = 5 -> one compaction
+    assert(DataSkipping.appendWithStats(
+      (400L until 500L).map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1),
+      dir, Seq("id"), autoCompactSmallFiles = Some(5)))
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L, 1L),
+      "threshold crossed: exactly one compaction")
+    assert(DataSkipping.readManifest(s, dir).count() === 1,
+      "tail bin-packed into one file")
+    val rows = DataSkipping.readSkipping(s, dir, lit(true))
+      .select("id").as[Long].collect().sorted
+    assert(rows.toSeq === (0L until 500L))
+    // standalone trigger is a no-op below threshold
+    assert(!DataSkipping.autoCompact(s, dir, minSmallFiles = 2))
+  }
+
   test("manifest is invisible to plain readers") {
     val s = spark
     import s.implicits._
