@@ -70,6 +70,40 @@ class GraftTable private (spark: SparkSession, val path: String) {
 
   def cloneTo(target: String): Long =
     DataSkipping.cloneTable(spark, path, target)
+
+  /** `REORG TABLE ... APPLY (PURGE)`: materialize the deletion
+    * vector by rewriting only its files. Returns positions purged.
+    */
+  def reorgPurge(): Long = DataSkipping.purgeDeletionVectors(spark, path)
+
+  /** Declare `name` GENERATED ALWAYS AS (`exprSql`); appends may
+    * omit it from then on.
+    */
+  def addGeneratedColumn(name: String, exprSql: String): GraftTable = {
+    DataSkipping.addGeneratedColumn(spark, path, name, exprSql); this
+  }
+
+  def dropGeneratedColumn(name: String): GraftTable = {
+    DataSkipping.dropGeneratedColumn(spark, path, name); this
+  }
+
+  /** Declare `name` GENERATED ALWAYS AS IDENTITY; appends must omit
+    * it and the engine deals dense grid ids.
+    */
+  def addIdentityColumn(name: String, start: Long = 1L,
+      step: Long = 1L): GraftTable = {
+    DataSkipping.addIdentityColumn(spark, path, name, start, step); this
+  }
+
+  def dropIdentityColumn(name: String): GraftTable = {
+    DataSkipping.dropIdentityColumn(spark, path, name); this
+  }
+
+  /** Compact the small-file tail if it has reached `minSmallFiles`
+    * (the autoOptimize trigger, callable on any cadence).
+    */
+  def autoCompact(minSmallFiles: Int = 16): Boolean =
+    DataSkipping.autoCompact(spark, path, minSmallFiles = minSmallFiles)
 }
 
 object GraftTable {

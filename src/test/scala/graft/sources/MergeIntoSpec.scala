@@ -177,4 +177,25 @@ class MergeIntoSpec extends SparkSpec {
     assert(m(10L) == 99.0)
     assert(m(888L) == 8.0)
   }
+
+  test("GraftTable fluent surface covers the r11 ops: reorgPurge, generated/identity DDL, autoCompact") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("gt_r11")
+    val gt = GraftTable.forPath(s, t)
+    // merge-on-read delete then purge through the handle
+    assert(DataSkipping.deleteWhereDV(s, t, col("id") < 20L) === 20L)
+    assert(gt.reorgPurge() === 20L)
+    assert(gt.toDF.count() === 380L)
+    // generated + identity declarations chain fluently
+    gt.addGeneratedColumn("kind", "concat('e', CAST(id % 4 AS STRING))")
+      .dropGeneratedColumn("kind")
+    gt.addIdentityColumn("id", start = 0L, step = 1L)
+    assert(DataSkipping.tableIdentityColumns(s, t)("id")._3 === 400L)
+    gt.dropIdentityColumn("id")
+    // autoCompact through the handle: threshold respected
+    assert(!gt.autoCompact(minSmallFiles = 64))
+    assert(gt.autoCompact(minSmallFiles = 2))
+    assert(gt.toDF.count() === 380L)
+  }
 }
