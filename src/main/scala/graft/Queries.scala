@@ -1033,6 +1033,48 @@ object Queries {
                      (a, b) -> (a * 31 + b) % 1000000007) END AS fp
             FROM documents ORDER BY doc_id"""))
 
+  // UNICODE NFC NORMALIZATION (row 31c): planted combining-character
+  // variants ("Cafe" + U+0301 vs precomposed U+00E9) must normalize
+  // to the SAME canonical bytes — lengths shrink, canonical equality
+  // holds across the variant classes, and the polynomial fingerprint
+  // of the normalized text must match DuckDB's nfc_normalize replay
+  // codepoint-for-codepoint.
+  val nfcNormalizeQ = QueryDef(
+    "q_nfc_normalize",
+    (s, d) => {
+      val sfx = when(col("doc_id") % 3 === 0, lit(" Cafe\u0301 menu"))
+        .when(col("doc_id") % 3 === 1, lit(" Caf\u00e9 menu"))
+        .otherwise(lit(" plain menu"))
+      val raw = concat(col("text"), sfx)
+      val norm = TextFunctions.nfcNormalize(raw)
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(raw).cast("bigint").as("len_raw"),
+          length(norm).cast("bigint").as("len_norm"),
+          (norm === concat(TextFunctions.nfcNormalize(col("text")),
+            lit(" Caf\u00e9 menu"))).as("canonical_equal"),
+          TextFunctions.fingerprint(norm).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, text,
+                text || CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN ' Cafe' || chr(769) || ' menu'
+                  WHEN 1 THEN ' Café menu'
+                  ELSE ' plain menu' END AS raw
+              FROM documents)
+            SELECT doc_id,
+              length(raw) AS len_raw,
+              length(nfc_normalize(raw)) AS len_norm,
+              nfc_normalize(raw) =
+                (nfc_normalize(text) || ' Café menu') AS canonical_equal,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(nfc_normalize(raw), ''),
+                    x -> CAST(ord(x) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007) AS fp
+            FROM t ORDER BY doc_id"""))
+
   // HYPERLOGLOG APPROX DISTINCT (row 32): per-event-type distinct
   // event_ids via the partial-agg HLL composition (p=8, m=256) next
   // to the exact countDistinct. The sketch state T is an EXACT
@@ -4906,7 +4948,7 @@ object Queries {
     usersNoPurchase, asofJoin, rangeJoin, rangeJoinOuter, rangeJoinFull, rangeBinJoin,
     sessionize, sessionWindowAgg,
     windowedAgg,
-    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, approxDistinctQ, sketchMaintainQ, termStats, bm25Q, heavyTermsQ, redactDocs,
+    tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, nfcNormalizeQ, approxDistinctQ, sketchMaintainQ, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, bloomScan,

@@ -168,6 +168,19 @@ object TextFunctions {
     * regexp/replace chain — shuffle-free, linear, engine-replayable
     * (patterns avoid backreferences, which RE2 engines reject).
     */
+  /** Unicode NFC canonical composition ([[graft.plans.NfcNormalize]])
+    * — run BEFORE any hash-equality dedup: combining-character
+    * variants ("Café" as e+U+0301 vs precomposed U+00E9) are
+    * byte-different, render identically, and silently survive every
+    * exact-dedup pass. Codegen'd; DuckDB replays via
+    * `nfc_normalize`.
+    */
+  def nfcNormalize(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
+    call_function("graft_nfc", text)
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " "),

@@ -126,3 +126,40 @@ object Mix64 {
     z ^ (z >>> 31)
   }
 }
+
+/** Unicode NFC normalization (canonical composition) — the
+  * text-canonicalization pass exact dedup needs BEFORE hashing:
+  * "Café" with a precomposed U+00E9 and "Café" with e + combining
+  * U+0301 are byte-different, render identically, and defeat every
+  * hash-equality operator in the dedup family. Spark has no
+  * built-in normalizer; this wraps `java.text.Normalizer` (ICU-free,
+  * in the JDK) as a codegen'd expression so the pass rides inside
+  * whole-stage codegen like the rest of the text chain. The DuckDB
+  * oracle replays with `nfc_normalize` — both implement Unicode
+  * canonical composition, so outputs are byte-identical.
+  */
+case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(v.toString,
+        java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($v.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NfcNormalize =
+    copy(child = newChild)
+}

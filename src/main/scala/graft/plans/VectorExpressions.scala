@@ -833,6 +833,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mix64"),
       new ExpressionInfo(classOf[Mix64].getName, "graft_mix64"),
       children => Mix64(children(0))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      children => NfcNormalize(children(0))),
     (FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       children => HeavyHittersAgg(children(0), children(1))),

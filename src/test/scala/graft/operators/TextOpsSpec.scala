@@ -595,6 +595,36 @@ class TextOpsSpec extends SparkSpec {
     assert(exact.count() === 1)
   }
 
+  test("nfcNormalize: decomposed == precomposed after NFC; idempotent; null-safe; shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Cafe\u0301"),     // decomposed
+      (2L, "Caf\u00e9"),      // precomposed
+      (3L, "plain"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = docs.select(col("id"),
+        graft.functions.TextFunctions.nfcNormalize(col("t")).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === out(1).getString(1),
+      "variants must normalize to identical bytes")
+    assert(out(0).getString(1) === "Caf\u00e9")
+    assert(out(2).getString(1) === "plain")
+    assert(out(3).isNullAt(1))
+    // idempotent: normalizing twice changes nothing
+    val twice = docs.filter(col("t").isNotNull).select(
+      (graft.functions.TextFunctions.nfcNormalize(
+        graft.functions.TextFunctions.nfcNormalize(col("t"))) ===
+        graft.functions.TextFunctions.nfcNormalize(col("t"))).as("ok"))
+      .collect()
+    assert(twice.forall(_.getBoolean(0)))
+    val plan = docs.select(
+        graft.functions.TextFunctions.nfcNormalize(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("chunkDocs plan: zero shuffles, codegen'd fan-out") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val df = TextOps.chunkDocs(docs, "doc_id", "text", 40, 10)
