@@ -4715,7 +4715,18 @@ object Queries {
           .withColumn("event_type", lit("merged"))
           .withColumn("value", col("value") * 2),
         Seq("event_id"))
-      refresh().orderBy("event_type")
+      // the fold is exact decimal internally; the GATE OUTPUT casts
+      // to double because raw DECIMAL columns render differently
+      // across the compare's two read paths (pyarrow keeps the
+      // ".000000" scale padding, DuckDB's pandas conversion drops it
+      // as float64) — a representation mismatch, not a value one. At
+      // these magnitudes (~1e6, 6 dp ≈ 13 sig digits < double's
+      // 15.95) the cast is injective: any 1e-6 fold error still
+      // shifts the double, so discrimination is unchanged.
+      refresh()
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("cnt"))
+        .orderBy("event_type")
     },
     Some("""WITH base AS (
               SELECT event_id, user_id, event_type, value FROM events),
@@ -4735,7 +4746,8 @@ object Queries {
               UNION ALL
               SELECT event_type, value FROM src)
             SELECT event_type,
-                   SUM(CAST(value AS DECIMAL(20,6))) AS sum_value,
+                   CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value,
                    COUNT(*) AS cnt
             FROM final GROUP BY event_type ORDER BY event_type"""))
 
@@ -4847,7 +4859,14 @@ object Queries {
           .withColumn("event_type", lit("merged"))
           .withColumn("value", col("value") * 2),
         Seq("event_id"))
-      refresh().orderBy("event_type")
+      // decimal extrema internally; gate output in double — same
+      // representation-stability rationale as q_incremental_agg (a
+      // single cast value round-trips double exactly at this scale)
+      refresh()
+        .select(col("event_type"),
+          col("min_value").cast("double").as("min_value"),
+          col("max_value").cast("double").as("max_value"), col("cnt"))
+        .orderBy("event_type")
     },
     Some("""WITH base AS (
               SELECT event_id, user_id, event_type, value FROM events),
@@ -4867,8 +4886,10 @@ object Queries {
               UNION ALL
               SELECT event_type, value FROM src)
             SELECT event_type,
-                   MIN(CAST(value AS DECIMAL(20,6))) AS min_value,
-                   MAX(CAST(value AS DECIMAL(20,6))) AS max_value,
+                   CAST(MIN(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS min_value,
+                   CAST(MAX(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS max_value,
                    COUNT(*) AS cnt
             FROM final GROUP BY event_type ORDER BY event_type"""))
 

@@ -69,7 +69,13 @@ object Sketches {
   def sketch(df: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Int = 12): DataFrame = {
     val (bucket, rho) = registerColumns(col(valueCol), p)
-    df.groupBy(groupCols.map(col) :+ bucket.as("hll_bucket"): _*)
+    // COUNT(DISTINCT) ignores NULLs; without this filter a NULL value
+    // row would form a phantom register (bucket=NULL — least() skips
+    // the null operand, leaving rho=RhoCap) that both counts in
+    // hll_buckets_used and drops one empty-bucket term from
+    // hll_t_scaled, inflating the estimate
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ bucket.as("hll_bucket"): _*)
       .agg(max(rho).as("hll_rho"))
   }
 
@@ -77,7 +83,10 @@ object Sketches {
     * half of [[sketch]] for callers that own their own grouping
     * (e.g. [[graft.streaming.WindowedDistinct]]'s event-time
     * windows, where the window expression must sit in the SAME
-    * single streaming aggregation).
+    * single streaming aggregation). CALLERS MUST pre-filter
+    * `value IS NOT NULL` rows (as [[sketch]] does) — a NULL value
+    * yields a phantom NULL-bucket register that inflates the
+    * estimate, where COUNT(DISTINCT) would have ignored the row.
     */
   def registerColumns(value: org.apache.spark.sql.Column,
       p: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {

@@ -90,7 +90,9 @@ object IncrementalView {
     */
   def maintainSumCount(spark: SparkSession, baseTable: String,
       viewTable: String, groupCol: String, valueCol: String,
-      checkpoint: String): DataFrame = {
+      checkpoint: String,
+      maxVersionsPerTrigger: Int =
+        ChangeFeedSource.DefaultMaxVersionsPerTrigger): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(viewTable)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(DataSkipping.changeFeedEnabled(spark, baseTable),
@@ -116,6 +118,7 @@ object IncrementalView {
     val reader = spark.readStream
       .format(classOf[ChangeFeedSourceProvider].getName)
       .option("path", baseTable)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     val withStart =
       if (bootstrapped) reader
       else reader.option("startingVersion", (startAfter + 1).toString)
@@ -162,7 +165,9 @@ object IncrementalView {
     */
   def maintainMeanVar(spark: SparkSession, baseTable: String,
       viewTable: String, groupCol: String, valueCol: String,
-      checkpoint: String): DataFrame = {
+      checkpoint: String,
+      maxVersionsPerTrigger: Int =
+        ChangeFeedSource.DefaultMaxVersionsPerTrigger): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(viewTable)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(DataSkipping.changeFeedEnabled(spark, baseTable),
@@ -190,6 +195,7 @@ object IncrementalView {
     val reader = spark.readStream
       .format(classOf[ChangeFeedSourceProvider].getName)
       .option("path", baseTable)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     val withStart =
       if (bootstrapped) reader
       else reader.option("startingVersion", (startAfter + 1).toString)
@@ -279,7 +285,9 @@ object IncrementalView {
     */
   def maintainMinMax(spark: SparkSession, baseTable: String,
       viewTable: String, groupCol: String, valueCol: String,
-      checkpoint: String): DataFrame = {
+      checkpoint: String,
+      maxVersionsPerTrigger: Int =
+        ChangeFeedSource.DefaultMaxVersionsPerTrigger): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(viewTable)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(DataSkipping.changeFeedEnabled(spark, baseTable),
@@ -306,6 +314,7 @@ object IncrementalView {
     val reader = spark.readStream
       .format(classOf[ChangeFeedSourceProvider].getName)
       .option("path", baseTable)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
     val withStart =
       if (bootstrapped) reader
       else reader.option("startingVersion", (startAfter + 1).toString)

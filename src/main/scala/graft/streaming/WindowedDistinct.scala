@@ -39,6 +39,10 @@ object WindowedDistinct {
       if (stream.isStreaming) stream.withWatermark(tsCol, watermark) else stream
     val (bucket, rho) = Sketches.registerColumns(col(valueCol), p)
     withWm
+      // registerColumns contract: NULL values must not reach the
+      // registers (COUNT(DISTINCT) ignores them; a NULL bucket row
+      // would inflate the estimate)
+      .filter(col(valueCol).isNotNull)
       .groupBy(window(col(tsCol), windowDur) +: keys.map(col)
         :+ bucket.as("hll_bucket"): _*)
       .agg(max(rho).as("hll_rho"))

@@ -485,6 +485,128 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewMap(refresh()) === recompute(), "final state must agree")
   }
 
+  test("forced batch splits (maxVersionsPerTrigger 1/2/3): every split of the same DML program folds to the same view") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ivw_split")
+    val base = s"$root/base"
+    buildBase(s, base)
+    // a DML program whose versions interact across batch boundaries:
+    // v1 deletes extrema, v2 migrates groups, v3 merges (update +
+    // insert), v4 deletes an entire group — split-sensitive for both
+    // the signed-sum fold and the min/max recompute-vs-formula choice
+    DataSkipping.deleteWhere(s, base, col("id") < 20L)                  // v1
+    DataSkipping.updateWhere(s, base, col("id") >= 400L && col("id") < 440L,
+      Map("grp" -> lit("gX"), "value" -> (col("value") * -1)))          // v2
+    DataSkipping.mergeUpsert(s, base,
+      ((100L until 120L).map(i => (i, s"g${i % 5}", i * 7.0)) ++
+        (8000L until 8010L).map(i => (i, "gNew", i.toDouble)))
+        .toDF("id", "grp", "value"), Seq("id"))                         // v3
+    DataSkipping.deleteWhere(s, base, col("grp") === "g4")              // v4
+    val sumExpect = viewMap(
+      DataSkipping.readSkipping(s, base, col("id") >= 0L)
+        .groupBy("grp").agg(
+          sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+            .as("sum_value"),
+          count(lit(1)).as("cnt")))
+    val mmExp = mmMap(mmExpect(s, base))
+    // mvpt = 1 → four single-version batches; 2 → {v1,v2},{v3,v4};
+    // 3 → {v1,v2,v3},{v4}; each drained by ONE AvailableNow run
+    // through the real engine multi-batch path
+    (1 to 3).foreach { mvpt =>
+      val sumView = viewMap(IncrementalView.maintainSumCount(
+        s, base, s"$root/sview$mvpt", "grp", "value", s"$root/sck$mvpt",
+        maxVersionsPerTrigger = mvpt))
+      assert(sumView === sumExpect,
+        s"sum/count fold diverged at maxVersionsPerTrigger=$mvpt")
+      val mmView = mmMap(IncrementalView.maintainMinMax(
+        s, base, s"$root/mview$mvpt", "grp", "value", s"$root/mck$mvpt",
+        maxVersionsPerTrigger = mvpt))
+      assert(mmView === mmExp,
+        s"min/max fold diverged at maxVersionsPerTrigger=$mvpt")
+    }
+    // NOTE: these views bootstrap AFTER the DML (snapshot at v4, feed
+    // pinned at v5) — so also drive post-bootstrap splits: two more
+    // versions folded 1-at-a-time vs 2-at-once must agree
+    DataSkipping.updateWhere(s, base, col("grp") === "g0",
+      Map("value" -> (col("value") + 1000)))                            // v5
+    DataSkipping.deleteWhere(s, base, col("id") % 2 === 1L)             // v6
+    val after = viewMap(
+      DataSkipping.readSkipping(s, base, col("id") >= 0L)
+        .groupBy("grp").agg(
+          sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+            .as("sum_value"),
+          count(lit(1)).as("cnt")))
+    val afterMm = mmMap(mmExpect(s, base))
+    (1 to 3).foreach { mvpt =>
+      assert(viewMap(IncrementalView.maintainSumCount(
+        s, base, s"$root/sview$mvpt", "grp", "value", s"$root/sck$mvpt",
+        maxVersionsPerTrigger = mvpt)) === after,
+        s"post-bootstrap sum fold diverged at maxVersionsPerTrigger=$mvpt")
+      assert(mmMap(IncrementalView.maintainMinMax(
+        s, base, s"$root/mview$mvpt", "grp", "value", s"$root/mck$mvpt",
+        maxVersionsPerTrigger = mvpt)) === afterMm,
+        s"post-bootstrap min/max fold diverged at maxVersionsPerTrigger=$mvpt")
+    }
+  }
+
+  test("batch-id numbering across the bootstrap's empty run: the txn guard can never skip a real batch") {
+    val s = spark
+    val root = tmpDir("ivw_bid")
+    val base = s"$root/base"
+    buildBase(s, base)
+    val view = s"$root/view"
+    val ckpt = s"$root/ckpt"
+    def refresh() = IncrementalView.maintainSumCount(
+      s, base, view, "grp", "value", ckpt, maxVersionsPerTrigger = 1)
+    def committedBatchIds: Seq[Long] = {
+      val d = new java.io.File(s"$ckpt/commits")
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toLong).sorted
+    }
+    refresh() // bootstrap: feed pinned after v0, nothing owed
+    val bootIds = committedBatchIds
+    val appId = IncrementalView.viewAppId(view, ckpt)
+    // whatever batch ids the empty bootstrap run committed (engine-
+    // version detail), NO txn may be stamped for them — an empty
+    // batch that stamped a watermark would make the guard skip the
+    // first REAL batch if the engine reuses its id
+    assert(DataSkipping.txnVersion(s, view, appId).isEmpty,
+      "the empty bootstrap run must not advance the txn watermark")
+
+    // four real versions, folded across THREE separate runs (mvpt=1
+    // forces one version per batch): every committed-and-stamped pair
+    // must line up, and the view must track the recompute exactly —
+    // a guard skip of any real batch shows up as a divergence here
+    def recompute() = viewMap(
+      DataSkipping.readSkipping(s, base, col("id") >= 0L)
+        .groupBy("grp").agg(
+          sum(col("value").cast("decimal(20,6)")).cast("decimal(30,6)")
+            .as("sum_value"),
+          count(lit(1)).as("cnt")))
+    (1 to 3).foreach { wave =>
+      DataSkipping.deleteWhere(s, base,
+        col("id") >= (wave * 100L) && col("id") < (wave * 100L + 30L))
+      if (wave == 2) // one wave carries TWO versions → two batches
+        DataSkipping.updateWhere(s, base, col("grp") === "g1",
+          Map("value" -> (col("value") + 7)))
+      assert(viewMap(refresh()) === recompute(),
+        s"view diverged from recompute at wave $wave")
+      val ids = committedBatchIds
+      assert(ids === ids.sorted && ids.distinct == ids,
+        s"batch ids must advance monotonically, never reuse: $ids")
+      // the stamped watermark equals the HIGHEST batch id that
+      // carried change rows — never ahead of the checkpoint (which
+      // would skip future real batches)
+      val stamped = DataSkipping.txnVersion(s, view, appId)
+      assert(stamped.exists(_ <= ids.max),
+        s"txn watermark $stamped must not outrun committed batches ${ids.max}")
+    }
+    assert(committedBatchIds.size > bootIds.size + 2,
+      "the waves must have committed real batches beyond the bootstrap run")
+  }
+
   test("a feed-less base table is refused") {
     val s = spark
     import s.implicits._
