@@ -1956,20 +1956,23 @@ object Queries {
   val urlDedupQ = QueryDef(
     "q_url_dedup",
     (s, d) => {
+      // userinfo + mixed-case tracker keys are part of the fixture:
+      // the canonical form must strip 'User:Pw@' before the www/port
+      // normalizations and match trackers case-insensitively
       val withUrls = Tables.documents(s, d).withColumn("url",
-        concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+        concat(lit("HTTPS://User:Pw@WWW.Site"), (col("doc_id") % 7).cast("string"),
           lit(".example.COM:443/Path"), (col("doc_id") % 5).cast("string"),
-          lit("/?utm_source=x&p="), (col("doc_id") % 3).cast("string"),
-          lit("&fbclid=abc#frag")))
+          lit("/?UTM_Source=x&p="), (col("doc_id") % 3).cast("string"),
+          lit("&FBclid=abc#frag")))
       Dedup.urlDedup(withUrls, "doc_id", "url")
         .select(col("canonical_url"), col("doc_id"), col("n_dupes"))
         .orderBy("canonical_url")
     },
     Some("""WITH urls AS (
               SELECT doc_id,
-                'HTTPS://WWW.Site' || (doc_id % 7) || '.example.COM:443/Path' ||
-                (doc_id % 5) || '/?utm_source=x&p=' || (doc_id % 3) ||
-                '&fbclid=abc#frag' AS url
+                'HTTPS://User:Pw@WWW.Site' || (doc_id % 7) || '.example.COM:443/Path' ||
+                (doc_id % 5) || '/?UTM_Source=x&p=' || (doc_id % 3) ||
+                '&FBclid=abc#frag' AS url
               FROM documents
             ), c1 AS (
               SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM urls
@@ -1980,7 +1983,9 @@ object Queries {
               FROM c1
             ), c3 AS (
               SELECT doc_id, scheme,
-                regexp_replace(lower(regexp_extract(rest, '^[^/?#]*')), '^www\.', '') AS hostport,
+                regexp_replace(lower(regexp_replace(
+                  regexp_extract(rest, '^[^/?#]*'), '^[^@]*@', '')),
+                  '^www\.', '') AS hostport,
                 regexp_replace(rest, '^[^/?#]*', '') AS pathq
               FROM c2
             ), c4 AS (
@@ -1992,8 +1997,8 @@ object Queries {
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(regexp_replace(pathq, '^[^?]*', ''),
-                      '&(utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
-                    '\?(utm_[^=&#]*|fbclid|gclid|msclkid)=[^&#]*&?', '?'),
+                      '&((?i:utm_[^=&#]*|fbclid|gclid|msclkid))=[^&#]*', '', 'g'),
+                    '\?((?i:utm_[^=&#]*|fbclid|gclid|msclkid))=[^&#]*&?', '?'),
                   '[?&]+$', '') AS query
               FROM c3
             )

@@ -216,12 +216,15 @@ object TextFunctions {
     *  1. fragment dropped (`#…` never reaches the server);
     *  2. scheme and host lowercased (RFC 3986: both case-insensitive;
     *     path/query case is preserved — they are not);
-    *  3. leading `www.` and the scheme's default port (`:80`/`:443`)
+    *  3. userinfo (`user:pass@`) dropped — it never names a distinct
+    *     public resource in crawl data, and leaving it in place would
+    *     shield the host from the normalizations below;
+    *  4. leading `www.` and the scheme's default port (`:80`/`:443`)
     *     stripped from the host;
-    *  4. tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
-    *     `msclkid` — lowercase keys, the dominant real-world form),
+    *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *     `msclkid`, ANY key case — `(?i)` inline flag, RE2-safe),
     *     with separator repair and trailing `?`/`&` cleanup;
-    *  5. trailing slashes stripped from the path.
+    *  6. trailing slashes stripped from the path.
     *
     * Pure codegen'd regexp chain — shuffle-free, linear, and every
     * pattern avoids backreferences so RE2 engines (the DuckDB
@@ -234,14 +237,19 @@ object TextFunctions {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, schemeRe, 0))
     val rest = regexp_replace(noFrag, schemeRe, "")
-    val hostPort = regexp_replace(lower(regexp_extract(rest, "^[^/?#]*", 0)),
-      "^www\\.", "")
+    // authority = everything before /?#; userinfo ('...@') stripped
+    // BEFORE host normalization — otherwise 'user@www.x.com' keeps
+    // its www. and default port (the authority regex would treat the
+    // whole of it as host)
+    val authority = regexp_extract(rest, "^[^/?#]*", 0)
+    val hostPort = regexp_replace(
+      lower(regexp_replace(authority, "^[^@]*@", "")), "^www\\.", "")
     val host = when(scheme === "http://", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https://", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     val pathq = regexp_replace(rest, "^[^/?#]*", "")
     val path = regexp_replace(regexp_extract(pathq, "^[^?]*", 0), "/+$", "")
-    val trackers = "utm_[^=&#]*|fbclid|gclid|msclkid"
+    val trackers = "(?i:utm_[^=&#]*|fbclid|gclid|msclkid)"
     val query = regexp_replace(
       regexp_replace(
         regexp_replace(regexp_replace(pathq, "^[^?]*", ""),

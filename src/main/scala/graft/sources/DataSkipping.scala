@@ -243,6 +243,15 @@ object DataSkipping {
     * DML generations and clones forward; RESTORE carries the CURRENT
     * watermark (content rewinds, issued ids are never re-issued —
     * the same never-rewind rule as `_txn.json`).
+    *
+    * RETRIED WRITERS: because the watermark advances sidecar-first, a
+    * failing or engine-retried append burns a batch-sized id gap on
+    * EVERY retry — unless the append carries a `commitName`, whose
+    * early idempotency short-circuit (already-committed name → no-op)
+    * runs BEFORE the identity hook. Streaming/foreachBatch writers
+    * into identity tables should therefore always pass a commitName
+    * derived from the batch id; anonymous retries are legal (gaps
+    * are Delta's identity contract too) but waste id space fast.
     */
   val IdentityFile = "_identity.json"
 

@@ -786,6 +786,13 @@ class DedupSpec extends SparkSpec {
       "https://x.com/p?utm_a=1&utm_b=2&q=3" -> "https://x.com/p?q=3",
       // ftp: unknown default port -> kept; www still stripped
       "FTP://WWW.Files.net:21/dir/" -> "ftp://files.net:21/dir",
+      // userinfo stripped BEFORE host normalization: www + default
+      // port must still fire behind 'User:Pw@'
+      "http://User:Pw@WWW.X.com:80/a" -> "http://x.com/a",
+      "https://bob@x.com/p" -> "https://x.com/p",
+      // tracker keys match case-insensitively
+      "https://x.com/p?UTM_Source=a&q=1" -> "https://x.com/p?q=1",
+      "https://x.com/p?q=1&FBCLID=zz" -> "https://x.com/p?q=1",
       // non-URL-shaped input: no scheme; whole string treated as a
       // host-ish token (lowercased), never an error
       "not a url" -> "not a url")
