@@ -4546,6 +4546,91 @@ object Queries {
             UNION ALL SELECT -2, 'constraints=1'
             ORDER BY event_id"""))
 
+  // SQL DML statements (row 17p extension): the reference's gold
+  // notebook is PURE SQL — this gate drives the whole row-level DML
+  // program through `GraftSql.sql` strings alone (DELETE FROM /
+  // UPDATE ... SET / full conditional MERGE INTO with a subquery
+  // source), then reads the table back with the op history folded
+  // in. The oracle replays the identical program as plain SQL: a
+  // mis-parsed clause, a dropped WHERE, an alias mis-rewrite, or a
+  // wrong clause precedence all hash-mismatch.
+  val sqlDml = QueryDef(
+    "q_sql_dml",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_sqldml").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(12, col("user_id")), t, Seq("user_id", "event_id"))
+      GraftSql.sql(s,
+        s"DELETE FROM '$t' WHERE user_id >= 40 AND user_id < 60")            // v1
+      GraftSql.sql(s,
+        s"UPDATE '$t' SET value = value * -1, event_type = 'redacted' " +
+          "WHERE user_id >= 100 AND user_id < 120")                          // v2
+      ev.createOrReplaceTempView("sql_dml_events")
+      GraftSql.sql(s,
+        s"""MERGE INTO '$t' AS tgt USING (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM sql_dml_events WHERE event_id % 50 = 3
+              UNION ALL
+              SELECT event_id + 5000000, user_id, 'ins', value + 0.5
+              FROM sql_dml_events WHERE event_id % 50 = 3 AND user_id < 50
+            ) AS src
+            ON tgt.event_id = src.event_id
+            WHEN MATCHED AND src.user_id % 7 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = src.value,
+                                         event_type = src.event_type
+            WHEN NOT MATCHED AND src.user_id < 25 THEN INSERT *""")          // v3
+      val data = DataSkipping.readSkipping(s, t, lit(true))
+      val ops = GraftSql.sql(s, s"DESCRIBE HISTORY '$t'")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("version"), col("operation")))),
+            x => x.getField("operation")), ",").as("event_type"))
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          col("event_type"), lit(0.0).as("value"))
+      data.unionByName(ops).orderBy("event_id")
+    },
+    Some("""WITH after_del AS (
+              SELECT event_id, user_id, event_type, value FROM events
+              WHERE NOT (user_id >= 40 AND user_id < 60)),
+            after_upd AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN value * -1 ELSE value END AS value
+              FROM after_del),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM events WHERE event_id % 50 = 3
+              UNION ALL
+              SELECT event_id + 5000000, user_id, 'ins', value + 0.5
+              FROM events WHERE event_id % 50 = 3 AND user_id < 50),
+            merged AS (
+              SELECT t.event_id, t.user_id,
+                CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+                     ELSE t.event_type END AS event_type,
+                CASE WHEN s.event_id IS NOT NULL THEN s.value
+                     ELSE t.value END AS value
+              FROM after_upd t LEFT JOIN src s
+                ON s.event_id = t.event_id AND s.user_id % 7 <> 0
+              WHERE NOT EXISTS (SELECT 1 FROM src x
+                WHERE x.event_id = t.event_id AND x.user_id % 7 = 0)
+              UNION ALL
+              SELECT s.event_id, s.user_id, s.event_type, s.value
+              FROM src s
+              WHERE s.user_id < 25 AND NOT EXISTS (SELECT 1 FROM after_upd t
+                WHERE t.event_id = s.event_id))
+            SELECT * FROM (
+              SELECT event_id, user_id, event_type, value FROM merged
+              UNION ALL
+              SELECT -1, -1, 'WRITE,DELETE,UPDATE,MERGE', 0.0)
+            ORDER BY event_id"""))
+
   // Full conditional MERGE (row 17t): every clause family in one
   // statement — WHEN MATCHED AND s.value<0 DELETE, WHEN MATCHED
   // UPDATE (value from source, event_type tagged), WHEN NOT MATCHED
@@ -4988,6 +5073,6 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
-    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, columnMapping, convertQ, mergeIntoQ,
+    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
 }

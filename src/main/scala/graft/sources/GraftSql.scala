@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -25,6 +25,31 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   ALTER TABLE '/path/to/table' ADD CONSTRAINT nm CHECK (expr)
   *   ALTER TABLE '/path/to/table' DROP CONSTRAINT nm
   * }}}
+  *
+  * … and the ROW-LEVEL DML statements themselves (the reference's
+  * gold notebook is pure SQL over exactly this surface — Delta's
+  * `DELETE FROM` / `UPDATE` / `MERGE INTO` path forms):
+  *
+  * {{{
+  *   DELETE FROM '/path' [WHERE cond]
+  *   UPDATE '/path' SET a = expr, b = expr [WHERE cond]
+  *   MERGE INTO '/path' [AS t] USING (<subquery>)|'<path>' [AS s]
+  *     ON t.k = s.k [AND t.k2 = s.k2 ...]
+  *     WHEN MATCHED [AND cond] THEN UPDATE SET a = expr, ... | SET * | DELETE
+  *     WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *
+  *     WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE
+  * }}}
+  *
+  * MERGE grammar notes (same restrictions as the Scala
+  * [[DataSkipping.mergeInto]] kernel they route to): the ON clause
+  * is a conjunction of same-named key equalities (extra predicates
+  * belong in `WHEN ... AND`); clause conditions and SET expressions
+  * reference the target as `t.` and the source as `s.` — custom
+  * aliases are accepted and rewritten to those names; `UPDATE SET *`
+  * expands to every non-key source column; `INSERT *` inserts the
+  * source row (the kernel's insert shape). Statement bodies are
+  * split quote/paren-aware, so commas and keywords inside nested
+  * expressions parse correctly.
   *
   * Tables are addressed by PATH literal (Delta's `delta.`/path``
   * shape) — the graft format has no catalog, so a path IS the table
@@ -73,6 +98,206 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+GENERATED\s*;?\s*$""".r
   private val AddIdentity =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+(?:INCREMENT|STEP)\s+BY\s+(-?\d+)\s*\))?\s*;?\s*$""".r
+  private val Delete =
+    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val Update =
+    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*$""".r
+  private val MergeHead =
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+USING\s+(.+?)\s*;?\s*$""".r
+
+  /** Quote/paren-aware scanning for DML bodies, which embed full SQL
+    * expressions: a `,` / `AND` / `WHERE` / `WHEN` only splits at
+    * paren depth 0 outside single-quoted literals ('' escapes).
+    */
+  private[sources] object Scan {
+    private def wordAt(s: String, i: Int, kw: String): Boolean =
+      i + kw.length <= s.length &&
+        s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s(i - 1)) && s(i - 1) != '_') &&
+        (i + kw.length == s.length ||
+          !Character.isLetterOrDigit(s(i + kw.length)) && s(i + kw.length) != '_')
+
+    /** Index of the first top-level occurrence of keyword `kw`. */
+    def firstKeyword(s: String, kw: String): Option[Int] = {
+      var depth = 0; var inQ = false; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => if (depth == 0 && wordAt(s, i, kw)) return Some(i)
+        }
+        i += 1
+      }
+      None
+    }
+
+    /** Split on every top-level occurrence of keyword `kw`; the
+      * separators are dropped.
+      */
+    def splitKeyword(s: String, kw: String): Seq[String] =
+      firstKeyword(s, kw) match {
+        case None => Seq(s)
+        case Some(i) =>
+          s.substring(0, i) +: splitKeyword(s.substring(i + kw.length), kw)
+      }
+
+    /** Split on top-level `sep` characters. */
+    def splitChar(s: String, sep: Char): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var inQ = false; var start = 0; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out += s.substring(start)
+      out.result()
+    }
+
+    /** For input starting at '(' : (content inside the outer parens,
+      * remainder after the matching close).
+      */
+    def takeParen(s: String): (String, String) = {
+      require(s.nonEmpty && s(0) == '(', s"expected '(': $s")
+      var depth = 0; var inQ = false; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+          case _ => ()
+        }
+        i += 1
+      }
+      sys.error(s"unbalanced parentheses in: $s")
+    }
+  }
+
+  /** One parsed MERGE clause, still as SQL text (expressions resolve
+    * at run time against the target/source schemas).
+    */
+  sealed trait MergeClauseSql
+  object MergeClauseSql {
+    case class Update(cond: Option[String], sets: Option[Seq[(String, String)]]) extends MergeClauseSql // None sets = SET *
+    case class Delete(cond: Option[String]) extends MergeClauseSql
+    case class Insert(cond: Option[String]) extends MergeClauseSql
+    case class SourceUpdate(cond: Option[String], sets: Seq[(String, String)]) extends MergeClauseSql
+    case class SourceDelete(cond: Option[String]) extends MergeClauseSql
+  }
+
+  private val ClauseMatchedUpdate =
+    """(?is)^\s*MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+)$""".r
+  private val ClauseMatchedDelete =
+    """(?is)^\s*MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+DELETE\s*$""".r
+  private val ClauseBySourceUpdate =
+    """(?is)^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+)$""".r
+  private val ClauseBySourceDelete =
+    """(?is)^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?))?\s*THEN\s+DELETE\s*$""".r
+  private val ClauseNotMatchedInsert =
+    """(?is)^\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s+\*\s*$""".r
+  private val SetItem = """(?s)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+  private val OnEquality =
+    """(?is)^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*$""".r
+
+  private def parseSets(s: String): Seq[(String, String)] =
+    Scan.splitChar(s, ',').map {
+      case SetItem(n, e) => n -> e
+      case other => sys.error(
+        s"malformed SET item '$other' — expected col = expr")
+    }
+
+  /** Rewrite `alias.` qualified references to the kernel's canonical
+    * `t.` / `s.` names (word-boundary textual rewrite — the
+    * documented caveat of a regex-grammar DML surface).
+    */
+  private def canonAliases(sql: String, tAlias: String, sAlias: String): String = {
+    val t1 = if (tAlias == "t") sql
+      else sql.replaceAll(s"\\b${java.util.regex.Pattern.quote(tAlias)}\\s*\\.", "t.")
+    if (sAlias == "s") t1
+    else t1.replaceAll(s"\\b${java.util.regex.Pattern.quote(sAlias)}\\s*\\.", "s.")
+  }
+
+  private def parseMerge(path: String, tAliasOpt: Option[String],
+      afterUsing: String): MergeIntoGraftCommand = {
+    val tAlias = tAliasOpt.getOrElse("t")
+    val trimmed = afterUsing.trim
+    // source: (subquery) or '<path>'
+    val (source, rest1) =
+      if (trimmed.startsWith("(")) {
+        val (inner, rem) = Scan.takeParen(trimmed)
+        (Left(inner), rem)
+      } else {
+        val PathRe = """(?s)^\s*'([^']+)'(.*)$""".r
+        trimmed match {
+          case PathRe(p, rem) => (Right(p), rem)
+          case _ => sys.error(
+            s"MERGE USING expects (subquery) or '<path>': $trimmed")
+        }
+      }
+    // optional source alias, then ON
+    val onIdx = Scan.firstKeyword(rest1, "ON").getOrElse(
+      sys.error("MERGE requires an ON clause"))
+    val aliasPart = rest1.substring(0, onIdx).trim
+    val sAlias = aliasPart match {
+      case "" => "s"
+      case a => """(?is)^(?:AS\s+)?([A-Za-z_]\w*)$""".r
+        .findFirstMatchIn(a).map(_.group(1))
+        .getOrElse(sys.error(s"malformed source alias: '$a'"))
+    }
+    val afterOn = rest1.substring(onIdx + 2)
+    val whenIdx = Scan.firstKeyword(afterOn, "WHEN").getOrElse(
+      sys.error("MERGE requires at least one WHEN clause"))
+    val onSql = afterOn.substring(0, whenIdx)
+    // ON: conjunction of same-named key equalities (the kernel's
+    // keyed-merge contract; residual predicates go in WHEN ... AND)
+    val keyCols = Scan.splitKeyword(onSql, "AND").map {
+      case OnEquality(q1, c1, q2, c2) =>
+        require(c1.equalsIgnoreCase(c2),
+          s"ON equality must pair the SAME column on both sides " +
+            s"(got $c1 = $c2); rewrite the statement so keys align " +
+            "and put residual predicates in WHEN ... AND")
+        Seq(q1, q2).filter(_ != null).foreach(q => require(
+          q == tAlias || q == sAlias,
+          s"unknown alias '$q' in ON clause (declared: $tAlias, $sAlias)"))
+        c1
+      case other => sys.error(
+        s"ON supports only key equalities (t.k = s.k): '${other.trim}' — " +
+          "put residual predicates in WHEN ... AND")
+    }
+    val canon = (x: String) => canonAliases(x, tAlias, sAlias)
+    val clauses = Scan.splitKeyword(afterOn.substring(whenIdx + 4), "WHEN")
+      .map {
+        case ClauseBySourceUpdate(cond, sets) =>
+          MergeClauseSql.SourceUpdate(Option(cond).map(canon),
+            parseSets(canon(sets)))
+        case ClauseBySourceDelete(cond) =>
+          MergeClauseSql.SourceDelete(Option(cond).map(canon))
+        case ClauseMatchedUpdate(cond, sets) =>
+          val body = sets.trim
+          MergeClauseSql.Update(Option(cond).map(canon),
+            if (body == "*") None else Some(parseSets(canon(body))))
+        case ClauseMatchedDelete(cond) =>
+          MergeClauseSql.Delete(Option(cond).map(canon))
+        case ClauseNotMatchedInsert(cond) =>
+          MergeClauseSql.Insert(Option(cond).map(canon))
+        case other => sys.error(s"malformed MERGE clause: WHEN $other")
+      }
+    MergeIntoGraftCommand(path, source, keyCols, clauses)
+  }
 
   /** The graft statement grammar: Some(command plan) when `sqlText`
     * is a maintenance statement, None to mean "not ours" (the caller
@@ -111,6 +336,18 @@ object GraftSql {
       Some(AddGeneratedGraftCommand(path, colName, expr.trim))
     case DropGenerated(path, colName) =>
       Some(DropGeneratedGraftCommand(path, colName))
+    case Delete(path, cond) =>
+      Some(DeleteGraftCommand(path, Option(cond)))
+    case Update(path, body) =>
+      // the SET body may carry a top-level WHERE — split quote/paren
+      // aware so WHERE inside a nested expression stays put
+      val (sets, cond) = Scan.firstKeyword(body, "WHERE") match {
+        case Some(i) => (body.substring(0, i), Some(body.substring(i + 5)))
+        case None => (body, None)
+      }
+      Some(UpdateGraftCommand(path, parseSets(sets), cond))
+    case MergeHead(path, tAlias, rest) =>
+      Some(parseMerge(path, Option(tAlias), rest))
     case _ => None
   }
 
@@ -414,5 +651,94 @@ case class AddIdentityGraftCommand(path: String, column: String,
   override def run(spark: SparkSession): Seq[Row] = {
     DataSkipping.addIdentityColumn(spark, path, column, start, step)
     Seq(Row(path, column))
+  }
+}
+
+/** `DELETE FROM '<path>' [WHERE cond]` →
+  * [[DataSkipping.deleteWhere]] (copy-on-write; missing WHERE
+  * deletes every row, Delta's semantics).
+  */
+case class DeleteGraftCommand(path: String, condSql: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val n = DataSkipping.deleteWhere(spark, path,
+      condSql.map(expr).getOrElse(lit(true)))
+    Seq(Row(path, n))
+  }
+}
+
+/** `UPDATE '<path>' SET a = expr, ... [WHERE cond]` →
+  * [[DataSkipping.updateWhere]] (copy-on-write rewrite of exactly
+  * the files the predicate's stats envelope admits).
+  */
+case class UpdateGraftCommand(path: String, sets: Seq[(String, String)],
+    condSql: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("rows_updated", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val n = DataSkipping.updateWhere(spark, path,
+      condSql.map(expr).getOrElse(lit(true)),
+      sets.map { case (c, e) => c -> expr(e) }.toMap)
+    Seq(Row(path, n))
+  }
+}
+
+/** `MERGE INTO '<path>' ... ` → the full conditional
+  * [[DataSkipping.mergeInto]] kernel. The source resolves at run
+  * time: a subquery through the session's own SQL (so it may read
+  * ANY table the session can, including other graft paths via
+  * `format("graft")`), a path literal through
+  * [[DataSkipping.readSkipping]]. `UPDATE SET *` expands to every
+  * non-key source column; `INSERT *` is the kernel's insert-source-
+  * row shape.
+  */
+case class MergeIntoGraftCommand(path: String,
+    source: Either[String, String], keyCols: Seq[String],
+    clauseSqls: Seq[GraftSql.MergeClauseSql]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("rows_updated", LongType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import GraftSql.MergeClauseSql
+    val src = source match {
+      case Left(subquery) => spark.sql(subquery)
+      case Right(p) => DataSkipping.readSkipping(spark, p,
+        org.apache.spark.sql.functions.lit(true))
+    }
+    def sets(items: Seq[(String, String)]): Map[String, Column] =
+      items.map { case (c, e) => c -> expr(e) }.toMap
+    val starSets: Map[String, Column] = src.columns.toSeq
+      .filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+      .map(c => c -> col(s"s.$c")).toMap
+    val clauses: Seq[MergeClause] = clauseSqls.map {
+      case MergeClauseSql.Update(cond, s) =>
+        MergeClause.MatchedUpdate(cond.map(expr),
+          s.map(sets).getOrElse(starSets))
+      case MergeClauseSql.Delete(cond) =>
+        MergeClause.MatchedDelete(cond.map(expr))
+      case MergeClauseSql.Insert(cond) =>
+        MergeClause.NotMatchedInsert(cond.map(expr))
+      case MergeClauseSql.SourceUpdate(cond, s) =>
+        MergeClause.BySourceUpdate(cond.map(expr), sets(s))
+      case MergeClauseSql.SourceDelete(cond) =>
+        MergeClause.BySourceDelete(cond.map(expr))
+    }
+    val (u, d, i) = DataSkipping.mergeInto(spark, path, src, keyCols, clauses)
+    Seq(Row(path, u, d, i))
   }
 }

@@ -60,6 +60,120 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.parse("DESCRIBE TABLE '/x/t'").isEmpty)
     assert(GraftSql.parse("OPTIMIZE mytable").isEmpty)
     assert(GraftSql.parse("REORG TABLE '/x/t' APPLY (ZORDER)").isEmpty)
+    // catalog-table DML is NOT ours — only the path-literal forms are
+    assert(GraftSql.parse("DELETE FROM tbl WHERE x = 1").isEmpty)
+    assert(GraftSql.parse("UPDATE tbl SET x = 1").isEmpty)
+    assert(GraftSql.parse("MERGE INTO tbl USING src ON tbl.k = src.k " +
+      "WHEN MATCHED THEN DELETE").isEmpty)
+  }
+
+  test("DML grammar: DELETE / UPDATE / MERGE parse with quote- and paren-aware splits") {
+    assert(GraftSql.parse("DELETE FROM '/x/t' WHERE a < 3")
+      .contains(DeleteGraftCommand("/x/t", Some("a < 3"))))
+    assert(GraftSql.parse("DELETE FROM '/x/t'")
+      .contains(DeleteGraftCommand("/x/t", None)))
+    // a WHERE inside a string literal must NOT split the SET body
+    assert(GraftSql.parse(
+        "UPDATE '/x/t' SET note = 'where it was', v = coalesce(v, 0) WHERE k = 2")
+      .contains(UpdateGraftCommand("/x/t",
+        Seq("note" -> "'where it was'", "v" -> "coalesce(v, 0)"),
+        Some(" k = 2"))))
+    assert(GraftSql.parse("UPDATE '/x/t' SET v = v + 1")
+      .contains(UpdateGraftCommand("/x/t", Seq("v" -> "v + 1"), None)))
+    // commas inside nested calls stay inside their SET item
+    assert(GraftSql.parse(
+        "UPDATE '/x/t' SET v = greatest(a, b), w = 2 WHERE k IN (1, 2)")
+      .contains(UpdateGraftCommand("/x/t",
+        Seq("v" -> "greatest(a, b)", "w" -> "2"), Some(" k IN (1, 2)"))))
+    // MERGE: subquery source, custom aliases rewritten to t./s.,
+    // multi-key ON, every clause kind
+    val m = GraftSql.parse(
+      """MERGE INTO '/x/t' AS tgt USING (SELECT 1 AS k, 2 AS v) src
+         ON tgt.k = src.k
+         WHEN MATCHED AND src.v < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = src.v, note = concat(tgt.note, '+m')
+         WHEN NOT MATCHED AND src.v > 0 THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'aged'""")
+    assert(m.isDefined)
+    val cmd = m.get.asInstanceOf[MergeIntoGraftCommand]
+    assert(cmd.path == "/x/t")
+    assert(cmd.source == Left("SELECT 1 AS k, 2 AS v"))
+    assert(cmd.keyCols == Seq("k"))
+    import GraftSql.MergeClauseSql._
+    assert(cmd.clauseSqls(0).asInstanceOf[Delete].cond.get.trim == "s.v < 0")
+    val upd = cmd.clauseSqls(1).asInstanceOf[Update]
+    assert(upd.sets.get.map(_._1) == Seq("v", "note"))
+    assert(upd.sets.get(1)._2.contains("t.note"))
+    assert(cmd.clauseSqls(2).asInstanceOf[Insert].cond.get.trim == "s.v > 0")
+    assert(cmd.clauseSqls(3).isInstanceOf[SourceUpdate])
+    // path source + SET * + multi-key
+    val m2 = GraftSql.parse(
+      """MERGE INTO '/x/t' USING '/y/s'
+         ON t.k1 = s.k1 AND t.k2 = s.k2
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").get
+      .asInstanceOf[MergeIntoGraftCommand]
+    assert(m2.source == Right("/y/s"))
+    assert(m2.keyCols == Seq("k1", "k2"))
+    assert(m2.clauseSqls(0) == Update(None, None))
+    // ON residual predicates are refused loudly, not silently dropped
+    val e = intercept[RuntimeException](GraftSql.parse(
+      "MERGE INTO '/x/t' USING '/y/s' ON t.k = s.k AND s.v > 0 " +
+        "WHEN MATCHED THEN DELETE"))
+    assert(e.getMessage.contains("WHEN ... AND"))
+  }
+
+  test("SQL DML program runs end-to-end: DELETE, UPDATE, MERGE through the kernels") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("graft_sqldml")
+    // DELETE
+    val del = GraftSql.sql(s, s"DELETE FROM '$t' WHERE user_id >= 30 AND user_id < 35")
+    assert(del.select("rows_deleted").head.getLong(0) == 50L)
+    // UPDATE with a WHERE and an expression SET
+    val upd = GraftSql.sql(s,
+      s"UPDATE '$t' SET value = value * 2, event_type = concat(event_type, '+u') WHERE user_id < 5")
+    assert(upd.select("rows_updated").head.getLong(0) == 50L)
+    // MERGE from a subquery over a temp view
+    (0L until 60L).map(i => (i * 10, i % 40, "m", -1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .createOrReplaceTempView("mrg_src")
+    val mrg = GraftSql.sql(s,
+      s"""MERGE INTO '$t' USING (SELECT * FROM mrg_src) AS src
+          ON t.event_id = src.event_id
+          WHEN MATCHED AND src.user_id < 20 THEN UPDATE SET value = src.value
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED THEN INSERT *""")
+    val mrow = mrg.head
+    val (u, d, i) = (mrow.getLong(1), mrow.getLong(2), mrow.getLong(3))
+    // replay the same program on a dataframe model
+    val model = {
+      val base = (0L until 400L).map(j => (j, j % 40, s"e${j % 5}", j * 1.5))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .filter(!(col("user_id") >= 30 && col("user_id") < 35))
+        .withColumn("value", when(col("user_id") < 5, col("value") * 2).otherwise(col("value")))
+        .withColumn("event_type", when(col("user_id") < 5,
+          concat(col("event_type"), lit("+u"))).otherwise(col("event_type")))
+      val src = (0L until 60L).map(j => (j * 10, j % 40, "m", -1.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+      val matchedIds = base.join(src, Seq("event_id"), "left_semi")
+      val kept = base.join(src.filter(col("user_id") >= 20), Seq("event_id"), "left_anti")
+        .join(src.filter(col("user_id") < 20).select(col("event_id"), col("value").as("__nv")),
+          Seq("event_id"), "left")
+        .withColumn("value", coalesce(col("__nv"), col("value"))).drop("__nv")
+      val inserted = src.join(base, Seq("event_id"), "left_anti")
+      kept.unionByName(inserted)
+    }
+    val got = DataSkipping.readSkipping(s, t, lit(true))
+    assert(got.count() == model.count())
+    assert(got.exceptAll(model).isEmpty && model.exceptAll(got).isEmpty,
+      "SQL MERGE result must equal the dataframe-model replay")
+    assert(u + d + i > 0)
+    // the op history shows the three DML generations
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").as[String].collect().toSeq
+    assert(ops.take(3) == Seq("MERGE", "UPDATE", "DELETE"),
+      s"history must lead with MERGE, UPDATE, DELETE: $ops")
   }
 
   test("REORG PURGE and generated/identity DDL run end-to-end through SQL") {
