@@ -4725,6 +4725,63 @@ object Queries {
             UNION ALL SELECT -1, 'CONVERT,DELETE'
             ORDER BY event_id"""))
 
+  // CONVERT TO GRAFT of a Hive-partitioned layout (row 17s,
+  // partitioned form): the dataset's data files live under two levels
+  // of `col=value` directories and do NOT contain the partition
+  // columns — conversion derives per-file min=max stats from the
+  // directory keys (zero bytes rewritten), reads serve the values
+  // through the relation's partition schema, and a partition
+  // predicate prunes at FILE granularity straight from the manifest
+  // (no directory listing at plan time). The gate converts via SQL,
+  // reads back under a mixed partition+data predicate, folds in a
+  // metadata-only COUNT on partition columns, the exact prune
+  // fraction (deterministic: one file per partition dir), and the
+  // history op. The oracle replays the rows as plain SQL over the
+  // source table plus the pinned literals.
+  val convertPartitionedQ = QueryDef(
+    "q_convert_partitioned",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_cvp").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("user_id") % 8).cast("int").as("shard"))
+      // one file per (event_type, shard) dir — 5 x 8 = 40 data files
+      ev.repartition(1).write.partitionBy("event_type", "shard").parquet(t)
+      GraftSql.sql(s, s"CONVERT TO GRAFT '$t' STATS BY (user_id) " +
+        "PARTITIONED BY (event_type, shard)")
+      val data = DataSkipping.readSkipping(s, t,
+          col("event_type") === "click" && col("shard") < 3 &&
+            col("user_id") < 200L)
+        .select(col("event_id"), col("user_id").as("n"), lit("data").as("info"))
+      val meta = Seq((-1L,
+        DataSkipping.countWhere(s, t,
+          col("event_type") === "error" && col("shard") === 2),
+        "meta_count")).toDF("event_id", "n", "info")
+      val (kept, all) = DataSkipping.prunedFiles(s, t,
+        col("event_type") === "purchase")
+      val prune = Seq((-2L, kept.count(_.contains("event_type=purchase")).toLong,
+        if (kept.size < all.size && all.size == 40) "pruned" else "UNPRUNED"))
+        .toDF("event_id", "n", "info")
+      val ops = GraftSql.sql(s, s"DESCRIBE HISTORY '$t'")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("version"), col("operation")))),
+            x => x.getField("operation")), ",").as("info"))
+        .select(lit(-3L).as("event_id"), lit(0L).as("n"), col("info"))
+      data.unionAll(meta).unionAll(prune).unionAll(ops).orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id AS n, 'data' AS info FROM events
+            WHERE event_type = 'click' AND user_id % 8 < 3 AND user_id < 200
+            UNION ALL
+            SELECT -1, (SELECT count(*) FROM events
+                        WHERE event_type = 'error' AND user_id % 8 = 2),
+                   'meta_count'
+            UNION ALL SELECT -2, 8, 'pruned'
+            UNION ALL SELECT -3, 0, 'CONVERT'
+            ORDER BY event_id"""))
+
   // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only
   // (zero data rewritten), every batch entry point speaks logical
   // names, and a dropped-then-re-added name binds to a FRESH physical
@@ -5073,6 +5130,6 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
-    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, mergeIntoQ,
+    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
 }

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -137,6 +138,20 @@ object DataSkipping {
     * [[writeWithStats]] / [[readChangeFeed]].
     */
   val CdfFeature = "changefeed"
+
+  /** Manifest feature flag + sidecar for a PARTITION-CONVERTED table
+    * (Delta's `CONVERT TO DELTA ... PARTITIONED BY` analog): the data
+    * files live in Hive-style `col=value` subdirectories and do NOT
+    * physically contain the partition columns — values are derived
+    * from directory names at planning time and served through the
+    * relation's partition schema (never read from data bytes). The
+    * sidecar lists the partition column names in directory-nesting
+    * order; their types live in the ordinary schema sidecar. The
+    * feature flag makes pre-partitioning readers refuse loudly
+    * instead of returning all-null partition columns.
+    */
+  val PartitionColsFile = "_partition_cols.txt"
+  val PartitionedFeature = "partitioned"
 
   /** Per-generation change-data subdir (`v<N>/_change_data`): the
     * leading underscore hides it from the generation's own parquet
@@ -334,7 +349,8 @@ object DataSkipping {
     */
   private def unknownFeatures(feats: Set[String]): Set[String] =
     feats.filterNot(f =>
-      f == "nulls" || f == CdfFeature || f.startsWith("bloom:"))
+      f == "nulls" || f == CdfFeature || f == PartitionedFeature ||
+        f.startsWith("bloom:"))
 
   private def readManifestIn(spark: SparkSession, dir: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -441,15 +457,41 @@ object DataSkipping {
     * generation v0's data files; `describeHistory` records CONVERT.
     *
     * Refused on a directory that already has a stats dir (already a
-    * graft table) or holds no top-level parquet files. Like Delta's
-    * CONVERT, the source must be a plain flat parquet dataset —
-    * partitioned (subdirectory) layouts are not converted.
+    * graft table) or holds no parquet files.
+    *
+    * PARTITIONED LAYOUTS (`partitionBy` non-empty — Delta's
+    * `CONVERT TO DELTA ... PARTITIONED BY` analog): the source is a
+    * Hive-partitioned dataset (`path/a=1/b=x/part-*.parquet`).
+    * Partition values come from DIRECTORY NAMES, never data bytes —
+    * still zero rewrite. Each partition column becomes a tracked
+    * stats column (its per-file min = max = the directory value), so
+    * partition-predicate pruning is exact FILE-level manifest
+    * pruning: no directory listing at plan time, strictly better
+    * than Hive-style partition enumeration at 10^5 partitions. The
+    * names land in the [[PartitionColsFile]] sidecar and the
+    * [[PartitionedFeature]] flag, and reads serve the values through
+    * the relation's partition schema (see [[readSkippingIn]]). A
+    * partition-converted table is READ-complete (pruned reads,
+    * metadata aggregates, time travel, clone, vacuum) but refuses
+    * mutation: partition values living in paths would make every
+    * rewrite path (append/DML/compaction) silently drop them —
+    * copy into a flat graft table to mutate. `partitionBy` must name
+    * the directory levels in nesting order; partition column types
+    * are inferred exactly as `spark.read.parquet` infers them.
+    *
+    * With `partitionBy` empty, the source must be a plain FLAT
+    * parquet dataset; a directory holding `col=value` subdirectories
+    * is refused with a pointer at the partitioned form — only
+    * layouts that are neither flat nor Hive-partitioned (arbitrary
+    * nested dirs, mixed flat+partitioned) are genuinely
+    * unconvertible.
     *
     * Returns the number of data files the manifest now tracks.
     */
   def convertToStats(spark: SparkSession, path: String, statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 16,
-      bloomHashes: Int = 7, changeFeed: Boolean = false): Long = {
+      bloomHashes: Int = 7, changeFeed: Boolean = false,
+      partitionBy: Seq[String] = Nil): Long = {
     require(statsCols.nonEmpty, "at least one stats column")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -459,28 +501,134 @@ object DataSkipping {
     val nested = entries.filter(f =>
       f.isDirectory && !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
-    require(nested.isEmpty,
-      s"$path holds subdirectories (${nested.map(_.getPath.getName).take(3).mkString(",")}" +
-        ") — CONVERT handles flat parquet datasets only")
-    val files = entries.filter { f =>
+    val topFiles = entries.filter { f =>
       val n = f.getPath.getName
       f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
     }
-    require(files.nonEmpty, s"no top-level parquet data files at $path to convert")
-    val existing = spark.read.parquet(path)
     val bloom = if (bloomCols.isEmpty) None
       else Some((bloomCols, bloomBits, bloomHashes))
-    val stats = statsFor(existing, statsCols, withNulls = true, bloom)
-    val gen = s"$path/$StatsDir/v0"
-    stats.write.mode("overwrite").parquet(gen)
-    writeSidecars(spark, gen, existing.schema, statsCols,
-      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
-        (if (changeFeed) Set(CdfFeature) else Set.empty),
-      manifestSchema = Some(stats.schema))
-    writeOpFile(fs, new Path(gen), "CONVERT", opStart)
-    commitGen(spark, new Path(gen))
-    files.length.toLong
+
+    if (partitionBy.isEmpty) {
+      require(nested.isEmpty,
+        s"$path holds subdirectories (${nested.map(_.getPath.getName).take(3).mkString(",")}" +
+          ") — pass partitionBy (SQL: CONVERT ... PARTITIONED BY) for a " +
+          "Hive-partitioned layout; other nested layouts are not convertible")
+      require(topFiles.nonEmpty, s"no top-level parquet data files at $path to convert")
+      val existing = spark.read.parquet(path)
+      val stats = statsFor(existing, statsCols, withNulls = true, bloom)
+      val gen = s"$path/$StatsDir/v0"
+      stats.write.mode("overwrite").parquet(gen)
+      writeSidecars(spark, gen, existing.schema, statsCols,
+        Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
+          (if (changeFeed) Set(CdfFeature) else Set.empty),
+        manifestSchema = Some(stats.schema))
+      writeOpFile(fs, new Path(gen), "CONVERT", opStart)
+      commitGen(spark, new Path(gen))
+      topFiles.length.toLong
+    } else {
+      require(topFiles.isEmpty,
+        s"$path mixes top-level parquet files with partition directories " +
+          "— a mixed flat+partitioned layout is not convertible")
+      require(nested.nonEmpty, s"no partition directories at $path to convert")
+      val notPart = nested.filterNot(
+        _.getPath.getName.startsWith(partitionBy.head + "="))
+      require(notPart.isEmpty,
+        s"subdirectories (${notPart.map(_.getPath.getName).take(3).mkString(",")}) " +
+          s"are not '${partitionBy.head}=' partition dirs — the layout does not " +
+          s"match PARTITIONED BY (${partitionBy.mkString(", ")})")
+      require(statsCols.intersect(partitionBy).isEmpty &&
+          bloomCols.intersect(partitionBy).isEmpty,
+        "partition columns are tracked implicitly (min=max=directory value); " +
+          "STATS BY / bloom columns must name data columns")
+      // Spark's own partition discovery parses the directory keys and
+      // infers their types; the discovered columns land LAST in the
+      // schema, which is the canonical order the sidecar keeps.
+      val existing = spark.read.parquet(path)
+      val discovered = existing.schema.fieldNames.toSeq
+      require(discovered.takeRight(partitionBy.size) == partitionBy,
+        s"discovered partition columns ${discovered.takeRight(partitionBy.size)
+          .mkString("(", ", ", ")")} do not match PARTITIONED BY " +
+          s"(${partitionBy.mkString(", ")}) — names must be given in " +
+          "directory-nesting order")
+      val tracked = statsCols ++ partitionBy
+      val stats = statsFor(existing, tracked, withNulls = true, bloom)
+      val gen = s"$path/$StatsDir/v0"
+      stats.write.mode("overwrite").parquet(gen)
+      writeSidecars(spark, gen, existing.schema, tracked,
+        Set("nulls", PartitionedFeature) ++
+          bloom.map(b => bloomFeatureLine(b)).toSet ++
+          (if (changeFeed) Set(CdfFeature) else Set.empty),
+        manifestSchema = Some(stats.schema))
+      val out = fs.create(new Path(gen, PartitionColsFile), true)
+      try out.write(partitionBy.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      writeOpFile(fs, new Path(gen), "CONVERT", opStart)
+      commitGen(spark, new Path(gen))
+      spark.read.parquet(gen).count()
+    }
   }
+
+  /** Partition column names of a partition-converted table (empty
+    * for ordinary flat graft tables). Directory-nesting order.
+    */
+  def tablePartitionColumns(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionColsIn(fs, manifestDirOf(fs, path))
+  }
+
+  private[sources] def partitionColsIn(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] =
+    readSidecarIn(fs, dir, PartitionColsFile)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Mutation guard for partition-converted tables: every path that
+    * rewrites, appends or re-lays-out data files would write files
+    * that physically LACK the partition columns while living outside
+    * the `col=value` directory structure that carries their values —
+    * silently corrupting the table. Refuse loudly instead.
+    */
+  private def requireUnpartitioned(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String): Unit = {
+    val pc = partitionColsIn(fs, dir)
+    require(pc.isEmpty,
+      s"$op is not supported on a partition-converted table (partition " +
+        s"columns ${pc.mkString("(", ", ", ")")} live in directory names, " +
+        "not data files — this build reads, prunes, aggregates, " +
+        "time-travels and clones partitioned tables but does not mutate " +
+        "them); materialize into a flat graft table (writeWithStats over " +
+        "a read) to enable DML and maintenance")
+  }
+
+  /** `col=value` partition values for one data file, parsed from its
+    * path — raw (still-escaped-string) form; [[castPartValue]] turns
+    * them into typed partition-row values.
+    */
+  private def parsePartValues(
+      filePath: String, partCols: Seq[String]): Seq[String] = {
+    val kv = filePath.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) Iterator.empty
+      else Iterator((ExternalCatalogUtils.unescapePathName(seg.substring(0, i)),
+        seg.substring(i + 1)))
+    }.toMap
+    partCols.map(c => kv.getOrElse(c, sys.error(
+      s"data file $filePath carries no '$c=' partition segment — the " +
+        "manifest names a file outside the table's partition layout")))
+  }
+
+  /** One raw directory value → the typed value a partition row
+    * carries, via the SAME cast Spark's partition discovery uses
+    * conceptually: unescape, null for the Hive default-partition
+    * marker, then a UTC string cast to the sidecar type.
+    */
+  private def castPartValue(raw: String, dt: DataType): Any =
+    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        ExternalCatalogUtils.unescapePathName(raw)),
+        org.apache.spark.sql.types.StringType), dt, Some("UTC"))
+      .eval(InternalRow.empty)
 
   /** Turn on the change data feed for an EXISTING stats table (the
     * `ALTER TABLE ... SET TBLPROPERTIES (enableChangeDataFeed=true)`
@@ -717,6 +865,7 @@ object DataSkipping {
     val s0 = df0in.sparkSession
     val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
     val d0 = manifestDirOf(f0, path)
+    requireUnpartitioned(f0, d0, "appendWithStats")
     // idempotent-replay check FIRST: a replayed named commit must not
     // re-run the identity hook below (the watermark would advance and
     // burn a batch-sized id gap on every replay)
@@ -1023,6 +1172,7 @@ object DataSkipping {
     val statsDir = new Path(s"$path/$StatsDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "compactTable")
     val stats = readManifestIn(spark, dir)
     require(stats.columns.contains("file_size"),
       "compactTable needs a size-carrying manifest (rewrite with writeWithStats)")
@@ -1291,6 +1441,9 @@ object DataSkipping {
     val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
     require(stats.columns.contains("file_size"),
       s"$op needs a size-carrying manifest (rewrite with writeWithStats)")
+    requireUnpartitioned(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, op)
     // DML sees the LOGICAL table: DV-dead rows are invisible to the
     // candidate probe, the rewrite and the CDF images — a rewritten
     // file drops its dead rows physically (the rewrite IS their
@@ -1617,6 +1770,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "purgeDeletionVectors")
     val dvOpt = readDvIn(spark, dir)
     if (dvOpt.isEmpty) return 0L
     val dv = dvOpt.get
@@ -1724,6 +1878,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "replaceKeyed")
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -1821,6 +1976,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "mergeDelete")
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -1934,6 +2090,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "mergeUpsert")
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -2139,6 +2296,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "mergeInto")
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -2432,12 +2590,12 @@ object DataSkipping {
       .map(m => jsonUnescape(m.group(1)) -> m.group(2).toLong)
       .toMap
 
-  private[sources] def constraintsToJson(m: Map[String, String]): String =
+  private[graft] def constraintsToJson(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1)
       .map { case (n, e) => s""""${jsonEscape(n)}":"${jsonEscape(e)}"""" }
       .mkString("{", ",", "}")
 
-  private[sources] def constraintsFromJson(json: String): Map[String, String] =
+  private[graft] def constraintsFromJson(json: String): Map[String, String] =
     "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(json)
       .map(m => jsonUnescape(m.group(1)) -> jsonUnescape(m.group(2)))
@@ -2604,6 +2762,7 @@ object DataSkipping {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    requireUnpartitioned(fs, dir, "addGeneratedColumn")
     val schema = tableSchemaIn(spark, path, dir)
     require(schema.fieldNames.contains(name),
       s"generated column $name must already exist in the table schema " +
@@ -2689,6 +2848,7 @@ object DataSkipping {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
+    requireUnpartitioned(fs, dir, "addIdentityColumn")
     val schema = tableSchemaIn(spark, path, dir)
     val field = schema.find(_.name == name)
     require(field.isDefined,
@@ -2952,6 +3112,7 @@ object DataSkipping {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar")
+    requireUnpartitioned(fs, dir, "renameColumn")
     val phys = tableSchemaIn(spark, path, dir)
     val m = colMapIn(fs, dir).getOrElse(
       phys.fieldNames.map(n => n -> n).toMap)
@@ -2977,6 +3138,7 @@ object DataSkipping {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar")
+    requireUnpartitioned(fs, dir, "dropColumn")
     val phys = tableSchemaIn(spark, path, dir)
     val m = colMapIn(fs, dir).getOrElse(
       phys.fieldNames.map(n => n -> n).toMap)
@@ -3556,7 +3718,8 @@ object DataSkipping {
     // the removal log (the clone must never re-delete source state),
     // NOT the op record (the clone's history starts at CLONE)
     Seq(SchemaFile, StatsColsFile, FeaturesFile, ManifestSchemaFile,
-      ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile).foreach { n =>
+      ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile,
+      PartitionColsFile).foreach { n =>
       val p = new Path(srcDir, n)
       if (fs.exists(p))
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(build, n),
@@ -3616,6 +3779,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "restoreTable")
     val have = tableVersions(spark, path)
     require(have.contains(version),
       s"version $version of $path is not retained (have " +
@@ -4091,13 +4255,42 @@ object DataSkipping {
           new Path(r.getString(0))))
       }.toSeq
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val relation = HadoopFsRelation(
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val partCols = partitionColsIn(fs, dir)
+      val relation = if (partCols.isEmpty) HadoopFsRelation(
         new ManifestFileIndex(new Path(path), statuses),
         partitionSchema = new StructType(),
         dataSchema = schema,
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(classic)
+      else {
+        // Partition-converted table: values come from directory names,
+        // so the relation splits the sidecar schema into data columns
+        // (read from bytes) and partition columns (served per
+        // PartitionDirectory by the file index — zero bytes read).
+        // The manifest already pruned on partition predicates via
+        // min=max stats; the index re-applies the partition filters
+        // Catalyst hands it because FileSourceStrategy TRUSTS listing-
+        // time pruning and never re-checks those conjuncts on rows.
+        val partSchema = StructType(partCols.map(c => schema(schema.fieldIndex(c))))
+        val dataSchema = StructType(
+          schema.filterNot(f => partCols.contains(f.name)))
+        val groups = statuses
+          .groupBy(st => parsePartValues(st.getPath.toString, partCols))
+          .toSeq.map { case (raw, sts) =>
+            (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
+              case (v, f) => castPartValue(v, f.dataType)
+            }), sts)
+          }
+        HadoopFsRelation(
+          new ManifestFileIndex(new Path(path), statuses, partSchema, groups),
+          partitionSchema = partSchema,
+          dataSchema = dataSchema,
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(classic)
+      }
       applyDv(classic.baseRelationToDataFrame(relation),
         readDvIn(spark, dir)).filter(predicate)
     }
@@ -4335,6 +4528,7 @@ object DataSkipping {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "zorderTable")
     val stats = readManifestIn(spark, dir)
     require(stats.columns.contains("file_size"),
       "zorderTable needs a size-carrying manifest (rewrite with writeWithStats)")
@@ -4448,14 +4642,44 @@ object DataSkipping {
   * already-pruned file set is returned for any filter combination.
   */
 private[graft] class ManifestFileIndex(
-    root: Path, files: Seq[FileStatusWithMetadata]) extends FileIndex {
+    root: Path, files: Seq[FileStatusWithMetadata],
+    partSchema: StructType = new StructType(),
+    partitioned: Seq[(InternalRow, Seq[FileStatusWithMetadata])] = Nil)
+    extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(root)
 
+  /** Unpartitioned: one synthetic directory holding every manifest-
+    * kept file. Partitioned: one directory per distinct partition
+    * tuple, and the partition filters ARE applied here — Spark's
+    * FileSourceStrategy removes partition-column conjuncts from the
+    * post-scan filter on the assumption that listing-time pruning
+    * honored them, so ignoring them would return wrong rows, not
+    * just extra files. Binding is by column name against the
+    * partition schema (the filters arrive resolved against the
+    * relation's own partition attributes).
+    */
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, files))
+    if (partSchema.isEmpty) Seq(PartitionDirectory(InternalRow.empty, files))
+    else {
+      val dirs = partitioned.map { case (row, fs) => PartitionDirectory(row, fs) }
+      if (partitionFilters.isEmpty) dirs
+      else {
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partSchema.fieldNames.indexWhere(_.equalsIgnoreCase(a.name))
+            require(i >= 0, s"partition filter references ${a.name}, not a " +
+              s"partition column of ${partSchema.fieldNames.mkString(",")}")
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, partSchema(i).dataType, partSchema(i).nullable)
+        }
+        val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+          .createInterpreted(bound)
+        dirs.filter(d => pred.eval(d.values))
+      }
+    }
 
   override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
 
@@ -4463,5 +4687,5 @@ private[graft] class ManifestFileIndex(
 
   override val sizeInBytes: Long = files.map(_.getLen).sum
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
 }

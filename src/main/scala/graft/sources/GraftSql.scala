@@ -89,7 +89,7 @@ object GraftSql {
   private val DropCol =
     """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
   private val Convert =
-    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)\s*;?\s*$""".r
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val Reorg =
     """(?is)^\s*REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
   private val AddGenerated =
@@ -321,9 +321,11 @@ object GraftSql {
       Some(RenameColumnGraftCommand(path, from, to))
     case DropCol(path, name) =>
       Some(DropColumnGraftCommand(path, name))
-    case Convert(path, cols) =>
+    case Convert(path, cols, partCols) =>
       Some(ConvertGraftCommand(path,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(partCols).toSeq.flatMap(
+          _.split(",").map(_.trim).filter(_.nonEmpty))))
     case Reorg(path) => Some(ReorgGraftCommand(path))
     // IDENTITY must match before the generic generated-expression
     // form (its expression body would otherwise swallow "IDENTITY")
@@ -543,7 +545,8 @@ case class DropColumnGraftCommand(path: String, column: String)
   * [[DataSkipping.convertToStats]] (the Delta CONVERT TO DELTA
   * analog — zero data rewritten).
   */
-case class ConvertGraftCommand(path: String, statsCols: Seq[String])
+case class ConvertGraftCommand(path: String, statsCols: Seq[String],
+    partitionBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -551,7 +554,8 @@ case class ConvertGraftCommand(path: String, statsCols: Seq[String])
     AttributeReference("num_files", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val n = DataSkipping.convertToStats(spark, path, statsCols)
+    val n = DataSkipping.convertToStats(spark, path, statsCols,
+      partitionBy = partitionBy)
     Seq(Row(path, n))
   }
 }

@@ -15,6 +15,13 @@ class ConvertSpec extends SparkSpec {
     t
   }
 
+  private def checkAnswer(actual: org.apache.spark.sql.DataFrame,
+      expected: org.apache.spark.sql.DataFrame): Unit = {
+    val a = actual.collect().map(_.toString).sorted.toSeq
+    val e = expected.collect().map(_.toString).sorted.toSeq
+    assert(a == e, s"\nactual:   ${a.take(10)}\nexpected: ${e.take(10)}")
+  }
+
   private def dataFileState(t: String): Seq[(String, Long, Long)] = {
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(t))
@@ -60,7 +67,141 @@ class ConvertSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       DataSkipping.convertToStats(s, part, Seq("id"))
     }
-    assert(e.getMessage.contains("flat"), e.getMessage)
+    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
+  }
+
+  test("partitioned convert: zero rewrite, typed partition values, exact file-level pruning") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvp1")}/d"
+    val df = (0L until 400L)
+      .map(i => (i, i % 4, if (i % 2 == 0) "even" else "odd", i * 1.5))
+      .toDF("id", "p", "q", "v")
+    df.repartition(2).write.partitionBy("p", "q").parquet(t)
+    val fs = new Path(t).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles() = {
+      def walk(p: Path): Seq[(String, Long, Long)] =
+        fs.listStatus(p).toSeq.flatMap { f =>
+          if (f.isDirectory && !f.getPath.getName.startsWith("_")) walk(f.getPath)
+          else if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            Seq((f.getPath.toString, f.getLen, f.getModificationTime))
+          else Nil
+        }
+      walk(new Path(t)).sortBy(_._1)
+    }
+    val before = dataFiles()
+    val n = DataSkipping.convertToStats(s, t, Seq("id"),
+      partitionBy = Seq("p", "q"))
+    assert(n == before.size.toLong)
+    assert(dataFiles() == before, "partitioned convert must not touch a data byte")
+    assert(DataSkipping.tablePartitionColumns(s, t) == Seq("p", "q"))
+    // full read: schema carries typed partition columns, values from dirs
+    val all = DataSkipping.readSkipping(s, t, lit(true))
+    assert(all.schema.fieldNames.toSeq == Seq("id", "v", "p", "q") ||
+      all.schema.fieldNames.toSeq == Seq("id", "p", "q", "v"),
+      all.schema.fieldNames.mkString(","))
+    assert(all.count() == 400L)
+    checkAnswer(
+      all.groupBy("p", "q").agg(count(lit(1)).as("n"), sum("id").as("sid")),
+      df.groupBy("p", "q").agg(count(lit(1)).as("n"), sum("id").as("sid")))
+    // partition-predicate pruning is FILE-level manifest pruning
+    val (kept, allFiles) = DataSkipping.prunedFiles(s, t, col("p") === 1)
+    assert(allFiles.size == before.size)
+    assert(kept.forall(_.contains("p=1")), kept.mkString("\n"))
+    assert(kept.size < allFiles.size)
+    // a mixed partition + data predicate returns exactly the right rows
+    checkAnswer(
+      DataSkipping.readSkipping(s, t, col("p") === 2 && col("id") < 100L)
+        .select("id", "q", "v"),
+      df.filter(col("p") === 2 && col("id") < 100L).select("id", "q", "v"))
+    // partition-only predicate: partition filters prune at listing
+    // time (FileSourceStrategy drops them from the post-scan filter,
+    // so the file index MUST honor them)
+    assert(DataSkipping.readSkipping(s, t, col("q") === "even").count() == 200L)
+    assert(DataSkipping.readSkipping(s, t,
+      col("q") === "even" && col("p") === 0).count() == 100L)
+    // metadata-only aggregates work on partition columns
+    assert(DataSkipping.countWhere(s, t, col("p") === 3) == 100L)
+    assert(DataSkipping.describeHistory(s, t)
+      .select("operation").head.getString(0) == "CONVERT")
+  }
+
+  test("partitioned convert: mutation refused, reads/clone/vacuum allowed") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvp2")}/d"
+    (0L until 60L).map(i => (i, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
+    val extra = Seq((100L, 1L)).toDF("id", "p")
+    def refused(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(refused(DataSkipping.appendWithStats(extra, t, Seq("id", "p")))
+      .contains("partition-converted"))
+    assert(refused(DataSkipping.deleteWhere(s, t, col("id") === 1L))
+      .contains("partition-converted"))
+    assert(refused(DataSkipping.updateWhere(s, t, col("id") === 1L,
+      Map("id" -> lit(2L)))).contains("partition-converted"))
+    assert(refused(DataSkipping.mergeUpsert(s, t, extra, Seq("id")))
+      .contains("partition-converted"))
+    assert(refused(DataSkipping.compactTable(s, t))
+      .contains("partition-converted"))
+    assert(refused(DataSkipping.zorderTable(s, t, Seq("id", "p"), 2))
+      .contains("partition-converted"))
+    assert(refused(DataSkipping.renameColumn(s, t, "id", "id2"))
+      .contains("partition-converted"))
+    // vacuum is a safe no-op (partition dirs are never deletion candidates)
+    assert(DataSkipping.vacuumDryRun(s, t, 0L).isEmpty)
+    DataSkipping.vacuumTable(s, t, 0L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() == 60L)
+    // shallow clone of a partitioned table keeps the partition sidecar
+    val c = s"${tmpDir("graft_cvp3")}/c"
+    DataSkipping.cloneTable(s, t, c)
+    assert(DataSkipping.tablePartitionColumns(s, c) == Seq("p"))
+    assert(DataSkipping.readSkipping(s, c, col("p") === 1L).count() == 20L)
+  }
+
+  test("partitioned convert refusals: mixed layout, wrong PARTITIONED BY, stats on partition col") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvp4")}/d"
+    (0L until 30L).map(i => (i, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").parquet(t)
+    assert(intercept[IllegalArgumentException] {
+      DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("x"))
+    }.getMessage.contains("partition dirs"))
+    assert(intercept[IllegalArgumentException] {
+      DataSkipping.convertToStats(s, t, Seq("id", "p"), partitionBy = Seq("p"))
+    }.getMessage.contains("implicitly"))
+    // mixed flat + partitioned
+    val m = s"${tmpDir("graft_cvp5")}/d"
+    (0L until 10L).map(i => (i, i % 2)).toDF("id", "p")
+      .write.partitionBy("p").parquet(m)
+    (10L until 12L).map(i => (i, 0L)).toDF("id", "p")
+      .coalesce(1).write.mode("append").parquet(m)
+    assert(intercept[IllegalArgumentException] {
+      DataSkipping.convertToStats(s, m, Seq("id"), partitionBy = Seq("p"))
+    }.getMessage.contains("mixes"))
+  }
+
+  test("partitioned CONVERT through SQL, time travel, null partitions") {
+    val s = spark
+    import s.implicits._
+    assert(GraftSql.parse(
+      "CONVERT TO GRAFT '/x/d' STATS BY (a) PARTITIONED BY (p, q)")
+      .contains(ConvertGraftCommand("/x/d", Seq("a"), Seq("p", "q"))))
+    val t = s"${tmpDir("graft_cvp6")}/d"
+    (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) null else s"g${i % 4}"))
+      .toDF("id", "p").write.partitionBy("p").parquet(t)
+    GraftSql.sql(s, s"CONVERT TO GRAFT '$t' STATS BY (id) PARTITIONED BY (p)")
+    // the Hive default-partition marker reads back as NULL
+    assert(DataSkipping.readSkipping(s, t, col("p").isNull).count() == 10L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === "g1").count() == 10L)
+    // time travel works (v0 is the only version — the read plans
+    // through the same partition-aware relation)
+    assert(DataSkipping.readSkippingAt(s, t, 0L, col("p") === "g2")
+      .count() == 10L)
   }
 
   test("CONVERT TO GRAFT statement parses and runs through the SQL surface") {
