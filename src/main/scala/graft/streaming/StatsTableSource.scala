@@ -110,7 +110,8 @@ private[streaming] object StatsCommitOffset {
   */
 final class StatsTableSource(
     sqlContext: SQLContext, path: String,
-    maxCommitsPerTrigger: Int = StatsTableSource.DefaultMaxCommitsPerTrigger)
+    maxCommitsPerTrigger: Int = StatsTableSource.DefaultMaxCommitsPerTrigger,
+    schemaTrackingLocation: Option[String] = None)
   extends Source with SupportsTriggerAvailableNow {
 
   require(maxCommitsPerTrigger > 0,
@@ -121,16 +122,51 @@ final class StatsTableSource(
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // renamed/dropped tables are refused (Delta's rule for streaming
-  // reads without a schema-tracking location): batches are served
-  // under physical names, and silently diverging from the table's
-  // logical view would be a correctness trap
-  require(!DataSkipping.hasNonIdentityMapping(spark, path),
-    s"$path has renamed or dropped columns (column mapping) — streaming " +
-      "reads of a mapped table are not supported; read it as a batch " +
-      "(readSkipping / format(\"graft\"))")
+  /** SCHEMA TRACKING (the Delta `schemaTrackingLocation` analog) for
+    * COLUMN-MAPPED tables: on first start the source pins the table's
+    * current (visible physical schema, logical→physical mapping) into
+    * a sidecar under the given location (normally a subdir of the
+    * query checkpoint), atomically (write-aside + rename). Every
+    * batch is then read under the PINNED physical schema and
+    * projected to the PINNED logical names — a RENAME committed
+    * mid-stream (or between restarts) does not disturb the consumer,
+    * because column mapping's whole contract is that the physical
+    * column identity is stable across renames; the stream keeps
+    * serving the logical names it started with (a streaming query's
+    * output schema cannot change mid-run anyway). A mid-stream
+    * logical DROP also continues — drops are metadata-only, so
+    * already-written rows still carry their values and post-drop
+    * rows read as null under the pinned name, which is exactly what
+    * the column now holds. Only a PHYSICAL removal or retype of a
+    * tracked column (a post-drop rewrite/OPTIMIZE materializing the
+    * drop, or an incompatible evolution) fails the next batch
+    * LOUDLY — adopt the new table schema by restarting with a fresh
+    * tracking location. Without a tracking location,
+    * renamed/dropped tables are refused (Delta's rule): silently
+    * serving physical names would be a correctness trap.
+    */
+  private val tracked: Option[(StructType, Map[String, String])] =
+    schemaTrackingLocation.map(loc =>
+      StatsTableSource.loadOrInitTracking(spark, path, loc))
 
-  override val schema: StructType = DataSkipping.tableSchema(spark, path)
+  require(tracked.isDefined || !DataSkipping.hasNonIdentityMapping(spark, path),
+    s"$path has renamed or dropped columns (column mapping) — streaming " +
+      "reads of a mapped table need .option(\"schemaTrackingLocation\", " +
+      "<dir>) (the Delta schemaTrackingLocation analog): the stream pins " +
+      "the logical schema it starts with and keeps serving it across " +
+      "renames; or read the table as a batch (readSkipping / " +
+      "format(\"graft\"))")
+
+  /** Output schema: the tracked LOGICAL view when tracking is on
+    * (pinned at first start), else the table's physical schema
+    * (identity-mapped tables only, per the require above).
+    */
+  override val schema: StructType = tracked match {
+    case Some((phys, m)) =>
+      val inverse = m.map(_.swap)
+      StructType(phys.fields.map(f => f.copy(name = inverse(f.name))))
+    case None => DataSkipping.tableSchema(spark, path)
+  }
 
   /** Marker names currently committed (manifest files that are not
     * plain `part-` pieces). One listing of the manifest dir.
@@ -251,16 +287,42 @@ final class StatsTableSource(
     if (statuses.isEmpty)
       org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
         LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
-    else {
-      val relation = HadoopFsRelation(
-        new ManifestFileIndex(new Path(path), statuses),
-        partitionSchema = new StructType(),
-        dataSchema = schema,
-        bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
-        options = Map.empty)(spark)
-      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-        LogicalRelation(relation, isStreaming = true))
+    else tracked match {
+      case None =>
+        val relation = HadoopFsRelation(
+          new ManifestFileIndex(new Path(path), statuses),
+          partitionSchema = new StructType(),
+          dataSchema = schema,
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(spark)
+        org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+          LogicalRelation(relation, isStreaming = true))
+      case Some((phys, m)) =>
+        // a PHYSICAL removal or retype that outran the pinned view
+        // cannot be served (logical drops are fine — see class doc:
+        // the physical column persists and post-drop rows are
+        // genuinely null under it)
+        val cur = DataSkipping.tableSchema(spark, path)
+        val gone = phys.fields.filterNot(f =>
+          cur.exists(c => c.name == f.name && c.dataType == f.dataType))
+        require(gone.isEmpty,
+          s"stats-table stream at $path: tracked physical column(s) " +
+            s"${gone.map(_.name).mkString(", ")} were dropped or retyped " +
+            "after this stream pinned its schema — restart the query with " +
+            "a fresh schemaTrackingLocation to adopt the new table schema")
+        val relation = HadoopFsRelation(
+          new ManifestFileIndex(new Path(path), statuses),
+          partitionSchema = new StructType(),
+          dataSchema = phys,
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(spark)
+        val inverse = m.map(_.swap)
+        org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+          LogicalRelation(relation, isStreaming = true))
+          .select(phys.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name).as(inverse(f.name))): _*)
     }
   }
 
@@ -276,6 +338,70 @@ object StatsTableSource {
     * drain in one batch.
     */
   val DefaultMaxCommitsPerTrigger = 128
+
+  /** Tracked-schema sidecar name under the schemaTrackingLocation. */
+  val TrackingFile = "graft_schema_track.txt"
+
+  /** Load the pinned (visible physical schema, logical→physical
+    * mapping) from the tracking location, initializing it from the
+    * table's CURRENT state on first start. Two-line format: line 1 =
+    * physical StructType json, line 2 = mapping json. Init is
+    * write-aside + atomic rename, so a crash leaves either nothing
+    * (next start re-inits identically — the table state can only
+    * have advanced, and a fresh stream pins whatever it first sees)
+    * or the complete file.
+    */
+  private[streaming] def loadOrInitTracking(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      loc: String): (StructType, Map[String, String]) = {
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(loc, TrackingFile)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = txt.linesIterator.toSeq
+      require(lines.size >= 2, s"corrupt schema-tracking file $p")
+      (org.apache.spark.sql.types.DataType.fromJson(lines.head)
+        .asInstanceOf[StructType],
+        graft.sources.DataSkipping.constraintsFromJson(lines(1)))
+    } else {
+      val physAll = DataSkipping.tableSchema(spark, path)
+      val mapping = DataSkipping.columnMapping(spark, path)
+      val physNames = mapping.values.toSet
+      // the VISIBLE physical fields (logically-dropped physical
+      // columns are excluded from the pinned view for good)
+      val visible = StructType(physAll.fields.filter(f => physNames(f.name)))
+      fs.mkdirs(new Path(loc))
+      val tmp = new Path(loc, s".$TrackingFile-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write((visible.json + "\n" +
+        graft.sources.DataSkipping.constraintsToJson(mapping))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
+      (visible, mapping)
+    }
+  }
+
+  /** The schema a tracked stream WOULD serve — the pinned logical
+    * view if the tracking file exists, else the table's current
+    * logical schema (what a first start would pin).
+    */
+  private[streaming] def peekSchema(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      loc: Option[String]): StructType = loc match {
+    case None => DataSkipping.tableSchema(spark, path)
+    case Some(l) =>
+      val fs = new Path(l).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(l, TrackingFile))) {
+        val (phys, m) = loadOrInitTracking(spark, path, l)
+        val inverse = m.map(_.swap)
+        StructType(phys.fields.map(f => f.copy(name = inverse(f.name))))
+      } else DataSkipping.tableLogicalSchema(spark, path)
+  }
 }
 
 /** `spark.readStream.format(classOf[StatsTableSourceProvider].getName)
@@ -297,7 +423,8 @@ final class StatsTableSourceProvider extends StreamSourceProvider with DataSourc
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(
-      DataSkipping.tableSchema(sqlContext.sparkSession, path(parameters))))
+      StatsTableSource.peekSchema(sqlContext.sparkSession, path(parameters),
+        parameters.get("schemaTrackingLocation"))))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -307,5 +434,6 @@ final class StatsTableSourceProvider extends StreamSourceProvider with DataSourc
       parameters: Map[String, String]): Source =
     new StatsTableSource(sqlContext, path(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toInt)
-        .getOrElse(StatsTableSource.DefaultMaxCommitsPerTrigger))
+        .getOrElse(StatsTableSource.DefaultMaxCommitsPerTrigger),
+      parameters.get("schemaTrackingLocation"))
 }

@@ -349,4 +349,68 @@ class StatsTableSourceSpec extends SparkSpec {
     assert(ids.toSeq === (0L until 200L).toSeq,
       "capped batches must deliver every commit exactly once")
   }
+
+  test("schema tracking: a mapped table streams under pinned logical names across renames and drops") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_map") + "/t"
+    val outDir = tmpDir("stsrc_map_out") + "/o"
+    val ckpt = tmpDir("stsrc_map_ckpt")
+    val track = tmpDir("stsrc_map_track")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 50L).map(i => (i, i * 2)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("map-b0")))
+    DataSkipping.renameColumn(s, table, "v", "amount")
+    // without a tracking location the mapped table is refused
+    val e = intercept[Exception] { new StatsTableSource(s.sqlContext, table) }
+    assert(e.getMessage.contains("schemaTrackingLocation"), e.getMessage)
+
+    def drainTracked(): Unit = {
+      val q = s.readStream
+        .format(classOf[StatsTableSourceProvider].getName)
+        .option("path", table)
+        .option("schemaTrackingLocation", track)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // first start pins the CURRENT logical view (id, amount)
+    drainTracked()
+    val out1 = s.read.parquet(outDir)
+    assert(out1.schema.fieldNames.toSeq == Seq("id", "amount"))
+    assert(out1.count() == 50L)
+    assert(out1.filter(col("id") === 7L).head.getLong(1) == 14L)
+    // RENAME between runs (same tracking location): the consumer
+    // keeps its pinned logical name; appends speak the NEW logical
+    // name and still stream correctly (stable physical identity)
+    DataSkipping.renameColumn(s, table, "amount", "amt")
+    assert(DataSkipping.appendWithStats(
+      (50L until 80L).map(i => (i, i * 2)).toDF("id", "amt").coalesce(1),
+      table, Seq("id"), commitName = Some("map-b1")))
+    drainTracked()
+    val out2 = s.read.parquet(outDir)
+    assert(out2.schema.fieldNames.toSeq == Seq("id", "amount"),
+      "the pinned logical view must survive a rename")
+    assert(out2.count() == 80L)
+    assert(out2.filter(col("id") === 60L).head.getLong(1) == 120L)
+    // logical DROP: metadata-only — the pinned column keeps serving
+    // (old rows carry values; post-drop rows are genuinely null)
+    DataSkipping.dropColumn(s, table, "amt")
+    assert(DataSkipping.appendWithStats(
+      (80L until 90L).map(i => Tuple1(i)).toDF("id").coalesce(1),
+      table, Seq("id"), commitName = Some("map-b2"), mergeSchema = true))
+    drainTracked()
+    val out3 = s.read.parquet(outDir)
+    assert(out3.count() == 90L)
+    assert(out3.filter(col("id") === 85L).head.isNullAt(1),
+      "post-drop rows read null under the pinned name")
+    assert(out3.filter(col("id") === 60L and col("amount") === 120L).count() == 1L,
+      "pre-drop rows keep their values under the pinned name")
+  }
 }
