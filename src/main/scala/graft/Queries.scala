@@ -2946,6 +2946,109 @@ object Queries {
           FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  // Residual-coded IVF-PQ (row 24e, the FAISS default): each vector
+  // PQ-encodes its RESIDUAL x - c(x) against its own cell centroid
+  // and the score decomposes as the EXACT dot(q, c) plus the
+  // residual ADC — quantization error applies only to the within-
+  // cell displacement. The oracle replays the full composition:
+  // cell assignment/probe ranking (NearestCentroids order), float32
+  // residual formation (CAST(a::DOUBLE - b::DOUBLE AS REAL) — IEEE
+  // float subtraction is the correctly-rounded exact difference, so
+  // it equals Spark's float zip_with subtraction bit-for-bit),
+  // residual codewords = the pinned seed rows' OWN residuals,
+  // per-subspace argmin, then dot(q, cvec) + dot(q, residual
+  // reconstruction) in the same global element order and add order.
+  val annIvfPqResidual = QueryDef(
+    "q_ann_ivfpq_residual",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 10), annPlantedCorpus(s, d), "vec_id", "embedding",
+          k = 5, nCenters = 8, nProbe = 2, m = 8, ksub = 16,
+          coarseSeedIds = Some(ivfPqCoarseSeeds), pqSeedIds = Some(pqSeedIds),
+          residual = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH aug AS (
+          ${plantedSql("", "WHERE vec_id < 10", 5, 100000L, 0.005)}
+        ), cent AS (
+          SELECT s.cid, a.embedding AS cvec,
+            1.0 / sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+              (u, v) -> u + v)) AS cinv
+          FROM (VALUES ${ivfPqCoarseSeeds.zipWithIndex
+            .map { case (id, c) => s"($c, $id)" }.mkString(", ")}) AS s(cid, sid)
+          JOIN aug a ON a.vec_id = s.sid
+        ), assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT x.vec_id, c.cid,
+              row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+                  (u, v) -> u + v) * c.cinv DESC, c.cid DESC) AS rn
+            FROM aug x, cent c) WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS qid, cid FROM (
+            SELECT q.vec_id, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+                  (u, v) -> u + v) * c.cinv DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM aug WHERE vec_id < 10) q, cent c) WHERE rn <= 2
+        ), resid AS (
+          SELECT x.vec_id, a.cid,
+            list_transform(range(1, 65),
+              i -> CAST(CAST(x.embedding[i] AS DOUBLE)
+                      - CAST(c.cvec[i] AS DOUBLE) AS REAL)) AS rv
+          FROM aug x
+          JOIN assign a ON a.vec_id = x.vec_id
+          JOIN cent c ON c.cid = a.cid
+        ), seeds(code, sid) AS (
+          VALUES ${pqSeedIds.zipWithIndex.map { case (id, c) => s"($c, $id)" }.mkString(", ")}
+        ), cw AS (
+          SELECT s.code, r.rv FROM seeds s JOIN resid r ON r.vec_id = s.sid
+        ), dist AS (
+          SELECT r.vec_id, j.j, c.code,
+            list_reduce(list_transform(range(1, 9),
+              i -> (CAST(r.rv[j.j * 8 + i] AS DOUBLE) - CAST(c.rv[j.j * 8 + i] AS DOUBLE))
+                 * (CAST(r.rv[j.j * 8 + i] AS DOUBLE) - CAST(c.rv[j.j * 8 + i] AS DOUBLE))),
+              (u, v) -> u + v) AS d2
+          FROM resid r, (SELECT unnest(range(0, 8)) AS j) j, cw c
+        ), codes AS (
+          SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1
+        ), recon AS (
+          SELECT codes.vec_id,
+            flatten(list(list_transform(range(1, 9),
+              i -> CAST(c.rv[codes.j * 8 + i] AS DOUBLE)) ORDER BY codes.j)) AS rvec
+          FROM codes JOIN cw c ON c.code = codes.code
+          GROUP BY codes.vec_id
+        ), q AS (
+          SELECT vec_id, embedding FROM aug WHERE vec_id < 10
+        ), scored AS (
+          SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+              (u, v) -> u + v)
+            + list_reduce(list_transform(range(1, 65),
+              i -> CAST(q.embedding[i] AS DOUBLE) * r.rvec[i]), (u, v) -> u + v) AS score
+          FROM q
+          JOIN probes p ON p.qid = q.vec_id
+          JOIN cent c ON c.cid = p.cid
+          JOIN assign a2 ON a2.cid = p.cid
+          JOIN recon r ON r.vec_id = a2.vec_id
+          WHERE r.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   // Binary (1-bit sign) quantization ANN (row 24f): Hamming over
   // packed sign bits picks 50 candidates per query, exact cosine
   // reranks them — the filter-then-rerank serving shape. The oracle
@@ -5124,7 +5227,7 @@ object Queries {
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annBq, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,

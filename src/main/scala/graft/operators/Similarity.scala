@@ -550,21 +550,39 @@ object Similarity {
       ivfCentroids(corpus, idCol, vecCol, nCenters, lloydRounds)
   }
 
-  /** IVF-PQ (Jégou et al. 2011, the FAISS `IVFx,PQy` shape without
-    * residual coding — raw-vector PQ inside Voronoi cells, the
-    * documented simplification): the coarse quantizer prunes the
-    * scan to the query's `nProbe` cells AND the scanned rows are
-    * m-int PQ codes scored by ADC — the two memory/compute levers of
-    * a billion-vector serving index composed. At nCenters cells and
-    * m-byte codes a query touches ~(nProbe/nCenters) x (m/4d) of the
-    * float-corpus bytes an exhaustive float scan would read.
+  /** IVF-PQ (Jégou et al. 2011, the FAISS `IVFx,PQy` shape): the
+    * coarse quantizer prunes the scan to the query's `nProbe` cells
+    * AND the scanned rows are m-int PQ codes scored by ADC — the two
+    * memory/compute levers of a billion-vector serving index
+    * composed. At nCenters cells and m-byte codes a query touches
+    * ~(nProbe/nCenters) x (m/4d) of the float-corpus bytes an
+    * exhaustive float scan would read.
     *
-    * With `nProbe = nCenters` the result equals [[pqTopK]] exactly
-    * (every cell probed — the coarse layer is pure pruning), which
-    * is the machinery check in SimilaritySpec. Cell assignment and
-    * probe ranking are the codegen'd [[graft.plans.NearestCentroids]]
-    * order (dot x 1/||c||, ties to the larger cell id); both
-    * centroid sets pin to seed rows for oracle replay.
+    * `residual = true` (the FAISS default, what makes IVF-PQ
+    * competitive at low nProbe): each vector is PQ-encoded as its
+    * RESIDUAL x - c(x) against its own cell centroid, and the score
+    * decomposes as dot(q, c) + ADC(q, residual codes) — the coarse
+    * term is exact, so quantization error applies only to the
+    * (much smaller) residual: the codebooks spend their 2^bits
+    * resolution on the within-cell displacement instead of re-coding
+    * the coarse position every centroid already carries. Residuals
+    * are float32 subtractions (IEEE-rounded exact differences, so
+    * the DuckDB oracle can replay them bit-for-bit via
+    * CAST(a::DOUBLE - b::DOUBLE AS REAL)); codebooks train on the
+    * residual column with the same seed mechanism (a seed id pins
+    * that row's RESIDUAL). The per-(query, probe) dot(q, c) term is
+    * computed once on the broadcast probe side — the big coded scan
+    * still moves only m-int codes.
+    *
+    * With `nProbe = nCenters` and `residual = false` the result
+    * equals [[pqTopK]] exactly (every cell probed — the coarse layer
+    * is pure pruning), which is the machinery check in
+    * SimilaritySpec; the residual variant's check is planted-recall
+    * dominance over the raw variant at equal nProbe. Cell assignment
+    * and probe ranking are the codegen'd
+    * [[graft.plans.NearestCentroids]] order (dot x 1/||c||, ties to
+    * the larger cell id); both centroid sets pin to seed rows for
+    * oracle replay.
     */
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -574,22 +592,56 @@ object Similarity {
       coarseSeedIds: Option[Seq[Long]] = None,
       pqSeedIds: Option[Seq[Long]] = None,
       lloydRounds: Int = 0,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      residual: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCenters, "1 <= nProbe <= nCenters")
     val centroids = seedCentroids(corpus, idCol, vecCol, nCenters,
       coarseSeedIds, lloydRounds)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, pqSeedIds, lloydRounds)
-    val coded = corpus.select(col(idCol).as("neighbor_id"),
-      nearestCentroidId(col(vecCol), centroids).as("cid"),
-      pqEncodeCol(col(vecCol), books).as("__codes"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
-      .withColumn("cid",
-        explode(VectorExpressions.nearestCentroids(col("__qvec"), centroids, nProbe)))
-    val scored = coded.join(broadcast(probes), Seq("cid"))
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"),
-        pqAdcCol(col("__qvec"), col("__codes"), books).as("cosine"))
-    topKPerQuery(scored, k)
+    if (!residual) {
+      val books = pqCodebooks(corpus, idCol, vecCol, m, ksub, pqSeedIds, lloydRounds)
+      val coded = corpus.select(col(idCol).as("neighbor_id"),
+        nearestCentroidId(col(vecCol), centroids).as("cid"),
+        pqEncodeCol(col(vecCol), books).as("__codes"))
+      val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+        .withColumn("cid",
+          explode(VectorExpressions.nearestCentroids(col("__qvec"), centroids, nProbe)))
+      val scored = coded.join(broadcast(probes), Seq("cid"))
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .select(col("query_id"), col("neighbor_id"),
+          pqAdcCol(col("__qvec"), col("__codes"), books).as("cosine"))
+      topKPerQuery(scored, k)
+    } else {
+      graft.plans.GraftFunctions.register(corpus.sparkSession)
+      // cid -> centroid vector, a nCenters-row broadcast lookup used
+      // twice: residual formation on the corpus side, the exact
+      // dot(q, c) term on the probe side
+      val cent = corpus.sparkSession.createDataFrame(
+        centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("cid", "__cvec")
+      val resid = corpus
+        .select(col(idCol), col(vecCol),
+          nearestCentroidId(col(vecCol), centroids).as("cid"))
+        .join(broadcast(cent), Seq("cid"))
+        .withColumn("__resid",
+          zip_with(col(vecCol), col("__cvec"), (a, b) => a - b))
+      val books = pqCodebooks(resid, idCol, "__resid", m, ksub,
+        pqSeedIds, lloydRounds)
+      val coded = resid.select(col(idCol).as("neighbor_id"), col("cid"),
+        pqEncodeCol(col("__resid"), books).as("__codes"))
+      val probes = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+        .withColumn("cid",
+          explode(VectorExpressions.nearestCentroids(col("__qvec"), centroids, nProbe)))
+        .join(broadcast(cent), Seq("cid"))
+        .withColumn("__qc", VectorExpressions.dot(col("__qvec"), col("__cvec")))
+        .drop("__cvec")
+      val scored = coded.join(broadcast(probes), Seq("cid"))
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("__qc") +
+            pqAdcCol(col("__qvec"), col("__codes"), books)).as("cosine"))
+      topKPerQuery(scored, k)
+    }
   }
 
   def ivfTopK(
