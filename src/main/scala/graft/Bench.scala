@@ -73,6 +73,13 @@ object Bench {
     // on the iterative queries as regressions; at min-of-3 one noisy
     // attempt per query is absorbed).
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // per-batch fold instrumentation for the streaming maintenance
+    // composites (enabled AFTER warmup so only timed attempts record):
+    // the composites' totals are dominated by fixed costs (table
+    // write, DML generations, stream startup) — `fold_sec` carries
+    // the steady-state per-micro-batch fold cost those totals hide
+    graft.streaming.FoldTimings.drain()
+    graft.streaming.FoldTimings.enable()
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set (the
     // warmup above still covers every query so a filtered run sees
     // the same JIT/codegen state as a full run) — for diagnosing one
@@ -177,7 +184,16 @@ object Bench {
     // in r8 ("parsed": null), and everything it needs for the gate is
     // metric/value/queries/failures. Query minima are rounded to ms in
     // the compact line (full precision lives in the artifact).
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"unstable":$unstable,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    // steady-state fold cost per micro-batch, grouped by fold kind in
+    // arrival order (each [batchId, sec] pair; attempts re-run the
+    // whole composite, so the same batchId recurs once per attempt)
+    val foldJson = graft.streaming.FoldTimings.drain()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (kind, es) =>
+        s"${jstr(kind)}:${es.map { case (_, b, t) => s"[$b,${dec(t)}]" }
+          .mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attJson,"attempt_start_ms":$tsJson,"calibration":$calJson,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"unstable":$unstable,"fold_sec":$foldJson,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     val qsCompact = results.map { case (k, v) =>
       s"${jstr(k)}:${v.map(dec).getOrElse("null")}"
     }.mkString("{", ",", "}")

@@ -261,6 +261,36 @@ object ScaleRamp {
       k -> p
     }.toMap
     val dvSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    // r10 INCREMENTAL RECLUSTER: table scales, backlog held FIXED at
+    // two 1000-row appended files — the pass must be ~flat (its cost
+    // is the backlog rewrite + the O(files) carried-manifest write),
+    // where a full zorderTable would ramp linearly with the table.
+    // Fresh table per attempt (a reclustered table's second pass is
+    // a 0-file no-op and min-of-N would time that instead).
+    val reclusterQueues: Map[Int, java.util.ArrayDeque[String]] =
+      if (!only.forall(_.contains("storage_recluster"))) Map.empty
+      else scales.map { k =>
+        val q = new java.util.ArrayDeque[String]()
+        val copies = repeats + (if (k == 1) 2 else 1)
+        (0 until copies).foreach { i =>
+          val p = s"$work/store_recl_x${k}_$i"
+          val rows = spark.range(32000L * k).select(col("id"),
+            pmod(col("id") * 2654435761L, lit(32000L * k)).as("y"))
+          DataSkipping.writeWithStats(
+            rows.repartitionByRange(16 * k, col("id")), p, Seq("id", "y"))
+          DataSkipping.zorderTable(spark, p, Seq("id", "y"),
+            targetFiles = 16 * k, retentionMs = 0L)
+          (0 until 2).foreach { b =>
+            DataSkipping.appendWithStats(
+              spark.range(100000000L + b * 1000L, 100000000L + b * 1000L + 1000L)
+                .select(col("id"),
+                  pmod(col("id") * 7L, lit(32000L * k)).as("y")).coalesce(1),
+              p, Seq("id", "y"))
+          }
+          q.add(p)
+        }
+        k -> q
+      }.toMap
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
@@ -480,7 +510,23 @@ object ScaleRamp {
       // linearly would make assignment itself quadratic
       "ann_ivfpq" -> (k => Similarity.ivfPqTopK(
         queries(k), vecs(k), "vec_id", "embedding", k = 10,
-        nCenters = (32 * math.sqrt(k)).toInt, nProbe = 8, m = 8, ksub = 64)))
+        nCenters = (32 * math.sqrt(k)).toInt, nProbe = 8, m = 8, ksub = 64)),
+      // r10 residual IVF-PQ: same sqrt sizing — the extra cost over
+      // raw coding is one broadcast centroid join on each side
+      "ann_ivfpq_residual" -> (k => Similarity.ivfPqTopK(
+        queries(k), vecs(k), "vec_id", "embedding", k = 10,
+        nCenters = (32 * math.sqrt(k)).toInt, nProbe = 8, m = 8, ksub = 64,
+        residual = true)),
+      // r10 incremental recluster (see reclusterQueues above):
+      // fixed 2-file backlog against a 10x table — expected ~flat
+      "storage_recluster" -> { k =>
+        val p = reclusterQueues(k).poll()
+        require(p != null,
+          s"recluster queue exhausted at x$k — raise the prebuild count")
+        val n = DataSkipping.optimizeIncremental(spark, p, retentionMs = 0L)
+        require(n == 2, s"backlog at x$k was $n files, wanted 2")
+        DataSkipping.readSkipping(spark, p, col("id") < 0L) // plan-only read
+      })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt

@@ -153,6 +153,22 @@ object DataSkipping {
   val PartitionColsFile = "_partition_cols.txt"
   val PartitionedFeature = "partitioned"
 
+  /** Per-generation clustering-state sidecar (`_clustered.txt`): the
+    * liquid-clustering analog. First line = the table's clustering
+    * spec (`<curve>:<zcol1>,<zcol2>[,...]`, physical names); each
+    * further line = the NAME of a data file whose rows were written
+    * in clustered order. `OPTIMIZE ZORDER` (full rewrite) sets it;
+    * [[optimizeIncremental]] reclusters only manifest files NOT
+    * listed here, then extends the list. DML rewrites and appends
+    * simply produce files that are not on the list (their carried
+    * sidecar names the replaced file, which is no longer in the
+    * manifest — stale names are pruned at the next incremental run,
+    * and UUID file names make a stale-name collision impossible), so
+    * "unclustered backlog" is always derivable from (manifest files)
+    * minus (this list) with no bookkeeping on the write path.
+    */
+  val ClusteredFile = "_clustered.txt"
+
   /** Per-generation change-data subdir (`v<N>/_change_data`): the
     * leading underscore hides it from the generation's own parquet
     * manifest read, and living INSIDE the generation dir makes it
@@ -1259,7 +1275,8 @@ object DataSkipping {
       changeData: Option[DataFrame] = None,
       op: String = "UNKNOWN",
       txn: Option[(String, Long)] = None,
-      dv: Option[DataFrame] = None): Long = {
+      dv: Option[DataFrame] = None,
+      clustered: Option[String] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
@@ -1298,6 +1315,15 @@ object DataSkipping {
         finally out.close()
       }
     }
+    // clustering state: the op either rewrote it (full/incremental
+    // OPTIMIZE ZORDER pass the fresh content) or it rides forward
+    // verbatim like the declarations above
+    clustered.map(Some(_)).getOrElse(readSidecarIn(fs, dir, ClusteredFile))
+      .foreach { c =>
+        val out = fs.create(new Path(build, ClusteredFile), true)
+        try out.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     // retained markers either survive VERBATIM (caller proved none of
     // their rows reference a rewritten file — their data rows stay in
     // the copied marker, excluded from `manifestRows`, so an
@@ -1478,7 +1504,8 @@ object DataSkipping {
       opStartMs: Long, changeData: Option[DataFrame] = None,
       op: String = "UNKNOWN",
       txn: Option[(String, Long)] = None,
-      extraDv: Option[DataFrame] = None): Unit = {
+      extraDv: Option[DataFrame] = None,
+      clusteredOf: Seq[String] => Option[String] = _ => None): Unit = {
     // None = the op writes no data files at all (merge-on-read DML:
     // its entire output is the deletion vector) — not even an empty
     // staged part
@@ -1562,7 +1589,8 @@ object DataSkipping {
       markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
       verbatimMarkers = verbatim,
       changeData = changeData.filter(_ => feats.contains(CdfFeature)),
-      op = op, txn = txn, dv = dvNext)
+      op = op, txn = txn, dv = dvNext,
+      clustered = clusteredOf(moved))
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 
@@ -4592,9 +4620,124 @@ object DataSkipping {
         manifestFeatures(fs, dir).filter(_ == CdfFeature),
       manifestSchema = newStats.schema, removedData = replaced,
       markerRetentionMs = markerRetentionMs, opStartMs = opStart,
-      op = "OPTIMIZE ZORDER")
+      op = "OPTIMIZE ZORDER",
+      clustered = Some((s"$curve:${zCols.mkString(",")}" +:
+        moved.map(p => new Path(p).getName)).mkString("\n")))
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
+  }
+
+  /** INCREMENTAL RECLUSTER (the liquid-clustering OPTIMIZE shape):
+    * recluster ONLY the data files that arrived since the last
+    * clustering pass — appends, DML replacements, compaction output —
+    * so a maintenance cycle's rewrite cost is proportional to NEW
+    * data, never to table size. At 100 TB this is the difference
+    * between an hourly maintenance loop and an impossible one: a
+    * full [[zorderTable]] rewrite moves the whole table every cycle;
+    * this moves only the backlog.
+    *
+    * The clustering spec (curve + columns) and the clustered-file
+    * set come from the [[ClusteredFile]] generation sidecar that a
+    * one-time full `OPTIMIZE ZORDER` establishes (the `ALTER TABLE
+    * ... CLUSTER BY` registration analog). Backlog = manifest files
+    * not on the list (a broadcast anti-join — no O(files) IN
+    * literal). Backlog rows are DV-filtered, z/hilbert-sorted with
+    * bucket ranges from the CURRENT FULL manifest envelope (so new
+    * files land in the same key space as the existing layout), and
+    * bin-packed at `targetFileBytes`. Newly written files may
+    * overlap existing clusters' z-ranges — the documented liquid
+    * tradeoff: per-file min/max pruning still holds, and a periodic
+    * full rewrite restores global tightness. Commit semantics are
+    * [[rewriteFiles]]' copy-on-write contract (atomic generation,
+    * verbatim markers for untouched commits, DV carry for untouched
+    * files, time-travel retention); the sidecar is rewritten as
+    * (survivors still in the manifest) + (files this pass wrote), so
+    * stale names from DML/compaction are pruned each cycle and the
+    * list stays O(live files).
+    *
+    * Returns the number of backlog files reclustered (0 = nothing to
+    * do — the cheap steady-state probe).
+    */
+  def optimizeIncremental(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    requireUnpartitioned(fs, dir, "optimizeIncremental")
+    val sidecar = readSidecarIn(fs, dir, ClusteredFile)
+    require(sidecar.isDefined,
+      s"$path has no clustering spec — run a full OPTIMIZE ZORDER " +
+        "(zorderTable) once to establish the clustering columns; " +
+        "incremental recluster maintains, it does not bootstrap")
+    val lines = sidecar.get.linesIterator.toSeq
+    val spec = lines.head
+    val Array(curve, colsCsv) = spec.split(":", 2)
+    val zCols = colsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val clusteredNames = lines.tail.filter(_.nonEmpty).toSet
+    val stats = readManifestIn(spark, dir)
+    require(stats.columns.contains("file_size"),
+      "optimizeIncremental needs a size-carrying manifest")
+    val named = stats.withColumn("__name",
+      element_at(split(col("file"), "/"), -1))
+    val clusteredDf = spark.createDataset(clusteredNames.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("__cname")
+    val backlog = named.join(broadcast(clusteredDf),
+      col("__name") === col("__cname"), "left_anti")
+    // O(backlog) driver rows — the touched-files pattern
+    val backlogFiles = backlog
+      .select(col("file"), col("file_size"), col("mod_time")).collect()
+    if (backlogFiles.isEmpty) { if (vacuum) vacuumTable(spark, path, retentionMs); return 0 }
+    // survivors: clustered names still present in the manifest (one
+    // O(live files) name list, the vacuum claim-set shape — bounds
+    // the sidecar against stale DML/compaction debris)
+    val liveNames = stats.select(element_at(split(col("file"), "/"), -1))
+      .collect().map(_.getString(0)).toSet
+    val survivors = clusteredNames.intersect(liveNames).toSeq.sorted
+    // bucket ranges from the FULL manifest envelope: new files share
+    // the existing layout's key space
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(s"min_$c")).cast("bigint"), max(col(s"max_$c")).cast("bigint")))
+    val env = stats.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = zCols.zipWithIndex.map { case (c, i) =>
+      require(!env.isNullAt(2 * i),
+        s"clustering column $c has no non-null values recorded")
+      (c, env.getLong(2 * i), env.getLong(2 * i + 1))
+    }
+    val schema = tableSchemaIn(spark, path, dir)
+    val dv = readDvIn(spark, dir)
+    val statuses = backlogFiles.map { r =>
+      FileStatusWithMetadata(new FileStatus(
+        r.getLong(1), false, 1, 128L * 1024 * 1024, r.getLong(2),
+        new Path(r.getString(0))))
+    }.toSeq
+    val backlogBytes = backlogFiles.map(_.getLong(1)).sum
+    val nFiles = math.max(1L,
+      (backlogBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val bkts = bounds.map { case (c, lo, hi) => bucket16(col(c), lo, hi) }
+    val z = curve match {
+      case "hilbert" =>
+        graft.plans.GraftFunctions.register(spark)
+        call_function("graft_hilbert", bkts(0), bkts(1))
+      case _ => zValue(bkts)
+    }
+    val replacement = applyDv(statusScan(spark, path, schema, statuses), dv)
+      .withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    rewriteFiles(spark, fs, path, dir, stats, schema,
+      touched = backlogFiles.map(_.getString(0)).toSeq,
+      replacement = Some(replacement),
+      vacuum = vacuum, retentionMs = retentionMs,
+      markerRetentionMs = markerRetentionMs, opStartMs = opStart,
+      op = "OPTIMIZE INCREMENTAL",
+      clusteredOf = moved => Some((spec +: (survivors ++
+        moved.map(p => new Path(p).getName).sorted)).mkString("\n")))
+    backlogFiles.length
   }
 
   /** Write `df` z-ordered on `zCols` (each as (name, globalMin,

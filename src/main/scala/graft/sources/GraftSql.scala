@@ -71,7 +71,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object GraftSql {
 
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]*)\)|(INCREMENTAL))?\s*;?\s*$""".r
   private val Vacuum =
     """(?is)^\s*VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*(DRY\s+RUN)?\s*;?\s*$""".r
   private val History =
@@ -304,8 +304,10 @@ object GraftSql {
     * falls through to the standard parser).
     */
   def parse(sqlText: String): Option[LeafRunnableCommand] = sqlText match {
-    case Optimize(path, null)  => Some(OptimizeGraftCommand(path, Nil))
-    case Optimize(path, zCols) =>
+    case Optimize(path, null, null) => Some(OptimizeGraftCommand(path, Nil))
+    case Optimize(path, null, _)    =>
+      Some(OptimizeGraftCommand(path, Nil, incremental = true))
+    case Optimize(path, zCols, _)   =>
       val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       Some(OptimizeGraftCommand(path, cols))
     case Vacuum(path, hours, dry) =>
@@ -373,9 +375,12 @@ object GraftSql {
   * `OPTIMIZE '<path>' ZORDER BY (...)` → [[DataSkipping.zorderTable]]
   * with the file target derived from live bytes at the compaction
   * default (128 MiB per file) — Delta's OPTIMIZE picks its own file
-  * count the same way.
+  * count the same way; `OPTIMIZE '<path>' INCREMENTAL` →
+  * [[DataSkipping.optimizeIncremental]] (recluster only the
+  * unclustered backlog — the liquid-clustering maintenance shape).
   */
-case class OptimizeGraftCommand(path: String, zCols: Seq[String])
+case class OptimizeGraftCommand(path: String, zCols: Seq[String],
+    incremental: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -385,14 +390,16 @@ case class OptimizeGraftCommand(path: String, zCols: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val files =
-      if (zCols.isEmpty) DataSkipping.compactTable(spark, path)
+      if (incremental) DataSkipping.optimizeIncremental(spark, path)
+      else if (zCols.isEmpty) DataSkipping.compactTable(spark, path)
       else {
         val bytes = DataSkipping.tableDetail(spark, path)
           .select("size_bytes").head.getLong(0)
         val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
         DataSkipping.zorderTable(spark, path, zCols, targetFiles = target)
       }
-    val op = if (zCols.isEmpty) "OPTIMIZE"
+    val op = if (incremental) "OPTIMIZE INCREMENTAL"
+      else if (zCols.isEmpty) "OPTIMIZE"
       else s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})"
     Seq(Row(path, op, files.toLong))
   }

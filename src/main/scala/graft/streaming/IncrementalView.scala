@@ -127,8 +127,10 @@ object IncrementalView {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(spark, viewTable, groupCol, valueCol, batch, batchId,
-          checkpoint)
+        FoldTimings.timed("ivm_sum_count", batchId) {
+          foldBatch(spark, viewTable, groupCol, valueCol, batch, batchId,
+            checkpoint)
+        }
       }
       .start()
     q.awaitTermination()
@@ -204,8 +206,10 @@ object IncrementalView {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldMomentsBatch(spark, viewTable, groupCol, valueCol, batch,
-          batchId, checkpoint)
+        FoldTimings.timed("ivm_moments", batchId) {
+          foldMomentsBatch(spark, viewTable, groupCol, valueCol, batch,
+            batchId, checkpoint)
+        }
       }
       .start()
     q.awaitTermination()
@@ -323,8 +327,10 @@ object IncrementalView {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldMinMaxBatch(spark, baseTable, viewTable, groupCol, valueCol,
-          batch, batchId, checkpoint)
+        FoldTimings.timed("ivm_minmax", batchId) {
+          foldMinMaxBatch(spark, baseTable, viewTable, groupCol, valueCol,
+            batch, batchId, checkpoint)
+        }
       }
       .start()
     q.awaitTermination()

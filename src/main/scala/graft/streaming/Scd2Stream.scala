@@ -81,8 +81,10 @@ object Scd2Stream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(spark, histTable, keys, payload, batch, batchId,
-          checkpoint)
+        FoldTimings.timed("scd2_stream", batchId) {
+          foldBatch(spark, histTable, keys, payload, batch, batchId,
+            checkpoint)
+        }
       }
       .start()
     q.awaitTermination()

@@ -131,4 +131,80 @@ class ZorderMaintenanceSpec extends SparkSpec {
         targetFiles = 4, curve = "peano")
     }
   }
+
+  test("incremental recluster: rewrite cost proportional to backlog, never table size") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // manifest-claimed live files only (vacuum=false keeps replaced
+    // files on disk for time travel — they are not table state)
+    def dataFiles(): Map[String, (Long, Long)] =
+      DataSkipping.readManifest(s, dir).select("file").collect()
+        .map { r =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(r.getString(0)))
+          st.getPath.getName -> (st.getLen, st.getModificationTime)
+        }.toMap
+    val n = 1 << 14
+    val df = (0L until n).map { i => (i, (i * 2654435761L) % n) }.toDF("x", "y")
+    DataSkipping.writeWithStats(
+      df.repartitionByRange(16, col("x")), dir, Seq("x", "y"))
+    // no clustering spec yet: incremental refuses to bootstrap
+    assert(intercept[IllegalArgumentException] {
+      DataSkipping.optimizeIncremental(s, dir)
+    }.getMessage.contains("clustering spec"))
+    DataSkipping.zorderTable(s, dir, Seq("x", "y"), targetFiles = 16,
+      vacuum = false)
+    // steady state: zero backlog, zero rewrites
+    assert(DataSkipping.optimizeIncremental(s, dir, vacuum = false) === 0)
+    val clustered = dataFiles()
+    assert(clustered.size === 16)
+    // two small appends = the unclustered backlog
+    (0 until 2).foreach { k =>
+      DataSkipping.appendWithStats(
+        (0L until (n / 64).toLong).map { i =>
+          (n + k * 1000L + i, (i * 7L) % n) }.toDF("x", "y").coalesce(1),
+        dir, Seq("x", "y"))
+    }
+    val withBacklog = dataFiles()
+    assert(withBacklog.size === 18)
+    val reclustered = DataSkipping.optimizeIncremental(s, dir,
+      vacuum = false)
+    assert(reclustered === 2, s"backlog was 2 files, reclustered $reclustered")
+    // PROPORTIONALITY: every previously-clustered file survives
+    // byte-identical (name+size+mtime) — the pass moved only backlog
+    // bytes, a small fraction of the table
+    val after = dataFiles()
+    clustered.foreach { case (name, meta) =>
+      assert(after.get(name).contains(meta),
+        s"clustered file $name was rewritten by an incremental pass")
+    }
+    val backlogNames = withBacklog.keySet -- clustered.keySet
+    assert((after.keySet & backlogNames).isEmpty,
+      "backlog files must be replaced, not kept")
+    // rows intact, y still prunes (new files share the key space)
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() ===
+      n.toLong + 2L * (n / 64))
+    val (keptY, allY) = DataSkipping.prunedFiles(s, dir,
+      col("y") >= 0L && col("y") < (n / 16))
+    assert(keptY.size < allY.size, s"y stopped pruning: $keptY / $allY")
+    // idempotent steady state again
+    assert(DataSkipping.optimizeIncremental(s, dir, vacuum = false) === 0)
+    // a DML rewrite un-clusters exactly the touched files; the next
+    // incremental pass picks up only those
+    DataSkipping.deleteWhere(s, dir, col("x") >= 100L && col("x") < 110L,
+      vacuum = false)
+    val afterDml = DataSkipping.optimizeIncremental(s, dir, vacuum = false)
+    assert(afterDml >= 1 && afterDml <= 3,
+      s"DML touched a file band, not the table: $afterDml")
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() ===
+      n.toLong + 2L * (n / 64) - 10L)
+    // SQL surface + history
+    val res = GraftSql.sql(s, s"OPTIMIZE '$dir' INCREMENTAL").head
+    assert(res.getString(1) === "OPTIMIZE INCREMENTAL" && res.getLong(2) === 0L)
+    val ops = DataSkipping.describeHistory(s, dir)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("OPTIMIZE INCREMENTAL"), ops.mkString(","))
+  }
 }
