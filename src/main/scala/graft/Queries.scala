@@ -3581,6 +3581,44 @@ object Queries {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  // Dynamic file pruning: the dim side's key envelope is pushed into
+  // the fact's file skipping before the broadcast join. Both
+  // envelope shapes run against ONE oracle — the exact IN-set
+  // (maxKeys ample) and the range fallback (maxKeys=1 forces it) —
+  // so a divergence in either path breaks the hash. Pruning itself
+  // (files actually skipped, bloom path, plan shape) is asserted in
+  // DynamicFilePruningSpec; the gate proves the envelope never
+  // changes the answer.
+  val dfpJoin = QueryDef(
+    "q_dfp_join",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_dfp").toString
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      DataSkipping.writeWithStats(
+        ord.repartitionByRange(16, col("o_custkey")),
+        s"$root/orders", Seq("o_custkey"))
+      val dim = Tables.customer(s, d).filter(col("c_nationkey") === 7L)
+        .select(col("c_custkey"))
+      def run(label: String, maxKeys: Int) =
+        DynamicFilePruning.joinPruned(s, s"$root/orders", "o_custkey",
+            dim, "c_custkey", maxKeys = maxKeys)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec12(col("o_totalprice"))).cast("double").as("revenue"))
+          .select(lit(label).as("envelope"), col("n_orders"), col("revenue"))
+      run("exact", 1000000).unionByName(run("range", 1)).orderBy("envelope")
+    },
+    Some("""WITH j AS (
+              SELECT COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_nationkey = 7)
+            SELECT 'exact' AS envelope, n_orders, revenue FROM j
+            UNION ALL
+            SELECT 'range', n_orders, revenue FROM j
+            ORDER BY envelope"""))
+
   // REAL audio decode, oracle-checked end-to-end: the WAV container
   // is synthesized from closed-form doc_id arithmetic, decoded
   // through the genuine javax.sound stack, and DuckDB replays the
@@ -5228,7 +5266,7 @@ object Queries {
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
-    multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin,
+    multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,

@@ -102,6 +102,18 @@ object MergeClause {
   case class BySourceDelete(condition: Option[Column]) extends MergeClause
 }
 
+/** A generation commit lost an optimistic race against a concurrent
+  * writer (another maintenance/DML op committed the version number
+  * first, or a concurrent append landed mid-build). The losing op is
+  * safe to RE-RUN against the new table state — every op's inputs
+  * are declarative (predicates, key sets, target versions), so
+  * re-execution is exactly the write-serializable ordering Delta's
+  * optimistic concurrency produces. [[DataSkipping]]'s entry points
+  * retry internally ([[DataSkipping.ConcurrentRetries]] attempts);
+  * this surfaces only under pathological sustained contention.
+  */
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 object DataSkipping {
 
   val StatsDir = "_graft_stats"
@@ -294,6 +306,12 @@ object DataSkipping {
   private val SwapPrefix = ".stats-swap-"
   private val GenRe = "^v(\\d+)$".r
 
+  /** The generation version a manifest dir path names (None for a
+    * legacy flat manifest dir).
+    */
+  private def obsVersionOf(dir: String): Option[Long] =
+    GenRe.findFirstMatchIn(new Path(dir).getName).map(_.group(1).toLong)
+
   // -----------------------------------------------------------------
   // Generation resolution
   // -----------------------------------------------------------------
@@ -381,6 +399,78 @@ object DataSkipping {
       case Some(json) =>
         spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType]).parquet(dir)
       case None => spark.read.option("mergeSchema", "true").parquet(dir)
+    }
+  }
+
+  /** How many optimistic-commit races a DML/maintenance entry point
+    * absorbs by re-running itself before giving up.
+    */
+  val ConcurrentRetries = 8
+
+  /** Re-run `body` on [[ConcurrentWriteException]] — the optimistic
+    * retry loop every generation-building entry point wraps itself
+    * in. Each retry re-executes the WHOLE op from scratch, so it
+    * re-plans against whatever state the winning writer committed
+    * (declarative inputs make that the correct serial order). Small
+    * jittered backoff so a herd of contenders interleaves instead of
+    * re-colliding.
+    */
+  private def withConcurrentRetry[T](op: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= ConcurrentRetries)
+            throw new ConcurrentWriteException(
+              s"$op lost $attempt consecutive optimistic-commit races " +
+                s"(last: ${e.getMessage}) — sustained writer contention; " +
+                "coordinate maintenance or retry later")
+          Thread.sleep(5L + scala.util.Random.nextInt(45))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The manifest dir's current *.parquet file names (parts + named
+    * commit markers) — the OBSERVED SET an optimistic writer pins its
+    * carried-rows read to and hands to [[publishGeneration]], which
+    * treats anything beyond it as a concurrent append to ride
+    * forward verbatim.
+    */
+  private def listManifestNames(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  /** [[readManifestIn]] PINNED to an explicit file-name set: the
+    * returned frame reads exactly those files, so a concurrent
+    * append landing after the listing can never half-appear in a
+    * generation build (it is either wholly beyond the pin — and
+    * ridden forward verbatim at publish — or wholly inside it).
+    */
+  private def readManifestPinned(spark: SparkSession, dir: String,
+      names: Set[String]): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unknown = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknown.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] this build does not implement")
+    if (names.isEmpty) readManifestIn(spark, dir).limit(0)
+    else {
+      val paths = names.toSeq.sorted.map(n => s"$dir/$n")
+      readSidecar(spark, dir, ManifestSchemaFile) match {
+        case Some(json) =>
+          spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType])
+            .parquet(paths: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
     }
   }
 
@@ -684,6 +774,18 @@ object DataSkipping {
   private def bloomFeatureLine(b: (Seq[String], Int, Int)): String =
     s"bloom:${b._2}:${b._3}:${b._1.mkString(",")}"
 
+  private def ndvFeatureLine(n: (Seq[String], Int)): String =
+    s"ndv:${n._2}:${n._1.mkString(",")}"
+
+  /** Parse the `ndv:<p>:<cols>` feature line — per-file HLL register
+    * sets at precision p for those columns.
+    */
+  private def ndvFeature(features: Set[String]): Option[(Seq[String], Int)] =
+    features.collectFirst { case f if f.startsWith("ndv:") =>
+      val parts = f.split(":", 3)
+      (parts(2).split(",").toSeq, parts(1).toInt)
+    }
+
   /** Parse the `bloom:<bits>:<hashes>:<cols>` feature line. */
   private def bloomFeature(features: Set[String]): Option[(Seq[String], Int, Int)] =
     features.collectFirst { case f if f.startsWith("bloom:") =>
@@ -711,7 +813,8 @@ object DataSkipping {
     */
   private def statsFor(scan: DataFrame, statsCols: Seq[String],
       withNulls: Boolean = true,
-      bloom: Option[(Seq[String], Int, Int)] = None): DataFrame = {
+      bloom: Option[(Seq[String], Int, Int)] = None,
+      ndv: Option[(Seq[String], Int)] = None): DataFrame = {
     if (bloom.isDefined) graft.plans.GraftFunctions.register(scan.sparkSession)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) ++
@@ -730,10 +833,33 @@ object DataSkipping {
       count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("file_size"),
       max(unix_millis(col("_metadata.file_modification_time"))).as("mod_time"))
-    scan.select(col("*"), col("_metadata"))
+    val base = scan.select(col("*"), col("_metadata"))
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
+    // per-file HLL register sets (`ndv_<col>`: sorted sparse
+    // (bucket, rho) structs, ≤ 2^p entries) — the column behind
+    // [[approxDistinctMeta]]. Registers use EXACTLY the
+    // [[graft.operators.Sketches.registerColumns]] hash chain, so a
+    // fold over file registers is bit-identical to sketching the
+    // rows. Needs its own per-(file, bucket) aggregate, hence the
+    // extra write-time pass per column — opt in for columns you ask
+    // distinct-count questions about. An all-null file (or a file
+    // predating the column) joins to a NULL register set = the empty
+    // sketch, exact because COUNT(DISTINCT) ignores nulls too.
+    val withNdv = ndv.fold(base) { case (cols, p) =>
+      cols.foldLeft(base) { (acc, c) =>
+        val (bucket, rho) = graft.operators.Sketches.registerColumns(col(c), p)
+        val regs = scan.select(col("_metadata.file_path").as("file"), col(c))
+          .filter(col(c).isNotNull)
+          .groupBy(col("file"), bucket.cast("int").as("b"))
+          .agg(max(rho).cast("int").as("r"))
+          .groupBy(col("file"))
+          .agg(sort_array(collect_list(struct(col("b"), col("r"))))
+            .as(s"ndv_$c"))
+        acc.join(regs, Seq("file"), "left")
+      }
+    }
+    withNdv.coalesce(1)
   }
 
   /** O(1) read of a small text/JSON sidecar in a manifest dir. */
@@ -1060,6 +1186,59 @@ object DataSkipping {
       case Some(dest) =>
         writeManifestFile(spark, fs, path, batchStats, dest)
     }
+    // OPTIMISTIC RE-REGISTRATION: a maintenance op may have committed
+    // a new generation while this append was in flight; its publisher
+    // rides forward every manifest file it can SEE, but this batch's
+    // rows may have landed after its final listing. Re-resolve the
+    // current generation: if it moved, verify the batch is claimed
+    // there and re-register if not. Named commits re-register under
+    // their marker NAME (a collision with the publisher's own repair
+    // collapses to one file — exactly-once); unnamed batches
+    // re-register after a data-file claim check and are at-least-once
+    // in the millisecond overlap window — the documented concurrency
+    // contract (pass commitName for exactly-once under concurrency).
+    if (moved.nonEmpty) {
+      var registeredIn = dir
+      var cur = manifestDirOf(fs, path)
+      var hops = 0
+      while (cur != registeredIn && hops < ConcurrentRetries) {
+        hops += 1
+        // a mergeSchema evolution's widened sidecars were written into
+        // the OLD generation; a racing publisher that built from
+        // pre-evolution sidecars must not silently narrow the table
+        if (mergeSchema && newFields.nonEmpty) {
+          val curSchema = tableSchemaIn(spark, path, cur)
+          if (!newFields.forall(f => curSchema.fieldNames.contains(f.name)))
+            writeSidecars(spark, cur, schema, statsCols,
+              manifestFeatures(fs, cur),
+              manifestSchema = Some(widenedManifestSchema(spark, cur,
+                statsCols, manifestFeatures(fs, cur).contains("nulls"),
+                newFields.toSeq)))
+        }
+        val claimed = commitName match {
+          case Some(n) => fs.exists(new Path(cur, s"$n.parquet"))
+          case None =>
+            // compare by (unique) file NAME — the manifest records
+            // `_metadata.file_path` URIs, moveIn records plain paths
+            readManifestIn(spark, cur)
+              .filter(element_at(split(col("file"), "/"), -1) ===
+                new Path(moved.head).getName)
+              .limit(1).count() > 0
+        }
+        if (!claimed) commitName match {
+          case Some(n) =>
+            // the publisher's reconcile may land the same marker name
+            // concurrently — its exclusive rename makes one winner
+            try writeManifestFile(spark, fs, path, batchStats,
+              new Path(cur, s"$n.parquet"))
+            catch { case _: IllegalArgumentException => () }
+          case None =>
+            batchStats.write.mode("append").parquet(cur)
+        }
+        registeredIn = cur
+        cur = manifestDirOf(fs, path)
+      }
+    }
     // opt-in ingest-cadence maintenance: see [[autoCompact]]
     autoCompactSmallFiles.foreach(n =>
       autoCompact(spark, path, minSmallFiles = n))
@@ -1180,7 +1359,8 @@ object DataSkipping {
       targetFileBytes: Long = 128L * 1024 * 1024,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Int = {
+      markerRetentionMs: Long = RetentionDefaultMs): Int =
+      withConcurrentRetry("compactTable") {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(retentionMs >= 0, "retentionMs must be >= 0")
     require(markerRetentionMs >= 0, "markerRetentionMs must be >= 0")
@@ -1189,7 +1369,8 @@ object DataSkipping {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
     requireUnpartitioned(fs, dir, "compactTable")
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "compactTable needs a size-carrying manifest (rewrite with writeWithStats)")
     val statsCols = trackedCols(spark, dir).toSeq.sorted
@@ -1237,7 +1418,7 @@ object DataSkipping {
         manifestFeatures(fs, dir).filter(_ == CdfFeature),
       manifestSchema = newStats.schema, removedData = replacedData,
       markerRetentionMs = markerRetentionMs, opStartMs = opStart,
-      op = "OPTIMIZE")
+      op = "OPTIMIZE", observedParts = Some(observed))
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }
@@ -1266,6 +1447,69 @@ object DataSkipping {
     * migration; versioned readers never look at uncommitted dirs at
     * all.) Returns the committed version number.
     */
+  /** The OPTIMISTIC generation commit: stamp a writer token into the
+    * build dir, rename it to the target version, verify the token
+    * survived, then create `_COMMIT` exclusively. A rename onto an
+    * EXISTING directory does not fail — it NESTS the build inside
+    * the winner's dir — so the token check is what detects the lost
+    * race; the stray nested build is removed (dot-prefixed, so even
+    * a crash between detection and cleanup leaves it invisible to
+    * manifest reads) and [[ConcurrentWriteException]] signals the
+    * caller's retry loop. Exactly one writer's token can sit at
+    * `gen/<token>`, so exactly one writer ever creates the version's
+    * `_COMMIT` — the single-committer invariant every reader trusts.
+    */
+  private def commitBuildAs(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, build: Path, gen: Path): Unit = {
+    val token = s"_writer-${java.util.UUID.randomUUID}"
+    fs.create(new Path(build, token), false).close()
+    val renamed = fs.rename(build, gen)
+    if (!renamed || !fs.exists(new Path(gen, token))) {
+      if (renamed) fs.delete(new Path(gen, build.getName), true)
+      else fs.delete(build, true)
+      // An UNCOMMITTED occupant is either a live writer inside its
+      // millisecond-wide rename→_COMMIT window, or debris (a crash
+      // inside exactly that window, or foreign junk). Poll through
+      // the live window: a `_COMMIT` appearing means a real winner
+      // (retry against its state); an occupant that never commits is
+      // reclaimed so strict version targeting cannot wedge on a slot
+      // a crashed writer claimed but never committed. The re-check
+      // immediately before the delete narrows the TOCTOU against a
+      // writer committing at the last instant; the writer side's
+      // post-commit token verification below closes it.
+      if (fs.exists(gen) && !isCommittedGen(fs, gen)) {
+        val deadline = System.currentTimeMillis() + OccupantGraceMs
+        while (System.currentTimeMillis() < deadline &&
+            fs.exists(gen) && !isCommittedGen(fs, gen))
+          Thread.sleep(50)
+        if (fs.exists(gen) && !isCommittedGen(fs, gen))
+          fs.delete(gen, true)
+      }
+      throw new ConcurrentWriteException(
+        s"generation ${gen.getName} was created by a concurrent writer")
+    }
+    commitGen(spark, gen)
+    // Reclaim-race guard: a contender that deemed this dir debris may
+    // have deleted it between our token check and the `_COMMIT`
+    // create (which would silently re-create the dir with ONLY the
+    // commit file — a corrupt committed generation). The token is
+    // the witness: if it vanished, the generation was reclaimed —
+    // undo the orphan commit and report the lost race so the retry
+    // loop re-runs the whole op.
+    if (!fs.exists(new Path(gen, token))) {
+      fs.delete(gen, true)
+      throw new ConcurrentWriteException(
+        s"generation ${gen.getName} was reclaimed mid-commit")
+    }
+  }
+
+  /** How long an uncommitted version-dir occupant is given to produce
+    * its `_COMMIT` before contenders reclaim the slot as crash debris
+    * (see [[commitBuildAs]] — live writers occupy a version number
+    * for milliseconds; this is 100× that with margin).
+    */
+  private val OccupantGraceMs = 3000L
+
   private def publishGeneration(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
       manifestRows: DataFrame, schema: StructType, statsCols: Seq[String],
@@ -1276,10 +1520,21 @@ object DataSkipping {
       op: String = "UNKNOWN",
       txn: Option[(String, Long)] = None,
       dv: Option[DataFrame] = None,
-      clustered: Option[String] = None): Long = {
+      clustered: Option[String] = None,
+      observedParts: Option[Set[String]] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
-    val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
+    // STRICT version targeting: commit exactly (observed generation
+    // + 1). Targeting last+1 instead would let a loser leapfrog a
+    // winner it never saw — commit vN+2 built from vN while the
+    // winner's vN+1 holds changes vN+2 would silently revert. With
+    // observed+1, a racing winner makes the rename NEST and the
+    // token check turns the lost race into a retry against the
+    // winner's state. (Flat legacy manifests keep the last+1
+    // fallback — they predate generations and concurrency.)
+    val nextV = obsVersionOf(dir)
+      .map(_ + 1)
+      .getOrElse(genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L))
     // marker age is measured from the op's ENTRY time, not from
     // whenever the heavy rewrite before this call finished — a marker
     // must not expire merely because the maintenance op that should
@@ -1329,7 +1584,8 @@ object DataSkipping {
     // the copied marker, excluded from `manifestRows`, so an
     // in-flight stream consumer replays the commit unchanged) or fold
     // to a zero-row re-creation (rows moved into `manifestRows`)
-    val (keepVerbatim, folded) = markers.partition(verbatimMarkers)
+    val (keepVerbatim, folded) = markers.partition(n =>
+      verbatimMarkers(n) || observedParts.exists(o => !o(n)))
     keepVerbatim.foreach { n =>
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir, n),
         fs, new Path(build, n), false,
@@ -1348,6 +1604,24 @@ object DataSkipping {
       }
       fs.delete(tmp, true)
     }
+    // CONCURRENT APPENDS (pinned callers): manifest files that landed
+    // after the caller pinned its carried-rows read are a concurrent
+    // append — the op is serialized BEFORE it, so its file rides into
+    // the new generation VERBATIM (rows + marker identity intact; its
+    // data files live in the table root untouched by this op). Late
+    // MARKERS were already diverted to keepVerbatim above; late
+    // part-files are copied here.
+    val lateParts: Set[String] = observedParts.fold(Set.empty[String]) { o =>
+      fs.listStatus(new Path(dir))
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && n.startsWith("part-") && !o(n))
+        .toSet
+    }
+    lateParts.foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir, n),
+        fs, new Path(build, n), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
     val now = System.currentTimeMillis()
     val replacedManifest = curGen match {
       case Some((v, _)) => Seq(s"$StatsDir/v$v")
@@ -1358,8 +1632,28 @@ object DataSkipping {
     }
     writeRemovalLog(fs, build, (removedData ++ replacedManifest).map(_ -> now))
     val gen = new Path(statsDir, s"v$nextV")
-    require(fs.rename(build, gen), s"generation rename $build -> $gen failed")
-    commitGen(spark, gen)
+    commitBuildAs(spark, fs, build, gen)
+    // post-commit reconciliation: an append that landed between the
+    // late-parts listing above and the commit is copied into the NOW
+    // CURRENT generation (appends to the current generation are legal
+    // at any time, and this generation is current). Appenders racing
+    // the same window independently re-register against the new
+    // generation after a claim check, and NAMED commits collide on
+    // the marker name, so the two repairs never double-deliver a
+    // named batch (unnamed appends in this millisecond window are
+    // at-least-once — the documented concurrency contract).
+    observedParts.foreach { o =>
+      val placed = keepVerbatim.toSet ++ folded ++ lateParts
+      fs.listStatus(new Path(dir))
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !o(n) && !placed(n))
+        .foreach { n =>
+          val dst = new Path(gen, n)
+          if (!fs.exists(dst))
+            org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir, n),
+              fs, dst, false, spark.sparkContext.hadoopConfiguration)
+        }
+    }
     nextV
   }
 
@@ -1463,8 +1757,13 @@ object DataSkipping {
     */
   private def pruneAndTouch(spark: SparkSession, path: String,
       dir: String, predicate: Column, op: String)
-      : (DataFrame, StructType, Column, Seq[(String, Long)], DataFrame) = {
-    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+      : (DataFrame, StructType, Column, Seq[(String, Long)], DataFrame, Set[String]) = {
+    val fsPin = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // OBSERVED SET pinned before the manifest read: the optimistic-
+    // commit contract (publishGeneration treats anything beyond it as
+    // a concurrent append to ride forward verbatim)
+    val pin = listManifestNames(fsPin, dir)
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate, Some(pin))
     require(stats.columns.contains("file_size"),
       s"$op needs a size-carrying manifest (rewrite with writeWithStats)")
     requireUnpartitioned(
@@ -1485,7 +1784,7 @@ object DataSkipping {
     val touchedSet = touched.map(_._1).toSet
     val touchedScan = applyDv(statusScan(spark, path, schema,
       candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
-    (stats, schema, hit, touched, touchedScan)
+    (stats, schema, hit, touched, touchedScan, pin)
   }
 
   /** The copy-on-write commit shared by the row-level DML ops: stage
@@ -1505,7 +1804,8 @@ object DataSkipping {
       op: String = "UNKNOWN",
       txn: Option[(String, Long)] = None,
       extraDv: Option[DataFrame] = None,
-      clusteredOf: Seq[String] => Option[String] = _ => None): Unit = {
+      clusteredOf: Seq[String] => Option[String] = _ => None,
+      observedParts: Option[Set[String]] = None): Unit = {
     // None = the op writes no data files at all (merge-on-read DML:
     // its entire output is the deletion vector) — not even an empty
     // staged part
@@ -1590,7 +1890,7 @@ object DataSkipping {
       verbatimMarkers = verbatim,
       changeData = changeData.filter(_ => feats.contains(CdfFeature)),
       op = op, txn = txn, dv = dvNext,
-      clustered = clusteredOf(moved))
+      clustered = clusteredOf(moved), observedParts = observedParts)
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 
@@ -1631,11 +1931,12 @@ object DataSkipping {
   private[sources] def deleteWherePhys(spark: SparkSession, path: String, predicate: Column,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+      withConcurrentRetry("deleteWhere") {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan) =
+    val (manifest, schema, hit, touched, touchedScan, observed) =
       pruneAndTouch(spark, path, dir, predicate, "deleteWhere")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
@@ -1651,7 +1952,8 @@ object DataSkipping {
       else Some(touchedScan.filter(hit)
         .withColumn(ChangeTypeCol, lit("delete")))
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(keep),
-      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE")
+      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE",
+      observedParts = Some(observed))
     touched.map(_._2).sum
   }
 
@@ -1671,10 +1973,11 @@ object DataSkipping {
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    withConcurrentRetry("updateWhere") {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan) =
+    val (manifest, schema, hit, touched, touchedScan, observed) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhere")
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty,
@@ -1714,8 +2017,10 @@ object DataSkipping {
             .withColumn(ChangeTypeCol, lit("update_postimage"))))
       }
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(updated),
-      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE")
+      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE",
+      observedParts = Some(observed))
     touched.map(_._2).sum
+    }
   }
 
   /** Merge-on-read DELETE via deletion vectors (the Delta
@@ -1747,11 +2052,12 @@ object DataSkipping {
   private[sources] def deleteWhereDVPhys(spark: SparkSession, path: String, predicate: Column,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+      withConcurrentRetry("deleteWhereDV") {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan) =
+    val (manifest, schema, hit, touched, touchedScan, observed) =
       pruneAndTouch(spark, path, dir, predicate, "deleteWhereDV")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
@@ -1772,7 +2078,8 @@ object DataSkipping {
     rewriteFiles(spark, fs, path, dir, manifest, schema,
       touched = Nil, replacement = None,
       vacuum, retentionMs, markerRetentionMs, opStart, changes,
-      op = "DELETE", extraDv = Some(newDead))
+      op = "DELETE", extraDv = Some(newDead),
+      observedParts = Some(observed))
     touched.map(_._2).sum
   }
 
@@ -1794,7 +2101,8 @@ object DataSkipping {
   def purgeDeletionVectors(spark: SparkSession, path: String,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+      withConcurrentRetry("purgeDeletionVectors") {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
@@ -1809,7 +2117,8 @@ object DataSkipping {
     if (perFile.isEmpty) return 0L
     val files = perFile.map(_._1)
     val schema = tableSchemaIn(spark, path, dir)
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "purgeDeletionVectors needs a size-carrying manifest (rewrite with " +
         "writeWithStats)")
@@ -1825,7 +2134,8 @@ object DataSkipping {
     rewriteFiles(spark, fs, path, dir, stats, schema,
       touched = files, replacement = Some(live),
       vacuum, retentionMs, markerRetentionMs, opStart,
-      changeData = None, op = "REORG")
+      changeData = None, op = "REORG",
+      observedParts = Some(observed))
     perFile.map(_._2).sum
   }
 
@@ -1843,10 +2153,11 @@ object DataSkipping {
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs): Long = {
     require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    withConcurrentRetry("updateWhereDV") {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan) =
+    val (manifest, schema, hit, touched, touchedScan, observed) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhereDV")
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty,
@@ -1876,8 +2187,10 @@ object DataSkipping {
     rewriteFiles(spark, fs, path, dir, manifest, schema,
       touched = Nil, replacement = Some(applySet(hitRows)),
       vacuum, retentionMs, markerRetentionMs, opStart, changes,
-      op = "UPDATE", extraDv = Some(newDead))
+      op = "UPDATE", extraDv = Some(newDead),
+      observedParts = Some(observed))
     touched.map(_._2).sum
+    }
   }
 
   /** Keyed REPLACE (one atomic commit): drop EVERY target row whose
@@ -1901,7 +2214,8 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
-      txn: Option[(String, Long)] = None): (Long, Long) = {
+      txn: Option[(String, Long)] = None): (Long, Long) =
+      withConcurrentRetry("replaceKeyed") {
     require(keyCols.nonEmpty, "replaceKeyed needs at least one key column")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1920,7 +2234,8 @@ object DataSkipping {
         schema.map(f => (f.name, f.dataType)).toSet,
       s"source schema ${source.schema.simpleString} must carry exactly the " +
         s"table's columns ${schema.simpleString} (any order)")
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "replaceKeyed needs a size-carrying manifest (rewrite with writeWithStats)")
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
@@ -1974,7 +2289,8 @@ object DataSkipping {
           }
         rewriteFiles(spark, fs, path, dir, stats, schema, files,
           Some(replacement), vacuum, retentionMs, markerRetentionMs,
-          opStart, changes, op = "MERGE", txn = txn)
+          opStart, changes, op = "MERGE", txn = txn,
+          observedParts = Some(observed))
         (touched.map(_._2).sum, srcCount)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -1999,7 +2315,8 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+      withConcurrentRetry("mergeDelete") {
     require(keyCols.nonEmpty, "mergeDelete needs at least one key column")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2013,7 +2330,8 @@ object DataSkipping {
     val schema = tableSchemaIn(spark, path, dir)
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"key column $k is not in the table schema ${schema.simpleString}"))
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "mergeDelete needs a size-carrying manifest (rewrite with writeWithStats)")
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
@@ -2064,7 +2382,8 @@ object DataSkipping {
             .withColumn(ChangeTypeCol, lit("delete")))
         rewriteFiles(spark, fs, path, dir, stats, schema, files,
           Some(replacement), vacuum, retentionMs, markerRetentionMs,
-          opStart, changes, op = "MERGE", txn = txn)
+          opStart, changes, op = "MERGE", txn = txn,
+          observedParts = Some(observed))
         touched.map(_._2).sum
       } finally matched.foreach(_.unpersist())
     } finally delKeys.unpersist()
@@ -2113,7 +2432,8 @@ object DataSkipping {
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
       txn: Option[(String, Long)] = None,
-      mergeSchema: Boolean = false): (Long, Long) = {
+      mergeSchema: Boolean = false): (Long, Long) =
+      withConcurrentRetry("mergeUpsert") {
     require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2181,7 +2501,8 @@ object DataSkipping {
           widened
         }
       }
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "mergeUpsert needs a size-carrying manifest (rewrite with writeWithStats)")
     // the source is read several times below (key envelope, distinct
@@ -2271,7 +2592,8 @@ object DataSkipping {
           }
         rewriteFiles(spark, fs, path, dir, stats, schema, files, Some(replacement),
           vacuum, retentionMs, markerRetentionMs, opStart, changes,
-          op = "MERGE", txn = txn)
+          op = "MERGE", txn = txn,
+          observedParts = Some(observed))
         (matchedKeys, srcCount - matchedKeys)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -2308,7 +2630,8 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
-      txn: Option[(String, Long)] = None): (Long, Long, Long) = {
+      txn: Option[(String, Long)] = None): (Long, Long, Long) =
+      withConcurrentRetry("mergeInto") {
     import MergeClause._
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     require(clauses.nonEmpty, "mergeInto needs at least one clause")
@@ -2340,7 +2663,8 @@ object DataSkipping {
         sys.error(s"SET column $c is not in the table schema"))
       case _ => ()
     }
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "mergeInto needs a size-carrying manifest (rewrite with writeWithStats)")
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
@@ -2534,7 +2858,8 @@ object DataSkipping {
           }
         rewriteFiles(spark, fs, path, dir, stats, schema, files, Some(replacement),
           vacuum, retentionMs, markerRetentionMs, opStart, changes,
-          op = "MERGE", txn = txn)
+          op = "MERGE", txn = txn,
+          observedParts = Some(observed))
         (updated, deleted, inserted)
       } finally probe.foreach(_.unpersist())
     } finally src.unpersist()
@@ -3803,7 +4128,8 @@ object DataSkipping {
   def restoreTable(spark: SparkSession, path: String, version: Long,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+      markerRetentionMs: Long = RetentionDefaultMs): Long =
+      withConcurrentRetry("restoreTable") {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
@@ -3923,7 +4249,10 @@ object DataSkipping {
     // window after a restore — bounded, and erring toward replay
     // protection.)
     val statsDir = new Path(s"$path/$StatsDir")
-    val nextV = genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L)
+    // strict observed+1 targeting — see publishGeneration
+    val nextV = obsVersionOf(dir)
+      .map(_ + 1)
+      .getOrElse(genDirs(fs, statsDir).lastOption.map(_._1 + 1).getOrElse(0L))
     val build = new Path(statsDir, s".genbuild-${java.util.UUID.randomUUID}")
     fs.mkdirs(build)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -3996,8 +4325,7 @@ object DataSkipping {
     writeRemovalLog(fs, build,
       (dropped.map(p => new Path(p).getName) ++ replacedManifest).map(_ -> now))
     val gen = new Path(statsDir, s"v$nextV")
-    require(fs.rename(build, gen), s"generation rename $build -> $gen failed")
-    commitGen(spark, gen)
+    commitBuildAs(spark, fs, build, gen)
     if (vacuum) vacuumTable(spark, path, retentionMs)
     nextV
   }
@@ -4049,10 +4377,12 @@ object DataSkipping {
     * (manifest frame, table schema, skip filter).
     */
   private def planSkip(spark: SparkSession, path: String, dir: String,
-      predicate: Column): (DataFrame, StructType, Column) = {
+      predicate: Column,
+      pin: Option[Set[String]] = None): (DataFrame, StructType, Column) = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.plans.GraftFunctions.register(spark)
-    val stats = readManifestIn(spark, dir)
+    val stats = pin.fold(readManifestIn(spark, dir))(
+      readManifestPinned(spark, dir, _))
     val tracked = stats.columns.collect { case c if c.startsWith("min_") => c.drop(4) }.toSet
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
     val bloomIdx = bloomIndex(fs, dir, stats.columns)
@@ -4544,7 +4874,8 @@ object DataSkipping {
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
       markerRetentionMs: Long = RetentionDefaultMs,
-      curve: String = "morton"): Int = {
+      curve: String = "morton"): Int =
+      withConcurrentRetry("zorderTable") {
     val zCols = currentMap(spark, path).fold(zCols0)(m =>
       zCols0.map(c => m.getOrElse(c, c)))
     require(zCols.size >= 2 && zCols.size <= 4, "z-order supports 2-4 columns")
@@ -4557,7 +4888,8 @@ object DataSkipping {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
     requireUnpartitioned(fs, dir, "zorderTable")
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "zorderTable needs a size-carrying manifest (rewrite with writeWithStats)")
     zCols.foreach(c => require(stats.columns.contains(s"min_$c"),
@@ -4622,7 +4954,8 @@ object DataSkipping {
       markerRetentionMs = markerRetentionMs, opStartMs = opStart,
       op = "OPTIMIZE ZORDER",
       clustered = Some((s"$curve:${zCols.mkString(",")}" +:
-        moved.map(p => new Path(p).getName)).mkString("\n")))
+        moved.map(p => new Path(p).getName)).mkString("\n")),
+      observedParts = Some(observed))
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }
@@ -4662,7 +4995,8 @@ object DataSkipping {
       targetFileBytes: Long = 128L * 1024 * 1024,
       vacuum: Boolean = true,
       retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Int = {
+      markerRetentionMs: Long = RetentionDefaultMs): Int =
+      withConcurrentRetry("optimizeIncremental") {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4678,7 +5012,8 @@ object DataSkipping {
     val Array(curve, colsCsv) = spec.split(":", 2)
     val zCols = colsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val clusteredNames = lines.tail.filter(_.nonEmpty).toSet
-    val stats = readManifestIn(spark, dir)
+    val observed = listManifestNames(fs, dir)
+    val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
       "optimizeIncremental needs a size-carrying manifest")
     val named = stats.withColumn("__name",
@@ -4736,7 +5071,8 @@ object DataSkipping {
       markerRetentionMs = markerRetentionMs, opStartMs = opStart,
       op = "OPTIMIZE INCREMENTAL",
       clusteredOf = moved => Some((spec +: (survivors ++
-        moved.map(p => new Path(p).getName).sorted)).mkString("\n")))
+        moved.map(p => new Path(p).getName).sorted)).mkString("\n")),
+      observedParts = Some(observed))
     backlogFiles.length
   }
 

@@ -1,0 +1,171 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+/** Optimistic multi-writer concurrency on the stats table: the
+  * token-protocol generation commit serializes racing
+  * DML/maintenance ops (the loser re-runs against the winner's
+  * state — write-serializable, Delta's OCC shape), and concurrent
+  * appends ride forward into a racing op's new generation instead
+  * of being silently dropped.
+  *
+  * These cases drive REAL thread races repeatedly and assert the
+  * FINAL state only — correct under every interleaving, so the
+  * assertions are deterministic even though the schedules are not.
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_occ").toString
+
+  private def inParallel(bodies: Seq[() => Unit]): Unit = {
+    val pool = Executors.newFixedThreadPool(bodies.size)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val futures = bodies.map { b =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try b() catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    if (!failures.isEmpty) throw failures.peek()
+  }
+
+  test("racing disjoint DELETEs both commit: losers re-run, no rows lost or resurrected") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    val n = 8000L
+    DataSkipping.writeWithStats(
+      (0L until n).map(i => (i, i % 100)).toDF("id", "k")
+        .repartitionByRange(8, col("id")), t, Seq("id"))
+    // 4 writers x 3 rounds of disjoint 100-id band deletes, all racing
+    val bands = for (w <- 0 until 4; r <- 0 until 3) yield (w, r)
+    (0 until 3).foreach { r =>
+      inParallel((0 until 4).map { w => () =>
+        val lo = (w * 3 + r) * 100L
+        val gone = DataSkipping.deleteWhere(s, t,
+          col("id") >= lo && col("id") < lo + 100L, vacuum = false)
+        assert(gone === 100L, s"writer $w round $r deleted $gone")
+      })
+    }
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() ===
+      n - bands.size * 100L)
+    // every op landed as its own committed generation (12 deletes)
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "DELETE") === 12, ops.mkString(","))
+    // version numbers are distinct committed generations
+    val vs = DataSkipping.tableVersions(s, t)
+    assert(vs.distinct.size === vs.size)
+  }
+
+  test("named appends racing compaction are never lost and never double-delivered") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(8, col("id")), t, Seq("id"))
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    (0 until 4).foreach { round =>
+      inParallel(Seq(
+        () => { // appender: two named commits per round
+          (0 until 2).foreach { j =>
+            val base = 1000000L + (round * 2 + j) * 1000L
+            assert(DataSkipping.appendWithStats(
+              (base until base + 500L).map(i => (i, i)).toDF("id", "v")
+                .coalesce(1),
+              t, Seq("id"), commitName = Some(s"occ-$round-$j")))
+            appended.add(base)
+          }
+        },
+        () => { // compactor: full fold racing the appends
+          DataSkipping.compactTable(s, t,
+            targetFileBytes = 4L * 1024 * 1024, vacuum = false)
+          ()
+        }))
+    }
+    val total = DataSkipping.readSkipping(s, t, lit(true)).count()
+    assert(total === 4000L + 8 * 500L,
+      s"expected exactly-once delivery of all named appends, got $total")
+    // every appended batch individually present exactly once
+    appended.toArray(Array.empty[java.lang.Long]).foreach { b =>
+      val c = DataSkipping.readSkipping(s, t,
+        col("id") >= b.longValue && col("id") < b.longValue + 500L).count()
+      assert(c === 500L, s"batch at $b delivered $c rows")
+    }
+    // a replay of any marker still short-circuits after the races
+    assert(!DataSkipping.appendWithStats(
+      (1000000L until 1000500L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      t, Seq("id"), commitName = Some("occ-0-0")))
+  }
+
+  test("named appends racing DML keep both effects; append data never half-applies") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 6000L).map(i => (i, 0L)).toDF("id", "mark")
+        .repartitionByRange(6, col("id")), t, Seq("id"))
+    (0 until 4).foreach { round =>
+      inParallel(Seq(
+        () => {
+          val base = 2000000L + round * 1000L
+          assert(DataSkipping.appendWithStats(
+            (base until base + 400L).map(i => (i, 9L)).toDF("id", "mark")
+              .coalesce(1),
+            t, Seq("id"), commitName = Some(s"dml-occ-$round")))
+        },
+        () => {
+          val lo = round * 500L
+          val updated = DataSkipping.updateWhere(s, t,
+            col("id") >= lo && col("id") < lo + 500L,
+            Map("mark" -> lit(round.toLong + 1L)), vacuum = false)
+          assert(updated === 500L, s"round $round updated $updated")
+        }))
+    }
+    // all four updates applied
+    (0 until 4).foreach { r =>
+      assert(DataSkipping.readSkipping(s, t,
+        col("mark") === (r + 1L) && col("id") < 6000L).count() === 500L)
+    }
+    // all four appends delivered exactly once
+    assert(DataSkipping.readSkipping(s, t, col("id") >= 2000000L).count()
+      === 4 * 400L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count()
+      === 6000L + 1600L)
+  }
+
+  test("a stray nested build from a lost race is cleaned and invisible") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i)).toDF("id", "v").coalesce(2),
+      t, Seq("id"))
+    // burst of same-target compactions: every loser must clean up
+    inParallel((0 until 3).map { _ => () =>
+      DataSkipping.compactTable(s, t, targetFileBytes = 1L * 1024 * 1024,
+        vacuum = false); ()
+    })
+    val fs = new Path(t).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$t/${DataSkipping.StatsDir}")
+    // no generation dir contains a nested .genbuild stray
+    fs.listStatus(statsDir).filter(_.isDirectory).foreach { g =>
+      val nested = fs.listStatus(g.getPath)
+        .filter(f => f.isDirectory && f.getPath.getName.startsWith(".genbuild-"))
+      assert(nested.isEmpty,
+        s"stray nested build under ${g.getPath}: ${nested.map(_.getPath.getName).mkString(",")}")
+    }
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 1000L)
+  }
+}

@@ -503,13 +503,17 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.appendWithStats(
       (1100L until 1150L).map(i => (i, i)).toDF("id", "v").coalesce(1), dir, Seq("id")))
     assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1150)
-    // the next compaction skips the dead slot (v2) and commits
+    // the next compaction RECLAIMS the dead slot (strict observed+1
+    // targeting: the occupant never produces a _COMMIT within the
+    // grace window, so the slot is reclaimed and the retry commits
+    // v1 itself — no version number is burned on debris)
     assert(DataSkipping.compactTable(s, dir, targetFileBytes = 1L << 30,
       retentionMs = 0L) > 0)
-    assert(DataSkipping.manifestDir(s, dir).endsWith("/v2"))
+    assert(DataSkipping.manifestDir(s, dir).endsWith("/v1"))
     assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 1150)
-    // retention-0 vacuum reclaimed the crashed build
-    assert(!deadGen.exists, "uncommitted generation debris must be vacuumed")
+    // the crashed build's junk did not survive into the committed slot
+    assert(!new java.io.File(deadGen, "part-junk.parquet").exists,
+      "crashed-build debris must be reclaimed, not committed")
   }
 
   test("schema evolution on append: new column tracked, old files backfill as nulls, pruning exact") {
