@@ -646,6 +646,15 @@ object DataSkipping {
           bloomCols.intersect(partitionBy).isEmpty,
         "partition columns are tracked implicitly (min=max=directory value); " +
           "STATS BY / bloom columns must name data columns")
+      // A partition-converted table refuses ALL mutation
+      // (requireUnpartitioned), so a change feed stamped here could
+      // never carry a row — refuse the misleading table state loudly
+      // rather than advertise a feature that cannot fire.
+      require(!changeFeed,
+        "changeFeed is not supported on a partition-converted table: " +
+          "partitioned tables are read-only in this build (no DML ever " +
+          "commits, so the feed would stay empty forever); convert flat " +
+          "or materialize into a writable graft table first")
       // Spark's own partition discovery parses the directory keys and
       // infers their types; the discovered columns land LAST in the
       // schema, which is the canonical order the sidecar keeps.
@@ -708,11 +717,19 @@ object DataSkipping {
 
   /** `col=value` partition values for one data file, parsed from its
     * path — raw (still-escaped-string) form; [[castPartValue]] turns
-    * them into typed partition-row values.
+    * them into typed partition-row values. Only segments BELOW the
+    * table root are considered: a root directory that itself looks
+    * like `col=value` (e.g. `/data/shard=5/tbl`) must not silently
+    * supply a partition value when the real per-file segment is
+    * missing — that case keeps the loud error below.
     */
   private def parsePartValues(
-      filePath: String, partCols: Seq[String]): Seq[String] = {
-    val kv = filePath.split('/').iterator.flatMap { seg =>
+      tableRoot: String, filePath: String, partCols: Seq[String]): Seq[String] = {
+    val rootDepth = new Path(tableRoot).toUri.getPath
+      .split('/').count(_.nonEmpty)
+    val kv = new Path(filePath).toUri.getPath
+      .split('/').filter(_.nonEmpty).iterator
+      .drop(rootDepth).flatMap { seg =>
       val i = seg.indexOf('=')
       if (i <= 0) Iterator.empty
       else Iterator((ExternalCatalogUtils.unescapePathName(seg.substring(0, i)),
@@ -1482,8 +1499,26 @@ object DataSkipping {
         while (System.currentTimeMillis() < deadline &&
             fs.exists(gen) && !isCommittedGen(fs, gen))
           Thread.sleep(50)
-        if (fs.exists(gen) && !isCommittedGen(fs, gen))
-          fs.delete(gen, true)
+        // Reclaim by RENAME-ASIDE, not delete: the occupant's writer
+        // can stamp `_COMMIT` in the instant between our last check
+        // and the reclaim, and a delete there would destroy a
+        // just-committed generation a reader may already have
+        // resolved. The rename is atomic, so we can re-check the
+        // marker AFTER winning the move: committed after all → put
+        // it straight back; still uncommitted → crash debris, delete
+        // the dot-prefixed quarantine (invisible to readers even if
+        // we crash before this line). If the instant-wide rename-back
+        // ever loses the slot to a third writer, the committed
+        // generation survives in the quarantine dir rather than being
+        // destroyed — recoverable by hand, never silently gone.
+        if (fs.exists(gen) && !isCommittedGen(fs, gen)) {
+          val aside = new Path(gen.getParent,
+            s".reclaim-${gen.getName}-${java.util.UUID.randomUUID}")
+          if (fs.rename(gen, aside)) {
+            if (isCommittedGen(fs, aside)) fs.rename(aside, gen)
+            else fs.delete(aside, true)
+          }
+        }
       }
       throw new ConcurrentWriteException(
         s"generation ${gen.getName} was created by a concurrent writer")
@@ -1497,7 +1532,15 @@ object DataSkipping {
     // undo the orphan commit and report the lost race so the retry
     // loop re-runs the whole op.
     if (!fs.exists(new Path(gen, token))) {
-      fs.delete(gen, true)
+      // Undo EXACTLY the orphan marker, not the whole dir: by now a
+      // contender may have reclaimed the slot and renamed its OWN
+      // build in, so a wholesale delete could destroy another
+      // writer's in-flight generation. Removing the marker restores
+      // whatever occupies the slot to its uncommitted state; if the
+      // dir is left empty (the pure delete-then-recreate corruption)
+      // remove the husk too.
+      fs.delete(new Path(gen, CommitFile), false)
+      if (fs.exists(gen) && fs.listStatus(gen).isEmpty) fs.delete(gen, true)
       throw new ConcurrentWriteException(
         s"generation ${gen.getName} was reclaimed mid-commit")
     }
@@ -1702,6 +1745,43 @@ object DataSkipping {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(classic))
+  }
+
+  /** [[statusScan]] for paths that may be PARTITION-CONVERTED: the
+    * partition columns live in directory names, not file bytes, so a
+    * flat relation would read them as null and silently fail every
+    * predicate touching them (dropped boundary rows → wrong counts /
+    * min-max). Splits the sidecar schema into data columns (read from
+    * bytes) and partition columns (served per PartitionDirectory by
+    * the file index — zero bytes read), exactly like the read path.
+    * Falls through to the flat [[statusScan]] when unpartitioned.
+    */
+  private def partAwareStatusScan(spark: SparkSession, path: String,
+      dir: String, schema: StructType,
+      statuses: Seq[FileStatusWithMetadata]): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCols = partitionColsIn(fs, dir)
+    if (partCols.isEmpty) statusScan(spark, path, schema, statuses)
+    else {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val partSchema = StructType(partCols.map(c => schema(schema.fieldIndex(c))))
+      val dataSchema = StructType(
+        schema.filterNot(f => partCols.contains(f.name)))
+      val groups = statuses
+        .groupBy(st => parsePartValues(path, st.getPath.toString, partCols))
+        .toSeq.map { case (raw, sts) =>
+          (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
+            case (v, f) => castPartValue(v, f.dataType)
+          }), sts)
+        }
+      classic.baseRelationToDataFrame(HadoopFsRelation(
+        new ManifestFileIndex(new Path(path), statuses, partSchema, groups),
+        partitionSchema = partSchema,
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(classic))
+    }
   }
 
   /** The generation's deletion vector, if any (see [[DvDir]]):
@@ -4508,7 +4588,8 @@ object DataSkipping {
     def scanAll(statuses: Seq[FileStatusWithMetadata],
         dv: Option[DataFrame]): Option[DataFrame] =
       if (statuses.isEmpty) None
-      else Some(applyDv(statusScan(spark, path, schema, statuses), dv)
+      else Some(applyDv(
+        partAwareStatusScan(spark, path, dir, schema, statuses), dv)
         .filter(coalesce(predicate, lit(false)))
         .select(col(column).as("__lo"), col(column).as("__hi")))
     if (!stats.columns.contains("file_size")) {
@@ -4591,7 +4672,8 @@ object DataSkipping {
     val partialStatuses = statusesOf(stats.filter(skip && !all))
     val partialCount =
       if (partialStatuses.isEmpty) 0L
-      else applyDv(statusScan(spark, path, schema, partialStatuses), dv)
+      else applyDv(
+        partAwareStatusScan(spark, path, dir, schema, partialStatuses), dv)
         .filter(coalesce(predicate, lit(false))).count()
     (fullCount + partialCount, fullFiles, partialStatuses.size.toLong)
   }
@@ -4635,7 +4717,7 @@ object DataSkipping {
         val dataSchema = StructType(
           schema.filterNot(f => partCols.contains(f.name)))
         val groups = statuses
-          .groupBy(st => parsePartValues(st.getPath.toString, partCols))
+          .groupBy(st => parsePartValues(path, st.getPath.toString, partCols))
           .toSeq.map { case (raw, sts) =>
             (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
               case (v, f) => castPartValue(v, f.dataType)
@@ -4681,6 +4763,14 @@ object DataSkipping {
           xxhash64(litOf(v)), col(s"bloom_$a"), lit(k)))
     }
     e match {
+    // Boolean literals skip exactly as themselves: `false` (an empty
+    // dynamic-pruning envelope, a folded contradiction) prunes EVERY
+    // file — without this case it fell to `None` and the one
+    // predicate that should read nothing read everything.
+    case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+      Some(lit(true))
+    case Literal(false, org.apache.spark.sql.types.BooleanType) =>
+      Some(lit(false))
     case And(l, r) =>
       // an unsupported conjunct restricts nothing: x AND unknown -> x
       (rewrite(l, tracked, nullsTracked, bloom),

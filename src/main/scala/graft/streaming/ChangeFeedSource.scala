@@ -206,15 +206,17 @@ final class ChangeFeedSource(
       .getOrElse(firstVersion)
     val endV = CdfVersionOffset.from(end).version
     val statsDir = s"$path/${DataSkipping.StatsDir}"
-    // Iterate COMMITTED retained versions only: version numbers can
-    // have gaps (a crashed generation build burns its slot forever —
-    // the designed no-repair crash state), so requiring a _COMMIT at
-    // every number in the dense range would wedge the stream on a
-    // slot where no data ever existed. What MUST fail loudly is an
-    // owed version below the earliest retained one: whether the
-    // missing slots there were committed DML or dead builds is no
-    // longer knowable, so delivering silence could lose change rows
-    // (raise retentionMs or keep the stream within the window).
+    // Committed versions are DENSE by contract: a crashed generation
+    // build's slot is reclaimed by the next writer after a grace
+    // window (commitBuildAs occupant reclaim), and vacuum removes
+    // superseded generations oldest-first (removal timestamps are
+    // supersede-order monotone), so the retained committed set is a
+    // contiguous suffix. Two loud failures guard the two ways that
+    // invariant can be broken from outside: (1) an owed version below
+    // the earliest retained one — vacuum outran this consumer;
+    // (2) an owed version MISSING mid-range — out-of-band deletion
+    // (manual cleanup, object-store loss); silence there could lose
+    // change rows, so the stream refuses rather than skips.
     val have = DataSkipping.tableVersions(spark, path)
     require(fromV > endV || have.headOption.exists(_ <= fromV),
       s"change-feed stream at $path: versions from $fromV are named by " +
@@ -223,6 +225,14 @@ final class ChangeFeedSource(
         "vacuum outran this consumer and its change rows cannot be " +
         "proven replayable. Raise the table's retentionMs or keep " +
         "downstream streams within the retention window")
+    val owed = have.filter(v => v >= fromV && v <= endV)
+    require(fromV > endV || owed.size == (endV - fromV + 1),
+      s"change-feed stream at $path: committed versions " +
+        s"${(fromV to endV).filterNot(owed.contains).mkString("[", ",", "]")} " +
+        "are named by this batch's offset range but are missing from " +
+        "the generation directory — committed versions are dense by " +
+        "contract, so a mid-range hole means out-of-band deletion and " +
+        "the stream cannot prove the missing change rows were empty")
     // ONE relation over every owed version's change files (plan arity
     // O(1) regardless of versions in the batch — a deep replay batch
     // is one scan, not an O(versions)-ary union): the per-file

@@ -106,7 +106,7 @@ class ChangeFeedSourceSpec extends SparkSpec {
       .count() === 50L)
   }
 
-  test("a committed-version gap (crashed generation build) is skipped, not wedged on") {
+  test("a crashed generation build's slot is reclaimed, not wedged on — the feed stays dense") {
     val s = spark
     val table = tmpDir("cdfsrc_gap") + "/t"
     val outDir = tmpDir("cdfsrc_gap_out") + "/o"
@@ -115,21 +115,50 @@ class ChangeFeedSourceSpec extends SparkSpec {
     drain(s, table, outDir, ckpt) // pinned at version 0
 
     assert(DataSkipping.deleteWhere(s, table, col("id") < 30L) === 30L) // v1
-    // a crashed generation build burns slot v2: an uncommitted dir
-    // that no reader ever sees and no repair path touches — the next
-    // commit takes v3
+    // a crashed generation build occupies slot v2 with an uncommitted
+    // dir. Contract (commitBuildAs occupant reclaim): the next writer
+    // waits out the occupant grace window, reclaims the slot as crash
+    // debris, and commits INTO it — committed versions stay dense, so
+    // strict version targeting and the change feed never see a hole.
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(
       s"$table/${DataSkipping.StatsDir}/v2"))
-    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L) === 10L) // v3
-    assert(DataSkipping.tableVersions(s, table) === Seq(0L, 1L, 3L))
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L) === 10L) // v2: reclaimed
+    assert(DataSkipping.tableVersions(s, table) === Seq(0L, 1L, 2L))
 
-    // the stream must deliver v1 and v3 and sail over the dead slot
+    // the stream delivers v1 and v2; nothing is skipped, nothing wedges
     drain(s, table, outDir, ckpt)
     assert(s.read.parquet(outDir).select("_commit_version").distinct()
-      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
     assert(s.read.parquet(outDir).count() === 40L)
+  }
+
+  test("an owed version deleted out-of-band (mid-range hole) fails loudly instead of delivering silence") {
+    val s = spark
+    val table = tmpDir("cdfsrc_hole") + "/t"
+    val outDir = tmpDir("cdfsrc_hole_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_hole_ckpt")
+    buildTable(s, table)
+    drain(s, table, outDir, ckpt) // pinned at version 0
+
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 30L) === 30L)  // v1
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L) === 10L) // v2
+    // committed versions are dense by contract; rip v1 out from under
+    // the consumer (manual cleanup / object-store loss). Skipping it
+    // silently would lose its 30 delete rows — the stream must refuse.
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$table/${DataSkipping.StatsDir}/v1"), true))
+    assert(DataSkipping.tableVersions(s, table) === Seq(0L, 2L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(s, table, outDir, ckpt)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("missing from")),
+      s"expected the mid-range-hole refusal, got: ${messages(e).mkString(" | ")}")
   }
 
   test("a vacuumed version still owed to the consumer fails loudly instead of delivering silence") {
