@@ -1603,6 +1603,7 @@ object Queries {
     */
   private object StorageFixtures {
     private val skipping = scala.collection.mutable.HashMap[String, String]()
+    private val dfp = scala.collection.mutable.HashMap[String, String]()
     private val zorder =
       scala.collection.mutable.HashMap[String, (String, Long, Long, Long, Long)]()
 
@@ -1617,6 +1618,18 @@ object Queries {
           events4(s, d).repartitionByRange(16, col("user_id")),
           s"$root/events", Seq("user_id"))
         s"$root/events"
+      })
+    }
+
+    def dfpTable(s: SparkSession, d: String): String = synchronized {
+      dfp.getOrElseUpdate(d, {
+        val root = java.nio.file.Files.createTempDirectory("graft_dfr").toString
+        graft.sources.DataSkipping.writeWithStats(
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .repartitionByRange(16, col("o_custkey")),
+          s"$root/orders", Seq("o_custkey"))
+        s"$root/orders"
       })
     }
 
@@ -3619,6 +3632,36 @@ object Queries {
             SELECT 'range', n_orders, revenue FROM j
             ORDER BY envelope"""))
 
+  // Read-only DFP gate over the pre-materialized stats table (the
+  // q_skipping_read treatment): dim envelope + pruned scan +
+  // broadcast join ONLY — the 16-file stats write that dominates
+  // q_dfp_join's cost is out of the timed path, so a DFP plan
+  // regression can't hide behind write noise. Same oracle (both
+  // envelope shapes against one answer).
+  val dfpRead = QueryDef(
+    "q_dfp_read",
+    (s, d) => {
+      val fact = StorageFixtures.dfpTable(s, d)
+      val dim = Tables.customer(s, d).filter(col("c_nationkey") === 7L)
+        .select(col("c_custkey"))
+      def run(label: String, maxKeys: Int) =
+        DynamicFilePruning.joinPruned(s, fact, "o_custkey",
+            dim, "c_custkey", maxKeys = maxKeys)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec12(col("o_totalprice"))).cast("double").as("revenue"))
+          .select(lit(label).as("envelope"), col("n_orders"), col("revenue"))
+      run("exact", 1000000).unionByName(run("range", 1)).orderBy("envelope")
+    },
+    Some("""WITH j AS (
+              SELECT COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_nationkey = 7)
+            SELECT 'exact' AS envelope, n_orders, revenue FROM j
+            UNION ALL
+            SELECT 'range', n_orders, revenue FROM j
+            ORDER BY envelope"""))
+
   // REAL audio decode, oracle-checked end-to-end: the WAV container
   // is synthesized from closed-form doc_id arithmetic, decoded
   // through the genuine javax.sound stack, and DuckDB replays the
@@ -4911,7 +4954,24 @@ object Queries {
           transform(array_sort(collect_list(struct(col("version"), col("operation")))),
             x => x.getField("operation")), ",").as("info"))
         .select(lit(-3L).as("event_id"), lit(0L).as("n"), col("info"))
-      data.unionAll(meta).unionAll(prune).unionAll(ops).orderBy("event_id")
+      // APPEND leg (r12 verdict: CONVERT output must be mutable): a
+      // batch routed INTO the partition layout — partition values
+      // come back from the appended files' directories, and the
+      // partition+data predicate prunes across converted and
+      // appended files alike. (The eager prune/meta legs above ran
+      // pre-append; the lazy `data` leg excludes these user_ids.)
+      val extra = (0 until 20)
+        .map(i => (10000000L + i, 1000L + i, "click", i % 8))
+        .toDF("event_id", "user_id", "event_type", "shard")
+        .repartition(1)
+      graft.sources.DataSkipping.appendWithStats(extra, t, Seq("user_id"))
+      val appended = DataSkipping.readSkipping(s, t,
+          col("event_type") === "click" && col("shard") < 3 &&
+            col("user_id") >= 1000L)
+        .select(col("event_id"), col("user_id").as("n"),
+          lit("appended").as("info"))
+      data.unionAll(meta).unionAll(prune).unionAll(ops).unionAll(appended)
+        .orderBy("event_id")
     },
     Some("""SELECT event_id, user_id AS n, 'data' AS info FROM events
             WHERE event_type = 'click' AND user_id % 8 < 3 AND user_id < 200
@@ -4921,6 +4981,9 @@ object Queries {
                    'meta_count'
             UNION ALL SELECT -2, 8, 'pruned'
             UNION ALL SELECT -3, 0, 'CONVERT'
+            UNION ALL
+            SELECT 10000000 + i, 1000 + i, 'appended'
+            FROM generate_series(0, 19) t(i) WHERE i % 8 < 3
             ORDER BY event_id"""))
 
   // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only
@@ -5266,7 +5329,7 @@ object Queries {
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
-    multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin,
+    multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin, dfpRead,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,

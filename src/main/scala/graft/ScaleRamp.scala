@@ -67,17 +67,26 @@ object ScaleRamp {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_RAMP_SCALE", "10").toInt
-    // beyond these bounds the derivations repeat (letter bijections:
-    // the identity + 25 rotations + 25 reversed rotations = 51; the
-    // r = c%25+1 index cycles past that; sign-flip masks cycle at
-    // the 64-dim space) and copies become exact duplicates of earlier
-    // copies — a silently different (quadratic-pair) workload
-    require(scaleN >= 2 && scaleN <= 51,
-      s"SPARK_GRAFT_RAMP_SCALE must be in [2, 51], got $scaleN")
     // SPARK_GRAFT_RAMP_ONLY=op1,op2 restricts the timed op set (for
-    // the long single-op ramps, e.g. ngram_jaccard at 30x)
+    // the long single-op ramps, e.g. ngram_jaccard at 30x, and the
+    // storage 100x file-count ramp)
     val only = sys.env.get("SPARK_GRAFT_RAMP_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // corpus-derived ops are bounded: beyond 51 the derivations
+    // repeat (letter bijections: the identity + 25 rotations + 25
+    // reversed rotations = 51; the r = c%25+1 index cycles past
+    // that; sign-flip masks cycle at the 64-dim space) and copies
+    // become exact duplicates of earlier copies — a silently
+    // different (quadratic-pair) workload. The storage/scd2 families
+    // ramp SYNTHETIC range data (file count / change-log length), so
+    // a storage-only selection may scale far past 51 (the 100x =
+    // 1,600-file decade).
+    val syntheticOnly = only.exists(_.forall(n =>
+      n.startsWith("storage_") || n.startsWith("scd2_")))
+    val maxScale = if (syntheticOnly) 1000 else 51
+    require(scaleN >= 2 && scaleN <= maxScale,
+      s"SPARK_GRAFT_RAMP_SCALE must be in [2, $maxScale] for this op " +
+        s"selection, got $scaleN")
     // SPARK_GRAFT_RAMP_BASE_FRACTION shrinks the 1x base corpus (a
     // deterministic doc_id-hash sample) so a large SCALE multiplier's
     // shuffle scratch fits this container's local disk — the ngram
@@ -151,12 +160,26 @@ object ScaleRamp {
     // corpus synthesis)
     val work = java.nio.file.Files.createTempDirectory("graft_ramp").toString
     val scales = Seq(1, scaleN)
-    val docPaths = scales.map { k =>
+    // build only the corpora the selected ops read — a storage-only
+    // 100x run must neither synthesize nor bound-check the doc/vec
+    // corpus derivations
+    val docOps = Set("dedup_exact", "minhash_pairs", "minhash_pairs_wide",
+      "simhash_pairs", "ngram_jaccard_pairs", "deduplicate",
+      "contamination", "repetition", "incremental_dedup", "cap_per_group",
+      "token_budget", "vocab_encode", "lm_familiarity", "excise_spans")
+    val vecOps = Set("embedding_neardup", "ann_lsh", "ann_ivf",
+      "semantic_dedup", "incremental_embdedup", "ann_pq", "ann_ivfpq",
+      "ann_ivfpq_residual")
+    def selected(names: Set[String]): Boolean =
+      only.forall(_.exists(names))
+    val docPaths = if (!selected(docOps)) Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/docs_x$k"
       docsAt(k).write.mode("overwrite").parquet(p)
       k -> p
     }.toMap
-    val vecPaths = scales.map { k =>
+    val vecPaths = if (!selected(vecOps)) Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/vecs_x$k"
       vecsAt(k).write.mode("overwrite").parquet(p)
       k -> p
@@ -175,7 +198,9 @@ object ScaleRamp {
     // everything at every refresh, the incremental apply sorts only
     // the batch's keys' history (broadcast semi/anti splits), so its
     // ramp should track the scan cost, not the sort.
-    val scd2LogPaths = scales.map { k =>
+    val scd2LogPaths = if (!selected(Set("scd2_full", "scd2_apply")))
+      Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/scd2log_x$k"
       spark.range(20000L * k).select(
         (col("id") % (2000L * k)).as("k"),
@@ -186,7 +211,9 @@ object ScaleRamp {
         .write.mode("overwrite").parquet(p)
       k -> p
     }.toMap
-    val scd2HistPaths = scales.map { k =>
+    val scd2HistPaths = if (!selected(Set("scd2_apply")))
+      Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/scd2hist_x$k"
       graft.operators.Cdc.scdType2(
           spark.read.parquet(scd2LogPaths(k)),
@@ -220,7 +247,10 @@ object ScaleRamp {
       DataSkipping.writeWithStats(
         storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
         path, storageCols, bloomCols = Seq("key"), bloomBits = 1 << 14)
-    val storePaths = scales.map { k =>
+    val storePaths = if (!selected(Set("storage_read", "storage_bloom",
+        "storage_append", "storage_delete", "storage_merge",
+        "storage_meta_count"))) Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/store_x$k"
       buildStorageTable(k, p)
       k -> p
@@ -228,7 +258,9 @@ object ScaleRamp {
     // compaction consumes a FRESH fragmented table per attempt (a
     // compacted table's second compact is a no-op and min-of-N would
     // time that instead); built here, outside the timed region
-    val compactQueues: Map[Int, java.util.ArrayDeque[String]] = scales.map { k =>
+    val compactQueues: Map[Int, java.util.ArrayDeque[String]] =
+      if (!selected(Set("storage_compact"))) Map.empty
+      else scales.map { k =>
       val q = new java.util.ArrayDeque[String]()
       val copies = repeats + (if (k == 1) 2 else 1) // +warmup, +spare
       (0 until copies).foreach { i =>
@@ -244,7 +276,9 @@ object ScaleRamp {
     // dedicated CHANGE-FEED tables: enabling the feed on the shared
     // storePaths would silently add change-recording cost to the
     // plain storage_delete/storage_merge rows pinned without it
-    val cdfPaths = scales.map { k =>
+    val cdfPaths = if (!selected(Set("storage_cdf_delete")))
+      Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/store_cdf_x$k"
       DataSkipping.writeWithStats(
         storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
@@ -255,7 +289,9 @@ object ScaleRamp {
     // dedicated DELETION-VECTOR tables: once a `_dv` exists every
     // read of the table pays the broadcast anti join — sharing
     // storePaths would contaminate the plain ops' timings
-    val dvPaths = scales.map { k =>
+    val dvPaths = if (!selected(Set("storage_dv_delete")))
+      Map.empty[Int, String]
+    else scales.map { k =>
       val p = s"$work/store_dv_x$k"
       buildStorageTable(k, p)
       k -> p

@@ -114,7 +114,7 @@ object MergeClause {
   */
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
-object DataSkipping {
+object DataSkipping extends org.apache.spark.internal.Logging {
 
   val StatsDir = "_graft_stats"
   val SchemaFile = "_table_schema.json"
@@ -578,10 +578,12 @@ object DataSkipping {
     * [[PartitionedFeature]] flag, and reads serve the values through
     * the relation's partition schema (see [[readSkippingIn]]). A
     * partition-converted table is READ-complete (pruned reads,
-    * metadata aggregates, time travel, clone, vacuum) but refuses
-    * mutation: partition values living in paths would make every
-    * rewrite path (append/DML/compaction) silently drop them —
-    * copy into a flat graft table to mutate. `partitionBy` must name
+    * metadata aggregates, time travel, clone, vacuum) and APPENDABLE
+    * ([[appendPartitioned]] routes each batch into the partition
+    * layout) but refuses rewrites: partition values living in paths
+    * would make every rewrite path (DML/compaction/Z-order) silently
+    * drop them — copy into a flat graft table to mutate in place.
+    * `partitionBy` must name
     * the directory levels in nesting order; partition column types
     * are inferred exactly as `spark.read.parquet` infers them.
     *
@@ -698,10 +700,13 @@ object DataSkipping {
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Mutation guard for partition-converted tables: every path that
-    * rewrites, appends or re-lays-out data files would write files
-    * that physically LACK the partition columns while living outside
-    * the `col=value` directory structure that carries their values —
-    * silently corrupting the table. Refuse loudly instead.
+    * REWRITES or re-lays-out data files would write files that
+    * physically LACK the partition columns while living outside the
+    * `col=value` directory structure that carries their values —
+    * silently corrupting the table. Refuse loudly instead. (Appends
+    * are the exception: [[appendPartitioned]] stages the batch
+    * `partitionBy` and moves files INTO the partition layout, so no
+    * value is ever path-orphaned.)
     */
   private def requireUnpartitioned(
       fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String): Unit = {
@@ -710,9 +715,9 @@ object DataSkipping {
       s"$op is not supported on a partition-converted table (partition " +
         s"columns ${pc.mkString("(", ", ", ")")} live in directory names, " +
         "not data files — this build reads, prunes, aggregates, " +
-        "time-travels and clones partitioned tables but does not mutate " +
-        "them); materialize into a flat graft table (writeWithStats over " +
-        "a read) to enable DML and maintenance")
+        "time-travels, clones and APPENDS to partitioned tables but does " +
+        "not rewrite them); materialize into a flat graft table " +
+        "(writeWithStats over a read) to enable DML and maintenance")
   }
 
   /** `col=value` partition values for one data file, parsed from its
@@ -721,20 +726,38 @@ object DataSkipping {
     * table root are considered: a root directory that itself looks
     * like `col=value` (e.g. `/data/shard=5/tbl`) must not silently
     * supply a partition value when the real per-file segment is
-    * missing — that case keeps the loud error below.
+    * missing — that case keeps the loud error below. Both paths are
+    * qualified through the table's filesystem before relativizing, so
+    * a RELATIVE or differently-qualified root (`tmp/t` handed to a
+    * table whose manifest stores `file:/cwd/tmp/t/...`) aligns by URI
+    * prefix instead of tripping a misaligned segment count. A file
+    * that does not resolve under the root at all (a shallow CLONE's
+    * manifest names the SOURCE table's files) parses the partition
+    * dirs nesting immediately above the file instead — contiguous
+    * `col=value` segments of tracked columns only, so a source root
+    * that itself looks like `col=value` still cannot supply a phantom
+    * value past a non-partition segment.
     */
-  private def parsePartValues(
+  private def parsePartValues(fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: String, filePath: String, partCols: Seq[String]): Seq[String] = {
-    val rootDepth = new Path(tableRoot).toUri.getPath
-      .split('/').count(_.nonEmpty)
-    val kv = new Path(filePath).toUri.getPath
-      .split('/').filter(_.nonEmpty).iterator
-      .drop(rootDepth).flatMap { seg =>
+    val rootUri = fs.makeQualified(new Path(tableRoot)).toUri.getPath
+      .stripSuffix("/") + "/"
+    val fileUri = fs.makeQualified(new Path(filePath)).toUri.getPath
+    def colOf(seg: String): Option[String] = {
       val i = seg.indexOf('=')
-      if (i <= 0) Iterator.empty
-      else Iterator((ExternalCatalogUtils.unescapePathName(seg.substring(0, i)),
-        seg.substring(i + 1)))
-    }.toMap
+      if (i <= 0) None
+      else Some(ExternalCatalogUtils.unescapePathName(seg.substring(0, i)))
+    }
+    val segs: Seq[String] =
+      if (fileUri.startsWith(rootUri))
+        fileUri.substring(rootUri.length)
+          .split('/').toSeq.filter(_.nonEmpty)
+      else fileUri.split('/').filter(_.nonEmpty)
+        .dropRight(1).reverseIterator
+        .takeWhile(seg => colOf(seg).exists(partCols.contains))
+        .toSeq.reverse
+    val kv = segs.flatMap(seg =>
+      colOf(seg).map(_ -> seg.substring(seg.indexOf('=') + 1))).toMap
     partCols.map(c => kv.getOrElse(c, sys.error(
       s"data file $filePath carries no '$c=' partition segment — the " +
         "manifest names a file outside the table's partition layout")))
@@ -1024,7 +1047,10 @@ object DataSkipping {
     val s0 = df0in.sparkSession
     val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
     val d0 = manifestDirOf(f0, path)
-    requireUnpartitioned(f0, d0, "appendWithStats")
+    val partCols0 = partitionColsIn(f0, d0)
+    if (partCols0.nonEmpty)
+      return appendPartitioned(df0in, path, statsCols0, commitName,
+        mergeSchema, autoCompactSmallFiles, f0, d0, partCols0)
     // idempotent-replay check FIRST: a replayed named commit must not
     // re-run the identity hook below (the watermark would advance and
     // burn a batch-sized id gap on every replay)
@@ -1285,6 +1311,123 @@ object DataSkipping {
     StructType(existing.fields ++ added)
   }
 
+  /** [[appendWithStats]] for a PARTITION-CONVERTED table — the batch
+    * is staged `partitionBy` the table's partition columns, each
+    * staged file moved into (creating as needed) its `col=value`
+    * directory under the table root, and the manifest gains one row
+    * per file with the partition columns' min = max = the directory
+    * value — exactly the shape CONVERT wrote (see [[convertToStats]]),
+    * so pruned reads treat appended files identically to converted
+    * ones. Delta's CONVERT output is mutable; this closes the first
+    * mutation a converting user hits. Schema evolution and
+    * auto-compaction stay refused (both imply rewriting files whose
+    * partition values live in paths); named-commit idempotency and
+    * CHECK constraints work exactly as on flat tables. No
+    * re-registration loop is needed: every generation-creating op
+    * (DML, OPTIMIZE, RESTORE) is refused on partitioned tables, so a
+    * racing publisher that could strand this batch's manifest rows
+    * cannot exist — concurrent appends just add disjoint rows to the
+    * same generation, the flat contract.
+    */
+  private def appendPartitioned(df0: DataFrame, path: String,
+      statsCols0: Seq[String], commitName: Option[String],
+      mergeSchema: Boolean, autoCompactSmallFiles: Option[Int],
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      partCols: Seq[String]): Boolean = {
+    val spark = df0.sparkSession
+    require(!mergeSchema,
+      "mergeSchema evolution is not supported on a partition-converted " +
+        "table — materialize into a flat graft table to evolve the schema")
+    require(autoCompactSmallFiles.isEmpty,
+      "autoCompact is not supported on a partition-converted table " +
+        "(compaction rewrites files, dropping their path-encoded " +
+        "partition values)")
+    if (commitName.exists(n => n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+        fs.exists(new Path(dir, s"$n.parquet")))) return false
+    commitName.foreach(n => require(
+      n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !n.startsWith("part-"),
+      s"commitName '$n' must start with an alphanumeric and use only " +
+        "[A-Za-z0-9._-] (a '_'/'.' prefix would HIDE the marker; 'part-' " +
+        "is reserved for plain manifest parts)"))
+    val unknownFeats = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknownFeats.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknownFeats.toSeq.sorted.mkString(", ")}] this build does not " +
+        "implement — refusing to append; upgrade the library")
+    val stored = tableSchemaIn(spark, path, dir)
+    require(df0.schema.map(f => (f.name, f.dataType)).toSet ==
+        stored.map(f => (f.name, f.dataType)).toSet,
+      s"append schema ${df0.schema.simpleString} must carry exactly the " +
+        s"stored columns ${stored.simpleString} — partition columns " +
+        "included (their values route each row to its directory)")
+    val tracked = trackedCols(spark, dir)
+    require(statsCols0.toSet == tracked -- partCols,
+      s"statsCols [${statsCols0.sorted.mkString(",")}] must equal the " +
+        s"table's tracked DATA columns [${(tracked -- partCols).toSeq.sorted
+          .mkString(",")}] — partition columns are tracked implicitly " +
+        "(min=max=directory value)")
+    val df = df0.select(stored.fieldNames.map(col).toSeq: _*)
+    val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
+    df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    // the flat choke-point check top-lists the staging dir; here the
+    // parts live under partition subdirs, and the partitioned read
+    // serves the partition columns back so constraints over them work
+    val cons = constraintsIn(fs, dir)
+    if (cons.nonEmpty) {
+      val staged = spark.read.schema(stored).parquet(staging.toString)
+      violationCounts(staged, cons).foreach { counts =>
+        val bad = counts.filter(_._2 > 0L)
+        if (bad.nonEmpty) {
+          fs.delete(staging, true)
+          throw new IllegalArgumentException(
+            s"append aborted: CHECK constraint violation(s) in the batch — " +
+              bad.map { case (n, c) => s"$n: $c row(s) (${cons(n)})" }
+                .mkString("; ") + " — nothing was committed")
+        }
+      }
+    }
+    val moved = moveInPartitioned(fs, staging, new Path(path))
+    val feats = manifestFeatures(fs, dir)
+    val batchStats =
+      if (moved.nonEmpty)
+        statsFor(partAwareStatusScan(spark, path, dir, stored,
+            statusesFor(fs, moved)),
+          statsCols0 ++ partCols, withNulls = feats.contains("nulls"),
+          bloom = bloomFeature(feats))
+      else readManifestIn(spark, dir).limit(0) // zero-row marker
+    commitName.map(n => new Path(dir, s"$n.parquet")) match {
+      case None if moved.isEmpty => ()
+      case None => batchStats.write.mode("append").parquet(dir)
+      case Some(dest) => writeManifestFile(spark, fs, path, batchStats, dest)
+    }
+    true
+  }
+
+  /** [[moveIn]] for a partition-staged batch: walks the staging dir's
+    * `col=value` tree, re-creating each partition directory under the
+    * table root and renaming the (job-UUID-unique) data files into
+    * it. Returns the destination paths.
+    */
+  private def moveInPartitioned(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, table: Path): Seq[String] = {
+    def walk(d: Path, rel: Seq[String]): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { f =>
+        val n = f.getPath.getName
+        if (f.isDirectory && !n.startsWith(".")) walk(f.getPath, rel :+ n)
+        else if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val destDir = rel.foldLeft(table)((p, seg) => new Path(p, seg))
+          fs.mkdirs(destDir)
+          val dest = new Path(destDir, n)
+          require(fs.rename(f.getPath, dest),
+            s"rename ${f.getPath} -> $dest failed")
+          Seq(dest.toString)
+        } else Nil
+      }
+    val moved = walk(staging, Nil)
+    fs.delete(staging, true)
+    moved
+  }
+
   /** Move a staging dir's data files into the table root under their
     * (job-UUID-unique) names; deletes the staging dir, returns the
     * destination paths.
@@ -1505,17 +1648,16 @@ object DataSkipping {
         // just-committed generation a reader may already have
         // resolved. The rename is atomic, so we can re-check the
         // marker AFTER winning the move: committed after all → put
-        // it straight back; still uncommitted → crash debris, delete
-        // the dot-prefixed quarantine (invisible to readers even if
-        // we crash before this line). If the instant-wide rename-back
-        // ever loses the slot to a third writer, the committed
-        // generation survives in the quarantine dir rather than being
-        // destroyed — recoverable by hand, never silently gone.
+        // it back via [[restoreCommitted]] (which survives a third
+        // writer stealing the slot in the rename-back instant); still
+        // uncommitted → crash debris, delete the dot-prefixed
+        // quarantine (invisible to readers even if we crash before
+        // this line).
         if (fs.exists(gen) && !isCommittedGen(fs, gen)) {
           val aside = new Path(gen.getParent,
             s".reclaim-${gen.getName}-${java.util.UUID.randomUUID}")
           if (fs.rename(gen, aside)) {
-            if (isCommittedGen(fs, aside)) fs.rename(aside, gen)
+            if (isCommittedGen(fs, aside)) restoreCommitted(fs, gen, aside)
             else fs.delete(aside, true)
           }
         }
@@ -1552,6 +1694,62 @@ object DataSkipping {
     * for milliseconds; this is 100× that with margin).
     */
   private val OccupantGraceMs = 3000L
+
+  /** Put a generation that turned out to be COMMITTED back into the
+    * slot it was reclaimed out of. The hazard the plain rename-back
+    * had: a rename onto an EXISTING directory does not fail, it
+    * NESTS — a third writer renaming its own build into the freed
+    * slot during the rename-back instant left the committed
+    * generation dot-prefixed INSIDE the winner's dir, its writer
+    * already returned success, its data silently absent. This
+    * restore verifies placement after every rename and un-nests a
+    * lost rename back to parent level; an uncommitted occupant is
+    * waited out through its commit window; a slot re-held by a
+    * COMMITTED competitor (or an occupant that never resolves) parks
+    * the displaced generation at parent level under a VISIBLE
+    * `_displaced-` name and logs an error with the recovery path —
+    * loudly quarantined, never silently gone.
+    */
+  private[sources] def restoreCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, aside: Path): Unit = {
+    var src = aside
+    val deadline = System.currentTimeMillis() + OccupantGraceMs
+    while (System.currentTimeMillis() < deadline) {
+      if (!fs.exists(gen)) {
+        if (fs.rename(src, gen)) {
+          val nested = new Path(gen, src.getName)
+          if (!fs.exists(nested)) return // clean restore — slot was free
+          // a third writer won the slot inside the rename instant and
+          // the restore NESTED into its dir — pull it straight back
+          // out to parent level and re-assess the slot
+          val out = new Path(gen.getParent,
+            s".reclaim-${gen.getName}-${java.util.UUID.randomUUID}")
+          src = if (fs.rename(nested, out)) out else nested
+        }
+      } else if (isCommittedGen(fs, gen)) {
+        quarantineDisplaced(fs, gen, src)
+        return
+      } else Thread.sleep(50) // occupant mid-commit: wait its window out
+    }
+    quarantineDisplaced(fs, gen, src)
+  }
+
+  /** Park a committed-but-displaced generation at parent level under
+    * a visible name and say so LOUDLY — the recovery surface for the
+    * only reachable end-state of a lost [[restoreCommitted]] race.
+    */
+  private def quarantineDisplaced(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, src: Path): Unit = {
+    val parked = new Path(gen.getParent,
+      s"_displaced-${gen.getName}-${java.util.UUID.randomUUID}")
+    val at = if (fs.rename(src, parked)) parked else src
+    logError(s"generation slot ${gen.getName} was re-won by another " +
+      s"writer while a COMMITTED generation was mid-reclaim; the " +
+      s"displaced generation's files are preserved at $at (its writer " +
+      "observed a successful commit, but the slot now holds a " +
+      "competitor's commit — reconcile by replaying the displaced " +
+      "operation or merging the parked files by hand)")
+  }
 
   private def publishGeneration(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
@@ -1768,7 +1966,7 @@ object DataSkipping {
       val dataSchema = StructType(
         schema.filterNot(f => partCols.contains(f.name)))
       val groups = statuses
-        .groupBy(st => parsePartValues(path, st.getPath.toString, partCols))
+        .groupBy(st => parsePartValues(fs, path, st.getPath.toString, partCols))
         .toSeq.map { case (raw, sts) =>
           (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
             case (v, f) => castPartValue(v, f.dataType)
@@ -4717,7 +4915,7 @@ object DataSkipping {
         val dataSchema = StructType(
           schema.filterNot(f => partCols.contains(f.name)))
         val groups = statuses
-          .groupBy(st => parsePartValues(path, st.getPath.toString, partCols))
+          .groupBy(st => parsePartValues(fs, path, st.getPath.toString, partCols))
           .toSeq.map { case (raw, sts) =>
             (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
               case (v, f) => castPartValue(v, f.dataType)

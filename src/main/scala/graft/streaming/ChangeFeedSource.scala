@@ -82,12 +82,25 @@ private[streaming] object CdfVersionOffset {
   *    versions per micro-batch, so a `startingVersion=0` replay over
   *    a deep history planes out as bounded batches instead of one
   *    O(versions)-ary union plan.
+  *
+  * DATA-LOSS OPT-OUT: by default an owed version that is no longer
+  * retained (vacuum outran the consumer) or missing mid-range
+  * (out-of-band deletion, or a pre-contract build that burned a
+  * version slot before the dense-versions contract existed) fails
+  * the stream LOUDLY — silence there could lose change rows. Pass
+  * `.option("failOnDataLoss", "false")` (Delta CDC's escape hatch)
+  * to instead log a warning naming the skipped versions and deliver
+  * the change rows that ARE retained; the offset still advances over
+  * the hole, so the stream does not wedge permanently on an
+  * unreclaimable gap.
   */
 final class ChangeFeedSource(
     sqlContext: SQLContext, path: String, metadataPath: String,
     startingVersion: Option[Long],
-    maxVersionsPerTrigger: Int = ChangeFeedSource.DefaultMaxVersionsPerTrigger)
-  extends Source with SupportsTriggerAvailableNow {
+    maxVersionsPerTrigger: Int = ChangeFeedSource.DefaultMaxVersionsPerTrigger,
+    failOnDataLoss: Boolean = true)
+  extends Source with SupportsTriggerAvailableNow
+  with org.apache.spark.internal.Logging {
 
   require(maxVersionsPerTrigger > 0,
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
@@ -218,21 +231,36 @@ final class ChangeFeedSource(
     // (manual cleanup, object-store loss); silence there could lose
     // change rows, so the stream refuses rather than skips.
     val have = DataSkipping.tableVersions(spark, path)
-    require(fromV > endV || have.headOption.exists(_ <= fromV),
-      s"change-feed stream at $path: versions from $fromV are named by " +
-        "this batch's offset range but are no longer retained " +
-        s"(earliest retained: ${have.headOption.getOrElse("none")}) — " +
-        "vacuum outran this consumer and its change rows cannot be " +
-        "proven replayable. Raise the table's retentionMs or keep " +
-        "downstream streams within the retention window")
-    val owed = have.filter(v => v >= fromV && v <= endV)
-    require(fromV > endV || owed.size == (endV - fromV + 1),
-      s"change-feed stream at $path: committed versions " +
-        s"${(fromV to endV).filterNot(owed.contains).mkString("[", ",", "]")} " +
-        "are named by this batch's offset range but are missing from " +
-        "the generation directory — committed versions are dense by " +
-        "contract, so a mid-range hole means out-of-band deletion and " +
-        "the stream cannot prove the missing change rows were empty")
+    if (failOnDataLoss) {
+      require(fromV > endV || have.headOption.exists(_ <= fromV),
+        s"change-feed stream at $path: versions from $fromV are named by " +
+          "this batch's offset range but are no longer retained " +
+          s"(earliest retained: ${have.headOption.getOrElse("none")}) — " +
+          "vacuum outran this consumer and its change rows cannot be " +
+          "proven replayable. Raise the table's retentionMs, keep " +
+          "downstream streams within the retention window, or accept " +
+          "the loss explicitly with .option(\"failOnDataLoss\", \"false\")")
+      val owed = have.filter(v => v >= fromV && v <= endV)
+      require(fromV > endV || owed.size == (endV - fromV + 1),
+        s"change-feed stream at $path: committed versions " +
+          s"${(fromV to endV).filterNot(owed.contains).mkString("[", ",", "]")} " +
+          "are named by this batch's offset range but are missing from " +
+          "the generation directory — committed versions are dense by " +
+          "contract, so a mid-range hole means out-of-band deletion (or " +
+          "a pre-contract build that burned the slot) and the stream " +
+          "cannot prove the missing change rows were empty. Accept the " +
+          "loss explicitly with .option(\"failOnDataLoss\", \"false\")")
+    } else if (fromV <= endV) {
+      // opt-out: name every owed-but-absent version, deliver the rest
+      val missing = (fromV to endV).filterNot(have.contains)
+      if (missing.nonEmpty) logWarning(
+        s"change-feed stream at $path: skipping versions " +
+          s"${missing.mkString("[", ",", "]")} owed by this batch's " +
+          "offset range but no longer present (vacuumed, deleted " +
+          "out-of-band, or a burned pre-contract slot) — their change " +
+          "rows, if any, are LOST to this consumer " +
+          "(failOnDataLoss=false)")
+    }
     // ONE relation over every owed version's change files (plan arity
     // O(1) regardless of versions in the batch — a deep replay batch
     // is one scan, not an O(versions)-ary union): the per-file
@@ -289,7 +317,8 @@ object ChangeFeedSource {
 
 /** `spark.readStream.format(classOf[ChangeFeedSourceProvider].getName)
   * .option("path", table)[.option("startingVersion", n)]
-  * [.option("maxVersionsPerTrigger", n)].load()`.
+  * [.option("maxVersionsPerTrigger", n)]
+  * [.option("failOnDataLoss", "false")].load()`.
   */
 final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -321,5 +350,7 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
     new ChangeFeedSource(sqlContext, path(parameters), metadataPath,
       parameters.get("startingVersion").map(_.toLong),
       parameters.get("maxVersionsPerTrigger").map(_.toInt)
-        .getOrElse(ChangeFeedSource.DefaultMaxVersionsPerTrigger))
+        .getOrElse(ChangeFeedSource.DefaultMaxVersionsPerTrigger),
+      failOnDataLoss = parameters.get("failOnDataLoss")
+        .forall(_.toBoolean))
 }

@@ -145,6 +145,64 @@ class ConcurrencySpec extends SparkSpec {
       === 6000L + 1600L)
   }
 
+  test("a committed generation displaced by reclaim is restored when its slot is free") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i)).toDF("id", "v").coalesce(2),
+      t, Seq("id"))
+    assert(DataSkipping.deleteWhere(s, t, col("id") < 100L,
+      vacuum = false) === 100L) // v1, committed
+    val fs = new Path(t).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$t/${DataSkipping.StatsDir}")
+    val gen = new Path(statsDir, "v1")
+    // simulate the reclaim instant: the committed generation sits in
+    // the reclaimer's aside dir, the slot is empty
+    val aside = new Path(statsDir, ".reclaim-v1-test")
+    assert(fs.rename(gen, aside))
+    DataSkipping.restoreCommitted(fs, gen, aside)
+    assert(fs.exists(new Path(gen, DataSkipping.CommitFile)))
+    assert(!fs.exists(new Path(gen, aside.getName)), "restore must not nest")
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 900L)
+  }
+
+  test("a committed generation whose slot was re-won by a third writer is loudly quarantined, never nested or silently absent") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i)).toDF("id", "v").coalesce(2),
+      t, Seq("id"))
+    assert(DataSkipping.deleteWhere(s, t, col("id") < 100L,
+      vacuum = false) === 100L) // v1, committed
+    val fs = new Path(t).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$t/${DataSkipping.StatsDir}")
+    val gen = new Path(statsDir, "v1")
+    val asideName = ".reclaim-v1-test"
+    val aside = new Path(statsDir, asideName)
+    assert(fs.rename(gen, aside))
+    // a third writer occupies the freed slot and COMMITS before the
+    // rename-back — the interleaving that used to NEST the displaced
+    // generation invisibly inside the winner's dir
+    fs.mkdirs(gen)
+    fs.create(new Path(gen, DataSkipping.CommitFile), false).close()
+    DataSkipping.restoreCommitted(fs, gen, aside)
+    // the winner's commit is untouched; the displaced generation's
+    // files are parked VISIBLY at parent level, not nested, not gone
+    assert(fs.exists(new Path(gen, DataSkipping.CommitFile)))
+    assert(fs.listStatus(gen).forall(f => !f.isDirectory),
+      "displaced generation must not be nested inside the winner's dir")
+    val parked = fs.listStatus(statsDir)
+      .filter(_.getPath.getName.startsWith("_displaced-v1-"))
+    assert(parked.length === 1, "displaced generation parked at parent level")
+    assert(fs.exists(new Path(parked.head.getPath, DataSkipping.CommitFile)),
+      "parked dir holds the complete committed generation")
+    assert(fs.listStatus(parked.head.getPath)
+      .exists(_.getPath.getName.endsWith(".parquet")),
+      "parked generation keeps its manifest rows readable")
+  }
+
   test("a stray nested build from a lost race is cleaned and invisible") {
     val s = spark
     import s.implicits._

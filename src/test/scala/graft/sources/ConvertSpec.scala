@@ -126,6 +126,33 @@ class ConvertSpec extends SparkSpec {
       .select("operation").head.getString(0) == "CONVERT")
   }
 
+  test("partitioned convert reads through a relative or differently-qualified root") {
+    val s = spark
+    import s.implicits._
+    // table under the JVM working directory so a RELATIVE root can
+    // name it (local fs qualifies relative paths against user.dir)
+    val rel = s"tmp/graft_cvrel_${java.util.UUID.randomUUID}/d"
+    val t = s"${sys.props("user.dir")}/$rel"
+    (0L until 200L).map(i => (i, i % 4, i * 1.0)).toDF("id", "p", "v")
+      .repartition(2).write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
+    // relative root: segment counting misaligned here (2 vs 5+ below
+    // an absolute manifest path); URI-prefix relativization must not
+    assert(DataSkipping.readSkipping(s, rel, col("p") === 1).count() === 50L)
+    assert(DataSkipping.readSkipping(s, rel, lit(true)).count() === 200L)
+    // scheme-qualified root over the same files
+    assert(DataSkipping.readSkipping(s, s"file:$t", col("p") === 2)
+      .count() === 50L)
+    // and partition values stay CORRECT (not just non-crashing)
+    checkAnswer(
+      DataSkipping.readSkipping(s, rel, lit(true))
+        .groupBy("p").agg(count(lit(1)).as("n")),
+      (0L until 200L).map(i => (i, i % 4)).toDF("id", "p")
+        .groupBy("p").agg(count(lit(1)).as("n")))
+    val fs = new Path(t).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(t).getParent, true)
+  }
+
   test("partitioned convert: mutation refused, reads/clone/vacuum allowed") {
     val s = spark
     import s.implicits._
@@ -136,8 +163,6 @@ class ConvertSpec extends SparkSpec {
     val extra = Seq((100L, 1L)).toDF("id", "p")
     def refused(body: => Any): String =
       intercept[IllegalArgumentException](body).getMessage
-    assert(refused(DataSkipping.appendWithStats(extra, t, Seq("id", "p")))
-      .contains("partition-converted"))
     assert(refused(DataSkipping.deleteWhere(s, t, col("id") === 1L))
       .contains("partition-converted"))
     assert(refused(DataSkipping.updateWhere(s, t, col("id") === 1L,
@@ -159,6 +184,54 @@ class ConvertSpec extends SparkSpec {
     DataSkipping.cloneTable(s, t, c)
     assert(DataSkipping.tablePartitionColumns(s, c) == Seq("p"))
     assert(DataSkipping.readSkipping(s, c, col("p") === 1L).count() == 20L)
+  }
+
+  test("partitioned convert: appends route into the partition layout, prune exactly, and replay idempotently") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpa")}/d"
+    (0L until 60L).map(i => (i, i % 3)).toDF("id", "p")
+      .write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
+    // an appended batch spanning existing (p=1) and NEW (p=7) values
+    val extra = Seq((100L, 1), (101L, 7), (102L, 7)).toDF("id", "p")
+    assert(DataSkipping.appendWithStats(extra, t, Seq("id"),
+      commitName = Some("cvp-batch-0")))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 63L)
+    // partition values came from the appended files' DIRECTORIES
+    assert(DataSkipping.readSkipping(s, t, col("p") === 7)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(101L, 102L))
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1).count() === 21L)
+    // partition-predicate pruning spans appended files exactly
+    val (kept, all) = DataSkipping.prunedFiles(s, t, col("p") === 7)
+    assert(kept.forall(_.contains("p=7")), kept.mkString("\n"))
+    assert(kept.size < all.size)
+    // data-column pruning still bites on the appended files
+    assert(DataSkipping.countWhere(s, t, col("id") >= 100L) === 3L)
+    // named replay short-circuits (exactly-once)
+    assert(!DataSkipping.appendWithStats(extra, t, Seq("id"),
+      commitName = Some("cvp-batch-0")))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 63L)
+    // shape guards: missing partition column, wrong statsCols, evolution
+    assert(intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      Seq(1L).toDF("id"), t, Seq("id"))).getMessage.contains("stored columns"))
+    assert(intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      extra, t, Seq("id", "p"))).getMessage.contains("tracked DATA columns"))
+    assert(intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      Seq((1L, 1, 2L)).toDF("id", "p", "x"), t, Seq("id", "x"),
+      mergeSchema = true)).getMessage.contains("mergeSchema"))
+    // CHECK constraints gate partitioned appends, partition cols included
+    DataSkipping.addCheckConstraint(s, t, "p_small", "p < 100")
+    val e = intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      Seq((200L, 200)).toDF("id", "p"), t, Seq("id")))
+    assert(e.getMessage.contains("p_small"), e.getMessage)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 63L)
+    // null partition values round-trip through the default-partition dir
+    val withNull = Seq((300L, Some(1)), (301L, Option.empty[Int])).toDF("id", "p")
+    assert(DataSkipping.appendWithStats(withNull, t, Seq("id")))
+    assert(DataSkipping.readSkipping(s, t, col("id") === 301L)
+      .select("p").head().isNullAt(0))
   }
 
   test("partitioned convert refusals: mixed layout, wrong PARTITIONED BY, stats on partition col") {

@@ -161,6 +161,97 @@ class ChangeFeedSourceSpec extends SparkSpec {
       s"expected the mid-range-hole refusal, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("failOnDataLoss=false streams past a burned mid-range slot, delivering the retained versions") {
+    val s = spark
+    val table = tmpDir("cdfsrc_optout") + "/t"
+    val outDir = tmpDir("cdfsrc_optout_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_optout_ckpt")
+    buildTable(s, table)
+    drain(s, table, outDir, ckpt) // pinned at version 0
+
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 30L) === 30L)  // v1
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L) === 10L) // v2
+    // rip v1 out from under the consumer (the permanent-wedge shape:
+    // a hole no future writer will ever reclaim)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$table/${DataSkipping.StatsDir}/v1"), true))
+    assert(DataSkipping.tableVersions(s, table) === Seq(0L, 2L))
+
+    // default contract unchanged: the same drain without the opt-out
+    // still refuses (covered by the mid-range-hole test above); with
+    // the opt-out the stream delivers v2 and ADVANCES past the hole
+    val q = s.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", table)
+      .option("failOnDataLoss", "false")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(outDir)
+    assert(out.count() === 10L)
+    assert(out.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+
+    // the offset committed past the hole: a later DML is the only
+    // thing the next drain owes — no permanent wedge, no re-delivery
+    assert(DataSkipping.deleteWhere(s, table,
+      col("id") >= 100L && col("id") < 105L) === 5L) // v3
+    val q2 = s.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", table)
+      .option("failOnDataLoss", "false")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val all = s.read.parquet(outDir)
+    assert(all.count() === 15L)
+    assert(all.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
+  test("failOnDataLoss=false streams past a vacuum-expired window from the earliest retained version") {
+    val s = spark
+    val table = tmpDir("cdfsrc_vacopt") + "/t"
+    val outDir = tmpDir("cdfsrc_vacopt_out") + "/o"
+    val ckpt = tmpDir("cdfsrc_vacopt_ckpt")
+    buildTable(s, table)
+    drain(s, table, outDir, ckpt) // pinned at version 0
+
+    assert(DataSkipping.deleteWhere(s, table, col("id") < 50L) === 50L) // v1
+    // retention-0 DML vacuums v1 before the lagging consumer saw it
+    assert(DataSkipping.deleteWhere(s, table, col("id") >= 390L,
+      retentionMs = 0L) === 10L) // v2
+    assert(DataSkipping.tableVersions(s, table) === Seq(2L))
+    val q = s.readStream
+      .format(classOf[ChangeFeedSourceProvider].getName)
+      .option("path", table)
+      .option("failOnDataLoss", "false")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(outDir)
+    assert(out.count() === 10L, "v1 is lost (warned), v2 delivered")
+    assert(out.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("a vacuumed version still owed to the consumer fails loudly instead of delivering silence") {
     val s = spark
     val table = tmpDir("cdfsrc_vac") + "/t"
