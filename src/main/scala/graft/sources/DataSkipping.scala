@@ -5012,7 +5012,32 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       // bloom, when indexed) admits SOME value. A null element's term
       // evaluates null, which is conservative-correct under the OR (a
       // row only survives the row filter when IN is TRUE, never null).
-      Some(vs.map { case Lit(v) => eqTerm(a, v) }.reduce(_ || _))
+      val lits = vs.map { case Lit(v) => v }
+      val elemType = lits.head.dataType
+      if (lits.size <= 16 || !lits.forall(_.dataType == elemType))
+        Some(lits.map(eqTerm(a, _)).reduce(_ || _))
+      else {
+        // LARGE key sets (dynamic file pruning hands a whole dim's
+        // keys over): an n-term OR chain builds an O(n)-deep Column
+        // tree whose recursive conversion/optimization costs seconds
+        // of DRIVER time per query — and overflows the stack first on
+        // small-stack threads (seen at 626 keys). ONE array literal +
+        // EXISTS keeps the tree O(1); evaluation is O(n) per manifest
+        // row, which is the cheap side of the trade (manifest rows ≪
+        // data rows). `exists` follows the same three-valued logic as
+        // the OR chain (null element → null, never true).
+        val arr = org.apache.spark.sql.graft.ColumnBridge.column(
+          Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            lits.map(_.value)),
+            org.apache.spark.sql.types.ArrayType(elemType,
+              containsNull = lits.exists(_.value == null))))
+        Some(exists(arr, x => {
+          val range = minC(a) <= x && maxC(a) >= x
+          bloom.get(a).fold(range)(k => range &&
+            call_function("graft_bloom_contains_col",
+              xxhash64(x), col(s"bloom_$a"), lit(k)))
+        }))
+      }
     case org.apache.spark.sql.catalyst.expressions.StartsWith(Attr(a), Lit(v))
         if tracked(a) && v.value != null &&
           v.value.toString.forall(_ < 0x80) =>

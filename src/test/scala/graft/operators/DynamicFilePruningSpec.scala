@@ -38,6 +38,44 @@ class DynamicFilePruningSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("a LARGE key envelope (hundreds of keys) plans flat: exact result, still prunes, no deep OR chain") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/fact"
+    val fact = (0L until 16000L).map(i => (i, i % 97))
+      .toDF("k", "payload").repartitionByRange(16, col("k"))
+    DataSkipping.writeWithStats(fact, t, Seq("k"))
+    // 700 distinct keys confined to one band — past the OR-chain
+    // threshold (the shape dynamic file pruning hands over from a
+    // real dim side; at this size a per-key OR chain overflowed the
+    // stack converting the Column tree and cost seconds of driver
+    // time when it didn't)
+    val dim = (4000L until 4700L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val got = DynamicFilePruning.joinPruned(s, t, "k", dim, "dk")
+    assert(got.count() === 700L)
+    val want = DataSkipping.readSkipping(s, t, lit(true))
+      .join(dim, col("k") === col("dk"))
+    assert(got.select("k", "payload").orderBy("k").collect().toSeq
+      === want.select("k", "payload").orderBy("k").collect().toSeq)
+    // the array-literal EXISTS envelope still prunes at file level
+    val env = DynamicFilePruning.keyEnvelope(dim, "dk", col("k"), 1000)
+    val (kept, all) = DataSkipping.prunedFiles(s, t, env)
+    assert(all.size === 16)
+    assert(kept.size <= 2, s"expected <=2 files kept, got ${kept.size}")
+    // and the bloom-indexed variant takes the same flat path
+    val tb = s"${tmp()}/factb"
+    DataSkipping.writeWithStats(
+      (0L until 16000L).map(i => (i * 1777L % 16000L, i))
+        .toDF("k", "payload").repartition(16),
+      tb, Seq("k"), bloomCols = Seq("k"), bloomBits = 1 << 14)
+    val scattered = (0L until 300L).map(i => (i * 53L % 16000L, s"d$i"))
+      .toDF("dk", "name").distinct()
+    val gotB = DynamicFilePruning.joinPruned(s, tb, "k", scattered, "dk")
+    val wantB = DataSkipping.readSkipping(s, tb, lit(true))
+      .join(scattered, col("k") === col("dk"))
+    assert(gotB.count() === wantB.count())
+  }
+
   test("bloom-indexed fact prunes scattered keys a range never could") {
     val s = spark
     import s.implicits._
