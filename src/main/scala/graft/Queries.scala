@@ -4949,27 +4949,38 @@ object Queries {
       val prune = Seq((-2L, kept.count(_.contains("event_type=purchase")).toLong,
         if (kept.size < all.size && all.size == 40) "pruned" else "UNPRUNED"))
         .toDF("event_id", "n", "info")
+      // APPEND + DML legs (r12 verdict: CONVERT output must be
+      // mutable): a batch routed INTO the partition layout, then a
+      // copy-on-write DELETE of one appended shard and an UPDATE in
+      // another — partition values come back from directories across
+      // converted, appended and REWRITTEN files, and the
+      // partition+data predicate prunes them all alike. Appended
+      // user_ids sit at 1_000_000+ — outside every scale's event
+      // domain, so the legs stay disjoint from original rows. (The
+      // eager prune/meta legs above ran pre-append; the lazy `data`
+      // leg excludes these user_ids.)
+      val extra = (0 until 20)
+        .map(i => (10000000L + i, 1000000L + i, "click", i % 8))
+        .toDF("event_id", "user_id", "event_type", "shard")
+        .repartition(1)
+      graft.sources.DataSkipping.appendWithStats(extra, t, Seq("user_id"))
+      DataSkipping.deleteWhere(s, t,
+        col("shard") === 0 && col("user_id") >= 1000000L, vacuum = false)
+      DataSkipping.updateWhere(s, t,
+        col("shard") === 1 && col("user_id") >= 1000000L,
+        Map("user_id" -> (col("user_id") + 100000L)), vacuum = false)
+      val appended = DataSkipping.readSkipping(s, t,
+          col("event_type") === "click" && col("shard") < 3 &&
+            col("user_id") >= 1000000L)
+        .select(col("event_id"), col("user_id").as("n"),
+          lit("appended").as("info"))
+      // history fold AFTER the DML legs: pins the exact op sequence
+      // (appends create no generation, so exactly CONVERT,DELETE,UPDATE)
       val ops = GraftSql.sql(s, s"DESCRIBE HISTORY '$t'")
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("version"), col("operation")))),
             x => x.getField("operation")), ",").as("info"))
         .select(lit(-3L).as("event_id"), lit(0L).as("n"), col("info"))
-      // APPEND leg (r12 verdict: CONVERT output must be mutable): a
-      // batch routed INTO the partition layout — partition values
-      // come back from the appended files' directories, and the
-      // partition+data predicate prunes across converted and
-      // appended files alike. (The eager prune/meta legs above ran
-      // pre-append; the lazy `data` leg excludes these user_ids.)
-      val extra = (0 until 20)
-        .map(i => (10000000L + i, 1000L + i, "click", i % 8))
-        .toDF("event_id", "user_id", "event_type", "shard")
-        .repartition(1)
-      graft.sources.DataSkipping.appendWithStats(extra, t, Seq("user_id"))
-      val appended = DataSkipping.readSkipping(s, t,
-          col("event_type") === "click" && col("shard") < 3 &&
-            col("user_id") >= 1000L)
-        .select(col("event_id"), col("user_id").as("n"),
-          lit("appended").as("info"))
       data.unionAll(meta).unionAll(prune).unionAll(ops).unionAll(appended)
         .orderBy("event_id")
     },
@@ -4980,10 +4991,13 @@ object Queries {
                         WHERE event_type = 'error' AND user_id % 8 = 2),
                    'meta_count'
             UNION ALL SELECT -2, 8, 'pruned'
-            UNION ALL SELECT -3, 0, 'CONVERT'
+            UNION ALL SELECT -3, 0, 'CONVERT,DELETE,UPDATE'
             UNION ALL
-            SELECT 10000000 + i, 1000 + i, 'appended'
-            FROM generate_series(0, 19) t(i) WHERE i % 8 < 3
+            SELECT 10000000 + i,
+                   1000000 + i + CASE WHEN i % 8 = 1 THEN 100000 ELSE 0 END,
+                   'appended'
+            FROM generate_series(0, 19) t(i)
+            WHERE i % 8 < 3 AND i % 8 <> 0
             ORDER BY event_id"""))
 
   // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only

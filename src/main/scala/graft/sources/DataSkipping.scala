@@ -578,12 +578,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * [[PartitionedFeature]] flag, and reads serve the values through
     * the relation's partition schema (see [[readSkippingIn]]). A
     * partition-converted table is READ-complete (pruned reads,
-    * metadata aggregates, time travel, clone, vacuum) and APPENDABLE
+    * metadata aggregates, time travel, clone, vacuum), APPENDABLE
     * ([[appendPartitioned]] routes each batch into the partition
-    * layout) but refuses rewrites: partition values living in paths
-    * would make every rewrite path (DML/compaction/Z-order) silently
-    * drop them — copy into a flat graft table to mutate in place.
-    * `partitionBy` must name
+    * layout) and row-level MUTABLE (copy-on-write and
+    * deletion-vector DELETE/UPDATE + PURGE, change feed included —
+    * the rewrite stages `partitionBy` and routes replacement rows
+    * back to their directories) but refuses whole-table re-layout
+    * (compaction/Z-order/restore), keyed merges and metadata DDL —
+    * copy into a flat graft table for those. `partitionBy` must name
     * the directory levels in nesting order; partition column types
     * are inferred exactly as `spark.read.parquet` infers them.
     *
@@ -648,15 +650,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           bloomCols.intersect(partitionBy).isEmpty,
         "partition columns are tracked implicitly (min=max=directory value); " +
           "STATS BY / bloom columns must name data columns")
-      // A partition-converted table refuses ALL mutation
-      // (requireUnpartitioned), so a change feed stamped here could
-      // never carry a row — refuse the misleading table state loudly
-      // rather than advertise a feature that cannot fire.
-      require(!changeFeed,
-        "changeFeed is not supported on a partition-converted table: " +
-          "partitioned tables are read-only in this build (no DML ever " +
-          "commits, so the feed would stay empty forever); convert flat " +
-          "or materialize into a writable graft table first")
+      // row-level DML commits on partition-converted tables (see
+      // requireUnpartitioned), so the feed has real rows to record —
+      // the change files materialize the partition columns from the
+      // part-aware touched scan, and feed readers serve them flat
       // Spark's own partition discovery parses the directory keys and
       // infers their types; the discovered columns land LAST in the
       // schema, which is the canonical order the sidecar keeps.
@@ -699,14 +696,16 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     readSidecarIn(fs, dir, PartitionColsFile)
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
-  /** Mutation guard for partition-converted tables: every path that
-    * REWRITES or re-lays-out data files would write files that
-    * physically LACK the partition columns while living outside the
-    * `col=value` directory structure that carries their values —
-    * silently corrupting the table. Refuse loudly instead. (Appends
-    * are the exception: [[appendPartitioned]] stages the batch
-    * `partitionBy` and moves files INTO the partition layout, so no
-    * value is ever path-orphaned.)
+  /** Mutation guard for the partition-converted ops still refused:
+    * whole-table RE-LAYOUT (compaction, Z-order, restore), keyed
+    * merges, and metadata DDL have no partition-preserving rewrite in
+    * this build — writing their output flat would orphan the
+    * directory-encoded values, silently corrupting the table. Refuse
+    * loudly instead. Appends ([[appendPartitioned]]) and row-level
+    * DELETE/UPDATE (copy-on-write and deletion-vector, plus PURGE)
+    * ARE supported: their staged output routes back through
+    * `partitionBy` (see [[rewriteFiles]]), so no value is ever
+    * path-orphaned.
     */
   private def requireUnpartitioned(
       fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String): Unit = {
@@ -715,9 +714,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       s"$op is not supported on a partition-converted table (partition " +
         s"columns ${pc.mkString("(", ", ", ")")} live in directory names, " +
         "not data files — this build reads, prunes, aggregates, " +
-        "time-travels, clones and APPENDS to partitioned tables but does " +
-        "not rewrite them); materialize into a flat graft table " +
-        "(writeWithStats over a read) to enable DML and maintenance")
+        "time-travels, clones, APPENDS to and row-level-DELETEs/UPDATEs " +
+        "partitioned tables but does not re-lay them out or merge into " +
+        "them); materialize into a flat graft table (writeWithStats over " +
+        "a read) for full maintenance")
   }
 
   /** `col=value` partition values for one data file, parsed from its
@@ -1369,23 +1369,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val df = df0.select(stored.fieldNames.map(col).toSeq: _*)
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     df.write.partitionBy(partCols: _*).parquet(staging.toString)
-    // the flat choke-point check top-lists the staging dir; here the
-    // parts live under partition subdirs, and the partitioned read
-    // serves the partition columns back so constraints over them work
-    val cons = constraintsIn(fs, dir)
-    if (cons.nonEmpty) {
-      val staged = spark.read.schema(stored).parquet(staging.toString)
-      violationCounts(staged, cons).foreach { counts =>
-        val bad = counts.filter(_._2 > 0L)
-        if (bad.nonEmpty) {
-          fs.delete(staging, true)
-          throw new IllegalArgumentException(
-            s"append aborted: CHECK constraint violation(s) in the batch — " +
-              bad.map { case (n, c) => s"$n: $c row(s) (${cons(n)})" }
-                .mkString("; ") + " — nothing was committed")
-        }
-      }
-    }
+    enforceConstraintsOnStaged(spark, fs, dir, staging, stored, "append")
     val moved = moveInPartitioned(fs, staging, new Path(path))
     val feats = manifestFeatures(fs, dir)
     val batchStats =
@@ -1802,9 +1786,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       d.write.parquet(new Path(build, DvDir).toString))
     writeOpFile(fs, build, op, opStartMs)
     writeTxnFile(fs, dir, build, txn)
-    // CHECK constraints, the column mapping and generated-column
-    // declarations ride every generation forward like the txn map
-    Seq(ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile).foreach { n =>
+    // CHECK constraints, the column mapping, generated-column
+    // declarations and the partition-column list ride every
+    // generation forward like the txn map (dropping the partition
+    // sidecar would silently flip a partitioned table to flat reads
+    // — null partition values — after its first DML generation)
+    Seq(ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile,
+        PartitionColsFile).foreach { n =>
       readSidecarIn(fs, dir, n).foreach { j =>
         val out = fs.create(new Path(build, n), true)
         try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2044,23 +2032,23 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val (stats, schema, skip) = planSkip(spark, path, dir, predicate, Some(pin))
     require(stats.columns.contains("file_size"),
       s"$op needs a size-carrying manifest (rewrite with writeWithStats)")
-    requireUnpartitioned(
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-      dir, op)
     // DML sees the LOGICAL table: DV-dead rows are invisible to the
     // candidate probe, the rewrite and the CDF images — a rewritten
     // file drops its dead rows physically (the rewrite IS their
     // materialization), and they can be neither re-deleted nor
-    // resurrected
+    // resurrected. Partition-converted tables scan part-aware, so the
+    // probe/rewrite frames carry the directory-encoded columns and
+    // predicates over them evaluate correctly.
     val dv = readDvIn(spark, dir)
     val candStatuses = statusesOf(stats.filter(skip))
     val candScan =
       if (candStatuses.isEmpty) None
-      else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv))
+      else Some(applyDv(partAwareStatusScan(spark, path, dir, schema,
+        candStatuses), dv))
     val hit = coalesce(predicate, lit(false))
     val touched = touchedFiles(candScan, hit)
     val touchedSet = touched.map(_._1).toSet
-    val touchedScan = applyDv(statusScan(spark, path, schema,
+    val touchedScan = applyDv(partAwareStatusScan(spark, path, dir, schema,
       candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
     (stats, schema, hit, touched, touchedScan, pin)
   }
@@ -2086,12 +2074,20 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       observedParts: Option[Set[String]] = None): Unit = {
     // None = the op writes no data files at all (merge-on-read DML:
     // its entire output is the deletion vector) — not even an empty
-    // staged part
+    // staged part. A PARTITION-CONVERTED table stages `partitionBy`
+    // its partition columns and moves each file INTO its `col=value`
+    // dir — the replacement rows carry the directory-encoded values
+    // (served by the part-aware touched scan), so the write routes
+    // them back (or, for an UPDATE that changes a partition value,
+    // forward to the row's new directory).
+    val partCols = partitionColsIn(fs, dir)
     val moved = replacement.fold(Seq.empty[String]) { r =>
       val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
-      r.write.parquet(staging.toString)
+      if (partCols.isEmpty) r.write.parquet(staging.toString)
+      else r.write.partitionBy(partCols: _*).parquet(staging.toString)
       enforceConstraintsOnStaged(spark, fs, dir, staging, schema, op)
-      moveIn(fs, staging, new Path(path))
+      if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
+      else moveInPartitioned(fs, staging, new Path(path))
     }
     val feats = manifestFeatures(fs, dir)
     val statsCols = trackedCols(spark, dir).toSeq.sorted
@@ -2140,7 +2136,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val rows =
       if (moved.isEmpty) carried
       else carried.unionByName(
-        statsFor(statusScan(spark, path, schema, statusesFor(fs, moved)),
+        statsFor(partAwareStatusScan(spark, path, dir, schema,
+            statusesFor(fs, moved)),
           statsCols,
           withNulls = feats.contains("nulls"), bloom = bloomFeature(feats)),
         allowMissingColumns = true)
@@ -2163,13 +2160,30 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       .filter(!_.isEmpty) // a rewrite that resolved every entry carries no vector
     publishGeneration(spark, fs, path, dir, rows, schema, statsCols,
       feats, manifestSchema,
-      removedData = touched.map(p => new Path(p).getName),
+      removedData = touched.map(p => rootRelativeOrName(fs, path, p)),
       markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
       verbatimMarkers = verbatim,
       changeData = changeData.filter(_ => feats.contains(CdfFeature)),
       op = op, txn = txn, dv = dvNext,
       clustered = clusteredOf(moved), observedParts = observedParts)
     if (vacuum) vacuumTable(spark, path, retentionMs)
+  }
+
+  /** `filePath` relative to the (qualified) table root — the form
+    * the removal log stores so vacuum can resolve a replaced file in
+    * a PARTITION subdirectory (`p=1/part-x.parquet`; a bare name only
+    * resolves top-level files). Files outside the root — a shallow
+    * clone's source-rooted files — fall back to the bare name, which
+    * deliberately resolves to nothing under this root: a clone's
+    * vacuum must never delete source state.
+    */
+  private def rootRelativeOrName(fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: String, filePath: String): String = {
+    val rootUri = fs.makeQualified(new Path(tableRoot)).toUri.getPath
+      .stripSuffix("/") + "/"
+    val fileUri = fs.makeQualified(new Path(filePath)).toUri.getPath
+    if (fileUri.startsWith(rootUri)) fileUri.substring(rootUri.length)
+    else new Path(filePath).getName
   }
 
   /** Whether DML against the manifest at `dir` must record change
@@ -2384,7 +2398,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "purgeDeletionVectors")
+    // partition-converted tables purge too: the part-aware scan
+    // carries the directory values and the rewrite routes clean rows
+    // back through partitionBy (see rewriteFiles)
     val dvOpt = readDvIn(spark, dir)
     if (dvOpt.isEmpty) return 0L
     val dv = dvOpt.get
@@ -2407,7 +2423,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       org.apache.spark.sql.Encoders.STRING).toDF("__t")
     val statuses = statusesOf(stats.join(broadcast(touchedDf),
       col("file") === col("__t"), "left_semi"))
-    val live = applyDv(statusScan(spark, path, schema, statuses), Some(dv))
+    val live = applyDv(partAwareStatusScan(spark, path, dir, schema,
+      statuses), Some(dv))
       .select(schema.fieldNames.map(col).toSeq: _*)
     rewriteFiles(spark, fs, path, dir, stats, schema,
       touched = files, replacement = Some(live),
@@ -3929,9 +3946,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       staging: Path, schema: StructType, op: String): Unit = {
     val cons = constraintsIn(fs, dir)
     if (cons.isEmpty) return
-    val hasParts = fs.exists(staging) && fs.listStatus(staging)
-      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (!hasParts) return
+    // a partitioned stage nests its parts under col=value dirs; the
+    // partition-discovering read below serves those columns back so
+    // constraints over them are enforced too
+    def hasParts(p: Path): Boolean = fs.exists(p) && fs.listStatus(p)
+      .exists(f => (f.isFile && f.getPath.getName.endsWith(".parquet")) ||
+        (f.isDirectory && !f.getPath.getName.startsWith(".") &&
+          hasParts(f.getPath)))
+    if (!hasParts(staging)) return
     val staged = spark.read.schema(schema).parquet(staging.toString)
     violationCounts(staged, cons).foreach { counts =>
       val bad = counts.filter(_._2 > 0L)
@@ -4067,10 +4089,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     }
     val recordedNames = recorded.map { case (rel, _) => new Path(rel).getName }.toSet
 
-    // 2. unrecorded visible orphans (crashed appends): mtime-gated
+    // 2. unrecorded visible orphans (crashed appends): mtime-gated.
+    // A partition-converted table's orphans live INSIDE `col=value`
+    // dirs (crashed partitioned append/DML moved files before the
+    // generation commit) — walk those too; the claim/record guards
+    // compare by (job-UUID-unique) name, so depth changes nothing.
     val stagingPrefixes =
       Seq(".append-", ".compact-", ".stats-", ".markers-", SwapPrefix)
-    fs.listStatus(new Path(path)).foreach { f =>
+    val partitioned = partitionColsIn(fs, manifestDirOf(fs, path)).nonEmpty
+    def sweep(d: Path, depth: Int): Unit = fs.listStatus(d).foreach { f =>
       val n = f.getPath.getName
       if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
           !claimed(n) && !recordedNames(n) && expired(f.getModificationTime))
@@ -4079,7 +4106,11 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       else if (f.isDirectory && stagingPrefixes.exists(n.startsWith) &&
           expired(f.getModificationTime))
         act(f.getPath, true)
+      else if (f.isDirectory && partitioned && depth < 16 &&
+          !n.startsWith("_") && !n.startsWith(".") && n.contains("="))
+        sweep(f.getPath, depth + 1)
     }
+    sweep(new Path(path), 0)
     // 4. uncommitted generation debris and crashed generation builds
     gens.foreach { case (_, f) =>
       if (!isCommittedGen(fs, f.getPath) && expired(f.getModificationTime))

@@ -153,7 +153,7 @@ class ConvertSpec extends SparkSpec {
     fs.delete(new Path(t).getParent, true)
   }
 
-  test("partitioned convert: mutation refused, reads/clone/vacuum allowed") {
+  test("partitioned convert: re-layout/merge/DDL refused, reads/clone/vacuum allowed") {
     val s = spark
     import s.implicits._
     val t = s"${tmpDir("graft_cvp2")}/d"
@@ -163,10 +163,6 @@ class ConvertSpec extends SparkSpec {
     val extra = Seq((100L, 1L)).toDF("id", "p")
     def refused(body: => Any): String =
       intercept[IllegalArgumentException](body).getMessage
-    assert(refused(DataSkipping.deleteWhere(s, t, col("id") === 1L))
-      .contains("partition-converted"))
-    assert(refused(DataSkipping.updateWhere(s, t, col("id") === 1L,
-      Map("id" -> lit(2L)))).contains("partition-converted"))
     assert(refused(DataSkipping.mergeUpsert(s, t, extra, Seq("id")))
       .contains("partition-converted"))
     assert(refused(DataSkipping.compactTable(s, t))
@@ -184,6 +180,106 @@ class ConvertSpec extends SparkSpec {
     DataSkipping.cloneTable(s, t, c)
     assert(DataSkipping.tablePartitionColumns(s, c) == Seq("p"))
     assert(DataSkipping.readSkipping(s, c, col("p") === 1L).count() == 20L)
+  }
+
+  test("partitioned convert: copy-on-write DELETE/UPDATE route rewrites through the partition layout") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpd")}/d"
+    (0L until 300L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .repartition(2).write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
+
+    // DELETE with a mixed partition+data predicate: only p=1 files
+    // holding the band rewrite, replacement rows stay in p=1
+    val gone = DataSkipping.deleteWhere(s, t,
+      col("p") === 1 && col("id") < 100L, vacuum = false)
+    assert(gone === 33L) // ids 1,4,...,97
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 267L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1).count() === 67L)
+    assert(DataSkipping.readSkipping(s, t,
+      col("p") === 1 && col("id") < 100L).count() === 0L)
+    // other partitions untouched, rewritten rows carry correct values
+    assert(DataSkipping.readSkipping(s, t, col("p") === 0).count() === 100L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1)
+      .filter(col("id") % 3 =!= 1L).count() === 0L,
+      "every surviving p=1 row must really have id % 3 == 1")
+
+    // UPDATE of a DATA column inside one partition
+    val upd = DataSkipping.updateWhere(s, t,
+      col("p") === 2 && col("id") < 30L, Map("id" -> (col("id") + 10000L)),
+      vacuum = false)
+    assert(upd === 10L)
+    assert(DataSkipping.readSkipping(s, t, col("id") >= 10000L)
+      .select("p").distinct().collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 267L)
+
+    // UPDATE of the PARTITION column moves rows to their new directory
+    val moved = DataSkipping.updateWhere(s, t,
+      col("p") === 0 && col("id") < 9L, Map("p" -> lit(5)), vacuum = false)
+    assert(moved === 3L) // ids 0,3,6
+    assert(DataSkipping.readSkipping(s, t, col("p") === 5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 3L, 6L))
+    assert(DataSkipping.readSkipping(s, t, col("p") === 0).count() === 97L)
+    // the new p=5 files physically live under p=5/
+    val (kept5, _) = DataSkipping.prunedFiles(s, t, col("p") === 5)
+    assert(kept5.nonEmpty && kept5.forall(_.contains("p=5")), kept5.mkString("\n"))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 267L)
+
+    // history records the ops; time travel reads the pre-DML state
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "DELETE") === 1 && ops.count(_ == "UPDATE") === 2
+      && ops.contains("CONVERT"), ops.mkString(","))
+    assert(DataSkipping.readSkippingAt(s, t, 0L, lit(true)).count() === 300L)
+
+    // retention-0 vacuum reclaims the replaced partition-dir files
+    // but never a live one
+    DataSkipping.vacuumTable(s, t, 0L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 267L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 5).count() === 3L)
+  }
+
+  test("partitioned convert: deletion-vector DML, PURGE, and the change feed work end to end") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpv")}/d"
+    (0L until 200L).map(i => (i, (i % 2).toInt)).toDF("id", "p")
+      .repartition(2).write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"),
+      changeFeed = true)
+
+    // merge-on-read DELETE: no file rewritten, vector hides the rows
+    val gone = DataSkipping.deleteWhereDV(s, t,
+      col("p") === 0 && col("id") < 40L, vacuum = false) // v1
+    assert(gone === 20L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 180L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 0).count() === 80L)
+
+    // merge-on-read UPDATE: vector + appended images routed into dirs
+    val upd = DataSkipping.updateWhereDV(s, t,
+      col("p") === 1 && col("id") < 20L, Map("id" -> (col("id") + 5000L)),
+      vacuum = false) // v2
+    assert(upd === 10L)
+    assert(DataSkipping.readSkipping(s, t, col("id") >= 5000L).count() === 10L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 180L)
+
+    // the feed recorded both ops WITH partition values
+    val feed = DataSkipping.readChangeFeed(s, t, 1L, Some(2L))
+    assert(feed.filter(col("_change_type") === "delete").count() === 20L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("p").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .filter(col("id") >= 5000L && col("p") === 1).count() === 10L)
+
+    // PURGE materializes the vector inside the partition layout
+    val purged = DataSkipping.purgeDeletionVectors(s, t, vacuum = false) // v3
+    assert(purged === 30L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 180L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 0).count() === 80L)
+    val (kept0, _) = DataSkipping.prunedFiles(s, t, col("p") === 0)
+    assert(kept0.forall(_.contains("p=0")), kept0.mkString("\n"))
   }
 
   test("partitioned convert: appends route into the partition layout, prune exactly, and replay idempotently") {
