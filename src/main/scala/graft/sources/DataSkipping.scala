@@ -697,13 +697,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Mutation guard for the partition-converted ops still refused:
-    * whole-table RE-LAYOUT (compaction, Z-order, restore), keyed
-    * merges, and metadata DDL have no partition-preserving rewrite in
-    * this build — writing their output flat would orphan the
-    * directory-encoded values, silently corrupting the table. Refuse
-    * loudly instead. Appends ([[appendPartitioned]]) and row-level
-    * DELETE/UPDATE (copy-on-write and deletion-vector, plus PURGE)
-    * ARE supported: their staged output routes back through
+    * whole-table RE-LAYOUT (compaction, Z-order, restore) and
+    * metadata DDL have no partition-preserving rewrite in this build
+    * — writing their output flat would orphan the directory-encoded
+    * values, silently corrupting the table. Refuse loudly instead.
+    * Appends ([[appendPartitioned]]), row-level DELETE/UPDATE
+    * (copy-on-write and deletion-vector, plus PURGE) and keyed
+    * merges ARE supported: their staged output routes back through
     * `partitionBy` (see [[rewriteFiles]]), so no value is ever
     * path-orphaned.
     */
@@ -714,9 +714,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       s"$op is not supported on a partition-converted table (partition " +
         s"columns ${pc.mkString("(", ", ", ")")} live in directory names, " +
         "not data files — this build reads, prunes, aggregates, " +
-        "time-travels, clones, APPENDS to and row-level-DELETEs/UPDATEs " +
-        "partitioned tables but does not re-lay them out or merge into " +
-        "them); materialize into a flat graft table (writeWithStats over " +
+        "time-travels, clones, APPENDS to, row-level-DELETEs/UPDATEs " +
+        "and MERGEs into partitioned tables but does not re-lay them " +
+        "out); materialize into a flat graft table (writeWithStats over " +
         "a read) for full maintenance")
   }
 
@@ -2515,7 +2515,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "replaceKeyed")
+    // partitioned tables replace too: part-aware scans + the
+    // partitionBy rewrite in rewriteFiles keep directory values
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -2557,7 +2558,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       val dv = readDvIn(spark, dir)
       val matched: Option[DataFrame] =
         if (candStatuses.isEmpty) None
-        else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv)
+        else Some(applyDv(partAwareStatusScan(spark, path, dir, schema, candStatuses), dv)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
           .join(srcKeys, keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -2567,7 +2568,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
             .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
         val files = touched.map(_._1)
         val touchedSet = files.toSet
-        def touchedScan = applyDv(statusScan(spark, path, schema,
+        def touchedScan = applyDv(partAwareStatusScan(spark, path, dir, schema,
           candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
         val replacement =
           if (files.isEmpty) src
@@ -2616,7 +2617,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "mergeDelete")
+    // partitioned tables merge-delete too (see replaceKeyed note)
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -2654,7 +2655,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       val dv = readDvIn(spark, dir)
       val matched: Option[DataFrame] =
         if (candStatuses.isEmpty) None
-        else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv)
+        else Some(applyDv(partAwareStatusScan(spark, path, dir, schema, candStatuses), dv)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
           .join(delKeys, keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -2668,7 +2669,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         }
         val files = touched.map(_._1)
         val touchedSet = files.toSet
-        def touchedScan = applyDv(statusScan(spark, path, schema,
+        def touchedScan = applyDv(partAwareStatusScan(spark, path, dir, schema,
           candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
         val replacement = touchedScan.join(delKeys, keyCols, "left_anti")
         val changes =
@@ -2733,7 +2734,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "mergeUpsert")
+    require(!mergeSchema ||
+        partitionColsIn(fs, dir).isEmpty,
+      "merge schema evolution is not supported on a partition-converted " +
+        "table — materialize into a flat graft table to evolve the schema")
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -2844,7 +2848,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       val srcKeys = src.select(keyCols.map(col): _*).distinct()
       val matched: Option[DataFrame] =
         if (candStatuses.isEmpty) None
-        else Some(applyDv(statusScan(spark, path, schema, candStatuses), dv)
+        else Some(applyDv(partAwareStatusScan(spark, path, dir, schema, candStatuses), dv)
           .select(keyCols.map(col) :+ col("_metadata.file_path").as("__file"): _*)
           .join(srcKeys, keyCols)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -2854,7 +2858,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
             .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
         val files = touched.map(_._1)
         val touchedSet = files.toSet
-        def touchedScan = statusScan(spark, path, schema,
+        def touchedScan = partAwareStatusScan(spark, path, dir, schema,
           candStatuses.filter(s => touchedSet(s.getPath.toString)))
         val matchedKeys = matched.fold(0L)(
           _.select(keyCols.map(col): _*).distinct().count())
@@ -2942,7 +2946,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "mergeInto")
+    // partitioned tables take the full conditional merge too (see
+    // replaceKeyed note); an UPDATE SET that changes a partition
+    // value routes the row to its new directory
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)
@@ -3019,7 +3025,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       val candStatuses = statusesOf(stats.filter(envelopeSkip || bySourceSkip))
       val dv = readDvIn(spark, dir)
       def scanOf(statuses: Seq[FileStatusWithMetadata]): DataFrame =
-        applyDv(statusScan(spark, path, schema, statuses), dv)
+        applyDv(partAwareStatusScan(spark, path, dir, schema, statuses), dv)
       val srcA = src.withColumn("__smatch", lit(1)).as("s")
       def joined(statuses: Seq[FileStatusWithMetadata]): DataFrame =
         scanOf(statuses)

@@ -160,11 +160,8 @@ class ConvertSpec extends SparkSpec {
     (0L until 60L).map(i => (i, i % 3)).toDF("id", "p")
       .write.partitionBy("p").parquet(t)
     DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
-    val extra = Seq((100L, 1L)).toDF("id", "p")
     def refused(body: => Any): String =
       intercept[IllegalArgumentException](body).getMessage
-    assert(refused(DataSkipping.mergeUpsert(s, t, extra, Seq("id")))
-      .contains("partition-converted"))
     assert(refused(DataSkipping.compactTable(s, t))
       .contains("partition-converted"))
     assert(refused(DataSkipping.zorderTable(s, t, Seq("id", "p"), 2))
@@ -239,6 +236,54 @@ class ConvertSpec extends SparkSpec {
     DataSkipping.vacuumTable(s, t, 0L)
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 267L)
     assert(DataSkipping.readSkipping(s, t, col("p") === 5).count() === 3L)
+  }
+
+  test("partitioned convert: keyed merges route updates and inserts through the partition layout") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpm")}/d"
+    (0L until 120L).map(i => (i, (i % 3).toInt, i * 10L))
+      .toDF("id", "p", "v").repartition(2).write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
+
+    // UPSERT: 10 updates (existing keys, new v) + 5 inserts into a
+    // NEW partition value
+    val src = ((0L until 10L).map(i => (i * 3L, 0, 999L)) ++      // p=0 keys
+      (1000L until 1005L).map(i => (i, 9, i))).toDF("id", "p", "v")
+    val (m, ins) = DataSkipping.mergeUpsert(s, t, src, Seq("id"),
+      vacuum = false)
+    assert(m === 10L && ins === 5L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 125L)
+    assert(DataSkipping.readSkipping(s, t, col("v") === 999L).count() === 10L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 9).count() === 5L)
+    val (kept9, _) = DataSkipping.prunedFiles(s, t, col("p") === 9)
+    assert(kept9.nonEmpty && kept9.forall(_.contains("p=9")), kept9.mkString("\n"))
+
+    // mergeDelete by key frame
+    val gone = DataSkipping.mergeDelete(s, t,
+      (1000L until 1003L).map(Tuple1(_)).toDF("id"), Seq("id"),
+      vacuum = false)
+    assert(gone === 3L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 9).count() === 2L)
+
+    // full conditional MERGE INTO: an UPDATE SET that MOVES rows to a
+    // different partition value
+    val src2 = Seq((3L, 0, 0L), (2000L, 4, 7L)).toDF("id", "p", "v")
+    val (upd, del, inserted) = DataSkipping.mergeInto(s, t, src2, Seq("id"),
+      Seq(MergeClause.MatchedUpdate(None, Map("p" -> lit(8))),
+        MergeClause.NotMatchedInsert(None)),
+      vacuum = false)
+    assert(upd === 1L && del === 0L && inserted === 1L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 8)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(DataSkipping.readSkipping(s, t, col("p") === 4)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2000L))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 123L)
+
+    // merge schema evolution stays refused on partitioned tables
+    assert(intercept[IllegalArgumentException](DataSkipping.mergeUpsert(s, t,
+      Seq((1L, 0, 1L, "x")).toDF("id", "p", "v", "extra"), Seq("id"),
+      mergeSchema = true)).getMessage.contains("evolution"))
   }
 
   test("partitioned convert: deletion-vector DML, PURGE, and the change feed work end to end") {
