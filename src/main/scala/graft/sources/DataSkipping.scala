@@ -697,13 +697,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Mutation guard for the partition-converted ops still refused:
-    * whole-table RE-LAYOUT (compaction, Z-order, restore) and
-    * metadata DDL have no partition-preserving rewrite in this build
-    * — writing their output flat would orphan the directory-encoded
-    * values, silently corrupting the table. Refuse loudly instead.
-    * Appends ([[appendPartitioned]]), row-level DELETE/UPDATE
-    * (copy-on-write and deletion-vector, plus PURGE) and keyed
-    * merges ARE supported: their staged output routes back through
+    * Z-order re-clustering and metadata DDL (rename/drop, generated
+    * and identity columns) have no partition-preserving rewrite in
+    * this build — writing their output flat would orphan the
+    * directory-encoded values, silently corrupting the table. Refuse
+    * loudly instead. Appends ([[appendPartitioned]]), row-level
+    * DELETE/UPDATE (copy-on-write and deletion-vector, plus PURGE),
+    * keyed merges, within-partition OPTIMIZE ([[compactTable]]) and
+    * RESTORE are supported: staged output routes back through
     * `partitionBy` (see [[rewriteFiles]]), so no value is ever
     * path-orphaned.
     */
@@ -714,10 +715,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       s"$op is not supported on a partition-converted table (partition " +
         s"columns ${pc.mkString("(", ", ", ")")} live in directory names, " +
         "not data files — this build reads, prunes, aggregates, " +
-        "time-travels, clones, APPENDS to, row-level-DELETEs/UPDATEs " +
-        "and MERGEs into partitioned tables but does not re-lay them " +
-        "out); materialize into a flat graft table (writeWithStats over " +
-        "a read) for full maintenance")
+        "time-travels, clones, APPENDS to, row-level-DELETEs/UPDATEs, " +
+        "MERGEs into, COMPACTs and RESTOREs partitioned tables but does " +
+        "not re-cluster them or evolve their metadata); materialize " +
+        "into a flat graft table (writeWithStats over a read) for that")
   }
 
   /** `col=value` partition values for one data file, parsed from its
@@ -1319,15 +1320,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * value — exactly the shape CONVERT wrote (see [[convertToStats]]),
     * so pruned reads treat appended files identically to converted
     * ones. Delta's CONVERT output is mutable; this closes the first
-    * mutation a converting user hits. Schema evolution and
-    * auto-compaction stay refused (both imply rewriting files whose
-    * partition values live in paths); named-commit idempotency and
-    * CHECK constraints work exactly as on flat tables. No
-    * re-registration loop is needed: every generation-creating op
-    * (DML, OPTIMIZE, RESTORE) is refused on partitioned tables, so a
-    * racing publisher that could strand this batch's manifest rows
-    * cannot exist — concurrent appends just add disjoint rows to the
-    * same generation, the flat contract.
+    * mutation a converting user hits. Schema evolution stays refused
+    * (new columns have no partition-preserving backfill story here);
+    * named-commit idempotency, CHECK constraints and opt-in
+    * auto-compaction work exactly as on flat tables. The flat path's
+    * optimistic re-registration loop applies unchanged below —
+    * partitioned tables now take DML/OPTIMIZE/RESTORE generations,
+    * so a racing publisher can strand a batch exactly as on flat
+    * tables.
     */
   private def appendPartitioned(df0: DataFrame, path: String,
       statsCols0: Seq[String], commitName: Option[String],
@@ -1338,10 +1338,6 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     require(!mergeSchema,
       "mergeSchema evolution is not supported on a partition-converted " +
         "table — materialize into a flat graft table to evolve the schema")
-    require(autoCompactSmallFiles.isEmpty,
-      "autoCompact is not supported on a partition-converted table " +
-        "(compaction rewrites files, dropping their path-encoded " +
-        "partition values)")
     if (commitName.exists(n => n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
         fs.exists(new Path(dir, s"$n.parquet")))) return false
     commitName.foreach(n => require(
@@ -1384,6 +1380,42 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       case None => batchStats.write.mode("append").parquet(dir)
       case Some(dest) => writeManifestFile(spark, fs, path, batchStats, dest)
     }
+    // OPTIMISTIC RE-REGISTRATION, same as the flat path: a racing
+    // compaction/DML/restore may have committed a new generation
+    // while this append was in flight and missed this batch's rows —
+    // re-resolve the current generation and re-register until the
+    // batch is claimed there (named commits exactly-once under the
+    // marker's exclusive create; unnamed at-least-once in the
+    // overlap window — the documented concurrency contract).
+    if (moved.nonEmpty) {
+      var registeredIn = dir
+      var cur = manifestDirOf(fs, path)
+      var hops = 0
+      while (cur != registeredIn && hops < ConcurrentRetries) {
+        hops += 1
+        val claimed = commitName match {
+          case Some(n) => fs.exists(new Path(cur, s"$n.parquet"))
+          case None =>
+            readManifestIn(spark, cur)
+              .filter(element_at(split(col("file"), "/"), -1) ===
+                new Path(moved.head).getName)
+              .limit(1).count() > 0
+        }
+        if (!claimed) commitName match {
+          case Some(n) =>
+            try writeManifestFile(spark, fs, path, batchStats,
+              new Path(cur, s"$n.parquet"))
+            catch { case _: IllegalArgumentException => () }
+          case None => batchStats.write.mode("append").parquet(cur)
+        }
+        registeredIn = cur
+        cur = manifestDirOf(fs, path)
+      }
+    }
+    // opt-in ingest-cadence maintenance, same as the flat path (the
+    // partitioned compact collapses the tail within partitions)
+    autoCompactSmallFiles.foreach(n =>
+      autoCompact(spark, path, minSmallFiles = n))
     true
   }
 
@@ -1512,7 +1544,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val statsDir = new Path(s"$path/$StatsDir")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "compactTable")
+    val partCols = partitionColsIn(fs, dir)
     val observed = listManifestNames(fs, dir)
     val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
@@ -1535,25 +1567,37 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // target file count, staged hidden, then moved in — invisible to
     // manifest readers until the generation commit below. DV-dead
     // rows are filtered here — compaction MATERIALIZES the deletion
-    // vector (the new generation carries none)
+    // vector (the new generation carries none). A PARTITION-CONVERTED
+    // table compacts WITHIN partitions: the snapshot hash-shuffles on
+    // the partition columns (each partition value lands whole in one
+    // task, so one task writes one file per partition it holds) and
+    // stages `partitionBy` — the small-file tail collapses to one
+    // file per partition value, Delta's per-partition bin-pack
+    // reduced to its dominant case.
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
     // legacy manifests may lack mod_time — fall back to a path-list
     // read there; status-carrying ones plan through ManifestFileIndex
     val snapshot =
       if (stats.columns.contains("mod_time"))
-        applyDv(statusScan(spark, path, schema, statusesOf(stats)), dv)
+        applyDv(partAwareStatusScan(spark, path, dir, schema,
+          statusesOf(stats)), dv)
       else spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
-    snapshot.coalesce(target).write.parquet(staging.toString)
-    val moved = moveIn(fs, staging, new Path(path))
+    if (partCols.isEmpty)
+      snapshot.coalesce(target).write.parquet(staging.toString)
+    else snapshot.repartition(target, partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(staging.toString)
+    val moved =
+      if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
+      else moveInPartitioned(fs, staging, new Path(path))
     // the rewrite always emits null counts (the legacy→v2 upgrade
     // moment) and preserves the table's bloom configuration
     val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
     val newStats = statsFor(
-      statusScan(spark, path, schema, statusesFor(fs, moved)),
+      partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
       statsCols, withNulls = true, bloom = bloomCfg)
     val movedNames = moved.map(p => new Path(p).getName).toSet
-    val replacedData = old.map(r => new Path(r.getString(0)).getName)
-      .filterNot(movedNames).toSeq
+    val replacedData = old.map(r => rootRelativeOrName(fs, path, r.getString(0)))
+      .filterNot(rel => movedNames(new Path(rel).getName)).toSeq
     // compaction changes nothing logically, so it records NO change
     // data — but the feed feature flag must survive the rebuilt
     // feature set or the next DML would silently stop recording
@@ -4448,7 +4492,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "restoreTable")
+    // restore is METADATA-ONLY (old files re-claimed, nothing
+    // copied), so partition-converted tables restore too; the CDF
+    // diff scans below are part-aware for them
     val have = tableVersions(spark, path)
     require(have.contains(version),
       s"version $version of $path is not retained (have " +
@@ -4498,12 +4544,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         // minus the restored version's vector
         val dels =
           if (dropped.isEmpty) None
-          else Some(applyDv(spark.read.schema(curSchema).parquet(dropped: _*),
+          else Some(applyDv(partAwareStatusScan(spark, path, dir,
+                curSchema, statusesFor(fs, dropped)),
               readDvIn(spark, dir))
             .withColumn(ChangeTypeCol, lit("delete")))
         val ins =
           if (added.isEmpty) None
-          else Some(applyDv(spark.read.schema(vSchema).parquet(added: _*),
+          else Some(applyDv(partAwareStatusScan(spark, path, vDir,
+                vSchema, statusesFor(fs, added)),
               readDvIn(spark, vDir))
             .withColumn(ChangeTypeCol, lit("insert")))
         // files COMMON to both states can still change visibility
@@ -4523,7 +4571,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
               inCommon("row_index") === o("row_index"), "left_anti"))
         }
         def rowsAt(positions: Option[DataFrame], schemaX: StructType,
-            changeType: String): Option[DataFrame] =
+            genDir: String, changeType: String): Option[DataFrame] =
           positions.flatMap { pos =>
             // read ONLY the files the position diff names (the
             // distinct-file list is bounded by the vector, collected
@@ -4532,7 +4580,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
               .collect().map(_.getString(0)).toSeq
             if (posFiles.isEmpty) None
             else {
-              val scanDf = spark.read.schema(schemaX).parquet(posFiles: _*)
+              val scanDf = partAwareStatusScan(spark, path, genDir,
+                schemaX, statusesFor(fs, posFiles))
               Some(scanDf.join(broadcast(pos),
                   scanDf("_metadata.file_path") === pos("file") &&
                     scanDf("_metadata.row_index") === pos("row_index"),
@@ -4543,8 +4592,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         val (curDvF, vDvF) =
           if (common.isEmpty) (None, None)
           else (readDvIn(spark, dir), readDvIn(spark, vDir))
-        val resurrected = rowsAt(dvDiff(curDvF, vDvF), vSchema, "insert")
-        val reDeleted = rowsAt(dvDiff(vDvF, curDvF), curSchema, "delete")
+        val resurrected = rowsAt(dvDiff(curDvF, vDvF), vSchema, vDir, "insert")
+        val reDeleted = rowsAt(dvDiff(vDvF, curDvF), curSchema, dir, "delete")
         (dels ++ ins ++ resurrected ++ reDeleted).reduceOption(
           _.unionByName(_, allowMissingColumns = true))
       }
@@ -4604,13 +4653,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         finally out.close()
       }
     }
-    // the column mapping is SCHEMA metadata and follows the TARGET
-    // version like the schema sidecar does — restoring past a rename
-    // restores the old logical names
-    readSidecarIn(fs, vDir, ColMapFile).foreach { j =>
-      val out = fs.create(new Path(build, ColMapFile), true)
-      try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    // the column mapping and the partition-column list are SCHEMA
+    // metadata and follow the TARGET version like the schema sidecar
+    // does — restoring past a rename restores the old logical names
+    Seq(ColMapFile, PartitionColsFile).foreach { n =>
+      readSidecarIn(fs, vDir, n).foreach { j =>
+        val out = fs.create(new Path(build, n), true)
+        try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     }
     val markerCutoff = opStart - markerRetentionMs
     val currentOnly = fs.listStatus(new Path(dir)).toSeq
@@ -4638,7 +4689,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val replacedManifest = currentGen(fs, statsDir)
       .map { case (v, _) => s"$StatsDir/v$v" }.toSeq
     writeRemovalLog(fs, build,
-      (dropped.map(p => new Path(p).getName) ++ replacedManifest).map(_ -> now))
+      (dropped.map(p => rootRelativeOrName(fs, path, p)) ++
+        replacedManifest).map(_ -> now))
     val gen = new Path(statsDir, s"v$nextV")
     commitBuildAs(spark, fs, build, gen)
     if (vacuum) vacuumTable(spark, path, retentionMs)

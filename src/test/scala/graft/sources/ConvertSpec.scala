@@ -162,8 +162,6 @@ class ConvertSpec extends SparkSpec {
     DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
     def refused(body: => Any): String =
       intercept[IllegalArgumentException](body).getMessage
-    assert(refused(DataSkipping.compactTable(s, t))
-      .contains("partition-converted"))
     assert(refused(DataSkipping.zorderTable(s, t, Seq("id", "p"), 2))
       .contains("partition-converted"))
     assert(refused(DataSkipping.renameColumn(s, t, "id", "id2"))
@@ -236,6 +234,70 @@ class ConvertSpec extends SparkSpec {
     DataSkipping.vacuumTable(s, t, 0L)
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 267L)
     assert(DataSkipping.readSkipping(s, t, col("p") === 5).count() === 3L)
+  }
+
+  test("partitioned convert: OPTIMIZE compacts within partitions and RESTORE rewinds, both content-invisible") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpo")}/d"
+    (0L until 90L).map(i => (i, (i % 3).toInt)).toDF("id", "p")
+      .repartition(2).write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
+    // fragment: 4 small appends into the same partitions
+    (0 until 4).foreach { b =>
+      assert(DataSkipping.appendWithStats(
+        (1000L + b * 10L until 1000L + b * 10L + 10L)
+          .map(i => (i, (i % 3).toInt)).toDF("id", "p"),
+        t, Seq("id")))
+    }
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 130L)
+    val before = DataSkipping.readSkipping(s, t, lit(true))
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("id").as("sid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    val folded = DataSkipping.compactTable(s, t,
+      targetFileBytes = 16L * 1024 * 1024, vacuum = false) // v1
+    assert(folded === 3, s"one file per partition value, got $folded")
+    val (keptAll, all) = DataSkipping.prunedFiles(s, t, lit(true))
+    assert(all.size === 3 && keptAll.forall(_.contains("p=")),
+      keptAll.mkString("\n"))
+    // content-invisible, partition values intact after the fold
+    assert(DataSkipping.readSkipping(s, t, lit(true))
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("id").as("sid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      === before)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1).count()
+      === before.find(_._1 == 1).get._2)
+
+    // DML then RESTORE back to the compacted state
+    assert(DataSkipping.deleteWhere(s, t, col("p") === 2,
+      vacuum = false) === 43L) // v2
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 87L)
+    DataSkipping.restoreTable(s, t, 1L, vacuum = false) // v3
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 130L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 2).count() === 43L)
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("OPTIMIZE") && ops.contains("RESTORE(v1)"), ops.mkString(","))
+
+    // auto-compaction triggers on the partitioned small-file tail
+    val t2 = s"${tmpDir("graft_cvpac")}/d"
+    (0L until 30L).map(i => (i, (i % 2).toInt)).toDF("id", "p")
+      .repartition(1).write.partitionBy("p").parquet(t2)
+    DataSkipping.convertToStats(s, t2, Seq("id"), partitionBy = Seq("p"))
+    (0 until 4).foreach { b =>
+      assert(DataSkipping.appendWithStats(
+        Seq((500L + b, (b % 2).toInt)).toDF("id", "p"), t2, Seq("id"),
+        autoCompactSmallFiles = Some(5)))
+    }
+    // the threshold (5 small files) fires during the 3rd append
+    // (2 base + 3 appended), folding to one file per partition; the
+    // 4th append then adds one more — 3 files, OPTIMIZE in history
+    val (_, files2) = DataSkipping.prunedFiles(s, t2, lit(true))
+    assert(files2.size === 3, s"expected 2 folded + 1 appended, got ${files2.size}")
+    assert(DataSkipping.describeHistory(s, t2)
+      .select("operation").collect().map(_.getString(0)).contains("OPTIMIZE"))
+    assert(DataSkipping.readSkipping(s, t2, lit(true)).count() === 34L)
   }
 
   test("partitioned convert: keyed merges route updates and inserts through the partition layout") {
