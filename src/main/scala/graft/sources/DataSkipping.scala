@@ -5289,7 +5289,16 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "zorderTable")
+    // partition-converted tables z-order WITHIN partitions: the range
+    // shuffle keys on (partition columns, z), so each partition's
+    // rows sort by z among themselves and stage back through
+    // partitionBy. Z columns must be DATA columns — partition values
+    // already prune exactly (min=max=directory value).
+    val partCols = partitionColsIn(fs, dir)
+    require(zCols.intersect(partCols).isEmpty,
+      s"z-order columns ${zCols.mkString("(", ",", ")")} must be data " +
+        "columns — partition columns already prune exactly via their " +
+        "min=max directory values")
     val observed = listManifestNames(fs, dir)
     val stats = readManifestPinned(spark, dir, observed)
     require(stats.columns.contains("file_size"),
@@ -5319,7 +5328,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val schema = tableSchemaIn(spark, path, dir)
     val dv = readDvIn(spark, dir)
     val old = stats.select(col("file")).collect().map(_.getString(0))
-    val snapshot = applyDv(statusScan(spark, path, schema,
+    val snapshot = applyDv(partAwareStatusScan(spark, path, dir, schema,
       statusesOf(stats)), dv)
     val bkts = bounds.map { case (c, lo, hi) => bucket16(col(c), lo, hi) }
     // Hilbert keeps every consecutive cell pair ADJACENT (Morton
@@ -5332,22 +5341,26 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       case _ => zValue(bkts)
     }
     val staging = new Path(path, s".compact-${java.util.UUID.randomUUID}")
-    snapshot.withColumn("__z", z)
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions("__z")
+    val rangeKeys = partCols.map(col) :+ col("__z")
+    val zSorted = snapshot.withColumn("__z", z)
+      .repartitionByRange(targetFiles, rangeKeys: _*)
+      .sortWithinPartitions(rangeKeys: _*)
       .drop("__z")
-      .write.parquet(staging.toString)
-    val moved = moveIn(fs, staging, new Path(path))
+    if (partCols.isEmpty) zSorted.write.parquet(staging.toString)
+    else zSorted.write.partitionBy(partCols: _*).parquet(staging.toString)
+    val moved =
+      if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
+      else moveInPartitioned(fs, staging, new Path(path))
     val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
     // tracked set GROWS to include the z columns (dropping an
     // existing tracked column would silently stop pruning on it)
     val newTracked = (trackedCols(spark, dir) ++ zCols).toSeq.distinct.sorted
     val newStats = statsFor(
-      statusScan(spark, path, schema, statusesFor(fs, moved)),
+      partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
       newTracked, withNulls = true, bloom = bloomCfg)
     val movedNames = moved.map(p => new Path(p).getName).toSet
-    val replaced = old.map(p => new Path(p).getName)
-      .filterNot(movedNames).toSeq
+    val replaced = old.map(p => rootRelativeOrName(fs, path, p))
+      .filterNot(rel => movedNames(new Path(rel).getName)).toSeq
     publishGeneration(spark, fs, path, dir, newStats, schema,
       newTracked,
       Set("nulls") ++ bloomCfg.map(bloomFeatureLine).toSet ++
@@ -5403,7 +5416,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    requireUnpartitioned(fs, dir, "optimizeIncremental")
+    // partitioned tables recluster incrementally too — the backlog
+    // rewrite shares zorderTable's within-partition range keys and
+    // rewriteFiles' partitionBy staging
+    val partColsIncr = partitionColsIn(fs, dir)
     val sidecar = readSidecarIn(fs, dir, ClusteredFile)
     require(sidecar.isDefined,
       s"$path has no clustering spec — run a full OPTIMIZE ZORDER " +
@@ -5461,10 +5477,12 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         call_function("graft_hilbert", bkts(0), bkts(1))
       case _ => zValue(bkts)
     }
-    val replacement = applyDv(statusScan(spark, path, schema, statuses), dv)
+    val incrKeys = partColsIncr.map(col) :+ col("__z")
+    val replacement = applyDv(partAwareStatusScan(spark, path, dir,
+        schema, statuses), dv)
       .withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
+      .repartitionByRange(nFiles, incrKeys: _*)
+      .sortWithinPartitions(incrKeys: _*)
       .drop("__z")
     rewriteFiles(spark, fs, path, dir, stats, schema,
       touched = backlogFiles.map(_.getString(0)).toSeq,

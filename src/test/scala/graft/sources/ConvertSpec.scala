@@ -162,8 +162,6 @@ class ConvertSpec extends SparkSpec {
     DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
     def refused(body: => Any): String =
       intercept[IllegalArgumentException](body).getMessage
-    assert(refused(DataSkipping.zorderTable(s, t, Seq("id", "p"), 2))
-      .contains("partition-converted"))
     assert(refused(DataSkipping.renameColumn(s, t, "id", "id2"))
       .contains("partition-converted"))
     // vacuum is a safe no-op (partition dirs are never deletion candidates)
@@ -298,6 +296,55 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.describeHistory(s, t2)
       .select("operation").collect().map(_.getString(0)).contains("OPTIMIZE"))
     assert(DataSkipping.readSkipping(s, t2, lit(true)).count() === 34L)
+  }
+
+  test("partitioned convert: OPTIMIZE ZORDER clusters within partitions; incremental recluster maintains it") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpz")}/d"
+    // x scattered vs id so a linear layout cannot prune on it
+    (0L until 6000L).map(i => (i, (i * 1777L) % 6000L, (i % 3).toInt))
+      .toDF("id", "x", "p")
+      .repartitionByRange(8, col("id")).write.partitionBy("p").parquet(t)
+    DataSkipping.convertToStats(s, t, Seq("id", "x"), partitionBy = Seq("p"))
+
+    // partition columns are not z-orderable
+    assert(intercept[IllegalArgumentException](
+      DataSkipping.zorderTable(s, t, Seq("id", "p"), 6))
+      .getMessage.contains("data columns"))
+
+    val before = DataSkipping.readSkipping(s, t, lit(true))
+      .agg(count(lit(1)), sum("id"), sum("x")).head()
+    val n = DataSkipping.zorderTable(s, t, Seq("id", "x"), targetFiles = 6,
+      vacuum = false)
+    assert(n >= 6, s"expected >=6 clustered files, got $n")
+    // content-invisible; files live under their partition dirs
+    val after = DataSkipping.readSkipping(s, t, lit(true))
+      .agg(count(lit(1)), sum("id"), sum("x")).head()
+    assert(after === before)
+    val (keptP, allF) = DataSkipping.prunedFiles(s, t, col("p") === 1)
+    assert(keptP.forall(_.contains("p=1")), keptP.mkString("\n"))
+    // the z layout prunes on the SECOND z column within a partition
+    val (keptX, _) = DataSkipping.prunedFiles(s, t,
+      col("p") === 1 && col("x") < 750L)
+    assert(keptX.size < keptP.size,
+      s"z-order should prune on x within p=1: ${keptX.size} vs ${keptP.size}")
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1 && col("x") < 750L)
+      .count() === (0L until 6000L)
+        .count(i => i % 3 == 1 && (i * 1777L) % 6000L < 750L).toLong)
+
+    // incremental recluster: a small appended backlog reclusters into
+    // the partition layout, clustered files untouched
+    assert(DataSkipping.appendWithStats(
+      (100000L until 100300L).map(i => (i, (i * 7L) % 6000L, (i % 3).toInt))
+        .toDF("id", "x", "p").coalesce(1), t, Seq("id", "x")))
+    val backlog = DataSkipping.optimizeIncremental(s, t, vacuum = false)
+    assert(backlog >= 1, s"expected a backlog rewrite, got $backlog")
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 6300L)
+    assert(DataSkipping.readSkipping(s, t, col("id") >= 100000L)
+      .groupBy("p").count().collect().map(_.getLong(1)).sum === 300L)
+    // second pass is a no-op (everything clustered)
+    assert(DataSkipping.optimizeIncremental(s, t, vacuum = false) === 0)
   }
 
   test("partitioned convert: keyed merges route updates and inserts through the partition layout") {
