@@ -5000,6 +5000,35 @@ object Queries {
             WHERE i % 8 < 3 AND i % 8 <> 0
             ORDER BY event_id"""))
 
+  // NATIVE partitioned write (row 17s note, r13): writeWithStats with
+  // partitionBy creates the hive-partitioned graft table directly —
+  // same layout CONVERT produces, so the whole partitioned capability
+  // set applies from the first write. The gate writes events
+  // partitioned by event_type, runs a mixed-predicate partitioned CoW
+  // DELETE, and reads back under a partition IN + data predicate —
+  // wrong directory routing, lost partition values, or a mis-pruned
+  // file all mismatch the plain-SQL oracle.
+  val writePartitioned = QueryDef(
+    "q_write_partitioned",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_npwq").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(ev.repartition(4), s"$root/ev",
+        Seq("user_id"), bloomCols = Nil, partitionBy = Seq("event_type"))
+      DataSkipping.deleteWhere(s, s"$root/ev",
+        col("event_type") === "error" && col("user_id") < 50L, vacuum = false)
+      DataSkipping.readSkipping(s, s"$root/ev",
+          col("event_type").isin("click", "error") && col("user_id") < 100L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_type IN ('click', 'error') AND user_id < 100
+              AND NOT (event_type = 'error' AND user_id < 50)
+            ORDER BY event_id"""))
+
   // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only
   // (zero data rewritten), every batch entry point speaks logical
   // names, and a dropped-then-re-added name binds to a FRESH physical
@@ -5348,6 +5377,6 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
-    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, mergeIntoQ,
+    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, writePartitioned, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
 }

@@ -531,26 +531,75 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * [[graft.streaming.StatsTableSource]] (exactly Delta's
     * insert-only-commit optimization); compaction changes nothing
     * logically and records nothing.
+    *
+    * `partitionBy` non-empty writes a NATIVE HIVE-PARTITIONED graft
+    * table (the Delta `partitionBy` writer analog): rows route into
+    * `col=value` directories, each partition column is tracked
+    * implicitly (per-file min = max = the directory value — exact
+    * file-level partition pruning straight from the manifest), and
+    * the result is byte-for-byte the table [[convertToStats]]'s
+    * PARTITIONED BY form produces — every partitioned capability
+    * (appends, DML, merges, OPTIMIZE, Z-order, restore, feed)
+    * applies. Partition column TYPES are the DataFrame's own (the
+    * sidecar schema is authoritative; directory strings cast back to
+    * it at read time), so a `bigint` partition column stays `bigint`
+    * even where bare directory discovery would narrow it.
     */
   def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int = 1 << 16,
-      bloomHashes: Int = 7, changeFeed: Boolean = false): Unit = {
+      bloomHashes: Int = 7, changeFeed: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
     require(statsCols.nonEmpty, "at least one stats column")
-    df.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
-    val written = spark.read.parquet(path)
     val bloom = if (bloomCols.isEmpty) None
       else Some((bloomCols, bloomBits, bloomHashes))
-    val stats = statsFor(written, statsCols, withNulls = true, bloom)
-    // v0, committed by its marker — the overwrite above cleared the
-    // table dir, so this is always the first generation
-    val gen = s"$path/$StatsDir/v0"
-    stats.write.mode("overwrite").parquet(gen)
-    writeSidecars(spark, gen, written.schema, statsCols,
-      Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
-        (if (changeFeed) Set(CdfFeature) else Set.empty),
-      manifestSchema = Some(stats.schema))
-    commitGen(spark, new Path(gen))
+    if (partitionBy.isEmpty) {
+      df.write.mode("overwrite").parquet(path)
+      val written = spark.read.parquet(path)
+      val stats = statsFor(written, statsCols, withNulls = true, bloom)
+      // v0, committed by its marker — the overwrite above cleared the
+      // table dir, so this is always the first generation
+      val gen = s"$path/$StatsDir/v0"
+      stats.write.mode("overwrite").parquet(gen)
+      writeSidecars(spark, gen, written.schema, statsCols,
+        Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
+          (if (changeFeed) Set(CdfFeature) else Set.empty),
+        manifestSchema = Some(stats.schema))
+      commitGen(spark, new Path(gen))
+    } else {
+      partitionBy.foreach(c => require(df.columns.contains(c),
+        s"partition column $c is not in the DataFrame ${df.schema.simpleString}"))
+      require(statsCols.intersect(partitionBy).isEmpty &&
+          bloomCols.intersect(partitionBy).isEmpty,
+        "partition columns are tracked implicitly (min=max=directory " +
+          "value); statsCols / bloomCols must name data columns")
+      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+      // the DataFrame's types are authoritative for partition columns
+      // — cast the discovery-served values back so the manifest's
+      // min_/max_ columns match the sidecar schema exactly
+      val written = partitionBy.foldLeft(spark.read.parquet(path)) {
+        (acc, c) => acc.withColumn(c, col(c).cast(df.schema(c).dataType))
+      }
+      val tracked = statsCols ++ partitionBy
+      val stats = statsFor(written, tracked, withNulls = true, bloom)
+      val schema = StructType(
+        df.schema.filterNot(f => partitionBy.contains(f.name)) ++
+          partitionBy.map(c => df.schema(df.schema.fieldIndex(c))))
+      val gen = s"$path/$StatsDir/v0"
+      stats.write.mode("overwrite").parquet(gen)
+      writeSidecars(spark, gen, schema, tracked,
+        Set("nulls", PartitionedFeature) ++
+          bloom.map(b => bloomFeatureLine(b)).toSet ++
+          (if (changeFeed) Set(CdfFeature) else Set.empty),
+        manifestSchema = Some(stats.schema))
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new Path(gen, PartitionColsFile), true)
+      try out.write(partitionBy.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      commitGen(spark, new Path(gen))
+    }
   }
 
   /** CONVERT TO GRAFT (the Delta `CONVERT TO DELTA` analog): build a

@@ -70,6 +70,39 @@ class ConvertSpec extends SparkSpec {
     assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
   }
 
+  test("native partitioned writeWithStats produces a first-class partitioned table with the DataFrame's types") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_npw")}/d"
+    // p is BIGINT in the frame — bare directory discovery would
+    // narrow it to int; the sidecar must keep the frame's type
+    val df = (0L until 240L).map(i => (i, i % 4, s"v$i")).toDF("id", "p", "v")
+    DataSkipping.writeWithStats(df.repartition(2), t, Seq("id"),
+      bloomCols = Nil, changeFeed = true, partitionBy = Seq("p"))
+    assert(DataSkipping.tablePartitionColumns(s, t) === Seq("p"))
+    val all = DataSkipping.readSkipping(s, t, lit(true))
+    assert(all.schema("p").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(all.count() === 240L)
+    // partition pruning at file level; rows exact under a long literal
+    val (kept, files) = DataSkipping.prunedFiles(s, t, col("p") === 2L)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=2")), kept.mkString("\n"))
+    assert(kept.size < files.size)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 2L).count() === 60L)
+    // the full partitioned capability set applies: append, DML with
+    // the feed, compact, restore
+    assert(DataSkipping.appendWithStats(
+      Seq((1000L, 7L, "x")).toDF("id", "p", "v"), t, Seq("id")))
+    assert(DataSkipping.readSkipping(s, t, col("p") === 7L).count() === 1L)
+    assert(DataSkipping.deleteWhere(s, t, col("p") === 0L && col("id") < 40L,
+      vacuum = false) === 10L)
+    val v = DataSkipping.tableVersions(s, t).max
+    assert(DataSkipping.readChangeFeed(s, t, v, Some(v))
+      .filter(col("_change_type") === "delete").count() === 10L)
+    assert(DataSkipping.compactTable(s, t, vacuum = false) >= 1)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 231L)
+  }
+
   test("partitioned convert: zero rewrite, typed partition values, exact file-level pruning") {
     val s = spark
     import s.implicits._
