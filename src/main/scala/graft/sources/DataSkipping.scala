@@ -573,18 +573,25 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           bloomCols.intersect(partitionBy).isEmpty,
         "partition columns are tracked implicitly (min=max=directory " +
           "value); statsCols / bloomCols must name data columns")
+      requireVisiblePartitionNames(partitionBy)
       df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
-      // the DataFrame's types are authoritative for partition columns
-      // — cast the discovery-served values back so the manifest's
-      // min_/max_ columns match the sidecar schema exactly
-      val written = partitionBy.foldLeft(spark.read.parquet(path)) {
-        (acc, c) => acc.withColumn(c, col(c).cast(df.schema(c).dataType))
-      }
-      val tracked = statsCols ++ partitionBy
-      val stats = statsFor(written, tracked, withNulls = true, bloom)
       val schema = StructType(
         df.schema.filterNot(f => partitionBy.contains(f.name)) ++
           partitionBy.map(c => df.schema(df.schema.fieldIndex(c))))
+      // v0 stats run through the SAME part-aware scan every append and
+      // read uses (partition values cast from the raw directory
+      // segments via castPartValue), NOT through spark.read.parquet
+      // discovery: for a STRING partition column holding a
+      // numeric-looking, non-canonical value ('01'), discovery narrows
+      // to int 1 and the cast back yields '1', while the read path
+      // serves the raw '01' — a `= '01'` predicate would then prune
+      // the file against its own manifest and silently drop rows.
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val written = partAwareStatusScanCols(spark, path, partitionBy, schema,
+        listPartitionedDataFiles(fs, new Path(path)))
+      val tracked = statsCols ++ partitionBy
+      val stats = statsFor(written, tracked, withNulls = true, bloom)
       val gen = s"$path/$StatsDir/v0"
       stats.write.mode("overwrite").parquet(gen)
       writeSidecars(spark, gen, schema, tracked,
@@ -592,8 +599,6 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           bloom.map(b => bloomFeatureLine(b)).toSet ++
           (if (changeFeed) Set(CdfFeature) else Set.empty),
         manifestSchema = Some(stats.schema))
-      val fs = new Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
       val out = fs.create(new Path(gen, PartitionColsFile), true)
       try out.write(partitionBy.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -626,15 +631,17 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * names land in the [[PartitionColsFile]] sidecar and the
     * [[PartitionedFeature]] flag, and reads serve the values through
     * the relation's partition schema (see [[readSkippingIn]]). A
-    * partition-converted table is READ-complete (pruned reads,
-    * metadata aggregates, time travel, clone, vacuum), APPENDABLE
+    * partition-converted table is FULLY MUTABLE: appends
     * ([[appendPartitioned]] routes each batch into the partition
-    * layout) and row-level MUTABLE (copy-on-write and
-    * deletion-vector DELETE/UPDATE + PURGE, change feed included —
-    * the rewrite stages `partitionBy` and routes replacement rows
-    * back to their directories) but refuses whole-table re-layout
-    * (compaction/Z-order/restore), keyed merges and metadata DDL —
-    * copy into a flat graft table for those. `partitionBy` must name
+    * layout), copy-on-write and deletion-vector DELETE/UPDATE +
+    * PURGE with the change feed, keyed merges (partition migration
+    * included), within-partition OPTIMIZE/Z-order/incremental
+    * recluster, RESTORE, streaming reads and writes, and metadata
+    * DDL (RENAME of data AND partition columns, DROP of data
+    * columns, generated and identity columns; partition-column DROP
+    * and identity-on-partition-column are refused with narrow
+    * rules). Only mergeSchema evolution still requires
+    * materializing into a flat table. `partitionBy` must name
     * the directory levels in nesting order; partition column types
     * are inferred exactly as `spark.read.parquet` infers them.
     *
@@ -652,6 +659,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       bloomHashes: Int = 7, changeFeed: Boolean = false,
       partitionBy: Seq[String] = Nil): Long = {
     require(statsCols.nonEmpty, "at least one stats column")
+    requireVisiblePartitionNames(partitionBy)
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(s"$path/$StatsDir")),
@@ -699,10 +707,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           bloomCols.intersect(partitionBy).isEmpty,
         "partition columns are tracked implicitly (min=max=directory value); " +
           "STATS BY / bloom columns must name data columns")
-      // row-level DML commits on partition-converted tables (see
-      // requireUnpartitioned), so the feed has real rows to record —
-      // the change files materialize the partition columns from the
-      // part-aware touched scan, and feed readers serve them flat
+      // row-level DML commits on partition-converted tables, so the
+      // feed has real rows to record — the change files materialize
+      // the partition columns from the part-aware touched scan, and
+      // feed readers serve them flat.
       // Spark's own partition discovery parses the directory keys and
       // infers their types; the discovered columns land LAST in the
       // schema, which is the canonical order the sidecar keeps.
@@ -745,29 +753,38 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     readSidecarIn(fs, dir, PartitionColsFile)
       .map(_.linesIterator.filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
-  /** Mutation guard for the partition-converted ops still refused:
-    * Z-order re-clustering and metadata DDL (rename/drop, generated
-    * and identity columns) have no partition-preserving rewrite in
-    * this build — writing their output flat would orphan the
-    * directory-encoded values, silently corrupting the table. Refuse
-    * loudly instead. Appends ([[appendPartitioned]]), row-level
-    * DELETE/UPDATE (copy-on-write and deletion-vector, plus PURGE),
-    * keyed merges, within-partition OPTIMIZE ([[compactTable]]) and
-    * RESTORE are supported: staged output routes back through
-    * `partitionBy` (see [[rewriteFiles]]), so no value is ever
-    * path-orphaned.
+  /** A partition column named with a leading '_' or '.' would
+    * produce `_col=value` directories that Spark's OWN hidden-path
+    * convention (and every walker in this file) skips — the batch
+    * would be written and then silently invisible to stats, moves
+    * and reads. Refuse loudly at every partitioned write entry.
     */
-  private def requireUnpartitioned(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String, op: String): Unit = {
-    val pc = partitionColsIn(fs, dir)
-    require(pc.isEmpty,
-      s"$op is not supported on a partition-converted table (partition " +
-        s"columns ${pc.mkString("(", ", ", ")")} live in directory names, " +
-        "not data files — this build reads, prunes, aggregates, " +
-        "time-travels, clones, APPENDS to, row-level-DELETEs/UPDATEs, " +
-        "MERGEs into, COMPACTs and RESTOREs partitioned tables but does " +
-        "not re-cluster them or evolve their metadata); materialize " +
-        "into a flat graft table (writeWithStats over a read) for that")
+  private def requireVisiblePartitionNames(partCols: Seq[String]): Unit =
+    partCols.foreach(c => require(
+      !c.startsWith("_") && !c.startsWith("."),
+      s"partition column name '$c' starts with '_' or '.' — its " +
+        s"'$c=value' directories would be treated as HIDDEN paths by " +
+        "Spark's listing convention (silent data loss); rename the " +
+        "column before partitioning by it"))
+
+  /** Every data file under a partitioned table root: walks the
+    * `col=value` tree, skipping hidden ('_'/'.'-prefixed) dirs and
+    * files — the manifest dir, crash-staging dirs, _SUCCESS. One
+    * driver-side recursive listing, O(partition dirs + files), used
+    * only by the v0 write (append/DML paths track their own moved
+    * files and never re-list).
+    */
+  private def listPartitionedDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[FileStatusWithMetadata] = {
+    def walk(d: Path): Seq[FileStatusWithMetadata] =
+      fs.listStatus(d).toSeq.flatMap { f =>
+        val n = f.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (f.isDirectory) walk(f.getPath)
+        else if (n.endsWith(".parquet")) Seq(FileStatusWithMetadata(f))
+        else Nil
+      }
+    walk(root)
   }
 
   /** `col=value` partition values for one data file, parsed from its
@@ -855,10 +872,38 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The atomic generation commit: one `_COMMIT` file create. */
+  /** The atomic generation commit: one `_COMMIT` file create. The
+    * file CONTAINS the commit instant (epoch millis, IN-COMMIT
+    * timestamps — Delta's fix for the same problem): an object-store
+    * migration or a plain `cp -r` rewrites file mtimes, and a
+    * TIMESTAMP AS OF keyed on mtime would silently resolve to wrong
+    * versions on the copied table. Readers fall back to the mtime
+    * for legacy empty `_COMMIT`s ([[commitInstant]]).
+    */
   private def commitGen(spark: SparkSession, gen: Path): Unit = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(new Path(gen, CommitFile), false).close()
+    val out = fs.create(new Path(gen, CommitFile), false)
+    try out.write(System.currentTimeMillis().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** A generation's commit instant: the in-commit timestamp written
+    * by [[commitGen]], falling back to the `_COMMIT` mtime for
+    * legacy tables committed before in-commit timestamps existed.
+    */
+  private def commitInstant(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Long = {
+    val p = new Path(gen, CommitFile)
+    val st = fs.getFileStatus(p)
+    if (st.getLen == 0L) st.getModificationTime
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      txt.toLongOption.getOrElse(st.getModificationTime)
+    }
   }
 
   private def bloomFeatureLine(b: (Seq[String], Int, Int)): String =
@@ -1098,9 +1143,6 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
     val d0 = manifestDirOf(f0, path)
     val partCols0 = partitionColsIn(f0, d0)
-    if (partCols0.nonEmpty)
-      return appendPartitioned(df0in, path, statsCols0, commitName,
-        mergeSchema, autoCompactSmallFiles, f0, d0, partCols0)
     // idempotent-replay check FIRST: a replayed named commit must not
     // re-run the identity hook below (the watermark would advance and
     // burn a batch-sized id gap on every replay)
@@ -1135,6 +1177,22 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         dfIds.select(ordered.map(col): _*)
       }
     try {
+    // PARTITIONED tables take the partition-routing path. The
+    // generated/identity hooks above already ran (they are
+    // layout-independent — a generated PARTITION column computes
+    // before routing, exactly Delta's generated-partition shape), and
+    // a mapped table's batch translates logical→physical here
+    // (appendPartitioned refuses mergeSchema, so the fresh-column
+    // allocation below never applies).
+    if (partCols0.nonEmpty) {
+      val (dfP, scP) = colMapIn(f0, d0) match {
+        case None => (df0, statsCols0)
+        case Some(m) =>
+          (toPhysicalInput(df0, m), statsCols0.map(c => m.getOrElse(c, c)))
+      }
+      return appendPartitioned(dfP, path, scP, commitName,
+        mergeSchema, autoCompactSmallFiles, f0, d0, partCols0)
+    }
     // Column mapping: the batch and statsCols arrive in LOGICAL
     // names. Mapped columns translate to their physical names; NEW
     // logical columns (mergeSchema evolution) keep their names but
@@ -2039,10 +2097,42 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       dir: String, schema: StructType,
       statuses: Seq[FileStatusWithMetadata]): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partCols = partitionColsIn(fs, dir)
-    if (partCols.isEmpty) statusScan(spark, path, schema, statuses)
+    partAwareStatusScanCols(spark, path, partitionColsIn(fs, dir),
+      schema, statuses)
+  }
+
+  /** [[partAwareStatusScan]] with the partition columns given
+    * EXPLICITLY — for call sites where the sidecar is not written
+    * yet (the v0 stats pass of a partitioned [[writeWithStats]]).
+    */
+  private def partAwareStatusScanCols(spark: SparkSession, path: String,
+      partCols: Seq[String], schema: StructType,
+      statuses: Seq[FileStatusWithMetadata]): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.baseRelationToDataFrame(
+      partAwareRelation(spark, path, partCols, schema, statuses))
+  }
+
+  /** The HadoopFsRelation behind [[partAwareStatusScan]], exposed for
+    * the STREAMING read path ([[graft.streaming.StatsTableSource]]),
+    * which must wrap the SAME part-aware relation in an
+    * `isStreaming` LogicalRelation: partition columns live only in
+    * directory names, so a flat relation over a partitioned table's
+    * files would serve them as silent NULLs to every consumer.
+    */
+  private[graft] def partAwareRelation(spark: SparkSession, path: String,
+      partCols: Seq[String], schema: StructType,
+      statuses: Seq[FileStatusWithMetadata]): HadoopFsRelation = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (partCols.isEmpty) HadoopFsRelation(
+      new ManifestFileIndex(new Path(path), statuses),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(classic)
     else {
-      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val partSchema = StructType(partCols.map(c => schema(schema.fieldIndex(c))))
       val dataSchema = StructType(
         schema.filterNot(f => partCols.contains(f.name)))
@@ -2053,13 +2143,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
             case (v, f) => castPartValue(v, f.dataType)
           }), sts)
         }
-      classic.baseRelationToDataFrame(HadoopFsRelation(
+      HadoopFsRelation(
         new ManifestFileIndex(new Path(path), statuses, partSchema, groups),
         partitionSchema = partSchema,
         dataSchema = dataSchema,
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
-        options = Map.empty)(classic))
+        options = Map.empty)(classic)
     }
   }
 
@@ -3509,7 +3599,11 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
-    requireUnpartitioned(fs, dir, "addGeneratedColumn")
+    // works on partitioned tables too — a generated PARTITION column
+    // computes in the append hook BEFORE partition routing (Delta's
+    // generated-partition-column shape), and the paired _gen_ CHECK
+    // enforces supplied values at the staged choke point, partition
+    // dirs discovered back into the staged read
     val schema = tableSchemaIn(spark, path, dir)
     require(schema.fieldNames.contains(name),
       s"generated column $name must already exist in the table schema " +
@@ -3595,7 +3689,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar; use writeWithStats first")
-    requireUnpartitioned(fs, dir, "addIdentityColumn")
+    // identity on a PARTITION column is refused: every row would get
+    // a fresh id = its own directory (Delta refuses this pairing too);
+    // identity on DATA columns of a partitioned table works — the
+    // assignment hook runs before partition routing
+    require(!partitionColsIn(fs, dir).contains(name),
+      s"identity column $name cannot be a partition column of $path — " +
+        "each row's fresh id would become its own partition directory")
     val schema = tableSchemaIn(spark, path, dir)
     val field = schema.find(_.name == name)
     require(field.isDefined,
@@ -3859,7 +3959,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar")
-    requireUnpartitioned(fs, dir, "renameColumn")
+    // partition-converted tables rename fine — partition DIRECTORIES
+    // key on the PHYSICAL name, which never changes; only the
+    // logical→physical sidecar moves (partition columns included)
     val phys = tableSchemaIn(spark, path, dir)
     val m = colMapIn(fs, dir).getOrElse(
       phys.fieldNames.map(n => n -> n).toMap)
@@ -3885,7 +3987,6 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val dir = manifestDirOf(fs, path)
     require(fs.exists(new Path(dir, SchemaFile)),
       s"$path is not a stats table with a schema sidecar")
-    requireUnpartitioned(fs, dir, "dropColumn")
     val phys = tableSchemaIn(spark, path, dir)
     val m = colMapIn(fs, dir).getOrElse(
       phys.fieldNames.map(n => n -> n).toMap)
@@ -3893,6 +3994,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       s"no column $name on $path (have: ${m.keys.toSeq.sorted.mkString(",")})")
     require(m.size > 1, s"cannot drop the last column of $path")
     val physName = m(name)
+    // a PARTITION column cannot drop: its values are directory-encoded
+    // and every append/DML routes rows by them — a metadata drop would
+    // leave the table unwritable (Delta refuses this too). Non-partition
+    // columns of a partitioned table drop normally.
+    require(!partitionColsIn(fs, dir).contains(physName),
+      s"cannot drop $name: it is a partition column of $path (rows route " +
+        "by its directory-encoded values) — RENAME is supported; to remove " +
+        "it, materialize into a table partitioned differently")
     constraintsIn(fs, dir).foreach { case (cn, expr) =>
       require(!referencedNames(spark, expr).contains(physName),
         s"cannot drop column $name: CHECK constraint $cn ($expr) references " +
@@ -4378,10 +4487,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val statsDir = new Path(s"$path/$StatsDir")
     val commits = genDirs(fs, statsDir)
       .filter { case (_, f) => isCommittedGen(fs, f.getPath) }
-      .map { case (v, f) =>
-        v -> fs.getFileStatus(new Path(f.getPath, CommitFile))
-          .getModificationTime
-      }
+      .map { case (v, f) => v -> commitInstant(fs, f.getPath) }
     require(commits.nonEmpty, s"$path has no committed versions")
     val at = commits.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
@@ -4770,9 +4876,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
             (opRe.findFirstMatchIn(json).map(_.group(1)).getOrElse("UNKNOWN"),
               tsRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L))
           case None =>
-            val fallback =
-              fs.getFileStatus(new Path(f.getPath, CommitFile)).getModificationTime
-            (if (v == 0L) "WRITE" else "UNKNOWN", fallback)
+            (if (v == 0L) "WRITE" else "UNKNOWN", commitInstant(fs, f.getPath))
         }
         Row(v, op, ts)
       }.reverse

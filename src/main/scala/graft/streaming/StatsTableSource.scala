@@ -6,8 +6,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -287,42 +286,47 @@ final class StatsTableSource(
     if (statuses.isEmpty)
       org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
         LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
-    else tracked match {
-      case None =>
-        val relation = HadoopFsRelation(
-          new ManifestFileIndex(new Path(path), statuses),
-          partitionSchema = new StructType(),
-          dataSchema = schema,
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = Map.empty)(spark)
-        org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-          LogicalRelation(relation, isStreaming = true))
-      case Some((phys, m)) =>
-        // a PHYSICAL removal or retype that outran the pinned view
-        // cannot be served (logical drops are fine — see class doc:
-        // the physical column persists and post-drop rows are
-        // genuinely null under it)
-        val cur = DataSkipping.tableSchema(spark, path)
-        val gone = phys.fields.filterNot(f =>
-          cur.exists(c => c.name == f.name && c.dataType == f.dataType))
-        require(gone.isEmpty,
-          s"stats-table stream at $path: tracked physical column(s) " +
-            s"${gone.map(_.name).mkString(", ")} were dropped or retyped " +
-            "after this stream pinned its schema — restart the query with " +
-            "a fresh schemaTrackingLocation to adopt the new table schema")
-        val relation = HadoopFsRelation(
-          new ManifestFileIndex(new Path(path), statuses),
-          partitionSchema = new StructType(),
-          dataSchema = phys,
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = Map.empty)(spark)
-        val inverse = m.map(_.swap)
-        org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-          LogicalRelation(relation, isStreaming = true))
-          .select(phys.fields.toSeq.map(f =>
-            org.apache.spark.sql.functions.col(f.name).as(inverse(f.name))): _*)
+    else {
+      // PARTITION-CONVERTED tables: partition columns live only in
+      // `col=value` directory names, never in file bytes — a flat
+      // relation here would serve them as silent NULLs on every
+      // streamed row (the batch read path routes through the same
+      // part-aware relation, `DataSkipping.partAwareRelation`). The
+      // sidecar names are PHYSICAL — directory keys never change, so
+      // a column-mapped partitioned table streams correctly under
+      // tracking too.
+      val partCols = DataSkipping.tablePartitionColumns(spark, path)
+      tracked match {
+        case None =>
+          val relation = DataSkipping.partAwareRelation(
+            spark, path, partCols, schema, statuses)
+          // the relation orders partition columns last; project back
+          // to the source's declared column order
+          org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+            LogicalRelation(relation, isStreaming = true))
+            .select(schema.fieldNames.toSeq.map(
+              org.apache.spark.sql.functions.col): _*)
+        case Some((phys, m)) =>
+          // a PHYSICAL removal or retype that outran the pinned view
+          // cannot be served (logical drops are fine — see class doc:
+          // the physical column persists and post-drop rows are
+          // genuinely null under it)
+          val cur = DataSkipping.tableSchema(spark, path)
+          val gone = phys.fields.filterNot(f =>
+            cur.exists(c => c.name == f.name && c.dataType == f.dataType))
+          require(gone.isEmpty,
+            s"stats-table stream at $path: tracked physical column(s) " +
+              s"${gone.map(_.name).mkString(", ")} were dropped or retyped " +
+              "after this stream pinned its schema — restart the query with " +
+              "a fresh schemaTrackingLocation to adopt the new table schema")
+          val relation = DataSkipping.partAwareRelation(
+            spark, path, partCols, phys, statuses)
+          val inverse = m.map(_.swap)
+          org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+            LogicalRelation(relation, isStreaming = true))
+            .select(phys.fields.toSeq.map(f =>
+              org.apache.spark.sql.functions.col(f.name).as(inverse(f.name))): _*)
+      }
     }
   }
 

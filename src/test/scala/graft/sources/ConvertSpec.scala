@@ -103,6 +103,47 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 231L)
   }
 
+  test("native partitioned write: non-canonical string partition values ('01') keep their raw form in stats") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_npw01")}/d"
+    // 'hour' is a STRING with numeric-looking, non-canonical values:
+    // discovery-then-cast would narrow '01'->1->'1' in the manifest
+    // while the read path serves the raw '01' — the predicate below
+    // would then prune its own file and silently return zero rows
+    val df = (0L until 40L)
+      .map(i => (i, if (i < 20) "00" else "01", i * 2))
+      .toDF("id", "hour", "v")
+    DataSkipping.writeWithStats(df, t, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("hour"))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 40L)
+    assert(DataSkipping.readSkipping(s, t, col("hour") === "01").count() === 20L,
+      "a raw-form partition predicate must find its rows")
+    assert(DataSkipping.readSkipping(s, t, col("hour") === "00")
+      .select(max("id")).head.getLong(0) === 19L)
+    val (kept, files) = DataSkipping.prunedFiles(s, t, col("hour") === "01")
+    assert(kept.nonEmpty && kept.forall(_.contains("hour=01")), kept.mkString("\n"))
+    assert(kept.size < files.size, "manifest stats must agree with the raw dir value")
+    // metadata-only count agrees too (stats-side, no scan)
+    assert(DataSkipping.countWhere(s, t, col("hour") === "01") === 20L)
+  }
+
+  test("hidden ('_'/'.'-prefixed) partition column names are refused at every partitioned write entry") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 10L).map(i => (i, i % 2)).toDF("id", "_p")
+    val e1 = intercept[IllegalArgumentException] {
+      DataSkipping.writeWithStats(df, s"${tmpDir("graft_hid1")}/d",
+        Seq("id"), bloomCols = Nil, partitionBy = Seq("_p"))
+    }
+    assert(e1.getMessage.contains("HIDDEN"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DataSkipping.convertToStats(s, s"${tmpDir("graft_hid2")}/d",
+        Seq("id"), partitionBy = Seq(".p"))
+    }
+    assert(e2.getMessage.contains("HIDDEN"), e2.getMessage)
+  }
+
   test("partitioned convert: zero rewrite, typed partition values, exact file-level pruning") {
     val s = spark
     import s.implicits._
@@ -186,26 +227,105 @@ class ConvertSpec extends SparkSpec {
     fs.delete(new Path(t).getParent, true)
   }
 
-  test("partitioned convert: re-layout/merge/DDL refused, reads/clone/vacuum allowed") {
+  test("partitioned tables: metadata DDL works — rename data AND partition columns, drop data columns") {
     val s = spark
     import s.implicits._
     val t = s"${tmpDir("graft_cvp2")}/d"
-    (0L until 60L).map(i => (i, i % 3)).toDF("id", "p")
+    (0L until 60L).map(i => (i, i % 3, i * 2)).toDF("id", "p", "v")
       .write.partitionBy("p").parquet(t)
-    DataSkipping.convertToStats(s, t, Seq("id"), partitionBy = Seq("p"))
-    def refused(body: => Any): String =
-      intercept[IllegalArgumentException](body).getMessage
-    assert(refused(DataSkipping.renameColumn(s, t, "id", "id2"))
-      .contains("partition-converted"))
-    // vacuum is a safe no-op (partition dirs are never deletion candidates)
-    assert(DataSkipping.vacuumDryRun(s, t, 0L).isEmpty)
+    DataSkipping.convertToStats(s, t, Seq("id", "v"), partitionBy = Seq("p"))
+
+    // RENAME a data column: metadata-only; reads, pruning and appends
+    // all speak the new logical name
+    DataSkipping.renameColumn(s, t, "id", "key")
+    assert(DataSkipping.readSkipping(s, t, col("key") < 10L).count() === 10L)
+    assert(DataSkipping.tableLogicalSchema(s, t).fieldNames.contains("key"))
+    assert(DataSkipping.appendWithStats(
+      Seq((1000L, 7, 0L)).toDF("key", "p", "v"), t, Seq("key", "v")))
+    assert(DataSkipping.readSkipping(s, t, col("p") === 7).count() === 1L)
+
+    // RENAME the PARTITION column: directories keep the stable
+    // physical key; the logical view, predicates and pruning follow
+    DataSkipping.renameColumn(s, t, "p", "bucket")
+    assert(DataSkipping.readSkipping(s, t, col("bucket") === 1).count() === 20L)
+    val (kept, files) = DataSkipping.prunedFiles(s, t, col("bucket") === 1)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=1")), kept.mkString("\n"))
+    assert(kept.size < files.size, "pruning must survive a partition-column rename")
+    // appends under the renamed partition column still route by it
+    assert(DataSkipping.appendWithStats(
+      Seq((2000L, 9, 0L)).toDF("key", "bucket", "v"), t, Seq("key", "v")))
+    assert(DataSkipping.readSkipping(s, t, col("bucket") === 9)
+      .head.getAs[Long]("key") === 2000L)
+    // DML predicates speak the logical names too
+    assert(DataSkipping.deleteWhere(s, t,
+      col("bucket") === 0 && col("key") < 30L, vacuum = false) === 10L)
+    assert(DataSkipping.readSkipping(s, t, col("bucket") === 0).count() === 10L)
+
+    // DROP a data column: metadata-only, stops being projected
+    DataSkipping.dropColumn(s, t, "v")
+    assert(!DataSkipping.tableLogicalSchema(s, t).fieldNames.contains("v"))
+    assert(DataSkipping.readSkipping(s, t, col("bucket") === 1)
+      .schema.fieldNames.toSet === Set("key", "bucket"))
+
+    // DROP of the PARTITION column is refused with the narrow rule
+    val e = intercept[IllegalArgumentException](
+      DataSkipping.dropColumn(s, t, "bucket"))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // vacuum reclaims the DML's dead generation but never a live
+    // partition-routed file
     DataSkipping.vacuumTable(s, t, 0L)
-    assert(DataSkipping.readSkipping(s, t, lit(true)).count() == 60L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() == 52L)
     // shallow clone of a partitioned table keeps the partition sidecar
     val c = s"${tmpDir("graft_cvp3")}/c"
     DataSkipping.cloneTable(s, t, c)
     assert(DataSkipping.tablePartitionColumns(s, c) == Seq("p"))
-    assert(DataSkipping.readSkipping(s, c, col("p") === 1L).count() == 20L)
+    assert(DataSkipping.readSkipping(s, c, col("bucket") === 1).count() == 20L)
+  }
+
+  test("partitioned tables: generated and identity columns run their hooks through the partition-routing append") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpgi")}/d"
+    // the GENERATED column IS the partition column (Delta's
+    // generated-partition-column shape): batches omit it, the hook
+    // computes it before routing
+    DataSkipping.writeWithStats(
+      (0L until 40L).map(i => (i, i % 4)).toDF("id", "p"),
+      t, Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+    DataSkipping.addGeneratedColumn(s, t, "p", "id % 4")
+    assert(DataSkipping.appendWithStats(
+      (40L until 60L).map(i => Tuple1(i)).toDF("id"), t, Seq("id")))
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1L).count() === 15L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1L)
+      .filter(col("id") % 4 =!= 1L).count() === 0L)
+    // a batch SUPPLYING a wrong value is caught at the staged choke
+    // point — partition columns included
+    val bad = intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      Seq((100L, 3L)).toDF("id", "p"), t, Seq("id")))
+    assert(bad.getMessage.contains("CHECK constraint"), bad.getMessage)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 60L)
+
+    // IDENTITY on a DATA column of a partitioned table: batches omit
+    // it, the engine assigns fresh ids, rows route to partitions
+    val t2 = s"${tmpDir("graft_cvpgi2")}/d2"
+    DataSkipping.writeWithStats(
+      (0L until 30L).map(i => (i, i % 3, i)).toDF("rid", "p", "v"),
+      t2, Seq("rid", "v"), bloomCols = Nil, partitionBy = Seq("p"))
+    // identity on the PARTITION column is refused with the narrow rule
+    val eId = intercept[IllegalArgumentException](
+      DataSkipping.addIdentityColumn(s, t2, "p"))
+    assert(eId.getMessage.contains("partition"), eId.getMessage)
+    DataSkipping.addIdentityColumn(s, t2, "rid")
+    assert(DataSkipping.appendWithStats(
+      (0L until 10L).map(i => (i % 3, i + 100L)).toDF("p", "v"),
+      t2, Seq("rid", "v")))
+    val got = DataSkipping.readSkipping(s, t2, col("v") >= 100L)
+    assert(got.count() === 10L)
+    assert(got.filter(col("rid").isNull).count() === 0L)
+    assert(got.filter(col("p").isNull).count() === 0L)
+    // fresh ids start past the bootstrap values and never collide
+    assert(DataSkipping.readSkipping(s, t2, lit(true))
+      .select("rid").distinct().count() === 40L)
   }
 
   test("partitioned convert: copy-on-write DELETE/UPDATE route rewrites through the partition layout") {

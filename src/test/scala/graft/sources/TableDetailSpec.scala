@@ -39,6 +39,22 @@ class TableDetailSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DataSkipping.versionAtTime(s, dir, afterV0 - 3600L * 1000L)
     }
+
+    // IN-COMMIT timestamps: a storage migration (cp -r, object-store
+    // copy) rewrites every file's mtime — resolution must come from
+    // the instant INSIDE _COMMIT, not the filesystem clock
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    (0L to 2L).foreach { v =>
+      val c = new org.apache.hadoop.fs.Path(
+        s"$dir/${DataSkipping.StatsDir}/v$v/_COMMIT")
+      fs.setTimes(c, System.currentTimeMillis() + 86400000L, -1L)
+    }
+    assert(DataSkipping.versionAtTime(s, dir, afterV0) === 0L,
+      "TIMESTAMP AS OF must survive an mtime-rewriting storage migration")
+    assert(DataSkipping.versionAtTime(s, dir, afterV1) === 1L)
+    assert(DataSkipping.readSkippingAtTime(s, dir, afterV1, lit(true))
+      .count() === 900L)
   }
 
   test("tableDetail summarizes files, rows, vector, versions, features and constraints") {

@@ -133,6 +133,72 @@ class StatsTableSinkSpec extends SparkSpec {
     StatsTableSink.ensureTable(s, table, schema, Seq("id")) // idempotent reopen
   }
 
+  test("streaming into a PARTITIONED target: batches route to partition dirs, torn middle replays exactly-once") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("stsink_part_src")
+    val table = tmpDir("stsink_part_tbl") + "/t"
+    val ckpt = tmpDir("stsink_part_ckpt")
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", LongType),
+      StructField("v", LongType)))
+    // the partitioned table exists first (ensureTable short-circuits
+    // on an existing stats table); the sink's appends must route
+    // each micro-batch's rows into their `p=<k>` directories
+    DataSkipping.writeWithStats(
+      (0L until 30L).map(i => (i, i % 3, i)).toDF("id", "p", "v"),
+      table, Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+
+    (30L until 330L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    StatsTableSink.run(
+      FileIngest.stream(s, srcDir, pSchema, format = "parquet"),
+      table, Seq("id"), ckpt).awaitTermination()
+
+    val all = DataSkipping.readSkipping(s, table, lit(true))
+    assert(all.count() === 330)
+    assert(all.filter(col("p").isNull).count() === 0)
+    (0L until 3L).foreach(k =>
+      assert(DataSkipping.readSkipping(s, table, col("p") === k)
+        .count() === 110))
+    // streamed batches landed as named commits AND in partition dirs
+    val manifests = new java.io.File(
+        new java.net.URI(DataSkipping.manifestDir(s, table)).getPath)
+      .listFiles().map(_.getName).filter(_.startsWith("commit-")).toSeq
+    assert(manifests.nonEmpty)
+    val (kept, files) = DataSkipping.prunedFiles(s, table, col("p") === 2L)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=2")), kept.mkString("\n"))
+    assert(kept.size < files.size, "partition pruning must hold on streamed files")
+
+    // TORN MIDDLE: a crashed batch leaves partition-routed data files
+    // WITHOUT a marker — invisible to manifest readers; the streaming
+    // replay (same commit name) repairs by re-writing and committing
+    val torn = (1000L until 1060L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+    torn.write.mode("append").partitionBy("p").parquet(table)
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 330,
+      "uncommitted partition-routed files must stay invisible")
+    assert(DataSkipping.appendWithStats(torn, table, Seq("id"),
+      commitName = Some("commit-torn0")))
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 390)
+    assert(DataSkipping.readSkipping(s, table,
+      col("p") === 1L && col("id") >= 1000L).count() === 20)
+    // the replay of the repaired batch short-circuits
+    assert(!DataSkipping.appendWithStats(torn, table, Seq("id"),
+      commitName = Some("commit-torn0")))
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 390)
+
+    // restart with new source data: only the new wave drains, and it
+    // routes to partitions too
+    (330L until 390L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    StatsTableSink.run(
+      FileIngest.stream(s, srcDir, pSchema, format = "parquet"),
+      table, Seq("id"), ckpt).awaitTermination()
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 450)
+    assert(DataSkipping.readSkipping(s, table, col("p") === 0L)
+      .filter(col("id").between(330L, 389L)).count() === 20)
+  }
+
   test("crash between data move and marker: orphans invisible to manifest readers, replay repairs") {
     val s = spark
     import s.implicits._

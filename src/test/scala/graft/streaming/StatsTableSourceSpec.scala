@@ -350,6 +350,55 @@ class StatsTableSourceSpec extends SparkSpec {
       "capped batches must deliver every commit exactly once")
   }
 
+  test("partitioned tables stream with partition values served from directory names, never NULL") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_part") + "/t"
+    val outDir = tmpDir("stsrc_part_out") + "/o"
+    val ckpt = tmpDir("stsrc_part_ckpt")
+    // native partitioned table: p lives ONLY in `p=<k>` directory
+    // names — a partition-blind source would serve p as NULL on
+    // every row, silently
+    DataSkipping.writeWithStats(
+      (0L until 60L).map(i => (i, i % 3, i * 2)).toDF("id", "p", "v")
+        .repartition(2),
+      table, Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+
+    // fresh consumer: the snapshot batch must carry partition values
+    drain(s, table, outDir, ckpt)
+    val out1 = s.read.parquet(outDir)
+    assert(out1.count() === 60)
+    assert(out1.filter(col("p").isNull).count() === 0,
+      "partition column must never stream as NULL")
+    assert(out1.filter(col("p") === 1L).count() === 20)
+    assert(out1.filter(col("id") === 7L).head.getAs[Long]("p") === 1L)
+    assert(out1.schema("p").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "partition column keeps the sidecar type, not bare discovery's")
+
+    // incremental: a named commit through the partitioned append
+    // path streams exactly its rows, partition values intact
+    assert(DataSkipping.appendWithStats(
+      (60L until 90L).map(i => (i, i % 3, i * 2)).toDF("id", "p", "v"),
+      table, Seq("id"), commitName = Some("pcommit-b1")))
+    drain(s, table, outDir, ckpt)
+    val out2 = s.read.parquet(outDir)
+    assert(out2.count() === 90)
+    assert(out2.filter(col("p").isNull).count() === 0)
+    (0L until 3L).foreach(k =>
+      assert(out2.filter(col("p") === k).count() === 30,
+        s"partition $k must hold its exact rows"))
+    assert(out2.filter(col("id") === 75L).head.getAs[Long]("p") === 0L)
+
+    // a replayed commit still short-circuits on the partitioned path
+    assert(!DataSkipping.appendWithStats(
+      (60L until 90L).map(i => (i, i % 3, i * 2)).toDF("id", "p", "v"),
+      table, Seq("id"), commitName = Some("pcommit-b1")))
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).count() === 90,
+      "replayed partitioned commit must not re-stream")
+  }
+
   test("schema tracking: a mapped table streams under pinned logical names across renames and drops") {
     val s = spark
     import s.implicits._
