@@ -38,6 +38,21 @@ object ScaleRamp {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** A selected op whose corpus was never prebuilt is a GATING-SET
+    * bug (the op was added to `ops` but missed from its family's
+    * prebuild set): the whole ramp must fail loudly. Without this,
+    * the per-attempt catch-all converts the map's key miss into
+    * silent -1.0 timings — exactly the quiet no-result the unknown-op
+    * check exists to prevent.
+    */
+  private final class GatingException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def gatedMap[V](m: Map[Int, V], what: String): Map[Int, V] =
+    m.withDefault(k => throw new GatingException(
+      s"corpus '$what' was not prebuilt for scale x$k — the selected op " +
+        "is missing from its family's prebuild gating set; add it there"))
+
   /** Pre-r5 minHashLsh shape: the band self-join carries both full
     * signatures; est-Jaccard filters before the distinct. Kept here
     * (not in Dedup) purely as the drift-check baseline.
@@ -172,18 +187,20 @@ object ScaleRamp {
       "ann_ivfpq_residual")
     def selected(names: Set[String]): Boolean =
       only.forall(_.exists(names))
-    val docPaths = if (!selected(docOps)) Map.empty[Int, String]
-    else scales.map { k =>
-      val p = s"$work/docs_x$k"
-      docsAt(k).write.mode("overwrite").parquet(p)
-      k -> p
-    }.toMap
-    val vecPaths = if (!selected(vecOps)) Map.empty[Int, String]
-    else scales.map { k =>
-      val p = s"$work/vecs_x$k"
-      vecsAt(k).write.mode("overwrite").parquet(p)
-      k -> p
-    }.toMap
+    val docPaths = gatedMap(
+      if (!selected(docOps)) Map.empty[Int, String]
+      else scales.map { k =>
+        val p = s"$work/docs_x$k"
+        docsAt(k).write.mode("overwrite").parquet(p)
+        k -> p
+      }.toMap, "docs")
+    val vecPaths = gatedMap(
+      if (!selected(vecOps)) Map.empty[Int, String]
+      else scales.map { k =>
+        val p = s"$work/vecs_x$k"
+        vecsAt(k).write.mode("overwrite").parquet(p)
+        k -> p
+      }.toMap, "vecs")
     def docs(k: Int) = spark.read.parquet(docPaths(k))
     def vecs(k: Int) = spark.read.parquet(vecPaths(k))
     // fixed-size query set at every scale: ANN cost should scale with
@@ -198,7 +215,8 @@ object ScaleRamp {
     // everything at every refresh, the incremental apply sorts only
     // the batch's keys' history (broadcast semi/anti splits), so its
     // ramp should track the scan cost, not the sort.
-    val scd2LogPaths = if (!selected(Set("scd2_full", "scd2_apply")))
+    val scd2LogPaths = gatedMap(
+      if (!selected(Set("scd2_full", "scd2_apply")))
       Map.empty[Int, String]
     else scales.map { k =>
       val p = s"$work/scd2log_x$k"
@@ -210,8 +228,9 @@ object ScaleRamp {
           .otherwise(lit("U")).as("op"))
         .write.mode("overwrite").parquet(p)
       k -> p
-    }.toMap
-    val scd2HistPaths = if (!selected(Set("scd2_apply")))
+    }.toMap, "scd2log")
+    val scd2HistPaths = gatedMap(
+      if (!selected(Set("scd2_apply")))
       Map.empty[Int, String]
     else scales.map { k =>
       val p = s"$work/scd2hist_x$k"
@@ -220,7 +239,7 @@ object ScaleRamp {
           Seq("k"), Seq("seq"), Seq("v"), col("op") === "D")
         .write.mode("overwrite").parquet(p)
       k -> p
-    }.toMap
+    }.toMap, "scd2hist")
     def scd2Batch: DataFrame = spark.range(200L).select(
       (col("id") % 20L).as("k"), (col("id") / 20L + 100L).as("seq"),
       concat(lit("b"), col("id")).as("v"), lit("U").as("op"))
@@ -247,18 +266,19 @@ object ScaleRamp {
       DataSkipping.writeWithStats(
         storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
         path, storageCols, bloomCols = Seq("key"), bloomBits = 1 << 14)
-    val storePaths = if (!selected(Set("storage_read", "storage_bloom",
+    val storePaths = gatedMap(
+      if (!selected(Set("storage_read", "storage_bloom",
         "storage_append", "storage_delete", "storage_merge",
         "storage_meta_count"))) Map.empty[Int, String]
     else scales.map { k =>
       val p = s"$work/store_x$k"
       buildStorageTable(k, p)
       k -> p
-    }.toMap
+    }.toMap, "storage")
     // compaction consumes a FRESH fragmented table per attempt (a
     // compacted table's second compact is a no-op and min-of-N would
     // time that instead); built here, outside the timed region
-    val compactQueues: Map[Int, java.util.ArrayDeque[String]] =
+    val compactQueues: Map[Int, java.util.ArrayDeque[String]] = gatedMap(
       if (!selected(Set("storage_compact"))) Map.empty
       else scales.map { k =>
       val q = new java.util.ArrayDeque[String]()
@@ -269,14 +289,15 @@ object ScaleRamp {
         q.add(p)
       }
       k -> q
-    }.toMap
+    }.toMap, "storage_compact")
     val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     val deleteSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     val mergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     // dedicated CHANGE-FEED tables: enabling the feed on the shared
     // storePaths would silently add change-recording cost to the
     // plain storage_delete/storage_merge rows pinned without it
-    val cdfPaths = if (!selected(Set("storage_cdf_delete")))
+    val cdfPaths = gatedMap(
+      if (!selected(Set("storage_cdf_delete")))
       Map.empty[Int, String]
     else scales.map { k =>
       val p = s"$work/store_cdf_x$k"
@@ -284,18 +305,19 @@ object ScaleRamp {
         storageRows(32000L * k).repartitionByRange(16 * k, col("id")),
         p, storageCols, bloomCols = Nil, changeFeed = true)
       k -> p
-    }.toMap
+    }.toMap, "storage_cdf")
     val cdfSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     // dedicated DELETION-VECTOR tables: once a `_dv` exists every
     // read of the table pays the broadcast anti join — sharing
     // storePaths would contaminate the plain ops' timings
-    val dvPaths = if (!selected(Set("storage_dv_delete")))
+    val dvPaths = gatedMap(
+      if (!selected(Set("storage_dv_delete")))
       Map.empty[Int, String]
     else scales.map { k =>
       val p = s"$work/store_dv_x$k"
       buildStorageTable(k, p)
       k -> p
-    }.toMap
+    }.toMap, "storage_dv")
     val dvSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     // r10 INCREMENTAL RECLUSTER: table scales, backlog held FIXED at
     // two 1000-row appended files — the pass must be ~flat (its cost
@@ -303,7 +325,7 @@ object ScaleRamp {
     // where a full zorderTable would ramp linearly with the table.
     // Fresh table per attempt (a reclustered table's second pass is
     // a 0-file no-op and min-of-N would time that instead).
-    val reclusterQueues: Map[Int, java.util.ArrayDeque[String]] =
+    val reclusterQueues: Map[Int, java.util.ArrayDeque[String]] = gatedMap(
       if (!only.forall(_.contains("storage_recluster"))) Map.empty
       else scales.map { k =>
         val q = new java.util.ArrayDeque[String]()
@@ -326,7 +348,31 @@ object ScaleRamp {
           q.add(p)
         }
         k -> q
-      }.toMap
+      }.toMap, "storage_recluster")
+
+    // r14 PARTITION-COUNT ramp: ~100k rows FIXED, spread over 100*k
+    // `p=<v>` directories (≈1 file each) — the ramp dimension is the
+    // PARTITION COUNT, not bytes or file size. The 17s claim under
+    // test: partition-predicate planning costs track the MANIFEST
+    // filter (a distributed filter over O(files) manifest rows) and
+    // never enumerate directories, so a point-partition read and a
+    // single-partition append at 10^4 dirs must stay ~flat vs 10^2
+    // (Hive-style partition enumeration would ramp with the
+    // directory count).
+    val partCountPaths = gatedMap(
+      if (!selected(Set("storage_part_read", "storage_part_append")))
+        Map.empty[Int, String]
+      else scales.map { k =>
+        val p = s"$work/store_part_x$k"
+        val parts = 100 * k
+        DataSkipping.writeWithStats(
+          spark.range(100000L).select(col("id"),
+            pmod(col("id"), lit(parts.toLong)).cast("int").as("p"))
+            .repartition(parts, col("p")),
+          p, Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+        k -> p
+      }.toMap, "storage_partitions")
+    val partAppendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
@@ -562,6 +608,20 @@ object ScaleRamp {
         val n = DataSkipping.optimizeIncremental(spark, p, retentionMs = 0L)
         require(n == 2, s"backlog at x$k was $n files, wanted 2")
         DataSkipping.readSkipping(spark, p, col("id") < 0L) // plan-only read
+      },
+      // r14 partition-count decade (see partCountPaths): expected
+      // ~flat in DIRECTORY count — planning is the manifest filter
+      "storage_part_read" -> (k => DataSkipping.readSkipping(
+        spark, partCountPaths(k), col("p") === 17)),
+      "storage_part_append" -> { k =>
+        val n = partAppendSeq.incrementAndGet()
+        val lo = 200000000L + n * 1000L
+        DataSkipping.appendWithStats(
+          spark.range(lo, lo + 100L).select(col("id"), lit(17).as("p"))
+            .coalesce(1),
+          partCountPaths(k), Seq("id"))
+        DataSkipping.readSkipping(spark, partCountPaths(k),
+          col("p") === 17 && col("id") >= lo)
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
@@ -576,7 +636,10 @@ object ScaleRamp {
     }
     val timedOps = only.fold(ops)(names => ops.filter(o => names(o._1)))
     timedOps.foreach { case (_, fn) =>
-      try materialize(fn(1)) catch { case _: Throwable => () }
+      try materialize(fn(1)) catch {
+        case e: GatingException => throw e
+        case _: Throwable => ()
+      }
     }
     val results = timedOps.map { case (name, fn) =>
       val times = scales.map { k =>
@@ -584,8 +647,10 @@ object ScaleRamp {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try { materialize(fn(k)); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[ramp] $name x$k failed: ${e.getMessage}"); None }
+          catch {
+            case e: GatingException => throw e
+            case e: Throwable =>
+              System.err.println(s"[ramp] $name x$k failed: ${e.getMessage}"); None }
         }
         ts.minOption.getOrElse(-1.0)
       }
