@@ -5029,6 +5029,55 @@ object Queries {
               AND NOT (event_type = 'error' AND user_id < 50)
             ORDER BY event_id"""))
 
+  // Partitioned metadata DDL (rows 17q+17s, r14): RENAME of data AND
+  // partition columns on a PARTITIONED table is metadata-only —
+  // partition directories key on the never-changing physical name,
+  // so only the logical→physical sidecar moves. The gate writes
+  // events partitioned by event_type, renames a data column AND the
+  // partition column (one via SQL), runs a logical-name partitioned
+  // CoW DELETE, appends under the NEW logical names (rows must route
+  // into their col=value dirs), drops a data column, and reads back
+  // under a partition predicate in the renamed name. A stale
+  // directory key, a lost partition value, a mis-routed append or a
+  // resurrected dropped column all mismatch the plain-SQL oracle.
+  val ddlPartitioned = QueryDef(
+    "q_ddl_partitioned",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_pddl").toString
+      val t = s"$root/ev"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      DataSkipping.writeWithStats(ev.repartition(4), t,
+        Seq("user_id"), bloomCols = Nil, partitionBy = Seq("event_type"))
+      DataSkipping.renameColumn(s, t, "user_id", "uid")
+      GraftSql.sql(s, s"ALTER TABLE '$t' RENAME COLUMN event_type TO etype")
+      DataSkipping.deleteWhere(s, t,
+        col("etype") === "error" && col("uid") < 50L, vacuum = false)
+      val extra = Tables.events(s, d)
+        .filter(col("user_id") < 10L && col("event_id") % 7 === 0)
+        .select((col("event_id") + 1000000L).as("event_id"),
+          col("user_id").as("uid"), col("event_type").as("etype"),
+          (col("value") * 2.0).as("value"))
+      DataSkipping.appendWithStats(extra, t, Seq("uid"))
+      DataSkipping.dropColumn(s, t, "value")
+      DataSkipping.readSkipping(s, t,
+          col("etype").isin("click", "error") && col("uid") < 100L)
+        .orderBy("event_id")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id AS uid, event_type AS etype
+              FROM events
+              WHERE NOT (event_type = 'error' AND user_id < 50)
+            ), added AS (
+              SELECT event_id + 1000000 AS event_id, user_id AS uid,
+                event_type AS etype
+              FROM events WHERE user_id < 10 AND event_id % 7 = 0
+            )
+            SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM added)
+            WHERE etype IN ('click', 'error') AND uid < 100
+            ORDER BY event_id"""))
+
   // Column mapping (row 17q): RENAME + DROP COLUMN are metadata-only
   // (zero data rewritten), every batch entry point speaks logical
   // names, and a dropped-then-re-added name binds to a FRESH physical
@@ -5377,6 +5426,6 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
-    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, writePartitioned, mergeIntoQ,
+    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
 }

@@ -49,7 +49,7 @@ object StatsTableSink {
   def ensureTable(
       spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(DataSkipping.manifestDir(spark, path),
         DataSkipping.SchemaFile)))
@@ -80,7 +80,11 @@ object StatsTableSink {
     out.close()
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    DataSkipping.writeWithStats(empty.coalesce(1), path, statsCols)
+    // partitionBy: the bootstrap creates a PARTITIONED table (the
+    // zero-row v0 carries the partition sidecar; the first batch's
+    // rows route into their col=value dirs)
+    DataSkipping.writeWithStats(empty.coalesce(1), path, statsCols,
+      bloomCols = Nil, partitionBy = partitionBy)
     fs.delete(sentinel, false) // success: release; a crash above keeps it
   }
 
@@ -104,9 +108,10 @@ object StatsTableSink {
   def run(
       source: DataFrame, path: String, statsCols: Seq[String],
       checkpointDir: String, writerId: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      partitionBy: Seq[String] = Nil): StreamingQuery = {
     val spark = source.sparkSession
-    ensureTable(spark, path, source.schema, statsCols)
+    ensureTable(spark, path, source.schema, statsCols, partitionBy)
     val writer = writerId.getOrElse {
       // hash the QUALIFIED path, not the raw string: "/tmp/ck",
       // "/tmp/ck/" and "file:/tmp/ck" are the same checkpoint and

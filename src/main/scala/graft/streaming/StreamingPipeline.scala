@@ -71,7 +71,8 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       name: String, deps: Seq[String],
       build: Map[String, DataFrame] => DataFrame,
       expectations: Seq[Expectations.Rule],
-      statsCols: Option[Seq[String]] = None) extends Node
+      statsCols: Option[Seq[String]] = None,
+      partitionBy: Seq[String] = Nil) extends Node
   private final case class SinkDef(
       name: String, dep: String,
       start: (DataFrame, String) => StreamingQuery,
@@ -126,6 +127,21 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       expectations: Seq[Expectations.Rule])(
       build: Map[String, DataFrame] => DataFrame): this.type =
     add(TableDef(name, deps, build, expectations, statsCols = Some(statsCols)))
+
+  /** [[statsTable]] materialized HIVE-PARTITIONED (the Delta
+    * `partitionBy` table-property analog): the bootstrap creates the
+    * table partitioned by `partitionBy`, every micro-batch routes
+    * its rows into their `col=value` directories, and downstream
+    * streams serve the partition values through the part-aware
+    * manifest relation. `statsCols` must name DATA columns (partition
+    * columns are tracked implicitly, min=max=directory value).
+    */
+  def statsTablePartitioned(
+      name: String, statsCols: Seq[String], partitionBy: Seq[String],
+      deps: String*)(
+      build: Map[String, DataFrame] => DataFrame): this.type =
+    add(TableDef(name, deps, build, Nil, statsCols = Some(statsCols),
+      partitionBy = partitionBy))
 
   /** Terminal flow with a custom writer; `start` receives the
     * upstream stream and this sink's checkpoint dir. The writer owns
@@ -313,7 +329,7 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
   private def buildFlow(name: String): DataFrame = {
     val flow = defs(name) match {
       case SourceDef(_, build) => build()
-      case TableDef(_, deps, build, rules, _) =>
+      case TableDef(_, deps, build, rules, _, _) =>
         instrument(build(deps.map(d => d -> readStream(d)).toMap), rules, name)
       case SinkDef(_, dep, _, rules) =>
         instrument(readStream(dep), rules, name)
@@ -341,9 +357,10 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
         val q = defs(name) match {
           case SinkDef(_, _, start, _) =>
             start(flow, checkpointDir(name))
-          case TableDef(_, _, _, _, Some(cols)) =>
+          case TableDef(_, _, _, _, Some(cols), parts) =>
             schemas(name) = flow.schema
-            StatsTableSink.run(flow, dataDir(name), cols, checkpointDir(name))
+            StatsTableSink.run(flow, dataDir(name), cols, checkpointDir(name),
+              partitionBy = parts)
           case _ =>
             schemas(name) = flow.schema
             Files.createDirectories(Paths.get(dataDir(name)))
@@ -387,11 +404,12 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       val q = defs(name) match {
         case SinkDef(_, _, startFn, _) =>
           startFn(flow, checkpointDir(name))
-        case TableDef(_, _, _, _, Some(cols)) =>
+        case TableDef(_, _, _, _, Some(cols), parts) =>
           schemas(name) = flow.schema
           StatsTableSink.run(flow, dataDir(name), cols, checkpointDir(name),
             trigger = triggers.getOrElse(name,
-              Trigger.ProcessingTime(0L))) // default micro-batch cadence
+              Trigger.ProcessingTime(0L)), // default micro-batch cadence
+            partitionBy = parts)
         case _ =>
           schemas(name) = flow.schema
           Files.createDirectories(Paths.get(dataDir(name)))

@@ -265,6 +265,58 @@ class StatsTableSourceSpec extends SparkSpec {
     assert(kept.size < all.size, "silver must prune like any stats table")
   }
 
+  test("pipeline with a PARTITIONED silver: batches route to partition dirs and stream onward with values intact") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("stsrc_ppart_src")
+    val root = tmpDir("stsrc_ppart_root")
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", LongType),
+      StructField("v", LongType)))
+    def runPipeline(): Unit = {
+      val pl = new StreamingPipeline(s, root)
+      pl.source("bronze")(
+        FileIngest.stream(s, srcDir, pSchema, format = "parquet"))
+      // silver is a PARTITIONED stats table: the bootstrap writes the
+      // partition sidecar, each micro-batch routes rows into `p=<k>`
+      // dirs, and gold consumes the commits through the part-aware
+      // manifest source — a partition-blind read would feed gold NULLs
+      pl.statsTablePartitioned("silver", Seq("id"), Seq("p"), "bronze") { d =>
+        d("bronze").filter(col("v") % 2 === 0)
+      }
+      pl.table("gold", "silver") { d =>
+        d("silver").withColumn("vp", col("v") * col("p"))
+      }
+      pl.runOnce()
+      ()
+    }
+    (0L until 120L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    runPipeline()
+    val silver = s"$root/silver/data"
+    assert(DataSkipping.tablePartitionColumns(s, silver) === Seq("p"))
+    val gold1 = s.read.parquet(s"$root/gold/data")
+    assert(gold1.count() === 60)
+    assert(gold1.filter(col("p").isNull).count() === 0,
+      "partition values must survive silver -> gold streaming")
+    assert(gold1.filter(col("p") === 1L).count() === 20)
+    assert(gold1.filter(col("id") === 8L).head.getAs[Long]("vp") === 16L)
+
+    // second wave, fresh pipeline instance (restart): exactly-once,
+    // partition routing and value service still correct
+    (120L until 180L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runPipeline()
+    val gold2 = s.read.parquet(s"$root/gold/data")
+    assert(gold2.count() === 90)
+    assert(gold2.filter(col("p").isNull).count() === 0)
+    assert(gold2.select("id").distinct().count() === 90)
+    // silver prunes on the partition column like any partitioned table
+    val (kept, files) = DataSkipping.prunedFiles(s, silver, col("p") === 2L)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=2")), kept.mkString("\n"))
+    assert(kept.size < files.size)
+  }
+
   test("offsets stay bounded and capped admission never silently drops an observed marker") {
     val s = spark
     import s.implicits._
