@@ -5061,20 +5061,37 @@ object Queries {
           (col("value") * 2.0).as("value"))
       DataSkipping.appendWithStats(extra, t, Seq("uid"))
       DataSkipping.dropColumn(s, t, "value")
+      // mergeSchema RE-ADD of the dropped name on the PARTITIONED
+      // table (r14): binds to a fresh physical column — old rows must
+      // read NULL (a resurrected dropped value mismatches the oracle)
+      val extra2 = Tables.events(s, d)
+        .filter(col("user_id") < 10L && col("event_id") % 11 === 0)
+        .select((col("event_id") + 2000000L).as("event_id"),
+          col("user_id").as("uid"), col("event_type").as("etype"),
+          (col("value") * 3.0).as("value"))
+      DataSkipping.appendWithStats(extra2, t, Seq("uid", "value"),
+        mergeSchema = true)
       DataSkipping.readSkipping(s, t,
           col("etype").isin("click", "error") && col("uid") < 100L)
         .orderBy("event_id")
     },
     Some("""WITH base AS (
-              SELECT event_id, user_id AS uid, event_type AS etype
+              SELECT event_id, user_id AS uid, event_type AS etype,
+                CAST(NULL AS DOUBLE) AS value
               FROM events
               WHERE NOT (event_type = 'error' AND user_id < 50)
             ), added AS (
               SELECT event_id + 1000000 AS event_id, user_id AS uid,
-                event_type AS etype
+                event_type AS etype, CAST(NULL AS DOUBLE) AS value
               FROM events WHERE user_id < 10 AND event_id % 7 = 0
+            ), readded AS (
+              SELECT event_id + 2000000 AS event_id, user_id AS uid,
+                event_type AS etype, value * 3.0 AS value
+              FROM events WHERE user_id < 10 AND event_id % 11 = 0
             )
-            SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM added)
+            SELECT * FROM (SELECT * FROM base UNION ALL
+                           SELECT * FROM added UNION ALL
+                           SELECT * FROM readded)
             WHERE etype IN ('click', 'error') AND uid < 100
             ORDER BY event_id"""))
 

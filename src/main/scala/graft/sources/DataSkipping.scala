@@ -575,9 +575,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           "value); statsCols / bloomCols must name data columns")
       requireVisiblePartitionNames(partitionBy)
       df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+      // NULLABLE sidecar, matching the flat path's read-back schemas:
+      // a later evolution batch may omit a column, and a REQUIRED
+      // column missing from a file fails the parquet reader
       val schema = StructType(
-        df.schema.filterNot(f => partitionBy.contains(f.name)) ++
+        (df.schema.filterNot(f => partitionBy.contains(f.name)) ++
           partitionBy.map(c => df.schema(df.schema.fieldIndex(c))))
+          .map(_.copy(nullable = true)))
       // v0 stats run through the SAME part-aware scan every append and
       // read uses (partition values cast from the raw directory
       // segments via castPartValue), NOT through spark.read.parquet
@@ -640,8 +644,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * DDL (RENAME of data AND partition columns, DROP of data
     * columns, generated and identity columns; partition-column DROP
     * and identity-on-partition-column are refused with narrow
-    * rules). Only mergeSchema evolution still requires
-    * materializing into a flat table. `partitionBy` must name
+    * rules) and mergeSchema SCHEMA EVOLUTION (new nullable data
+    * columns, omitted data columns; the partition frame itself is
+    * fixed — a batch always carries every partition column and can
+    * never add one). `partitionBy` must name
     * the directory levels in nesting order; partition column types
     * are inferred exactly as `spark.read.parquet` infers them.
     *
@@ -1134,6 +1140,40 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     else { compactTable(spark, path, targetFileBytes); true }
   }
 
+  /** Column-mapping translation for an append batch: LOGICAL names
+    * in, PHYSICAL names out. Mapped columns translate to their
+    * physical names; NEW logical columns (mergeSchema evolution)
+    * keep their names but must be fresh against the table's whole
+    * physical history — a re-added dropped/renamed-away name binding
+    * to the old physical column would resurrect dropped values. The
+    * identity entries for new columns land BEFORE the data (the
+    * sidecars-first crash-consistency order schema evolution uses).
+    */
+  private def translateBatchForAppend(path: String,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, df0: DataFrame,
+      statsCols0: Seq[String], mergeSchema: Boolean): (DataFrame, Seq[String]) =
+    colMapIn(fs, dir) match {
+      case None => (df0, statsCols0)
+      case Some(m) =>
+        val stored0 = tableSchemaIn(df0.sparkSession, path, dir)
+        val physTaken = stored0.fieldNames.toSet ++ m.values
+        val fresh = df0.columns.filterNot(m.contains).toSeq
+        val alloc = fresh.map { n =>
+          if (!physTaken(n)) n -> n
+          else {
+            // the logical name was used before (dropped or renamed
+            // away): bind it to a FRESH physical column so the old
+            // values can never resurrect
+            var i = 1
+            while (physTaken(s"${n}__p$i")) i += 1
+            n -> s"${n}__p$i"
+          }
+        }.toMap
+        val m2 = m ++ alloc
+        if (mergeSchema && fresh.nonEmpty) writeColMap(fs, dir, m2)
+        (toPhysicalInput(df0, m2), statsCols0.map(c => m2.getOrElse(c, c)))
+    }
+
   def appendWithStats(
       df0in: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
@@ -1177,56 +1217,19 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         dfIds.select(ordered.map(col): _*)
       }
     try {
+    // Column mapping: the batch and statsCols arrive in LOGICAL
+    // names; [[translateBatchForAppend]] turns them physical (fresh
+    // physical allocation for mergeSchema-new columns included).
+    val (df, statsCols) =
+      translateBatchForAppend(path, f0, d0, df0, statsCols0, mergeSchema)
     // PARTITIONED tables take the partition-routing path. The
     // generated/identity hooks above already ran (they are
     // layout-independent — a generated PARTITION column computes
     // before routing, exactly Delta's generated-partition shape), and
-    // a mapped table's batch translates logical→physical here
-    // (appendPartitioned refuses mergeSchema, so the fresh-column
-    // allocation below never applies).
-    if (partCols0.nonEmpty) {
-      val (dfP, scP) = colMapIn(f0, d0) match {
-        case None => (df0, statsCols0)
-        case Some(m) =>
-          (toPhysicalInput(df0, m), statsCols0.map(c => m.getOrElse(c, c)))
-      }
-      return appendPartitioned(dfP, path, scP, commitName,
+    // the batch is already physical-named.
+    if (partCols0.nonEmpty)
+      return appendPartitioned(df, path, statsCols, commitName,
         mergeSchema, autoCompactSmallFiles, f0, d0, partCols0)
-    }
-    // Column mapping: the batch and statsCols arrive in LOGICAL
-    // names. Mapped columns translate to their physical names; NEW
-    // logical columns (mergeSchema evolution) keep their names but
-    // must be fresh against the table's whole physical history — a
-    // re-added dropped/renamed-away name binding to the old physical
-    // column would resurrect dropped values. The identity entries for
-    // new columns land BEFORE the data (the sidecars-first
-    // crash-consistency order schema evolution already uses).
-    val (df, statsCols) = {
-      val s0 = df0.sparkSession
-      val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
-      val d0 = manifestDirOf(f0, path)
-      colMapIn(f0, d0) match {
-        case None => (df0, statsCols0)
-        case Some(m) =>
-          val stored0 = tableSchemaIn(s0, path, d0)
-          val physTaken = stored0.fieldNames.toSet ++ m.values
-          val fresh = df0.columns.filterNot(m.contains).toSeq
-          val alloc = fresh.map { n =>
-            if (!physTaken(n)) n -> n
-            else {
-              // the logical name was used before (dropped or
-              // renamed away): bind it to a FRESH physical column so
-              // the old values can never resurrect
-              var i = 1
-              while (physTaken(s"${n}__p$i")) i += 1
-              n -> s"${n}__p$i"
-            }
-          }.toMap
-          val m2 = m ++ alloc
-          if (mergeSchema && fresh.nonEmpty) writeColMap(f0, d0, m2)
-          (toPhysicalInput(df0, m2), statsCols0.map(c => m2.getOrElse(c, c)))
-      }
-    }
     require(statsCols.nonEmpty, "at least one stats column")
     commitName.foreach(n => require(
       n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !n.startsWith("part-"),
@@ -1427,9 +1430,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * value — exactly the shape CONVERT wrote (see [[convertToStats]]),
     * so pruned reads treat appended files identically to converted
     * ones. Delta's CONVERT output is mutable; this closes the first
-    * mutation a converting user hits. Schema evolution stays refused
-    * (new columns have no partition-preserving backfill story here);
-    * named-commit idempotency, CHECK constraints and opt-in
+    * mutation a converting user hits. SCHEMA EVOLUTION works too
+    * (r14, `mergeSchema = true`): new DATA columns append with the
+    * flat path's exact contract (sidecars-first widening, nullable
+    * by construction, shared columns never retype, newly-tracked
+    * columns must be new) — partition columns are the one hard
+    * frame: every batch must carry ALL of them (their values route
+    * rows to directories) and a batch can never ADD a partition
+    * column. Named-commit idempotency, CHECK constraints and opt-in
     * auto-compaction work exactly as on flat tables. The flat path's
     * optimistic re-registration loop applies unchanged below —
     * partitioned tables now take DML/OPTIMIZE/RESTORE generations,
@@ -1442,9 +1450,6 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       partCols: Seq[String]): Boolean = {
     val spark = df0.sparkSession
-    require(!mergeSchema,
-      "mergeSchema evolution is not supported on a partition-converted " +
-        "table — materialize into a flat graft table to evolve the schema")
     if (commitName.exists(n => n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
         fs.exists(new Path(dir, s"$n.parquet")))) return false
     commitName.foreach(n => require(
@@ -1458,26 +1463,82 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         s"[${unknownFeats.toSeq.sorted.mkString(", ")}] this build does not " +
         "implement — refusing to append; upgrade the library")
     val stored = tableSchemaIn(spark, path, dir)
-    require(df0.schema.map(f => (f.name, f.dataType)).toSet ==
-        stored.map(f => (f.name, f.dataType)).toSet,
-      s"append schema ${df0.schema.simpleString} must carry exactly the " +
-        s"stored columns ${stored.simpleString} — partition columns " +
-        "included (their values route each row to its directory)")
     val tracked = trackedCols(spark, dir)
-    require(statsCols0.toSet == tracked -- partCols,
-      s"statsCols [${statsCols0.sorted.mkString(",")}] must equal the " +
-        s"table's tracked DATA columns [${(tracked -- partCols).toSeq.sorted
-          .mkString(",")}] — partition columns are tracked implicitly " +
-        "(min=max=directory value)")
-    val df = df0.select(stored.fieldNames.map(col).toSeq: _*)
+    partCols.foreach(c => require(df0.columns.contains(c),
+      s"append batch must carry partition column $c — its values route " +
+        "each row to its directory; partition columns can never be omitted"))
+    val storedByName = stored.map(f => f.name -> f.dataType).toMap
+    val newFields = df0.schema.filterNot(f => storedByName.contains(f.name))
+    val schema: StructType =
+      if (!mergeSchema) {
+        require(df0.schema.map(f => (f.name, f.dataType)).toSet ==
+            stored.map(f => (f.name, f.dataType)).toSet,
+          s"append schema ${df0.schema.simpleString} must carry exactly the " +
+            s"stored columns ${stored.simpleString} — partition columns " +
+            "included (their values route each row to its directory); pass " +
+            "mergeSchema = true to add or omit data columns")
+        require(statsCols0.toSet == tracked -- partCols,
+          s"statsCols [${statsCols0.sorted.mkString(",")}] must equal the " +
+            s"table's tracked DATA columns [${(tracked -- partCols).toSeq.sorted
+              .mkString(",")}] — partition columns are tracked implicitly " +
+            "(min=max=directory value)")
+        stored
+      } else {
+        // the flat path's evolution contract, partition-framed:
+        // shared columns keep their types, new DATA columns append
+        // nullable, a missing stored column simply isn't in this
+        // batch's files (nulls at read time)
+        stored.foreach { f =>
+          df0.schema.find(_.name == f.name).foreach(b =>
+            require(b.dataType == f.dataType,
+              s"column ${f.name}: batch type ${b.dataType.simpleString} must " +
+                s"match stored ${f.dataType.simpleString} — evolution adds " +
+                "columns, never retypes"))
+        }
+        if (newFields.isEmpty) {
+          require(statsCols0.toSet == tracked -- partCols,
+            s"statsCols [${statsCols0.sorted.mkString(",")}] must equal the " +
+              s"table's tracked DATA columns [${(tracked -- partCols).toSeq
+                .sorted.mkString(",")}] unless the batch carries new columns")
+          stored
+        } else {
+          require((tracked -- partCols).subsetOf(statsCols0.toSet),
+            s"statsCols [${statsCols0.sorted.mkString(",")}] must contain the " +
+              s"tracked DATA columns [${(tracked -- partCols).toSeq.sorted
+                .mkString(",")}] — evolution extends the tracked set, never " +
+              "shrinks it")
+          val newNames = newFields.map(_.name).toSet
+          val extraTracked = statsCols0.toSet -- (tracked -- partCols)
+          extraTracked.foreach(c => require(newNames(c),
+            s"newly tracked column $c must be one of the batch's NEW columns " +
+              s"[${newNames.toSeq.sorted.mkString(",")}] — tracking an " +
+              "existing column needs a stats rewrite (compactTable), not an " +
+              "append"))
+          val widened = StructType(
+            stored.fields ++ newFields.map(_.copy(nullable = true)))
+          // SIDECARS FIRST, exactly the flat path's crash order
+          val feats0 = manifestFeatures(fs, dir)
+          val widenedManifest = widenedManifestSchema(spark, dir,
+            statsCols0, feats0.contains("nulls"), newFields.toSeq)
+          writeSidecars(spark, dir, widened,
+            statsCols0 ++ partCols, feats0,
+            manifestSchema = Some(widenedManifest))
+          widened
+        }
+      }
+    // stage exactly the batch's columns, stored-schema order (a
+    // mergeSchema batch may omit stored data columns — those simply
+    // are not in this batch's files)
+    val df = df0.select(
+      schema.fieldNames.filter(df0.columns.contains).map(col).toSeq: _*)
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     df.write.partitionBy(partCols: _*).parquet(staging.toString)
-    enforceConstraintsOnStaged(spark, fs, dir, staging, stored, "append")
+    enforceConstraintsOnStaged(spark, fs, dir, staging, schema, "append")
     val moved = moveInPartitioned(fs, staging, new Path(path))
     val feats = manifestFeatures(fs, dir)
     val batchStats =
       if (moved.nonEmpty)
-        statsFor(partAwareStatusScan(spark, path, dir, stored,
+        statsFor(partAwareStatusScanCols(spark, path, partCols, schema,
             statusesFor(fs, moved)),
           statsCols0 ++ partCols, withNulls = feats.contains("nulls"),
           bloom = bloomFeature(feats))
@@ -1500,6 +1561,19 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       var hops = 0
       while (cur != registeredIn && hops < ConcurrentRetries) {
         hops += 1
+        // a mergeSchema evolution's widened sidecars were written into
+        // the OLD generation; a racing publisher that built from
+        // pre-evolution sidecars must not silently narrow the table
+        // (same guard as the flat path)
+        if (mergeSchema && newFields.nonEmpty) {
+          val curSchema = tableSchemaIn(spark, path, cur)
+          if (!newFields.forall(f => curSchema.fieldNames.contains(f.name)))
+            writeSidecars(spark, cur, schema, statsCols0 ++ partCols,
+              manifestFeatures(fs, cur),
+              manifestSchema = Some(widenedManifestSchema(spark, cur,
+                statsCols0, manifestFeatures(fs, cur).contains("nulls"),
+                newFields.toSeq)))
+        }
         val claimed = commitName match {
           case Some(n) => fs.exists(new Path(cur, s"$n.parquet"))
           case None =>
@@ -2121,9 +2195,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * files would serve them as silent NULLs to every consumer.
     */
   private[graft] def partAwareRelation(spark: SparkSession, path: String,
-      partCols: Seq[String], schema: StructType,
+      partCols: Seq[String], schema0: StructType,
       statuses: Seq[FileStatusWithMetadata]): HadoopFsRelation = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the scan schema is NULLABLE: a native partitioned write's
+    // sidecar can carry the frame's nullable=false (flat sidecars
+    // come from read-backs, always nullable), and a REQUIRED column
+    // missing from an evolution-era file fails the vectorized reader
+    // instead of reading null
+    val schema = StructType(schema0.fields.map(_.copy(nullable = true)))
     if (partCols.isEmpty) HadoopFsRelation(
       new ManifestFileIndex(new Path(path), statuses),
       partitionSchema = new StructType(),
@@ -5136,41 +5216,16 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       }.toSeq
       val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val partCols = partitionColsIn(fs, dir)
-      val relation = if (partCols.isEmpty) HadoopFsRelation(
-        new ManifestFileIndex(new Path(path), statuses),
-        partitionSchema = new StructType(),
-        dataSchema = schema,
-        bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
-        options = Map.empty)(classic)
-      else {
-        // Partition-converted table: values come from directory names,
-        // so the relation splits the sidecar schema into data columns
-        // (read from bytes) and partition columns (served per
-        // PartitionDirectory by the file index — zero bytes read).
-        // The manifest already pruned on partition predicates via
-        // min=max stats; the index re-applies the partition filters
-        // Catalyst hands it because FileSourceStrategy TRUSTS listing-
-        // time pruning and never re-checks those conjuncts on rows.
-        val partSchema = StructType(partCols.map(c => schema(schema.fieldIndex(c))))
-        val dataSchema = StructType(
-          schema.filterNot(f => partCols.contains(f.name)))
-        val groups = statuses
-          .groupBy(st => parsePartValues(fs, path, st.getPath.toString, partCols))
-          .toSeq.map { case (raw, sts) =>
-            (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
-              case (v, f) => castPartValue(v, f.dataType)
-            }), sts)
-          }
-        HadoopFsRelation(
-          new ManifestFileIndex(new Path(path), statuses, partSchema, groups),
-          partitionSchema = partSchema,
-          dataSchema = dataSchema,
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = Map.empty)(classic)
-      }
+      // Partition-converted tables: values come from directory names,
+      // so [[partAwareRelation]] splits the sidecar schema into data
+      // columns (read from bytes) and partition columns (served per
+      // PartitionDirectory by the file index — zero bytes read). The
+      // manifest already pruned on partition predicates via min=max
+      // stats; the index re-applies the partition filters Catalyst
+      // hands it because FileSourceStrategy TRUSTS listing-time
+      // pruning and never re-checks those conjuncts on rows.
+      val relation = partAwareRelation(spark, path,
+        partitionColsIn(fs, dir), schema, statuses)
       applyDv(classic.baseRelationToDataFrame(relation),
         readDvIn(spark, dir)).filter(predicate)
     }

@@ -282,6 +282,52 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, c, col("bucket") === 1).count() == 20L)
   }
 
+  test("partitioned tables: mergeSchema appends evolve the schema; the partition frame stays fixed") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvpev")}/d"
+    DataSkipping.writeWithStats(
+      (0L until 60L).map(i => (i, i % 3, i)).toDF("id", "p", "v"),
+      t, Seq("id", "v"), bloomCols = Nil, partitionBy = Seq("p"))
+
+    // a NEW tracked data column appends; rows route into partitions
+    assert(DataSkipping.appendWithStats(
+      (60L until 90L).map(i => (i, i % 3, i, s"t$i")).toDF("id", "p", "v", "tag"),
+      t, Seq("id", "v", "tag"), mergeSchema = true))
+    val all = DataSkipping.readSkipping(s, t, lit(true))
+    assert(all.count() === 90)
+    assert(all.filter(col("tag").isNull).count() === 60,
+      "pre-evolution rows read NULL for the new column")
+    assert(DataSkipping.readSkipping(s, t,
+      col("p") === 1L && col("tag").isNotNull).count() === 10)
+    assert(all.filter(col("p").isNull).count() === 0,
+      "partition values must survive the evolution")
+    // the new column is TRACKED: it prunes
+    val (kept, files) = DataSkipping.prunedFiles(s, t, col("tag") === "t75")
+    assert(kept.size < files.size, s"$kept / $files")
+    assert(DataSkipping.readSkipping(s, t, col("tag") === "t75")
+      .head.getLong(0) === 75L)
+
+    // a batch OMITTING stored data columns appends (nulls at read)
+    assert(DataSkipping.appendWithStats(
+      (90L until 100L).map(i => (i, i % 3)).toDF("id", "p"),
+      t, Seq("id", "v", "tag"), mergeSchema = true))
+    assert(DataSkipping.readSkipping(s, t, col("id") >= 90L)
+      .filter(col("v").isNull && col("tag").isNull).count() === 10)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 100)
+
+    // the partition frame is fixed: a batch can never omit a
+    // partition column, and shared columns never retype
+    val e1 = intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      Seq(Tuple1(500L)).toDF("id"), t, Seq("id", "v", "tag"),
+      mergeSchema = true))
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](DataSkipping.appendWithStats(
+      Seq(("x", 0L, 0L)).toDF("id", "p", "v"), t, Seq("id", "v", "tag"),
+      mergeSchema = true))
+    assert(e2.getMessage.contains("never retypes"), e2.getMessage)
+  }
+
   test("partitioned tables: generated and identity columns run their hooks through the partition-routing append") {
     val s = spark
     import s.implicits._
@@ -616,14 +662,15 @@ class ConvertSpec extends SparkSpec {
     assert(!DataSkipping.appendWithStats(extra, t, Seq("id"),
       commitName = Some("cvp-batch-0")))
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 63L)
-    // shape guards: missing partition column, wrong statsCols, evolution
+    // shape guards: missing partition column, wrong statsCols, and a
+    // strict (non-mergeSchema) append with an extra column
     assert(intercept[IllegalArgumentException](DataSkipping.appendWithStats(
-      Seq(1L).toDF("id"), t, Seq("id"))).getMessage.contains("stored columns"))
+      Seq(1L).toDF("id"), t, Seq("id"))).getMessage.contains("partition column"))
     assert(intercept[IllegalArgumentException](DataSkipping.appendWithStats(
       extra, t, Seq("id", "p"))).getMessage.contains("tracked DATA columns"))
     assert(intercept[IllegalArgumentException](DataSkipping.appendWithStats(
-      Seq((1L, 1, 2L)).toDF("id", "p", "x"), t, Seq("id", "x"),
-      mergeSchema = true)).getMessage.contains("mergeSchema"))
+      Seq((1L, 1, 2L)).toDF("id", "p", "x"), t, Seq("id"))).getMessage
+      .contains("mergeSchema"))
     // CHECK constraints gate partitioned appends, partition cols included
     DataSkipping.addCheckConstraint(s, t, "p_small", "p < 100")
     val e = intercept[IllegalArgumentException](DataSkipping.appendWithStats(

@@ -97,6 +97,55 @@ class MergeSinkSpec extends SparkSpec {
       Set("id", "seq", "v"))
   }
 
+  test("runMerge into a PARTITIONED target: upserts route to partition dirs, updates migrate partitions, replays no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val root = tmpDir("msink_part")
+    val table = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    // the partitioned target exists first; the streaming merge's
+    // upsert/delete arms must route through the partition layout
+    DataSkipping.writeWithStats(
+      (0L until 30L).map(i => (i, i % 3, 0L, s"v$i")).toDF("id", "p", "seq", "v"),
+      table, Seq("id", "seq", "v"), bloomCols = Nil, partitionBy = Seq("p"))
+    val in = MemoryStream[(Long, Long, Long, String, String)]
+    def drain(): Unit = {
+      val q = StatsTableSink.runMerge(
+        in.toDS.toDF("id", "p", "seq", "v", "op"),
+        table, keyCols = Seq("id"), seqCols = Seq("seq"),
+        statsCols = Seq("id", "seq", "v"), checkpointDir = ckpt,
+        deleteWhen = Some(col("op") === "D"), dropCols = Seq("op"))
+      q.awaitTermination()
+    }
+    in.addData(
+      (1L, 1L, 1L, "a2", "U"),   // in-place update inside p=1
+      (2L, 0L, 1L, "mig", "U"),  // PARTITION MIGRATION: p 2 -> 0
+      (3L, 0L, 1L, "", "D"),     // keyed delete
+      (100L, 2L, 1L, "new", "U")) // insert routes into p=2
+    drain()
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 30L)
+    val r1 = DataSkipping.readSkipping(s, table, col("id") === 1L).head
+    assert(r1.getAs[Long]("p") === 1L && r1.getAs[String]("v") === "a2")
+    val r2 = DataSkipping.readSkipping(s, table, col("id") === 2L).head
+    assert(r2.getAs[Long]("p") === 0L && r2.getAs[String]("v") === "mig",
+      "the update must migrate the row to its new partition directory")
+    assert(DataSkipping.readSkipping(s, table, col("id") === 3L).count() === 0L)
+    val r100 = DataSkipping.readSkipping(s, table, col("id") === 100L).head
+    assert(r100.getAs[Long]("p") === 2L && r100.getAs[String]("v") === "new")
+    // files really live in their partition dirs (no flat leakage)
+    val (kept, files) = DataSkipping.prunedFiles(s, table, col("p") === 0L)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=0")), kept.mkString("\n"))
+    assert(kept.size < files.size)
+    assert(DataSkipping.readSkipping(s, table, col("p") === 0L)
+      .count() === 10L) // 10 original (ids 0,3..27) - deleted 3 + migrated 2
+    // an empty re-drain (restart, nothing new) changes nothing
+    drain()
+    assert(DataSkipping.readSkipping(s, table, lit(true)).count() === 30L)
+    assert(DataSkipping.readSkipping(s, table, col("id") === 2L)
+      .head.getAs[Long]("p") === 0L)
+  }
+
   test("runMerge: a replayed batch whose arms already committed re-applies as no-ops") {
     val s = spark
     import s.implicits._
