@@ -1469,6 +1469,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         "each row to its directory; partition columns can never be omitted"))
     val storedByName = stored.map(f => f.name -> f.dataType).toMap
     val newFields = df0.schema.filterNot(f => storedByName.contains(f.name))
+    // callers may pass the table's full tracked set (the
+    // tableStatsCols convention) — partition columns are tracked
+    // implicitly, so strip them rather than refusing the synonym
+    val statsData = statsCols0.filterNot(partCols.contains)
     val schema: StructType =
       if (!mergeSchema) {
         require(df0.schema.map(f => (f.name, f.dataType)).toSet ==
@@ -1477,8 +1481,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
             s"stored columns ${stored.simpleString} — partition columns " +
             "included (their values route each row to its directory); pass " +
             "mergeSchema = true to add or omit data columns")
-        require(statsCols0.toSet == tracked -- partCols,
-          s"statsCols [${statsCols0.sorted.mkString(",")}] must equal the " +
+        require(statsData.toSet == tracked -- partCols,
+          s"statsCols [${statsData.sorted.mkString(",")}] must equal the " +
             s"table's tracked DATA columns [${(tracked -- partCols).toSeq.sorted
               .mkString(",")}] — partition columns are tracked implicitly " +
             "(min=max=directory value)")
@@ -1496,19 +1500,19 @@ object DataSkipping extends org.apache.spark.internal.Logging {
                 "columns, never retypes"))
         }
         if (newFields.isEmpty) {
-          require(statsCols0.toSet == tracked -- partCols,
-            s"statsCols [${statsCols0.sorted.mkString(",")}] must equal the " +
+          require(statsData.toSet == tracked -- partCols,
+            s"statsCols [${statsData.sorted.mkString(",")}] must equal the " +
               s"table's tracked DATA columns [${(tracked -- partCols).toSeq
                 .sorted.mkString(",")}] unless the batch carries new columns")
           stored
         } else {
-          require((tracked -- partCols).subsetOf(statsCols0.toSet),
-            s"statsCols [${statsCols0.sorted.mkString(",")}] must contain the " +
+          require((tracked -- partCols).subsetOf(statsData.toSet),
+            s"statsCols [${statsData.sorted.mkString(",")}] must contain the " +
               s"tracked DATA columns [${(tracked -- partCols).toSeq.sorted
                 .mkString(",")}] — evolution extends the tracked set, never " +
               "shrinks it")
           val newNames = newFields.map(_.name).toSet
-          val extraTracked = statsCols0.toSet -- (tracked -- partCols)
+          val extraTracked = statsData.toSet -- (tracked -- partCols)
           extraTracked.foreach(c => require(newNames(c),
             s"newly tracked column $c must be one of the batch's NEW columns " +
               s"[${newNames.toSeq.sorted.mkString(",")}] — tracking an " +
@@ -1519,9 +1523,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           // SIDECARS FIRST, exactly the flat path's crash order
           val feats0 = manifestFeatures(fs, dir)
           val widenedManifest = widenedManifestSchema(spark, dir,
-            statsCols0, feats0.contains("nulls"), newFields.toSeq)
+            statsData, feats0.contains("nulls"), newFields.toSeq)
           writeSidecars(spark, dir, widened,
-            statsCols0 ++ partCols, feats0,
+            statsData ++ partCols, feats0,
             manifestSchema = Some(widenedManifest))
           widened
         }
@@ -1540,7 +1544,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       if (moved.nonEmpty)
         statsFor(partAwareStatusScanCols(spark, path, partCols, schema,
             statusesFor(fs, moved)),
-          statsCols0 ++ partCols, withNulls = feats.contains("nulls"),
+          statsData ++ partCols, withNulls = feats.contains("nulls"),
           bloom = bloomFeature(feats))
       else readManifestIn(spark, dir).limit(0) // zero-row marker
     commitName.map(n => new Path(dir, s"$n.parquet")) match {
@@ -1568,10 +1572,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         if (mergeSchema && newFields.nonEmpty) {
           val curSchema = tableSchemaIn(spark, path, cur)
           if (!newFields.forall(f => curSchema.fieldNames.contains(f.name)))
-            writeSidecars(spark, cur, schema, statsCols0 ++ partCols,
+            writeSidecars(spark, cur, schema, statsData ++ partCols,
               manifestFeatures(fs, cur),
               manifestSchema = Some(widenedManifestSchema(spark, cur,
-                statsCols0, manifestFeatures(fs, cur).contains("nulls"),
+                statsData, manifestFeatures(fs, cur).contains("nulls"),
                 newFields.toSeq)))
         }
         val claimed = commitName match {
@@ -2997,10 +3001,11 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    require(!mergeSchema ||
-        partitionColsIn(fs, dir).isEmpty,
-      "merge schema evolution is not supported on a partition-converted " +
-        "table — materialize into a flat graft table to evolve the schema")
+    // merge evolution works on PARTITIONED tables too (r14): the
+    // widened schema's new fields are by definition not partition
+    // columns (those are stored), the touched scans are part-aware,
+    // and the rewrite stages partitionBy — same machinery as append
+    // evolution
     val replayed = txn.exists { case (app, v) =>
       readSidecarIn(fs, dir, TxnFile)
         .flatMap(j => txnMapFromJson(j).get(app)).exists(_ >= v)

@@ -78,34 +78,46 @@ class GraftSourceProvider extends RelationProvider
     def requiredStatsCols: Seq[String] = statsColsOpt.getOrElse(
       throw new IllegalArgumentException(
         "a fresh graft table needs .option(\"statsCols\", \"c1,c2\")"))
+    // `df.write.format("graft").partitionBy("p")...` — DataFrameWriter
+    // encodes partitioning for v1 sources under this option key (the
+    // Delta writer reads the same one): fresh writes create a
+    // hive-partitioned graft table; appends route by the table's OWN
+    // partition columns, so a partitionBy on append must match them
+    val partitionBy: Seq[String] = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Nil)
+    def requireAppendPartitioning(): Unit = {
+      val stored = DataSkipping.tablePartitionColumns(spark, path)
+      require(partitionBy.isEmpty || partitionBy == stored,
+        s"partitionBy(${partitionBy.mkString(",")}) does not match the " +
+          s"table's partition columns (${stored.mkString(",")}) — appends " +
+          "route by the table's own layout; omit partitionBy or match it")
+    }
+    def freshWrite(): Unit =
+      DataSkipping.writeWithStats(data, path, requiredStatsCols,
+        bloomCols = Nil,
+        changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
+        partitionBy = partitionBy)
     import org.apache.spark.sql.SaveMode._
     mode match {
-      case Overwrite =>
-        DataSkipping.writeWithStats(data, path, requiredStatsCols,
-          bloomCols = Nil,
-          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case Overwrite => freshWrite()
       case Append if exists =>
+        requireAppendPartitioning()
         val cols = statsColsOpt.getOrElse(
           DataSkipping.tableStatsCols(spark, path))
         DataSkipping.appendWithStats(data, path, cols,
           commitName = parameters.get("commitName"),
           mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
-      case Append =>
-        DataSkipping.writeWithStats(data, path, requiredStatsCols,
-          bloomCols = Nil,
-          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case Append => freshWrite()
       case ErrorIfExists if exists =>
         throw new IllegalArgumentException(
           s"$path already exists (SaveMode.ErrorIfExists)")
-      case ErrorIfExists =>
-        DataSkipping.writeWithStats(data, path, requiredStatsCols,
-          bloomCols = Nil,
-          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case ErrorIfExists => freshWrite()
       case Ignore if exists => ()
-      case Ignore =>
-        DataSkipping.writeWithStats(data, path, requiredStatsCols,
-          bloomCols = Nil,
-          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+      case Ignore => freshWrite()
     }
     new GraftRelation(spark, path)
   }
@@ -133,10 +145,10 @@ class GraftSourceProvider extends RelationProvider
       outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"format(\"graft\") streaming writes support Append mode only, got $outputMode")
-    require(partitionColumns.isEmpty,
-      "format(\"graft\") streaming writes do not take partitionBy — file " +
-        "layout is the table's own concern (compactTable / zorderTable)")
-    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters), parameters)
+    // partitionBy on a streaming write: a FRESH target bootstraps as
+    // a hive-partitioned graft table; an existing target must match
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters), parameters,
+      partitionColumns)
   }
 
   // --- streaming READ side: spark.readStream.format("graft") -------
@@ -179,7 +191,7 @@ class GraftSourceProvider extends RelationProvider
 }
 
 private[sources] class GraftStreamSink(spark: SparkSession, path: String,
-    parameters: Map[String, String])
+    parameters: Map[String, String], partitionBy: Seq[String] = Nil)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val writerId: String = parameters.get("writerId").getOrElse {
@@ -199,7 +211,12 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.DatasetBridge.asBatch(data)
     graft.streaming.StatsTableSink.ensureTable(spark, path, batch.schema,
-      statsColsOf(batch))
+      statsColsOf(batch), partitionBy)
+    val stored = DataSkipping.tablePartitionColumns(spark, path)
+    require(partitionBy.isEmpty || partitionBy == stored,
+      s"partitionBy(${partitionBy.mkString(",")}) does not match the " +
+        s"table's partition columns (${stored.mkString(",")}) — streamed " +
+        "appends route by the table's own layout")
     DataSkipping.appendWithStats(batch, path, statsColsOf(batch),
       commitName = Some(s"commit-$writerId-batch$batchId"))
   }

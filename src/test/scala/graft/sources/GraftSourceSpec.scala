@@ -86,6 +86,68 @@ class GraftSourceSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === n0 + 10L)
   }
 
+  test("write side: partitionBy creates a hive-partitioned graft table; appends route and mismatches refuse") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp() + "/t"
+    (0L until 90L).map(i => (i, i % 3, i * 2)).toDF("id", "p", "v")
+      .write.format("graft").partitionBy("p")
+      .option("statsCols", "id,v").save(dir)
+    assert(DataSkipping.tablePartitionColumns(s, dir) === Seq("p"))
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, col("p") === 1L)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=1")), kept.mkString("\n"))
+    assert(kept.size < files.size)
+    // append WITHOUT partitionBy routes by the table's own layout
+    Seq((1000L, 7L, 0L)).toDF("id", "p", "v")
+      .write.format("graft").mode("append").save(dir)
+    assert(DataSkipping.readSkipping(s, dir, col("p") === 7L).count() === 1L)
+    // append WITH a matching partitionBy is accepted too
+    Seq((1001L, 8L, 0L)).toDF("id", "p", "v")
+      .write.format("graft").mode("append").partitionBy("p").save(dir)
+    assert(DataSkipping.readSkipping(s, dir, col("p") === 8L).count() === 1L)
+    // a MISMATCHED partitionBy on append refuses loudly
+    val e = intercept[Exception] {
+      Seq((1002L, 9L, 0L)).toDF("id", "p", "v")
+        .write.format("graft").mode("append").partitionBy("v").save(dir)
+    }
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+    // reads serve partition values through the source
+    assert(s.read.format("graft").load(dir)
+      .filter(col("p").isNull).count() === 0L)
+    assert(s.read.format("graft").load(dir).count() === 92L)
+  }
+
+  test("writeStream.format(graft).partitionBy bootstraps a partitioned target and routes batches") {
+    val s = spark
+    import s.implicits._
+    val root = tmp()
+    val srcDir = s"$root/src"
+    val dir = s"$root/t"
+    (0L until 60L).map(i => (i, i % 3, i)).toDF("id", "p", "v")
+      .coalesce(1).write.parquet(srcDir)
+    val q = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(srcDir)
+      .writeStream.format("graft")
+      .partitionBy("p")
+      .option("statsCols", "id,v")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination()
+    assert(DataSkipping.tablePartitionColumns(s, dir) === Seq("p"))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 60L)
+    assert(DataSkipping.readSkipping(s, dir, col("p") === 2L).count() === 20L)
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, col("p") === 2L)
+    assert(kept.nonEmpty && kept.forall(_.contains("p=2")), kept.mkString("\n"))
+  }
+
   test("versionAsOf / timestampAsOf reader options pin the relation to a retained version") {
     val s = spark
     import s.implicits._
