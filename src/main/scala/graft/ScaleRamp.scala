@@ -360,7 +360,8 @@ object ScaleRamp {
     // (Hive-style partition enumeration would ramp with the
     // directory count).
     val partCountPaths = gatedMap(
-      if (!selected(Set("storage_part_read", "storage_part_append")))
+      if (!selected(Set("storage_part_read", "storage_part_append",
+          "storage_part_delete")))
         Map.empty[Int, String]
       else scales.map { k =>
         val p = s"$work/store_part_x$k"
@@ -373,6 +374,7 @@ object ScaleRamp {
         k -> p
       }.toMap, "storage_partitions")
     val partAppendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    val partDeleteSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
@@ -622,6 +624,18 @@ object ScaleRamp {
           partCountPaths(k), Seq("id"))
         DataSkipping.readSkipping(spark, partCountPaths(k),
           col("p") === 17 && col("id") >= lo)
+      },
+      // single-partition CoW DELETE at 100x the partition count:
+      // prune/touch/rewrite confined to one partition's file(s), so
+      // the op must stay ~flat in DIRECTORY count (a rotating fresh
+      // partition per attempt keeps every delete non-empty)
+      "storage_part_delete" -> { k =>
+        val pd = (partDeleteSeq.incrementAndGet() % 90 + 2).toInt
+        val gone = DataSkipping.deleteWhere(spark, partCountPaths(k),
+          col("p") === pd && col("id") < 50000L, vacuum = false)
+        require(gone > 0, s"partition delete at x$k removed nothing")
+        DataSkipping.readSkipping(spark, partCountPaths(k),
+          col("p") === pd && col("id") < 50000L)
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
