@@ -4098,6 +4098,43 @@ object Queries {
             FROM documents WHERE n_chars >= 150 AND n_chars <= 380
             ORDER BY doc_id"""))
 
+  // The q_manifest_stream chain with a PARTITIONED silver (r14):
+  // micro-batches route into `source=<v>` directories and gold
+  // consumes the commits through the PART-AWARE manifest source — a
+  // partition-blind batch read would feed gold NULL source values
+  // and every output row would mismatch the oracle. Two runs prove
+  // incremental exactly-once over the partitioned layout.
+  val manifestStreamPart = QueryDef(
+    "q_manifest_stream_part",
+    (s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_mstrp").toString
+      val src = s"$root/src"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val schema = docs.schema
+      def wave(pred: Column): Unit =
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(src)
+      def runPipe(): Map[String, DataFrame] = {
+        val p = new graft.streaming.StreamingPipeline(s, s"$root/pipe")
+        p.source("bronze")(s.readStream.schema(schema).parquet(src))
+        p.statsTablePartitioned("silver", Seq("doc_id"), Seq("source"), "bronze")(t =>
+          t("bronze").filter(col("n_chars") >= 150 && col("n_chars") <= 380))
+        p.table("gold", "silver")(t =>
+          t("silver").withColumn("src_len",
+            length(col("source")) + col("n_chars") % 5))
+        p.runOnce()
+      }
+      wave(col("doc_id") % 2 === 0)
+      runPipe()
+      wave(col("doc_id") % 2 === 1)
+      val built = runPipe()
+      built("gold").orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars,
+              length(source) + n_chars % 5 AS src_len
+            FROM documents WHERE n_chars >= 150 AND n_chars <= 380
+            ORDER BY doc_id"""))
+
   // Row-level DML, copy-on-write: DELETE drops one user_id band,
   // UPDATE rewrites another (string literal + value sign flip), then
   // a FULL readback. The oracle replays both as plain SQL (NOT
@@ -5440,7 +5477,7 @@ object Queries {
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin, dfpRead,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
-    ingestEvolved, corpusPipeline, manifestStream, timeTravel,
+    ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
