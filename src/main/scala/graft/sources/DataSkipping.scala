@@ -754,6 +754,38 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     partitionColsIn(fs, manifestDirOf(fs, path))
   }
 
+  /** The partition columns under their CURRENT LOGICAL names (the
+    * sidecar stores PHYSICAL names — stable directory keys that a
+    * RENAME never moves; users declare partitioning in logical
+    * names, so comparisons against a declaration must translate).
+    */
+  def tablePartitionColumnsLogical(spark: SparkSession,
+      path: String): Seq[String] = {
+    val phys = tablePartitionColumns(spark, path)
+    if (phys.isEmpty) phys
+    else {
+      val inverse = columnMapping(spark, path).map(_.swap)
+      phys.map(p => inverse.getOrElse(p, p))
+    }
+  }
+
+  /** Shared writer-entry guard: a caller-declared `partitionBy` must
+    * either be empty (appends always route by the table's OWN
+    * layout) or name exactly the table's partition columns — in
+    * LOGICAL names, so the check survives a partition-column
+    * rename. Silently ignoring a mismatched declaration would leave
+    * the user believing a layout that does not exist.
+    */
+  private[graft] def requireDeclaredPartitioning(spark: SparkSession,
+      path: String, declared: Seq[String], what: String): Unit =
+    if (declared.nonEmpty) {
+      val logical = tablePartitionColumnsLogical(spark, path)
+      require(declared == logical,
+        s"$what: partitionBy(${declared.mkString(",")}) does not match the " +
+          s"table's partition columns (${logical.mkString(",")}) — writes " +
+          "route by the table's own layout; omit partitionBy or match it")
+    }
+
   private[sources] def partitionColsIn(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] =
     readSidecarIn(fs, dir, PartitionColsFile)
@@ -1174,6 +1206,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         (toPhysicalInput(df0, m2), statsCols0.map(c => m2.getOrElse(c, c)))
     }
 
+  /** A generation's tracked stats columns in FILE order (manifest
+    * part columns are keyed to it); sorted-tracked fallback for
+    * legacy generations without the sidecar.
+    */
+  private def statsColsInOrderOf(spark: SparkSession, dir: String): Seq[String] =
+    readSidecar(spark, dir, StatsColsFile)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq)
+      .getOrElse(trackedCols(spark, dir).toSeq.sorted)
+
   def appendWithStats(
       df0in: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
@@ -1359,15 +1400,27 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         hops += 1
         // a mergeSchema evolution's widened sidecars were written into
         // the OLD generation; a racing publisher that built from
-        // pre-evolution sidecars must not silently narrow the table
+        // pre-evolution sidecars must not silently narrow the table.
+        // MERGE with cur's view rather than installing our own
+        // stored++newFields — a CONCURRENT evolution's columns in cur
+        // would otherwise be clobbered (their data silently stops
+        // projecting).
         if (mergeSchema && newFields.nonEmpty) {
           val curSchema = tableSchemaIn(spark, path, cur)
-          if (!newFields.forall(f => curSchema.fieldNames.contains(f.name)))
-            writeSidecars(spark, cur, schema, statsCols,
+          val missing = newFields
+            .filterNot(f => curSchema.fieldNames.contains(f.name))
+          if (missing.nonEmpty) {
+            val mergedSchema = StructType(
+              curSchema.fields ++ missing.map(_.copy(nullable = true)))
+            val curTracked = statsColsInOrderOf(spark, cur)
+            val mergedTracked =
+              curTracked ++ statsCols.filterNot(curTracked.contains)
+            writeSidecars(spark, cur, mergedSchema, mergedTracked,
               manifestFeatures(fs, cur),
               manifestSchema = Some(widenedManifestSchema(spark, cur,
                 statsCols, manifestFeatures(fs, cur).contains("nulls"),
-                newFields.toSeq)))
+                missing.toSeq)))
+          }
         }
         val claimed = commitName match {
           case Some(n) => fs.exists(new Path(cur, s"$n.parquet"))
@@ -1567,16 +1620,24 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         hops += 1
         // a mergeSchema evolution's widened sidecars were written into
         // the OLD generation; a racing publisher that built from
-        // pre-evolution sidecars must not silently narrow the table
-        // (same guard as the flat path)
+        // pre-evolution sidecars must not silently narrow the table —
+        // MERGED with cur's view, same reasoning as the flat path
         if (mergeSchema && newFields.nonEmpty) {
           val curSchema = tableSchemaIn(spark, path, cur)
-          if (!newFields.forall(f => curSchema.fieldNames.contains(f.name)))
-            writeSidecars(spark, cur, schema, statsData ++ partCols,
+          val missing = newFields
+            .filterNot(f => curSchema.fieldNames.contains(f.name))
+          if (missing.nonEmpty) {
+            val mergedSchema = StructType(
+              curSchema.fields ++ missing.map(_.copy(nullable = true)))
+            val curTracked = statsColsInOrderOf(spark, cur)
+            val mergedTracked = curTracked ++
+              (statsData ++ partCols).filterNot(curTracked.contains)
+            writeSidecars(spark, cur, mergedSchema, mergedTracked,
               manifestFeatures(fs, cur),
               manifestSchema = Some(widenedManifestSchema(spark, cur,
                 statsData, manifestFeatures(fs, cur).contains("nulls"),
-                newFields.toSeq)))
+                missing.toSeq)))
+          }
         }
         val claimed = commitName match {
           case Some(n) => fs.exists(new Path(cur, s"$n.parquet"))
@@ -3060,9 +3121,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
             newFields.map(_.copy(nullable = true)))
           // tracked set unchanged — preserve the stats-cols FILE
           // order verbatim (manifest part columns are keyed to it)
-          val statsColsInOrder = readSidecar(spark, dir, StatsColsFile)
-            .map(_.linesIterator.filter(_.nonEmpty).toSeq)
-            .getOrElse(trackedCols(spark, dir).toSeq.sorted)
+          val statsColsInOrder = statsColsInOrderOf(spark, dir)
           writeSidecars(spark, dir, widened, statsColsInOrder,
             manifestFeatures(fs, dir))
           widened

@@ -89,13 +89,9 @@ class GraftSourceProvider extends RelationProvider
       .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
         .decodePartitioningColumns)
       .getOrElse(Nil)
-    def requireAppendPartitioning(): Unit = {
-      val stored = DataSkipping.tablePartitionColumns(spark, path)
-      require(partitionBy.isEmpty || partitionBy == stored,
-        s"partitionBy(${partitionBy.mkString(",")}) does not match the " +
-          s"table's partition columns (${stored.mkString(",")}) — appends " +
-          "route by the table's own layout; omit partitionBy or match it")
-    }
+    def requireAppendPartitioning(): Unit =
+      DataSkipping.requireDeclaredPartitioning(spark, path, partitionBy,
+        "format(\"graft\") append")
     def freshWrite(): Unit =
       DataSkipping.writeWithStats(data, path, requiredStatsCols,
         bloomCols = Nil,
@@ -212,11 +208,8 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
     val batch = org.apache.spark.sql.graft.DatasetBridge.asBatch(data)
     graft.streaming.StatsTableSink.ensureTable(spark, path, batch.schema,
       statsColsOf(batch), partitionBy)
-    val stored = DataSkipping.tablePartitionColumns(spark, path)
-    require(partitionBy.isEmpty || partitionBy == stored,
-      s"partitionBy(${partitionBy.mkString(",")}) does not match the " +
-        s"table's partition columns (${stored.mkString(",")}) — streamed " +
-        "appends route by the table's own layout")
+    DataSkipping.requireDeclaredPartitioning(spark, path, partitionBy,
+      "format(\"graft\") streaming write")
     DataSkipping.appendWithStats(batch, path, statsColsOf(batch),
       commitName = Some(s"commit-$writerId-batch$batchId"))
   }

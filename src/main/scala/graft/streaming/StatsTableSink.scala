@@ -112,6 +112,12 @@ object StatsTableSink {
       partitionBy: Seq[String] = Nil): StreamingQuery = {
     val spark = source.sparkSession
     ensureTable(spark, path, source.schema, statsCols, partitionBy)
+    // an EXISTING table short-circuits the bootstrap above — a
+    // declared partitionBy that does not match its layout must fail
+    // loudly here, not be silently ignored (the user believes a
+    // layout that does not exist)
+    DataSkipping.requireDeclaredPartitioning(spark, path, partitionBy,
+      "StatsTableSink.run")
     val writer = writerId.getOrElse {
       // hash the QUALIFIED path, not the raw string: "/tmp/ck",
       // "/tmp/ck/" and "file:/tmp/ck" are the same checkpoint and

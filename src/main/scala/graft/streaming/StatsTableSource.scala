@@ -167,6 +167,20 @@ final class StatsTableSource(
     case None => DataSkipping.tableSchema(spark, path)
   }
 
+  /** PARTITION-CONVERTED tables: partition columns live only in
+    * `col=value` directory names, never in file bytes — a flat
+    * relation would serve them as silent NULLs on every streamed
+    * row, so every batch routes through the same part-aware relation
+    * the batch read path uses (`DataSkipping.partAwareRelation`).
+    * The sidecar names are PHYSICAL — directory keys never change
+    * (a rename moves only the logical map), so the set is immutable
+    * for the table's lifetime and a column-mapped partitioned table
+    * streams correctly under tracking too. Resolved ONCE here, not
+    * per micro-batch.
+    */
+  private lazy val partCols: Seq[String] =
+    DataSkipping.tablePartitionColumns(spark, path)
+
   /** Marker names currently committed (manifest files that are not
     * plain `part-` pieces). One listing of the manifest dir.
     */
@@ -287,15 +301,6 @@ final class StatsTableSource(
       org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
         LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
     else {
-      // PARTITION-CONVERTED tables: partition columns live only in
-      // `col=value` directory names, never in file bytes — a flat
-      // relation here would serve them as silent NULLs on every
-      // streamed row (the batch read path routes through the same
-      // part-aware relation, `DataSkipping.partAwareRelation`). The
-      // sidecar names are PHYSICAL — directory keys never change, so
-      // a column-mapped partitioned table streams correctly under
-      // tracking too.
-      val partCols = DataSkipping.tablePartitionColumns(spark, path)
       tracked match {
         case None =>
           val relation = DataSkipping.partAwareRelation(

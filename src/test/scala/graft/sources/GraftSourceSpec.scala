@@ -115,6 +115,19 @@ class GraftSourceSpec extends SparkSpec {
     assert(s.read.format("graft").load(dir)
       .filter(col("p").isNull).count() === 0L)
     assert(s.read.format("graft").load(dir).count() === 92L)
+    // the declaration check speaks LOGICAL names: after a
+    // partition-column rename, the new name passes and the stale
+    // physical name refuses
+    DataSkipping.renameColumn(s, dir, "p", "bucket")
+    Seq((1003L, 10L, 0L)).toDF("id", "bucket", "v")
+      .write.format("graft").mode("append").partitionBy("bucket").save(dir)
+    assert(DataSkipping.readSkipping(s, dir, col("bucket") === 10L)
+      .count() === 1L)
+    val e2 = intercept[Exception] {
+      Seq((1004L, 11L, 0L)).toDF("id", "bucket", "v")
+        .write.format("graft").mode("append").partitionBy("p").save(dir)
+    }
+    assert(e2.getMessage.contains("partition columns"), e2.getMessage)
   }
 
   test("writeStream.format(graft).partitionBy bootstraps a partitioned target and routes batches") {

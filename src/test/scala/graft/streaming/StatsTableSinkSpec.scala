@@ -199,6 +199,31 @@ class StatsTableSinkSpec extends SparkSpec {
       .filter(col("id").between(330L, 389L)).count() === 20)
   }
 
+  test("a declared partitionBy that mismatches an existing target's layout refuses loudly") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("stsink_pmis_src")
+    val flat = tmpDir("stsink_pmis_tbl") + "/t"
+    // the target exists FLAT; a stream declaring partitionBy must not
+    // silently ignore its declaration and append flat
+    DataSkipping.writeWithStats(
+      (0L until 10L).map(i => (i, i % 2, i)).toDF("id", "p", "v"),
+      flat, Seq("id"))
+    (10L until 20L).map(i => (i, i % 2, i)).toDF("id", "p", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", LongType),
+      StructField("v", LongType)))
+    // the refusal is SYNCHRONOUS — before any query starts
+    val e = intercept[IllegalArgumentException](StatsTableSink.run(
+      FileIngest.stream(s, srcDir, pSchema, format = "parquet"),
+      flat, Seq("id"), tmpDir("stsink_pmis_ckpt"),
+      partitionBy = Seq("p")))
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+    assert(DataSkipping.readSkipping(s, flat, lit(true)).count() === 10L,
+      "nothing may land under a mismatched declaration")
+  }
+
   test("crash between data move and marker: orphans invisible to manifest readers, replay repairs") {
     val s = spark
     import s.implicits._
