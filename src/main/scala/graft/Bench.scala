@@ -199,6 +199,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":$qsCompact,"calibration_min":${dec(calMin)},"load_poisoned":$poisoned,"unstable":$unstable,"repeats":$repeats,"failures":${errors.size},"errors":$errJson,"sf":"$sfDir","full":${jstr(outPath)}}"""
     println(line)
+    // The driver keeps only the LAST ~2000 stdout chars ("tail") and
+    // parses JSON out of them — the compact line above is ~4 KB at
+    // 131 queries, so its head gets cut off and every round since r8
+    // shipped `"parsed": null`. Emit one final TINY line (bounded
+    // size: no per-query map) that always survives the tail buffer;
+    // per-query minima live in the artifact file it points at.
+    val tiny = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":{},"n_queries":${results.size},"calibration_min":${dec(calMin)},"load_poisoned_n":${calibrations.count { case (_, t) => calMin > 0 && t >= 2 * calMin }},"unstable_n":${attempts.count { case (_, ts) => ts.flatten.size >= 2 && ts.flatten.max >= 3 * ts.flatten.min }},"repeats":$repeats,"failures":${errors.size},"sf":"$sfDir","per_query_in":${jstr(outPath)}}"""
+    println(tiny)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.io.IOException => () } // stdout has the gate line

@@ -574,6 +574,18 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         "partition columns are tracked implicitly (min=max=directory " +
           "value); statsCols / bloomCols must name data columns")
       requireVisiblePartitionNames(partitionBy)
+      // Under spark.sql.sources.partitionOverwriteMode=dynamic, a
+      // partitioned overwrite replaces only the partitions the batch
+      // touches — stale data dirs AND stale committed `_stats/v1..vN`
+      // generations would survive, and manifestDirOf (highest
+      // committed generation wins) would silently shadow the fresh v0
+      // below with the pre-overwrite table's manifest. Clear the
+      // table root explicitly so "this is always the first
+      // generation" holds regardless of session conf. (The flat
+      // branch is immune: that conf only affects partitioned writes.)
+      val rootFs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      rootFs.delete(new Path(path), true)
       df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
       // NULLABLE sidecar, matching the flat path's read-back schemas:
       // a later evolution batch may omit a column, and a REQUIRED
@@ -920,8 +932,23 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     */
   private def commitGen(spark: SparkSession, gen: Path): Unit = {
     val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Monotonicity clamp (Delta enforces the same invariant): a clock
+    // regression between two commits (NTP step, VM migration) must
+    // not record v(n+1) with an instant earlier than v(n) — a
+    // TIMESTAMP AS OF keyed on `filter(_ <= ts).max` would then
+    // resolve an instant to a version that did not yet exist at that
+    // wall clock. Write max(prevInstant + 1, now).
+    val prev: Long = """v(\d+)$""".r.findFirstMatchIn(gen.getName)
+      .map(_.group(1).toLong).filter(_ > 0L)
+      .map(n => new Path(gen.getParent, s"v${n - 1}"))
+      .filter(p => fs.exists(new Path(p, CommitFile)))
+      .map(p => commitInstant(fs, p))
+      .getOrElse(Long.MinValue)
+    val instant = math.max(
+      if (prev == Long.MinValue) Long.MinValue else prev + 1L,
+      System.currentTimeMillis())
     val out = fs.create(new Path(gen, CommitFile), false)
-    try out.write(System.currentTimeMillis().toString
+    try out.write(instant.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

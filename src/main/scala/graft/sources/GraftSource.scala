@@ -204,13 +204,25 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  // A table's partition columns and tracked stats set are immutable
+  // for the sink's lifetime (StatsTableSource resolves partCols once
+  // for the same reason), so ensureTable + the partitionBy-vs-layout
+  // check + the statsCols sidecar read run ONCE on the first batch —
+  // on object stores re-running them per micro-batch is several
+  // extra listings/reads per trigger for answers that cannot change.
+  @volatile private var resolvedStatsCols: Seq[String] = null
+
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.DatasetBridge.asBatch(data)
-    graft.streaming.StatsTableSink.ensureTable(spark, path, batch.schema,
-      statsColsOf(batch), partitionBy)
-    DataSkipping.requireDeclaredPartitioning(spark, path, partitionBy,
-      "format(\"graft\") streaming write")
-    DataSkipping.appendWithStats(batch, path, statsColsOf(batch),
+    if (resolvedStatsCols == null) {
+      val cols = statsColsOf(batch)
+      graft.streaming.StatsTableSink.ensureTable(spark, path, batch.schema,
+        cols, partitionBy)
+      DataSkipping.requireDeclaredPartitioning(spark, path, partitionBy,
+        "format(\"graft\") streaming write")
+      resolvedStatsCols = cols
+    }
+    DataSkipping.appendWithStats(batch, path, resolvedStatsCols,
       commitName = Some(s"commit-$writerId-batch$batchId"))
   }
 

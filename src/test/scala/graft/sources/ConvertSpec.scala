@@ -103,6 +103,37 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 231L)
   }
 
+  test("partitioned overwrite is a full-table replace even under partitionOverwriteMode=dynamic") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_dynow")}/d"
+    // first table: partitions p=0..3, plus DML history to v2 so stale
+    // committed generations exist that a dynamic overwrite would leave
+    val df1 = (0L until 200L).map(i => (i, i % 4, s"a$i")).toDF("id", "p", "v")
+    DataSkipping.writeWithStats(df1, t, Seq("id"), bloomCols = Nil,
+      partitionBy = Seq("p"))
+    DataSkipping.deleteWhere(s, t, col("id") < 20L, vacuum = false)   // v1
+    DataSkipping.deleteWhere(s, t, col("id") >= 180L, vacuum = false) // v2
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // second table touches ONLY p=0: under dynamic semantics the
+      // bare parquet overwrite would keep p=1..3's data AND the
+      // committed v1/v2 manifests, which would shadow the fresh v0
+      val df2 = (0L until 30L).map(i => (i, 0L, s"b$i")).toDF("id", "p", "v")
+      DataSkipping.writeWithStats(df2, t, Seq("id"), bloomCols = Nil,
+        partitionBy = Seq("p"))
+      assert(DataSkipping.tableVersions(s, t) === Seq(0L),
+        "overwrite must clear prior committed generations")
+      assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 30L,
+        "overwrite must clear prior partitions the new frame does not touch")
+      assert(DataSkipping.readSkipping(s, t, col("p") === 1L).count() === 0L)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("native partitioned write: non-canonical string partition values ('01') keep their raw form in stats") {
     val s = spark
     import s.implicits._

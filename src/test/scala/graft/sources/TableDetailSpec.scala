@@ -57,6 +57,33 @@ class TableDetailSpec extends SparkSpec {
       .count() === 900L)
   }
 
+  test("in-commit timestamps are clamped monotonic across a clock regression") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      dir, Seq("id"))
+    // simulate a clock that ran AHEAD when v0 committed (so "now" at
+    // v1-commit time is a regression relative to it): rewrite v0's
+    // in-commit instant one hour into the future
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v0Commit = new org.apache.hadoop.fs.Path(
+      s"$dir/${DataSkipping.StatsDir}/v0/${DataSkipping.CommitFile}")
+    val future = System.currentTimeMillis() + 3600L * 1000L
+    val out = fs.create(v0Commit, true)
+    try out.write(future.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    DataSkipping.deleteWhere(s, dir, col("id") < 10L, vacuum = false) // v1
+    // v1's instant must be clamped to v0's + 1, never the (earlier)
+    // wall clock — otherwise `filter(_ <= ts).max` resolves an
+    // instant at which v1 did not yet exist to v1
+    assert(DataSkipping.versionAtTime(s, dir, future) === 0L)
+    assert(DataSkipping.versionAtTime(s, dir, future + 1L) === 1L)
+  }
+
   test("tableDetail summarizes files, rows, vector, versions, features and constraints") {
     val s = spark
     import s.implicits._
