@@ -4775,6 +4775,106 @@ object Queries {
   // in. The oracle replays the identical program as plain SQL: a
   // mis-parsed clause, a dropped WHERE, an alias mis-rewrite, or a
   // wrong clause precedence all hash-mismatch.
+  // Catalog-name addressing (the r14 verdict's #1 gap): the
+  // reference's SQL notebook speaks table NAMES, never paths — this
+  // gate drives a full name-addressed program: CREATE TABLE ... USING
+  // graft LOCATION registers the table, INSERT INTO routes through
+  // the V1 InsertableRelation, DELETE/UPDATE/MERGE (bare-name USING
+  // source) + OPTIMIZE resolve the name through the session catalog
+  // in the GraftSql grammar, and the readback is a plain
+  // `SELECT ... FROM <name>` through the catalog relation. The DML
+  // program and oracle mirror q_sql_dml exactly, so any divergence is
+  // the name-resolution layer, not DML semantics.
+  val catalogQ = QueryDef(
+    "q_catalog",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_cata").toString
+      val t = s"$root/events"
+      val n = "cat_events_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      // seed the table with the EVEN event_ids; the odd half arrives
+      // BY NAME through INSERT INTO — a dropped or double-applied
+      // insert hash-mismatches the readback
+      DataSkipping.writeWithStats(
+        ev.filter(col("event_id") % 2 === 0)
+          .repartitionByRange(12, col("user_id")), t, Seq("user_id", "event_id"))
+      s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+      ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("cat_ins_src")
+      s.sql(s"INSERT INTO $n SELECT event_id, user_id, event_type, value " +
+        "FROM cat_ins_src")
+      GraftSql.sql(s,
+        s"DELETE FROM $n WHERE user_id >= 40 AND user_id < 60")             // v1
+      GraftSql.sql(s,
+        s"UPDATE $n SET value = value * -1, event_type = 'redacted' " +
+          "WHERE user_id >= 100 AND user_id < 120")                         // v2
+      ev.createOrReplaceTempView("cat_mrg_events")
+      s.sql(
+        """SELECT event_id, user_id, 'merged' AS event_type,
+                  value * 2 AS value
+           FROM cat_mrg_events WHERE event_id % 50 = 3
+           UNION ALL
+           SELECT event_id + 5000000, user_id, 'ins', value + 0.5
+           FROM cat_mrg_events WHERE event_id % 50 = 3 AND user_id < 50""")
+        .createOrReplaceTempView("cat_mrg_src")
+      GraftSql.sql(s,
+        s"""MERGE INTO $n AS tgt USING cat_mrg_src AS src
+            ON tgt.event_id = src.event_id
+            WHEN MATCHED AND src.user_id % 7 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET value = src.value,
+                                         event_type = src.event_type
+            WHEN NOT MATCHED AND src.user_id < 25 THEN INSERT *""")         // v3
+      GraftSql.sql(s, s"OPTIMIZE $n")                                       // v4
+      val data = s.sql(
+        s"SELECT event_id, user_id, event_type, value FROM $n")
+      val ops = GraftSql.sql(s, s"DESCRIBE HISTORY $n")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("version"), col("operation")))),
+            x => x.getField("operation")), ",").as("event_type"))
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          col("event_type"), lit(0.0).as("value"))
+      data.unionByName(ops).orderBy("event_id")
+    },
+    Some("""WITH after_del AS (
+              SELECT event_id, user_id, event_type, value FROM events
+              WHERE NOT (user_id >= 40 AND user_id < 60)),
+            after_upd AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN value * -1 ELSE value END AS value
+              FROM after_del),
+            src AS (
+              SELECT event_id, user_id, 'merged' AS event_type,
+                     value * 2 AS value
+              FROM events WHERE event_id % 50 = 3
+              UNION ALL
+              SELECT event_id + 5000000, user_id, 'ins', value + 0.5
+              FROM events WHERE event_id % 50 = 3 AND user_id < 50),
+            merged AS (
+              SELECT t.event_id, t.user_id,
+                CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+                     ELSE t.event_type END AS event_type,
+                CASE WHEN s.event_id IS NOT NULL THEN s.value
+                     ELSE t.value END AS value
+              FROM after_upd t LEFT JOIN src s
+                ON s.event_id = t.event_id AND s.user_id % 7 <> 0
+              WHERE NOT EXISTS (SELECT 1 FROM src x
+                WHERE x.event_id = t.event_id AND x.user_id % 7 = 0)
+              UNION ALL
+              SELECT s.event_id, s.user_id, s.event_type, s.value
+              FROM src s
+              WHERE s.user_id < 25 AND NOT EXISTS (SELECT 1 FROM after_upd t
+                WHERE t.event_id = s.event_id))
+            SELECT * FROM (
+              SELECT event_id, user_id, event_type, value FROM merged
+              UNION ALL
+              SELECT -1, -1, 'WRITE,DELETE,UPDATE,MERGE,OPTIMIZE', 0.0)
+            ORDER BY event_id"""))
+
   val sqlDml = QueryDef(
     "q_sql_dml",
     (s, d) => {
@@ -5480,6 +5580,6 @@ object Queries {
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
-    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
+    mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
 }

@@ -778,7 +778,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     // maintenance SQL (OPTIMIZE / VACUUM / DESCRIBE HISTORY|DETAIL /
     // RESTORE / ADD|DROP CONSTRAINT) — everything else delegates
-    ext.injectParser((_, parser) => new graft.sources.GraftSqlParser(parser))
+    ext.injectParser((session, parser) =>
+      new graft.sources.GraftSqlParser(session, parser))
   }
 }
 

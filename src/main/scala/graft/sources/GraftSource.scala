@@ -242,9 +242,32 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
 
 private[sources] class GraftRelation(spark: SparkSession, path: String,
     version: Option[Long] = None)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
+
+  /** `INSERT INTO`/`INSERT OVERWRITE` a catalog-registered graft
+    * table (Spark routes V1 inserts here; the batch arrives already
+    * cast and re-ordered to [[schema]], the table's LOGICAL view).
+    * INTO = one manifest append generation; OVERWRITE = a fresh
+    * table keeping the tracked stats set and the partition layout —
+    * the Delta writer's semantics for the same statements.
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(version.isEmpty,
+      "cannot INSERT into a time-travel (versionAsOf/timestampAsOf) relation")
+    if (overwrite) {
+      val partCols = DataSkipping.tablePartitionColumnsLogical(spark, path)
+      val statsCols = DataSkipping.tableStatsCols(spark, path)
+        .filterNot(partCols.contains)
+      DataSkipping.writeWithStats(data, path, statsCols,
+        bloomCols = Nil, partitionBy = partCols)
+    } else {
+      DataSkipping.appendWithStats(data, path,
+        DataSkipping.tableStatsCols(spark, path))
+    }
+  }
 
   // the LOGICAL view: renames/drops apply; filters arrive in logical
   // names and readSkipping translates them for pruning. A pinned

@@ -70,40 +70,48 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object GraftSql {
 
+  /** A table reference: `'path'` (the Delta ``delta.`path` `` shape,
+    * quotes kept in the capture) or a bare `[db.]name` identifier
+    * that resolves through the SESSION CATALOG (see [[parse]]) — the
+    * reference's notebooks address every table by NAME, so a port
+    * must not require path-literal rewrites.
+    */
+  private val R = """(?:'[^']+'|[A-Za-z_][\w.]*)"""
+
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]*)\)|(INCREMENTAL))?\s*;?\s*$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+($R)\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\)|(INCREMENTAL))?\\s*;?\\s*$$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*(DRY\s+RUN)?\s*;?\s*$""".r
+    s"""(?is)^\\s*VACUUM\\s+($R)\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val History =
-    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+'([^']+)'\s*;?\s*$""".r
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+($R)\\s*;?\\s*$$""".r
   private val Detail =
-    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+'([^']+)'\s*;?\s*$""".r
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+($R)\\s*;?\\s*$$""".r
   private val Restore =
-    """(?is)^\s*RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    s"""(?is)^\\s*RESTORE\\s+($R)\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
   private val AddConstraint =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropConstraint =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
   private val RenameCol =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$$""".r
   private val DropCol =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$""".r
   private val Convert =
-    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+($R)\\s+STATS\\s+BY\\s*\\(([^)]*)\\)(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
   private val Reorg =
-    """(?is)^\s*REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+($R)\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
   private val AddGenerated =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+GENERATED\\s+ALWAYS\\s+AS\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropGenerated =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+GENERATED\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+GENERATED\\s*;?\\s*$$""".r
   private val AddIdentity =
-    """(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+(?:INCREMENT|STEP)\s+BY\s+(-?\d+)\s*\))?\s*;?\s*$""".r
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+GENERATED\\s+ALWAYS\\s+AS\\s+IDENTITY\\s*(?:\\(\\s*START\\s+WITH\\s+(-?\\d+)\\s+(?:INCREMENT|STEP)\\s+BY\\s+(-?\\d+)\\s*\\))?\\s*;?\\s*$$""".r
   private val Delete =
-    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    s"""(?is)^\\s*DELETE\\s+FROM\\s+($R)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$$""".r
   private val Update =
-    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*$""".r
+    s"""(?is)^\\s*UPDATE\\s+($R)\\s+SET\\s+(.+?)\\s*;?\\s*$$""".r
   private val MergeHead =
-    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+USING\s+(.+?)\s*;?\s*$""".r
+    s"""(?is)^\\s*MERGE\\s+INTO\\s+($R)(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_]\\w*))?\\s+USING\\s+(.+?)\\s*;?\\s*$$""".r
 
   /** Quote/paren-aware scanning for DML bodies, which embed full SQL
     * expressions: a `,` / `AND` / `WHERE` / `WHEN` only splits at
@@ -232,20 +240,29 @@ object GraftSql {
   }
 
   private def parseMerge(path: String, tAliasOpt: Option[String],
-      afterUsing: String): MergeIntoGraftCommand = {
+      afterUsing: String, spark: Option[SparkSession]): MergeIntoGraftCommand = {
     val tAlias = tAliasOpt.getOrElse("t")
     val trimmed = afterUsing.trim
-    // source: (subquery) or '<path>'
+    // source: (subquery), '<path>', or a bare table NAME — a graft
+    // catalog table reads through its manifest path, any other name
+    // becomes a subquery over the session catalog (so `USING dim_x`
+    // works for temp views and parquet tables alike)
     val (source, rest1) =
       if (trimmed.startsWith("(")) {
         val (inner, rem) = Scan.takeParen(trimmed)
         (Left(inner), rem)
       } else {
         val PathRe = """(?s)^\s*'([^']+)'(.*)$""".r
+        val NameRe = """(?s)^\s*([A-Za-z_][\w.]*)(.*)$""".r
         trimmed match {
           case PathRe(p, rem) => (Right(p), rem)
+          case NameRe(n, rem) if !n.equalsIgnoreCase("ON") =>
+            (spark.flatMap(graftTableLocation(_, n)) match {
+              case Some(p) => Right(p)
+              case None => Left(s"SELECT * FROM $n")
+            }, rem)
           case _ => sys.error(
-            s"MERGE USING expects (subquery) or '<path>': $trimmed")
+            s"MERGE USING expects (subquery), '<path>' or a table name: $trimmed")
         }
       }
     // optional source alias, then ON
@@ -299,68 +316,137 @@ object GraftSql {
     MergeIntoGraftCommand(path, source, keyCols, clauses)
   }
 
-  /** The graft statement grammar: Some(command plan) when `sqlText`
-    * is a maintenance statement, None to mean "not ours" (the caller
-    * falls through to the standard parser).
+  /** Resolve a bare table NAME to its graft table location: Some
+    * iff the session catalog holds it with provider `graft` (created
+    * by `CREATE TABLE n USING graft LOCATION p` or `saveAsTable`).
+    * Anything else — absent, temp view, other provider — is None, so
+    * the statement falls through to Spark's own parser and the graft
+    * grammar never shadows a non-graft table.
     */
-  def parse(sqlText: String): Option[LeafRunnableCommand] = sqlText match {
-    case Optimize(path, null, null) => Some(OptimizeGraftCommand(path, Nil))
-    case Optimize(path, null, _)    =>
-      Some(OptimizeGraftCommand(path, Nil, incremental = true))
-    case Optimize(path, zCols, _)   =>
-      val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      Some(OptimizeGraftCommand(path, cols))
-    case Vacuum(path, hours, dry) =>
-      Some(VacuumGraftCommand(path, Option(hours).map(_.toLong), dry != null))
-    case History(path)         => Some(DescribeHistoryGraftCommand(path))
-    case Detail(path)          => Some(DescribeDetailGraftCommand(path))
-    case Restore(path, v)      => Some(RestoreGraftCommand(path, v.toLong))
-    case AddConstraint(path, name, expr) =>
-      Some(AddConstraintGraftCommand(path, name, expr.trim))
-    case DropConstraint(path, name) =>
-      Some(DropConstraintGraftCommand(path, name))
-    case RenameCol(path, from, to) =>
-      Some(RenameColumnGraftCommand(path, from, to))
-    case DropCol(path, name) =>
-      Some(DropColumnGraftCommand(path, name))
-    case Convert(path, cols, partCols) =>
-      Some(ConvertGraftCommand(path,
-        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        Option(partCols).toSeq.flatMap(
-          _.split(",").map(_.trim).filter(_.nonEmpty))))
-    case Reorg(path) => Some(ReorgGraftCommand(path))
-    // IDENTITY must match before the generic generated-expression
-    // form (its expression body would otherwise swallow "IDENTITY")
-    case AddIdentity(path, colName, start, step) =>
-      Some(AddIdentityGraftCommand(path, colName,
-        Option(start).map(_.toLong).getOrElse(1L),
-        Option(step).map(_.toLong).getOrElse(1L)))
-    case AddGenerated(path, colName, expr)
-        if !expr.trim.isEmpty =>
-      Some(AddGeneratedGraftCommand(path, colName, expr.trim))
-    case DropGenerated(path, colName) =>
-      Some(DropGeneratedGraftCommand(path, colName))
-    case Delete(path, cond) =>
-      Some(DeleteGraftCommand(path, Option(cond)))
-    case Update(path, body) =>
-      // the SET body may carry a top-level WHERE — split quote/paren
-      // aware so WHERE inside a nested expression stays put
-      val (sets, cond) = Scan.firstKeyword(body, "WHERE") match {
-        case Some(i) => (body.substring(0, i), Some(body.substring(i + 5)))
-        case None => (body, None)
-      }
-      Some(UpdateGraftCommand(path, parseSets(sets), cond))
-    case MergeHead(path, tAlias, rest) =>
-      Some(parseMerge(path, Option(tAlias), rest))
-    case _ => None
+  def graftTableLocation(spark: SparkSession, name: String): Option[String] =
+    catalogMeta(spark, name)
+      .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
+      .map(m => locationToPath(m.location))
+
+  private def catalogMeta(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    val parts = name.split("\\.").toSeq
+    if (parts.length > 2 || parts.exists(_.isEmpty)) return None
+    val ident =
+      if (parts.length == 2) TableIdentifier(parts(1), Some(parts(0)))
+      else TableIdentifier(parts.head)
+    val cat = spark.sessionState.catalog
+    try {
+      if (!cat.tableExists(ident)) None
+      else Some(cat.getTableMetadata(ident))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
+
+  /** CatalogTable.location → the path string every [[DataSkipping]]
+    * entry point takes: bare filesystem path for local URIs, full
+    * URI for remote schemes (both shapes round-trip through Hadoop
+    * Path identically).
+    */
+  private def locationToPath(uri: java.net.URI): String =
+    if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+    else uri.toString
+
+  /** The graft statement grammar against path literals ONLY (no
+    * session, so bare names cannot resolve): Some(command plan) when
+    * `sqlText` is a graft statement, None to mean "not ours".
+    */
+  def parse(sqlText: String): Option[LeafRunnableCommand] =
+    parseWith(sqlText, None)
+
+  /** The session-aware grammar: table references may be `'path'`
+    * literals or bare catalog NAMES of graft-provider tables. A name
+    * that is not a graft table makes the whole statement "not ours"
+    * (None) — Spark's own parser sees it verbatim, so standard SQL
+    * over non-graft tables is never intercepted.
+    */
+  def parse(sqlText: String, spark: SparkSession): Option[LeafRunnableCommand] =
+    parseWith(sqlText, Some(spark))
+
+  private def parseWith(sqlText: String,
+      spark: Option[SparkSession]): Option[LeafRunnableCommand] = {
+    // quoted ref → the path inside the quotes; bare name → the graft
+    // catalog location, None (fall through) when it isn't one
+    def ref(g: String): Option[String] =
+      if (g.startsWith("'")) Some(g.substring(1, g.length - 1))
+      else spark.flatMap(graftTableLocation(_, g))
+    // CONVERT targets are NOT YET graft tables: a bare name resolves
+    // through the catalog under ANY provider, and the command carries
+    // the name so a successful convert flips the entry to graft
+    def refAny(g: String): Option[(String, Option[String])] =
+      if (g.startsWith("'")) Some((g.substring(1, g.length - 1), None))
+      else spark.flatMap(catalogMeta(_, g))
+        .map(m => (locationToPath(m.location), Some(g)))
+    sqlText match {
+      case Optimize(t, null, null) => ref(t).map(OptimizeGraftCommand(_, Nil))
+      case Optimize(t, null, _)    =>
+        ref(t).map(OptimizeGraftCommand(_, Nil, incremental = true))
+      case Optimize(t, zCols, _)   =>
+        val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        ref(t).map(OptimizeGraftCommand(_, cols))
+      case Vacuum(t, hours, dry) =>
+        ref(t).map(VacuumGraftCommand(_, Option(hours).map(_.toLong), dry != null))
+      case History(t)         => ref(t).map(DescribeHistoryGraftCommand(_))
+      case Detail(t)          => ref(t).map(DescribeDetailGraftCommand(_))
+      case Restore(t, v)      => ref(t).map(RestoreGraftCommand(_, v.toLong))
+      case AddConstraint(t, name, expr) =>
+        ref(t).map(AddConstraintGraftCommand(_, name, expr.trim))
+      case DropConstraint(t, name) =>
+        ref(t).map(DropConstraintGraftCommand(_, name))
+      case RenameCol(t, from, to) =>
+        ref(t).map(RenameColumnGraftCommand(_, from, to))
+      case DropCol(t, name) =>
+        ref(t).map(DropColumnGraftCommand(_, name))
+      case Convert(t, cols, partCols) =>
+        refAny(t).map { case (p, catalogName) =>
+          ConvertGraftCommand(p,
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            Option(partCols).toSeq.flatMap(
+              _.split(",").map(_.trim).filter(_.nonEmpty)),
+            catalogName)
+        }
+      case Reorg(t) => ref(t).map(ReorgGraftCommand(_))
+      // IDENTITY must match before the generic generated-expression
+      // form (its expression body would otherwise swallow "IDENTITY")
+      case AddIdentity(t, colName, start, step) =>
+        ref(t).map(AddIdentityGraftCommand(_, colName,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L)))
+      case AddGenerated(t, colName, expr)
+          if !expr.trim.isEmpty =>
+        ref(t).map(AddGeneratedGraftCommand(_, colName, expr.trim))
+      case DropGenerated(t, colName) =>
+        ref(t).map(DropGeneratedGraftCommand(_, colName))
+      case Delete(t, cond) =>
+        ref(t).map(DeleteGraftCommand(_, Option(cond)))
+      case Update(t, body) =>
+        // the SET body may carry a top-level WHERE — split quote/paren
+        // aware so WHERE inside a nested expression stays put
+        val (sets, cond) = Scan.firstKeyword(body, "WHERE") match {
+          case Some(i) => (body.substring(0, i), Some(body.substring(i + 5)))
+          case None => (body, None)
+        }
+        ref(t).map(UpdateGraftCommand(_, parseSets(sets), cond))
+      case MergeHead(t, tAlias, rest) =>
+        ref(t).map(parseMerge(_, Option(tAlias), rest, spark))
+      case _ => None
+    }
   }
 
   /** Run a statement against ANY session (no extension install
     * needed): graft maintenance statements execute their command,
-    * everything else is `spark.sql`.
+    * everything else is `spark.sql`. Bare table names resolve
+    * through the session's catalog exactly as with the injected
+    * parser.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
-    parse(sqlText) match {
+    parse(sqlText, spark) match {
       case Some(cmd) =>
         val schema = StructType(cmd.output.map(a =>
           StructField(a.name, a.dataType, a.nullable)))
@@ -553,7 +639,7 @@ case class DropColumnGraftCommand(path: String, column: String)
   * analog — zero data rewritten).
   */
 case class ConvertGraftCommand(path: String, statsCols: Seq[String],
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil, catalogName: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -563,6 +649,16 @@ case class ConvertGraftCommand(path: String, statsCols: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val n = DataSkipping.convertToStats(spark, path, statsCols,
       partitionBy = partitionBy)
+    // name-addressed CONVERT (Delta's `CONVERT TO DELTA tbl` shape):
+    // the data converted in place, so flip the catalog entry's
+    // provider — name-based reads and graft DML resolve from now on
+    catalogName.foreach { name =>
+      val cat = spark.sessionState.catalog
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+      cat.alterTable(cat.getTableMetadata(ident)
+        .copy(provider = Some("graft")))
+      cat.refreshTable(ident)
+    }
     Seq(Row(path, n))
   }
 }
@@ -570,12 +666,22 @@ case class ConvertGraftCommand(path: String, statsCols: Seq[String],
 /** Delegating parser: graft maintenance statements parse to their
   * command plans; every other string goes to the wrapped parser
   * untouched. Injected by `graft.plans.GraftExtensions`
-  * (`ext.injectParser`).
+  * (`ext.injectParser`). With a session in hand (the injected form)
+  * bare table NAMES resolve through the session catalog; the
+  * session-less constructor keeps the path-literal-only grammar.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: Option[SparkSession],
+    delegate: ParserInterface) extends ParserInterface {
+
+  def this(delegate: ParserInterface) = this(None, delegate)
+  def this(session: SparkSession, delegate: ParserInterface) =
+    this(Some(session), delegate)
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    (session match {
+      case Some(s) => GraftSql.parse(sqlText, s)
+      case None => GraftSql.parse(sqlText)
+    }).getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

@@ -116,6 +116,20 @@ object GraftTable {
     new GraftTable(spark, path)
   }
 
+  /** The `DeltaTable.forName` analog: resolve a catalog-registered
+    * graft table (`CREATE TABLE n USING graft LOCATION p` /
+    * `saveAsTable`) by NAME and hand back the same handle `forPath`
+    * gives. Loud when the name is absent or not a graft table.
+    */
+  def forName(spark: SparkSession, name: String): GraftTable =
+    GraftSql.graftTableLocation(spark, name) match {
+      case Some(p) => forPath(spark, p)
+      case None => throw new IllegalArgumentException(
+        s"$name is not a catalog-registered graft table — create one with " +
+          "CREATE TABLE ... USING graft LOCATION '<path>' or " +
+          "df.write.format(\"graft\").saveAsTable")
+    }
+
   def isGraftTable(spark: SparkSession, path: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

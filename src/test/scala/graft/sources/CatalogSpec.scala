@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Catalog-name table addressing — the last mile between a
+  * path-addressed library and an engine a pos-dlt user ports to
+  * without editing statements: the reference's SQL notebook speaks
+  * table NAMES (`04_Silver-to-Gold ETL.sql:70-103` `LIVE.…`), never
+  * path literals.
+  *
+  * Surfaces pinned here:
+  *  - `CREATE TABLE n USING graft LOCATION p` → name-based SELECT /
+  *    `spark.table` resolve through [[GraftRelation]] (pruned reads,
+  *    deletion vectors, the whole read stack);
+  *  - `INSERT INTO` / `INSERT OVERWRITE` by name ([[GraftRelation]]
+  *    is an `InsertableRelation`);
+  *  - name-addressed maintenance + DML through the [[GraftSql]]
+  *    grammar (session-aware ref resolution);
+  *  - `df.write.format("graft").saveAsTable`;
+  *  - `CONVERT TO GRAFT <name>` flips the catalog provider;
+  *  - `DROP TABLE` on an external graft table removes METADATA only;
+  *  - non-graft names are NEVER intercepted (refusal parity).
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def freshName(p: String): String =
+    s"${p}_${java.util.UUID.randomUUID.toString.replace("-", "").take(10)}"
+
+  test("CREATE TABLE USING graft LOCATION: name-based reads go through the manifest stack") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat1")}/tbl"
+    val n = freshName("cat_read")
+    DataSkipping.writeWithStats(
+      (0L until 500L).map(i => (i, i % 20, s"v$i")).toDF("id", "k", "v")
+        .repartitionByRange(4, col("id")), t, Seq("id", "k"))
+    DataSkipping.deleteWhereDV(s, t, col("id") % 7 === 3L)
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    // name SELECT = pruned relation read, vector applied
+    assert(s.sql(s"SELECT count(*) AS n FROM $n").head.getLong(0) ===
+      (0L until 500L).count(_ % 7 != 3L))
+    assert(s.table(n).filter(col("id") < 100L).count() ===
+      (0L until 100L).count(_ % 7 != 3L))
+    // DROP TABLE on the external entry removes metadata ONLY
+    s.sql(s"DROP TABLE $n")
+    assert(!s.catalog.tableExists(n))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() ===
+      (0L until 500L).count(_ % 7 != 3L),
+      "external DROP TABLE must leave the data intact")
+  }
+
+  test("INSERT INTO appends a generation; INSERT OVERWRITE replaces keeping layout") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat2")}/tbl"
+    val n = freshName("cat_ins")
+    DataSkipping.writeWithStats(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v"), t, Seq("id"))
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    s.sql(s"INSERT INTO $n SELECT id + 1000, concat('b', id) FROM range(50) ")
+    assert(s.table(n).count() === 150L)
+    assert(DataSkipping.tableVersions(s, t) === Seq(0L),
+      "INSERT INTO is an in-generation manifest append (no version bump)")
+    // stats still tracked: a pruned count answers from the manifest
+    assert(DataSkipping.countWhere(s, t, col("id") >= 1000L) === 50L)
+    s.sql(s"INSERT OVERWRITE $n SELECT id, concat('c', id) FROM range(30)")
+    // catalog relation caches by (provider, path) — refresh like any
+    // external writer would
+    s.catalog.refreshTable(n)
+    assert(s.table(n).count() === 30L)
+    assert(DataSkipping.tableVersions(s, t) === Seq(0L),
+      "INSERT OVERWRITE is a fresh table (one v0 generation)")
+    assert(DataSkipping.tableStatsCols(s, t).contains("id"),
+      "overwrite must keep the tracked stats set")
+    s.sql(s"DROP TABLE $n")
+  }
+
+  test("name-addressed maintenance + DML through the GraftSql grammar") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat3")}/tbl"
+    val n = freshName("cat_dml")
+    DataSkipping.writeWithStats(
+      (0L until 400L).map(i => (i, i % 10, s"v$i")).toDF("id", "k", "v")
+        .repartitionByRange(4, col("id")), t, Seq("id", "k"))
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+
+    assert(GraftSql.sql(s, s"DELETE FROM $n WHERE k = 3").head.getLong(1) === 40L)
+    assert(GraftSql.sql(s, s"UPDATE $n SET v = 'redacted' WHERE k = 4")
+      .head.getLong(1) === 40L)
+    (0L until 20L).map(i => (i * 20, i % 10, "merged")).toDF("id", "k", "v")
+      .createOrReplaceTempView("cat_dml_src")
+    // name target + bare-name source (a temp view → subquery route)
+    val m = GraftSql.sql(s,
+      s"""MERGE INTO $n AS t USING cat_dml_src AS s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT *""").head
+    assert(m.getLong(1) > 0L) // updates
+    GraftSql.sql(s, s"OPTIMIZE $n")
+    val hist = GraftSql.sql(s, s"DESCRIBE HISTORY $n")
+      .select("operation").as[String].collect().toSeq
+    assert(hist.contains("DELETE") && hist.contains("UPDATE") &&
+      hist.contains("MERGE") && hist.contains("OPTIMIZE"), hist.toString)
+    GraftSql.sql(s, s"RESTORE $n TO VERSION AS OF 1") // undo UPDATE+MERGE+OPTIMIZE
+    assert(DataSkipping.readSkipping(s, t, col("v") === "redacted").count() === 0L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 360L)
+    // ALTER TABLE forms resolve names too
+    GraftSql.sql(s, s"ALTER TABLE $n ADD CONSTRAINT k_ok CHECK (k >= 0)")
+    assert(DataSkipping.tableConstraints(s, t).contains("k_ok"))
+    GraftSql.sql(s, s"ALTER TABLE $n RENAME COLUMN v TO label")
+    assert(DataSkipping.tableLogicalSchema(s, t).fieldNames.contains("label"))
+    s.sql(s"DROP TABLE $n")
+  }
+
+  test("the injected session-aware parser resolves names; non-graft names fall through") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat4")}/tbl"
+    val n = freshName("cat_parse")
+    DataSkipping.writeWithStats(
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), t, Seq("id"))
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    val parser = new GraftSqlParser(s, s.sessionState.sqlParser)
+    // a graft name parses to the graft command with the resolved path
+    parser.parsePlan(s"DELETE FROM $n WHERE id < 5") match {
+      case DeleteGraftCommand(p, Some(cond)) =>
+        assert(p.endsWith("/tbl") && cond.trim == "id < 5")
+      case other => fail(s"expected DeleteGraftCommand, got $other")
+    }
+    // a NON-graft name must go to the delegate parser verbatim — the
+    // graft grammar never shadows ordinary tables/views
+    (0L until 5L).toDF("x").createOrReplaceTempView("cat_parse_view")
+    assert(GraftSql.parse(s"DELETE FROM cat_parse_view WHERE x = 1", s).isEmpty)
+    assert(GraftSql.parse("OPTIMIZE some_unknown_table", s).isEmpty)
+    // the session-less grammar keeps path-literal-only behavior
+    assert(GraftSql.parse(s"DELETE FROM $n WHERE id < 5").isEmpty)
+    assert(GraftSql.parse("DELETE FROM '/x/t' WHERE id < 5").nonEmpty)
+    s.sql(s"DROP TABLE $n")
+  }
+
+  test("saveAsTable registers a graft table; GraftTable.forName hands back the facade") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat5")}/tbl"
+    val n = freshName("cat_sat")
+    (0L until 80L).map(i => (i, i % 4)).toDF("id", "k")
+      .write.format("graft").option("statsCols", "id,k")
+      .option("path", t).saveAsTable(n)
+    assert(s.table(n).count() === 80L)
+    assert(GraftSql.graftTableLocation(s, n).exists(_.endsWith("/tbl")))
+    val h = GraftTable.forName(s, n)
+    assert(h.delete(col("k") === 0L) === 20L)
+    assert(s.table(n).count() === 60L)
+    intercept[IllegalArgumentException] {
+      GraftTable.forName(s, "definitely_absent_table")
+    }
+    s.sql(s"DROP TABLE $n")
+  }
+
+  test("CONVERT TO GRAFT <name> converts in place and flips the catalog provider") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat6")}/tbl"
+    val n = freshName("cat_cvt")
+    (0L until 120L).map(i => (i, i % 6, s"v$i")).toDF("id", "k", "v")
+      .repartitionByRange(3, col("id")).write.parquet(t)
+    s.sql(s"CREATE TABLE $n USING parquet LOCATION '$t'")
+    assert(GraftSql.graftTableLocation(s, n).isEmpty)
+    GraftSql.sql(s, s"CONVERT TO GRAFT $n STATS BY (id, k)")
+    assert(GraftSql.graftTableLocation(s, n).nonEmpty,
+      "CONVERT must flip the catalog provider to graft")
+    // name DML now routes through the graft grammar
+    assert(GraftSql.sql(s, s"DELETE FROM $n WHERE k = 2").head.getLong(1) === 20L)
+    s.catalog.refreshTable(n)
+    assert(s.table(n).count() === 100L)
+    s.sql(s"DROP TABLE $n")
+  }
+}
