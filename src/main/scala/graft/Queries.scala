@@ -4285,6 +4285,67 @@ object Queries {
               SELECT 'none', COUNT(*) FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
+  // SQL-surface metadata aggregate pushdown (r14 verdict #2): the
+  // same O(manifest) COUNT/MIN/MAX the q_count_meta Scala API gives,
+  // now reached by a PLAIN `SELECT count(*)/min/max ... WHERE ...`
+  // over a graft view — GraftMetaAggStrategy plans the global
+  // aggregate to GraftMetaAggExec. Every output row carries a
+  // `pushed` flag read from the EXECUTED PLAN (1 = the meta node
+  // answered, no scan operator), which the oracle pins to 1: if the
+  // strategy ever stops claiming these shapes, the gate hash-
+  // mismatches — the plan shape is part of the contract, not just
+  // the values.
+  val aggPushdown = QueryDef(
+    "q_agg_pushdown",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftMetaAggExec, MetaAggPushdown}
+      val root = java.nio.file.Files.createTempDirectory("graft_apd").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(16, col("user_id")), s"$root/events",
+        Seq("user_id", "event_id"))
+      DataSkipping.deleteWhereDV(s, s"$root/events",
+        col("user_id") >= 40L && col("user_id") < 60L)
+      MetaAggPushdown.install(s)
+      s.read.format("graft").load(s"$root/events")
+        .createOrReplaceTempView("apd_events_v")
+      def run(label: String, where: String)
+          : (String, Long, Long, Option[Long], Option[Long]) = {
+        val df = s.sql("SELECT count(*) AS n, min(event_id) AS lo, " +
+          s"max(event_id) AS hi FROM apd_events_v $where")
+        val pushed = df.queryExecution.executedPlan
+          .collectFirst { case g: GraftMetaAggExec => g }.nonEmpty
+        val r = df.collect()(0)
+        (label, if (pushed) 1L else 0L, r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }
+      import s.implicits._
+      Seq(
+        run("all", ""),
+        run("band", "WHERE user_id >= 100 AND user_id < 200"),
+        run("deleted_band", "WHERE user_id >= 30 AND user_id < 70"),
+        run("none", "WHERE user_id > 1000000"))
+        .toDF("label", "pushed", "cnt", "lo", "hi").orderBy("label")
+    },
+    Some("""WITH live AS (
+              SELECT * FROM events
+              WHERE NOT (user_id >= 40 AND user_id < 60))
+            SELECT * FROM (
+              SELECT 'all' AS label, CAST(1 AS BIGINT) AS pushed, COUNT(*) AS cnt,
+                     MIN(event_id) AS lo, MAX(event_id) AS hi FROM live
+              UNION ALL
+              SELECT 'band', CAST(1 AS BIGINT), COUNT(*), MIN(event_id), MAX(event_id)
+              FROM live WHERE user_id >= 100 AND user_id < 200
+              UNION ALL
+              SELECT 'deleted_band', CAST(1 AS BIGINT), COUNT(*), MIN(event_id), MAX(event_id)
+              FROM live WHERE user_id >= 30 AND user_id < 70
+              UNION ALL
+              SELECT 'none', CAST(1 AS BIGINT), COUNT(*), MIN(event_id), MAX(event_id)
+              FROM live WHERE user_id > 1000000)
+            ORDER BY label"""))
+
   // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
   // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
   // by key envelope, absent keys no-ops. Full readback vs an
@@ -5578,7 +5639,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin, dfpRead,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
-    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, checkConstraints, generatedColQ,
+    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, checkConstraints, generatedColQ,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)

@@ -780,6 +780,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // RESTORE / ADD|DROP CONSTRAINT) — everything else delegates
     ext.injectParser((session, parser) =>
       new graft.sources.GraftSqlParser(session, parser))
+    // metadata aggregate pushdown: global COUNT/MIN/MAX over a graft
+    // relation answers from the manifest (see MetaAggPushdown)
+    ext.injectPlannerStrategy(session =>
+      new graft.sources.GraftMetaAggStrategy(session))
   }
 }
 

@@ -3623,6 +3623,22 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     trackedCols(spark, manifestDirOf(fs, path)).toSeq.sorted
   }
 
+  /** The tracked stats columns under their CURRENT LOGICAL names —
+    * what a USER predicate or MIN/MAX target may reference (the
+    * manifest itself stores physical names; see [[tableStatsCols]]).
+    */
+  def tableStatsColsLogical(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val phys = trackedCols(spark, dir).toSeq
+    (colMapIn(fs, dir) match {
+      case None => phys
+      case Some(m) =>
+        val inv = m.map(_.swap)
+        phys.map(p => inv.getOrElse(p, p))
+    }).sorted
+  }
+
   /** The table's CHECK constraints (name → SQL expression). */
   def tableConstraints(spark: SparkSession, path: String): Map[String, String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4184,7 +4200,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
   // --- DML entry points under the mapping: LOGICAL names in, the
   // physical implementations (`...Phys`) below them unchanged ---
 
-  private def mapPred(spark: SparkSession, path: String, c: Column): Column =
+  private[sources] def mapPred(spark: SparkSession, path: String, c: Column): Column =
     currentMap(spark, path) match {
       case None => c
       case Some(m) =>

@@ -240,8 +240,9 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
   override def toString: String = s"GraftStreamSink[$path]"
 }
 
-private[sources] class GraftRelation(spark: SparkSession, path: String,
-    version: Option[Long] = None)
+private[sources] class GraftRelation(spark: SparkSession,
+    private[sources] val path: String,
+    private[sources] val version: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext

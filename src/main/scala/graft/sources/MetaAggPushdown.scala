@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, GenericInternalRow, Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Aggregate pushdown to table METADATA for the SQL read surface —
+  * the Delta/Photon metadata-count optimization, surfaced through
+  * plain SQL: a global `SELECT count(*) / min(c) / max(c) ... WHERE
+  * <predicate>` over a graft relation (a `format("graft")` view or a
+  * catalog-registered graft table) plans to [[GraftMetaAggExec]],
+  * which answers from the manifest's per-file stats exactly the way
+  * [[DataSkipping.countWhere]] / [[DataSkipping.minMaxWhere]] do:
+  * ALL-match files contribute `n_rows` / their min-max stats with no
+  * data read, NO-match files contribute nothing, only BOUNDARY files
+  * scan. A range count on a clustered 100 TB table reads the
+  * manifest plus at most the two boundary files — O(manifest), not
+  * O(table) — and until now that gap was invisible to SQL users
+  * (the V1 `PrunedFilteredScan` has no aggregate surface).
+  *
+  * The rewrite claims a plan ONLY when it is provably equivalent:
+  * global aggregate (no GROUP BY), every aggregate one of
+  * COUNT(*)/COUNT(1) (no DISTINCT, no FILTER clause), MIN/MAX of a
+  * stats-tracked column, the WHERE a deterministic, subquery-free
+  * predicate (any such predicate is safe — ambiguous files are
+  * scanned with the row predicate, so the answer always equals the
+  * full scan's), the relation unpinned (no time travel) — everything
+  * else falls through to Spark's normal aggregation untouched.
+  *
+  * Installed by `graft.plans.GraftExtensions`
+  * (`injectPlannerStrategy`), or on any live session via
+  * [[MetaAggPushdown.install]].
+  */
+class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
+
+  import MetaAggPushdown._
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      (for {
+        (rel, cond) <- relationBelow(agg.child)
+        if rel.version.isEmpty
+        if cond.forall(c => c.deterministic &&
+          !c.exists(_.isInstanceOf[PlanExpression[_]]))
+        specs <- metaAggsOf(agg.aggregateExpressions)
+        if minMaxTracked(specs, rel)
+      } yield GraftMetaAggExec(agg.output, rel.path, cond, specs) :: Nil)
+        .getOrElse(Nil)
+    case _ => Nil
+  }
+
+  /** Unwrap attribute-only Projects and at most one Filter down to a
+    * graft V1 relation: (relation, optional filter condition).
+    */
+  private def relationBelow(p: LogicalPlan)
+      : Option[(GraftRelation, Option[Expression])] = p match {
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationBelow(child)
+    case Filter(cond, child) =>
+      relationBelow(child).collect {
+        case (rel, None) => (rel, Some(cond))
+      }
+    case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
+      Some((l.relation.asInstanceOf[GraftRelation], None))
+    case _ => None
+  }
+
+  private def metaAggsOf(exprs: Seq[Expression]): Option[Seq[MetaAgg]] = {
+    val specs = exprs.map(metaAggOf)
+    if (specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
+  }
+
+  private def metaAggOf(e: Expression): Option[MetaAgg] = e match {
+    case Alias(child, _) => metaAggOf(child)
+    case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
+      Some(MetaCount)
+    case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
+      Some(MetaMin(a.name, a.dataType))
+    case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
+      Some(MetaMax(a.name, a.dataType))
+    case _ => None
+  }
+
+  /** MIN/MAX targets must be stats-tracked (COUNT needs only
+    * `n_rows`, recorded for every file). One sidecar read per
+    * planned candidate — O(small), like any planning-time listing.
+    */
+  private def minMaxTracked(specs: Seq[MetaAgg], rel: GraftRelation): Boolean = {
+    val targets = specs.collect {
+      case MetaMin(c, _) => c
+      case MetaMax(c, _) => c
+    }.distinct
+    targets.isEmpty ||
+      targets.forall(
+        DataSkipping.tableStatsColsLogical(spark, rel.path).contains)
+  }
+}
+
+object MetaAggPushdown {
+
+  sealed trait MetaAgg
+  case object MetaCount extends MetaAgg
+  final case class MetaMin(column: String, dataType: DataType) extends MetaAgg
+  final case class MetaMax(column: String, dataType: DataType) extends MetaAgg
+
+  /** Install the strategy on a live session (idempotent) — the
+    * no-extensions path, like `GraftFunctions.register`.
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies
+        .exists(_.isInstanceOf[GraftMetaAggStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new GraftMetaAggStrategy(spark)
+}
+
+/** The physical metadata aggregate: one output row computed from the
+  * manifest (plus boundary-file scans) at EXECUTION time. Metrics
+  * record how much work the pushdown saved: `allMatchFiles` answered
+  * from stats alone, `scannedFiles` actually read.
+  */
+case class GraftMetaAggExec(output: Seq[Attribute], path: String,
+    condition: Option[Expression],
+    aggs: Seq[MetaAggPushdown.MetaAgg]) extends LeafExecNode {
+
+  import MetaAggPushdown._
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "allMatchFiles" -> SQLMetrics.createMetric(sparkContext,
+      "files answered from stats"),
+    "scannedFiles" -> SQLMetrics.createMetric(sparkContext,
+      "boundary files scanned"))
+
+  private def predicate: Column = condition match {
+    case Some(c) =>
+      // re-anchor on NAMES: the relation's exprIds mean nothing to a
+      // fresh manifest-driven scan, and resolution happens inside the
+      // skip planner against the table's logical schema
+      org.apache.spark.sql.graft.ColumnBridge.column(c.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    case None => lit(true)
+  }
+
+  private def computeRow(): InternalRow = {
+    val spark = SparkSession.active
+    val pred = DataSkipping.mapPred(spark, path, predicate)
+    lazy val (count, fullFiles, scanned) =
+      DataSkipping.countWhereDetail(spark, path, pred)
+    // minMax through the public API — it maps logical names itself
+    def minMaxOf(c: String): (Option[Any], Option[Any]) =
+      DataSkipping.minMaxWhere(spark, path, c, predicate)
+    val mmCache = collection.mutable.Map.empty[String, (Option[Any], Option[Any])]
+    val values: Seq[Any] = aggs.zip(output).map {
+      case (MetaCount, _) =>
+        longMetric("allMatchFiles").add(fullFiles)
+        longMetric("scannedFiles").add(math.max(scanned, 0L))
+        count
+      case (MetaMin(c, dt), _) =>
+        toCatalyst(mmCache.getOrElseUpdate(c, minMaxOf(c))._1.orNull, dt)
+      case (MetaMax(c, dt), _) =>
+        toCatalyst(mmCache.getOrElseUpdate(c, minMaxOf(c))._2.orNull, dt)
+    }
+    new GenericInternalRow(values.toArray)
+  }
+
+  private def toCatalyst(v: Any, dt: DataType): Any =
+    if (v == null) null
+    else CatalystTypeConverters.createToCatalystConverter(dt)(v)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(Seq(computeRow()), 1)
+
+  override def executeCollect(): Array[InternalRow] = Array(computeRow())
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftMetaAgg [${aggs.mkString(", ")}] path=$path" +
+      condition.map(c => s" cond=${c.sql}").getOrElse("")
+}
