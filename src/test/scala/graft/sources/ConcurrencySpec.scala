@@ -145,6 +145,83 @@ class ConcurrencySpec extends SparkSpec {
       === 6000L + 1600L)
   }
 
+  test("DML racing OPTIMIZE: compaction stays content-invisible under every interleaving") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    val n = 6000L
+    DataSkipping.writeWithStats(
+      (0L until n).map(i => (i, i % 100)).toDF("id", "k")
+        .repartitionByRange(12, col("id")), t, Seq("id"))
+    // 3 rounds of a band DELETE racing a full compaction: whichever
+    // serialization the commit protocol picks, OPTIMIZE must never
+    // resurrect deleted rows or drop live ones — the final content is
+    // DETERMINISTIC even though the schedule is not
+    (0 until 3).foreach { r =>
+      inParallel(Seq(
+        () => {
+          val lo = r * 200L
+          val gone = DataSkipping.deleteWhere(s, t,
+            col("id") >= lo && col("id") < lo + 200L, vacuum = false)
+          assert(gone === 200L, s"round $r deleted $gone")
+        },
+        () => {
+          DataSkipping.compactTable(s, t,
+            targetFileBytes = 4L * 1024 * 1024, vacuum = false)
+          ()
+        }))
+    }
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === n - 600L)
+    assert(DataSkipping.readSkipping(s, t, col("id") < 600L).count() === 0L)
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "DELETE") === 3, ops.mkString(","))
+    // both op families committed their generations
+    assert(ops.exists(o => o != "WRITE" && o != "DELETE"),
+      s"compactions must appear in history: ${ops.mkString(",")}")
+  }
+
+  test("DML racing RESTORE: final content equals the serial replay of the committed order") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    val n = 4000L
+    DataSkipping.writeWithStats(
+      (0L until n).map(i => (i, i % 10)).toDF("id", "k")
+        .repartitionByRange(8, col("id")), t, Seq("id"))         // v0
+    assert(DataSkipping.deleteWhere(s, t,
+      col("id") >= 0L && col("id") < 300L, vacuum = false) === 300L) // v1
+    // race: a band DELETE against RESTORE to v1. The outcome is
+    // schedule-dependent (restore-last resurrects the band,
+    // delete-last removes it) — but it must equal the serial replay
+    // of whatever order the commit protocol recorded. Anything else
+    // (half-applied delete, restore reading a torn state) fails.
+    inParallel(Seq(
+      () => {
+        DataSkipping.deleteWhere(s, t,
+          col("id") >= 1000L && col("id") < 1300L, vacuum = false)
+        ()
+      },
+      () => {
+        DataSkipping.restoreTable(s, t, 1L)
+        ()
+      }))
+    val ops = DataSkipping.describeHistory(s, t)
+      .orderBy("version").select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "DELETE") === 2 &&
+      ops.count(_.startsWith("RESTORE")) === 1, ops.mkString(","))
+    val deleteLast =
+      ops.lastIndexOf("DELETE") > ops.lastIndexWhere(_.startsWith("RESTORE"))
+    val expected = if (deleteLast) n - 300L - 300L else n - 300L
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === expected,
+      s"history ${ops.mkString(",")} must replay to $expected rows")
+    assert(DataSkipping.readSkipping(s, t,
+      col("id") >= 1000L && col("id") < 1300L).count() ===
+      (if (deleteLast) 0L else 300L))
+    // the restored band from v1's perspective stays deleted either way
+    assert(DataSkipping.readSkipping(s, t, col("id") < 300L).count() === 0L)
+  }
+
   test("a committed generation displaced by reclaim is restored when its slot is free") {
     val s = spark
     import s.implicits._
