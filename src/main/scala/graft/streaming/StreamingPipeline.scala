@@ -236,6 +236,31 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
       case _ => false
     }
 
+  /** Backlog of table `name`'s consumer query against each of its
+    * STATS-TABLE dependencies: commits the dep has committed that
+    * `name`'s checkpoint has not drained ([[TableLag.statsTableLag]];
+    * manifest + checkpoint-log reads only — no stream started, no
+    * data touched). Lags pair with the stats deps POSITIONALLY in
+    * declaration order — exact for the chain-shaped pipelines the
+    * builder produces (each table one stats dep); a build function
+    * that reorders its source composition should query
+    * [[TableLag.statsTableLag]] with an explicit index instead.
+    */
+  def tableLag(name: String): Seq[TableLag.CommitLag] = {
+    val node = defs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table $name"))
+    node.deps.filter(isStatsTable).zipWithIndex.map { case (dep, i) =>
+      TableLag.statsTableLag(spark, dataDir(dep), checkpointDir(name), i)
+    }
+  }
+
+  /** The whole pipeline's backlog, one row per (consumer table ←
+    * stats dep) edge in dependency order — the operator's "is
+    * anything falling behind" view, at manifest-only cost.
+    */
+  def pipelineStatus(): Seq[TableLag.CommitLag] =
+    order.flatMap(tableLag)
+
   /** Read a materialized table's storage as a NEW stream (what
     * `dlt.read_stream("name")` hands a dependent table). Stats-backed
     * tables stream MANIFEST COMMITS ([[StatsTableSource]]: one named
