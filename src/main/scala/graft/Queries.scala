@@ -4415,6 +4415,55 @@ object Queries {
   // expressions shape, served here by min/max file stats). Oracle
   // recomputes the day from raw ts — any drift between the stored
   // generated values and the expression mismatches the hash.
+  // Generated-column PARTITION PRUNING, read side (r15; the Delta
+  // generation-expression story's missing half — the write side
+  // landed r14): a table partitioned by GENERATED `day = to_date(ts)`
+  // queried by the RAW ts column. `ts` itself is deliberately
+  // UNTRACKED, so only the derived `day ∈ [f(lo), f(hi)]` conjunct
+  // can prune — the marker row pins that exactly the 3 in-range
+  // day-partitions PLUS the upper boundary day survive (days=4: the
+  // non-strict derived bound keeps day=2024-01-13, whose rows the
+  // row predicate then removes — manifest + boundary partitions, the
+  // clustered-range contract). The data rows prove the derivation
+  // never changes results.
+  val genPartitionPrune = QueryDef(
+    "q_gen_partition_prune",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_gpp").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("day", to_date(col("ts")))
+      DataSkipping.writeWithStats(ev.repartition(4), t, Seq("user_id"),
+        bloomCols = Nil, partitionBy = Seq("day"))
+      DataSkipping.addGeneratedColumn(s, t, "day", "to_date(ts)")
+      val pred = col("ts") >= expr("timestamp'2024-01-10 00:00:00'") &&
+        col("ts") < expr("timestamp'2024-01-13 00:00:00'")
+      val (kept, files) = DataSkipping.prunedFiles(s, t, pred)
+      val dayOf = "day=([0-9-]+)".r
+      val keptDays = kept.flatMap(p => dayOf.findFirstMatchIn(p).map(_.group(1)))
+        .distinct.sorted
+      val inRange = keptDays.forall(dd =>
+        dd >= "2024-01-10" && dd <= "2024-01-13")
+      val marker = s"days=${keptDays.size},subset=${kept.size < files.size}," +
+        s"inRange=$inRange"
+      DataSkipping.readSkipping(s, t, pred)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lit("data").as("info"))
+        .unionAll(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"),
+          lit(marker).as("info")))
+        .orderBy("event_id")
+    },
+    Some("""SELECT * FROM (
+              SELECT event_id, user_id, value, 'data' AS info FROM events
+              WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+              UNION ALL
+              SELECT -1, -1, 0.0, 'days=4,subset=true,inRange=true')
+            ORDER BY event_id"""))
+
   val generatedColQ = QueryDef(
     "q_generated_col",
     (s, d) => {
@@ -5639,7 +5688,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin, dfpRead,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
-    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, checkConstraints, generatedColQ,
+    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, checkConstraints, generatedColQ, genPartitionPrune,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)

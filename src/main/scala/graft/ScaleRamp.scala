@@ -361,7 +361,7 @@ object ScaleRamp {
     // directory count).
     val partCountPaths = gatedMap(
       if (!selected(Set("storage_part_read", "storage_part_append",
-          "storage_part_delete")))
+          "storage_part_delete", "storage_part_vacuum")))
         Map.empty[Int, String]
       else scales.map { k =>
         val p = s"$work/store_part_x$k"
@@ -636,6 +636,16 @@ object ScaleRamp {
         require(gone > 0, s"partition delete at x$k removed nothing")
         DataSkipping.readSkipping(spark, partCountPaths(k),
           col("p") === pd && col("id") < 50000L)
+      },
+      // r15: the orphan sweep at 100x the partition count — VACUUM
+      // must track manifest/file count, not directory count (a
+      // per-directory listing walk would ramp ~linearly in dirs).
+      // DRY RUN: same four passes, observational, so every attempt
+      // sweeps the identical table state.
+      "storage_part_vacuum" -> { k =>
+        val found = DataSkipping.vacuumDryRun(spark, partCountPaths(k),
+          retentionMs = 3600L * 1000L)
+        spark.range(found.size.toLong).select(col("id"))
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in

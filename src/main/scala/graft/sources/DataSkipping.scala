@@ -4489,23 +4489,90 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // dirs (crashed partitioned append/DML moved files before the
     // generation commit) — walk those too; the claim/record guards
     // compare by (job-UUID-unique) name, so depth changes nothing.
+    // 3. stale staging dirs (crashed append/compact debris), any depth.
+    //
+    // The walk is LEVEL-WISE: a level whose directory fan-out exceeds
+    // a driver threshold is listed in ONE DISTRIBUTED pass (each task
+    // lists a slice of dirs) — a 10^4-partition table costs
+    // O(dirs / parallelism) listing round-trips instead of 10^4
+    // sequential driver calls, which on an object store is the
+    // difference between seconds and tens of minutes (the r15 ramp
+    // measured the sequential walk at ~5x cost across the 100→10^4
+    // dir decade even on local fs).
     val stagingPrefixes =
       Seq(".append-", ".compact-", ".stats-", ".markers-", SwapPrefix)
     val partitioned = partitionColsIn(fs, manifestDirOf(fs, path)).nonEmpty
-    def sweep(d: Path, depth: Int): Unit = fs.listStatus(d).foreach { f =>
-      val n = f.getPath.getName
-      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-          !claimed(n) && !recordedNames(n) && expired(f.getModificationTime))
-        act(f.getPath, false)
-      // 3. stale staging dirs (crashed append/compact debris)
-      else if (f.isDirectory && stagingPrefixes.exists(n.startsWith) &&
-          expired(f.getModificationTime))
-        act(f.getPath, true)
-      else if (f.isDirectory && partitioned && depth < 16 &&
-          !n.startsWith("_") && !n.startsWith(".") && n.contains("="))
-        sweep(f.getPath, depth + 1)
+    val retention = retentionMs
+    var level: Seq[Path] = Seq(new Path(path))
+    var depth = 0
+    while (level.nonEmpty && depth <= 16) {
+      val entries: Seq[(String, String)] =
+        if (level.size <= 256) {
+          level.flatMap(d => fs.listStatus(d).toSeq).flatMap { f =>
+            val n = f.getPath.getName
+            if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+                !claimed(n) && !recordedNames(n) &&
+                expired(f.getModificationTime))
+              Seq(("file", f.getPath.toString))
+            else if (f.isDirectory && stagingPrefixes.exists(n.startsWith) &&
+                expired(f.getModificationTime))
+              Seq(("staging", f.getPath.toString))
+            else if (f.isDirectory && partitioned &&
+                !n.startsWith("_") && !n.startsWith(".") && n.contains("="))
+              Seq(("dir", f.getPath.toString))
+            else Nil
+          }
+        } else {
+          // identical per-entry rules, evaluated in executor tasks;
+          // the Hadoop conf travels as plain properties (no
+          // non-serializable Configuration in the closure)
+          val confProps: Seq[(String, String)] = {
+            val it = spark.sparkContext.hadoopConfiguration.iterator()
+            val b = Seq.newBuilder[(String, String)]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+            b.result()
+          }
+          val claimedB = spark.sparkContext.broadcast(claimed)
+          val recordedB = spark.sparkContext.broadcast(recordedNames)
+          val (now0, sp, isPart) = (now, stagingPrefixes, partitioned)
+          val dirs = level.map(_.toString)
+          val out = spark.sparkContext
+            .parallelize(dirs, math.min(dirs.size, 512))
+            .mapPartitions { it =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confProps.foreach { case (k, v) => conf.set(k, v) }
+              it.flatMap { d =>
+                val p = new Path(d)
+                val efs = p.getFileSystem(conf)
+                def exp(t: Long): Boolean = now0 - t >= retention
+                efs.listStatus(p).iterator.flatMap { f =>
+                  val n = f.getPath.getName
+                  if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+                      !claimedB.value(n) && !recordedB.value(n) &&
+                      exp(f.getModificationTime))
+                    Iterator(("file", f.getPath.toString))
+                  else if (f.isDirectory && sp.exists(n.startsWith) &&
+                      exp(f.getModificationTime))
+                    Iterator(("staging", f.getPath.toString))
+                  else if (f.isDirectory && isPart &&
+                      !n.startsWith("_") && !n.startsWith(".") &&
+                      n.contains("="))
+                    Iterator(("dir", f.getPath.toString))
+                  else Iterator.empty
+                }
+              }
+            }.collect().toSeq
+          claimedB.destroy(); recordedB.destroy()
+          out
+        }
+      entries.foreach {
+        case ("file", p) => act(new Path(p), false)
+        case ("staging", p) => act(new Path(p), true)
+        case _ => ()
+      }
+      level = entries.collect { case ("dir", p) => new Path(p) }
+      depth += 1
     }
-    sweep(new Path(path), 0)
     // 4. uncommitted generation debris and crashed generation builds
     gens.foreach { case (_, f) =>
       if (!isCommittedGen(fs, f.getPath) && expired(f.getModificationTime))
@@ -5094,8 +5161,186 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val nullsTracked = stats.columns.collect { case c if c.startsWith("nulls_") => c.drop(6) }.toSet
     val bloomIdx = bloomIndex(fs, dir, stats.columns)
     val schema = tableSchemaIn(spark, path, dir)
-    val cond = resolvedCondition(spark, schema, predicate)
+    // SKIP side only: conjuncts on generated columns derived from the
+    // user's raw-column bounds (the Delta generated-partition-column
+    // read-side optimization) — pure pruning, the row predicate the
+    // caller applies above the scan is untouched
+    val augmented = withGeneratedPruning(spark, fs, dir, schema, predicate)
+    val cond = resolvedCondition(spark, schema, augmented)
     (stats, schema, rewrite(cond, tracked, nullsTracked, bloomIdx).getOrElse(lit(true)))
+  }
+
+  // --- generated-column pruning (read side) -------------------------
+  //
+  // A table partitioned (or clustered) by a GENERATED column
+  // `g = f(raw)` is usually queried by the RAW column — `WHERE ts
+  // BETWEEN a AND b` on a table partitioned by `day =
+  // date_trunc('DAY', ts)`. Without derivation that predicate prunes
+  // nothing (g's stats are min=max per partition dir, raw's stats
+  // may be absent). For MONOTONE generation expressions the bounds
+  // transfer: raw ∈ [lo, hi] ⟹ g ∈ [f(lo), f(hi)], so the skip
+  // predicate gains `g >= f(lo) AND g <= f(hi)` (equality gains
+  // `g = f(v)`) — Delta's optimizable-expression families, done as
+  // endpoint evaluation. Strict raw bounds derive NON-strict g
+  // bounds (always implied). A null f(bound) (e.g. a cast that
+  // fails) derives nothing. Cost: only when the table HAS generated
+  // columns AND the predicate carries usable bounds — then one
+  // 1-row local evaluation per bound.
+
+  /** The single source column of `e` IF `e` is monotone
+    * non-decreasing in it; None otherwise. Whitelisted families:
+    * identity, temporal truncation casts (DATE/TIMESTAMP),
+    * date_trunc(unit, c), year(c), to_date(c), floor/div by a
+    * positive constant, substring(c, 1, k) (lexicographic prefix).
+    * Deliberately NOT month/day/hour — they wrap and are not
+    * monotone alone.
+    */
+  private def monotoneSource(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Literal => CLit}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def fname(f: UnresolvedFunction): String =
+      f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case c: Cast if c.dataType == DateType || c.dataType == TimestampType =>
+        monotoneSource(c.child)
+      case f: UnresolvedFunction if fname(f) == "date_trunc" =>
+        f.arguments match {
+          case Seq(CLit(_, _), c) => monotoneSource(c)
+          case _ => None
+        }
+      case f: UnresolvedFunction if fname(f) == "year" || fname(f) == "to_date" =>
+        f.arguments match {
+          case Seq(c) => monotoneSource(c)
+          case _ => None
+        }
+      case f: UnresolvedFunction if fname(f) == "floor" =>
+        f.arguments match {
+          case Seq(Divide(c, CLit(n, _), _)) if positiveConst(n) =>
+            monotoneSource(c)
+          case _ => None
+        }
+      case Divide(c, CLit(n, _), _) if positiveConst(n) => monotoneSource(c)
+      case f: UnresolvedFunction
+          if fname(f) == "substring" || fname(f) == "substr" =>
+        f.arguments match {
+          case Seq(c, CLit(pos, _), CLit(_, _)) if String.valueOf(pos) == "1" =>
+            monotoneSource(c)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private def positiveConst(v: Any): Boolean = v match {
+    case n: java.lang.Number => n.doubleValue > 0
+    case d: java.math.BigDecimal => d.signum > 0
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.signum > 0
+    case _ => false
+  }
+
+  /** Evaluate the generation expression at a single raw value.
+    * None when the result is null (derive nothing) or the
+    * evaluation itself fails (an expression family the whitelist
+    * admitted but the engine rejects — never break the read).
+    */
+  private def evalGenAt(spark: SparkSession, exprSql: String, rawName: String,
+      rawType: DataType,
+      v: org.apache.spark.sql.catalyst.expressions.Literal): Option[Any] =
+    try {
+      val row = spark.range(1)
+        .select(org.apache.spark.sql.graft.ColumnBridge.column(v)
+          .cast(rawType).as(rawName))
+        .selectExpr(s"($exprSql) AS __g")
+        .head()
+      if (row.isNullAt(0)) None else Some(row.get(0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** predicate && derived generated-column conjuncts (see section
+    * comment). Identity (no generated columns / no usable bounds) is
+    * the common fast path: one sidecar read, no evaluation.
+    */
+  private def withGeneratedPruning(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      schema: StructType, predicate: Column): Column = {
+    val gens = generatedIn(fs, dir)
+    if (gens.isEmpty) return predicate
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte, Literal => CLit}
+    val tree =
+      try org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+      catch { case scala.util.control.NonFatal(_) => return predicate }
+    // the Column DSL converts to UnresolvedFunction("and"/">="/...)
+    // nodes, SQL-parsed trees to catalyst And/GreaterThanOrEqual —
+    // normalize both shapes
+    def fn(e: CExpr): Option[(String, Seq[CExpr])] = e match {
+      case f: UnresolvedFunction if f.nameParts.size == 1 =>
+        Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT), f.arguments))
+      case _ => None
+    }
+    object Fn {
+      def unapply(e: CExpr): Option[(String, Seq[CExpr])] = fn(e)
+    }
+    def conjuncts(e: CExpr): Seq[CExpr] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case Fn("and", Seq(l, r)) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // (op, attr-side, literal, attrOnLeft)
+    object Cmp {
+      def unapply(e: CExpr): Option[(String, CExpr, CExpr)] = e match {
+        case CEq(l, r) => Some(("=", l, r))
+        case CGt(l, r) => Some((">", l, r))
+        case CGte(l, r) => Some((">=", l, r))
+        case CLt(l, r) => Some(("<", l, r))
+        case CLte(l, r) => Some(("<=", l, r))
+        case Fn(op, Seq(l, r))
+            if Set("=", "==", ">", ">=", "<", "<=")(op) =>
+          Some((if (op == "==") "=" else op, l, r))
+        case _ => None
+      }
+    }
+    def attrName(e: CExpr): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    val cs = conjuncts(tree)
+    val derived: Seq[Column] = gens.toSeq.flatMap { case (g, exprSql) =>
+      val parsed =
+        try spark.sessionState.sqlParser.parseExpression(exprSql)
+        catch { case scala.util.control.NonFatal(_) => return predicate }
+      monotoneSource(parsed) match {
+        case None => Nil
+        case Some(raw) if !schema.fieldNames.exists(_.equalsIgnoreCase(raw)) => Nil
+        case Some(raw) =>
+          val rawType = schema(schema.fieldIndex(
+            schema.fieldNames.find(_.equalsIgnoreCase(raw)).get)).dataType
+          def isRaw(e: CExpr): Boolean =
+            attrName(e).exists(_.equalsIgnoreCase(raw))
+          def f(v: CLit): Option[Column] =
+            evalGenAt(spark, exprSql, raw, rawType, v).map(lit(_))
+          cs.flatMap {
+            case Cmp(op, a, l: CLit) if isRaw(a) => op match {
+              case "=" => f(l).map(col(g) === _)
+              case ">" | ">=" => f(l).map(col(g) >= _)
+              case "<" | "<=" => f(l).map(col(g) <= _)
+            }
+            // literal-on-the-left comparisons flip the bound side
+            case Cmp(op, l: CLit, a) if isRaw(a) => op match {
+              case "=" => f(l).map(col(g) === _)
+              case ">" | ">=" => f(l).map(col(g) <= _)
+              case "<" | "<=" => f(l).map(col(g) >= _)
+            }
+            case _ => Nil
+          }
+      }
+    }
+    derived.foldLeft(predicate)(_ && _)
   }
 
   /** (files the predicate might match, all files) from the manifest.

@@ -122,4 +122,56 @@ class GeneratedColumnsSpec extends SparkSpec {
     DataSkipping.restoreTable(s, dir, versions.min)
     assert(DataSkipping.tableGeneratedColumns(s, dir) === Map("bucket" -> "v % 10"))
   }
+
+  test("read-side pruning: a raw-column predicate prunes via the generated partition column") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${tmpDir("graft_genpr")}/t"
+    // day = to_date(ts): 10 days x 100 rows; ts deliberately UNTRACKED
+    // so only the derived day-bound conjunct can prune
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val df = (0L until 1000L).map { i =>
+      (i, new java.sql.Timestamp(base + i * 864000L + 3600L), i % 7)
+    }.toDF("id", "ts", "k").withColumn("day", to_date(col("ts")))
+    DataSkipping.writeWithStats(df.repartition(2), dir, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("day"))
+    DataSkipping.addGeneratedColumn(s, dir, "day", "to_date(ts)")
+    val pred = col("ts") >= expr("timestamp'2024-03-03 00:00:00'") &&
+      col("ts") < expr("timestamp'2024-03-05 00:00:00'")
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept.size < files.size, s"derived bound must prune: ${kept.size}/${files.size}")
+    val days = kept.flatMap("day=([0-9-]+)".r.findFirstMatchIn(_).map(_.group(1))).distinct.sorted
+    assert(days.forall(d => d >= "2024-03-03" && d <= "2024-03-05"), days.toString)
+    // results identical to a brute-force filter (derivation is pure pruning)
+    assert(DataSkipping.readSkipping(s, dir, pred).count() ===
+      df.filter(pred).count())
+    // equality on raw derives equality on the generated column
+    val eqPred = col("ts") === expr("timestamp'2024-03-04 01:00:00'")
+    val (keptEq, _) = DataSkipping.prunedFiles(s, dir, eqPred)
+    assert(keptEq.forall(_.contains("day=2024-03-04")), keptEq.toString)
+  }
+
+  test("read-side pruning: non-monotone generation expressions derive nothing (never wrong)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${tmpDir("graft_genpr2")}/t"
+    // hour-of-day WRAPS daily — deriving hod bounds from a ts range
+    // spanning midnight would silently drop rows; the whitelist must
+    // refuse it
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val df = (0L until 480L).map { i =>
+      (i, new java.sql.Timestamp(base + i * 600000L))
+    }.toDF("id", "ts").withColumn("hod", hour(col("ts")))
+    DataSkipping.writeWithStats(df.repartition(2), dir, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("hod"))
+    DataSkipping.addGeneratedColumn(s, dir, "hod", "hour(ts)")
+    // spans a midnight: matching rows live in hod partitions 22,23,0,1
+    val pred = col("ts") >= expr("timestamp'2024-03-01 22:00:00'") &&
+      col("ts") < expr("timestamp'2024-03-02 02:00:00'")
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept.size === files.size,
+      "a non-monotone generation expression must not prune")
+    assert(DataSkipping.readSkipping(s, dir, pred).count() ===
+      df.filter(pred).count())
+  }
 }
