@@ -4346,6 +4346,56 @@ object Queries {
               FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
+  // Partition-scoped OPTIMIZE (r15, Delta's `OPTIMIZE t WHERE part`):
+  // a 4x4-file fragmented partitioned table; a DV delete in p=1; then
+  // SQL `OPTIMIZE ... WHERE p = 2`. The marker row pins the per-
+  // partition FILE counts (4,4,1,4 — only p=2 collapsed; the scoped
+  // op must not touch other partitions' files) and the data rows pin
+  // content-invisibility (incl. the untouched partition's vector).
+  val optimizeWhereQ = QueryDef(
+    "q_optimize_where",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_optw").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("p", pmod(col("user_id"), lit(4)))
+      val q = ev.count() / 4
+      DataSkipping.writeWithStats(
+        ev.orderBy("event_id").limit(q.toInt).coalesce(1), t, Seq("event_id"),
+        bloomCols = Nil, partitionBy = Seq("p"))
+      (1 to 3).foreach { b =>
+        DataSkipping.appendWithStats(
+          ev.orderBy("event_id")
+            .limit(((b + 1) * q).toInt).offset((b * q).toInt).coalesce(1),
+          t, Seq("event_id"))
+      }
+      DataSkipping.deleteWhereDV(s, t,
+        col("p") === 1L && col("event_id") % 17 === 3L)
+      GraftSql.sql(s, s"OPTIMIZE '$t' WHERE p = 2")
+      val counts = DataSkipping.readManifest(s, t).select("file").collect()
+        .map(_.getString(0))
+        .flatMap("p=([0-9]+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val marker = (0 to 3).map(counts.getOrElse(_, 0)).mkString("files=", ",", "")
+      DataSkipping.readSkipping(s, t, lit(true))
+        .select(col("event_id"), col("user_id"), col("value"), col("p"),
+          lit("data").as("info"))
+        .unionAll(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"), lit(-1L).as("p"),
+          lit(marker).as("info")))
+        .orderBy("event_id")
+    },
+    Some("""SELECT * FROM (
+              SELECT event_id, user_id, value, user_id % 4 AS p,
+                     'data' AS info
+              FROM events
+              WHERE NOT (user_id % 4 = 1 AND event_id % 17 = 3)
+              UNION ALL
+              SELECT -1, -1, 0.0, -1, 'files=4,4,1,4')
+            ORDER BY event_id"""))
+
   // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
   // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
   // by key envelope, absent keys no-ops. Full readback vs an
@@ -5679,7 +5729,7 @@ object Queries {
     tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, nfcNormalizeQ, approxDistinctQ, sketchMaintainQ, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, bloomScan,
+    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, bloomScan,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,

@@ -1884,6 +1884,73 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     moved.size
   }
 
+  /** Predicate-SCOPED compaction — Delta's `OPTIMIZE tbl WHERE
+    * <partition predicate>`: bin-pack ONLY the files the predicate
+    * touches, carry every other file verbatim. THE maintenance shape
+    * at 100 TB: an hourly job compacts today's hot partition's
+    * small-file tail in O(partition), while full [[compactTable]]
+    * would rewrite the table. Selection is FILE-granular through the
+    * same prune+touch probe row-level DML uses (for a partition
+    * predicate, min=max stats make it exactly the partition's
+    * files; a non-partition predicate simply compacts every file
+    * holding a matching row — whole files rewrite, so the operation
+    * is content-invisible either way). Deletion-vector entries on
+    * the touched files MATERIALIZE (their rewrite scans DV-filtered
+    * rows); entries on untouched files carry forward. Same
+    * optimistic-commit, marker-verbatim, removal-log and retention
+    * contract as every [[rewriteFiles]] op. Returns the number of
+    * files compacted away (0 = nothing worth rewriting).
+    */
+  def compactWhere(spark: SparkSession, path: String, predicate: Column,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Int =
+      withConcurrentRetry("compactWhere") {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val pred = mapPred(spark, path, predicate)
+    val (manifest, schema, _, touched, touchedScan, observed) =
+      pruneAndTouch(spark, path, dir, pred, "compactWhere")
+    val files = touched.map(_._1)
+    if (files.isEmpty) {
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0
+    }
+    val filesDf = spark.createDataset(files)(
+      org.apache.spark.sql.Encoders.STRING).toDF("__f")
+    val bytes = manifest.join(broadcast(filesDf),
+        col("file") === col("__f"), "left_semi")
+      .agg(sum(col("file_size"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val target = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val dvTouches = readDvIn(spark, dir).exists { d =>
+      !d.join(broadcast(filesDf), col("file") === col("__f"), "left_semi")
+        .isEmpty
+    }
+    if (target >= files.size && !dvTouches) {
+      // already at or under the bin target and no vector to resolve
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0
+    }
+    val partCols = partitionColsIn(fs, dir)
+    // whole-file rewrite: the touched scan is DV-filtered but NOT
+    // predicate-filtered — boundary files' non-matching rows ride
+    // into the compacted output (content-invisible by construction)
+    val replacement =
+      if (partCols.isEmpty) touchedScan.coalesce(target)
+      else touchedScan.repartition(target, partCols.map(col): _*)
+    rewriteFiles(spark, fs, path, dir, manifest, schema, files,
+      Some(replacement), vacuum, retentionMs, markerRetentionMs, opStart,
+      op = "OPTIMIZE WHERE", observedParts = Some(observed))
+    files.size
+  }
+
   /** Build the COMPLETE next manifest generation in a hidden dir and
     * publish it with ONE atomic `_COMMIT` create — the shared commit
     * path behind [[compactTable]], [[deleteWhere]], [[updateWhere]]

@@ -79,7 +79,7 @@ object GraftSql {
   private val R = """(?:'[^']+'|[A-Za-z_][\w.]*)"""
 
   private val Optimize =
-    s"""(?is)^\\s*OPTIMIZE\\s+($R)\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\)|(INCREMENTAL))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+($R)\\s*(?:WHERE\\s+(.+?))?\\s*(?:ZORDER\\s+BY\\s*\\(([^)]*)\\)|(INCREMENTAL))?\\s*;?\\s*$$""".r
   private val Vacuum =
     s"""(?is)^\\s*VACUUM\\s+($R)\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val History =
@@ -88,6 +88,8 @@ object GraftSql {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+($R)\\s*;?\\s*$$""".r
   private val Restore =
     s"""(?is)^\\s*RESTORE\\s+($R)\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val RestoreTs =
+    s"""(?is)^\\s*RESTORE\\s+($R)\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val AddConstraint =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropConstraint =
@@ -384,10 +386,17 @@ object GraftSql {
       else spark.flatMap(catalogMeta(_, g))
         .map(m => (locationToPath(m.location), Some(g)))
     sqlText match {
-      case Optimize(t, null, null) => ref(t).map(OptimizeGraftCommand(_, Nil))
-      case Optimize(t, null, _)    =>
+      case Optimize(t, where, null, null) =>
+        ref(t).map(OptimizeGraftCommand(_, Nil, whereSql = Option(where)))
+      case Optimize(t, where, null, _)    =>
+        require(where == null,
+          "OPTIMIZE ... INCREMENTAL does not take WHERE — the backlog " +
+            "is already its scope")
         ref(t).map(OptimizeGraftCommand(_, Nil, incremental = true))
-      case Optimize(t, zCols, _)   =>
+      case Optimize(t, where, zCols, _)   =>
+        require(where == null,
+          "OPTIMIZE ... WHERE with ZORDER BY is not supported — " +
+            "scoped re-clustering is OPTIMIZE INCREMENTAL's job")
         val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         ref(t).map(OptimizeGraftCommand(_, cols))
       case Vacuum(t, hours, dry) =>
@@ -395,6 +404,8 @@ object GraftSql {
       case History(t)         => ref(t).map(DescribeHistoryGraftCommand(_))
       case Detail(t)          => ref(t).map(DescribeDetailGraftCommand(_))
       case Restore(t, v)      => ref(t).map(RestoreGraftCommand(_, v.toLong))
+      case RestoreTs(t, ts)   =>
+        ref(t).map(RestoreTimestampGraftCommand(_, ts))
       case AddConstraint(t, name, expr) =>
         ref(t).map(AddConstraintGraftCommand(_, name, expr.trim))
       case DropConstraint(t, name) =>
@@ -466,7 +477,7 @@ object GraftSql {
   * unclustered backlog — the liquid-clustering maintenance shape).
   */
 case class OptimizeGraftCommand(path: String, zCols: Seq[String],
-    incremental: Boolean = false)
+    incremental: Boolean = false, whereSql: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -475,8 +486,11 @@ case class OptimizeGraftCommand(path: String, zCols: Seq[String],
     AttributeReference("result_files", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
     val files =
-      if (incremental) DataSkipping.optimizeIncremental(spark, path)
+      if (whereSql.isDefined)
+        DataSkipping.compactWhere(spark, path, expr(whereSql.get))
+      else if (incremental) DataSkipping.optimizeIncremental(spark, path)
       else if (zCols.isEmpty) DataSkipping.compactTable(spark, path)
       else {
         val bytes = DataSkipping.tableDetail(spark, path)
@@ -484,7 +498,8 @@ case class OptimizeGraftCommand(path: String, zCols: Seq[String],
         val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
         DataSkipping.zorderTable(spark, path, zCols, targetFiles = target)
       }
-    val op = if (incremental) "OPTIMIZE INCREMENTAL"
+    val op = if (whereSql.isDefined) s"OPTIMIZE WHERE ${whereSql.get}"
+      else if (incremental) "OPTIMIZE INCREMENTAL"
       else if (zCols.isEmpty) "OPTIMIZE"
       else s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})"
     Seq(Row(path, op, files.toLong))
@@ -566,6 +581,28 @@ case class RestoreGraftCommand(path: String, version: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     DataSkipping.restoreTable(spark, path, version)
     Seq(Row(path, version))
+  }
+}
+
+/** `RESTORE <table> [TO] TIMESTAMP AS OF '<instant>'` — Delta's
+  * timestamp-restore form: the instant (epoch millis or
+  * `java.sql.Timestamp`-parseable text) resolves through
+  * [[DataSkipping.versionAtTime]] (in-commit timestamps, monotonic),
+  * then restores that version.
+  */
+case class RestoreTimestampGraftCommand(path: String, tsText: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ms = tsText.toLongOption.getOrElse(
+      java.sql.Timestamp.valueOf(tsText).getTime)
+    val v = DataSkipping.versionAtTime(spark, path, ms)
+    DataSkipping.restoreTable(spark, path, v)
+    Seq(Row(path, v))
   }
 }
 

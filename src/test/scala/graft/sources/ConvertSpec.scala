@@ -103,6 +103,61 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 231L)
   }
 
+  test("partition-scoped OPTIMIZE WHERE compacts only the touched partition; others byte-identical") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_optw")}/d"
+    // 4 partitions x 4 files each (fragmented via repeated appends)
+    val base = (0L until 400L).map(i => (i, i % 4, s"v$i")).toDF("id", "p", "v")
+    DataSkipping.writeWithStats(base.filter(col("id") < 100L).coalesce(1), t,
+      Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+    (1 to 3).foreach { b =>
+      DataSkipping.appendWithStats(
+        base.filter(col("id") >= b * 100L && col("id") < (b + 1) * 100L)
+          .coalesce(1), t, Seq("id"))
+    }
+    // a vector on an UNTOUCHED partition must survive the scoped op
+    DataSkipping.deleteWhereDV(s, t, col("p") === 1L && col("id") === 101L)
+    val before = DataSkipping.readManifest(s, t)
+      .select("file", "mod_time").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val beforeP2 = before.keys.filter(_.contains("p=2")).toSet
+    assert(beforeP2.size === 4)
+
+    val compacted = DataSkipping.compactWhere(s, t, col("p") === 2L,
+      vacuum = false)
+    assert(compacted === 4, s"all 4 of p=2's files compact, got $compacted")
+    val after = DataSkipping.readManifest(s, t)
+      .select("file", "mod_time").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p=2 collapsed to one file; every other partition byte-identical
+    assert(after.keys.count(_.contains("p=2")) === 1)
+    after.filterNot(_._1.contains("p=2")).foreach { case (f, mt) =>
+      assert(before.get(f).contains(mt), s"untouched file rewritten: $f")
+    }
+    // content invisible (incl. the untouched partition's DV)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 399L)
+    assert(DataSkipping.readSkipping(s, t, col("p") === 2L).count() === 100L)
+    assert(DataSkipping.readSkipping(s, t, col("id") === 101L).count() === 0L)
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0))
+    assert(ops.contains("OPTIMIZE WHERE"), ops.mkString(","))
+    // a second scoped pass is a no-op (already one file, no vector)
+    assert(DataSkipping.compactWhere(s, t, col("p") === 2L, vacuum = false) === 0)
+    // scoping ONTO the vector-bearing partition materializes its DV
+    assert(DataSkipping.compactWhere(s, t, col("p") === 1L, vacuum = false) > 0)
+    val fsT = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fsT.exists(new org.apache.hadoop.fs.Path(
+        DataSkipping.manifestDir(s, t), DataSkipping.DvDir)),
+      "compacting the vector-bearing partition must resolve the vector")
+    assert(DataSkipping.readSkipping(s, t, col("p") === 1L).count() === 99L)
+    // SQL form
+    val res = GraftSql.sql(s, s"OPTIMIZE '$t' WHERE p = 3").head
+    assert(res.getString(1).startsWith("OPTIMIZE WHERE"))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 399L)
+  }
+
   test("partitioned overwrite is a full-table replace even under partitionOverwriteMode=dynamic") {
     val s = spark
     import s.implicits._

@@ -36,6 +36,15 @@ class GraftSqlSpec extends SparkSpec {
       .contains(RestoreGraftCommand("/x/t", 3L)))
     assert(GraftSql.parse("RESTORE '/x/t' VERSION AS OF 0")
       .contains(RestoreGraftCommand("/x/t", 0L)))
+    assert(GraftSql.parse("RESTORE '/x/t' TO TIMESTAMP AS OF '2024-01-02 03:04:05'")
+      .contains(RestoreTimestampGraftCommand("/x/t", "2024-01-02 03:04:05")))
+    assert(GraftSql.parse("OPTIMIZE '/x/t' WHERE p = 3 AND q < 'x'")
+      .contains(OptimizeGraftCommand("/x/t", Nil,
+        whereSql = Some("p = 3 AND q < 'x'"))))
+    intercept[IllegalArgumentException](
+      GraftSql.parse("OPTIMIZE '/x/t' WHERE p = 3 ZORDER BY (a)"))
+    intercept[IllegalArgumentException](
+      GraftSql.parse("OPTIMIZE '/x/t' WHERE p = 3 INCREMENTAL"))
     assert(GraftSql.parse(
         "ALTER TABLE '/x/t' ADD CONSTRAINT ok CHECK (a > 0 AND (b < 2))")
       .contains(AddConstraintGraftCommand("/x/t", "ok", "a > 0 AND (b < 2)")))
