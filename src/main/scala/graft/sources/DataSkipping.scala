@@ -3690,6 +3690,22 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     trackedCols(spark, manifestDirOf(fs, path)).toSeq.sorted
   }
 
+  /** The table's LIVE partition-value tuples under their CURRENT
+    * LOGICAL names, TYPED — one distinct manifest aggregate
+    * (partition columns are tracked min=max per file), no directory
+    * listing at any table size. The `SHOW PARTITIONS` substrate.
+    */
+  def partitionValues(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val phys = partitionColsIn(fs, dir)
+    require(phys.nonEmpty, s"$path is not a partitioned graft table")
+    val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+    readManifestIn(spark, dir)
+      .select(phys.map(p => col(s"min_$p").as(inv.getOrElse(p, p))): _*)
+      .distinct()
+  }
+
   /** The tracked stats columns under their CURRENT LOGICAL names —
     * what a USER predicate or MIN/MAX target may reference (the
     * manifest itself stores physical names; see [[tableStatsCols]]).

@@ -90,6 +90,8 @@ object GraftSql {
     s"""(?is)^\\s*RESTORE\\s+($R)\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
   private val RestoreTs =
     s"""(?is)^\\s*RESTORE\\s+($R)\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""".r
+  private val ShowParts =
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($R)\\s*;?\\s*$$""".r
   private val AddConstraint =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropConstraint =
@@ -406,6 +408,7 @@ object GraftSql {
       case Restore(t, v)      => ref(t).map(RestoreGraftCommand(_, v.toLong))
       case RestoreTs(t, ts)   =>
         ref(t).map(RestoreTimestampGraftCommand(_, ts))
+      case ShowParts(t)       => ref(t).map(ShowPartitionsGraftCommand(_))
       case AddConstraint(t, name, expr) =>
         ref(t).map(AddConstraintGraftCommand(_, name, expr.trim))
       case DropConstraint(t, name) =>
@@ -603,6 +606,34 @@ case class RestoreTimestampGraftCommand(path: String, tsText: String)
     val v = DataSkipping.versionAtTime(spark, path, ms)
     DataSkipping.restoreTable(spark, path, v)
     Seq(Row(path, v))
+  }
+}
+
+/** `SHOW PARTITIONS <table>` — Hive/Delta's listing, answered from
+  * the MANIFEST (partition columns are tracked min=max per file, so
+  * distinct partition tuples are one small manifest aggregate — no
+  * directory listing at any table size). One `p1=v1/p2=v2` row per
+  * live partition, logical column names, Hive default-partition
+  * marker for nulls, sorted.
+  */
+case class ShowPartitionsGraftCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val df = DataSkipping.partitionValues(spark, path)
+    val names = df.columns
+    df.collect().map { r =>
+      names.indices.map { i =>
+        val v =
+          if (r.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(r.get(i).toString)
+        s"${ExternalCatalogUtils.escapePathName(names(i))}=$v"
+      }.mkString("/")
+    }.sorted.map(Row(_)).toSeq
   }
 }
 

@@ -103,6 +103,41 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 231L)
   }
 
+  test("SHOW PARTITIONS answers from the manifest: live tuples, null marker, DML-accurate") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_shp")}/d"
+    val df = (0L until 120L)
+      .map(i => (i, if (i % 4 == 3) None else Some(i % 3), s"v$i"))
+      .toDF("id", "p", "v")
+    DataSkipping.writeWithStats(df, t, Seq("id"), bloomCols = Nil,
+      partitionBy = Seq("p"))
+    def parts(ref: String): Seq[String] =
+      GraftSql.sql(s, s"SHOW PARTITIONS $ref")
+        .collect().map(_.getString(0)).toSeq
+    assert(parts(s"'$t'") ===
+      Seq("p=0", "p=1", "p=2", "p=__HIVE_DEFAULT_PARTITION__"))
+    // a whole-partition DELETE removes its row from the listing
+    DataSkipping.deleteWhere(s, t, col("p") === 1L, vacuum = false)
+    assert(parts(s"'$t'") ===
+      Seq("p=0", "p=2", "p=__HIVE_DEFAULT_PARTITION__"))
+    // typed API + logical rename flows through
+    DataSkipping.renameColumn(s, t, "p", "bucket")
+    assert(DataSkipping.partitionValues(s, t).columns === Array("bucket"))
+    assert(parts(s"'$t'") ===
+      Seq("bucket=0", "bucket=2", "bucket=__HIVE_DEFAULT_PARTITION__"))
+    // name-addressed form
+    val n = "shp_" + java.util.UUID.randomUUID.toString.replace("-", "").take(10)
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    assert(parts(n) === parts(s"'$t'"))
+    s.sql(s"DROP TABLE $n")
+    // flat table refuses loudly
+    val flat = s"${tmpDir("graft_shpf")}/d"
+    DataSkipping.writeWithStats((0L until 10L).map(i => (i, i)).toDF("id", "v"),
+      flat, Seq("id"))
+    intercept[IllegalArgumentException](parts(s"'$flat'"))
+  }
+
   test("partition-scoped OPTIMIZE WHERE compacts only the touched partition; others byte-identical") {
     val s = spark
     import s.implicits._
