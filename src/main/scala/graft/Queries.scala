@@ -4346,6 +4346,42 @@ object Queries {
               FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
+  // SHOW PARTITIONS (r15): live partition tuples from ONE manifest
+  // aggregate — no directory listing. The program exercises the
+  // tuple lifecycle: a null partition value (Hive default marker), a
+  // whole-partition DELETE vanishing from the listing, and an append
+  // creating a NEW partition appearing in it.
+  val showPartitionsQ = QueryDef(
+    "q_show_partitions",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      val root = java.nio.file.Files.createTempDirectory("graft_shpq").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("p", when(col("user_id") % 7 === 0, lit(null))
+          .otherwise(pmod(col("user_id"), lit(5))).cast("long"))
+      DataSkipping.writeWithStats(ev.repartition(4), t, Seq("event_id"),
+        bloomCols = Nil, partitionBy = Seq("p"))
+      DataSkipping.deleteWhere(s, t, col("p") === 2L, vacuum = false)
+      DataSkipping.appendWithStats(
+        ev.filter(col("p") === 0L).limit(50)
+          .withColumn("p", lit(99L)).coalesce(1), t, Seq("event_id"))
+      GraftSql.sql(s, s"SHOW PARTITIONS '$t'")
+        .orderBy("partition")
+    },
+    Some("""SELECT DISTINCT
+              'p=' || COALESCE(CAST(
+                CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END
+                AS VARCHAR), '__HIVE_DEFAULT_PARTITION__') AS partition
+            FROM events
+            WHERE NOT COALESCE(
+              CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END = 2,
+              FALSE)
+            UNION
+            SELECT 'p=99'
+            ORDER BY partition"""))
+
   // Partition-scoped OPTIMIZE (r15, Delta's `OPTIMIZE t WHERE part`):
   // a 4x4-file fragmented partitioned table; a DV delete in p=1; then
   // SQL `OPTIMIZE ... WHERE p = 2`. The marker row pins the per-
@@ -5729,7 +5765,7 @@ object Queries {
     tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, nfcNormalizeQ, approxDistinctQ, sketchMaintainQ, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, bloomScan,
+    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, showPartitionsQ, bloomScan,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,

@@ -159,6 +159,27 @@ class CatalogSpec extends SparkSpec {
     s.sql(s"DROP TABLE $n")
   }
 
+  test("INSERT INTO by name speaks LOGICAL column names on a column-mapped table") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat7")}/tbl"
+    val n = freshName("cat_map")
+    DataSkipping.writeWithStats(
+      (0L until 60L).map(i => (i, s"a$i")).toDF("id", "v"), t, Seq("id"))
+    DataSkipping.renameColumn(s, t, "v", "label")
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    assert(s.table(n).columns.toSeq === Seq("id", "label"))
+    // the insert batch arrives under the LOGICAL schema; the append
+    // hook translates to the stable physical column underneath
+    s.sql(s"INSERT INTO $n SELECT id + 1000, concat('b', id) FROM range(20)")
+    assert(s.table(n).count() === 80L)
+    assert(s.table(n).filter(col("id") >= 1000L)
+      .select("label").as[String].collect().forall(_.startsWith("b")))
+    // pruning on the logical name still reaches the manifest
+    assert(DataSkipping.countWhere(s, t, col("id") >= 1000L) === 20L)
+    s.sql(s"DROP TABLE $n")
+  }
+
   test("CONVERT TO GRAFT <name> converts in place and flips the catalog provider") {
     val s = spark
     import s.implicits._

@@ -181,6 +181,44 @@ class ConcurrencySpec extends SparkSpec {
       s"compactions must appear in history: ${ops.mkString(",")}")
   }
 
+  test("named appends racing partition-scoped OPTIMIZE WHERE: exactly-once, content-invisible") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, i % 4)).toDF("id", "p")
+        .repartition(4), t, Seq("id"), bloomCols = Nil,
+      partitionBy = Seq("p"))
+    (0 until 3).foreach { round =>
+      inParallel(Seq(
+        () => {
+          val base = 3000000L + round * 1000L
+          assert(DataSkipping.appendWithStats(
+            (base until base + 400L).map(i => (i, i % 4)).toDF("id", "p")
+              .coalesce(1),
+            t, Seq("id"), commitName = Some(s"optw-occ-$round")))
+        },
+        () => {
+          DataSkipping.compactWhere(s, t, col("p") === (round.toLong % 4),
+            targetFileBytes = 4L * 1024 * 1024, vacuum = false)
+          ()
+        }))
+    }
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count()
+      === 4000L + 3 * 400L)
+    // every appended batch present exactly once, scoped compaction
+    // never resurrected or dropped a partition's rows
+    (0 until 3).foreach { round =>
+      val base = 3000000L + round * 1000L
+      assert(DataSkipping.readSkipping(s, t,
+        col("id") >= base && col("id") < base + 400L).count() === 400L)
+    }
+    (0L until 4L).foreach { p =>
+      assert(DataSkipping.readSkipping(s, t, col("p") === p).count() ===
+        1000L + 3 * 100L, s"partition $p")
+    }
+  }
+
   test("DML racing RESTORE: final content equals the serial replay of the committed order") {
     val s = spark
     import s.implicits._
