@@ -5419,6 +5419,23 @@ object DataSkipping extends org.apache.spark.internal.Logging {
               case ">" | ">=" => f(l).map(col(g) <= _)
               case "<" | "<=" => f(l).map(col(g) >= _)
             }
+            // IN-lists: raw IN (v1..vn) ⟹ g IN (f(v1)..f(vn)) — but
+            // only when EVERY endpoint evaluates non-null (a null
+            // f(vi) means raw=vi rows live in the null partition;
+            // g IN (...) would exclude them and lose rows)
+            case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+                if isRaw(a) && vs.nonEmpty &&
+                  vs.forall(_.isInstanceOf[CLit]) =>
+              val mapped = vs.map(v => f(v.asInstanceOf[CLit]))
+              if (mapped.forall(_.isDefined))
+                Seq(mapped.flatten.map(col(g) === _).reduce(_ || _))
+              else Nil
+            case Fn("in", args) if args.size >= 2 && isRaw(args.head) &&
+                args.tail.forall(_.isInstanceOf[CLit]) =>
+              val mapped = args.tail.map(v => f(v.asInstanceOf[CLit]))
+              if (mapped.forall(_.isDefined))
+                Seq(mapped.flatten.map(col(g) === _).reduce(_ || _))
+              else Nil
             case _ => Nil
           }
       }

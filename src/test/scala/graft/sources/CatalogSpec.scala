@@ -180,6 +180,48 @@ class CatalogSpec extends SparkSpec {
     s.sql(s"DROP TABLE $n")
   }
 
+  test("streaming by name: readStream.table drains commits; writeStream.toTable appends exactly-once") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat8")}/tbl"
+    val n = freshName("cat_stream")
+    graft.streaming.StatsTableSink.ensureTable(s, t,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Seq("id"))
+    assert(DataSkipping.appendWithStats((0L until 100L).toDF("id").coalesce(1),
+      t, Seq("id"), commitName = Some("seed")))
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+
+    // name-addressed STREAM READ resolves to the stats-table source
+    val out = tmpDir("graft_cat8_out") + "/o"
+    val ck1 = tmpDir("graft_cat8_ck1")
+    def drain(): Unit = {
+      val q = s.readStream.table(n).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck1)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(s.read.parquet(out).count() === 100L)
+    assert(DataSkipping.appendWithStats((100L until 130L).toDF("id").coalesce(1),
+      t, Seq("id"), commitName = Some("more")))
+    drain()
+    assert(s.read.parquet(out).count() === 130L,
+      "restarted name-addressed stream must deliver exactly the new commit")
+
+    // name-addressed STREAM WRITE routes through the graft sink
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](s)
+    ms.addData(1000L, 1001L)
+    val q2 = ms.toDF.toDF("id").writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("graft_cat8_ck2"))
+      .toTable(n)
+    q2.processAllAvailable(); q2.stop()
+    assert(DataSkipping.readSkipping(s, t, col("id") >= 1000L).count() === 2L)
+    assert(s.table(n).count() === 132L)
+    s.sql(s"DROP TABLE $n")
+  }
+
   test("CONVERT TO GRAFT <name> converts in place and flips the catalog provider") {
     val s = spark
     import s.implicits._

@@ -149,6 +149,17 @@ class GeneratedColumnsSpec extends SparkSpec {
     val eqPred = col("ts") === expr("timestamp'2024-03-04 01:00:00'")
     val (keptEq, _) = DataSkipping.prunedFiles(s, dir, eqPred)
     assert(keptEq.forall(_.contains("day=2024-03-04")), keptEq.toString)
+    // IN-lists derive a generated-column disjunction
+    val inPred = col("ts").isin(
+      java.sql.Timestamp.valueOf("2024-03-04 01:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-07 05:00:00"))
+    val (keptIn, allF) = DataSkipping.prunedFiles(s, dir, inPred)
+    assert(keptIn.size < allF.size)
+    assert(keptIn.forall(p =>
+      p.contains("day=2024-03-04") || p.contains("day=2024-03-07")),
+      keptIn.toString)
+    assert(DataSkipping.readSkipping(s, dir, inPred).count() ===
+      df.filter(inPred).count())
   }
 
   test("read-side pruning: non-monotone generation expressions derive nothing (never wrong)") {
