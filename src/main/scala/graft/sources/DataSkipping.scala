@@ -5271,50 +5271,82 @@ object DataSkipping extends org.apache.spark.internal.Logging {
   // 1-row local evaluation per bound.
 
   /** The single source column of `e` IF `e` is monotone
-    * non-decreasing in it; None otherwise. Whitelisted families:
-    * identity, temporal truncation casts (DATE/TIMESTAMP),
-    * date_trunc(unit, c), year(c), to_date(c), floor/div by a
-    * positive constant, substring(c, 1, k) (lexicographic prefix).
-    * Deliberately NOT month/day/hour — they wrap and are not
-    * monotone alone.
+    * non-decreasing in it — (column, required raw-type family).
+    * Whitelisted families: identity (any type), temporal truncation
+    * casts (DATE/TIMESTAMP), date_trunc(unit, c), year(c),
+    * to_date(c) — TEMPORAL raw only (over a STRING these are NOT
+    * monotone: '2021-12-1' < '2021-2-1' lexicographically while the
+    * parsed dates order the other way, and deriving from them would
+    * silently drop rows); floor/div by a positive constant (NUMERIC
+    * raw only); substring(c, 1, k) (STRING raw only — binary-order
+    * prefix). Deliberately NOT month/day/hour — they wrap and are
+    * not monotone alone. The caller checks the family against the
+    * raw column's actual type ([[monotoneTypeOk]]).
     */
   private def monotoneSource(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Literal => CLit}
     import org.apache.spark.sql.types.{DateType, TimestampType}
     def fname(f: UnresolvedFunction): String =
       f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+    def inner(c: org.apache.spark.sql.catalyst.expressions.Expression,
+        family: String): Option[(String, String)] =
+      c match {
+        // only a BARE attribute below a family wrapper — nested
+        // wrappers would need family composition; keep the whitelist
+        // one level deep and provably sound
+        case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+          Some((a.nameParts.head, family))
+        case _ => None
+      }
     e match {
       case a: UnresolvedAttribute if a.nameParts.size == 1 =>
-        Some(a.nameParts.head)
+        Some((a.nameParts.head, "any"))
       case c: Cast if c.dataType == DateType || c.dataType == TimestampType =>
-        monotoneSource(c.child)
+        inner(c.child, "temporal")
       case f: UnresolvedFunction if fname(f) == "date_trunc" =>
         f.arguments match {
-          case Seq(CLit(_, _), c) => monotoneSource(c)
+          case Seq(CLit(_, _), c) => inner(c, "temporal")
           case _ => None
         }
       case f: UnresolvedFunction if fname(f) == "year" || fname(f) == "to_date" =>
         f.arguments match {
-          case Seq(c) => monotoneSource(c)
+          case Seq(c) => inner(c, "temporal")
           case _ => None
         }
       case f: UnresolvedFunction if fname(f) == "floor" =>
         f.arguments match {
           case Seq(Divide(c, CLit(n, _), _)) if positiveConst(n) =>
-            monotoneSource(c)
+            inner(c, "numeric")
           case _ => None
         }
-      case Divide(c, CLit(n, _), _) if positiveConst(n) => monotoneSource(c)
+      case Divide(c, CLit(n, _), _) if positiveConst(n) => inner(c, "numeric")
       case f: UnresolvedFunction
           if fname(f) == "substring" || fname(f) == "substr" =>
         f.arguments match {
           case Seq(c, CLit(pos, _), CLit(_, _)) if String.valueOf(pos) == "1" =>
-            monotoneSource(c)
+            inner(c, "string")
           case _ => None
         }
       case _ => None
+    }
+  }
+
+  /** Does the raw column's ACTUAL type satisfy the family the
+    * monotone whitelist assumed? (A temporal function over a STRING
+    * column parses but is not monotone in the column's order.)
+    */
+  private def monotoneTypeOk(family: String, dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    family match {
+      case "any" => true
+      case "temporal" => dt == DateType || dt == TimestampType ||
+        dt == TimestampNTZType
+      case "numeric" => dt.isInstanceOf[NumericType]
+      case "string" => dt == StringType
+      case _ => false
     }
   }
 
@@ -5397,12 +5429,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       val parsed =
         try spark.sessionState.sqlParser.parseExpression(exprSql)
         catch { case scala.util.control.NonFatal(_) => return predicate }
+      def rawTypeOf(raw: String): Option[DataType] =
+        schema.fieldNames.find(_.equalsIgnoreCase(raw))
+          .map(n => schema(schema.fieldIndex(n)).dataType)
       monotoneSource(parsed) match {
         case None => Nil
-        case Some(raw) if !schema.fieldNames.exists(_.equalsIgnoreCase(raw)) => Nil
-        case Some(raw) =>
-          val rawType = schema(schema.fieldIndex(
-            schema.fieldNames.find(_.equalsIgnoreCase(raw)).get)).dataType
+        case Some((raw, family))
+            if !rawTypeOf(raw).exists(monotoneTypeOk(family, _)) => Nil
+        case Some((raw, family)) =>
+          val rawType = rawTypeOf(raw).get
           def isRaw(e: CExpr): Boolean =
             attrName(e).exists(_.equalsIgnoreCase(raw))
           def f(v: CLit): Option[Column] =

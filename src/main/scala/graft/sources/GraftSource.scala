@@ -259,8 +259,13 @@ private[sources] class GraftRelation(spark: SparkSession,
     require(version.isEmpty,
       "cannot INSERT into a time-travel (versionAsOf/timestampAsOf) relation")
     if (overwrite) {
+      // LOGICAL names throughout: the batch arrives under the
+      // relation's logical schema, and the overwrite creates a FRESH
+      // table whose physical names ARE those logical names — physical
+      // tracked names from the old mapping would fail (or worse,
+      // silently diverge) after a rename
       val partCols = DataSkipping.tablePartitionColumnsLogical(spark, path)
-      val statsCols = DataSkipping.tableStatsCols(spark, path)
+      val statsCols = DataSkipping.tableStatsColsLogical(spark, path)
         .filterNot(partCols.contains)
       DataSkipping.writeWithStats(data, path, statsCols,
         bloomCols = Nil, partitionBy = partCols)

@@ -388,19 +388,27 @@ object GraftSql {
       else spark.flatMap(catalogMeta(_, g))
         .map(m => (locationToPath(m.location), Some(g)))
     sqlText match {
+      // the WHERE+ZORDER/INCREMENTAL refusals fire only AFTER the
+      // reference resolves to a graft table — a bare name that is
+      // some other system's table must fall through to the delegate
+      // untouched, never die on a graft grammar rule
       case Optimize(t, where, null, null) =>
         ref(t).map(OptimizeGraftCommand(_, Nil, whereSql = Option(where)))
       case Optimize(t, where, null, _)    =>
-        require(where == null,
-          "OPTIMIZE ... INCREMENTAL does not take WHERE — the backlog " +
-            "is already its scope")
-        ref(t).map(OptimizeGraftCommand(_, Nil, incremental = true))
+        ref(t).map { p =>
+          require(where == null,
+            "OPTIMIZE ... INCREMENTAL does not take WHERE — the backlog " +
+              "is already its scope")
+          OptimizeGraftCommand(p, Nil, incremental = true)
+        }
       case Optimize(t, where, zCols, _)   =>
-        require(where == null,
-          "OPTIMIZE ... WHERE with ZORDER BY is not supported — " +
-            "scoped re-clustering is OPTIMIZE INCREMENTAL's job")
-        val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        ref(t).map(OptimizeGraftCommand(_, cols))
+        ref(t).map { p =>
+          require(where == null,
+            "OPTIMIZE ... WHERE with ZORDER BY is not supported — " +
+              "scoped re-clustering is OPTIMIZE INCREMENTAL's job")
+          val cols = zCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          OptimizeGraftCommand(p, cols)
+        }
       case Vacuum(t, hours, dry) =>
         ref(t).map(VacuumGraftCommand(_, Option(hours).map(_.toLong), dry != null))
       case History(t)         => ref(t).map(DescribeHistoryGraftCommand(_))
@@ -719,13 +727,27 @@ case class ConvertGraftCommand(path: String, statsCols: Seq[String],
       partitionBy = partitionBy)
     // name-addressed CONVERT (Delta's `CONVERT TO DELTA tbl` shape):
     // the data converted in place, so flip the catalog entry's
-    // provider — name-based reads and graft DML resolve from now on
+    // provider — name-based reads and graft DML resolve from now on.
+    // VERIFY the flip stuck: HiveExternalCatalog silently restores
+    // datasource properties (incl. the provider) on alterTable, so a
+    // metastore-backed session would otherwise end up converted on
+    // disk but unreachable by name — fail LOUDLY with the remedy
+    // instead (the data conversion itself is already durable).
     catalogName.foreach { name =>
       val cat = spark.sessionState.catalog
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
-      cat.alterTable(cat.getTableMetadata(ident)
-        .copy(provider = Some("graft")))
+      val old = cat.getTableMetadata(ident)
+      cat.alterTable(old.copy(provider = Some("graft")))
       cat.refreshTable(ident)
+      val now = cat.getTableMetadata(ident)
+      if (!now.provider.exists(_.equalsIgnoreCase("graft"))) {
+        throw new IllegalStateException(
+          s"CONVERT TO GRAFT converted the data at $path but this " +
+            s"catalog refused the provider change on $name " +
+            s"(still ${now.provider.getOrElse("?")}). Re-register the " +
+            s"entry: DROP TABLE $name; CREATE TABLE $name USING graft " +
+            s"LOCATION '$path'")
+      }
     }
     Seq(Row(path, n))
   }

@@ -101,9 +101,10 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
       case MetaMin(c, _) => c
       case MetaMax(c, _) => c
     }.distinct
-    targets.isEmpty ||
-      targets.forall(
-        DataSkipping.tableStatsColsLogical(spark, rel.path).contains)
+    targets.isEmpty || {
+      val tracked = DataSkipping.tableStatsColsLogical(spark, rel.path)
+      targets.forall(tracked.contains)
+    }
   }
 }
 

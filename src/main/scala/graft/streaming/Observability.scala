@@ -117,10 +117,15 @@ object TableLag {
       live.count(committed).toLong, live.filterNot(committed).sorted)
   }
 
-  /** Backlog of a [[ChangeFeedSource]] consumer in versions. */
+  /** Backlog of a [[ChangeFeedSource]] consumer in versions.
+    * `latestVersion` is -1 for a table with no committed generations
+    * yet (a monitoring poll must report clean zero lag there, not
+    * crash on the one table that hasn't produced data).
+    */
   def changeFeedLag(spark: SparkSession, tablePath: String,
       checkpoint: String, sourceIndex: Int = 0): VersionLag = {
-    val latest = DataSkipping.tableVersions(spark, tablePath).max
+    val latest = DataSkipping.tableVersions(spark, tablePath)
+      .maxOption.getOrElse(-1L)
     val committed = offsetAt(spark, checkpoint, sourceIndex) match {
       case Some(json) if json.contains("\"version\"") =>
         CdfVersionOffset.from(

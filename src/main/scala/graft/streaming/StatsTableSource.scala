@@ -184,14 +184,11 @@ final class StatsTableSource(
   /** Marker names currently committed (manifest files that are not
     * plain `part-` pieces). One listing of the manifest dir.
     */
-  private def markerNames(): Seq[String] = {
-    val dir = DataSkipping.manifestDir(spark, path)
-    if (!fs.exists(new Path(dir))) Seq.empty
-    else fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("part-") &&
-        !n.startsWith("_") && !n.startsWith("."))
-      .map(_.stripSuffix(".parquet"))
-  }
+  // ONE definition of the marker-name contract, shared with the
+  // backlog-observability surface: lag must count exactly the set
+  // the source drains
+  private def markerNames(): Seq[String] =
+    TableLag.liveCommitMarkers(spark, path)
 
   /** Marker set pinned by [[prepareForTriggerAvailableNow]]: under
     * `Trigger.AvailableNow` the run drains exactly the commits that

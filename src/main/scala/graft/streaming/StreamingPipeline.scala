@@ -249,9 +249,13 @@ final class StreamingPipeline(spark: SparkSession, storageRoot: String) {
   def tableLag(name: String): Seq[TableLag.CommitLag] = {
     val node = defs.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table $name"))
-    node.deps.filter(isStatsTable).zipWithIndex.map { case (dep, i) =>
-      TableLag.statsTableLag(spark, dataDir(dep), checkpointDir(name), i)
-    }
+    // source index = the dep's position among ALL deps (every dep is
+    // a streaming source in the consumer's checkpoint, stats-backed
+    // or not) — filtering first would mis-index mixed dep lists
+    node.deps.zipWithIndex.filter { case (dep, _) => isStatsTable(dep) }
+      .map { case (dep, i) =>
+        TableLag.statsTableLag(spark, dataDir(dep), checkpointDir(name), i)
+      }
   }
 
   /** The whole pipeline's backlog, one row per (consumer table ←

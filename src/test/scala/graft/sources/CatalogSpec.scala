@@ -177,6 +177,15 @@ class CatalogSpec extends SparkSpec {
       .select("label").as[String].collect().forall(_.startsWith("b")))
     // pruning on the logical name still reaches the manifest
     assert(DataSkipping.countWhere(s, t, col("id") >= 1000L) === 20L)
+    // INSERT OVERWRITE on the RENAMED table: a fresh table under the
+    // logical names (the old physical 'v' must not leak back)
+    s.sql(s"INSERT OVERWRITE $n SELECT id, concat('c', id) FROM range(15)")
+    s.catalog.refreshTable(n)
+    assert(s.table(n).count() === 15L)
+    assert(s.table(n).columns.toSeq === Seq("id", "label"))
+    assert(DataSkipping.tableStatsCols(s, t).contains("id"))
+    assert(DataSkipping.readSkipping(s, t, col("id") === 3L)
+      .select("label").as[String].head() === "c3")
     s.sql(s"DROP TABLE $n")
   }
 

@@ -162,6 +162,33 @@ class GeneratedColumnsSpec extends SparkSpec {
       df.filter(inPred).count())
   }
 
+  test("read-side pruning: temporal families over a STRING raw column derive nothing (never wrong)") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${tmpDir("graft_genpr3")}/t"
+    // ts_str is a STRING with NON-ZERO-PADDED dates: lexicographic
+    // order ('2021-12-1' < '2021-2-1') disagrees with parsed-date
+    // order, so to_date over it is NOT monotone — deriving day
+    // bounds from a string range would silently drop rows
+    val df = Seq(
+      (1L, "2021-1-5"), (2L, "2021-2-1"), (3L, "2021-12-1"),
+      (4L, "2021-3-9"), (5L, "2021-11-2"))
+      .toDF("id", "ts_str")
+      .withColumn("day", to_date(col("ts_str")))
+    DataSkipping.writeWithStats(df, dir, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("day"))
+    DataSkipping.addGeneratedColumn(s, dir, "day", "to_date(ts_str)")
+    // '2021-12-1' <= '2021-2-1' lexicographically: the row in
+    // day=2021-12-01 MATCHES this string predicate; a derived
+    // day <= 2021-02-01 bound would prune its partition away
+    val pred = col("ts_str") <= "2021-2-1"
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept.size === files.size,
+      "a temporal family over a STRING raw column must not derive")
+    assert(DataSkipping.readSkipping(s, dir, pred).count() ===
+      df.filter(pred).count())
+  }
+
   test("read-side pruning: non-monotone generation expressions derive nothing (never wrong)") {
     val s = spark
     import s.implicits._

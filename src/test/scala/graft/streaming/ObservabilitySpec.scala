@@ -147,5 +147,31 @@ class ObservabilitySpec extends SparkSpec {
     assert(p.pipelineStatus().forall(_.behind === 0L))
     assert(p.readTable("gold").filter(col("id") === 50L)
       .select("v").head.getLong(0) === 1000L)
+
+    // MIXED dep list: a consumer reading a PLAIN source (bronze, a
+    // file stream) AND a stats table — the lag must pair the stats
+    // dep with its offset by position among ALL deps, not among the
+    // stats deps alone
+    p.statsTable("mixed", Seq("id"), "bronze", "silver") { d =>
+      d("bronze").unionByName(d("silver"))
+    }
+    p.runOnce()
+    val mixedLag = p.tableLag("mixed")
+    assert(mixedLag.size === 1 && mixedLag.head.behind === 0L,
+      mixedLag.toString)
+    assert(DataSkipping.appendWithStats(
+      Seq((60L, 600L)).toDF("id", "v"),
+      p.dataDir("silver"), Seq("id"), commitName = Some("oob-2")))
+    assert(p.tableLag("mixed").head.behind === 1L)
+  }
+
+  test("changeFeedLag on a table with no committed generations reports clean zero lag") {
+    val s = spark
+    // a monitoring poll hitting a not-yet-materialized table path
+    // must report clean zero, not crash the whole poll loop
+    val table = tmpDir("lag_empty") + "/t"
+    new java.io.File(table).mkdirs()
+    val l = TableLag.changeFeedLag(s, table, tmpDir("lag_empty_ck"))
+    assert(l.latestVersion === -1L && l.behind === 0L)
   }
 }
