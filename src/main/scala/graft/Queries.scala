@@ -4432,6 +4432,41 @@ object Queries {
               SELECT -1, -1, 0.0, -1, 'files=4,4,1,4')
             ORDER BY event_id"""))
 
+  // GROUPED metadata count pushdown (r15): `SELECT p, count(*) …
+  // GROUP BY p` over partition columns answers from ONE manifest
+  // aggregate (per-file n_rows minus vector dead, grouped by the
+  // min=max partition value) — the partition-profile query reads no
+  // data at any table size. The pushed flag from the executed plan
+  // is pinned like q_agg_pushdown's.
+  val groupCountPushdown = QueryDef(
+    "q_group_count_pushdown",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftMetaGroupCountExec, MetaAggPushdown}
+      val root = java.nio.file.Files.createTempDirectory("graft_gcp").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("p", pmod(col("user_id"), lit(8)))
+      DataSkipping.writeWithStats(ev.repartition(4), t, Seq("event_id"),
+        bloomCols = Nil, partitionBy = Seq("p"))
+      DataSkipping.deleteWhereDV(s, t,
+        col("p") === 2L && col("event_id") % 3 === 0L)
+      MetaAggPushdown.install(s)
+      s.read.format("graft").load(t).createOrReplaceTempView("gcp_v")
+      val q = s.sql(
+        "SELECT p, count(*) AS n FROM gcp_v WHERE p >= 1 AND p < 7 GROUP BY p")
+      val pushed = q.queryExecution.executedPlan
+        .collectFirst { case g: GraftMetaGroupCountExec => g }.nonEmpty
+      q.withColumn("pushed", lit(if (pushed) 1L else 0L))
+        .orderBy("p")
+    },
+    Some("""SELECT user_id % 8 AS p, COUNT(*) AS n,
+                   CAST(1 AS BIGINT) AS pushed
+            FROM events
+            WHERE user_id % 8 >= 1 AND user_id % 8 < 7
+              AND NOT (user_id % 8 = 2 AND event_id % 3 = 0)
+            GROUP BY 1 ORDER BY p"""))
+
   // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
   // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
   // by key envelope, absent keys no-ops. Full readback vs an
@@ -5774,7 +5809,7 @@ object Queries {
     multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin, dfpRead,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
-    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, checkConstraints, generatedColQ, genPartitionPrune,
+    deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, groupCountPushdown, checkConstraints, generatedColQ, genPartitionPrune,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
     incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)

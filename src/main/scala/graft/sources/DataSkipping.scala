@@ -3706,6 +3706,41 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       .distinct()
   }
 
+  /** Per-PARTITION visible row counts straight from the manifest —
+    * the grouped companion of [[countWhere]] for `SELECT p…,
+    * count(*) … GROUP BY p…` (partition values are min=max per file,
+    * so ANY deterministic predicate over partition columns evaluates
+    * EXACTLY against the manifest row; deletion-vector dead rows
+    * subtract per file; groups whose visible count reaches zero
+    * disappear, matching SQL GROUP BY). One small distributed
+    * aggregate over O(files) manifest rows — no data read at any
+    * table size. `predicate` must reference partition columns only
+    * (logical names).
+    */
+  private[sources] def partitionGroupCounts(spark: SparkSession,
+      path: String, predicate: Option[Column]): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val phys = partitionColsIn(fs, dir)
+    require(phys.nonEmpty, s"$path is not a partitioned graft table")
+    val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+    val logical = phys.map(p => inv.getOrElse(p, p))
+    val m = readManifestIn(spark, dir).select(
+      col("file") +: col("n_rows") +:
+        phys.map(p => col(s"min_$p").as(inv.getOrElse(p, p))): _*)
+    val matched = predicate.fold(m)(c => m.filter(coalesce(c, lit(false))))
+    val withDead = readDvIn(spark, dir) match {
+      case None => matched.withColumn("__dead", lit(0L))
+      case Some(d) => matched.join(
+          d.groupBy(col("file")).agg(count(lit(1)).as("__dead")),
+          Seq("file"), "left")
+        .withColumn("__dead", coalesce(col("__dead"), lit(0L)))
+    }
+    withDead.groupBy(logical.map(col): _*)
+      .agg(sum(col("n_rows") - col("__dead")).as("__cnt"))
+      .filter(col("__cnt") > 0)
+  }
+
   /** The tracked stats columns under their CURRENT LOGICAL names —
     * what a USER predicate or MIN/MAX target may reference (the
     * manifest itself stores physical names; see [[tableStatsCols]]).

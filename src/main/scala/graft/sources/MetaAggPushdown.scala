@@ -56,7 +56,50 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
         if minMaxTracked(specs, rel)
       } yield GraftMetaAggExec(agg.output, rel.path, cond, specs) :: Nil)
         .getOrElse(Nil)
+    // GROUPED metadata count — `SELECT p…, count(*) … GROUP BY p…`
+    // over PARTITION columns: partition values are min=max per file,
+    // so any deterministic partition-column predicate evaluates
+    // exactly against manifest rows and per-partition counts are one
+    // O(files) aggregate — the partition-profile query at 100 TB
+    // reads no data at all. Claimed only when grouping keys AND the
+    // predicate reference partition columns exclusively and every
+    // aggregate is COUNT(*).
+    case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
+      (for {
+        (rel, cond) <- relationBelow(agg.child)
+        if rel.version.isEmpty
+        groupAttrs <- Some(agg.groupingExpressions)
+          .filter(_.forall(_.isInstanceOf[AttributeReference]))
+          .map(_.map(_.asInstanceOf[AttributeReference]))
+        partCols = DataSkipping.tablePartitionColumnsLogical(spark, rel.path)
+        if partCols.nonEmpty
+        if groupAttrs.forall(a => partCols.exists(_.equalsIgnoreCase(a.name)))
+        if cond.forall(c => c.deterministic &&
+          !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+          c.references.forall(r => partCols.exists(_.equalsIgnoreCase(r.name))))
+        outSpecs <- groupOutputOf(agg.aggregateExpressions, groupAttrs)
+      } yield GraftMetaGroupCountExec(agg.output, rel.path, cond,
+        outSpecs) :: Nil)
+        .getOrElse(Nil)
     case _ => Nil
+  }
+
+  /** Output plan per aggregate expression: Left(grouping column
+    * name) for a pass-through grouping attribute, Right(()) for
+    * COUNT(*). None = an aggregate shape the grouped rewrite can't
+    * answer (the whole plan falls through).
+    */
+  private def groupOutputOf(exprs: Seq[Expression],
+      groupAttrs: Seq[AttributeReference])
+      : Option[Seq[Either[String, Unit]]] = {
+    val specs = exprs.map {
+      case a: AttributeReference
+          if groupAttrs.exists(_.exprId == a.exprId) => Some(Left(a.name))
+      case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
+        Some(Right(()))
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
   }
 
   /** Unwrap attribute-only Projects and at most one Filter down to a
@@ -186,5 +229,41 @@ case class GraftMetaAggExec(output: Seq[Attribute], path: String,
 
   override def simpleString(maxFields: Int): String =
     s"GraftMetaAgg [${aggs.mkString(", ")}] path=$path" +
+      condition.map(c => s" cond=${c.sql}").getOrElse("")
+}
+
+/** The physical GROUPED metadata count: per-partition visible row
+  * counts from one distributed manifest aggregate
+  * ([[DataSkipping.partitionGroupCounts]] — exact under deletion
+  * vectors, zero-count groups dropped per SQL GROUP BY). `specs`
+  * maps each output column to a grouping column (Left(name)) or the
+  * count (Right).
+  */
+case class GraftMetaGroupCountExec(output: Seq[Attribute], path: String,
+    condition: Option[Expression],
+    specs: Seq[Either[String, Unit]]) extends LeafExecNode {
+
+  private def result(): org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
+    // NO mapPred here: partitionGroupCounts serves the manifest's
+    // partition columns under their LOGICAL names already, which is
+    // exactly what the SQL predicate references
+    val predicate = condition.map { c =>
+      org.apache.spark.sql.graft.ColumnBridge.column(c.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    }
+    val counts = DataSkipping.partitionGroupCounts(spark, path, predicate)
+    counts.select(specs.map {
+      case Left(name) => org.apache.spark.sql.functions.col(name)
+      case Right(_) => org.apache.spark.sql.functions.col("__cnt")
+    }: _*)
+  }
+
+  override protected def doExecute(): RDD[InternalRow] =
+    result().queryExecution.toRdd
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftMetaGroupCount path=$path" +
       condition.map(c => s" cond=${c.sql}").getOrElse("")
 }

@@ -106,6 +106,57 @@ class MetaAggPushdownSpec extends SparkSpec {
     assert(cur.head.getLong(0) === 150L)
   }
 
+  test("GROUP BY partition columns: per-partition counts answer from the manifest, DV-exact") {
+    val s = spark
+    import s.implicits._
+    MetaAggPushdown.install(s)
+    val t = s"${tmpDir("graft_mapg")}/tbl"
+    val df = (0L until 1200L).map(i => (i, i % 6, s"v$i")).toDF("id", "p", "v")
+    DataSkipping.writeWithStats(df.repartition(3), t, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("p"))
+    DataSkipping.deleteWhereDV(s, t, col("p") === 1L && col("id") < 600L)
+    s.read.format("graft").load(t).createOrReplaceTempView("mapg_v")
+    def grouped(df2: org.apache.spark.sql.DataFrame) =
+      df2.queryExecution.executedPlan
+        .collectFirst { case g: GraftMetaGroupCountExec => g }
+
+    val q = s.sql(
+      "SELECT p, count(*) AS n FROM mapg_v WHERE p >= 1 AND p % 2 = 1 GROUP BY p")
+    assert(grouped(q).nonEmpty, q.queryExecution.executedPlan.toString)
+    val rows = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p=1 has 100 visible rows (100 dead via the vector), p=3/p=5 200
+    assert(rows === Map(1L -> 100L, 3L -> 200L, 5L -> 200L), rows.toString)
+
+    // a group whose visible count reaches zero DISAPPEARS (SQL
+    // GROUP BY semantics)
+    DataSkipping.deleteWhereDV(s, t, col("p") === 1L)
+    s.catalog.refreshTable("mapg_v")
+    val q2 = s.sql("SELECT p, count(*) AS n FROM mapg_v GROUP BY p")
+    assert(grouped(q2).nonEmpty)
+    val rows2 = q2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!rows2.contains(1L) && rows2(0L) === 200L && rows2.size === 5,
+      rows2.toString)
+
+    // fallthrough: non-partition grouping key, predicate touching a
+    // data column, and a grouped MIN all run Spark's own aggregate
+    def noMeta(sql: String): Unit = {
+      val d = s.sql(sql)
+      assert(grouped(d).isEmpty, s"must NOT push down: $sql")
+      d.collect()
+    }
+    noMeta("SELECT v, count(*) FROM mapg_v GROUP BY v")
+    noMeta("SELECT p, count(*) FROM mapg_v WHERE id < 100 GROUP BY p")
+    noMeta("SELECT p, min(id) FROM mapg_v GROUP BY p")
+    // parity with the real aggregate on the same query
+    val real = s.read.format("graft").load(t)
+      .filter("p >= 1 AND p % 2 = 1").groupBy("p").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pushed = s.sql(
+      "SELECT p, count(*) AS n FROM mapg_v WHERE p >= 1 AND p % 2 = 1 GROUP BY p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(real === pushed)
+  }
+
   test("pushdown respects column mapping (rename) and catalog-name tables") {
     val s = spark
     MetaAggPushdown.install(s)
