@@ -361,7 +361,8 @@ object ScaleRamp {
     // directory count).
     val partCountPaths = gatedMap(
       if (!selected(Set("storage_part_read", "storage_part_append",
-          "storage_part_delete", "storage_part_vacuum")))
+          "storage_part_delete", "storage_part_vacuum",
+          "storage_part_groupcount")))
         Map.empty[Int, String]
       else scales.map { k =>
         val p = s"$work/store_part_x$k"
@@ -646,6 +647,16 @@ object ScaleRamp {
         val found = DataSkipping.vacuumDryRun(spark, partCountPaths(k),
           retentionMs = 3600L * 1000L)
         spark.range(found.size.toLong).select(col("id"))
+      },
+      // r15: grouped metadata count (GROUP BY partition col) across
+      // the partition decade — one manifest aggregate whose row count
+      // IS the partition count; cost must track the O(files) manifest
+      // scan, never data bytes or directory listings
+      "storage_part_groupcount" -> { k =>
+        graft.sources.MetaAggPushdown.install(spark)
+        spark.read.format("graft").load(partCountPaths(k))
+          .createOrReplaceTempView(s"ramp_gcp_x$k")
+        spark.sql(s"SELECT p, count(*) AS n FROM ramp_gcp_x$k GROUP BY p")
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
