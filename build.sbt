@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's final JSON line from sbt's stdout
+// tail; sbt's default LoggedOutput prefixes every forked line with
+// "[info] ", which defeats the driver's bare-JSON parse. Send forked
+// process output straight to stdout, unprefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
