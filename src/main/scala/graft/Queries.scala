@@ -4300,26 +4300,31 @@ object Queries {
     (s, d) => {
       import graft.sources.{DataSkipping, GraftMetaAggExec, MetaAggPushdown}
       val root = java.nio.file.Files.createTempDirectory("graft_apd").toString
+      // v2 carries REAL nulls so COUNT(v2) ≠ COUNT(*): the r16
+      // COUNT(col) = n_rows − nullCount pushdown leg is non-vacuous
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("v2", when(col("event_id") % 5 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
       DataSkipping.writeWithStats(
         ev.repartitionByRange(16, col("user_id")), s"$root/events",
-        Seq("user_id", "event_id"))
+        Seq("user_id", "event_id", "v2"))
       DataSkipping.deleteWhereDV(s, s"$root/events",
         col("user_id") >= 40L && col("user_id") < 60L)
       MetaAggPushdown.install(s)
       s.read.format("graft").load(s"$root/events")
         .createOrReplaceTempView("apd_events_v")
       def run(label: String, where: String)
-          : (String, Long, Long, Option[Long], Option[Long]) = {
-        val df = s.sql("SELECT count(*) AS n, min(event_id) AS lo, " +
+          : (String, Long, Long, Long, Option[Long], Option[Long]) = {
+        val df = s.sql("SELECT count(*) AS n, count(v2) AS nn, " +
+          "min(event_id) AS lo, " +
           s"max(event_id) AS hi FROM apd_events_v $where")
         val pushed = df.queryExecution.executedPlan
           .collectFirst { case g: GraftMetaAggExec => g }.nonEmpty
         val r = df.collect()(0)
-        (label, if (pushed) 1L else 0L, r.getLong(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        (label, if (pushed) 1L else 0L, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))
       }
       import s.implicits._
       Seq(
@@ -4327,22 +4332,28 @@ object Queries {
         run("band", "WHERE user_id >= 100 AND user_id < 200"),
         run("deleted_band", "WHERE user_id >= 30 AND user_id < 70"),
         run("none", "WHERE user_id > 1000000"))
-        .toDF("label", "pushed", "cnt", "lo", "hi").orderBy("label")
+        .toDF("label", "pushed", "cnt", "nn", "lo", "hi").orderBy("label")
     },
     Some("""WITH live AS (
-              SELECT * FROM events
+              SELECT *,
+                CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v2
+              FROM events
               WHERE NOT (user_id >= 40 AND user_id < 60))
             SELECT * FROM (
               SELECT 'all' AS label, CAST(1 AS BIGINT) AS pushed, COUNT(*) AS cnt,
-                     MIN(event_id) AS lo, MAX(event_id) AS hi FROM live
+                     COUNT(v2) AS nn, MIN(event_id) AS lo, MAX(event_id) AS hi
+              FROM live
               UNION ALL
-              SELECT 'band', CAST(1 AS BIGINT), COUNT(*), MIN(event_id), MAX(event_id)
+              SELECT 'band', CAST(1 AS BIGINT), COUNT(*), COUNT(v2),
+                     MIN(event_id), MAX(event_id)
               FROM live WHERE user_id >= 100 AND user_id < 200
               UNION ALL
-              SELECT 'deleted_band', CAST(1 AS BIGINT), COUNT(*), MIN(event_id), MAX(event_id)
+              SELECT 'deleted_band', CAST(1 AS BIGINT), COUNT(*), COUNT(v2),
+                     MIN(event_id), MAX(event_id)
               FROM live WHERE user_id >= 30 AND user_id < 70
               UNION ALL
-              SELECT 'none', CAST(1 AS BIGINT), COUNT(*), MIN(event_id), MAX(event_id)
+              SELECT 'none', CAST(1 AS BIGINT), COUNT(*), COUNT(v2),
+                     MIN(event_id), MAX(event_id)
               FROM live WHERE user_id > 1000000)
             ORDER BY label"""))
 
@@ -4444,28 +4455,76 @@ object Queries {
       import graft.sources.{DataSkipping, GraftMetaGroupCountExec, MetaAggPushdown}
       val root = java.nio.file.Files.createTempDirectory("graft_gcp").toString
       val t = s"$root/events"
+      // v2 carries REAL nulls (COUNT(v2) ≠ COUNT(*)); the DV delete
+      // in p=2 exercises the grouped rewrite's scan-demotion side
+      // for count(col)/min/max (dead rows' values are unknowable
+      // from stats) while other partitions answer from the manifest
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("v2", when(col("event_id") % 4 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
         .withColumn("p", pmod(col("user_id"), lit(8)))
-      DataSkipping.writeWithStats(ev.repartition(4), t, Seq("event_id"),
+      DataSkipping.writeWithStats(ev.repartition(4), t,
+        Seq("event_id", "value", "v2"),
         bloomCols = Nil, partitionBy = Seq("p"))
       DataSkipping.deleteWhereDV(s, t,
         col("p") === 2L && col("event_id") % 3 === 0L)
       MetaAggPushdown.install(s)
       s.read.format("graft").load(t).createOrReplaceTempView("gcp_v")
       val q = s.sql(
-        "SELECT p, count(*) AS n FROM gcp_v WHERE p >= 1 AND p < 7 GROUP BY p")
+        "SELECT p, count(*) AS n, count(v2) AS nn, min(event_id) AS lo, " +
+          "max(value) AS hi FROM gcp_v WHERE p >= 1 AND p < 7 GROUP BY p")
       val pushed = q.queryExecution.executedPlan
         .collectFirst { case g: GraftMetaGroupCountExec => g }.nonEmpty
       q.withColumn("pushed", lit(if (pushed) 1L else 0L))
         .orderBy("p")
     },
     Some("""SELECT user_id % 8 AS p, COUNT(*) AS n,
+                   COUNT(CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END) AS nn,
+                   MIN(event_id) AS lo, MAX(value) AS hi,
                    CAST(1 AS BIGINT) AS pushed
             FROM events
             WHERE user_id % 8 >= 1 AND user_id % 8 < 7
               AND NOT (user_id % 8 = 2 AND event_id % 3 = 0)
             GROUP BY 1 ORDER BY p"""))
+
+  // NESTED-FIELD STATS (r16; the Delta nested-column-stats shape):
+  // a struct-typed silver document — the reference's own pre-explode
+  // txn shape (03_Bronze-to-Silver ETL.py:283-324 keeps the parsed
+  // doc as a struct before exploding) — with min/max/nullCount
+  // tracked on struct PATHS (`m.uid`, `m.v`), so a predicate on
+  // `m.uid` prunes files exactly like a flat column. The marker pins
+  // that the nested-predicate read is a SUBSET scan (derivable only
+  // from per-file nested stats); the data rows pin that pruning
+  // never changes results against the flat-recomputed oracle.
+  val nestedStats = QueryDef(
+    "q_nested_stats",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_nst").toString
+      val t = s"$root/docs"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          struct(col("user_id").as("uid"), col("value").as("v")).as("m"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("m.uid")), t,
+        Seq("event_id", "m.uid", "m.v"))
+      val pred = col("m.uid") >= 20L && col("m.uid") < 40L
+      val (kept, files) = DataSkipping.prunedFiles(s, t, pred)
+      val marker = s"files=${files.size >= 8},subset=${kept.size < files.size}"
+      DataSkipping.readSkipping(s, t, pred)
+        .select(col("event_id"), col("m.uid").as("uid"),
+          col("m.v").as("v"), lit("data").as("info"))
+        .unionAll(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("uid"), lit(0.0).as("v"), lit(marker).as("info")))
+        .orderBy("event_id", "uid", "v")
+    },
+    Some("""SELECT * FROM (
+              SELECT event_id, user_id AS uid, value AS v, 'data' AS info
+              FROM events WHERE user_id >= 20 AND user_id < 40
+              UNION ALL
+              SELECT -1, -1, 0.0, 'files=true,subset=true')
+            ORDER BY event_id, uid, v"""))
 
   // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
   // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
@@ -5800,7 +5859,7 @@ object Queries {
     tokenCount, chunkDocsQ, qualityScore, langId, fingerprint, nfcNormalizeQ, approxDistinctQ, sketchMaintainQ, termStats, bm25Q, heavyTermsQ, redactDocs,
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
-    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, showPartitionsQ, bloomScan,
+    skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, showPartitionsQ, bloomScan, nestedStats,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,

@@ -545,6 +545,48 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * it at read time), so a `bigint` partition column stays `bigint`
     * even where bare directory discovery would narrow it.
     */
+  /** Overwrite `path` by STAGING: run the write job into a hidden
+    * dir under the target first, then clear the old table root and
+    * move the staged children up. Ordering is the point — the write
+    * job (which may READ the target: `INSERT OVERWRITE t SELECT …
+    * FROM t`, or any plan over the table's own files) completes
+    * against the intact old files before anything is deleted, so a
+    * self-reading overwrite is simply correct instead of depending
+    * on Spark's instance-equality PreWriteCheck to reject it. A
+    * write-job failure leaves the old table byte-identical; only the
+    * swap itself (pure metadata ops, no job) is a destructive
+    * window, and even a crash inside it leaves the complete new data
+    * in the staging dir. The staging dir is dot-prefixed so
+    * listing-based readers never see it.
+    */
+  private def stagedOverwrite(spark: SparkSession, path: String,
+      write: String => Unit): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root,
+      s".overwrite-staging-${java.util.UUID.randomUUID}")
+    try write(staging.toString)
+    catch {
+      case e: Throwable =>
+        // failed write job: the old table is untouched — remove the
+        // partial staging dir and surface the failure
+        try fs.delete(staging, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    // swap: everything but the staging dir goes (old data files, old
+    // _graft_stats generations), then the staged children move up
+    fs.listStatus(root)
+      .filterNot(_.getPath.getName == staging.getName)
+      .foreach(e => fs.delete(e.getPath, true))
+    fs.listStatus(staging).foreach { e =>
+      val dest = new Path(root, e.getPath.getName)
+      require(fs.rename(e.getPath, dest),
+        s"staged overwrite of $path: rename ${e.getPath} -> $dest failed")
+    }
+    fs.delete(staging, true)
+  }
+
   def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int = 1 << 16,
       bloomHashes: Int = 7, changeFeed: Boolean = false,
@@ -554,7 +596,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val bloom = if (bloomCols.isEmpty) None
       else Some((bloomCols, bloomBits, bloomHashes))
     if (partitionBy.isEmpty) {
-      df.write.mode("overwrite").parquet(path)
+      stagedOverwrite(spark, path, s => df.write.mode("overwrite").parquet(s))
       val written = spark.read.parquet(path)
       val stats = statsFor(written, statsCols, withNulls = true, bloom)
       // v0, committed by its marker — the overwrite above cleared the
@@ -574,19 +616,18 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         "partition columns are tracked implicitly (min=max=directory " +
           "value); statsCols / bloomCols must name data columns")
       requireVisiblePartitionNames(partitionBy)
-      // Under spark.sql.sources.partitionOverwriteMode=dynamic, a
-      // partitioned overwrite replaces only the partitions the batch
-      // touches — stale data dirs AND stale committed `_stats/v1..vN`
-      // generations would survive, and manifestDirOf (highest
-      // committed generation wins) would silently shadow the fresh v0
-      // below with the pre-overwrite table's manifest. Clear the
-      // table root explicitly so "this is always the first
-      // generation" holds regardless of session conf. (The flat
-      // branch is immune: that conf only affects partitioned writes.)
-      val rootFs = new Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      rootFs.delete(new Path(path), true)
-      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+      // Staged like the flat branch (write job first, destructive
+      // clear after) — and the explicit clear also keeps "this is
+      // always the first generation" under spark.sql.sources
+      // .partitionOverwriteMode=dynamic, where a direct partitioned
+      // overwrite replaces only the partitions the batch touches and
+      // stale committed `_stats/v1..vN` generations would silently
+      // shadow the fresh v0 below via manifestDirOf (highest
+      // committed generation wins). Staging into a fresh empty dir
+      // neutralizes dynamic mode for the write itself (every
+      // partition is "touched" in an empty target).
+      stagedOverwrite(spark, path,
+        s => df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(s))
       // NULLABLE sidecar, matching the flat path's read-back schemas:
       // a later evolution batch may omit a column, and a REQUIRED
       // column missing from a file fails the parquet reader
@@ -1230,7 +1271,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         }.toMap
         val m2 = m ++ alloc
         if (mergeSchema && fresh.nonEmpty) writeColMap(fs, dir, m2)
-        (toPhysicalInput(df0, m2), statsCols0.map(c => m2.getOrElse(c, c)))
+        (toPhysicalInput(df0, m2), statsCols0.map(mapStatsKey(m2, _)))
     }
 
   /** A generation's tracked stats columns in FILE order (manifest
@@ -1264,7 +1305,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // A batch that SUPPLIES the column is left alone — the paired
     // _gen_ CHECK constraint verifies it at the staged choke point.
     val dfGen = {
-      val missing = generatedIn(f0, d0)
+      val allGens = generatedIn(f0, d0)
+      // values about to be computed (or supplied and checked) under
+      // THIS session's timezone: a drift from the recorded one
+      // poisons the record so temporal read-side derivation turns
+      // off instead of pruning against mixed-epoch stored values
+      if (allGens.nonEmpty) poisonGeneratedTzOnDrift(s0, f0, d0)
+      val missing = allGens
         .filterNot { case (n, _) => df0in.columns.contains(n) }
       if (missing.isEmpty) df0in
       else missing.toSeq.sortBy(_._1).foldLeft(df0in) {
@@ -1363,7 +1410,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
               "the tracked set, never shrinks it")
           val newNames = newFields.map(_.name).toSet
           val extraTracked = statsCols.toSet -- tracked
-          extraTracked.foreach(c => require(newNames(c),
+          // a nested stats path (`meta.b`) counts as new when its
+          // HEAD column is one of the batch's new columns
+          extraTracked.foreach(c => require(newNames(c.takeWhile(_ != '.')),
             s"newly tracked column $c must be one of the batch's NEW columns " +
               s"[${newNames.toSeq.sorted.mkString(",")}] — tracking an existing " +
               "column needs a stats rewrite (compactTable), not an append"))
@@ -1493,12 +1542,26 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(spark.read.option("mergeSchema", "true").parquet(dir).schema)
     val typesByName = newFields.map(f => f.name -> f.dataType).toMap
+    // a stats key may be a NESTED path rooted at a new struct column
+    // (`meta.b`) — resolve its leaf type through the struct
+    def typeOfPath(c: String): Option[DataType] = {
+      def walk(dt: DataType, rest: List[String]): Option[DataType] = rest match {
+        case Nil => Some(dt)
+        case head :: tail => dt match {
+          case st: StructType =>
+            st.fields.find(_.name == head).flatMap(f => walk(f.dataType, tail))
+          case _ => None
+        }
+      }
+      val parts = c.split("\\.").toList
+      typesByName.get(parts.head).flatMap(walk(_, parts.tail))
+    }
     val have = existing.fieldNames.toSet
-    val added = statsCols.filter(c => typesByName.contains(c)).flatMap { c =>
-      Seq(StructField(s"min_$c", typesByName(c)), StructField(s"max_$c", typesByName(c))) ++
+    val added = statsCols.flatMap(c => typeOfPath(c).toSeq.flatMap { dt =>
+      Seq(StructField(s"min_$c", dt), StructField(s"max_$c", dt)) ++
         (if (withNulls) Seq(StructField(s"nulls_$c", org.apache.spark.sql.types.LongType))
         else Nil)
-    }.filterNot(f => have(f.name))
+    }).filterNot(f => have(f.name))
     StructType(existing.fields ++ added)
   }
 
@@ -3702,7 +3765,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     require(phys.nonEmpty, s"$path is not a partitioned graft table")
     val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
     readManifestIn(spark, dir)
-      .select(phys.map(p => col(s"min_$p").as(inv.getOrElse(p, p))): _*)
+      .select(phys.map(p => mc(s"min_$p").as(inv.getOrElse(p, p))): _*)
       .distinct()
   }
 
@@ -3717,28 +3780,147 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * table size. `predicate` must reference partition columns only
     * (logical names).
     */
+  /** Does the CURRENT manifest record per-file row counts and file
+    * status metadata — the columns [[partitionGroupCounts]] and the
+    * metadata count pushdown aggregate over? Schema-only (the
+    * sidecar-schema read plans no job); a legacy pre-`n_rows`
+    * manifest answers false and the planner must fall through to
+    * normal aggregation instead of claiming a plan that would fail
+    * at execution.
+    */
+  private[sources] def manifestHasRowCounts(spark: SparkSession,
+      path: String): Boolean = {
+    val cols = readManifest(spark, path).columns.toSet
+    cols.contains("n_rows") && cols.contains("file_size")
+  }
+
   private[sources] def partitionGroupCounts(spark: SparkSession,
-      path: String, predicate: Option[Column]): DataFrame = {
+      path: String, predicate: Option[Column]): DataFrame =
+    partitionGroupAggs(spark, path, predicate,
+      partitionColumnsLogicalIn(spark, path).map(MetaAggPushdown.GroupKey) :+
+        MetaAggPushdown.GroupCount)
+
+  private def partitionColumnsLogicalIn(spark: SparkSession,
+      path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+    partitionColsIn(fs, dir).map(p => inv.getOrElse(p, p))
+  }
+
+  /** Per-partition aggregates straight from the manifest — the
+    * grouped companion of [[countWhereDetail]]/[[minMaxWhereDetail]]
+    * for `SELECT p…, count(*) / count(c) / min(c) / max(c) … GROUP
+    * BY p…` over PARTITION columns. Partition values are min=max per
+    * file, so ANY deterministic partition-column predicate evaluates
+    * EXACTLY against manifest rows — every kept file is all-match
+    * (no boundary files). Per-file stats then answer the aggregates:
+    * visible count = `n_rows − dead`, non-null count = `n_rows −
+    * coalesce(nulls_c, n_rows)` (NULL stat = the column didn't exist
+    * in that file — all rows read NULL), group min/max = min/max of
+    * per-file stat envelopes (exact: stats exclude nulls, MIN/MAX
+    * ignore them; a NULL stat contributes nothing). Files carrying
+    * DELETION-VECTOR entries demote to a real scan whenever a
+    * per-column answer is requested (dead rows' values are
+    * unknowable from stats; plain count(*) stays exact without
+    * demotion) — the scan side unions with the stats side and one
+    * re-aggregation merges the partials. Groups whose visible count
+    * reaches zero disappear, matching SQL GROUP BY. Output columns
+    * follow `specs` positionally. One small distributed aggregate
+    * over O(files) manifest rows plus at most the DV files scanned.
+    * `predicate` must reference partition columns only (LOGICAL
+    * names); target columns arrive logical too.
+    */
+  private[sources] def partitionGroupAggs(spark: SparkSession,
+      path: String, predicate: Option[Column],
+      specs: Seq[MetaAggPushdown.GroupOut]): DataFrame = {
+    import MetaAggPushdown._
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
     val phys = partitionColsIn(fs, dir)
     require(phys.nonEmpty, s"$path is not a partitioned graft table")
-    val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
-    val logical = phys.map(p => inv.getOrElse(p, p))
-    val m = readManifestIn(spark, dir).select(
-      col("file") +: col("n_rows") +:
-        phys.map(p => col(s"min_$p").as(inv.getOrElse(p, p))): _*)
-    val matched = predicate.fold(m)(c => m.filter(coalesce(c, lit(false))))
-    val withDead = readDvIn(spark, dir) match {
+    val mapOpt = colMapIn(fs, dir)
+    val inv = mapOpt.map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+    val fwd = mapOpt.getOrElse(Map.empty[String, String])
+    def physOf(c: String): String = mapStatsKey(fwd, c)
+    val logicalParts = phys.map(p => inv.getOrElse(p, p))
+    val partCols = logicalParts.map(col)
+    val targets = specs.collect {
+      case GroupCountCol(c) => c
+      case GroupMin(c) => c
+      case GroupMax(c) => c
+    }.distinct
+    val ti = targets.zipWithIndex.toMap
+    val m = readManifestIn(spark, dir)
+    val statSel = targets.zipWithIndex.flatMap { case (c, i) =>
+      val p = physOf(c)
+      Seq(mc(s"min_$p").as(s"__lo_$i"), mc(s"max_$p").as(s"__hi_$i"),
+        (if (m.columns.contains(s"nulls_$p")) mc(s"nulls_$p")
+         else lit(null).cast(org.apache.spark.sql.types.LongType))
+          .as(s"__nu_$i"))
+    }
+    val proj = m.select(
+      Seq(col("file"), col("n_rows"), col("file_size"), col("mod_time")) ++
+        phys.map(p => mc(s"min_$p").as(inv.getOrElse(p, p))) ++ statSel: _*)
+    val matched = predicate.fold(proj)(c => proj.filter(coalesce(c, lit(false))))
+    val dvOpt = readDvIn(spark, dir)
+    val withDead = dvOpt match {
       case None => matched.withColumn("__dead", lit(0L))
       case Some(d) => matched.join(
           d.groupBy(col("file")).agg(count(lit(1)).as("__dead")),
           Seq("file"), "left")
         .withColumn("__dead", coalesce(col("__dead"), lit(0L)))
     }
-    withDead.groupBy(logical.map(col): _*)
-      .agg(sum(col("n_rows") - col("__dead")).as("__cnt"))
-      .filter(col("__cnt") > 0)
+    val needScan = targets.nonEmpty
+    val demote = if (needScan) col("__dead") > 0L else lit(false)
+    val statsFile = withDead.filter(!demote).select(
+      partCols ++ Seq((col("n_rows") - col("__dead")).as("__cnt")) ++
+        targets.indices.flatMap(i => Seq(
+          col(s"__lo_$i"), col(s"__hi_$i"),
+          (col("n_rows") - coalesce(col(s"__nu_$i"), col("n_rows")))
+            .as(s"__nn_$i"))): _*)
+    val scanFile: Option[DataFrame] =
+      if (!needScan) None
+      else {
+        val statuses = statusesOf(withDead.filter(demote))
+        if (statuses.isEmpty) None
+        else {
+          val schema = tableSchemaIn(spark, path, dir)
+          val scan0 = applyDv(
+            partAwareStatusScan(spark, path, dir, schema, statuses), dvOpt)
+          // logical view of partition + target columns, so the SQL
+          // predicate (logical names) applies directly
+          val scanL = scan0.select(
+            phys.map(p => col(p).as(inv.getOrElse(p, p))) ++
+              targets.zipWithIndex.map { case (c, i) =>
+                col(physOf(c)).as(s"__t_$i") }: _*)
+          val filtered = predicate.fold(scanL)(c =>
+            scanL.filter(coalesce(c, lit(false))))
+          Some(filtered.select(
+            partCols ++ Seq(lit(1L).as("__cnt")) ++
+              targets.indices.flatMap(i => Seq(
+                col(s"__t_$i").as(s"__lo_$i"),
+                col(s"__t_$i").as(s"__hi_$i"),
+                when(col(s"__t_$i").isNotNull, 1L).otherwise(0L)
+                  .as(s"__nn_$i"))): _*))
+        }
+      }
+    val partials = scanFile.fold(statsFile)(statsFile.unionByName(_))
+    val finalAggs = Seq(sum(col("__cnt")).as("__cnt")) ++
+      targets.indices.flatMap(i => Seq(
+        min(col(s"__lo_$i")).as(s"__lo_$i"),
+        max(col(s"__hi_$i")).as(s"__hi_$i"),
+        sum(col(s"__nn_$i")).as(s"__nn_$i")))
+    val grouped = partials.groupBy(partCols: _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+      .filter(col("__cnt") > 0L)
+    grouped.select(specs.map {
+      case GroupKey(n) => col(n)
+      case GroupCount => col("__cnt")
+      case GroupCountCol(c) => col(s"__nn_${ti(c)}")
+      case GroupMin(c) => col(s"__lo_${ti(c)}")
+      case GroupMax(c) => col(s"__hi_${ti(c)}")
+    }: _*)
   }
 
   /** The tracked stats columns under their CURRENT LOGICAL names —
@@ -3753,7 +3935,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       case None => phys
       case Some(m) =>
         val inv = m.map(_.swap)
-        phys.map(p => inv.getOrElse(p, p))
+        phys.map(mapStatsKey(inv, _))
     }).sorted
   }
 
@@ -3860,10 +4042,52 @@ object DataSkipping extends org.apache.spark.internal.Logging {
   // Generated columns (see [[GeneratedFile]])
   // -----------------------------------------------------------------
 
+  /** Reserved sidecar key recording the SESSION TIMEZONE the stored
+    * generated values were computed under. Temporal generation
+    * expressions (`to_date(ts)`, `date_trunc`, casts over
+    * TIMESTAMP) evaluate through the session timezone, so read-side
+    * bound derivation ([[withGeneratedPruning]]) is only sound when
+    * the reader evaluates endpoints under the SAME timezone the
+    * writer stored values under — a mismatched reader would derive
+    * bounds shifted by the offset and silently drop matching files.
+    * Recorded at declaration; an append under a DIFFERENT session
+    * timezone poisons it to [[GenTzMixed]], permanently disabling
+    * temporal derivation for the table (stored values now mix
+    * epochs — no single timezone is right). Absent on legacy
+    * sidecars → temporal derivation stays off (conservative).
+    */
+  private val GenTzKey = "__session_tz__"
+  private val GenTzMixed = "__mixed__"
+
   private[sources] def generatedIn(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Map[String, String] =
     readSidecarIn(fs, dir, GeneratedFile)
       .map(constraintsFromJson).getOrElse(Map.empty)
+      .removed(GenTzKey)
+
+  /** The recorded generation timezone, if any (see [[GenTzKey]]). */
+  private[sources] def generatedTzIn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
+    readSidecarIn(fs, dir, GeneratedFile)
+      .map(constraintsFromJson).getOrElse(Map.empty)
+      .get(GenTzKey)
+
+  private def sessionTz(spark: SparkSession): String =
+    spark.sessionState.conf.sessionLocalTimeZone
+
+  /** Append hook: stored generated values about to be computed (or
+    * checked) under the CURRENT session timezone — if that differs
+    * from the recorded one, poison the record so read-side temporal
+    * derivation turns off for good rather than pruning wrong.
+    */
+  private def poisonGeneratedTzOnDrift(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    generatedTzIn(fs, dir) match {
+      case Some(tz) if tz != GenTzMixed && tz != sessionTz(spark) =>
+        writeGeneratedSidecar(spark, dir,
+          generatedIn(fs, dir), Some(GenTzMixed))
+      case _ => ()
+    }
 
   /** The table's generated columns (name → generation SQL). */
   def tableGeneratedColumns(spark: SparkSession, path: String): Map[String, String] = {
@@ -3872,11 +4096,12 @@ object DataSkipping extends org.apache.spark.internal.Logging {
   }
 
   private def writeGeneratedSidecar(spark: SparkSession, dir: String,
-      gens: Map[String, String]): Unit = {
+      gens: Map[String, String], tz: Option[String]): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, s".generated-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write(constraintsToJson(gens)
+    try out.write(constraintsToJson(
+        tz.fold(gens)(t => gens.updated(GenTzKey, t)))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     org.apache.hadoop.fs.FileContext
@@ -3919,7 +4144,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       s"column $name is already generated on $path (as: ${gens(name)})")
     addCheckConstraint(spark, path, s"_gen_$name",
       s"`$name` <=> ($exprSql)", validate)
-    writeGeneratedSidecar(spark, dir, gens.updated(name, exprSql))
+    // first generated column records the session timezone the stored
+    // values live under (see [[GenTzKey]]); later declarations keep
+    // the existing record — a legacy table with generated columns
+    // but no record stays unknown (temporal derivation off)
+    val tz = if (gens.isEmpty) Some(sessionTz(spark))
+      else generatedTzIn(fs, dir)
+    writeGeneratedSidecar(spark, dir, gens.updated(name, exprSql), tz)
   }
 
   /** Remove the generation (column and data stay; the paired CHECK
@@ -3934,7 +4165,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // sidecar first: a crash between the two leaves enforcement
     // without compute — appends omitting the column fail the schema
     // check loudly instead of silently diverging
-    writeGeneratedSidecar(spark, dir, gens.removed(name))
+    writeGeneratedSidecar(spark, dir, gens.removed(name),
+      generatedTzIn(fs, dir))
     dropCheckConstraint(spark, path, s"_gen_$name")
   }
 
@@ -4883,6 +5115,45 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * retained version range, feature flags, tracked stats columns
     * and constraint count. O(manifest) + an O(vector) count.
     */
+  /** Live table bytes for PLANNER STATISTICS — the number the
+    * optimizer compares against `autoBroadcastJoinThreshold` when a
+    * graft table joins by catalog name: manifest sum of live file
+    * sizes (the `DESCRIBE DETAIL` `size_bytes`), discounted by the
+    * deletion vector's dead-row fraction (a merge-on-read DELETE
+    * shrinks the effective relation even though file bytes don't
+    * move). One manifest aggregate + an O(vector) count only when a
+    * vector exists — no file listing, no data read. None for a
+    * legacy manifest without `file_size` (caller keeps Spark's
+    * conservative default so a join can never under-plan).
+    */
+  def tableSizeInBytes(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[Long] = {
+    val dir = version match {
+      case Some(v) =>
+        val have = tableVersions(spark, path)
+        require(have.contains(v),
+          s"version $v of $path is not retained (have " +
+            s"${have.mkString("[", ",", "]")})")
+        s"$path/$StatsDir/v$v"
+      case None => manifestDir(spark, path)
+    }
+    val m = readManifestIn(spark, dir)
+    if (!m.columns.contains("file_size")) return None
+    val hasRows = m.columns.contains("n_rows")
+    val aggRow =
+      if (hasRows) m.agg(sum(col("file_size")), sum(col("n_rows"))).head()
+      else m.agg(sum(col("file_size"))).head()
+    if (aggRow.isNullAt(0)) return Some(0L) // empty manifest
+    val bytes = aggRow.getLong(0)
+    val physRows = if (hasRows && !aggRow.isNullAt(1)) aggRow.getLong(1) else 0L
+    val dead = if (physRows > 0L) readDvIn(spark, dir).fold(0L)(_.count()) else 0L
+    val live =
+      if (dead > 0L)
+        math.ceil(bytes.toDouble * (physRows - dead).toDouble / physRows).toLong
+      else bytes
+    Some(math.max(live, 0L))
+  }
+
   def tableDetail(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
@@ -5471,6 +5742,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         case None => Nil
         case Some((raw, family))
             if !rawTypeOf(raw).exists(monotoneTypeOk(family, _)) => Nil
+        // temporal endpoint evaluation runs under the READER's
+        // session timezone; stored values were computed under the
+        // recorded writer timezone — derive only when they AGREE
+        // (unknown/mixed record ⟹ no temporal derivation; a
+        // mismatched reader would shift bounds by the offset and
+        // silently drop files). The other families are tz-free.
+        case Some((_, family))
+            if family == "temporal" &&
+              !generatedTzIn(fs, dir).contains(sessionTz(spark)) => Nil
         case Some((raw, family)) =>
           val rawType = rawTypeOf(raw).get
           def isRaw(e: CExpr): Boolean =
@@ -5611,7 +5891,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       predicate: Column): (Option[Any], Option[Any]) = {
     val m = currentMap(spark, path)
     minMaxWhereDetail(spark, path,
-      m.flatMap(_.get(column)).getOrElse(column),
+      m.fold(column)(mapStatsKey(_, column)),
       mapPred(spark, path, predicate))._1
   }
 
@@ -5664,7 +5944,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     }
     val statuses = statusesOf(demoted)
     val fromStats = statsSide
-      .select(col(s"min_$column").as("__lo"), col(s"max_$column").as("__hi"))
+      .select(mc(s"min_$column").as("__lo"), mc(s"max_$column").as("__hi"))
     val frames = Seq(fromStats) ++ scanAll(statuses, dv).toSeq
     val r = frames.reduce(_.unionByName(_))
       .agg(min(col("__lo")), max(col("__hi"))).head()
@@ -5718,6 +5998,103 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         partAwareStatusScan(spark, path, dir, schema, partialStatuses), dv)
         .filter(coalesce(predicate, lit(false))).count()
     (fullCount + partialCount, fullFiles, partialStatuses.size.toLong)
+  }
+
+  /** (count of rows where `column` IS NOT NULL and `predicate`
+    * matches, all-match files answered from stats, files scanned) —
+    * the `COUNT(col)` companion of [[countWhereDetail]], answering
+    * `COUNT(col) = n_rows − nullCount` from the manifest: an
+    * all-match file contributes `n_rows − coalesce(nulls_col,
+    * n_rows)` (a NULL null-count means the column did not exist when
+    * the file was written — every row reads NULL; the skip
+    * rewriter's own backfill rule), files carrying deletion-vector
+    * entries demote to a scan (a dead row's nullity is unknowable
+    * from stats), boundary files scan with the row predicate. A
+    * manifest without null tracking for the column scans every kept
+    * file — correct but no pushdown win, so the PLANNER should not
+    * claim such plans (see [[manifestNullCountedLogical]]).
+    * `column` arrives PHYSICAL, `predicate` pre-mapped — like every
+    * sibling detail function.
+    */
+  private[sources] def countNonNullWhereDetail(spark: SparkSession,
+      path: String, column: String, predicate: Column): (Long, Long, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (stats, schema, skip) = planSkip(spark, path, dir, predicate)
+    val notNullPred = coalesce(predicate, lit(false)) && col(column).isNotNull
+    if (!stats.columns.contains("n_rows") ||
+        !stats.columns.contains("file_size")) {
+      // legacy manifest: no row counts recorded — plain scan count
+      val c = readSkippingIn(spark, path, dir, predicate)
+        .filter(notNullPred).count()
+      return (c, 0L, -1L)
+    }
+    val tracked = stats.columns.collect {
+      case c if c.startsWith("min_") => c.drop(4) }.toSet
+    val nullsTracked = stats.columns.collect {
+      case c if c.startsWith("nulls_") => c.drop(6) }.toSet
+    val cond = resolvedCondition(spark, schema, predicate)
+    val all = coalesce(
+      rewriteAll(cond, tracked, nullsTracked).getOrElse(lit(false)),
+      lit(false))
+    val hasNulls = stats.columns.contains(s"nulls_$column")
+    val eligible = if (hasNulls) all else lit(false)
+    val dv = readDvIn(spark, dir)
+    val kept = stats.filter(skip)
+    val (statsSide, demoted) = dv match {
+      case None => (kept.filter(eligible), kept.filter(!eligible))
+      case Some(d) =>
+        val dvFiles = d.select(col("file")).distinct()
+        (kept.filter(eligible).join(broadcast(dvFiles), Seq("file"), "left_anti"),
+          kept.filter(!eligible).unionByName(
+            kept.filter(eligible).join(broadcast(dvFiles), Seq("file"), "left_semi")))
+    }
+    val nnExpr = if (hasNulls)
+      col("n_rows") - coalesce(mc(s"nulls_$column"), col("n_rows"))
+    else lit(0L)
+    val aggRow = statsSide.agg(sum(nnExpr), count(lit(1))).head()
+    val fullCount = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
+    val fullFiles = aggRow.getLong(1)
+    val statuses = statusesOf(demoted)
+    val partial =
+      if (statuses.isEmpty) 0L
+      else applyDv(
+        partAwareStatusScan(spark, path, dir, schema, statuses), dv)
+        .filter(notNullPred).count()
+    (fullCount + partial, fullFiles, statuses.size.toLong)
+  }
+
+  /** [[countNonNullWhereDetail]] with LOGICAL column/predicate
+    * (current-mapping translation applied, like [[minMaxWhere]]).
+    */
+  private[sources] def countColWhereDetail(spark: SparkSession, path: String,
+      column: String, predicate: Column): (Long, Long, Long) = {
+    val m = currentMap(spark, path)
+    countNonNullWhereDetail(spark, path,
+      m.fold(column)(mapStatsKey(_, column)),
+      mapPred(spark, path, predicate))
+  }
+
+  /** Metadata-backed `COUNT(column) WHERE predicate` (non-null count;
+    * logical names).
+    */
+  def countNonNullWhere(spark: SparkSession, path: String, column: String,
+      predicate: Column): Long =
+    countColWhereDetail(spark, path, column, predicate)._1
+
+  /** The logical names whose per-file NULL COUNTS the current
+    * manifest records — the columns `COUNT(col)` pushdown may claim.
+    * Schema-only (no job).
+    */
+  private[sources] def manifestNullCountedLogical(spark: SparkSession,
+      path: String): Set[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+    readManifestIn(spark, dir).columns.collect {
+      case c if c.startsWith("nulls_") =>
+        mapStatsKey(inv, c.drop(6))
+    }.toSet
   }
 
   private def readSkippingIn(spark: SparkSession, path: String, dir: String,
@@ -5777,7 +6154,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       val range = minC(a) <= litOf(v) && maxC(a) >= litOf(v)
       bloom.get(a).fold(range)(k => range &&
         call_function("graft_bloom_contains_col",
-          xxhash64(litOf(v)), col(s"bloom_$a"), lit(k)))
+          xxhash64(litOf(v)), mc(s"bloom_$a"), lit(k)))
     }
     e match {
     // Boolean literals skip exactly as themselves: `false` (an empty
@@ -5802,9 +6179,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       for (a <- rewrite(l, tracked, nullsTracked, bloom);
         b <- rewrite(r, tracked, nullsTracked, bloom)) yield a || b
     case IsNull(Attr(a)) if nullsTracked(a) =>
-      Some(coalesce(col(s"nulls_$a"), col("n_rows")) > 0L)
+      Some(coalesce(mc(s"nulls_$a"), col("n_rows")) > 0L)
     case IsNotNull(Attr(a)) if nullsTracked(a) =>
-      Some(col("n_rows") > coalesce(col(s"nulls_$a"), col("n_rows")))
+      Some(col("n_rows") > coalesce(mc(s"nulls_$a"), col("n_rows")))
     case EqualTo(Attr(a), Lit(v)) if tracked(a) =>
       Some(eqTerm(a, v))
     case EqualTo(Lit(v), Attr(a)) if tracked(a) =>
@@ -5854,7 +6231,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           val range = minC(a) <= x && maxC(a) >= x
           bloom.get(a).fold(range)(k => range &&
             call_function("graft_bloom_contains_col",
-              xxhash64(x), col(s"bloom_$a"), lit(k)))
+              xxhash64(x), mc(s"bloom_$a"), lit(k)))
         }))
       }
     case org.apache.spark.sql.catalyst.expressions.StartsWith(Attr(a), Lit(v))
@@ -5905,7 +6282,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       nullsTracked: Set[String]): Option[Column] = {
     def noNulls(a: String): Option[Column] =
       if (!nullsTracked(a)) None
-      else Some(coalesce(col(s"nulls_$a"), col("n_rows")) === 0L)
+      else Some(coalesce(mc(s"nulls_$a"), col("n_rows")) === 0L)
     def cmp(a: String, term: Column): Option[Column] =
       if (!tracked(a)) None else noNulls(a).map(term && _)
     e match {
@@ -5931,9 +6308,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       case LessThanOrEqual(Attr(a), Lit(v)) => cmp(a, maxC(a) <= litOf(v))
       case LessThanOrEqual(Lit(v), Attr(a)) => cmp(a, minC(a) >= litOf(v))
       case IsNull(Attr(a)) if nullsTracked(a) =>
-        Some(coalesce(col(s"nulls_$a"), col("n_rows")) === col("n_rows"))
+        Some(coalesce(mc(s"nulls_$a"), col("n_rows")) === col("n_rows"))
       case IsNotNull(Attr(a)) if nullsTracked(a) =>
-        Some(coalesce(col(s"nulls_$a"), col("n_rows")) === 0L)
+        Some(coalesce(mc(s"nulls_$a"), col("n_rows")) === 0L)
       case _ => None
     }
   }
@@ -6048,7 +6425,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     }
     // global ranges from the manifest: one small agg, no data read
     val aggs = zCols.flatMap(c =>
-      Seq(min(col(s"min_$c")).cast("bigint"), max(col(s"max_$c")).cast("bigint")))
+      Seq(min(mc(s"min_$c")).cast("bigint"), max(mc(s"max_$c")).cast("bigint")))
     val env = stats.agg(aggs.head, aggs.tail: _*).head()
     val bounds = zCols.zipWithIndex.map { case (c, i) =>
       require(!env.isNullAt(2 * i),
@@ -6183,7 +6560,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // bucket ranges from the FULL manifest envelope: new files share
     // the existing layout's key space
     val aggs = zCols.flatMap(c =>
-      Seq(min(col(s"min_$c")).cast("bigint"), max(col(s"max_$c")).cast("bigint")))
+      Seq(min(mc(s"min_$c")).cast("bigint"), max(mc(s"max_$c")).cast("bigint")))
     val env = stats.agg(aggs.head, aggs.tail: _*).head()
     val bounds = zCols.zipWithIndex.map { case (c, i) =>
       require(!env.isNullAt(2 * i),
@@ -6248,16 +6625,43 @@ object DataSkipping extends org.apache.spark.internal.Logging {
   }
 
   /** Column name of a (resolved or unresolved) attribute node. */
+  /** Predicate target as a STATS-KEY string: a bare column name, or
+    * a dotted struct-field path (`a.b` — resolved trees carry
+    * `GetStructField` chains, Column-DSL trees a multi-part
+    * `UnresolvedAttribute`; both normalize to the path the nested
+    * stats are tracked under, Delta's nested-column-stats shape).
+    */
   private object Attr {
     def unapply(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.nameParts.mkString("."))
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        unapply(g.child).map(p => s"$p.${g.extractFieldName}")
       case _ => None
     }
   }
 
-  private def minC(a: String): Column = col(s"min_$a")
-  private def maxC(a: String): Column = col(s"max_$a")
+  /** Manifest stat-column reference by LITERAL name: stats columns
+    * for NESTED field paths are named with dots (`min_a.b`), which
+    * bare `col()` would mis-parse as struct access — always
+    * backtick-quote (a no-op for flat names).
+    */
+  private[sources] def mc(name: String): Column = col(s"`$name`")
+
+  /** Column-mapping translation for a stats key that may be a NESTED
+    * path: the mapping speaks TOP-LEVEL column names, so only the
+    * head segment translates (`a.b` under a→c becomes `c.b`); a flat
+    * name maps wholesale.
+    */
+  private def mapStatsKey(m: Map[String, String], c: String): String = {
+    val i = c.indexOf('.')
+    if (i < 0) m.getOrElse(c, c)
+    else m.get(c.substring(0, i)).fold(c)(h => h + c.substring(i))
+  }
+
+  private def minC(a: String): Column = mc(s"min_$a")
+  private def maxC(a: String): Column = mc(s"max_$a")
   private def litOf(v: Literal): Column =
     lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
       .convertToScala(v.value, v.dataType))

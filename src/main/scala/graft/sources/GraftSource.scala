@@ -102,8 +102,12 @@ class GraftSourceProvider extends RelationProvider
       case Overwrite => freshWrite()
       case Append if exists =>
         requireAppendPartitioning()
+        // LOGICAL names: appendWithStats' statsCols contract is
+        // logical (translateBatchForAppend maps them physical) — the
+        // PHYSICAL tracked set would mis-translate after a rename
+        // whose old physical name collides with a current logical one
         val cols = statsColsOpt.getOrElse(
-          DataSkipping.tableStatsCols(spark, path))
+          DataSkipping.tableStatsColsLogical(spark, path))
         DataSkipping.appendWithStats(data, path, cols,
           commitName = parameters.get("commitName"),
           mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
@@ -254,10 +258,48 @@ private[sources] class GraftRelation(spark: SparkSession,
     * table keeping the tracked stats set and the partition layout —
     * the Delta writer's semantics for the same statements.
     */
-  override def insert(data: org.apache.spark.sql.DataFrame,
+  /** Output columns the INSERT filled with a NULL LITERAL because
+    * the statement's column list OMITTED them (Spark's V1 insert
+    * resolution projects `CAST(NULL AS t) AS c` for every missing
+    * column). Plan inspection only — no evaluation — so telling
+    * "omitted" apart from "user data that happens to be null" is
+    * free and exact: a user SELECTing real columns never produces a
+    * null-literal projection.
+    */
+  private def nullLiteralColumns(
+      data: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Literal}
+    def isNullLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case Literal(null, _) => true
+        case c: Cast => isNullLit(c.child)
+        case _ => false
+      }
+    data.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collect {
+          case a: Alias if isNullLit(a.child) => a.name
+        }.toSet
+      case _ => Set.empty
+    }
+  }
+
+  override def insert(data0: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
     require(version.isEmpty,
       "cannot INSERT into a time-travel (versionAsOf/timestampAsOf) relation")
+    // `INSERT INTO n (a, b) SELECT …` on a table with GENERATED or
+    // IDENTITY columns: the omitted columns arrive as null literals;
+    // DROP them so the append hooks compute/assign (the Delta
+    // behavior) — appendWithStats refuses a SUPPLIED identity column
+    // and CHECK-verifies a supplied generated one, so only genuine
+    // omissions take this path
+    val data = {
+      val auto = (DataSkipping.tableGeneratedColumns(spark, path).keySet ++
+        DataSkipping.tableIdentityColumns(spark, path).keySet)
+        .intersect(nullLiteralColumns(data0))
+      if (auto.isEmpty || overwrite) data0 else data0.drop(auto.toSeq: _*)
+    }
     if (overwrite) {
       // LOGICAL names throughout: the batch arrives under the
       // relation's logical schema, and the overwrite creates a FRESH
@@ -270,8 +312,12 @@ private[sources] class GraftRelation(spark: SparkSession,
       DataSkipping.writeWithStats(data, path, statsCols,
         bloomCols = Nil, partitionBy = partCols)
     } else {
+      // LOGICAL names, like the overwrite branch: appendWithStats
+      // translates logical→physical itself (see its statsCols
+      // contract) — passing the physical tracked set would
+      // mis-translate after renames
       DataSkipping.appendWithStats(data, path,
-        DataSkipping.tableStatsCols(spark, path))
+        DataSkipping.tableStatsColsLogical(spark, path))
     }
   }
 
@@ -286,6 +332,29 @@ private[sources] class GraftRelation(spark: SparkSession,
   // rows come back as the inner DataFrame's InternalRows — no
   // Row conversion layer on top of an already-planned scan
   override def needConversion: Boolean = false
+
+  /** Manifest-backed relation statistics (live file bytes,
+    * DV-discounted — the `DESCRIBE DETAIL` number): without this the
+    * V1 default is `spark.sql.defaultSizeInBytes` (effectively ∞),
+    * so a 1 MB graft dim joined BY NAME (`spark.table("dim")
+    * .join(fact, …)` — the first join every porter writes) plans a
+    * sort-merge join shuffling BOTH sides where a broadcast fits.
+    * Lazy: computed once per relation instance, only when the
+    * planner asks; a fresh resolution (new query over the name/path)
+    * re-reads the manifest, so the size tracks append/DELETE
+    * generations. The internal read paths were always immune
+    * ([[DataSkipping]]'s `ManifestFileIndex` serves real file sizes)
+    * — this closes the same gap for the catalog/`format("graft")`
+    * surface.
+    */
+  override lazy val sizeInBytes: Long =
+    try DataSkipping.tableSizeInBytes(spark, path, version)
+      .getOrElse(super.sizeInBytes)
+    catch {
+      // never fail PLANNING over statistics — fall back to the
+      // conservative default (no auto-broadcast, correct plans)
+      case scala.util.control.NonFatal(_) => super.sizeInBytes
+    }
 
   /** Source filters → one Column the skip planner understands; None
     * for a filter family the translation doesn't cover (Spark still

@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * The rewrite claims a plan ONLY when it is provably equivalent:
   * global aggregate (no GROUP BY), every aggregate one of
-  * COUNT(*)/COUNT(1) (no DISTINCT, no FILTER clause), MIN/MAX of a
+  * COUNT(*)/COUNT(1) (no DISTINCT, no FILTER clause), COUNT(col) of
+  * a null-count-tracked column (`n_rows − nullCount`), MIN/MAX of a
   * stats-tracked column, the WHERE a deterministic, subquery-free
   * predicate (any such predicate is safe — ambiguous files are
   * scanned with the row predicate, so the answer always equals the
@@ -56,18 +57,25 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
         if minMaxTracked(specs, rel)
       } yield GraftMetaAggExec(agg.output, rel.path, cond, specs) :: Nil)
         .getOrElse(Nil)
-    // GROUPED metadata count — `SELECT p…, count(*) … GROUP BY p…`
-    // over PARTITION columns: partition values are min=max per file,
-    // so any deterministic partition-column predicate evaluates
-    // exactly against manifest rows and per-partition counts are one
-    // O(files) aggregate — the partition-profile query at 100 TB
-    // reads no data at all. Claimed only when grouping keys AND the
-    // predicate reference partition columns exclusively and every
-    // aggregate is COUNT(*).
+    // GROUPED metadata aggregates — `SELECT p…, count(*) / count(c)
+    // / min(c) / max(c) … GROUP BY p…` over PARTITION columns:
+    // partition values are min=max per file, so any deterministic
+    // partition-column predicate evaluates exactly against manifest
+    // rows (every kept file is all-match) and per-file stats answer
+    // the aggregates in one O(files) manifest aggregate — the
+    // partition-profile query at 100 TB reads no data (files with
+    // deletion-vector entries demote to a scan when a per-column
+    // answer is requested; see partitionGroupAggs). Claimed only
+    // when grouping keys AND the predicate reference partition
+    // columns exclusively, every aggregate is one of the shapes
+    // above, and the targets are stats-/null-count-tracked.
     case agg: Aggregate if agg.groupingExpressions.nonEmpty =>
       (for {
         (rel, cond) <- relationBelow(agg.child)
         if rel.version.isEmpty
+        // a legacy pre-n_rows manifest can't answer counts — the
+        // grouped exec has no scan fallback, so don't claim the plan
+        if DataSkipping.manifestHasRowCounts(spark, rel.path)
         groupAttrs <- Some(agg.groupingExpressions)
           .filter(_.forall(_.isInstanceOf[AttributeReference]))
           .map(_.map(_.asInstanceOf[AttributeReference]))
@@ -78,28 +86,55 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
           !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
           c.references.forall(r => partCols.exists(_.equalsIgnoreCase(r.name))))
         outSpecs <- groupOutputOf(agg.aggregateExpressions, groupAttrs)
+        if groupTargetsTracked(outSpecs, rel)
       } yield GraftMetaGroupCountExec(agg.output, rel.path, cond,
         outSpecs) :: Nil)
         .getOrElse(Nil)
     case _ => Nil
   }
 
-  /** Output plan per aggregate expression: Left(grouping column
-    * name) for a pass-through grouping attribute, Right(()) for
-    * COUNT(*). None = an aggregate shape the grouped rewrite can't
-    * answer (the whole plan falls through).
+  /** Output plan per aggregate expression, positional (see
+    * [[GroupOut]]). None = an aggregate shape the grouped rewrite
+    * can't answer (the whole plan falls through).
     */
   private def groupOutputOf(exprs: Seq[Expression],
-      groupAttrs: Seq[AttributeReference])
-      : Option[Seq[Either[String, Unit]]] = {
-    val specs = exprs.map {
+      groupAttrs: Seq[AttributeReference]): Option[Seq[GroupOut]] = {
+    def of(e: Expression): Option[GroupOut] = e match {
       case a: AttributeReference
-          if groupAttrs.exists(_.exprId == a.exprId) => Some(Left(a.name))
-      case Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
-        Some(Right(()))
+          if groupAttrs.exists(_.exprId == a.exprId) => Some(GroupKey(a.name))
+      case Alias(child, _) => of(child)
+      // non-null literal only: COUNT(NULL) is 0 per SQL (count skips
+      // null input), never the row count the manifest answers with
+      case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _)
+          if v != null =>
+        Some(GroupCount)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
+        Some(GroupCountCol(a.name))
+      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
+        Some(GroupMin(a.name))
+      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
+        Some(GroupMax(a.name))
       case _ => None
     }
+    val specs = exprs.map(of)
     if (specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
+  }
+
+  /** Grouped targets, like the global rule: MIN/MAX stats-tracked,
+    * COUNT(col) null-count-tracked.
+    */
+  private def groupTargetsTracked(specs: Seq[GroupOut],
+      rel: GraftRelation): Boolean = {
+    val mm = specs.collect {
+      case GroupMin(c) => c
+      case GroupMax(c) => c
+    }.distinct
+    val cc = specs.collect { case GroupCountCol(c) => c }.distinct
+    (mm.isEmpty && cc.isEmpty) || {
+      lazy val tracked = DataSkipping.tableStatsColsLogical(spark, rel.path)
+      lazy val nullCounted = DataSkipping.manifestNullCountedLogical(spark, rel.path)
+      mm.forall(tracked.contains) && cc.forall(nullCounted.contains)
+    }
   }
 
   /** Unwrap attribute-only Projects and at most one Filter down to a
@@ -126,8 +161,15 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
 
   private def metaAggOf(e: Expression): Option[MetaAgg] = e match {
     case Alias(child, _) => metaAggOf(child)
-    case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
+    // non-null literal only: COUNT(NULL) is 0 per SQL (count skips
+    // null input), never the row count the manifest answers with
+    case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _)
+        if v != null =>
       Some(MetaCount)
+    // COUNT(col) = n_rows − nullCount: manifest-answerable for
+    // null-tracked columns (see countNonNullWhereDetail)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
+      Some(MetaCountCol(a.name))
     case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
       Some(MetaMin(a.name, a.dataType))
     case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
@@ -135,18 +177,21 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
     case _ => None
   }
 
-  /** MIN/MAX targets must be stats-tracked (COUNT needs only
-    * `n_rows`, recorded for every file). One sidecar read per
-    * planned candidate — O(small), like any planning-time listing.
+  /** MIN/MAX targets must be stats-tracked and COUNT(col) targets
+    * null-count-tracked (plain COUNT(*) needs only `n_rows`,
+    * recorded for every file). One sidecar read per planned
+    * candidate — O(small), like any planning-time listing.
     */
   private def minMaxTracked(specs: Seq[MetaAgg], rel: GraftRelation): Boolean = {
-    val targets = specs.collect {
+    val mm = specs.collect {
       case MetaMin(c, _) => c
       case MetaMax(c, _) => c
     }.distinct
-    targets.isEmpty || {
-      val tracked = DataSkipping.tableStatsColsLogical(spark, rel.path)
-      targets.forall(tracked.contains)
+    val cc = specs.collect { case MetaCountCol(c) => c }.distinct
+    (mm.isEmpty && cc.isEmpty) || {
+      lazy val tracked = DataSkipping.tableStatsColsLogical(spark, rel.path)
+      lazy val nullCounted = DataSkipping.manifestNullCountedLogical(spark, rel.path)
+      mm.forall(tracked.contains) && cc.forall(nullCounted.contains)
     }
   }
 }
@@ -155,8 +200,20 @@ object MetaAggPushdown {
 
   sealed trait MetaAgg
   case object MetaCount extends MetaAgg
+  final case class MetaCountCol(column: String) extends MetaAgg
   final case class MetaMin(column: String, dataType: DataType) extends MetaAgg
   final case class MetaMax(column: String, dataType: DataType) extends MetaAgg
+
+  /** Output plan of the GROUPED rewrite, positional: a pass-through
+    * grouping column, the visible count, a non-null column count, or
+    * a per-group MIN/MAX (all column names logical).
+    */
+  sealed trait GroupOut
+  final case class GroupKey(name: String) extends GroupOut
+  case object GroupCount extends GroupOut
+  final case class GroupCountCol(column: String) extends GroupOut
+  final case class GroupMin(column: String) extends GroupOut
+  final case class GroupMax(column: String) extends GroupOut
 
   /** Install the strategy on a live session (idempotent) — the
     * no-extensions path, like `GraftFunctions.register`.
@@ -205,11 +262,20 @@ case class GraftMetaAggExec(output: Seq[Attribute], path: String,
     def minMaxOf(c: String): (Option[Any], Option[Any]) =
       DataSkipping.minMaxWhere(spark, path, c, predicate)
     val mmCache = collection.mutable.Map.empty[String, (Option[Any], Option[Any])]
+    val ccCache = collection.mutable.Map.empty[String, Long]
     val values: Seq[Any] = aggs.zip(output).map {
       case (MetaCount, _) =>
         longMetric("allMatchFiles").add(fullFiles)
         longMetric("scannedFiles").add(math.max(scanned, 0L))
         count
+      case (MetaCountCol(c), _) =>
+        ccCache.getOrElseUpdate(c, {
+          val (cnt, ff, sc) =
+            DataSkipping.countColWhereDetail(spark, path, c, predicate)
+          longMetric("allMatchFiles").add(ff)
+          longMetric("scannedFiles").add(math.max(sc, 0L))
+          cnt
+        })
       case (MetaMin(c, dt), _) =>
         toCatalyst(mmCache.getOrElseUpdate(c, minMaxOf(c))._1.orNull, dt)
       case (MetaMax(c, dt), _) =>
@@ -232,20 +298,20 @@ case class GraftMetaAggExec(output: Seq[Attribute], path: String,
       condition.map(c => s" cond=${c.sql}").getOrElse("")
 }
 
-/** The physical GROUPED metadata count: per-partition visible row
-  * counts from one distributed manifest aggregate
-  * ([[DataSkipping.partitionGroupCounts]] — exact under deletion
-  * vectors, zero-count groups dropped per SQL GROUP BY). `specs`
-  * maps each output column to a grouping column (Left(name)) or the
-  * count (Right).
+/** The physical GROUPED metadata aggregate: per-partition visible
+  * counts, non-null column counts and MIN/MAX from one distributed
+  * manifest aggregate ([[DataSkipping.partitionGroupAggs]] — exact
+  * under deletion vectors via scan demotion, zero-count groups
+  * dropped per SQL GROUP BY). `specs` maps each output column
+  * positionally (see [[MetaAggPushdown.GroupOut]]).
   */
 case class GraftMetaGroupCountExec(output: Seq[Attribute], path: String,
     condition: Option[Expression],
-    specs: Seq[Either[String, Unit]]) extends LeafExecNode {
+    specs: Seq[MetaAggPushdown.GroupOut]) extends LeafExecNode {
 
   private def result(): org.apache.spark.sql.DataFrame = {
     val spark = SparkSession.active
-    // NO mapPred here: partitionGroupCounts serves the manifest's
+    // NO mapPred here: partitionGroupAggs serves the manifest's
     // partition columns under their LOGICAL names already, which is
     // exactly what the SQL predicate references
     val predicate = condition.map { c =>
@@ -253,11 +319,7 @@ case class GraftMetaGroupCountExec(output: Seq[Attribute], path: String,
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
     }
-    val counts = DataSkipping.partitionGroupCounts(spark, path, predicate)
-    counts.select(specs.map {
-      case Left(name) => org.apache.spark.sql.functions.col(name)
-      case Right(_) => org.apache.spark.sql.functions.col("__cnt")
-    }: _*)
+    DataSkipping.partitionGroupAggs(spark, path, predicate, specs)
   }
 
   override protected def doExecute(): RDD[InternalRow] =

@@ -249,4 +249,107 @@ class CatalogSpec extends SparkSpec {
     assert(s.table(n).count() === 100L)
     s.sql(s"DROP TABLE $n")
   }
+
+  test("INSERT INTO by name computes generated and assigns identity columns") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat9")}/tbl"
+    val n = freshName("cat_genid")
+    // bootstrap: rid on the identity grid, day materialized once
+    val base = (0L until 100L).map(i =>
+      (i, java.sql.Timestamp.valueOf(s"2024-01-0${i % 5 + 1} 08:00:00"), s"v$i"))
+      .toDF("rid", "ts", "v")
+      .withColumn("day", to_date(col("ts")))
+    DataSkipping.writeWithStats(base, t, Seq("rid"))
+    DataSkipping.addGeneratedColumn(s, t, "day", "to_date(ts)")
+    DataSkipping.addIdentityColumn(s, t, "rid", start = 0L, step = 1L)
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    try {
+      // the V1 insert fills omitted columns with null literals; the
+      // relation must DROP those so the append hooks compute the
+      // generated day and assign fresh identity ids — the porting
+      // user's INSERT INTO n (cols…) SELECT … just works
+      s.sql(s"INSERT INTO $n (ts, v) SELECT " +
+        "timestamp'2024-03-05 10:00:00', concat('w', id) FROM range(10)")
+      s.catalog.refreshTable(n)
+      val added = s.table(n).filter(col("v").startsWith("w"))
+      assert(added.count() === 10L)
+      assert(added.filter(col("day") ===
+        lit(java.sql.Date.valueOf("2024-03-05"))).count() === 10L,
+        "generated column must compute through the name-addressed insert")
+      val rids = s.table(n).select("rid").collect().map(_.getLong(0))
+      assert(rids.distinct.length === rids.length, "identity ids must be unique")
+      assert(added.agg(min("rid")).head.getLong(0) >= 100L,
+        "fresh identity ids start past the bootstrap watermark")
+      // a SUPPLIED identity value still refuses loudly (full-schema
+      // positional insert carries real values into rid) and the
+      // table is untouched
+      intercept[Exception] {
+        s.sql(s"INSERT INTO $n SELECT id, timestamp'2024-03-06 10:00:00', " +
+          "concat('x', id), NULL FROM range(5)")
+      }
+      s.catalog.refreshTable(n)
+      assert(s.table(n).count() === 110L)
+    } finally s.sql(s"DROP TABLE $n")
+  }
+
+  test("a small graft dim joined BY NAME auto-broadcasts (manifest-backed sizeInBytes)") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat7")}/dim"
+    val n = freshName("cat_bcast")
+    DataSkipping.writeWithStats(
+      (0L until 200L).map(i => (i, s"name$i")).toDF("k", "label"), t, Seq("k"))
+    s.sql(s"CREATE TABLE $n USING graft LOCATION '$t'")
+    try {
+      val rel = s.table(n).queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+      }.get
+      val live = DataSkipping.tableSizeInBytes(s, t).get
+      assert(live > 0L && rel.sizeInBytes === live,
+        s"GraftRelation must report the manifest's live bytes, got " +
+          s"${rel.sizeInBytes} vs $live")
+      // the porter's first join: fact ⋈ spark.table(dim) under the
+      // DEFAULT autoBroadcastJoinThreshold — a 10 KB dim must plan a
+      // broadcast, not a both-sides shuffle (the V1 default size is
+      // effectively infinite and always planned SMJ before this)
+      val fact = s.range(0, 5000).select((col("id") % 200).as("k"),
+        (col("id") * 2).as("amt"))
+      val joined = fact.join(s.table(n), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"name-addressed graft dim should auto-broadcast, plan:\n$plan")
+      assert(!"(?<!Broadcast)Exchange (hash|range)".r.findFirstIn(plan).isDefined,
+        s"broadcast join must not shuffle either side, plan:\n$plan")
+      assert(joined.count() === 5000L)
+    } finally s.sql(s"DROP TABLE $n")
+  }
+
+  test("sizeInBytes tracks append and DELETE generations (DV-discounted)") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cat8")}/tbl"
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v"), t, Seq("id"))
+    val s0 = DataSkipping.tableSizeInBytes(s, t).get
+    assert(s0 > 0L)
+    DataSkipping.appendWithStats(
+      (1000L until 2000L).map(i => (i, s"v$i")).toDF("id", "v"), t, Seq("id"))
+    val s1 = DataSkipping.tableSizeInBytes(s, t).get
+    assert(s1 > s0, s"append must grow the live size ($s0 -> $s1)")
+    // merge-on-read DELETE: file bytes unchanged, live size discounts
+    // by the dead-row fraction
+    DataSkipping.deleteWhereDV(s, t, col("id") < 1000L)
+    val s2 = DataSkipping.tableSizeInBytes(s, t).get
+    assert(s2 < s1 && s2 > 0L,
+      s"DV delete must discount the live size ($s1 -> $s2)")
+    // a fresh relation instance over the same path serves the new size
+    val rel = new GraftRelation(s, t)
+    assert(rel.sizeInBytes === s2)
+    // copy-on-write delete shrinks real bytes too
+    DataSkipping.deleteWhere(s, t, col("id") >= 1500L)
+    val s3 = DataSkipping.tableSizeInBytes(s, t).get
+    assert(s3 < s2, s"CoW delete must shrink the live size ($s2 -> $s3)")
+  }
 }

@@ -1443,4 +1443,131 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, dir, col("id") >= 0L)
       .filter(col("payload").startsWith("m")).count() === 1600L)
   }
+
+  test("nested-field stats: struct paths prune, count, and stay exact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // m.v carries real nulls; every 97th row has a NULL struct
+    // entirely (field access through a null struct reads null)
+    val df = (0L until 4000L).map { i =>
+      (i, if (i % 97 == 0) None
+          else Some((i % 500, if (i % 7 == 0) None else Some(i * 2.0))))
+    }.toDF("id", "m0")
+      .select(col("id"), when(col("m0").isNotNull,
+        struct(col("m0._1").as("uid"), col("m0._2").as("v"))).as("m"))
+    DataSkipping.writeWithStats(df.repartitionByRange(8, col("m.uid")), dir,
+      Seq("id", "m.uid", "m.v"))
+    val pred = col("m.uid") >= 100L && col("m.uid") < 200L
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(files.size === 8)
+    assert(kept.size < files.size,
+      s"nested-path stats must prune: ${kept.size}/${files.size}")
+    // pruning never changes results
+    val viaSkip = DataSkipping.readSkipping(s, dir, pred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaFull = s.read.parquet(dir).filter(pred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSkip === viaFull && viaSkip.nonEmpty)
+    // IS NULL / IS NOT NULL prune from the nested null counts (a
+    // null struct reads as a null field — both engines agree)
+    val nullCnt = DataSkipping.countWhere(s, dir, col("m.v").isNull)
+    assert(nullCnt === df.filter(col("m.v").isNull).count())
+    // metadata min/max on a struct path
+    val (lo, hi) = DataSkipping.minMaxWhere(s, dir, "m.uid", lit(true))
+    assert(lo.contains(0L) && hi.contains(499L))
+    // metadata count with a nested predicate
+    assert(DataSkipping.countWhere(s, dir, pred) ===
+      df.filter(pred).count())
+    // DML through a nested predicate rewrites exactly
+    DataSkipping.deleteWhere(s, dir, col("m.uid") === 123L, vacuum = false)
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() ===
+      df.filter(!(col("m.uid") <=> 123L)).count())
+  }
+
+  test("nested-field stats: evolution adds a struct column; old files stay correct") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 1000L).map(i => (i, i % 10)).toDF("id", "k")
+        .repartitionByRange(4, col("id")), dir, Seq("id"))
+    // evolve: a NEW struct column `meta` arrives, with stats tracked
+    // on its `q` field — old files' manifest rows carry NULL nested
+    // stats (the column didn't exist: every row reads NULL there)
+    val batch = (1000L until 1400L).map(i => (i, i % 10, i * 3))
+      .toDF("id", "k", "q0")
+      .select(col("id"), col("k"), struct(col("q0").as("q")).as("meta"))
+    DataSkipping.appendWithStats(batch.repartitionByRange(2, col("id")), dir,
+      Seq("id", "meta.q"), mergeSchema = true)
+    // a value predicate on meta.q PRUNES the pre-evolution files
+    // (all-null there — dropping them is exact) and answers right
+    val pred = col("meta.q") >= 3300L && col("meta.q") < 3600L
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept.size < files.size, s"${kept.size}/${files.size}")
+    val got = DataSkipping.readSkipping(s, dir, pred)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (1100L until 1200L).toSeq)
+    // IS NULL keeps the old files (null backfill in the rewriter)
+    assert(DataSkipping.countWhere(s, dir, col("meta.q").isNull) === 1000L)
+    assert(DataSkipping.readSkipping(s, dir, col("meta.q").isNull).count() === 1000L)
+  }
+
+  test("staged overwrite: a self-reading overwrite never destroys its own source") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 400L).map(i => (i, i % 4)).toDF("id", "k")
+        .repartitionByRange(4, col("id")), dir, Seq("id"))
+    // a deletion vector on the source exercises the vector-aware read
+    // inside the overwrite's input plan
+    DataSkipping.deleteWhereDV(s, dir, col("id") % 10 === 9L)
+    // INSERT OVERWRITE t SELECT … FROM t — the input plan READS the
+    // table being overwritten; the staged write must complete the
+    // read before anything is deleted (the eager-delete shape
+    // destroyed the source mid-plan)
+    val input = DataSkipping.readSkipping(s, dir, col("id") < 300L)
+      .withColumn("k", col("k") + 100L)
+    DataSkipping.writeWithStats(input, dir, Seq("id"))
+    val out = DataSkipping.readSkipping(s, dir, lit(true))
+    assert(out.count() === (0L until 300L).count(_ % 10 != 9))
+    assert(out.agg(min("k")).head.getLong(0) === 100L)
+    assert(DataSkipping.tableVersions(s, dir) === Seq(0L),
+      "overwrite is a fresh v0")
+    // no staging residue in the table root
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".overwrite-staging-")))
+  }
+
+  test("staged overwrite: partitioned self-overwrite and write-failure atomicity") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    DataSkipping.writeWithStats(
+      (0L until 300L).map(i => (i, i % 3, s"v$i")).toDF("id", "p", "v"),
+      dir, Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+    // partitioned overwrite whose input reads the target
+    val input = DataSkipping.readSkipping(s, dir, col("p") < 2L)
+    DataSkipping.writeWithStats(input, dir, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("p"))
+    assert(DataSkipping.readSkipping(s, dir, lit(true)).count() === 200L)
+    // a FAILING overwrite job must leave the old table byte-identical
+    // (the old shape deleted the root before the job ran: a failure
+    // left no table and no _stats history at all)
+    val before = DataSkipping.readSkipping(s, dir, lit(true))
+      .orderBy("id").collect().toSeq
+    val boom = udf((i: Long) =>
+      if (i >= 0) throw new RuntimeException("boom") else i)
+    intercept[Exception] {
+      DataSkipping.writeWithStats(
+        s.range(10).select(boom(col("id")).as("id"), col("id").as("p")),
+        dir, Seq("id"), bloomCols = Nil, partitionBy = Seq("p"))
+    }
+    assert(DataSkipping.readSkipping(s, dir, lit(true))
+      .orderBy("id").collect().toSeq === before,
+      "failed overwrite must leave the old table intact")
+  }
 }

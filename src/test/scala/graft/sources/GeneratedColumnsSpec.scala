@@ -189,6 +189,45 @@ class GeneratedColumnsSpec extends SparkSpec {
       df.filter(pred).count())
   }
 
+  test("read-side pruning: temporal derivation requires the recorded writer timezone") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${tmpDir("graft_gentz")}/t"
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val df = (0L until 1000L).map { i =>
+      (i, new java.sql.Timestamp(base + i * 864000L + 3600L))
+    }.toDF("id", "ts").withColumn("day", to_date(col("ts")))
+    DataSkipping.writeWithStats(df.repartition(2), dir, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("day"))
+    DataSkipping.addGeneratedColumn(s, dir, "day", "to_date(ts)")
+    val pred = col("ts") >= expr("timestamp'2024-03-03 00:00:00'") &&
+      col("ts") < expr("timestamp'2024-03-05 00:00:00'")
+    // reader tz == recorded writer tz (UTC): derives and prunes
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept.size < files.size, "same-tz derivation must prune")
+    // a reader under a DIFFERENT session timezone: stored day values
+    // were computed under UTC — deriving endpoints under -08:00
+    // would shift the window and silently drop files; the gate must
+    // fall back to no derivation (correct, just unpruned)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val (kept2, files2) = DataSkipping.prunedFiles(s2, dir, pred)
+    assert(kept2.size === files2.size,
+      "a mismatched reader timezone must derive nothing")
+    // an append under the drifted timezone POISONS the record: the
+    // table now stores mixed-epoch values, so even a UTC reader must
+    // stop deriving — for good
+    val more = s2.range(2000, 2010).select(col("id"),
+      lit(java.sql.Timestamp.valueOf("2024-03-20 12:00:00")).as("ts"))
+    DataSkipping.appendWithStats(more, dir, Seq("id"))
+    val (kept3, files3) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept3.size === files3.size,
+      "a poisoned timezone record must disable temporal derivation")
+    // and reads stay correct throughout
+    assert(DataSkipping.readSkipping(s, dir, pred).count() ===
+      df.filter(pred).count())
+  }
+
   test("read-side pruning: non-monotone generation expressions derive nothing (never wrong)") {
     val s = spark
     import s.implicits._

@@ -86,10 +86,10 @@ class MetaAggPushdownSpec extends SparkSpec {
       assert(metaNode(df).isEmpty, s"must NOT push down: $sql")
       df.collect() // and it still answers
     }
-    noMeta("SELECT k, count(*) FROM map3_v GROUP BY k")            // grouped
+    noMeta("SELECT k, count(*) FROM map3_v GROUP BY k")            // grouped (k not a partition col)
     noMeta("SELECT count(DISTINCT k) FROM map3_v")                 // distinct
     noMeta("SELECT sum(id) FROM map3_v")                           // unsupported agg
-    noMeta("SELECT count(v) FROM map3_v")                          // null-sensitive count
+    noMeta("SELECT count(v) FROM map3_v")                          // v not null-count-tracked
     noMeta("SELECT min(v) FROM map3_v")                            // v not stats-tracked
     noMeta("SELECT count(*) FROM map3_v WHERE id < rand() * 10")   // non-deterministic
     noMeta("SELECT count(*) FROM map3_v WHERE id IN (SELECT id FROM map3_v)") // subquery
@@ -146,7 +146,7 @@ class MetaAggPushdownSpec extends SparkSpec {
     }
     noMeta("SELECT v, count(*) FROM mapg_v GROUP BY v")
     noMeta("SELECT p, count(*) FROM mapg_v WHERE id < 100 GROUP BY p")
-    noMeta("SELECT p, min(id) FROM mapg_v GROUP BY p")
+    noMeta("SELECT p, min(v) FROM mapg_v GROUP BY p") // v not stats-tracked
     // parity with the real aggregate on the same query
     val real = s.read.format("graft").load(t)
       .filter("p >= 1 AND p % 2 = 1").groupBy("p").count()
@@ -155,6 +155,86 @@ class MetaAggPushdownSpec extends SparkSpec {
       "SELECT p, count(*) AS n FROM mapg_v WHERE p >= 1 AND p % 2 = 1 GROUP BY p")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(real === pushed)
+  }
+
+  test("COUNT(col) pushdown: n_rows − nullCount from the manifest; DV demotes; fallthroughs hold") {
+    val s = spark
+    import s.implicits._
+    MetaAggPushdown.install(s)
+    val t = s"${tmpDir("graft_mapcc")}/tbl"
+    val df = (0L until 1000L).map(i =>
+      (i, i % 50, if (i % 7 == 0) None else Some(i * 2.0)))
+      .toDF("id", "k", "x")
+    DataSkipping.writeWithStats(df.repartitionByRange(8, col("id")), t,
+      Seq("id", "x"))
+    s.read.format("graft").load(t).createOrReplaceTempView("mapcc_v")
+    val q = s.sql("SELECT count(x) AS nn, count(*) AS n FROM mapcc_v " +
+      "WHERE id >= 100 AND id < 900")
+    assert(metaNode(q).nonEmpty, q.queryExecution.executedPlan.toString)
+    val r = q.collect()(0)
+    assert(r.getLong(0) === (100L until 900L).count(_ % 7 != 0))
+    assert(r.getLong(1) === 800L)
+    // O(manifest): count(*) and count(x) each scan at most the two
+    // boundary files of the clustered range
+    assert(metaNode(q).get.metrics("scannedFiles").value <= 4)
+    // DV delete: vector-bearing files demote to a scan (a dead row's
+    // nullity is unknowable from stats) — still exact
+    DataSkipping.deleteWhereDV(s, t, col("id") % 10 === 0L)
+    val q2 = s.sql("SELECT count(x) AS nn FROM mapcc_v")
+    assert(metaNode(q2).nonEmpty)
+    assert(q2.head.getLong(0) ===
+      (0L until 1000L).count(i => i % 10 != 0 && i % 7 != 0))
+    // fallthroughs: DISTINCT, FILTER clause, untracked column
+    def noMeta(sql: String): Unit = {
+      val d = s.sql(sql)
+      assert(metaNode(d).isEmpty, s"must NOT push down: $sql")
+      d.collect()
+    }
+    noMeta("SELECT count(DISTINCT x) FROM mapcc_v")
+    noMeta("SELECT count(x) FILTER (WHERE id < 10) FROM mapcc_v")
+    noMeta("SELECT count(k) FROM mapcc_v") // k not null-count-tracked
+    // count(NULL) is 0 per SQL — never the row count (the r15 advice
+    // bug: a NULL literal matched the COUNT(*) rewrite)
+    val cn = s.sql("SELECT count(NULL) AS z FROM mapcc_v")
+    assert(metaNode(cn).isEmpty)
+    assert(cn.head.getLong(0) === 0L)
+  }
+
+  test("grouped MIN/MAX and COUNT(col) answer from per-file stats; DV demotes to a scan") {
+    val s = spark
+    import s.implicits._
+    MetaAggPushdown.install(s)
+    val t = s"${tmpDir("graft_mapgm")}/tbl"
+    val df = (0L until 1200L).map(i =>
+      (i, i % 6, if (i % 5 == 0) None else Some(i * 1.5), s"v$i"))
+      .toDF("id", "p", "x", "v")
+    DataSkipping.writeWithStats(df.repartition(3), t, Seq("id", "x"),
+      bloomCols = Nil, partitionBy = Seq("p"))
+    // partial DV delete inside p=2: that partition's files demote to
+    // the scan side while the others answer from the manifest
+    DataSkipping.deleteWhereDV(s, t, col("p") === 2L && col("id") % 4 === 0L)
+    s.read.format("graft").load(t).createOrReplaceTempView("mapgm_v")
+    def grouped(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan
+        .collectFirst { case g: GraftMetaGroupCountExec => g }
+    val q = s.sql("SELECT p, count(*) AS n, count(x) AS nn, " +
+      "min(id) AS lo, max(id) AS hi FROM mapgm_v WHERE p < 4 GROUP BY p")
+    assert(grouped(q).nonEmpty, q.queryExecution.executedPlan.toString)
+    val live = (0L until 1200L).filterNot(i => i % 6 == 2 && i % 4 == 0)
+    val expect = live.filter(_ % 6 < 4).groupBy(_ % 6).map { case (p, ids) =>
+      p -> ((ids.size.toLong, ids.count(_ % 5 != 0).toLong, ids.min, ids.max))
+    }
+    val got = q.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect, s"got $got expect $expect")
+    // count(v): v untracked → the whole grouped plan falls through
+    val fv = s.sql("SELECT p, count(v) FROM mapgm_v GROUP BY p")
+    assert(grouped(fv).isEmpty)
+    fv.collect()
+    // count(NULL) grouped: never the row count
+    val gz = s.sql("SELECT p, count(NULL) AS z FROM mapgm_v GROUP BY p")
+    assert(grouped(gz).isEmpty)
+    assert(gz.collect().forall(_.getLong(1) === 0L))
   }
 
   test("pushdown respects column mapping (rename) and catalog-name tables") {
