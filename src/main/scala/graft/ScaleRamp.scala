@@ -362,7 +362,7 @@ object ScaleRamp {
     val partCountPaths = gatedMap(
       if (!selected(Set("storage_part_read", "storage_part_append",
           "storage_part_delete", "storage_part_vacuum",
-          "storage_part_groupcount")))
+          "storage_part_groupcount", "storage_part_lag")))
         Map.empty[Int, String]
       else scales.map { k =>
         val p = s"$work/store_part_x$k"
@@ -657,6 +657,17 @@ object ScaleRamp {
         spark.read.format("graft").load(partCountPaths(k))
           .createOrReplaceTempView(s"ramp_gcp_x$k")
         spark.sql(s"SELECT p, count(*) AS n FROM ramp_gcp_x$k GROUP BY p")
+      },
+      // r16: consumer-lag poll across the partition decade — the
+      // backlog probe lists the MANIFEST dir (commit markers) + one
+      // checkpoint read, never the 100x partition directories; the
+      // monitoring cadence (1000 tables x 10 s) only works if this
+      // stays flat in directory count
+      "storage_part_lag" -> { k =>
+        val lag = graft.streaming.TableLag.statsTableLag(spark,
+          partCountPaths(k), s"$work/no_such_checkpoint_x$k")
+        require(lag.available >= 0L && lag.behind == lag.available)
+        spark.range(lag.available max 1L).select(col("id"))
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in

@@ -2756,10 +2756,23 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val dir = manifestDirOf(fs, path)
     val (manifest, schema, hit, touched, touchedScan, observed) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhere")
-    val unknown = set.keySet -- schema.fieldNames
+    // SET keys may be NESTED struct-field paths (`m.uid` — the Delta
+    // UPDATE-nested-field shape); a path must resolve through the
+    // schema, and setting both a struct and one of its fields in the
+    // same statement is ambiguous
+    val unknown = set.keySet.filterNot(k =>
+      if (k.contains('.')) fieldTypeOfPath(schema, k).isDefined
+      else schema.fieldNames.contains(k))
     require(unknown.isEmpty,
       s"SET columns [${unknown.toSeq.sorted.mkString(",")}] are not in the " +
         s"table schema ${schema.simpleString}")
+    val nestedByHead: Map[String, Seq[(String, Column)]] = set.toSeq
+      .filter(_._1.contains('.'))
+      .map { case (k, e) =>
+        val i = k.indexOf('.'); (k.substring(0, i), (k.substring(i + 1), e)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    nestedByHead.keys.foreach(h => require(!set.contains(h),
+      s"SET assigns both $h and a nested field of it — pick one"))
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
@@ -2775,6 +2788,16 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         set.get(f.name) match {
           case Some(e) =>
             val applied = e.cast(f.dataType)
+            onlyWhere.fold(applied)(c =>
+              when(c, applied).otherwise(col(f.name))).as(f.name)
+          case None if nestedByHead.contains(f.name) =>
+            // rebuild only the addressed fields via withField; a NULL
+            // struct stays NULL (no row gains a struct it never had)
+            val applied = nestedByHead(f.name).foldLeft(col(f.name)) {
+              case (acc, (sub, e)) =>
+                acc.withField(sub, fieldTypeOfPath(schema, s"${f.name}.$sub")
+                  .fold(e)(t => e.cast(t)))
+            }
             onlyWhere.fold(applied)(c =>
               when(c, applied).otherwise(col(f.name))).as(f.name)
           case None => col(f.name)
@@ -4567,7 +4590,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
   private def mapSet(spark: SparkSession, path: String,
       set: Map[String, Column]): Map[String, Column] =
     currentMap(spark, path).fold(set)(m =>
-      set.map { case (k, v) => m.getOrElse(k, k) -> toPhysicalColumn(v, m) })
+      set.map { case (k, v) => mapStatsKey(m, k) -> toPhysicalColumn(v, m) })
 
   private def mapDfCols(spark: SparkSession, path: String,
       df: DataFrame, keyCols: Seq[String]): (DataFrame, Seq[String]) =
@@ -6648,6 +6671,22 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * backtick-quote (a no-op for flat names).
     */
   private[sources] def mc(name: String): Column = col(s"`$name`")
+
+  /** The leaf type of a (possibly nested) field path through
+    * `schema`; None when any segment fails to resolve.
+    */
+  private def fieldTypeOfPath(schema: StructType,
+      path: String): Option[DataType] = {
+    def walk(dt: DataType, rest: List[String]): Option[DataType] = rest match {
+      case Nil => Some(dt)
+      case h :: t => dt match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(h)).flatMap(f => walk(f.dataType, t))
+        case _ => None
+      }
+    }
+    walk(schema, path.split("\\.").toList)
+  }
 
   /** Column-mapping translation for a stats key that may be a NESTED
     * path: the mapping speaks TOP-LEVEL column names, so only the

@@ -222,6 +222,11 @@ object GraftSql {
   private val ClauseNotMatchedInsert =
     """(?is)^\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s+\*\s*$""".r
   private val SetItem = """(?s)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+  // plain UPDATE only: a dotted lvalue is a NESTED struct-field path
+  // (`SET m.uid = …`, the Delta nested-update shape) — MERGE keeps
+  // bare lvalues (a dotted name there would collide with the t./s.
+  // alias rewrite)
+  private val SetItemPath = """(?s)^\s*([\w.]+)\s*=\s*(.+?)\s*$""".r
   private val OnEquality =
     """(?is)^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*$""".r
 
@@ -230,6 +235,14 @@ object GraftSql {
       case SetItem(n, e) => n -> e
       case other => sys.error(
         s"malformed SET item '$other' — expected col = expr")
+    }
+
+  private def parseSetsNested(s: String): Seq[(String, String)] =
+    Scan.splitChar(s, ',').map {
+      case SetItemPath(n, e) => n -> e
+      case other => sys.error(
+        s"malformed SET item '$other' — expected col = expr or " +
+          "struct.field = expr")
     }
 
   /** Rewrite `alias.` qualified references to the kernel's canonical
@@ -454,7 +467,7 @@ object GraftSql {
           case Some(i) => (body.substring(0, i), Some(body.substring(i + 5)))
           case None => (body, None)
         }
-        ref(t).map(UpdateGraftCommand(_, parseSets(sets), cond))
+        ref(t).map(UpdateGraftCommand(_, parseSetsNested(sets), cond))
       case MergeHead(t, tAlias, rest) =>
         ref(t).map(parseMerge(_, Option(tAlias), rest, spark))
       case _ => None

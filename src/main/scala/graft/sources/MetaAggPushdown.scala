@@ -108,12 +108,12 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
       case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _)
           if v != null =>
         Some(GroupCount)
-      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
-        Some(GroupCountCol(a.name))
-      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
-        Some(GroupMin(a.name))
-      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
-        Some(GroupMax(a.name))
+      case AggregateExpression(Count(Seq(PathAttr(p, _))), Complete, false, None, _) =>
+        Some(GroupCountCol(p))
+      case AggregateExpression(Min(PathAttr(p, _)), Complete, false, None, _) =>
+        Some(GroupMin(p))
+      case AggregateExpression(Max(PathAttr(p, _)), Complete, false, None, _) =>
+        Some(GroupMax(p))
       case _ => None
     }
     val specs = exprs.map(of)
@@ -168,13 +168,30 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
       Some(MetaCount)
     // COUNT(col) = n_rows − nullCount: manifest-answerable for
     // null-tracked columns (see countNonNullWhereDetail)
-    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
-      Some(MetaCountCol(a.name))
-    case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
-      Some(MetaMin(a.name, a.dataType))
-    case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
-      Some(MetaMax(a.name, a.dataType))
+    case AggregateExpression(Count(Seq(PathAttr(p, _))), Complete, false, None, _) =>
+      Some(MetaCountCol(p))
+    case AggregateExpression(Min(PathAttr(p, dt)), Complete, false, None, _) =>
+      Some(MetaMin(p, dt))
+    case AggregateExpression(Max(PathAttr(p, dt)), Complete, false, None, _) =>
+      Some(MetaMax(p, dt))
     case _ => None
+  }
+
+  /** Aggregate target as a STATS-KEY path: a bare column, or a
+    * struct-field chain normalized to the dotted path nested stats
+    * are tracked under (`min(m.uid)` → `m.uid`) — the same
+    * normalization the skip rewriter's Attr extractor uses.
+    */
+  private object PathAttr {
+    def unapply(e: Expression)
+        : Option[(String, DataType)] = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        unapply(g.child).map { case (p, _) =>
+          (s"$p.${g.extractFieldName}", g.dataType)
+        }
+      case _ => None
+    }
   }
 
   /** MIN/MAX targets must be stats-tracked and COUNT(col) targets

@@ -1485,6 +1485,68 @@ class DataSkippingSpec extends SparkSpec {
       df.filter(!(col("m.uid") <=> 123L)).count())
   }
 
+  test("nested-field DML: UPDATE SET on a struct path rewrites only that field") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 600L).map { i =>
+      (i, if (i % 113 == 0) None else Some((i % 20, i * 1.0)))
+    }.toDF("id", "m0")
+      .select(col("id"), when(col("m0").isNotNull,
+        struct(col("m0._1").as("uid"), col("m0._2").as("v"))).as("m"))
+    DataSkipping.writeWithStats(df.repartitionByRange(4, col("id")), dir,
+      Seq("id", "m.uid", "m.v"))
+    val n = DataSkipping.updateWhere(s, dir,
+      col("m.uid") === 7L, Map("m.v" -> lit(-1.0)), vacuum = false)
+    assert(n === df.filter(col("m.uid") === 7L).count())
+    val out = DataSkipping.readSkipping(s, dir, lit(true))
+    // addressed field updated, sibling field untouched, other rows
+    // and NULL structs byte-identical
+    assert(out.filter(col("m.uid") === 7L && col("m.v") =!= -1.0).count() === 0L)
+    assert(out.filter(col("m.uid") =!= 7L && col("m.v") === -1.0).count() === 0L)
+    assert(out.filter(col("m").isNull).count() ===
+      df.filter(col("m").isNull).count())
+    assert(out.agg(sum(when(col("m.uid") === 7L, 1L).otherwise(0L))).head.getLong(0) === n)
+    // the SQL face: UPDATE '<t>' SET m.v = m.v + 1 WHERE m.uid = 8
+    GraftSql.sql(s, s"UPDATE '$dir' SET m.v = m.v + 1 WHERE m.uid = 8")
+    val after = DataSkipping.readSkipping(s, dir, col("m.uid") === 8L)
+      .select("id", "m.v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.filter(col("m.uid") === 8L).select("id", "m.v").collect().foreach { r =>
+      assert(after(r.getLong(0)) === r.getDouble(1) + 1.0)
+    }
+    // assigning a struct AND one of its fields together is ambiguous
+    intercept[Exception] {
+      DataSkipping.updateWhere(s, dir, lit(true),
+        Map("m" -> col("m"), "m.v" -> lit(0.0)))
+    }
+    // a path that resolves nowhere refuses loudly
+    intercept[Exception] {
+      DataSkipping.updateWhere(s, dir, lit(true), Map("m.nope" -> lit(1)))
+    }
+  }
+
+  test("nested-field stats: bloom point lookup on a struct path prunes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // unclustered high-cardinality nested key: every file's min/max
+    // spans the domain, only the per-file bloom can prune
+    val df = (0L until 4000L).map(i => (i, ((i * 2654435761L) % 99991L, s"p$i")))
+      .toDF("id", "m0")
+      .select(col("id"),
+        struct(col("m0._1").as("key"), col("m0._2").as("tag")).as("m"))
+    DataSkipping.writeWithStats(df.repartition(8), dir, Seq("id", "m.key"),
+      bloomCols = Seq("m.key"))
+    val target = (1234L * 2654435761L) % 99991L
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, col("m.key") === target)
+    assert(files.size === 8)
+    assert(kept.size < files.size,
+      s"nested bloom must prune: ${kept.size}/${files.size}")
+    val got = DataSkipping.readSkipping(s, dir, col("m.key") === target)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1234L))
+  }
+
   test("nested-field stats: evolution adds a struct column; old files stay correct") {
     val s = spark
     import s.implicits._

@@ -237,6 +237,46 @@ class MetaAggPushdownSpec extends SparkSpec {
     assert(gz.collect().forall(_.getLong(1) === 0L))
   }
 
+  test("nested struct paths push down: global and grouped metadata aggregates") {
+    val s = spark
+    import s.implicits._
+    MetaAggPushdown.install(s)
+    val t = s"${tmpDir("graft_mapns")}/tbl"
+    val df = (0L until 800L).map(i => (i, i % 4,
+      (i % 100, if (i % 9 == 0) None else Some(i * 1.0))))
+      .toDF("id", "p", "m0")
+      .select(col("id"), col("p"),
+        struct(col("m0._1").as("uid"), col("m0._2").as("v")).as("m"))
+    DataSkipping.writeWithStats(df.repartition(2), t,
+      Seq("id", "m.uid", "m.v"), bloomCols = Nil, partitionBy = Seq("p"))
+    s.read.format("graft").load(t).createOrReplaceTempView("mapns_v")
+    // global: min/max/count over struct paths answer from the
+    // nested per-file stats
+    val g = s.sql("SELECT count(*) AS n, count(m.v) AS nn, " +
+      "min(m.uid) AS lo, max(m.uid) AS hi FROM mapns_v")
+    assert(metaNode(g).nonEmpty, g.queryExecution.executedPlan.toString)
+    val r = g.collect()(0)
+    assert(r.getLong(0) === 800L)
+    assert(r.getLong(1) === (0L until 800L).count(_ % 9 != 0))
+    assert(r.getLong(2) === 0L && r.getLong(3) === 99L)
+    // grouped over partition columns with nested targets
+    val gr = s.sql("SELECT p, min(m.uid) AS lo, count(m.v) AS nn " +
+      "FROM mapns_v GROUP BY p")
+    assert(gr.queryExecution.executedPlan
+      .collectFirst { case g2: GraftMetaGroupCountExec => g2 }.nonEmpty,
+      gr.queryExecution.executedPlan.toString)
+    val got = gr.collect().map(x => x.getLong(0) ->
+      ((x.getLong(1), x.getLong(2)))).toMap
+    val expect = (0L until 800L).groupBy(_ % 4).map { case (p, is) =>
+      p -> ((is.map(_ % 100).min, is.count(_ % 9 != 0).toLong))
+    }
+    assert(got === expect, s"got $got expect $expect")
+    // the whole struct is not a tracked stats key — falls through
+    val f = s.sql("SELECT min(m) FROM mapns_v")
+    assert(metaNode(f).isEmpty)
+    f.collect()
+  }
+
   test("pushdown respects column mapping (rename) and catalog-name tables") {
     val s = spark
     MetaAggPushdown.install(s)
