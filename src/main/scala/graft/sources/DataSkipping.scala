@@ -1304,14 +1304,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // stored schema so the strict shape check still compares equal.
     // A batch that SUPPLIES the column is left alone — the paired
     // _gen_ CHECK constraint verifies it at the staged choke point.
+    // values computed (or supplied and checked) under THIS session's
+    // timezone: a drift from the recorded one must poison the record
+    // so temporal read-side derivation turns off instead of pruning
+    // against mixed-epoch stored values — but only once the batch is
+    // actually GOING IN (after validation/staging), so a failed
+    // append never disables derivation for a table it didn't touch
+    val poisonTzOnCommit = generatedIn(f0, d0).nonEmpty
     val dfGen = {
-      val allGens = generatedIn(f0, d0)
-      // values about to be computed (or supplied and checked) under
-      // THIS session's timezone: a drift from the recorded one
-      // poisons the record so temporal read-side derivation turns
-      // off instead of pruning against mixed-epoch stored values
-      if (allGens.nonEmpty) poisonGeneratedTzOnDrift(s0, f0, d0)
-      val missing = allGens
+      val missing = generatedIn(f0, d0)
         .filterNot { case (n, _) => df0in.columns.contains(n) }
       if (missing.isEmpty) df0in
       else missing.toSeq.sortBy(_._1).foldLeft(df0in) {
@@ -1344,7 +1345,8 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // the batch is already physical-named.
     if (partCols0.nonEmpty)
       return appendPartitioned(df, path, statsCols, commitName,
-        mergeSchema, autoCompactSmallFiles, f0, d0, partCols0)
+        mergeSchema, autoCompactSmallFiles, f0, d0, partCols0,
+        poisonTzOnCommit)
     require(statsCols.nonEmpty, "at least one stats column")
     commitName.foreach(n => require(
       n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") && !n.startsWith("part-"),
@@ -1438,6 +1440,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // evolves it): a batch omitting a constrained column reads as
     // nulls — NULL passes CHECK, SQL semantics
     enforceConstraintsOnStaged(spark, fs, dir, staging, schema, "append")
+    if (poisonTzOnCommit) poisonGeneratedTzOnDrift(spark, fs, dir)
     val moved = moveIn(fs, staging, new Path(path))
     val batchStats =
       if (moved.nonEmpty) {
@@ -1591,7 +1594,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       statsCols0: Seq[String], commitName: Option[String],
       mergeSchema: Boolean, autoCompactSmallFiles: Option[Int],
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
-      partCols: Seq[String]): Boolean = {
+      partCols: Seq[String], poisonTzOnCommit: Boolean = false): Boolean = {
     val spark = df0.sparkSession
     if (commitName.exists(n => n.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
         fs.exists(new Path(dir, s"$n.parquet")))) return false
@@ -1681,6 +1684,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
     df.write.partitionBy(partCols: _*).parquet(staging.toString)
     enforceConstraintsOnStaged(spark, fs, dir, staging, schema, "append")
+    if (poisonTzOnCommit) poisonGeneratedTzOnDrift(spark, fs, dir)
     val moved = moveInPartitioned(fs, staging, new Path(path))
     val feats = manifestFeatures(fs, dir)
     val batchStats =
@@ -2766,13 +2770,29 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     require(unknown.isEmpty,
       s"SET columns [${unknown.toSeq.sorted.mkString(",")}] are not in the " +
         s"table schema ${schema.simpleString}")
+    // canonicalize the head segment to the SCHEMA's field name —
+    // validation above is case-insensitive, and application must
+    // match it or a case-mismatched head would silently update
+    // nothing while reporting touched rows
+    def canonHead(h: String): String =
+      schema.fieldNames.find(_.equalsIgnoreCase(h)).getOrElse(h)
     val nestedByHead: Map[String, Seq[(String, Column)]] = set.toSeq
       .filter(_._1.contains('.'))
       .map { case (k, e) =>
-        val i = k.indexOf('.'); (k.substring(0, i), (k.substring(i + 1), e)) }
+        val i = k.indexOf('.')
+        (canonHead(k.substring(0, i)), (k.substring(i + 1), e)) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    nestedByHead.keys.foreach(h => require(!set.contains(h),
+    nestedByHead.keys.foreach(h => require(
+      !set.keys.exists(_.equalsIgnoreCase(h)),
       s"SET assigns both $h and a nested field of it — pick one"))
+    // overlapping nested paths (m.a and m.a.b) would apply in Map
+    // iteration order — ambiguous, refuse
+    val nestedPaths = set.keys.filter(_.contains('.'))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
+    require(!nestedPaths.exists(p =>
+        nestedPaths.exists(q => q != p && p.startsWith(q + "."))),
+      s"SET assigns overlapping nested paths " +
+        s"[${nestedPaths.sorted.mkString(",")}] — pick one per subtree")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
@@ -3804,7 +3824,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * (logical names).
     */
   /** Does the CURRENT manifest record per-file row counts and file
-    * status metadata — the columns [[partitionGroupCounts]] and the
+    * status metadata — the columns [[partitionGroupAggs]] and the
     * metadata count pushdown aggregate over? Schema-only (the
     * sidecar-schema read plans no job); a legacy pre-`n_rows`
     * manifest answers false and the planner must fall through to
@@ -3815,20 +3835,6 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       path: String): Boolean = {
     val cols = readManifest(spark, path).columns.toSet
     cols.contains("n_rows") && cols.contains("file_size")
-  }
-
-  private[sources] def partitionGroupCounts(spark: SparkSession,
-      path: String, predicate: Option[Column]): DataFrame =
-    partitionGroupAggs(spark, path, predicate,
-      partitionColumnsLogicalIn(spark, path).map(MetaAggPushdown.GroupKey) :+
-        MetaAggPushdown.GroupCount)
-
-  private def partitionColumnsLogicalIn(spark: SparkSession,
-      path: String): Seq[String] = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = manifestDirOf(fs, path)
-    val inv = colMapIn(fs, dir).map(_.map(_.swap)).getOrElse(Map.empty[String, String])
-    partitionColsIn(fs, dir).map(p => inv.getOrElse(p, p))
   }
 
   /** Per-partition aggregates straight from the manifest — the
@@ -5754,6 +5760,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       case _ => None
     }
     val cs = conjuncts(tree)
+    // one sidecar read for the whole pass, not one per generated
+    // column (the tz gate below fires per temporal column)
+    lazy val temporalTzOk = generatedTzIn(fs, dir).contains(sessionTz(spark))
     val derived: Seq[Column] = gens.toSeq.flatMap { case (g, exprSql) =>
       val parsed =
         try spark.sessionState.sqlParser.parseExpression(exprSql)
@@ -5772,8 +5781,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         // mismatched reader would shift bounds by the offset and
         // silently drop files). The other families are tz-free.
         case Some((_, family))
-            if family == "temporal" &&
-              !generatedTzIn(fs, dir).contains(sessionTz(spark)) => Nil
+            if family == "temporal" && !temporalTzOk => Nil
         case Some((raw, family)) =>
           val rawType = rawTypeOf(raw).get
           def isRaw(e: CExpr): Boolean =

@@ -236,7 +236,11 @@ private[sources] class GraftStreamSink(spark: SparkSession, path: String,
       DataSkipping.SchemaFile))
     val opt = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    if (exists) opt.getOrElse(DataSkipping.tableStatsCols(spark, path))
+    // LOGICAL names, like the batch append/insert paths:
+    // appendWithStats translates logical→physical itself — the
+    // PHYSICAL tracked set would mis-translate after a rename whose
+    // old physical name collides with a current logical one
+    if (exists) opt.getOrElse(DataSkipping.tableStatsColsLogical(spark, path))
     else opt.getOrElse(throw new IllegalArgumentException(
       "a fresh graft streaming target needs .option(\"statsCols\", \"c1,c2\")"))
   }
@@ -261,10 +265,15 @@ private[sources] class GraftRelation(spark: SparkSession,
   /** Output columns the INSERT filled with a NULL LITERAL because
     * the statement's column list OMITTED them (Spark's V1 insert
     * resolution projects `CAST(NULL AS t) AS c` for every missing
-    * column). Plan inspection only — no evaluation — so telling
-    * "omitted" apart from "user data that happens to be null" is
-    * free and exact: a user SELECTing real columns never produces a
-    * null-literal projection.
+    * column). Plan inspection only — no evaluation — so user DATA
+    * that happens to be null is never mistaken for omission. An
+    * EXPLICITLY WRITTEN `NULL` literal, however, is indistinguishable
+    * from omission here (the V1 insert resolution produces the same
+    * projection for both), so it is likewise computed/assigned —
+    * the engine never stores NULL in an always-generated column.
+    * (Delta refuses an explicit NULL into GENERATED ALWAYS identity;
+    * this surface cannot tell the two apart and prefers keeping the
+    * column-list omission — the porting user's main path — working.)
     */
   private def nullLiteralColumns(
       data: org.apache.spark.sql.DataFrame): Set[String] = {

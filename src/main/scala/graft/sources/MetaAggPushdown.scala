@@ -73,20 +73,25 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
       (for {
         (rel, cond) <- relationBelow(agg.child)
         if rel.version.isEmpty
-        // a legacy pre-n_rows manifest can't answer counts — the
-        // grouped exec has no scan fallback, so don't claim the plan
-        if DataSkipping.manifestHasRowCounts(spark, rel.path)
+        // PURE shape checks first — a grouped query that can never
+        // match (non-attribute keys, unsupported aggregates) must
+        // fall through without any planning-time I/O
         groupAttrs <- Some(agg.groupingExpressions)
           .filter(_.forall(_.isInstanceOf[AttributeReference]))
           .map(_.map(_.asInstanceOf[AttributeReference]))
+        if cond.forall(c => c.deterministic &&
+          !c.exists(_.isInstanceOf[PlanExpression[_]]))
+        outSpecs <- groupOutputOf(agg.aggregateExpressions, groupAttrs)
+        // sidecar reads only for the shapes that survived
         partCols = DataSkipping.tablePartitionColumnsLogical(spark, rel.path)
         if partCols.nonEmpty
         if groupAttrs.forall(a => partCols.exists(_.equalsIgnoreCase(a.name)))
-        if cond.forall(c => c.deterministic &&
-          !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
-          c.references.forall(r => partCols.exists(_.equalsIgnoreCase(r.name))))
-        outSpecs <- groupOutputOf(agg.aggregateExpressions, groupAttrs)
+        if cond.forall(_.references.forall(r =>
+          partCols.exists(_.equalsIgnoreCase(r.name))))
         if groupTargetsTracked(outSpecs, rel)
+        // a legacy pre-n_rows manifest can't answer counts — the
+        // grouped exec has no scan fallback, so don't claim the plan
+        if DataSkipping.manifestHasRowCounts(spark, rel.path)
       } yield GraftMetaGroupCountExec(agg.output, rel.path, cond,
         outSpecs) :: Nil)
         .getOrElse(Nil)

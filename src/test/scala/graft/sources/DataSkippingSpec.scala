@@ -1514,6 +1514,14 @@ class DataSkippingSpec extends SparkSpec {
     df.filter(col("m.uid") === 8L).select("id", "m.v").collect().foreach { r =>
       assert(after(r.getLong(0)) === r.getDouble(1) + 1.0)
     }
+    // head-segment case-insensitivity: a mismatched-case head must
+    // UPDATE (not silently rewrite files unchanged)
+    val n2 = DataSkipping.updateWhere(s, dir,
+      col("m.uid") === 9L, Map("M.v" -> lit(-2.0)), vacuum = false)
+    assert(n2 > 0L)
+    assert(DataSkipping.readSkipping(s, dir, col("m.uid") === 9L)
+      .filter(col("m.v") =!= -2.0).count() === 0L,
+      "case-mismatched nested SET head must still apply")
     // assigning a struct AND one of its fields together is ambiguous
     intercept[Exception] {
       DataSkipping.updateWhere(s, dir, lit(true),
@@ -1522,6 +1530,17 @@ class DataSkippingSpec extends SparkSpec {
     // a path that resolves nowhere refuses loudly
     intercept[Exception] {
       DataSkipping.updateWhere(s, dir, lit(true), Map("m.nope" -> lit(1)))
+    }
+    // overlapping nested paths (a subtree and a field inside it)
+    // would apply in Map order — refused
+    val dir2 = tmp()
+    val df2 = Seq((1L, 2L, 3L, 4L)).toDF("id", "x", "y", "z")
+      .select(col("id"), struct(
+        struct(col("x"), col("y")).as("in"), col("z")).as("m"))
+    DataSkipping.writeWithStats(df2, dir2, Seq("id"))
+    intercept[Exception] {
+      DataSkipping.updateWhere(s, dir2, lit(true),
+        Map("m.in" -> col("m.in"), "m.in.x" -> lit(9L)))
     }
   }
 

@@ -214,6 +214,15 @@ class GeneratedColumnsSpec extends SparkSpec {
     val (kept2, files2) = DataSkipping.prunedFiles(s2, dir, pred)
     assert(kept2.size === files2.size,
       "a mismatched reader timezone must derive nothing")
+    // a FAILED append under the drifted timezone must NOT poison —
+    // nothing landed, stored values are still single-epoch
+    intercept[Exception] {
+      DataSkipping.appendWithStats(
+        s2.range(5).select(col("id").as("wrong_name")), dir, Seq("id"))
+    }
+    val (keptF, filesF) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(keptF.size < filesF.size,
+      "a failed drifted append must leave temporal derivation on")
     // an append under the drifted timezone POISONS the record: the
     // table now stores mixed-epoch values, so even a UTC reader must
     // stop deriving — for good
