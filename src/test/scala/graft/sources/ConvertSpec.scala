@@ -49,6 +49,26 @@ class ConvertSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(spark, t, lit(true)).count() == 290L)
   }
 
+  test("CONVERT TO GRAFT ... STATS BY (m.uid): nested paths track through conversion") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmpDir("graft_cvtn")}/d"
+    (0L until 400L).map(i => (i, (i % 40, s"t$i")))
+      .toDF("id", "m0")
+      .select(col("id"),
+        struct(col("m0._1").as("uid"), col("m0._2").as("tag")).as("m"))
+      .repartitionByRange(5, col("m.uid")).write.parquet(t)
+    GraftSql.sql(s, s"CONVERT TO GRAFT '$t' STATS BY (id, m.uid)")
+    val pred = col("m.uid") >= 10L && col("m.uid") < 20L
+    val (kept, files) = DataSkipping.prunedFiles(s, t, pred)
+    assert(files.size === 5)
+    assert(kept.size < files.size,
+      s"converted nested stats must prune: ${kept.size}/${files.size}")
+    assert(DataSkipping.readSkipping(s, t, pred).count() ===
+      (0L until 400L).count(i => i % 40 >= 10 && i % 40 < 20))
+    assert(DataSkipping.tableStatsColsLogical(s, t).contains("m.uid"))
+  }
+
   test("convert refuses an existing graft table, an empty dir, and a partitioned layout") {
     val s = spark
     import s.implicits._

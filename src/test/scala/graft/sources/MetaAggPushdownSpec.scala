@@ -277,6 +277,47 @@ class MetaAggPushdownSpec extends SparkSpec {
     f.collect()
   }
 
+  test("randomized parity: grouped pushdown equals the real aggregate under random DVs") {
+    val s = spark
+    import s.implicits._
+    MetaAggPushdown.install(s)
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 4).foreach { round =>
+      val t = s"${tmpDir(s"graft_mapr$round")}/tbl"
+      val nParts = 2 + rnd.nextInt(5)
+      val n = 500 + rnd.nextInt(1500)
+      val nullEvery = 2 + rnd.nextInt(9)
+      val df = (0L until n.toLong).map(i => (i, i % nParts,
+        if (i % nullEvery == 0) None else Some(i * 0.5)))
+        .toDF("id", "p", "x")
+      DataSkipping.writeWithStats(df.repartition(1 + rnd.nextInt(4)), t,
+        Seq("id", "x"), bloomCols = Nil, partitionBy = Seq("p"))
+      if (rnd.nextBoolean()) {
+        val m = 2 + rnd.nextInt(7)
+        DataSkipping.deleteWhereDV(s, t,
+          col("id") % m === rnd.nextInt(m).toLong)
+      }
+      s.read.format("graft").load(t).createOrReplaceTempView(s"mapr_v$round")
+      val lo = rnd.nextInt(nParts)
+      val q = s.sql(s"SELECT p, count(*) AS n, count(x) AS nn, " +
+        s"min(id) AS mn, max(x) AS mx FROM mapr_v$round WHERE p >= $lo GROUP BY p")
+      assert(q.queryExecution.executedPlan
+        .collectFirst { case g: GraftMetaGroupCountExec => g }.nonEmpty,
+        s"round $round must push down")
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      // baseline: the SAME aggregate over the manifest read path (a
+      // ManifestFileIndex relation — the strategy never claims it)
+      val expect = DataSkipping.readSkipping(s, t, lit(true))
+        .filter(col("p") >= lo.toLong).groupBy("p")
+        .agg(count(lit(1)), count(col("x")), min("id"), max("x"))
+        .collect().map(key).toMap
+      val got = q.collect().map(key).toMap
+      assert(got === expect, s"round $round: got $got expect $expect")
+    }
+  }
+
   test("pushdown respects column mapping (rename) and catalog-name tables") {
     val s = spark
     MetaAggPushdown.install(s)
