@@ -574,17 +574,31 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
     }
-    // swap: everything but the staging dir goes (old data files, old
-    // _graft_stats generations), then the staged children move up
-    fs.listStatus(root)
+    // swap, NEW FILES FIRST: snapshot the old entries, move the
+    // staged children up (UUID part names can't collide; a stale
+    // same-named marker like _SUCCESS is itself an old entry —
+    // cleared just-in-time), THEN delete the old entries (old data
+    // files, old _graft_stats generations). Ordering shrinks the
+    // crash exposure: up to the deletes, the old manifest still
+    // references only intact old files (a crash strands the new
+    // files as manifest-invisible orphans, never a missing table);
+    // only the delete phase itself — pure metadata ops, no job — can
+    // leave a torn state, and the caller's fresh v0 commit is the
+    // reader-visible switch.
+    val old = fs.listStatus(root)
       .filterNot(_.getPath.getName == staging.getName)
-      .foreach(e => fs.delete(e.getPath, true))
-    fs.listStatus(staging).foreach { e =>
+    val movedNames = fs.listStatus(staging).map { e =>
       val dest = new Path(root, e.getPath.getName)
+      if (fs.exists(dest)) fs.delete(dest, true)
       require(fs.rename(e.getPath, dest),
         s"staged overwrite of $path: rename ${e.getPath} -> $dest failed")
-    }
+      e.getPath.getName
+    }.toSet
     fs.delete(staging, true)
+    // a replaced-in-place name (e.g. _SUCCESS) now IS the new file —
+    // the old-entry sweep must not delete it
+    old.filterNot(e => movedNames(e.getPath.getName))
+      .foreach(e => fs.delete(e.getPath, true))
   }
 
   def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
