@@ -38,6 +38,30 @@ class DynamicFilePruningSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("a NESTED fact join key (m.k) prunes through the struct-path stats") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/fact"
+    val fact = (0L until 8000L).map(i => (i, (i, s"p$i")))
+      .toDF("id", "m0")
+      .select(col("id"),
+        struct(col("m0._1").as("k"), col("m0._2").as("tag")).as("m"))
+      .repartitionByRange(16, col("m.k"))
+    DataSkipping.writeWithStats(fact, t, Seq("id", "m.k"))
+    val dim = (4000L until 4010L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val got = DynamicFilePruning.joinPruned(s, t, "m.k", dim, "dk")
+    assert(got.count() === 10L)
+    val env = DynamicFilePruning.keyEnvelope(dim, "dk", col("m.k"), 1000)
+    val (kept, all) = DataSkipping.prunedFiles(s, t, env)
+    assert(all.size === 16)
+    assert(kept.size <= 2,
+      s"nested-key envelope must prune: ${kept.size}/${all.size}")
+    val want = DataSkipping.readSkipping(s, t, lit(true))
+      .join(dim, col("m.k") === col("dk"))
+    assert(got.select(col("id"), col("m.k"), col("name")).orderBy("id").collect().toSeq
+      === want.select(col("id"), col("m.k"), col("name")).orderBy("id").collect().toSeq)
+  }
+
   test("a LARGE key envelope (hundreds of keys) plans flat: exact result, still prunes, no deep OR chain") {
     val s = spark
     import s.implicits._

@@ -1566,6 +1566,37 @@ class DataSkippingSpec extends SparkSpec {
     assert(got === Seq(1234L))
   }
 
+  test("nested-field stats on a PARTITIONED table: paths track, prune, and append") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 900L).map(i => (i, i % 3, (i % 90, i * 1.0)))
+      .toDF("id", "p", "m0")
+      .select(col("id"), col("p"),
+        struct(col("m0._1").as("uid"), col("m0._2").as("v")).as("m"))
+    DataSkipping.writeWithStats(df.repartitionByRange(4, col("m.uid")), dir,
+      Seq("id", "m.uid"), bloomCols = Nil, partitionBy = Seq("p"))
+    val pred = col("m.uid") >= 30L && col("m.uid") < 60L
+    val (kept, files) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept.size < files.size,
+      s"nested stats must prune inside partitions: ${kept.size}/${files.size}")
+    assert(DataSkipping.readSkipping(s, dir, pred).count() ===
+      df.filter(pred).count())
+    // appends route by partition and keep tracking the path
+    DataSkipping.appendWithStats(
+      (900L until 960L).map(i => (i, i % 3, (i % 90, i * 1.0)))
+        .toDF("id", "p", "m0")
+        .select(col("id"), col("p"),
+          struct(col("m0._1").as("uid"), col("m0._2").as("v")).as("m")),
+      dir, Seq("id", "m.uid"))
+    assert(DataSkipping.countWhere(s, dir, pred) ===
+      (0L until 960L).count(i => i % 90 >= 30 && i % 90 < 60))
+    // combined partition + nested predicate
+    val both = col("p") === 1L && pred
+    assert(DataSkipping.readSkipping(s, dir, both).count() ===
+      (0L until 960L).count(i => i % 3 == 1 && i % 90 >= 30 && i % 90 < 60))
+  }
+
   test("nested-field stats: evolution adds a struct column; old files stay correct") {
     val s = spark
     import s.implicits._
