@@ -555,9 +555,12 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * on Spark's instance-equality PreWriteCheck to reject it. A
     * write-job failure leaves the old table byte-identical; only the
     * swap itself (pure metadata ops, no job) is a destructive
-    * window, and even a crash inside it leaves the complete new data
-    * in the staging dir. The staging dir is dot-prefixed so
-    * listing-based readers never see it.
+    * window. New files move in BEFORE the old entries clear, so a
+    * crash before the delete phase strands manifest-invisible
+    * orphans (reclaimed by the next overwrite's sweep or by
+    * [[vacuumTable]]'s orphan pass), never a missing table. The
+    * staging dir is dot-prefixed so listing-based readers never see
+    * it.
     */
   private def stagedOverwrite(spark: SparkSession, path: String,
       write: String => Unit): Unit = {
