@@ -2214,7 +2214,9 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       txn: Option[(String, Long)] = None,
       dv: Option[DataFrame] = None,
       clustered: Option[String] = None,
-      observedParts: Option[Set[String]] = None): Long = {
+      observedParts: Option[Set[String]] = None,
+      resetDeclarations: Boolean = false,
+      partitionColsNew: Option[Seq[String]] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     // STRICT version targeting: commit exactly (observed generation
@@ -2258,19 +2260,34 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // declarations and the partition-column list ride every
     // generation forward like the txn map (dropping the partition
     // sidecar would silently flip a partitioned table to flat reads
-    // — null partition values — after its first DML generation)
-    Seq(ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile,
-        PartitionColsFile).foreach { n =>
-      readSidecarIn(fs, dir, n).foreach { j =>
-        val out = fs.create(new Path(build, n), true)
-        try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+    // — null partition values — after its first DML generation).
+    // An OVERWRITE generation (`resetDeclarations`) instead starts
+    // its declarations from scratch — CREATE OR REPLACE semantics:
+    // the replacing batch defines the table's shape, and the old
+    // declarations live on in the REPLACED generations for time
+    // travel / RESTORE, never in the new one.
+    if (!resetDeclarations)
+      Seq(ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile,
+          PartitionColsFile).foreach { n =>
+        readSidecarIn(fs, dir, n).foreach { j =>
+          val out = fs.create(new Path(build, n), true)
+          try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
       }
+    partitionColsNew.filter(_.nonEmpty).foreach { cols =>
+      val out = fs.create(new Path(build, PartitionColsFile), true)
+      try out.write(cols.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     // clustering state: the op either rewrote it (full/incremental
     // OPTIMIZE ZORDER pass the fresh content) or it rides forward
-    // verbatim like the declarations above
-    clustered.map(Some(_)).getOrElse(readSidecarIn(fs, dir, ClusteredFile))
+    // verbatim like the declarations above (an overwrite resets it —
+    // the old layout says nothing about the new files)
+    clustered.map(Some(_))
+      .getOrElse(if (resetDeclarations) None
+                 else readSidecarIn(fs, dir, ClusteredFile))
       .foreach { c =>
         val out = fs.create(new Path(build, ClusteredFile), true)
         try out.write(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2592,6 +2609,12 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       if (partCols.isEmpty) r.write.parquet(staging.toString)
       else r.write.partitionBy(partCols: _*).parquet(staging.toString)
       enforceConstraintsOnStaged(spark, fs, dir, staging, schema, op)
+      // copy-on-write rewrites re-verify (and an UPDATE SET may
+      // recompute) generated values under the CURRENT session tz —
+      // same drift hazard as an append, so the same poison applies
+      // (otherwise read-side temporal derivation keeps pruning over
+      // mixed-epoch stored values)
+      if (generatedIn(fs, dir).nonEmpty) poisonGeneratedTzOnDrift(spark, fs, dir)
       if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
       else moveInPartitioned(fs, staging, new Path(path))
     }
@@ -2765,22 +2788,20 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * pre-update value, as in SQL UPDATE). Returns the number of rows
     * updated.
     */
-  private[sources] def updateWherePhys(spark: SparkSession, path: String, predicate: Column,
-      set: Map[String, Column],
-      vacuum: Boolean = true,
-      retentionMs: Long = RetentionDefaultMs,
-      markerRetentionMs: Long = RetentionDefaultMs): Long = {
-    require(set.nonEmpty, "updateWhere needs at least one SET column")
-    withConcurrentRetry("updateWhere") {
-    val opStart = System.currentTimeMillis()
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan, observed) =
-      pruneAndTouch(spark, path, dir, predicate, "updateWhere")
-    // SET keys may be NESTED struct-field paths (`m.uid` — the Delta
-    // UPDATE-nested-field shape); a path must resolve through the
-    // schema, and setting both a struct and one of its fields in the
-    // same statement is ambiguous
+  /** Validate UPDATE SET keys against `schema` and build the ONE
+    * projection both UPDATE variants (copy-on-write and
+    * deletion-vector) apply — a second hand-written copy would have
+    * to track SET/cast changes in lockstep. SET keys may be NESTED
+    * struct-field paths (`m.uid` — the Delta UPDATE-nested-field
+    * shape); a path must resolve through the schema, and setting
+    * both a struct and one of its fields (or overlapping paths) in
+    * the same statement is ambiguous and refused. The returned
+    * projector takes `(frame, onlyWhere)`: guarded per-row for the
+    * copy-on-write rewrite, unconditional (`None`) for
+    * already-filtered hit rows.
+    */
+  private def setProjector(schema: StructType, set: Map[String, Column])
+      : (DataFrame, Option[Column]) => DataFrame = {
     val unknown = set.keySet.filterNot(k =>
       if (k.contains('.')) fieldTypeOfPath(schema, k).isDefined
       else schema.fieldNames.contains(k))
@@ -2810,17 +2831,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         nestedPaths.exists(q => q != p && p.startsWith(q + "."))),
       s"SET assigns overlapping nested paths " +
         s"[${nestedPaths.sorted.mkString(",")}] — pick one per subtree")
-    if (touched.isEmpty) {
-      if (vacuum) vacuumTable(spark, path, retentionMs)
-      return 0L
-    }
-    val files = touched.map(_._1)
-    // ONE projection mapping serves the rewrite and both CDF images
-    // (a second hand-written copy would have to track SET/cast
-    // changes in lockstep): guarded per-row for the rewrite, applied
-    // unconditionally to the already-filtered hit rows for the
-    // postimage
-    def applySet(frame: DataFrame, onlyWhere: Option[Column]): DataFrame =
+    (frame: DataFrame, onlyWhere: Option[Column]) =>
       frame.select(schema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(e) =>
@@ -2840,7 +2851,27 @@ object DataSkipping extends org.apache.spark.internal.Logging {
           case None => col(f.name)
         }
       }: _*)
-    val updated = applySet(touchedScan, onlyWhere = Some(hit))
+  }
+
+  private[sources] def updateWherePhys(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column],
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs,
+      markerRetentionMs: Long = RetentionDefaultMs): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    withConcurrentRetry("updateWhere") {
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val (manifest, schema, hit, touched, touchedScan, observed) =
+      pruneAndTouch(spark, path, dir, predicate, "updateWhere")
+    val applySet = setProjector(schema, set)
+    if (touched.isEmpty) {
+      if (vacuum) vacuumTable(spark, path, retentionMs)
+      return 0L
+    }
+    val files = touched.map(_._1)
+    val updated = applySet(touchedScan, Some(hit))
     // CDF: pre- and post-image of exactly the TRUE-predicate rows
     // (Delta's update_preimage/update_postimage pair). Two extra
     // scans (pre + post) — both bounded by the touched files, i.e.
@@ -2850,7 +2881,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       else {
         val hitRows = touchedScan.filter(hit)
         Some(hitRows.withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(applySet(hitRows, onlyWhere = None)
+          .unionByName(applySet(hitRows, None)
             .withColumn(ChangeTypeCol, lit("update_postimage"))))
       }
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(updated),
@@ -2999,10 +3030,10 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val dir = manifestDirOf(fs, path)
     val (manifest, schema, hit, touched, touchedScan, observed) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhereDV")
-    val unknown = set.keySet -- schema.fieldNames
-    require(unknown.isEmpty,
-      s"SET columns [${unknown.toSeq.sorted.mkString(",")}] are not in the " +
-        s"table schema ${schema.simpleString}")
+    // same SET surface as the copy-on-write variant, nested paths
+    // included (the r16 advice gap: DV UPDATE rejected `m.uid` with
+    // a misleading not-in-schema error)
+    val applySet = setProjector(schema, set)
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
@@ -3011,21 +3042,14 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val newDead = hitRows.select(
       col("_metadata.file_path").as("file"),
       col("_metadata.row_index").as("row_index"))
-    def applySet(frame: DataFrame): DataFrame =
-      frame.select(schema.fields.toSeq.map { f =>
-        set.get(f.name) match {
-          case Some(e) => e.cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
     val changes =
       if (!cdfEnabled(fs, dir)) None
       else Some(hitRows.select(schema.fieldNames.map(col).toSeq: _*)
         .withColumn(ChangeTypeCol, lit("update_preimage"))
-        .unionByName(applySet(hitRows)
+        .unionByName(applySet(hitRows, None)
           .withColumn(ChangeTypeCol, lit("update_postimage"))))
     rewriteFiles(spark, fs, path, dir, manifest, schema,
-      touched = Nil, replacement = Some(applySet(hitRows)),
+      touched = Nil, replacement = Some(applySet(hitRows, None)),
       vacuum, retentionMs, markerRetentionMs, opStart, changes,
       op = "UPDATE", extraDv = Some(newDead),
       observedParts = Some(observed))
@@ -3875,10 +3899,17 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * follow `specs` positionally. One small distributed aggregate
     * over O(files) manifest rows plus at most the DV files scanned.
     * `predicate` must reference partition columns only (LOGICAL
-    * names); target columns arrive logical too.
+    * names); target columns arrive logical too. `groupKeys` are the
+    * QUERIED grouping columns — any non-empty subset of the
+    * partition columns, and the aggregate groups by exactly those
+    * (a strict subset merges the unqueried partition dimensions per
+    * group; grouping by all partition columns would emit duplicate
+    * groups). Exact because each file carries one value per
+    * partition column, so per-file partials re-aggregate cleanly
+    * under any partition-key grouping.
     */
   private[sources] def partitionGroupAggs(spark: SparkSession,
-      path: String, predicate: Option[Column],
+      path: String, predicate: Option[Column], groupKeys: Seq[String],
       specs: Seq[MetaAggPushdown.GroupOut]): DataFrame = {
     import MetaAggPushdown._
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3890,7 +3921,16 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val fwd = mapOpt.getOrElse(Map.empty[String, String])
     def physOf(c: String): String = mapStatsKey(fwd, c)
     val logicalParts = phys.map(p => inv.getOrElse(p, p))
-    val partCols = logicalParts.map(col)
+    require(groupKeys.nonEmpty, "grouped metadata aggregate needs keys")
+    require(groupKeys.forall(k => logicalParts.exists(_.equalsIgnoreCase(k))),
+      s"group keys ${groupKeys.mkString(",")} must be partition columns " +
+        s"(${logicalParts.mkString(",")})")
+    // group by the QUERIED keys under their queried spelling; the
+    // per-file partials below re-aggregate exactly under any subset
+    // of the partition columns
+    val partCols = groupKeys.map(k =>
+      col(logicalParts.find(_.equalsIgnoreCase(k)).get).as(k))
+    val keyRefs = groupKeys.map(col)
     val targets = specs.collect {
       case GroupCountCol(c) => c
       case GroupMin(c) => c
@@ -3957,7 +3997,7 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         min(col(s"__lo_$i")).as(s"__lo_$i"),
         max(col(s"__hi_$i")).as(s"__hi_$i"),
         sum(col(s"__nn_$i")).as(s"__nn_$i")))
-    val grouped = partials.groupBy(partCols: _*)
+    val grouped = partials.groupBy(keyRefs: _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
       .filter(col("__cnt") > 0L)
     grouped.select(specs.map {

@@ -92,8 +92,17 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
         // a legacy pre-n_rows manifest can't answer counts — the
         // grouped exec has no scan fallback, so don't claim the plan
         if DataSkipping.manifestHasRowCounts(spark, rel.path)
+        // the QUERIED keys, deduped case-insensitively — the exec
+        // groups by exactly these. Grouping by all partition columns
+        // would be wrong for a strict subset (GROUP BY p over a
+        // (p,q)-partitioned table must merge q-values per p, not
+        // emit one row per (p,q))
+        groupKeys = groupAttrs.map(_.name)
+          .foldLeft(Vector.empty[String]) { (acc, n) =>
+            if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n
+          }
       } yield GraftMetaGroupCountExec(agg.output, rel.path, cond,
-        outSpecs) :: Nil)
+        groupKeys, outSpecs) :: Nil)
         .getOrElse(Nil)
     case _ => Nil
   }
@@ -320,15 +329,18 @@ case class GraftMetaAggExec(output: Seq[Attribute], path: String,
       condition.map(c => s" cond=${c.sql}").getOrElse("")
 }
 
-/** The physical GROUPED metadata aggregate: per-partition visible
+/** The physical GROUPED metadata aggregate: per-group visible
   * counts, non-null column counts and MIN/MAX from one distributed
   * manifest aggregate ([[DataSkipping.partitionGroupAggs]] — exact
   * under deletion vectors via scan demotion, zero-count groups
-  * dropped per SQL GROUP BY). `specs` maps each output column
-  * positionally (see [[MetaAggPushdown.GroupOut]]).
+  * dropped per SQL GROUP BY). `groupKeys` are the QUERIED grouping
+  * columns — exact for any subset of the partition columns, since
+  * every file carries a single value per partition column; `specs`
+  * maps each output column positionally (see
+  * [[MetaAggPushdown.GroupOut]]).
   */
 case class GraftMetaGroupCountExec(output: Seq[Attribute], path: String,
-    condition: Option[Expression],
+    condition: Option[Expression], groupKeys: Seq[String],
     specs: Seq[MetaAggPushdown.GroupOut]) extends LeafExecNode {
 
   private def result(): org.apache.spark.sql.DataFrame = {
@@ -341,7 +353,7 @@ case class GraftMetaGroupCountExec(output: Seq[Attribute], path: String,
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
     }
-    DataSkipping.partitionGroupAggs(spark, path, predicate, specs)
+    DataSkipping.partitionGroupAggs(spark, path, predicate, groupKeys, specs)
   }
 
   override protected def doExecute(): RDD[InternalRow] =

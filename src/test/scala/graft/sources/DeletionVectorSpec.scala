@@ -133,6 +133,38 @@ class DeletionVectorSpec extends SparkSpec {
     assert(band.length === 70)
   }
 
+  test("updateWhereDV accepts nested struct-path SET like the copy-on-write variant") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val df = (0L until 600L).map { i =>
+      (i, if (i % 113 == 0) None else Some((i % 20, i * 1.0)))
+    }.toDF("id", "m0")
+      .select(col("id"), when(col("m0").isNotNull,
+        struct(col("m0._1").as("uid"), col("m0._2").as("v"))).as("m"))
+    DataSkipping.writeWithStats(df.repartitionByRange(4, col("id")), dir,
+      Seq("id", "m.uid", "m.v"))
+    // the r16 advice gap: this refused with a misleading
+    // 'not in the table schema' error on the DV variant
+    val n = DataSkipping.updateWhereDV(s, dir,
+      col("m.uid") === 7L, Map("m.v" -> lit(-1.0)), vacuum = false)
+    assert(n === df.filter(col("m.uid") === 7L).count())
+    val out = DataSkipping.readSkipping(s, dir, lit(true))
+    assert(out.filter(col("m.uid") === 7L && col("m.v") =!= -1.0).count() === 0L)
+    assert(out.filter(col("m.uid") =!= 7L && col("m.v") === -1.0).count() === 0L)
+    assert(out.filter(col("m").isNull).count() ===
+      df.filter(col("m").isNull).count())
+    assert(out.count() === 600L)
+    // ambiguity and unknown-path refusals hold on the DV variant too
+    intercept[Exception] {
+      DataSkipping.updateWhereDV(s, dir, lit(true),
+        Map("m" -> col("m"), "m.v" -> lit(0.0)))
+    }
+    intercept[Exception] {
+      DataSkipping.updateWhereDV(s, dir, lit(true), Map("m.nope" -> lit(1)))
+    }
+  }
+
   test("compaction materializes the vector: clean files, no _dv, history still travels") {
     val s = spark
     import s.implicits._

@@ -237,6 +237,45 @@ class GeneratedColumnsSpec extends SparkSpec {
       df.filter(pred).count())
   }
 
+  test("copy-on-write DML under a drifted session timezone poisons the tz record too") {
+    val s = spark
+    import s.implicits._
+    val dir = s"${tmpDir("graft_gentzdml")}/t"
+    // NOON-UTC timestamps: to_date agrees between UTC and LA, so the
+    // staged CHECK re-verification PASSES under the drifted session —
+    // exactly the case where only the poison gate stands between the
+    // rewrite and later mixed-epoch silent pruning
+    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime
+    val df = (0L until 1000L).map { i =>
+      (i, new java.sql.Timestamp(base + (i % 10) * 86400000L))
+    }.toDF("id", "ts").withColumn("day", to_date(col("ts")))
+    DataSkipping.writeWithStats(df.repartition(2), dir, Seq("id"),
+      bloomCols = Nil, partitionBy = Seq("day"))
+    DataSkipping.addGeneratedColumn(s, dir, "day", "to_date(ts)")
+    val pred = col("ts") >= expr("timestamp'2024-03-03 00:00:00'") &&
+      col("ts") < expr("timestamp'2024-03-05 00:00:00'")
+    val (kept0, files0) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept0.size < files0.size, "same-tz derivation must prune")
+    // an UPDATE under a drifted tz recomputes generated values
+    // against the session tz (the SET expression runs there) — the
+    // rewrite choke point must poison, same as an append (the r16
+    // advice gap: only the two append paths were hooked)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val n = DataSkipping.updateWhere(s2, dir,
+      col("id") === 3L,
+      Map("ts" -> expr("ts + interval 1 hour"),
+        "day" -> expr("to_date(ts + interval 1 hour)")),
+      vacuum = false)
+    assert(n === 1L)
+    val (kept1, files1) = DataSkipping.prunedFiles(s, dir, pred)
+    assert(kept1.size === files1.size,
+      "a drifted copy-on-write rewrite must poison temporal derivation")
+    // reads stay correct throughout
+    assert(DataSkipping.readSkipping(s, dir, pred).count() ===
+      df.filter(pred).count())
+  }
+
   test("read-side pruning: non-monotone generation expressions derive nothing (never wrong)") {
     val s = spark
     import s.implicits._

@@ -237,6 +237,57 @@ class MetaAggPushdownSpec extends SparkSpec {
     assert(gz.collect().forall(_.getLong(1) === 0L))
   }
 
+  test("GROUP BY a strict subset of multi-column partition keys merges the unqueried dimension") {
+    val s = spark
+    import s.implicits._
+    MetaAggPushdown.install(s)
+    val t = s"${tmpDir("graft_mapsub")}/tbl"
+    val df = (0L until 1200L).map(i =>
+      (i, i % 3, i % 4, if (i % 5 == 0) None else Some(i * 2.0)))
+      .toDF("id", "p", "q", "x")
+    DataSkipping.writeWithStats(df.repartition(2), t, Seq("id", "x"),
+      bloomCols = Nil, partitionBy = Seq("p", "q"))
+    DataSkipping.deleteWhereDV(s, t, col("p") === 1L && col("id") % 8 === 0L)
+    s.read.format("graft").load(t).createOrReplaceTempView("mapsub_v")
+    def grouped(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan
+        .collectFirst { case g: GraftMetaGroupCountExec => g }
+    val live = (0L until 1200L).filterNot(i => i % 3 == 1 && i % 8 == 0)
+    // GROUP BY p alone on a (p,q)-partitioned table: one row per p,
+    // never one per (p,q) — the r16 advice bug (partitionGroupAggs
+    // grouped by ALL partition columns)
+    val q1 = s.sql("SELECT p, count(*) AS n, count(x) AS nn, " +
+      "min(id) AS lo, max(id) AS hi FROM mapsub_v GROUP BY p")
+    assert(grouped(q1).nonEmpty, q1.queryExecution.executedPlan.toString)
+    val got1 = q1.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exp1 = live.groupBy(_ % 3).map { case (p, is) =>
+      p -> ((is.size.toLong, is.count(_ % 5 != 0).toLong, is.min, is.max)) }
+    assert(got1 === exp1, s"got $got1 expect $exp1")
+    // the predicate may reference a partition column that is NOT a
+    // grouping key
+    val q2 = s.sql(
+      "SELECT q, count(*) AS n FROM mapsub_v WHERE p = 2 GROUP BY q")
+    assert(grouped(q2).nonEmpty)
+    val got2 = q2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp2 = live.filter(_ % 3 == 2).groupBy(_ % 4).map { case (k, is) =>
+      k -> is.size.toLong }
+    assert(got2 === exp2, s"got $got2 expect $exp2")
+    // a grouping key that never reaches the output list still groups
+    // (SELECT count(*) ... GROUP BY p yields one row per p)
+    val q3 = s.sql("SELECT count(*) AS n FROM mapsub_v GROUP BY p")
+    assert(grouped(q3).nonEmpty)
+    assert(q3.collect().map(_.getLong(0)).sorted.toSeq ===
+      exp1.values.map(_._1).toSeq.sorted, "hidden-key grouping")
+    // full-key grouping still exact (no regression from the fix)
+    val q4 = s.sql("SELECT p, q, count(*) AS n FROM mapsub_v GROUP BY p, q")
+    assert(grouped(q4).nonEmpty)
+    val got4 = q4.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp4 = live.groupBy(i => (i % 3, i % 4)).map { case (k, is) =>
+      k -> is.size.toLong }
+    assert(got4 === exp4)
+  }
+
   test("nested struct paths push down: global and grouped metadata aggregates") {
     val s = spark
     import s.implicits._
