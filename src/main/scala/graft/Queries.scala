@@ -4526,6 +4526,119 @@ object Queries {
               SELECT -1, -1, 0.0, 'files=true,subset=true')
             ORDER BY event_id, uid, v"""))
 
+  // LAZY NAME-SURFACE READ (r17; the Delta TahoeFileIndex shape):
+  // a NESTED struct-path predicate through a catalog/format("graft")
+  // view plans as a standard file scan whose SkippingFileIndex
+  // evaluates the manifest's nested stats at listing time — the V1
+  // PrunedFilteredScan boundary (SURVEY §7.2b(i)) closed. The marker
+  // pins BOTH the plan shape (a FileSourceScanExec, not the opaque
+  // V1 RDD node) and that the listing kept a strict SUBSET of the
+  // files — derivable only if the nested predicate reached the
+  // manifest. Data rows pin that lazy pruning never changes results.
+  val lazyNestedRead = QueryDef(
+    "q_lazy_nested_read",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val root = java.nio.file.Files.createTempDirectory("graft_lnr").toString
+      val t = s"$root/docs"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          struct(col("user_id").as("uid"), col("value").as("v")).as("m"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("m.uid")), t,
+        Seq("event_id", "m.uid", "m.v"))
+      graft.sources.GraftScanRewrite.install(s)
+      s.read.format("graft").load(t).createOrReplaceTempView("lnr_v")
+      val sql = "SELECT event_id, m.uid AS uid, m.v AS v FROM lnr_v " +
+        "WHERE m.uid >= 20 AND m.uid < 40"
+      // probe run: execute once so the scan's file metric is real
+      val probe = s.sql(sql)
+      probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.flatMap {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }.toSeq
+      val scan = scans(probe.queryExecution.executedPlan)
+      val total = DataSkipping.readManifest(s, t).count()
+      val marker = s"filescan=${scan.nonEmpty}," +
+        s"subset=${scan.exists(_.metrics("numFiles").value < total)}"
+      s.sql(sql)
+        .withColumn("info", lit("data"))
+        .unionAll(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("uid"), lit(0.0).as("v"), lit(marker).as("info")))
+        .orderBy("event_id", "uid", "v")
+    },
+    Some("""SELECT * FROM (
+              SELECT event_id, user_id AS uid, value AS v, 'data' AS info
+              FROM events WHERE user_id >= 20 AND user_id < 40
+              UNION ALL
+              SELECT -1, -1, 0.0, 'filescan=true,subset=true')
+            ORDER BY event_id, uid, v"""))
+
+  // AUTOMATIC dynamic partition pruning on a name-addressed join
+  // (r17): a partitioned graft fact joined to a filtered dim through
+  // plain SQL prunes its files at runtime with the dim's build-side
+  // keys — Spark's native DPP against the lazy SkippingFileIndex, no
+  // DynamicFilePruning.joinPruned call (the 04_Silver-to-Gold
+  // ETL.sql:70-103 porter's joins now prune by themselves). The
+  // marker pins the DynamicPruningExpression in the executed plan
+  // and the runtime file subset; rows pin join correctness.
+  val dppJoin = QueryDef(
+    "q_dpp_join",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      val t = s"$root/fact"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("p", pmod(col("user_id"), lit(20)))
+      DataSkipping.writeWithStats(ev.repartition(2), t,
+        Seq("event_id", "value"), bloomCols = Nil, partitionBy = Seq("p"))
+      graft.sources.GraftScanRewrite.install(s)
+      s.read.format("graft").load(t).createOrReplaceTempView("dpp_fact")
+      Tables.nation(s, d).createOrReplaceTempView("dpp_dim")
+      val sql = "SELECT f.event_id, f.value, d.n_name AS nname " +
+        "FROM dpp_fact f JOIN dpp_dim d ON f.p = d.n_nationkey " +
+        "WHERE d.n_name IN ('NATION_6', 'NATION_18')"
+      val probe = s.sql(sql)
+      probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.flatMap {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }.toSeq
+      val pruned = scans(probe.queryExecution.executedPlan).find(
+        _.partitionFilters.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .DynamicPruningExpression])))
+      val total = DataSkipping.readManifest(s, t).count()
+      val marker = s"dpp=${pruned.nonEmpty}," +
+        s"subset=${pruned.exists(_.metrics("numFiles").value < total)}"
+      s.sql(sql)
+        .withColumn("info", lit("data"))
+        .unionAll(s.range(1).select(lit(-1L).as("event_id"),
+          lit(0.0).as("value"), lit("").as("nname"), lit(marker).as("info")))
+        .orderBy("event_id", "value", "nname")
+    },
+    Some("""SELECT * FROM (
+              SELECT e.event_id, e.value, n.n_name AS nname, 'data' AS info
+              FROM events e JOIN nation n ON e.user_id % 20 = n.n_nationkey
+              WHERE n.n_name IN ('NATION_6', 'NATION_18')
+              UNION ALL
+              SELECT -1, 0.0, '', 'dpp=true,subset=true')
+            ORDER BY event_id, value, nname"""))
+
   // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
   // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
   // by key envelope, absent keys no-ops. Full readback vs an
@@ -5860,6 +5973,7 @@ object Queries {
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, showPartitionsQ, bloomScan, nestedStats,
+    lazyNestedRead, dppJoin,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,

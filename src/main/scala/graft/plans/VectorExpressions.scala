@@ -784,6 +784,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // relation answers from the manifest (see MetaAggPushdown)
     ext.injectPlannerStrategy(session =>
       new graft.sources.GraftMetaAggStrategy(session))
+    // lazy manifest-skipping scans on the catalog/format("graft")
+    // surface: nested-predicate pruning + native dynamic partition
+    // pruning on name-addressed joins. MUST ride this channel — the
+    // rule has to run before Spark's PartitionPruning batch, which
+    // experimental.extraOptimizations cannot (see GraftScanRewrite)
+    ext.injectOptimizerRule(session =>
+      new graft.sources.GraftScanRewrite(session))
   }
 }
 

@@ -545,22 +545,27 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     * it at read time), so a `bigint` partition column stays `bigint`
     * even where bare directory discovery would narrow it.
     */
-  /** Overwrite `path` by STAGING: run the write job into a hidden
-    * dir under the target first, then clear the old table root and
-    * move the staged children up. Ordering is the point — the write
-    * job (which may READ the target: `INSERT OVERWRITE t SELECT …
-    * FROM t`, or any plan over the table's own files) completes
-    * against the intact old files before anything is deleted, so a
-    * self-reading overwrite is simply correct instead of depending
-    * on Spark's instance-equality PreWriteCheck to reject it. A
-    * write-job failure leaves the old table byte-identical; only the
-    * swap itself (pure metadata ops, no job) is a destructive
-    * window. New files move in BEFORE the old entries clear, so a
-    * crash before the delete phase strands manifest-invisible
-    * orphans (reclaimed by the next overwrite's sweep or by
-    * [[vacuumTable]]'s orphan pass), never a missing table. The
-    * staging dir is dot-prefixed so listing-based readers never see
-    * it.
+  /** Overwrite a NON-graft target by STAGING: run the write job into
+    * a hidden dir under the target first, then clear the old entries
+    * and move the staged children up. Reached only when `path` holds
+    * no committed graft table (fresh dir, plain parquet, crashed
+    * first-write debris) — an existing graft table overwrites through
+    * [[overwriteGeneration]] instead (one atomic generation commit,
+    * old files on the removal log). Ordering still matters here: the
+    * write job (which may READ the target) completes against the
+    * intact old files before anything is deleted, so a self-reading
+    * overwrite is simply correct, and a write-job failure leaves the
+    * old dir byte-identical. The swap itself is NOT atomic — new
+    * files move in first (flat names can't collide: UUID part names;
+    * a colliding old entry, e.g. a partition dir of the same
+    * `col=value` name or a stale _SUCCESS, is deleted just-in-time
+    * inside the move loop), then the remaining old entries clear — so
+    * a crash inside the move/delete phase can leave a MIX of old and
+    * new files in a plain directory. That is the accepted contract
+    * for a target that was never a graft table (no manifest existed,
+    * so no manifest can be lost); graft tables never take this path.
+    * The staging dir is dot-prefixed so listing-based readers never
+    * see it.
     */
   private def stagedOverwrite(spark: SparkSession, path: String,
       write: String => Unit): Unit = {
@@ -604,6 +609,135 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       .foreach(e => fs.delete(e.getPath, true))
   }
 
+  /** Does `path` hold a COMMITTED graft table — a committed
+    * generation, or a legacy flat manifest (repairing a torn
+    * pre-generation swap first, like [[manifestDirOf]])? Decides
+    * whether an overwrite must commit through the generation
+    * machinery ([[overwriteGeneration]]) or may build a fresh v0
+    * ([[stagedOverwrite]] — nothing committed exists to protect).
+    */
+  private def committedTableAt(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = {
+    val statsDir = new Path(s"$path/$StatsDir")
+    currentGen(fs, statsDir).nonEmpty || {
+      if (fs.exists(statsDir)) repairStatsSwap(fs, path)
+      currentGen(fs, statsDir).nonEmpty ||
+        (fs.exists(statsDir) && fs.listStatus(statsDir).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+    }
+  }
+
+  /** Overwrite an EXISTING graft table as ONE atomic generation
+    * commit — the Delta overwrite contract: stage the new files, then
+    * publish generation v(N+1) whose manifest references ONLY them,
+    * with every old data file on the new generation's removal log for
+    * retention vacuum (never deleted inline). Consequences, all
+    * load-bearing at 100 TB:
+    *
+    *  - ATOMIC to concurrent readers: the table flips old→new at the
+    *    single `_COMMIT` create; there is no window where a reader
+    *    resolves no manifest (the pre-r17 swap deleted the old
+    *    generations before the fresh v0 committed — minutes of
+    *    O(files) object-store deletes with the table unreadable).
+    *  - CRASH-SAFE: a failure at ANY point before the commit leaves
+    *    the old generation current and every old file intact; the
+    *    staged/moved new files are manifest-invisible orphans,
+    *    reclaimed by [[vacuumTable]]'s orphan pass.
+    *  - IN-FLIGHT-READER-SAFE: a reader pinned to the old generation
+    *    keeps its files for the retention window, like after any
+    *    compaction or DML.
+    *  - TIME-TRAVELABLE: the pre-overwrite state stays readable via
+    *    `versionAsOf` and restorable via [[restoreTable]] until
+    *    retention expires; `describeHistory` records the OVERWRITE.
+    *
+    * Semantics are CREATE OR REPLACE: the batch defines the new
+    * schema, tracked columns, partitioning and feature flags;
+    * declarations (CHECK constraints, column mapping, generated /
+    * identity columns, clustering state) reset rather than riding
+    * forward — exactly what the pre-r17 delete-everything swap
+    * produced, now without its torn-table windows. The old
+    * declarations remain in the superseded generations for time
+    * travel. Old commit markers fold to zero-row (their batches are
+    * no longer replayable — the compaction caveat, table-wide), which
+    * still short-circuits an at-least-once writer's replays.
+    *
+    * The write job runs against the INTACT old table, so a
+    * self-reading overwrite (`INSERT OVERWRITE t SELECT … FROM t`)
+    * stays correct. Optimistic concurrency is the standard contract:
+    * strict observed+1 commit targeting, whole-op retry on a lost
+    * race; a concurrent APPEND beyond the observed pin rides into the
+    * new generation verbatim (serialized after the overwrite).
+    */
+  private def overwriteGeneration(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame,
+      statsCols: Seq[String], bloom: Option[(Seq[String], Int, Int)],
+      changeFeed: Boolean, partitionBy: Seq[String]): Unit =
+      withConcurrentRetry("overwrite") {
+    val opStart = System.currentTimeMillis()
+    val dir = manifestDirOf(fs, path)
+    // observed pin BEFORE the manifest read — the optimistic-commit
+    // contract (anything landing later rides forward verbatim)
+    val observed = listManifestNames(fs, dir)
+    // every old data file → the removal log (bounded manifest-rows
+    // collect, like every maintenance op); a partless manifest
+    // (freshly bootstrapped empty table) removes nothing
+    val removed =
+      if (observed.isEmpty) Seq.empty[String]
+      else readManifestPinned(spark, dir, observed)
+        .select("file").distinct().collect()
+        .map(r => rootRelativeOrName(fs, path, r.getString(0))).toSeq
+    val staging = new Path(path,
+      s".overwrite-staging-${java.util.UUID.randomUUID}")
+    try {
+      if (partitionBy.isEmpty) df.write.parquet(staging.toString)
+      else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staging, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    val moved =
+      if (partitionBy.isEmpty) moveIn(fs, staging, new Path(path))
+      else moveInPartitioned(fs, staging, new Path(path))
+    require(moved.nonEmpty,
+      s"overwrite of $path wrote no data files (empty input) — " +
+        "an empty overwrite is refused, like the fresh-table write path")
+    val (schema, tracked, written) =
+      if (partitionBy.isEmpty) {
+        // read-back schema like the fresh flat write (nullable)
+        val w = spark.read.parquet(moved: _*)
+        (w.schema, statsCols, w)
+      } else {
+        // same schema construction + part-aware stats scan as the
+        // fresh partitioned write — but restricted to the MOVED
+        // files (the root still holds the old generation's files)
+        val sch = StructType(
+          (df.schema.filterNot(f => partitionBy.contains(f.name)) ++
+            partitionBy.map(c => df.schema(df.schema.fieldIndex(c))))
+            .map(_.copy(nullable = true)))
+        (sch, statsCols ++ partitionBy,
+          partAwareStatusScanCols(spark, path, partitionBy, sch,
+            statusesFor(fs, moved)))
+      }
+    val stats = statsFor(written, tracked, withNulls = true, bloom)
+    val feats = Set("nulls") ++
+      (if (partitionBy.nonEmpty) Set(PartitionedFeature)
+       else Set.empty[String]) ++
+      bloom.map(b => bloomFeatureLine(b)).toSet ++
+      (if (changeFeed) Set(CdfFeature) else Set.empty[String])
+    publishGeneration(spark, fs, path, dir, stats, schema, tracked,
+      feats, stats.schema,
+      removedData = removed,
+      markerRetentionMs = RetentionDefaultMs, opStartMs = opStart,
+      verbatimMarkers = Set.empty,
+      changeData = None, op = "OVERWRITE", txn = None, dv = None,
+      clustered = None, observedParts = Some(observed),
+      resetDeclarations = true,
+      partitionColsNew = Some(partitionBy).filter(_.nonEmpty))
+    vacuumTable(spark, path, RetentionDefaultMs)
+  }
+
   def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int = 1 << 16,
       bloomHashes: Int = 7, changeFeed: Boolean = false,
@@ -612,7 +746,23 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     val spark = df.sparkSession
     val bloom = if (bloomCols.isEmpty) None
       else Some((bloomCols, bloomBits, bloomHashes))
-    if (partitionBy.isEmpty) {
+    if (partitionBy.nonEmpty) {
+      partitionBy.foreach(c => require(df.columns.contains(c),
+        s"partition column $c is not in the DataFrame ${df.schema.simpleString}"))
+      require(statsCols.intersect(partitionBy).isEmpty &&
+          bloomCols.intersect(partitionBy).isEmpty,
+        "partition columns are tracked implicitly (min=max=directory " +
+          "value); statsCols / bloomCols must name data columns")
+      requireVisiblePartitionNames(partitionBy)
+    }
+    val tfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (committedTableAt(tfs, path)) {
+      // replacing a LIVE graft table: one atomic generation commit,
+      // old files on the removal log — never the delete-then-recommit
+      // swap (see overwriteGeneration)
+      overwriteGeneration(spark, tfs, path, df, statsCols, bloom,
+        changeFeed, partitionBy)
+    } else if (partitionBy.isEmpty) {
       stagedOverwrite(spark, path, s => df.write.mode("overwrite").parquet(s))
       val written = spark.read.parquet(path)
       val stats = statsFor(written, statsCols, withNulls = true, bloom)
@@ -626,21 +776,13 @@ object DataSkipping extends org.apache.spark.internal.Logging {
         manifestSchema = Some(stats.schema))
       commitGen(spark, new Path(gen))
     } else {
-      partitionBy.foreach(c => require(df.columns.contains(c),
-        s"partition column $c is not in the DataFrame ${df.schema.simpleString}"))
-      require(statsCols.intersect(partitionBy).isEmpty &&
-          bloomCols.intersect(partitionBy).isEmpty,
-        "partition columns are tracked implicitly (min=max=directory " +
-          "value); statsCols / bloomCols must name data columns")
-      requireVisiblePartitionNames(partitionBy)
       // Staged like the flat branch (write job first, destructive
       // clear after) — and the explicit clear also keeps "this is
       // always the first generation" under spark.sql.sources
       // .partitionOverwriteMode=dynamic, where a direct partitioned
       // overwrite replaces only the partitions the batch touches and
-      // stale committed `_stats/v1..vN` generations would silently
-      // shadow the fresh v0 below via manifestDirOf (highest
-      // committed generation wins). Staging into a fresh empty dir
+      // stale UNCOMMITTED `_stats` debris would otherwise survive
+      // under the fresh v0 below. Staging into a fresh empty dir
       // neutralizes dynamic mode for the write itself (every
       // partition is "touched" in an empty target).
       stagedOverwrite(spark, path,
@@ -2472,25 +2614,104 @@ object DataSkipping extends org.apache.spark.internal.Logging {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(classic)
     else {
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val partSchema = StructType(partCols.map(c => schema(schema.fieldIndex(c))))
       val dataSchema = StructType(
         schema.filterNot(f => partCols.contains(f.name)))
-      val groups = statuses
-        .groupBy(st => parsePartValues(fs, path, st.getPath.toString, partCols))
-        .toSeq.map { case (raw, sts) =>
-          (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
-            case (v, f) => castPartValue(v, f.dataType)
-          }), sts)
-        }
       HadoopFsRelation(
-        new ManifestFileIndex(new Path(path), statuses, partSchema, groups),
+        manifestIndexFor(spark, path, partCols, partSchema, statuses),
         partitionSchema = partSchema,
         dataSchema = dataSchema,
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(classic)
     }
+  }
+
+  /** A [[ManifestFileIndex]] over exactly `statuses`, grouped by the
+    * directory-encoded partition values (partition tuples cast
+    * through the sidecar types, like every part-aware scan).
+    */
+  private[sources] def manifestIndexFor(spark: SparkSession, path: String,
+      partCols: Seq[String], partSchema: StructType,
+      statuses: Seq[FileStatusWithMetadata]): ManifestFileIndex = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groups = statuses
+      .groupBy(st => parsePartValues(fs, path, st.getPath.toString, partCols))
+      .toSeq.map { case (raw, sts) =>
+        (InternalRow.fromSeq(raw.zip(partSchema.fields).map {
+          case (v, f) => castPartValue(v, f.dataType)
+        }), sts)
+      }
+    new ManifestFileIndex(new Path(path), statuses, partSchema, groups)
+  }
+
+  /** Kept file statuses for the LAZY read path ([[SkippingFileIndex]]):
+    * re-anchor the RESOLVED catalyst `filters` on names and run the
+    * same skip planning every eager read uses — stats range rewrite,
+    * null counts, blooms, nested paths, generated-column derivation.
+    * Subquery-bearing or non-deterministic conjuncts are dropped
+    * (conservative: more files kept, never fewer).
+    */
+  private[sources] def lazySkipStatuses(spark: SparkSession, path: String,
+      dir: String, filters: Seq[Expression]): Seq[FileStatusWithMetadata] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val usable = filters.filter(f => f.deterministic &&
+      !f.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    val pred =
+      if (usable.isEmpty) lit(true)
+      else org.apache.spark.sql.graft.ColumnBridge.column(
+        usable.reduce(And).transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        })
+    val (stats, _, skip) = planSkip(spark, path, dir, pred)
+    statusesOf(stats.filter(skip))
+  }
+
+  /** The LAZY read plan for the catalog/`format("graft")` surface —
+    * the Delta OSS architecture (TahoeFileIndex): a standard
+    * `HadoopFsRelation` whose [[SkippingFileIndex]] evaluates the
+    * manifest UNDER THE QUERY'S OWN FILTERS at listing time, so the
+    * whole Catalyst file-scan stack applies — nested-predicate and
+    * parquet row-group pushdown, whole-stage codegen, nested schema
+    * pruning, and native dynamic partition pruning on name-addressed
+    * joins (`FileSourceScanExec` re-filters the listed partition
+    * directories with the runtime subquery values). The deletion
+    * vector applies as the usual broadcast anti-join above the scan;
+    * a column mapping projects physical→logical on top. `None` for a
+    * legacy status-less manifest — the caller keeps the eager V1
+    * route, whose path-list fallback still reads those.
+    */
+  private[sources] def lazyScanPlan(spark: SparkSession, path: String,
+      version: Option[Long]): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = version match {
+      case Some(v) => s"$path/$StatsDir/v$v"
+      case None => manifestDirOf(fs, path)
+    }
+    if (version.exists(v => !isCommittedGen(fs, new Path(dir)))) return None
+    val m = readManifestIn(spark, dir)
+    if (!m.columns.contains("file_size")) return None
+    val phys = tableSchemaIn(spark, path, dir)
+    val schema = StructType(phys.fields.map(_.copy(nullable = true)))
+    val partCols = partitionColsIn(fs, dir)
+    val sizeHint = tableSizeInBytes(spark, path, version)
+      .getOrElse(m.agg(sum(col("file_size"))).head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      })
+    val idx = new SkippingFileIndex(spark, path, dir, schema, partCols, sizeHint)
+    val partSchema = StructType(partCols.map(c => schema(schema.fieldIndex(c))))
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema,
+      bucketSpec = None, fileFormat = new ParquetFileFormat,
+      options = Map.empty)(classic)
+    val scan = applyDv(classic.baseRelationToDataFrame(rel), readDvIn(spark, dir))
+    Some(colMapIn(fs, dir) match {
+      case None => scan
+      case Some(mm) => toLogicalScan(scan, phys, mm)
+    })
   }
 
   /** The generation's deletion vector, if any (see [[DvDir]]):
@@ -4936,7 +5157,15 @@ object DataSkipping extends org.apache.spark.internal.Logging {
     // measured the sequential walk at ~5x cost across the 100→10^4
     // dir decade even on local fs).
     val stagingPrefixes =
-      Seq(".append-", ".compact-", ".stats-", ".markers-", SwapPrefix)
+      Seq(".append-", ".compact-", ".stats-", ".markers-",
+        ".overwrite-staging-", SwapPrefix)
+    // `col=value` descent stays gated on the CURRENT generation's
+    // partitioning: descending unconditionally could reclaim a user's
+    // unrelated `a=b` subdirectory under a flat table. The one shape
+    // this leaves behind — a PARTITIONED overwrite that crashed after
+    // move-in over a still-flat table — strands bounded, invisible
+    // debris that the next successful partitioned overwrite's vacuum
+    // sweeps (the table is partitioned by then).
     val partitioned = partitionColsIn(fs, manifestDirOf(fs, path)).nonEmpty
     val retention = retentionMs
     var level: Seq[Path] = Seq(new Path(path))
@@ -6825,4 +7054,60 @@ private[graft] class ManifestFileIndex(
   override val sizeInBytes: Long = files.map(_.getLen).sum
 
   override def partitionSchema: StructType = partSchema
+}
+
+/** LAZY, predicate-aware manifest file index — the Delta
+  * TahoeFileIndex shape behind [[DataSkipping.lazyScanPlan]]: the
+  * kept-file set is NOT baked at plan construction; `listFiles`
+  * receives the query's own (resolved) partition and data filters
+  * from `FileSourceScanExec` and evaluates the manifest under them —
+  * one distributed filter over O(files) manifest rows, zero listings,
+  * zero footer reads, O(kept) driver memory. Nested struct-path
+  * predicates, null counts, blooms and generated-column derivation
+  * all apply because the evaluation IS [[DataSkipping]]'s skip
+  * planner. Partition filters are additionally applied EXACTLY to the
+  * listed directories (FileSourceStrategy trusts listing-time
+  * pruning), and Spark's own dynamic partition pruning re-filters the
+  * listed directories at runtime — which is what makes name-addressed
+  * fact⋈dim joins prune files automatically on this surface.
+  *
+  * Pinned to one manifest generation (`dir`) at construction: a query
+  * resolves the snapshot once and every `listFiles` call serves it,
+  * so concurrent compaction/DML/overwrite can never tear a plan
+  * (replaced files stay on disk for the retention window).
+  */
+private[graft] class SkippingFileIndex(
+    spark: SparkSession, path: String, dir: String,
+    schema: StructType, partCols: Seq[String],
+    sizeHint: Long) extends FileIndex {
+
+  private val root = new Path(path)
+  private val partSchemaV =
+    StructType(partCols.map(c => schema(schema.fieldIndex(c))))
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSchema: StructType = partSchemaV
+
+  override def refresh(): Unit = ()
+
+  /** Manifest-backed live bytes (DV-discounted) — no listing job;
+    * drives broadcast planning exactly like `DESCRIBE DETAIL`.
+    */
+  override val sizeInBytes: Long = sizeHint
+
+  override def inputFiles: Array[String] =
+    DataSkipping.lazySkipStatuses(spark, path, dir, Nil)
+      .map(_.getPath.toString).toArray
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val statuses = DataSkipping.lazySkipStatuses(spark, path, dir,
+      partitionFilters ++ dataFilters)
+    if (partCols.isEmpty) Seq(PartitionDirectory(InternalRow.empty, statuses))
+    else DataSkipping.manifestIndexFor(spark, path, partCols, partSchemaV,
+        statuses)
+      .listFiles(partitionFilters, dataFilters)
+  }
 }

@@ -69,8 +69,14 @@ class CatalogSpec extends SparkSpec {
     // external writer would
     s.catalog.refreshTable(n)
     assert(s.table(n).count() === 30L)
-    assert(DataSkipping.tableVersions(s, t) === Seq(0L),
-      "INSERT OVERWRITE is a fresh table (one v0 generation)")
+    // r17: overwrite is a GENERATION COMMIT — the pre-overwrite state
+    // stays time-travelable; the op lands in the history
+    assert(DataSkipping.tableVersions(s, t) === Seq(0L, 1L),
+      "INSERT OVERWRITE commits a new generation")
+    assert(DataSkipping.describeHistory(s, t)
+      .filter(col("operation") === "OVERWRITE").count() === 1L)
+    assert(DataSkipping.readSkippingAt(s, t, 0L, lit(true)).count() === 150L,
+      "the replaced state must stay readable at its version")
     assert(DataSkipping.tableStatsCols(s, t).contains("id"),
       "overwrite must keep the tracked stats set")
     s.sql(s"DROP TABLE $n")

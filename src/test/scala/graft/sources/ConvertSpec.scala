@@ -227,14 +227,19 @@ class ConvertSpec extends SparkSpec {
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      // second table touches ONLY p=0: under dynamic semantics the
-      // bare parquet overwrite would keep p=1..3's data AND the
-      // committed v1/v2 manifests, which would shadow the fresh v0
+      // second table touches ONLY p=0: under dynamic semantics a bare
+      // parquet overwrite would keep p=1..3's data. The staged write
+      // (into a fresh empty dir) neutralizes dynamic mode, and the
+      // r17 generation commit makes the overwrite a FULL logical
+      // replace at v3 — the new manifest references only the new
+      // files, so stale partitions cannot shadow anything
       val df2 = (0L until 30L).map(i => (i, 0L, s"b$i")).toDF("id", "p", "v")
       DataSkipping.writeWithStats(df2, t, Seq("id"), bloomCols = Nil,
         partitionBy = Seq("p"))
-      assert(DataSkipping.tableVersions(s, t) === Seq(0L),
-        "overwrite must clear prior committed generations")
+      assert(DataSkipping.tableVersions(s, t) === Seq(0L, 1L, 2L, 3L),
+        "overwrite commits a generation above the DML history")
+      assert(DataSkipping.describeHistory(s, t)
+        .select("operation").head.getString(0) === "OVERWRITE")
       assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 30L,
         "overwrite must clear prior partitions the new frame does not touch")
       assert(DataSkipping.readSkipping(s, t, col("p") === 1L).count() === 0L)

@@ -1645,8 +1645,13 @@ class DataSkippingSpec extends SparkSpec {
     val out = DataSkipping.readSkipping(s, dir, lit(true))
     assert(out.count() === (0L until 300L).count(_ % 10 != 9))
     assert(out.agg(min("k")).head.getLong(0) === 100L)
-    assert(DataSkipping.tableVersions(s, dir) === Seq(0L),
-      "overwrite is a fresh v0")
+    // overwriting a LIVE graft table is a GENERATION COMMIT (r17):
+    // history grows, the op is recorded, and the replaced state stays
+    // time-travelable for the retention window
+    assert(DataSkipping.tableVersions(s, dir).size >= 2,
+      "overwrite must commit a new generation, not reset history")
+    assert(DataSkipping.describeHistory(s, dir)
+      .filter(col("operation") === "OVERWRITE").count() >= 1L)
     // no staging residue in the table root
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
