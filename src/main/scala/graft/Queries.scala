@@ -3730,6 +3730,68 @@ object Queries {
               CAST(SUM((doc_id*3 + x + y*17) % 256) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id ORDER BY id"""))
 
+  // PERCEPTUAL IMAGE DEDUP (r17): raw-image near-duplicate detection
+  // BEFORE any embedding model exists — difference hash (dHash) over
+  // a real javax.imageio decode, paired by the banded-Hamming join
+  // (simHashPairs' machinery, never all-pairs). The corpus is
+  // block-textured genuine PNGs whose grid arithmetic the DuckDB
+  // oracle replays bit-for-bit (each dHash cell is exactly one
+  // block), with planted duplicates that went through a REAL
+  // resize + PNG re-encode under shifted ids — the 'hash' rows pin
+  // the grid arithmetic, the 'pair' rows pin that every planted
+  // resized copy (and nothing else) is detected.
+  val imageDedup = QueryDef(
+    "q_image_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val orig = Multimodal.withBlockImagePayload(s, docs, "doc_id")
+      val dups = Multimodal.withBlockImagePayload(s,
+        docs.filter(col("doc_id") % 5 === 0), "doc_id",
+        idOffset = 10000000L, resizeTo = Some((36, 28)))
+      val hashes = Multimodal.withImageDHash(s,
+        orig.unionByName(dups), "id", "payload")
+      val pairs = Dedup.imageDHashPairs(hashes, "id")
+      hashes.filter(col("id") < 10000000L)
+        .select(col("id").as("a"), col("dhash").as("b"), lit("hash").as("kind"))
+        .unionAll(pairs.select(col("id_a").as("a"), col("id_b").as("b"),
+          lit("pair").as("kind")))
+        .orderBy("kind", "a", "b")
+    },
+    Some("""WITH ks AS (
+              SELECT d.doc_id, cx.i AS cx, cy.j AS cy,
+                (d.doc_id*7919 + cx.i*104729 + cy.j*1299709)
+                  * 2654435761 % 4294967296 AS m1
+              FROM documents d
+              CROSS JOIN generate_series(0, 8) cx(i)
+              CROSS JOIN generate_series(0, 6) cy(j)
+            ),
+            mx AS (
+              SELECT doc_id, cx, cy,
+                xor(m1, m1 // 65536) * 40503 % 4294967296 AS m2
+              FROM ks
+            ),
+            cells AS (
+              SELECT doc_id, cx, cy,
+                xor(m2, m2 // 1024) % 256 AS v
+              FROM mx
+            ),
+            bits AS (
+              SELECT a.doc_id, a.cy*8 + a.cx AS b,
+                CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+              FROM cells a JOIN cells n
+                ON n.doc_id = a.doc_id AND n.cy = a.cy AND n.cx = a.cx + 1
+              WHERE a.cx < 8
+            )
+            SELECT * FROM (
+              SELECT doc_id AS a,
+                CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS b,
+                'hash' AS kind
+              FROM bits GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, doc_id + 10000000, 'pair'
+              FROM documents WHERE doc_id % 5 = 0)
+            ORDER BY kind, a, b"""))
+
   // REAL video demux, oracle-checked end-to-end: a standards-shaped
   // RIFF AVI with genuine JPEG frames is synthesized from closed-form
   // doc_id arithmetic, demuxed by the real RIFF walk, every 2nd frame
@@ -5979,7 +6041,7 @@ object Queries {
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
-    multimodalDecode, audioDecode, imageDecode, videoFrames, saltedJoin, dfpJoin, dfpRead,
+    multimodalDecode, audioDecode, imageDecode, imageDedup, videoFrames, saltedJoin, dfpJoin, dfpRead,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, groupCountPushdown, checkConstraints, generatedColQ, genPartitionPrune,

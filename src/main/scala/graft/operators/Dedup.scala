@@ -661,34 +661,64 @@ object Dedup {
       maxHamming: Int = 3,
       hashFn: Column => Column = xxhash64(_),
       scope: CacheScope = new CacheScope): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "0 <= maxHamming < 64")
-    val bands = maxHamming + 1
-    val width = 64 / bands // chunk bit width (last chunk takes the remainder)
     // both sides of the band self-join read the signatures — persist
     // so the tokenize + 64-sum simhash aggregate runs once, not
     // twice (same cache-lifetime story as ngramJaccardPairs'
     // rawGrams: pass a CacheScope and release() after consuming)
     val sh = scope.cache(simHash(docs, idCol, textCol, hashFn))
-    val banded = sh.select(col(idCol), col("simhash"),
+    hammingBandPairs(sh, idCol, "simhash", maxHamming, bits = 64)
+  }
+
+  /** Banded-Hamming candidate join shared by every 64-bit-signature
+    * near-dup family (text simhash, image dHash): cut each
+    * signature's low `bits` into `maxHamming + 1` chunks — two
+    * signatures within the radius MUST agree on at least one chunk
+    * (pigeonhole), so candidates come from an equi-join on
+    * (band, chunk), never all-pairs — then verify exactly with the
+    * popcount of the XOR. Only (id, band, bits) rows cross the
+    * shuffle.
+    */
+  private[operators] def hammingBandPairs(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int, bits: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits && bits <= 64,
+      s"0 <= maxHamming < bits <= 64 (got $maxHamming, $bits)")
+    val bands = maxHamming + 1
+    val width = bits / bands // chunk bit width (last chunk takes the remainder)
+    val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
       explode(array((0 until bands).map { b =>
-        val hi = if (b == bands - 1) 64 else (b + 1) * width
-        val chunk = shiftrightunsigned(col("simhash"), b * width)
+        val hi = if (b == bands - 1) bits else (b + 1) * width
+        val chunk = shiftrightunsigned(col(sigCol), b * width)
           .bitwiseAND(lit(if (hi - b * width >= 64) -1L else (1L << (hi - b * width)) - 1L))
         struct(lit(b).as("band"), chunk.as("bits"))
       }: _*)).as("__bk"))
-      .select(col(idCol), col("simhash"), col("__bk.band").as("band"),
+      .select(col(idCol), col("__sig"), col("__bk.band").as("band"),
         col("__bk.bits").as("bits"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.__sig").as("sh_a"), col("b.__sig").as("sh_b"))
       .distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }
+
+  /** Perceptual IMAGE near-duplicate pairs over difference hashes
+    * ([[Multimodal.withImageDHash]] — re-encoded/resized copies land
+    * within a few Hamming bits): `(id_a, id_b, hamming)` with
+    * `id_a < id_b`, banded like [[simHashPairs]] so pair generation
+    * is an equi-join, never all-pairs. Undecodable payloads (the
+    * `-1` sentinel) are dropped — sentinels only ever match each
+    * other and would fabricate pairs between unrelated broken blobs.
+    * `bits` must match the hash's grid (default 9x7 = 56).
+    */
+  def imageDHashPairs(hashes: DataFrame, idCol: String,
+      hashCol: String = "dhash", maxHamming: Int = 4,
+      bits: Int = 56): DataFrame =
+    hammingBandPairs(hashes.filter(col(hashCol) =!= -1L), idCol, hashCol,
+      maxHamming, bits)
 
   /** LSH-banded candidate pairs for [[embeddingNearDup]] —
     * (id_a, id_b) sharing at least one band bucket, id_a < id_b,

@@ -273,6 +273,65 @@ object Multimodal {
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => sentinel }
     }
+
+    /** Perceptual DIFFERENCE HASH (dHash) over a full real decode:
+      * the image is averaged into a `gridW x gridH` mean-luminance
+      * grid (cell boundaries `floor(c*W/gridW)` — exact integer
+      * binning, so the same content re-gridded at any resolution
+      * lands in the same cells), and bit `cy*(gridW-1)+cx` is set
+      * iff `M(cx+1,cy) > M(cx,cy)`. Gradients survive re-encoding
+      * and resizing, so re-encoded/rescaled copies land within a few
+      * bits of Hamming distance — the raw-image dedup signal a
+      * training pipeline needs BEFORE any embedding model exists
+      * (pHash's DCT is the frequency-domain variant; the difference
+      * grid is the standard cheap baseline with the same banding
+      * story). `(gridW-1)*gridH` must fit in 63 bits so `-1`
+      * stays an unreachable UNDECODABLE sentinel (sentinels
+      * deliberately collide only with each other and are dropped by
+      * callers). Default 9x7 = 56 bits.
+      */
+    def dHash(bytes: Array[Byte], gridW: Int = 9, gridH: Int = 7): Long = {
+      require(gridW >= 2 && gridH >= 1 && (gridW - 1) * gridH <= 63,
+        s"dHash grid ${gridW}x$gridH must keep (gridW-1)*gridH <= 63 bits")
+      read(bytes) match {
+        case None => -1L
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Double](gridW * gridH)
+          val counts = new Array[Long](gridW * gridH)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(gridH - 1, y * gridH / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(gridW - 1, x * gridW / w)
+              val rgb = img.getRGB(x, y)
+              sums(cy * gridW + cx) += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              counts(cy * gridW + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          def mean(cx: Int, cy: Int): Double = {
+            val i = cy * gridW + cx
+            if (counts(i) == 0) 0.0 else sums(i) / counts(i)
+          }
+          var hash = 0L
+          var cy = 0
+          while (cy < gridH) {
+            var cx = 0
+            while (cx < gridW - 1) {
+              if (mean(cx + 1, cy) > mean(cx, cy))
+                hash |= 1L << (cy * (gridW - 1) + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          hash
+      }
+    }
   }
 
   /** REAL video-container demux over plain JDK: AVI is RIFF-framed
@@ -607,6 +666,92 @@ object Multimodal {
     docs.select(col(idCol).cast("bigint")).as[Long]
       .mapPartitions(it => it.map(id => (id, synthPng(id))))
       .toDF("id", "payload")
+  }
+
+  /** Genuine PNG with a BLOCK-textured grayscale pattern — the
+    * perceptual-dedup test corpus ([[synthPng]]'s smooth gradients
+    * make every image's difference hash near-identical; dedup needs
+    * per-image STRUCTURE). Deterministic closed form the DuckDB
+    * oracle replays exactly: the image is a `(w/block) x (h/block)`
+    * grid of uniform 8-bit gray blocks with
+    * `k = id*7919 + bx*104729 + by*1299709` AVALANCHED through a
+    * Wang-style integer mix (`h = k*2654435761 mod 2^32; h ^= h>>16;
+    * h = h*40503 mod 2^32; h ^= h>>10; v = h mod 256`) — a linear or
+    * low-degree polynomial form leaves some id pairs' grids a
+    * constant shift apart and their hashes a few Hamming bits apart
+    * by construction (measured: quadratic left cross-id minima at 2;
+    * the mix leaves 11 over 500 ids); every step stays inside exact
+    * nonnegative 64-bit integers on both engines. `r = g = b = v` (gray, so luminance ordering is
+    * exactly the integer ordering of v — see
+    * [[ImageIoCodec.dHash]]). With the
+    * defaults each dHash grid cell (9x7 over 72x56) is exactly one
+    * block, so the oracle computes the hash from the v formula with
+    * zero pixel work.
+    */
+  def synthPngBlocks(id: Long, w: Int = 72, h: Int = 56,
+      block: Int = 8): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val k = id * 7919L + (x / block) * 104729L +
+          (y / block) * 1299709L
+        var m = k * 2654435761L % 4294967296L
+        m ^= m >>> 16
+        m = m * 40503L % 4294967296L
+        m ^= m >>> 10
+        val v = (m % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a block-textured synthetic PNG per row
+    * ([[synthPngBlocks]]); with `resizeTo` set, each payload is
+    * additionally re-encoded through the REAL
+    * [[ImageIoCodec.resize]] and the row id shifts by `idOffset` —
+    * the planted-duplicate side of the perceptual-dedup gate (a
+    * resized, re-encoded copy of the same content under a new id).
+    */
+  def withBlockImagePayload(spark: SparkSession, docs: DataFrame,
+      idCol: String, idOffset: Long = 0L,
+      resizeTo: Option[(Int, Int)] = None): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("bigint")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val png = synthPngBlocks(id)
+        resizeTo match {
+          case None => (id + idOffset, png)
+          case Some((mw, mh)) =>
+            (id + idOffset, ImageIoCodec.resize(png, mw, mh)._1)
+        }
+      })
+      .toDF("id", "payload")
+  }
+
+  /** Per-row perceptual difference hash
+    * ([[ImageIoCodec.dHash]]) through the partition-batched shell:
+    * `(idCol, dhash)` with `-1` for undecodable payloads. The
+    * downstream pairing ([[Dedup.imageDHashPairs]]) is the banded
+    * Hamming join — never all-pairs.
+    */
+  def withImageDHash(spark: SparkSession, images: DataFrame,
+      idCol: String, bytesCol: String,
+      gridW: Int = 9, gridH: Int = 7): DataFrame = {
+    import spark.implicits._
+    images.select(col(idCol).cast("bigint"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) =>
+        (id, ImageIoCodec.dHash(b, gridW, gridH))
+      })
+      .toDF(idCol, "dhash")
   }
 
   /** Real image decode + exact-integer features through the
