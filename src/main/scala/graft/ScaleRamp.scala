@@ -377,6 +377,27 @@ object ScaleRamp {
     val partAppendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     val partDeleteSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+    // r17 NESTED-STATS ramp: file count ramps 16*k while a nested
+    // struct-path range predicate keeps a FIXED slice — the pruned
+    // read must stay ~flat like the flat-column storage_read row (a
+    // nested-path manifest regression — mis-keyed `min_m.uid`
+    // columns, a broken GetStructField extractor — would surface as
+    // an O(files) full scan ramping linearly)
+    val nestedPaths = gatedMap(
+      if (!selected(Set("storage_nested_read")))
+        Map.empty[Int, String]
+      else scales.map { k =>
+        val p = s"$work/store_nested_x$k"
+        val n = 32000L * k
+        DataSkipping.writeWithStats(
+          spark.range(n).select(col("id"),
+            struct(pmod(col("id") * 2654435761L, lit(n)).as("uid"),
+              (col("id") * 2.0).as("v")).as("m"))
+            .repartitionByRange(16 * k, col("m.uid")),
+          p, Seq("id", "m.uid", "m.v"))
+        k -> p
+      }.toMap, "storage_nested")
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
       "minhash_pairs" -> (k => Dedup.minHashLsh(docs(k), "doc_id", "text",
@@ -658,6 +679,13 @@ object ScaleRamp {
           .createOrReplaceTempView(s"ramp_gcp_x$k")
         spark.sql(s"SELECT p, count(*) AS n FROM ramp_gcp_x$k GROUP BY p")
       },
+      // r17: nested-path pruned read at 10x the file count — the
+      // fixed m.uid slice keeps ~1-2 files at every scale, so the
+      // read must stay ~flat (planning is the manifest filter over
+      // `min_m.uid`/`max_m.uid`, scan cost is the kept files)
+      "storage_nested_read" -> (k => DataSkipping.readSkipping(
+        spark, nestedPaths(k),
+        col("m.uid") >= 1000L && col("m.uid") < 3000L)),
       // r16: consumer-lag poll across the partition decade — the
       // backlog probe lists the MANIFEST dir (commit markers) + one
       // checkpoint read, never the 100x partition directories; the
