@@ -1,0 +1,206 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Manifest GENERATION RESOLUTION and reading: versioned `v<N>` dirs, the `_COMMIT` visibility point, legacy flat manifests, the pinned manifest read, and the optimistic-retry loop every generation-building entry point wraps itself in.
+  *
+  * One slice of the storage kernel, mixed into [[DataSkipping]] -
+  * the object is the single public surface; the trait split is
+  * file organization only (r17, the twice-deferred seam split).
+  */
+private[sources] trait ManifestCore { this: DataSkipping.type =>
+
+  // -----------------------------------------------------------------
+  // Generation resolution
+  // -----------------------------------------------------------------
+
+  /** (version, status) of every `v<N>` generation dir, ascending. */
+  private[sources] def genDirs(fs: org.apache.hadoop.fs.FileSystem,
+      statsDir: Path): Seq[(Long, FileStatus)] =
+    if (!fs.exists(statsDir)) Seq.empty
+    else fs.listStatus(statsDir).toSeq.flatMap { f =>
+      f.getPath.getName match {
+        case GenRe(v) if f.isDirectory => Some(v.toLong -> f)
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  private[sources] def isCommittedGen(fs: org.apache.hadoop.fs.FileSystem, gen: Path): Boolean =
+    fs.exists(new Path(gen, CommitFile))
+
+  /** Highest committed generation, if the table is versioned. */
+  private[sources] def currentGen(fs: org.apache.hadoop.fs.FileSystem,
+      statsDir: Path): Option[(Long, Path)] =
+    genDirs(fs, statsDir)
+      .filter { case (_, f) => isCommittedGen(fs, f.getPath) }
+      .lastOption.map { case (v, f) => v -> f.getPath }
+
+  /** The directory the CURRENT manifest lives in: the highest
+    * committed generation for a versioned table, the flat stats dir
+    * for a legacy one (completing any torn pre-generation swap
+    * first). Everything the planner needs — manifest parts, sidecars,
+    * commit markers — is under this one dir.
+    */
+  def manifestDir(spark: SparkSession, path: String): String = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestDirOf(fs, path)
+  }
+
+  private[sources] def manifestDirOf(fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val statsDir = new Path(s"$path/$StatsDir")
+    currentGen(fs, statsDir) match {
+      case Some((_, gen)) => gen.toString
+      case None =>
+        repairStatsSwap(fs, path)
+        // the repaired swap may itself carry generations (a versioned
+        // stats dir torn loose by pre-generation-era maintenance)
+        currentGen(fs, statsDir).map(_._2.toString).getOrElse(statsDir.toString)
+    }
+  }
+
+  /** Manifest rows of the table's current generation, read through
+    * the persisted manifest schema (no footer reads; post-evolution
+    * parts wider than older ones surface nulls for the added
+    * columns). Falls back to a merged-footer read for manifests
+    * written before the schema sidecar existed.
+    */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    readManifestIn(spark, manifestDir(spark, path))
+
+  /** Feature flags THIS build implements. Everything else in a
+    * manifest's `_manifest_features.txt` came from a NEWER writer
+    * whose semantics this reader cannot honor — and ignoring a
+    * feature is not merely slow: a different stats encoding or
+    * row-visibility rule would make an ignorant read WRONG. So every
+    * manifest consumer (reads, metadata aggregates, appends,
+    * compaction, DML, vacuum — they all plan through
+    * [[readManifestIn]]) REFUSES unknown features loudly — the Delta
+    * reader/writer-protocol rule, feature-name-granular like Delta's
+    * table features. `describeHistory`/`tableVersions` stay readable
+    * (inspection needs no feature semantics).
+    */
+  private[sources] def unknownFeatures(feats: Set[String]): Set[String] =
+    feats.filterNot(f =>
+      f == "nulls" || f == CdfFeature || f == PartitionedFeature ||
+        f.startsWith("bloom:"))
+
+  private[sources] def readManifestIn(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unknown = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknown.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] this build does not " +
+        "implement — refusing to read rather than silently ignoring them " +
+        "(a newer writer's stats encoding or visibility rule could make an " +
+        "ignorant read wrong, not just slow); upgrade the library")
+    readSidecar(spark, dir, ManifestSchemaFile) match {
+      case Some(json) =>
+        spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType]).parquet(dir)
+      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+    }
+  }
+
+  /** How many optimistic-commit races a DML/maintenance entry point
+    * absorbs by re-running itself before giving up.
+    */
+  val ConcurrentRetries = 8
+
+  /** Re-run `body` on [[ConcurrentWriteException]] — the optimistic
+    * retry loop every generation-building entry point wraps itself
+    * in. Each retry re-executes the WHOLE op from scratch, so it
+    * re-plans against whatever state the winning writer committed
+    * (declarative inputs make that the correct serial order). Small
+    * jittered backoff so a herd of contenders interleaves instead of
+    * re-colliding.
+    */
+  private[sources] def withConcurrentRetry[T](op: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= ConcurrentRetries)
+            throw new ConcurrentWriteException(
+              s"$op lost $attempt consecutive optimistic-commit races " +
+                s"(last: ${e.getMessage}) — sustained writer contention; " +
+                "coordinate maintenance or retry later")
+          Thread.sleep(5L + scala.util.Random.nextInt(45))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The manifest dir's current *.parquet file names (parts + named
+    * commit markers) — the OBSERVED SET an optimistic writer pins its
+    * carried-rows read to and hands to [[publishGeneration]], which
+    * treats anything beyond it as a concurrent append to ride
+    * forward verbatim.
+    */
+  private[sources] def listManifestNames(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  /** [[readManifestIn]] PINNED to an explicit file-name set: the
+    * returned frame reads exactly those files, so a concurrent
+    * append landing after the listing can never half-appear in a
+    * generation build (it is either wholly beyond the pin — and
+    * ridden forward verbatim at publish — or wholly inside it).
+    */
+  private[sources] def readManifestPinned(spark: SparkSession, dir: String,
+      names: Set[String]): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unknown = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknown.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] this build does not implement")
+    if (names.isEmpty) readManifestIn(spark, dir).limit(0)
+    else {
+      val paths = names.toSeq.sorted.map(n => s"$dir/$n")
+      readSidecar(spark, dir, ManifestSchemaFile) match {
+        case Some(json) =>
+          spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType])
+            .parquet(paths: _*)
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      }
+    }
+  }
+
+  /** Complete a torn LEGACY manifest swap: the pre-generation
+    * compactTable swapped via delete + rename — a crash between the
+    * two leaves the table without a flat manifest but WITH the
+    * fully-built swap dir, which this finishes. Generation commits
+    * made the window structurally impossible; this survives only so
+    * tables written by the old layout still open. One `exists` check
+    * when the table is healthy.
+    */
+  private[sources] def repairStatsSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val statsDir = new Path(s"$path/$StatsDir")
+    if (fs.exists(statsDir) || !fs.exists(new Path(path))) return
+    val swaps = fs.listStatus(new Path(path))
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(SwapPrefix))
+    if (swaps.nonEmpty) {
+      // single-writer maintenance ⇒ at most one swap is mid-flight;
+      // take the newest (older ones are pre-delete debris)
+      val chosen = swaps.maxBy(_.getModificationTime)
+      require(fs.rename(chosen.getPath, statsDir),
+        s"completing torn stats swap ${chosen.getPath} failed")
+    }
+  }
+
+}
