@@ -3730,6 +3730,54 @@ object Queries {
               CAST(SUM((doc_id*3 + x + y*17) % 256) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id ORDER BY id"""))
 
+  // CORPUS SQL SURFACE (r17): the §2c pipeline operators reachable
+  // from plain SQL — `DEDUP` and `CHUNK` statements parse to the
+  // OPERATORS' OWN lazy plans (never a driver-side command collect),
+  // through both GraftSql.sql and the injected session parser. The
+  // gate plants exact duplicates (a wholesale id-shifted copy of the
+  // corpus), dedups through SQL, chunks the survivors through SQL,
+  // and the oracle replays normalize→min-id election→chunk
+  // arithmetic end to end.
+  val sqlCorpus = QueryDef(
+    "q_sql_corpus",
+    (s, d) => {
+      import graft.sources.GraftSql
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+        .createOrReplaceTempView("sqlc_v")
+      GraftSql.sql(s, "DEDUP sqlc_v ON (doc_id, text)")
+        .createOrReplaceTempView("sqlc_dd")
+      GraftSql.sql(s, "CHUNK sqlc_dd ON (doc_id, text) SIZE 40 OVERLAP 10")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents),
+            dd AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM all_docs
+              GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+            kept AS (
+              SELECT a.doc_id, a.text FROM all_docs a JOIN dd USING (doc_id)),
+            t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+              FROM kept),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            c AS (SELECT doc_id, toks, n,
+                    unnest(range(0, GREATEST(1,
+                      CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS chunk_id
+                  FROM n)
+            SELECT doc_id, chunk_id,
+              chunk_id * 30 AS start_token,
+              GREATEST(0, LEAST(40, n - chunk_id * 30)) AS n_tokens,
+              array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
+                AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id"""))
+
   // PERCEPTUAL IMAGE DEDUP (r17): raw-image near-duplicate detection
   // BEFORE any embedding model exists — difference hash (dHash) over
   // a real javax.imageio decode, paired by the banded-Hamming join
@@ -6041,7 +6089,7 @@ object Queries {
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
     embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
-    multimodalDecode, audioDecode, imageDecode, imageDedup, videoFrames, saltedJoin, dfpJoin, dfpRead,
+    multimodalDecode, audioDecode, imageDecode, imageDedup, videoFrames, saltedJoin, dfpJoin, dfpRead, sqlCorpus,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, groupCountPushdown, checkConstraints, generatedColQ, genPartitionPrune,

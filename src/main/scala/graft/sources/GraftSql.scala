@@ -104,6 +104,10 @@ object GraftSql {
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+($R)\\s+STATS\\s+BY\\s*\\(([^)]*)\\)(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
   private val Reorg =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+($R)\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
+  private val DedupStmt =
+    s"""(?is)^\\s*DEDUP\\s+($R)\\s+ON\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*(?:METHOD\\s+(EXACT|MINHASH))?\\s*(?:THRESHOLD\\s+([0-9.]+))?\\s*;?\\s*$$""".r
+  private val ChunkStmt =
+    s"""(?is)^\\s*CHUNK\\s+($R)\\s+ON\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*(?:SIZE\\s+(\\d+))?\\s*(?:OVERLAP\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val AddGenerated =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+GENERATED\\s+ALWAYS\\s+AS\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropGenerated =
@@ -374,7 +378,7 @@ object GraftSql {
     * session, so bare names cannot resolve): Some(command plan) when
     * `sqlText` is a graft statement, None to mean "not ours".
     */
-  def parse(sqlText: String): Option[LeafRunnableCommand] =
+  def parse(sqlText: String): Option[LogicalPlan] =
     parseWith(sqlText, None)
 
   /** The session-aware grammar: table references may be `'path'`
@@ -383,11 +387,29 @@ object GraftSql {
     * (None) — Spark's own parser sees it verbatim, so standard SQL
     * over non-graft tables is never intercepted.
     */
-  def parse(sqlText: String, spark: SparkSession): Option[LeafRunnableCommand] =
+  def parse(sqlText: String, spark: SparkSession): Option[LogicalPlan] =
     parseWith(sqlText, Some(spark))
 
+  /** Source frame of a CORPUS statement (DEDUP/CHUNK): a `'path'`
+    * literal reads a graft table through its manifest (plain parquet
+    * when no stats dir exists); a bare name is ANY session-catalog
+    * table or view — corpus operators are not storage maintenance,
+    * so they place no graft-table requirement on their input.
+    */
+  private def corpusSource(spark: SparkSession, g: String): DataFrame =
+    if (g.startsWith("'")) {
+      val path = g.substring(1, g.length - 1)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/${DataSkipping.StatsDir}")))
+        DataSkipping.readSkipping(spark, path,
+          org.apache.spark.sql.functions.lit(true))
+      else spark.read.parquet(path)
+    } else spark.table(g)
+
   private def parseWith(sqlText: String,
-      spark: Option[SparkSession]): Option[LeafRunnableCommand] = {
+      spark: Option[SparkSession]): Option[LogicalPlan] = {
     // quoted ref → the path inside the quotes; bare name → the graft
     // catalog location, None (fall through) when it isn't one
     def ref(g: String): Option[String] =
@@ -458,6 +480,40 @@ object GraftSql {
         ref(t).map(AddGeneratedGraftCommand(_, colName, expr.trim))
       case DropGenerated(t, colName) =>
         ref(t).map(DropGeneratedGraftCommand(_, colName))
+      // CORPUS statements (r17 — the SQL face of the SURVEY §2c
+      // text-pipeline family): these PRODUCE A DATASET, so the parse
+      // result is the operator's own logical plan (fully lazy and
+      // distributed — a command's driver-side Seq[Row] would collect
+      // the corpus), not a command. DEDUP/CHUNK are not Spark SQL
+      // keywords, so intercepting bare names never shadows standard
+      // SQL; the source may be ANY table/view name, a graft-table
+      // path, or a plain parquet path.
+      case DedupStmt(t, idCol, textCol, method, threshold) =>
+        spark.map { s =>
+          val df = corpusSource(s, t)
+          val kept = Option(method).map(_.toUpperCase) match {
+            case None | Some("EXACT") =>
+              require(threshold == null,
+                "THRESHOLD applies to METHOD MINHASH only")
+              df.join(
+                graft.operators.Dedup.exactByHash(df, idCol, textCol)
+                  .select(org.apache.spark.sql.functions.col("rep_id")
+                    .as(idCol)),
+                Seq(idCol), "left_semi")
+            case Some("MINHASH") =>
+              graft.operators.Dedup.deduplicate(df, idCol, textCol,
+                threshold = Option(threshold).map(_.toDouble).getOrElse(0.6))
+            case Some(other) => sys.error(s"unknown DEDUP method $other")
+          }
+          kept.queryExecution.logical
+        }
+      case ChunkStmt(t, idCol, textCol, size, overlap) =>
+        spark.map { s =>
+          graft.operators.TextOps.chunkDocs(corpusSource(s, t), idCol, textCol,
+              chunkTokens = Option(size).map(_.toInt).getOrElse(512),
+              overlapTokens = Option(overlap).map(_.toInt).getOrElse(0))
+            .queryExecution.logical
+        }
       case Delete(t, cond) =>
         ref(t).map(DeleteGraftCommand(_, Option(cond)))
       case Update(t, body) =>
@@ -482,12 +538,16 @@ object GraftSql {
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     parse(sqlText, spark) match {
-      case Some(cmd) =>
+      case Some(cmd: LeafRunnableCommand) =>
         val schema = StructType(cmd.output.map(a =>
           StructField(a.name, a.dataType, a.nullable)))
         spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(cmd.run(spark)).asJava,
           schema)
+      // corpus statements carry the operator's own (lazy) plan
+      case Some(plan) =>
+        org.apache.spark.sql.graft.GraftSqlShims.ofRows(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
       case None => spark.sql(sqlText)
     }
 }
