@@ -362,7 +362,8 @@ object ScaleRamp {
     val partCountPaths = gatedMap(
       if (!selected(Set("storage_part_read", "storage_part_append",
           "storage_part_delete", "storage_part_vacuum",
-          "storage_part_groupcount", "storage_part_lag")))
+          "storage_part_groupcount", "storage_part_lag",
+          "storage_part_cdflag")))
         Map.empty[Int, String]
       else scales.map { k =>
         val p = s"$work/store_part_x$k"
@@ -696,6 +697,16 @@ object ScaleRamp {
           partCountPaths(k), s"$work/no_such_checkpoint_x$k")
         require(lag.available >= 0L && lag.behind == lag.available)
         spark.range(lag.available max 1L).select(col("id"))
+      },
+      // r17: the CHANGE-FEED lag poll across the partition decade —
+      // latestVersion comes from one stats-dir generation listing +
+      // one checkpoint read; like the commit-marker poll above it
+      // must stay flat in directory count
+      "storage_part_cdflag" -> { k =>
+        val lag = graft.streaming.TableLag.changeFeedLag(spark,
+          partCountPaths(k), s"$work/no_such_ck_cdf_x$k")
+        require(lag.latestVersion >= 0L && lag.committedVersion == -1L)
+        spark.range(lag.behind max 1L).select(col("id"))
       })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
