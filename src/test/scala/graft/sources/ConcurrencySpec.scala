@@ -68,6 +68,69 @@ class ConcurrencySpec extends SparkSpec {
     assert(vs.distinct.size === vs.size)
   }
 
+  test("racing OVERWRITEs serialize: each commits its own generation, content is one whole batch") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 500L).map(i => (i, "base")).toDF("id", "tag"), t, Seq("id"))
+    inParallel(Seq(
+      () => DataSkipping.writeWithStats(
+        (1000L until 1200L).map(i => (i, "a")).toDF("id", "tag"), t, Seq("id")),
+      () => DataSkipping.writeWithStats(
+        (2000L until 2300L).map(i => (i, "b")).toDF("id", "tag"), t, Seq("id"))))
+    // the loser re-ran against the winner's state and replaced it:
+    // the final table is EXACTLY one writer's whole batch
+    val tags = DataSkipping.readSkipping(s, t, lit(true))
+      .select("tag").distinct().collect().map(_.getString(0)).toSet
+    assert(tags.size === 1 && (tags("a") || tags("b")), tags.toString)
+    val n = DataSkipping.readSkipping(s, t, lit(true)).count()
+    assert(n === 200L || n === 300L)
+    assert((tags("a") && n == 200L) || (tags("b") && n == 300L))
+    // both overwrites committed as their own generation
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "OVERWRITE") === 2, ops.mkString(","))
+    assert(DataSkipping.tableVersions(s, t) === Seq(0L, 1L, 2L))
+    // every superseded state still time-travels whole
+    assert(DataSkipping.readSkippingAt(s, t, 0L, lit(true)).count() === 500L)
+    assert(DataSkipping.readSkippingAt(s, t, 1L, lit(true)).count() === 200L ||
+      DataSkipping.readSkippingAt(s, t, 1L, lit(true)).count() === 300L)
+  }
+
+  test("a named append racing OVERWRITE lands in one of the two serial orders; replays stay once-only") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 400L).map(i => (i, "old")).toDF("id", "tag"), t, Seq("id"))
+    inParallel(Seq(
+      () => DataSkipping.writeWithStats(
+        (5000L until 5100L).map(i => (i, "new")).toDF("id", "tag"),
+        t, Seq("id")),
+      () => DataSkipping.appendWithStats(
+        (9000L until 9050L).map(i => (i, "app")).toDF("id", "tag"),
+        t, Seq("id"), commitName = Some("race-batch"))))
+    val byTag = DataSkipping.readSkipping(s, t, lit(true))
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // overwrite content always present; the append either serialized
+    // BEFORE (its rows replaced — gone) or AFTER (its rows survive);
+    // the base is always replaced
+    assert(byTag.getOrElse("new", 0L) === 100L, byTag.toString)
+    assert(!byTag.contains("old"), byTag.toString)
+    assert(byTag.getOrElse("app", 0L) === 0L || byTag("app") === 50L)
+    // a replay of the named batch is a NO-OP in either order: the
+    // marker rode verbatim (append-after) or folded to zero-row
+    // (append-before) — both short-circuit at-least-once writers
+    val before = DataSkipping.readSkipping(s, t, lit(true)).count()
+    DataSkipping.appendWithStats(
+      (9000L until 9050L).map(i => (i, "app")).toDF("id", "tag"),
+      t, Seq("id"), commitName = Some("race-batch"))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === before,
+      "a replayed named batch must not re-deliver across an overwrite")
+  }
+
   test("named appends racing compaction are never lost and never double-delivered") {
     val s = spark
     import s.implicits._
