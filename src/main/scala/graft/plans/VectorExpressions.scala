@@ -791,6 +791,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // experimental.extraOptimizations cannot (see GraftScanRewrite)
     ext.injectOptimizerRule(session =>
       new graft.sources.GraftScanRewrite(session))
+    // corpus statements whose pipeline is inherently eager (DEDUP
+    // METHOD MINHASH) parse to a DeferredCorpusPlan leaf; this plans
+    // it so the pipeline runs at execution, never at parse/EXPLAIN
+    ext.injectPlannerStrategy(_ => new DeferredCorpusStrategy)
   }
 }
 

@@ -104,10 +104,26 @@ object GraftSql {
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+($R)\\s+STATS\\s+BY\\s*\\(([^)]*)\\)(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
   private val Reorg =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+($R)\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
+  /** A column reference in a corpus statement: bare identifier,
+    * dotted (nested-field) path, or a backticked name (which may
+    * hold dots/spaces — stripped by [[colName]]).
+    */
+  private val C = """(?:`[^`]+`|[A-Za-z_][\w.]*)"""
+  private def colName(tok: String): String =
+    if (tok.startsWith("`")) {
+      val inner = tok.stripPrefix("`").stripSuffix("`")
+      // keep the quoting when the NAME itself holds dots/spaces so a
+      // downstream col(name) reads it literally, not as a nested path
+      if (inner.matches("""\w+""")) inner else tok
+    } else tok
+  /** THRESHOLD/fraction literal — exactly one optional decimal point
+    * (`1.2.3` must be a parse refusal, not a late NumberFormatException).
+    */
+  private val Num = """\d+(?:\.\d+)?"""
   private val DedupStmt =
-    s"""(?is)^\\s*DEDUP\\s+($R)\\s+ON\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*(?:METHOD\\s+(EXACT|MINHASH))?\\s*(?:THRESHOLD\\s+([0-9.]+))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*DEDUP\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*(?:METHOD\\s+(EXACT|MINHASH))?\\s*(?:THRESHOLD\\s+($Num))?\\s*;?\\s*$$""".r
   private val ChunkStmt =
-    s"""(?is)^\\s*CHUNK\\s+($R)\\s+ON\\s*\\(\\s*(\\w+)\\s*,\\s*(\\w+)\\s*\\)\\s*(?:SIZE\\s+(\\d+))?\\s*(?:OVERLAP\\s+(\\d+))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*CHUNK\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*(?:SIZE\\s+(\\d+))?\\s*(?:OVERLAP\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val AddGenerated =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+GENERATED\\s+ALWAYS\\s+AS\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropGenerated =
@@ -488,10 +504,11 @@ object GraftSql {
       // keywords, so intercepting bare names never shadows standard
       // SQL; the source may be ANY table/view name, a graft-table
       // path, or a plain parquet path.
-      case DedupStmt(t, idCol, textCol, method, threshold) =>
+      case DedupStmt(t, idColTok, textColTok, method, threshold) =>
         spark.map { s =>
+          val (idCol, textCol) = (colName(idColTok), colName(textColTok))
           val df = corpusSource(s, t)
-          val kept = Option(method).map(_.toUpperCase) match {
+          Option(method).map(_.toUpperCase) match {
             case None | Some("EXACT") =>
               require(threshold == null,
                 "THRESHOLD applies to METHOD MINHASH only")
@@ -500,16 +517,33 @@ object GraftSql {
                   .select(org.apache.spark.sql.functions.col("rep_id")
                     .as(idCol)),
                 Seq(idCol), "left_semi")
+                .queryExecution.logical
             case Some("MINHASH") =>
-              graft.operators.Dedup.deduplicate(df, idCol, textCol,
-                threshold = Option(threshold).map(_.toDouble).getOrElse(0.6))
+              // the minhash pipeline is inherently EAGER (iterative
+              // component resolution), so it must not run at parse
+              // time — EXPLAIN or a re-parse would execute the whole
+              // distributed job. A DeferredCorpusPlan leaf carries
+              // the statement's schema through planning and runs the
+              // pipeline exactly once, at execution, releasing its
+              // signature caches as soon as the losers frame is
+              // checkpointed (the result no longer references them).
+              val th = Option(threshold).map(_.toDouble).getOrElse(0.6)
+              graft.plans.DeferredCorpusPlan(
+                s"DedupMinhash($t, $idCol, $textCol, threshold=$th)",
+                df.queryExecution.analyzed.output,
+                () => {
+                  val scope = new graft.operators.CacheScope
+                  try graft.operators.Dedup.deduplicate(df, idCol, textCol,
+                    threshold = th, scope = scope)
+                  finally scope.release()
+                })
             case Some(other) => sys.error(s"unknown DEDUP method $other")
           }
-          kept.queryExecution.logical
         }
       case ChunkStmt(t, idCol, textCol, size, overlap) =>
         spark.map { s =>
-          graft.operators.TextOps.chunkDocs(corpusSource(s, t), idCol, textCol,
+          graft.operators.TextOps.chunkDocs(corpusSource(s, t),
+              colName(idCol), colName(textCol),
               chunkTokens = Option(size).map(_.toInt).getOrElse(512),
               overlapTokens = Option(overlap).map(_.toInt).getOrElse(0))
             .queryExecution.logical
@@ -544,6 +578,11 @@ object GraftSql {
         spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(cmd.run(spark)).asJava,
           schema)
+      // a deferred corpus statement needs the planner strategy the
+      // extensions install; on a bare session run its builder
+      // directly — the pipeline executes here (not at parse), and
+      // the returned frame is the pipeline's lazy RESULT plan
+      case Some(d: graft.plans.DeferredCorpusPlan) => d.build()
       // corpus statements carry the operator's own (lazy) plan
       case Some(plan) =>
         org.apache.spark.sql.graft.GraftSqlShims.ofRows(

@@ -179,7 +179,7 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
     val pred = mapPred(spark, path, predicate)
-    val (manifest, schema, _, touched, touchedScan, observed) =
+    val (manifest, schema, _, touched, touchedScan, observed, _) =
       pruneAndTouch(spark, path, dir, pred, "compactWhere")
     val files = touched.map(_._1)
     if (files.isEmpty) {
@@ -214,7 +214,11 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
       else touchedScan.repartition(target, partCols.map(col): _*)
     rewriteFiles(spark, fs, path, dir, manifest, schema, files,
       Some(replacement), vacuum, retentionMs, markerRetentionMs, opStart,
-      op = "OPTIMIZE WHERE", observedParts = Some(observed))
+      op = "OPTIMIZE WHERE", observedParts = Some(observed),
+      // bin-packing is content-invisible: its output depends only on
+      // the touched files (the dependency set), never on rows a
+      // concurrent winner added — the added-file test is vacuous
+      readSkip = Some(lit(false)))
     files.size
   }
 

@@ -272,7 +272,8 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     */
   private[sources] def pruneAndTouch(spark: SparkSession, path: String,
       dir: String, predicate: Column, op: String)
-      : (DataFrame, StructType, Column, Seq[(String, Long)], DataFrame, Set[String]) = {
+      : (DataFrame, StructType, Column, Seq[(String, Long)], DataFrame,
+         Set[String], Column) = {
     val fsPin = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // OBSERVED SET pinned before the manifest read: the optimistic-
     // commit contract (publishGeneration treats anything beyond it as
@@ -299,7 +300,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val touchedSet = touched.map(_._1).toSet
     val touchedScan = applyDv(partAwareStatusScan(spark, path, dir, schema,
       candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
-    (stats, schema, hit, touched, touchedScan, pin)
+    (stats, schema, hit, touched, touchedScan, pin, skip)
   }
 
   /** The copy-on-write commit shared by the row-level DML ops: stage
@@ -309,6 +310,24 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     * files, publish the generation, optionally vacuum. The table
     * schema, tracked columns, features and manifest schema are all
     * unchanged — DML rewrites rows, never shape.
+    *
+    * CONFLICT-CHECKED COMMIT (the Delta ConflictChecker analog): a
+    * lost optimistic race no longer always re-runs the whole op.
+    * When the caller supplies `readSkip` — the stats-prune predicate
+    * its candidate read was scoped by — and [[rebaseSafe]] proves the
+    * winner's commit DISJOINT from this op's read/write set (shape
+    * sidecars unchanged, every rewritten/DV-target file still present,
+    * no winner-added file's stats can match the read predicate, the
+    * deletion vector unchanged on this op's files), the prepared
+    * result REBASES: carried rows are re-derived from the winner's
+    * manifest, this op's already-staged replacement files and their
+    * stats rows ride in unchanged, and the publish retries against
+    * the winner's generation — O(manifest) instead of O(op). A race
+    * that fails any check falls back to [[withConcurrentRetry]]'s
+    * full re-run (the always-correct serial order). At 100 TB this
+    * is the difference between continuous ingest-cadence DML
+    * coexisting with OPTIMIZE-cadence maintenance and every such
+    * race costing a full DML recompute.
     */
   private[sources] def rewriteFiles(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, dir: String,
@@ -320,7 +339,10 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       txn: Option[(String, Long)] = None,
       extraDv: Option[DataFrame] = None,
       clusteredOf: Seq[String] => Option[String] = _ => None,
-      observedParts: Option[Set[String]] = None): Unit = {
+      observedParts: Option[Set[String]] = None,
+      readSkip: Option[Column] = None): Unit = {
+    opRewriteRuns.computeIfAbsent(path,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     // None = the op writes no data files at all (merge-on-read DML:
     // its entire output is the deletion vector) — not even an empty
     // staged part. A PARTITION-CONVERTED table stages `partitionBy`
@@ -344,84 +366,216 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
       else moveInPartitioned(fs, staging, new Path(path))
     }
-    val feats = manifestFeatures(fs, dir)
-    val statsCols = trackedCols(spark, dir).toSeq.sorted
-    // Manifest rows tagged with their SOURCE manifest file: a named
-    // commit marker none of whose rows reference a rewritten data
-    // file survives the generation VERBATIM — an in-flight stream
-    // consumer ([[graft.streaming.StatsTableSource]]) replaying that
-    // commit across this DML op still reads its exact rows. Only
-    // markers actually referencing touched files fold to zero-row
-    // (their batch is no longer replayable as written — compaction's
-    // documented caveat, here scoped to the affected commits). A
-    // marker past the retention cutoff is NOT preserved verbatim:
-    // publishGeneration drops it, so its surviving rows must travel
-    // in the carried parts instead.
-    val tagged = manifest.select(col("*"), col("_metadata.file_path").as("__mfile"))
-    // the touched list rides as a broadcast local relation, not an
-    // O(touched) IN literal — a whole-table MERGE would otherwise
-    // bake every file path into this plan's expression tree
-    val touchedDf = spark.createDataset(touched)(
-      org.apache.spark.sql.Encoders.STRING).toDF("__touched_file")
-    val dirtyNames: Set[String] =
-      if (touched.isEmpty) Set.empty
-      else tagged.join(broadcast(touchedDf),
-          col("file") === col("__touched_file"), "left_semi")
-        .select("__mfile").distinct().collect()
-        .map(r => new Path(r.getString(0)).getName).toSet
-    val markerCutoff = opStartMs - markerRetentionMs
-    val verbatim: Set[String] = fs.listStatus(new Path(dir))
-      .filter { f =>
-        val n = f.getPath.getName
-        n.endsWith(".parquet") && !n.startsWith("part-") &&
-          f.getModificationTime >= markerCutoff && !dirtyNames(n)
-      }
-      .map(_.getPath.getName).toSet
-    val carried = {
-      val minusTouched =
-        if (touched.isEmpty) tagged
+    // Build the next generation's rows against `aDir` and publish.
+    // Runs once on the happy path; a rebase (lost race proven
+    // disjoint) re-invokes it against the winner's generation dir —
+    // the staged `moved` files and this op's change data / DV delta
+    // are reused as-is, only the carried rows re-derive.
+    def buildAndPublish(aDir: String, aManifest: DataFrame,
+        aPin: Option[Set[String]]): Unit = {
+      val feats = manifestFeatures(fs, aDir)
+      val statsCols = trackedCols(spark, aDir).toSeq.sorted
+      // Manifest rows tagged with their SOURCE manifest file: a named
+      // commit marker none of whose rows reference a rewritten data
+      // file survives the generation VERBATIM — an in-flight stream
+      // consumer ([[graft.streaming.StatsTableSource]]) replaying that
+      // commit across this DML op still reads its exact rows. Only
+      // markers actually referencing touched files fold to zero-row
+      // (their batch is no longer replayable as written — compaction's
+      // documented caveat, here scoped to the affected commits). A
+      // marker past the retention cutoff is NOT preserved verbatim:
+      // publishGeneration drops it, so its surviving rows must travel
+      // in the carried parts instead.
+      val tagged = aManifest.select(col("*"), col("_metadata.file_path").as("__mfile"))
+      // the touched list rides as a broadcast local relation, not an
+      // O(touched) IN literal — a whole-table MERGE would otherwise
+      // bake every file path into this plan's expression tree
+      val touchedDf = spark.createDataset(touched)(
+        org.apache.spark.sql.Encoders.STRING).toDF("__touched_file")
+      val dirtyNames: Set[String] =
+        if (touched.isEmpty) Set.empty
         else tagged.join(broadcast(touchedDf),
-          col("file") === col("__touched_file"), "left_anti")
-      val minusVerbatim =
-        if (verbatim.isEmpty) minusTouched
-        else minusTouched.filter(
-          !element_at(split(col("__mfile"), "/"), -1).isin(verbatim.toSeq: _*))
-      minusVerbatim.drop("__mfile")
+            col("file") === col("__touched_file"), "left_semi")
+          .select("__mfile").distinct().collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
+      val markerCutoff = opStartMs - markerRetentionMs
+      val verbatim: Set[String] = fs.listStatus(new Path(aDir))
+        .filter { f =>
+          val n = f.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith("part-") &&
+            f.getModificationTime >= markerCutoff && !dirtyNames(n)
+        }
+        .map(_.getPath.getName).toSet
+      val carried = {
+        val minusTouched =
+          if (touched.isEmpty) tagged
+          else tagged.join(broadcast(touchedDf),
+            col("file") === col("__touched_file"), "left_anti")
+        val minusVerbatim =
+          if (verbatim.isEmpty) minusTouched
+          else minusTouched.filter(
+            !element_at(split(col("__mfile"), "/"), -1).isin(verbatim.toSeq: _*))
+        minusVerbatim.drop("__mfile")
+      }
+      val rows =
+        if (moved.isEmpty) carried
+        else carried.unionByName(
+          statsFor(partAwareStatusScan(spark, path, aDir, schema,
+              statusesFor(fs, moved)),
+            statsCols,
+            withNulls = feats.contains("nulls"), bloom = bloomFeature(feats)),
+          allowMissingColumns = true)
+      val manifestSchema = readSidecar(spark, aDir, ManifestSchemaFile)
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(aManifest.schema)
+      // deletion-vector carry: entries for files this op rewrote or
+      // removed are RESOLVED (the rewrite scanned DV-filtered rows, so
+      // the new files hold no dead positions); everything else rides
+      // into the next generation, plus this op's own new dead
+      // positions (merge-on-read DELETE/UPDATE)
+      val carriedDv = readDvIn(spark, aDir).map { d =>
+        if (touched.isEmpty) d
+        else d.join(broadcast(spark.createDataset(touched)(
+            org.apache.spark.sql.Encoders.STRING).toDF("__t")),
+          col("file") === col("__t"), "left_anti")
+      }
+      val dvNext = (carriedDv.toSeq ++ extraDv.toSeq)
+        .reduceOption(_.unionByName(_))
+        .filter(!_.isEmpty) // a rewrite that resolved every entry carries no vector
+      publishGeneration(spark, fs, path, aDir, rows, schema, statsCols,
+        feats, manifestSchema,
+        removedData = touched.map(p => rootRelativeOrName(fs, path, p)),
+        markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
+        verbatimMarkers = verbatim,
+        changeData = changeData.filter(_ => feats.contains(CdfFeature)),
+        op = op, txn = txn, dv = dvNext,
+        clustered = clusteredOf(moved), observedParts = aPin)
     }
-    val rows =
-      if (moved.isEmpty) carried
-      else carried.unionByName(
-        statsFor(partAwareStatusScan(spark, path, dir, schema,
-            statusesFor(fs, moved)),
-          statsCols,
-          withNulls = feats.contains("nulls"), bloom = bloomFeature(feats)),
-        allowMissingColumns = true)
-    val manifestSchema = readSidecar(spark, dir, ManifestSchemaFile)
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      .getOrElse(manifest.schema)
-    // deletion-vector carry: entries for files this op rewrote or
-    // removed are RESOLVED (the rewrite scanned DV-filtered rows, so
-    // the new files hold no dead positions); everything else rides
-    // into the next generation, plus this op's own new dead
-    // positions (merge-on-read DELETE/UPDATE)
-    val carriedDv = readDvIn(spark, dir).map { d =>
-      if (touched.isEmpty) d
-      else d.join(broadcast(spark.createDataset(touched)(
-          org.apache.spark.sql.Encoders.STRING).toDF("__t")),
-        col("file") === col("__t"), "left_anti")
+    var curDir = dir
+    var curManifest = manifest
+    var curPin = observedParts
+    var rebasesLeft = ConcurrentRetries
+    var committed = false
+    while (!committed) {
+      prePublishHook(op, path)
+      try { buildAndPublish(curDir, curManifest, curPin); committed = true }
+      catch {
+        case e: ConcurrentWriteException =>
+          val newDir = manifestDirOf(fs, path)
+          // same dir = the contender hasn't committed (mid-window or
+          // reclaimed debris) — nothing to rebase onto; a caller-level
+          // re-run is the only correct wait
+          if (newDir == curDir || rebasesLeft <= 0) throw e
+          rebasesLeft -= 1
+          // pin BEFORE reading: anything landing in the winner's dir
+          // after this listing is a concurrent append the publish
+          // rides forward verbatim, same as the first attempt
+          val newPin = listManifestNames(fs, newDir)
+          val newManifest = readManifestPinned(spark, newDir, newPin)
+          if (!rebaseSafe(spark, fs, curDir, newDir, curManifest,
+              newManifest, touched, extraDv, readSkip,
+              hasClusterState = clusteredOf(moved).isDefined))
+            throw e
+          rebaseCommits.computeIfAbsent(path,
+            _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+          logInfo(s"$op at $path lost a generation race to " +
+            s"${new Path(newDir).getName} but the winner's commit is " +
+            "disjoint from this op's read/write set — rebasing the " +
+            "prepared generation instead of re-running the op")
+          curDir = newDir
+          curManifest = newManifest
+          curPin = Some(newPin)
+      }
     }
-    val dvNext = (carriedDv.toSeq ++ extraDv.toSeq)
-      .reduceOption(_.unionByName(_))
-      .filter(!_.isEmpty) // a rewrite that resolved every entry carries no vector
-    publishGeneration(spark, fs, path, dir, rows, schema, statsCols,
-      feats, manifestSchema,
-      removedData = touched.map(p => rootRelativeOrName(fs, path, p)),
-      markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
-      verbatimMarkers = verbatim,
-      changeData = changeData.filter(_ => feats.contains(CdfFeature)),
-      op = op, txn = txn, dv = dvNext,
-      clustered = clusteredOf(moved), observedParts = observedParts)
     if (vacuum) vacuumTable(spark, path, retentionMs)
+  }
+
+  /** Per-table counts of heavy op-body executions ([[rewriteFiles]]
+    * invocations) and of lost races absorbed by a commit-point rebase
+    * instead of a re-run — observability seams the concurrency gates
+    * assert against (a disjoint race must cost ZERO extra body runs).
+    */
+  private[graft] val opRewriteRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+  private[graft] val rebaseCommits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+
+  /** Test seam: invoked with (op, table path) immediately before every
+    * generation-publish attempt in [[rewriteFiles]] — lets the
+    * concurrency gates engineer a DETERMINISTIC lost race (block one
+    * writer here while another commits) instead of relying on thread
+    * timing. No-op in production.
+    */
+  private[graft] var prePublishHook: (String, String) => Unit = (_, _) => ()
+
+  /** Whether a lost optimistic race can REBASE onto the winner's
+    * generation instead of re-running the op — the Delta
+    * ConflictChecker test, expressed over this engine's artifacts:
+    *
+    *  1. the caller expressed its read scope as a stats predicate
+    *     (`readSkip`; ops that can't — MERGE's join read, clustering
+    *     passes — never rebase);
+    *  2. every table-shape sidecar is byte-identical between the base
+    *     and winner generations (an OVERWRITE resets declarations, a
+    *     DDL rewrites them — both conflict);
+    *  3. every file this op rewrote or DV-targeted is still present
+    *     in the winner's manifest (parquet files are immutable, so
+    *     name-presence proves content-identity; a winner that
+    *     rewrote one of our files invalidates our replacement);
+    *  4. no file the winner ADDED has stats that could match our read
+    *     predicate (serial order loser-after-winner would have had to
+    *     process those rows — `lit(false)` for content-invisible ops
+    *     like OPTIMIZE WHERE / PURGE whose output is read-scope-free);
+    *  5. the winner's deletion vector, restricted to this op's files,
+    *     is unchanged (a DV delta there logically edits rows our
+    *     rewrite already materialized).
+    *
+    * All probes are small broadcast joins against the two manifests —
+    * O(manifest) on the race path only, never O(data).
+    */
+  private[sources] def rebaseSafe(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, baseDir: String, winDir: String,
+      baseManifest: DataFrame, winManifest: DataFrame,
+      touched: Seq[String], extraDv: Option[DataFrame],
+      readSkip: Option[Column], hasClusterState: Boolean): Boolean = {
+    if (readSkip.isEmpty) return false
+    // an op carrying fresh cluster state would stomp the winner's —
+    // clustering passes re-run (they are rare, whole-op maintenance)
+    if (hasClusterState) return false
+    val shapeSidecars = Seq(SchemaFile, ManifestSchemaFile, StatsColsFile,
+      FeaturesFile, ConstraintsFile, ColMapFile, GeneratedFile,
+      IdentityFile, PartitionColsFile, ClusteredFile)
+    if (shapeSidecars.exists(n =>
+        readSidecarIn(fs, baseDir, n) != readSidecarIn(fs, winDir, n)))
+      return false
+    val dvTargets: Seq[String] = extraDv.fold(Seq.empty[String])(
+      _.select(col("file")).distinct().collect().map(_.getString(0)).toSeq)
+    val dep = (touched ++ dvTargets).distinct
+    if (dep.nonEmpty) {
+      val depDf = spark.createDataset(dep)(
+        org.apache.spark.sql.Encoders.STRING).toDF("__dep")
+      val missing = depDf.join(winManifest.select(col("file")),
+        col("__dep") === col("file"), "left_anti")
+      if (!missing.isEmpty) return false
+    }
+    val added = winManifest.join(
+      broadcast(baseManifest.select(col("file").as("__basef"))),
+      col("file") === col("__basef"), "left_anti")
+    if (!added.filter(readSkip.get).isEmpty) return false
+    if (dep.nonEmpty) {
+      val depDf = spark.createDataset(dep)(
+        org.apache.spark.sql.Encoders.STRING).toDF("__dep")
+      def onDep(d: Option[DataFrame]): Option[DataFrame] = d.map(
+        _.join(broadcast(depDf), col("file") === col("__dep"), "left_semi"))
+      (onDep(readDvIn(spark, baseDir)), onDep(readDvIn(spark, winDir))) match {
+        case (None, None) => ()
+        case (Some(a), None) => if (!a.isEmpty) return false
+        case (None, Some(b)) => if (!b.isEmpty) return false
+        case (Some(a), Some(b)) =>
+          if (!a.exceptAll(b).isEmpty || !b.exceptAll(a).isEmpty) return false
+      }
+    }
+    true
   }
 
   /** `filePath` relative to the (qualified) table root — the form
@@ -483,7 +637,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan, observed) =
+    val (manifest, schema, hit, touched, touchedScan, observed, skip) =
       pruneAndTouch(spark, path, dir, predicate, "deleteWhere")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
@@ -500,7 +654,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         .withColumn(ChangeTypeCol, lit("delete")))
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(keep),
       vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE",
-      observedParts = Some(observed))
+      observedParts = Some(observed), readSkip = Some(skip))
     touched.map(_._2).sum
   }
 
@@ -589,7 +743,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan, observed) =
+    val (manifest, schema, hit, touched, touchedScan, observed, skip) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhere")
     val applySet = setProjector(schema, set)
     if (touched.isEmpty) {
@@ -612,7 +766,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       }
     rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(updated),
       vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE",
-      observedParts = Some(observed))
+      observedParts = Some(observed), readSkip = Some(skip))
     touched.map(_._2).sum
     }
   }
@@ -651,7 +805,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan, observed) =
+    val (manifest, schema, hit, touched, touchedScan, observed, skip) =
       pruneAndTouch(spark, path, dir, predicate, "deleteWhereDV")
     if (touched.isEmpty) {
       if (vacuum) vacuumTable(spark, path, retentionMs)
@@ -673,7 +827,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       touched = Nil, replacement = None,
       vacuum, retentionMs, markerRetentionMs, opStart, changes,
       op = "DELETE", extraDv = Some(newDead),
-      observedParts = Some(observed))
+      observedParts = Some(observed), readSkip = Some(skip))
     touched.map(_._2).sum
   }
 
@@ -732,7 +886,11 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       touched = files, replacement = Some(live),
       vacuum, retentionMs, markerRetentionMs, opStart,
       changeData = None, op = "REORG",
-      observedParts = Some(observed))
+      observedParts = Some(observed),
+      // PURGE's read scope is exactly the DV'd files (the dependency
+      // set): no winner-ADDED file can concern it, so the added-file
+      // conflict test is vacuously false
+      readSkip = Some(lit(false)))
     perFile.map(_._2).sum
   }
 
@@ -754,7 +912,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val opStart = System.currentTimeMillis()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = manifestDirOf(fs, path)
-    val (manifest, schema, hit, touched, touchedScan, observed) =
+    val (manifest, schema, hit, touched, touchedScan, observed, skip) =
       pruneAndTouch(spark, path, dir, predicate, "updateWhereDV")
     // same SET surface as the copy-on-write variant, nested paths
     // included (the r16 advice gap: DV UPDATE rejected `m.uid` with
@@ -778,7 +936,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       touched = Nil, replacement = Some(applySet(hitRows, None)),
       vacuum, retentionMs, markerRetentionMs, opStart, changes,
       op = "UPDATE", extraDv = Some(newDead),
-      observedParts = Some(observed))
+      observedParts = Some(observed), readSkip = Some(skip))
     touched.map(_._2).sum
     }
   }

@@ -381,6 +381,159 @@ class ConcurrencySpec extends SparkSpec {
       "parked generation keeps its manifest rows readable")
   }
 
+  // --- conflict-checked commits: disjoint races rebase, not re-run ---
+
+  test("disjoint DELETE x OPTIMIZE WHERE: the loser rebases at the commit point — both ops execute exactly once") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    val n = 8000L
+    DataSkipping.writeWithStats(
+      (0L until n).map(i => (i, i % 100)).toDF("id", "k")
+        .repartitionByRange(8, col("id")), t, Seq("id"))
+    DataSkipping.opRewriteRuns.remove(t)
+    DataSkipping.rebaseCommits.remove(t)
+    // DETERMINISTIC lost race: the DELETE (low band) is paused at its
+    // publish point while a disjoint OPTIMIZE WHERE (high band)
+    // commits the generation it targeted — the DELETE's first publish
+    // MUST lose, and the conflict check MUST absorb the loss by
+    // rebasing instead of re-running the delete
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    DataSkipping.prePublishHook = (op, p) =>
+      if (op == "DELETE" && p == t && fired.compareAndSet(false, true))
+        DataSkipping.compactWhere(s, t, col("id") >= 4000L,
+          targetFileBytes = 64L * 1024 * 1024, vacuum = false)
+    try {
+      val gone = DataSkipping.deleteWhere(s, t,
+        col("id") >= 0L && col("id") < 500L, vacuum = false)
+      assert(gone === 500L)
+    } finally DataSkipping.prePublishHook = (_, _) => ()
+    assert(fired.get, "the race was never staged")
+    // exactly one heavy body execution per op — the lost race cost a
+    // rebase (manifest-only), never a re-run of the delete's rewrite
+    assert(DataSkipping.opRewriteRuns.get(t).get === 2L,
+      "disjoint race must not re-run either op body")
+    assert(DataSkipping.rebaseCommits.get(t).get === 1L,
+      "the lost race must be absorbed by a commit-point rebase")
+    // both effects present: the band is gone AND the high half was
+    // compacted away to fewer files
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === n - 500L)
+    assert(DataSkipping.readSkipping(s, t, col("id") < 500L).count() === 0L)
+    val ops = DataSkipping.describeHistory(s, t)
+      .orderBy("version").select("operation").collect().map(_.getString(0))
+    assert(ops === Array("WRITE", "OPTIMIZE WHERE", "DELETE"), ops.mkString(","))
+    // the rebased generation time-travels like any other
+    assert(DataSkipping.readSkippingAt(s, t, 1L, lit(true)).count() === n)
+  }
+
+  test("overlapping DELETE x UPDATE: the conflict check refuses the rebase and the loser re-runs against the winner") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 4000L).map(i => (i, 0L)).toDF("id", "mark")
+        .repartitionByRange(8, col("id")), t, Seq("id"))
+    DataSkipping.opRewriteRuns.remove(t)
+    DataSkipping.rebaseCommits.remove(t)
+    // the UPDATE rewrites the very files the paused DELETE touched —
+    // NOT disjoint: the rebase must be refused and the delete must
+    // re-run against the winner's state (write-serializable order:
+    // UPDATE then DELETE)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    DataSkipping.prePublishHook = (op, p) =>
+      if (op == "DELETE" && p == t && fired.compareAndSet(false, true))
+        assert(DataSkipping.updateWhere(s, t,
+          col("id") >= 0L && col("id") < 500L,
+          Map("mark" -> lit(7L)), vacuum = false) === 500L)
+    try {
+      val gone = DataSkipping.deleteWhere(s, t,
+        col("id") >= 250L && col("id") < 750L, vacuum = false)
+      assert(gone === 500L)
+    } finally DataSkipping.prePublishHook = (_, _) => ()
+    assert(fired.get, "the race was never staged")
+    assert(DataSkipping.rebaseCommits.get(t) == null,
+      "an overlapping race must NOT rebase")
+    // UPDATE ran once, DELETE ran twice (lost attempt + serial re-run)
+    assert(DataSkipping.opRewriteRuns.get(t).get === 3L)
+    // final content = serial replay UPDATE-then-DELETE
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 3500L)
+    assert(DataSkipping.readSkipping(s, t,
+      col("id") >= 250L && col("id") < 750L).count() === 0L)
+    assert(DataSkipping.readSkipping(s, t, col("mark") === 7L).count() === 250L)
+    val ops = DataSkipping.describeHistory(s, t)
+      .orderBy("version").select("operation").collect().map(_.getString(0))
+    assert(ops === Array("WRITE", "UPDATE", "DELETE"), ops.mkString(","))
+  }
+
+  test("merge-on-read DELETE racing a disjoint OPTIMIZE WHERE rebases with its deletion vector intact") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 6000L).map(i => (i, i % 10)).toDF("id", "k")
+        .repartitionByRange(6, col("id")), t, Seq("id"))
+    DataSkipping.opRewriteRuns.remove(t)
+    DataSkipping.rebaseCommits.remove(t)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    DataSkipping.prePublishHook = (op, p) =>
+      if (op == "DELETE" && p == t && fired.compareAndSet(false, true))
+        DataSkipping.compactWhere(s, t, col("id") >= 3000L,
+          targetFileBytes = 64L * 1024 * 1024, vacuum = false)
+    try {
+      val gone = DataSkipping.deleteWhereDV(s, t,
+        col("id") >= 100L && col("id") < 400L, vacuum = false)
+      assert(gone === 300L)
+    } finally DataSkipping.prePublishHook = (_, _) => ()
+    assert(fired.get, "the race was never staged")
+    assert(DataSkipping.rebaseCommits.get(t).get === 1L)
+    assert(DataSkipping.opRewriteRuns.get(t).get === 2L)
+    // the rebased generation carries the vector: rows invisible, file
+    // bytes untouched, and a later purge still materializes it
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 5700L)
+    assert(DataSkipping.readSkipping(s, t,
+      col("id") >= 100L && col("id") < 400L).count() === 0L)
+    assert(DataSkipping.purgeDeletionVectors(s, t, vacuum = false) === 300L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 5700L)
+  }
+
+  test("randomized disjoint DML races: table equals the shadow model after every round (rebase or retry alike)") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    val n = 9000L
+    DataSkipping.writeWithStats(
+      (0L until n).map(i => (i, 0L)).toDF("id", "mark")
+        .repartitionByRange(9, col("id")), t, Seq("id"))
+    var shadow: Map[Long, Long] = (0L until n).map(_ -> 0L).toMap
+    val rnd = new scala.util.Random(181)
+    (0 until 5).foreach { round =>
+      // three ops over three DISJOINT 300-id bands, racing: disjoint
+      // effects commute, so the shadow applies them in any order
+      val bands = rnd.shuffle((0 until 10).toList).take(3)
+        .map(b => b * 900L + rnd.nextInt(3) * 300L)
+      val ops: Seq[() => Unit] = bands.zipWithIndex.map { case (lo, i) =>
+        if ((round + i) % 2 == 0) { () =>
+          DataSkipping.deleteWhere(s, t,
+            col("id") >= lo && col("id") < lo + 300L, vacuum = false); ()
+        } else { () =>
+          DataSkipping.updateWhere(s, t,
+            col("id") >= lo && col("id") < lo + 300L,
+            Map("mark" -> lit(round * 10L + i)), vacuum = false); ()
+        }
+      }
+      inParallel(ops)
+      bands.zipWithIndex.foreach { case (lo, i) =>
+        if ((round + i) % 2 == 0)
+          shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 300L }
+        else shadow = shadow.map { case (k, v) =>
+          k -> (if (k >= lo && k < lo + 300L) round * 10L + i else v) }
+      }
+      val got = DataSkipping.readSkipping(s, t, lit(true))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === shadow, s"diverged from shadow after round $round")
+    }
+  }
+
   test("a stray nested build from a lost race is cleaned and invisible") {
     val s = spark
     import s.implicits._
