@@ -158,10 +158,17 @@ object Bench {
     val calJson = calibrations.map { case (k, t) => s"${jstr(k)}:${dec(t)}" }
       .mkString("{", ",", "}")
     val calMin = if (calibrations.isEmpty) 0.0 else calibrations.values.min
-    // a query window whose calibration ran >= 2x the run's best is
-    // load-poisoned: its timing row is ambient noise, not plan cost
+    // a query window is load-poisoned only when its calibration ran
+    // >= 2x the run's best AND past an absolute floor: on an idle run
+    // the fixed-cost probe bottoms out at tens of ms, where scheduler
+    // jitter alone doubles it — a relative-only gate flagged ~1/3 of
+    // clean windows (r17). 0.15 s is ~4x the observed idle floor; a
+    // probe beyond it with 2x divergence is real ambient load.
+    val poisonFloorSec = 0.15
+    def isPoisoned(t: Double): Boolean =
+      calMin > 0 && t >= 2 * calMin && t >= poisonFloorSec
     val poisoned = calibrations.collect {
-      case (k, t) if calMin > 0 && t >= 2 * calMin => jstr(k)
+      case (k, t) if isPoisoned(t) => jstr(k)
     }.mkString("[", ",", "]")
     // second self-diagnosis channel: the probe runs BEFORE the
     // attempts, so a load wave arriving mid-query shows up as wildly
@@ -206,7 +213,7 @@ object Bench {
     // shipped `"parsed": null`. Emit one final TINY line (bounded
     // size: no per-query map) that always survives the tail buffer;
     // per-query minima live in the artifact file it points at.
-    val tiny = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":{},"n_queries":${results.size},"calibration_min":${dec(calMin)},"load_poisoned_n":${calibrations.count { case (_, t) => calMin > 0 && t >= 2 * calMin }},"unstable_n":${attempts.count { case (_, ts) => ts.flatten.size >= 2 && ts.flatten.max >= 3 * ts.flatten.min }},"repeats":$repeats,"failures":${errors.size},"sf":"$sfDir","per_query_in":${jstr(outPath)}}"""
+    val tiny = s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":{},"n_queries":${results.size},"calibration_min":${dec(calMin)},"load_poisoned_n":${calibrations.count { case (_, t) => isPoisoned(t) }},"unstable_n":${attempts.count { case (_, ts) => ts.flatten.size >= 2 && ts.flatten.max >= 3 * ts.flatten.min }},"repeats":$repeats,"failures":${errors.size},"sf":"$sfDir","per_query_in":${jstr(outPath)}}"""
     println(tiny)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

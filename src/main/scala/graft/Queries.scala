@@ -1604,6 +1604,21 @@ object Queries {
   private object StorageFixtures {
     private val skipping = scala.collection.mutable.HashMap[String, String]()
     private val dfp = scala.collection.mutable.HashMap[String, String]()
+    private val vidx = scala.collection.mutable.HashMap[String, String]()
+
+    /** One persisted IVF-PQ index per sf dir, trained on the planted
+      * ANN corpus with q_ann_ivfpq's pinned seeds — search over it
+      * must equal that query's result exactly.
+      */
+    def vectorIndexTable(s: SparkSession, d: String): String = synchronized {
+      vidx.getOrElseUpdate(d, {
+        val root = java.nio.file.Files.createTempDirectory("graft_vix").toString
+        graft.sources.VectorIndex.build(s, annPlantedCorpus(s, d), "vec_id",
+          "embedding", s"$root/idx", nCenters = 8, m = 8, ksub = 16,
+          coarseSeedIds = Some(ivfPqCoarseSeeds), pqSeedIds = Some(pqSeedIds))
+        s"$root/idx"
+      })
+    }
     private val zorder =
       scala.collection.mutable.HashMap[String, (String, Long, Long, Long, Long)]()
 
@@ -2892,7 +2907,15 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH aug AS (
+    Some(ivfPqOracleSql("")))
+
+  /** The q_ann_ivfpq replay, parameterized with a UNION tail so
+    * [[annIndex]] (the PERSISTED index — same frozen decision
+    * procedure by construction) can append its pruning-marker
+    * constants to the identical result set.
+    */
+  private def ivfPqOracleSql(tail: String): String =
+    s"""WITH aug AS (
           ${plantedSql("", "WHERE vec_id < 10", 5, 100000L, 0.005)}
         ), cent AS (
           SELECT s.cid, a.embedding AS cvec,
@@ -2957,7 +2980,62 @@ object Queries {
             row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, neighbor_id ASC) AS rank
           FROM scored)
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5$tail ORDER BY query_id, rank"""
+
+  // PERSISTED IVF-PQ index (row 24g): build-once/search-many. The
+  // index table stores (id, codes) partitioned by cell id under the
+  // frozen sidecar model, so a lookup plans through the manifest and
+  // reads ONLY the probed cells' files. Search equals q_ann_ivfpq's
+  // query-time pipeline exactly at equal probes (same pinned seeds,
+  // same codegen'd encode/probe/ADC arithmetic), so the oracle is
+  // the SAME replay — plus two marker rows pinning the physical
+  // pruning property: (-1) the full query batch's scan read exactly
+  // the probed cells' manifest files, (-2) a single query's
+  // nProbe=2 scan read exactly its two cells' files AND strictly
+  // fewer than the table's (files read proportional to
+  // nProbe/nCenters). A pruning regression flips a marker to 0 and
+  // the gate hash-mismatches.
+  val annIndex = QueryDef(
+    "q_ann_index",
+    (s, d) => {
+      import graft.sources.{DataSkipping, VectorIndex}
+      val idx = StorageFixtures.vectorIndexTable(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val res = VectorIndex.search(s, queries, idx, k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("bigint").as("rank"))
+      val mt = VectorIndex.meta(s, idx)
+      def rel(p: String) = {
+        val ph = new org.apache.hadoop.fs.Path(p)
+        s"${ph.getParent.getName}/${ph.getName}"
+      }
+      val manifest = DataSkipping.readManifest(s, idx)
+        .select(col("file"), col("min_cid").cast("int").as("cid")).collect()
+        .map(r => rel(r.getString(0)) -> r.getInt(1))
+      val allFiles = manifest.map(_._1).toSet
+      def cellsOf(qs: DataFrame): Seq[Int] = qs
+        .select(explode(graft.plans.VectorExpressions
+          .nearestCentroids(col("embedding"), mt.centroids, 2)).as("cid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      def exactPrune(cids: Seq[Int]): (Boolean, Int) = {
+        val scanned = VectorIndex.probedScan(s, idx, cids)
+          .inputFiles.map(rel).toSet
+        (scanned == manifest.filter(x => cids.contains(x._2)).map(_._1).toSet,
+          scanned.size)
+      }
+      val (batchExact, _) = exactPrune(cellsOf(queries))
+      val (oneExact, oneN) =
+        exactPrune(cellsOf(queries.filter(col("vec_id") === 0L)))
+      val markers = s.createDataFrame(Seq(
+        (-2L, if (oneExact && oneN < allFiles.size) 1L else 0L, 0L),
+        (-1L, if (batchExact) 1L else 0L, 0L)))
+        .toDF("query_id", "neighbor_id", "rank")
+      res.unionByName(markers).orderBy("query_id", "rank")
+    },
+    Some(ivfPqOracleSql("""
+        UNION ALL SELECT CAST(-2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)""")))
 
   // Residual-coded IVF-PQ (row 24e, the FAISS default): each vector
   // PQ-encodes its RESIDUAL x - c(x) against its own cell centroid
@@ -6088,7 +6166,7 @@ object Queries {
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annBq, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annIndex, annBq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, imageDedup, videoFrames, saltedJoin, dfpJoin, dfpRead, sqlCorpus,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,
