@@ -3820,41 +3820,122 @@ object Queries {
     "q_sql_corpus",
     (s, d) => {
       import graft.sources.GraftSql
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
       docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
-          col("text")))
+          col("text"), col("source")))
         .createOrReplaceTempView("sqlc_v")
       GraftSql.sql(s, "DEDUP sqlc_v ON (doc_id, text)")
         .createOrReplaceTempView("sqlc_dd")
       GraftSql.sql(s, "CHUNK sqlc_dd ON (doc_id, text) SIZE 40 OVERLAP 10")
-        .orderBy("doc_id", "chunk_id")
+        .createOrReplaceTempView("sqlc_ch")
+      GraftSql.sql(s, "SAMPLE sqlc_dd ON (doc_id, source) " +
+          "RATES ('src0' 1.0, 'src1' 0.5, 'src2' 0.25) DEFAULT 0.1")
+        .createOrReplaceTempView("sqlc_sm")
+      GraftSql.sql(s,
+          "SPLIT sqlc_sm ON (doc_id) FRACTIONS ('train' 0.8, 'val' 0.1, 'test' 0.1)")
+        .createOrReplaceTempView("sqlc_sp")
+      GraftSql.sql(s, "SCORE sqlc_sm ON (doc_id, text)")
+        .createOrReplaceTempView("sqlc_sc")
+      s.sql("""SELECT p.doc_id, p.source, p.split, c.n_tokens,
+                      c.stopword_ratio, c.punct_ratio, c.score, c.lang_pred,
+                      ch.n_chunks
+               FROM sqlc_sp p
+               JOIN sqlc_sc c ON c.doc_id = p.doc_id
+               JOIN (SELECT doc_id, count(*) AS n_chunks
+                     FROM sqlc_ch GROUP BY doc_id) ch
+                 ON ch.doc_id = p.doc_id
+               ORDER BY doc_id""")
     },
-    Some("""WITH all_docs AS (
-              SELECT doc_id, text FROM documents
+    Some(sqlCorpusOracle))
+
+  /** The q_sql_corpus replay: dedup election, chunk-count arithmetic,
+    * the sample/split hash buckets, the quality-score formula and the
+    * marker-stopword language id — each the SAME replay its dedicated
+    * gate uses, composed over the pipeline's intermediate sets.
+    */
+  private lazy val sqlCorpusOracle: String = {
+    val stop = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextFunctions.markers.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n                ")
+    val langs = TextFunctions.markers.map(_._1)
+    val mBest = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $mBest THEN '$l'")
+      .mkString("\n                ")
+    s"""WITH all_docs AS (
+              SELECT doc_id, text, source FROM documents
               UNION ALL
-              SELECT doc_id + 1000000, text FROM documents),
+              SELECT doc_id + 1000000, text, source FROM documents),
             dd AS (
               SELECT MIN(doc_id) AS doc_id
               FROM all_docs
-              GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+              GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
             kept AS (
-              SELECT a.doc_id, a.text FROM all_docs a JOIN dd USING (doc_id)),
-            t AS (
-              SELECT doc_id,
-                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                     ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+              SELECT a.doc_id, a.text, a.source
+              FROM all_docs a JOIN dd USING (doc_id)),
+            ch AS (
+              SELECT doc_id, GREATEST(1, CAST(ceil((
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+                  END - 10) / 30.0) AS BIGINT)) AS n_chunks
               FROM kept),
-            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-            c AS (SELECT doc_id, toks, n,
-                    unnest(range(0, GREATEST(1,
-                      CAST(ceil((n - 10) / 30.0) AS BIGINT)))) AS chunk_id
-                  FROM n)
-            SELECT doc_id, chunk_id,
-              chunk_id * 30 AS start_token,
-              GREATEST(0, LEAST(40, n - chunk_id * 30)) AS n_tokens,
-              array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ')
-                AS chunk_text
-            FROM c ORDER BY doc_id, chunk_id"""))
+            sm AS (
+              SELECT * FROM kept
+              WHERE (((doc_id % 1000000007) * 654435747) % 1000000007) % 10000 <
+                CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                            WHEN 'src2' THEN 2500 ELSE 1000 END),
+            sp AS (
+              SELECT doc_id,
+                CASE WHEN b < 8000 THEN 'train'
+                     WHEN b < 9000 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                      (((doc_id % 1000000007) * 654435747) % 1000000007) % 10000 AS b
+                    FROM sm)),
+            base AS (
+              SELECT doc_id, text,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()-]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                          / CAST(length(text) AS DOUBLE) END AS digit_ratio
+              FROM sm),
+            sw AS (
+              SELECT doc_id, n_tokens, punct_ratio, digit_ratio,
+                CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> list_contains($stop, t))) AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE) END AS stopword_ratio
+              FROM base),
+            lang AS (
+              SELECT doc_id,
+                CASE WHEN $mBest = 0 THEN 'und'
+                $cases
+                ELSE 'und' END AS lang_pred
+              FROM (
+                SELECT doc_id, $scores
+                FROM (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '\\s+') AS toks
+                      FROM sm)))
+            SELECT w.doc_id, k.source, sp.split,
+              CAST(w.n_tokens AS BIGINT) AS n_tokens,
+              w.stopword_ratio, w.punct_ratio,
+              (CASE WHEN w.n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+                + LEAST(w.stopword_ratio * 4.0, 1.0) * 0.3
+                + GREATEST(0.0, 1.0 - (w.punct_ratio + w.digit_ratio) * 2.0) * 0.3 AS score,
+              lang.lang_pred, ch.n_chunks
+            FROM sw w
+            JOIN kept k USING (doc_id)
+            JOIN sp USING (doc_id)
+            JOIN lang USING (doc_id)
+            JOIN ch USING (doc_id)
+            ORDER BY doc_id"""
+  }
 
   // PERCEPTUAL IMAGE DEDUP (r17): raw-image near-duplicate detection
   // BEFORE any embedding model exists — difference hash (dHash) over

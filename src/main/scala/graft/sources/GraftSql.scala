@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -124,6 +125,25 @@ object GraftSql {
     s"""(?is)^\\s*DEDUP\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*(?:METHOD\\s+(EXACT|MINHASH))?\\s*(?:THRESHOLD\\s+($Num))?\\s*;?\\s*$$""".r
   private val ChunkStmt =
     s"""(?is)^\\s*CHUNK\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*(?:SIZE\\s+(\\d+))?\\s*(?:OVERLAP\\s+(\\d+))?\\s*;?\\s*$$""".r
+  private val SampleStmt =
+    s"""(?is)^\\s*SAMPLE\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s+RATES\\s*\\(([^)]*)\\)\\s*(?:DEFAULT\\s+($Num))?\\s*;?\\s*$$""".r
+  private val SplitStmt =
+    s"""(?is)^\\s*SPLIT\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*\\)\\s+FRACTIONS\\s*\\(([^)]*)\\)\\s*(?:LEAKAGE\\s+SAFE\\s+USING\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\))?\\s*;?\\s*$$""".r
+  private val ScoreStmt =
+    s"""(?is)^\\s*SCORE\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*;?\\s*$$""".r
+
+  /** `'label' <fraction>` pairs of a RATES/FRACTIONS list, order
+    * preserved. Refuses malformed entries with the statement text —
+    * a half-parsed list must never fall through to a bare
+    * NumberFormatException.
+    */
+  private val RatePair = """'([^']*)'\s+(\d+(?:\.\d+)?)""".r
+  private def parseRatePairs(body: String, what: String): Seq[(String, Double)] =
+    body.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case RatePair(label, v) => label -> v.toDouble
+      case bad => throw new IllegalArgumentException(
+        s"$what entry <$bad> must be 'label' <fraction>")
+    }
   private val AddGenerated =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+($R)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+GENERATED\\s+ALWAYS\\s+AS\\s*\\((.*)\\)\\s*;?\\s*$$""".r
   private val DropGenerated =
@@ -546,6 +566,49 @@ object GraftSql {
               colName(idCol), colName(textCol),
               chunkTokens = Option(size).map(_.toInt).getOrElse(512),
               overlapTokens = Option(overlap).map(_.toInt).getOrElse(0))
+            .queryExecution.logical
+        }
+      case SampleStmt(t, idTok, srcTok, ratesBody, deflt) =>
+        spark.map { s =>
+          graft.operators.TextOps.sampleBySource(corpusSource(s, t),
+              colName(idTok), colName(srcTok),
+              rates = parseRatePairs(ratesBody, "RATES").toMap,
+              defaultRate = Option(deflt).map(_.toDouble).getOrElse(1.0))
+            .queryExecution.logical
+        }
+      case SplitStmt(t, idTok, fracBody, pairsRef, aTok, bTok) =>
+        spark.map { s =>
+          val fractions = parseRatePairs(fracBody, "FRACTIONS")
+          val docs = corpusSource(s, t)
+          val idCol = colName(idTok)
+          if (pairsRef == null)
+            graft.operators.TextOps.assignSplits(docs, idCol, fractions)
+              .queryExecution.logical
+          else {
+            // LEAKAGE SAFE resolves duplicate components — an
+            // inherently eager iterative job, so it defers like
+            // DEDUP MINHASH (parse/EXPLAIN never run it)
+            val pairs = corpusSource(s, pairsRef)
+              .select(col(colName(aTok)).as("id_a"),
+                col(colName(bTok)).as("id_b"))
+            graft.plans.DeferredCorpusPlan(
+              s"SplitLeakageSafe($t, $idCol, using=$pairsRef)",
+              graft.operators.TextOps.assignSplits(docs, idCol, fractions)
+                .queryExecution.analyzed.output,
+              () => graft.operators.TextOps.assignSplitsLeakageSafe(
+                docs, idCol, pairs, fractions))
+          }
+        }
+      case ScoreStmt(t, idTok, textTok) =>
+        spark.map { s =>
+          import graft.functions.TextFunctions
+          val txt = col(colName(textTok))
+          corpusSource(s, t).select(col(colName(idTok)),
+              TextFunctions.tokenCount(txt).cast("bigint").as("n_tokens"),
+              TextFunctions.stopwordRatio(txt).as("stopword_ratio"),
+              TextFunctions.punctRatio(txt).as("punct_ratio"),
+              TextFunctions.qualityScore(txt).as("score"),
+              TextFunctions.langId(txt).as("lang_pred"))
             .queryExecution.logical
         }
       case Delete(t, cond) =>

@@ -385,6 +385,68 @@ class GraftSqlSpec extends SparkSpec {
     assert(df.collect().length === 6)
   }
 
+  test("SAMPLE / SPLIT / SCORE statements equal their operators; LEAKAGE SAFE defers and clusters atomically") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"the quick document body number ${i % 40}", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("sqlc_corpus")
+
+    // SAMPLE == sampleBySource (lazy filter, exact row set)
+    val sm = GraftSql.sql(s,
+      "SAMPLE sqlc_corpus ON (doc_id, source) " +
+        "RATES ('src0' 1.0, 'src1' 0.5) DEFAULT 0.25")
+    val smDirect = graft.operators.TextOps.sampleBySource(docs, "doc_id",
+      "source", Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25)
+    assert(sm.collect().map(_.getLong(0)).toSet ===
+      smDirect.collect().map(_.getLong(0)).toSet)
+
+    // SPLIT == assignSplits (deterministic hash-bucket election)
+    val sp = GraftSql.sql(s,
+      "SPLIT sqlc_corpus ON (doc_id) FRACTIONS ('train' 0.8, 'val' 0.1, 'test' 0.1)")
+    val spDirect = graft.operators.TextOps.assignSplits(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(sp.select("doc_id", "split").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap ===
+      spDirect.select("doc_id", "split").collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap)
+
+    // SCORE == the quality/langId expression family
+    val sc = GraftSql.sql(s, "SCORE sqlc_corpus ON (doc_id, text)")
+    assert(sc.columns.toSeq === Seq("doc_id", "n_tokens", "stopword_ratio",
+      "punct_ratio", "score", "lang_pred"))
+    val one = sc.filter(col("doc_id") === 0L).head()
+    assert(one.getLong(1) === 6L) // "the quick document body number 0"
+    assert(one.getString(5) === "en") // "the" is an en marker
+
+    // LEAKAGE SAFE: parses to the DEFERRED leaf; near-dup pairs land
+    // in the SAME split; plain docs keep the assignSplits election
+    Seq((0L, 200L), (1L, 201L), (200L, 250L))
+      .toDF("id_a", "id_b").createOrReplaceTempView("sqlc_pairs")
+    assert(GraftSql.parse(
+        "SPLIT sqlc_corpus ON (doc_id) FRACTIONS ('train' 0.8, 'val' 0.1, " +
+          "'test' 0.1) LEAKAGE SAFE USING sqlc_pairs ON (id_a, id_b)", s)
+      .exists(_.isInstanceOf[graft.plans.DeferredCorpusPlan]))
+    val ls = GraftSql.sql(s,
+      "SPLIT sqlc_corpus ON (doc_id) FRACTIONS ('train' 0.8, 'val' 0.1, " +
+        "'test' 0.1) LEAKAGE SAFE USING sqlc_pairs ON (id_a, id_b)")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(ls(0L), ls(200L), ls(250L), ls(1L), ls(201L)).size <= 2)
+    assert(ls(0L) === ls(200L) && ls(200L) === ls(250L))
+    assert(ls(1L) === ls(201L))
+    val plain = spDirect.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ls(5L) === plain(5L) && ls(99L) === plain(99L))
+
+    // malformed RATES entries refuse with the statement text
+    val bad = intercept[IllegalArgumentException] {
+      GraftSql.sql(s, "SAMPLE sqlc_corpus ON (doc_id, source) RATES (src0 0.5)")
+    }
+    assert(bad.getMessage.contains("RATES"))
+  }
+
   test("corpus statement grammar: backticked columns parse; malformed THRESHOLD is a parse refusal, not a late crash") {
     val s = spark
     import s.implicits._
