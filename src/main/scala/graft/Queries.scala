@@ -4908,6 +4908,78 @@ object Queries {
               SELECT -1, 0.0, '', 'dpp=true,subset=true')
             ORDER BY event_id, value, nname"""))
 
+  // DPP x DATA-FILTER COMPOSITION (r18): the two r17 pruning
+  // mechanisms in the SAME scan — the join prunes partition dirs at
+  // RUNTIME (DynamicPruningExpression from the dim's build side)
+  // while a NESTED struct-path predicate prunes files WITHIN the
+  // surviving partitions through the manifest's nested stats. Each
+  // mechanism has its own single-mechanism gate (q_dpp_join,
+  // storage_nested_read); a regression in their composition — DPP
+  // disabling the data-filter listing, nested stats lost under the
+  // partition filters — would be invisible to both, so the marker
+  // pins BOTH: the DynamicPruningExpression in the executed plan AND
+  // a runtime file count strictly below the selected partitions'
+  // file count (the nested predicate must drop files DPP kept).
+  val dppNested = QueryDef(
+    "q_dpp_nested",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val root = java.nio.file.Files.createTempDirectory("graft_dppn").toString
+      val t = s"$root/fact"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("p", pmod(col("user_id"), lit(20)))
+        .withColumn("m", struct(col("event_id").as("uid")))
+      // range-layout on the nested key: each partition dir gets
+      // several files with NARROW m.uid envelopes, so the nested
+      // predicate can drop most of a surviving partition's files
+      DataSkipping.writeWithStats(ev.repartitionByRange(8, col("m.uid")), t,
+        Seq("value", "m.uid"), bloomCols = Nil, partitionBy = Seq("p"))
+      graft.sources.GraftScanRewrite.install(s)
+      s.read.format("graft").load(t).createOrReplaceTempView("dppn_fact")
+      Tables.nation(s, d).createOrReplaceTempView("dppn_dim")
+      val sql = "SELECT f.event_id, f.value, d.n_name AS nname " +
+        "FROM dppn_fact f JOIN dppn_dim d ON f.p = d.n_nationkey " +
+        "WHERE d.n_name IN ('NATION_6', 'NATION_18') " +
+        "AND f.m.uid >= 100 AND f.m.uid < 600"
+      val probe = s.sql(sql)
+      probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.flatMap {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }.toSeq
+      val pruned = scans(probe.queryExecution.executedPlan).find(
+        _.partitionFilters.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .DynamicPruningExpression])))
+      // files in the two DPP-selected partitions — the nested data
+      // predicate must read strictly fewer than this
+      val inParts = DataSkipping.readManifest(s, t)
+        .filter(col("min_p").isin(6, 18)).count()
+      val marker = s"dpp=${pruned.nonEmpty}," +
+        s"datasubset=${pruned.exists(f =>
+          f.metrics("numFiles").value < inParts && inParts > 2)}"
+      s.sql(sql)
+        .withColumn("info", lit("data"))
+        .unionAll(s.range(1).select(lit(-1L).as("event_id"),
+          lit(0.0).as("value"), lit("").as("nname"), lit(marker).as("info")))
+        .orderBy("event_id", "value", "nname")
+    },
+    Some("""SELECT * FROM (
+              SELECT e.event_id, e.value, n.n_name AS nname, 'data' AS info
+              FROM events e JOIN nation n ON e.user_id % 20 = n.n_nationkey
+              WHERE n.n_name IN ('NATION_6', 'NATION_18')
+                AND e.event_id >= 100 AND e.event_id < 600
+              UNION ALL
+              SELECT -1, 0.0, '', 'dpp=true,datasubset=true')
+            ORDER BY event_id, value, nname"""))
+
   // Keyed MERGE DELETE (the WHEN MATCHED THEN DELETE arm): the
   // delete set is a key DATAFRAME (no O(batch) IN literal), pruned
   // by key envelope, absent keys no-ops. Full readback vs an
@@ -6242,7 +6314,7 @@ object Queries {
     vocabQ, encodeTokensQ, splitNoLeakage, lmFamiliarityQ,
     repetition, contamination, stripHtmlQ, shuffleOrder, skippingScan, zorderScan,
     skippingRead, zorderRead, zorderOptimize, hilbertOptimize, graftSourceQ, appendScan, compactScan, optimizeWhereQ, showPartitionsQ, bloomScan, nestedStats,
-    lazyNestedRead, dppJoin,
+    lazyNestedRead, dppJoin, dppNested,
     dedupExact, urlDedupQ, incrementalDedup, incrementalEmbDedup, dedupParagraphsQ,
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,

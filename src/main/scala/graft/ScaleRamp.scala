@@ -399,6 +399,54 @@ object ScaleRamp {
         k -> p
       }.toMap, "storage_nested")
 
+    // r18 COMMIT-COUNT ramp: data held ~fixed (10-row files) while
+    // the MANIFEST PART count ramps 100*k — the layout an
+    // ingest-cadence table has after 100*k commits (one manifest part
+    // each), which every plan lists and footer-reads. The decade pins
+    // that debt; the `_ckpt` twin holds the SAME table after
+    // checkpointManifest folded it to one part — the maintenance
+    // answer — and must stay ~flat. (Built by splitting one write's
+    // manifest into per-row parts: bulk-building the exact layout
+    // 100*k real appends would leave, without 10^4 commit jobs.)
+    val commitPaths = gatedMap(
+      if (!selected(Set("storage_commit_read", "storage_commit_ckpt_read")))
+        Map.empty[Int, (String, String)]
+      else scales.map { k =>
+        def build(p: String): Unit = {
+          val parts = 100 * k
+          DataSkipping.writeWithStats(
+            spark.range(10L * parts).select(col("id"),
+              pmod(col("id") * 2654435761L, lit(10L * parts)).as("y"))
+              .repartition(parts),
+            p, Seq("id", "y"))
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val mdir = new org.apache.hadoop.fs.Path(
+            DataSkipping.manifestDir(spark, p))
+          val split = new org.apache.hadoop.fs.Path(s"$p/.mparts")
+          DataSkipping.readManifest(spark, p)
+            .repartitionByRange(parts, col("file"))
+            .write.parquet(split.toString)
+          fs.listStatus(mdir)
+            .filter(f => f.getPath.getName.startsWith("part-") &&
+              f.getPath.getName.endsWith(".parquet"))
+            .foreach(f => fs.delete(f.getPath, false))
+          fs.listStatus(split)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              fs.rename(f.getPath, new org.apache.hadoop.fs.Path(mdir,
+                s"part-c$i-${f.getPath.getName.stripPrefix("part-")}"))
+            }
+          fs.delete(split, true)
+        }
+        val p = s"$work/store_commit_x$k"
+        val pc = s"$work/store_commit_ck_x$k"
+        build(p)
+        build(pc)
+        DataSkipping.checkpointManifest(spark, pc, retentionMs = 0L)
+        k -> (p, pc)
+      }.toMap, "storage_commits")
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
       "minhash_pairs" -> (k => Dedup.minHashLsh(docs(k), "doc_id", "text",
@@ -707,7 +755,19 @@ object ScaleRamp {
           partCountPaths(k), s"$work/no_such_ck_cdf_x$k")
         require(lag.latestVersion >= 0L && lag.committedVersion == -1L)
         spark.range(lag.behind max 1L).select(col("id"))
-      })
+      },
+      // r18: pruned read across the COMMIT decade — planning lists and
+      // footer-reads one manifest part per commit, so this row is
+      // EXPECTED to ramp ~linearly in commit count: it pins the
+      // per-commit planning debt an ingest table accrues between
+      // maintenance passes (the decade's absolute cost is the signal)
+      "storage_commit_read" -> (k => DataSkipping.readSkipping(
+        spark, commitPaths(k)._1, col("id") >= 100L && col("id") < 200L)),
+      // …and the SAME table after checkpointManifest: one compact
+      // part, so the read must be ~flat across the decade — the
+      // maintenance answer to the row above
+      "storage_commit_ckpt_read" -> (k => DataSkipping.readSkipping(
+        spark, commitPaths(k)._2, col("id") >= 100L && col("id") < 200L)))
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt

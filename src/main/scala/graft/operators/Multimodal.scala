@@ -698,9 +698,14 @@ object Multimodal {
       while (x < w) {
         val k = id * 7919L + (x / block) * 104729L +
           (y / block) * 1299709L
-        var m = k * 2654435761L % 4294967296L
+        // & 0xffffffffL, not % 4294967296L: k * 2654435761 overflows
+        // signed 64-bit once id exceeds ~1.1e9, where % would go
+        // negative and diverge from the oracle's unbounded-integer
+        // replay; the mask IS mod 2^32 on the unsigned low bits —
+        // bit-identical below the bound, correct for every id above
+        var m = (k * 2654435761L) & 0xffffffffL
         m ^= m >>> 16
-        m = m * 40503L % 4294967296L
+        m = (m * 40503L) & 0xffffffffL
         m ^= m >>> 10
         val v = (m % 256L).toInt
         img.setRGB(x, y, (v << 16) | (v << 8) | v)

@@ -58,8 +58,13 @@ class GraftScanRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteTree(p: LogicalPlan): LogicalPlan = p match {
     // a metadata-answerable aggregate keeps its V1 shape for the
     // planner strategy (the probe is the strategy itself, so the two
-    // can never disagree about claimability)
-    case agg: Aggregate if metaAgg(agg).nonEmpty => agg
+    // can never disagree about claimability). The PURE structural
+    // pre-test gates the probe: the strategy's full claim check does
+    // manifest/sidecar I/O, and this rule runs once per fixpoint
+    // iteration — an aggregate that can never push down must cost
+    // zero filesystem probes per pass.
+    case agg: Aggregate
+        if metaAgg.structurallyClaimable(agg) && metaAgg(agg).nonEmpty => agg
     case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
       rewriteRelation(lr)
     case other => other.mapChildren(rewriteTree)
@@ -80,17 +85,24 @@ class GraftScanRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val newPlan = df.queryExecution.analyzed
         // re-anchor on the ORIGINAL output attributes: parents above
         // reference the relation's exprIds, so each new column is
-        // aliased back to its old identity (matched by name — both
-        // sides serve the logical schema)
-        val byName = newPlan.output.map(a => a.name.toLowerCase -> a).toMap
-        val out: Seq[NamedExpression] = lr.output.map { o =>
-          val n = byName.getOrElse(o.name.toLowerCase,
-            throw new IllegalStateException(
-              s"lazy scan of ${g.path} lost column ${o.name}"))
-          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
-            explicitMetadata = Some(o.metadata))
+        // aliased back to its old identity. Names resolve with the
+        // SESSION's resolver (case sensitivity is a user conf, not
+        // ours), and anything unresolvable or ambiguous — a schema
+        // with case-twin columns under caseSensitive=true, a lazy
+        // plan that lost a column — keeps the always-correct V1
+        // relation instead of failing the query.
+        val resolver = spark.sessionState.conf.resolver
+        val out: Seq[Option[NamedExpression]] = lr.output.map { o =>
+          newPlan.output.filter(a => resolver(a.name, o.name)) match {
+            case Seq(one) =>
+              Some(Alias(one, o.name)(exprId = o.exprId,
+                qualifier = o.qualifier,
+                explicitMetadata = Some(o.metadata)))
+            case _ => None
+          }
         }
-        Project(out, newPlan)
+        if (out.exists(_.isEmpty)) lr
+        else Project(out.map(_.get), newPlan)
     }
   }
 }

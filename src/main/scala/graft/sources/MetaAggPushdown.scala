@@ -154,6 +154,29 @@ class GraftMetaAggStrategy(spark: SparkSession) extends SparkStrategy {
   /** Unwrap attribute-only Projects and at most one Filter down to a
     * graft V1 relation: (relation, optional filter condition).
     */
+  /** PURE structural pre-test of the claim shapes — no sidecar or
+    * manifest I/O. False means [[apply]] can never claim the plan;
+    * true means only the tracked-columns / row-count / partition
+    * sidecar checks remain. [[GraftScanRewrite]] gates its per-
+    * fixpoint-iteration probe on this, so aggregates that can never
+    * push down (wrong shapes, non-graft leaves) cost ZERO filesystem
+    * probes per optimizer pass.
+    */
+  private[sources] def structurallyClaimable(agg: Aggregate): Boolean =
+    relationBelow(agg.child).exists { case (rel, cond) =>
+      rel.version.isEmpty &&
+        cond.forall(c => c.deterministic &&
+          !c.exists(_.isInstanceOf[PlanExpression[_]])) && {
+          if (agg.groupingExpressions.isEmpty)
+            metaAggsOf(agg.aggregateExpressions).isDefined
+          else
+            agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) &&
+              groupOutputOf(agg.aggregateExpressions,
+                agg.groupingExpressions
+                  .map(_.asInstanceOf[AttributeReference])).isDefined
+        }
+    }
+
   private def relationBelow(p: LogicalPlan)
       : Option[(GraftRelation, Option[Expression])] = p match {
     case Project(projectList, child)

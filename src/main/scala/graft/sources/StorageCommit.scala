@@ -222,6 +222,53 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
     files.size
   }
 
+  /** MANIFEST CHECKPOINT (the Delta checkpoint analog): fold the
+    * current generation's manifest PARTS into one compact part in a
+    * new generation, touching NO data files. Every plan lists the
+    * manifest dir and opens every part's footer, and an
+    * ingest-cadence table gains one part per commit — so between
+    * data compactions, planning cost grows O(commits since OPTIMIZE).
+    * This pays that debt down at manifest cost only: read the pinned
+    * parts, write them back as one file, commit the generation.
+    * Data files, the deletion vector, change data, declarations and
+    * the txn map all carry unchanged; named commit markers within
+    * `markerRetentionMs` survive as zero-row re-creations (their rows
+    * fold into the compact part), so streaming replay and
+    * exactly-once named appends keep working across the checkpoint —
+    * the same contract OPTIMIZE gives, minus the data rewrite.
+    * Run it every N commits (Delta defaults to 10) or whenever
+    * `DESCRIBE DETAIL`'s commit count is large; OPTIMIZE subsumes it
+    * (a data compaction also folds the manifest).
+    *
+    * Returns the committed generation version.
+    */
+  def checkpointManifest(spark: SparkSession, path: String,
+      markerRetentionMs: Long = RetentionDefaultMs,
+      vacuum: Boolean = true,
+      retentionMs: Long = RetentionDefaultMs): Long =
+      withConcurrentRetry("checkpointManifest") {
+    val opStart = System.currentTimeMillis()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = manifestDirOf(fs, path)
+    val observed = listManifestNames(fs, dir)
+    val rows = readManifestPinned(spark, dir, observed)
+    val schema = tableSchemaIn(spark, path, dir)
+    val statsCols = trackedCols(spark, dir).toSeq.sorted
+    val manifestSchema = readSidecar(spark, dir, ManifestSchemaFile)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(rows.schema)
+    // one compact part: manifest rows are tens of bytes per file, so
+    // even a million-file table folds to a single modest parquet
+    // (multi-part folding would only matter far beyond that)
+    val v = publishGeneration(spark, fs, path, dir, rows.coalesce(1),
+      schema, statsCols, manifestFeatures(fs, dir), manifestSchema,
+      removedData = Nil, markerRetentionMs = markerRetentionMs,
+      opStartMs = opStart, op = "CHECKPOINT",
+      dv = readDvIn(spark, dir), observedParts = Some(observed))
+    if (vacuum) vacuumTable(spark, path, retentionMs)
+    v
+  }
+
   /** Build the COMPLETE next manifest generation in a hidden dir and
     * publish it with ONE atomic `_COMMIT` create — the shared commit
     * path behind [[compactTable]], [[deleteWhere]], [[updateWhere]]

@@ -514,4 +514,66 @@ class StatsTableSourceSpec extends SparkSpec {
     assert(out3.filter(col("id") === 60L and col("amount") === 120L).count() == 1L,
       "pre-drop rows keep their values under the pinned name")
   }
+
+  test("a pending named commit superseded by an OVERWRITE delivers the folded zero-row batch — never the replaced rows") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_ow_tbl") + "/t"
+    val outDir = tmpDir("stsrc_ow_out") + "/o"
+    val ckpt = tmpDir("stsrc_ow_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 50L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("ow-b0")))
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir).count() === 50)
+    // a named commit lands but is NOT drained before an overwrite
+    // replaces the table: the generation commit folds its marker to
+    // zero rows (its data files left the table with the overwrite),
+    // so the pending consumer gets the EMPTY batch — the replaced
+    // rows are never served as if they were still table content, and
+    // nothing fails silently-wrong. (The expired-marker analog: a
+    // VANISHED marker fails loudly; a FOLDED one is a legal empty
+    // commit.)
+    assert(DataSkipping.appendWithStats(
+      (50L until 90L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("ow-b1")))
+    DataSkipping.writeWithStats(
+      (1000L until 1010L).map(i => (i, -i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"))
+    drain(s, table, outDir, ckpt)
+    val ids = s.read.parquet(outDir).select("id").collect().map(_.getLong(0))
+    assert(ids.length === 50 && ids.forall(_ < 50L),
+      s"the superseded commit must deliver zero rows, got ${ids.length}")
+    // the stream keeps working: a fresh post-overwrite commit streams
+    assert(DataSkipping.appendWithStats(
+      (2000L until 2020L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("ow-b2")))
+    drain(s, table, outDir, ckpt)
+    assert(s.read.parquet(outDir)
+      .filter(col("id") >= 2000L).count() === 20L)
+    assert(s.read.parquet(outDir)
+      .filter(col("id") >= 50L && col("id") < 90L).count() === 0L,
+      "replaced rows must never surface downstream")
+  }
+
+  test("a FRESH consumer across an overwrite snapshots the NEW content only") {
+    val s = spark
+    import s.implicits._
+    val table = tmpDir("stsrc_ow2_tbl") + "/t"
+    val outDir = tmpDir("stsrc_ow2_out") + "/o"
+    val ckpt = tmpDir("stsrc_ow2_ckpt")
+    StatsTableSink.ensureTable(s, table, schema, Seq("id"))
+    assert(DataSkipping.appendWithStats(
+      (0L until 60L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"), commitName = Some("ow2-b0")))
+    DataSkipping.writeWithStats(
+      (5000L until 5025L).map(i => (i, i)).toDF("id", "v").coalesce(1),
+      table, Seq("id"))
+    drain(s, table, outDir, ckpt)
+    val got = s.read.parquet(outDir).select("id").collect().map(_.getLong(0))
+    assert(got.length === 25 && got.forall(_ >= 5000L),
+      s"fresh snapshot must be exactly the overwrite content, got " +
+        s"${got.length} rows")
+  }
 }
