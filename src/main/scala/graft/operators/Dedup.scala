@@ -720,6 +720,21 @@ object Dedup {
     hammingBandPairs(hashes.filter(col(hashCol) =!= -1L), idCol, hashCol,
       maxHamming, bits)
 
+  /** Perceptual IMAGE near-duplicate pairs over DCT hashes
+    * ([[Multimodal.withImagePHash]]) — the brightness/contrast-robust
+    * variant of [[imageDHashPairs]] (the DC term absorbs tone shifts;
+    * median thresholding absorbs contrast scaling), sharing the same
+    * banded-Hamming join. `bits` must match the hash's kept block
+    * (default 8x8 - DC = 63); the default radius is wider than
+    * dHash's because DCT bits flip independently under re-encode
+    * noise.
+    */
+  def imagePHashPairs(hashes: DataFrame, idCol: String,
+      hashCol: String = "phash", maxHamming: Int = 10,
+      bits: Int = 63): DataFrame =
+    hammingBandPairs(hashes.filter(col(hashCol) =!= -1L), idCol, hashCol,
+      maxHamming, bits)
+
   /** LSH-banded candidate pairs for [[embeddingNearDup]] —
     * (id_a, id_b) sharing at least one band bucket, id_a < id_b,
     * deduplicated across bands. Exposed so tests can assert the

@@ -332,6 +332,100 @@ object Multimodal {
           hash
       }
     }
+
+    /** Perceptual DCT hash (pHash) over a full real decode: the
+      * image is averaged into a `grid x grid` mean-luminance matrix
+      * (same exact integer binning as [[dHash]]), transformed by an
+      * orthonormal 2-D DCT-II, and bit `v*keep+u - 1` is set iff the
+      * AC coefficient F(u,v) exceeds the MEDIAN of the top-left
+      * `keep x keep` block's 63 AC coefficients (DC excluded).
+      *
+      * Why next to dHash: the DC term absorbs any uniform BRIGHTNESS
+      * shift and a CONTRAST scale multiplies every AC coefficient by
+      * the same positive factor — median thresholding is invariant
+      * under both, so tone-adjusted re-encodes land within a few
+      * Hamming bits where gradient-sign hashes can flip near-flat
+      * cells. 63 bits, so `-1` stays the unreachable UNDECODABLE
+      * sentinel. Frequency-domain floats (libm cosines) make this a
+      * spec-gated signature like the embedding family, not a
+      * DuckDB-replayable one — [[dHash]] remains the bit-replayable
+      * gate row.
+      */
+    def pHash(bytes: Array[Byte], grid: Int = 32, keep: Int = 8): Long = {
+      require(grid >= keep && keep >= 2 && keep * keep - 1 <= 63,
+        s"pHash keep=$keep must satisfy 2 <= keep, keep^2-1 <= 63, keep <= grid=$grid")
+      read(bytes) match {
+        case None => -1L
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Double](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(grid - 1, y * grid / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(grid - 1, x * grid / w)
+              val rgb = img.getRGB(x, y)
+              sums(cy * grid + cx) += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              counts(cy * grid + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val g = Array.tabulate(grid * grid)(i =>
+            if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+          // top-left keep x keep of the orthonormal 2-D DCT-II —
+          // separable: rows first, then columns, only the kept bands
+          val rowDct = Array.ofDim[Double](grid, keep)
+          val c0 = math.sqrt(1.0 / grid)
+          val cu = math.sqrt(2.0 / grid)
+          var r = 0
+          while (r < grid) {
+            var u = 0
+            while (u < keep) {
+              var acc = 0.0
+              var x = 0
+              while (x < grid) {
+                acc += g(r * grid + x) *
+                  math.cos((2 * x + 1) * u * math.Pi / (2.0 * grid))
+                x += 1
+              }
+              rowDct(r)(u) = (if (u == 0) c0 else cu) * acc
+              u += 1
+            }
+            r += 1
+          }
+          val coeffs = new Array[Double](keep * keep)
+          var v = 0
+          while (v < keep) {
+            var u = 0
+            while (u < keep) {
+              var acc = 0.0
+              var yy = 0
+              while (yy < grid) {
+                acc += rowDct(yy)(u) *
+                  math.cos((2 * yy + 1) * v * math.Pi / (2.0 * grid))
+                yy += 1
+              }
+              coeffs(v * keep + u) = (if (v == 0) c0 else cu) * acc
+              u += 1
+            }
+            v += 1
+          }
+          val ac = coeffs.drop(1) // (0,0) is DC — excluded
+          val median = ac.sorted.apply(ac.length / 2)
+          var hash = 0L
+          var i = 1
+          while (i < keep * keep) {
+            if (coeffs(i) > median) hash |= 1L << (i - 1)
+            i += 1
+          }
+          hash
+      }
+    }
   }
 
   /** REAL video-container demux over plain JDK: AVI is RIFF-framed
@@ -757,6 +851,24 @@ object Multimodal {
         (id, ImageIoCodec.dHash(b, gridW, gridH))
       })
       .toDF(idCol, "dhash")
+  }
+
+  /** Per-row perceptual DCT hash ([[ImageIoCodec.pHash]]) through the
+    * partition-batched shell: `(idCol, phash)` with `-1` for
+    * undecodable payloads — the brightness/contrast-robust sibling of
+    * [[withImageDHash]]; pairs through [[Dedup.imagePHashPairs]]
+    * (banded Hamming, never all-pairs).
+    */
+  def withImagePHash(spark: SparkSession, images: DataFrame,
+      idCol: String, bytesCol: String,
+      grid: Int = 32, keep: Int = 8): DataFrame = {
+    import spark.implicits._
+    images.select(col(idCol).cast("bigint"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) =>
+        (id, ImageIoCodec.pHash(b, grid, keep))
+      })
+      .toDF(idCol, "phash")
   }
 
   /** Real image decode + exact-integer features through the

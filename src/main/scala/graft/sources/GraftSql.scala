@@ -105,6 +105,10 @@ object GraftSql {
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+($R)\\s+STATS\\s+BY\\s*\\(([^)]*)\\)(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
   private val Reorg =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+($R)\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
+  private val Checkpoint =
+    s"""(?is)^\\s*CHECKPOINT\\s+($R)\\s*;?\\s*$$""".r
+  private val ShowIndexes =
+    s"""(?is)^\\s*SHOW\\s+INDEXES\\s+($R)\\s*;?\\s*$$""".r
   /** A column reference in a corpus statement: bare identifier,
     * dotted (nested-field) path, or a backticked name (which may
     * hold dots/spaces — stripped by [[colName]]).
@@ -505,6 +509,8 @@ object GraftSql {
             catalogName)
         }
       case Reorg(t) => ref(t).map(ReorgGraftCommand(_))
+      case Checkpoint(t) => ref(t).map(CheckpointGraftCommand(_))
+      case ShowIndexes(t) => ref(t).map(ShowIndexesGraftCommand(_))
       // IDENTITY must match before the generic generated-expression
       // form (its expression body would otherwise swallow "IDENTITY")
       case AddIdentity(t, colName, start, step) =>
@@ -718,6 +724,51 @@ case class VacuumGraftCommand(path: String, retainHours: Option[Long],
         case None     => DataSkipping.vacuumTable(spark, path)
       }
       Seq(Row(path))
+    }
+  }
+}
+
+/** `CHECKPOINT '<path>'` → [[DataSkipping.checkpointManifest]]: fold
+  * an ingest-cadence table's manifest parts to one (the Delta
+  * checkpoint analog), data untouched. Returns the committed version.
+  */
+case class CheckpointGraftCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(DataSkipping.checkpointManifest(spark, path)))
+}
+
+/** `SHOW INDEXES '<path>'` → the table's standing vector-index
+  * sidecar ([[VectorIndex.meta]]), one row per index (the coded table
+  * holds at most one today). Empty result = no index.
+  */
+case class ShowIndexesGraftCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("id_col", StringType, nullable = false)(),
+    AttributeReference("vec_col", StringType, nullable = false)(),
+    AttributeReference("dim", LongType, nullable = false)(),
+    AttributeReference("n_centers", LongType, nullable = false)(),
+    AttributeReference("m", LongType, nullable = false)(),
+    AttributeReference("ksub", LongType, nullable = false)(),
+    AttributeReference("residual", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, VectorIndex.MetaFile)))
+      Seq.empty
+    else {
+      val mt = VectorIndex.meta(spark, path)
+      Seq(Row("ivf-pq", mt.idCol, mt.vecCol, mt.dim.toLong,
+        mt.nCenters.toLong, mt.m.toLong, mt.ksub.toLong, mt.residual))
     }
   }
 }

@@ -79,4 +79,64 @@ class ImageDedupSpec extends SparkSpec {
       .filter(col("id_a") >= 900000L || col("id_b") >= 900000L).count()
     assert(pairs2 === 0L, "sentinel hashes must not pair")
   }
+
+  // --- pHash (DCT) — the brightness/contrast-robust variant ---------
+
+  /** Tone-adjust a PNG through the real pixel stack: per-channel
+    * `a * (c - 128) + 128 + b`, clamped, re-encoded — the
+    * brightness/contrast edit pHash is built to survive.
+    */
+  private def toneShift(png: Array[Byte], a: Double, b: Double): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def adj(c: Int): Int =
+      math.max(0, math.min(255, math.round(a * (c - 128) + 128 + b).toInt))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      out.setRGB(x, y, (adj((rgb >> 16) & 0xff) << 16) |
+        (adj((rgb >> 8) & 0xff) << 8) | adj(rgb & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  test("pHash survives brightness/contrast shifts within the radius; unrelated images stay far; sentinel holds") {
+    val radius = 10
+    val hams = (0L until 40L).map { id =>
+      val orig = Multimodal.synthPngBlocks(id)
+      val toned = toneShift(orig, a = 1.15, b = 25.0)
+      java.lang.Long.bitCount(
+        Multimodal.ImageIoCodec.pHash(orig) ^
+          Multimodal.ImageIoCodec.pHash(toned))
+    }
+    assert(hams.max <= radius,
+      s"tone-shifted copies must stay within $radius bits: ${hams.max}")
+    // unrelated images: well-separated (the banding verify filter
+    // keeps precision even if a rare pair dips near the radius)
+    val hs = (0L until 300L).map(id =>
+      Multimodal.ImageIoCodec.pHash(Multimodal.synthPngBlocks(id)))
+    val cross = for (i <- hs.indices; j <- i + 1 until hs.size)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))
+    assert(cross.min > radius, s"unrelated images collide: ${cross.min}")
+    assert(Multimodal.ImageIoCodec.pHash(Array[Byte](9, 9)) === -1L)
+    assert(Multimodal.ImageIoCodec.pHash(null) === -1L)
+  }
+
+  test("imagePHashPairs finds exactly the planted tone-shifted duplicates through the banded join") {
+    val s = spark
+    import s.implicits._
+    val base = (0L until 80L).map(id => (id, Multimodal.synthPngBlocks(id)))
+    val dups = (0L until 80L by 4L).map(id =>
+      (id + 200000L, toneShift(Multimodal.synthPngBlocks(id), 1.2, 30.0)))
+    val images = s.createDataFrame(base ++ dups).toDF("id", "payload")
+    val hashes = Multimodal.withImagePHash(s, images, "id", "payload")
+    val pairs = Dedup.imagePHashPairs(hashes, "id")
+      .select("id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val planted = (0L until 80L by 4L).map(i => i -> (i + 200000L)).toSet
+    assert(pairs === planted,
+      s"missing=${planted -- pairs} extra=${pairs -- planted}")
+  }
 }

@@ -447,6 +447,44 @@ class GraftSqlSpec extends SparkSpec {
     assert(bad.getMessage.contains("RATES"))
   }
 
+  test("CHECKPOINT folds the manifest via SQL; SHOW INDEXES reports the standing vector index") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlck").toString
+    val t = s"$root/t"
+    DataSkipping.writeWithStats(
+      (0L until 500L).map(i => (i, i)).toDF("id", "v").coalesce(2),
+      t, Seq("id"))
+    (0 until 4).foreach { i =>
+      DataSkipping.appendWithStats(
+        (1000L + i * 10L until 1000L + i * 10L + 10L).map(j => (j, j))
+          .toDF("id", "v").coalesce(1), t, Seq("id"))
+    }
+    val v = GraftSql.sql(s, s"CHECKPOINT '$t'").head().getLong(0)
+    assert(v === DataSkipping.tableVersions(s, t).max)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(
+        DataSkipping.manifestDir(s, t)))
+      .map(_.getPath.getName)
+      .count(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    assert(parts === 1, s"CHECKPOINT must fold to one part, got $parts")
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 540L)
+
+    // SHOW INDEXES: empty before a build, one descriptive row after
+    assert(GraftSql.sql(s, s"SHOW INDEXES '$t'").count() === 0L)
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(16)(j => (i * 16 + j).toFloat)))
+      .toDF("vid", "vec")
+    val idx = s"$root/idx"
+    VectorIndex.build(s, emb, "vid", "vec", idx, nCenters = 4, m = 4, ksub = 4)
+    val row = GraftSql.sql(s, s"SHOW INDEXES '$idx'").head()
+    assert(row.getString(0) === "ivf-pq" && row.getString(1) === "vid" &&
+      row.getString(2) === "vec" && row.getLong(3) === 16L &&
+      row.getLong(4) === 4L && row.getLong(5) === 4L &&
+      row.getLong(6) === 4L && !row.getBoolean(7))
+  }
+
   test("corpus statement grammar: backticked columns parse; malformed THRESHOLD is a parse refusal, not a late crash") {
     val s = spark
     import s.implicits._
