@@ -124,6 +124,7 @@ object ScaleRamp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -385,7 +386,7 @@ object ScaleRamp {
     // columns, a broken GetStructField extractor — would surface as
     // an O(files) full scan ramping linearly)
     val nestedPaths = gatedMap(
-      if (!selected(Set("storage_nested_read")))
+      if (!selected(Set("storage_nested_read", "storage_name_read")))
         Map.empty[Int, String]
       else scales.map { k =>
         val p = s"$work/store_nested_x$k"
@@ -735,6 +736,16 @@ object ScaleRamp {
       "storage_nested_read" -> (k => DataSkipping.readSkipping(
         spark, nestedPaths(k),
         col("m.uid") >= 1000L && col("m.uid") < 3000L)),
+      // r18: the NAME-ADDRESSED route across the same file decade —
+      // format("graft") through GraftScanRewrite's SkippingFileIndex
+      // (the lazy listing evaluates the manifest under the query's
+      // own filters). Must stay ~flat like the path-API row above; a
+      // rewrite regression (filters not reaching the index, nested
+      // stats lost) would surface as an O(files) ramp here while
+      // storage_nested_read stays green
+      "storage_name_read" -> (k => spark.read.format("graft")
+        .load(nestedPaths(k))
+        .filter(col("m.uid") >= 1000L && col("m.uid") < 3000L)),
       // r16: consumer-lag poll across the partition decade — the
       // backlog probe lists the MANIFEST dir (commit markers) + one
       // checkpoint read, never the 100x partition directories; the
