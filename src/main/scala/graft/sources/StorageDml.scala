@@ -1039,7 +1039,11 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         rewriteFiles(spark, fs, path, dir, stats, schema, files,
           Some(replacement), vacuum, retentionMs, markerRetentionMs,
           opStart, changes, op = "MERGE", txn = txn,
-          observedParts = Some(observed))
+          observedParts = Some(observed),
+          // read scope = the key-envelope prune: a winner-added file
+          // outside the source/key envelope can match no key, so a
+          // disjoint maintenance winner rebases instead of re-running
+          readSkip = Some(skip))
         (touched.map(_._2).sum, srcCount)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -1132,7 +1136,11 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         rewriteFiles(spark, fs, path, dir, stats, schema, files,
           Some(replacement), vacuum, retentionMs, markerRetentionMs,
           opStart, changes, op = "MERGE", txn = txn,
-          observedParts = Some(observed))
+          observedParts = Some(observed),
+          // read scope = the key-envelope prune: a winner-added file
+          // outside the source/key envelope can match no key, so a
+          // disjoint maintenance winner rebases instead of re-running
+          readSkip = Some(skip))
         touched.map(_._2).sum
       } finally matched.foreach(_.unpersist())
     } finally delKeys.unpersist()
@@ -1344,7 +1352,11 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         rewriteFiles(spark, fs, path, dir, stats, schema, files, Some(replacement),
           vacuum, retentionMs, markerRetentionMs, opStart, changes,
           op = "MERGE", txn = txn,
-          observedParts = Some(observed))
+          observedParts = Some(observed),
+          // read scope = the key-envelope prune: a winner-added file
+          // outside the source/key envelope can match no key, so a
+          // disjoint maintenance winner rebases instead of re-running
+          readSkip = Some(skip))
         (matchedKeys, srcCount - matchedKeys)
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
@@ -1612,7 +1624,14 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         rewriteFiles(spark, fs, path, dir, stats, schema, files, Some(replacement),
           vacuum, retentionMs, markerRetentionMs, opStart, changes,
           op = "MERGE", txn = txn,
-          observedParts = Some(observed))
+          observedParts = Some(observed),
+          // read scope = the candidate prune itself (key envelope OR
+          // the by-source conditions' stats rewrite): a winner-added
+          // file matching neither can satisfy no clause, so disjoint
+          // maintenance rebases; unconditional by-source clauses
+          // leave lit(true) and every race re-runs (correct — their
+          // read is the whole table)
+          readSkip = Some(envelopeSkip || bySourceSkip))
         (updated, deleted, inserted)
       } finally probe.foreach(_.unpersist())
     } finally src.unpersist()

@@ -496,6 +496,70 @@ class ConcurrencySpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 5700L)
   }
 
+  test("MERGE racing a disjoint OPTIMIZE WHERE rebases on its key envelope; an in-envelope winner forces the re-run") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 8000L).map(i => (i, i)).toDF("id", "v")
+        .repartitionByRange(8, col("id")), t, Seq("id"))
+    DataSkipping.opRewriteRuns.remove(t)
+    DataSkipping.rebaseCommits.remove(t)
+    // the CDC shape: a keyed merge whose source envelope is one band
+    // (updates + in-band inserts), racing compaction of a FAR band —
+    // the winner's rewritten files sit outside the envelope, so the
+    // merge must absorb the loss at the commit point
+    val src = (100L until 600L by 2L).map(i => (i, -i)).toDF("id", "v")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    DataSkipping.prePublishHook = (op, p) =>
+      if (op == "MERGE" && p == t && fired.compareAndSet(false, true))
+        DataSkipping.compactWhere(s, t, col("id") >= 4000L,
+          targetFileBytes = 64L * 1024 * 1024, vacuum = false)
+    try {
+      val (matched, inserted) =
+        DataSkipping.mergeUpsert(s, t, src, Seq("id"), vacuum = false)
+      assert(matched === 250L && inserted === 0L)
+    } finally DataSkipping.prePublishHook = (_, _) => ()
+    assert(fired.get, "the race was never staged")
+    assert(DataSkipping.rebaseCommits.get(t).get === 1L,
+      "a disjoint-envelope MERGE race must rebase")
+    assert(DataSkipping.opRewriteRuns.get(t).get === 2L)
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 8000L)
+    assert(DataSkipping.readSkipping(s, t, col("v") < 0L).count() === 250L)
+    assert(DataSkipping.readSkipping(s, t,
+      col("id") >= 4000L && col("v") =!= col("id")).count() === 0L,
+      "compaction must stay content-invisible under the rebase")
+    val ops = DataSkipping.describeHistory(s, t)
+      .orderBy("version").select("operation").collect().map(_.getString(0))
+    assert(ops === Array("WRITE", "OPTIMIZE WHERE", "MERGE"), ops.mkString(","))
+
+    // the refusal side: a winner that rewrites files INSIDE the
+    // envelope (even without touching the merged rows' files) must
+    // force the serial re-run — its new files' stats overlap the
+    // merge's read scope
+    DataSkipping.opRewriteRuns.remove(t)
+    DataSkipping.rebaseCommits.remove(t)
+    val src2 = (200L until 300L).map(i => (i, 77L)).toDF("id", "v")
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    DataSkipping.prePublishHook = (op, p) =>
+      if (op == "MERGE" && p == t && fired2.compareAndSet(false, true))
+        assert(DataSkipping.updateWhere(s, t,
+          col("id") >= 250L && col("id") < 280L,
+          Map("v" -> lit(-999L)), vacuum = false) === 30L)
+    try {
+      val (m2, _) = DataSkipping.mergeUpsert(s, t, src2, Seq("id"),
+        vacuum = false)
+      assert(m2 === 100L)
+    } finally DataSkipping.prePublishHook = (_, _) => ()
+    assert(fired2.get)
+    assert(DataSkipping.rebaseCommits.get(t) == null,
+      "an in-envelope winner must NOT rebase")
+    // serial order UPDATE-then-MERGE: the merge's values win
+    assert(DataSkipping.readSkipping(s, t,
+      col("id") >= 200L && col("id") < 300L && col("v") === 77L).count() === 100L)
+    assert(DataSkipping.readSkipping(s, t, col("v") === -999L).count() === 0L)
+  }
+
   test("randomized disjoint DML races: table equals the shadow model after every round (rebase or retry alike)") {
     val s = spark
     import s.implicits._
