@@ -72,6 +72,39 @@ class ManifestCheckpointSpec extends SparkSpec {
     assert(DataSkipping.readSkipping(s, t, lit(true)).count() === before + 50L)
   }
 
+  test("checkpointEveryCommits keeps an ingest table's manifest bounded by the cadence, exactly-once intact") {
+    val s = spark
+    import s.implicits._
+    val t = s"${tmp()}/t"
+    DataSkipping.writeWithStats(
+      (0L until 500L).map(i => (i, i)).toDF("id", "v").coalesce(2),
+      t, Seq("id"))
+    // 18 unnamed ingest commits + 2 named ones at a 6-part cadence:
+    // the FOLDABLE part count never accumulates past the cadence
+    // (named markers ride — they are replay state, bounded by
+    // markerRetention, not by folds)
+    (0 until 20).foreach { i =>
+      val base = 10000L + i * 100L
+      val name = if (i % 10 == 0) Some(s"cad-$i") else None
+      assert(DataSkipping.appendWithStats(
+        (base until base + 100L).map(j => (j, j)).toDF("id", "v").coalesce(1),
+        t, Seq("id"), commitName = name,
+        checkpointEveryCommits = Some(6)))
+      val parts = manifestParts(s, t).count(_.startsWith("part-"))
+      assert(parts <= 6, s"cadence must bound the part tail, got $parts after commit $i")
+    }
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 2500L)
+    // replay of an already-folded named commit is still a no-op
+    assert(!DataSkipping.appendWithStats(
+      (10000L until 10100L).map(j => (j, j)).toDF("id", "v").coalesce(1),
+      t, Seq("id"), commitName = Some("cad-0"),
+      checkpointEveryCommits = Some(6)))
+    assert(DataSkipping.readSkipping(s, t, lit(true)).count() === 2500L)
+    val ops = DataSkipping.describeHistory(s, t)
+      .select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "CHECKPOINT") >= 2, ops.mkString(","))
+  }
+
   test("checkpoint carries the deletion vector and the change feed across the fold") {
     val s = spark
     import s.implicits._
