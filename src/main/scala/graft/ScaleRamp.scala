@@ -448,6 +448,55 @@ object ScaleRamp {
         k -> (p, pc)
       }.toMap, "storage_commits")
 
+    // r18 CONFLICT-COST rows: the same half-table UPDATE timed
+    // (a) race-free, (b) losing a deterministic DISJOINT race (tiny
+    // far-band winner committed at the loser's publish point — must
+    // REBASE), and (c) losing an OVERLAPPING race (winner rewrites a
+    // file in the loser's band — must RE-RUN). The verdict-#1 claim
+    // made measurable: rebase cost ≈ race-free + O(manifest) at every
+    // scale, re-run cost ≈ 2x race-free and grows with the op.
+    val rebasePaths = gatedMap(
+      if (!selected(Set("storage_race_base", "storage_race_rebase",
+          "storage_race_rerun")))
+        Map.empty[Int, String]
+      else scales.map { k =>
+        val p = s"$work/store_rb_x$k"
+        val n = 32000L * k
+        DataSkipping.writeWithStats(
+          spark.range(n).select(col("id"),
+            pmod(col("id") * 2654435761L, lit(n)).as("y"))
+            .repartitionByRange(16 * k, col("id")),
+          p, Seq("id", "y"))
+        k -> p
+      }.toMap, "storage_rebase")
+    // The LOSER is a half-table UPDATE (its rewrite cost grows with
+    // the scale — the O(op) a forced re-run pays twice); the WINNER
+    // is a tiny 50-row update, either in the top quarter (disjoint —
+    // the loser must rebase) or inside the loser's band (overlapping
+    // — the loser must re-run). Updates are idempotent-shaped
+    // (rows persist), so every invocation is the same workload.
+    def racedUpdate(k: Int, winner: Option[Boolean]): DataFrame = {
+      val p = rebasePaths(k)
+      val half = 16000L * k
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val prev = DataSkipping.prePublishHook
+      winner.foreach { disjoint =>
+        DataSkipping.prePublishHook = (op, path) =>
+          if (op == "UPDATE" && path == p && fired.compareAndSet(false, true)) {
+            val wLo = if (disjoint) 24000L * k else 0L
+            DataSkipping.updateWhere(spark, p,
+              col("id") >= wLo && col("id") < wLo + 50L,
+              Map("y" -> (col("y") + 1L)), vacuum = false)
+            ()
+          }
+      }
+      try DataSkipping.updateWhere(spark, p, col("id") < half,
+        Map("y" -> (col("y") + 1L)), vacuum = false)
+      finally DataSkipping.prePublishHook = prev
+      require(winner.isEmpty || fired.get, "race was not staged")
+      spark.range(1).select(col("id"))
+    }
+
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "dedup_exact" -> (k => Dedup.exactByHash(docs(k), "doc_id", "text")),
       "minhash_pairs" -> (k => Dedup.minHashLsh(docs(k), "doc_id", "text",
@@ -767,6 +816,12 @@ object ScaleRamp {
         require(lag.latestVersion >= 0L && lag.committedVersion == -1L)
         spark.range(lag.behind max 1L).select(col("id"))
       },
+      // r18: conflict-cost trio (see racedUpdate) — the same
+      // half-table update race-free, losing a disjoint race (rebase)
+      // and losing an overlapping race (forced re-run)
+      "storage_race_base" -> (k => racedUpdate(k, None)),
+      "storage_race_rebase" -> (k => racedUpdate(k, Some(true))),
+      "storage_race_rerun" -> (k => racedUpdate(k, Some(false))),
       // r18: pruned read across the COMMIT decade — planning lists and
       // footer-reads one manifest part per commit, so this row is
       // EXPECTED to ramp ~linearly in commit count: it pins the

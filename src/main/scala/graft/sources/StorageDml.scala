@@ -366,6 +366,27 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
       else moveInPartitioned(fs, staging, new Path(path))
     }
+    // Op-derived frames are MATERIALIZED once (localCheckpoint), so a
+    // rebase attempt re-reads computed blocks instead of re-scanning
+    // the op's data: the added-file stats would otherwise re-read
+    // every rewritten file's bytes per publish attempt and the change
+    // data would re-scan the touched files — turning the "O(manifest)
+    // rebase" into O(op) again. Shape sidecars are proven identical
+    // across a rebase (rebaseSafe), so stats computed under the base
+    // dir's tracked set/features stay exact under the winner's.
+    val baseFeats = manifestFeatures(fs, dir)
+    val baseStatsCols = trackedCols(spark, dir).toSeq.sorted
+    val addedStats: Option[DataFrame] =
+      if (moved.isEmpty) None
+      else Some(statsFor(
+          partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
+          baseStatsCols,
+          withNulls = baseFeats.contains("nulls"),
+          bloom = bloomFeature(baseFeats))
+        .localCheckpoint(true))
+    val changeDataPinned = changeData
+      .filter(_ => baseFeats.contains(CdfFeature))
+      .map(_.localCheckpoint(true))
     // Build the next generation's rows against `aDir` and publish.
     // Runs once on the happy path; a rebase (lost race proven
     // disjoint) re-invokes it against the winner's generation dir —
@@ -417,14 +438,8 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
             !element_at(split(col("__mfile"), "/"), -1).isin(verbatim.toSeq: _*))
         minusVerbatim.drop("__mfile")
       }
-      val rows =
-        if (moved.isEmpty) carried
-        else carried.unionByName(
-          statsFor(partAwareStatusScan(spark, path, aDir, schema,
-              statusesFor(fs, moved)),
-            statsCols,
-            withNulls = feats.contains("nulls"), bloom = bloomFeature(feats)),
-          allowMissingColumns = true)
+      val rows = addedStats.fold(carried)(
+        carried.unionByName(_, allowMissingColumns = true))
       val manifestSchema = readSidecar(spark, aDir, ManifestSchemaFile)
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(aManifest.schema)
@@ -447,7 +462,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         removedData = touched.map(p => rootRelativeOrName(fs, path, p)),
         markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
         verbatimMarkers = verbatim,
-        changeData = changeData.filter(_ => feats.contains(CdfFeature)),
+        changeData = changeDataPinned,
         op = op, txn = txn, dv = dvNext,
         clustered = clusteredOf(moved), observedParts = aPin)
     }
