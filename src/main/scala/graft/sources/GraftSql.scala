@@ -135,6 +135,8 @@ object GraftSql {
     s"""(?is)^\\s*SPLIT\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*\\)\\s+FRACTIONS\\s*\\(([^)]*)\\)\\s*(?:LEAKAGE\\s+SAFE\\s+USING\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\))?\\s*;?\\s*$$""".r
   private val ScoreStmt =
     s"""(?is)^\\s*SCORE\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*;?\\s*$$""".r
+  private val VectorSearchStmt =
+    s"""(?is)^\\s*VECTOR\\s+SEARCH\\s+($R)\\s+USING\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s+TOP\\s+(\\d+)\\s*(?:PROBE\\s+(\\d+))?\\s*;?\\s*$$""".r
 
   /** `'label' <fraction>` pairs of a RATES/FRACTIONS list, order
     * preserved. Refuses malformed entries with the statement text —
@@ -616,6 +618,37 @@ object GraftSql {
               TextFunctions.qualityScore(txt).as("score"),
               TextFunctions.langId(txt).as("lang_pred"))
             .queryExecution.logical
+        }
+      case VectorSearchStmt(idxTok, srcTok, idTok, vecTok, k, probe) =>
+        for {
+          s <- spark
+          idxPath <- ref(idxTok)
+        } yield {
+          // the standing-index lookup over any query frame: columns
+          // of the statement map onto the index's trained columns,
+          // and the search itself (probe-cell collect + pruned coded
+          // scan) DEFERS — parse/EXPLAIN read only the frozen sidecar
+          // and the schemas, never a corpus byte
+          val mt = VectorIndex.meta(s, idxPath)
+          val queries = corpusSource(s, srcTok)
+            .select(col(colName(idTok)).as(mt.idCol),
+              col(colName(vecTok)).as(mt.vecCol))
+          val nProbe = Option(probe).map(_.toInt).getOrElse(1)
+          val qType = queries.queryExecution.analyzed
+            .schema(mt.idCol).dataType
+          val nType = s.read.format("graft").load(idxPath)
+            .schema("id").dataType
+          graft.plans.DeferredCorpusPlan(
+            s"VectorSearch($idxPath, top=$k, probe=$nProbe)",
+            Seq(
+              AttributeReference("query_id", qType)(),
+              AttributeReference("neighbor_id", nType)(),
+              AttributeReference("rank",
+                org.apache.spark.sql.types.IntegerType)(),
+              AttributeReference("cosine",
+                org.apache.spark.sql.types.DoubleType)()),
+            () => VectorIndex.search(s, queries, idxPath,
+              k = k.toInt, nProbe = nProbe))
         }
       case Delete(t, cond) =>
         ref(t).map(DeleteGraftCommand(_, Option(cond)))

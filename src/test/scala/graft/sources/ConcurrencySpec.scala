@@ -576,21 +576,36 @@ class ConcurrencySpec extends SparkSpec {
       val bands = rnd.shuffle((0 until 10).toList).take(3)
         .map(b => b * 900L + rnd.nextInt(3) * 300L)
       val ops: Seq[() => Unit] = bands.zipWithIndex.map { case (lo, i) =>
-        if ((round + i) % 2 == 0) { () =>
-          DataSkipping.deleteWhere(s, t,
-            col("id") >= lo && col("id") < lo + 300L, vacuum = false); ()
-        } else { () =>
-          DataSkipping.updateWhere(s, t,
-            col("id") >= lo && col("id") < lo + 300L,
-            Map("mark" -> lit(round * 10L + i)), vacuum = false); ()
+        (round + i) % 3 match {
+          case 0 => () =>
+            DataSkipping.deleteWhere(s, t,
+              col("id") >= lo && col("id") < lo + 300L, vacuum = false); ()
+          case 1 => () =>
+            DataSkipping.updateWhere(s, t,
+              col("id") >= lo && col("id") < lo + 300L,
+              Map("mark" -> lit(round * 10L + i)), vacuum = false); ()
+          case _ => () =>
+            // keyed merge: upsert the band's surviving keys (matched
+            // rows take the new mark; keys deleted by EARLIER rounds
+            // re-insert — the shadow replays the same upsert rule)
+            DataSkipping.mergeUpsert(s, t,
+              (lo until lo + 300L).map(id => (id, round * 100L + i))
+                .toDF("id", "mark"),
+              Seq("id"), vacuum = false); ()
         }
       }
       inParallel(ops)
       bands.zipWithIndex.foreach { case (lo, i) =>
-        if ((round + i) % 2 == 0)
-          shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 300L }
-        else shadow = shadow.map { case (k, v) =>
-          k -> (if (k >= lo && k < lo + 300L) round * 10L + i else v) }
+        (round + i) % 3 match {
+          case 0 =>
+            shadow = shadow.filter { case (k, _) => k < lo || k >= lo + 300L }
+          case 1 =>
+            shadow = shadow.map { case (k, v) =>
+              k -> (if (k >= lo && k < lo + 300L) round * 10L + i else v) }
+          case _ =>
+            shadow = shadow ++
+              (lo until lo + 300L).map(id => id -> (round * 100L + i))
+        }
       }
       val got = DataSkipping.readSkipping(s, t, lit(true))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

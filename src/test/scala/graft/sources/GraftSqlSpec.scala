@@ -485,6 +485,40 @@ class GraftSqlSpec extends SparkSpec {
       row.getLong(6) === 4L && !row.getBoolean(7))
   }
 
+  test("VECTOR SEARCH queries the standing index from SQL, deferred, equal to the Scala lookup") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vsq").toString
+    val idx = s"$root/idx"
+    val emb = (0L until 128L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 7 + j) % 23).toFloat)))
+      .toDF("vid", "vec")
+    VectorIndex.build(s, emb, "vid", "vec", idx, nCenters = 4, m = 4, ksub = 4)
+    // a query view with DIFFERENT column names + a read-proof counter
+    val touched = s.sparkContext.longAccumulator("vs-src-touched")
+    emb.filter(col("vid") < 5)
+      .select(col("vid").as("qid"), col("vec").as("emb"))
+      .filter((_: org.apache.spark.sql.Row) => { touched.add(1L); true })
+      .createOrReplaceTempView("vsq_queries")
+    val df = s.sql(
+      s"VECTOR SEARCH '$idx' USING vsq_queries ON (qid, emb) TOP 3 PROBE 2")
+    assert(GraftSql.parse(
+        s"VECTOR SEARCH '$idx' USING vsq_queries ON (qid, emb) TOP 3 PROBE 2", s)
+      .exists(_.isInstanceOf[graft.plans.DeferredCorpusPlan]))
+    // parse + physical planning read the sidecar and schemas only
+    assert(df.queryExecution.executedPlan.toString.contains("DeferredCorpus"))
+    assert(touched.value === 0L, "planning must not execute the search")
+    val got = df.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(touched.value > 0L)
+    val direct = VectorIndex.search(s,
+        emb.filter(col("vid") < 5), idx, k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === direct)
+    assert(got.size === 15)
+  }
+
   test("corpus statement grammar: backticked columns parse; malformed THRESHOLD is a parse refusal, not a late crash") {
     val s = spark
     import s.implicits._
