@@ -341,6 +341,10 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       clusteredOf: Seq[String] => Option[String] = _ => None,
       observedParts: Option[Set[String]] = None,
       readSkip: Option[Column] = None): Unit = {
+    // observability counters are per-path and would otherwise grow
+    // with every table a long-lived session ever touches
+    if (opRewriteRuns.size > 4096) opRewriteRuns.clear()
+    if (rebaseCommits.size > 4096) rebaseCommits.clear()
     opRewriteRuns.computeIfAbsent(path,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     // None = the op writes no data files at all (merge-on-read DML:
