@@ -1619,6 +1619,23 @@ object Queries {
         s"$root/idx"
       })
     }
+
+    private val vidxR = scala.collection.mutable.HashMap[String, String]()
+
+    /** The RESIDUAL-coded twin of [[vectorIndexTable]] — must equal
+      * q_ann_ivfpq_residual's query-time pipeline exactly.
+      */
+    def vectorIndexResidualTable(s: SparkSession, d: String): String =
+      synchronized {
+        vidxR.getOrElseUpdate(d, {
+          val root = java.nio.file.Files.createTempDirectory("graft_vixr").toString
+          graft.sources.VectorIndex.build(s, annPlantedCorpus(s, d), "vec_id",
+            "embedding", s"$root/idx", nCenters = 8, m = 8, ksub = 16,
+            coarseSeedIds = Some(ivfPqCoarseSeeds), pqSeedIds = Some(pqSeedIds),
+            residual = true)
+          s"$root/idx"
+        })
+      }
     private val zorder =
       scala.collection.mutable.HashMap[String, (String, Long, Long, Long, Long)]()
 
@@ -3061,7 +3078,15 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"))
         .orderBy("query_id", "rank")
     },
-    Some(s"""WITH aug AS (
+    Some(ivfPqResidualOracleSql("")))
+
+  /** The q_ann_ivfpq_residual replay, parameterized like
+    * [[ivfPqOracleSql]] so [[annIndexResidual]] (the persisted index
+    * under residual coding — same frozen arithmetic) appends its
+    * pruning-marker constants to the identical result set.
+    */
+  private def ivfPqResidualOracleSql(tail: String): String =
+    s"""WITH aug AS (
           ${plantedSql("", "WHERE vec_id < 10", 5, 100000L, 0.005)}
         ), cent AS (
           SELECT s.cid, a.embedding AS cvec,
@@ -3138,7 +3163,68 @@ object Queries {
             row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, neighbor_id ASC) AS rank
           FROM scored)
-        WHERE rank <= 5 ORDER BY query_id, rank"""))
+        WHERE rank <= 5$tail ORDER BY query_id, rank"""
+
+  // The persisted index under RESIDUAL coding (row 24g's default-
+  // FAISS face): same frozen decision procedure as q_ann_ivfpq_
+  // residual by construction, so the oracle is that replay plus the
+  // same two physical pruning markers q_ann_index pins — plus a
+  // CELL-BALANCE marker: cellStats (the grouped count over the cell
+  // partition column) must answer every cell from the MANIFEST
+  // (grouped metadata pushdown) and sum to the corpus size.
+  val annIndexResidual = QueryDef(
+    "q_ann_index_residual",
+    (s, d) => {
+      import graft.sources.{DataSkipping, VectorIndex}
+      val idx = StorageFixtures.vectorIndexResidualTable(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      val res = VectorIndex.search(s, queries, idx, k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("bigint").as("rank"))
+      val mt = VectorIndex.meta(s, idx)
+      def rel(p: String) = {
+        val ph = new org.apache.hadoop.fs.Path(p)
+        s"${ph.getParent.getName}/${ph.getName}"
+      }
+      val manifest = DataSkipping.readManifest(s, idx)
+        .select(col("file"), col("min_cid").cast("int").as("cid")).collect()
+        .map(r => rel(r.getString(0)) -> r.getInt(1))
+      val allFiles = manifest.map(_._1).toSet
+      def cellsOf(qs: DataFrame): Seq[Int] = qs
+        .select(explode(graft.plans.VectorExpressions
+          .nearestCentroids(col("embedding"), mt.centroids, 2)).as("cid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      def exactPrune(cids: Seq[Int]): (Boolean, Int) = {
+        val scanned = VectorIndex.probedScan(s, idx, cids)
+          .inputFiles.map(rel).toSet
+        (scanned == manifest.filter(x => cids.contains(x._2)).map(_._1).toSet,
+          scanned.size)
+      }
+      val (batchExact, _) = exactPrune(cellsOf(queries))
+      val (oneExact, oneN) =
+        exactPrune(cellsOf(queries.filter(col("vec_id") === 0L)))
+      // cell balance from the manifest: the grouped count must push
+      // down (plan-inspected) and its total must equal the corpus
+      val cs = VectorIndex.cellStats(s, idx)
+      val pushed = cs.queryExecution.executedPlan.exists {
+        case _: graft.sources.GraftMetaGroupCountExec => true
+        case _ => false
+      }
+      val csRows = cs.collect().map(r => r.getInt(0) -> r.getLong(1))
+      val balanced = pushed && csRows.length == 8 &&
+        csRows.map(_._2).sum == annPlantedCorpus(s, d).count()
+      val markers = s.createDataFrame(Seq(
+        (-3L, if (balanced) 1L else 0L, 0L),
+        (-2L, if (oneExact && oneN < allFiles.size) 1L else 0L, 0L),
+        (-1L, if (batchExact) 1L else 0L, 0L)))
+        .toDF("query_id", "neighbor_id", "rank")
+      res.unionByName(markers).orderBy("query_id", "rank")
+    },
+    Some(ivfPqResidualOracleSql("""
+        UNION ALL SELECT CAST(-3 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL SELECT CAST(-2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)""")))
 
   // Binary (1-bit sign) quantization ANN (row 24f): Hamming over
   // packed sign bits picks 50 candidates per query, exact cosine
@@ -6319,7 +6405,7 @@ object Queries {
     removeBoilerplateQ, normalizeDedup, ngramJaccardPairs,
     sharedSpans, exciseSpans, minhashPairs, incrementalMinhashQ,
     dedupEndToEnd, simhash, simhashPairs,
-    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annIndex, annBq, quantizeQ, multimodalMeta,
+    embeddingNearDup, dedupComponents, semanticDedupQ, embeddingTopK, annLsh, annIvf, annPq, annIvfPq, annIvfPqResidual, annIndex, annIndexResidual, annBq, quantizeQ, multimodalMeta,
     multimodalDecode, audioDecode, imageDecode, imageDedup, videoFrames, saltedJoin, dfpJoin, dfpRead, sqlCorpus,
     packSequences, sampleSources, sampleTokenBudget, capPerSource, assignSplits, pipelineEvents,
     ingestEvolved, corpusPipeline, manifestStream, manifestStreamPart, timeTravel,

@@ -185,6 +185,19 @@ object VectorIndex {
     DataSkipping.readSkipping(spark, path, col("cid").isin(cids: _*))
       .select(col("id"), col("cid"), col("codes"))
 
+  /** Per-cell corpus balance — `(cid, n_vectors)`, the serving-health
+    * probe for hot/empty cells (skewed cells mean probes read too
+    * much and recall drifts — the signal to retrain with [[build]]).
+    * Expressed as a plain grouped count over the cell PARTITION
+    * column, so under `graft.plans.GraftExtensions` the grouped
+    * metadata pushdown answers it from the MANIFEST — O(files), zero
+    * data read at any index size — and without extensions it is still
+    * exact (a normal m-int-codes scan).
+    */
+  def cellStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft").load(path)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+
   /** The frozen model, exactly as built (floats restored from raw
     * bits). Fails loudly if `path` holds no index sidecar.
     */
