@@ -6387,6 +6387,96 @@ object Queries {
               FROM base WHERE event_id % 50 = 17)
             ORDER BY event_id, start_ver"""))
 
+  // Automatic materialized-view answering (GraftMvRewrite): after a
+  // refresh, the SAME grouped-aggregate query over the base table is
+  // silently answered by the maintained view (plan marker: the
+  // logical Aggregate disappears and the only file scan reads the
+  // VIEW directory); after one more un-refreshed DML it silently
+  // falls back to the base scan (Aggregate present) and reflects the
+  // newest state. The oracle recomputes BOTH states from the replayed
+  // DML program — a stale serve, a lossy decimal round-trip, or a
+  // tombstone leak mismatches on values, not just on the marker.
+  val mvRewrite = QueryDef(
+    "q_mv_rewrite",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val root = java.nio.file.Files.createTempDirectory("graft_mvr").toString
+      val base = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("user_id")), base,
+        statsCols = Seq("user_id"), bloomCols = Nil, changeFeed = true)
+      def refresh() = graft.streaming.IncrementalView.maintainSumCount(
+        s, base, s"$root/view", "event_type", "user_id", s"$root/ckpt")
+      refresh() // bootstrap: fresh immediately
+      DataSkipping.deleteWhere(s, base,
+        col("user_id") >= 40L && col("user_id") < 60L)
+      DataSkipping.updateWhere(s, base,
+        col("user_id") >= 100L && col("user_id") < 120L,
+        Map("event_type" -> lit("redacted")))
+      refresh() // folds both -> fresh again
+      def query() = s.read.format("graft").load(base)
+        .groupBy("event_type")
+        .agg(sum("user_id").as("sum_uid"), count(lit(1)).as("cnt"))
+      def hasAgg(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case a: Aggregate => a
+        }.nonEmpty
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.flatMap {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case _ => Nil
+      }.toSeq
+      val fresh = query()
+      // materialize the fresh leg NOW — its plan must freeze before
+      // the staleness DML below lands
+      val freshRows = fresh.collect().toSeq
+      val freshScans = scans(fresh.queryExecution.executedPlan)
+      val viewScan = freshScans.nonEmpty && freshScans.forall(
+        _.relation.location.rootPaths.exists(_.toString.contains("/view")))
+      DataSkipping.deleteWhere(s, base, col("event_id") % 10 === 3)
+      val stale = query()
+      val marker = s"served=${!hasAgg(fresh)},viewscan=$viewScan," +
+        s"fallback=${hasAgg(stale)}"
+      val freshDf = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(freshRows).asJava),
+        fresh.schema)
+      freshDf.withColumn("leg", lit("fresh"))
+        .unionByName(stale.withColumn("leg", lit("stale")))
+        .unionByName(s.range(1).select(lit(marker).as("event_type"),
+          lit(-1L).as("sum_uid"), lit(-1L).as("cnt"),
+          lit("marker").as("leg")))
+        .orderBy("leg", "event_type")
+    },
+    Some("""WITH base AS (
+              SELECT event_id, user_id, event_type FROM events),
+            s1 AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id >= 100 AND user_id < 120
+                     THEN 'redacted' ELSE event_type END AS event_type
+              FROM base WHERE NOT (user_id >= 40 AND user_id < 60)),
+            s2 AS (SELECT * FROM s1 WHERE event_id % 10 <> 3)
+            SELECT * FROM (
+              SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+                     COUNT(*) AS cnt, 'fresh' AS leg
+              FROM s1 GROUP BY event_type
+              UNION ALL
+              SELECT event_type, CAST(SUM(user_id) AS BIGINT),
+                     COUNT(*), 'stale'
+              FROM s2 GROUP BY event_type
+              UNION ALL
+              SELECT 'served=true,viewscan=true,fallback=true', -1, -1,
+                     'marker')
+            ORDER BY leg, event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, dailySnapshotsQ, cdcChanges,
     scd2, scd2Apply,
@@ -6412,5 +6502,5 @@ object Queries {
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, groupCountPushdown, checkConstraints, generatedColQ, genPartitionPrune,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
-    incrementalAgg, incrementalMinMax, incrementalMoments, scd2Stream)
+    incrementalAgg, incrementalMinMax, incrementalMoments, mvRewrite, scd2Stream)
 }

@@ -784,6 +784,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // relation answers from the manifest (see MetaAggPushdown)
     ext.injectPlannerStrategy(session =>
       new graft.sources.GraftMetaAggStrategy(session))
+    // materialized-view answering: a grouped aggregate a registered
+    // fresh incremental view covers rewrites to the view scan. MUST
+    // be injected before GraftScanRewrite — within a pass the
+    // aggregate has to match while its base relation is still the
+    // addressable V1 shape (the view relation this emits is then
+    // lazified by the scan rewrite below in the same pass)
+    ext.injectOptimizerRule(session =>
+      new graft.sources.GraftMvRewrite(session))
     // lazy manifest-skipping scans on the catalog/format("graft")
     // surface: nested-predicate pruning + native dynamic partition
     // pruning on name-addressed joins. MUST ride this channel — the

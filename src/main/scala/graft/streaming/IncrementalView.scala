@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sources.DataSkipping
+import graft.sources.{DataSkipping, MaterializedViews}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -122,6 +122,12 @@ object IncrementalView {
     val withStart =
       if (bootstrapped) reader
       else reader.option("startingVersion", (startAfter + 1).toString)
+    // listed BEFORE the stream starts: AvailableNow's drain boundary
+    // is captured at start, so every version visible here is folded
+    // by the time the drain returns — vStart is a safe (possibly
+    // conservative) freshness watermark to stamp afterwards
+    val vStart = DataSkipping.tableVersions(spark, baseTable)
+      .maxOption.getOrElse(0L)
     val q = withStart.load()
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -134,6 +140,8 @@ object IncrementalView {
       }
       .start()
     q.awaitTermination()
+    MaterializedViews.onMaintained(spark, MaterializedViews.MvSpec(
+      baseTable, viewTable, groupCol, valueCol, "sum_count"), vStart)
     readView(spark, viewTable, groupCol)
   }
 
@@ -201,6 +209,8 @@ object IncrementalView {
     val withStart =
       if (bootstrapped) reader
       else reader.option("startingVersion", (startAfter + 1).toString)
+    val vStart = DataSkipping.tableVersions(spark, baseTable)
+      .maxOption.getOrElse(0L)
     val q = withStart.load()
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -213,6 +223,8 @@ object IncrementalView {
       }
       .start()
     q.awaitTermination()
+    MaterializedViews.onMaintained(spark, MaterializedViews.MvSpec(
+      baseTable, viewTable, groupCol, valueCol, "moments"), vStart)
     readView(spark, viewTable, groupCol)
   }
 
@@ -322,6 +334,8 @@ object IncrementalView {
     val withStart =
       if (bootstrapped) reader
       else reader.option("startingVersion", (startAfter + 1).toString)
+    val vStart = DataSkipping.tableVersions(spark, baseTable)
+      .maxOption.getOrElse(0L)
     val q = withStart.load()
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -334,6 +348,8 @@ object IncrementalView {
       }
       .start()
     q.awaitTermination()
+    MaterializedViews.onMaintained(spark, MaterializedViews.MvSpec(
+      baseTable, viewTable, groupCol, valueCol, "min_max"), vStart)
     readView(spark, viewTable, groupCol)
   }
 
