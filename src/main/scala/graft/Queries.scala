@@ -6477,6 +6477,59 @@ object Queries {
                      'marker')
             ORDER BY leg, event_type"""))
 
+  // The SQL lifecycle of the same feature: CREATE INCREMENTAL VIEW
+  // bootstraps the maintained aggregate, DML runs as SQL statements,
+  // REFRESH INCREMENTAL VIEW re-drains from the view's own sidecar
+  // (path-only — spec + checkpoint are self-described), and a PLAIN
+  // spark.sql grouped aggregate is then silently answered by the view
+  // (marker: no logical Aggregate). The oracle replays the DML
+  // program and recomputes the aggregate from scratch.
+  val sqlMv = QueryDef(
+    "q_sql_mv",
+    (s, d) => {
+      import graft.sources.{DataSkipping, GraftSql}
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val root = java.nio.file.Files.createTempDirectory("graft_sqm").toString
+      val base = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      DataSkipping.writeWithStats(
+        ev.repartitionByRange(8, col("user_id")), base,
+        statsCols = Seq("user_id"), bloomCols = Nil, changeFeed = true)
+      GraftSql.sql(s, s"CREATE INCREMENTAL VIEW '$root/view' AS " +
+        s"SUM(user_id) OF '$base' GROUP BY event_type " +
+        s"CHECKPOINT '$root/ckpt'")
+      GraftSql.sql(s,
+        s"DELETE FROM '$base' WHERE user_id >= 70 AND user_id < 90")
+      GraftSql.sql(s,
+        s"UPDATE '$base' SET event_type = 'promo' WHERE user_id < 10")
+      GraftSql.sql(s, s"REFRESH INCREMENTAL VIEW '$root/view'")
+      s.read.format("graft").load(base).createOrReplaceTempView("sqm_base")
+      val q = s.sql("SELECT event_type, sum(user_id) AS sum_uid, " +
+        "count(*) AS cnt FROM sqm_base GROUP BY event_type")
+      val served = q.queryExecution.optimizedPlan.collectFirst {
+        case a: Aggregate => a
+      }.isEmpty
+      q.withColumn("leg", lit("data"))
+        .unionByName(s.range(1).select(
+          lit(s"served=$served").as("event_type"),
+          lit(-1L).as("sum_uid"), lit(-1L).as("cnt"),
+          lit("marker").as("leg")))
+        .orderBy("leg", "event_type")
+    },
+    Some("""WITH s1 AS (
+              SELECT event_id, user_id,
+                CASE WHEN user_id < 10 THEN 'promo' ELSE event_type END
+                  AS event_type
+              FROM events WHERE NOT (user_id >= 70 AND user_id < 90))
+            SELECT * FROM (
+              SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+                     COUNT(*) AS cnt, 'data' AS leg
+              FROM s1 GROUP BY event_type
+              UNION ALL
+              SELECT 'served=true', -1, -1, 'marker')
+            ORDER BY leg, event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, dailySnapshotsQ, cdcChanges,
     scd2, scd2Apply,
@@ -6502,5 +6555,5 @@ object Queries {
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, groupCountPushdown, checkConstraints, generatedColQ, genPartitionPrune,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
-    incrementalAgg, incrementalMinMax, incrementalMoments, mvRewrite, scd2Stream)
+    incrementalAgg, incrementalMinMax, incrementalMoments, mvRewrite, sqlMv, scd2Stream)
 }

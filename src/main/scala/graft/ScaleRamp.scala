@@ -97,7 +97,8 @@ object ScaleRamp {
     // a storage-only selection may scale far past 51 (the 100x =
     // 1,600-file decade).
     val syntheticOnly = only.exists(_.forall(n =>
-      n.startsWith("storage_") || n.startsWith("scd2_")))
+      n.startsWith("storage_") || n.startsWith("scd2_") ||
+        n.startsWith("mv_")))
     val maxScale = if (syntheticOnly) 1000 else 51
     require(scaleN >= 2 && scaleN <= maxScale,
       s"SPARK_GRAFT_RAMP_SCALE must be in [2, $maxScale] for this op " +
@@ -447,6 +448,32 @@ object ScaleRamp {
         DataSkipping.checkpointManifest(spark, pc, retentionMs = 0L)
         k -> (p, pc)
       }.toMap, "storage_commits")
+
+    // r18 MATERIALIZED-VIEW ANSWERING ramp: base-table rows ramp
+    // 32k*k while the GROUP CARDINALITY is held fixed (1,000 groups),
+    // so the maintained sum/count view's size never moves — the
+    // served aggregate (GraftMvRewrite answering from the fresh view)
+    // must stay ~flat across the decade while the same query with a
+    // cold registry re-aggregates the whole base and ramps with it.
+    // That flat-vs-ramp gap IS the rewrite's 100 TB value: O(view)
+    // answering of an O(table) question.
+    val mvPaths = gatedMap(
+      if (!selected(Set("mv_serve", "mv_base")))
+        Map.empty[Int, (String, String)]
+      else scales.map { k =>
+        val b = s"$work/mv_base_x$k"
+        val v = s"$work/mv_view_x$k"
+        val n = 32000L * k
+        DataSkipping.writeWithStats(
+          spark.range(n).select(col("id"),
+            concat(lit("g"), pmod(col("id"), lit(1000L))).as("g"),
+            (col("id") * 3 + 1).as("v"))
+            .repartitionByRange(16 * k, col("id")),
+          b, Seq("id"), bloomCols = Nil, changeFeed = true)
+        graft.streaming.IncrementalView.maintainSumCount(spark, b, v,
+          "g", "v", s"$work/mv_ckpt_x$k")
+        k -> (b, v)
+      }.toMap, "mv")
 
     // r18 CONFLICT-COST rows: the same half-table UPDATE timed
     // (a) race-free, (b) losing a deterministic DISJOINT race (tiny
@@ -833,7 +860,29 @@ object ScaleRamp {
       // part, so the read must be ~flat across the decade — the
       // maintenance answer to the row above
       "storage_commit_ckpt_read" -> (k => DataSkipping.readSkipping(
-        spark, commitPaths(k)._2, col("id") >= 100L && col("id") < 200L)))
+        spark, commitPaths(k)._2, col("id") >= 100L && col("id") < 200L)),
+      // r18: the grouped aggregate ANSWERED BY the fresh maintained
+      // view (attach = one sidecar read, an honest part of serving
+      // cost); the plan must have no Aggregate — a silently-unserved
+      // run would invalidate the flat claim, so it fails loudly
+      "mv_serve" -> { k =>
+        val (b, v) = mvPaths(k)
+        graft.sources.MaterializedViews.attach(spark, v)
+        val df = spark.read.format("graft").load(b)
+          .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        require(df.queryExecution.optimizedPlan.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty, s"mv_serve x$k was not answered by the view")
+        df
+      },
+      // …and the SAME query with a cold registry: the always-correct
+      // base re-aggregation, expected to ramp with the table
+      "mv_base" -> { k =>
+        val (b, _) = mvPaths(k)
+        graft.sources.MaterializedViews.clear()
+        spark.read.format("graft").load(b)
+          .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      })
 
     // warm every op once at 1x (JIT/codegen), then time scales in
     // ascending order with min-of-N and a cache clear per attempt

@@ -137,6 +137,12 @@ object GraftSql {
     s"""(?is)^\\s*SCORE\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s*;?\\s*$$""".r
   private val VectorSearchStmt =
     s"""(?is)^\\s*VECTOR\\s+SEARCH\\s+($R)\\s+USING\\s+($R)\\s+ON\\s*\\(\\s*($C)\\s*,\\s*($C)\\s*\\)\\s+TOP\\s+(\\d+)\\s*(?:PROBE\\s+(\\d+))?\\s*;?\\s*$$""".r
+  // the CHECKPOINT operand is a stream-checkpoint DIRECTORY, not a
+  // table — always a quoted path, never a catalog name
+  private val CreateIncView =
+    s"""(?is)^\\s*CREATE\\s+INCREMENTAL\\s+VIEW\\s+($R)\\s+AS\\s+(SUM|MINMAX|MOMENTS)\\s*\\(\\s*($C)\\s*\\)\\s+OF\\s+($R)\\s+GROUP\\s+BY\\s+($C)\\s+CHECKPOINT\\s+'([^']+)'\\s*;?\\s*$$""".r
+  private val RefreshIncView =
+    s"""(?is)^\\s*REFRESH\\s+INCREMENTAL\\s+VIEW\\s+($R)\\s*;?\\s*$$""".r
 
   /** `'label' <fraction>` pairs of a RATES/FRACTIONS list, order
     * preserved. Refuses malformed entries with the statement text —
@@ -513,6 +519,15 @@ object GraftSql {
       case Reorg(t) => ref(t).map(ReorgGraftCommand(_))
       case Checkpoint(t) => ref(t).map(CheckpointGraftCommand(_))
       case ShowIndexes(t) => ref(t).map(ShowIndexesGraftCommand(_))
+      case CreateIncView(v, kindTok, valTok, b, gTok, ck) =>
+        for { vp <- ref(v); bp <- ref(b) } yield
+          MaintainViewGraftCommand(vp, bp, colName(gTok), colName(valTok),
+            kindTok.toUpperCase match {
+              case "SUM" => "sum_count"
+              case "MINMAX" => "min_max"
+              case _ => "moments"
+            }, ck)
+      case RefreshIncView(v) => ref(v).map(RefreshViewGraftCommand(_))
       // IDENTITY must match before the generic generated-expression
       // form (its expression body would otherwise swallow "IDENTITY")
       case AddIdentity(t, colName, start, step) =>
@@ -773,6 +788,57 @@ case class CheckpointGraftCommand(path: String)
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(DataSkipping.checkpointManifest(spark, path)))
+}
+
+/** `CREATE INCREMENTAL VIEW '<view>' AS SUM|MINMAX|MOMENTS(<value>)
+  * OF '<base>' GROUP BY <group> CHECKPOINT '<dir>'` → bootstrap (or
+  * refresh, if the view exists — the maintainers are idempotent entry
+  * points) the incrementally-maintained aggregate view
+  * ([[graft.streaming.IncrementalView]]). Returns (view, live group
+  * count). Like the maintenance family, the command runs when the
+  * statement executes — the drain is inherently eager.
+  */
+case class MaintainViewGraftCommand(view: String, base: String,
+    groupCol: String, valueCol: String, kind: String, checkpoint: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("groups", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val served = kind match {
+      case "sum_count" => graft.streaming.IncrementalView.maintainSumCount(
+        spark, base, view, groupCol, valueCol, checkpoint)
+      case "min_max" => graft.streaming.IncrementalView.maintainMinMax(
+        spark, base, view, groupCol, valueCol, checkpoint)
+      case "moments" => graft.streaming.IncrementalView.maintainMeanVar(
+        spark, base, view, groupCol, valueCol, checkpoint)
+      case other => sys.error(s"unknown incremental-view kind $other")
+    }
+    Seq(Row(view, served.count()))
+  }
+}
+
+/** `REFRESH INCREMENTAL VIEW '<view>'` → re-drain the view's change
+  * feed using the spec + checkpoint its `_mv.json` sidecar declares
+  * (the view is self-describing, so refresh needs only the path).
+  */
+case class RefreshViewGraftCommand(view: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("groups", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (spec, checkpoint) = MaterializedViews.specOf(spark, view)
+    require(checkpoint.nonEmpty,
+      s"$view's sidecar predates checkpoint tracking — refresh it " +
+        "once via IncrementalView.maintain* to upgrade")
+    MaintainViewGraftCommand(view, spec.base, spec.groupCol,
+      spec.valueCol, spec.kind, checkpoint).run(spark)
+  }
 }
 
 /** `SHOW INDEXES '<path>'` → the table's standing vector-index

@@ -130,17 +130,19 @@ object MaterializedViews {
   /** Persist the spec sidecar at the view root (write-aside + atomic
     * rename — crash leaves old or new, never truncated), register,
     * and advance the freshness watermark to `foldedVersion`. Called
-    * by the maintainers after every successful drain.
+    * by the maintainers after every successful drain. The stream
+    * checkpoint rides the sidecar so `REFRESH INCREMENTAL VIEW` can
+    * resume maintenance from the path alone.
     */
   private[graft] def onMaintained(spark: SparkSession, spec: MvSpec,
-      foldedVersion: Long): Unit = {
+      checkpoint: String, foldedVersion: Long): Unit = {
     val fs = new Path(spec.view)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val specPath = new Path(spec.view, SpecFile)
     val json = DataSkipping.constraintsToJson(Map(
       "base" -> qualified(spark, spec.base),
       "groupCol" -> spec.groupCol, "valueCol" -> spec.valueCol,
-      "kind" -> spec.kind))
+      "kind" -> spec.kind, "checkpoint" -> checkpoint))
     val existing =
       if (!fs.exists(specPath)) None
       else {
@@ -162,12 +164,10 @@ object MaterializedViews {
     stampFoldedVersion(spark, spec.view, foldedVersion)
   }
 
-  /** Re-register a view from its `_mv.json` sidecar in a session that
-    * did not run the maintenance (the cross-session serving path).
-    * Returns the spec; registration still applies the exact-value
-    * check against the CURRENT base schema.
+  /** The spec a view's `_mv.json` sidecar declares, plus the stream
+    * checkpoint its maintenance runs against.
     */
-  def attach(spark: SparkSession, viewPath: String): MvSpec = {
+  def specOf(spark: SparkSession, viewPath: String): (MvSpec, String) = {
     val fs = new Path(viewPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(viewPath, SpecFile)
@@ -177,8 +177,18 @@ object MaterializedViews {
     val json = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val m = DataSkipping.constraintsFromJson(json)
-    val spec = MvSpec(m("base"), qualified(spark, viewPath),
-      m("groupCol"), m("valueCol"), m("kind"))
+    (MvSpec(m("base"), qualified(spark, viewPath),
+      m("groupCol"), m("valueCol"), m("kind")),
+      m.getOrElse("checkpoint", ""))
+  }
+
+  /** Re-register a view from its `_mv.json` sidecar in a session that
+    * did not run the maintenance (the cross-session serving path).
+    * Returns the spec; registration still applies the exact-value
+    * check against the CURRENT base schema.
+    */
+  def attach(spark: SparkSession, viewPath: String): MvSpec = {
+    val spec = specOf(spark, viewPath)._1
     register(spark, spec)
     spec
   }

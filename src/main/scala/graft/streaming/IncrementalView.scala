@@ -141,7 +141,7 @@ object IncrementalView {
       .start()
     q.awaitTermination()
     MaterializedViews.onMaintained(spark, MaterializedViews.MvSpec(
-      baseTable, viewTable, groupCol, valueCol, "sum_count"), vStart)
+      baseTable, viewTable, groupCol, valueCol, "sum_count"), checkpoint, vStart)
     readView(spark, viewTable, groupCol)
   }
 
@@ -224,7 +224,7 @@ object IncrementalView {
       .start()
     q.awaitTermination()
     MaterializedViews.onMaintained(spark, MaterializedViews.MvSpec(
-      baseTable, viewTable, groupCol, valueCol, "moments"), vStart)
+      baseTable, viewTable, groupCol, valueCol, "moments"), checkpoint, vStart)
     readView(spark, viewTable, groupCol)
   }
 
@@ -349,7 +349,7 @@ object IncrementalView {
       .start()
     q.awaitTermination()
     MaterializedViews.onMaintained(spark, MaterializedViews.MvSpec(
-      baseTable, viewTable, groupCol, valueCol, "min_max"), vStart)
+      baseTable, viewTable, groupCol, valueCol, "min_max"), checkpoint, vStart)
     readView(spark, viewTable, groupCol)
   }
 

@@ -540,4 +540,53 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(!bad.isInstanceOf[NumberFormatException], bad.getClass.getName)
   }
+
+  test("incremental-view statements: CREATE bootstraps, REFRESH folds, SQL aggregates are served") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val s = spark
+    val root = tmpDir("graft_sqlmv")
+    val base = s"$root/base"
+    DataSkipping.writeWithStats(
+      s.range(0, 500).select(col("id"),
+        concat(lit("g"), pmod(col("id"), lit(5))).as("g"),
+        (col("id") * 2).as("v")).repartition(3),
+      base, Seq("id"), bloomCols = Nil, changeFeed = true)
+    val res = GraftSql.sql(s,
+      s"CREATE INCREMENTAL VIEW '$root/view' AS SUM(v) OF '$base' " +
+        s"GROUP BY g CHECKPOINT '$root/ckpt'").head
+    assert(res.getString(0) == s"$root/view" && res.getLong(1) == 5L)
+    // DML then REFRESH, both through SQL — the refresh needs only the
+    // view path (spec + checkpoint ride the sidecar)
+    GraftSql.sql(s, s"DELETE FROM '$base' WHERE id % 4 = 1")
+    assert(GraftSql.sql(s,
+      s"REFRESH INCREMENTAL VIEW '$root/view'").head.getLong(1) == 5L)
+    // a PLAIN SQL aggregate over the base is silently answered by the
+    // view (no Aggregate in the plan) and matches a direct recompute
+    s.read.format("graft").load(base).createOrReplaceTempView("sqlmv_base")
+    val q = s.sql(
+      "SELECT g, sum(v) AS sv, count(*) AS c FROM sqlmv_base GROUP BY g ORDER BY g")
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate => a
+    }.isEmpty, "the fresh view must answer the SQL aggregate")
+    val expect = DataSkipping.readSkipping(s, base, col("id").isNotNull)
+      .groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .orderBy("g").collect().toSeq
+    assert(q.collect().toSeq == expect)
+    // MINMAX kind serves extrema from its own view
+    GraftSql.sql(s, s"CREATE INCREMENTAL VIEW '$root/view_mm' AS " +
+      s"MINMAX(v) OF '$base' GROUP BY g CHECKPOINT '$root/ckpt_mm'")
+    val qm = s.sql(
+      "SELECT g, min(v) AS lo, max(v) AS hi FROM sqlmv_base GROUP BY g ORDER BY g")
+    assert(qm.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate => a
+    }.isEmpty)
+    assert(qm.collect().toSeq == DataSkipping
+      .readSkipping(s, base, col("id").isNotNull)
+      .groupBy("g").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("g").collect().toSeq)
+    // REFRESH of a non-view path refuses loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(s, s"REFRESH INCREMENTAL VIEW '$base'")
+    }
+  }
 }
