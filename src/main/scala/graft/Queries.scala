@@ -6530,6 +6530,56 @@ object Queries {
               SELECT 'served=true', -1, -1, 'marker')
             ORDER BY leg, event_type"""))
 
+  // Optimized partitioned write: rows shuffle onto their partition
+  // values before the write job, so every directory gets ONE file per
+  // write instead of one per (task x value). Marker pins the physical
+  // claim three ways — fresh optimized write == 8 files (one per p
+  // value), the same input without the knob fans out past 8, and an
+  // all-values optimized APPEND adds exactly 8 more. Rows replay in
+  // the oracle (write routing must never change content).
+  val optimizedWriteQ = QueryDef(
+    "q_optimized_write",
+    (s, d) => {
+      import graft.sources.DataSkipping
+      val root = java.nio.file.Files.createTempDirectory("graft_owq").toString
+      val t = s"$root/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("p", pmod(col("user_id"), lit(8)))
+      val input = ev.filter(col("event_id") % 3 =!= 0)
+        .repartition(16, col("event_id"))
+      def files(p: String) = DataSkipping.readManifest(s, p)
+        .select("file").distinct().count()
+      DataSkipping.writeWithStats(input, s"$root/control",
+        statsCols = Seq("event_id"), bloomCols = Nil,
+        partitionBy = Seq("p"))
+      DataSkipping.writeWithStats(input, t,
+        statsCols = Seq("event_id"), bloomCols = Nil,
+        partitionBy = Seq("p"), optimizeWrite = true)
+      val freshFiles = files(t)
+      DataSkipping.appendWithStats(
+        ev.filter(col("event_id") % 3 === 0)
+          .repartition(16, col("event_id")),
+        t, Seq("event_id"), optimizeWrite = true)
+      val marker = s"fresh=${freshFiles == 8L}," +
+        s"fanout=${files(s"$root/control") > 8L}," +
+        s"append=${files(t) == freshFiles + 8L}"
+      DataSkipping.readSkipping(s, t, col("event_id").isNotNull)
+        .withColumn("leg", lit("data"))
+        .unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"), lit(marker).as("event_type"),
+          lit(-1L).as("p"), lit("marker").as("leg")))
+        .orderBy("leg", "event_id")
+    },
+    Some("""SELECT * FROM (
+              SELECT event_id, user_id, event_type, user_id % 8 AS p,
+                     'data' AS leg
+              FROM events
+              UNION ALL
+              SELECT -1, -1, 'fresh=true,fanout=true,append=true', -1,
+                     'marker')
+            ORDER BY leg, event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dimLoad, jsonExtract, latestSnapshot, currentInventory, dailySnapshotsQ, cdcChanges,
     scd2, scd2Apply,
@@ -6555,5 +6605,6 @@ object Queries {
     deleteUpdate, deleteDv, purgeDvQ, countMeta, minmaxMeta, aggPushdown, groupCountPushdown, checkConstraints, generatedColQ, genPartitionPrune,
     identityColQ, cloneQ,
     mergeUpsertQ, mergeEvolveQ, mergeDeleteQ, cdfChanges, restoreQ, sqlMaintenance, sqlDml, catalogQ, columnMapping, convertQ, convertPartitionedQ, writePartitioned, ddlPartitioned, mergeIntoQ,
-    incrementalAgg, incrementalMinMax, incrementalMoments, mvRewrite, sqlMv, scd2Stream)
+    incrementalAgg, incrementalMinMax, incrementalMoments, mvRewrite, sqlMv,
+    optimizedWriteQ, scd2Stream)
 }

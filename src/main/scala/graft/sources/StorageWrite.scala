@@ -259,11 +259,22 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
     vacuumTable(spark, path, RetentionDefaultMs)
   }
 
-  def writeWithStats(df: DataFrame, path: String, statsCols: Seq[String],
+  def writeWithStats(df0: DataFrame, path: String, statsCols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int = 1 << 16,
       bloomHashes: Int = 7, changeFeed: Boolean = false,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      optimizeWrite: Boolean = false): Unit = {
     require(statsCols.nonEmpty, "at least one stats column")
+    // OPTIMIZED WRITE (the Delta optimizeWrite analog): shuffle rows
+    // onto their partition values BEFORE the write job, so each
+    // partition directory gets ONE file per write instead of one per
+    // (task × value) — at ingest cadence the difference between
+    // O(writes) and O(writes × tasks) files for every later plan to
+    // list, stat and open. Splitting a genuinely huge partition value
+    // into well-sized files remains OPTIMIZE's job (post-hoc, size-
+    // aware); this knob only stops the small-file fan-out at birth.
+    val df = if (optimizeWrite && partitionBy.nonEmpty)
+      df0.repartition(partitionBy.map(col): _*) else df0
     val spark = df.sparkSession
     val bloom = if (bloomCols.isEmpty) None
       else Some((bloomCols, bloomBits, bloomHashes))
@@ -1002,15 +1013,21 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       .getOrElse(trackedCols(spark, dir).toSeq.sorted)
 
   def appendWithStats(
-      df0in: DataFrame, path: String, statsCols0: Seq[String],
+      df0raw: DataFrame, path: String, statsCols0: Seq[String],
       commitName: Option[String] = None,
       mergeSchema: Boolean = false,
       autoCompactSmallFiles: Option[Int] = None,
-      checkpointEveryCommits: Option[Int] = None): Boolean = {
-    val s0 = df0in.sparkSession
+      checkpointEveryCommits: Option[Int] = None,
+      optimizeWrite: Boolean = false): Boolean = {
+    val s0 = df0raw.sparkSession
     val f0 = new Path(path).getFileSystem(s0.sparkContext.hadoopConfiguration)
     val d0 = manifestDirOf(f0, path)
     val partCols0 = partitionColsIn(f0, d0)
+    // optimized write, same contract as [[writeWithStats]]: route the
+    // batch onto its partition values so each touched directory gains
+    // ONE file per append, not one per (task × value)
+    val df0in = if (optimizeWrite && partCols0.nonEmpty)
+      df0raw.repartition(partCols0.map(col): _*) else df0raw
     // idempotent-replay check FIRST: a replayed named commit must not
     // re-run the identity hook below (the watermark would advance and
     // burn a batch-sized id gap on every replay)
