@@ -188,6 +188,17 @@ object DataSkipping extends org.apache.spark.internal.Logging
     */
   val ClusteredFile = "_clustered.txt"
 
+  /** Per-generation vector-index model sidecar
+    * ([[VectorIndex]]): the frozen centroids/codebooks travel INSIDE
+    * the generation, so a rebuild's overwrite swaps (model, codes) as
+    * ONE atomic commit — a concurrent search can never pair new codes
+    * with an old model — and every DML/OPTIMIZE/checkpoint generation
+    * carries the model forward like the declarations. Versioned with
+    * the data: `metaAt(v)` + `readSkippingAt(v)` is a consistent
+    * index snapshot (index time travel).
+    */
+  val VIndexFile = "_vindex.txt"
+
   /** Per-generation change-data subdir (`v<N>/_change_data`): the
     * leading underscore hides it from the generation's own parquet
     * manifest read, and living INSIDE the generation dir makes it

@@ -450,7 +450,8 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
       clustered: Option[String] = None,
       observedParts: Option[Set[String]] = None,
       resetDeclarations: Boolean = false,
-      partitionColsNew: Option[Seq[String]] = None): Long = {
+      partitionColsNew: Option[Seq[String]] = None,
+      extraSidecars: Map[String, String] = Map.empty): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     // STRICT version targeting: commit exactly (observed generation
@@ -502,13 +503,22 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
     // travel / RESTORE, never in the new one.
     if (!resetDeclarations)
       Seq(ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile,
-          PartitionColsFile).foreach { n =>
+          PartitionColsFile, VIndexFile).foreach { n =>
         readSidecarIn(fs, dir, n).foreach { j =>
           val out = fs.create(new Path(build, n), true)
           try out.write(j.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
         }
       }
+    // caller-supplied generation sidecars (the vector-index model on
+    // a rebuild) override whatever the carry above brought forward —
+    // they land in the build dir, so the single _COMMIT create below
+    // makes them exactly as atomic as the manifest rows
+    extraSidecars.foreach { case (n, body) =>
+      val out = fs.create(new Path(build, n), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     partitionColsNew.filter(_.nonEmpty).foreach { cols =>
       val out = fs.create(new Path(build, PartitionColsFile), true)
       try out.write(cols.mkString("\n")

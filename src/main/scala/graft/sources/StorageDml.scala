@@ -563,7 +563,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     if (hasClusterState) return false
     val shapeSidecars = Seq(SchemaFile, ManifestSchemaFile, StatsColsFile,
       FeaturesFile, ConstraintsFile, ColMapFile, GeneratedFile,
-      IdentityFile, PartitionColsFile, ClusteredFile)
+      IdentityFile, PartitionColsFile, ClusteredFile, VIndexFile)
     if (shapeSidecars.exists(n =>
         readSidecarIn(fs, baseDir, n) != readSidecarIn(fs, winDir, n)))
       return false

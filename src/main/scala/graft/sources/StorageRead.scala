@@ -708,7 +708,7 @@ private[sources] trait StorageRead { this: DataSkipping.type =>
     // NOT the op record (the clone's history starts at CLONE)
     Seq(SchemaFile, StatsColsFile, FeaturesFile, ManifestSchemaFile,
       ConstraintsFile, ColMapFile, GeneratedFile, IdentityFile,
-      PartitionColsFile).foreach { n =>
+      PartitionColsFile, VIndexFile).foreach { n =>
       val p = new Path(srcDir, n)
       if (fs.exists(p))
         org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, new Path(build, n),

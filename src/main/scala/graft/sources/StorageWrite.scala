@@ -192,7 +192,8 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
   private[sources] def overwriteGeneration(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, df: DataFrame,
       statsCols: Seq[String], bloom: Option[(Seq[String], Int, Int)],
-      changeFeed: Boolean, partitionBy: Seq[String]): Unit =
+      changeFeed: Boolean, partitionBy: Seq[String],
+      extraSidecars: Map[String, String] = Map.empty): Unit =
       withConcurrentRetry("overwrite") {
     val opStart = System.currentTimeMillis()
     val dir = manifestDirOf(fs, path)
@@ -255,7 +256,8 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       changeData = None, op = "OVERWRITE", txn = None, dv = None,
       clustered = None, observedParts = Some(observed),
       resetDeclarations = true,
-      partitionColsNew = Some(partitionBy).filter(_.nonEmpty))
+      partitionColsNew = Some(partitionBy).filter(_.nonEmpty),
+      extraSidecars = extraSidecars)
     vacuumTable(spark, path, RetentionDefaultMs)
   }
 
@@ -263,7 +265,8 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       bloomCols: Seq[String], bloomBits: Int = 1 << 16,
       bloomHashes: Int = 7, changeFeed: Boolean = false,
       partitionBy: Seq[String] = Nil,
-      optimizeWrite: Boolean = false): Unit = {
+      optimizeWrite: Boolean = false,
+      extraSidecars: Map[String, String] = Map.empty): Unit = {
     require(statsCols.nonEmpty, "at least one stats column")
     // OPTIMIZED WRITE (the Delta optimizeWrite analog): shuffle rows
     // onto their partition values BEFORE the write job, so each
@@ -293,7 +296,7 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       // old files on the removal log — never the delete-then-recommit
       // swap (see overwriteGeneration)
       overwriteGeneration(spark, tfs, path, df, statsCols, bloom,
-        changeFeed, partitionBy)
+        changeFeed, partitionBy, extraSidecars)
     } else if (partitionBy.isEmpty) {
       stagedOverwrite(spark, path, s => df.write.mode("overwrite").parquet(s))
       val written = spark.read.parquet(path)
@@ -306,6 +309,7 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
         Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
           (if (changeFeed) Set(CdfFeature) else Set.empty),
         manifestSchema = Some(stats.schema))
+      writeExtraSidecars(spark, gen, extraSidecars)
       commitGen(spark, new Path(gen))
     } else {
       // Staged like the flat branch (write job first, destructive
@@ -351,9 +355,25 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       try out.write(partitionBy.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      writeExtraSidecars(spark, gen, extraSidecars)
       commitGen(spark, new Path(gen))
     }
   }
+
+  /** Caller-supplied generation sidecars for the FRESH-table write
+    * branches (the overwrite branch routes through
+    * [[publishGeneration]]'s own handling). Written before the
+    * `_COMMIT`, so they are atomic with the generation.
+    */
+  private def writeExtraSidecars(spark: SparkSession, gen: String,
+      extras: Map[String, String]): Unit =
+    extras.foreach { case (n, body) =>
+      val fs = new Path(gen).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new Path(gen, n), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
 
   /** CONVERT TO GRAFT (the Delta `CONVERT TO DELTA` analog): build a
     * stats-table manifest OVER an existing plain parquet directory —

@@ -95,13 +95,25 @@ object VectorIndex {
           Similarity.pqEncodeCol(col("__resid"), b).as("codes")))
       }
     // one file per cell is the serving layout: the append tail is
-    // compacted by normal OPTIMIZE cadence later
+    // compacted by normal OPTIMIZE cadence later. The model rides the
+    // SAME generation commit as the codes ([[DataSkipping.VIndexFile]]
+    // sidecar): a rebuild over a live index swaps (model, codes) in
+    // one atomic overwrite — a concurrent [[search]] can never pair
+    // new codes with an old model — and the superseded generation
+    // keeps ITS model for time travel ([[metaAt]]).
     DataSkipping.writeWithStats(
       coded.repartition(col("cid")), path,
       statsCols = Seq("id"), bloomCols = Nil,
-      partitionBy = Seq("cid"))
-    writeMeta(spark, path,
-      Meta(idCol, vecCol, dim, nCenters, m, ksub, residual, centroids, books))
+      partitionBy = Seq("cid"),
+      extraSidecars = Map(DataSkipping.VIndexFile -> serializeMeta(
+        Meta(idCol, vecCol, dim, nCenters, m, ksub, residual,
+          centroids, books))))
+    // a legacy root-level sidecar (pre-generation-model indexes)
+    // would shadow nothing — meta() prefers the generation — but
+    // remove it so the root never contradicts the served model
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new Path(path, MetaFile)
+    if (fs.exists(legacy)) fs.delete(legacy, false)
   }
 
   // ------------------------------------------------------------------
@@ -145,7 +157,13 @@ object VectorIndex {
     */
   def search(spark: SparkSession, queries: DataFrame, path: String,
       k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
-    val mt = meta(spark, path)
+    // SNAPSHOT consistency under concurrent rebuild/OPTIMIZE: pin ONE
+    // version and take BOTH the model and the codes from it — the
+    // model sidecar lives inside the generation, so (model, codes)
+    // can never mix epochs. Legacy tables without generations fall
+    // back to the unpinned read + root sidecar.
+    val pin = DataSkipping.tableVersions(spark, path).maxOption
+    val mt = pin.map(metaAt(spark, path, _)).getOrElse(meta(spark, path))
     require(nProbe >= 1 && nProbe <= mt.nCenters, "1 <= nProbe <= nCenters")
     graft.plans.GraftFunctions.register(spark)
     val probes0 = queries
@@ -163,7 +181,7 @@ object VectorIndex {
           probes0.select(col("query_id"),
             col("query_id").as("neighbor_id"), lit(0.0).as("cosine")),
           k).schema)
-    val coded = probedScan(spark, path, cids)
+    val coded = probedScan(spark, path, cids, pin)
     val probes =
       if (!mt.residual) probes0
       else probes0.join(broadcast(centroidFrame(spark, mt.centroids)), Seq("cid"))
@@ -181,8 +199,12 @@ object VectorIndex {
     * can assert the FILE SUBSET property (`inputFiles` of this frame
     * vs the manifest) independently of search results.
     */
-  def probedScan(spark: SparkSession, path: String, cids: Seq[Int]): DataFrame =
-    DataSkipping.readSkipping(spark, path, col("cid").isin(cids: _*))
+  def probedScan(spark: SparkSession, path: String, cids: Seq[Int],
+      version: Option[Long] = None): DataFrame =
+    version.fold(
+        DataSkipping.readSkipping(spark, path, col("cid").isin(cids: _*)))(
+        v => DataSkipping.readSkippingAt(spark, path, v,
+          col("cid").isin(cids: _*)))
       .select(col("id"), col("cid"), col("codes"))
 
   /** Per-cell corpus balance — `(cid, n_vectors)`, the serving-health
@@ -198,23 +220,61 @@ object VectorIndex {
     spark.read.format("graft").load(path)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
 
-  /** The frozen model, exactly as built (floats restored from raw
-    * bits). Fails loudly if `path` holds no index sidecar.
+  /** The frozen model serving the CURRENT generation (the
+    * [[DataSkipping.VIndexFile]] sidecar), falling back to the legacy
+    * root-level file for pre-generation-model indexes. Fails loudly
+    * if `path` holds neither.
     */
   def meta(spark: SparkSession, path: String): Meta = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(path, MetaFile)
-    require(fs.exists(p), s"no vector index at $path (missing $MetaFile)")
-    val in = fs.open(p)
-    val text =
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    DataSkipping.readSidecarIn(fs,
+        DataSkipping.manifestDirOf(fs, path), DataSkipping.VIndexFile)
+      .map(parseMeta(_, path))
+      .getOrElse {
+        val p = new Path(path, MetaFile)
+        require(fs.exists(p), s"no vector index at $path (no " +
+          s"${DataSkipping.VIndexFile} generation sidecar or legacy $MetaFile)")
+        val in = fs.open(p)
+        val text =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        parseMeta(text, path)
+      }
+  }
+
+  /** The model that served VERSION `v` — paired with
+    * `readSkippingAt(path, v)` this is a consistent historical index
+    * snapshot (bounded by the vacuum retention, like all time
+    * travel).
+    */
+  def metaAt(spark: SparkSession, path: String, version: Long): Meta = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = s"$path/${DataSkipping.StatsDir}/v$version"
+    DataSkipping.readSidecarIn(fs, gen, DataSkipping.VIndexFile)
+      .map(parseMeta(_, path))
+      .getOrElse {
+        // a retained pre-model generation of a since-rebuilt index
+        // has no model of its own; the legacy root file is the only
+        // candidate — loud failure otherwise
+        val p = new Path(path, MetaFile)
+        require(fs.exists(p),
+          s"version $version of $path carries no index model")
+        val in = fs.open(p)
+        val text =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        parseMeta(text, path)
+      }
+  }
+
+  private def parseMeta(text: String, path: String): Meta = {
     val kv = text.linesIterator.filter(_.contains(' '))
       .map { l => val i = l.indexOf(' '); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     require(kv.get("format").contains("graft-vector-index-v1"),
-      s"unrecognized vector-index sidecar format at $p")
+      s"unrecognized vector-index sidecar format at $path")
     val dim = kv("dim").toInt
     val nCenters = kv("ncenters").toInt
     val m = kv("m").toInt
@@ -262,8 +322,7 @@ object VectorIndex {
       centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("cid", "__cvec")
 
-  private def writeMeta(spark: SparkSession, path: String, mt: Meta): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def serializeMeta(mt: Meta): String = {
     val dsub = mt.dim / mt.m
     val sb = new StringBuilder
     sb.append("format graft-vector-index-v1\n")
@@ -285,8 +344,6 @@ object VectorIndex {
       yield java.lang.Float.floatToRawIntBits(mt.codebooks(j)(c)(x)))
       .mkString(","))
     sb.append("\n")
-    val out = fs.create(new Path(path, MetaFile), true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    sb.toString
   }
 }

@@ -165,10 +165,55 @@ class VectorIndexSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 5)
     val before = rows(VectorIndex.search(s, queries, idx, k = 5, nProbe = 3))
     // maintenance on the coded table must not disturb the index:
-    // compaction folds the cells' files, the sidecar rides at root
+    // compaction folds the cells' files and must CARRY the model
+    // sidecar into its new generation (the root legacy file is gone
+    // after build, so a dropped carry fails loudly here)
     DataSkipping.compactTable(s, idx, targetFileBytes = 64L * 1024 * 1024,
       vacuum = false)
     assert(rows(VectorIndex.search(s, queries, idx, k = 5, nProbe = 3))
       === before)
+  }
+
+  test("rebuild swaps (model, codes) in ONE atomic generation; superseded snapshots keep their own model") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf)
+    val idx = s"${tmp()}/idx"
+    VectorIndex.build(s, emb, "vec_id", "embedding", idx,
+      nCenters = 8, m = 8, ksub = 16,
+      coarseSeedIds = Some(coarseSeeds), pqSeedIds = Some(pqSeeds))
+    val v0 = DataSkipping.tableVersions(s, idx).max
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(VectorIndex.meta(s, idx).nCenters == 8)
+    // CREATE OR REPLACE retrain: different cell count AND coding mode
+    // over the live index — one overwrite generation carrying the new
+    // model, old files on the removal log
+    VectorIndex.build(s, emb, "vec_id", "embedding", idx,
+      nCenters = 4, m = 8, ksub = 16,
+      coarseSeedIds = Some(coarseSeeds.take(4)), pqSeedIds = Some(pqSeeds),
+      residual = true)
+    val v1 = DataSkipping.tableVersions(s, idx).max
+    assert(v1 > v0, "a rebuild must commit a NEW generation")
+    val mt2 = VectorIndex.meta(s, idx)
+    assert(mt2.nCenters == 4 && mt2.residual)
+    // the swapped index equals the query-time pipeline under the new
+    // model — codes and model cannot have mixed epochs
+    val direct = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nCenters = 4, nProbe = 2, m = 8, ksub = 16,
+      coarseSeedIds = Some(coarseSeeds.take(4)), pqSeedIds = Some(pqSeeds),
+      residual = true)
+    assert(rows(VectorIndex.search(s, queries, idx, k = 5, nProbe = 2))
+      === rows(direct))
+    // the superseded generation is a CONSISTENT historical snapshot:
+    // its own model (8 cells, raw) paired with its own coding — the
+    // old cells are still there at v0 while the live table has 4
+    val mt0 = VectorIndex.metaAt(s, idx, v0)
+    assert(mt0.nCenters == 8 && !mt0.residual)
+    assert(VectorIndex.probedScan(s, idx, 0 until 8, Some(v0))
+      .select("cid").distinct().count() == 8L)
+    assert(VectorIndex.probedScan(s, idx, 0 until 8, None)
+      .select("cid").distinct().count() == 4L)
+    // no root-level legacy sidecar survives to contradict any epoch
+    val fs = new Path(idx).getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(idx, VectorIndex.MetaFile)))
   }
 }
