@@ -862,7 +862,13 @@ case class ShowIndexesGraftCommand(path: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, VectorIndex.MetaFile)))
+    // resolution order mirrors VectorIndex.meta: the generation
+    // sidecar is where build() has put the model since it became
+    // version-pinned; the root-level file only serves legacy indexes
+    val hasSidecar = DataSkipping.readSidecarIn(fs,
+      DataSkipping.manifestDirOf(fs, path), DataSkipping.VIndexFile).nonEmpty
+    if (!hasSidecar &&
+        !fs.exists(new org.apache.hadoop.fs.Path(path, VectorIndex.MetaFile)))
       Seq.empty
     else {
       val mt = VectorIndex.meta(spark, path)
