@@ -92,7 +92,115 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
       f == "nulls" || f == CdfFeature || f == PartitionedFeature ||
         f.startsWith("bloom:"))
 
-  private[sources] def readManifestIn(spark: SparkSession, dir: String): DataFrame = {
+  private[sources] def readManifestIn(spark: SparkSession, dir: String): DataFrame =
+    manifestScan(spark, dir, None, tagged = false)
+
+  // -----------------------------------------------------------------
+  // Manifest row cache (driver-side, content-keyed)
+  //
+  // Every plan, DML candidate probe and generation carry reads the
+  // manifest; as a distributed parquet read each such touch is a full
+  // Spark action (plan + schedule + scan) over a frame that is
+  // typically a few KB. The cache holds each manifest PART's rows
+  // driver-side, keyed by (dir, part name, part length) — parts are
+  // write-once (appends add new UUID-named files, generations are new
+  // dirs), so a key can never serve stale rows — and serves reads as
+  // LocalRelations: filters/collects fold driver-side
+  // (ConvertToLocalRelation), `statusesOf` stops being a job, and the
+  // commit path's carried-row reads cost no scan. Size-gated like the
+  // Delta snapshot cache: a read whose pinned parts exceed the local
+  // budget keeps the distributed route (the 100 TB manifest never
+  // lands on the driver), and the cache evicts LRU past its cap.
+  // -----------------------------------------------------------------
+
+  private case class ManifestPart(name: String, len: Long, rows: Seq[Row])
+
+  private val manifestPartCache =
+    new java.util.LinkedHashMap[String, ManifestPart](256, 0.75f, true)
+  private val manifestCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Budget for serving one manifest read driver-side (sum of its
+    * parts' compressed bytes) — reads past it stay distributed.
+    */
+  private def maxLocalManifestBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.maxLocalBytes")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+
+  /** Total cache capacity (compressed-part-size proxy). */
+  private def manifestCacheCapBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.cacheBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+
+  /** Test/diagnostic hook. */
+  private[sources] def clearManifestCache(): Unit =
+    manifestPartCache.synchronized {
+      manifestPartCache.clear()
+      manifestCacheBytes.set(0L)
+    }
+
+  private def cacheGet(key: String): Option[ManifestPart] =
+    manifestPartCache.synchronized(Option(manifestPartCache.get(key)))
+
+  private def cachePut(spark: SparkSession, key: String, part: ManifestPart): Unit =
+    manifestPartCache.synchronized {
+      if (!manifestPartCache.containsKey(key)) {
+        manifestPartCache.put(key, part)
+        manifestCacheBytes.addAndGet(part.len)
+        val cap = manifestCacheCapBytes(spark)
+        val it = manifestPartCache.entrySet().iterator()
+        while (manifestCacheBytes.get() > cap && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            manifestCacheBytes.addAndGet(-e.getValue.len)
+            it.remove()
+          }
+        }
+      }
+    }
+
+  /** Per-part manifest rows for `wanted`, driver-side, or None when
+    * the read exceeds the local budget. Missing parts are fetched in
+    * ONE schema'd Spark read (tagged with their source path) and
+    * cached; zero-row parts (named commit markers) cache as empty.
+    */
+  private def localManifestParts(spark: SparkSession, dir: String,
+      wanted: Seq[FileStatus], schema: StructType): Option[Seq[ManifestPart]] = {
+    if (wanted.map(_.getLen).sum > maxLocalManifestBytes(spark)) return None
+    // the MANIFEST SCHEMA is part of the key: evolution widens the
+    // sidecar in place, and rows cached under the old width must not
+    // serve a read declared at the new one (the parquet reader fills
+    // the added columns with nulls; the cache must re-read to match)
+    val schemaTag = scala.util.hashing.MurmurHash3.stringHash(schema.json)
+    def keyOf(f: FileStatus) = s"$dir#$schemaTag#${f.getPath.getName}#${f.getLen}"
+    val missing = wanted.filter(f => cacheGet(keyOf(f)).isEmpty)
+    if (missing.nonEmpty) {
+      val collected = spark.read.schema(schema)
+        .parquet(missing.map(_.getPath.toString): _*)
+        .select(col("*"), col("_metadata.file_path").as("__mfile"))
+        .collect()
+      val byName: Map[String, Seq[Row]] = collected.toSeq
+        .groupBy(r => new Path(r.getString(schema.length)).getName)
+        .view.mapValues(_.map(r => Row.fromSeq(r.toSeq.dropRight(1)))).toMap
+      missing.foreach { f =>
+        val n = f.getPath.getName
+        cachePut(spark, keyOf(f),
+          ManifestPart(n, f.getLen, byName.getOrElse(n, Seq.empty)))
+      }
+    }
+    Some(wanted.map(f => cacheGet(keyOf(f)).getOrElse(
+      // evicted between put and get under heavy contention — re-read
+      // is always correct, just give up on the local route this time
+      return None)))
+  }
+
+  /** The one manifest read everything plans through. `pin` restricts
+    * to an explicit part-name set (the optimistic writers' observed
+    * set); `tagged` appends a `__mfile` column carrying each row's
+    * source manifest file path (what the distributed route reads from
+    * `_metadata.file_path`) for marker-fold provenance.
+    */
+  private[sources] def manifestScan(spark: SparkSession, dir: String,
+      pin: Option[Set[String]], tagged: Boolean): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val unknown = unknownFeatures(manifestFeatures(fs, dir))
     require(unknown.isEmpty,
@@ -101,10 +209,58 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
         "implement — refusing to read rather than silently ignoring them " +
         "(a newer writer's stats encoding or visibility rule could make an " +
         "ignorant read wrong, not just slow); upgrade the library")
+    def distributed(schema: Option[StructType]): DataFrame = {
+      val base = schema match {
+        case Some(s) => pin match {
+          case Some(names) => spark.read.schema(s)
+            .parquet(names.toSeq.sorted.map(n => s"$dir/$n"): _*)
+          case None => spark.read.schema(s).parquet(dir)
+        }
+        case None => pin match {
+          case Some(names) => spark.read.option("mergeSchema", "true")
+            .parquet(names.toSeq.sorted.map(n => s"$dir/$n"): _*)
+          case None => spark.read.option("mergeSchema", "true").parquet(dir)
+        }
+      }
+      if (tagged) base.select(col("*"), col("_metadata.file_path").as("__mfile"))
+      else base
+    }
     readSidecar(spark, dir, ManifestSchemaFile) match {
+      case None => distributed(None) // legacy manifest: merged footers
       case Some(json) =>
-        spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType]).parquet(dir)
-      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+        val schema = DataType.fromJson(json).asInstanceOf[StructType]
+        val p = new Path(dir)
+        val listed =
+          if (fs.exists(p)) fs.listStatus(p).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          else Seq.empty
+        val wanted = pin match {
+          case Some(names) =>
+            val got = listed.filter(f => names(f.getPath.getName))
+            // a pinned name missing from the dir would fail the
+            // distributed read loudly — keep that behavior
+            if (got.size != names.size) return distributed(Some(schema))
+            got.sortBy(_.getPath.getName)
+          case None => listed.sortBy(_.getPath.getName)
+        }
+        localManifestParts(spark, dir, wanted, schema) match {
+          case None => distributed(Some(schema))
+          case Some(parts) =>
+            val outSchema =
+              if (tagged) StructType(schema.fields :+
+                StructField("__mfile", org.apache.spark.sql.types.StringType,
+                  nullable = false))
+              else schema
+            val rows: Seq[Row] = parts.flatMap { part =>
+              if (tagged) part.rows.map(r =>
+                Row.fromSeq(r.toSeq :+ s"$dir/${part.name}"))
+              else part.rows
+            }
+            spark.createDataFrame(
+              new java.util.ArrayList[Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+              outSchema)
+        }
     }
   }
 
@@ -161,24 +317,9 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
     * ridden forward verbatim at publish — or wholly inside it).
     */
   private[sources] def readManifestPinned(spark: SparkSession, dir: String,
-      names: Set[String]): DataFrame = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val unknown = unknownFeatures(manifestFeatures(fs, dir))
-    require(unknown.isEmpty,
-      s"manifest at $dir requires table feature(s) " +
-        s"[${unknown.toSeq.sorted.mkString(", ")}] this build does not implement")
+      names: Set[String]): DataFrame =
     if (names.isEmpty) readManifestIn(spark, dir).limit(0)
-    else {
-      val paths = names.toSeq.sorted.map(n => s"$dir/$n")
-      readSidecar(spark, dir, ManifestSchemaFile) match {
-        case Some(json) =>
-          spark.read.schema(DataType.fromJson(json).asInstanceOf[StructType])
-            .parquet(paths: _*)
-        case None =>
-          spark.read.option("mergeSchema", "true").parquet(paths: _*)
-      }
-    }
-  }
+    else manifestScan(spark, dir, Some(names), tagged = false)
 
   /** Complete a torn LEGACY manifest swap: the pre-generation
     * compactTable swapped via delete + rename — a crash between the

@@ -411,7 +411,9 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       // marker past the retention cutoff is NOT preserved verbatim:
       // publishGeneration drops it, so its surviving rows must travel
       // in the carried parts instead.
-      val tagged = aManifest.select(col("*"), col("_metadata.file_path").as("__mfile"))
+      // source-file provenance rides as a __mfile column served by the
+      // manifest scan itself (the local cache route has no _metadata)
+      val tagged = manifestScan(spark, aDir, aPin, tagged = true)
       // the touched list rides as a broadcast local relation, not an
       // O(touched) IN literal — a whole-table MERGE would otherwise
       // bake every file path into this plan's expression tree
@@ -663,17 +665,27 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       return 0L
     }
     val files = touched.map(_._1)
-    val keep = touchedScan.filter(!hit)
-    // CDF: the deleted rows themselves, one extra scan of ONLY the
-    // touched files (bounded by the delete's selectivity, not the
-    // table)
-    val changes =
-      if (!cdfEnabled(fs, dir)) None
-      else Some(touchedScan.filter(hit)
-        .withColumn(ChangeTypeCol, lit("delete")))
-    rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(keep),
-      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE",
-      observedParts = Some(observed), readSkip = Some(skip))
+    // With the feed on, the touched rows feed BOTH the rewrite and the
+    // change images — persist so the files are scanned once, not twice
+    // (storage is O(touched rows), the same bound the change images'
+    // checkpoint already had)
+    val cdf = cdfEnabled(fs, dir)
+    val src = if (cdf)
+      touchedScan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else touchedScan
+    try {
+      val keep = src.filter(!hit)
+      // CDF: the deleted rows themselves — read from the shared
+      // persisted scan (bounded by the delete's selectivity, not the
+      // table)
+      val changes =
+        if (!cdf) None
+        else Some(src.filter(hit)
+          .withColumn(ChangeTypeCol, lit("delete")))
+      rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(keep),
+        vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "DELETE",
+        observedParts = Some(observed), readSkip = Some(skip))
+    } finally if (cdf) touchedScan.unpersist()
     touched.map(_._2).sum
   }
 
@@ -770,22 +782,31 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       return 0L
     }
     val files = touched.map(_._1)
-    val updated = applySet(touchedScan, Some(hit))
-    // CDF: pre- and post-image of exactly the TRUE-predicate rows
-    // (Delta's update_preimage/update_postimage pair). Two extra
-    // scans (pre + post) — both bounded by the touched files, i.e.
-    // the update's selectivity, never the table
-    val changes =
-      if (!cdfEnabled(fs, dir)) None
-      else {
-        val hitRows = touchedScan.filter(hit)
-        Some(hitRows.withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(applySet(hitRows, None)
-            .withColumn(ChangeTypeCol, lit("update_postimage"))))
-      }
-    rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(updated),
-      vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE",
-      observedParts = Some(observed), readSkip = Some(skip))
+    // the touched rows feed the rewrite AND (with the feed on) the
+    // pre/post images — persist so the files are scanned once, not
+    // three times (storage O(touched rows), the change checkpoint's
+    // existing bound)
+    val cdf = cdfEnabled(fs, dir)
+    val src = if (cdf)
+      touchedScan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else touchedScan
+    try {
+      val updated = applySet(src, Some(hit))
+      // CDF: pre- and post-image of exactly the TRUE-predicate rows
+      // (Delta's update_preimage/update_postimage pair), both read
+      // from the shared persisted scan
+      val changes =
+        if (!cdf) None
+        else {
+          val hitRows = src.filter(hit)
+          Some(hitRows.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(applySet(hitRows, None)
+              .withColumn(ChangeTypeCol, lit("update_postimage"))))
+        }
+      rewriteFiles(spark, fs, path, dir, manifest, schema, files, Some(updated),
+        vacuum, retentionMs, markerRetentionMs, opStart, changes, op = "UPDATE",
+        observedParts = Some(observed), readSkip = Some(skip))
+    } finally if (cdf) touchedScan.unpersist()
     touched.map(_._2).sum
     }
   }
@@ -1289,34 +1310,40 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val srcCount = src.count()
+      // ONE action answers source count, key uniqueness, and the
+      // per-key envelope (previously three separate jobs over the
+      // persisted source — guide §1.2: fewer actions). The duplicate
+      // EXAMPLE is only computed on the failure path.
+      val tracked = trackedCols(spark, dir)
+      val prunable = keyCols.filter(tracked)
+      val perKey = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+      val sumAggs = Seq(sum(col("__n")).as("__total"),
+        max(col("__n")).as("__maxn")) ++
+        prunable.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val env = perKey.agg(sumAggs.head, sumAggs.tail: _*).head()
+      val srcCount = if (env.isNullAt(0)) 0L else env.getLong(0)
       if (srcCount == 0L) return (0L, 0L)
-      val dup = src.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        .limit(1).collect()
-      require(dup.isEmpty,
-        s"source keys must be unique on (${keyCols.mkString(",")}) — " +
-          s"duplicate: ${dup.headOption.getOrElse("")}")
+      if (env.getLong(1) > 1L) {
+        val dup = perKey.filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"source keys must be unique on (${keyCols.mkString(",")}) — " +
+            s"duplicate: ${dup.headOption.getOrElse("")}")
+      }
       // 1. PRUNE — per-key range overlap against the source envelope.
       // Untracked key columns contribute no constraint (all files stay
       // candidates — correct, just unpruned). An all-null key column
       // never matches any target row (SQL equality), so its term is
       // FALSE; a file with null stats for a key (evolved/all-null)
       // yields a NULL term and is correctly dropped from candidates.
-      val tracked = trackedCols(spark, dir)
-      val prunable = keyCols.filter(tracked)
       val skip: Column =
         if (prunable.isEmpty) lit(true)
-        else {
-          val aggs = prunable.flatMap(k =>
-            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-          val env = src.agg(aggs.head, aggs.tail: _*).head()
-          prunable.zipWithIndex.map { case (k, i) =>
-            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
-            if (lo == null) lit(false)
-            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
-          }.reduce(_ && _)
-        }
+        else prunable.zipWithIndex.map { case (k, i) =>
+          val lo = env.get(2 + 2 * i); val hi = env.get(2 + 2 * i + 1)
+          if (lo == null) lit(false)
+          else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+        }.reduce(_ && _)
       val candStatuses = statusesOf(stats.filter(skip))
       val dv = readDvIn(spark, dir)
       // 2. TOUCH — ONE scan of the candidates, inner-joined to the
@@ -1337,8 +1364,17 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
             .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
         val files = touched.map(_._1)
         val touchedSet = files.toSet
-        def touchedScan = partAwareStatusScan(spark, path, dir, schema,
-          candStatuses.filter(s => touchedSet(s.getPath.toString)))
+        val cdf = cdfEnabled(fs, dir)
+        // the touched rows feed the rewrite AND (with the feed on) the
+        // preimages — persist so the files scan once, not twice
+        val touchedScan = {
+          val base = partAwareStatusScan(spark, path, dir, schema,
+            candStatuses.filter(s => touchedSet(s.getPath.toString)))
+          if (cdf && files.nonEmpty)
+            base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else base
+        }
+        try {
         val matchedKeys = matched.fold(0L)(
           _.select(keyCols.map(col): _*).distinct().count())
         // 3. REWRITE
@@ -1352,7 +1388,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         // was replaced), matched source rows the postimages,
         // unmatched source rows plain inserts
         val changes =
-          if (!cdfEnabled(fs, dir)) None
+          if (!cdf) None
           else {
             val matchedKeyDf = matched.map(
               _.select(keyCols.map(col): _*).distinct())
@@ -1377,6 +1413,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
           // disjoint maintenance winner rebases instead of re-running
           readSkip = Some(skip))
         (matchedKeys, srcCount - matchedKeys)
+        } finally if (cdf && files.nonEmpty) touchedScan.unpersist()
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
   }

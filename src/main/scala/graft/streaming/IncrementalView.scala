@@ -250,9 +250,10 @@ object IncrementalView {
       count(when(col(groupCol).isNull, lit(1))).as("__nulls"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!delta.isEmpty) {
-        val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
-          sum(col("__nulls"))).head()
+      // one action: emptiness + envelope (see foldBatch)
+      val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
+        sum(col("__nulls")), count(lit(1))).head()
+      if (env.getLong(3) != 0L) {
         require(env.isNullAt(2) || env.getLong(2) == 0L,
           s"change batch carries ${env.getLong(2)} NULL $groupCol row(s) — " +
             "null group keys cannot be incrementally maintained")
@@ -377,9 +378,10 @@ object IncrementalView {
       count(when(col(groupCol).isNull, lit(1))).as("__nulls"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!delta.isEmpty) {
-        val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
-          sum(col("__nulls")), max(col("__max_ver"))).head()
+      // one action: emptiness + envelope (see foldBatch)
+      val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
+        sum(col("__nulls")), max(col("__max_ver")), count(lit(1))).head()
+      if (env.getLong(4) != 0L) {
         require(env.isNullAt(2) || env.getLong(2) == 0L,
           s"change batch carries ${env.getLong(2)} NULL $groupCol row(s) — " +
             "null group keys cannot be incrementally maintained")
@@ -415,10 +417,12 @@ object IncrementalView {
               .otherwise(greatest(col("max_value"), col("__ins_max")))
               .as("max_value"),
             newCnt.as("cnt"))
+        // one action: emptiness + key envelope of the recompute set
+        val kEnv = recKeys.agg(min(col(groupCol)), max(col(groupCol)),
+          count(lit(1))).head()
         val recomputed =
-          if (recKeys.isEmpty) None
+          if (kEnv.getLong(2) == 0L) None
           else {
-            val kEnv = recKeys.agg(min(col(groupCol)), max(col(groupCol))).head()
             val snap = DataSkipping.readSkippingAt(spark, baseTable,
                 endVersion,
                 col(groupCol).between(lit(kEnv.get(0)), lit(kEnv.get(1))))
@@ -468,7 +472,12 @@ object IncrementalView {
       count(when(col(groupCol).isNull, lit(1))).as("__nulls"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!delta.isEmpty) {
+      // ONE action computes emptiness AND the envelope (a separate
+      // isEmpty would pay a full plan+schedule round for a question
+      // the envelope row already answers — guide §1.2: fewer actions)
+      val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
+        sum(col("__nulls")), count(lit(1))).head()
+      if (env.getLong(3) != 0L) {
         // group-key envelope of the delta: three scalars to the
         // driver — the min/max prune the view read to the affected
         // key range via file stats, and the null count REJECTS null
@@ -476,8 +485,6 @@ object IncrementalView {
         // the semi-join here, mergeUpsert's key join — is SQL
         // null-unsafe, so a null group would silently duplicate
         // instead of accumulating; same contract as Delta MERGE keys)
-        val env = delta.agg(min(col(groupCol)), max(col(groupCol)),
-          sum(col("__nulls"))).head()
         require(env.isNullAt(2) || env.getLong(2) == 0L,
           s"change batch carries ${env.getLong(2)} NULL $groupCol row(s) — " +
             "null group keys cannot be incrementally maintained (merge " +
