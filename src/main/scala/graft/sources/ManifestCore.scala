@@ -193,6 +193,58 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
       return None)))
   }
 
+  /** The pinned manifest as DRIVER-SIDE (row, source part name) pairs
+    * with their schema, when the read is cache-servable — the zero-job
+    * input to the driver-side generation carry ([[rewriteFiles]]).
+    * None → the caller keeps the DataFrame route (legacy manifest, or
+    * past the local budget).
+    */
+  private[sources] def localManifestRowsPinned(spark: SparkSession,
+      dir: String, names: Set[String])
+      : Option[(StructType, Seq[(Row, String)])] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unknown = unknownFeatures(manifestFeatures(fs, dir))
+    require(unknown.isEmpty,
+      s"manifest at $dir requires table feature(s) " +
+        s"[${unknown.toSeq.sorted.mkString(", ")}] this build does not implement")
+    readSidecar(spark, dir, ManifestSchemaFile).flatMap { json =>
+      val schema = DataType.fromJson(json).asInstanceOf[StructType]
+      val p = new Path(dir)
+      val listed =
+        if (fs.exists(p)) fs.listStatus(p).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Seq.empty
+      val wanted = listed.filter(f => names(f.getPath.getName))
+        .sortBy(_.getPath.getName)
+      if (wanted.size != names.size) None
+      else localManifestParts(spark, dir, wanted, schema).map { parts =>
+        (schema, parts.flatMap(part => part.rows.map(_ -> part.name)))
+      }
+    }
+  }
+
+  /** Driver-side `unionByName(allowMissingColumns = true)` for local
+    * manifest rows: left columns in order, right-only columns
+    * appended; missing values fill with null. Shared columns must
+    * agree on type (one generation's manifest is type-consistent).
+    */
+  private[sources] def unionRowsByName(ls: StructType, lrows: Seq[Row],
+      rs: StructType, rrows: Seq[Row]): (StructType, Seq[Row]) = {
+    val extra = rs.fields.filterNot(f => ls.fieldNames.contains(f.name))
+    ls.fields.foreach { f =>
+      rs.fields.find(_.name == f.name).foreach(r =>
+        require(r.dataType == f.dataType,
+          s"manifest column ${f.name}: carried type ${f.dataType.simpleString} " +
+            s"vs added ${r.dataType.simpleString}"))
+    }
+    val out = StructType((ls.fields ++ extra).map(_.copy(nullable = true)))
+    val rIdx: Array[Int] = out.fields.map(f => rs.fieldNames.indexOf(f.name))
+    val left = lrows.map(r => Row.fromSeq(r.toSeq ++ Seq.fill(extra.length)(null)))
+    val right = rrows.map(r => Row.fromSeq(
+      rIdx.toSeq.map(i => if (i < 0) null else r.get(i))))
+    (out, left ++ right)
+  }
+
   /** The one manifest read everything plans through. `pin` restricts
     * to an explicit part-name set (the optimistic writers' observed
     * set); `tagged` appends a `__mfile` column carrying each row's
@@ -316,7 +368,7 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
     * generation build (it is either wholly beyond the pin — and
     * ridden forward verbatim at publish — or wholly inside it).
     */
-  private[sources] def readManifestPinned(spark: SparkSession, dir: String,
+  private[graft] def readManifestPinned(spark: SparkSession, dir: String,
       names: Set[String]): DataFrame =
     if (names.isEmpty) readManifestIn(spark, dir).limit(0)
     else manifestScan(spark, dir, Some(names), tagged = false)

@@ -259,12 +259,17 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
       .getOrElse(rows.schema)
     // one compact part: manifest rows are tens of bytes per file, so
     // even a million-file table folds to a single modest parquet
-    // (multi-part folding would only matter far beyond that)
+    // (multi-part folding would only matter far beyond that). When the
+    // manifest is cache-served the fold is pure driver work — zero
+    // Spark jobs for a CHECKPOINT.
+    val local = localManifestRowsPinned(spark, dir, observed)
+      .map { case (ms, rs) => (ms, rs.map(_._1)) }
     val v = publishGeneration(spark, fs, path, dir, rows.coalesce(1),
       schema, statsCols, manifestFeatures(fs, dir), manifestSchema,
       removedData = Nil, markerRetentionMs = markerRetentionMs,
       opStartMs = opStart, op = "CHECKPOINT",
-      dv = readDvIn(spark, dir), observedParts = Some(observed))
+      dv = readDvIn(spark, dir), observedParts = Some(observed),
+      manifestRowsLocal = local)
     if (vacuum) vacuumTable(spark, path, retentionMs)
     v
   }
@@ -451,7 +456,8 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
       observedParts: Option[Set[String]] = None,
       resetDeclarations: Boolean = false,
       partitionColsNew: Option[Seq[String]] = None,
-      extraSidecars: Map[String, String] = Map.empty): Long = {
+      extraSidecars: Map[String, String] = Map.empty,
+      manifestRowsLocal: Option[(StructType, Seq[Row])] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     // STRICT version targeting: commit exactly (observed generation
@@ -476,7 +482,17 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
         f.getModificationTime >= markerCutoff)
       .map(_.getPath.getName).toSeq
     val build = new Path(statsDir, s".genbuild-${java.util.UUID.randomUUID}")
-    manifestRows.write.parquet(build.toString)
+    // rows already known on the driver (cache-served carry) write as
+    // ONE part directly — no Spark job, no commit protocol; everything
+    // else keeps the distributed write
+    manifestRowsLocal match {
+      case Some((ms, rows)) =>
+        fs.mkdirs(build)
+        writeLocalParquetFile(spark, ms, rows,
+          new Path(build, s"part-${java.util.UUID.randomUUID}.parquet"))
+      case None =>
+        manifestRows.write.parquet(build.toString)
+    }
     writeSidecars(spark, build.toString, schema, statsCols, features,
       manifestSchema = Some(manifestSchema))
     // change-data files land inside the build dir: the single _COMMIT
@@ -550,17 +566,13 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
         spark.sparkContext.hadoopConfiguration)
     }
     if (folded.nonEmpty) {
-      val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
-      manifestRows.limit(0).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      require(part.length == 1, s"expected one marker part, got ${part.length}")
+      // zero-row re-creations are schema-only — written driver-side
+      // (no Spark job per generation just to mint an empty template)
+      val templateSchema =
+        manifestRowsLocal.map(_._1).getOrElse(manifestRows.schema)
       folded.foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
-          fs, new Path(build, n), false,
-          spark.sparkContext.hadoopConfiguration)
+        writeLocalParquetFile(spark, templateSchema, Nil, new Path(build, n))
       }
-      fs.delete(tmp, true)
     }
     // CONCURRENT APPENDS (pinned callers): manifest files that landed
     // after the caller pinned its carried-rows read are a concurrent

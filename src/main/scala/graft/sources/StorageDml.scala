@@ -380,14 +380,28 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     // dir's tracked set/features stay exact under the winner's.
     val baseFeats = manifestFeatures(fs, dir)
     val baseStatsCols = trackedCols(spark, dir).toSeq.sorted
-    val addedStats: Option[DataFrame] =
+    // Added-file stats land on the DRIVER when the op wrote a bounded
+    // number of files (every row-level DML does): the one statsFor
+    // action replaces the checkpoint, and the whole generation carry
+    // below becomes driver work. Ops that wrote an unbounded file set
+    // keep the checkpointed-frame route (same rebase rationale).
+    val addedLocalMax = 10000
+    val addedStatsFrame: Option[DataFrame] =
       if (moved.isEmpty) None
       else Some(statsFor(
-          partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
-          baseStatsCols,
-          withNulls = baseFeats.contains("nulls"),
-          bloom = bloomFeature(baseFeats))
-        .localCheckpoint(true))
+        partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
+        baseStatsCols,
+        withNulls = baseFeats.contains("nulls"),
+        bloom = bloomFeature(baseFeats)))
+    val addedLocal: Option[(StructType, Seq[Row])] =
+      addedStatsFrame.filter(_ => moved.size <= addedLocalMax)
+        .map(f => (f.schema, f.collect().toSeq))
+    val addedStats: Option[DataFrame] = addedLocal match {
+      case Some((s, rs)) => Some(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava), s))
+      case None => addedStatsFrame.map(_.localCheckpoint(true))
+    }
     val changeDataPinned = changeData
       .filter(_ => baseFeats.contains(CdfFeature))
       .map(_.localCheckpoint(true))
@@ -411,44 +425,79 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       // marker past the retention cutoff is NOT preserved verbatim:
       // publishGeneration drops it, so its surviving rows must travel
       // in the carried parts instead.
-      // source-file provenance rides as a __mfile column served by the
-      // manifest scan itself (the local cache route has no _metadata)
-      val tagged = manifestScan(spark, aDir, aPin, tagged = true)
-      // the touched list rides as a broadcast local relation, not an
-      // O(touched) IN literal — a whole-table MERGE would otherwise
-      // bake every file path into this plan's expression tree
-      val touchedDf = spark.createDataset(touched)(
-        org.apache.spark.sql.Encoders.STRING).toDF("__touched_file")
-      val dirtyNames: Set[String] =
-        if (touched.isEmpty) Set.empty
-        else tagged.join(broadcast(touchedDf),
-            col("file") === col("__touched_file"), "left_semi")
-          .select("__mfile").distinct().collect()
-          .map(r => new Path(r.getString(0)).getName).toSet
+      val touchedSet = touched.toSet
       val markerCutoff = opStartMs - markerRetentionMs
-      val verbatim: Set[String] = fs.listStatus(new Path(aDir))
-        .filter { f =>
-          val n = f.getPath.getName
-          n.endsWith(".parquet") && !n.startsWith("part-") &&
-            f.getModificationTime >= markerCutoff && !dirtyNames(n)
-        }
-        .map(_.getPath.getName).toSet
-      val carried = {
-        val minusTouched =
-          if (touched.isEmpty) tagged
-          else tagged.join(broadcast(touchedDf),
-            col("file") === col("__touched_file"), "left_anti")
-        val minusVerbatim =
-          if (verbatim.isEmpty) minusTouched
-          else minusTouched.filter(
-            !element_at(split(col("__mfile"), "/"), -1).isin(verbatim.toSeq: _*))
-        minusVerbatim.drop("__mfile")
-      }
-      val rows = addedStats.fold(carried)(
-        carried.unionByName(_, allowMissingColumns = true))
+      def verbatimOf(dirtyNames: Set[String]): Set[String] =
+        fs.listStatus(new Path(aDir))
+          .filter { f =>
+            val n = f.getPath.getName
+            n.endsWith(".parquet") && !n.startsWith("part-") &&
+              f.getModificationTime >= markerCutoff && !dirtyNames(n)
+          }
+          .map(_.getPath.getName).toSet
       val manifestSchema = readSidecar(spark, aDir, ManifestSchemaFile)
         .map(j => DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(aManifest.schema)
+      // DRIVER-SIDE CARRY: with the manifest cache-served and the
+      // added stats already local, the whole next-generation row set
+      // is plain Scala — dirty-marker detection, the carried filter,
+      // the union with the added rows, and the part write all cost
+      // zero Spark jobs. The DataFrame route below stays for large
+      // manifests / unbounded writes.
+      val localPairs: Option[(StructType, Seq[(Row, String)])] =
+        if (moved.nonEmpty && addedLocal.isEmpty) None
+        else aPin.flatMap(p => localManifestRowsPinned(spark, aDir, p))
+      val (rows, rowsLocal, verbatim) = localPairs match {
+        case Some((mSchema, pairs)) =>
+          val fileIdx = mSchema.fieldIndex("file")
+          val dirtyNames: Set[String] =
+            if (touched.isEmpty) Set.empty
+            else pairs.collect {
+              case (r, src) if !r.isNullAt(fileIdx) &&
+                touchedSet(r.getString(fileIdx)) => src
+            }.toSet
+          val verb = verbatimOf(dirtyNames)
+          val carriedRows = pairs.collect {
+            case (r, src) if !verb(src) &&
+              !(touchedSet.nonEmpty && !r.isNullAt(fileIdx) &&
+                touchedSet(r.getString(fileIdx))) => r
+          }
+          val (outSchema, outRows) = addedLocal match {
+            case None => (mSchema, carriedRows)
+            case Some((aSchema, aRows)) =>
+              unionRowsByName(mSchema, carriedRows, aSchema, aRows)
+          }
+          (spark.createDataFrame(new java.util.ArrayList[Row](),
+            outSchema), Some((outSchema, outRows)), verb)
+        case None =>
+          // the touched list rides as a broadcast local relation, not
+          // an O(touched) IN literal — a whole-table MERGE would
+          // otherwise bake every file path into this plan's tree
+          val tagged = manifestScan(spark, aDir, aPin, tagged = true)
+          val touchedDf = spark.createDataset(touched)(
+            org.apache.spark.sql.Encoders.STRING).toDF("__touched_file")
+          val dirtyNames: Set[String] =
+            if (touched.isEmpty) Set.empty
+            else tagged.join(broadcast(touchedDf),
+                col("file") === col("__touched_file"), "left_semi")
+              .select("__mfile").distinct().collect()
+              .map(r => new Path(r.getString(0)).getName).toSet
+          val verb = verbatimOf(dirtyNames)
+          val carried = {
+            val minusTouched =
+              if (touched.isEmpty) tagged
+              else tagged.join(broadcast(touchedDf),
+                col("file") === col("__touched_file"), "left_anti")
+            val minusVerbatim =
+              if (verb.isEmpty) minusTouched
+              else minusTouched.filter(
+                !element_at(split(col("__mfile"), "/"), -1)
+                  .isin(verb.toSeq: _*))
+            minusVerbatim.drop("__mfile")
+          }
+          (addedStats.fold(carried)(
+            carried.unionByName(_, allowMissingColumns = true)), None, verb)
+      }
       // deletion-vector carry: entries for files this op rewrote or
       // removed are RESOLVED (the rewrite scanned DV-filtered rows, so
       // the new files hold no dead positions); everything else rides
@@ -470,7 +519,8 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         verbatimMarkers = verbatim,
         changeData = changeDataPinned,
         op = op, txn = txn, dv = dvNext,
-        clustered = clusteredOf(moved), observedParts = aPin)
+        clustered = clusteredOf(moved), observedParts = aPin,
+        manifestRowsLocal = rowsLocal)
     }
     var curDir = dir
     var curManifest = manifest
@@ -852,22 +902,31 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       return 0L
     }
     // hit rows of the (already DV-filtered) touched-file scan are the
-    // new dead positions — bounded by the delete's selectivity
-    val newDead = touchedScan.filter(hit).select(
-      col("_metadata.file_path").as("file"),
-      col("_metadata.row_index").as("row_index"))
-    val changes =
-      if (!cdfEnabled(fs, dir)) None
-      else Some(touchedScan.filter(hit)
-        .select(schema.fieldNames.map(col).toSeq: _*)
-        .withColumn(ChangeTypeCol, lit("delete")))
-    // no files touched: manifest carried whole, replacement empty —
-    // the op's entire output is the vector (+ change data)
-    rewriteFiles(spark, fs, path, dir, manifest, schema,
-      touched = Nil, replacement = None,
-      vacuum, retentionMs, markerRetentionMs, opStart, changes,
-      op = "DELETE", extraDv = Some(newDead),
-      observedParts = Some(observed), readSkip = Some(skip))
+    // new dead positions — bounded by the delete's selectivity. The
+    // vector frame is consumed more than once downstream (emptiness
+    // probe + generation write, plus the CDF images), so the hit rows
+    // persist and the files scan once.
+    val hitRows = touchedScan.filter(hit)
+      .select(schema.fieldNames.map(col) ++ Seq(
+        col("_metadata.file_path").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_idx")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newDead = hitRows.select(
+        col("__dv_file").as("file"), col("__dv_idx").as("row_index"))
+      val changes =
+        if (!cdfEnabled(fs, dir)) None
+        else Some(hitRows
+          .select(schema.fieldNames.map(col).toSeq: _*)
+          .withColumn(ChangeTypeCol, lit("delete")))
+      // no files touched: manifest carried whole, replacement empty —
+      // the op's entire output is the vector (+ change data)
+      rewriteFiles(spark, fs, path, dir, manifest, schema,
+        touched = Nil, replacement = None,
+        vacuum, retentionMs, markerRetentionMs, opStart, changes,
+        op = "DELETE", extraDv = Some(newDead),
+        observedParts = Some(observed), readSkip = Some(skip))
+    } finally hitRows.unpersist()
     touched.map(_._2).sum
   }
 
@@ -962,21 +1021,29 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       if (vacuum) vacuumTable(spark, path, retentionMs)
       return 0L
     }
+    // the hit rows feed the vector, the rewrite AND the CDF images —
+    // persist so the touched files scan once (see deleteWhereDVPhys)
     val hitRows = touchedScan.filter(hit)
-    val newDead = hitRows.select(
-      col("_metadata.file_path").as("file"),
-      col("_metadata.row_index").as("row_index"))
-    val changes =
-      if (!cdfEnabled(fs, dir)) None
-      else Some(hitRows.select(schema.fieldNames.map(col).toSeq: _*)
-        .withColumn(ChangeTypeCol, lit("update_preimage"))
-        .unionByName(applySet(hitRows, None)
-          .withColumn(ChangeTypeCol, lit("update_postimage"))))
-    rewriteFiles(spark, fs, path, dir, manifest, schema,
-      touched = Nil, replacement = Some(applySet(hitRows, None)),
-      vacuum, retentionMs, markerRetentionMs, opStart, changes,
-      op = "UPDATE", extraDv = Some(newDead),
-      observedParts = Some(observed), readSkip = Some(skip))
+      .select(schema.fieldNames.map(col) ++ Seq(
+        col("_metadata.file_path").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_idx")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hitData = hitRows.select(schema.fieldNames.map(col).toSeq: _*)
+      val newDead = hitRows.select(
+        col("__dv_file").as("file"), col("__dv_idx").as("row_index"))
+      val changes =
+        if (!cdfEnabled(fs, dir)) None
+        else Some(hitData
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(applySet(hitData, None)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
+      rewriteFiles(spark, fs, path, dir, manifest, schema,
+        touched = Nil, replacement = Some(applySet(hitData, None)),
+        vacuum, retentionMs, markerRetentionMs, opStart, changes,
+        op = "UPDATE", extraDv = Some(newDead),
+        observedParts = Some(observed), readSkip = Some(skip))
+    } finally hitRows.unpersist()
     touched.map(_._2).sum
     }
   }
@@ -1030,23 +1097,23 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val srcCount = src.count()
-      if (srcCount == 0L) return (0L, 0L)
-      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      // one action: source count + per-key envelope (guide §1.2)
       val tracked = trackedCols(spark, dir)
       val prunable = keyCols.filter(tracked)
+      val envAggs = Seq(count(lit(1)).as("__total")) ++
+        prunable.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val env = src.agg(envAggs.head, envAggs.tail: _*).head()
+      val srcCount = env.getLong(0)
+      if (srcCount == 0L) return (0L, 0L)
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
       val skip: Column =
         if (prunable.isEmpty) lit(true)
-        else {
-          val aggs = prunable.flatMap(k =>
-            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-          val env = src.agg(aggs.head, aggs.tail: _*).head()
-          prunable.zipWithIndex.map { case (k, i) =>
-            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
-            if (lo == null) lit(false)
-            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
-          }.reduce(_ && _)
-        }
+        else prunable.zipWithIndex.map { case (k, i) =>
+          val lo = env.get(1 + 2 * i); val hi = env.get(1 + 2 * i + 1)
+          if (lo == null) lit(false)
+          else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+        }.reduce(_ && _)
       val candStatuses = statusesOf(stats.filter(skip))
       val dv = readDvIn(spark, dir)
       val matched: Option[DataFrame] =
@@ -1061,14 +1128,23 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
             .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq)
         val files = touched.map(_._1)
         val touchedSet = files.toSet
-        def touchedScan = applyDv(partAwareStatusScan(spark, path, dir, schema,
-          candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
+        val cdf = cdfEnabled(fs, dir)
+        // shared persisted scan: rewrite + delete images read the
+        // touched files once
+        val touchedScan = {
+          val base = applyDv(partAwareStatusScan(spark, path, dir, schema,
+            candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
+          if (cdf && files.nonEmpty)
+            base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else base
+        }
+        try {
         val replacement =
           if (files.isEmpty) src
           else touchedScan.join(srcKeys, keyCols, "left_anti")
             .unionByName(src)
         val changes =
-          if (!cdfEnabled(fs, dir)) None
+          if (!cdf) None
           else {
             val dels =
               if (files.isEmpty) src.limit(0)
@@ -1085,6 +1161,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
           // disjoint maintenance winner rebases instead of re-running
           readSkip = Some(skip))
         (touched.map(_._2).sum, srcCount)
+        } finally if (cdf && files.nonEmpty) touchedScan.unpersist()
       } finally matched.foreach(_.unpersist())
     } finally src.unpersist()
   }
@@ -1130,24 +1207,24 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (delKeys.isEmpty) {
+      // one action: emptiness + key envelope (guide §1.2)
+      val tracked = trackedCols(spark, dir)
+      val prunable = keyCols.filter(tracked)
+      val envAggs = Seq(count(lit(1)).as("__total")) ++
+        prunable.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val env = delKeys.agg(envAggs.head, envAggs.tail: _*).head()
+      if (env.getLong(0) == 0L) {
         if (vacuum) vacuumTable(spark, path, retentionMs)
         return 0L
       }
-      val tracked = trackedCols(spark, dir)
-      val prunable = keyCols.filter(tracked)
       val skip: Column =
         if (prunable.isEmpty) lit(true)
-        else {
-          val aggs = prunable.flatMap(k =>
-            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-          val env = delKeys.agg(aggs.head, aggs.tail: _*).head()
-          prunable.zipWithIndex.map { case (k, i) =>
-            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
-            if (lo == null) lit(false)
-            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
-          }.reduce(_ && _)
-        }
+        else prunable.zipWithIndex.map { case (k, i) =>
+          val lo = env.get(1 + 2 * i); val hi = env.get(1 + 2 * i + 1)
+          if (lo == null) lit(false)
+          else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+        }.reduce(_ && _)
       val candStatuses = statusesOf(stats.filter(skip))
       val dv = readDvIn(spark, dir)
       val matched: Option[DataFrame] =
@@ -1166,11 +1243,19 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         }
         val files = touched.map(_._1)
         val touchedSet = files.toSet
-        def touchedScan = applyDv(partAwareStatusScan(spark, path, dir, schema,
-          candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
+        val cdf = cdfEnabled(fs, dir)
+        // shared persisted scan: rewrite + delete images scan once
+        val touchedScan = {
+          val base = applyDv(partAwareStatusScan(spark, path, dir, schema,
+            candStatuses.filter(s => touchedSet(s.getPath.toString))), dv)
+          if (cdf) base.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else base
+        }
+        try {
         val replacement = touchedScan.join(delKeys, keyCols, "left_anti")
         val changes =
-          if (!cdfEnabled(fs, dir)) None
+          if (!cdf) None
           else Some(touchedScan.join(delKeys, keyCols, "semi")
             .withColumn(ChangeTypeCol, lit("delete")))
         rewriteFiles(spark, fs, path, dir, stats, schema, files,
@@ -1182,6 +1267,7 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
           // disjoint maintenance winner rebases instead of re-running
           readSkip = Some(skip))
         touched.map(_._2).sum
+        } finally if (cdf) touchedScan.unpersist()
       } finally matched.foreach(_.unpersist())
     } finally delKeys.unpersist()
   }

@@ -1577,4 +1577,56 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
     fs.delete(tmp, true)
   }
 
+  /** Write `rows` as ONE parquet file at exactly `dest`, entirely on
+    * the DRIVER — the manifest commit primitive for rows that are
+    * already local (cache-served carries, zero-row markers): no Spark
+    * job, no staging dir, no commit protocol. Uses Spark's own
+    * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+    * under the session's parquet conf, so the file is byte-compatible
+    * with executor-written manifest parts (same logical types, codec,
+    * timestamp encoding). Only for BOUNDED frames — manifests,
+    * markers, templates — never data.
+    */
+  private[sources] def writeLocalParquetFile(spark: SparkSession,
+      schema: StructType, rows: Seq[Row], dest: Path): Unit = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val hconf = spark.sessionState.newHadoopConf()
+    val sqlConf = spark.sessionState.conf
+    ParquetWriteSupport.setSchema(schema, hconf)
+    hconf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    hconf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    hconf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    // the schema converter's Configuration ctor reads these with no
+    // default — mirror ParquetUtils.prepareWrite exactly
+    hconf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
+      .fromConf(sqlConf.parquetCompressionCodec.toUpperCase(
+        java.util.Locale.ROOT) match {
+        case "UNCOMPRESSED" => "UNCOMPRESSED"
+        case c => c
+      })
+    class LocalBuilder(f: org.apache.parquet.io.OutputFile)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, LocalBuilder](f) {
+      override def self(): LocalBuilder = this
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+    }
+    val writer = new LocalBuilder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(dest, hconf))
+      .withConf(hconf)
+      .withCompressionCodec(codec)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
+      .build()
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    try rows.foreach(r => writer.write(toCatalyst(r).asInstanceOf[InternalRow]))
+    finally writer.close()
+  }
+
 }

@@ -114,9 +114,11 @@ object Scd2Stream {
         (t === "delete").as("__del")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!events.isEmpty) {
+      // one action: emptiness rides the envelope aggregate
+      val env = events.agg(min(col(keys.head)), max(col(keys.head)),
+        count(lit(1))).head()
+      if (env.getLong(2) != 0L) {
         val affected = events.select(keys.map(col): _*).distinct()
-        val env = events.agg(min(col(keys.head)), max(col(keys.head))).head()
         val inRange =
           col(keys.head).between(lit(env.get(0)), lit(env.get(1)))
         val current = DataSkipping.readSkipping(spark, histTable, inRange)

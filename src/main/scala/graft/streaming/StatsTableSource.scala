@@ -286,7 +286,10 @@ final class StatsTableSource(
     val manifestPaths = partPaths ++ markerPaths
     val statuses: Seq[FileStatusWithMetadata] =
       if (manifestPaths.isEmpty) Seq.empty
-      else spark.read.parquet(manifestPaths: _*)
+      // pinned manifest read — served from the driver-side row cache
+      // for small manifests (zero Spark jobs per micro-batch)
+      else DataSkipping.readManifestPinned(spark, dir,
+          manifestPaths.map(p => new Path(p).getName).toSet)
         .select("file", "file_size", "mod_time").collect().toSeq
         .map(r => FileStatusWithMetadata(new FileStatus(
           r.getLong(1), false, 1, 128L * 1024 * 1024, r.getLong(2),
