@@ -133,7 +133,6 @@ object JobProfile {
     if (sorted.nonEmpty) {
       var covered = 0L; var cursor = sorted.head.start
       sorted.foreach { r =>
-        if (r.start > cursor) cursor = cursor max cursor
         val s = r.start max cursor
         if (r.end > s) { covered += r.end - s; cursor = r.end max cursor }
       }
