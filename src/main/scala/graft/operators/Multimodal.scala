@@ -566,6 +566,74 @@ object Multimodal {
     }
   }
 
+  /** Minimal PNG encoder for the SYNTHESIS shells — store-mode
+    * deflate, filter None, 8-bit truecolor, byte-level RFC 2083
+    * (signature + IHDR + one IDAT holding a level-0 zlib stream +
+    * IEND). LOSSLESS by construction: every decoded pixel — and
+    * therefore every pixel-derived gate value (q_image_decode channel
+    * sums, q_image_dedup dHash grids) — is identical to the
+    * `ImageIO.write(img, "png", …)` bytes it replaces; only container
+    * bytes differ, which no query observes. ImageIO's PNG writer runs
+    * full-level deflate plus per-scanline adaptive filter heuristics
+    * through the registry — the dominant CPU of the image corpus
+    * shells (r18 verdict #3, guide §4: cut dead work in the hot
+    * path). The DECODE side stays the genuine javax.imageio stack —
+    * that is the operator under test; only the corpus synthesis
+    * changes encoder.
+    */
+  private[operators] def encodePngStored(w: Int, h: Int,
+      rgbAt: (Int, Int) => Int): Array[Byte] = {
+    // raw scanlines: one filter byte (0 = None) + 3 bytes per pixel
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var p = 0
+    var y = 0
+    while (y < h) {
+      raw(p) = 0
+      p += 1
+      var x = 0
+      while (x < w) {
+        val c = rgbAt(x, y)
+        raw(p) = ((c >> 16) & 0xff).toByte
+        raw(p + 1) = ((c >> 8) & 0xff).toByte
+        raw(p + 2) = (c & 0xff).toByte
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(0) // stored blocks, zlib-wrapped
+    defl.setInput(raw)
+    defl.finish()
+    // worst case: 5 bytes per 64K stored block + zlib header/adler
+    val zBuf = new Array[Byte](raw.length + raw.length / 65535 * 5 + 16)
+    var zLen = 0
+    while (!defl.finished() && zLen < zBuf.length)
+      zLen += defl.deflate(zBuf, zLen, zBuf.length - zLen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zLen + 64)
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10))
+    def chunk(tag: String, body: Array[Byte], len: Int): Unit = {
+      dos.writeInt(len)
+      val crc = new java.util.zip.CRC32()
+      val t = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      dos.write(t)
+      crc.update(t)
+      if (len > 0) { dos.write(body, 0, len); crc.update(body, 0, len) }
+      dos.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array(), 13)
+    chunk("IDAT", zBuf, zLen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    dos.flush()
+    out.toByteArray
+  }
+
   /** One-shot JPEG encode (registry lookup per call). For bulk work
     * use [[JpegEncoder]] — one writer per partition.
     */
@@ -730,25 +798,18 @@ object Multimodal {
     * fake-only gap for audio/video in r5/r6).
     */
   def synthPng(id: Long): Array[Byte] = {
-    import java.awt.image.BufferedImage
     val w = (8 + id % 9).toInt
     val h = (8 + id % 7).toInt
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
-        val g = ((id * 11 + x * 13 + y * 2) % 256).toInt
-        val b = ((id * 3 + x + y * 17) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    // encoded via [[encodePngStored]] — lossless, so decoded pixels
+    // are bit-identical to the formula (and to the ImageIO encode
+    // this replaces); the BufferedImage round-trip and registry
+    // deflate were pure synthesis-shell overhead
+    encodePngStored(w, h, (x, y) => {
+      val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+      val g = ((id * 11 + x * 13 + y * 2) % 256).toInt
+      val b = ((id * 3 + x + y * 17) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
   }
 
   /** Attach a synthesized real-PNG payload per row (partition-local
@@ -783,34 +844,24 @@ object Multimodal {
     * zero pixel work.
     */
   def synthPngBlocks(id: Long, w: Int = 72, h: Int = 56,
-      block: Int = 8): Array[Byte] = {
-    import java.awt.image.BufferedImage
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val k = id * 7919L + (x / block) * 104729L +
-          (y / block) * 1299709L
-        // & 0xffffffffL, not % 4294967296L: k * 2654435761 overflows
-        // signed 64-bit once id exceeds ~1.1e9, where % would go
-        // negative and diverge from the oracle's unbounded-integer
-        // replay; the mask IS mod 2^32 on the unsigned low bits —
-        // bit-identical below the bound, correct for every id above
-        var m = (k * 2654435761L) & 0xffffffffL
-        m ^= m >>> 16
-        m = (m * 40503L) & 0xffffffffL
-        m ^= m >>> 10
-        val v = (m % 256L).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+      block: Int = 8): Array[Byte] =
+    // encoded via [[encodePngStored]] — lossless, decoded pixels
+    // bit-identical to the formula (see [[synthPng]])
+    encodePngStored(w, h, (x, y) => {
+      val k = id * 7919L + (x / block) * 104729L +
+        (y / block) * 1299709L
+      // & 0xffffffffL, not % 4294967296L: k * 2654435761 overflows
+      // signed 64-bit once id exceeds ~1.1e9, where % would go
+      // negative and diverge from the oracle's unbounded-integer
+      // replay; the mask IS mod 2^32 on the unsigned low bits —
+      // bit-identical below the bound, correct for every id above
+      var m = (k * 2654435761L) & 0xffffffffL
+      m ^= m >>> 16
+      m = (m * 40503L) & 0xffffffffL
+      m ^= m >>> 10
+      val v = (m % 256L).toInt
+      (v << 16) | (v << 8) | v
+    })
 
   /** Attach a block-textured synthetic PNG per row
     * ([[synthPngBlocks]]); with `resizeTo` set, each payload is

@@ -82,7 +82,12 @@ class GraftScanRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     rewritten match {
       case None => lr
       case Some(df) =>
-        val newPlan = df.queryExecution.analyzed
+        // the spliced subtree is an ANALYZED plan injected AFTER the
+        // optimizer's hint batch already ran — fold any ResolvedHint
+        // (the DV probe's broadcast hint) into its Join node here, or
+        // the planner rejects the leftover hint operator outright
+        val newPlan = org.apache.spark.sql.catalyst.optimizer
+          .EliminateResolvedHint(df.queryExecution.analyzed)
         // re-anchor on the ORIGINAL output attributes: parents above
         // reference the relation's exprIds, so each new column is
         // aliased back to its old identity. Names resolve with the

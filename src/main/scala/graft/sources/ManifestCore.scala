@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Equal
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StructField, StructType}
 
 /** Manifest GENERATION RESOLUTION and reading: versioned `v<N>` dirs, the `_COMMIT` visibility point, legacy flat manifests, the pinned manifest read, and the optimistic-retry loop every generation-building entry point wraps itself in.
   *
@@ -113,16 +113,36 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
   // lands on the driver), and the cache evicts LRU past its cap.
   // -----------------------------------------------------------------
 
-  private case class ManifestPart(name: String, len: Long, rows: Seq[Row])
+  /** `weight` is the part's DRIVER-HEAP footprint (SizeEstimator over
+    * the deserialized rows), not its on-disk length: bloom/ndv stat
+    * columns are incompressible binary that expands ~3-8x into boxed
+    * Row values, so accounting by compressed bytes would overshoot
+    * the nominal cache budget by that factor (r18 advice, medium).
+    */
+  private case class ManifestPart(name: String, len: Long, weight: Long,
+      rows: Seq[Row])
 
   private val manifestPartCache =
     new java.util.LinkedHashMap[String, ManifestPart](256, 0.75f, true)
   private val manifestCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Conservative on-disk → heap expansion factor for GATING a read
+    * before its rows exist to measure: schemas carrying non-atomic
+    * stat columns (bloom word arrays, ndv register structs) expand
+    * hardest — incompressible binary into boxed element objects.
+    */
+  private def heapExpansionFactor(schema: StructType): Long = {
+    val complex = schema.fields.exists(_.dataType match {
+      case BinaryType | _: ArrayType | _: StructType | _: MapType => true
+      case _ => false
+    })
+    if (complex) 8L else 2L
+  }
+
   /** Budget for serving one manifest read driver-side (sum of its
     * parts' compressed bytes) — reads past it stay distributed.
     */
-  private def maxLocalManifestBytes(spark: SparkSession): Long =
+  private[sources] def maxLocalManifestBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.manifest.maxLocalBytes")
       .map(_.toLong).getOrElse(16L * 1024 * 1024)
 
@@ -138,6 +158,29 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
       manifestCacheBytes.set(0L)
     }
 
+  /** Drop every cached part keyed under `dir` — called when a
+    * generation directory is physically DELETED (vacuum). Keys are
+    * content-addressed so stale service was never possible; this is
+    * pure waste reclamation ahead of LRU (r18 verdict #6 nicety).
+    */
+  private[sources] def dropManifestCacheUnder(dir: String): Unit =
+    manifestPartCache.synchronized {
+      // scheme-tolerant: keys carry the dir string as the reader saw
+      // it (possibly `file:/...`-qualified); the vacuum hands the raw
+      // path — compare with schemes stripped so hygiene still fires
+      def bare(s: String): String = s.stripPrefix("file:")
+      val prefix = bare(dir)
+      val it = manifestPartCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val keyDir = bare(e.getKey.takeWhile(_ != '#'))
+        if (keyDir == prefix || keyDir.startsWith(prefix + "/")) {
+          manifestCacheBytes.addAndGet(-e.getValue.weight)
+          it.remove()
+        }
+      }
+    }
+
   private def cacheGet(key: String): Option[ManifestPart] =
     manifestPartCache.synchronized(Option(manifestPartCache.get(key)))
 
@@ -145,13 +188,13 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
     manifestPartCache.synchronized {
       if (!manifestPartCache.containsKey(key)) {
         manifestPartCache.put(key, part)
-        manifestCacheBytes.addAndGet(part.len)
+        manifestCacheBytes.addAndGet(part.weight)
         val cap = manifestCacheCapBytes(spark)
         val it = manifestPartCache.entrySet().iterator()
         while (manifestCacheBytes.get() > cap && it.hasNext) {
           val e = it.next()
           if (e.getKey != key) {
-            manifestCacheBytes.addAndGet(-e.getValue.len)
+            manifestCacheBytes.addAndGet(-e.getValue.weight)
             it.remove()
           }
         }
@@ -165,13 +208,23 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
     */
   private def localManifestParts(spark: SparkSession, dir: String,
       wanted: Seq[FileStatus], schema: StructType): Option[Seq[ManifestPart]] = {
-    if (wanted.map(_.getLen).sum > maxLocalManifestBytes(spark)) return None
+    // heap-gated, not disk-gated: what lands on the driver are boxed
+    // Row objects, so the on-disk sum is scaled by a schema-aware
+    // expansion factor before comparing against the budget (the
+    // cached parts' ACCOUNTED weight is then the measured heap size)
+    if (wanted.map(_.getLen).sum * heapExpansionFactor(schema) >
+      maxLocalManifestBytes(spark)) return None
     // the MANIFEST SCHEMA is part of the key: evolution widens the
     // sidecar in place, and rows cached under the old width must not
     // serve a read declared at the new one (the parquet reader fills
-    // the added columns with nulls; the cache must re-read to match)
+    // the added columns with nulls; the cache must re-read to match).
+    // The MTIME is in the key as defense-in-depth: parts are
+    // write-once by protocol, but an out-of-band same-name same-length
+    // rewrite (manual repair, backup restore) must not serve stale
+    // rows forever (r18 advice).
     val schemaTag = scala.util.hashing.MurmurHash3.stringHash(schema.json)
-    def keyOf(f: FileStatus) = s"$dir#$schemaTag#${f.getPath.getName}#${f.getLen}"
+    def keyOf(f: FileStatus) =
+      s"$dir#$schemaTag#${f.getPath.getName}#${f.getLen}#${f.getModificationTime}"
     val missing = wanted.filter(f => cacheGet(keyOf(f)).isEmpty)
     if (missing.nonEmpty) {
       val collected = spark.read.schema(schema)
@@ -183,8 +236,10 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
         .view.mapValues(_.map(r => Row.fromSeq(r.toSeq.dropRight(1)))).toMap
       missing.foreach { f =>
         val n = f.getPath.getName
-        cachePut(spark, keyOf(f),
-          ManifestPart(n, f.getLen, byName.getOrElse(n, Seq.empty)))
+        val rows = byName.getOrElse(n, Seq.empty)
+        val weight = math.max(f.getLen,
+          org.apache.spark.util.SizeEstimator.estimate(rows))
+        cachePut(spark, keyOf(f), ManifestPart(n, f.getLen, weight, rows))
       }
     }
     Some(wanted.map(f => cacheGet(keyOf(f)).getOrElse(
@@ -226,24 +281,39 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
   /** Driver-side `unionByName(allowMissingColumns = true)` for local
     * manifest rows: left columns in order, right-only columns
     * appended; missing values fill with null. Shared columns must
-    * agree on type (one generation's manifest is type-consistent).
+    * agree on type (one generation's manifest is type-consistent);
+    * a divergent type — possible only after an out-of-band stat
+    * column retype — returns None so the caller falls back to the
+    * DataFrame route, whose `unionByName` applies Spark's implicit
+    * coercions instead of aborting the DML (r18 advice).
     */
   private[sources] def unionRowsByName(ls: StructType, lrows: Seq[Row],
-      rs: StructType, rrows: Seq[Row]): (StructType, Seq[Row]) = {
+      rs: StructType, rrows: Seq[Row]): Option[(StructType, Seq[Row])] = {
     val extra = rs.fields.filterNot(f => ls.fieldNames.contains(f.name))
-    ls.fields.foreach { f =>
-      rs.fields.find(_.name == f.name).foreach(r =>
-        require(r.dataType == f.dataType,
-          s"manifest column ${f.name}: carried type ${f.dataType.simpleString} " +
-            s"vs added ${r.dataType.simpleString}"))
-    }
+    val mismatch = ls.fields.exists(f =>
+      rs.fields.find(_.name == f.name).exists(_.dataType != f.dataType))
+    if (mismatch) return None
     val out = StructType((ls.fields ++ extra).map(_.copy(nullable = true)))
     val rIdx: Array[Int] = out.fields.map(f => rs.fieldNames.indexOf(f.name))
     val left = lrows.map(r => Row.fromSeq(r.toSeq ++ Seq.fill(extra.length)(null)))
     val right = rrows.map(r => Row.fromSeq(
       rIdx.toSeq.map(i => if (i < 0) null else r.get(i))))
-    (out, left ++ right)
+    Some((out, left ++ right))
   }
+
+  /** Rows of `wanted` parquet parts under `dir` served from the
+    * driver-side part cache when the size gate admits them — the
+    * generic entry the DELETION-VECTOR probe shares with the manifest
+    * read (r18 verdict #4: the per-plan DV read on vector-carrying
+    * tables was the last always-distributed metadata scan). None =
+    * over budget, stay distributed. Same content-addressed keys
+    * (dir, schema, name, length, mtime), same LRU budget, same vacuum
+    * eviction.
+    */
+  private[graft] def localPartRows(spark: SparkSession, dir: String,
+      wanted: Seq[FileStatus], schema: StructType): Option[Seq[Row]] =
+    localManifestParts(spark, dir, wanted, schema)
+      .map(_.flatMap(_.rows))
 
   /** The one manifest read everything plans through. `pin` restricts
     * to an explicit part-name set (the optimistic writers' observed

@@ -156,18 +156,26 @@ private[sources] trait StorageCluster { this: DataSkipping.type =>
       .repartitionByRange(targetFiles, rangeKeys: _*)
       .sortWithinPartitions(rangeKeys: _*)
       .drop("__z")
-    if (partCols.isEmpty) zSorted.write.parquet(staging.toString)
-    else zSorted.write.partitionBy(partCols: _*).parquet(staging.toString)
-    val moved =
-      if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
-      else moveInPartitioned(fs, staging, new Path(path))
     val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
     // tracked set GROWS to include the z columns (dropping an
     // existing tracked column would silently stop pruning on it)
     val newTracked = (trackedCols(spark, dir) ++ zCols).toSeq.distinct.sorted
+    // per-file stats ride the write tasks (guide §6 — the statsFor
+    // read-back below then never executes)
+    val writeStats = stagedWriteTracked(zSorted, staging, partCols,
+      newTracked, bloomCfg)
+    val moved =
+      if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
+      else moveInPartitioned(fs, staging, new Path(path))
     val newStats = statsFor(
       partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
       newTracked, withNulls = true, bloom = bloomCfg)
+    val statsLocal: Option[(StructType, Seq[Row])] =
+      if (moved.size > 10000) None
+      else writeStats.flatMap(ws => statsRowsFromWrite(fs, path, moved,
+          newTracked, partCols, bloomCfg.map(_._1).getOrElse(Nil), ws,
+          newStats.schema))
+        .map(rows => (newStats.schema, rows))
     val movedNames = moved.map(p => new Path(p).getName).toSet
     val replaced = old.map(p => rootRelativeOrName(fs, path, p))
       .filterNot(rel => movedNames(new Path(rel).getName)).toSeq
@@ -180,7 +188,8 @@ private[sources] trait StorageCluster { this: DataSkipping.type =>
       op = "OPTIMIZE ZORDER",
       clustered = Some((s"$curve:${zCols.mkString(",")}" +:
         moved.map(p => new Path(p).getName)).mkString("\n")),
-      observedParts = Some(observed))
+      observedParts = Some(observed),
+      manifestRowsLocal = statsLocal)
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }

@@ -122,19 +122,29 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
         applyDv(partAwareStatusScan(spark, path, dir, schema,
           statusesOf(stats)), dv)
       else spark.read.schema(schema).parquet(old.map(_.getString(0)): _*)
-    if (partCols.isEmpty)
-      snapshot.coalesce(target).write.parquet(staging.toString)
-    else snapshot.repartition(target, partCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(staging.toString)
+    // the rewrite always emits null counts (the legacy→v2 upgrade
+    // moment) and preserves the table's bloom configuration; per-file
+    // stats ride the write tasks (guide §6 — the statsFor read-back
+    // below then never executes)
+    val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
+    val writeStats =
+      if (partCols.isEmpty) stagedWriteTracked(snapshot.coalesce(target),
+        staging, Nil, statsCols, bloomCfg)
+      else stagedWriteTracked(
+        snapshot.repartition(target, partCols.map(col): _*),
+        staging, partCols, statsCols, bloomCfg)
     val moved =
       if (partCols.isEmpty) moveIn(fs, staging, new Path(path))
       else moveInPartitioned(fs, staging, new Path(path))
-    // the rewrite always emits null counts (the legacy→v2 upgrade
-    // moment) and preserves the table's bloom configuration
-    val bloomCfg = bloomFeature(manifestFeatures(fs, dir))
     val newStats = statsFor(
       partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
       statsCols, withNulls = true, bloom = bloomCfg)
+    val statsLocal: Option[(StructType, Seq[Row])] =
+      if (moved.size > 10000) None
+      else writeStats.flatMap(ws => statsRowsFromWrite(fs, path, moved,
+          statsCols, partCols, bloomCfg.map(_._1).getOrElse(Nil), ws,
+          newStats.schema))
+        .map(rows => (newStats.schema, rows))
     val movedNames = moved.map(p => new Path(p).getName).toSet
     val replacedData = old.map(r => rootRelativeOrName(fs, path, r.getString(0)))
       .filterNot(rel => movedNames(new Path(rel).getName)).toSeq
@@ -146,7 +156,8 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
         manifestFeatures(fs, dir).filter(_ == CdfFeature),
       manifestSchema = newStats.schema, removedData = replacedData,
       markerRetentionMs = markerRetentionMs, opStartMs = opStart,
-      op = "OPTIMIZE", observedParts = Some(observed))
+      op = "OPTIMIZE", observedParts = Some(observed),
+      manifestRowsLocal = statsLocal)
     if (vacuum) vacuumTable(spark, path, retentionMs)
     moved.size
   }

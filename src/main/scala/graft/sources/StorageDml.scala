@@ -227,11 +227,29 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dv = new Path(dir, DvDir)
     if (!fs.exists(dv)) None
-    else Some(spark.read.schema(
-        StructType(Seq(
-          StructField("file", org.apache.spark.sql.types.StringType),
-          StructField("row_index", org.apache.spark.sql.types.LongType))))
-      .parquet(dv.toString))
+    else {
+      val schema = StructType(Seq(
+        StructField("file", org.apache.spark.sql.types.StringType),
+        StructField("row_index", org.apache.spark.sql.types.LongType)))
+      // size-gated driver-side row cache, like the manifest read: the
+      // vector is probed by EVERY plan/DML over a vector-carrying
+      // generation, and its broadcast build was the one remaining
+      // always-distributed metadata scan (r18 verdict #4). The dir is
+      // per-generation write-once; keys carry name+len+mtime, so an
+      // out-of-band rewrite re-reads. Over-budget vectors keep the
+      // distributed scan.
+      val parts = fs.listStatus(dv).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }.toSeq
+      localPartRows(spark, dv.toString, parts, schema) match {
+        case Some(rows) => Some(spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
+        case None => Some(spark.read.schema(schema).parquet(dv.toString))
+      }
+    }
   }
 
   /** Filter DV-dead rows out of a data-file scan: broadcast-hash
@@ -356,10 +374,18 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     // them back (or, for an UPDATE that changes a partition value,
     // forward to the row's new directory).
     val partCols = partitionColsIn(fs, dir)
+    // stats shape resolved BEFORE the write: the staged replacement
+    // gathers its per-file manifest stats IN the write tasks (guide
+    // §6 — a write must not re-scan its own output), so the statsFor
+    // action below usually never runs
+    val baseFeats = manifestFeatures(fs, dir)
+    val baseStatsCols = trackedCols(spark, dir).toSeq.sorted
+    val bloomFeat = bloomFeature(baseFeats)
+    var writeStats: Option[Seq[org.apache.spark.sql.graft.FileWriteStats]] = None
     val moved = replacement.fold(Seq.empty[String]) { r =>
       val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
-      if (partCols.isEmpty) r.write.parquet(staging.toString)
-      else r.write.partitionBy(partCols: _*).parquet(staging.toString)
+      writeStats = stagedWriteTracked(r, staging, partCols, baseStatsCols,
+        bloomFeat)
       enforceConstraintsOnStaged(spark, fs, dir, staging, schema, op)
       // copy-on-write rewrites re-verify (and an UPDATE SET may
       // recompute) generated values under the CURRENT session tz —
@@ -378,24 +404,45 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     // rebase" into O(op) again. Shape sidecars are proven identical
     // across a rebase (rebaseSafe), so stats computed under the base
     // dir's tracked set/features stay exact under the winner's.
-    val baseFeats = manifestFeatures(fs, dir)
-    val baseStatsCols = trackedCols(spark, dir).toSeq.sorted
+    //
     // Added-file stats land on the DRIVER when the op wrote a bounded
-    // number of files (every row-level DML does): the one statsFor
-    // action replaces the checkpoint, and the whole generation carry
-    // below becomes driver work. Ops that wrote an unbounded file set
-    // keep the checkpointed-frame route (same rebase rationale).
+    // number of files (every row-level DML does): the rows usually
+    // arrive straight from the WRITE TASKS (stagedWriteTracked above —
+    // zero extra actions), else the one statsFor action replaces the
+    // checkpoint; the whole generation carry below becomes driver
+    // work. Ops that wrote an unbounded file set keep the
+    // checkpointed-frame route (same rebase rationale).
+    // The gate is a BYTE budget, not a row count: one stats row can
+    // carry kilobytes of bloom bits plus HLL registers per tracked
+    // column, so 10k rows of narrow min/max is fine where 10k rows of
+    // multi-bloom stats would be hundreds of driver-heap MB (r18
+    // advice). Reuses the manifest local-serve budget — the carried
+    // generation these rows union into is gated by the same number.
     val addedLocalMax = 10000
+    val estStatRowBytes: Long = {
+      val base = 64L + 48L * baseStatsCols.size
+      val bloomB = bloomFeat.fold(0L) { case (cols, bits, _) =>
+        cols.size.toLong * (bits / 8L + 64L) }
+      base + bloomB
+    }
+    val localGate: Boolean = moved.size <= addedLocalMax &&
+      moved.size * estStatRowBytes <= maxLocalManifestBytes(spark)
     val addedStatsFrame: Option[DataFrame] =
       if (moved.isEmpty) None
       else Some(statsFor(
         partAwareStatusScan(spark, path, dir, schema, statusesFor(fs, moved)),
         baseStatsCols,
         withNulls = baseFeats.contains("nulls"),
-        bloom = bloomFeature(baseFeats)))
+        bloom = bloomFeat))
     val addedLocal: Option[(StructType, Seq[Row])] =
-      addedStatsFrame.filter(_ => moved.size <= addedLocalMax)
-        .map(f => (f.schema, f.collect().toSeq))
+      addedStatsFrame.filter(_ => localGate).flatMap { f =>
+        writeStats
+          .flatMap(ws => statsRowsFromWrite(fs, path, moved, baseStatsCols,
+            partCols, bloomFeat.map(_._1).getOrElse(Nil), ws, f.schema))
+          .map(rows => (f.schema, rows))
+          // coverage gap / tracker off → the old one-action collect
+          .orElse(Some((f.schema, f.collect().toSeq)))
+      }
     val addedStats: Option[DataFrame] = addedLocal match {
       case Some((s, rs)) => Some(spark.createDataFrame(
         new java.util.ArrayList[Row](
@@ -447,28 +494,36 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       val localPairs: Option[(StructType, Seq[(Row, String)])] =
         if (moved.nonEmpty && addedLocal.isEmpty) None
         else aPin.flatMap(p => localManifestRowsPinned(spark, aDir, p))
-      val (rows, rowsLocal, verbatim) = localPairs match {
-        case Some((mSchema, pairs)) =>
-          val fileIdx = mSchema.fieldIndex("file")
-          val dirtyNames: Set[String] =
-            if (touched.isEmpty) Set.empty
-            else pairs.collect {
-              case (r, src) if !r.isNullAt(fileIdx) &&
-                touchedSet(r.getString(fileIdx)) => src
-            }.toSet
-          val verb = verbatimOf(dirtyNames)
-          val carriedRows = pairs.collect {
-            case (r, src) if !verb(src) &&
-              !(touchedSet.nonEmpty && !r.isNullAt(fileIdx) &&
-                touchedSet(r.getString(fileIdx))) => r
-          }
-          val (outSchema, outRows) = addedLocal match {
-            case None => (mSchema, carriedRows)
-            case Some((aSchema, aRows)) =>
-              unionRowsByName(mSchema, carriedRows, aSchema, aRows)
-          }
-          (spark.createDataFrame(new java.util.ArrayList[Row](),
-            outSchema), Some((outSchema, outRows)), verb)
+      val localBuilt: Option[(DataFrame, Option[(StructType, Seq[Row])],
+          Set[String])] = localPairs.flatMap { case (mSchema, pairs) =>
+        val fileIdx = mSchema.fieldIndex("file")
+        val dirtyNames: Set[String] =
+          if (touched.isEmpty) Set.empty
+          else pairs.collect {
+            case (r, src) if !r.isNullAt(fileIdx) &&
+              touchedSet(r.getString(fileIdx)) => src
+          }.toSet
+        val verb = verbatimOf(dirtyNames)
+        val carriedRows = pairs.collect {
+          case (r, src) if !verb(src) &&
+            !(touchedSet.nonEmpty && !r.isNullAt(fileIdx) &&
+              touchedSet(r.getString(fileIdx))) => r
+        }
+        // None (a carried/added stat-column TYPE divergence) falls
+        // back to the DataFrame route below, whose unionByName
+        // coerces instead of aborting
+        val merged: Option[(StructType, Seq[Row])] = addedLocal match {
+          case None => Some((mSchema, carriedRows))
+          case Some((aSchema, aRows)) =>
+            unionRowsByName(mSchema, carriedRows, aSchema, aRows)
+        }
+        merged.map { case (outSchema, outRows) =>
+          (spark.createDataFrame(new java.util.ArrayList[Row](), outSchema),
+            Some((outSchema, outRows)): Option[(StructType, Seq[Row])], verb)
+        }
+      }
+      val (rows, rowsLocal, verbatim) = localBuilt match {
+        case Some(t) => t
         case None =>
           // the touched list rides as a broadcast local relation, not
           // an O(touched) IN literal — a whole-table MERGE would
@@ -1577,33 +1632,40 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
     val src = source.select(schema.fieldNames.map(col).toSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val srcCount = src.count()
-      val dup = src.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        .limit(1).collect()
-      require(dup.isEmpty,
-        s"source keys must be unique on (${keyCols.mkString(",")}) — " +
-          s"duplicate: ${dup.headOption.getOrElse("")}")
-
-      // candidate files: key-envelope overlap + the by-source
-      // conditions' stats rewrite (unprunable => every file)
+      // ONE action answers source count, key uniqueness, and the
+      // per-key envelope (previously three separate jobs over the
+      // persisted source — guide §1.2: fewer actions; the same fusion
+      // mergeUpsertPhys got in r18). The duplicate EXAMPLE is only
+      // computed on the failure path.
       val tracked = trackedCols(spark, dir)
       val nullsTracked = stats.columns.collect {
         case c if c.startsWith("nulls_") => c.drop(6) }.toSet
       val prunable = keyCols.filter(tracked)
+      val perKey = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+      val sumAggs = Seq(sum(col("__n")).as("__total"),
+        max(col("__n")).as("__maxn")) ++
+        prunable.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val env = perKey.agg(sumAggs.head, sumAggs.tail: _*).head()
+      val srcCount = if (env.isNullAt(0)) 0L else env.getLong(0)
+      if (srcCount > 0L && env.getLong(1) > 1L) {
+        val dup = perKey.filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"source keys must be unique on (${keyCols.mkString(",")}) — " +
+            s"duplicate: ${dup.headOption.getOrElse("")}")
+      }
+
+      // candidate files: key-envelope overlap + the by-source
+      // conditions' stats rewrite (unprunable => every file)
       val envelopeSkip: Column =
         if (srcCount == 0L) lit(false)
         else if (prunable.isEmpty) lit(true)
-        else {
-          val aggs = prunable.flatMap(k =>
-            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-          val env = src.agg(aggs.head, aggs.tail: _*).head()
-          prunable.zipWithIndex.map { case (k, i) =>
-            val lo = env.get(2 * i); val hi = env.get(2 * i + 1)
-            if (lo == null) lit(false)
-            else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
-          }.reduce(_ && _)
-        }
+        else prunable.zipWithIndex.map { case (k, i) =>
+          val lo = env.get(2 + 2 * i); val hi = env.get(2 + 2 * i + 1)
+          if (lo == null) lit(false)
+          else minC(k) <= lit(hi) && maxC(k) >= lit(lo)
+        }.reduce(_ && _)
       // by-source conditions are written over `t.<col>` — strip the
       // alias before resolving against the bare schema for the
       // stats rewrite
@@ -1672,21 +1734,32 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         matchedClauses.zipWithIndex.collect { case (_: MatchedDelete, i) => i + 1 } ++
           bySourceClauses.zipWithIndex.collect { case (_: BySourceDelete, i) => 101 + i }
 
-      // PASS A: one candidate scan -> (file, action) for acting rows
+      // PASS A: ONE candidate scan -> (target keys, file, action) for
+      // EVERY candidate row, persisted narrow. One collect over the
+      // acting rows' (file, action) groups answers both the per-action
+      // counts and the touched-file list (previously two jobs), and
+      // the insert probe's target-key set reads the SAME persisted
+      // frame instead of re-scanning every candidate file a second
+      // time (guide §1.2 / §2: fewer actions, fewer bytes scanned).
       val probe =
         if (candStatuses.isEmpty) None
         else Some(joined(candStatuses)
-          .select(col("__tfile"), act.as("__act"))
-          .filter(col("__act") =!= 0)
+          .select(keyCols.map(k => col(s"t.$k").as(k)) ++
+            Seq(col("__tfile"), act.as("__act")): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try {
-        val actCounts: Map[Int, Long] = probe.fold(Map.empty[Int, Long])(
-          _.groupBy("__act").agg(count(lit(1)).as("__n"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        val fileActs: Seq[(String, Int, Long)] = probe.fold(
+          Seq.empty[(String, Int, Long)])(
+          _.filter(col("__act") =!= 0)
+            .groupBy(col("__tfile"), col("__act"))
+            .agg(count(lit(1)).as("__n"))
+            .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+            .toSeq)
+        val actCounts: Map[Int, Long] =
+          fileActs.groupBy(_._2).map { case (a, xs) => a -> xs.map(_._3).sum }
         val updated = updateActs.map(actCounts.getOrElse(_, 0L)).sum
         val deleted = deleteActs.map(actCounts.getOrElse(_, 0L)).sum
-        val files: Seq[String] = probe.fold(Seq.empty[String])(
-          _.select("__tfile").distinct().collect().map(_.getString(0)).toSeq)
+        val files: Seq[String] = fileActs.map(_._1).distinct
         val touchedSet = files.toSet
 
         // unmatched source rows -> inserts (matched keys computed
@@ -1695,9 +1768,9 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
         val insertRows: Option[DataFrame] =
           if (insertClauses.isEmpty || srcCount == 0L) None
           else {
-            val tgtKeys =
-              if (candStatuses.isEmpty) src.limit(0).select(keyCols.map(col): _*)
-              else scanOf(candStatuses).select(keyCols.map(col): _*).distinct()
+            val tgtKeys = probe.fold(
+              src.limit(0).select(keyCols.map(col): _*))(
+              _.select(keyCols.map(col): _*).distinct())
             val insCond = insertClauses.map(_.condition)
               .map(_.getOrElse(lit(true))).reduce(_ || _)
             Some(src.join(tgtKeys, keyCols, "left_anti").as("s")

@@ -266,7 +266,13 @@ private[sources] trait StorageRead { this: DataSkipping.type =>
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def act(p: Path, recursive: Boolean): Unit = {
       targets += p.toString
-      if (delete) fs.delete(p, recursive)
+      if (delete) {
+        fs.delete(p, recursive)
+        // reclaim any manifest-row-cache entries keyed under the
+        // deleted dir ahead of LRU (waste-only: keys are
+        // content-addressed, stale service was never possible)
+        if (recursive) dropManifestCacheUnder(p.toString)
+      }
     }
     val statsDir = new Path(s"$path/$StatsDir")
     if (!fs.exists(statsDir)) return targets.toSeq
@@ -530,8 +536,23 @@ private[sources] trait StorageRead { this: DataSkipping.type =>
         val genSchema = tableSchemaIn(spark, path, gen)
         val withType = StructType(genSchema.fields :+
           StructField(ChangeTypeCol, org.apache.spark.sql.types.StringType))
-        Some(spark.read.schema(withType).parquet(cd.toString)
-          .withColumn(CommitVersionCol, lit(v)))
+        // per-version change files are generation state, write-once
+        // like manifest parts — small ones serve from the driver-side
+        // part cache (zero scan jobs per version; r18 verdict #7),
+        // large ones keep the distributed read
+        val parts = fs.listStatus(cd).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")
+        }.toSeq
+        localPartRows(spark, cd.toString, parts, withType) match {
+          case Some(rows) => Some(spark.createDataFrame(
+            new java.util.ArrayList[Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            withType).withColumn(CommitVersionCol, lit(v)))
+          case None => Some(spark.read.schema(withType).parquet(cd.toString)
+            .withColumn(CommitVersionCol, lit(v)))
+        }
       }
     }
     val raw =
@@ -948,13 +969,16 @@ private[sources] trait StorageRead { this: DataSkipping.type =>
           f.getModificationTime >= markerCutoff && !copiedMarkers(n)
       }.map(_.getPath.getName)
     if (currentOnly.nonEmpty) {
+      // zero-row marker re-creations are schema-only templates —
+      // minted ONCE driver-side (no Spark job per restore just to
+      // write an empty parquet; same shape publishGeneration's folded
+      // markers took in r18)
       val tmp = new Path(path, s".markers-${java.util.UUID.randomUUID}")
-      restored.limit(0).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      require(part.length == 1, s"expected one marker part, got ${part.length}")
+      val part = new Path(tmp, "template.parquet")
+      fs.mkdirs(tmp)
+      writeLocalParquetFile(spark, restored.schema, Nil, part)
       currentOnly.foreach { n =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, part.head.getPath,
+        org.apache.hadoop.fs.FileUtil.copy(fs, part,
           fs, new Path(build, n), false, conf)
       }
       fs.delete(tmp, true)

@@ -210,9 +210,11 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
         .map(r => rootRelativeOrName(fs, path, r.getString(0))).toSeq
     val staging = new Path(path,
       s".overwrite-staging-${java.util.UUID.randomUUID}")
-    try {
-      if (partitionBy.isEmpty) df.write.parquet(staging.toString)
-      else df.write.partitionBy(partitionBy: _*).parquet(staging.toString)
+    // per-file manifest stats gathered in the write tasks (guide §6)
+    // — the statsFor read-back below then never executes
+    val writeStats = try {
+      stagedWriteTracked(df, staging, partitionBy,
+        statsCols ++ partitionBy, bloom)
     } catch {
       case e: Throwable =>
         try fs.delete(staging, true)
@@ -243,6 +245,12 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
             statusesFor(fs, moved)))
       }
     val stats = statsFor(written, tracked, withNulls = true, bloom)
+    val statsLocal: Option[(StructType, Seq[Row])] =
+      if (moved.size > 10000) None
+      else writeStats.flatMap(ws => statsRowsFromWrite(fs, path, moved,
+          tracked, partitionBy, bloom.map(_._1).getOrElse(Nil), ws,
+          stats.schema))
+        .map(rows => (stats.schema, rows))
     val feats = Set("nulls") ++
       (if (partitionBy.nonEmpty) Set(PartitionedFeature)
        else Set.empty[String]) ++
@@ -257,7 +265,8 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       clustered = None, observedParts = Some(observed),
       resetDeclarations = true,
       partitionColsNew = Some(partitionBy).filter(_.nonEmpty),
-      extraSidecars = extraSidecars)
+      extraSidecars = extraSidecars,
+      manifestRowsLocal = statsLocal)
     vacuumTable(spark, path, RetentionDefaultMs)
   }
 
@@ -298,13 +307,33 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       overwriteGeneration(spark, tfs, path, df, statsCols, bloom,
         changeFeed, partitionBy, extraSidecars)
     } else if (partitionBy.isEmpty) {
-      stagedOverwrite(spark, path, s => df.write.mode("overwrite").parquet(s))
+      // per-file manifest stats gathered in the write tasks (guide §6)
+      // — the statsFor read-back below then never executes
+      var writeStats: Option[Seq[org.apache.spark.sql.graft.FileWriteStats]] =
+        None
+      stagedOverwrite(spark, path, s =>
+        writeStats = stagedWriteTracked(df, new Path(s), Nil, statsCols, bloom))
       val written = spark.read.parquet(path)
       val stats = statsFor(written, statsCols, withNulls = true, bloom)
+      val moved = tfs.listStatus(new Path(path)).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }.map(_.getPath.toString).toSeq
+      val statsLocal: Option[Seq[Row]] =
+        if (moved.size > 10000) None
+        else writeStats.flatMap(ws => statsRowsFromWrite(tfs, path, moved,
+          statsCols, Nil, bloomCols, ws, stats.schema))
       // v0, committed by its marker — the overwrite above cleared the
       // table dir, so this is always the first generation
       val gen = s"$path/$StatsDir/v0"
-      stats.write.mode("overwrite").parquet(gen)
+      statsLocal match {
+        case Some(rows) =>
+          tfs.mkdirs(new Path(gen))
+          writeLocalParquetFile(spark, stats.schema, rows,
+            new Path(gen, s"part-${java.util.UUID.randomUUID}.parquet"))
+        case None => stats.write.mode("overwrite").parquet(gen)
+      }
       writeSidecars(spark, gen, written.schema, statsCols,
         Set("nulls") ++ bloom.map(b => bloomFeatureLine(b)).toSet ++
           (if (changeFeed) Set(CdfFeature) else Set.empty),
@@ -321,8 +350,13 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       // under the fresh v0 below. Staging into a fresh empty dir
       // neutralizes dynamic mode for the write itself (every
       // partition is "touched" in an empty target).
-      stagedOverwrite(spark, path,
-        s => df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(s))
+      // per-file manifest stats gathered in the write tasks (guide §6)
+      // — the part-aware statsFor read-back below then never executes
+      var writeStats: Option[Seq[org.apache.spark.sql.graft.FileWriteStats]] =
+        None
+      stagedOverwrite(spark, path, s =>
+        writeStats = stagedWriteTracked(df, new Path(s), partitionBy,
+          statsCols ++ partitionBy, bloom))
       // NULLABLE sidecar, matching the flat path's read-back schemas:
       // a later evolution batch may omit a column, and a REQUIRED
       // column missing from a file fails the parquet reader
@@ -340,12 +374,24 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       // the file against its own manifest and silently drop rows.
       val fs = new Path(path).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      val listed = listPartitionedDataFiles(fs, new Path(path))
       val written = partAwareStatusScanCols(spark, path, partitionBy, schema,
-        listPartitionedDataFiles(fs, new Path(path)))
+        listed)
       val tracked = statsCols ++ partitionBy
       val stats = statsFor(written, tracked, withNulls = true, bloom)
+      val statsLocal: Option[Seq[Row]] =
+        if (listed.size > 10000) None
+        else writeStats.flatMap(ws => statsRowsFromWrite(fs, path,
+          listed.map(_.getPath.toString), tracked, partitionBy, bloomCols,
+          ws, stats.schema))
       val gen = s"$path/$StatsDir/v0"
-      stats.write.mode("overwrite").parquet(gen)
+      statsLocal match {
+        case Some(rows) =>
+          fs.mkdirs(new Path(gen))
+          writeLocalParquetFile(spark, stats.schema, rows,
+            new Path(gen, s"part-${java.util.UUID.randomUUID}.parquet"))
+        case None => stats.write.mode("overwrite").parquet(gen)
+      }
       writeSidecars(spark, gen, schema, tracked,
         Set("nulls", PartitionedFeature) ++
           bloom.map(b => bloomFeatureLine(b)).toSet ++
@@ -1191,7 +1237,15 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       }
 
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
-    df.write.parquet(staging.toString)
+    // match the table's manifest generation: appending null-count
+    // or bloom columns to a legacy manifest (or vice versa) is
+    // the mixed-schema mis-pruning the statsCols check forbids.
+    // Legacy tables are upgraded wholesale by compactTable. Resolved
+    // BEFORE the write so the batch's manifest stats ride the write
+    // tasks (guide §6 — no re-scan of just-written output).
+    val feats = manifestFeatures(fs, dir)
+    val bloomCfg = bloomFeature(feats)
+    val writeStats = stagedWriteTracked(df, staging, Nil, statsCols, bloomCfg)
     // validated under the TABLE schema (already widened if this batch
     // evolves it): a batch omitting a constrained column reads as
     // nulls — NULL passes CHECK, SQL semantics
@@ -1199,22 +1253,32 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
     if (poisonTzOnCommit) poisonGeneratedTzOnDrift(spark, fs, dir)
     val moved = moveIn(fs, staging, new Path(path))
     val batchStats =
-      if (moved.nonEmpty) {
-        // match the table's manifest generation: appending null-count
-        // or bloom columns to a legacy manifest (or vice versa) is
-        // the mixed-schema mis-pruning the statsCols check forbids.
-        // Legacy tables are upgraded wholesale by compactTable.
-        val feats = manifestFeatures(fs, dir)
+      if (moved.nonEmpty)
         statsFor(statusScan(spark, path, schema, statusesFor(fs, moved)),
-          statsCols, withNulls = feats.contains("nulls"), bloom = bloomFeature(feats))
-      }
+          statsCols, withNulls = feats.contains("nulls"), bloom = bloomCfg)
       else readManifestIn(spark, dir).limit(0) // zero-row marker
+    // write-task stats registered driver-side (bounded batches): the
+    // statsFor frame above then never executes — its schema is the
+    // parity anchor for the assembled rows
+    val batchLocal: Option[(StructType, Seq[Row])] =
+      if (moved.isEmpty) Some((batchStats.schema, Nil))
+      else if (moved.size > 10000) None
+      else writeStats.flatMap(ws => statsRowsFromWrite(fs, path, moved,
+          statsCols, Nil, bloomCfg.map(_._1).getOrElse(Nil), ws,
+          batchStats.schema))
+        .map(rows => (batchStats.schema, rows))
     marker match {
       case None if moved.isEmpty => ()
-      case None =>
-        batchStats.write.mode("append").parquet(dir)
-      case Some(dest) =>
-        writeManifestFile(spark, fs, path, batchStats, dest)
+      case None => batchLocal match {
+        case Some((s, rows)) => writeLocalParquetFile(spark, s, rows,
+          new Path(dir, s"part-${java.util.UUID.randomUUID}.parquet"))
+        case None => batchStats.write.mode("append").parquet(dir)
+      }
+      case Some(dest) => batchLocal match {
+        case Some((s, rows)) => writeManifestFileLocal(spark, fs, path,
+          s, rows, dest)
+        case None => writeManifestFile(spark, fs, path, batchStats, dest)
+      }
     }
     // OPTIMISTIC RE-REGISTRATION: a maintenance op may have committed
     // a new generation while this append was in flight; its publisher
@@ -1271,11 +1335,18 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
           case Some(n) =>
             // the publisher's reconcile may land the same marker name
             // concurrently — its exclusive rename makes one winner
-            try writeManifestFile(spark, fs, path, batchStats,
-              new Path(cur, s"$n.parquet"))
+            try batchLocal match {
+              case Some((s, rows)) => writeManifestFileLocal(spark, fs,
+                path, s, rows, new Path(cur, s"$n.parquet"))
+              case None => writeManifestFile(spark, fs, path, batchStats,
+                new Path(cur, s"$n.parquet"))
+            }
             catch { case _: IllegalArgumentException => () }
-          case None =>
-            batchStats.write.mode("append").parquet(cur)
+          case None => batchLocal match {
+            case Some((s, rows)) => writeLocalParquetFile(spark, s, rows,
+              new Path(cur, s"part-${java.util.UUID.randomUUID}.parquet"))
+            case None => batchStats.write.mode("append").parquet(cur)
+          }
         }
         registeredIn = cur
         cur = manifestDirOf(fs, path)
@@ -1440,22 +1511,43 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
     val df = df0.select(
       schema.fieldNames.filter(df0.columns.contains).map(col).toSeq: _*)
     val staging = new Path(path, s".append-${java.util.UUID.randomUUID}")
-    df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    // stats shape resolved BEFORE the write: per-file manifest stats
+    // (partition values included — min=max=directory value) ride the
+    // write tasks, so the part-aware statsFor below usually never
+    // executes (guide §6 — no re-scan of just-written output)
+    val feats = manifestFeatures(fs, dir)
+    val bloomCfg = bloomFeature(feats)
+    val writeStats = stagedWriteTracked(df, staging, partCols,
+      statsData ++ partCols, bloomCfg)
     enforceConstraintsOnStaged(spark, fs, dir, staging, schema, "append")
     if (poisonTzOnCommit) poisonGeneratedTzOnDrift(spark, fs, dir)
     val moved = moveInPartitioned(fs, staging, new Path(path))
-    val feats = manifestFeatures(fs, dir)
     val batchStats =
       if (moved.nonEmpty)
         statsFor(partAwareStatusScanCols(spark, path, partCols, schema,
             statusesFor(fs, moved)),
           statsData ++ partCols, withNulls = feats.contains("nulls"),
-          bloom = bloomFeature(feats))
+          bloom = bloomCfg)
       else readManifestIn(spark, dir).limit(0) // zero-row marker
+    val batchLocal: Option[(StructType, Seq[Row])] =
+      if (moved.isEmpty) Some((batchStats.schema, Nil))
+      else if (moved.size > 10000) None
+      else writeStats.flatMap(ws => statsRowsFromWrite(fs, path, moved,
+          statsData ++ partCols, partCols,
+          bloomCfg.map(_._1).getOrElse(Nil), ws, batchStats.schema))
+        .map(rows => (batchStats.schema, rows))
     commitName.map(n => new Path(dir, s"$n.parquet")) match {
       case None if moved.isEmpty => ()
-      case None => batchStats.write.mode("append").parquet(dir)
-      case Some(dest) => writeManifestFile(spark, fs, path, batchStats, dest)
+      case None => batchLocal match {
+        case Some((s, rows)) => writeLocalParquetFile(spark, s, rows,
+          new Path(dir, s"part-${java.util.UUID.randomUUID}.parquet"))
+        case None => batchStats.write.mode("append").parquet(dir)
+      }
+      case Some(dest) => batchLocal match {
+        case Some((s, rows)) => writeManifestFileLocal(spark, fs, path,
+          s, rows, dest)
+        case None => writeManifestFile(spark, fs, path, batchStats, dest)
+      }
     }
     // OPTIMISTIC RE-REGISTRATION, same as the flat path: a racing
     // compaction/DML/restore may have committed a new generation
@@ -1501,10 +1593,18 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
         }
         if (!claimed) commitName match {
           case Some(n) =>
-            try writeManifestFile(spark, fs, path, batchStats,
-              new Path(cur, s"$n.parquet"))
+            try batchLocal match {
+              case Some((s, rows)) => writeManifestFileLocal(spark, fs,
+                path, s, rows, new Path(cur, s"$n.parquet"))
+              case None => writeManifestFile(spark, fs, path, batchStats,
+                new Path(cur, s"$n.parquet"))
+            }
             catch { case _: IllegalArgumentException => () }
-          case None => batchStats.write.mode("append").parquet(cur)
+          case None => batchLocal match {
+            case Some((s, rows)) => writeLocalParquetFile(spark, s, rows,
+              new Path(cur, s"part-${java.util.UUID.randomUUID}.parquet"))
+            case None => batchStats.write.mode("append").parquet(cur)
+          }
         }
         registeredIn = cur
         cur = manifestDirOf(fs, path)
@@ -1627,6 +1727,139 @@ private[sources] trait StorageWrite { this: DataSkipping.type =>
       .createToCatalystConverter(schema)
     try rows.foreach(r => writer.write(toCatalyst(r).asInstanceOf[InternalRow]))
     finally writer.close()
+  }
+
+  /** [[writeManifestFile]] for rows already LOCAL on the driver:
+    * writes the single part driver-side ([[writeLocalParquetFile]])
+    * and renames it into place — zero Spark jobs. Same exclusive-
+    * rename collision contract (require → IllegalArgumentException).
+    */
+  private[sources] def writeManifestFileLocal(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, table: String,
+      schema: StructType, rows: Seq[Row], dest: Path): Unit = {
+    val tmp = new Path(table, s".stats-${java.util.UUID.randomUUID}.parquet")
+    writeLocalParquetFile(spark, schema, rows, tmp)
+    require(fs.rename(tmp, dest), s"stats commit rename to $dest failed")
+  }
+
+  /** Stage `df` into `staging` gathering per-file manifest stats IN
+    * the write tasks (guide §6: a write must not re-scan its own
+    * output; the Delta statistics-tracker shape via
+    * [[org.apache.spark.sql.graft.TrackedParquetWrite]]). Falls back
+    * to the plain staged writer — identical machinery, no tracker —
+    * when the stats shape is unsupported or the tracker is disabled
+    * (`spark.graft.write.trackedStats=false`), returning None; the
+    * caller then keeps its read-back `statsFor` route.
+    */
+  private[sources] def stagedWriteTracked(df: DataFrame, staging: Path,
+      partCols: Seq[String], statsCols: Seq[String],
+      bloom: Option[(Seq[String], Int, Int)])
+      : Option[Seq[org.apache.spark.sql.graft.FileWriteStats]] = {
+    val enabled = df.sparkSession.conf
+      .getOption("spark.graft.write.trackedStats").forall(_.toBoolean)
+    val statsData = statsCols.filterNot(partCols.contains)
+    val tracked =
+      if (!enabled) None
+      else org.apache.spark.sql.graft.TrackedParquetWrite.write(
+        df, staging.toString, partCols, statsData,
+        bloom.map(_._1).getOrElse(Nil),
+        bloom.map(_._2).getOrElse(64), bloom.map(_._3).getOrElse(1))
+    if (tracked.isEmpty) {
+      if (partCols.isEmpty) df.write.parquet(staging.toString)
+      else df.write.partitionBy(partCols: _*).parquet(staging.toString)
+    }
+    tracked
+  }
+
+  /** Manifest rows for the `moved` files assembled from write-task
+    * stats — the LOCAL replacement for a `statsFor` re-scan of
+    * just-written bytes. `statsSchema` is the schema the `statsFor`
+    * frame WOULD have produced (built lazily by the caller — analysis
+    * only, no action), so type/order/nullability parity is by
+    * construction. Returns None when any moved file lacks a tracker
+    * entry or the schema carries a column the tracker cannot fill
+    * (ndv registers) — the caller then runs the distributed scan.
+    * Zero-row files are dropped exactly like the grouped aggregate
+    * drops them (no input rows → no group).
+    */
+  private[sources] def statsRowsFromWrite(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      moved: Seq[String], tracked: Seq[String], partCols: Seq[String],
+      bloomCols: Seq[String],
+      files: Seq[org.apache.spark.sql.graft.FileWriteStats],
+      statsSchema: StructType): Option[Seq[Row]] = {
+    // `moved` strings arrive raw (moveIn: table-root relative Path
+    // concatenation) or fs-qualified (status listings) — match both
+    // against the tracker's raw task-path segments, no URI decoding
+    // (the on-disk names ARE the escaped forms)
+    val roots = Seq(new Path(path).toString + "/",
+      fs.makeQualified(new Path(path)).toString + "/").distinct
+    val byRel = files.map(f => f.relPath -> f).toMap
+    val statsData = tracked.filterNot(partCols.contains)
+    val dataIdx = statsData.zipWithIndex.toMap
+    val partIdx = partCols.zipWithIndex.toMap
+    val bloomIdx = bloomCols.zipWithIndex.toMap
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (m <- moved) {
+      val rel = roots.collectFirst {
+        case r if m.startsWith(r) => m.stripPrefix(r)
+      }
+      val entry = rel.flatMap(byRel.get) match {
+        case None => return None // coverage gap — re-scan instead
+        case Some(e) => e
+      }
+      if (entry.nRows > 0L) {
+        val st = fs.getFileStatus(new Path(m))
+        def partVal(c: String): Any = entry.partValues(partIdx(c))
+        val vals = statsSchema.fields.map { f =>
+          val n = f.name
+          // the `_metadata.file_path` form a scan over these statuses
+          // serves (WriteStatsParitySpec pins it): single-slash scheme
+          // (empty authority dropped, a real one kept) + URL-encoded
+          // path — java.net.URI's multi-arg constructor quotes the
+          // decoded fs path exactly like the scan's SparkPath does
+          if (n == "file") {
+            val u = st.getPath.toUri
+            val auth = Option(u.getAuthority).filter(_.nonEmpty).orNull
+            new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
+          }
+          else if (n == "n_rows") entry.nRows
+          else if (n == "file_size") st.getLen
+          else if (n == "mod_time") st.getModificationTime
+          else if (n.startsWith("min_")) {
+            val c = n.stripPrefix("min_")
+            if (partIdx.contains(c)) partVal(c)
+            else dataIdx.get(c) match {
+              case Some(i) => entry.mins(i)
+              case None => return None
+            }
+          } else if (n.startsWith("max_")) {
+            val c = n.stripPrefix("max_")
+            if (partIdx.contains(c)) partVal(c)
+            else dataIdx.get(c) match {
+              case Some(i) => entry.maxs(i)
+              case None => return None
+            }
+          } else if (n.startsWith("nulls_")) {
+            val c = n.stripPrefix("nulls_")
+            if (partIdx.contains(c)) {
+              if (partVal(c) == null) entry.nRows else 0L
+            } else dataIdx.get(c) match {
+              case Some(i) => entry.nulls(i)
+              case None => return None
+            }
+          } else if (n.startsWith("bloom_")) {
+            val c = n.stripPrefix("bloom_")
+            bloomIdx.get(c) match {
+              case Some(i) => entry.blooms(i).toSeq
+              case None => return None
+            }
+          } else return None // a column the tracker cannot fill (ndv)
+        }
+        rows += Row.fromSeq(vals.toSeq)
+      }
+    }
+    Some(rows.toSeq)
   }
 
 }

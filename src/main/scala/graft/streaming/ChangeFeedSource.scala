@@ -282,22 +282,58 @@ final class ChangeFeedSource(
     else {
       val readSchema = StructType(schema.fields
         .filterNot(_.name == DataSkipping.CommitVersionCol))
-      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        new graft.sources.ManifestFileIndex(new Path(statsDir), files),
-        partitionSchema = new StructType(),
-        dataSchema = readSchema,
-        bucketSpec = None,
-        fileFormat = new org.apache.spark.sql.execution.datasources
-          .parquet.ParquetFileFormat,
-        options = Map.empty)(spark)
-      org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
-        org.apache.spark.sql.execution.datasources.LogicalRelation(
-          relation, isStreaming = true))
-        .withColumn(DataSkipping.CommitVersionCol,
-          org.apache.spark.sql.functions.regexp_extract(
-            org.apache.spark.sql.functions.col("_metadata.file_path"),
-            "/v(\\d+)/" + DataSkipping.ChangeDataDir + "/", 1)
-            .cast(org.apache.spark.sql.types.LongType))
+      // small batches serve straight from the driver-side part cache
+      // (change files are generation state, write-once like manifest
+      // parts — r18 verdict #7): the micro-batch becomes a streaming
+      // LocalRelation, zero scan jobs. Any over-budget version falls
+      // the WHOLE batch back to the one-relation scan (plan arity
+      // stays O(1) regardless of versions in the batch).
+      val localRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+        val perVersion = have.filter(v => v >= fromV && v <= endV).map { v =>
+          val cd = new Path(new Path(statsDir, s"v$v"),
+            DataSkipping.ChangeDataDir)
+          if (!fs.exists(cd)) Some(Nil)
+          else {
+            val parts = fs.listStatus(cd).toSeq.filter(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet"))
+            graft.sources.DataSkipping
+              .localPartRows(spark, cd.toString, parts, readSchema)
+              .map(_.map(r => (r, v)))
+          }
+        }
+        if (perVersion.exists(_.isEmpty)) None
+        else {
+          val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(schema)
+          Some(perVersion.flatMap(_.get).map { case (r, v) =>
+            toInternal(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v))
+              .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          })
+        }
+      }
+      localRows match {
+        case Some(rows) =>
+          org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+            LocalRelation(DataTypeUtils.toAttributes(schema), rows,
+              isStreaming = true))
+        case None =>
+          val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            new graft.sources.ManifestFileIndex(new Path(statsDir), files),
+            partitionSchema = new StructType(),
+            dataSchema = readSchema,
+            bucketSpec = None,
+            fileFormat = new org.apache.spark.sql.execution.datasources
+              .parquet.ParquetFileFormat,
+            options = Map.empty)(spark)
+          org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.LogicalRelation(
+              relation, isStreaming = true))
+            .withColumn(DataSkipping.CommitVersionCol,
+              org.apache.spark.sql.functions.regexp_extract(
+                org.apache.spark.sql.functions.col("_metadata.file_path"),
+                "/v(\\d+)/" + DataSkipping.ChangeDataDir + "/", 1)
+                .cast(org.apache.spark.sql.types.LongType))
+      }
     }
   }
 

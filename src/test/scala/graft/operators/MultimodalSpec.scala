@@ -220,6 +220,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageIoCodec.pixelSums(Array.fill[Byte](64)(7)) === ((-1L, -1L, -1L)))
   }
 
+  test("store-mode PNG encoder decodes pixel-identical to the ImageIO encode it replaced") {
+    import java.awt.image.BufferedImage
+    for (id <- Seq(0L, 1L, 17L, 123L, 499L)) {
+      // the OLD synthesis route: BufferedImage + ImageIO PNG writer
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((id * 11 + x * 13 + y * 2) % 256).toInt
+        val b = ((id * 3 + x + y * 17) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val oldDecoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val newDecoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthPng(id)))
+      assert(newDecoded.getWidth === oldDecoded.getWidth)
+      assert(newDecoded.getHeight === oldDecoded.getHeight)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((newDecoded.getRGB(x, y) & 0xffffff) ===
+          (oldDecoded.getRGB(x, y) & 0xffffff), s"pixel ($x,$y) of id $id")
+    }
+  }
+
   test("corrupt or truncated audio degrades to the sentinel, never throws") {
     val garbage = Array.fill[Byte](100)(42)
     assert(Multimodal.JavaSoundCodec.decodeMeta(garbage).fmt === "unknown")
