@@ -140,16 +140,41 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
   }
 
   /** Budget for serving one manifest read driver-side (sum of its
-    * parts' compressed bytes) — reads past it stay distributed.
+    * parts' compressed ON-DISK bytes, the r18 meaning) — reads past
+    * it stay distributed.
     */
   private[sources] def maxLocalManifestBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.manifest.maxLocalBytes")
       .map(_.toLong).getOrElse(16L * 1024 * 1024)
 
-  /** Total cache capacity (compressed-part-size proxy). */
+  /** SEPARATE driver-heap ceiling for one local serve: the disk
+    * budget times the schema expansion factor is checked against
+    * this, so a bloom/binary-heavy manifest whose boxed rows would
+    * dwarf its compressed size stays distributed (r18 advice,
+    * medium) — WITHOUT silently shrinking the disk budget for
+    * ordinary manifests (a first cut gated `disk × factor` against
+    * the 16 MB disk budget itself, which de-cached every
+    * bloom-carrying manifest ≤16 MB and measurably REGRESSED the
+    * whole skipping family — q_agg_pushdown 2.9→3.6 s; this split
+    * restores r18 serving at the defaults while keeping the
+    * worst-case heap bound explicit).
+    */
+  private def maxLocalManifestHeapBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.maxLocalHeapBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+
+  /** Total cache capacity in MEASURED HEAP bytes (SizeEstimator over
+    * the cached rows). The default grew 64→256 MB alongside the
+    * accounting switch from compressed-disk to heap bytes: the same
+    * parts now weigh 2-8x more on the books, and keeping the old
+    * number would have quietly shrunk effective capacity by that
+    * factor (LRU thrash); 256 MB heap is strictly tighter than the
+    * r18 worst case (64 MB disk of unaccounted boxed rows) on any
+    * realistic driver.
+    */
   private def manifestCacheCapBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.manifest.cacheBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
 
   /** Test/diagnostic hook. */
   private[sources] def clearManifestCache(): Unit =
@@ -208,12 +233,15 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
     */
   private def localManifestParts(spark: SparkSession, dir: String,
       wanted: Seq[FileStatus], schema: StructType): Option[Seq[ManifestPart]] = {
-    // heap-gated, not disk-gated: what lands on the driver are boxed
-    // Row objects, so the on-disk sum is scaled by a schema-aware
-    // expansion factor before comparing against the budget (the
-    // cached parts' ACCOUNTED weight is then the measured heap size)
-    if (wanted.map(_.getLen).sum * heapExpansionFactor(schema) >
-      maxLocalManifestBytes(spark)) return None
+    // disk-gated like r18, PLUS a heap ceiling: what lands on the
+    // driver are boxed Row objects, so the on-disk sum scaled by a
+    // schema-aware expansion factor must also clear the heap budget
+    // (the cached parts' ACCOUNTED weight is then the measured heap
+    // size)
+    val diskSum = wanted.map(_.getLen).sum
+    if (diskSum > maxLocalManifestBytes(spark) ||
+      diskSum * heapExpansionFactor(schema) >
+        maxLocalManifestHeapBytes(spark)) return None
     // the MANIFEST SCHEMA is part of the key: evolution widens the
     // sidecar in place, and rows cached under the old width must not
     // serve a read declared at the new one (the parquet reader fills
@@ -227,8 +255,13 @@ private[sources] trait ManifestCore { this: DataSkipping.type =>
       s"$dir#$schemaTag#${f.getPath.getName}#${f.getLen}#${f.getModificationTime}"
     val missing = wanted.filter(f => cacheGet(keyOf(f)).isEmpty)
     if (missing.nonEmpty) {
-      val collected = spark.read.schema(schema)
-        .parquet(missing.map(_.getPath.toString): _*)
+      // read the misses through a ManifestFileIndex over the statuses
+      // ALREADY IN HAND — `spark.read.parquet(paths)` would re-list
+      // them, and past 32 paths that listing is its own distributed
+      // job (measured on the 33-part deletion vectors: two 64 ms
+      // listing jobs per probe before this)
+      val collected = statusScan(spark, dir, schema,
+          missing.map(f => FileStatusWithMetadata(f)))
         .select(col("*"), col("_metadata.file_path").as("__mfile"))
         .collect()
       val byName: Map[String, Seq[Row]] = collected.toSeq
