@@ -468,7 +468,9 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
       resetDeclarations: Boolean = false,
       partitionColsNew: Option[Seq[String]] = None,
       extraSidecars: Map[String, String] = Map.empty,
-      manifestRowsLocal: Option[(StructType, Seq[Row])] = None): Long = {
+      manifestRowsLocal: Option[(StructType, Seq[Row])] = None,
+      changeDataFrom: Option[Path] = None,
+      dvLocal: Option[(StructType, Seq[Row])] = None): Long = {
     val statsDir = new Path(s"$path/$StatsDir")
     val curGen = currentGen(fs, statsDir)
     // STRICT version targeting: commit exactly (observed generation
@@ -511,11 +513,30 @@ private[sources] trait StorageCommit { this: DataSkipping.type =>
     // the `_` prefix hides them from the generation's manifest read
     changeData.foreach(cd =>
       cd.write.parquet(new Path(build, ChangeDataDir).toString))
+    // already-materialized change data (rewriteFiles' one-job temp
+    // write) publishes as a driver-side COPY of its parts — no Spark
+    // job per publish attempt
+    changeDataFrom.foreach { src =>
+      val dst = new Path(build, ChangeDataDir)
+      fs.mkdirs(dst)
+      fs.listStatus(src)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath,
+          fs, new Path(dst, f.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration))
+    }
     // the deletion vector is generation state like change data: the
     // single _COMMIT create below makes it exactly as atomic as the
     // manifest rows, and the `_` prefix hides it from manifest reads
     dv.foreach(d =>
       d.write.parquet(new Path(build, DvDir).toString))
+    // a cache-served carry writes the next vector driver-side
+    dvLocal.foreach { case (s, rows) =>
+      fs.mkdirs(new Path(build, DvDir))
+      writeLocalParquetFile(spark, s, rows,
+        new Path(new Path(build, DvDir),
+          s"part-${java.util.UUID.randomUUID}.parquet"))
+    }
     writeOpFile(fs, build, op, opStartMs)
     writeTxnFile(fs, dir, build, txn)
     // CHECK constraints, the column mapping, generated-column

@@ -449,9 +449,20 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
           scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava), s))
       case None => addedStatsFrame.map(_.localCheckpoint(true))
     }
-    val changeDataPinned = changeData
+    // change data materializes ONCE as a hidden parquet temp (one
+    // write job); every publish attempt — happy path or rebase —
+    // COPIES the parts into its build dir driver-side. Replaces the
+    // localCheckpoint(job) + per-attempt write(job) pair with one job
+    // + metadata copies (guide §1.2); crash debris is `.changes-`
+    // prefixed and swept by vacuum's staging pass like any staging.
+    val changeTmp: Option[Path] = changeData
       .filter(_ => baseFeats.contains(CdfFeature))
-      .map(_.localCheckpoint(true))
+      .map { cd =>
+        val tmp = new Path(path, s".changes-${java.util.UUID.randomUUID}")
+        cd.write.parquet(tmp.toString)
+        tmp
+      }
+    try {
     // Build the next generation's rows against `aDir` and publish.
     // Runs once on the happy path; a rebase (lost race proven
     // disjoint) re-invokes it against the winner's generation dir —
@@ -557,23 +568,51 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
       // removed are RESOLVED (the rewrite scanned DV-filtered rows, so
       // the new files hold no dead positions); everything else rides
       // into the next generation, plus this op's own new dead
-      // positions (merge-on-read DELETE/UPDATE)
-      val carriedDv = readDvIn(spark, aDir).map { d =>
-        if (touched.isEmpty) d
-        else d.join(broadcast(spark.createDataset(touched)(
-            org.apache.spark.sql.Encoders.STRING).toDF("__t")),
-          col("file") === col("__t"), "left_anti")
+      // positions (merge-on-read DELETE/UPDATE). When the op adds NO
+      // new entries and the vector is cache-served, the carry is
+      // plain Scala and the next vector writes DRIVER-side — zero
+      // jobs (the same shape as the manifest carry above); any other
+      // case keeps the DataFrame route.
+      val dvSchemaLocal = StructType(Seq(
+        StructField("file", org.apache.spark.sql.types.StringType),
+        StructField("row_index", org.apache.spark.sql.types.LongType)))
+      val dvDirPath = new Path(aDir, DvDir)
+      val dvLocalCarry: Option[Seq[Row]] =
+        if (extraDv.isDefined || !fs.exists(dvDirPath)) None
+        else {
+          val parts = fs.listStatus(dvDirPath).filter { f =>
+            val n = f.getPath.getName
+            f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith(".")
+          }.toSeq
+          localPartRows(spark, dvDirPath.toString, parts, dvSchemaLocal)
+            .map { rows =>
+              if (touched.isEmpty) rows
+              else rows.filter(r => r.isNullAt(0) || !touchedSet(r.getString(0)))
+            }
+        }
+      val (dvNext, dvNextLocal) = dvLocalCarry match {
+        case Some(kept) =>
+          (None, Some((dvSchemaLocal, kept)).filter(_._2.nonEmpty))
+        case None =>
+          val carriedDv = readDvIn(spark, aDir).map { d =>
+            if (touched.isEmpty) d
+            else d.join(broadcast(spark.createDataset(touched)(
+                org.apache.spark.sql.Encoders.STRING).toDF("__t")),
+              col("file") === col("__t"), "left_anti")
+          }
+          ((carriedDv.toSeq ++ extraDv.toSeq)
+            .reduceOption(_.unionByName(_))
+            // a rewrite that resolved every entry carries no vector
+            .filter(!_.isEmpty), None)
       }
-      val dvNext = (carriedDv.toSeq ++ extraDv.toSeq)
-        .reduceOption(_.unionByName(_))
-        .filter(!_.isEmpty) // a rewrite that resolved every entry carries no vector
       publishGeneration(spark, fs, path, aDir, rows, schema, statsCols,
         feats, manifestSchema,
         removedData = touched.map(p => rootRelativeOrName(fs, path, p)),
         markerRetentionMs = markerRetentionMs, opStartMs = opStartMs,
         verbatimMarkers = verbatim,
-        changeData = changeDataPinned,
-        op = op, txn = txn, dv = dvNext,
+        changeData = None, changeDataFrom = changeTmp,
+        op = op, txn = txn, dv = dvNext, dvLocal = dvNextLocal,
         clustered = clusteredOf(moved), observedParts = aPin,
         manifestRowsLocal = rowsLocal)
     }
@@ -613,6 +652,9 @@ private[sources] trait StorageDml { this: DataSkipping.type =>
           curPin = Some(newPin)
       }
     }
+    } finally changeTmp.foreach(t =>
+      try fs.delete(t, true)
+      catch { case scala.util.control.NonFatal(_) => () })
     if (vacuum) vacuumTable(spark, path, retentionMs)
   }
 

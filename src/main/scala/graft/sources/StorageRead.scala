@@ -327,7 +327,7 @@ private[sources] trait StorageRead { this: DataSkipping.type =>
     // measured the sequential walk at ~5x cost across the 100→10^4
     // dir decade even on local fs).
     val stagingPrefixes =
-      Seq(".append-", ".compact-", ".stats-", ".markers-",
+      Seq(".append-", ".compact-", ".stats-", ".markers-", ".changes-",
         ".overwrite-staging-", SwapPrefix)
     // `col=value` descent stays gated on the CURRENT generation's
     // partitioning: descending unconditionally could reclaim a user's
